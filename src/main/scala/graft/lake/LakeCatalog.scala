@@ -1,0 +1,64 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Namespace/table lifecycle + append — the capability surface of the
+  * reference's per-batch catalog dance
+  * (`/root/reference/target_iceberg/sinks.py:43-100`), re-expressed as a
+  * connect-once trait (SURVEY.md §4.1: the reference reloads the catalog every
+  * batch; that is an inefficiency, not a semantic, and is not replicated).
+  *
+  * The environment ships no iceberg-spark-runtime jar (SURVEY.md §7.0), so the
+  * default implementation targets Spark's session catalog with Parquet-backed
+  * tables; a real Iceberg/REST catalog plugs in behind this same trait where
+  * the jar exists (`spark.sql.catalog.<name>` conf + identical DDL).
+  */
+trait LakeCatalog {
+  /** Idempotent namespace creation (sinks.py:70-77 swallows AlreadyExists;
+    * `IF NOT EXISTS` gives the same semantics without the error dance). */
+  def ensureNamespace(ns: String): Unit
+  def tableExists(ns: String, table: String): Boolean
+  /** Create-if-absent from a declared schema — unpartitioned by default to
+    * match the reference (sinks.py:96), partition columns opt-in for the
+    * 100 TB path (SURVEY.md §4.3 divergence). */
+  def ensureTable(ns: String, table: String, schema: StructType,
+                  partitionBy: Seq[String] = Nil): Unit
+  /** Append-only commit (sinks.py:100); `key_properties` never trigger upsert
+    * (sinks.py:25 — accepted but unused in the reference). */
+  def append(ns: String, table: String, df: DataFrame): Unit
+  def load(ns: String, table: String): DataFrame
+  def dropNamespace(ns: String): Unit
+}
+
+/** Parquet-backed implementation on the Spark session catalog. */
+class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
+  private def id(ns: String, table: String) = s"`$ns`.`$table`"
+
+  override def ensureNamespace(ns: String): Unit =
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS `$ns`")
+
+  override def tableExists(ns: String, table: String): Boolean =
+    spark.catalog.tableExists(s"$ns.$table")
+
+  override def ensureTable(ns: String, table: String, schema: StructType,
+                           partitionBy: Seq[String]): Unit = {
+    ensureNamespace(ns)
+    if (!tableExists(ns, table)) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      val writer = empty.write.format("parquet")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .saveAsTable(s"$ns.$table")
+    }
+  }
+
+  override def append(ns: String, table: String, df: DataFrame): Unit =
+    df.write.format("parquet").mode("append").saveAsTable(s"$ns.$table")
+
+  override def load(ns: String, table: String): DataFrame =
+    spark.table(id(ns, table))
+
+  override def dropNamespace(ns: String): Unit =
+    spark.sql(s"DROP NAMESPACE IF EXISTS `$ns` CASCADE")
+}

@@ -1,0 +1,367 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface (SURVEY.md §2.C8): filters, hash/broadcast/semi/
+  * anti joins, hash aggregates, rollup/cube, ranking & frame windows,
+  * sort/limit top-k, set ops, distinct aggregates, correlated-style subquery.
+  *
+  * Every query here is declarative DataFrame code — Catalyst plans the
+  * physical strategy (predicate pushdown to parquet, broadcast for dim
+  * tables, partial aggregation, AQE). Determinism contract for the DuckDB
+  * oracle: total ORDER BY on every output + doubles rounded post-aggregation
+  * (sum-order across partitions is otherwise nondeterministic in the last
+  * ulp at any scale).
+  *
+  * Scale notes (100 TB): fact-fact joins (lineitem x orders) shuffle on the
+  * join key and benefit from AQE skew handling; all dim tables (region,
+  * nation, customer, supplier, part at <1% of fact size) are explicitly
+  * `broadcast()` so no shuffle of the fact side is induced by them.
+  */
+object Relational {
+  import Tables._
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** TPC-H Q1-style pricing summary: scan + pushed filter + hash agg. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(sum(revenue * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Pushed-down filter + column-pruned projection; raw (unaggregated)
+    * doubles are exact so no rounding needed. */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q3-style: dim-filtered broadcast join + fact-fact shuffle join +
+    * agg + top-k. */
+  def q03TopRevenue(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+    lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"))
+      .agg(round(sum(revenue), 2).as("rev"))
+      .orderBy(desc("rev"), col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q4-style: EXISTS -> left-semi join, then agg. */
+  def q04OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val bigLines = lineitem(s, d).filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"))
+    orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1997-01-01"))
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q5-style 6-way join through the full dimension chain; all dims
+    * broadcast, facts shuffle once on their join keys. */
+  def q05LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val nr = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    val sup = supplier(s, d)
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+    lineitem(s, d)
+      .join(orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(revenue), 2).as("rev"))
+      .orderBy(desc("rev"), col("n_name"))
+  }
+
+  /** TPC-H Q6-style: pure pushed-predicate scan + single global agg. */
+  def q06ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("rev"))
+
+  /** Left-semi join: customers having at least one urgent order. */
+  def q07SemiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with no urgent orders (complement of q07). */
+  def q08AntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Global top-k: planned as TakeOrderedAndProject (no full sort at scale). */
+  def q09TopKOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  /** Ranking window: top-3 parts per brand by retail price. */
+  def q10WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(desc("p_retailprice"), col("p_partkey"))
+    part(s, d)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+      .orderBy("p_brand", "rnk", "p_partkey")
+  }
+
+  /** Frame window: running quantity per supplier over ship order. */
+  def q11RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .filter(col("l_quantity") >= 48)
+      .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** ROLLUP over returnflag/linestatus (grouping-set nulls ordered
+    * explicitly NULLS FIRST to match the oracle). */
+  def q12Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** CUBE over order status/priority. */
+  def q13Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** UNION ALL + agg across two sources. */
+  def q14UnionAgg(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val su = supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    c.unionAll(su).groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+  }
+
+  /** EXCEPT (set difference): customer nations with no high-balance supplier. */
+  def q15Except(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+    val su = supplier(s, d).filter(col("s_acctbal") > 8000)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    c.except(su).orderBy("nationkey")
+  }
+
+  /** Exact distinct aggregates (expand-based distinct agg in Spark). */
+  def q16DistinctAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("distinct_parts"),
+      countDistinct(col("l_suppkey")).as("distinct_supps"),
+      count(lit(1)).as("total_rows"))
+
+  /** GROUP BY + HAVING + top-k on the aggregate. */
+  def q17Having(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+      .filter(col("cnt") >= 5)
+      .orderBy(desc("cnt"), col("l_partkey"))
+      .limit(100)
+
+  /** TPC-H Q14-style promo revenue share: broadcast dim join + conditional
+    * agg producing one scalar. */
+  def q18PromoShare(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1997-07-01"))
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type") === "PROMO", revenue).otherwise(0.0))
+          / sum(revenue), 4).as("promo_share"))
+
+  /** Batch windowed aggregation over the events stream table (hourly). */
+  def q19EventsHourly(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy(asc_nulls_first("hour_epoch"), asc_nulls_first("event_type"))
+
+  /** TPC-H Q17-style correlated scalar subquery, expressed Spark-first as a
+    * pre-aggregated threshold join (what a decorrelation rule would emit). */
+  def q20AvgQtyThreshold(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
+    li.join(broadcast(part(s, d).filter(col("p_brand") === "Brand#23")),
+        col("l_partkey") === col("p_partkey"))
+      .join(thr, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** name -> (query fn, DuckDB oracle SQL). Column names/aliases match
+    * pairwise (driver hash compare sorts columns by name). */
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q01_pricing_summary" -> ((q01PricingSummary _, """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity),2) AS sum_qty,
+             round(sum(l_extendedprice),2) AS sum_base_price,
+             round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+             round(avg(l_quantity),4) AS avg_qty,
+             round(avg(l_extendedprice),4) AS avg_price,
+             round(avg(l_discount),6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+    "q02_filter_project" -> ((q02FilterProject _, """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+      ORDER BY l_orderkey, l_linenumber""")),
+    "q03_top_revenue" -> ((q03TopRevenue _, """
+      SELECT l_orderkey, epoch(o_orderdate)::BIGINT AS order_epoch,
+             round(sum(l_extendedprice*(1-l_discount)),2) AS rev
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY rev DESC, l_orderkey LIMIT 20""")),
+    "q04_order_priority" -> ((q04OrderPriority _, """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+    "q05_local_supplier" -> ((q05LocalSupplier _, """
+      SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS rev
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY rev DESC, n_name""")),
+    "q06_forecast_revenue" -> ((q06ForecastRevenue _, """
+      SELECT round(sum(l_extendedprice*l_discount),2) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+    "q07_semi_join" -> ((q07SemiJoin _, """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")),
+    "q08_anti_join" -> ((q08AntiJoin _, """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")),
+    "q09_topk_orders" -> ((q09TopKOrders _, """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+    "q10_window_rank" -> ((q10WindowRank _, """
+      SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               rank() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        FROM part) t
+      WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""")),
+    "q11_running_sum" -> ((q11RunningSum _, """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(sum(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+      FROM lineitem WHERE l_quantity >= 48
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+    "q12_rollup" -> ((q12Rollup _, """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+    "q13_cube" -> ((q13Cube _, """
+      SELECT o_orderstatus, o_orderpriority,
+             round(sum(o_totalprice),2) AS sum_price, count(*) AS cnt
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+    "q14_union_agg" -> ((q14UnionAgg _, """
+      SELECT nationkey, count(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL SELECT s_nationkey FROM supplier) t
+      GROUP BY nationkey ORDER BY nationkey""")),
+    "q15_except" -> ((q15Except _, """
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+      WHERE s_acctbal > 8000
+      ORDER BY nationkey""")),
+    "q16_distinct_agg" -> ((q16DistinctAgg _, """
+      SELECT count(DISTINCT l_partkey) AS distinct_parts,
+             count(DISTINCT l_suppkey) AS distinct_supps,
+             count(*) AS total_rows
+      FROM lineitem""")),
+    "q17_having" -> ((q17Having _, """
+      SELECT l_partkey, count(*) AS cnt, round(sum(l_quantity),2) AS qty
+      FROM lineitem GROUP BY l_partkey HAVING count(*) >= 5
+      ORDER BY cnt DESC, l_partkey LIMIT 100""")),
+    "q18_promo_share" -> ((q18PromoShare _, """
+      SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice*(1-l_discount)
+                                    ELSE 0.0 END)
+                   / sum(l_extendedprice*(1-l_discount)), 4) AS promo_share
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""")),
+    "q19_events_hourly" -> ((q19EventsHourly _, """
+      SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+             count(*) AS n, round(sum(value),2) AS sum_value
+      FROM events GROUP BY 1, 2
+      ORDER BY hour_epoch NULLS FIRST, event_type NULLS FIRST""")),
+    "q20_avgqty_threshold" -> ((q20AvgQtyThreshold _, """
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)"""))
+  )
+}

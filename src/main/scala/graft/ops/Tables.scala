@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table access for the driver's testdata star schema
+  * (`/root/repo/TESTDATA.md`). Reads go through `spark.read.parquet` so
+  * Catalyst's parquet scan gets predicate pushdown + column pruning for free.
+  *
+  * Timestamp note: `events.ts` is parquet TIMESTAMP(NANOS); Spark reads nanos
+  * only via `spark.sql.legacy.parquet.nanosAsLong` or truncation depending on
+  * version — [[Tables.events]] normalizes it to a microsecond TimestampType
+  * column named `ts` either way, so every operator sees one shape.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // Spark rejects parquet TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL);
+    // the supported route is reading nanos as Long, then converting.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.singer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.jdk.CollectionConverters._
+
+/** Singer protocol message ADT + JSONL decoder.
+  *
+  * The reference consumes these via the Singer SDK's `Target` CLI
+  * (`/root/reference/target_iceberg/target.py:64-65`); the wire format is the
+  * public Singer spec: one JSON object per line, discriminated by `type` —
+  * SCHEMA / RECORD / STATE / ACTIVATE_VERSION (SURVEY.md §2.B1).
+  */
+sealed trait SingerMessage extends Product with Serializable
+
+object SingerMessage {
+  /** Declares/updates a stream's schema; `schemaJson` is the raw JSON Schema
+    * text (kept as text so it can live in a Spark Dataset[String] and be
+    * re-parsed off the driver). */
+  final case class Schema(stream: String, schemaJson: String,
+                          keyProperties: Seq[String]) extends SingerMessage
+  /** One data row, as raw JSON text of the `record` object. */
+  final case class Record(stream: String, recordJson: String) extends SingerMessage
+  /** Checkpoint to be echoed downstream once pending batches are durable. */
+  final case class State(valueJson: String) extends SingerMessage
+  /** Full-table version swap signal. */
+  final case class ActivateVersion(stream: String, version: Long) extends SingerMessage
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  /** Decode one JSONL line. Unknown/garbled lines return None (the Singer
+    * spec requires targets to ignore unrecognized message types). */
+  def decode(line: String): Option[SingerMessage] = {
+    val trimmed = line.trim
+    if (trimmed.isEmpty) return None
+    val node =
+      try mapper.readTree(trimmed)
+      catch { case _: Exception => return None }
+    decode(node)
+  }
+
+  def decode(node: JsonNode): Option[SingerMessage] = {
+    if (node == null || !node.has("type")) return None
+    node.get("type").asText() match {
+      case "SCHEMA" =>
+        for {
+          stream <- Option(node.get("stream")).map(_.asText())
+          schema <- Option(node.get("schema"))
+        } yield Schema(stream, schema.toString, keyProps(node))
+      case "RECORD" =>
+        for {
+          stream <- Option(node.get("stream")).map(_.asText())
+          rec <- Option(node.get("record"))
+        } yield Record(stream, rec.toString)
+      case "STATE" =>
+        Some(State(Option(node.get("value")).map(_.toString).getOrElse("{}")))
+      case "ACTIVATE_VERSION" =>
+        for (stream <- Option(node.get("stream")).map(_.asText()))
+          yield ActivateVersion(stream,
+            Option(node.get("version")).map(_.asLong()).getOrElse(0L))
+      case _ => None
+    }
+  }
+
+  private def keyProps(node: JsonNode): Seq[String] =
+    Option(node.get("key_properties")) match {
+      case Some(kp) if kp.isArray => kp.elements().asScala.map(_.asText()).toSeq
+      case _                      => Seq.empty
+    }
+}

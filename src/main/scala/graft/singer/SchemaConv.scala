@@ -1,0 +1,139 @@
+package graft.singer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Singer JSON Schema -> Spark [[StructType]] converter.
+  *
+  * Behavioral contract mirrors the reference's two-hop conversion
+  * (`/root/reference/target_iceberg/iceberg.py:9-166`) collapsed into one hop,
+  * per SURVEY.md §1.3-1.4:
+  *
+  *   - `anyOf` unions are reduced keeping only `string`/`null` member types,
+  *     first `format` wins (iceberg.py:12-33).
+  *   - a property with no `type` key defaults to nullable string
+  *     (iceberg.py:72-74).
+  *   - `string` `format`s are honored only at nesting level 0
+  *     (iceberg.py:87-95): `date` -> DateType, `time` -> LongType micros
+  *     (Spark has no time type; divergence documented in SURVEY §7.4), any
+  *     other format (`date-time`, ...) -> TimestampType.
+  *   - `integer` -> LongType, `number` -> DoubleType, `boolean` -> BooleanType
+  *     (iceberg.py:76-84).
+  *   - `array` recurses into `items` (iceberg.py:98-109); missing `items`
+  *     yields ArrayType(NullType) (iceberg.py:110-116); `object` recurses into
+  *     `properties` (iceberg.py:117-127).
+  *   - nullable iff `"null"` is in the type union (iceberg.py:77 et al.).
+  *   - Iceberg-style sequential field ids attached as `PARQUET:field_id`
+  *     metadata, depth-first, struct leaves only (iceberg.py:137-153).
+  */
+object SchemaConv {
+  private val mapper = new ObjectMapper()
+  val FieldIdKey = "PARQUET:field_id"
+
+  /** Parse a JSON document (the `schema` object of a Singer SCHEMA message). */
+  def parse(json: String): JsonNode = mapper.readTree(json)
+
+  def toStructType(json: String): StructType = toStructType(parse(json))
+
+  def toStructType(schema: JsonNode): StructType = {
+    val root = convertObject(schema, level = 0)
+    assignFieldIds(root)
+  }
+
+  /** anyOf reduction (iceberg.py:12-33): keep only `string`/`null` member
+    * types; the first member carrying a `format` wins. Returns (types, format).
+    */
+  private[singer] def processAnyOf(anyOf: JsonNode): (Seq[String], Option[String]) = {
+    var types = Vector.empty[String]
+    var format: Option[String] = None
+    anyOf.elements().asScala.foreach { member =>
+      val t = typeList(member)
+      if (t.contains("string")) {
+        if (format.isEmpty && member.hasNonNull("format"))
+          format = Some(member.get("format").asText())
+        if (!types.contains("string")) types :+= "string"
+      }
+      if (t.contains("null") && !types.contains("null")) types :+= "null"
+    }
+    (types, format)
+  }
+
+  /** The `type` key as a list (Singer allows both `"integer"` and
+    * `["integer","null"]`). */
+  private def typeList(node: JsonNode): Seq[String] = {
+    val t = node.get("type")
+    if (t == null) Seq.empty
+    else if (t.isArray) t.elements().asScala.map(_.asText()).toSeq
+    else Seq(t.asText())
+  }
+
+  /** One property -> Spark DataType + nullability. `level` counts struct
+    * nesting depth; string formats only apply at level 0 (iceberg.py:87). */
+  private[singer] def convertField(prop: JsonNode, level: Int): (DataType, Boolean) = {
+    val (types, anyOfFormat) =
+      if (prop.has("anyOf")) processAnyOf(prop.get("anyOf"))
+      else {
+        val t = typeList(prop)
+        // missing `type` defaults to nullable string (iceberg.py:72-74)
+        val tt = if (t.isEmpty) Seq("string", "null") else t
+        (tt, Option(prop.get("format")).map(_.asText()))
+      }
+    val nullable = types.contains("null")
+    val primary = types.find(_ != "null")
+    val dt: DataType = primary match {
+      case Some("integer") => LongType
+      case Some("number")  => DoubleType
+      case Some("boolean") => BooleanType
+      case Some("string") =>
+        anyOfFormat match {
+          case Some(f) if level == 0 =>
+            f match {
+              case "date" => DateType
+              case "time" => LongType // micros-since-midnight; SURVEY §7.4
+              case _      => TimestampType // date-time and any other format
+            }
+          case _ => StringType
+        }
+      case Some("array") =>
+        val items = prop.get("items")
+        if (items == null) ArrayType(NullType, containsNull = true)
+        else {
+          val (et, en) = convertField(items, level + 1)
+          ArrayType(et, containsNull = en)
+        }
+      case Some("object") => convertObject(prop, level + 1)
+      case _              => NullType // unknown type (iceberg.py:57-58)
+    }
+    (dt, nullable)
+  }
+
+  private[singer] def convertObject(node: JsonNode, level: Int): StructType = {
+    val props = node.get("properties")
+    if (props == null) return StructType(Nil)
+    val fields = props.properties().asScala.map { e =>
+      val (dt, nullable) = convertField(e.getValue, level)
+      StructField(e.getKey, dt, nullable)
+    }.toSeq
+    StructType(fields)
+  }
+
+  /** Sequential Iceberg field-id assignment as `PARQUET:field_id` metadata:
+    * depth-first; struct children recursed, struct parent itself un-id'd;
+    * list element types intentionally NOT recursed — both quirks mirror
+    * iceberg.py:137-153 and are unit-tested as documented behavior. */
+  def assignFieldIds(schema: StructType): StructType = {
+    var next = 0
+    def walk(st: StructType): StructType = StructType(st.fields.map { f =>
+      f.dataType match {
+        case s: StructType => f.copy(dataType = walk(s))
+        case _ =>
+          next += 1
+          f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, next.toLong).build())
+      }
+    })
+    walk(schema)
+  }
+}

@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all suites (spark_guide.md: one session per
+  * suite; sharing across suites in the forked test JVM is cheaper still). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}

@@ -1,0 +1,115 @@
+package graft.lake
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Load-path contract (FIXTURES.md §4): N records with batchSize B drain in
+  * ceil(N/B) appends preserving input order; STATE is echoed only after all
+  * appends are durable; invalid records are dropped; `_sdc_*` metadata is
+  * injected when enabled (reference `add_record_metadata`, target.py:16). */
+class BatchLoaderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schemaLine =
+    """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+      |"id":{"type":["integer"]},"v":{"type":["number","null"]}}},
+      |"key_properties":["id"]}""".stripMargin.replaceAll("\n", "")
+  private def recordLine(i: Int) =
+    s"""{"type":"RECORD","stream":"ev","record":{"id":$i,"v":${i * 1.5}}}"""
+
+  private final class CountingCatalog extends SessionLakeCatalog(spark) {
+    var appends = 0
+    override def append(ns: String, table: String, df: DataFrame): Unit = {
+      appends += 1; super.append(ns, table, df)
+    }
+  }
+
+  private def freshNs(): String = s"bl_${System.nanoTime()}"
+
+  test("strict mode: 25 records / batchSize 10 -> 3 ordered appends + state echo") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns, batchSize = 10,
+      strictBatches = true)
+    val lines = Seq(schemaLine) ++ (1 to 25).map(recordLine) ++
+      Seq("""{"type":"STATE","value":{"bookmark":25}}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(cat.appends == 3) // 10 + 10 + 5, the sinks.py:18 drain contract
+    assert(report.rowsPerStream == Map("ev" -> 25L))
+    assert(report.statesToEcho == Seq("""{"bookmark":25}"""))
+    val back = cat.load(ns, "ev")
+    assert(back.count() == 25)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (1 to 25).sum.toLong)
+    cat.dropNamespace(ns)
+  }
+
+  test("scale mode: one commit, files bounded by batchSize") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns, batchSize = 10)
+    val lines = Seq(schemaLine) ++ (1 to 25).map(recordLine)
+    val report = loader.load(spark.createDataset(lines))
+    assert(cat.appends == 0) // scale path writes once via maxRecordsPerFile
+    assert(report.rowsPerStream("ev") == 25L)
+    assert(cat.load(ns, "ev").count() == 25)
+    cat.dropNamespace(ns)
+  }
+
+  test("invalid records are dropped (SDK validation, SURVEY §2.B2)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val lines = Seq(schemaLine, recordLine(1),
+      """{"type":"RECORD","stream":"ev","record": 12}""", // not an object
+      recordLine(2))
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("ev") == 2L)
+    cat.dropNamespace(ns)
+  }
+
+  test("_sdc_* metadata columns injected when enabled (B5)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns, addRecordMetadata = true)
+    val lines = Seq(schemaLine, recordLine(1), recordLine(2))
+    loader.load(spark.createDataset(lines))
+    val cols = cat.load(ns, "ev").columns.toSet
+    assert(Set("_sdc_received_at", "_sdc_batched_at", "_sdc_sequence")
+      .subsetOf(cols))
+    cat.dropNamespace(ns)
+  }
+
+  test("multi-stream feed routes records per stream") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val schema2 =
+      """{"type":"SCHEMA","stream":"ev2","schema":{"properties":{"x":{"type":["string"]}}}}"""
+    val lines = Seq(schemaLine, schema2, recordLine(1),
+      """{"type":"RECORD","stream":"ev2","record":{"x":"a"}}""", recordLine(2))
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream == Map("ev" -> 2L, "ev2" -> 1L))
+    cat.dropNamespace(ns)
+  }
+
+  test("typed schema lands in the table (timestamps parsed per format)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val sl = """{"type":"SCHEMA","stream":"tt","schema":{"properties":{
+      |"id":{"type":["integer"]},
+      |"at":{"type":["string"],"format":"date-time"}}}}"""
+      .stripMargin.replaceAll("\n", "")
+    val rl = """{"type":"RECORD","stream":"tt","record":{"id":1,"at":"2024-03-01T12:30:00Z"}}"""
+    loader.load(spark.createDataset(Seq(sl, rl)))
+    val tbl = cat.load(ns, "tt")
+    val schema: StructType = tbl.schema
+    assert(schema("at").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(tbl.selectExpr("unix_timestamp(at)").head.getLong(0) == 1709296200L)
+    cat.dropNamespace(ns)
+  }
+}

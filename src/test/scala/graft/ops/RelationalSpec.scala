@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + plan-shape checks at sf0.001. Value-level correctness is the
+  * driver's DuckDB oracle (every registry entry has oracle SQL); here we
+  * assert each query runs, returns rows, and — for the plan-shape-sensitive
+  * ones — that the physical plan is the one we designed for scale. */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every registered query runs and returns rows at sf0.001") {
+    Relational.registry.foreach { case (name, (fn, _)) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q06 pushes filters into the parquet scan") {
+    val plan = Relational.q06ForecastRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_shipdate"), plan.take(2000))
+  }
+
+  test("q02 prunes columns at the scan (ReadSchema subset)") {
+    val plan = Relational.q02FilterProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    // scan must not read l_extendedprice-adjacent unused cols like l_tax
+    assert(plan.contains("ReadSchema") && !plan.contains("l_tax"),
+      plan.take(2000))
+  }
+
+  test("q18 dim join is broadcast, not shuffle") {
+    val plan = Relational.q18PromoShare(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q09 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.q09TopKOrders(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("oracle map covers exactly the SQL-expressible registry entries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // all relational queries are SQL-expressible
+    Relational.registry.keys.foreach { k =>
+      assert(SparkEntry.oracleSql.contains(k), s"$k missing oracle")
+    }
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.singer
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table-driven tests mirroring every row of SURVEY.md §1.4 / FIXTURES.md §3
+  * (reference behavior at /root/reference/target_iceberg/iceberg.py:9-160). */
+class SchemaConvSpec extends AnyFunSuite {
+
+  private def conv(json: String): StructType = SchemaConv.toStructType(json)
+  private def field(st: StructType, name: String): StructField = st(name)
+
+  test("primitive types: integer/number/boolean/string") {
+    val st = conv("""{"properties": {
+      "i": {"type": ["integer"]}, "n": {"type": ["number"]},
+      "b": {"type": ["boolean"]}, "s": {"type": ["string"]}}}""")
+    assert(field(st, "i").dataType == LongType && !field(st, "i").nullable)
+    assert(field(st, "n").dataType == DoubleType)
+    assert(field(st, "b").dataType == BooleanType)
+    assert(field(st, "s").dataType == StringType)
+  }
+
+  test("nullability iff 'null' in the type union") {
+    val st = conv("""{"properties": {
+      "a": {"type": ["integer", "null"]}, "b": {"type": ["integer"]}}}""")
+    assert(field(st, "a").nullable && !field(st, "b").nullable)
+  }
+
+  test("string formats honored only at level 0: date-time/date/time") {
+    val st = conv("""{"properties": {
+      "dt": {"type": ["string"], "format": "date-time"},
+      "d":  {"type": ["string"], "format": "date"},
+      "t":  {"type": ["string"], "format": "time"}}}""")
+    assert(field(st, "dt").dataType == TimestampType)
+    assert(field(st, "d").dataType == DateType)
+    assert(field(st, "t").dataType == LongType) // micros; SURVEY §7.4
+  }
+
+  test("nested datetime demoted to string (format gated on level 0)") {
+    val st = conv("""{"properties": {"o": {"type": ["object"], "properties":
+      {"d": {"type": ["string"], "format": "date-time"}}}}}""")
+    val inner = field(st, "o").dataType.asInstanceOf[StructType]
+    assert(field(inner, "d").dataType == StringType)
+  }
+
+  test("missing type key defaults to nullable string") {
+    val st = conv("""{"properties": {"x": {"description": "no type"}}}""")
+    assert(field(st, "x").dataType == StringType && field(st, "x").nullable)
+  }
+
+  test("anyOf keeps string/null only; first format wins") {
+    val st = conv("""{"properties": {"x": {"anyOf": [
+      {"type": "string", "format": "date-time"}, {"type": "null"}]}}}""")
+    assert(field(st, "x").dataType == TimestampType && field(st, "x").nullable)
+  }
+
+  test("anyOf with non-string members reduces them away") {
+    // mirror of iceberg.py:28-33: integer member contributes nothing
+    val st = conv("""{"properties": {"x": {"anyOf": [
+      {"type": "integer"}, {"type": "null"}]}}}""")
+    // only "null" survives -> no primary type -> NullType, nullable
+    assert(field(st, "x").dataType == NullType && field(st, "x").nullable)
+  }
+
+  test("arrays: typed items, nested arrays, struct items, missing items") {
+    val st = conv("""{"properties": {
+      "a":  {"type": ["array"], "items": {"type": ["number"]}},
+      "nn": {"type": ["array"], "items":
+              {"type": ["array"], "items": {"type": ["integer"]}}},
+      "so": {"type": ["array"], "items": {"type": ["object"], "properties":
+              {"k": {"type": ["string"]}}}},
+      "no": {"type": ["array"]}}}""")
+    assert(field(st, "a").dataType == ArrayType(DoubleType, containsNull = false))
+    assert(field(st, "nn").dataType ==
+      ArrayType(ArrayType(LongType, containsNull = false), containsNull = false))
+    val soEl = field(st, "so").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(field(soEl, "k").dataType == StringType)
+    assert(field(st, "no").dataType == ArrayType(NullType, containsNull = true))
+  }
+
+  test("array items format is NOT honored (level > 0)") {
+    val st = conv("""{"properties": {"a": {"type": ["array"],
+      "items": {"type": ["string"], "format": "date-time"}}}}""")
+    assert(field(st, "a").dataType.asInstanceOf[ArrayType].elementType == StringType)
+  }
+
+  test("empty object yields empty struct") {
+    val st = conv("""{"properties": {"o": {"type": ["object"], "properties": {}}}}""")
+    assert(field(st, "o").dataType == StructType(Nil))
+  }
+
+  test("field ids: sequential depth-first, struct parent un-id'd") {
+    val st = conv("""{"properties": {
+      "a": {"type": ["integer"]},
+      "o": {"type": ["object"], "properties": {
+        "x": {"type": ["string"]}, "y": {"type": ["number"]}}},
+      "z": {"type": ["boolean"]}}}""")
+    def id(f: StructField): Long = f.metadata.getLong(SchemaConv.FieldIdKey)
+    val o = field(st, "o")
+    val inner = o.dataType.asInstanceOf[StructType]
+    assert(id(field(st, "a")) == 1L)
+    assert(id(field(inner, "x")) == 2L && id(field(inner, "y")) == 3L)
+    assert(id(field(st, "z")) == 4L)
+    assert(!o.metadata.contains(SchemaConv.FieldIdKey)) // parent quirk
+    val ids = Seq(field(st, "a"), field(inner, "x"), field(inner, "y"),
+      field(st, "z")).map(id)
+    assert(ids == ids.distinct)
+  }
+
+  test("events fixture schema matches FIXTURES.md §2") {
+    val st = conv("""{"properties": {
+      "event_id":  {"type": ["integer"]},
+      "ts":        {"type": ["string"], "format": "date-time"},
+      "user_id":   {"type": ["integer", "null"]},
+      "event_type":{"type": ["string", "null"]},
+      "value":     {"type": ["number", "null"]},
+      "props":     {"type": ["string", "null"]}}}""")
+    val expect = Seq(
+      ("event_id", LongType: DataType, false), ("ts", TimestampType, false),
+      ("user_id", LongType, true), ("event_type", StringType, true),
+      ("value", DoubleType, true), ("props", StringType, true))
+    expect.foreach { case (n, dt, nn) =>
+      assert(field(st, n).dataType == dt && field(st, n).nullable == nn, n)
+    }
+  }
+}
