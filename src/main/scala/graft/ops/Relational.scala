@@ -49,14 +49,16 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** TPC-H Q3-style: dim-filtered broadcast join + fact-fact shuffle join +
-    * agg + top-k. */
+  /** TPC-H Q3-style: filtered join chain + agg + top-k. Customer is
+    * fact-sized (~10% of orders at any SF) so it is NOT broadcast — AQE
+    * plans the orders-customer join (shuffle at scale, runtime broadcast
+    * if the filtered side turns out tiny). */
   def q03TopRevenue(s: SparkSession, d: String): DataFrame = {
     val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val ord = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
     lineitem(s, d)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         unix_timestamp(col("o_orderdate")).as("order_epoch"))
       .agg(round(sum(revenue), 2).as("rev"))
@@ -77,8 +79,10 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** TPC-H Q5-style 6-way join through the full dimension chain; all dims
-    * broadcast, facts shuffle once on their join keys. */
+  /** TPC-H Q5-style 6-way join through the full dimension chain. Genuinely
+    * small dims (region/nation/supplier chain) are broadcast; customer is
+    * fact-sized (multi-hundred-GB at 100 TB) so its join is left to AQE —
+    * a shuffle join on custkey, never a driver-side broadcast. */
   def q05LocalSupplier(s: SparkSession, d: String): DataFrame = {
     val nr = nation(s, d)
       .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
@@ -89,7 +93,7 @@ object Relational {
       .join(orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01") &&
           col("o_orderdate") < lit("1998-01-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(sup),
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
@@ -224,13 +228,31 @@ object Relational {
     * pre-aggregated threshold join (what a decorrelation rule would emit). */
   def q20AvgQtyThreshold(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
-    val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+    // Prune BEFORE the threshold aggregation: only ~4% of partkeys are
+    // Brand#23, and avg(l_quantity) is per-partkey, so semi-joining lineitem
+    // against the brand keys first cuts ~96% of the agg's shuffle output
+    // with an identical result.
+    val brandParts = broadcast(part(s, d).filter(col("p_brand") === "Brand#23"))
+    val brandLines = li
+      .join(brandParts.select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val thr = brandLines.groupBy(col("l_partkey").as("t_partkey"))
       .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
-    li.join(broadcast(part(s, d).filter(col("p_brand") === "Brand#23")),
-        col("l_partkey") === col("p_partkey"))
+    brandLines
       .join(thr, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("half_avg_qty"))
       .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** INTERSECT (set intersection): nations present among both high-balance
+    * customers and high-balance suppliers. Plans as a left-semi join over
+    * distinct inputs — no cartesian, shuffle on the single key. */
+  def q21Intersect(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_nationkey").as("nationkey"))
+    val su = supplier(s, d).filter(col("s_acctbal") > 5000)
+      .select(col("s_nationkey").as("nationkey"))
+    c.intersect(su).orderBy("nationkey")
   }
 
   /** name -> (query fn, DuckDB oracle SQL). Column names/aliases match
@@ -362,6 +384,11 @@ object Relational {
       FROM lineitem, part
       WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
         AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
-                          WHERE l2.l_partkey = p_partkey)"""))
+                          WHERE l2.l_partkey = p_partkey)""")),
+    "q21_intersect" -> ((q21Intersect _, """
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+      ORDER BY nationkey"""))
   )
 }

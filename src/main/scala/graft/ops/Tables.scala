@@ -28,8 +28,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     // Spark rejects parquet TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL);
-    // the supported route is reading nanos as Long, then converting.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the supported route is reading nanos as Long, then converting. The flag
+    // is set at session build in Verify/Bench/TestSpark; this is a fallback
+    // for externally-built sessions, applied only when absent so repeated
+    // calls never flip an explicit setting.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

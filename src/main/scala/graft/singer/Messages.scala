@@ -48,9 +48,13 @@ object SingerMessage {
           schema <- Option(node.get("schema"))
         } yield Schema(stream, schema.toString, keyProps(node))
       case "RECORD" =>
+        // Singer records are JSON objects; a non-object `record` (e.g. a bare
+        // number) is invalid and must be dropped, not admitted as an all-null
+        // row — PERMISSIVE from_json would otherwise return an all-null
+        // struct for it downstream (SDK record validation, SURVEY §2.B2).
         for {
           stream <- Option(node.get("stream")).map(_.asText())
-          rec <- Option(node.get("record"))
+          rec <- Option(node.get("record")) if rec.isObject
         } yield Record(stream, rec.toString)
       case "STATE" =>
         Some(State(Option(node.get("value")).map(_.toString).getOrElse("{}")))
