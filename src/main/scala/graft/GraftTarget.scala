@@ -1,0 +1,85 @@
+package graft
+
+import graft.lake.{BatchLoader, SessionLakeCatalog, TargetConfig}
+import org.apache.spark.sql.SparkSession
+
+import scala.io.Source
+
+/** CLI entry for the load path — the analog of the reference's console
+  * script (`/root/reference/pyproject.toml:50-52` ->
+  * `target_iceberg/target.py:64-65`): read Singer JSONL from stdin (or a
+  * file), validate config, load every stream, echo STATE to stdout.
+  *
+  * Usage: graft.GraftTarget --config <config.json> [--input <messages.jsonl>]
+  *                          [--strict-batches]
+  */
+object GraftTarget {
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList)
+    val configPath = opts.getOrElse("config", {
+      System.err.println("usage: GraftTarget --config <config.json> " +
+        "[--input <messages.jsonl>] [--strict-batches]")
+      sys.exit(2)
+    })
+
+    val cfg = TargetConfig.fromJson(
+      Source.fromFile(configPath, "UTF-8").mkString) match {
+      case Right(c) => c
+      case Left(errors) =>
+        errors.foreach(e => System.err.println(s"config error: $e"))
+        sys.exit(1)
+    }
+
+    val spark = sparkFor(cfg)
+    try {
+      val lines = opts.get("input") match {
+        case Some(path) => spark.read.textFile(path)
+        case None => // stdin is inherently a driver-side stream
+          import spark.implicits._
+          spark.createDataset(Source.stdin.getLines().toSeq)
+      }
+      val loader = new BatchLoader(spark, new SessionLakeCatalog(spark),
+        namespace = cfg.icebergCatalogNamespaceName,
+        batchSize = cfg.batchSize,
+        addRecordMetadata = cfg.addRecordMetadata,
+        strictBatches = opts.contains("strict-batches"),
+        streamMaps = cfg.streamMaps,
+        flatteningEnabled = cfg.flatteningEnabled,
+        flatteningMaxDepth = cfg.flatteningMaxDepth)
+      val report = loader.load(lines)
+      report.rowsPerStream.foreach { case (t, n) =>
+        System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: $n rows")
+      }
+      // Singer contract: STATE goes to stdout once writes are durable
+      report.statesToEcho.foreach(println)
+    } finally spark.stop()
+  }
+
+  /** Session build — connect-once (vs the reference's per-batch reconnect,
+    * sinks.py:43-65). S3/REST settings map to Hadoop/catalog conf so the same
+    * config drives a real object-store deployment; harmless locally. */
+  private def sparkFor(cfg: TargetConfig): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-target")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.s3a.access.key", cfg.awsAccessKeyId)
+      .config("spark.hadoop.fs.s3a.secret.key", cfg.awsSecretAccessKey)
+      .config("spark.hadoop.fs.s3a.endpoint", cfg.s3Endpoint)
+      .getOrCreate()
+  }
+
+  private def parseArgs(args: List[String],
+                        acc: Map[String, String] = Map.empty): Map[String, String] =
+    args match {
+      case "--config" :: v :: rest  => parseArgs(rest, acc + ("config" -> v))
+      case "--input" :: v :: rest   => parseArgs(rest, acc + ("input" -> v))
+      case "--strict-batches" :: rest => parseArgs(rest, acc + ("strict-batches" -> "true"))
+      case Nil => acc
+      case other :: _ =>
+        System.err.println(s"unknown argument: $other"); sys.exit(2)
+    }
+}

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   private def allRegistries
       : Map[String, ((SparkSession, String) => DataFrame, String)] =
-    ops.Relational.registry
+    ops.Relational.registry ++ ops.Dedup.registry ++ ops.Similarity.registry ++
+      ops.TextOps.registry ++ ops.Multimodal.registry ++ ops.Streaming.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,10 +1,13 @@
 package graft.lake
 
 import graft.singer.{SchemaConv, SingerMessage}
+import graft.xform.{StreamMapConfig, StreamMaps}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** The Singer load path: JSONL message feed -> typed, batched, append-only
   * table commits — the Spark-native equivalent of the reference's
@@ -14,16 +17,27 @@ import org.apache.spark.sql.types.StructType
   *   RECORD -> validated typed rows (`from_json` under the declared schema);
   *   batch drain every `batchSize` records (reference `max_size = 10000`,
   *   `/root/reference/target_iceberg/sinks.py:18`);
-  *   STATE  -> echoed only after pending appends are durable.
+  *   STATE  -> echoed only after pending appends are durable;
+  *   ACTIVATE_VERSION -> full-table swap (this load's rows replace the
+  *     table — `overwrite` commit instead of `append`).
   *
   * Two batching modes:
   *   - '''scale mode''' (default): ONE append per stream with
   *     `maxRecordsPerFile = batchSize` — same bounded-batch file layout, one
   *     snapshot commit, no per-batch driver loop; this is the 100 TB path.
+  *     The row count rides the write job via `observe()` (no second scan).
   *   - '''strict mode''': one append per `batchSize` slice in input order,
   *     faithfully reproducing the reference's per-batch commit cadence
   *     (sinks.py:36-100) for protocol-fidelity tests. O(rows/batchSize)
   *     Spark jobs — test-scale only, never the production path.
+  *
+  * Documented divergences from the SDK (intentional, batch-mode semantics):
+  *   - "last SCHEMA wins" applies to ALL of a stream's records in the feed
+  *     (the SDK drains pending records under the old schema first);
+  *   - records for streams with no SCHEMA message are dropped, not an error;
+  *   - only the LAST STATE is echoed (after all appends are durable) — the
+  *     SDK echoes intermediate states per drain; in batch mode only the
+  *     final checkpoint is meaningful, and this bounds driver memory O(1).
   */
 final class BatchLoader(
     spark: SparkSession,
@@ -31,13 +45,16 @@ final class BatchLoader(
     namespace: String,
     batchSize: Int = BatchLoader.DefaultBatchSize,
     addRecordMetadata: Boolean = false,
-    strictBatches: Boolean = false) extends Serializable {
+    strictBatches: Boolean = false,
+    streamMaps: Map[String, StreamMapConfig] = Map.empty,
+    flatteningEnabled: Boolean = false,
+    flatteningMaxDepth: Int = 1) extends Serializable {
 
   import BatchLoader._
 
-  /** Decode a JSONL feed and load every stream it declares.
-    * Returns the per-stream row counts and the STATE payloads to echo,
-    * in input order (only valid to emit now that appends are durable). */
+  /** Decode a JSONL feed and load every stream it declares. Returns per-table
+    * row counts and the final STATE payload to echo (only valid to emit now
+    * that appends are durable). */
   def load(lines: Dataset[String]): LoadReport = {
     import spark.implicits._
     val msgs: Dataset[RawMsg] = spark.createDataset(
@@ -51,54 +68,116 @@ final class BatchLoader(
         }
       }))
 
-    // Control-plane messages are rare by construction (one SCHEMA per stream,
-    // occasional STATE) — driver-side collect is bounded and correct at scale.
-    val control = msgs.filter($"mtype" =!= "RECORD").collect().sortBy(_.seq)
+    // Control plane: SCHEMA/ACTIVATE_VERSION are bounded by the stream count
+    // (one-ish each per stream) so the driver collect is O(streams); STATE —
+    // which a tap may legally emit per record — is reduced distributed-side
+    // to the single final checkpoint before anything reaches the driver.
+    val control = msgs
+      .filter($"mtype" === "SCHEMA" || $"mtype" === "ACTIVATE_VERSION")
+      .collect().sortBy(_.seq)
+    val lastState = msgs.filter($"mtype" === "STATE")
+      .orderBy(desc("seq")).limit(1).collect().headOption.map(_.payload)
     val schemas: Map[String, (StructType, Seq[String])] =
       control.collect { case RawMsg("SCHEMA", s, js, kp, _) =>
         s -> ((SchemaConv.toStructType(js), kp))
-      }.toMap // last SCHEMA per stream wins, matching SDK sink replacement
+      }.toMap // last SCHEMA per stream wins (divergence documented above)
+    val activatedVersions: Map[String, Long] =
+      control.collect { case RawMsg("ACTIVATE_VERSION", s, v, _, _) =>
+        s -> v.toLong
+      }.toMap // last version wins
 
     val records = msgs.filter($"mtype" === "RECORD").cache()
     try {
       val counts = schemas.map { case (stream, (schema, _)) =>
         val streamRecs = records.filter($"stream" === stream)
-        val rows = typedRows(streamRecs, schema)
-        catalog.ensureTable(namespace, stream, rows.drop("seq").schema)
+        val version = activatedVersions.get(stream)
+        val mapped = applyTransforms(stream, typedRows(streamRecs, schema, version))
+        val target = streamMaps.get(stream).flatMap(_.alias).getOrElse(stream)
+        catalog.ensureTable(namespace, target, mapped.drop("seq").schema)
         val n =
-          if (strictBatches) appendStrict(stream, rows)
-          else appendScale(stream, rows)
-        stream -> n
+          if (strictBatches) appendStrict(target, mapped)
+          else appendScale(target, mapped, overwrite = version.isDefined)
+        target -> n
       }
-      val states = control.collect { case RawMsg("STATE", _, v, _, _) => v }.toSeq
-      LoadReport(counts, states)
+      LoadReport(counts, lastState.toSeq)
     } finally records.unpersist()
   }
 
   /** RECORD payloads -> typed rows under the declared schema. Invalid rows
-    * (schema mismatch / corrupt JSON) are dropped, mirroring SDK record
-    * validation (SURVEY.md §2.B2); `_sdc_*` metadata columns appended when
-    * `addRecordMetadata` (reference config `target.py:16`, SDK behavior B5). */
-  private def typedRows(recs: Dataset[RawMsg], schema: StructType): DataFrame = {
+    * (non-object records are rejected at decode; corrupt JSON nulls out
+    * here) are dropped, mirroring SDK record validation (SURVEY.md §2.B2).
+    * The full six `_sdc_*` metadata columns are appended when
+    * `addRecordMetadata` (reference config `target.py:16`, SDK B5). */
+  private def typedRows(recs: Dataset[RawMsg], schema: StructType,
+                        version: Option[Long]): DataFrame = {
     val parsed = recs
       .select(col("seq"), from_json(col("payload"), schema).as("r"))
       .filter(col("r").isNotNull)
     val base = parsed.select((schema.fieldNames.map(f => col(s"r.`$f`")) :+ col("seq")): _*)
-    val withMeta =
-      if (!addRecordMetadata) base
-      else base
-        .withColumn("_sdc_received_at", current_timestamp())
-        .withColumn("_sdc_batched_at", current_timestamp())
-        .withColumn("_sdc_sequence", col("seq"))
-    withMeta
+    if (!addRecordMetadata) base
+    else base
+      // the tap's own extraction time is not carried by this feed shape;
+      // SDK semantics default it to receipt time when absent
+      .withColumn("_sdc_extracted_at", current_timestamp())
+      .withColumn("_sdc_received_at", current_timestamp())
+      .withColumn("_sdc_batched_at", current_timestamp())
+      .withColumn("_sdc_deleted_at", lit(null).cast("timestamp"))
+      .withColumn("_sdc_sequence", col("seq"))
+      .withColumn("_sdc_table_version",
+        version.map(lit(_)).getOrElse(lit(null)).cast("long"))
   }
 
-  private def appendScale(stream: String, rows: DataFrame): Long = {
+  /** Stream maps + flattening (B3/B4), applied after typing, before write;
+    * `seq` is engine-internal and restored around the user transform. */
+  private def applyTransforms(stream: String, df: DataFrame): DataFrame = {
+    val mapped = streamMaps.get(stream) match {
+      case Some(cfg) => StreamMaps(df, cfg)
+      case None      => df
+    }
+    if (!flatteningEnabled) mapped
+    else StreamMaps.flatten(mapped, flatteningMaxDepth)
+  }
+
+  /** One write job per stream; the row count is observed ON the write job
+    * (`observe` + listener) so the parse/transform pipeline executes once —
+    * no separate count() scan (at 100 TB a second scan doubles ingest cost). */
+  private def appendScale(stream: String, rows: DataFrame,
+                          overwrite: Boolean): Long = {
     val data = rows.drop("seq")
-    val n = data.count()
-    data.write.option("maxRecordsPerFile", batchSize.toLong)
-      .format("parquet").mode("append").saveAsTable(s"$namespace.$stream")
-    n
+    val metricName = s"graft_rows_${stream}_${java.util.UUID.randomUUID()}"
+    val observed = data.observe(metricName, count(lit(1)).as("n"))
+    @volatile var counted = -1L
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+        qe.observedMetrics.get(metricName).foreach { row =>
+          counted = row.getLong(0); latch.countDown()
+        }
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // The writer OPTION `maxRecordsPerFile` is ignored on inserts into
+    // existing catalog tables (observed empirically), so the file bound is
+    // enforced via the session conf, scoped to this write and restored after.
+    val confKey = "spark.sql.files.maxRecordsPerFile"
+    val prevMax = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, batchSize.toString)
+    try {
+      val opts = Map("maxRecordsPerFile" -> batchSize.toString)
+      if (overwrite) catalog.overwrite(namespace, stream, observed, opts)
+      else catalog.append(namespace, stream, observed, opts)
+      // listener fires async after commit; fall back to a count only if the
+      // metric never arrives (defensive — should not happen)
+      if (latch.await(30, java.util.concurrent.TimeUnit.SECONDS) && counted >= 0)
+        counted
+      else data.count()
+    } finally {
+      spark.listenerManager.unregister(listener)
+      prevMax match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
   }
 
   private def appendStrict(stream: String, rows: DataFrame): Long = {
@@ -125,6 +204,17 @@ final class BatchLoader(
 object BatchLoader {
   /** Reference batch-drain size (`sinks.py:18`). */
   val DefaultBatchSize = 10000
+
+  /** Build from a validated [[TargetConfig]] (CLI path). */
+  def fromConfig(spark: SparkSession, catalog: LakeCatalog,
+                 cfg: TargetConfig): BatchLoader =
+    new BatchLoader(spark, catalog,
+      namespace = cfg.icebergCatalogNamespaceName,
+      batchSize = cfg.batchSize,
+      addRecordMetadata = cfg.addRecordMetadata,
+      streamMaps = cfg.streamMaps,
+      flatteningEnabled = cfg.flatteningEnabled,
+      flatteningMaxDepth = cfg.flatteningMaxDepth)
 
   private[lake] final case class RawMsg(
       mtype: String, stream: String, payload: String,

@@ -25,21 +25,29 @@ trait LakeCatalog {
   def ensureTable(ns: String, table: String, schema: StructType,
                   partitionBy: Seq[String] = Nil): Unit
   /** Append-only commit (sinks.py:100); `key_properties` never trigger upsert
-    * (sinks.py:25 — accepted but unused in the reference). */
-  def append(ns: String, table: String, df: DataFrame): Unit
+    * (sinks.py:25 — accepted but unused in the reference). `options` pass
+    * writer knobs (e.g. `maxRecordsPerFile` to bound file sizes at scale). */
+  def append(ns: String, table: String, df: DataFrame,
+             options: Map[String, String] = Map.empty): Unit
+  /** Full-table swap (Singer ACTIVATE_VERSION semantics): replace the table
+    * contents with `df` in one commit. */
+  def overwrite(ns: String, table: String, df: DataFrame,
+                options: Map[String, String] = Map.empty): Unit
   def load(ns: String, table: String): DataFrame
   def dropNamespace(ns: String): Unit
 }
 
-/** Parquet-backed implementation on the Spark session catalog. */
+/** Parquet-backed implementation on the Spark session catalog. Identifiers
+  * are backtick-quoted everywhere so legal Singer stream names containing
+  * '-' or '.' resolve to one consistent table. */
 class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
-  private def id(ns: String, table: String) = s"`$ns`.`$table`"
+  protected def id(ns: String, table: String) = s"`$ns`.`$table`"
 
   override def ensureNamespace(ns: String): Unit =
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS `$ns`")
 
   override def tableExists(ns: String, table: String): Boolean =
-    spark.catalog.tableExists(s"$ns.$table")
+    spark.catalog.tableExists(id(ns, table))
 
   override def ensureTable(ns: String, table: String, schema: StructType,
                            partitionBy: Seq[String]): Unit = {
@@ -49,12 +57,19 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
         spark.sparkContext.emptyRDD[Row], schema)
       val writer = empty.write.format("parquet")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .saveAsTable(s"$ns.$table")
+        .saveAsTable(id(ns, table))
     }
   }
 
-  override def append(ns: String, table: String, df: DataFrame): Unit =
-    df.write.format("parquet").mode("append").saveAsTable(s"$ns.$table")
+  override def append(ns: String, table: String, df: DataFrame,
+                      options: Map[String, String]): Unit =
+    df.write.options(options).format("parquet").mode("append")
+      .saveAsTable(id(ns, table))
+
+  override def overwrite(ns: String, table: String, df: DataFrame,
+                         options: Map[String, String]): Unit =
+    df.write.options(options).format("parquet").mode("overwrite")
+      .saveAsTable(id(ns, table))
 
   override def load(ns: String, table: String): DataFrame =
     spark.table(id(ns, table))

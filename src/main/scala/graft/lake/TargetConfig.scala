@@ -1,0 +1,96 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.xform.StreamMapConfig
+
+import scala.jdk.CollectionConverters._
+
+/** Validated target configuration — the Spark-native mirror of the
+  * reference's 7-key `config_jsonschema`
+  * (`/root/reference/target_iceberg/target.py:15-59`): same key names, same
+  * required-ness, same defaults (`s3_bucket = "lakehouse"`,
+  * `add_record_metadata = false`), plus the SDK-level capabilities the
+  * reference declares (`meltano.yml:13-16`): `stream_maps`, `flattening_*`,
+  * and the batch size (`sinks.py:18`).
+  *
+  * Like the SDK's Target, validation fails fast listing EVERY missing
+  * required key before any data is read. */
+final case class TargetConfig(
+    addRecordMetadata: Boolean,
+    awsAccessKeyId: String,
+    awsSecretAccessKey: String,
+    s3Endpoint: String,
+    s3Bucket: String,
+    icebergRestUri: String,
+    icebergCatalogName: String,
+    icebergCatalogNamespaceName: String,
+    batchSize: Int,
+    streamMaps: Map[String, StreamMapConfig],
+    flatteningEnabled: Boolean,
+    flatteningMaxDepth: Int)
+
+object TargetConfig {
+  /** Required keys, exactly as in target.py (required=True properties). */
+  val RequiredKeys: Seq[String] = Seq(
+    "aws_access_key_id", "aws_secret_access_key", "s3_endpoint",
+    "iceberg_rest_uri", "iceberg_catalog_name",
+    "iceberg_catalog_namespace_name")
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  /** Parse + validate. Left = all validation errors (fail fast, complete). */
+  def fromJson(json: String): Either[List[String], TargetConfig] = {
+    val node =
+      try mapper.readTree(json)
+      catch { case e: Exception => return Left(List(s"invalid JSON: ${e.getMessage}")) }
+    if (node == null || !node.isObject) return Left(List("config must be a JSON object"))
+
+    val missing = RequiredKeys.filter(k => !node.hasNonNull(k)).toList
+    if (missing.nonEmpty)
+      return Left(missing.map(k => s"missing required config key: $k"))
+
+    def str(k: String, default: String = null): String =
+      Option(node.get(k)).map(_.asText()).getOrElse(default)
+    def bool(k: String, default: Boolean): Boolean =
+      Option(node.get(k)).map(_.asBoolean(default)).getOrElse(default)
+    def int(k: String, default: Int): Int =
+      Option(node.get(k)).map(_.asInt(default)).getOrElse(default)
+
+    val batch = int("batch_size", BatchLoader.DefaultBatchSize)
+    if (batch <= 0) return Left(List(s"batch_size must be positive, got $batch"))
+
+    Right(TargetConfig(
+      addRecordMetadata = bool("add_record_metadata", default = false),
+      awsAccessKeyId = str("aws_access_key_id"),
+      awsSecretAccessKey = str("aws_secret_access_key"),
+      s3Endpoint = str("s3_endpoint"),
+      s3Bucket = str("s3_bucket", "lakehouse"),
+      icebergRestUri = str("iceberg_rest_uri"),
+      icebergCatalogName = str("iceberg_catalog_name"),
+      icebergCatalogNamespaceName = str("iceberg_catalog_namespace_name"),
+      batchSize = batch,
+      streamMaps = parseStreamMaps(node.get("stream_maps")),
+      flatteningEnabled = bool("flattening_enabled", default = false),
+      flatteningMaxDepth = int("flattening_max_depth", 1)))
+  }
+
+  /** SDK-shaped stream maps: `{"stream": {"col": null | "expr",
+    * "__filter__": "pred", "__alias__": "name"}}`. */
+  private def parseStreamMaps(n: JsonNode): Map[String, StreamMapConfig] =
+    if (n == null || !n.isObject) Map.empty
+    else n.properties().asScala.map { e =>
+      val (stream, m) = (e.getKey, e.getValue)
+      var cols = Map.empty[String, Option[String]]
+      var filter: Option[String] = None
+      var alias: Option[String] = None
+      if (m.isObject) m.properties().asScala.foreach { f =>
+        (f.getKey, f.getValue) match {
+          case ("__filter__", v) => filter = Some(v.asText())
+          case ("__alias__", v)  => alias = Some(v.asText())
+          case (c, v) if v.isNull => cols += c -> None
+          case (c, v)             => cols += c -> Some(v.asText())
+        }
+      }
+      stream -> StreamMapConfig(cols, filter, alias)
+    }.toMap
+}

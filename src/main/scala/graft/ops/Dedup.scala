@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table (SURVEY.md §2.C1/C2) —
+  * the LLM-training-pipeline staples: exact content-hash dedup, MinHash/LSH
+  * near-duplicate detection, and SimHash.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is a single hash-shuffle on the content fingerprint with
+  *     map-side partial aggregation.
+  *   - MinHash: ONE md5 per shingle (the expensive part), then 16 affine
+  *     hashes `(a_i*h + b_i) mod p` — pure arithmetic — reduced per doc by a
+  *     `groupBy(doc).min` that partially aggregates before the shuffle, so
+  *     shuffle volume is docs x 16 longs no matter how large the corpus.
+  *     Candidate pairs come from grouping band keys and expanding in-bucket
+  *     combinations — the signature pipeline runs ONCE (a naive self-join
+  *     would execute it twice) and there is never an all-pairs cartesian.
+  *     Giant-bucket skew is the known hazard: AQE handles moderate skew,
+  *     salting the band key is the escape hatch.
+  *   - SimHash: one md5 per distinct token, 60 bit-majority sums as plain
+  *     aggregates (partial agg again), pigeonhole chunk bucketing for the
+  *     Hamming join.
+  *
+  * All hashes are md5-derived (identical lowercase hex on both engines) so
+  * the DuckDB oracle reproduces every value bit-for-bit.
+  */
+object Dedup {
+  import Tables._
+
+  /** C1 exact dedup: one row per distinct normalized content, keeping the
+    * smallest doc_id (deterministic survivor policy) + duplicate count. */
+  def q22DedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(expr("md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))").as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val NumHashes = 16
+  val BandRows = 4 // 4 bands x 4 rows: P(candidate) = 1-(1-J^4)^4
+  private val NumBands = NumHashes / BandRows
+  val MinhashPrime = 2147483647L // 2^31-1; base h < 2^28 so a*h+b < 2^63
+
+  /** Affine-hash coefficients from a fixed-seed LCG (same literals are
+    * injected into the DuckDB oracle SQL). */
+  val (hashA, hashB): (Array[Long], Array[Long]) = {
+    var state = 7L
+    def next(bound: Long): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(state >>> 16, bound)
+    }
+    (Array.fill(NumHashes)(1L + next(MinhashPrime - 2)),
+      Array.fill(NumHashes)(next(MinhashPrime - 1)))
+  }
+
+  /** doc_id + distinct 3-word shingles — a cheap narrow projection. */
+  private[ops] def shingled(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // sequence(1,0) would go *descending*, hence the size guard
+      .withColumn("sh", expr(
+        """array_distinct(CASE WHEN size(t) >= 3 THEN
+          |  transform(sequence(1, size(t)-2),
+          |    i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))
+          |ELSE array() END)""".stripMargin))
+      .filter(size(col("sh")) > 0)
+      .select("doc_id", "sh")
+
+  /** 16 minhashes per doc: one md5 per shingle -> 16 affine hashes -> min
+    * aggregate (partially aggregated map-side). Output: doc_id, mh0..mh15. */
+  private[ops] def minhashes(s: SparkSession, d: String): DataFrame = {
+    val base = shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h", expr("cast(conv(substr(md5(shingle), 1, 7), 16, 10) as bigint)"))
+    val aggs = (0 until NumHashes).map { i =>
+      min(expr(s"(${hashA(i)}L * h + ${hashB(i)}L) % ${MinhashPrime}L")).as(s"mh$i")
+    }
+    base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def bandKey(b: Int): Column = {
+    val parts = (0 until BandRows).map(r => s"cast(mh${b * BandRows + r} as string)")
+    expr(s"md5(concat_ws(',', ${parts.mkString(", ")}))")
+  }
+
+  /** Distinct candidate pairs from banded LSH: group per band key, expand
+    * in-bucket combinations (ids normalized to id_a < id_b). */
+  private[ops] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val banded = minhashes(s, d).select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(bandKey): _*)).as(Seq("band", "bkey")))
+    banded.groupBy("band", "bkey")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
+  /** C2 near-dup via MinHash + banded LSH, with exact shingle-set Jaccard on
+    * the (tiny) candidate set. Output: candidate pairs + jaccard. */
+  def q23DedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    minhashCandidates(s, d)
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(expr("size(array_intersect(sh_a, sh_b))") /
+          (expr("size(sh_a) + size(sh_b)") - expr("size(array_intersect(sh_a, sh_b))")),
+          4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 60-bit simhash per doc: one md5 per distinct token, bit-majority via 60
+    * plain sum aggregates (map-side partial agg). */
+  private[ops] def simhashes(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(split(text, ' '))")).as("tk"))
+      .withColumn("h", expr("cast(conv(substr(md5(tk), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until 60).map(b =>
+      sum(expr(s"(h div ${1L << b}L) % 2")).as(s"s$b"))
+    val simExpr = (0 until 60)
+      .map(b => s"(CASE WHEN s$b * 2 > nt THEN ${1L << b}L ELSE 0L END)")
+      .mkString(" + ")
+    tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"), bitSums: _*)
+      .select(col("doc_id"), expr(simExpr).as("sim"))
+  }
+
+  /** C2b SimHash near-dup: pairs within Hamming distance <= 3, bucketed by
+    * 4 x 15-bit chunks. Pigeonhole: a pair differing in <= 3 of 60 bits must
+    * share at least one 15-bit chunk, so the chunk join is EXACT recall. */
+  def q24DedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val chunks = simhashes(s, d).select(col("doc_id"), col("sim"),
+      posexplode(expr(
+        "transform(sequence(0,3), c -> (sim div shiftleft(cast(1 as bigint), c*15)) % 32768)"))
+        .as(Seq("chunk", "ckey")))
+    chunks.groupBy("chunk", "ckey")
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
+          |    'id_a', least(x.doc_id, y.doc_id),
+          |    'id_b', greatest(x.doc_id, y.doc_id),
+          |    'hamming', bit_count(x.sim ^ y.sim)))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def minhashOracle: String = {
+    val mhCols = (0 until NumHashes).map(i =>
+      s"min((${hashA(i)} * h + ${hashB(i)}) % $MinhashPrime) AS mh$i").mkString(",\n               ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString("||','||")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM mh"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM tok, unnest(generate_series(1, len(t)-2)) AS r(i)
+      ),
+      shs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      hashed AS (
+        SELECT doc_id, ('0x'||substr(md5(shingle),1,7))::BIGINT AS h FROM sh
+      ),
+      mh AS (
+        SELECT doc_id,
+               $mhCols
+        FROM hashed GROUP BY doc_id
+      ),
+      bands AS (
+        $bandSelects
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      ),
+      inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS ninter
+        FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                    JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        GROUP BY c.id_a, c.id_b
+      )
+      SELECT c.id_a, c.id_b,
+             round(coalesce(i.ninter, 0)::DOUBLE /
+                   (sa.n_sh + sb.n_sh - coalesce(i.ninter, 0)), 4) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN shs sa ON sa.doc_id = c.id_a
+      JOIN shs sb ON sb.doc_id = c.id_b
+      ORDER BY 1, 2"""
+  }
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q22_dedup_exact" -> ((q22DedupExact _, """
+      SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_id""")),
+    "q23_dedup_minhash" -> ((q23DedupMinhash _, minhashOracle)),
+    "q24_dedup_simhash" -> ((q24DedupSimhash _, """
+      WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS s
+        FROM documents
+      ),
+      th AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS h FROM tok),
+      bits AS (
+        SELECT doc_id, b.b,
+               CASE WHEN sum(((h // (1::BIGINT << b.b)) % 2)::INT) * 2 > count(*)
+                    THEN (1::BIGINT << b.b) ELSE 0 END AS bit
+        FROM th, (SELECT unnest(generate_series(0,59)) AS b) b
+        GROUP BY doc_id, b.b
+      ),
+      sims AS (SELECT doc_id, sum(bit)::BIGINT AS sim FROM bits GROUP BY doc_id),
+      chunks AS (
+        SELECT doc_id, sim, c.c AS chunk, (sim // (1::BIGINT << (c.c*15))) % 32768 AS ckey
+        FROM sims, (SELECT unnest(generate_series(0,3)) AS c) c
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sim AS sim_a, b.sim AS sim_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+      )
+      SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+      FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      ORDER BY id_a, id_b"""))
+  )
+}

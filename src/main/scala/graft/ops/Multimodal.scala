@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support (SURVEY.md §2.C6): media payloads travel as an
+  * opaque `binary` column inside a typed envelope (uri, mime, bytes, meta),
+  * which parquet stores natively — the standard pattern for image/audio/video
+  * in a 100 TB training-data lake.
+  *
+  * The decode/feature step runs as a typed `mapPartitions` with explicit
+  * micro-batching (the Scala analog of `mapInPandas`: per-partition batch
+  * iteration, bounded memory, schema declared by the case-class encoder).
+  * A real image/audio decoder is NOT available in this environment, so
+  * [[MediaCodec.decodeStub]] is a clearly-marked deterministic stand-in: the
+  * Spark-side plumbing (envelope schema, partitioning, batch shape, feature
+  * vector contract) is real and tested; only the pixel math is fake.
+  */
+object Multimodal {
+  import Tables._
+
+  final case class MediaMeta(n_chars: Long, lang: String)
+  final case class MediaEnvelope(doc_id: Long, uri: String, mime: String,
+                                 bytes: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                                 dim: Int, l2norm: Double)
+
+  object MediaCodec {
+    val FeatureDim = 16
+    val BatchSize = 64
+
+    /** STUB — stands in for an image/audio decoder (no media libs in this
+      * container). Deterministic: "dimensions" derive from the byte length,
+      * "features" are the normalized 16-bin byte histogram. Replace with a
+      * real codec binding in production; the surrounding plumbing does not
+      * change. */
+    def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+      val hist = new Array[Double](FeatureDim)
+      bytes.foreach(b => hist((b & 0xff) % FeatureDim) += 1.0)
+      val n = math.max(bytes.length, 1).toDouble
+      (1 + bytes.length % 64, 1 + bytes.length % 48, hist.map(_ / n))
+    }
+  }
+
+  /** Documents wrapped as media envelopes (bytes = UTF-8 payload — the
+    * "opaque blob" stand-in; for real media this is the encoded frame). */
+  def envelope(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      concat(lit("doc://"), col("doc_id")).as("uri"),
+      lit("text/plain").as("mime"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(col("n_chars"), col("lang")).as("meta"))
+
+  /** Batched decode + feature extraction over the binary column. Partition
+    * parallelism is Spark's; each task iterates fixed-size batches so peak
+    * memory is BatchSize x payload regardless of partition size. */
+  def extractFeatures(s: SparkSession, env: DataFrame): Dataset[MediaFeatures] = {
+    import s.implicits._
+    env.as[MediaEnvelope].mapPartitions { it =>
+      it.grouped(MediaCodec.BatchSize).flatMap { batch =>
+        batch.iterator.map { e =>
+          val (w, h, feats) = MediaCodec.decodeStub(e.bytes)
+          MediaFeatures(e.doc_id, w, h, feats.length,
+            math.sqrt(feats.map(x => x * x).sum))
+        }
+      }
+    }
+  }
+
+  /** C6 oracle query: envelope metadata projection — proves the binary
+    * envelope (byte length survives the encode round-trip). */
+  def q34MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    envelope(s, d).select(col("doc_id"), col("uri"), col("mime"),
+        octet_length(col("bytes")).cast("long").as("nbytes"),
+        col("meta.lang").as("lang"))
+      .orderBy("doc_id")
+
+  /** C6 feature pipeline (rows-only correctness: the histogram math is not
+    * SQL-expressible in the oracle; determinism is unit-tested instead). */
+  def q35MultimodalFeatures(s: SparkSession, d: String): DataFrame =
+    extractFeatures(s, envelope(s, d)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("dim"),
+        round(col("l2norm"), 4).as("l2norm"))
+      .orderBy("doc_id")
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q34_multimodal_meta" -> ((q34MultimodalMeta _, """
+      SELECT doc_id, 'doc://' || doc_id AS uri, 'text/plain' AS mime,
+             octet_length(encode(text))::BIGINT AS nbytes, lang
+      FROM documents ORDER BY doc_id""")),
+    "q35_multimodal_features" -> ((q35MultimodalFeatures _, ""))
+  )
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics over the `events` stream (SURVEY.md §2.C7), built on
+  * the batch/stream-unified operators: `window()` tumbling aggregation and
+  * `session_window()` sessionization run identically over a bounded DataFrame
+  * (verified against the DuckDB oracle here) and over `readStream` input
+  * (verified with watermark/late-data unit tests in StreamingSpec).
+  *
+  * Scale design: tumbling windows shuffle on (window, key) with map-side
+  * partial aggregation; session windows shuffle on the session key (user),
+  * state is bounded by `withWatermark` in streaming mode (RocksDB state store
+  * at production scale). */
+object Streaming {
+  import Tables._
+
+  val SessionGap = "12 hours"
+
+  /** Batch/stream-unified tumbling hourly aggregation — the transform is a
+    * function of the input frame, so the same code serves readStream. */
+  def tumblingHourly(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+  /** Batch/stream-unified sessionization: events from one user belong to one
+    * session while gaps stay under [[SessionGap]]. */
+  def sessionized(df: DataFrame): DataFrame =
+    df.groupBy(session_window(col("ts"), SessionGap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+
+  /** Streaming entry: the same transforms over a readStream source with a
+    * watermark bounding state (late events beyond 1h are dropped). */
+  def tumblingHourlyStream(events: DataFrame): DataFrame =
+    tumblingHourly(events.withWatermark("ts", "1 hour"))
+
+  def sessionizedStream(events: DataFrame): DataFrame =
+    sessionized(events.withWatermark("ts", "1 hour"))
+
+  private def epochStart(w: Column): Column = unix_timestamp(w("start"))
+
+  /** C7a tumbling-window aggregation (true `window()` operator; oracle =
+    * hour-bucket GROUP BY). */
+  def q36EventsTumbling(s: SparkSession, d: String): DataFrame =
+    tumblingHourly(events(s, d))
+      .select(epochStart(col("window")).as("hour_epoch"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+
+  /** C7b session windows per user (oracle = gaps-and-islands SQL). */
+  def q37EventsSessions(s: SparkSession, d: String): DataFrame =
+    sessionized(events(s, d))
+      .select(col("user_id"),
+        epochStart(col("session_window")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q36_events_tumbling" -> ((q36EventsTumbling _, """
+      SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""")),
+    "q37_events_sessions" -> ((q37EventsSessions _, """
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ),
+      islands AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM islands GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+  )
+}

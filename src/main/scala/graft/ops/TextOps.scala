@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.C5): corpus stats,
+  * token frequency, quality scoring, n-gram language-ID, document
+  * fingerprinting, and BPE-ish token counting — the per-document filters and
+  * features an LLM-training-data pipeline runs before dedup/sampling.
+  *
+  * Scale design: everything per-document is a narrow codegen'd projection
+  * (array built-ins, no UDFs). The only shuffles are the final aggregations
+  * (token counts: hash-shuffle on token with map-side partial agg; langid:
+  * one small profile join that broadcasts). */
+object TextOps {
+  import Tables._
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+  private def stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+  private def stopList = Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** C5a corpus stats per language: doc count, char/token means, sources. */
+  def q28TextStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        round(avg(size(split(col("text"), " "))), 2).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** C5b global token frequency top-30 (count desc, token asc tiebreak). */
+  def q29TokenTopK(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(30)
+
+  /** C5c per-document quality signals: token count, type-token ratio,
+    * stopword ratio, and a boolean quality gate — the classic cheap filters
+    * applied before expensive pipeline stages. */
+  def q30QualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        round(expr("size(array_distinct(t))") / size(col("t")), 4).as("ttr"),
+        round(expr(s"size(filter(t, x -> array_contains($stopArr, x)))")
+          / size(col("t")), 4).as("stop_ratio"))
+      .withColumn("is_quality",
+        col("n_tokens").between(20, 1000) && col("ttr") >= 0.1)
+      .orderBy("doc_id")
+
+  val ProfileSize = 10
+
+  /** C5d language-ID by character-bigram profiles: learn each language's
+    * top-10 bigram profile from the labeled corpus, score every doc against
+    * every profile (shared-bigram count), predict argmax; output the
+    * confusion matrix. Profiles are tiny -> the scoring join broadcasts. */
+  def q31LangId(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(length(col("text")) >= 2)
+      .withColumn("bgs", expr(
+        "transform(sequence(1, length(text)-1), i -> substring(text, i, 2))"))
+    val allBigrams = docs.select(col("doc_id"), col("lang"),
+      explode(col("bgs")).as("bg"))
+    val wProf = Window.partitionBy("plang").orderBy(desc("cnt"), col("bg"))
+    val profiles = allBigrams
+      .groupBy(col("lang").as("plang"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(wProf))
+      .filter(col("r") <= ProfileSize)
+      .select("plang", "bg")
+    val docBigrams = docs.select(col("doc_id"), col("lang"),
+      explode(expr("array_distinct(bgs)")).as("bg"))
+    val wPred = Window.partitionBy("doc_id").orderBy(desc("score"), col("plang"))
+    val predicted = docBigrams
+      .join(broadcast(profiles), "bg")
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("r", row_number().over(wPred))
+      .filter(col("r") === 1)
+    predicted.groupBy(col("lang"), col("plang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** C5e document fingerprint: min-hash over all char 12-gram windows (the
+    * winnowing-style rolling fingerprint, md5-based for oracle parity). */
+  def q32Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(length(col("text")) >= 12)
+      .select(col("doc_id"), expr(
+        """array_min(transform(sequence(1, length(text)-11),
+          |  i -> cast(conv(substr(md5(substring(text, i, 12)), 1, 15), 16, 10) as bigint)))"""
+          .stripMargin).as("fp"))
+      .orderBy("doc_id")
+
+  /** C5f BPE-ish token counting: letter-runs / digit-runs / single symbols
+    * (the shape of a byte-pair pre-tokenizer) vs plain whitespace tokens. */
+  def q33TokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .as("bpe"),
+        size(split(col("text"), " ")).as("ws"))
+      .groupBy("lang")
+      .agg(sum("bpe").as("bpe_tokens"), sum("ws").as("ws_tokens"))
+      .orderBy("lang")
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q28_text_stats" -> ((q28TextStats _, """
+      SELECT lang, count(*) AS n_docs,
+             round(avg(n_chars), 2) AS avg_chars,
+             round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+             count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang ORDER BY lang""")),
+    "q29_token_topk" -> ((q29TokenTopK _, """
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      WHERE token <> ''
+      GROUP BY token ORDER BY n DESC, token LIMIT 30""")),
+    "q30_quality_score" -> ((q30QualityScore _, s"""
+      SELECT doc_id, len(t) AS n_tokens,
+             round(len(list_distinct(t))::DOUBLE / len(t), 4) AS ttr,
+             round(len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE
+                   / len(t), 4) AS stop_ratio,
+             (len(t) BETWEEN 20 AND 1000 AND
+              round(len(list_distinct(t))::DOUBLE / len(t), 4) >= 0.1) AS is_quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+      ORDER BY doc_id""")),
+    "q31_langid" -> ((q31LangId _, s"""
+      WITH docs AS (
+        SELECT doc_id, lang,
+               [substr(text, i, 2) FOR i IN generate_series(1, length(text)-1)] AS bgs
+        FROM documents WHERE length(text) >= 2
+      ),
+      allb AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM docs),
+      prof AS (
+        SELECT plang, bg FROM (
+          SELECT lang AS plang, bg, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bg) AS r
+          FROM allb GROUP BY lang, bg) p
+        WHERE r <= $ProfileSize
+      ),
+      docb AS (
+        SELECT DISTINCT doc_id, lang, unnest(list_distinct(bgs)) AS bg FROM docs
+      ),
+      scored AS (
+        SELECT d.doc_id, d.lang, p.plang, count(*) AS score
+        FROM docb d JOIN prof p ON p.bg = d.bg
+        GROUP BY d.doc_id, d.lang, p.plang
+      ),
+      pred AS (
+        SELECT doc_id, lang, plang AS predicted,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS r
+        FROM scored
+      )
+      SELECT lang, predicted, count(*) AS n FROM pred WHERE r = 1
+      GROUP BY lang, predicted ORDER BY lang, predicted""")),
+    "q32_fingerprint" -> ((q32Fingerprint _, """
+      SELECT doc_id,
+             min(('0x'||substr(md5(substr(text, i, 12)), 1, 15))::BIGINT) AS fp
+      FROM documents, unnest(generate_series(1, length(text)-11)) AS r(i)
+      WHERE length(text) >= 12
+      GROUP BY doc_id ORDER BY doc_id""")),
+    "q33_token_count" -> ((q33TokenCount _, """
+      SELECT lang,
+             sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::BIGINT AS bpe_tokens,
+             sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens
+      FROM documents GROUP BY lang ORDER BY lang"""))
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.lake.{BatchLoader, SessionLakeCatalog, TargetConfig}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** CLI-path contract: config file -> validated config -> end-to-end JSONL
+  * file load into a catalog table (the console-script lifecycle of the
+  * reference, target.py:64-65, minus the process boundary). */
+class GraftTargetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val configJson =
+    """{"aws_access_key_id":"k","aws_secret_access_key":"s",
+      |"s3_endpoint":"http://localhost:9000","iceberg_rest_uri":"http://c",
+      |"iceberg_catalog_name":"cat",
+      |"iceberg_catalog_namespace_name":"NSNAME",
+      |"add_record_metadata":true,"batch_size":7}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("config file drives an end-to-end file -> table load") {
+    val ns = s"cli_${System.nanoTime()}"
+    val cfg = TargetConfig.fromJson(configJson.replace("NSNAME", ns)).toOption.get
+    assert(cfg.batchSize == 7 && cfg.addRecordMetadata)
+
+    val msgs = Files.createTempFile("msgs", ".jsonl")
+    val lines =
+      """{"type":"SCHEMA","stream":"people","schema":{"properties":{"name":{"type":["string"]},"age":{"type":["integer","null"]}}}}""" +:
+        (1 to 17).map(i => s"""{"type":"RECORD","stream":"people","record":{"name":"p$i","age":$i}}""") :+
+        """{"type":"STATE","value":{"done":true}}"""
+    Files.write(msgs, String.join("\n", lines: _*).getBytes)
+
+    val cat = new SessionLakeCatalog(spark)
+    val loader = BatchLoader.fromConfig(spark, cat, cfg)
+    val report = loader.load(spark.read.textFile(msgs.toString))
+    assert(report.rowsPerStream == Map("people" -> 17L))
+    assert(report.statesToEcho == Seq("""{"done":true}"""))
+    val back = cat.load(ns, "people")
+    assert(back.count() == 17)
+    assert(back.columns.contains("_sdc_sequence"))
+    cat.dropNamespace(ns)
+  }
+
+  test("invalid config fails fast before any Spark work") {
+    assert(TargetConfig.fromJson("""{"iceberg_catalog_name":"c"}""").isLeft)
+  }
+}

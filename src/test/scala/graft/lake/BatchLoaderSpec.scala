@@ -22,8 +22,9 @@ class BatchLoaderSpec extends AnyFunSuite {
 
   private final class CountingCatalog extends SessionLakeCatalog(spark) {
     var appends = 0
-    override def append(ns: String, table: String, df: DataFrame): Unit = {
-      appends += 1; super.append(ns, table, df)
+    override def append(ns: String, table: String, df: DataFrame,
+                        options: Map[String, String]): Unit = {
+      appends += 1; super.append(ns, table, df, options)
     }
   }
 
@@ -53,7 +54,7 @@ class BatchLoaderSpec extends AnyFunSuite {
     val loader = new BatchLoader(spark, cat, ns, batchSize = 10)
     val lines = Seq(schemaLine) ++ (1 to 25).map(recordLine)
     val report = loader.load(spark.createDataset(lines))
-    assert(cat.appends == 0) // scale path writes once via maxRecordsPerFile
+    assert(cat.appends == 1) // ONE catalog commit, files bounded by maxRecordsPerFile
     assert(report.rowsPerStream("ev") == 25L)
     assert(cat.load(ns, "ev").count() == 25)
     cat.dropNamespace(ns)
@@ -71,15 +72,75 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
-  test("_sdc_* metadata columns injected when enabled (B5)") {
+  test("all six _sdc_* metadata columns injected when enabled (B5)") {
     val ns = freshNs()
     val cat = new CountingCatalog
     val loader = new BatchLoader(spark, cat, ns, addRecordMetadata = true)
     val lines = Seq(schemaLine, recordLine(1), recordLine(2))
     loader.load(spark.createDataset(lines))
     val cols = cat.load(ns, "ev").columns.toSet
-    assert(Set("_sdc_received_at", "_sdc_batched_at", "_sdc_sequence")
+    assert(Set("_sdc_extracted_at", "_sdc_received_at", "_sdc_batched_at",
+      "_sdc_deleted_at", "_sdc_sequence", "_sdc_table_version")
       .subsetOf(cols))
+    cat.dropNamespace(ns)
+  }
+
+  test("ACTIVATE_VERSION triggers a full-table swap (overwrite, B1)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns, addRecordMetadata = true)
+    // first load: 3 rows land
+    loader.load(spark.createDataset(Seq(schemaLine) ++ (1 to 3).map(recordLine)))
+    assert(cat.load(ns, "ev").count() == 3)
+    // second load carries ACTIVATE_VERSION -> table is replaced, not appended
+    val swap = Seq(schemaLine, recordLine(7),
+      """{"type":"ACTIVATE_VERSION","stream":"ev","version":5}""")
+    val report = loader.load(spark.createDataset(swap))
+    assert(report.rowsPerStream("ev") == 1L)
+    val back = cat.load(ns, "ev")
+    assert(back.count() == 1)
+    assert(back.select("_sdc_table_version").head.getLong(0) == 5L)
+    cat.dropNamespace(ns)
+  }
+
+  test("scale-mode count is observed on the write job (no second scan)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    var scans = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        scans += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lines = Seq(schemaLine) ++ (1 to 20).map(recordLine)
+      val report = loader.load(spark.createDataset(lines))
+      assert(report.rowsPerStream("ev") == 20L)
+      Thread.sleep(500) // let async listener events drain
+      // jobs: cache-fill of the control/record split + the single write job;
+      // the point is no dedicated count() job over the parsed rows (which
+      // would add one more). Allow the collects but cap the total.
+      assert(scans <= 5, s"too many jobs for one stream: $scans")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    cat.dropNamespace(ns)
+  }
+
+  test("stream maps + alias apply in the load path (B3)") {
+    import graft.xform.StreamMapConfig
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns,
+      streamMaps = Map("ev" -> StreamMapConfig(
+        columns = Map("v" -> None, "v2" -> Some("v * 10")),
+        filter = Some("id >= 2"), alias = Some("ev_mapped"))))
+    val lines = Seq(schemaLine) ++ (1 to 3).map(recordLine)
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream == Map("ev_mapped" -> 2L))
+    val back = cat.load(ns, "ev_mapped")
+    assert(back.columns.toSet == Set("id", "v2"))
+    assert(back.agg(org.apache.spark.sql.functions.sum("v2")).head.getDouble(0)
+      == (2 * 1.5 + 3 * 1.5) * 10)
     cat.dropNamespace(ns)
   }
 

@@ -1,0 +1,50 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config surface contract: same keys/required-ness/defaults as the
+  * reference's config_jsonschema (target.py:15-59), fail-fast validation. */
+class TargetConfigSpec extends AnyFunSuite {
+  private val full =
+    """{"aws_access_key_id":"k","aws_secret_access_key":"s",
+      |"s3_endpoint":"http://localhost:9000","iceberg_rest_uri":"http://c",
+      |"iceberg_catalog_name":"cat","iceberg_catalog_namespace_name":"ns"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("all required keys present -> parses with reference defaults") {
+    val cfg = TargetConfig.fromJson(full).toOption.get
+    assert(!cfg.addRecordMetadata)          // default false (target.py:16)
+    assert(cfg.s3Bucket == "lakehouse")     // default (target.py:38)
+    assert(cfg.batchSize == 10000)          // sinks.py:18
+    assert(!cfg.flatteningEnabled && cfg.streamMaps.isEmpty)
+  }
+
+  test("every missing required key is reported, fail-fast style") {
+    TargetConfig.fromJson("""{"s3_endpoint":"e"}""") match {
+      case Left(errors) =>
+        assert(errors.size == 5)
+        assert(errors.exists(_.contains("aws_access_key_id")))
+        assert(errors.exists(_.contains("iceberg_catalog_namespace_name")))
+      case Right(_) => fail("must not validate")
+    }
+  }
+
+  test("malformed JSON and non-object configs are rejected") {
+    assert(TargetConfig.fromJson("{nope").isLeft)
+    assert(TargetConfig.fromJson("[1,2]").isLeft)
+    assert(TargetConfig.fromJson("""{"batch_size":-1}""").isLeft)
+  }
+
+  test("stream_maps parse: drop / derive / filter / alias") {
+    val json = full.dropRight(1) +
+      ""","stream_maps":{"ev":{"secret":null,"vv":"v * 2",
+        |"__filter__":"id > 1","__alias__":"ev_mapped"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val cfg = TargetConfig.fromJson(json).toOption.get
+    val m = cfg.streamMaps("ev")
+    assert(m.columns("secret").isEmpty)
+    assert(m.columns("vv").contains("v * 2"))
+    assert(m.filter.contains("id > 1"))
+    assert(m.alias.contains("ev_mapped"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operators: planted-duplicate detection + plan-shape (the LSH join
+  * must be an equi-join on band keys, never a cartesian product). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planted: DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while birds sing in tall green trees under a bright morning sky"
+    Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      // near-dup of 1: one word changed
+      (2L, base.replace("morning", "evening"), "en", "s", base.length.toLong),
+      // exact dup of 1 modulo whitespace/case
+      (3L, ("  " + base.toUpperCase + "  ").replaceAll(" ", "  "), "en", "s", base.length.toLong),
+      (4L, "completely different text about spark shuffles partitions joins " +
+        "aggregations windows watermarks and codegen stages running at scale", "en", "s", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def withDocs[A](df: DataFrame)(body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("dedup").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    body(dir)
+  }
+
+  test("exact dedup collapses whitespace/case variants to one survivor") {
+    withDocs(planted) { dir =>
+      val out = Dedup.q22DedupExact(spark, dir).collect()
+      // doc 3 normalizes to doc 1's content -> 3 distinct fingerprints
+      assert(out.length == 3)
+      val byKeep = out.map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+      assert(byKeep(1L) == 2L) // docs 1+3 merged, survivor = min id
+      assert(byKeep(2L) == 1L && byKeep(4L) == 1L)
+    }
+  }
+
+  test("minhash LSH finds the planted near-dup pair with high jaccard") {
+    withDocs(planted) { dir =>
+      val pairs = Dedup.q23DedupMinhash(spark, dir).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard")))
+      // 1-2 (one word changed) must be caught; 1-3 identical post-normalization
+      // of case is NOT identical raw (upper vs lower shingles differ) — only
+      // require the near-dup pair plus no pairing with the unrelated doc 4
+      assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.7 },
+        pairs.mkString(","))
+      assert(!pairs.exists { case (a, b, _) => b == 4L || a == 4L })
+    }
+  }
+
+  test("simhash flags the near-dup pair within hamming distance") {
+    withDocs(planted) { dir =>
+      val pairs = Dedup.q24DedupSimhash(spark, dir).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      assert(pairs.contains((1L, 2L)), pairs.mkString(","))
+    }
+  }
+
+  test("LSH candidate joins are equi-joins — no cartesian product in any plan") {
+    for (q <- Seq(Dedup.q23DedupMinhash _, Dedup.q24DedupSimhash _)) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    }
+  }
+
+  test("shingling is a narrow projection; minhash agg is partially aggregated") {
+    val shPlan = Dedup.shingled(spark, sf).queryExecution.executedPlan.toString
+    assert(!shPlan.contains("Exchange"), shPlan.take(1500))
+    val mhPlan = Dedup.minhashes(spark, sf).queryExecution.executedPlan.toString
+    // partial (map-side) + final HashAggregate around one exchange
+    assert("HashAggregate".r.findAllIn(mhPlan).size >= 2, mhPlan.take(1500))
+  }
+}

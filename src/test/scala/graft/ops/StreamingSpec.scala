@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+// top-level so the Dataset encoder needs no outer-instance capture
+final case class Ev(ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** True Structured Streaming behavior of the C7 operators: the same
+  * transforms that the oracle verifies in batch run over readStream input,
+  * watermarks drop late data, and stream results match batch results. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def ev(hhmm: String, user: Long = 1L, typ: String = "view",
+                 v: Double = 1.0): Ev =
+    Ev(Timestamp.valueOf(s"2024-01-01 $hhmm:00"), user, typ, v)
+
+  test("tumbling window with watermark drops events later than 1h") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.tumblingHourlyStream(in.toDF())
+      .select(unix_timestamp(col("window.start")).as("h"), col("n"))
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      in.addData(ev("10:00"), ev("10:30"))
+      q.processAllAvailable()
+      in.addData(ev("13:00")) // advances watermark to 12:00
+      q.processAllAvailable()
+      in.addData(ev("10:05")) // late beyond watermark -> must be dropped
+      in.addData(ev("16:00")) // pushes watermark past hour 13
+      q.processAllAvailable()
+      val out = spark.table("late_drop").collect()
+        .map(r => r.getAs[Long]("h") -> r.getAs[Long]("n")).toMap
+      val hour10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+      assert(out(hour10) == 2L, s"late event leaked into closed window: $out")
+    } finally q.stop()
+  }
+
+  test("streamed tumbling agg equals the batch operator on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 500).map(i =>
+      Ev(new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        i * 137000L), i % 7, s"t${i % 3}", i * 0.5))
+    val in = MemoryStream[Ev]
+    in.addData(rows: _*)
+    val q = Streaming.tumblingHourly(in.toDF())
+      .writeStream.format("memory").queryName("parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity")
+        .select(unix_timestamp(col("window.start")).as("h"),
+          col("event_type"), col("n"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.tumblingHourly(rows.toDF())
+        .select(unix_timestamp(col("window.start")).as("h"),
+          col("event_type"), col("n"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("sessionization splits on gaps >= the session gap") {
+    import spark.implicits._
+    val df = Seq(ev("00:00"), ev("00:30"), ev("13:00"), // 12h30 gap -> new session
+      ev("01:00", user = 2L)).toDF()
+    val out = Streaming.sessionized(df)
+      .select(col("user_id"), col("n_events")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      .sorted
+    assert(out.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("session windows run under readStream with watermark (smoke)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.sessionizedStream(in.toDF())
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(ev("00:00"), ev("00:10"))
+      q.processAllAvailable()
+      in.addData(ev("23:00")) // watermark passes 12h session close
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream").collect()
+      assert(rows.exists(_.getAs[Long]("n_events") == 2L),
+        rows.mkString(","))
+    } finally q.stop()
+  }
+}

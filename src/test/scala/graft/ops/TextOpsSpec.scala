@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Text-analysis sanity at sf0.001 (value-level correctness is the DuckDB
+  * oracle; these pin invariants + plan shapes). */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("quality signals are well-formed ratios") {
+    val rows = TextOps.q30QualityScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ttr") > 0 && r.getAs[Double]("ttr") <= 1.0)
+      val sr = r.getAs[Double]("stop_ratio")
+      assert(sr >= 0 && sr <= 1.0)
+    }
+  }
+
+  test("langid predicts only known languages and covers every doc") {
+    val m = TextOps.q31LangId(spark, sf).collect()
+    val langs = Set("en", "de", "es", "fr", "zh")
+    assert(m.forall(r => langs.contains(r.getAs[String]("predicted"))))
+    val total = m.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("fingerprints are stable across runs") {
+    val a = TextOps.q32Fingerprint(spark, sf).collect().map(_.toSeq)
+    val b = TextOps.q32Fingerprint(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("token top-k aggregation keeps map-side partial aggregation") {
+    val plan = TextOps.q29TokenTopK(spark, sf).queryExecution.executedPlan.toString
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+}
