@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Native Catalyst expressions for the hash-heavy text operators.
+  *
+  * Why custom expressions: the declarative formulations of shingled MinHash,
+  * char-bigram extraction and rolling fingerprints need higher-order array
+  * lambdas (`transform`/`aggregate`), which Spark evaluates INTERPRETED —
+  * profiled at seconds per 5k docs. Each expression here is one compiled
+  * pass per row (`doGenCode` emits a direct call into the expression
+  * instance), 5-10x faster, with bit-identical md5-derived values so the
+  * DuckDB oracle still reproduces every number.
+  *
+  * Registered as SQL functions (see [[TextHashExprs.register]]) so they
+  * compose with `expr(...)` like any built-in.
+  */
+object TextHashExprs {
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_minhash",
+      (args: Seq[Expression]) => ShingleMinHash(args.head), "built-in")
+    reg.createOrReplaceTempFunction("char_bigrams",
+      (args: Seq[Expression]) => CharBigrams(args.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_fingerprint",
+      (args: Seq[Expression]) => RollingFingerprint(args.head), "built-in")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private[functions] def md5PrefixLong(md: MessageDigest, s: String,
+                                       hexChars: Int): Long = {
+    val digest = md.digest(s.getBytes("UTF-8"))
+    // first hexChars hex digits of the md5, parsed base-16 (matches
+    // DuckDB's ('0x'||substr(md5(s),1,n))::BIGINT and Spark's conv(...))
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val b = digest(i / 2) & 0xff
+      val nibble = if (i % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+}
+
+/** Shared helper: generated code calls `compute` on the instance reference —
+  * one virtual call per row, all work in compiled Scala. */
+trait SingleArgHashExpr extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string argument, got ${other.catalogString}")
+    }
+
+  def compute(s: UTF8String): Any
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashExpr", this, classOf[SingleArgHashExpr].getName)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = $ref.compute($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ($javaType) r; }
+       """.stripMargin
+    })
+  }
+}
+
+/** `shingle_minhash(text)` -> array<bigint> of [[graft.ops.Dedup.NumHashes]]
+  * minhashes over 3-word shingles: h = int(hex7(md5(shingle)));
+  * mh_i = min (a_i*h + b_i) mod p. Null when the text has no 3-gram. */
+case class ShingleMinHash(child: Expression) extends SingleArgHashExpr {
+  import graft.ops.Dedup.{hashA, hashB, MinhashPrime, NumHashes}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): ShingleMinHash =
+    copy(child = c)
+
+  override def compute(s: UTF8String): Any = {
+    val tokens = s.toString.split(" ", -1)
+    if (tokens.length < 3) return null
+    val md = MessageDigest.getInstance("MD5")
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= tokens.length - 3) {
+      sb.setLength(0)
+      sb.append(tokens(i)).append(' ').append(tokens(i + 1)).append(' ')
+        .append(tokens(i + 2))
+      val h = TextHashExprs.md5PrefixLong(md, sb.toString, 7)
+      var k = 0
+      while (k < NumHashes) {
+        val v = (hashA(k) * h + hashB(k)) % MinhashPrime
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `char_bigrams(text)` -> array<string> of all consecutive 2-char windows
+  * (same values as `substr(text, i, 2)` for i in 1..len-1). */
+case class CharBigrams(child: Expression) extends SingleArgHashExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): CharBigrams =
+    copy(child = c)
+
+  override def compute(s: UTF8String): Any = {
+    val str = s.toString
+    if (str.length < 2) return null
+    val out = new Array[Any](str.length - 1)
+    var i = 0
+    while (i < str.length - 1) {
+      out(i) = UTF8String.fromString(str.substring(i, i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `rolling_fingerprint(text)` -> bigint: min over all 12-char windows of
+  * int(hex15(md5(window))) — the winnowing-style document fingerprint.
+  * Null when the text is shorter than 12 chars. */
+case class RollingFingerprint(child: Expression) extends SingleArgHashExpr {
+  val WindowLen = 12
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+
+  override def compute(s: UTF8String): Any = {
+    val str = s.toString
+    if (str.length < WindowLen) return null
+    val md = MessageDigest.getInstance("MD5")
+    var minV = Long.MaxValue
+    var i = 0
+    while (i <= str.length - WindowLen) {
+      val h = TextHashExprs.md5PrefixLong(md, str.substring(i, i + WindowLen), 15)
+      if (h < minV) minV = h
+      i += 1
+    }
+    java.lang.Long.valueOf(minV)
+  }
+}

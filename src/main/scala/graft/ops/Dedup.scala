@@ -67,20 +67,19 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select("doc_id", "sh")
 
-  /** 16 minhashes per doc: one md5 per shingle -> 16 affine hashes -> min
-    * aggregate (partially aggregated map-side). Output: doc_id, mh0..mh15. */
-  private[ops] def minhashes(s: SparkSession, d: String): DataFrame = {
-    val base = shingled(s, d)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h", expr("cast(conv(substr(md5(shingle), 1, 7), 16, 10) as bigint)"))
-    val aggs = (0 until NumHashes).map { i =>
-      min(expr(s"(${hashA(i)}L * h + ${hashB(i)}L) % ${MinhashPrime}L")).as(s"mh$i")
-    }
-    base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  /** 16 minhashes per doc via the native [[graft.functions.ShingleMinHash]]
+    * expression — ONE compiled pass per document (the declarative
+    * explode/groupBy formulation profiled 5-10x slower because higher-order
+    * array lambdas evaluate interpreted). Values are identical: one md5 per
+    * shingle + 16 affine hashes. Narrow projection, no shuffle at all. */
+  private[ops] def minhashes(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), expr("shingle_minhash(text)").as("mh"))
+      .filter(col("mh").isNotNull)
 
   private def bandKey(b: Int): Column = {
-    val parts = (0 until BandRows).map(r => s"cast(mh${b * BandRows + r} as string)")
+    val parts = (0 until BandRows)
+      .map(r => s"cast(element_at(mh, ${b * BandRows + r + 1}) as string)")
     expr(s"md5(concat_ws(',', ${parts.mkString(", ")}))")
   }
 

@@ -255,6 +255,70 @@ object Relational {
     c.intersect(su).orderBy("nationkey")
   }
 
+  /** LEFT OUTER join + agg: order count per customer INCLUDING zero-order
+    * customers (null-preserving count on the right side's key). */
+  def q38LeftJoinNulls(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("sum_price"))
+      .filter(col("n_orders") <= 2) // keep the interesting sparse tail
+      .orderBy("c_custkey")
+
+  /** FULL OUTER join of two pre-aggregated sides (nation-level customer vs
+    * supplier counts) — null-filling on both sides. */
+  def q39FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = supplier(s, d).filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Pivot-style conditional aggregation: one column per order status. */
+  def q40StatusPivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Date arithmetic: average ship delay (days from order to ship) per
+    * order priority — datediff/date_diff parity across engines. */
+  def q41ShipDelay(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4)
+        .as("avg_delay_days"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** String functions: group parts by the first word of p_type
+    * (split/substring/upper parity). */
+  def q42TypePrefix(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .groupBy(upper(expr("element_at(split(p_type, ' '), 1)")).as("type_head"))
+      .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 2).as("avg_price"))
+      .orderBy("type_head")
+
+  /** Semi-structured extraction: JSON `props` column -> typed value, agg per
+    * event type (get_json_object / ->> parity). */
+  def q43EventsProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** name -> (query fn, DuckDB oracle SQL). Column names/aliases match
     * pairwise (driver hash compare sorts columns by name). */
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -389,6 +453,42 @@ object Relational {
       SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
       INTERSECT
       SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
-      ORDER BY nationkey"""))
+      ORDER BY nationkey""")),
+    "q38_left_join_nulls" -> ((q38LeftJoinNulls _, """
+      SELECT c_custkey, count(o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS sum_price
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey HAVING count(o_orderkey) <= 2
+      ORDER BY c_custkey""")),
+    "q39_full_outer" -> ((q39FullOuter _, """
+      WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust
+                 FROM customer GROUP BY 1),
+           s AS (SELECT s_nationkey AS sk, count(*) AS n_supp
+                 FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+      SELECT coalesce(ck, sk) AS nationkey,
+             coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN s ON ck = sk
+      ORDER BY nationkey""")),
+    "q40_status_pivot" -> ((q40StatusPivot _, """
+      SELECT o_orderpriority,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+             sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+    "q41_ship_delay" -> ((q41ShipDelay _, """
+      SELECT o_orderpriority,
+             round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_delay_days,
+             count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+    "q42_type_prefix" -> ((q42TypePrefix _, """
+      SELECT upper(string_split(p_type, ' ')[1]) AS type_head,
+             count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+      FROM part GROUP BY 1 ORDER BY type_head""")),
+    "q43_events_props" -> ((q43EventsProps _, """
+      SELECT event_type, count(*) AS n,
+             round(avg((props->>'k')::BIGINT), 4) AS avg_k,
+             max((props->>'k')::BIGINT) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

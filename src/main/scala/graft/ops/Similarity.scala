@@ -101,6 +101,34 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  val NearDupCosine = 0.4
+
+  /** C2c embedding-cosine near-dup: vector pairs with cosine >= [[NearDupCosine]],
+    * candidates restricted to same-LSH-bucket pairs (bucket-collect + in-
+    * bucket combinations — the signature pipeline runs once, no cartesian).
+    * Same recall characteristics as any sign-LSH dedup: near-identical
+    * vectors collide in all planes, so threshold-level pairs are caught. */
+  def q44DedupEmbedding(s: SparkSession, d: String): DataFrame =
+    withBucket(emb(s, d))
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(vs, (x, i) ->
+          |  transform(slice(vs, i + 2, size(vs)), y -> named_struct(
+          |    'id_a', least(x.vec_id, y.vec_id),
+          |    'id_b', greatest(x.vec_id, y.vec_id),
+          |    'sim', round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q),
+          |             cast(0 as double), (a, z) -> a + z)
+          |           / (sqrt(aggregate(x.v, cast(0 as double), (a, z) -> a + z * z))
+          |              * sqrt(aggregate(y.v, cast(0 as double), (a, z) -> a + z * z))), 6)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sim").as("sim"))
+      .distinct()
+      .filter(col("sim") >= NearDupCosine)
+      .orderBy("id_a", "id_b")
+
   /** C4 approximate distinct: HLL++ `approx_count_distinct` (rsd 1%) checked
     * against the exact count inside the query — the boolean lets the hash
     * oracle verify the sketch's accuracy without bit-matching HLL internals. */
@@ -157,6 +185,19 @@ object Similarity {
       SELECT q_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= $K
       ORDER BY q_id, rnk""")),
     "q26_knn_lsh" -> ((q26KnnLsh _, lshProbeSql)),
+    "q44_dedup_embedding" -> ((q44DedupEmbedding _, {
+      val planes = hyperplanes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ",", "]")}::DOUBLE[]) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v, ($planes)::BIGINT AS bucket FROM e)
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b2.v), 6) AS sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= $NearDupCosine
+      ORDER BY id_a, id_b"""
+    })),
     "q27_approx_distinct" -> ((q27ApproxDistinct _, """
       SELECT count(DISTINCT user_id) AS exact_users, true AS approx_ok
       FROM events"""))

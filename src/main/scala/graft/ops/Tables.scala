@@ -12,8 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column named `ts` either way, so every operator sees one shape.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Date/epoch queries must agree with the (UTC) DuckDB oracle regardless
+    // of who built the session: pin the session timezone once if the host
+    // harness left it on a machine-local default.
+    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // native text-hash expressions used by Dedup/TextOps (idempotent)
+    graft.functions.TextHashExprs.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")

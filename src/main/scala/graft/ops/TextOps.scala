@@ -62,9 +62,9 @@ object TextOps {
     * every profile (shared-bigram count), predict argmax; output the
     * confusion matrix. Profiles are tiny -> the scoring join broadcasts. */
   def q31LangId(s: SparkSession, d: String): DataFrame = {
+    // native expression: one compiled pass/doc vs interpreted array lambdas
     val docs = documents(s, d).filter(length(col("text")) >= 2)
-      .withColumn("bgs", expr(
-        "transform(sequence(1, length(text)-1), i -> substring(text, i, 2))"))
+      .withColumn("bgs", expr("char_bigrams(text)"))
     val allBigrams = docs.select(col("doc_id"), col("lang"),
       explode(col("bgs")).as("bg"))
     val wProf = Window.partitionBy("plang").orderBy(desc("cnt"), col("bg"))
@@ -92,10 +92,7 @@ object TextOps {
     * winnowing-style rolling fingerprint, md5-based for oracle parity). */
   def q32Fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d).filter(length(col("text")) >= 12)
-      .select(col("doc_id"), expr(
-        """array_min(transform(sequence(1, length(text)-11),
-          |  i -> cast(conv(substr(md5(substring(text, i, 12)), 1, 15), 16, 10) as bigint)))"""
-          .stripMargin).as("fp"))
+      .select(col("doc_id"), expr("rolling_fingerprint(text)").as("fp"))
       .orderBy("doc_id")
 
   /** C5f BPE-ish token counting: letter-runs / digit-runs / single symbols

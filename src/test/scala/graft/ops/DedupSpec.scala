@@ -73,11 +73,13 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("shingling is a narrow projection; minhash agg is partially aggregated") {
+  test("minhash signatures are one shuffle-free codegen'd projection") {
     val shPlan = Dedup.shingled(spark, sf).queryExecution.executedPlan.toString
     assert(!shPlan.contains("Exchange"), shPlan.take(1500))
     val mhPlan = Dedup.minhashes(spark, sf).queryExecution.executedPlan.toString
-    // partial (map-side) + final HashAggregate around one exchange
-    assert("HashAggregate".r.findAllIn(mhPlan).size >= 2, mhPlan.take(1500))
+    // native ShingleMinHash expression: narrow plan, inside WholeStageCodegen
+    assert(!mhPlan.contains("Exchange"), mhPlan.take(1500))
+    assert(mhPlan.contains("shingleminhash"), mhPlan.take(1500))
+    assert(mhPlan.contains("*(1)"), mhPlan.take(1500)) // codegen span
   }
 }

@@ -56,4 +56,23 @@ class RelationalSpec extends AnyFunSuite {
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q03/q05 carry no broadcast hint on the fact-sized customer table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def hintedCustomerJoin(plan: LogicalPlan): Boolean = plan.collect {
+      case j: Join =>
+        val sides = Seq(j.hint.leftHint.map(_ => j.left),
+          j.hint.rightHint.map(_ => j.right)).flatten
+        sides.exists(_.output.exists(_.name == "c_custkey"))
+    }.exists(identity)
+    for (q <- Seq(Relational.q03TopRevenue _, Relational.q05LocalSupplier _)) {
+      val plan = q(spark, sf).queryExecution.optimizedPlan
+      assert(!hintedCustomerJoin(plan),
+        "customer must not be explicitly broadcast (driver OOM at scale)")
+    }
+    // the genuinely small dims keep their hints (q05 supplier chain)
+    val q05 = Relational.q05LocalSupplier(spark, sf).queryExecution.optimizedPlan
+    assert(q05.collect { case j: Join
+        if j.hint.leftHint.isDefined || j.hint.rightHint.isDefined => j }.nonEmpty)
+  }
 }

@@ -49,6 +49,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("embedding near-dup: pairs are bucket-restricted, above threshold, ordered") {
+    val rows = Similarity.q44DedupEmbedding(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sim") >= Similarity.NearDupCosine)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+    val plan = Similarity.q44DedupEmbedding(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("approx distinct stays within the 5% contract at sf0.001") {
     val r = Similarity.q27ApproxDistinct(spark, sf).collect().head
     assert(r.getAs[Boolean]("approx_ok"))
