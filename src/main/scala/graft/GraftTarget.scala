@@ -60,7 +60,7 @@ object GraftTarget {
     * config drives a real object-store deployment; harmless locally. */
   private def sparkFor(cfg: TargetConfig): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-target")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,7 +69,12 @@ object GraftTarget {
       .config("spark.hadoop.fs.s3a.access.key", cfg.awsAccessKeyId)
       .config("spark.hadoop.fs.s3a.secret.key", cfg.awsSecretAccessKey)
       .config("spark.hadoop.fs.s3a.endpoint", cfg.s3Endpoint)
-      .getOrCreate()
+    // The default in-memory catalog forgets tables when the process exits, so
+    // a SECOND CLI run would try CREATE over the existing location and fail.
+    // Hive support persists the metastore (derby under cwd) across runs —
+    // the connect-once equivalent of the reference's REST catalog durability.
+    try builder.enableHiveSupport().getOrCreate()
+    catch { case _: IllegalArgumentException => builder.getOrCreate() }
   }
 
   private def parseArgs(args: List[String],

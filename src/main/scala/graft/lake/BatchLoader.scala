@@ -94,9 +94,12 @@ final class BatchLoader(
         val mapped = applyTransforms(stream, typedRows(streamRecs, schema, version))
         val target = streamMaps.get(stream).flatMap(_.alias).getOrElse(stream)
         catalog.ensureTable(namespace, target, mapped.drop("seq").schema)
+        // schema evolution (A12): the table may have more columns than this
+        // feed declares (earlier schemas) — align by name, null-fill the rest
+        val aligned = alignTo(mapped, catalog.load(namespace, target).schema)
         val n =
-          if (strictBatches) appendStrict(target, mapped)
-          else appendScale(target, mapped, overwrite = version.isDefined)
+          if (strictBatches) appendStrict(target, aligned)
+          else appendScale(target, aligned, overwrite = version.isDefined)
         target -> n
       }
       LoadReport(counts, lastState.toSeq)
@@ -125,6 +128,18 @@ final class BatchLoader(
       .withColumn("_sdc_sequence", col("seq"))
       .withColumn("_sdc_table_version",
         version.map(lit(_)).getOrElse(lit(null)).cast("long"))
+  }
+
+  /** Order/column alignment against the live table schema: name-resolved,
+    * missing columns null-filled (rows from before a column was added), the
+    * engine-internal `seq` carried through. */
+  private def alignTo(df: DataFrame, tableSchema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    val cols = tableSchema.fields.toSeq.map { f =>
+      if (present(f.name)) col(s"`${f.name}`")
+      else lit(null).cast(f.dataType).as(f.name)
+    } :+ col("seq")
+    df.select(cols: _*)
   }
 
   /** Stream maps + flattening (B3/B4), applied after typing, before write;

@@ -21,7 +21,13 @@ trait LakeCatalog {
   def tableExists(ns: String, table: String): Boolean
   /** Create-if-absent from a declared schema — unpartitioned by default to
     * match the reference (sinks.py:96), partition columns opt-in for the
-    * 100 TB path (SURVEY.md §4.3 divergence). */
+    * 100 TB path (SURVEY.md §4.3 divergence).
+    *
+    * Schema evolution (A12 — a TODO the reference never implemented,
+    * sinks.py:92): when the table exists and the declared schema adds
+    * top-level columns, they are ALTERed in (old rows read NULL). A type
+    * change on an existing column fails loudly — silent coercion corrupts
+    * data at scale (SURVEY §7.4). */
   def ensureTable(ns: String, table: String, schema: StructType,
                   partitionBy: Seq[String] = Nil): Unit
   /** Append-only commit (sinks.py:100); `key_properties` never trigger upsert
@@ -58,6 +64,23 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
       val writer = empty.write.format("parquet")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .saveAsTable(id(ns, table))
+    } else {
+      val existing = spark.table(id(ns, table)).schema
+      val byName = existing.fields.map(f => f.name -> f.dataType).toMap
+      schema.fields.foreach { f =>
+        byName.get(f.name).foreach { old =>
+          require(old == f.dataType,
+            s"schema drift on $ns.$table.${f.name}: table has " +
+              s"${old.catalogString}, stream declares ${f.dataType.catalogString}" +
+              " — type changes are not auto-evolved (fail loudly, SURVEY §7.4)")
+        }
+      }
+      val added = schema.fields.filterNot(f => byName.contains(f.name))
+      if (added.nonEmpty) {
+        val colsDdl = added
+          .map(f => s"`${f.name}` ${f.dataType.catalogString}").mkString(", ")
+        spark.sql(s"ALTER TABLE ${id(ns, table)} ADD COLUMNS ($colsDdl)")
+      }
     }
   }
 

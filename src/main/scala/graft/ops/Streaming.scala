@@ -1,7 +1,20 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import java.sql.Timestamp
+
+/** Typed event row for the custom-state operator. */
+final case class EventRow(ts: Timestamp, user_id: Long,
+                          event_type: String, value: Double)
+
+/** Evolving per-user state carried across micro-batches. */
+final case class UserStats(user_id: Long, n_events: Long, sum_value: Double,
+                           last_seen_epoch: Long) {
+  def mean: Double = if (n_events == 0) 0.0 else sum_value / n_events
+}
 
 /** Streaming analytics over the `events` stream (SURVEY.md §2.C7), built on
   * the batch/stream-unified operators: `window()` tumbling aggregation and
@@ -37,6 +50,41 @@ object Streaming {
 
   def sessionizedStream(events: DataFrame): DataFrame =
     sessionized(events.withWatermark("ts", "1 hour"))
+
+  /** Custom arbitrary state beyond what session/tumbling windows express
+    * (SURVEY §2.C7 "custom state"): per-user running count/sum/mean carried
+    * across micro-batches via `mapGroupsWithState`. State is one small
+    * record per user, partitioned by the group key — at production scale the
+    * state store (RocksDB) holds it off-heap and the processing-time timeout
+    * evicts idle users. */
+  def userRunningStats(s: SparkSession, events: DataFrame,
+                       idleTimeout: Option[String] = None): Dataset[UserStats] = {
+    import s.implicits._
+    // Processing-time timeouts make Spark schedule extra no-data batches to
+    // fire them, so the eviction policy is opt-in (set it in production
+    // deployments; leave off where processAllAvailable-style draining is
+    // expected to terminate).
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select("ts", "user_id", "event_type", "value").as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](timeoutConf) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0L))
+          var n = prev.n_events
+          var sum = prev.sum_value
+          var last = prev.last_seen_epoch
+          rows.foreach { r =>
+            n += 1; sum += r.value
+            last = math.max(last, r.ts.getTime / 1000)
+          }
+          val next = UserStats(uid, n, sum, last)
+          state.update(next)
+          idleTimeout.foreach(state.setTimeoutDuration) // evict idle users
+          next
+      }
+  }
 
   private def epochStart(w: Column): Column = unix_timestamp(w("start"))
 

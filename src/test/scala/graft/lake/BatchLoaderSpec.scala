@@ -157,6 +157,49 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("schema evolution: added column ALTERs in, old rows read NULL (A12)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    loader.load(spark.createDataset(Seq(schemaLine, recordLine(1))))
+    // second feed declares an extra column `tag`
+    val schemaV2 =
+      """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+        |"id":{"type":["integer"]},"v":{"type":["number","null"]},
+        |"tag":{"type":["string","null"]}}}}""".stripMargin.replaceAll("\n", "")
+    val rec2 = """{"type":"RECORD","stream":"ev","record":{"id":2,"v":3.0,"tag":"new"}}"""
+    loader.load(spark.createDataset(Seq(schemaV2, rec2)))
+    val back = cat.load(ns, "ev").orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[String]("tag") == null) // pre-evolution row
+    assert(back(1).getAs[String]("tag") == "new")
+    cat.dropNamespace(ns)
+  }
+
+  test("schema evolution: narrower feed after evolution null-fills, and a type change fails loudly") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val wide =
+      """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+        |"id":{"type":["integer"]},"v":{"type":["number","null"]},
+        |"tag":{"type":["string","null"]}}}}""".stripMargin.replaceAll("\n", "")
+    loader.load(spark.createDataset(Seq(wide,
+      """{"type":"RECORD","stream":"ev","record":{"id":1,"v":1.0,"tag":"a"}}""")))
+    // an old tap still sending the v1 (2-column) schema keeps working
+    loader.load(spark.createDataset(Seq(schemaLine, recordLine(9))))
+    assert(cat.load(ns, "ev").count() == 2)
+    // type drift: id declared as string now -> loud failure
+    val drift =
+      """{"type":"SCHEMA","stream":"ev","schema":{"properties":{"id":{"type":["string"]}}}}"""
+    val ex = intercept[Exception] {
+      loader.load(spark.createDataset(Seq(drift,
+        """{"type":"RECORD","stream":"ev","record":{"id":"x"}}""")))
+    }
+    assert(ex.getMessage.contains("schema drift"))
+    cat.dropNamespace(ns)
+  }
+
   test("typed schema lands in the table (timestamps parsed per format)") {
     val ns = freshNs()
     val cat = new CountingCatalog

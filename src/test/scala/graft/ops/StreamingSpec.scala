@@ -79,6 +79,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("mapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.userRunningStats(spark, in.toDF())
+      .writeStream.format("memory").queryName("user_state")
+      .outputMode("update").start()
+    try {
+      in.addData(ev("10:00", user = 1, v = 2.0), ev("10:05", user = 1, v = 4.0))
+      q.processAllAvailable()
+      in.addData(ev("11:00", user = 1, v = 6.0)) // second micro-batch
+      q.processAllAvailable()
+      val rows = spark.table("user_state")
+        .filter($"user_id" === 1).collect()
+      // update mode emits one row per batch; the LAST must reflect all 3
+      val last = rows.maxBy(_.getAs[Long]("n_events"))
+      assert(last.getAs[Long]("n_events") == 3L)
+      assert(last.getAs[Double]("sum_value") == 12.0)
+    } finally q.stop()
+  }
+
   test("session windows run under readStream with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
