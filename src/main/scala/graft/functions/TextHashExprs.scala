@@ -32,6 +32,8 @@ object TextHashExprs {
       (args: Seq[Expression]) => CharBigrams(args.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_fingerprint",
       (args: Seq[Expression]) => RollingFingerprint(args.head), "built-in")
+    reg.createOrReplaceTempFunction("token_simhash",
+      (args: Seq[Expression]) => TokenSimHash(args.head), "built-in")
   }
 
   private val hexDigits = "0123456789abcdef".toCharArray
@@ -140,6 +142,38 @@ case class CharBigrams(child: Expression) extends SingleArgHashExpr {
       i += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** `token_simhash(text)` -> bigint: 60-bit SimHash over the DISTINCT
+  * space-split tokens — bit b set iff a strict majority of token hashes
+  * (int(hex15(md5(token)))) have bit b set. Null for empty text. */
+case class TokenSimHash(child: Expression) extends SingleArgHashExpr {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): TokenSimHash =
+    copy(child = c)
+
+  override def compute(s: UTF8String): Any = {
+    val tokens = s.toString.split(" ", -1).distinct
+    if (tokens.isEmpty) return null
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](60)
+    tokens.foreach { t =>
+      val h = TextHashExprs.md5PrefixLong(md, t, 15)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) * 2 > tokens.length) sim |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sim)
   }
 }
 

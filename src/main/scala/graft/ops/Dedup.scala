@@ -115,22 +115,13 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** 60-bit simhash per doc: one md5 per distinct token, bit-majority via 60
-    * plain sum aggregates (map-side partial agg). */
-  private[ops] def simhashes(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
-      .select(col("doc_id"),
-        explode(expr("array_distinct(split(text, ' '))")).as("tk"))
-      .withColumn("h", expr("cast(conv(substr(md5(tk), 1, 15), 16, 10) as bigint)"))
-    val bitSums = (0 until 60).map(b =>
-      sum(expr(s"(h div ${1L << b}L) % 2")).as(s"s$b"))
-    val simExpr = (0 until 60)
-      .map(b => s"(CASE WHEN s$b * 2 > nt THEN ${1L << b}L ELSE 0L END)")
-      .mkString(" + ")
-    tok.groupBy("doc_id")
-      .agg(count(lit(1)).as("nt"), bitSums: _*)
-      .select(col("doc_id"), expr(simExpr).as("sim"))
-  }
+  /** 60-bit simhash per doc via the native [[graft.functions.TokenSimHash]]
+    * expression — one compiled pass per document (identical bit-majority
+    * math over distinct-token md5 hashes), no explode/aggregate at all. */
+  private[ops] def simhashes(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), expr("token_simhash(text)").as("sim"))
+      .filter(col("sim").isNotNull)
 
   /** C2b SimHash near-dup: pairs within Hamming distance <= 3, bucketed by
     * 4 x 15-bit chunks. Pigeonhole: a pair differing in <= 3 of 60 bits must

@@ -319,6 +319,44 @@ object Relational {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** RANGE-frame window: per-supplier trailing-7-day shipped quantity
+    * (value-based frame over epoch seconds, not row counts). */
+  def q46RangeWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("ship_epoch"))
+      .rangeBetween(-7L * 86400, 0)
+    lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .withColumn("ship_epoch", unix_timestamp(col("l_shipdate")))
+      .withColumn("qty_7d", round(sum("l_quantity").over(w), 2))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "ship_epoch", "qty_7d")
+      .orderBy("l_suppkey", "ship_epoch", "l_orderkey", "l_linenumber")
+  }
+
+  /** lag/lead window: month-over-month revenue delta. */
+  def q47MonthDelta(s: SparkSession, d: String): DataFrame = {
+    val monthly = lineitem(s, d)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(round(sum(revenue), 2).as("rev"))
+    val w = Window.orderBy("m")
+    monthly
+      .withColumn("prev_rev", lag("rev", 1).over(w))
+      .withColumn("delta", round(col("rev") - coalesce(col("prev_rev"), lit(0.0)), 2))
+      .select(unix_timestamp(col("m")).as("month_epoch"), col("rev"),
+        col("prev_rev"), col("delta"))
+      .orderBy("month_epoch")
+  }
+
+  /** Exact interpolated percentiles per group (median + p90). */
+  def q48Percentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** name -> (query fn, DuckDB oracle SQL). Column names/aliases match
     * pairwise (driver hash compare sorts columns by name). */
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -489,6 +527,29 @@ object Relational {
       SELECT event_type, count(*) AS n,
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q46_range_window" -> ((q46RangeWindow _, """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             epoch(l_shipdate)::BIGINT AS ship_epoch,
+             round(sum(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)::BIGINT
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS qty_7d
+      FROM lineitem WHERE l_quantity >= 49
+      ORDER BY l_suppkey, ship_epoch, l_orderkey, l_linenumber""")),
+    "q47_month_delta" -> ((q47MonthDelta _, """
+      WITH monthly AS (
+        SELECT date_trunc('month', l_shipdate) AS m,
+               round(sum(l_extendedprice*(1-l_discount)), 2) AS rev
+        FROM lineitem GROUP BY 1)
+      SELECT epoch(m)::BIGINT AS month_epoch, rev,
+             lag(rev, 1) OVER (ORDER BY m) AS prev_rev,
+             round(rev - coalesce(lag(rev, 1) OVER (ORDER BY m), 0.0), 2) AS delta
+      FROM monthly ORDER BY month_epoch""")),
+    "q48_percentiles" -> ((q48Percentiles _, """
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

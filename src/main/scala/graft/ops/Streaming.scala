@@ -96,6 +96,16 @@ object Streaming {
         col("n"), col("sum_value"))
       .orderBy("hour_epoch", "event_type")
 
+  /** C7c sliding windows: 1-hour windows every 30 minutes — each event lands
+    * in exactly two windows (oracle enumerates both window starts). */
+  def q45EventsSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+
   /** C7b session windows per user (oracle = gaps-and-islands SQL). */
   def q37EventsSessions(s: SparkSession, d: String): DataFrame =
     sessionized(events(s, d))
@@ -109,6 +119,16 @@ object Streaming {
       SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""")),
+    "q45_events_sliding" -> ((q45EventsSliding _, """
+      WITH expanded AS (
+        SELECT unnest([(floor(epoch(ts)/1800)*1800)::BIGINT,
+                       (floor(epoch(ts)/1800)*1800)::BIGINT - 1800]) AS wstart,
+               event_type, value
+        FROM events
+      )
+      SELECT wstart, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM expanded GROUP BY wstart, event_type
+      ORDER BY wstart, event_type""")),
     "q37_events_sessions" -> ((q37EventsSessions _, """
       WITH flagged AS (
         SELECT user_id, ts, value,
