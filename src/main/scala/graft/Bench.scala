@@ -12,9 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (JVM/codegen/catalog init) outside any timed query so
-    // the first measured query doesn't carry startup cost.
+    // Warm the session (JVM/codegen/catalog init + parquet reader path)
+    // outside any timed query so the first measured query doesn't carry
+    // startup cost.
     spark.range(1000).selectExpr("sum(id)").foreach(_ => ())
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).foreach(_ => ())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // foreach materializes every row (count() would let Catalyst prune the

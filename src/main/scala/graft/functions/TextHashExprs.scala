@@ -34,6 +34,8 @@ object TextHashExprs {
       (args: Seq[Expression]) => RollingFingerprint(args.head), "built-in")
     reg.createOrReplaceTempFunction("token_simhash",
       (args: Seq[Expression]) => TokenSimHash(args.head), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      (args: Seq[Expression]) => WordShingles(args.head), "built-in")
   }
 
   private val hexDigits = "0123456789abcdef".toCharArray
@@ -141,6 +143,36 @@ case class CharBigrams(child: Expression) extends SingleArgHashExpr {
       out(i) = UTF8String.fromString(str.substring(i, i + 2))
       i += 1
     }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_shingles(text)` -> array<string>: the DISTINCT 3-word shingles of
+  * the space-split token stream, in first-occurrence order. Null when the
+  * text has fewer than 3 tokens. */
+case class WordShingles(child: Expression) extends SingleArgHashExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+
+  override def compute(s: UTF8String): Any = {
+    val tokens = s.toString.split(" ", -1)
+    if (tokens.length < 3) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= tokens.length - 3) {
+      sb.setLength(0)
+      sb.append(tokens(i)).append(' ').append(tokens(i + 1)).append(' ')
+        .append(tokens(i + 2))
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
 }

@@ -30,6 +30,13 @@ trait LakeCatalog {
     * data at scale (SURVEY §7.4). */
   def ensureTable(ns: String, table: String, schema: StructType,
                   partitionBy: Seq[String] = Nil): Unit
+  /** Write a frame as a BUCKETED managed table (overwriting): both sides of
+    * a recurring equi-join bucketed on the join key by the same bucket count
+    * join WITHOUT a shuffle — the co-location strategy for the biggest
+    * repeated joins at 100 TB (bucket pruning comes free on point lookups). */
+  def writeBucketed(ns: String, table: String, df: DataFrame,
+                    bucketCols: Seq[String], numBuckets: Int,
+                    sortCols: Seq[String] = Nil): Unit
   /** Append-only commit (sinks.py:100); `key_properties` never trigger upsert
     * (sinks.py:25 — accepted but unused in the reference). `options` pass
     * writer knobs (e.g. `maxRecordsPerFile` to bound file sizes at scale). */
@@ -82,6 +89,16 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
         spark.sql(s"ALTER TABLE ${id(ns, table)} ADD COLUMNS ($colsDdl)")
       }
     }
+  }
+
+  override def writeBucketed(ns: String, table: String, df: DataFrame,
+                             bucketCols: Seq[String], numBuckets: Int,
+                             sortCols: Seq[String]): Unit = {
+    ensureNamespace(ns)
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(id(ns, table))
   }
 
   override def append(ns: String, table: String, df: DataFrame,

@@ -54,18 +54,13 @@ object Dedup {
       Array.fill(NumHashes)(next(MinhashPrime - 1)))
   }
 
-  /** doc_id + distinct 3-word shingles — a cheap narrow projection. */
+  /** doc_id + distinct 3-word shingles via the native
+    * [[graft.functions.WordShingles]] expression (interpreted array lambdas
+    * were the hot spot) — one compiled pass, narrow projection. */
   private[ops] def shingled(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      // sequence(1,0) would go *descending*, hence the size guard
-      .withColumn("sh", expr(
-        """array_distinct(CASE WHEN size(t) >= 3 THEN
-          |  transform(sequence(1, size(t)-2),
-          |    i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))
-          |ELSE array() END)""".stripMargin))
-      .filter(size(col("sh")) > 0)
-      .select("doc_id", "sh")
+      .select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+      .filter(col("sh").isNotNull)
 
   /** 16 minhashes per doc via the native [[graft.functions.ShingleMinHash]]
     * expression — ONE compiled pass per document (the declarative

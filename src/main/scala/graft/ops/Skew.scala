@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for the 100 TB path.
+  *
+  * AQE's skew-join handles moderate cases at runtime; [[saltedJoin]] is the
+  * explicit escape hatch when one join key dominates (the classic hot-user /
+  * hot-band problem): the skewed (large) side spreads each key over
+  * `saltFactor` sub-keys deterministically, the small side is replicated
+  * `saltFactor` times — every shuffle partition then holds at most
+  * 1/saltFactor of any hot key. Result is row-identical to the plain join.
+  */
+object Skew {
+  /** Inner equi-join of `large` (skewed) with `small` on `key`, salted.
+    * Deterministic: the salt is `pmod(hash(all large columns), saltFactor)`
+    * — no RNG, so retries/speculative tasks agree. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val largeCols = large.columns.map(c => col(s"`$c`"))
+    val salted = large.withColumn("__salt",
+      pmod(hash(largeCols: _*), lit(saltFactor)))
+    val replicated = small
+      .withColumn("__salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
+      .withColumnRenamed(key, "__rkey")
+    salted
+      .join(replicated,
+        col(s"`$key`") === col("__rkey") && salted("__salt") === replicated("__salt"))
+      .drop("__salt", "__rkey")
+  }
+
+  /** Top-n heavy-hitter keys of a frame — the usual input for deciding
+    * whether salting is warranted (and for AQE skew threshold tuning). */
+  def heavyHitters(df: DataFrame, key: String, n: Int): DataFrame =
+    df.groupBy(col(s"`$key`"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col(s"`$key`"))
+      .limit(n)
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.lake.SessionLakeCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path utilities: salted joins must be row-identical to plain joins
+  * and actually spread hot keys; bucketed tables must join without a
+  * shuffle on either side. */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def skewed = {
+    // key 1 is 90% of the large side — the classic hot key
+    val rows = (1 to 900).map(i => (1L, s"v$i")) ++ (1 to 100).map(i => ((i % 7 + 2).toLong, s"w$i"))
+    rows.toDF("k", "payload")
+  }
+  private def dim = (1L to 10L).map(k => (k, s"dim$k")).toDF("k", "name")
+
+  test("salted join returns exactly the plain join's rows") {
+    val plain = skewed.join(dim, "k").select("k", "payload", "name")
+      .collect().map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) => s.mkString("|")))
+    val salted = Skew.saltedJoin(skewed, dim, "k", saltFactor = 8)
+      .select("k", "payload", "name")
+      .collect().map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) => s.mkString("|")))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salting spreads the hot key over multiple sub-keys") {
+    val spread = skewed
+      .withColumn("__salt", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(skewed.columns.map(c =>
+          org.apache.spark.sql.functions.col(c)): _*),
+        org.apache.spark.sql.functions.lit(8)))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(spread > 4, s"hot key landed on only $spread salts")
+  }
+
+  test("heavy hitters surfaces the dominant key first") {
+    val top = Skew.heavyHitters(skewed, "k", 3).collect()
+    assert(top.head.getAs[Long]("k") == 1L)
+    assert(top.head.getAs[Long]("cnt") == 900L)
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    val ns = s"bkt_${System.nanoTime()}"
+    val cat = new SessionLakeCatalog(spark)
+    val left = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "a")
+    val right = (1L to 1000L).map(i => (i, s"r$i")).toDF("id", "b")
+    cat.writeBucketed(ns, "l", left, Seq("id"), numBuckets = 4, sortCols = Seq("id"))
+    cat.writeBucketed(ns, "r", right, Seq("id"), numBuckets = 4, sortCols = Seq("id"))
+    // force the non-broadcast path: co-location only matters for joins too
+    // big to broadcast, which is exactly the 100 TB case being modeled
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = cat.load(ns, "l").join(cat.load(ns, "r"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") &&
+        !plan.contains("Exchange hashpartitioning"), plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    cat.dropNamespace(ns)
+  }
+}
