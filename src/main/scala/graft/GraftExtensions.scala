@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.{CharBigrams, RollingFingerprint, ShingleMinHash, TokenSimHash, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark extensions entry point — the idiomatic deployment route for the
+  * engine's native expressions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * injects `shingle_minhash`, `token_simhash`, `word_shingles`,
+  * `char_bigrams`, `rolling_fingerprint` into every session built with the
+  * conf — no imperative [[graft.functions.TextHashExprs.register]] call
+  * needed (that path remains for programmatic use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("shingle_minhash", args => ShingleMinHash(args.head)))
+    ext.injectFunction(fn("token_simhash", args => TokenSimHash(args.head)))
+    ext.injectFunction(fn("word_shingles", args => WordShingles(args.head)))
+    ext.injectFunction(fn("char_bigrams", args => CharBigrams(args.head)))
+    ext.injectFunction(fn("rolling_fingerprint", args => RollingFingerprint(args.head)))
+  }
+}
