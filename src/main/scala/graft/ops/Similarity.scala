@@ -129,6 +129,49 @@ object Similarity {
       .filter(col("sim") >= NearDupCosine)
       .orderBy("id_a", "id_b")
 
+  /** Typed single-pass grouped top-k (SURVEY §7.5's custom `Aggregator`):
+    * each partition keeps only its k best (neighbor, sim) pairs, so the
+    * shuffle carries k rows per (partition, query) instead of the full
+    * candidate set — the alternative to window row_number when candidate
+    * lists are huge. Ordering matches q25: sim desc, neighbor id asc. */
+  case class TopKBuf(items: Seq[(Long, Double)])
+
+  class TopKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double), TopKBuf, TopKBuf] {
+    private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      s.sortBy(t => (-t._2, t._1)).take(k)
+    override def zero: TopKBuf = TopKBuf(Nil)
+    override def reduce(b: TopKBuf, a: (Long, Long, Double)): TopKBuf =
+      TopKBuf(trim(b.items :+ ((a._2, a._3))))
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+      TopKBuf(trim(x.items ++ y.items))
+    override def finish(b: TopKBuf): TopKBuf = TopKBuf(trim(b.items))
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[TopKBuf]
+    override def outputEncoder = org.apache.spark.sql.Encoders.product[TopKBuf]
+  }
+
+  /** C3 via the typed Aggregator — same result (and same oracle) as
+    * [[q25KnnBrute]], different physical strategy: partial top-k per
+    * partition, merge, no window sort. */
+  def q49KnnAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, d)
+    val queries = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(expr(cosineExpr), 6).as("sim"))
+      .as[(Long, Long, Double)]
+    val agg = new TopKAggregator(K).toColumn.name("top")
+    scored.groupByKey(_._1).agg(agg)
+      .flatMap { case (qId, top) =>
+        top.items.zipWithIndex.map { case ((n, sim), i) => (qId, n, sim, (i + 1).toLong) }
+      }
+      .toDF("q_id", "neighbor_id", "sim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   /** C4 approximate distinct: HLL++ `approx_count_distinct` (rsd 1%) checked
     * against the exact count inside the query — the boolean lets the hash
     * oracle verify the sketch's accuracy without bit-matching HLL internals. */
@@ -185,6 +228,21 @@ object Similarity {
       SELECT q_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= $K
       ORDER BY q_id, rnk""")),
     "q26_knn_lsh" -> ((q26KnnLsh _, lshProbeSql)),
+    "q49_knn_agg" -> ((q49KnnAgg _, s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sims AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(c.v, q.v), 6) AS sim
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < $NumQueries
+      ),
+      ranked AS (
+        SELECT q_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM sims
+      )
+      SELECT q_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= $K
+      ORDER BY q_id, rnk""")),
     "q44_dedup_embedding" -> ((q44DedupEmbedding _, {
       val planes = hyperplanes.zipWithIndex.map { case (p, j) =>
         s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ",", "]")}::DOUBLE[]) >= 0 THEN ${1 << j} ELSE 0 END)"

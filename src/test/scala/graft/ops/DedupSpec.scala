@@ -59,9 +59,13 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash flags the near-dup pair within hamming distance") {
     withDocs(planted) { dir =>
-      val pairs = Dedup.q24DedupSimhash(spark, dir).collect()
+      val pairs = Dedup.simhashPairs(spark, dir).collect()
         .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
       assert(pairs.contains((1L, 2L)), pairs.mkString(","))
+      // registered form aggregates per doc: both 1 and 2 report a near-dup
+      val deg = Dedup.q24DedupSimhash(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_near_dups")).toMap
+      assert(deg.getOrElse(1L, 0L) >= 1L && deg.getOrElse(2L, 0L) >= 1L)
     }
   }
 

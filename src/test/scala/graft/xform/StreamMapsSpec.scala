@@ -46,6 +46,36 @@ class StreamMapsSpec extends AnyFunSuite {
       r.getAs[String]("u__addr__city") == "nyc")
   }
 
+  test("flatten property: leaf count is preserved for generated nested schemas") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.types._
+    def genSchema(depth: Int): Gen[StructType] = for {
+      n <- Gen.choose(1, 3)
+      names <- Gen.listOfN(n, Gen.identifier.map(_.take(6))).map(_.distinct)
+      fields <- Gen.sequence[List[StructField], StructField](names.map { nm =>
+        if (depth > 0)
+          Gen.frequency(
+            2 -> Gen.const(StructField(nm, LongType)),
+            1 -> genSchema(depth - 1).map(st => StructField(nm, st)))
+        else Gen.const(StructField(nm, LongType))
+      })
+    } yield StructType(fields)
+    def leaves(s: StructType): Int = s.fields.map {
+      case StructField(_, st: StructType, _, _) => leaves(st)
+      case _ => 1
+    }.sum
+    (0 until 30).flatMap(i =>
+      genSchema(3).apply(Gen.Parameters.default, Seed(i.toLong))).foreach { schema =>
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val flat = StreamMaps.flatten(df, maxDepth = 10)
+      assert(flat.columns.length == leaves(schema),
+        s"schema=${schema.simpleString}")
+      assert(flat.columns.distinct.length == flat.columns.length)
+    }
+  }
+
   test("flatten: structs beyond maxDepth serialize to JSON strings (SDK rule)") {
     val nested = Seq((1L, ("alice", ("nyc", "us")))).toDF("id", "u")
       .select(col("id"), struct(col("u._1").as("name"),
