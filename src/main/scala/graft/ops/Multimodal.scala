@@ -40,7 +40,72 @@ object Multimodal {
       val n = math.max(bytes.length, 1).toDouble
       (1 + bytes.length % 64, 1 + bytes.length % 48, hist.map(_ / n))
     }
+
+    val FramesPerDoc = 4
+
+    /** STUB frame sampler — stands in for video frame extraction: k frames
+      * at evenly-spaced byte offsets, each a fixed-size slice of the payload
+      * (a real codec decodes at timestamps; the slicing/batching plumbing is
+      * identical). Deterministic. */
+    def sampleFramesStub(bytes: Array[Byte], k: Int): Seq[Array[Byte]] = {
+      if (bytes.isEmpty) return Seq.empty
+      val frameLen = math.max(bytes.length / math.max(k, 1), 1)
+      (0 until k).flatMap { i =>
+        val off = (bytes.length.toLong * i / k).toInt
+        if (off < bytes.length)
+          Some(bytes.slice(off, math.min(off + frameLen, bytes.length)))
+        else None
+      }
+    }
+
+    /** STUB resize — stands in for image resampling: byte payload folded to
+      * a fixed target length by strided max (shape + determinism real,
+      * pixel math fake). */
+    def resizeStub(bytes: Array[Byte], target: Int): Array[Byte] = {
+      if (bytes.isEmpty) return bytes
+      val out = new Array[Byte](math.min(target, bytes.length))
+      val stride = math.max(bytes.length / out.length, 1)
+      var i = 0
+      while (i < out.length) {
+        var best = bytes(math.min(i * stride, bytes.length - 1))
+        var j = i * stride
+        while (j < math.min((i + 1) * stride, bytes.length)) {
+          if ((bytes(j) & 0xff) > (best & 0xff)) best = bytes(j)
+          j += 1
+        }
+        out(i) = best
+        i += 1
+      }
+      out
+    }
   }
+
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame_len: Int,
+                              resized_len: Int)
+
+  /** Frame-sample + resize over the binary column, batched mapPartitions
+    * (the mapInPandas shape). Emits per-frame metadata — at production
+    * scale the frame bytes would flow onward to the feature extractor. */
+  def sampleFrames(s: SparkSession, env: DataFrame): Dataset[MediaFrame] = {
+    import s.implicits._
+    env.as[MediaEnvelope].mapPartitions { it =>
+      it.grouped(MediaCodec.BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { e =>
+          MediaCodec.sampleFramesStub(e.bytes, MediaCodec.FramesPerDoc)
+            .zipWithIndex.map { case (frame, i) =>
+              MediaFrame(e.doc_id, i, frame.length,
+                MediaCodec.resizeStub(frame, 32).length)
+            }
+        }
+      }
+    }
+  }
+
+  /** C6 frame pipeline (rows-only: slicing math is not worth mirroring in
+    * SQL; determinism and batch shape are unit-tested). */
+  def q50MultimodalFrames(s: SparkSession, d: String): DataFrame =
+    sampleFrames(s, envelope(s, d)).toDF()
+      .orderBy("doc_id", "frame_idx")
 
   /** Documents wrapped as media envelopes (bytes = UTF-8 payload — the
     * "opaque blob" stand-in; for real media this is the encoded frame). */
@@ -89,6 +154,7 @@ object Multimodal {
       SELECT doc_id, 'doc://' || doc_id AS uri, 'text/plain' AS mime,
              octet_length(encode(text))::BIGINT AS nbytes, lang
       FROM documents ORDER BY doc_id""")),
-    "q35_multimodal_features" -> ((q35MultimodalFeatures _, ""))
+    "q35_multimodal_features" -> ((q35MultimodalFeatures _, "")),
+    "q50_multimodal_frames" -> ((q50MultimodalFrames _, ""))
   )
 }

@@ -18,8 +18,10 @@ object Tables {
     // harness left it on a machine-local default.
     if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
       spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // native text-hash expressions used by Dedup/TextOps (idempotent)
-    graft.functions.TextHashExprs.register(spark)
+    // native text-hash expressions used by Dedup/TextOps (registered once)
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_minhash")))
+      graft.functions.TextHashExprs.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -35,4 +35,18 @@ class MultimodalSpec extends AnyFunSuite {
     val n = env.count()
     assert(Multimodal.extractFeatures(spark, env).count() == n)
   }
+
+  test("frame sampling emits k deterministic frames per doc, resized to bound") {
+    val frames = Multimodal.q50MultimodalFrames(spark, sf).collect()
+    val again = Multimodal.q50MultimodalFrames(spark, sf).collect()
+    assert(frames.toSeq == again.toSeq)
+    val perDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    perDoc.foreach { case (_, fs) =>
+      assert(fs.length == Multimodal.MediaCodec.FramesPerDoc)
+      fs.foreach { f =>
+        assert(f.getAs[Int]("frame_len") > 0)
+        assert(f.getAs[Int]("resized_len") <= 32)
+      }
+    }
+  }
 }
