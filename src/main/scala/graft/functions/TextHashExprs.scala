@@ -38,8 +38,6 @@ object TextHashExprs {
       (args: Seq[Expression]) => WordShingles(args.head), "built-in")
   }
 
-  private val hexDigits = "0123456789abcdef".toCharArray
-
   private[functions] def md5PrefixLong(md: MessageDigest, s: String,
                                        hexChars: Int): Long = {
     val digest = md.digest(s.getBytes("UTF-8"))
