@@ -75,8 +75,18 @@ final class BatchLoader(
     val control = msgs
       .filter($"mtype" === "SCHEMA" || $"mtype" === "ACTIVATE_VERSION")
       .collect().sortBy(_.seq)
-    val lastState = msgs.filter($"mtype" === "STATE")
-      .orderBy(desc("seq")).limit(1).collect().headOption.map(_.payload)
+    // Scale mode: only the final checkpoint is meaningful after a batch load
+    // and the reduction is distributed-side (a tap may legally emit STATE per
+    // record — O(1) driver memory). Strict mode reproduces SDK cadence and
+    // echoes EVERY checkpoint in input order (test-scale only, like the mode
+    // itself).
+    val statesToEcho: Seq[String] =
+      if (strictBatches)
+        msgs.filter($"mtype" === "STATE").orderBy("seq").collect()
+          .map(_.payload).toSeq
+      else
+        msgs.filter($"mtype" === "STATE")
+          .orderBy(desc("seq")).limit(1).collect().map(_.payload).toSeq
     val schemas: Map[String, (StructType, Seq[String])] =
       control.collect { case RawMsg("SCHEMA", s, js, kp, _) =>
         s -> ((SchemaConv.toStructType(js), kp))
@@ -102,7 +112,7 @@ final class BatchLoader(
           else appendScale(target, aligned, overwrite = version.isDefined)
         target -> n
       }
-      LoadReport(counts, lastState.toSeq)
+      LoadReport(counts, statesToEcho)
     } finally records.unpersist()
   }
 

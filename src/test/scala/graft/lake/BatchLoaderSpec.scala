@@ -144,6 +144,32 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("strict mode echoes every STATE checkpoint in input order") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns, batchSize = 2,
+      strictBatches = true)
+    val lines = Seq(schemaLine, recordLine(1),
+      """{"type":"STATE","value":{"bookmark":1}}""",
+      recordLine(2), recordLine(3),
+      """{"type":"STATE","value":{"bookmark":3}}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.statesToEcho ==
+      Seq("""{"bookmark":1}""", """{"bookmark":3}"""))
+    cat.dropNamespace(ns)
+  }
+
+  test("scale mode reduces STATE to the final checkpoint (bounded driver memory)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val lines = Seq(schemaLine) ++ (1 to 5).flatMap(i =>
+      Seq(recordLine(i), s"""{"type":"STATE","value":{"bookmark":$i}}"""))
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.statesToEcho == Seq("""{"bookmark":5}"""))
+    cat.dropNamespace(ns)
+  }
+
   test("multi-stream feed routes records per stream") {
     val ns = freshNs()
     val cat = new CountingCatalog
