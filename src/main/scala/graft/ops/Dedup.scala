@@ -155,15 +155,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private def minhashOracle: String = {
+  /** C2d edit-distance check over the LSH candidate set: Levenshtein on the
+    * 60-char prefixes of each candidate pair — the "n-gram Jaccard then edit
+    * distance" two-stage near-dup verifier. Never all-pairs: the quadratic
+    * edit-distance only runs on LSH survivors. */
+  def q51DedupEditDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), expr("substring(text, 1, 60)").as("prefix"))
+    val a = docs.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+    val b = docs.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
+    minhashCandidates(s, d)
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Shared oracle CTE chain ending in `cand` (the distinct LSH candidate
+    * pairs) — composed by both the jaccard and edit-distance oracles. */
+  private def minhashCandCtes: String = {
     val mhCols = (0 until NumHashes).map(i =>
       s"min((${hashA(i)} * h + ${hashB(i)}) % $MinhashPrime) AS mh$i").mkString(",\n               ")
     val bandSelects = (0 until NumBands).map { b =>
       val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString("||','||")
       s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM mh"
     }.mkString("\n        UNION ALL ")
-    s"""
-      WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
       sh AS (
         SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
         FROM tok, unnest(generate_series(1, len(t)-2)) AS r(i)
@@ -184,7 +201,12 @@ object Dedup {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      ),
+      )"""
+  }
+
+  private def minhashOracle: String =
+    s"""
+      $minhashCandCtes,
       inter AS (
         SELECT c.id_a, c.id_b, count(*) AS ninter
         FROM cand c JOIN sh x ON x.doc_id = c.id_a
@@ -199,7 +221,6 @@ object Dedup {
       JOIN shs sa ON sa.doc_id = c.id_a
       JOIN shs sb ON sb.doc_id = c.id_b
       ORDER BY 1, 2"""
-  }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q22_dedup_exact" -> ((q22DedupExact _, """
@@ -238,6 +259,13 @@ object Dedup {
       SELECT doc_id, count(*) AS n_near_dups, min(hamming) AS min_hamming
       FROM (SELECT id_a AS doc_id, hamming FROM pairs
             UNION ALL SELECT id_b, hamming FROM pairs) u
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+    "q51_dedup_editdist" -> ((q51DedupEditDistance _, s"""
+      $minhashCandCtes,
+      prefixes AS (SELECT doc_id, substr(text, 1, 60) AS prefix FROM documents)
+      SELECT c.id_a, c.id_b, levenshtein(a.prefix, b.prefix)::BIGINT AS edit_dist
+      FROM cand c JOIN prefixes a ON a.doc_id = c.id_a
+                  JOIN prefixes b ON b.doc_id = c.id_b
+      ORDER BY c.id_a, c.id_b"""))
   )
 }

@@ -357,6 +357,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Distribution windows: quartile (ntile) + percent_rank of customers by
+    * balance within each market segment. */
+  def q52Quartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("min_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"),
+        round(max("pr"), 6).as("max_pr"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+
   /** name -> (query fn, DuckDB oracle SQL). Column names/aliases match
     * pairwise (driver hash compare sorts columns by name). */
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -550,6 +566,20 @@ object Relational {
              round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
              round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
              count(*) AS n
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+    "q52_quartiles" -> ((q52Quartiles _, """
+      WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pr
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      )
+      SELECT c_mktsegment, quartile, count(*) AS n,
+             round(min(c_acctbal), 2) AS min_bal,
+             round(max(c_acctbal), 2) AS max_bal,
+             round(max(pr), 6) AS max_pr
+      FROM ranked GROUP BY c_mktsegment, quartile
+      ORDER BY c_mktsegment, quartile"""))
   )
 }
