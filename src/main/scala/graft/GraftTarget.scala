@@ -45,7 +45,8 @@ object GraftTarget {
         strictBatches = opts.contains("strict-batches"),
         streamMaps = cfg.streamMaps,
         flatteningEnabled = cfg.flatteningEnabled,
-        flatteningMaxDepth = cfg.flatteningMaxDepth)
+        flatteningMaxDepth = cfg.flatteningMaxDepth,
+        partitionBy = cfg.partitionBy)
       val report = loader.load(lines)
       report.rowsPerStream.foreach { case (t, n) =>
         System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: $n rows")

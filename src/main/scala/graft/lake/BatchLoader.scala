@@ -35,9 +35,9 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *   - "last SCHEMA wins" applies to ALL of a stream's records in the feed
   *     (the SDK drains pending records under the old schema first);
   *   - records for streams with no SCHEMA message are dropped, not an error;
-  *   - only the LAST STATE is echoed (after all appends are durable) — the
-  *     SDK echoes intermediate states per drain; in batch mode only the
-  *     final checkpoint is meaningful, and this bounds driver memory O(1).
+  *   - scale mode echoes only the LAST STATE (after all appends are
+  *     durable) — bounds driver memory O(1) against STATE-per-record taps;
+  *     strict mode echoes every checkpoint in input order (SDK cadence).
   */
 final class BatchLoader(
     spark: SparkSession,
@@ -48,7 +48,8 @@ final class BatchLoader(
     strictBatches: Boolean = false,
     streamMaps: Map[String, StreamMapConfig] = Map.empty,
     flatteningEnabled: Boolean = false,
-    flatteningMaxDepth: Int = 1) extends Serializable {
+    flatteningMaxDepth: Int = 1,
+    partitionBy: Map[String, Seq[String]] = Map.empty) extends Serializable {
 
   import BatchLoader._
 
@@ -103,7 +104,8 @@ final class BatchLoader(
         val version = activatedVersions.get(stream)
         val mapped = applyTransforms(stream, typedRows(streamRecs, schema, version))
         val target = streamMaps.get(stream).flatMap(_.alias).getOrElse(stream)
-        catalog.ensureTable(namespace, target, mapped.drop("seq").schema)
+        catalog.ensureTable(namespace, target, mapped.drop("seq").schema,
+          partitionBy.getOrElse(stream, Nil))
         // schema evolution (A12): the table may have more columns than this
         // feed declares (earlier schemas) — align by name, null-fill the rest
         val aligned = alignTo(mapped, catalog.load(namespace, target).schema)
@@ -239,7 +241,8 @@ object BatchLoader {
       addRecordMetadata = cfg.addRecordMetadata,
       streamMaps = cfg.streamMaps,
       flatteningEnabled = cfg.flatteningEnabled,
-      flatteningMaxDepth = cfg.flatteningMaxDepth)
+      flatteningMaxDepth = cfg.flatteningMaxDepth,
+      partitionBy = cfg.partitionBy)
 
   private[lake] final case class RawMsg(
       mtype: String, stream: String, payload: String,

@@ -48,6 +48,13 @@ trait LakeCatalog {
                 options: Map[String, String] = Map.empty): Unit
   def load(ns: String, table: String): DataFrame
   def dropNamespace(ns: String): Unit
+  /** Small-file compaction: rewrite the table into ~`targetFiles` files.
+    * Streaming/batched appends accumulate small files (one per task per
+    * commit); at 100 TB scans pay for every file open, so periodic
+    * compaction is part of lake hygiene. This implementation rewrites the
+    * whole table (fine for the local catalog); a production Iceberg catalog
+    * would rewrite per-partition via its own rewrite_data_files action. */
+  def compact(ns: String, table: String, targetFiles: Int): Unit
 }
 
 /** Parquet-backed implementation on the Spark session catalog. Identifiers
@@ -101,19 +108,39 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
       .saveAsTable(id(ns, table))
   }
 
+  /** Writes into a partitioned table must redeclare its partitioning. */
+  private def partitionColsOf(ns: String, table: String): Seq[String] =
+    spark.catalog.listColumns(id(ns, table)).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+
+  private def writer(df: DataFrame, ns: String, table: String,
+                     options: Map[String, String], mode: String) = {
+    val w = df.write.options(options).format("parquet").mode(mode)
+    val parts = if (tableExists(ns, table)) partitionColsOf(ns, table) else Nil
+    if (parts.nonEmpty) w.partitionBy(parts: _*) else w
+  }
+
   override def append(ns: String, table: String, df: DataFrame,
                       options: Map[String, String]): Unit =
-    df.write.options(options).format("parquet").mode("append")
-      .saveAsTable(id(ns, table))
+    writer(df, ns, table, options, "append").saveAsTable(id(ns, table))
 
   override def overwrite(ns: String, table: String, df: DataFrame,
                          options: Map[String, String]): Unit =
-    df.write.options(options).format("parquet").mode("overwrite")
-      .saveAsTable(id(ns, table))
+    writer(df, ns, table, options, "overwrite").saveAsTable(id(ns, table))
 
   override def load(ns: String, table: String): DataFrame =
     spark.table(id(ns, table))
 
   override def dropNamespace(ns: String): Unit =
     spark.sql(s"DROP NAMESPACE IF EXISTS `$ns` CASCADE")
+
+  override def compact(ns: String, table: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    // localCheckpoint severs lineage eagerly — a cached plan could be
+    // evicted and recomputed from files AFTER the overwrite truncates them
+    val snapshot = load(ns, table).repartition(targetFiles)
+      .localCheckpoint(true)
+    snapshot.write.format("parquet").mode("overwrite")
+      .saveAsTable(id(ns, table))
+  }
 }

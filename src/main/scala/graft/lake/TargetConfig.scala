@@ -27,7 +27,8 @@ final case class TargetConfig(
     batchSize: Int,
     streamMaps: Map[String, StreamMapConfig],
     flatteningEnabled: Boolean,
-    flatteningMaxDepth: Int)
+    flatteningMaxDepth: Int,
+    partitionBy: Map[String, Seq[String]])
 
 object TargetConfig {
   /** Required keys, exactly as in target.py (required=True properties). */
@@ -71,8 +72,19 @@ object TargetConfig {
       batchSize = batch,
       streamMaps = parseStreamMaps(node.get("stream_maps")),
       flatteningEnabled = bool("flattening_enabled", default = false),
-      flatteningMaxDepth = int("flattening_max_depth", 1)))
+      flatteningMaxDepth = int("flattening_max_depth", 1),
+      partitionBy = parsePartitionBy(node.get("partition_by"))))
   }
+
+  /** `partition_by`: `{"stream": ["col", ...]}` — opt-in partitioned table
+    * layout (the reference creates unpartitioned tables, sinks.py:96; the
+    * 100 TB divergence documented in SURVEY §4.3). */
+  private def parsePartitionBy(n: JsonNode): Map[String, Seq[String]] =
+    if (n == null || !n.isObject) Map.empty
+    else n.properties().asScala.collect {
+      case e if e.getValue.isArray =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+    }.toMap
 
   /** SDK-shaped stream maps: `{"stream": {"col": null | "expr",
     * "__filter__": "pred", "__alias__": "name"}}`. */

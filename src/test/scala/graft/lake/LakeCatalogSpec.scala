@@ -1,0 +1,71 @@
+package graft.lake
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Lake hygiene operations: compaction and partitioned layouts. */
+class LakeCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def parquetFiles(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+
+  private def tableDir(ns: String, table: String): Path = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED `$ns`.`$table`")
+      .filter($"col_name" === "Location").select("data_type").head.getString(0)
+    Paths.get(new java.net.URI(loc))
+  }
+
+  test("compact rewrites many small files into the target count, data intact") {
+    val ns = s"cmp_${System.nanoTime()}"
+    val cat = new SessionLakeCatalog(spark)
+    val df = (1L to 1000L).toDF("id").repartition(10)
+    cat.ensureTable(ns, "t", df.schema)
+    // simulate many tiny appends
+    (0 until 5).foreach(_ => cat.append(ns, "t", df))
+    val before = parquetFiles(tableDir(ns, "t")).size
+    assert(before >= 20, s"expected many small files, got $before")
+    val sumBefore = cat.load(ns, "t").agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0)
+    cat.compact(ns, "t", targetFiles = 2)
+    val after = parquetFiles(tableDir(ns, "t")).size
+    assert(after <= 3, s"compaction left $after files")
+    assert(cat.load(ns, "t").count() == 5000)
+    assert(cat.load(ns, "t").agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) == sumBefore)
+    cat.dropNamespace(ns)
+  }
+
+  test("compact rejects nonpositive file targets") {
+    val cat = new SessionLakeCatalog(spark)
+    intercept[IllegalArgumentException](cat.compact("x", "y", 0))
+  }
+
+  test("partition_by config lands a partitioned directory layout") {
+    val ns = s"part_${System.nanoTime()}"
+    val cat = new SessionLakeCatalog(spark)
+    val loader = new BatchLoader(spark, cat, ns,
+      partitionBy = Map("ev" -> Seq("cat")))
+    val schema =
+      """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+        |"id":{"type":["integer"]},"cat":{"type":["string"]}}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val lines = Seq(schema) ++ (1 to 10).map(i =>
+      s"""{"type":"RECORD","stream":"ev","record":{"id":$i,"cat":"c${i % 2}"}}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("ev") == 10L)
+    val dirs = Files.list(tableDir(ns, "ev")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("cat=")).toSet
+    assert(dirs == Set("cat=c0", "cat=c1"), dirs.mkString(","))
+    // partition pruning reaches the scan
+    val plan = cat.load(ns, "ev")
+      .filter($"cat" === "c0").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cat"), plan.take(1500))
+    cat.dropNamespace(ns)
+  }
+}
