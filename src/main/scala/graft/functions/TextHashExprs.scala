@@ -36,6 +36,13 @@ object TextHashExprs {
       (args: Seq[Expression]) => TokenSimHash(args.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       (args: Seq[Expression]) => WordShingles(args.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      (args: Seq[Expression]) => VecDot(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      (args: Seq[Expression]) => VecCosine(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("rhp_bucket",
+      (args: Seq[Expression]) => RhpBucket(args(0),
+        BinaryVecExpr.foldableInt(args(1), "rhp_bucket")), "built-in")
   }
 
   private[functions] def md5PrefixLong(md: MessageDigest, s: String,
@@ -52,6 +59,23 @@ object TextHashExprs {
       i += 1
     }
     v
+  }
+}
+
+/** Codegen glue shared by the custom expressions: Janino (Spark's codegen
+  * compiler) rejects a direct `(long) obj` / `(double) obj` cast from
+  * Object, so primitive results must unbox explicitly — a silent
+  * WholeStageCodegen fallback otherwise (the query still runs, interpreted,
+  * with the speed win quietly lost). */
+private[functions] object GenHelp {
+  def unbox(ref: String, dt: DataType): String = dt match {
+    case LongType   => s"((java.lang.Long) $ref).longValue()"
+    case org.apache.spark.sql.types.DoubleType =>
+      s"((java.lang.Double) $ref).doubleValue()"
+    case other =>
+      val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .javaType(other)
+      s"($jt) $ref"
   }
 }
 
@@ -77,13 +101,12 @@ trait SingleArgHashExpr extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("hashExpr", this, classOf[SingleArgHashExpr].getName)
-    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-      .javaType(dataType)
+    val r = ctx.freshName("r") // two expressions can share one codegen scope
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |Object r = $ref.compute($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ($javaType) r; }
+         |Object $r = $ref.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${GenHelp.unbox(r, dataType)}; }
        """.stripMargin
     })
   }

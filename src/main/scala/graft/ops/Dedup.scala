@@ -121,25 +121,46 @@ object Dedup {
   /** C2b SimHash near-dup: pairs within Hamming distance <= 3, bucketed by
     * 4 x 15-bit chunks. Pigeonhole: a pair differing in <= 3 of 60 bits must
     * share at least one 15-bit chunk, so the chunk join is EXACT recall.
-    * Internal — emits the raw (deduplicated) pair list. */
-  private[ops] def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val chunks = simhashes(s, d).select(col("doc_id"), col("sim"),
+    * Internal — emits the raw (deduplicated) pair list.
+    *
+    * Candidates come from a self-EQUI-JOIN on (chunk, ckey): a codegen'd
+    * shuffled hash join that streams in-bucket pairs, instead of the former
+    * `collect_list` + interpreted-lambda expansion (which materialized every
+    * chunk bucket as one array row and evaluated the quadratic expansion
+    * interpreted — the q24 hot spot at 5.2 s in BENCH_r02, and an OOM shape
+    * for dense clusters at scale). The simhash projection is a cheap native
+    * pass ([[graft.functions.TokenSimHash]]), so computing it on both join
+    * sides costs less than one bucket materialization. The Hamming filter
+    * runs BEFORE the pair-dedup so the distinct only sees real near-dups;
+    * dense clusters still produce quadratically many joined rows per bucket,
+    * but they stream through the join — AQE skew-join splits hot (chunk,
+    * ckey) keys, and `maxBucket` drops pathological buckets (a 15-bit-chunk
+    * collision bucket of b docs costs b^2/2 comparisons; at b ~ 1e5 that is
+    * the signal of a degenerate corpus slice, not near-dups). */
+  private[ops] def simhashPairs(s: SparkSession, d: String,
+                                maxBucket: Option[Int] = None): DataFrame = {
+    def chunks = simhashes(s, d).select(col("doc_id"), col("sim"),
       posexplode(expr(
         "transform(sequence(0,3), c -> (sim div shiftleft(cast(1 as bigint), c*15)) % 32768)"))
         .as(Seq("chunk", "ckey")))
-    chunks.groupBy("chunk", "ckey")
-      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> named_struct(
-          |    'id_a', least(x.doc_id, y.doc_id),
-          |    'id_b', greatest(x.doc_id, y.doc_id),
-          |    'hamming', bit_count(x.sim ^ y.sim)))))""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.hamming").cast("long").as("hamming"))
-      .distinct()
+    val bounded = maxBucket match {
+      case None => chunks
+      case Some(cap) =>
+        val sizes = chunks.groupBy("chunk", "ckey")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+        chunks.join(sizes.select("chunk", "ckey"), Seq("chunk", "ckey"),
+          "left_semi")
+    }
+    val l = bounded.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val r = bounded.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct() // a pair can share several chunks
   }
 
   /** Registered form: per-document near-dup degree + closest distance. The

@@ -525,9 +525,9 @@ object Relational {
       ORDER BY nationkey""")),
     "q40_status_pivot" -> ((q40StatusPivot _, """
       SELECT o_orderpriority,
-             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-             sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+             sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
     "q41_ship_delay" -> ((q41ShipDelay _, """
       SELECT o_orderpriority,

