@@ -141,11 +141,16 @@ object Multimodal {
         col("meta.lang").as("lang"))
       .orderBy("doc_id")
 
-  /** C6 feature pipeline (rows-only correctness: the histogram math is not
-    * SQL-expressible in the oracle; determinism is unit-tested instead). */
+  /** C6 feature pipeline. The stub's math (dims from byte length, l2norm of
+    * the normalized 16-bin byte histogram) IS SQL-expressible over
+    * `ord(substr(text, i, 1))` because this corpus is ASCII (byte ==
+    * codepoint), so the oracle checks the whole mapPartitions pipeline
+    * hash-exactly; ints are widened to long on both sides for type parity. */
   def q35MultimodalFeatures(s: SparkSession, d: String): DataFrame =
     extractFeatures(s, envelope(s, d)).toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("dim"),
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("dim").cast("long").as("dim"),
         round(col("l2norm"), 4).as("l2norm"))
       .orderBy("doc_id")
 
@@ -154,7 +159,28 @@ object Multimodal {
       SELECT doc_id, 'doc://' || doc_id AS uri, 'text/plain' AS mime,
              octet_length(encode(text))::BIGINT AS nbytes, lang
       FROM documents ORDER BY doc_id""")),
-    "q35_multimodal_features" -> ((q35MultimodalFeatures _, "")),
+    "q35_multimodal_features" -> ((q35MultimodalFeatures _, s"""
+      WITH ch AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               ord(substr(text, i, 1)) % ${MediaCodec.FeatureDim} AS bin
+        FROM documents, unnest(generate_series(1, length(text))) AS r(i)
+      ),
+      hist AS (
+        SELECT doc_id, any_value(n) AS n, bin, count(*) AS c
+        FROM ch GROUP BY doc_id, bin
+      ),
+      norm AS (
+        SELECT doc_id,
+               round(sqrt(sum((c::DOUBLE / n) * (c::DOUBLE / n))), 4) AS l2norm
+        FROM hist GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             (1 + octet_length(encode(d.text)) % 64)::BIGINT AS width,
+             (1 + octet_length(encode(d.text)) % 48)::BIGINT AS height,
+             ${MediaCodec.FeatureDim}::BIGINT AS dim,
+             coalesce(nm.l2norm, 0.0) AS l2norm
+      FROM documents d LEFT JOIN norm nm ON nm.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
     "q50_multimodal_frames" -> ((q50MultimodalFrames _, ""))
   )
 }

@@ -58,24 +58,37 @@ object TextOps {
   val ProfileSize = 10
 
   /** C5d language-ID by character-bigram profiles: learn each language's
-    * top-10 bigram profile from the labeled corpus, score every doc against
-    * every profile (shared-bigram count), predict argmax; output the
-    * confusion matrix. Profiles are tiny -> the scoring join broadcasts. */
+    * top-10 bigram profile (by DOCUMENT frequency — how many docs contain
+    * the bigram, which resists single-long-doc skew) from the labeled
+    * corpus, score every doc against every profile (shared-bigram count),
+    * predict argmax; output the confusion matrix. Profiles are tiny -> the
+    * scoring join broadcasts.
+    *
+    * Shuffle design: per-document bigram dedup happens IN-ROW
+    * (`array_distinct` over the native `char_bigrams` array — codegen'd,
+    * before any explode), so no shuffle ever carries raw bigram
+    * occurrences: the profile branch shuffles only map-side-combined
+    * (lang, bigram) partial counts, and the scoring branch joins the
+    * broadcast 50-row profile FIRST, so its doc-level shuffle carries at
+    * most |profiles| rows per doc. The corpus is scanned twice (both
+    * branches), which is deliberate: A/B-measured against materializing
+    * one shared distinct-(doc, bigram) exchange (ReuseExchange), the two
+    * narrow column-pruned scans win (1.05 s vs 1.64 s at sf0.1) — a
+    * shuffle costs a disk write + read per byte vs one read for a scan,
+    * and the exchange variant shuffles the full doc-distinct pair set
+    * while this shape shuffles almost nothing. */
   def q31LangId(s: SparkSession, d: String): DataFrame = {
     // native expression: one compiled pass/doc vs interpreted array lambdas
-    val docs = documents(s, d).filter(length(col("text")) >= 2)
-      .withColumn("bgs", expr("char_bigrams(text)"))
-    val allBigrams = docs.select(col("doc_id"), col("lang"),
-      explode(col("bgs")).as("bg"))
+    val docBigrams = documents(s, d).filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("array_distinct(char_bigrams(text))")).as("bg"))
     val wProf = Window.partitionBy("plang").orderBy(desc("cnt"), col("bg"))
-    val profiles = allBigrams
+    val profiles = docBigrams
       .groupBy(col("lang").as("plang"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("r", row_number().over(wProf))
       .filter(col("r") <= ProfileSize)
       .select("plang", "bg")
-    val docBigrams = docs.select(col("doc_id"), col("lang"),
-      explode(expr("array_distinct(bgs)")).as("bg"))
     val wPred = Window.partitionBy("doc_id").orderBy(desc("score"), col("plang"))
     val predicted = docBigrams
       .join(broadcast(profiles), "bg")
@@ -134,16 +147,15 @@ object TextOps {
                [substr(text, i, 2) FOR i IN generate_series(1, length(text)-1)] AS bgs
         FROM documents WHERE length(text) >= 2
       ),
-      allb AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM docs),
+      docb AS (
+        SELECT DISTINCT doc_id, lang, unnest(list_distinct(bgs)) AS bg FROM docs
+      ),
       prof AS (
         SELECT plang, bg FROM (
           SELECT lang AS plang, bg, count(*) AS cnt,
                  row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bg) AS r
-          FROM allb GROUP BY lang, bg) p
+          FROM docb GROUP BY lang, bg) p
         WHERE r <= $ProfileSize
-      ),
-      docb AS (
-        SELECT DISTINCT doc_id, lang, unnest(list_distinct(bgs)) AS bg FROM docs
       ),
       scored AS (
         SELECT d.doc_id, d.lang, p.plang, count(*) AS score

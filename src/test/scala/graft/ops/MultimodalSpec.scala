@@ -23,7 +23,7 @@ class MultimodalSpec extends AnyFunSuite {
     val f1 = Multimodal.q35MultimodalFeatures(spark, sf).collect()
     val f2 = Multimodal.q35MultimodalFeatures(spark, sf).collect()
     assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(_.getAs[Int]("dim") == Multimodal.MediaCodec.FeatureDim))
+    assert(f1.forall(_.getAs[Long]("dim") == Multimodal.MediaCodec.FeatureDim.toLong))
     // histogram is normalized -> l2norm of a distribution is in (0, 1]
     assert(f1.forall { r =>
       val n = r.getAs[Double]("l2norm"); n > 0 && n <= 1.0001

@@ -27,6 +27,13 @@ class TextOpsSpec extends AnyFunSuite {
     assert(total == Tables.documents(spark, sf).count())
   }
 
+  test("langid dedups bigrams in-row: no shuffle carries raw occurrences") {
+    val plan = TextOps.q31LangId(spark, sf).queryExecution.optimizedPlan.toString
+    // per-doc dedup is inside the projection (array_distinct over the
+    // native char_bigrams), upstream of every exchange
+    assert(plan.contains("array_distinct(charbigrams"), plan.take(2000))
+  }
+
   test("fingerprints are stable across runs") {
     val a = TextOps.q32Fingerprint(spark, sf).collect().map(_.toSeq)
     val b = TextOps.q32Fingerprint(spark, sf).collect().map(_.toSeq)
