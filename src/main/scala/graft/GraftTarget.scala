@@ -11,14 +11,20 @@ import scala.io.Source
   * file), validate config, load every stream, echo STATE to stdout.
   *
   * Usage: graft.GraftTarget --config <config.json> [--input <messages.jsonl>]
-  *                          [--strict-batches]
+  *                          [--strict-batches] | --about
   */
 object GraftTarget {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList)
+    if (opts.contains("about")) {
+      // discovery surface (reference meltano.yml:13 declares `about`):
+      // emit the config JSON-Schema + capabilities, no Spark session needed
+      println(TargetConfig.aboutJson)
+      return
+    }
     val configPath = opts.getOrElse("config", {
       System.err.println("usage: GraftTarget --config <config.json> " +
-        "[--input <messages.jsonl>] [--strict-batches]")
+        "[--input <messages.jsonl>] [--strict-batches] | --about")
       sys.exit(2)
     })
 
@@ -34,9 +40,15 @@ object GraftTarget {
     try {
       val lines = opts.get("input") match {
         case Some(path) => spark.read.textFile(path)
-        case None => // stdin is inherently a driver-side stream
-          import spark.implicits._
-          spark.createDataset(Source.stdin.getLines().toSeq)
+        case None =>
+          // The reference's primary invocation pipes the feed on stdin
+          // (README.md:67-70) and streams it with bounded buffers
+          // (sinks.py:18,36). Spool stdin to a temp file with a fixed-size
+          // copy buffer — O(buffer) driver memory regardless of feed size —
+          // then read it like any file input (full executor parallelism,
+          // splittable). The former createDataset(getLines.toSeq) held the
+          // entire feed on the driver heap.
+          spark.read.textFile(spoolToTempFile(System.in).toString)
       }
       val loader = new BatchLoader(spark, new SessionLakeCatalog(spark),
         namespace = cfg.icebergCatalogNamespaceName,
@@ -50,6 +62,10 @@ object GraftTarget {
       val report = loader.load(lines)
       report.rowsPerStream.foreach { case (t, n) =>
         System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: $n rows")
+      }
+      report.rejectedPerStream.collect { case (t, n) if n > 0 =>
+        System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: " +
+          s"$n records REJECTED (schema validation)")
       }
       // Singer contract: STATE goes to stdout once writes are durable
       report.statesToEcho.foreach(println)
@@ -78,12 +94,32 @@ object GraftTarget {
     catch { case _: IllegalArgumentException => builder.getOrCreate() }
   }
 
+  /** Stream `in` to a temp file with a fixed 64 KiB buffer (deleted on JVM
+    * exit). Exposed for tests: feeding a generator stream through proves the
+    * pipe path is O(buffer), not O(feed). */
+  private[graft] def spoolToTempFile(in: java.io.InputStream): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempFile("graft-singer-", ".jsonl")
+    tmp.toFile.deleteOnExit()
+    val out = java.nio.file.Files.newOutputStream(tmp,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally out.close()
+    tmp
+  }
+
   private def parseArgs(args: List[String],
                         acc: Map[String, String] = Map.empty): Map[String, String] =
     args match {
       case "--config" :: v :: rest  => parseArgs(rest, acc + ("config" -> v))
       case "--input" :: v :: rest   => parseArgs(rest, acc + ("input" -> v))
       case "--strict-batches" :: rest => parseArgs(rest, acc + ("strict-batches" -> "true"))
+      case "--about" :: rest => parseArgs(rest, acc + ("about" -> "true"))
       case Nil => acc
       case other :: _ =>
         System.err.println(s"unknown argument: $other"); sys.exit(2)

@@ -37,6 +37,43 @@ object TargetConfig {
     "iceberg_rest_uri", "iceberg_catalog_name",
     "iceberg_catalog_namespace_name")
 
+  /** `--about` payload: the config JSON-Schema + declared capabilities —
+    * the reference's discovery surface (`meltano.yml:13-16` declares
+    * `about`/`stream-maps`/`schema-flattening`; the SDK CLI emits the
+    * `config_jsonschema` from `target.py:15-59`). Same 7 reference keys,
+    * same required-ness and defaults, plus this engine's documented
+    * extensions. */
+  def aboutJson: String = {
+    def prop(name: String, tpe: String, extra: String = ""): String =
+      s"""      "$name": {"type": "$tpe"$extra}"""
+    val props = Seq(
+      prop("add_record_metadata", "boolean", """, "default": false"""),
+      prop("aws_access_key_id", "string"),
+      prop("aws_secret_access_key", "string", """, "secret": true"""),
+      prop("s3_endpoint", "string"),
+      prop("s3_bucket", "string", """, "default": "lakehouse""""),
+      prop("iceberg_rest_uri", "string"),
+      prop("iceberg_catalog_name", "string"),
+      prop("iceberg_catalog_namespace_name", "string"),
+      prop("batch_size", "integer", s""", "default": ${BatchLoader.DefaultBatchSize}"""),
+      prop("stream_maps", "object"),
+      prop("flattening_enabled", "boolean", """, "default": false"""),
+      prop("flattening_max_depth", "integer", """, "default": 1"""),
+      prop("partition_by", "object")).mkString(",\n")
+    val required = RequiredKeys.map(k => s""""$k"""").mkString(", ")
+    s"""{
+       |  "name": "graft-target",
+       |  "capabilities": ["about", "stream-maps", "schema-flattening"],
+       |  "settings": {
+       |    "type": "object",
+       |    "required": [$required],
+       |    "properties": {
+       |$props
+       |    }
+       |  }
+       |}""".stripMargin
+  }
+
   @transient private lazy val mapper = new ObjectMapper()
 
   /** Parse + validate. Left = all validation errors (fail fast, complete). */
