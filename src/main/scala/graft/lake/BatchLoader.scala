@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** The Singer load path: JSONL message feed -> typed, batched, append-only
@@ -102,44 +102,69 @@ final class BatchLoader(
       val counts = schemas.map { case (stream, (schema, _)) =>
         val streamRecs = records.filter($"stream" === stream)
         val version = activatedVersions.get(stream)
-        val mapped = applyTransforms(stream, typedRows(streamRecs, schema, version))
+        val typed = typedRows(streamRecs, schema, version)
+        val mapped = applyTransforms(stream, typed.valid)
         val target = streamMaps.get(stream).flatMap(_.alias).getOrElse(stream)
         catalog.ensureTable(namespace, target, mapped.drop("seq").schema,
           partitionBy.getOrElse(stream, Nil))
         // schema evolution (A12): the table may have more columns than this
         // feed declares (earlier schemas) — align by name, null-fill the rest
         val aligned = alignTo(mapped, catalog.load(namespace, target).schema)
-        val n =
-          if (strictBatches) appendStrict(target, aligned)
-          else appendScale(target, aligned, overwrite = version.isDefined)
-        target -> n
+        val (n, rejected) =
+          if (strictBatches)
+            (appendStrict(target, aligned), typed.rejectedExact())
+          else appendScale(target, aligned, overwrite = version.isDefined, typed)
+        target -> ((n, rejected))
       }
-      LoadReport(counts, statesToEcho)
+      LoadReport(counts.map { case (t, (n, _)) => t -> n },
+        statesToEcho,
+        counts.map { case (t, (_, r)) => t -> r })
     } finally records.unpersist()
   }
 
-  /** RECORD payloads -> typed rows under the declared schema. Invalid rows
-    * (non-object records are rejected at decode; corrupt JSON nulls out
-    * here) are dropped, mirroring SDK record validation (SURVEY.md §2.B2).
+  /** RECORD payloads -> typed rows under the declared schema, with full B2
+    * record validation (SURVEY.md §2.B2; the reference inherits it from SDK
+    * `BatchSink`, `/root/reference/target_iceberg/sinks.py:6,15`): a record
+    * whose JSON is corrupt OR whose fields violate the declared types (e.g.
+    * a string in an `"integer"` field) is REJECTED — dropped and counted —
+    * never null-coerced into the table. Detection is `from_json`'s
+    * PERMISSIVE corrupt-record column: wrong-typed fields set it while legit
+    * JSON nulls don't, so validation rides the same compiled parse as the
+    * load itself. The rejected count is observed on the write job
+    * ([[Typed.rejectMetric]]) — no extra scan in scale mode;
+    * [[Typed.rejectedExact]] is the test-scale fallback (one extra parse).
     * The full six `_sdc_*` metadata columns are appended when
     * `addRecordMetadata` (reference config `target.py:16`, SDK B5). */
   private def typedRows(recs: Dataset[RawMsg], schema: StructType,
-                        version: Option[Long]): DataFrame = {
-    val parsed = recs
-      .select(col("seq"), from_json(col("payload"), schema).as("r"))
-      .filter(col("r").isNotNull)
+                        version: Option[Long]): Typed = {
+    val corruptCol = "_graft_corrupt_record"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"stream schema may not declare the reserved column $corruptCol")
+    val schemaC = StructType(schema.fields :+ StructField(corruptCol, StringType))
+    val parsedAll = recs.select(col("seq"),
+      from_json(col("payload"), schemaC,
+        Map("columnNameOfCorruptRecord" -> corruptCol, "mode" -> "PERMISSIVE"))
+        .as("r"))
+    val isRejected = col("r").isNull || col(s"r.`$corruptCol`").isNotNull
+    val rejMetric = s"graft_rejected_${java.util.UUID.randomUUID()}"
+    val parsed = parsedAll
+      .observe(rejMetric, coalesce(sum(when(isRejected, 1L).otherwise(0L)),
+        lit(0L)).as("rejected"))
+      .filter(!isRejected)
     val base = parsed.select((schema.fieldNames.map(f => col(s"r.`$f`")) :+ col("seq")): _*)
-    if (!addRecordMetadata) base
-    else base
-      // the tap's own extraction time is not carried by this feed shape;
-      // SDK semantics default it to receipt time when absent
-      .withColumn("_sdc_extracted_at", current_timestamp())
-      .withColumn("_sdc_received_at", current_timestamp())
-      .withColumn("_sdc_batched_at", current_timestamp())
-      .withColumn("_sdc_deleted_at", lit(null).cast("timestamp"))
-      .withColumn("_sdc_sequence", col("seq"))
-      .withColumn("_sdc_table_version",
-        version.map(lit(_)).getOrElse(lit(null)).cast("long"))
+    val valid =
+      if (!addRecordMetadata) base
+      else base
+        // the tap's own extraction time is not carried by this feed shape;
+        // SDK semantics default it to receipt time when absent
+        .withColumn("_sdc_extracted_at", current_timestamp())
+        .withColumn("_sdc_received_at", current_timestamp())
+        .withColumn("_sdc_batched_at", current_timestamp())
+        .withColumn("_sdc_deleted_at", lit(null).cast("timestamp"))
+        .withColumn("_sdc_sequence", col("seq"))
+        .withColumn("_sdc_table_version",
+          version.map(lit(_)).getOrElse(lit(null)).cast("long"))
+    Typed(valid, rejMetric, () => parsedAll.filter(isRejected).count())
   }
 
   /** Order/column alignment against the live table schema: name-resolved,
@@ -165,21 +190,28 @@ final class BatchLoader(
     else StreamMaps.flatten(mapped, flatteningMaxDepth)
   }
 
-  /** One write job per stream; the row count is observed ON the write job
-    * (`observe` + listener) so the parse/transform pipeline executes once —
-    * no separate count() scan (at 100 TB a second scan doubles ingest cost). */
+  /** One write job per stream; the written-row count AND the rejected-record
+    * count both ride the write job via `observe` + listener, so the
+    * parse/validate/transform pipeline executes once — no separate count()
+    * scan (at 100 TB a second scan doubles ingest cost). */
   private def appendScale(stream: String, rows: DataFrame,
-                          overwrite: Boolean): Long = {
+                          overwrite: Boolean, typed: Typed): (Long, Long) = {
     val data = rows.drop("seq")
     val metricName = s"graft_rows_${stream}_${java.util.UUID.randomUUID()}"
     val observed = data.observe(metricName, count(lit(1)).as("n"))
     @volatile var counted = -1L
+    @volatile var rejected = -1L
     val latch = new java.util.concurrent.CountDownLatch(1)
     val listener = new QueryExecutionListener {
-      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit = {
+        // both observe nodes live in the one write plan -> same QueryExecution
+        qe.observedMetrics.get(typed.rejectMetric).foreach { row =>
+          rejected = if (row.isNullAt(0)) 0L else row.getLong(0)
+        }
         qe.observedMetrics.get(metricName).foreach { row =>
           counted = row.getLong(0); latch.countDown()
         }
+      }
       override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
@@ -193,11 +225,11 @@ final class BatchLoader(
       val opts = Map("maxRecordsPerFile" -> batchSize.toString)
       if (overwrite) catalog.overwrite(namespace, stream, observed, opts)
       else catalog.append(namespace, stream, observed, opts)
-      // listener fires async after commit; fall back to a count only if the
-      // metric never arrives (defensive — should not happen)
+      // listener fires async after commit; fall back to counts only if the
+      // metrics never arrive (defensive — should not happen)
       if (latch.await(30, java.util.concurrent.TimeUnit.SECONDS) && counted >= 0)
-        counted
-      else data.count()
+        (counted, if (rejected >= 0) rejected else typed.rejectedExact())
+      else (data.count(), typed.rejectedExact())
     } finally {
       spark.listenerManager.unregister(listener)
       prevMax match {
@@ -248,6 +280,15 @@ object BatchLoader {
       mtype: String, stream: String, payload: String,
       keyProps: Seq[String], seq: Long)
 
+  /** A stream's validated rows plus the two ways to learn how many records
+    * validation rejected: the observe metric riding the write job (scale
+    * path, free) and an exact re-parse (strict/test path, one extra job). */
+  private[lake] final case class Typed(valid: DataFrame, rejectMetric: String,
+                                       rejectedExact: () => Long)
+
+  /** @param rejectedPerStream records dropped by B2 validation (corrupt JSON
+    *   or type-violating fields), keyed like `rowsPerStream`. */
   final case class LoadReport(rowsPerStream: Map[String, Long],
-                              statesToEcho: Seq[String])
+                              statesToEcho: Seq[String],
+                              rejectedPerStream: Map[String, Long] = Map.empty)
 }

@@ -72,6 +72,42 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("wrong-typed field is REJECTED and counted, not null-coerced (B2)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val lines = Seq(schemaLine, recordLine(1),
+      // `id` declared "integer"; a string there must reject the record...
+      """{"type":"RECORD","stream":"ev","record":{"id":"not-an-int","v":9.0}}""",
+      // ...while a legitimate JSON null in a nullable field must NOT
+      """{"type":"RECORD","stream":"ev","record":{"id":3,"v":null}}""",
+      recordLine(2))
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("ev") == 3L)
+    assert(report.rejectedPerStream == Map("ev" -> 1L))
+    val back = cat.load(ns, "ev")
+    assert(back.count() == 3)
+    // the bad record must not appear as a null-coerced row (v=9.0 marker)
+    assert(back.filter("v = 9.0").count() == 0)
+    cat.dropNamespace(ns)
+  }
+
+  test("strict mode also rejects and counts wrong-typed records (B2)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns, batchSize = 2,
+      strictBatches = true)
+    val lines = Seq(schemaLine, recordLine(1),
+      """{"type":"RECORD","stream":"ev","record":{"id":"bad","v":1.0}}""",
+      """{"type":"RECORD","stream":"ev","record":{"id":{"nested":1},"v":2.0}}""",
+      recordLine(2), recordLine(3))
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("ev") == 3L)
+    assert(report.rejectedPerStream == Map("ev" -> 2L))
+    assert(cat.load(ns, "ev").count() == 3)
+    cat.dropNamespace(ns)
+  }
+
   test("all six _sdc_* metadata columns injected when enabled (B5)") {
     val ns = freshNs()
     val cat = new CountingCatalog
