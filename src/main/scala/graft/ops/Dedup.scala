@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
   *     hashes `(a_i*h + b_i) mod p` — pure arithmetic — reduced per doc by a
   *     `groupBy(doc).min` that partially aggregates before the shuffle, so
   *     shuffle volume is docs x 16 longs no matter how large the corpus.
-  *     Candidate pairs come from grouping band keys and expanding in-bucket
-  *     combinations — the signature pipeline runs ONCE (a naive self-join
-  *     would execute it twice) and there is never an all-pairs cartesian.
-  *     Giant-bucket skew is the known hazard: AQE handles moderate skew,
-  *     salting the band key is the escape hatch.
+  *     Candidate pairs come from a self-equi-join on the band key — a
+  *     codegen'd shuffled hash join that streams in-bucket pairs (never an
+  *     all-pairs cartesian, never a materialized bucket row). Giant-bucket
+  *     skew is the known hazard: AQE splits hot keys, and a bucket-size cap
+  *     ([[DefaultMaxBucket]]) drops degenerate buckets.
   *   - SimHash: one md5 per distinct token, 60 bit-majority sums as plain
   *     aggregates (partial agg again), pigeonhole chunk bucketing for the
   *     Hamming join.
@@ -41,6 +41,16 @@ object Dedup {
   val BandRows = 4 // 4 bands x 4 rows: P(candidate) = 1-(1-J^4)^4
   private val NumBands = NumHashes / BandRows
   val MinhashPrime = 2147483647L // 2^31-1; base h < 2^28 so a*h+b < 2^63
+
+  /** Production default for the in-bucket pair-join cap, wired into the
+    * registered q23/q24/q51 queries. A bucket of b docs streams b^2/2 joined
+    * rows; at b = 10^4 that is ~5*10^7 comparisons per bucket — seconds of
+    * one core, the largest still-plausible near-dup cluster. Beyond it a
+    * bucket is a degenerate corpus slice (empty docs, boilerplate), not
+    * near-dups: at 10^5 one bucket alone would stream 5*10^9 rows. The cap
+    * never binds at oracle scale (sf0.01 buckets are < 10^2), so capped and
+    * uncapped queries agree with the DuckDB oracle there. */
+  val DefaultMaxBucket = 10000
 
   /** Affine-hash coefficients from a fixed-seed LCG (same literals are
     * injected into the DuckDB oracle SQL). */
@@ -78,21 +88,36 @@ object Dedup {
     expr(s"md5(concat_ws(',', ${parts.mkString(", ")}))")
   }
 
-  /** Distinct candidate pairs from banded LSH: group per band key, expand
-    * in-bucket combinations (ids normalized to id_a < id_b). */
-  private[ops] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val banded = minhashes(s, d).select(col("doc_id"),
+  /** Distinct candidate pairs from banded LSH via a self-EQUI-JOIN on
+    * (band, bkey) — the same shape as [[simhashPairs]]: a codegen'd shuffled
+    * hash join streams in-bucket pairs instead of materializing each band
+    * bucket as one `collect_list` array row and expanding pairs with an
+    * interpreted lambda (the former shape: a hot band key built one
+    * arbitrarily large row — an OOM hazard at 100 TB even with id-only
+    * payloads). The banded projection is a cheap native pass
+    * ([[graft.functions.ShingleMinHash]] + band md5s), so computing it on
+    * both join sides costs less than one bucket materialization; AQE
+    * skew-join splits hot (band, bkey) keys, and `maxBucket` drops
+    * pathological buckets (a bucket of b docs streams b^2/2 joined rows —
+    * see [[DefaultMaxBucket]] for sizing). */
+  private[ops] def minhashCandidates(s: SparkSession, d: String,
+                                     maxBucket: Option[Int] = None): DataFrame = {
+    def banded = minhashes(s, d).select(col("doc_id"),
       posexplode(array((0 until NumBands).map(bandKey): _*)).as(Seq("band", "bkey")))
-    banded.groupBy("band", "bkey")
-      .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    val bounded = maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        val sizes = banded.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+        banded.join(sizes.select("band", "bkey"), Seq("band", "bkey"),
+          "left_semi")
+    }
+    val l = bounded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+    val r = bounded.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can share several bands
   }
 
   /** C2 near-dup via MinHash + banded LSH, with exact shingle-set Jaccard on
@@ -101,7 +126,7 @@ object Dedup {
     val sh = shingled(s, d)
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    minhashCandidates(s, d)
+    minhashCandidates(s, d, Some(DefaultMaxBucket))
       .join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         round(expr("size(array_intersect(sh_a, sh_b))") /
@@ -168,7 +193,7 @@ object Dedup {
     * sf0.1 on this corpus, ~100x that at sf1) — the per-doc aggregate is the
     * output shape that stays linear in the corpus at any scale. */
   def q24DedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val pairs = simhashPairs(s, d)
+    val pairs = simhashPairs(s, d, Some(DefaultMaxBucket))
     pairs.select(col("id_a").as("doc_id"), col("hamming"))
       .unionAll(pairs.select(col("id_b").as("doc_id"), col("hamming")))
       .groupBy("doc_id")
@@ -185,7 +210,7 @@ object Dedup {
       .select(col("doc_id"), expr("substring(text, 1, 60)").as("prefix"))
     val a = docs.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
     val b = docs.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
-    minhashCandidates(s, d)
+    minhashCandidates(s, d, Some(DefaultMaxBucket))
       .join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))

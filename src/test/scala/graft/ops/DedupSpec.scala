@@ -77,6 +77,16 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("candidate pairs stream through joins — no bucket materialization") {
+    // a collect_list bucket row is the 100 TB OOM shape the self-equi-join
+    // replaced; guard all three LSH-candidate consumers
+    for (q <- Seq(Dedup.q23DedupMinhash _, Dedup.q24DedupSimhash _,
+        Dedup.q51DedupEditDistance _)) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("collect_list"), plan.take(1500))
+    }
+  }
+
   test("minhash signatures are one shuffle-free codegen'd projection") {
     val shPlan = Dedup.shingled(spark, sf).queryExecution.executedPlan.toString
     assert(!shPlan.contains("Exchange"), shPlan.take(1500))
