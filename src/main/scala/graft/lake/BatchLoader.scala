@@ -112,7 +112,8 @@ final class BatchLoader(
         val aligned = alignTo(mapped, catalog.load(namespace, target).schema)
         val (n, rejected) =
           if (strictBatches)
-            (appendStrict(target, aligned), typed.rejectedExact())
+            (appendStrict(target, aligned, overwrite = version.isDefined),
+              typed.rejectedExact())
           else appendScale(target, aligned, overwrite = version.isDefined, typed)
         target -> ((n, rejected))
       }
@@ -239,7 +240,11 @@ final class BatchLoader(
     }
   }
 
-  private def appendStrict(stream: String, rows: DataFrame): Long = {
+  /** Per-slice commit cadence; with `overwrite` (ACTIVATE_VERSION) the FIRST
+    * slice replaces the table contents and later slices append — same final
+    * table as scale mode's single overwrite commit, per-batch cadence kept. */
+  private def appendStrict(stream: String, rows: DataFrame,
+                           overwrite: Boolean = false): Long = {
     // row_number over global input order: single-partition window — strict
     // mode is protocol-fidelity testing only (see class doc).
     val w = Window.orderBy("seq")
@@ -250,11 +255,15 @@ final class BatchLoader(
       val batchIds = sliced.select("__batch").distinct()
         .collect().map(_.getLong(0)).sorted
       var total = 0L
-      batchIds.foreach { b =>
+      batchIds.zipWithIndex.foreach { case (b, i) =>
         val slice = sliced.filter(col("__batch") === b).drop("__batch", "seq")
-        catalog.append(namespace, stream, slice)
+        if (overwrite && i == 0) catalog.overwrite(namespace, stream, slice)
+        else catalog.append(namespace, stream, slice)
         total += slice.count()
       }
+      // an ACTIVATE_VERSION with zero records still truncates (full swap)
+      if (overwrite && batchIds.isEmpty)
+        catalog.overwrite(namespace, stream, sliced.drop("__batch", "seq").limit(0))
       total
     } finally sliced.unpersist()
   }

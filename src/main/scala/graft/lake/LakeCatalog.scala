@@ -1,6 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Namespace/table lifecycle + append — the capability surface of the
@@ -48,10 +49,12 @@ trait LakeCatalog {
                 options: Map[String, String] = Map.empty): Unit
   def load(ns: String, table: String): DataFrame
   def dropNamespace(ns: String): Unit
-  /** Small-file compaction: rewrite the table into ~`targetFiles` files.
-    * Streaming/batched appends accumulate small files (one per task per
-    * commit); at 100 TB scans pay for every file open, so periodic
-    * compaction is part of lake hygiene. This implementation rewrites the
+  /** Small-file compaction: rewrite the table into ~`targetFiles` files,
+    * PRESERVING its partition layout (partition pruning must survive
+    * compaction). Streaming/batched appends accumulate small files (one per
+    * task per commit); at 100 TB scans pay for every file open, so periodic
+    * compaction is part of lake hygiene. Bucketed tables are refused — a
+    * rewrite would drop the bucket spec. This implementation rewrites the
     * whole table (fine for the local catalog); a production Iceberg catalog
     * would rewrite per-partition via its own rewrite_data_files action. */
   def compact(ns: String, table: String, targetFiles: Int): Unit
@@ -134,13 +137,36 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
   override def dropNamespace(ns: String): Unit =
     spark.sql(s"DROP NAMESPACE IF EXISTS `$ns` CASCADE")
 
+  /** True when the table was created with a bucket spec ([[writeBucketed]]).
+    * The catalyst Catalog API exposes partition columns but not bucketing, so
+    * this reads the DESCRIBE FORMATTED metadata section. */
+  private def isBucketed(ns: String, table: String): Boolean =
+    spark.sql(s"DESCRIBE FORMATTED ${id(ns, table)}").collect()
+      .exists(r => r.getString(0) == "Num Buckets")
+
   override def compact(ns: String, table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    // localCheckpoint severs lineage eagerly — a cached plan could be
-    // evicted and recomputed from files AFTER the overwrite truncates them
-    val snapshot = load(ns, table).repartition(targetFiles)
+    // Bucketed tables are refused: a plain rewrite would silently drop the
+    // bucket spec (and with it the shuffle-free join property), and
+    // writeBucketed already rewrites them whole — compacting one is a no-op
+    // request, not hygiene.
+    require(!isBucketed(ns, table),
+      s"$ns.$table is bucketed — compact() would drop its bucket spec; " +
+        "rewrite via writeBucketed instead")
+    val parts = partitionColsOf(ns, table)
+    // Partition-preserving rewrite: co-locate rows of a partition so each
+    // task writes whole files for few partitions (a bare repartition(n)
+    // scatters every partition over all n tasks -> n files per partition,
+    // recreating the small-file problem being fixed).
+    val snapshot0 = load(ns, table)
+    val snapshot = (if (parts.nonEmpty)
+        snapshot0.repartition(targetFiles, parts.map(p => col(s"`$p`")): _*)
+      else snapshot0.repartition(targetFiles))
+      // localCheckpoint severs lineage eagerly — a cached plan could be
+      // evicted and recomputed from files AFTER the overwrite truncates them
       .localCheckpoint(true)
-    snapshot.write.format("parquet").mode("overwrite")
+    val w = snapshot.write.format("parquet").mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .saveAsTable(id(ns, table))
   }
 }

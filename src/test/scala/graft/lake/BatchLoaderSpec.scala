@@ -139,6 +139,32 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("ACTIVATE_VERSION honored in strict mode — same final table as scale mode") {
+    // identical feeds through both modes: pre-existing rows, then a versioned
+    // swap feed; the old rows must be gone in BOTH (strict used to append)
+    def runMode(strict: Boolean): Set[Long] = {
+      val ns = freshNs()
+      val cat = new CountingCatalog
+      new BatchLoader(spark, cat, ns)
+        .load(spark.createDataset(Seq(schemaLine) ++ (1 to 3).map(recordLine)))
+      assert(cat.load(ns, "ev").count() == 3)
+      val loader = new BatchLoader(spark, cat, ns, batchSize = 2,
+        strictBatches = strict)
+      val swap = Seq(schemaLine,
+        """{"type":"ACTIVATE_VERSION","stream":"ev","version":9}""") ++
+        (7 to 11).map(recordLine)
+      val report = loader.load(spark.createDataset(swap))
+      assert(report.rowsPerStream("ev") == 5L)
+      val ids = cat.load(ns, "ev").select("id").collect()
+        .map(_.getLong(0)).toSet
+      cat.dropNamespace(ns)
+      ids
+    }
+    val strictIds = runMode(strict = true)
+    assert(strictIds == runMode(strict = false))
+    assert(strictIds == (7L to 11L).toSet)
+  }
+
   test("scale-mode count is observed on the write job (no second scan)") {
     val ns = freshNs()
     val cat = new CountingCatalog

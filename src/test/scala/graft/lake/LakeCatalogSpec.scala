@@ -46,6 +46,37 @@ class LakeCatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat.compact("x", "y", 0))
   }
 
+  test("compact preserves partition layout — pruning survives compaction") {
+    val ns = s"cmpp_${System.nanoTime()}"
+    val cat = new SessionLakeCatalog(spark)
+    val df = (1L to 400L).map(i => (i, s"c${i % 2}")).toDF("id", "cat")
+    cat.ensureTable(ns, "t", df.schema, partitionBy = Seq("cat"))
+    (0 until 4).foreach(_ => cat.append(ns, "t", df.repartition(5)))
+    val before = parquetFiles(tableDir(ns, "t")).size
+    assert(before >= 20, s"expected many small files, got $before")
+    cat.compact(ns, "t", targetFiles = 2)
+    assert(parquetFiles(tableDir(ns, "t")).size <= 4)
+    // partition directories survived the rewrite...
+    val dirs = Files.list(tableDir(ns, "t")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("cat=")).toSet
+    assert(dirs == Set("cat=c0", "cat=c1"), dirs.mkString(","))
+    // ...and so did pruning and the data
+    val plan = cat.load(ns, "t")
+      .filter($"cat" === "c0").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cat"), plan.take(1500))
+    assert(cat.load(ns, "t").count() == 1600)
+    cat.dropNamespace(ns)
+  }
+
+  test("compact refuses bucketed tables (a rewrite would drop the bucket spec)") {
+    val ns = s"cmpb_${System.nanoTime()}"
+    val cat = new SessionLakeCatalog(spark)
+    cat.writeBucketed(ns, "t", (1L to 100L).toDF("id"), Seq("id"), 4)
+    val e = intercept[IllegalArgumentException](cat.compact(ns, "t", 2))
+    assert(e.getMessage.contains("bucket"))
+    cat.dropNamespace(ns)
+  }
+
   test("partition_by config lands a partitioned directory layout") {
     val ns = s"part_${System.nanoTime()}"
     val cat = new SessionLakeCatalog(spark)
