@@ -47,8 +47,19 @@ object GraftTarget {
           // copy buffer — O(buffer) driver memory regardless of feed size —
           // then read it like any file input (full executor parallelism,
           // splittable). The former createDataset(getLines.toSeq) held the
-          // entire feed on the driver heap.
-          spark.read.textFile(spoolToTempFile(System.in).toString)
+          // entire feed on the driver heap. The spool lives on the DRIVER's
+          // local disk: remote executors cannot read it, so stdin mode is
+          // local-master only (remote deployments pass --input on a shared
+          // filesystem), and the path is an explicit file:// URI so it never
+          // resolves against a non-local default filesystem.
+          if (!spark.sparkContext.isLocal) {
+            System.err.println("stdin input requires a local master " +
+              s"(got ${spark.sparkContext.master}): executors cannot read " +
+              "the driver's spool file — use --input <path> on a shared " +
+              "filesystem instead")
+            sys.exit(2)
+          }
+          spark.read.textFile(spoolToTempFile(System.in).toUri.toString)
       }
       val loader = new BatchLoader(spark, new SessionLakeCatalog(spark),
         namespace = cfg.icebergCatalogNamespaceName,

@@ -79,14 +79,19 @@ trait BinaryVecExpr extends BinaryExpression {
   }
 }
 
-/** `vec_dot(a, b)` -> double: inner product over min(len(a), len(b))
-  * elements, accumulated in double. */
+/** `vec_dot(a, b)` -> double: inner product, accumulated in double.
+  * NULL on length mismatch — parity with the zip_with lambda this replaced
+  * (null-padded tail -> null sum) and a loud surface for dimension bugs in
+  * the corpus; DuckDB's list functions error outright on mismatch, so a
+  * silent min-length result would mask exactly the rows the oracle trips
+  * on. */
 case class VecDot(left: Expression, right: Expression) extends BinaryVecExpr {
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 
   override def compute(a: ArrayData, b: ArrayData): Any = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += elemL(a, i) * elemR(b, i); i += 1 }
@@ -96,13 +101,15 @@ case class VecDot(left: Expression, right: Expression) extends BinaryVecExpr {
 
 /** `vec_cosine(a, b)` -> double: cosine similarity
   * `dot(a,b) / (|a| * |b|)`, computed in one pass. Null when either norm
-  * is zero (DuckDB's `list_cosine_similarity` would divide by zero). */
+  * is zero (DuckDB's `list_cosine_similarity` would divide by zero) and on
+  * length mismatch — see [[VecDot]] for the parity rationale. */
 case class VecCosine(left: Expression, right: Expression) extends BinaryVecExpr {
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
     copy(left = l, right = r)
 
   override def compute(a: ArrayData, b: ArrayData): Any = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -113,11 +120,6 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryVecExpr 
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    // norms over the full vectors (tail beyond min length still contributes)
-    var j = n
-    while (j < a.numElements()) { val x = elemL(a, j); na += x * x; j += 1 }
-    j = n
-    while (j < b.numElements()) { val y = elemR(b, j); nb += y * y; j += 1 }
     if (na == 0.0 || nb == 0.0) null
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }

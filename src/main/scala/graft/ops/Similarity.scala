@@ -186,21 +186,24 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** Validation scale for [[q27ApproxDistinct]]'s exact-count self-check,
-    * parsed from the testdata dir name (driver contract: `.../sf0.01`).
-    * Unparseable dirs validate (tests use tiny data). */
-  private def validateScale(dir: String): Boolean =
-    "sf([0-9]*\\.?[0-9]+)".r.findFirstMatchIn(dir)
-      .forall(_.group(1).toDouble <= 0.011)
+  /** Opt-in gate for [[q27ApproxDistinct]]'s exact-count self-check. Set by
+    * [[graft.Verify]] (the correctness driver) — an EXPLICIT flag, not a
+    * data-dir-name sniff: a production path without an `sfN` segment must
+    * default to the cheap sketch-only branch, never accidentally run the
+    * exact countDistinct the sketch exists to avoid. */
+  val ExactCheckConf = "spark.graft.q27.exactCheck"
+  private def validateExact(s: SparkSession): Boolean =
+    s.conf.getOption(ExactCheckConf).contains("true")
 
-  /** C4 approximate distinct: HLL++ `approx_count_distinct` (rsd 1%). At
-    * oracle scale (sf <= 0.01) the exact count runs alongside and `n_users`
-    * is exact with `approx_ok` checking the sketch's error — the DuckDB hash
-    * oracle verifies accuracy without bit-matching HLL internals. At bench/
-    * production scale the exact side is DROPPED (it would dominate the cost
-    * of the sketch it validates): `n_users` is the sketch estimate. */
+  /** C4 approximate distinct: HLL++ `approx_count_distinct` (rsd 1%). Under
+    * [[ExactCheckConf]] (correctness runs only) the exact count runs
+    * alongside and `n_users` is exact with `approx_ok` checking the sketch's
+    * error — the DuckDB hash oracle verifies accuracy without bit-matching
+    * HLL internals. Otherwise (bench/production default) the exact side is
+    * DROPPED (it would dominate the cost of the sketch it validates):
+    * `n_users` is the sketch estimate. */
   def q27ApproxDistinct(s: SparkSession, d: String): DataFrame =
-    if (validateScale(d))
+    if (validateExact(s))
       events(s, d).agg(
         countDistinct(col("user_id")).as("n_users"),
         approx_count_distinct(col("user_id"), 0.01).as("approx"))

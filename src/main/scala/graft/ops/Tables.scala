@@ -12,16 +12,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column named `ts` either way, so every operator sees one shape.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Date/epoch queries must agree with the (UTC) DuckDB oracle regardless
-    // of who built the session: pin the session timezone once if the host
-    // harness left it on a machine-local default.
-    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+  /** One-time session preparation, idempotent and safe to call per read:
+    * pin the conf this library needs ONLY where the host harness left it
+    * UNSET — an explicitly-set value is the user's choice and is never
+    * flipped, even when it will fail loudly later (e.g. an explicit
+    * `nanosAsLong=false` makes the events read throw PARQUET_TYPE_ILLEGAL;
+    * that beats silently overriding the session). Explicit-vs-default is
+    * `sessionState.conf.contains` — `conf.getOption` returns the DEFAULT for
+    * registered entries, so it cannot make this distinction. Also registers
+    * the native text-hash expressions used by Dedup/TextOps. */
+  def prepareSession(spark: SparkSession): Unit = {
+    // date/epoch queries agree with the (UTC) DuckDB oracle unless the user
+    // explicitly pinned another zone
+    if (!spark.sessionState.conf.contains("spark.sql.session.timeZone"))
       spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // native text-hash expressions used by Dedup/TextOps (registered once)
+    // events.ts is parquet TIMESTAMP(NANOS) — readable only via nanosAsLong
+    if (!spark.sessionState.conf.contains("spark.sql.legacy.parquet.nanosAsLong"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_minhash")))
       graft.functions.TextHashExprs.register(spark)
+  }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    prepareSession(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -39,11 +53,8 @@ object Tables {
     import org.apache.spark.sql.functions._
     // Spark rejects parquet TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL);
     // the supported route is reading nanos as Long, then converting. The flag
-    // is set at session build in Verify/Bench/TestSpark; this is a fallback
-    // for externally-built sessions, applied only when absent so repeated
-    // calls never flip an explicit setting.
-    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // is set at session build in Verify/Bench/TestSpark and pinned by
+    // prepareSession (inside t) only when unset.
     val df = t(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -57,6 +57,16 @@ class VecExprsSpec extends AnyFunSuite {
     assert(r.isNullAt(2), "null input must propagate")
   }
 
+  test("length-mismatched vectors yield null, not a min-length result") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(expr("vec_dot(a, b)").as("d"),
+      expr("vec_cosine(a, b)").as("c")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "dimension bugs must surface as null (prior lambda semantics), " +
+        "never as a silent min-length number")
+  }
+
   test("rhp_bucket == the per-plane CASE/lambda bucket, for every corpus row") {
     val planes = Similarity.hyperplanes
     val caseSql = planes.zipWithIndex.map { case (p, j) =>

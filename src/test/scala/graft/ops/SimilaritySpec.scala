@@ -65,8 +65,18 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("approx distinct stays within the 5% contract at sf0.001") {
-    val r = Similarity.q27ApproxDistinct(spark, sf).collect().head
-    assert(r.getAs[Boolean]("approx_ok"))
+    spark.conf.set(Similarity.ExactCheckConf, "true")
+    try {
+      val r = Similarity.q27ApproxDistinct(spark, sf).collect().head
+      assert(r.getAs[Boolean]("approx_ok"))
+    } finally spark.conf.unset(Similarity.ExactCheckConf)
+  }
+
+  test("approx distinct defaults to sketch-only — no exact count in the plan") {
+    val q = Similarity.q27ApproxDistinct(spark, sf)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("count(distinct"), plan.take(1200))
+    assert(q.collect().head.getAs[Boolean]("approx_ok")) // lit(true) marker
   }
 
   test("hyperplanes are deterministic across invocations") {
