@@ -147,8 +147,12 @@ case class ShingleMinHash(child: Expression) extends SingleArgHashExpr {
   }
 }
 
-/** `char_bigrams(text)` -> array<string> of all consecutive 2-char windows
-  * (same values as `substr(text, i, 2)` for i in 1..len-1). */
+/** `char_bigrams(text)` -> array<string> of all consecutive 2-CODEPOINT
+  * windows — the same values as `substr(text, i, 2)` for i in 1..len-1 in
+  * BOTH engines (Spark's UTF8String substring and DuckDB's substr count
+  * code points, so iterating UTF-16 code units here would split surrogate
+  * pairs and disagree with each). BMP-only strings take an index-arithmetic
+  * fast path; supplementary-plane strings step via offsetByCodePoints. */
 case class CharBigrams(child: Expression) extends SingleArgHashExpr {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
@@ -157,12 +161,26 @@ case class CharBigrams(child: Expression) extends SingleArgHashExpr {
 
   override def compute(s: UTF8String): Any = {
     val str = s.toString
-    if (str.length < 2) return null
-    val out = new Array[Any](str.length - 1)
-    var i = 0
-    while (i < str.length - 1) {
-      out(i) = UTF8String.fromString(str.substring(i, i + 2))
-      i += 1
+    val nCp = str.codePointCount(0, str.length)
+    if (nCp < 2) return null
+    val out = new Array[Any](nCp - 1)
+    if (nCp == str.length) { // no surrogate pairs: char index == codepoint
+      var i = 0
+      while (i < nCp - 1) {
+        out(i) = UTF8String.fromString(str.substring(i, i + 2))
+        i += 1
+      }
+    } else {
+      var start = 0 // char offset of the window's first codepoint
+      var next = str.offsetByCodePoints(start, 1)
+      var k = 0
+      while (k < nCp - 1) {
+        val end = str.offsetByCodePoints(next, 1)
+        out(k) = UTF8String.fromString(str.substring(start, end))
+        start = next
+        next = end
+        k += 1
+      }
     }
     new GenericArrayData(out)
   }
@@ -200,7 +218,10 @@ case class WordShingles(child: Expression) extends SingleArgHashExpr {
 
 /** `token_simhash(text)` -> bigint: 60-bit SimHash over the DISTINCT
   * space-split tokens — bit b set iff a strict majority of token hashes
-  * (int(hex15(md5(token)))) have bit b set. Null for empty text. */
+  * (int(hex15(md5(token)))) have bit b set. Never null for non-null input:
+  * `"".split(" ", -1)` yields one empty token (as does DuckDB's
+  * string_split, keeping parity), so empty text hashes that token; the
+  * null guard below is defensive only. */
 case class TokenSimHash(child: Expression) extends SingleArgHashExpr {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -230,9 +251,11 @@ case class TokenSimHash(child: Expression) extends SingleArgHashExpr {
   }
 }
 
-/** `rolling_fingerprint(text)` -> bigint: min over all 12-char windows of
-  * int(hex15(md5(window))) — the winnowing-style document fingerprint.
-  * Null when the text is shorter than 12 chars. */
+/** `rolling_fingerprint(text)` -> bigint: min over all 12-CODEPOINT windows
+  * of int(hex15(md5(window))) — the winnowing-style document fingerprint.
+  * Windows are code points (not UTF-16 units) for the same two-engine
+  * parity reason as [[CharBigrams]]. Null when the text is shorter than 12
+  * code points. */
 case class RollingFingerprint(child: Expression) extends SingleArgHashExpr {
   val WindowLen = 12
 
@@ -243,14 +266,32 @@ case class RollingFingerprint(child: Expression) extends SingleArgHashExpr {
 
   override def compute(s: UTF8String): Any = {
     val str = s.toString
-    if (str.length < WindowLen) return null
+    val n = str.length
+    val nCp = str.codePointCount(0, n)
+    if (nCp < WindowLen) return null
     val md = MessageDigest.getInstance("MD5")
     var minV = Long.MaxValue
-    var i = 0
-    while (i <= str.length - WindowLen) {
-      val h = TextHashExprs.md5PrefixLong(md, str.substring(i, i + WindowLen), 15)
-      if (h < minV) minV = h
-      i += 1
+    if (nCp == n) { // BMP fast path: char index == codepoint, no bounds array
+      var i = 0
+      while (i <= n - WindowLen) {
+        val h = TextHashExprs.md5PrefixLong(md, str.substring(i, i + WindowLen), 15)
+        if (h < minV) minV = h
+        i += 1
+      }
+    } else {
+      // char offset of each codepoint boundary, computed once per document
+      val bounds = new Array[Int](nCp + 1)
+      var ci = 0
+      var off = 0
+      while (off < n) { bounds(ci) = off; off = str.offsetByCodePoints(off, 1); ci += 1 }
+      bounds(nCp) = n
+      var i = 0
+      while (i <= nCp - WindowLen) {
+        val h = TextHashExprs.md5PrefixLong(md,
+          str.substring(bounds(i), bounds(i + WindowLen)), 15)
+        if (h < minV) minV = h
+        i += 1
+      }
     }
     java.lang.Long.valueOf(minV)
   }

@@ -338,6 +338,10 @@ object Relational {
     val monthly = lineitem(s, d)
       .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
       .agg(round(sum(revenue), 2).as("rev"))
+    // no-partition window is intentional: input is ONE ROW PER MONTH after
+    // the aggregate (~84 rows over the 7-year corpus — bounded by calendar
+    // time, not data volume), so the single-partition sort is trivial at
+    // any scale; the heavy lifting happened in the distributed groupBy
     val w = Window.orderBy("m")
     monthly
       .withColumn("prev_rev", lag("rev", 1).over(w))

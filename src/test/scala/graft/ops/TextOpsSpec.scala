@@ -45,4 +45,31 @@ class TextOpsSpec extends AnyFunSuite {
     // partial + final HashAggregate pair around one exchange
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
+
+  test("char windows are CODE POINTS — supplementary-plane parity with substr") {
+    import spark.implicits._
+    graft.functions.TextHashExprs.register(spark)
+    // U+1F600/U+1F4A9 are surrogate PAIRS in UTF-16; both Spark's substr
+    // (UTF8String) and DuckDB's substr count code points, so the native
+    // expressions must too — a UTF-16 window would split the pairs
+    val s = "a😀b💩cdefghijk" // 14 code points, 16 chars
+    val df = Seq(s).toDF("text")
+    val bigrams = df.selectExpr("char_bigrams(text) AS bg",
+      // the scaladoc contract, written in SQL: substr(text, i, 2)
+      "transform(sequence(1, char_length(text) - 1), i -> substr(text, i, 2)) AS oracle")
+      .collect().head
+    assert(bigrams.getSeq[String](0) == bigrams.getSeq[String](1))
+    val fp = df.selectExpr("rolling_fingerprint(text) AS native",
+      """array_min(transform(sequence(1, char_length(text) - 11),
+        |  i -> cast(conv(substr(md5(substr(text, i, 12)), 1, 15), 16, 10) as bigint))) AS oracle"""
+        .stripMargin).collect().head
+    assert(fp.getLong(0) == fp.getLong(1))
+    // BMP fast path and codepoint slow path agree on pure-ASCII input
+    val ascii = Seq("hello world fingerprints").toDF("text")
+      .selectExpr("rolling_fingerprint(text) AS n",
+        """array_min(transform(sequence(1, char_length(text) - 11),
+          |  i -> cast(conv(substr(md5(substr(text, i, 12)), 1, 15), 16, 10) as bigint))) AS o"""
+          .stripMargin).collect().head
+    assert(ascii.getLong(0) == ascii.getLong(1))
+  }
 }
