@@ -102,16 +102,9 @@ object Dedup {
     * see [[DefaultMaxBucket]] for sizing). */
   private[ops] def minhashCandidates(s: SparkSession, d: String,
                                      maxBucket: Option[Int] = None): DataFrame = {
-    def banded = minhashes(s, d).select(col("doc_id"),
+    val banded = minhashes(s, d).select(col("doc_id"),
       posexplode(array((0 until NumBands).map(bandKey): _*)).as(Seq("band", "bkey")))
-    val bounded = maxBucket match {
-      case None => banded
-      case Some(cap) =>
-        val sizes = banded.groupBy("band", "bkey")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
-        banded.join(sizes.select("band", "bkey"), Seq("band", "bkey"),
-          "left_semi")
-    }
+    val bounded = capBuckets(banded, Seq("band", "bkey"), maxBucket)
     val l = bounded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
     val r = bounded.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
     l.join(r, Seq("band", "bkey"))
@@ -119,6 +112,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair can share several bands
   }
+
+  /** Annotate rows with their bucket size via a count-over-partition window
+    * and drop rows in buckets larger than `cap`. The window partition keys
+    * equal the downstream join keys, so the cap rides the SAME shuffle the
+    * self-equi-join needs — one signature scan, one exchange, both join
+    * sides reuse it (AQE stage reuse). The groupBy + left-semi alternative
+    * re-scans the signature pipeline (md5 per shingle/token — the expensive
+    * part) once more; at 100 TB that extra full pass costs far more than
+    * the window's disk-spilled buffering of the few degenerate buckets the
+    * cap exists to drop. */
+  private def capBuckets(df: DataFrame, keys: Seq[String],
+                         maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case None => df
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+        df.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= cap)
+          .drop("__n")
+    }
 
   /** C2 near-dup via MinHash + banded LSH, with exact shingle-set Jaccard on
     * the (tiny) candidate set. Output: candidate pairs + jaccard. */
@@ -153,9 +167,9 @@ object Dedup {
     * `collect_list` + interpreted-lambda expansion (which materialized every
     * chunk bucket as one array row and evaluated the quadratic expansion
     * interpreted — the q24 hot spot at 5.2 s in BENCH_r02, and an OOM shape
-    * for dense clusters at scale). The simhash projection is a cheap native
-    * pass ([[graft.functions.TokenSimHash]]), so computing it on both join
-    * sides costs less than one bucket materialization. The Hamming filter
+    * for dense clusters at scale). Both join sides shuffle on the same
+    * (chunk, ckey) key from the same child plan, so AQE stage reuse runs
+    * the signature scan ONCE and feeds both sides. The Hamming filter
     * runs BEFORE the pair-dedup so the distinct only sees real near-dups;
     * dense clusters still produce quadratically many joined rows per bucket,
     * but they stream through the join — AQE skew-join splits hot (chunk,
@@ -164,18 +178,11 @@ object Dedup {
     * the signal of a degenerate corpus slice, not near-dups). */
   private[ops] def simhashPairs(s: SparkSession, d: String,
                                 maxBucket: Option[Int] = None): DataFrame = {
-    def chunks = simhashes(s, d).select(col("doc_id"), col("sim"),
+    val chunks = simhashes(s, d).select(col("doc_id"), col("sim"),
       posexplode(expr(
         "transform(sequence(0,3), c -> (sim div shiftleft(cast(1 as bigint), c*15)) % 32768)"))
         .as(Seq("chunk", "ckey")))
-    val bounded = maxBucket match {
-      case None => chunks
-      case Some(cap) =>
-        val sizes = chunks.groupBy("chunk", "ckey")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
-        chunks.join(sizes.select("chunk", "ckey"), Seq("chunk", "ckey"),
-          "left_semi")
-    }
+    val bounded = capBuckets(chunks, Seq("chunk", "ckey"), maxBucket)
     val l = bounded.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_a"), col("sim").as("sim_a"))
     val r = bounded.select(col("chunk"), col("ckey"),
