@@ -31,9 +31,12 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *     (sinks.py:36-100) for protocol-fidelity tests. O(rows/batchSize)
   *     Spark jobs — test-scale only, never the production path.
   *
+  * Mid-stream SCHEMA changes follow the SDK's drain-then-switch: each RECORD
+  * is typed under the schema most recently declared before it (the feed
+  * splits into per-SCHEMA segments, one write each; segment count is bounded
+  * by SCHEMA messages, not data volume).
+  *
   * Documented divergences from the SDK (intentional, batch-mode semantics):
-  *   - "last SCHEMA wins" applies to ALL of a stream's records in the feed
-  *     (the SDK drains pending records under the old schema first);
   *   - records for streams with no SCHEMA message are dropped, not an error;
   *   - scale mode echoes only the LAST STATE (after all appends are
   *     durable) — bounds driver memory O(1) against STATE-per-record taps;
@@ -88,10 +91,21 @@ final class BatchLoader(
       else
         msgs.filter($"mtype" === "STATE")
           .orderBy(desc("seq")).limit(1).collect().map(_.payload).toSeq
-    val schemas: Map[String, (StructType, Seq[String])] =
-      control.collect { case RawMsg("SCHEMA", s, js, kp, _) =>
-        s -> ((SchemaConv.toStructType(js), kp))
-      }.toMap // last SCHEMA per stream wins (divergence documented above)
+    // SDK drain-then-switch semantics (SURVEY §3.1): each RECORD is typed
+    // under the schema most recently declared BEFORE it, so a stream's feed
+    // splits into one segment per SCHEMA message (almost always one). The
+    // segment count — and with it the write-job count — is bounded by the
+    // number of SCHEMA messages, not by data volume.
+    val segments: Map[String, Seq[SchemaSegment]] =
+      control.collect { case RawMsg("SCHEMA", s, js, kp, seq) =>
+        (s, SchemaConv.toStructType(js), kp, seq)
+      }.groupBy(_._1).map { case (stream, decls) =>
+        val ordered = decls.sortBy(_._4)
+        stream -> ordered.zipWithIndex.map { case ((_, st, _, seq), i) =>
+          val hi = if (i + 1 < ordered.length) ordered(i + 1)._4 else Long.MaxValue
+          SchemaSegment(st, seq, hi)
+        }.toSeq
+      }
     val activatedVersions: Map[String, Long] =
       control.collect { case RawMsg("ACTIVATE_VERSION", s, v, _, _) =>
         s -> v.toLong
@@ -99,23 +113,32 @@ final class BatchLoader(
 
     val records = msgs.filter($"mtype" === "RECORD").cache()
     try {
-      val counts = schemas.map { case (stream, (schema, _)) =>
-        val streamRecs = records.filter($"stream" === stream)
+      val counts = segments.map { case (stream, segs) =>
         val version = activatedVersions.get(stream)
-        val typed = typedRows(streamRecs, schema, version)
-        val mapped = applyTransforms(stream, typed.valid)
         val target = streamMaps.get(stream).flatMap(_.alias).getOrElse(stream)
-        catalog.ensureTable(namespace, target, mapped.drop("seq").schema,
-          partitionBy.getOrElse(stream, Nil))
-        // schema evolution (A12): the table may have more columns than this
-        // feed declares (earlier schemas) — align by name, null-fill the rest
-        val aligned = alignTo(mapped, catalog.load(namespace, target).schema)
-        val (n, rejected) =
-          if (strictBatches)
-            (appendStrict(target, aligned, overwrite = version.isDefined),
-              typed.rejectedExact())
-          else appendScale(target, aligned, overwrite = version.isDefined, typed)
-        target -> ((n, rejected))
+        var total = 0L
+        var totalRejected = 0L
+        segs.zipWithIndex.foreach { case (seg, i) =>
+          val segRecs = records.filter($"stream" === stream &&
+            $"seq" > seg.fromSeq && $"seq" < seg.untilSeq)
+          val typed = typedRows(segRecs, seg.schema, version)
+          val mapped = applyTransforms(stream, typed.valid)
+          // segment schemas evolve the table in declaration order (A12)
+          catalog.ensureTable(namespace, target, mapped.drop("seq").schema,
+            partitionBy.getOrElse(stream, Nil))
+          // the table may have more columns than this segment declares
+          // (earlier schemas/feeds) — align by name, null-fill the rest
+          val aligned = alignTo(mapped, catalog.load(namespace, target).schema)
+          // ACTIVATE_VERSION swaps the table on the FIRST write, appends after
+          val overwrite = version.isDefined && i == 0
+          val (n, rejected) =
+            if (strictBatches)
+              (appendStrict(target, aligned, overwrite), typed.rejectedExact())
+            else appendScale(target, aligned, overwrite, typed)
+          total += n
+          totalRejected += rejected
+        }
+        target -> ((total, totalRejected))
       }
       LoadReport(counts.map { case (t, (n, _)) => t -> n },
         statesToEcho,
@@ -288,6 +311,11 @@ object BatchLoader {
   private[lake] final case class RawMsg(
       mtype: String, stream: String, payload: String,
       keyProps: Seq[String], seq: Long)
+
+  /** One per-stream SCHEMA declaration and the half-open seq interval of the
+    * records it governs (drain-then-switch, SURVEY §3.1). */
+  private[lake] final case class SchemaSegment(schema: StructType,
+                                               fromSeq: Long, untilSeq: Long)
 
   /** A stream's validated rows plus the two ways to learn how many records
     * validation rejected: the observe metric riding the write job (scale

@@ -108,6 +108,29 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("mid-stream SCHEMA change drains then switches (SDK semantics)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    // v2 REMOVES the v field: under the old "last SCHEMA wins retroactively"
+    // behavior record 1 would lose its v value; under drain-then-switch each
+    // record is typed by the schema declared before it
+    val v2 = """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+      |"id":{"type":["integer"]}}}}""".stripMargin.replaceAll("\n", "")
+    val lines = Seq(
+      schemaLine,  // v1: id + v
+      recordLine(1),
+      v2,          // v2: id only
+      """{"type":"RECORD","stream":"ev","record":{"id":2,"v":99.9}}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("ev") == 2L)
+    val back = cat.load(ns, "ev").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("v")))).toMap
+    assert(back(1L).contains(1.5), s"pre-switch record lost its value: $back")
+    assert(back(2L).isEmpty, s"post-switch record kept an undeclared field: $back")
+    cat.dropNamespace(ns)
+  }
+
   test("all six _sdc_* metadata columns injected when enabled (B5)") {
     val ns = freshNs()
     val cat = new CountingCatalog
