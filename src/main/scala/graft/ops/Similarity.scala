@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,6 +114,65 @@ object Similarity {
   }
 
   def q26KnnLsh(s: SparkSession, d: String): DataFrame = knnLsh(s, d, NumPlanes)
+
+  val NumCentroids = 16 // IVF codebook size for the test corpus
+  val NumProbes = 2     // cells searched per query (recall/cost dial)
+  val IvfK = 3          // neighbors per query (IVF tier)
+
+  /** IVF codebook: the first [[NumCentroids]] corpus vectors — a
+    * deterministic, oracle-reproducible stand-in for a k-means codebook
+    * (production would train centroids on a sample; the operator shape is
+    * identical). Collected once per query build: K x 64 doubles of bounded
+    * control-plane data, the same class as the literal [[hyperplanes]]. */
+  private def centroids(s: SparkSession, d: String): Array[(Long, Array[Double])] =
+    emb(s, d).filter(col("vec_id") < NumCentroids).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+
+  /** C3 third tier: IVF (inverted-file) ANN — the cluster-probe family,
+    * complementing the hash-bucket family of [[q26KnnLsh]]:
+    *   1. every corpus vector is ASSIGNED to its nearest centroid in-row
+    *      (argmax over [[NumCentroids]] literal codebook cosines — a pure
+    *      projection, ZERO shuffle; the codebook rides the closure exactly
+    *      like the hyperplane table);
+    *   2. each query probes its [[NumProbes]] nearest cells (multi-probe
+    *      recall dial, same idea as IVF nprobe);
+    *   3. exact cosine top-k within the probed cells only — per-query work
+    *      is O(corpus * nprobe / K) instead of O(corpus).
+    * The probe join broadcasts the tiny query side and equi-joins on cell
+    * id, so the corpus streams once with no shuffle at any size; at 1e9+
+    * vectors, raise NumCentroids ~ sqrt(corpus) and write the assigned
+    * corpus bucketed by cell ([[graft.lake.LakeCatalog.writeBucketed]]) to
+    * amortize assignment across repeated query batches.
+    *
+    * Argmax/tie rules match the oracle's `ORDER BY s DESC, c_id ASC`: the
+    * in-row max is over struct(s, -c_id) so lexicographic max = best score,
+    * ties to the smallest centroid id (negating the LONG id, not the
+    * double score, sidesteps -0.0 comparison hazards). */
+  def q53KnnIvf(s: SparkSession, d: String): DataFrame = {
+    val cents = centroids(s, d)
+    def cellScores(v: String): Column = array(cents.map { case (cid, vec) =>
+      struct(
+        round(call_function("vec_cosine", col(v), typedLit(vec.toSeq)), 6).as("s"),
+        lit(-cid).as("ci"))
+    }: _*)
+    val assigned = emb(s, d).select(col("vec_id"), col("v"),
+      (-array_max(cellScores("v")).getField("ci")).as("cell"))
+    val queries = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(transform(
+          slice(sort_array(cellScores("v"), asc = false), 1, NumProbes),
+          x => -x.getField("ci"))).as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("neighbor_id"))
+    assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine("v", "qv"), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= IvfK)
+      .orderBy("q_id", "rnk")
+  }
 
   val NearDupCosine = 0.4
 
@@ -290,6 +349,38 @@ object Similarity {
     })),
     "q27_approx_distinct" -> ((q27ApproxDistinct _, """
       SELECT count(DISTINCT user_id) AS n_users, true AS approx_ok
-      FROM events"""))
+      FROM events""")),
+    "q53_knn_ivf" -> ((q53KnnIvf _, s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+      scored AS (
+        SELECT e.vec_id, e.v, c.c_id,
+               round(list_cosine_similarity(e.v, c.cv), 6) AS s
+        FROM e, cents c
+      ),
+      asg AS (
+        SELECT vec_id, v, c_id AS cell FROM (
+          SELECT vec_id, v, c_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+          FROM scored) t WHERE rn = 1
+      ),
+      probes AS (
+        SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
+          SELECT vec_id, v, c_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+          FROM scored WHERE vec_id < $NumQueries) t WHERE rn <= $NumProbes
+      ),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p.qv, a.v), 6) AS sim
+        FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.q_id
+      ),
+      ranked AS (
+        SELECT q_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM cand
+      )
+      SELECT q_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= $IvfK
+      ORDER BY q_id, rnk"""))
   )
 }

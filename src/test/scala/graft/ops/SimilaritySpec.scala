@@ -79,6 +79,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q.collect().head.getAs[Boolean]("approx_ok")) // lit(true) marker
   }
 
+  test("IVF kNN: broadcast cell-probe join, no cartesian, ranked output") {
+    val q = Similarity.q53KnnIvf(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.length <= Similarity.IvfK)
+      val sims = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sortBy(-_)), "rank order must follow sim")
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    // tiny probed query side broadcasts; the assigned corpus streams through
+    // an equi-join on cell id — no shuffle of the corpus, never a cartesian
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("hyperplanes are deterministic across invocations") {
     assert(Similarity.hyperplanes.flatten.toSeq ==
       Similarity.hyperplanes.flatten.toSeq)
