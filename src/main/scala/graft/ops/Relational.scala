@@ -351,6 +351,42 @@ object Relational {
       .orderBy("month_epoch")
   }
 
+  /** AS-OF JOIN: attach to each 'view' event the most recent prior
+    * 'purchase' of the same user — the time-series join DuckDB/kdb expose
+    * natively and Spark lacks as an operator. Composed Spark-first (SURVEY
+    * preference (a): existing ops) as union-tag + carry-forward window:
+    * both sides union into one stream ordered by (ts, side), and
+    * `last(p, ignoreNulls)` over an unbounded-preceding row frame carries
+    * the latest right-side payload onto every left row. ONE shuffle on the
+    * join key, linear work — the naive inequality join explodes to
+    * |views| x |purchases| per user before taking max(ts), which at 100 TB
+    * is quadratic in the hot keys; this shape never materializes more than
+    * the sorted union. Right side is deduped to one row per (user, ts)
+    * (max value) so the as-of pick is deterministic in both engines; ties
+    * at equal ts resolve right-before-left = inclusive `p.ts <= v.ts`,
+    * matching DuckDB's ASOF LEFT JOIN exactly. */
+  def q54AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("pval"))
+      .select(col("user_id"), col("ts"), lit(0).as("is_left"),
+        lit(null).cast("long").as("event_id"),
+        struct(col("ts").as("pts"), col("pval").as("pval")).as("p"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(1).as("is_left"), col("event_id"),
+        expr("cast(null as struct<pts:timestamp,pval:double>)").as("p"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purch)
+      .withColumn("lastp", last("p", ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_epoch"),
+        unix_timestamp(col("lastp.pts")).as("purchase_epoch"),
+        col("lastp.pval").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -584,6 +620,17 @@ object Relational {
              round(max(c_acctbal), 2) AS max_bal,
              round(max(pr), 6) AS max_pr
       FROM ranked GROUP BY c_mktsegment, quartile
-      ORDER BY c_mktsegment, quartile"""))
+      ORDER BY c_mktsegment, quartile""")),
+    "q54_asof_join" -> ((q54AsofJoin _, """
+      WITH purch AS (
+        SELECT user_id, ts, max(value) AS pval
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+      ),
+      views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      SELECT v.event_id, v.user_id, floor(epoch(v.ts))::BIGINT AS ts_epoch,
+             floor(epoch(p.ts))::BIGINT AS purchase_epoch, p.pval AS purchase_value
+      FROM views v ASOF LEFT JOIN purch p
+        ON v.user_id = p.user_id AND p.ts <= v.ts
+      ORDER BY v.event_id"""))
   )
 }

@@ -51,6 +51,15 @@ object Streaming {
   def sessionizedStream(events: DataFrame): DataFrame =
     sessionized(events.withWatermark("ts", "1 hour"))
 
+  /** Streaming exact dedup (C1's streaming face): drop re-delivered events
+    * by id. `dropDuplicatesWithinWatermark` keeps one state entry per id
+    * only until the watermark passes it, so state is bounded by the event
+    * rate x horizon — a plain `dropDuplicates` on a stream retains every id
+    * forever and OOMs the state store at production volume. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom arbitrary state beyond what session/tumbling windows express
     * (SURVEY §2.C7 "custom state"): per-user running count/sum/mean carried
     * across micro-batches via `mapGroupsWithState`. State is one small

@@ -57,6 +57,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("as-of join is one windowed pass — no join operator in the plan") {
+    val q = Relational.q54AsofJoin(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // views with no prior purchase carry nulls; some must have one
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("purchase_value"))))
+    // purchase always at-or-before the view
+    rows.filter(r => !r.isNullAt(r.fieldIndex("purchase_epoch"))).foreach { r =>
+      assert(r.getAs[Long]("purchase_epoch") <= r.getAs[Long]("ts_epoch"))
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    // union-tag + carry-forward window: the inequality join never appears,
+    // so there is no per-key |views| x |purchases| blowup to begin with
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(plan.contains("Window"), plan.take(1500))
+  }
+
   test("q03/q05 carry no broadcast hint on the fact-sized customer table") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
     def hintedCustomerJoin(plan: LogicalPlan): Boolean = plan.collect {

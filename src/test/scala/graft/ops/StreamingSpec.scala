@@ -132,6 +132,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered ids, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    final case class IdEv(event_id: Long, ts: Timestamp, value: Double)
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streaming.dedupedStream(
+      in.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    def at(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    try {
+      in.addData((1L, at("10:00"), 1.0), (2L, at("10:01"), 2.0))
+      q.processAllAvailable()
+      // same id re-delivered in a later micro-batch, inside the watermark
+      in.addData((1L, at("10:02"), 1.0), (3L, at("10:03"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"dup leaked or row lost: $ids")
+    } finally q.stop()
+  }
+
   test("session windows run under readStream with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
