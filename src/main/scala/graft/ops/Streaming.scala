@@ -16,6 +16,16 @@ final case class UserStats(user_id: Long, n_events: Long, sum_value: Double,
   def mean: Double = if (n_events == 0) 0.0 else sum_value / n_events
 }
 
+/** A user's open session (millis) while it accumulates. */
+final case class OpenSession(startMs: Long, lastMs: Long,
+                             n: Long, sum: Double)
+
+/** One COMPLETED session — the only thing [[Streaming.closedSessions]]
+  * ever emits. */
+final case class ClosedSession(user_id: Long, start_epoch: Long,
+                               end_epoch: Long, n_events: Long,
+                               sum_value: Double)
+
 /** Streaming analytics over the `events` stream (SURVEY.md §2.C7), built on
   * the batch/stream-unified operators: `window()` tumbling aggregation and
   * `session_window()` sessionization run identically over a bounded DataFrame
@@ -92,6 +102,64 @@ object Streaming {
           state.update(next)
           idleTimeout.foreach(state.setTimeoutDuration) // evict idle users
           next
+      }
+  }
+
+  /** Custom sessionization via `flatMapGroupsWithState` + EVENT-TIME
+    * timeout — the state primitive [[userRunningStats]]'s `mapGroupsWithState`
+    * can't express: that operator must emit one row per group per batch,
+    * while this one emits NOTHING until a session actually closes (by an
+    * in-batch gap, or by the watermark passing last-event + gap), so the
+    * output is exactly one row per completed session. Compared to
+    * `session_window` this surfaces the session's full custom payload and
+    * lets the close condition be arbitrary code. State per user is one
+    * [[OpenSession]] record; the event-time timeout is watermark-driven, so
+    * no-data batches aren't scheduled (the `ProcessingTimeTimeout` caveat on
+    * [[userRunningStats]] doesn't apply) and state is reclaimed exactly when
+    * the watermark proves the session can no longer grow. */
+  def closedSessions(s: SparkSession, events: DataFrame,
+                     gap: String = SessionGap): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, "calendar-month session gaps are not supported")
+    val gapMs = iv.days * 86400000L + iv.microseconds / 1000
+    events.select("ts", "user_id", "event_type", "value").as[EventRow]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[OpenSession]) =>
+          def close(c: OpenSession) =
+            ClosedSession(uid, c.startMs / 1000, c.lastMs / 1000, c.n, c.sum)
+          if (state.hasTimedOut) {
+            val done = state.getOption.map(close).iterator
+            state.remove()
+            done
+          } else {
+            val out = scala.collection.mutable.ListBuffer[ClosedSession]()
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+              val t = r.ts.getTime
+              cur match {
+                case Some(c) if t - c.lastMs >= gapMs =>
+                  out += close(c) // gap crossed inside the batch
+                  cur = Some(OpenSession(t, t, 1L, r.value))
+                case Some(c) =>
+                  cur = Some(OpenSession(c.startMs, math.max(c.lastMs, t),
+                    c.n + 1, c.sum + r.value))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1L, r.value))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // fire once the watermark proves no event can extend the session
+              state.setTimeoutTimestamp(c.lastMs + gapMs)
+            }
+            out.iterator
+          }
       }
   }
 

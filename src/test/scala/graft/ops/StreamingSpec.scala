@@ -132,6 +132,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits only CLOSED sessions (event-time timeout)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.closedSessions(spark, in.toDF())
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    def closed = spark.table("closed_sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value")))
+    try {
+      in.addData(ev("00:00", v = 2.0), ev("00:30", v = 3.0))
+      q.processAllAvailable()
+      assert(closed.isEmpty, "open session must not be emitted")
+      // 22.5h gap closes session 1 inside the batch (2 events, sum 5)
+      in.addData(ev("23:00", v = 7.0))
+      q.processAllAvailable()
+      assert(closed.toSeq == Seq((1L, 2L, 5.0)), closed.mkString(","))
+      // another user's far-future event drives the watermark past
+      // 23:00 + 12h gap -> the second session times out and closes
+      in.addData(Ev(Timestamp.valueOf("2024-01-03 00:00:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout fires on the following batch
+      assert(closed.toSet.contains((1L, 1L, 7.0)), closed.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered ids, state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
