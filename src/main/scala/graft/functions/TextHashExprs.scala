@@ -34,6 +34,8 @@ object TextHashExprs {
       (args: Seq[Expression]) => RollingFingerprint(args.head), "built-in")
     reg.createOrReplaceTempFunction("token_simhash",
       (args: Seq[Expression]) => TokenSimHash(args.head), "built-in")
+    reg.createOrReplaceTempFunction("norm_md5",
+      (args: Seq[Expression]) => NormMd5(args.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       (args: Seq[Expression]) => WordShingles(args.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
@@ -248,6 +250,59 @@ case class TokenSimHash(child: Expression) extends SingleArgHashExpr {
       b += 1
     }
     java.lang.Long.valueOf(sim)
+  }
+}
+
+/** `norm_md5(text)` -> string: the exact-dedup content fingerprint
+  * `md5(lower(trim(regexp_replace(text, '\\s+', ' '))))` in ONE compiled
+  * pass with zero String/regex machinery — lowercase via
+  * `UTF8String.toLowerCase` (locale-independent, same as Spark's `lower`),
+  * then a byte-level sweep that trims and collapses whitespace runs
+  * straight into the md5 buffer. Whitespace is the ASCII class
+  * `[ \t\n\f\r]` — precisely what BOTH Java regex `\s` (no
+  * UNICODE_CHARACTER_CLASS) and DuckDB/RE2 `\s` match, so values are
+  * bit-identical to the declarative formulation on any input; ASCII bytes
+  * never occur inside UTF-8 multibyte sequences, so the byte sweep is
+  * UTF-8-safe. Parity is pinned by a spec comparing against the
+  * declarative expression over the corpus. */
+case class NormMd5(child: Expression) extends SingleArgHashExpr {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): NormMd5 =
+    copy(child = c)
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override def compute(s: UTF8String): Any = {
+    val bytes = s.toLowerCase.getBytes
+    val out = new Array[Byte](bytes.length)
+    var i = 0
+    var j = 0
+    var pendingWs = false
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (isWs(b)) pendingWs = true
+      else {
+        if (pendingWs && j > 0) { out(j) = ' '; j += 1 } // collapse; trim ends
+        pendingWs = false
+        out(j) = b
+        j += 1
+      }
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    md.update(out, 0, j)
+    val digest = md.digest()
+    val hex = new Array[Byte](32)
+    val tab = "0123456789abcdef".getBytes
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = tab((digest(i) >> 4) & 0xf)
+      hex(2 * i + 1) = tab(digest(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(hex)
   }
 }
 

@@ -30,10 +30,14 @@ object Dedup {
   import Tables._
 
   /** C1 exact dedup: one row per distinct normalized content, keeping the
-    * smallest doc_id (deterministic survivor policy) + duplicate count. */
+    * smallest doc_id (deterministic survivor policy) + duplicate count.
+    * Normalization+hash is the native [[graft.functions.NormMd5]] — one
+    * compiled byte-level pass, bit-identical to
+    * `md5(lower(trim(regexp_replace(text, '\\s+', ' '))))` (parity spec in
+    * TextOpsSpec) but without per-doc regex machinery. */
   def q22DedupExact(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .groupBy(expr("md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))").as("fp"))
+      .groupBy(expr("norm_md5(text)").as("fp"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 

@@ -46,6 +46,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
 
+  test("norm_md5 == md5(lower(trim(regexp_replace))) on corpus + edge cases") {
+    import spark.implicits._
+    graft.functions.TextHashExprs.register(spark)
+    val declarative = "md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))"
+    val corpus = Tables.documents(spark, sf).select("text")
+    val edges = Seq("", "   ", "a", "  A  ", "a\t\tb", "x\r\ny  z\fq",
+      "Größe  MIXED\tCase", "tab\tend\t", "😀  spaced  😀").toDF("text")
+    val diffs = corpus.unionByName(edges)
+      .selectExpr(s"sum(case when norm_md5(text) <=> $declarative then 0 else 1 end) AS bad")
+      .collect().head.getLong(0)
+    assert(diffs == 0L, s"$diffs rows diverge from the declarative fingerprint")
+  }
+
   test("char windows are CODE POINTS — supplementary-plane parity with substr") {
     import spark.implicits._
     graft.functions.TextHashExprs.register(spark)
