@@ -101,10 +101,15 @@ object Multimodal {
     }
   }
 
-  /** C6 frame pipeline (rows-only: slicing math is not worth mirroring in
-    * SQL; determinism and batch shape are unit-tested). */
+  /** C6 frame pipeline. The stub's offset/length math is SQL-expressible
+    * (floor divisions over the byte length), so the oracle hash-checks the
+    * whole mapPartitions frame pipeline — same approach as [[q35]]; ints
+    * widen to long on both sides for type parity. */
   def q50MultimodalFrames(s: SparkSession, d: String): DataFrame =
     sampleFrames(s, envelope(s, d)).toDF()
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_len").cast("long").as("frame_len"),
+        col("resized_len").cast("long").as("resized_len"))
       .orderBy("doc_id", "frame_idx")
 
   /** Documents wrapped as media envelopes (bytes = UTF-8 payload — the
@@ -181,6 +186,18 @@ object Multimodal {
              coalesce(nm.l2norm, 0.0) AS l2norm
       FROM documents d LEFT JOIN norm nm ON nm.doc_id = d.doc_id
       ORDER BY d.doc_id""")),
-    "q50_multimodal_frames" -> ((q50MultimodalFrames _, ""))
+    "q50_multimodal_frames" -> ((q50MultimodalFrames _, s"""
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      f AS (
+        SELECT doc_id, i.i AS frame_idx,
+               least((n * i.i // ${MediaCodec.FramesPerDoc}) + greatest(n // ${MediaCodec.FramesPerDoc}, 1), n)
+                 - (n * i.i // ${MediaCodec.FramesPerDoc}) AS frame_len
+        FROM d, (SELECT unnest(generate_series(0, ${MediaCodec.FramesPerDoc - 1})) AS i) i
+        WHERE n >= 1 AND (n * i.i // ${MediaCodec.FramesPerDoc}) < n
+      )
+      SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+             frame_len::BIGINT AS frame_len,
+             least(frame_len, 32)::BIGINT AS resized_len
+      FROM f ORDER BY doc_id, frame_idx"""))
   )
 }

@@ -44,8 +44,8 @@ class MultimodalSpec extends AnyFunSuite {
     perDoc.foreach { case (_, fs) =>
       assert(fs.length == Multimodal.MediaCodec.FramesPerDoc)
       fs.foreach { f =>
-        assert(f.getAs[Int]("frame_len") > 0)
-        assert(f.getAs[Int]("resized_len") <= 32)
+        assert(f.getAs[Long]("frame_len") > 0)
+        assert(f.getAs[Long]("resized_len") <= 32)
       }
     }
   }
