@@ -387,6 +387,40 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** RANGE JOIN: events against overlapping time intervals (the other
+    * time-join the brief names beside as-of). The naive formulation is an
+    * inequality join — Spark plans a nested loop, O(|events| x |windows|).
+    * This uses the interval-bucketing pattern that survives BOTH sides
+    * being large: time is granulated at the window stride, each window
+    * explodes into the (bounded, here 2) granules it covers, events compute
+    * their granule in-row, and the join is a plain EQUI-join on granule
+    * followed by the exact containment filter — shuffle-partitionable,
+    * AQE-skew-splittable, no nested loop at any size. The 50 test windows
+    * are data-derived (min/max event time), so both engines reproduce them
+    * exactly; window bounds ride a 1-row broadcast. */
+  def q55RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val numWindows = 50
+    val ev = events(s, d).select(unix_timestamp(col("ts")).as("e"), col("value"))
+    val bounds = ev.agg(min("e").as("tmin"), max("e").as("tmax"))
+    val par = bounds.select(col("tmin"),
+      greatest(expr(s"(tmax - tmin) div $numWindows"), lit(1L)).as("stride"))
+    val win = par
+      .select(explode(sequence(lit(0L), lit(numWindows - 1L))).as("w"),
+        col("tmin"), col("stride"))
+      .select(col("w"), (col("tmin") + col("w") * col("stride")).as("wstart"),
+        (col("tmin") + (col("w") + 2) * col("stride")).as("wend"))
+    // each window [w*stride, (w+2)*stride) covers exactly granules w and w+1
+    val winG = win.select(col("w"), col("wstart"), col("wend"),
+      explode(array(col("w"), col("w") + 1)).as("g"))
+    val evG = ev.crossJoin(broadcast(par))
+      .select(col("e"), col("value"), expr("(e - tmin) div stride").as("g"))
+    evG.join(broadcast(winG), "g")
+      .filter(col("e") >= col("wstart") && col("e") < col("wend"))
+      .groupBy("w", "wstart", "wend")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("w")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -631,6 +665,18 @@ object Relational {
              floor(epoch(p.ts))::BIGINT AS purchase_epoch, p.pval AS purchase_value
       FROM views v ASOF LEFT JOIN purch p
         ON v.user_id = p.user_id AND p.ts <= v.ts
-      ORDER BY v.event_id"""))
+      ORDER BY v.event_id""")),
+    "q55_range_join" -> ((q55RangeJoin _, """
+      WITH ev AS (SELECT floor(epoch(ts))::BIGINT AS e, value FROM events),
+      b AS (SELECT min(e) AS tmin, max(e) AS tmax FROM ev),
+      par AS (SELECT tmin, greatest((tmax - tmin) // 50, 1) AS stride FROM b),
+      win AS (
+        SELECT i.i AS w, tmin + i.i * stride AS wstart,
+               tmin + (i.i + 2) * stride AS wend
+        FROM par, (SELECT unnest(generate_series(0, 49)) AS i) i
+      )
+      SELECT w, wstart, wend, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM win JOIN ev ON ev.e >= win.wstart AND ev.e < win.wend
+      GROUP BY w, wstart, wend ORDER BY w"""))
   )
 }

@@ -120,6 +120,27 @@ object TextOps {
       .agg(sum("bpe").as("bpe_tokens"), sum("ws").as("ws_tokens"))
       .orderBy("lang")
 
+  /** Deterministic hash-based train/valid/test split (80/10/10) — the
+    * held-out-split primitive of a training-data pipeline. Assignment is
+    * `hash(doc_id) mod 100` with an md5-derived hash, so the split is
+    * reproducible across engines, runs, and cluster layouts (no RNG state,
+    * unlike `sample()`), stable under re-partitioning, and a pure
+    * projection + aggregate at any scale. A doc's split never changes when
+    * the corpus grows — the property that keeps eval sets leak-free across
+    * dataset versions. */
+  def q56HashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "valid")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q28_text_stats" -> ((q28TextStats _, """
       SELECT lang, count(*) AS n_docs,
@@ -179,6 +200,16 @@ object TextOps {
       SELECT lang,
              sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::BIGINT AS bpe_tokens,
              sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang""")),
+    "q56_hash_split" -> ((q56HashSplit _, """
+      WITH tagged AS (
+        SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS h
+        FROM documents
+      )
+      SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM tagged GROUP BY 1 ORDER BY split"""))
   )
 }

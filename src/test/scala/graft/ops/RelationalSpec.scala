@@ -74,6 +74,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(1500))
   }
 
+  test("range join: events meet windows through a granule equi-join") {
+    val q = Relational.q55RangeJoin(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wstart") < r.getAs[Long]("wend"))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // the events-to-windows join must be the hash equi-join on granule;
+    // only the 1-row scalar-bounds attach may be a nested loop
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("q03/q05 carry no broadcast hint on the fact-sized customer table") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
     def hintedCustomerJoin(plan: LogicalPlan): Boolean = plan.collect {
