@@ -141,6 +141,82 @@ object TextOps {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("split")
 
+  /** Public buffer for [[StratSampleAgg]] — typed Aggregator buffer case
+    * classes must be public or generated safe projections fail at runtime. */
+  final case class SampleBuf(items: Seq[(Long, Long)])
+
+  /** Per-stratum smallest-k by (hash, id): partial top-k per partition, so
+    * the shuffle carries k rows per (partition, stratum) — the same
+    * physical strategy as [[Similarity.TopKAggregator]], and the reason
+    * this scales where a `Window.partitionBy(lang)` does not: with a
+    * handful of strata the window funnels the whole corpus into that many
+    * partitions, while the partial-agg shape never concentrates more than
+    * k rows per stratum per upstream partition. */
+  final class StratSampleAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long), SampleBuf, SampleBuf] {
+    private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      s.sortBy(identity).take(k)
+    override def zero: SampleBuf = SampleBuf(Nil)
+    override def reduce(b: SampleBuf, a: (String, Long, Long)): SampleBuf =
+      SampleBuf(trim(b.items :+ ((a._2, a._3))))
+    override def merge(x: SampleBuf, y: SampleBuf): SampleBuf =
+      SampleBuf(trim(x.items ++ y.items))
+    override def finish(b: SampleBuf): SampleBuf = b
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[SampleBuf]
+    override def outputEncoder = org.apache.spark.sql.Encoders.product[SampleBuf]
+  }
+
+  val SamplePerStratum = 10
+
+  /** Deterministic stratified sample: the [[SamplePerStratum]] docs with the
+    * smallest md5-derived hash per language — the balanced-mixing primitive
+    * of a training pipeline (uniform "random" within each stratum, yet
+    * reproducible across engines/runs/layouts, and a doc's membership is
+    * stable as other docs come and go). */
+  def q57StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = documents(s, d).select(col("lang"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+          .as("h"),
+        col("doc_id"))
+      .as[(String, Long, Long)]
+    val agg = new StratSampleAgg(SamplePerStratum).toColumn.name("top")
+    hashed.groupByKey(_._1).agg(agg)
+      .flatMap { case (lang, buf) =>
+        buf.items.zipWithIndex.map { case ((_, id), i) =>
+          (lang, (i + 1).toLong, id)
+        }
+      }
+      .toDF("lang", "rnk", "doc_id")
+      .orderBy("lang", "rnk")
+  }
+
+  val BenchmarkMaxId = 20
+
+  /** Benchmark-contamination check: per corpus document, the fraction of
+    * its 3-word shingles that also occur in the "benchmark" set (stand-in:
+    * docs with doc_id < [[BenchmarkMaxId]]) — the train/eval overlap audit
+    * every LLM data pipeline needs before training. The benchmark shingle
+    * set is bounded by the eval suite's size, so it broadcasts; the corpus
+    * streams ONCE through a left broadcast join and one aggregation — no
+    * shuffle of corpus shingles, no second scan. */
+  def q58Contamination(s: SparkSession, d: String): DataFrame = {
+    val ex = Dedup.shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val bench = ex.filter(col("doc_id") < BenchmarkMaxId)
+      .select("s").distinct().withColumn("m", lit(1))
+    ex.filter(col("doc_id") >= BenchmarkMaxId)
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("m"), lit(0))).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_overlap"), col("n_sh"),
+        round(col("n_overlap") / col("n_sh"), 4).as("ratio"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q28_text_stats" -> ((q28TextStats _, """
       SELECT lang, count(*) AS n_docs,
@@ -210,6 +286,31 @@ object TextOps {
                   ELSE 'test' END AS split,
              count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
              min(doc_id) AS min_id, max(doc_id) AS max_id
-      FROM tagged GROUP BY 1 ORDER BY split"""))
+      FROM tagged GROUP BY 1 ORDER BY split""")),
+    "q57_stratified_sample" -> ((q57StratifiedSample _, s"""
+      SELECT lang, rnk, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id)
+                 AS rnk
+        FROM documents) t
+      WHERE rnk <= $SamplePerStratum ORDER BY lang, rnk""")),
+    "q58_contamination" -> ((q58Contamination _, s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM tok, unnest(generate_series(1, len(t)-2)) AS r(i)
+      ),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < $BenchmarkMaxId),
+      corp AS (SELECT doc_id, s FROM sh WHERE doc_id >= $BenchmarkMaxId),
+      agg AS (
+        SELECT c.doc_id, count(*) AS n_sh,
+               sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+        FROM corp c LEFT JOIN bench b ON b.s = c.s
+        GROUP BY c.doc_id
+      )
+      SELECT doc_id, n_overlap, n_sh,
+             round(n_overlap::DOUBLE / n_sh, 4) AS ratio
+      FROM agg WHERE n_overlap > 0 ORDER BY doc_id"""))
   )
 }

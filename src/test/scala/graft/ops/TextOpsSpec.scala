@@ -46,6 +46,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
 
+  test("stratified sample: k per stratum, deterministic, no corpus-wide window") {
+    val a = TextOps.q57StratifiedSample(spark, sf).collect()
+    val b = TextOps.q57StratifiedSample(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.groupBy(_.getAs[String]("lang")).values.foreach { rs =>
+      assert(rs.length <= TextOps.SamplePerStratum)
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to rs.length))
+    }
+    // partial top-k aggregation, not a window funneling the corpus into
+    // one partition per stratum
+    val plan = TextOps.q57StratifiedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("contamination: benchmark docs excluded, ratios in (0, 1]") {
+    val rows = TextOps.q58Contamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") >= TextOps.BenchmarkMaxId)
+      val ratio = r.getAs[Double]("ratio")
+      assert(ratio > 0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_sh"))
+    }
+  }
+
   test("norm_md5 == md5(lower(trim(regexp_replace))) on corpus + edge cases") {
     import spark.implicits._
     graft.functions.TextHashExprs.register(spark)
