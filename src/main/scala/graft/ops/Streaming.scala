@@ -105,6 +105,32 @@ object Streaming {
       }
   }
 
+  /** STREAM-STREAM interval join: attribute each purchase to the view
+    * events of the same user within the preceding attribution horizon.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can prove when a buffered row can never match
+    * again and evict it — join state stays bounded by rate x horizon at
+    * any stream length (an unbounded stream-stream join would buffer both
+    * streams forever). */
+  val AttributionHorizon = "1 hour"
+
+  def purchaseAttribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    p.join(v, expr(
+      s"""p_user = v_user AND
+          v_ts <= p_ts AND
+          v_ts >= p_ts - INTERVAL $AttributionHorizon"""))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        col("p_value"))
+  }
+
   /** Custom sessionization via `flatMapGroupsWithState` + EVENT-TIME
     * timeout — the state primitive [[userRunningStats]]'s `mapGroupsWithState`
     * can't express: that operator must emit one row per group per batch,

@@ -159,6 +159,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-horizon views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts, user_id, event_type, value)
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.purchaseAttribution(
+      df.filter(col("event_type") === "view"),
+      df.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    def at(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    try {
+      in.addData(
+        (1L, at("08:00"), 7L, "view", 0.0),     // outside the 1h horizon
+        (2L, at("10:00"), 7L, "view", 0.0),     // inside
+        (3L, at("10:15"), 9L, "view", 0.0),     // other user
+        (4L, at("10:30"), 7L, "purchase", 42.0))
+      q.processAllAvailable()
+      // advance both watermarks so the joined row is emittable in append mode
+      in.addData((5L, at("13:00"), 1L, "view", 0.0),
+        (6L, at("13:00"), 1L, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("attribution")
+        .filter(col("purchase_id") === 4L).collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Double]("p_value")))
+      assert(out.toSeq == Seq((2L, 42.0)),
+        s"exactly the in-horizon same-user view must match: ${out.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered ids, state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
