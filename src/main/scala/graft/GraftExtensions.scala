@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BinaryVecExpr, CharBigrams, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles}
+import graft.functions.{BinaryVecExpr, BpeCount, CharBigrams, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("char_bigrams", args => CharBigrams(args.head)))
     ext.injectFunction(fn("rolling_fingerprint", args => RollingFingerprint(args.head)))
     ext.injectFunction(fn("norm_md5", args => NormMd5(args.head)))
+    ext.injectFunction(fn("bpe_count", args => BpeCount(args.head)))
     ext.injectFunction(fn("vec_dot", args => VecDot(args(0), args(1))))
     ext.injectFunction(fn("vec_cosine", args => VecCosine(args(0), args(1))))
     ext.injectFunction(fn("rhp_bucket", args =>

@@ -36,6 +36,8 @@ object TextHashExprs {
       (args: Seq[Expression]) => TokenSimHash(args.head), "built-in")
     reg.createOrReplaceTempFunction("norm_md5",
       (args: Seq[Expression]) => NormMd5(args.head), "built-in")
+    reg.createOrReplaceTempFunction("bpe_count",
+      (args: Seq[Expression]) => BpeCount(args.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       (args: Seq[Expression]) => WordShingles(args.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
@@ -303,6 +305,45 @@ case class NormMd5(child: Expression) extends SingleArgHashExpr {
       i += 1
     }
     UTF8String.fromBytes(hex)
+  }
+}
+
+/** `bpe_count(text)` -> bigint: the number of matches of the BPE-ish
+  * pre-tokenizer regex `[a-z]+|[0-9]+|[^a-z0-9\s]` over `lower(text)`,
+  * counted in ONE compiled pass instead of materializing every match the
+  * way `size(regexp_extract_all(...))` must. State machine over code
+  * points: a letter-run is one token, a digit-run is one token, ASCII
+  * whitespace separates, and any other code point is one token by itself —
+  * exactly the alternation's semantics in both Java regex and DuckDB/RE2
+  * (both match per code point; `\s` is the same ASCII class in both
+  * without unicode flags). Parity pinned by a corpus spec. */
+case class BpeCount(child: Expression) extends SingleArgHashExpr {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): BpeCount =
+    copy(child = c)
+
+  override def compute(s: UTF8String): Any = {
+    val str = s.toLowerCase.toString
+    var count = 0L
+    var state = 0 // 0 = none, 1 = in letter run, 2 = in digit run
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= 'a' && cp <= 'z') {
+        if (state != 1) { count += 1; state = 1 }
+      } else if (cp >= '0' && cp <= '9') {
+        if (state != 2) { count += 1; state = 2 }
+      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+          cp == '\f' || cp == '\r') {
+        state = 0
+      } else {
+        count += 1 // any other code point is its own token
+        state = 0
+      }
+      i += Character.charCount(cp)
+    }
+    java.lang.Long.valueOf(count)
   }
 }
 

@@ -109,12 +109,14 @@ object TextOps {
       .orderBy("doc_id")
 
   /** C5f BPE-ish token counting: letter-runs / digit-runs / single symbols
-    * (the shape of a byte-pair pre-tokenizer) vs plain whitespace tokens. */
+    * (the shape of a byte-pair pre-tokenizer) vs plain whitespace tokens.
+    * The count is the native [[graft.functions.BpeCount]] — one compiled
+    * state-machine pass, match-for-match identical to
+    * `size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))`
+    * (parity spec in TextOpsSpec) without materializing every match. */
   def q33TokenCount(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("lang"),
-        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
-          .as("bpe"),
+      .select(col("lang"), expr("bpe_count(text)").as("bpe"),
         size(split(col("text"), " ")).as("ws"))
       .groupBy("lang")
       .agg(sum("bpe").as("bpe_tokens"), sum("ws").as("ws_tokens"))

@@ -72,6 +72,20 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_count == size(regexp_extract_all) on corpus + edge cases") {
+    import spark.implicits._
+    graft.functions.TextHashExprs.register(spark)
+    val declarative =
+      "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))"
+    val corpus = Tables.documents(spark, sf).select("text")
+    val edges = Seq("", "   ", "abc123def", "a1b2", "Hello, World! 42",
+      "tabs\there\t7", "müde straße", "日本語 text", "a.b.c--d", "😀x😀").toDF("text")
+    val diffs = corpus.unionByName(edges)
+      .selectExpr(s"sum(case when bpe_count(text) = cast($declarative as bigint) then 0 else 1 end) AS bad")
+      .collect().head.getLong(0)
+    assert(diffs == 0L, s"$diffs rows diverge from the regex count")
+  }
+
   test("norm_md5 == md5(lower(trim(regexp_replace))) on corpus + edge cases") {
     import spark.implicits._
     graft.functions.TextHashExprs.register(spark)
