@@ -219,6 +219,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition ratio (the Gopher-style quality filter):
+    * 1 - distinct/total 3-word shingles — near-0 for natural prose, high
+    * for boilerplate/template spam. Pure per-row projection (the native
+    * `word_shingles` pass already dedups in-row), ZERO shuffle before the
+    * output sort — the cheapest possible shape at any corpus size. */
+  def q59RepetitionRatio(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 2).cast("long").as("n_shingles"),
+        expr("size(word_shingles(text))").cast("long").as("n_unique"))
+      .filter(col("n_unique") > 0) // docs with < 3 tokens have no shingles
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(lit(1.0) - col("n_unique") / col("n_shingles"), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q28_text_stats" -> ((q28TextStats _, """
       SELECT lang, count(*) AS n_docs,
@@ -313,6 +328,18 @@ object TextOps {
       )
       SELECT doc_id, n_overlap, n_sh,
              round(n_overlap::DOUBLE / n_sh, 4) AS ratio
-      FROM agg WHERE n_overlap > 0 ORDER BY doc_id"""))
+      FROM agg WHERE n_overlap > 0 ORDER BY doc_id""")),
+    "q59_repetition_ratio" -> ((q59RepetitionRatio _, """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, len(t) - 2 AS n_shingles,
+               count(DISTINCT array_to_string(t[i:i+2], ' ')) AS n_unique
+        FROM tok, unnest(generate_series(1, len(t)-2)) AS r(i)
+        WHERE len(t) >= 3 GROUP BY doc_id, len(t) - 2
+      )
+      SELECT doc_id, n_shingles::BIGINT AS n_shingles,
+             n_unique::BIGINT AS n_unique,
+             round(1.0 - n_unique::DOUBLE / n_shingles, 4) AS rep_ratio
+      FROM sh ORDER BY doc_id"""))
   )
 }
