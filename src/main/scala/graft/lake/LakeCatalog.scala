@@ -124,12 +124,24 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
   }
 
   override def append(ns: String, table: String, df: DataFrame,
-                      options: Map[String, String]): Unit =
+                      options: Map[String, String]): Unit = {
     writer(df, ns, table, options, "append").saveAsTable(id(ns, table))
+    refreshHere(ns, table)
+  }
 
   override def overwrite(ns: String, table: String, df: DataFrame,
-                         options: Map[String, String]): Unit =
+                         options: Map[String, String]): Unit = {
     writer(df, ns, table, options, "overwrite").saveAsTable(id(ns, table))
+    refreshHere(ns, table)
+  }
+
+  /** saveAsTable refreshes the metadata cache of the session that OWNS the
+    * written DataFrame — which is a cloned session when the frame comes out
+    * of a streaming foreachBatch epoch. Reads through THIS catalog go
+    * through this catalog's session, so keep its relation cache coherent
+    * too (cheap metadata op; no-op in the common same-session case). */
+  private def refreshHere(ns: String, table: String): Unit =
+    spark.catalog.refreshTable(id(ns, table))
 
   override def load(ns: String, table: String): DataFrame =
     spark.table(id(ns, table))

@@ -189,6 +189,28 @@ object Streaming {
       }
   }
 
+  /** Streaming ingestion into the lake: every micro-batch appends to a
+    * catalog table through the same [[graft.lake.LakeCatalog]] the Singer
+    * batch path commits through — one write surface for both worlds.
+    * `foreachBatch` is the production shape: the sink sees a plain
+    * DataFrame per epoch, the streaming checkpoint records the epoch, and
+    * replays of an already-committed epoch are the idempotence concern the
+    * caller's catalog handles (a real Iceberg catalog dedups by commit;
+    * the parquet-backed local one documents at-least-once). Returns the
+    * started query; the caller owns its lifecycle. */
+  def sinkToLake(df: DataFrame, catalog: graft.lake.LakeCatalog,
+                 ns: String, table: String,
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        catalog.ensureTable(ns, table, batch.schema)
+        catalog.append(ns, table, batch.toDF())
+        val _ = epoch // epoch id is the checkpoint's concern; named for clarity
+      }
+      .start()
+
   private def epochStart(w: Column): Column = unix_timestamp(w("start"))
 
   /** C7a tumbling-window aggregation (true `window()` operator; oracle =

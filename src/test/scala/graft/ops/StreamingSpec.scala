@@ -212,6 +212,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink appends micro-batches into a lake catalog table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = s"stream_sink_${System.nanoTime()}"
+    val cat = new graft.lake.SessionLakeCatalog(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val in = MemoryStream[Ev]
+    val q = Streaming.sinkToLake(in.toDF(), cat, ns, "ev", ckpt)
+    try {
+      in.addData(ev("10:00"), ev("10:30"))
+      q.processAllAvailable()
+      assert(cat.load(ns, "ev").count() == 2)
+      in.addData(ev("11:00")) // second epoch appends, not overwrites
+      q.processAllAvailable()
+      assert(cat.load(ns, "ev").count() == 3)
+    } finally {
+      q.stop()
+      cat.dropNamespace(ns)
+    }
+  }
+
   test("session windows run under readStream with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
