@@ -228,6 +228,34 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  val DupJaccard = 0.7       // textual near-dup on its own
+  val WeakJaccard = 0.3      // needs semantic confirmation...
+  val ConfirmCosine = 0.4    // ...from the embedding signal
+
+  /** C2e multi-signal dedup — the production decision rule composed from
+    * the library's own pieces: LSH generates candidates ONCE, then each
+    * pair is scored by BOTH surface overlap (shingle Jaccard) and semantic
+    * similarity (embedding cosine, native [[graft.functions.VecCosine]]);
+    * a pair is a duplicate when the text signal is decisive
+    * ([[DupJaccard]]) or when a weaker text signal ([[WeakJaccard]]) is
+    * confirmed semantically ([[ConfirmCosine]]). Candidates stay a tiny
+    * fraction of the corpus, so the two embedding lookups are equi-joins
+    * AQE turns into broadcasts at typical sizes — the corpus itself is
+    * never re-paired. */
+  def q60DedupMultiSignal(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    q23DedupMinhash(s, d)
+      .join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cos_sim", round(expr("vec_cosine(va, vb)"), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("cos_sim"),
+        (col("jaccard") >= DupJaccard ||
+          (col("jaccard") >= WeakJaccard && col("cos_sim") >= ConfirmCosine))
+          .as("is_dup"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Shared oracle CTE chain ending in `cand` (the distinct LSH candidate
     * pairs) — composed by both the jaccard and edit-distance oracles. */
   private def minhashCandCtes: String = {
@@ -261,7 +289,9 @@ object Dedup {
       )"""
   }
 
-  private def minhashOracle: String =
+  /** `jaccardCtes` extends the candidate chain with the exact shingle-set
+    * jaccard per pair (CTE `jac`) — shared by q23 and q60. */
+  private def jaccardCtes: String =
     s"""
       $minhashCandCtes,
       inter AS (
@@ -269,15 +299,35 @@ object Dedup {
         FROM cand c JOIN sh x ON x.doc_id = c.id_a
                     JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
         GROUP BY c.id_a, c.id_b
-      )
-      SELECT c.id_a, c.id_b,
-             round(coalesce(i.ninter, 0)::DOUBLE /
-                   (sa.n_sh + sb.n_sh - coalesce(i.ninter, 0)), 4) AS jaccard
-      FROM cand c
-      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-      JOIN shs sa ON sa.doc_id = c.id_a
-      JOIN shs sb ON sb.doc_id = c.id_b
-      ORDER BY 1, 2"""
+      ),
+      jac AS (
+        SELECT c.id_a, c.id_b,
+               round(coalesce(i.ninter, 0)::DOUBLE /
+                     (sa.n_sh + sb.n_sh - coalesce(i.ninter, 0)), 4) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN shs sa ON sa.doc_id = c.id_a
+        JOIN shs sb ON sb.doc_id = c.id_b
+      )"""
+
+  private def minhashOracle: String =
+    s"""
+      $jaccardCtes
+      SELECT id_a, id_b, jaccard FROM jac ORDER BY 1, 2"""
+
+  private def multiSignalOracle: String =
+    s"""
+      $jaccardCtes,
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT j.id_a, j.id_b, j.jaccard,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
+             (j.jaccard >= $DupJaccard OR
+              (j.jaccard >= $WeakJaccard AND
+               round(list_cosine_similarity(a.v, b.v), 6) >= $ConfirmCosine))
+               AS is_dup
+      FROM jac j JOIN e a ON a.vec_id = j.id_a
+                 JOIN e b ON b.vec_id = j.id_b
+      ORDER BY j.id_a, j.id_b"""
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q22_dedup_exact" -> ((q22DedupExact _, """
@@ -285,6 +335,7 @@ object Dedup {
              min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_id""")),
     "q23_dedup_minhash" -> ((q23DedupMinhash _, minhashOracle)),
+    "q60_dedup_multisignal" -> ((q60DedupMultiSignal _, multiSignalOracle)),
     "q24_dedup_simhash" -> ((q24DedupSimhash _, """
       WITH tok AS (
         SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS s
