@@ -18,17 +18,25 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").foreach(_ => ())
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).foreach(_ => ())
     catch { case _: Throwable => () }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // foreach materializes every row (count() would let Catalyst prune the
       // final projection and skip decoding selected columns).
-      try { fn(spark, sfDir).foreach(_ => ()) } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).foreach(_ => ()) } catch {
+        case e: Throwable =>
+          // a crashed query must not silently shrink the total into looking
+          // like a speedup — record it in the JSON and on stderr
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for the 100 TB path.
@@ -38,4 +38,29 @@ object Skew {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col(s"`$key`"))
       .limit(n)
+
+  /** Registered end-to-end check of the salting machinery: events of the
+    * 20 heaviest users, aggregated per type — through [[saltedJoin]] with
+    * factor 8. [[saltedJoin]] is row-identical to the plain join by
+    * construction, so the DuckDB oracle IS the plain join: any salt
+    * replication/dedup bug breaks the hash compare. */
+  def q61SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "value")
+    val hot = heavyHitters(ev, "user_id", 20)
+    saltedJoin(ev, hot, "user_id", saltFactor = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q61_salted_join" -> ((q61SaltedJoin _, """
+      WITH hot AS (
+        SELECT user_id FROM events GROUP BY user_id
+        ORDER BY count(*) DESC, user_id LIMIT 20
+      )
+      SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events JOIN hot USING (user_id)
+      GROUP BY event_type ORDER BY event_type"""))
+  )
 }
