@@ -74,9 +74,10 @@ object GraftTarget {
       report.rowsPerStream.foreach { case (t, n) =>
         System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: $n rows")
       }
-      report.rejectedPerStream.collect { case (t, n) if n > 0 =>
-        System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: " +
-          s"$n records REJECTED (schema validation)")
+      report.rejectedPerStream.foreach { case (t, n) =>
+        if (n > 0)
+          System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: " +
+            s"$n records REJECTED (schema validation)")
       }
       // Singer contract: STATE goes to stdout once writes are durable
       report.statesToEcho.foreach(println)

@@ -260,21 +260,23 @@ case class TokenSimHash(child: Expression) extends SingleArgHashExpr {
   * pass with zero String/regex machinery — lowercase via
   * `UTF8String.toLowerCase` (locale-independent, same as Spark's `lower`),
   * then a byte-level sweep that trims and collapses whitespace runs
-  * straight into the md5 buffer. Whitespace is the ASCII class
-  * `[ \t\n\f\r]` — precisely what BOTH Java regex `\s` (no
-  * UNICODE_CHARACTER_CLASS) and DuckDB/RE2 `\s` match, so values are
-  * bit-identical to the declarative formulation on any input; ASCII bytes
-  * never occur inside UTF-8 multibyte sequences, so the byte sweep is
-  * UTF-8-safe. Parity is pinned by a spec comparing against the
-  * declarative expression over the corpus. */
+  * straight into the md5 buffer. Whitespace is RE2's `\s` class
+  * `[ \t\n\f\r]` — what the DuckDB oracle's regexp_replace matches
+  * (verified empirically: RE2 `\s` does NOT include U+000B vertical tab,
+  * while Java regex `\s` does; the oracle is the contract, so this
+  * expression deliberately sides with RE2 on that one character). ASCII
+  * bytes never occur inside UTF-8 multibyte sequences, so the byte sweep
+  * is UTF-8-safe. Parity is pinned by a spec comparing against the
+  * declarative expression over the corpus plus an explicit \x0B case. */
 case class NormMd5(child: Expression) extends SingleArgHashExpr {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override protected def withNewChildInternal(c: Expression): NormMd5 =
     copy(child = c)
 
+  // RE2 \s (the oracle's class): NO 0x0B, unlike Java regex \s
   private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    b == ' ' || b == '\t' || b == '\n' || b == '\f' || b == '\r'
 
   override def compute(s: UTF8String): Any = {
     val bytes = s.toLowerCase.getBytes
@@ -312,11 +314,12 @@ case class NormMd5(child: Expression) extends SingleArgHashExpr {
   * pre-tokenizer regex `[a-z]+|[0-9]+|[^a-z0-9\s]` over `lower(text)`,
   * counted in ONE compiled pass instead of materializing every match the
   * way `size(regexp_extract_all(...))` must. State machine over code
-  * points: a letter-run is one token, a digit-run is one token, ASCII
-  * whitespace separates, and any other code point is one token by itself —
-  * exactly the alternation's semantics in both Java regex and DuckDB/RE2
-  * (both match per code point; `\s` is the same ASCII class in both
-  * without unicode flags). Parity pinned by a corpus spec. */
+  * points: a letter-run is one token, a digit-run is one token, RE2 `\s`
+  * whitespace separates, and any other code point is one token by itself.
+  * The whitespace class is RE2's `[ \t\n\f\r]` — the DuckDB oracle's
+  * semantics; Java regex `\s` additionally matches U+000B, and the oracle
+  * is the contract, so \x0B here is a symbol token (one match), exactly
+  * as DuckDB counts it. Parity pinned by a corpus spec + \x0B case. */
 case class BpeCount(child: Expression) extends SingleArgHashExpr {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -334,8 +337,8 @@ case class BpeCount(child: Expression) extends SingleArgHashExpr {
         if (state != 1) { count += 1; state = 1 }
       } else if (cp >= '0' && cp <= '9') {
         if (state != 2) { count += 1; state = 2 }
-      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
-          cp == '\f' || cp == '\r') {
+      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' ||
+          cp == '\r') { // RE2 \s: no 0x0B (see scaladoc)
         state = 0
       } else {
         count += 1 // any other code point is its own token

@@ -38,6 +38,8 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * Documented divergences from the SDK (intentional, batch-mode semantics):
   *   - records for streams with no SCHEMA message are dropped, not an error;
+  *   - records PRECEDING their stream's first SCHEMA are rejected and
+  *     counted in `rejectedPerStream` (the SDK fails the whole run);
   *   - scale mode echoes only the LAST STATE (after all appends are
   *     durable) — bounds driver memory O(1) against STATE-per-record taps;
   *     strict mode echoes every checkpoint in input order (SDK cadence).
@@ -119,9 +121,17 @@ final class BatchLoader(
         var total = 0L
         var totalRejected = 0L
         segs.zipWithIndex.foreach { case (seg, i) =>
+          // The FIRST segment also scoops up records PRECEDING the stream's
+          // first SCHEMA: they have no declared schema to validate against
+          // (the SDK errors the whole run), so B2 rejects and counts them —
+          // via the same observe metric riding the write job, no extra
+          // scan. Streams with no SCHEMA at all remain the documented drop
+          // divergence.
+          val lowerBound = if (i == 0) Long.MinValue else seg.fromSeq
           val segRecs = records.filter($"stream" === stream &&
-            $"seq" > seg.fromSeq && $"seq" < seg.untilSeq)
-          val typed = typedRows(segRecs, seg.schema, version)
+            $"seq" > lowerBound && $"seq" < seg.untilSeq)
+          val rejectBefore = if (i == 0) seg.fromSeq else Long.MinValue
+          val typed = typedRows(segRecs, seg.schema, version, rejectBefore)
           val mapped = applyTransforms(stream, typed.valid)
           // segment schemas evolve the table in declaration order (A12)
           catalog.ensureTable(namespace, target, mapped.drop("seq").schema,
@@ -160,7 +170,8 @@ final class BatchLoader(
     * The full six `_sdc_*` metadata columns are appended when
     * `addRecordMetadata` (reference config `target.py:16`, SDK B5). */
   private def typedRows(recs: Dataset[RawMsg], schema: StructType,
-                        version: Option[Long]): Typed = {
+                        version: Option[Long],
+                        rejectBefore: Long = Long.MinValue): Typed = {
     val corruptCol = "_graft_corrupt_record"
     require(!schema.fieldNames.contains(corruptCol),
       s"stream schema may not declare the reserved column $corruptCol")
@@ -169,7 +180,10 @@ final class BatchLoader(
       from_json(col("payload"), schemaC,
         Map("columnNameOfCorruptRecord" -> corruptCol, "mode" -> "PERMISSIVE"))
         .as("r"))
-    val isRejected = col("r").isNull || col(s"r.`$corruptCol`").isNotNull
+    // positional rejection (records before the stream's first SCHEMA) joins
+    // the content-based checks so all rejects share one metric/filter
+    val isRejected = col("r").isNull || col(s"r.`$corruptCol`").isNotNull ||
+      col("seq") < lit(rejectBefore)
     val rejMetric = s"graft_rejected_${java.util.UUID.randomUUID()}"
     val parsed = parsedAll
       .observe(rejMetric, coalesce(sum(when(isRejected, 1L).otherwise(0L)),

@@ -173,8 +173,13 @@ object Streaming {
                   out += close(c) // gap crossed inside the batch
                   cur = Some(OpenSession(t, t, 1L, r.value))
                 case Some(c) =>
-                  cur = Some(OpenSession(c.startMs, math.max(c.lastMs, t),
-                    c.n + 1, c.sum + r.value))
+                  // a LATE in-watermark event can predate the open session's
+                  // start — widen both bounds (approximation: late events
+                  // extend the open session rather than re-splitting
+                  // already-closed history, the same trade session_window
+                  // makes before its window closes)
+                  cur = Some(OpenSession(math.min(c.startMs, t),
+                    math.max(c.lastMs, t), c.n + 1, c.sum + r.value))
                 case None =>
                   cur = Some(OpenSession(t, t, 1L, r.value))
               }

@@ -108,6 +108,20 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("records before the first SCHEMA are rejected and counted, not lost") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val lines = Seq(
+      recordLine(1), // no schema declared yet -> rejected + counted
+      schemaLine, recordLine(2), recordLine(3))
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("ev") == 2L)
+    assert(report.rejectedPerStream == Map("ev" -> 1L))
+    assert(cat.load(ns, "ev").count() == 2)
+    cat.dropNamespace(ns)
+  }
+
   test("mid-stream SCHEMA change drains then switches (SDK semantics)") {
     val ns = freshNs()
     val cat = new CountingCatalog

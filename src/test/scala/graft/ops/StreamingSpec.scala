@@ -190,10 +190,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("closed session widens to include late in-watermark events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.closedSessions(spark, in.toDF())
+      .writeStream.format("memory").queryName("late_session")
+      .outputMode("append").start()
+    try {
+      in.addData(ev("10:00", user = 3L, v = 1.0))
+      q.processAllAvailable()
+      // late but inside the 1h watermark: must LOWER the session start
+      in.addData(ev("09:30", user = 3L, v = 2.0))
+      q.processAllAvailable()
+      in.addData(ev("23:30", user = 3L, v = 4.0)) // 13.5h gap -> closes
+      q.processAllAvailable()
+      val s0930 = Timestamp.valueOf("2024-01-01 09:30:00").getTime / 1000
+      val closed = spark.table("late_session")
+        .filter($"user_id" === 3L).collect()
+        .map(r => (r.getAs[Long]("start_epoch"), r.getAs[Long]("n_events")))
+      assert(closed.toSeq == Seq((s0930, 2L)),
+        s"late event must widen the session start: ${closed.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered ids, state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    final case class IdEv(event_id: Long, ts: Timestamp, value: Double)
     val in = MemoryStream[(Long, Timestamp, Double)]
     val q = Streaming.dedupedStream(
       in.toDF().toDF("event_id", "ts", "value"))

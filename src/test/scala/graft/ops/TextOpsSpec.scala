@@ -91,12 +91,26 @@ class TextOpsSpec extends AnyFunSuite {
     graft.functions.TextHashExprs.register(spark)
     val declarative = "md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))"
     val corpus = Tables.documents(spark, sf).select("text")
-    val edges = Seq("", "   ", "a", "  A  ", "a\t\tb", "x\r\ny  z\fq",
+    val edges = Seq("", "   ", "a", "  A  ", "a\t\tb", "x\r\ny  z\fq",
       "Größe  MIXED\tCase", "tab\tend\t", "😀  spaced  😀").toDF("text")
     val diffs = corpus.unionByName(edges)
       .selectExpr(s"sum(case when norm_md5(text) <=> $declarative then 0 else 1 end) AS bad")
       .collect().head.getLong(0)
     assert(diffs == 0L, s"$diffs rows diverge from the declarative fingerprint")
+  }
+
+  test("\\x0B follows RE2 (the oracle), not Java regex") {
+    import spark.implicits._
+    graft.functions.TextHashExprs.register(spark)
+    // RE2/DuckDB \s does NOT match U+000B (verified against DuckDB:
+    // regexp_replace leaves it, and it counts as a symbol token); Java \s
+    // does. The oracle is the contract, so the native exprs side with RE2.
+    val r = Seq(("a\u000Bb", "ab\u000B12")).toDF("t1", "t2")
+      .selectExpr("norm_md5(t1) AS m", "md5(t1) AS raw", "bpe_count(t2) AS c")
+      .collect().head
+    assert(r.getString(0) == r.getString(1),
+      "\\x0B must NOT be collapsed as whitespace (RE2 semantics)")
+    assert(r.getLong(2) == 3L, "\\x0B must count as one symbol token")
   }
 
   test("char windows are CODE POINTS — supplementary-plane parity with substr") {
