@@ -245,12 +245,13 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** Opt-in gate for [[q27ApproxDistinct]]'s exact-count self-check. Set by
-    * [[graft.Verify]] (the correctness driver) — an EXPLICIT flag, not a
-    * data-dir-name sniff: a production path without an `sfN` segment must
-    * default to the cheap sketch-only branch, never accidentally run the
-    * exact countDistinct the sketch exists to avoid. */
-  val ExactCheckConf = "spark.graft.q27.exactCheck"
+  /** Opt-in gate for the sketch operators' exact self-checks (q27 distinct
+    * count, q62 percentile). Set by [[graft.Verify]] (the correctness
+    * driver) — an EXPLICIT flag, not a data-dir-name sniff: a production
+    * path without an `sfN` segment must default to the cheap sketch-only
+    * branch, never accidentally run the exact pass the sketch exists to
+    * avoid. */
+  val ExactCheckConf = "spark.graft.exactCheck"
   private def validateExact(s: SparkSession): Boolean =
     s.conf.getOption(ExactCheckConf).contains("true")
 
@@ -273,6 +274,27 @@ object Similarity {
       events(s, d)
         .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users"))
         .select(col("n_users"), lit(true).as("approx_ok"))
+
+  /** C4b approximate percentile — the same gated-exactness discipline as
+    * [[q27ApproxDistinct]]: under [[ExactCheckConf]] the exact interpolated
+    * percentile runs alongside the t-digest-style sketch and `approx_ok`
+    * bounds the sketch's relative error (2%); the production default is
+    * sketch-only (`approx_percentile`, one pass, mergeable partial state —
+    * the only viable shape at 100 TB, where exact percentiles need a full
+    * sort or multi-pass selection). */
+  def q62ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    if (validateExact(s))
+      orders(s, d).groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"))
+        .select(col("o_orderpriority"), col("p50"),
+          (abs(col("approx") - col("p50")) <= col("p50") * 0.02).as("approx_ok"))
+        .orderBy("o_orderpriority")
+    else
+      orders(s, d).groupBy("o_orderpriority")
+        .agg(round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).as("p50"))
+        .select(col("o_orderpriority"), col("p50"), lit(true).as("approx_ok"))
+        .orderBy("o_orderpriority")
 
   private def lshProbeSql: String = {
     val planes = hyperplanes.zipWithIndex.map { case (p, j) =>
@@ -350,6 +372,10 @@ object Similarity {
     "q27_approx_distinct" -> ((q27ApproxDistinct _, """
       SELECT count(DISTINCT user_id) AS n_users, true AS approx_ok
       FROM events""")),
+    "q62_approx_percentile" -> ((q62ApproxPercentile _, """
+      SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+             true AS approx_ok
+      FROM orders GROUP BY 1 ORDER BY 1""")),
     "q53_knn_ivf" -> ((q53KnnIvf _, s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
