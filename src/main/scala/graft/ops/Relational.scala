@@ -290,6 +290,17 @@ object Relational {
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** UNPIVOT (inverse of [[q40StatusPivot]]): the wide per-status counts
+    * melt back to (priority, status, n) rows via `stack` — the
+    * wide-to-long reshape. stack is a generator (one pass, no shuffle
+    * beyond q40's aggregate). */
+  def q63Unpivot(s: SparkSession, d: String): DataFrame =
+    q40StatusPivot(s, d)
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (status, n)"))
+      .filter(col("n") > 0) // melt only combos that exist (oracle = GROUP BY)
+      .orderBy("o_orderpriority", "status")
+
   /** Date arithmetic: average ship delay (days from order to ship) per
     * order priority — datediff/date_diff parity across engines. */
   def q41ShipDelay(s: SparkSession, d: String): DataFrame =
@@ -666,6 +677,9 @@ object Relational {
       FROM views v ASOF LEFT JOIN purch p
         ON v.user_id = p.user_id AND p.ts <= v.ts
       ORDER BY v.event_id""")),
+    "q63_unpivot" -> ((q63Unpivot _, """
+      SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n
+      FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, status""")),
     "q55_range_join" -> ((q55RangeJoin _, """
       WITH ev AS (SELECT floor(epoch(ts))::BIGINT AS e, value FROM events),
       b AS (SELECT min(e) AS tmin, max(e) AS tmax FROM ev),
