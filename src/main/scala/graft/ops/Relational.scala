@@ -165,6 +165,19 @@ object Relational {
       .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** GROUPING SETS — the explicit third grouping form beside ROLLUP/CUBE:
+    * exactly the chosen aggregation levels ((flag, status), (status), ())
+    * in one pass with partial aggregation per set, instead of unioning
+    * three scans. Dataset.groupingSets is new API surface in Spark 4. */
+  def q64GroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** CUBE over order status/priority. */
   def q13Cube(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -543,6 +556,12 @@ object Relational {
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+    "q64_grouping_sets" -> ((q64GroupingSets _, """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
     "q13_cube" -> ((q13Cube _, """
       SELECT o_orderstatus, o_orderpriority,
