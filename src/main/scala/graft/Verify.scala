@@ -15,8 +15,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // correctness runs opt in to q27's exact-count self-check so the DuckDB
-    // oracle (exact) matches; bench/production default to sketch-only
+    // correctness runs opt in to the sketch operators' exact self-checks
+    // (q27 exact distinct count, q62 exact percentile) so the DuckDB oracle
+    // (exact) matches; bench/production default to sketch-only
     spark.conf.set(graft.ops.Similarity.ExactCheckConf, "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -283,16 +283,22 @@ object Similarity {
     * the only viable shape at 100 TB, where exact percentiles need a full
     * sort or multi-pass selection). */
   def q62ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    // p50 is FLOORED to a bigint, not rounded to cents: an even-count
+    // group's median is the midpoint of two 2-decimal prices — exactly a
+    // .xx5 value, where Spark's round (BigDecimal HALF_UP on the binary
+    // double) and DuckDB's round (C-library) disagree depending on which
+    // side of the true half the double representation landed. floor() has
+    // no midpoint and is bit-stable on both engines.
     if (validateExact(s))
       orders(s, d).groupBy("o_orderpriority")
-        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        .agg(floor(expr("percentile(o_totalprice, 0.5)")).as("p50"),
           expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"))
         .select(col("o_orderpriority"), col("p50"),
           (abs(col("approx") - col("p50")) <= col("p50") * 0.02).as("approx_ok"))
         .orderBy("o_orderpriority")
     else
       orders(s, d).groupBy("o_orderpriority")
-        .agg(round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).as("p50"))
+        .agg(floor(expr("approx_percentile(o_totalprice, 0.5, 10000)")).as("p50"))
         .select(col("o_orderpriority"), col("p50"), lit(true).as("approx_ok"))
         .orderBy("o_orderpriority")
 
@@ -373,7 +379,7 @@ object Similarity {
       SELECT count(DISTINCT user_id) AS n_users, true AS approx_ok
       FROM events""")),
     "q62_approx_percentile" -> ((q62ApproxPercentile _, """
-      SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      SELECT o_orderpriority, floor(quantile_cont(o_totalprice, 0.5))::BIGINT AS p50,
              true AS approx_ok
       FROM orders GROUP BY 1 ORDER BY 1""")),
     "q53_knn_ivf" -> ((q53KnnIvf _, s"""

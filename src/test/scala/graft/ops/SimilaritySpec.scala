@@ -79,6 +79,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q.collect().head.getAs[Boolean]("approx_ok")) // lit(true) marker
   }
 
+  test("approx percentile defaults to sketch-only — no exact pass in the plan") {
+    val q = Similarity.q62ApproxPercentile(spark, sf)
+    val plan = q.queryExecution.optimizedPlan.toString
+    // 'percentile(' must appear only as approx_percentile — the exact
+    // per-group value materialization is the cost the gate exists to avoid
+    assert(!plan.toLowerCase.replace("approx_percentile", "")
+      .contains("percentile("), plan.take(1200))
+    assert(q.collect().forall(_.getAs[Boolean]("approx_ok")))
+  }
+
   test("IVF kNN: broadcast cell-probe join, no cartesian, ranked output") {
     val q = Similarity.q53KnnIvf(spark, sf)
     val rows = q.collect()
