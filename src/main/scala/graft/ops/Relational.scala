@@ -447,11 +447,16 @@ object Relational {
 
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
+    // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
+    // (even-count medians always; p90 whenever the bracketing gap ends in
+    // 5 cents), where Spark and DuckDB round() can disagree on the binary
+    // double — floor() has no midpoint and is bit-stable on both engines
+    // (see q62 for the empirical divergence examples)
     orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        floor(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        floor(expr("percentile(o_totalprice, 0.9)")).as("p90"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
@@ -667,8 +672,8 @@ object Relational {
       FROM monthly ORDER BY month_epoch""")),
     "q48_percentiles" -> ((q48Percentiles _, """
       SELECT o_orderpriority,
-             round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-             round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+             floor(quantile_cont(o_totalprice, 0.5))::BIGINT AS p50,
+             floor(quantile_cont(o_totalprice, 0.9))::BIGINT AS p90,
              count(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
     "q52_quartiles" -> ((q52Quartiles _, """
