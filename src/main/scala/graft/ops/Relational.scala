@@ -445,6 +445,58 @@ object Relational {
       .orderBy("w")
   }
 
+  /** Statistical aggregates per group: correlation, sample covariance /
+    * variance / stddev — identical sample definitions in both engines;
+    * rounding absorbs summation-order ulps like every other double agg. */
+  def q65StatAggs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qty_price"),
+        round(stddev_samp("l_quantity"), 6).as("sd_qty"),
+        round(var_samp("l_discount"), 6).as("var_disc"))
+      .orderBy("l_returnflag")
+
+  /** Funnel conversion: of the users who VIEWED, how many PURCHASED within
+    * the hour that followed some view. The existence join shuffles on
+    * user_id only (the natural key), the range predicate prunes inside the
+    * join, and the final counts are two cheap distinct aggregates — no
+    * per-pair materialization survives past the semi-join. */
+  def q66Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val viewers = v.select("user_id").distinct()
+    val converted = v.join(p, "user_id")
+      .filter(col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id").distinct()
+    viewers.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+      .select(col("n_viewers"), col("n_converted"),
+        round(col("n_converted") / col("n_viewers"), 4).as("conversion"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity day, counted
+    * at each day-offset they return. Two aggregates + one join, all
+    * shuffling on user_id; the output matrix is bounded by days^2, not by
+    * event volume. Days encode as days-since-epoch ints (no timezone or
+    * epoch-rounding surface at all). */
+  def q67Retention(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("cohort"))
+    days.join(first, "user_id")
+      .select(datediff(col("cohort"), lit("1970-01-01")).as("cohort_day"),
+        datediff(col("day"), col("cohort")).as("offset"))
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
@@ -701,6 +753,34 @@ object Relational {
       FROM views v ASOF LEFT JOIN purch p
         ON v.user_id = p.user_id AND p.ts <= v.ts
       ORDER BY v.event_id""")),
+    "q65_stat_aggs" -> ((q65StatAggs _, """
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+             round(stddev_samp(l_quantity), 6) AS sd_qty,
+             round(var_samp(l_discount), 6) AS var_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    "q66_funnel" -> ((q66Funnel _, """
+      WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      conv AS (
+        SELECT DISTINCT v.user_id
+        FROM v JOIN p ON p.user_id = v.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      )
+      SELECT (SELECT count(DISTINCT user_id) FROM v) AS n_viewers,
+             (SELECT count(*) FROM conv) AS n_converted,
+             round((SELECT count(*) FROM conv)::DOUBLE /
+                   (SELECT count(DISTINCT user_id) FROM v), 4) AS conversion""")),
+    "q67_retention" -> ((q67Retention _, """
+      WITH days AS (
+        SELECT DISTINCT user_id, ts::DATE AS day FROM events
+      ),
+      first AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY user_id)
+      SELECT (f.cohort - DATE '1970-01-01') AS cohort_day,
+             (d.day - f.cohort) AS "offset", count(*) AS n_users
+      FROM days d JOIN first f USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_day, "offset" """)),
     "q63_unpivot" -> ((q63Unpivot _, """
       SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n
       FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, status""")),
