@@ -193,10 +193,22 @@ object Dedup {
       col("doc_id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
+      // a pair can share several chunks — keep it only at its SMALLEST
+      // shared chunk, decided in-row from sim_a/sim_b (already carried):
+      // dedup without a blocking distinct, which would shuffle the entire
+      // quadratic pair stream a second time. Three explicit comparisons
+      // (not an interpreted lambda) keep it inside WholeStageCodegen.
+      .filter(expr(
+        """chunk = 0 OR (
+          |  (sim_a % 32768) != (sim_b % 32768) AND (
+          |    chunk = 1 OR (
+          |      ((sim_a div 32768) % 32768) != ((sim_b div 32768) % 32768) AND (
+          |        chunk = 2 OR
+          |        ((sim_a div 1073741824) % 32768) != ((sim_b div 1073741824) % 32768)))))"""
+          .stripMargin))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .distinct() // a pair can share several chunks
   }
 
   /** Registered form: per-document near-dup degree + closest distance. The
