@@ -299,7 +299,7 @@ case class NormMd5(child: Expression) extends SingleArgHashExpr {
     md.update(out, 0, j)
     val digest = md.digest()
     val hex = new Array[Byte](32)
-    val tab = "0123456789abcdef".getBytes
+    val tab = NormMd5.HexTab
     i = 0
     while (i < 16) {
       hex(2 * i) = tab((digest(i) >> 4) & 0xf)
@@ -308,6 +308,10 @@ case class NormMd5(child: Expression) extends SingleArgHashExpr {
     }
     UTF8String.fromBytes(hex)
   }
+}
+
+object NormMd5 {
+  private[functions] val HexTab = "0123456789abcdef".getBytes
 }
 
 /** `bpe_count(text)` -> bigint: the number of matches of the BPE-ish

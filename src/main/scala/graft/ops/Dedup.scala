@@ -114,7 +114,14 @@ object Dedup {
     l.join(r, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct() // a pair can share several bands
+      // a pair can share several bands. Unlike simhashPairs (which dedups
+      // in-row at the smallest shared chunk, recomputable from the carried
+      // sim longs), deciding the smallest shared BAND needs all four
+      // 32-char band keys on both sides — fattening the corpus-wide banded
+      // shuffle by ~256 B/row to spare a distinct over the (much smaller)
+      // candidate pair stream of 16 B ids. The distinct is the cheaper
+      // side of that trade at every scale, so it stays.
+      .distinct()
   }
 
   /** Annotate rows with their bucket size via a count-over-partition window

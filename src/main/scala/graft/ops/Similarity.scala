@@ -69,6 +69,16 @@ object Similarity {
   /** Native one-pass cosine (see class doc for why not aggregate/zip_with). */
   private def cosine(a: String, b: String) = expr(s"vec_cosine($a, $b)")
 
+  /** Shared ranking tail of every kNN tier: best k per query, ordered
+    * (sim desc, neighbor asc — the deterministic oracle order). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
+  }
+
   /** C3 baseline: exact cosine top-K for each query vector (vec_id < 10).
     * round(sim, 6) before ranking makes the order robust to last-ulp
     * differences between engines; ties break on neighbor id. */
@@ -76,13 +86,11 @@ object Similarity {
     val corpus = emb(s, d)
     val queries = emb(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("neighbor_id"))
-    corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(cosine("v", "qv"), 6).as("sim"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= K)
-      .orderBy("q_id", "rnk")
+    rankTopK(
+      corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(cosine("v", "qv"), 6).as("sim")),
+      K)
   }
 
   /** bucket(v) = sum_j 2^j * [dot(v, plane_j) >= 0] — ONE compiled pass over
@@ -102,15 +110,13 @@ object Similarity {
         explode(expr(
           s"transform(sequence(0, $planes), p -> CASE WHEN p = $planes THEN bucket ELSE cast(bucket ^ shiftleft(1, p) as bigint) END)"))
           .as("probe"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("neighbor_id"))
-    corpus.join(queries,
-        col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(cosine("v", "qv"), 6).as("sim"))
-      .distinct() // a neighbor can match several probes of one query
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= LshK)
-      .orderBy("q_id", "rnk")
+    rankTopK(
+      corpus.join(queries,
+          col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(cosine("v", "qv"), 6).as("sim"))
+        .distinct(), // a neighbor can match several probes of one query
+      LshK)
   }
 
   def q26KnnLsh(s: SparkSession, d: String): DataFrame = knnLsh(s, d, NumPlanes)
@@ -164,14 +170,12 @@ object Similarity {
         explode(transform(
           slice(sort_array(cellScores("v"), asc = false), 1, NumProbes),
           x => -x.getField("ci"))).as("cell"))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("neighbor_id"))
-    assigned.join(broadcast(queries), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(cosine("v", "qv"), 6).as("sim"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= IvfK)
-      .orderBy("q_id", "rnk")
+    rankTopK(
+      assigned.join(broadcast(queries), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(cosine("v", "qv"), 6).as("sim")),
+      IvfK)
   }
 
   val NearDupCosine = 0.4

@@ -209,10 +209,10 @@ object Streaming {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the epoch id is the checkpoint's concern, not the sink's
         catalog.ensureTable(ns, table, batch.schema)
         catalog.append(ns, table, batch.toDF())
-        val _ = epoch // epoch id is the checkpoint's concern; named for clarity
       }
       .start()
 
