@@ -70,7 +70,13 @@ object Similarity {
   private def cosine(a: String, b: String) = expr(s"vec_cosine($a, $b)")
 
   /** Shared ranking tail of every kNN tier: best k per query, ordered
-    * (sim desc, neighbor asc — the deterministic oracle order). */
+    * (sim desc, neighbor asc — the deterministic oracle order). Catalyst
+    * rewrites the rank-filter into WindowGroupLimit (verified in the q25
+    * executed plan): each partition keeps only its k best rows per query
+    * BEFORE the window shuffle, so this declarative form already gets the
+    * bounded-heap behavior [[q49KnnAgg]]'s typed Aggregator implements by
+    * hand — the two shapes are equivalent at scale, kept side by side as
+    * the optimizer-trusting and explicit variants. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("neighbor_id"))
     scored
