@@ -244,7 +244,41 @@ object Streaming {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** C7e hourly anomaly flags: each (hour, event_type) bucket's count
+    * z-scored against that type's own mean/stddev across hours; |z| >= 2
+    * flags the bucket. The per-type stats frame is tiny (one row per type)
+    * and broadcast — the hourly aggregate is computed once and reused for
+    * both sides (same-plan exchange reuse). Both engines filter on the
+    * ROUNDED z so the boundary is decided identically. */
+  def q69Anomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = tumblingHourly(events(s, d))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_samp("n").as("sigma"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("hour_epoch"), col("event_type"), col("n"),
+        round((col("n") - col("mu")) / col("sigma"), 4).as("z"))
+      .filter(abs(col("z")) >= 2.0)
+      .orderBy("hour_epoch", "event_type")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q69_anomaly" -> ((q69Anomaly _, """
+      WITH hourly AS (
+        SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+      ),
+      stats AS (
+        SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+        FROM hourly GROUP BY 1
+      )
+      SELECT h.hour_epoch, h.event_type, h.n,
+             round((h.n - s.mu) / s.sigma, 4) AS z
+      FROM hourly h JOIN stats s USING (event_type)
+      WHERE abs(round((h.n - s.mu) / s.sigma, 4)) >= 2
+      ORDER BY hour_epoch, event_type""")),
     "q36_events_tumbling" -> ((q36EventsTumbling _, """
       SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
              count(*) AS n, round(sum(value), 2) AS sum_value

@@ -234,6 +234,28 @@ object TextOps {
         round(lit(1.0) - col("n_unique") / col("n_shingles"), 4).as("rep_ratio"))
       .orderBy("doc_id")
 
+  /** Shingle novelty: per document, the fraction of its 3-word shingles it
+    * INTRODUCES to the corpus (no lower doc_id contains them) — the
+    * "marginal contribution" score used to prioritize which near-dups to
+    * keep. Two shuffles, both on natural keys with map-side partial
+    * aggregation: first-introducer per shingle (groupBy shingle), then the
+    * per-doc novel/total counts (groupBy doc after an equi-join back).
+    * Never pairwise — cost is linear in total shingle volume at any
+    * corpus size. */
+  def q68Novelty(s: SparkSession, d: String): DataFrame = {
+    val ex = Dedup.shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val firstIntro = ex.groupBy("s").agg(min("doc_id").as("first_doc"))
+    ex.join(firstIntro, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_novel"), col("n_sh"),
+        round(col("n_novel") / col("n_sh"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q28_text_stats" -> ((q28TextStats _, """
       SELECT lang, count(*) AS n_docs,
@@ -340,6 +362,20 @@ object TextOps {
       SELECT doc_id, n_shingles::BIGINT AS n_shingles,
              n_unique::BIGINT AS n_unique,
              round(1.0 - n_unique::DOUBLE / n_shingles, 4) AS rep_ratio
-      FROM sh ORDER BY doc_id"""))
+      FROM sh ORDER BY doc_id""")),
+    "q68_novelty" -> ((q68Novelty _, """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM tok, unnest(generate_series(1, len(t)-2)) AS r(i)
+      ),
+      intro AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+      SELECT sh.doc_id,
+             sum(CASE WHEN i.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+             count(*) AS n_sh,
+             round(sum(CASE WHEN i.first_doc = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 4) AS novelty
+      FROM sh JOIN intro i ON i.s = sh.s
+      GROUP BY sh.doc_id ORDER BY sh.doc_id"""))
   )
 }
