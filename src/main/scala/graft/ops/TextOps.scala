@@ -237,16 +237,16 @@ object TextOps {
   /** Shingle novelty: per document, the fraction of its 3-word shingles it
     * INTRODUCES to the corpus (no lower doc_id contains them) — the
     * "marginal contribution" score used to prioritize which near-dups to
-    * keep. Two shuffles, both on natural keys with map-side partial
-    * aggregation: first-introducer per shingle (groupBy shingle), then the
-    * per-doc novel/total counts (groupBy doc after an equi-join back).
-    * Never pairwise — cost is linear in total shingle volume at any
-    * corpus size. */
+    * keep. The first-introducer is a min-over-partition window on the ONE
+    * shingle-keyed shuffle (a groupBy + join-back would rerun the shingle
+    * explosion scan for the second branch — same lesson as the LSH bucket
+    * caps); the per-doc rollup is the only other shuffle. Never pairwise —
+    * cost is linear in total shingle volume at any corpus size. */
   def q68Novelty(s: SparkSession, d: String): DataFrame = {
-    val ex = Dedup.shingled(s, d)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    Dedup.shingled(s, d)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    val firstIntro = ex.groupBy("s").agg(min("doc_id").as("first_doc"))
-    ex.join(firstIntro, "s")
+      .withColumn("first_doc", min("doc_id").over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
