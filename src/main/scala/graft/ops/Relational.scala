@@ -459,22 +459,29 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** Funnel conversion: of the users who VIEWED, how many PURCHASED within
-    * the hour that followed some view. The existence join shuffles on
-    * user_id only (the natural key), the range predicate prunes inside the
-    * join, and the final counts are two cheap distinct aggregates — no
-    * per-pair materialization survives past the semi-join. */
+    * the hour that followed some view. "Exists a view within the horizon
+    * before p" holds iff it holds for the LATEST view at-or-before p, so
+    * the check is the q54 as-of shape — union-tag + carry-forward window,
+    * ONE shuffle on user_id, linear — instead of the naive user equi-join,
+    * which expands views x purchases per user before the range filter
+    * (quadratic in hot users). The final 1-row x 1-row crossJoin just
+    * pairs the two scalar counts. */
   def q66Funnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val v = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").as("v_ts"))
+      .select(col("user_id"), col("ts"), lit(0).as("side")) // views first on ts ties
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"))
-    val viewers = v.select("user_id").distinct()
-    val converted = v.join(p, "user_id")
-      .filter(col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("ts"), lit(1).as("side"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = v.unionByName(p)
+      .withColumn("last_view",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+    val converted = tagged
+      .filter(col("side") === 1 && col("last_view").isNotNull &&
+        col("ts") <= col("last_view") + expr("INTERVAL 1 HOUR"))
       .select("user_id").distinct()
-    viewers.agg(count(lit(1)).as("n_viewers"))
+    v.select("user_id").distinct().agg(count(lit(1)).as("n_viewers"))
       .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
       .select(col("n_viewers"), col("n_converted"),
         round(col("n_converted") / col("n_viewers"), 4).as("conversion"))
