@@ -189,7 +189,8 @@ final class BatchLoader(
       .observe(rejMetric, coalesce(sum(when(isRejected, 1L).otherwise(0L)),
         lit(0L)).as("rejected"))
       .filter(!isRejected)
-    val base = parsed.select((schema.fieldNames.map(f => col(s"r.`$f`")) :+ col("seq")): _*)
+    val base = parsed.select(
+      (schema.fieldNames.toIndexedSeq.map(f => col(s"r.`$f`")) :+ col("seq")): _*)
     val valid =
       if (!addRecordMetadata) base
       else base

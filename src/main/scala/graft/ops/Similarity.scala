@@ -164,7 +164,7 @@ object Similarity {
     * double score, sidesteps -0.0 comparison hazards). */
   def q53KnnIvf(s: SparkSession, d: String): DataFrame = {
     val cents = centroids(s, d)
-    def cellScores(v: String): Column = array(cents.map { case (cid, vec) =>
+    def cellScores(v: String): Column = array(cents.toIndexedSeq.map { case (cid, vec) =>
       struct(
         round(call_function("vec_cosine", col(v), typedLit(vec.toSeq)), 6).as("s"),
         lit(-cid).as("ci"))

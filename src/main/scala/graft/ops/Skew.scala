@@ -19,7 +19,7 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
-    val largeCols = large.columns.map(c => col(s"`$c`"))
+    val largeCols = large.columns.toIndexedSeq.map(c => col(s"`$c`"))
     val salted = large.withColumn("__salt",
       pmod(hash(largeCols: _*), lit(saltFactor)))
     val replicated = small
