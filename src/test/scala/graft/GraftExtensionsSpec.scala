@@ -28,7 +28,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     val r = s.sql(
-      "SELECT size(shingle_minhash('a b c d')) AS n, token_simhash('x y') AS sh").head
+      "SELECT size(shingle_minhash('a b c d')) AS n, token_simhash('x y') AS sh").head()
     assert(r.getAs[Int]("n") == graft.ops.Dedup.NumHashes)
     assert(!r.isNullAt(1))
   }

@@ -43,7 +43,7 @@ class BatchLoaderSpec extends AnyFunSuite {
     assert(report.statesToEcho == Seq("""{"bookmark":25}"""))
     val back = cat.load(ns, "ev")
     assert(back.count() == 25)
-    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
       == (1 to 25).sum.toLong)
     cat.dropNamespace(ns)
   }
@@ -172,7 +172,7 @@ class BatchLoaderSpec extends AnyFunSuite {
     assert(report.rowsPerStream("ev") == 1L)
     val back = cat.load(ns, "ev")
     assert(back.count() == 1)
-    assert(back.select("_sdc_table_version").head.getLong(0) == 5L)
+    assert(back.select("_sdc_table_version").head().getLong(0) == 5L)
     cat.dropNamespace(ns)
   }
 
@@ -238,7 +238,7 @@ class BatchLoaderSpec extends AnyFunSuite {
     assert(report.rowsPerStream == Map("ev_mapped" -> 2L))
     val back = cat.load(ns, "ev_mapped")
     assert(back.columns.toSet == Set("id", "v2"))
-    assert(back.agg(org.apache.spark.sql.functions.sum("v2")).head.getDouble(0)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v2")).head().getDouble(0)
       == (2 * 1.5 + 3 * 1.5) * 10)
     cat.dropNamespace(ns)
   }
@@ -338,7 +338,7 @@ class BatchLoaderSpec extends AnyFunSuite {
     val tbl = cat.load(ns, "tt")
     val schema: StructType = tbl.schema
     assert(schema("at").dataType == org.apache.spark.sql.types.TimestampType)
-    assert(tbl.selectExpr("unix_timestamp(at)").head.getLong(0) == 1709296200L)
+    assert(tbl.selectExpr("unix_timestamp(at)").head().getLong(0) == 1709296200L)
     cat.dropNamespace(ns)
   }
 }

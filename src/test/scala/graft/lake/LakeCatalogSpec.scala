@@ -17,7 +17,7 @@ class LakeCatalogSpec extends AnyFunSuite {
 
   private def tableDir(ns: String, table: String): Path = {
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED `$ns`.`$table`")
-      .filter($"col_name" === "Location").select("data_type").head.getString(0)
+      .filter($"col_name" === "Location").select("data_type").head().getString(0)
     Paths.get(new java.net.URI(loc))
   }
 
@@ -31,13 +31,13 @@ class LakeCatalogSpec extends AnyFunSuite {
     val before = parquetFiles(tableDir(ns, "t")).size
     assert(before >= 20, s"expected many small files, got $before")
     val sumBefore = cat.load(ns, "t").agg(org.apache.spark.sql.functions.sum("id"))
-      .head.getLong(0)
+      .head().getLong(0)
     cat.compact(ns, "t", targetFiles = 2)
     val after = parquetFiles(tableDir(ns, "t")).size
     assert(after <= 3, s"compaction left $after files")
     assert(cat.load(ns, "t").count() == 5000)
     assert(cat.load(ns, "t").agg(org.apache.spark.sql.functions.sum("id"))
-      .head.getLong(0) == sumBefore)
+      .head().getLong(0) == sumBefore)
     cat.dropNamespace(ns)
   }
 

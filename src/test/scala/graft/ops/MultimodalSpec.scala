@@ -14,7 +14,7 @@ class MultimodalSpec extends AnyFunSuite {
     val sch = env.schema
     assert(sch("bytes").dataType == org.apache.spark.sql.types.BinaryType)
     assert(sch("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
-    val r = env.orderBy("doc_id").head
+    val r = env.orderBy("doc_id").head()
     assert(r.getAs[String]("uri").startsWith("doc://"))
     assert(r.getAs[Array[Byte]]("bytes").nonEmpty)
   }

@@ -30,7 +30,7 @@ class SkewSpec extends AnyFunSuite {
   test("salting spreads the hot key over multiple sub-keys") {
     val spread = skewed
       .withColumn("__salt", org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.hash(skewed.columns.map(c =>
+        org.apache.spark.sql.functions.hash(skewed.columns.toIndexedSeq.map(c =>
           org.apache.spark.sql.functions.col(c)): _*),
         org.apache.spark.sql.functions.lit(8)))
       .filter($"k" === 1L).select("__salt").distinct().count()

@@ -32,7 +32,7 @@ class StreamMapsSpec extends AnyFunSuite {
       columns = Map("v2" -> Some("v * 2")), filter = Some("id != 2"))
     val out = StreamMaps(df, cfg)
     assert(out.columns.toSet == Set("id", "email", "v", "v2"))
-    assert(out.agg(sum("v2")).head.getDouble(0) == 80.0)
+    assert(out.agg(sum("v2")).head().getDouble(0) == 80.0)
   }
 
   test("flatten: 2-level struct -> parent__child columns, round-trips values") {
@@ -41,7 +41,7 @@ class StreamMapsSpec extends AnyFunSuite {
         struct(col("u._2._1").as("city"), col("u._2._2").as("cc")).as("addr")).as("u"))
     val flat = StreamMaps.flatten(nested, maxDepth = 2)
     assert(flat.columns.toSet == Set("id", "u__name", "u__addr__city", "u__addr__cc"))
-    val r = flat.head
+    val r = flat.head()
     assert(r.getAs[String]("u__name") == "alice" &&
       r.getAs[String]("u__addr__city") == "nyc")
   }
@@ -82,6 +82,6 @@ class StreamMapsSpec extends AnyFunSuite {
         struct(col("u._2._1").as("city"), col("u._2._2").as("cc")).as("addr")).as("u"))
     val flat = StreamMaps.flatten(nested, maxDepth = 1)
     assert(flat.columns.toSet == Set("id", "u__name", "u__addr"))
-    assert(flat.head.getAs[String]("u__addr") == """{"city":"nyc","cc":"us"}""")
+    assert(flat.head().getAs[String]("u__addr") == """{"city":"nyc","cc":"us"}""")
   }
 }
