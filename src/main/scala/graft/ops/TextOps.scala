@@ -344,7 +344,7 @@ object TextOps {
       corp AS (SELECT doc_id, s FROM sh WHERE doc_id >= $BenchmarkMaxId),
       agg AS (
         SELECT c.doc_id, count(*) AS n_sh,
-               sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+               sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap
         FROM corp c LEFT JOIN bench b ON b.s = c.s
         GROUP BY c.doc_id
       )

@@ -68,6 +68,15 @@ def main():
         mismatch = None
         for c in s.columns:
             sv, ov = s[c], o[c].astype(s[c].dtype, errors="ignore")
+            # The driver hashes raw values, so an int column vs a float
+            # column (e.g. DuckDB HUGEINT -> float64) mismatches even when
+            # numerically equal. Flag kind differences before coercion hides
+            # them (r4's q58: uncast sum(CASE..) came back HUGEINT->float64).
+            if s[c].dtype.kind in "if" and o[c].dtype.kind in "if" \
+                    and s[c].dtype.kind != o[c].dtype.kind:
+                mismatch = (f"col {c}: dtype kind spark={s[c].dtype} "
+                            f"oracle={o[c].dtype} (driver hash would differ)")
+                break
             try:
                 eq = (sv.fillna("__null__") == ov.fillna("__null__")) \
                     if sv.dtype == object else \
