@@ -275,6 +275,92 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Iteration cap for [[q70DupClusters]]: label propagation converges in
+    * O(component diameter) rounds, and near-dup components are
+    * low-diameter by construction (an LSH band key pins every member to a
+    * shared signature, so components are dense cliques-of-cliques, not
+    * paths). A corpus whose dup graph has 25+ hop chains is a degenerate
+    * input — fail loudly rather than loop. */
+  val MaxCcIterations = 25
+
+  /** C2f duplicate-cluster assignment: connected components over the LSH
+    * candidate-pair graph, so transitive near-dups (A~B, B~C) collapse into
+    * ONE cluster with ONE keeper — the decision step that turns pairwise
+    * dedup signals into the actual keep/drop list.
+    *
+    * Algorithm: distributed min-label propagation. Each doc starts as its
+    * own label; every round each doc takes the min label among itself and
+    * its neighbors; fixpoint = every member holds the component's min
+    * doc_id. Per round: one equi-join (labels against the static edge
+    * list) + one groupBy-min — both shuffle on doc id with map-side
+    * partial agg, payload is 16 bytes/row. The edge list is computed ONCE
+    * and `localCheckpoint`ed; every label frontier is checkpointed too, so
+    * lineage stays O(1) instead of growing per round (the classic
+    * iterative-Spark failure). On a real cluster use reliable
+    * `checkpoint()` to survive executor loss; for O(log n) worst-case
+    * rounds on high-diameter graphs, switch to large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce") — not needed
+    * for the low-diameter graphs LSH emits (see [[MaxCcIterations]]).
+    * The convergence probe is `limit(1).count()` — it short-circuits at
+    * the first changed label, a control-plane scalar, never a collect of
+    * data rows. */
+  def q70DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < MaxCcIterations) {
+      val proposed = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionAll(proposed)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"dup-cluster label propagation did not converge in $MaxCcIterations " +
+        "rounds — degenerate high-diameter dup graph; use large-star/small-star")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** The "incoming batch" slice for [[q75IncrementalDedup]] — one of the
+    * corpus's twenty sources plays the freshly-crawled shard. */
+  val IncomingSource = "src0"
+
+  /** C2g incremental dedup — the production shape: a new batch is deduped
+    * intra-batch (keep min doc_id per fingerprint), then anti-joined
+    * against the EXISTING corpus's fingerprints. The corpus is never
+    * re-deduped and never re-paired; the only shuffle is on the 16-byte
+    * md5 fingerprint, and the incoming side is a tiny fraction of the
+    * corpus so AQE broadcasts it. At 100 TB the corpus fingerprints are a
+    * precomputed ~32 B/doc table (this pipeline's own q22 output); keep it
+    * bucketed by fingerprint and the anti-join needs no corpus shuffle at
+    * all — each incremental load touches only matching buckets. */
+  def q75IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val fp = documents(s, d).select(col("doc_id"), col("source"),
+      expr("norm_md5(text)").as("fp"))
+    val corpusFps = fp.filter(col("source") =!= IncomingSource).select("fp")
+    fp.filter(col("source") === IncomingSource)
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Shared oracle CTE chain ending in `cand` (the distinct LSH candidate
     * pairs) — composed by both the jaccard and edit-distance oracles. */
   private def minhashCandCtes: String = {
@@ -348,7 +434,47 @@ object Dedup {
                  JOIN e b ON b.vec_id = j.id_b
       ORDER BY j.id_a, j.id_b"""
 
+  /** Connected components in the oracle: a recursive CTE walks every
+    * (node, reaching-label) pair — transitive closure, fine at oracle scale
+    * (the Spark side is the scalable algorithm). `WITH RECURSIVE` must
+    * prefix the whole CTE chain, so the shared candidate CTEs get the
+    * keyword spliced in. */
+  private def ccOracle: String = {
+    val ctes = minhashCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""
+      $ctes,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                UNION ALL SELECT id_b, id_a FROM cand),
+      walk AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
+      ),
+      comps AS (SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM comps GROUP BY cluster_id)
+      SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+             (c.node = c.cluster_id) AS is_keeper
+      FROM comps c JOIN sizes s USING (cluster_id)
+      ORDER BY doc_id"""
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
+    "q75_incremental_dedup" -> ((q75IncrementalDedup _, s"""
+      WITH fp AS (
+        SELECT doc_id, source,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+      ),
+      incoming AS (
+        SELECT fp, min(doc_id) AS doc_id FROM fp
+        WHERE source = '$IncomingSource' GROUP BY fp
+      )
+      SELECT i.doc_id, i.fp FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM fp c
+                        WHERE c.source <> '$IncomingSource' AND c.fp = i.fp)
+      ORDER BY i.doc_id""")),
     "q22_dedup_exact" -> ((q22DedupExact _, """
       SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
              min(doc_id) AS keep_id, count(*) AS n_copies

@@ -256,7 +256,182 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Term classes for the policy-scrub operator — the PII/blocklist-redaction
+    * plumbing (per-class match counts + a fingerprint of the redacted text)
+    * exercised with word classes that actually occur in this corpus; swap
+    * the patterns for email/phone/SSN regexes in a real deployment. Kept as
+    * Java-regex strings; the oracle SQL carries the RE2 spelling (DuckDB
+    * string literals do not process backslash escapes — SNIPPETS r4 lesson). */
+  val ScrubClasses: Seq[(String, String)] = Seq(
+    "perf" -> "\\b(slow|fast)\\b",
+    "struct" -> "\\b(table|row|column)\\b")
+  private val scrubAll: String =
+    "\\b(slow|fast|table|row|column)\\b"
+
+  /** C5h policy scrub: per-document match counts for each sensitive-term
+    * class plus the md5 of the redacted text (every match replaced by
+    * `[X]`) — the PII-removal pass shape: pure per-row projection, ZERO
+    * shuffle before the output sort, so it scales with scan bandwidth.
+    * Three regex passes per doc; if this were the corpus bottleneck the
+    * fix is one combined native expression (the norm_md5/bpe_count
+    * precedent), not a UDF. */
+  def q71PolicyScrub(s: SparkSession, d: String): DataFrame = {
+    val counts = ScrubClasses.map { case (name, pat) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    documents(s, d)
+      .select(col("doc_id") +: counts :+
+        md5(regexp_replace(col("text"), scrubAll, "[X]")).as("redacted_fp"): _*)
+      .filter(ScrubClasses.map { case (n, _) => col(s"n_$n") > 0 }
+        .reduce(_ || _))
+      .orderBy("doc_id")
+  }
+
+  val TfIdfTopK = 3
+
+  /** C5i TF-IDF keyword extraction: top-[[TfIdfTopK]] terms per document by
+    * tf * ln(N/df). Three shuffles, all linear: (doc, term) partial-agg for
+    * tf; term-keyed rollup for df (output = vocabulary, tiny -> broadcast
+    * back); doc-keyed window for the top-k. The rank filter compiles to
+    * WindowGroupLimit, so each map task keeps only k rows per doc BEFORE
+    * the window shuffle — the same partial-top-k shape as the kNN tail.
+    * N arrives via a broadcast 1-row aggregate, never a driver collect. */
+  def q72TfIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TfIdfTopK)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val HistBucketChars = 50
+
+  /** C5j corpus length profile: fixed-width histogram of document length in
+    * chars + each bucket's corpus share. One hash-shuffle on ~dozens of
+    * bucket keys (map-side partial agg collapses everything first); the
+    * total arrives via a broadcast 1-row aggregate. The profiling pass that
+    * sizes the length-based quality gates. */
+  def q73LengthHistogram(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs
+      .select((floor(col("n_chars") / HistBucketChars) * HistBucketChars)
+        .cast("long").as("bucket_lo"))
+      .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket_lo"), col("n_docs"),
+        round(col("n_docs") / col("n_total"), 4).as("share"))
+      .orderBy("bucket_lo")
+  }
+
+  /** Gopher-style gate thresholds (Rae et al. 2021 table A1 adapted to this
+    * corpus's scale): docs outside any bound are rejected with a named
+    * reason. Mean word length derives from n_chars arithmetically
+    * ((chars - spaces) / tokens), so the whole gate is integer/rational
+    * math — no float divergence surface. */
+  val GateMinTokens = 40
+  val GateMaxTokens = 100000
+  val GateMinMeanWordLen = 3.0
+  val GateMaxMeanWordLen = 10.0
+  val GateMaxStopRatio = 0.5
+
+  /** C5k composite quality gate, reported per language: how many docs each
+    * rule rejects and how many survive all of them — the go/no-go summary a
+    * curation run emits before committing a training mix. Single scan, all
+    * rules evaluated in one codegen'd projection, one small (lang-keyed)
+    * aggregation. Complements q30 (per-doc signals) with the corpus-level
+    * decision matrix. */
+  def q74QualityGate(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("mean_wl",
+        (col("n_chars") - col("n_tok") + 1) / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(t, x -> array_contains($stopArr, x)))")
+          / col("n_tok"))
+      .withColumn("r_len",
+        col("n_tok") < GateMinTokens || col("n_tok") > GateMaxTokens)
+      .withColumn("r_word_len",
+        col("mean_wl") < GateMinMeanWordLen || col("mean_wl") > GateMaxMeanWordLen)
+      .withColumn("r_stop", col("stop_ratio") > GateMaxStopRatio)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_len").cast("long")).as("n_r_len"),
+        sum(col("r_word_len").cast("long")).as("n_r_word_len"),
+        sum(col("r_stop").cast("long")).as("n_r_stop"),
+        sum((!(col("r_len") || col("r_word_len") || col("r_stop")))
+          .cast("long")).as("n_kept"))
+      .orderBy("lang")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q71_policy_scrub" -> ((q71PolicyScrub _, """
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\b(slow|fast)\b'))::BIGINT AS n_perf,
+             len(regexp_extract_all(text, '\b(table|row|column)\b'))::BIGINT
+               AS n_struct,
+             md5(regexp_replace(text, '\b(slow|fast|table|row|column)\b',
+                                '[X]', 'g')) AS redacted_fp
+      FROM documents
+      WHERE len(regexp_extract_all(text, '\b(slow|fast)\b')) > 0
+         OR len(regexp_extract_all(text, '\b(table|row|column)\b')) > 0
+      ORDER BY doc_id""")),
+    "q72_tfidf" -> ((q72TfIdf _, s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term <> '' GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rnk
+        FROM (SELECT t.doc_id, t.term, t.tf,
+                     round(t.tf * ln(n.n_docs::DOUBLE / d.df), 4) AS tfidf
+              FROM tf t JOIN df d USING (term), n))
+      SELECT doc_id, rnk, term, tf, tfidf FROM ranked
+      WHERE rnk <= $TfIdfTopK ORDER BY doc_id, rnk""")),
+    "q73_length_histogram" -> ((q73LengthHistogram _, s"""
+      WITH b AS (SELECT (n_chars // $HistBucketChars) * $HistBucketChars
+                   AS bucket_lo FROM documents),
+      n AS (SELECT count(*) AS n_total FROM documents)
+      SELECT bucket_lo::BIGINT AS bucket_lo, count(*) AS n_docs,
+             round(count(*)::DOUBLE / n.n_total, 4) AS share
+      FROM b, n GROUP BY bucket_lo, n.n_total ORDER BY bucket_lo""")),
+    "q74_quality_gate" -> ((q74QualityGate _, s"""
+      WITH sig AS (
+        SELECT lang, len(t) AS n_tok,
+               (n_chars - len(t) + 1)::DOUBLE / len(t) AS mean_wl,
+               len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE
+                 / len(t) AS stop_ratio
+        FROM (SELECT lang, n_chars, string_split(text, ' ') AS t
+              FROM documents))
+      SELECT lang, count(*) AS n_docs,
+             sum(CASE WHEN n_tok < $GateMinTokens OR n_tok > $GateMaxTokens
+                 THEN 1 ELSE 0 END)::BIGINT AS n_r_len,
+             sum(CASE WHEN mean_wl < $GateMinMeanWordLen
+                      OR mean_wl > $GateMaxMeanWordLen
+                 THEN 1 ELSE 0 END)::BIGINT AS n_r_word_len,
+             sum(CASE WHEN stop_ratio > $GateMaxStopRatio
+                 THEN 1 ELSE 0 END)::BIGINT AS n_r_stop,
+             sum(CASE WHEN NOT (n_tok < $GateMinTokens OR n_tok > $GateMaxTokens
+                      OR mean_wl < $GateMinMeanWordLen
+                      OR mean_wl > $GateMaxMeanWordLen
+                      OR stop_ratio > $GateMaxStopRatio)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      FROM sig GROUP BY lang ORDER BY lang""")),
     "q28_text_stats" -> ((q28TextStats _, """
       SELECT lang, count(*) AS n_docs,
              round(avg(n_chars), 2) AS avg_chars,

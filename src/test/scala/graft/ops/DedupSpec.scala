@@ -96,4 +96,51 @@ class DedupSpec extends AnyFunSuite {
     assert(mhPlan.contains("shingleminhash"), mhPlan.take(1500))
     assert(mhPlan.contains("*(1)"), mhPlan.take(1500)) // codegen span
   }
+
+  test("dup clusters: transitive near-dups collapse into one component") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while birds sing in tall green trees under a bright morning sky"
+    val docs = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base.replace("morning", "evening"), "en", "s", base.length.toLong),
+      // LSH pairs doc 3 with doc 2 but NOT with doc 1 (verified band
+      // overlap) — {1,2,3} becomes one cluster only via transitivity,
+      // which is exactly what connected components adds over q23
+      (3L, base.replace("morning", "evening").replace("birds", "larks"),
+        "en", "s", base.length.toLong),
+      (4L, "completely different text about spark shuffles partitions joins " +
+        "aggregations windows watermarks and codegen stages running at scale",
+        "en", "s", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = Dedup.q70DupClusters(spark, dir).collect()
+      // doc 4 pairs with nobody -> absent; 1/2/3 are ONE cluster labeled 1
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+      assert(out.forall(_.getAs[Long]("cluster_id") == 1L))
+      assert(out.forall(_.getAs[Long]("cluster_size") == 3L))
+      assert(out.filter(_.getAs[Boolean]("is_keeper"))
+        .map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    }
+  }
+
+  test("incremental dedup: intra-batch + corpus-hit drops, fresh docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      // existing corpus
+      (1L, "existing corpus document one", "en", "src1", 28L),
+      (2L, "existing corpus document two", "en", "src2", 28L),
+      // incoming batch: exact dup of corpus doc 1 (modulo case/whitespace)
+      (10L, "  EXISTING  corpus document one ", "en", "src0", 32L),
+      // intra-batch dup pair -> min doc_id survives
+      (11L, "brand new incoming text", "en", "src0", 23L),
+      (12L, "brand new incoming text", "en", "src0", 23L),
+      // fresh
+      (13L, "another genuinely novel document", "en", "src0", 32L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = Dedup.q75IncrementalDedup(spark, dir).collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(11L, 13L))
+    }
+  }
 }

@@ -139,4 +139,91 @@ class TextOpsSpec extends AnyFunSuite {
           .stripMargin).collect().head
     assert(ascii.getLong(0) == ascii.getLong(1))
   }
+
+  private def withDocs[A](df: org.apache.spark.sql.DataFrame)(body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    body(dir)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("policy scrub: per-class counts + fingerprint of the redacted text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "slow table fast row value", "en", "s", 25L),
+      (2L, "nothing sensitive here", "en", "s", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q71PolicyScrub(spark, dir).collect()
+      assert(out.length == 1) // clean doc 2 is filtered out
+      val r = out.head
+      assert(r.getAs[Long]("doc_id") == 1L)
+      assert(r.getAs[Long]("n_perf") == 2L)
+      assert(r.getAs[Long]("n_struct") == 2L)
+      assert(r.getAs[String]("redacted_fp") == md5hex("[X] [X] [X] [X] value"))
+    }
+  }
+
+  test("tfidf: rare terms outrank common ones, hand-computed score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana", "en", "s", 18L),
+      (2L, "banana cherry", "en", "s", 13L),
+      (3L, "cherry cherry cherry", "en", "s", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q72TfIdf(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")) ->
+          (r.getAs[String]("term"), r.getAs[Double]("tfidf"))).toMap
+      // doc 1: apple tf=2 df=1 -> 2*ln(3) = 2.1972, beats banana (df=2)
+      assert(out((1L, 1L)) == ("apple",
+        BigDecimal(2 * math.log(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      assert(out((1L, 2L))._1 == "banana")
+      // doc 3: only term cherry, tf=3 df=2
+      assert(out((3L, 1L))._1 == "cherry")
+      assert(!out.contains((3L, 2L)))
+    }
+  }
+
+  test("length histogram: fixed-width buckets with corpus shares") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "en", "s", 10L), (2L, "b", "en", "s", 60L),
+      (3L, "c", "en", "s", 99L), (4L, "d", "en", "s", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q73LengthHistogram(spark, dir).collect()
+        .map(r => r.getAs[Long]("bucket_lo") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Double]("share"))).toMap
+      assert(out == Map(0L -> (1L, 0.25), 50L -> (2L, 0.5), 100L -> (1L, 0.25)))
+    }
+  }
+
+  test("quality gate: each rule rejects exactly its planted violator") {
+    import spark.implicits._
+    def doc(id: Long, text: String) =
+      (id, text, "en", "s", text.length.toLong)
+    val pass = ("word " * 50).trim   // 50 tokens, mean_wl 4, no stopwords
+    val short = "tiny doc"           // 2 tokens < GateMinTokens
+    val stoppy = ("the " * 45).trim  // all stopwords, mean_wl exactly 3.0
+    val longWords = ("extraordinarily " * 45).trim // mean_wl 15 > 10
+    // n_chars is derived from the real text length — the gate computes
+    // mean word length arithmetically from it
+    val docs = Seq(doc(1, pass), doc(2, short), doc(3, stoppy),
+      doc(4, longWords)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q74QualityGate(spark, dir).collect()
+      assert(out.length == 1)
+      val r = out.head
+      assert(r.getAs[Long]("n_docs") == 4L)
+      assert(r.getAs[Long]("n_r_len") == 1L)      // doc 2
+      assert(r.getAs[Long]("n_r_word_len") == 1L) // doc 4 (doc 3 is exactly 3.0)
+      assert(r.getAs[Long]("n_r_stop") == 1L)     // doc 3
+      assert(r.getAs[Long]("n_kept") == 1L)       // doc 1
+    }
+  }
 }
