@@ -340,7 +340,42 @@ object Similarity {
       WHERE rnk <= $LshK ORDER BY q_id, rnk"""
   }
 
+  /** C3b int8 scalar-quantization audit: per-vector min/max scale, quantize
+    * each component to 0..255, dequantize, report the worst absolute
+    * reconstruction error — the go/no-go check before shipping a quantized
+    * ANN index (4x memory cut; recall holds iff the error stays below the
+    * score margins). Pure per-row projection, ZERO shuffle before the
+    * output sort — scales with scan bandwidth. The per-element lambdas
+    * evaluate interpreted; if this audit ever dominates a pipeline, hoist
+    * it into a native expression (the `vec_cosine` precedent — measured
+    * 14x there) rather than tolerating the lambda or writing a UDF.
+    * Constant vectors (max = min) define error 0 explicitly. */
+  def q77QuantError(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("mn", expr("array_min(v)"))
+      .withColumn("mx", expr("array_max(v)"))
+      .withColumn("sc", (col("mx") - col("mn")) / lit(255.0))
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("vmin"),
+        round(col("mx"), 6).as("vmax"),
+        round(expr("CASE WHEN sc = 0 THEN 0.0 ELSE " +
+          "array_max(transform(v, x -> abs(x - (mn + round((x - mn) / sc) * sc)))) " +
+          "END"), 8).as("max_err"))
+      .orderBy("vec_id")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q77_quant_error" -> ((q77QuantError _, """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+                   (list_max(v) - list_min(v)) / 255.0 AS sc FROM v)
+      SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+             round(CASE WHEN sc = 0 THEN 0.0 ELSE
+               list_max(list_transform(v,
+                 x -> abs(x - (mn + round((x - mn) / sc) * sc))))
+             END, 8) AS max_err
+      FROM m ORDER BY vec_id""")),
     "q25_knn_brute" -> ((q25KnnBrute _, s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sims AS (

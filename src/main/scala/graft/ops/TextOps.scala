@@ -296,13 +296,21 @@ object TextOps {
     * back); doc-keyed window for the top-k. The rank filter compiles to
     * WindowGroupLimit, so each map task keeps only k rows per doc BEFORE
     * the window shuffle — the same partial-top-k shape as the kNN tail.
-    * N arrives via a broadcast 1-row aggregate, never a driver collect. */
+    * N arrives via a broadcast 1-row aggregate, never a driver collect.
+    *
+    * The tf relation feeds BOTH the df rollup and the scoring join;
+    * without materialization Spark tokenizes the corpus twice (no
+    * ReusedExchange across the branches — verified on the executed plan).
+    * `localCheckpoint` pins tf once: A/B at sf0.1 measured 0.96-1.04 s
+    * checkpointed vs 1.17-1.58 s two-scan, and with a real (expensive)
+    * tokenizer the single-pass gap widens with corpus size. */
   def q72TfIdf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
@@ -375,7 +383,116 @@ object TextOps {
           .cast("long")).as("n_kept"))
       .orderBy("lang")
 
+  /** Sampling temperature for [[q76SourceMix]]: target mix share of source
+    * s is n_s^alpha / sum_t n_t^alpha with alpha = 0.5, written as `sqrt`
+    * so both engines hit the IEEE-exact square root (pow(x, 0.5) has no
+    * such guarantee). Half the corpus is kept overall. */
+  val MixSampleFrac = 0.5
+
+  /** C5l temperature-based source mixing (the training-mix rebalancer):
+    * upsample rare sources / downsample dominant ones to the alpha=0.5
+    * power distribution, keeping [[MixSampleFrac]] of the corpus in
+    * expectation. Per-doc keep decisions are a DETERMINISTIC md5-uniform
+    * draw u(doc_id) < rate(source) — reproducible across runs, engines,
+    * and retries, which is what makes the sampled mix auditable. Shuffle
+    * cost: one source-keyed count (20 keys), everything else broadcasts;
+    * the per-doc pass is a single scan. The sqrt-share normalizer is an
+    * ORDERED fold over the per-source values (sort_array + aggregate) so
+    * the floating sum is bit-identical everywhere — a plain `sum` leaves
+    * the addition order to partial-agg scheduling. */
+  def q76SourceMix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // feeds the normalizer AND the rate table
+    val norm = counts.agg(sum("n_docs").as("n_total"),
+      expr("aggregate(sort_array(collect_list(sqrt(cast(n_docs as double)))), " +
+        "0D, (a, x) -> a + x)").as("z"))
+    val rates = counts.crossJoin(broadcast(norm))
+      .withColumn("rate", least(lit(1.0),
+        col("n_total") * lit(MixSampleFrac) * sqrt(col("n_docs"))
+          / col("z") / col("n_docs")))
+    val kept = docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates.select("source", "rate")), "source")
+      .filter(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), " +
+        "16, 10) as double) / 4294967296.0") < col("rate"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(col("rate"), 6).as("rate"))
+      .orderBy("source")
+  }
+
+  /** C5m source-drift monitor: KL(source token distribution || corpus token
+    * distribution) per source — the data-quality alarm that catches a
+    * crawler shard going off-distribution before it trains. One corpus
+    * tokenization builds (source, token) counts; that tiny aggregate
+    * (sources x vocabulary) is checkpointed and re-derived three ways
+    * (source totals, corpus totals, scoring join) — without the
+    * checkpoint each branch would re-tokenize the corpus. Per-source KL
+    * terms are summed by an ORDERED fold (see [[q76SourceMix]]) for
+    * bit-stable floats; at a real vocabulary (millions of terms) swap the
+    * sorted fold for plain `sum` + tolerance-based comparison — the fold
+    * buffers one vocabulary-sized array per source. */
+  def q78SourceDrift(s: SparkSession, d: String): DataFrame = {
+    val bySrc = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("n_st"))
+      .localCheckpoint(true)
+    val srcTotals = bySrc.groupBy("source").agg(sum("n_st").as("n_s"))
+    val tokTotals = bySrc.groupBy("tok").agg(sum("n_st").as("n_t"))
+    val total = tokTotals.agg(sum("n_t").as("n"))
+    bySrc
+      .join(broadcast(srcTotals), "source")
+      .join(broadcast(tokTotals), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("contrib",
+        expr("(cast(n_st as double) / n_s) * " +
+          "ln((cast(n_st as double) / n_s) / (cast(n_t as double) / n))"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        round(expr("aggregate(sort_array(collect_list(contrib)), 0D, " +
+          "(a, x) -> a + x)"), 6).as("kl"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q76_source_mix" -> ((q76SourceMix _, s"""
+      WITH counts AS (SELECT source, count(*) AS n_docs
+                      FROM documents GROUP BY source),
+      norm AS (SELECT sum(n_docs) AS n_total,
+                      list_sum(list_sort(list(sqrt(n_docs::DOUBLE)))) AS z
+               FROM counts),
+      rates AS (SELECT source, n_docs,
+                       least(1.0::DOUBLE,
+                             n_total::DOUBLE * $MixSampleFrac
+                               * sqrt(n_docs::DOUBLE) / z / n_docs) AS rate
+                FROM counts, norm),
+      kept AS (SELECT d.source, count(*) AS n_kept
+               FROM documents d JOIN rates r USING (source)
+               WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                       / 4294967296.0 < r.rate
+               GROUP BY d.source)
+      SELECT r.source, r.n_docs, coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+             round(r.rate, 6) AS rate
+      FROM rates r LEFT JOIN kept k USING (source) ORDER BY source""")),
+    "q78_source_drift" -> ((q78SourceDrift _, """
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      st AS (SELECT source, tok, count(*) AS n_st FROM tok
+             WHERE tok <> '' GROUP BY 1, 2),
+      s AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+      t AS (SELECT tok, sum(n_st) AS n_t FROM st GROUP BY 1),
+      n AS (SELECT sum(n_t) AS n FROM t),
+      c AS (SELECT st.source, s.n_s,
+                   (st.n_st::DOUBLE / s.n_s) *
+                     ln((st.n_st::DOUBLE / s.n_s) / (t.n_t::DOUBLE / n.n))
+                     AS contrib
+            FROM st JOIN s USING (source) JOIN t USING (tok), n)
+      SELECT source, max(n_s)::BIGINT AS n_tokens,
+             round(list_sum(list_sort(list(contrib))), 6) AS kl
+      FROM c GROUP BY source ORDER BY source""")),
     "q71_policy_scrub" -> ((q71PolicyScrub _, """
       SELECT doc_id,
              len(regexp_extract_all(text, '\b(slow|fast)\b'))::BIGINT AS n_perf,

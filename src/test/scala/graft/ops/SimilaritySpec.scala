@@ -111,4 +111,24 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.hyperplanes.flatten.toSeq)
     assert(Similarity.hyperplanes.forall(_.forall(v => v >= -1000 && v <= 1000)))
   }
+
+  test("quantization error: exact range hits zero, bounded by half a step") {
+    import spark.implicits._
+    val emb = Seq(
+      // exactly representable 0..255 range -> step 1.0, zero error
+      (1L, Array(0f, 255f, 128f), 0),
+      // constant vector -> degenerate scale, defined as zero error
+      (2L, Array(3f, 3f, 3f), 0),
+      (3L, Array(0f, 1f, 2f, 0.37f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("quant").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.q77QuantError(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("max_err")).toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 0.0)
+    // error can never exceed half the quantization step (+ the 8-decimal
+    // output rounding, which can nudge the value just past the bound)
+    assert(out(3L) > 0 && out(3L) <= (2.0 / 255.0) / 2 + 1e-8)
+  }
 }

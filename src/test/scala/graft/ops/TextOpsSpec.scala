@@ -203,6 +203,50 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("source mix: rare sources get higher keep rates, deterministic draws") {
+    import spark.implicits._
+    val docs = (1L to 90L).map(i => (i, s"doc $i", "en", "big", 6L)) ++
+      (91L to 100L).map(i => (i, s"doc $i", "en", "rare", 6L))
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(df) { dir =>
+      val run1 = TextOps.q76SourceMix(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+            r.getAs[Double]("rate"))).toMap
+      // alpha=0.5 flattens the mix: the rare source keeps a larger share
+      assert(run1("rare")._3 > run1("big")._3)
+      assert(run1.values.forall { case (n, k, r) => k <= n && r <= 1.0 })
+      // overall kept tracks the 50% budget (binomial tolerance)
+      val kept = run1.values.map(_._2).sum
+      assert(kept > 25 && kept < 75, s"kept $kept of 100")
+      // md5 draws are deterministic: identical output on a second run
+      val run2 = TextOps.q76SourceMix(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+            r.getAs[Double]("rate"))).toMap
+      assert(run1 == run2)
+    }
+  }
+
+  test("source drift: on-distribution source scores near zero KL") {
+    import spark.implicits._
+    // two large sources share the corpus-dominant distribution; a small
+    // third source is concentrated on an otherwise-absent token, so the
+    // pooled corpus stays close to the big sources and far from the drifter
+    val bigA = (1L to 20L).map(i => (i, "alpha beta gamma delta", "en", "src_a", 23L))
+    val bigB = (21L to 40L).map(i => (i, "alpha beta gamma delta", "en", "src_b", 23L))
+    val drift = (41L to 42L).map(i => (i, "omega omega omega omega", "en", "src_drift", 23L))
+    withDocs((bigA ++ bigB ++ drift)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")) { dir =>
+      val out = TextOps.q78SourceDrift(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl")).toMap
+      assert(out.values.forall(_ >= 0))
+      // on-distribution sources sit near zero; the drifter scores high
+      assert(out("src_a") < 0.1 && out("src_b") < 0.1)
+      assert(out("src_drift") > 1.0)
+    }
+  }
+
   test("quality gate: each rule rejects exactly its planted violator") {
     import spark.implicits._
     def doc(id: Long, text: String) =
