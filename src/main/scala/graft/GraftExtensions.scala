@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BinaryVecExpr, BpeCount, CharBigrams, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles}
+import graft.functions.{BinaryVecExpr, BpeCount, CharBigrams, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles, ZOrder2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("vec_cosine", args => VecCosine(args(0), args(1))))
     ext.injectFunction(fn("rhp_bucket", args =>
       RhpBucket(args(0), BinaryVecExpr.foldableInt(args(1), "rhp_bucket"))))
+    ext.injectFunction(fn("zorder2", args => ZOrder2(args(0), args(1))))
   }
 }

@@ -47,6 +47,8 @@ object TextHashExprs {
     reg.createOrReplaceTempFunction("rhp_bucket",
       (args: Seq[Expression]) => RhpBucket(args(0),
         BinaryVecExpr.foldableInt(args(1), "rhp_bucket")), "built-in")
+    reg.createOrReplaceTempFunction("zorder2",
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1)), "built-in")
   }
 
   private[functions] def md5PrefixLong(md: MessageDigest, s: String,

@@ -305,6 +305,18 @@ object Dedup {
     * the first changed label, a control-plane scalar, never a collect of
     * data rows. */
   def q70DupClusters(s: SparkSession, d: String): DataFrame = {
+    val labels = dupLabels(s, d)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Converged (doc -> component-min-label) assignment for every doc that
+    * appears in at least one LSH candidate pair — the label-propagation
+    * core shared by [[q70DupClusters]] and [[q80LeakageSafeSplit]]. */
+  private[ops] def dupLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -330,12 +342,32 @@ object Dedup {
     require(converged,
       s"dup-cluster label propagation did not converge in $MaxCcIterations " +
         "rounds — degenerate high-diameter dup graph; use large-star/small-star")
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
-      .orderBy("doc_id")
+    labels
   }
+
+  /** C2h leakage-safe train/valid/test split: the split hash is computed on
+    * the DUP-CLUSTER id (component min label; a doc outside any candidate
+    * pair is its own cluster), so a document and all its near-duplicates
+    * land in the SAME split — hashing raw doc_ids leaks train content into
+    * eval whenever a near-dup pair straddles the cut, which near-dup-heavy
+    * web corpora make a certainty. Same 80/10/10 md5 routing as the plain
+    * q56 split; one broadcast-sized join against the (tiny) label table
+    * assigns clusters to the full corpus scan. The no-straddle invariant
+    * (every cluster in exactly one split) is pinned by spec. */
+  def q80LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"))
+      .join(dupLabels(s, d).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(cluster_id as string)), 1, 4), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "valid")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster_id").as("n_clusters"))
+      .orderBy("split")
 
   /** The "incoming batch" slice for [[q75IncrementalDedup]] — one of the
     * corpus's twenty sources plays the freshly-crawled shard. */
@@ -439,10 +471,13 @@ object Dedup {
     * (the Spark side is the scalable algorithm). `WITH RECURSIVE` must
     * prefix the whole CTE chain, so the shared candidate CTEs get the
     * keyword spliced in. */
-  private def ccOracle: String = {
+  /** Recursive-CTE chain ending in `comps` (doc -> component min label) —
+    * the oracle-side transitive closure shared by q70 and q80. `WITH
+    * RECURSIVE` must prefix the whole CTE list, so the shared candidate
+    * CTEs get the keyword spliced in. */
+  private def ccCtes: String = {
     val ctes = minhashCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
-    s"""
-      $ctes,
+    s"""$ctes,
       edges AS (SELECT id_a AS src, id_b AS dst FROM cand
                 UNION ALL SELECT id_b, id_a FROM cand),
       walk AS (
@@ -450,17 +485,38 @@ object Dedup {
         UNION
         SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
       ),
-      comps AS (SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node),
+      comps AS (SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node)"""
+  }
+
+  private def ccOracle: String =
+    s"""
+      $ccCtes,
       sizes AS (SELECT cluster_id, count(*) AS cluster_size
                 FROM comps GROUP BY cluster_id)
       SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
              (c.node = c.cluster_id) AS is_keeper
       FROM comps c JOIN sizes s USING (cluster_id)
       ORDER BY doc_id"""
-  }
+
+  private def leakageSplitOracle: String =
+    s"""
+      $ccCtes,
+      assign AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comps c ON c.node = d.doc_id),
+      tagged AS (
+        SELECT cluster_id,
+               ('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::BIGINT % 100 AS h
+        FROM assign)
+      SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             count(DISTINCT cluster_id)::BIGINT AS n_clusters
+      FROM tagged GROUP BY 1 ORDER BY split"""
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
+    "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
     "q75_incremental_dedup" -> ((q75IncrementalDedup _, s"""
       WITH fp AS (
         SELECT doc_id, source,

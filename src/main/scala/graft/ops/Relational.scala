@@ -537,7 +537,47 @@ object Relational {
 
   /** name -> (query fn, DuckDB oracle SQL). Column names/aliases match
     * pairwise (driver hash compare sorts columns by name). */
+  /** Z-order locality profile over (l_partkey, l_suppkey): group rows by
+    * the top 16 bits of their Morton key (native codegen'd
+    * [[graft.functions.ZOrder2]]) and report each bucket's min/max in BOTH
+    * key dimensions. Because a Z-bucket fixes the top 8 bits of each
+    * interleaved 16-bit key, every bucket's span is bounded to 256 in both
+    * columns simultaneously — the property that makes `sortWithinPartitions
+    * (zorder2(x, y))` before a write give parquet row-group min/max stats
+    * that can prune 2-D range predicates (a single-column sort bounds only
+    * one dimension). The registered query is the audit/demonstration; the
+    * production lever is the sort-before-write. One scan, one small
+    * aggregation (<= 2^16 buckets regardless of table size). */
+  def q79ZorderLocality(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(expr("zorder2(l_partkey, l_suppkey)").as("z"),
+        col("l_partkey"), col("l_suppkey"))
+      .withColumn("zbucket", expr("z div 65536"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      .orderBy("zbucket")
+
+  /** The oracle-side Morton key: unrolled bit interleave (bit i of `a` ->
+    * z-bit 2i, bit i of `b` -> z-bit 2i+1), identical math to
+    * [[graft.functions.ZOrder2]]'s spread/merge twiddle. */
+  private def interleaveSql(a: String, b: String): String =
+    (0 until 16).map(i =>
+      s"((($a & 65535) >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"((($b & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q79_zorder_locality" -> ((q79ZorderLocality _, s"""
+      WITH z AS (
+        SELECT ${interleaveSql("l_partkey", "l_suppkey")} AS z,
+               l_partkey, l_suppkey
+        FROM lineitem)
+      SELECT z // 65536 AS zbucket, count(*) AS n,
+             min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+      FROM z GROUP BY 1 ORDER BY zbucket""")),
     "q01_pricing_summary" -> ((q01PricingSummary _, """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity),2) AS sum_qty,

@@ -124,6 +124,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split: a dup cluster never straddles splits") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while birds sing in tall green trees under a bright morning sky"
+    val docs = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base.replace("morning", "evening"), "en", "s", base.length.toLong),
+      (3L, base.replace("morning", "evening").replace("birds", "larks"),
+        "en", "s", base.length.toLong),
+      (4L, "completely different text about spark shuffles partitions joins " +
+        "aggregations windows watermarks and codegen stages running at scale",
+        "en", "s", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = Dedup.q80LeakageSafeSplit(spark, dir).collect()
+        .map(r => r.getAs[String]("split") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters")))
+      // 4 docs in 2 clusters: {1,2,3} (transitive near-dups) and {4}
+      assert(out.map(_._2._1).sum == 4L)
+      assert(out.map(_._2._2).sum == 2L)
+      // the 3-doc cluster moves as a unit: every split holds whole clusters,
+      // so no split can have 2 docs, and a 3-doc split is one cluster
+      out.foreach { case (_, (nDocs, nClusters)) =>
+        assert(nDocs != 2L)
+        if (nDocs == 3L) assert(nClusters == 1L)
+        if (nDocs == 1L) assert(nClusters == 1L)
+        if (nDocs == 4L) assert(nClusters == 2L)
+      }
+    }
+  }
+
   test("incremental dedup: intra-batch + corpus-hit drops, fresh docs survive") {
     import spark.implicits._
     val docs = Seq(
