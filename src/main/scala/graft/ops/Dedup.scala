@@ -315,7 +315,13 @@ object Dedup {
 
   /** Converged (doc -> component-min-label) assignment for every doc that
     * appears in at least one LSH candidate pair — the label-propagation
-    * core shared by [[q70DupClusters]] and [[q80LeakageSafeSplit]]. */
+    * core shared by [[q70DupClusters]] and [[q80LeakageSafeSplit]].
+    *
+    * Each round is ONE job: neighbors' labels are aggregated per node and
+    * outer-joined back onto the frontier, and the number of lowered labels
+    * is counted by an `observe` metric riding that same job (the
+    * BatchLoader reject-count pattern) — no separate convergence probe, no
+    * second pass over the frontier. */
   private[ops] def dupLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -328,14 +334,17 @@ object Dedup {
     var converged = false
     while (!converged && iter < MaxCcIterations) {
       val proposed = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionAll(proposed)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count() == 0
+        .groupBy(col("dst")).agg(min("label").as("nl"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.join(proposed, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl") < col("label")).as("chg"))
+        .observe(obs, sum(col("chg").cast("long")).as("n_changed"))
+        .select("id", "label")
+        .localCheckpoint(true) // eager: runs the job, populating `obs`
+      // sum(all-false) = 0; a null only if every chg was null (no proposals)
+      converged = obs.get.get("n_changed").forall(v => v == null || v == 0L)
       labels = next
       iter += 1
     }
