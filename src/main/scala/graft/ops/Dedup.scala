@@ -402,6 +402,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C2i cross-source overlap matrix: for every source pair, how many
+    * distinct 3-word shingles they share + the shingle-set jaccard — the
+    * dedup diagnostic that tells you WHICH crawl shards duplicate each
+    * other (mirror sites, syndicated boilerplate) before you spend the
+    * pairwise near-dup budget. Shape: one (source, shingle) dedup shuffle;
+    * the self-join on shingle emits at most sources^2/2 rows per shingle
+    * (20 sources here -> <= 190), so the output and the join fan-out are
+    * bounded by the source count, never the corpus. The deduped relation
+    * feeds the sizes rollup AND both join sides — checkpointed so the
+    * shingle explosion runs once (the q72 lesson). */
+  def q81SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("source"), explode(expr("word_shingles(text)")).as("sh"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("sh"), col("source").as("src_a"))
+    val b = sh.select(col("sh"), col("source").as("src_b"))
+    a.join(b, "sh").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 4)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Shared oracle CTE chain ending in `cand` (the distinct LSH candidate
     * pairs) — composed by both the jaccard and edit-distance oracles. */
   private def minhashCandCtes: String = {
@@ -526,6 +554,23 @@ object Dedup {
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
+    "q81_source_overlap" -> ((q81SourceOverlap _, """
+      WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS s
+        FROM tok, unnest(generate_series(1, len(t)-2)) AS r(i)
+      ),
+      sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_shared,
+             round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 4) AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b
+      ORDER BY src_a, src_b""")),
     "q75_incremental_dedup" -> ((q75IncrementalDedup _, s"""
       WITH fp AS (
         SELECT doc_id, source,

@@ -216,6 +216,50 @@ object Streaming {
       }
       .start()
 
+  /** Continuous incremental dedup into the lake — q75's batch shape run as
+    * a `foreachBatch` pipeline: each micro-batch is deduped intra-batch
+    * (keep min doc_id per fingerprint), anti-joined against the
+    * ACCUMULATED fingerprint table, and only the survivors are appended —
+    * both to the document table and (fingerprint + doc_id only) to the
+    * fingerprint table that future batches check. The fingerprint table is
+    * the only state and it is lake-backed, not stream-store-backed: it
+    * survives restarts, other jobs can read it, and its size is
+    * ~32 B/unique doc. At 100 TB keep it bucketed by `fp` so each epoch's
+    * anti-join prunes to matching buckets (see
+    * [[graft.ops.Dedup.q75IncrementalDedup]]). At-least-once on epoch
+    * replay matches the plain [[sinkToLake]] contract — a replayed epoch's
+    * rows are all caught by the fingerprint anti-join EXCEPT when the
+    * crash hit between the two appends; a transactional catalog (real
+    * Iceberg) commits both in one snapshot. */
+  def dedupedSinkToLake(docs: DataFrame, catalog: graft.lake.LakeCatalog,
+                        ns: String, table: String, fpTable: String,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession // foreachBatch runs in a cloned session
+        graft.functions.TextHashExprs.register(s)
+        val inBatch = batch.toDF()
+          .withColumn("fp", expr("norm_md5(text)"))
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("fp").orderBy("doc_id")))
+          .filter(col("__rn") === 1).drop("__rn")
+        val survivors =
+          if (catalog.tableExists(ns, fpTable))
+            inBatch.join(catalog.load(ns, fpTable).select("fp"),
+              Seq("fp"), "left_anti")
+          else inBatch
+        val out = survivors.localCheckpoint(true) // two appends, one compute
+        catalog.ensureTable(ns, table, out.drop("fp").schema)
+        catalog.append(ns, table, out.drop("fp"))
+        val fps = out.select("fp", "doc_id")
+        catalog.ensureTable(ns, fpTable, fps.schema)
+        catalog.append(ns, fpTable, fps)
+      }
+      .start()
+
   private def epochStart(w: Column): Column = unix_timestamp(w("start"))
 
   /** C7a tumbling-window aggregation (true `window()` operator; oracle =

@@ -155,6 +155,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap: shared shingles and jaccard per source pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w", "en", "sA", 7L), // shingles: "x y z", "y z w"
+      (2L, "x y z q", "en", "sB", 7L), // shingles: "x y z", "y z q"
+      (3L, "p q r", "en", "sC", 5L)    // shingle: "p q r" — no overlap
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = Dedup.q81SourceOverlap(spark, dir).collect()
+        .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+          (r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard"))).toMap
+      // only the sA/sB pair shares a shingle: 1 of 3 distinct -> 1/3
+      assert(out.keySet == Set(("sA", "sB")))
+      assert(out(("sA", "sB")) == (1L, 0.3333))
+    }
+  }
+
   test("incremental dedup: intra-batch + corpus-hit drops, fresh docs survive") {
     import spark.implicits._
     val docs = Seq(

@@ -256,6 +256,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming incremental dedup: only novel fingerprints reach the lake") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = s"stream_dedup_${System.nanoTime()}"
+    val cat = new graft.lake.SessionLakeCatalog(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.dedupedSinkToLake(
+      in.toDF().toDF("doc_id", "text"), cat, ns, "docs", "docs_fp", ckpt)
+    try {
+      // epoch 1: an intra-batch dup pair + a fresh doc
+      in.addData((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"))
+      q.processAllAvailable()
+      assert(cat.load(ns, "docs").select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 3L))
+      // epoch 2: a dup of epoch 1 (caught by the fingerprint table, modulo
+      // whitespace/case) + a fresh doc
+      in.addData((4L, "  ALPHA beta "), (5L, "epsilon zeta"))
+      q.processAllAvailable()
+      assert(cat.load(ns, "docs").select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+      assert(cat.load(ns, "docs_fp").count() == 3)
+    } finally {
+      q.stop()
+      cat.dropNamespace(ns)
+    }
+  }
+
   test("session windows run under readStream with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
