@@ -365,7 +365,53 @@ object Similarity {
           "END"), 8).as("max_err"))
       .orderBy("vec_id")
 
+  /** C3c per-dimension embedding statistics (mean/std/min/max per
+    * coordinate) — the profile that feeds whitening/standardization before
+    * ANN indexing, and the drift check for an embedding-model swap. One
+    * posexplode scan, one 64-key aggregation with map-side partial agg.
+    * The floating sums fold in SORTED order (the q76 normalizer pattern)
+    * so mean/std are bit-stable and oracle-exact; the fold buffers one
+    * corpus-length list per dimension, so at production scale (1e9
+    * vectors) switch to plain `sum` + tolerance comparison — the sorted
+    * fold is the oracle-exactness tier, not the throughput tier. Std is
+    * derived from the exact sums at the end, in one double expression
+    * identical on both engines. */
+  def q82DimStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(expr("transform(embedding, x -> cast(x as double))"))
+        .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        expr("aggregate(sort_array(collect_list(x)), 0D, (a, v) -> a + v)")
+          .as("sx"),
+        expr("aggregate(sort_array(collect_list(x * x)), 0D, (a, v) -> a + v)")
+          .as("sxx"),
+        min("x").as("min_x"), max("x").as("max_x"))
+      .select(col("dim"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)), 6).as("std"),
+        round(col("min_x"), 6).as("min_x"),
+        round(col("max_x"), 6).as("max_x"))
+      .orderBy("dim")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q82_dim_stats" -> ((q82DimStats _, """
+      WITH e AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings),
+      agg AS (
+        SELECT dim, count(*) AS n,
+               list_sum(list_sort(list(x))) AS sx,
+               list_sum(list_sort(list(x * x))) AS sxx,
+               min(x) AS min_x, max(x) AS max_x
+        FROM e GROUP BY dim)
+      SELECT dim::BIGINT AS dim, n, round(sx / n, 6) AS mean,
+             round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std,
+             round(min_x, 6) AS min_x, round(max_x, 6) AS max_x
+      FROM agg ORDER BY dim""")),
     "q77_quant_error" -> ((q77QuantError _, """
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,

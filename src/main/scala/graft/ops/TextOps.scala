@@ -457,7 +457,61 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** C5n bigram language-model scoring: train an MLE bigram LM on the
+    * corpus itself, then score every document's mean negative
+    * log-likelihood — the perplexity-style quality filter (a doc whose
+    * word transitions are unlike the corpus scores high and gets
+    * reviewed/dropped). Scoring the training corpus means every observed
+    * bigram has probability > 0 — no smoothing term to diverge on.
+    *
+    * Shape: ONE bigram explosion scan (checkpointed — it feeds the count
+    * rollups AND the scoring join), two linear aggregations, then a
+    * broadcast join of the (vocabulary^2-bounded) probability table back
+    * onto the bigram stream. At a web-scale vocabulary the probability
+    * table outgrows broadcast — the join key (w1, w2) is already the
+    * shuffle key, so it degrades to a plain shuffled equi-join, still
+    * linear. Per-doc NLL terms fold in SORTED order for bit-stable sums
+    * (oracle-exactness tier; see [[q76SourceMix]]); the in-row bigram
+    * construction is a higher-order lambda — interpreted, fine off the
+    * hot path, and the [[graft.functions.WordShingles]] precedent is the
+    * upgrade if it ever matters. */
+  def q83BigramNll(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy("w1").agg(sum("n12").as("n1"))
+    bg.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("nll", -log(col("n12") / col("n1")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(expr("aggregate(sort_array(collect_list(nll)), 0D, " +
+          "(a, x) -> a + x)") / count(lit(1)), 6).as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q83_bigram_nll" -> ((q83BigramNll _, """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM tok, unnest(generate_series(1, len(t) - 1)) AS r(i)
+        WHERE len(t) >= 2),
+      c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+      sc AS (
+        SELECT b.doc_id, -ln(c.n12::DOUBLE / u.n1) AS nll
+        FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1))
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(list_sum(list_sort(list(nll))) / count(*), 6) AS mean_nll
+      FROM sc GROUP BY doc_id ORDER BY doc_id""")),
     "q76_source_mix" -> ((q76SourceMix _, s"""
       WITH counts AS (SELECT source, count(*) AS n_docs
                       FROM documents GROUP BY source),

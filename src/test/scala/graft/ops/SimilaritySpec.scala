@@ -112,6 +112,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.hyperplanes.forall(_.forall(v => v >= -1000 && v <= 1000)))
   }
 
+  test("per-dimension stats: hand-computed mean/std on a planted matrix") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 4f), 0),
+      (2L, Array(3f, 2f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("dimstats").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.q82DimStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Double]("mean"), r.getAs[Double]("std"),
+          r.getAs[Double]("min_x"), r.getAs[Double]("max_x"))).toMap
+    // dim 1: {1,3} -> mean 2, std sqrt(2); dim 2: {4,2} -> mean 3, std sqrt(2)
+    assert(out(1L) == (2.0, 1.414214, 1.0, 3.0))
+    assert(out(2L) == (3.0, 1.414214, 2.0, 4.0))
+  }
+
   test("quantization error: exact range hits zero, bounded by half a step") {
     import spark.implicits._
     val emb = Seq(

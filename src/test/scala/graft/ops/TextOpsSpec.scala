@@ -247,6 +247,29 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM: common transitions score low, rare ones high") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "en", "s", 3L),
+      (2L, "a b", "en", "s", 3L),
+      (3L, "a c", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q83BigramNll(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_nll"))).toMap
+      // P(b|a) = 2/3, P(c|a) = 1/3
+      val ln23 = BigDecimal(-math.log(2.0 / 3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ln13 = BigDecimal(-math.log(1.0 / 3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(1L) == (1L, ln23))
+      assert(out(2L) == (1L, ln23))
+      assert(out(3L) == (1L, ln13))
+      assert(out(3L)._2 > out(1L)._2) // the rare transition scores higher
+    }
+  }
+
   test("quality gate: each rule rejects exactly its planted violator") {
     import spark.implicits._
     def doc(id: Long, text: String) =
