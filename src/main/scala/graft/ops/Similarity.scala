@@ -312,7 +312,9 @@ object Similarity {
         .select(col("o_orderpriority"), col("p50"), lit(true).as("approx_ok"))
         .orderBy("o_orderpriority")
 
-  private def lshProbeSql: String = {
+  /** Shared oracle CTE chain for the LSH probe pipeline, ending in `ranked`
+    * — composed by the q26 top-k select and the q84 rerank. */
+  private def lshProbeCtes: String = {
     val planes = hyperplanes.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ",", "]")}::DOUBLE[]) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -335,10 +337,14 @@ object Similarity {
         SELECT q_id, neighbor_id, sim,
                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
         FROM cand
-      )
+      )"""
+  }
+
+  private def lshProbeSql: String =
+    s"""
+      $lshProbeCtes
       SELECT q_id, neighbor_id, sim, rnk FROM ranked
       WHERE rnk <= $LshK ORDER BY q_id, rnk"""
-  }
 
   /** C3b int8 scalar-quantization audit: per-vector min/max scale, quantize
     * each component to 0..255, dequantize, report the worst absolute
@@ -364,6 +370,41 @@ object Similarity {
           "array_max(transform(v, x -> abs(x - (mn + round((x - mn) / sc) * sc)))) " +
           "END"), 8).as("max_err"))
       .orderBy("vec_id")
+
+  val RerankK = 2
+  val RerankSimWeight = 0.7 // blend: 0.7 * ANN cosine + 0.3 * rerank score
+  // spelled out, not 1 - RerankSimWeight: the subtraction yields
+  // 0.30000000000000004 while the oracle's literal parses to 0.3 exactly
+  val RerankCeWeight = 0.3
+
+  /** C3d two-stage retrieval: ANN recall (the q26 LSH probe) proposes
+    * [[LshK]] candidates per query, then an expensive per-pair scorer runs
+    * ONLY on those query x candidate pairs and the blend re-ranks to the
+    * final [[RerankK]] — the standard retrieval architecture that keeps
+    * the costly model off the corpus (queries x LshK pairs, never
+    * queries x corpus). The scorer here is an honestly-labeled
+    * deterministic stand-in (an md5-uniform draw per pair — this container
+    * ships no model runtime; the [[Multimodal.MediaCodec]] discipline): in
+    * production it is a cross-encoder behind `mapInPandas`/a model server,
+    * and the surrounding plumbing — candidate generation, pair-bounded
+    * scoring, blend, per-query re-rank — is exactly what would ship. */
+  def q84RerankTopK(s: SparkSession, d: String): DataFrame = {
+    val scored = q26KnnLsh(s, d)
+      .select(col("q_id"), col("neighbor_id"), col("sim"))
+      .withColumn("ce", expr(
+        "cast(conv(substring(md5(concat(cast(q_id as string), ':', " +
+          "cast(neighbor_id as string))), 1, 8), 16, 10) as bigint) " +
+          "/ 4294967296.0"))
+      .withColumn("final_score",
+        round(lit(RerankSimWeight) * col("sim")
+          + lit(RerankCeWeight) * col("ce"), 6))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("final_score"), col("neighbor_id"))
+    scored.withColumn("rr", row_number().over(w).cast("long"))
+      .filter(col("rr") <= RerankK)
+      .select("q_id", "rr", "neighbor_id", "sim", "final_score")
+      .orderBy("q_id", "rr")
+  }
 
   /** C3c per-dimension embedding statistics (mean/std/min/max per
     * coordinate) — the profile that feeds whitening/standardization before
@@ -397,6 +438,26 @@ object Similarity {
       .orderBy("dim")
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q84_rerank_topk" -> ((q84RerankTopK _, s"""
+      $lshProbeCtes,
+      topk AS (SELECT q_id, neighbor_id, sim FROM ranked WHERE rnk <= $LshK),
+      rer AS (
+        SELECT q_id, neighbor_id, sim,
+               ('0x' || substr(md5(q_id::VARCHAR || ':' || neighbor_id::VARCHAR),
+                1, 8))::BIGINT / 4294967296.0 AS ce
+        FROM topk),
+      fin AS (
+        SELECT q_id, neighbor_id, sim,
+               round($RerankSimWeight * sim + $RerankCeWeight * ce, 6)
+                 AS final_score
+        FROM rer),
+      rr AS (
+        SELECT q_id, neighbor_id, sim, final_score,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY final_score DESC, neighbor_id) AS rr
+        FROM fin)
+      SELECT q_id, rr, neighbor_id, sim, final_score FROM rr
+      WHERE rr <= $RerankK ORDER BY q_id, rr""")),
     "q82_dim_stats" -> ((q82DimStats _, """
       WITH e AS (
         SELECT unnest(generate_series(1, len(embedding))) AS dim,

@@ -112,6 +112,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.hyperplanes.forall(_.forall(v => v >= -1000 && v <= 1000)))
   }
 
+  test("rerank draws only from the ANN candidate set, k per query") {
+    val cands = Similarity.q26KnnLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rr = Similarity.q84RerankTopK(spark, sf).collect()
+    assert(rr.nonEmpty)
+    // the expensive stage never touches a pair ANN didn't propose
+    assert(rr.forall(r =>
+      cands.contains((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))))
+    rr.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.length <= Similarity.RerankK)
+      assert(rows.map(_.getAs[Long]("rr")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // blend values are oracle-checked; pin the bounds here (cosine <= 1,
+    // rerank draw < 1 -> blend < 1)
+    rr.foreach(r => assert(r.getAs[Double]("final_score") <= 1.0 + 1e-9))
+  }
+
   test("per-dimension stats: hand-computed mean/std on a planted matrix") {
     import spark.implicits._
     val emb = Seq(
