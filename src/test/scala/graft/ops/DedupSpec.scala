@@ -155,6 +155,12 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap joins stay equi-joins with broadcast size rollups") {
+    val p = Dedup.q81SourceOverlap(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500)) // the sizes joins
+  }
+
   test("source overlap: shared shingles and jaccard per source pair") {
     import spark.implicits._
     val docs = Seq(

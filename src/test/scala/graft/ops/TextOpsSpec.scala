@@ -270,6 +270,25 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-5 text ops keep scale-safe plan shapes") {
+    // q72: the rank filter must compile to partial top-k before the window
+    // shuffle, and the df/N sides must broadcast
+    val p72 = TextOps.q72TfIdf(spark, sf).queryExecution.executedPlan.toString
+    assert(p72.contains("WindowGroupLimit"), p72.take(1500))
+    assert(p72.contains("BroadcastHashJoin"), p72.take(1500))
+    // q76/q78/q83: every join side that is aggregate-sized must broadcast;
+    // nothing may fall back to a cartesian product
+    Seq(
+      TextOps.q76SourceMix(spark, sf),
+      TextOps.q78SourceDrift(spark, sf),
+      TextOps.q83BigramNll(spark, sf)
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+    }
+  }
+
   test("quality gate: each rule rejects exactly its planted violator") {
     import spark.implicits._
     def doc(id: Long, text: String) =
