@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BinaryVecExpr, BpeCount, CharBigrams, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles, ZOrder2}
+import graft.functions.{BinaryVecExpr, BpeCount, CharBigrams, IntVecDot, IntVecExprs, IntVecNearest, IntVecNorm2, IntVecQuant, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles, ZOrder2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,5 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("rhp_bucket", args =>
       RhpBucket(args(0), BinaryVecExpr.foldableInt(args(1), "rhp_bucket"))))
     ext.injectFunction(fn("zorder2", args => ZOrder2(args(0), args(1))))
+    ext.injectFunction(fn("ivec_quant", args => IntVecQuant(args(0),
+      BinaryVecExpr.foldableInt(args(1), "ivec_quant"),
+      BinaryVecExpr.foldableInt(args(2), "ivec_quant"))))
+    ext.injectFunction(fn("ivec_dot", args => IntVecDot(args(0), args(1))))
+    ext.injectFunction(fn("ivec_norm2", args => IntVecNorm2(args(0))))
+    ext.injectFunction(fn("ivec_nearest", args => IntVecNearest(args(0),
+      IntVecExprs.foldableLongMatrix(args(1), "ivec_nearest"))))
   }
 }

@@ -49,6 +49,17 @@ object TextHashExprs {
         BinaryVecExpr.foldableInt(args(1), "rhp_bucket")), "built-in")
     reg.createOrReplaceTempFunction("zorder2",
       (args: Seq[Expression]) => ZOrder2(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("ivec_quant",
+      (args: Seq[Expression]) => IntVecQuant(args(0),
+        BinaryVecExpr.foldableInt(args(1), "ivec_quant"),
+        BinaryVecExpr.foldableInt(args(2), "ivec_quant")), "built-in")
+    reg.createOrReplaceTempFunction("ivec_dot",
+      (args: Seq[Expression]) => IntVecDot(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("ivec_norm2",
+      (args: Seq[Expression]) => IntVecNorm2(args(0)), "built-in")
+    reg.createOrReplaceTempFunction("ivec_nearest",
+      (args: Seq[Expression]) => IntVecNearest(args(0),
+        IntVecExprs.foldableLongMatrix(args(1), "ivec_nearest")), "built-in")
   }
 
   private[functions] def md5PrefixLong(md: MessageDigest, s: String,

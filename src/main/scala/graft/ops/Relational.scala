@@ -568,7 +568,48 @@ object Relational {
         s"((($b & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}")
       .mkString(" + ")
 
+  /** Single-scan column profiling (q90) — the data-quality summary every
+    * ingest pipeline runs before training: per column, row count, null
+    * count, exact distinct count, and value bounds. ONE scan: each row
+    * explodes to (col_name, normalized string value) via a map literal,
+    * then two hash aggregations — no per-column rescan, no
+    * `count(distinct)` EXPAND blow-up (the first groupBy collapses to
+    * (column, value) cardinality with map-side partial aggregation, the
+    * second counts survivors). Values normalize to strings whose LEXICAL
+    * order equals the native order (keys zero-padded, dates ISO), so
+    * min/max survive the transpose. At 100 TB this is the same two-phase
+    * shape with per-column cardinality as the only shuffle volume. */
+  def q90ColumnProfile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(explode(map(
+        lit("l_orderkey"), format_string("%012d", col("l_orderkey")),
+        lit("l_returnflag"), col("l_returnflag"),
+        lit("l_linestatus"), col("l_linestatus"),
+        lit("l_shipdate"), col("l_shipdate").cast("string")))
+        .as(Seq("col_name", "val")))
+      .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
+      .groupBy("col_name")
+      .agg(sum("cnt").as("n"),
+        coalesce(sum(when(col("val").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+        min("val").as("min_val"), max("val").as("max_val"))
+      .orderBy("col_name")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q90_column_profile" -> ((q90ColumnProfile _, """
+      SELECT col_name, count(*)::BIGINT AS n,
+             sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             count(DISTINCT val)::BIGINT AS n_distinct,
+             min(val) AS min_val, max(val) AS max_val
+      FROM (
+        SELECT 'l_orderkey' AS col_name, printf('%012d', l_orderkey) AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', l_returnflag FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', l_linestatus FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', l_shipdate::VARCHAR FROM lineitem) u
+      GROUP BY col_name ORDER BY col_name""")),
     "q79_zorder_locality" -> ((q79ZorderLocality _, s"""
       WITH z AS (
         SELECT ${interleaveSql("l_partkey", "l_suppkey")} AS z,

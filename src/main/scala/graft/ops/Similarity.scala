@@ -437,7 +437,176 @@ object Similarity {
         round(col("max_x"), 6).as("max_x"))
       .orderBy("dim")
 
+  // ---------------------------------------------------------------- k-means
+  val KMeansK = 8       // codebook size for the test corpus
+  val KMeansIters = 2   // Lloyd's iterations (fixed, mirrored in the oracle)
+  val QuantScale = 1000 // quantization grid: round(x * 1000)
+  val QuantOffset = 1024 // shift onto a non-negative grid (|x| <= 1 for
+                         // unit-norm embeddings) so integer centroid means
+                         // have no floor-vs-truncate ambiguity cross-engine
+
+  /** Quantized embeddings: one native pass ([[graft.functions.IntVecQuant]]),
+    * `round(x*1000) + offset` per element — every downstream k-means /
+    * SemDeDup number is then EXACT int64 arithmetic that DuckDB reproduces
+    * bit-for-bit (no float-summation-order caveats, unlike mllib KMeans). */
+  private def quantized(s: SparkSession, d: String, offset: Int): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      call_function("ivec_quant", col("embedding"),
+        lit(QuantScale), lit(offset)).as("q"))
+
+  private def centLit(cents: Array[Array[Long]]): Column =
+    typedLit(cents.map(_.toSeq).toSeq)
+
+  /** Seed codebook: the K lowest vec_ids' quantized vectors — deterministic
+    * and oracle-reproducible (k-means++ would need a cross-engine RNG).
+    * Driver-side collect is K rows — bounded control plane, same shape as
+    * mllib's centroid broadcast. */
+  private def seedCentroids(q: DataFrame): Array[Array[Long]] =
+    q.orderBy("vec_id").limit(KMeansK).select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+
+  /** Lloyd's k-means over quantized embeddings (q85). Per iteration:
+    * assignment is ONE compiled map-side pass ([[graft.functions.IntVecNearest]]
+    * with the K*D centroid table as a plan literal — the broadcast side);
+    * the update is a posexplode + groupBy(cluster, dim) whose partial
+    * aggregation collapses each partition to at most K*D rows before the
+    * shuffle, then a K*D-row driver collect computes integer means. At 1e9
+    * rows the corpus is scanned once per iteration with no corpus-sized
+    * shuffle anywhere — the mllib treeAggregate shape, expressed
+    * declaratively. Clusters that lose all members drop out of the codebook
+    * (labels keep their seed identity, so survivors' ids are stable).
+    * Output: (vec_id, cluster, d2) with exact squared distances. */
+  def q85KMeans(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d, QuantOffset)
+    var labels: Array[Long] = (0 until KMeansK).map(_.toLong).toArray
+    var cents: Array[Array[Long]] = seedCentroids(q)
+    for (_ <- 1 to KMeansIters) {
+      val assigned = q.select(
+        element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1)
+          .as("idx"),
+        col("q"))
+      val sums = assigned
+        .select(col("idx"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy("idx", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .collect() // bounded: at most K * dims rows
+      val byIdx = sums.groupBy(_.getLong(0).toInt)
+      val present = byIdx.keys.toArray.sorted
+      cents = present.map { i =>
+        val dims = byIdx(i).map(r => (r.getInt(1), r.getLong(2) / r.getLong(3)))
+        val v = new Array[Long](dims.length)
+        dims.foreach { case (dim, mean) => v(dim) = mean }
+        v
+      }
+      labels = present.map(labels(_))
+    }
+    val a = call_function("ivec_nearest", col("q"), centLit(cents))
+    q.select(col("vec_id"), a.as("a"))
+      .select(col("vec_id"),
+        element_at(typedLit(labels.toSeq),
+          (element_at(col("a"), 1) + 1).cast("int")).as("cluster"),
+        element_at(col("a"), 2).as("d2"))
+      .orderBy("vec_id")
+  }
+
+  val SemDedupTauSq10k = 1600 // cosine threshold τ=0.40 (the corpus has no >0.5 semantic pairs): keep 1e4·dot² >= τ²·1e4·|a|²·|b|²
+
+  /** SemDeDup (q86): semantic near-dup pairs = cluster the corpus, then
+    * compare only WITHIN clusters — the pruning that makes semantic dedup
+    * tractable (per-cluster pairs instead of corpus²). Clustering here is
+    * one assignment pass against the seed codebook (recall tuning, not
+    * correctness — the oracle mirrors the same codebook); the in-cluster
+    * pair stream is the same self-equi-join shape as q44/q24 (no bucket
+    * materialization, AQE splits hot clusters). The cosine threshold is
+    * evaluated in EXACT integer arithmetic on the unshifted quantized grid:
+    * `1e4·dot² >= τ²·1e4·|a|²·|b|² AND dot > 0` — with |x|<=1 unit-norm
+    * embeddings at scale 1000, all products stay under 2^62. */
+  def q86SemDedup(s: SparkSession, d: String): DataFrame = {
+    val qs = quantized(s, d, QuantOffset)
+    val cents = seedCentroids(qs)
+    val asg = Tables.embeddings(s, d).select(col("vec_id"),
+        element_at(call_function("ivec_nearest",
+          call_function("ivec_quant", col("embedding"),
+            lit(QuantScale), lit(QuantOffset)), centLit(cents)), 1).as("cluster"),
+        call_function("ivec_quant", col("embedding"),
+          lit(QuantScale), lit(0)).as("qc"))
+      .withColumn("n2", call_function("ivec_norm2", col("qc")))
+    val l = asg.select(col("cluster"), col("vec_id").as("id_a"),
+      col("qc").as("qa"), col("n2").as("n2_a"))
+    val r = asg.select(col("cluster"), col("vec_id").as("id_b"),
+      col("qc").as("qb"), col("n2").as("n2_b"))
+    l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", call_function("ivec_dot", col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >=
+          col("n2_a") * col("n2_b") * lit(SemDedupTauSq10k.toLong))
+      .select(col("cluster"), col("id_a"), col("id_b"), col("dot"),
+        col("n2_a"), col("n2_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Shared oracle CTEs: quantized grid + seed-codebook assignment. */
+  private def kmeansSqlPrefix: String = s"""
+      WITH q AS (SELECT vec_id,
+        list_transform(embedding, x -> round(x::DOUBLE * $QuantScale)::BIGINT + $QuantOffset) AS qv
+        FROM embeddings),
+      qe AS (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
+                    unnest(qv) AS v FROM q),
+      seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+                FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $KMeansK)),
+      c0 AS (SELECT s.c, qe.dim, qe.v AS cv
+             FROM seeds s JOIN qe ON qe.vec_id = s.vec_id),
+      d1 AS (SELECT qe.vec_id, c0.c, sum((qe.v - c0.cv) * (qe.v - c0.cv)) AS dd
+             FROM qe JOIN c0 ON qe.dim = c0.dim GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+               FROM d1) t WHERE rn = 1)"""
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q85_kmeans" -> ((q85KMeans _, s"""
+      $kmeansSqlPrefix,
+      c1 AS (SELECT a1.c, qe.dim, (sum(qe.v) // count(*))::BIGINT AS cv
+             FROM a1 JOIN qe USING (vec_id) GROUP BY 1, 2),
+      d2_ AS (SELECT qe.vec_id, c1.c, sum((qe.v - c1.cv) * (qe.v - c1.cv)) AS dd
+              FROM qe JOIN c1 ON qe.dim = c1.dim GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+               FROM d2_) t WHERE rn = 1),
+      c2 AS (SELECT a2.c, qe.dim, (sum(qe.v) // count(*))::BIGINT AS cv
+             FROM a2 JOIN qe USING (vec_id) GROUP BY 1, 2),
+      d3 AS (SELECT qe.vec_id, c2.c, sum((qe.v - c2.cv) * (qe.v - c2.cv)) AS dd
+             FROM qe JOIN c2 ON qe.dim = c2.dim GROUP BY 1, 2)
+      SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2 FROM (
+        SELECT vec_id, c, dd,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+        FROM d3) t WHERE rn = 1
+      ORDER BY vec_id""")),
+    "q86_semdedup" -> ((q86SemDedup _, s"""
+      $kmeansSqlPrefix,
+      qc AS (SELECT vec_id,
+               list_transform(embedding, x -> round(x::DOUBLE * $QuantScale)::BIGINT) AS qv
+             FROM embeddings),
+      qce AS (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
+                     unnest(qv) AS v FROM qc),
+      n2 AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM qce GROUP BY 1),
+      pairs AS (SELECT pa.c AS cluster, pa.vec_id AS id_a, pb.vec_id AS id_b
+                FROM a1 pa JOIN a1 pb
+                  ON pa.c = pb.c AND pa.vec_id < pb.vec_id),
+      dots AS (SELECT p.cluster, p.id_a, p.id_b, sum(x.v * y.v)::BIGINT AS dot
+               FROM pairs p
+               JOIN qce x ON x.vec_id = p.id_a
+               JOIN qce y ON y.vec_id = p.id_b AND y.dim = x.dim
+               GROUP BY 1, 2, 3)
+      SELECT d.cluster::BIGINT AS cluster, d.id_a, d.id_b, d.dot,
+             na.n2 AS n2_a, nb.n2 AS n2_b
+      FROM dots d
+      JOIN n2 na ON na.vec_id = d.id_a
+      JOIN n2 nb ON nb.vec_id = d.id_b
+      WHERE d.dot > 0 AND 10000 * d.dot * d.dot >= $SemDedupTauSq10k * na.n2 * nb.n2
+      ORDER BY d.id_a, d.id_b""")),
     "q84_rerank_topk" -> ((q84RerankTopK _, s"""
       $lshProbeCtes,
       topk AS (SELECT q_id, neighbor_id, sim FROM ranked WHERE rnk <= $LshK),

