@@ -112,7 +112,10 @@ object SchemaConv {
   private[singer] def convertObject(node: JsonNode, level: Int): StructType = {
     val props = node.get("properties")
     if (props == null) return StructType(Nil)
-    val fields = props.properties().asScala.map { e =>
+    // iterator, NOT .asScala.map on the entry Set: mapping a Set wrapper
+    // rebuilds a HashSet and scrambles declaration order, which field-id
+    // assignment (A10: sequential ids in declaration order) depends on
+    val fields = props.properties().asScala.iterator.map { e =>
       val (dt, nullable) = convertField(e.getValue, level)
       StructField(e.getKey, dt, nullable)
     }.toSeq

@@ -1,0 +1,309 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.singer.{SchemaConv, SingerMessage}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.{FileSplit, LineRecordReader}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 batch source for Singer JSONL files:
+  * `spark.read.format("singer").option("stream", "users").load(path)`.
+  *
+  * The reference's only source is the Singer stdin pipe consumed by the SDK
+  * `Target` CLI (`/root/reference/target_iceberg/target.py:64-65`); this is
+  * the same wire format surfaced the Spark-idiomatic way — as a table the
+  * whole query engine composes over (joins, aggregates, predicate-bearing
+  * scans), not just a load path.
+  *
+  * Engine integration, designed for the 100 TB case:
+  *   - '''Schema from the stream's own SCHEMA message''' (same
+  *     [[graft.singer.SchemaConv]] walk as the load path) — inference reads
+  *     each file only until the declaration, never the data body.
+  *   - '''Byte-range splits''': files split at
+  *     `spark.sql.files.maxPartitionBytes` granularity and line boundaries
+  *     are healed per split by Hadoop's `LineRecordReader` (the
+  *     TextInputFormat contract: a split consumes the line that starts in
+  *     it, skips the partial head line unless it starts at offset 0) — a
+  *     single giant tap dump parallelizes across the cluster instead of
+  *     pinning one task per file.
+  *   - '''Column pruning pushdown''' ([[SupportsPushDownRequiredColumns]]):
+  *     `SELECT a, b` materializes ONLY fields a and b out of each record's
+  *     JSON — unrequested fields are never converted (visible as the
+  *     narrowed ReadSchema in `.explain`).
+  *
+  * Field typing follows the source contract of Spark's own JSON reader:
+  * a field whose JSON value does not match the declared type reads as NULL
+  * (the query surface must stay total); the LOAD path ([[graft.lake
+  * .BatchLoader]]) layers strict per-record validation with reject counts
+  * on top — SURVEY §2.B2's two-tier story.
+  */
+class SingerDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "singer"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SingerSourceUtil.inferSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    // force-nullable like Spark's own file sources: any record can omit or
+    // mistype any field, and a non-nullable column whose reader emits null
+    // silently decodes as 0/epoch garbage under codegen
+    new SingerTable(SingerSourceUtil.forceNullable(schema),
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object SingerSourceUtil {
+  /** Recursive nullable-forcing (StructType.asNullable is private[spark]). */
+  def forceNullable(st: StructType): StructType =
+    StructType(st.fields.map { f =>
+      f.copy(nullable = true, dataType = f.dataType match {
+        case s: StructType => forceNullable(s)
+        case ArrayType(s: StructType, _) => ArrayType(forceNullable(s), true)
+        case ArrayType(et, _) => ArrayType(et, containsNull = true)
+        case other => other
+      })
+    })
+
+  def paths(options: CaseInsensitiveStringMap): Seq[Path] = {
+    val raw = Option(options.get("paths"))
+      .map(p => new ObjectMapper().readTree(p).elements().asScala
+        .map(_.asText()).toSeq)
+      .orElse(Option(options.get("path")).map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException(
+        "singer source requires a path"))
+    val conf = hadoopConf()
+    raw.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matches = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      matches.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }.map(_.getPath)
+    }
+  }
+
+  def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  /** Read each file only until the target stream's SCHEMA message (Singer
+    * taps emit it before any RECORD) — bounded by [[MaxInferBytes]] so a
+    * malformed feed cannot turn inference into a full scan. */
+  val MaxInferBytes: Long = 8L * 1024 * 1024
+
+  def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val stream = Option(options.get("stream"))
+    val conf = hadoopConf()
+    paths(options).iterator
+      .flatMap(p => firstSchema(p, stream, conf))
+      .nextOption()
+      .map { case (_, json) => SchemaConv.toStructType(json) }
+      .getOrElse(throw new IllegalArgumentException(
+        stream.map(s => s"no SCHEMA message for stream '$s' found")
+          .getOrElse("no SCHEMA message found in input")))
+  }
+
+  private def firstSchema(p: Path, stream: Option[String],
+                          conf: Configuration): Option[(String, String)] = {
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(
+          new org.apache.commons.io.input.BoundedInputStream(in, MaxInferBytes),
+          java.nio.charset.StandardCharsets.UTF_8))
+      Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .flatMap(SingerMessage.decode)
+        .collectFirst {
+          case SingerMessage.Schema(s, json, _)
+              if stream.forall(_ == s) => (s, json)
+        }
+    } finally in.close()
+  }
+}
+
+private[sources] class SingerTable(schema: StructType,
+                                   options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    "singer:" + Option(options.get("stream")).getOrElse("<first-stream>")
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(opts.asCaseSensitiveMap())
+    new SingerScanBuilder(schema, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] class SingerScanBuilder(full: StructType,
+                                         options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val conf = SingerSourceUtil.hadoopConf()
+    val maxSplit = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    val parts = SingerSourceUtil.paths(options).flatMap { p =>
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      if (len == 0) Seq.empty
+      else (0L until len by maxSplit).map(start =>
+        SingerInputPartition(p.toString, start, math.min(maxSplit, len - start)))
+    }
+    SingerScan(required, Option(options.get("stream")), parts.toArray)
+  }
+}
+
+private[sources] case class SingerInputPartition(path: String, start: Long,
+                                                 length: Long)
+    extends InputPartition
+
+private[sources] case class SingerScan(required: StructType,
+                                       stream: Option[String],
+                                       parts: Array[SingerInputPartition])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"singer stream=${stream.getOrElse("<first>")} " +
+      s"ReadSchema: ${required.catalogString}"
+  override def planInputPartitions(): Array[InputPartition] =
+    parts.asInstanceOf[Array[InputPartition]]
+  override def createReaderFactory(): PartitionReaderFactory =
+    SingerReaderFactory(required, stream)
+}
+
+private[sources] case class SingerReaderFactory(required: StructType,
+                                                stream: Option[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SingerPartitionReader(partition.asInstanceOf[SingerInputPartition],
+      required, stream)
+}
+
+/** Reads one byte range of one JSONL file. Line-boundary healing is
+  * delegated to Hadoop's [[LineRecordReader]] — the exact TextInputFormat
+  * semantics every distributed text format relies on. The executor-side
+  * `new Configuration()` resolves local/HDFS default filesystems; a
+  * credential-bearing deployment would broadcast the driver conf instead. */
+private[sources] class SingerPartitionReader(part: SingerInputPartition,
+                                             required: StructType,
+                                             stream: Option[String])
+    extends PartitionReader[InternalRow] {
+  private val lines = new LineRecordReader()
+  lines.initialize(
+    new FileSplit(new Path(part.path), part.start, part.length, Array.empty),
+    new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID()))
+
+  // the stream filter binds to the FIRST stream seen when unset, so a
+  // multi-stream feed read without options still yields one coherent table
+  private var boundStream: Option[String] = stream
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null) {
+      if (!lines.nextKeyValue()) return false
+      val line = lines.getCurrentValue.toString
+      SingerMessage.decode(line) match {
+        case Some(SingerMessage.Record(s, json)) if boundStream.forall(_ == s) =>
+          if (boundStream.isEmpty) boundStream = Some(s)
+          current = JsonRecordConverter.convert(json, required)
+        case _ => () // SCHEMA/STATE/other streams: not rows of this table
+      }
+    }
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}
+
+/** Jackson → InternalRow for the [[graft.singer.SchemaConv]] type surface
+  * (long, double, boolean, string, date, timestamp, array, struct). Only
+  * the REQUIRED (pruned) fields are materialized; type-mismatched values
+  * read as null (the query-surface contract — strict validation lives in
+  * the load path). */
+private[sources] object JsonRecordConverter {
+  @transient private lazy val mapper = new ObjectMapper()
+
+  def convert(recordJson: String, schema: StructType): InternalRow = {
+    val node = mapper.readTree(recordJson)
+    fromObject(node, schema)
+  }
+
+  private def fromObject(node: JsonNode, schema: StructType): GenericInternalRow = {
+    val values = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      values(i) = conv(node.get(f.name), f.dataType)
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  private def conv(n: JsonNode, dt: DataType): Any = {
+    if (n == null || n.isNull) return null
+    dt match {
+      case LongType    => if (n.canConvertToLong) n.asLong else null
+      case DoubleType  => if (n.isNumber) n.asDouble else null
+      case BooleanType => if (n.isBoolean) n.asBoolean else null
+      case StringType  =>
+        UTF8String.fromString(if (n.isTextual) n.asText else n.toString)
+      case DateType =>
+        if (!n.isTextual) null
+        else try java.lang.Integer.valueOf(
+          LocalDate.parse(n.asText).toEpochDay.toInt)
+        catch { case _: Exception => null }
+      case TimestampType =>
+        if (!n.isTextual) null else parseTimestampMicros(n.asText)
+      case at: ArrayType =>
+        if (!n.isArray) null
+        else new GenericArrayData(
+          n.elements().asScala.map(conv(_, at.elementType)).toArray)
+      case st: StructType =>
+        if (!n.isObject) null else fromObject(n, st)
+      case _ => null // NullType fields carry no data
+    }
+  }
+
+  /** ISO-8601 instants (`2024-01-02T03:04:05Z`, offset forms) plus the
+    * space-separated local form, read as UTC — the same shapes the load
+    * path's `from_json` accepts under the UTC session. */
+  private def parseTimestampMicros(s: String): java.lang.Long =
+    try java.lang.Long.valueOf(Instant.parse(s).getEpochSecond * 1000000L +
+      Instant.parse(s).getNano / 1000L)
+    catch {
+      case _: Exception =>
+        try {
+          val ldt = LocalDateTime.parse(s.replace(' ', 'T'))
+          val inst = ldt.toInstant(ZoneOffset.UTC)
+          java.lang.Long.valueOf(
+            inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+        } catch { case _: Exception => null }
+    }
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** DataSourceV2 Singer source: schema inference from SCHEMA messages,
+  * record filtering per stream, column-pruning pushdown, byte-range split
+  * correctness (no dropped/duplicated lines across split boundaries), and
+  * the null-on-type-mismatch query-surface contract. */
+class SingerSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeFeed(lines: Seq[String]): Path = {
+    val f = Files.createTempFile("singer-feed", ".jsonl")
+    Files.writeString(f, lines.mkString("", "\n", "\n"))
+    f
+  }
+
+  private val usersSchema =
+    """{"type":"SCHEMA","stream":"users","key_properties":["id"],
+      |"schema":{"type":"object","properties":{
+      |"id":{"type":"integer"},"name":{"type":"string"},
+      |"score":{"type":"number"},
+      |"joined":{"type":"string","format":"date"}}}}"""
+      .stripMargin.replace("\n", "")
+
+  private def userRecord(id: Int, name: String, score: Double, joined: String) =
+    s"""{"type":"RECORD","stream":"users","record":{"id":$id,"name":"$name","score":$score,"joined":"$joined"}}"""
+
+  test("reads RECORDs of the declared stream with the inferred schema") {
+    val f = writeFeed(Seq(
+      usersSchema,
+      userRecord(1, "ada", 9.5, "2024-01-02"),
+      """{"type":"STATE","value":{"bookmark":1}}""",
+      userRecord(2, "bob", 7.25, "2024-02-03"),
+      """{"type":"SCHEMA","stream":"other","schema":{"type":"object","properties":{"x":{"type":"integer"}}}}""",
+      """{"type":"RECORD","stream":"other","record":{"x":42}}"""))
+    val df = spark.read.format("singer").option("stream", "users")
+      .load(f.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "score", "joined"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "ada")
+    assert(rows(0).getAs[java.sql.Date]("joined").toString == "2024-01-02")
+    assert(rows(1).getDouble(2) == 7.25)
+  }
+
+  test("without a stream option, binds to the first SCHEMA's stream") {
+    val f = writeFeed(Seq(
+      usersSchema,
+      userRecord(1, "ada", 1.0, "2024-01-02"),
+      """{"type":"RECORD","stream":"other","record":{"x":1}}"""))
+    val df = spark.read.format("singer").load(f.toString)
+    assert(df.count() == 1) // the "other" record is not a users row
+  }
+
+  test("column pruning reaches the scan (ReadSchema narrows)") {
+    val f = writeFeed(Seq(usersSchema, userRecord(1, "ada", 1.0, "2024-01-02")))
+    val df = spark.read.format("singer").option("stream", "users")
+      .load(f.toString).select("name")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("name"),
+      s"pruned read schema expected, got ${scan.scan.readSchema()}")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("ada"))
+  }
+
+  test("type-mismatched fields read as null; missing fields read as null") {
+    val f = writeFeed(Seq(
+      usersSchema,
+      """{"type":"RECORD","stream":"users","record":{"id":"not-a-number","name":7,"score":1.5}}"""))
+    val r = spark.read.format("singer").option("stream", "users")
+      .load(f.toString).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("id")))       // string where integer declared
+    assert(r.getString(r.fieldIndex("name")) == "7") // JSON text of the value
+    assert(r.isNullAt(r.fieldIndex("joined")))   // absent
+  }
+
+  test("byte-range splits: no dropped or duplicated rows at any split size") {
+    val n = 500
+    val lines = usersSchema +: (1 to n).map(i =>
+      userRecord(i, s"user-$i-padding-padding-padding", i * 1.5, "2024-01-02"))
+    val f = writeFeed(lines)
+    val whole = spark.read.format("singer").option("stream", "users")
+      .load(f.toString).agg(count(lit(1)), sum("id")).collect()(0)
+    assert(whole.getLong(0) == n)
+    // force many tiny splits: every boundary lands mid-line somewhere
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try {
+      val df = spark.read.format("singer").option("stream", "users")
+        .load(f.toString)
+      assert(df.rdd.getNumPartitions > 4,
+        s"expected many splits, got ${df.rdd.getNumPartitions}")
+      val split = df.agg(count(lit(1)), sum("id")).collect()(0)
+      assert(split.getLong(0) == n, "split reading dropped/duplicated rows")
+      assert(split.getLong(1) == whole.getLong(1))
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("inference fails loudly when the stream has no SCHEMA message") {
+    val f = writeFeed(Seq(userRecord(1, "ada", 1.0, "2024-01-02")))
+    val e = intercept[Exception] {
+      spark.read.format("singer").option("stream", "users").load(f.toString)
+    }
+    assert(e.getMessage.contains("SCHEMA"))
+  }
+}
