@@ -145,7 +145,8 @@ private[sources] class SingerTable(schema: StructType,
     "singer:" + Option(options.get("stream")).getOrElse("<first-stream>")
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
@@ -172,7 +173,8 @@ private[sources] class SingerScanBuilder(full: StructType,
       else (0L until len by maxSplit).map(start =>
         SingerInputPartition(p.toString, start, math.min(maxSplit, len - start)))
     }
-    SingerScan(required, Option(options.get("stream")), parts.toArray)
+    SingerScan(required, Option(options.get("stream")), parts.toArray,
+      options.asCaseSensitiveMap().asScala.toMap)
   }
 }
 
@@ -182,7 +184,8 @@ private[sources] case class SingerInputPartition(path: String, start: Long,
 
 private[sources] case class SingerScan(required: StructType,
                                        stream: Option[String],
-                                       parts: Array[SingerInputPartition])
+                                       parts: Array[SingerInputPartition],
+                                       optionsMap: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -193,14 +196,135 @@ private[sources] case class SingerScan(required: StructType,
     parts.asInstanceOf[Array[InputPartition]]
   override def createReaderFactory(): PartitionReaderFactory =
     SingerReaderFactory(required, stream)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SingerMicroBatchStream(required, stream, optionsMap)
 }
+
+/** Streaming continuation range of one file: `start` is a PREVIOUS file
+  * length, i.e. a line boundary under the Singer contract (taps write whole
+  * lines). Unlike batch splits there is no partial head line to skip and no
+  * tail line to chase past `length` — the range is read EXACTLY. */
+private[sources] case class SingerStreamPartition(path: String, start: Long,
+                                                  length: Long)
+    extends InputPartition
 
 private[sources] case class SingerReaderFactory(required: StructType,
                                                 stream: Option[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SingerPartitionReader(partition.asInstanceOf[SingerInputPartition],
-      required, stream)
+    partition match {
+      case p: SingerInputPartition =>
+        new SingerPartitionReader(p, required, stream)
+      case p: SingerStreamPartition =>
+        new SingerAlignedRangeReader(p, required, stream)
+    }
+}
+
+/** Per-file growth offsets for the micro-batch stream, serialized as a
+  * sorted JSON object (deterministic for checkpoint equality). */
+private[sources] case class SingerStreamOffset(files: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.toSeq.sortBy(_._1)
+      .map { case (f, len) =>
+        "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + len }
+      .mkString("{", ",", "}")
+}
+
+private[sources] object SingerStreamOffset {
+  def fromJson(json: String): SingerStreamOffset = {
+    val node = new ObjectMapper().readTree(json)
+    SingerStreamOffset(node.properties().asScala.iterator
+      .map(e => e.getKey -> e.getValue.asLong()).toMap)
+  }
+}
+
+/** Micro-batch streaming over a growing set of Singer JSONL files — the
+  * structured-streaming face of the same wire format (`spark.readStream
+  * .format("singer")...`): tail the tap's output directory instead of
+  * re-ingesting it. Offsets are per-file byte lengths; each batch reads
+  * exactly the bytes appended since the last one (plus newly appeared
+  * files from offset 0), through the same converter/pruning path as the
+  * batch scan. Assumes line-atomic appends — the Singer CLI contract
+  * (line-buffered stdout); a mid-line snapshot would split a record.
+  * At scale each batch's work is proportional to NEW data only, and the
+  * per-file ranges parallelize exactly like batch splits. */
+private[sources] class SingerMicroBatchStream(required: StructType,
+                                              stream: Option[String],
+                                              optionsMap: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def options = new CaseInsensitiveStringMap(optionsMap.asJava)
+
+  override def initialOffset(): Offset = SingerStreamOffset(Map.empty)
+
+  override def latestOffset(): Offset = {
+    val conf = SingerSourceUtil.hadoopConf()
+    SingerStreamOffset(SingerSourceUtil.paths(options).map { p =>
+      p.toString -> p.getFileSystem(conf).getFileStatus(p).getLen
+    }.toMap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SingerStreamOffset].files
+    val e = end.asInstanceOf[SingerStreamOffset].files
+    e.toSeq.sortBy(_._1).flatMap { case (f, len) =>
+      val from = s.getOrElse(f, 0L)
+      if (len > from) Some(SingerStreamPartition(f, from, len - from)) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SingerReaderFactory(required, stream)
+
+  override def deserializeOffset(json: String): Offset =
+    SingerStreamOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Exact [start, start+length) line reader for streaming continuation
+  * ranges: Hadoop's [[org.apache.hadoop.util.LineReader]] reports bytes
+  * consumed per line, so the reader stops precisely at the snapshot
+  * boundary and never chases lines written after it. */
+private[sources] class SingerAlignedRangeReader(part: SingerStreamPartition,
+                                                required: StructType,
+                                                stream: Option[String])
+    extends PartitionReader[InternalRow] {
+  private val in = {
+    val p = new Path(part.path)
+    val s = p.getFileSystem(new Configuration()).open(p)
+    s.seek(part.start)
+    s
+  }
+  private val lines = new org.apache.hadoop.util.LineReader(in)
+  private val text = new Text()
+  private var consumed = 0L
+  private var boundStream: Option[String] = stream
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null) {
+      if (consumed >= part.length) return false
+      val n = lines.readLine(text)
+      if (n == 0) return false
+      consumed += n
+      SingerMessage.decode(text.toString) match {
+        case Some(SingerMessage.Record(s, json)) if boundStream.forall(_ == s) =>
+          if (boundStream.isEmpty) boundStream = Some(s)
+          current = JsonRecordConverter.convert(json, required)
+        case _ => ()
+      }
+    }
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
 }
 
 /** Reads one byte range of one JSONL file. Line-boundary healing is

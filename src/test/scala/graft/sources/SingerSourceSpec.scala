@@ -101,6 +101,36 @@ class SingerSourceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
 
+  test("streaming: micro-batches read exactly the appended bytes") {
+    val dir = Files.createTempDirectory("singer-stream")
+    val f = dir.resolve("feed.jsonl")
+    Files.writeString(f, Seq(
+      usersSchema,
+      userRecord(1, "ada", 1.0, "2024-01-02"),
+      userRecord(2, "bob", 2.0, "2024-01-03")).mkString("", "\n", "\n"))
+    val q = spark.readStream.format("singer").option("stream", "users")
+      .load(dir.toString + "/*.jsonl")
+      .writeStream.format("memory").queryName("singer_stream_t")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("singer_stream_t").count() == 2)
+      // append two more records (line-atomic, like a tap)
+      Files.writeString(f, Seq(
+        userRecord(3, "eve", 3.0, "2024-01-04"),
+        userRecord(4, "kim", 4.0, "2024-01-05")).mkString("", "\n", "\n"),
+        java.nio.file.StandardOpenOption.APPEND)
+      // and a brand-new file discovered mid-stream
+      Files.writeString(dir.resolve("feed2.jsonl"),
+        usersSchema + "\n" + userRecord(5, "lee", 5.0, "2024-01-06") + "\n")
+      q.processAllAvailable()
+      val ids = spark.table("singer_stream_t").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L, 4L, 5L)),
+        s"expected 1..5, got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("inference fails loudly when the stream has no SCHEMA message") {
     val f = writeFeed(Seq(userRecord(1, "ada", 1.0, "2024-01-02")))
     val e = intercept[Exception] {
