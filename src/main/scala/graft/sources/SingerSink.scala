@@ -1,0 +1,209 @@
+package graft.sources
+
+import com.fasterxml.jackson.core.JsonFactory
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, DateTimeUtils}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+
+/** Batch write support for the Singer source: `df.write.format("singer")
+  * .option("stream", "users").save(dir)` emits Singer JSONL — each task
+  * writes one part file beginning with the stream's SCHEMA message (the
+  * Singer contract: schema precedes records in every feed) followed by one
+  * RECORD line per row. The output of this sink is a valid input to the
+  * [[SingerDataSource]] batch/streaming reader AND to the reference's
+  * target CLI — the engine can round-trip the wire format in both
+  * directions.
+  *
+  * Scale shape: embarrassingly parallel — one writer per partition, no
+  * coordination beyond the commit handshake; `SaveMode.Overwrite` truncates
+  * the directory driver-side before launching tasks (document: non-atomic,
+  * like every direct-to-directory file sink without a commit protocol).
+  */
+private[sources] class SingerWriteBuilder(info: LogicalWriteInfo,
+                                          options: Map[String, String])
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val path = options.getOrElse("path",
+        throw new IllegalArgumentException("singer sink requires a path"))
+      val stream = options.getOrElse("stream", "data")
+      new SingerBatchWrite(path, stream, info.schema(),
+        info.queryId(), doTruncate)
+    }
+  }
+}
+
+private[sources] class SingerBatchWrite(path: String, stream: String,
+                                        schema: StructType, queryId: String,
+                                        truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SingerSourceUtil.hadoopConf())
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
+    fs.mkdirs(dir)
+    SingerWriterFactory(path, stream, schema, queryId)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class SingerWriterFactory(path: String, stream: String,
+                                                schema: StructType,
+                                                queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SingerDataWriter(
+      new Path(path, f"part-$partitionId%05d-$queryId.jsonl"),
+      stream, schema)
+}
+
+private[sources] class SingerDataWriter(file: Path, stream: String,
+                                        schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val out = file.getFileSystem(new Configuration()).create(file, true)
+  private val writer = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+  // every part file is a self-contained Singer feed: SCHEMA first
+  writer.write(
+    s"""{"type":"SCHEMA","stream":${SingerJson.str(stream)},"schema":${SingerJson.schemaJson(schema)}}""")
+  writer.newLine()
+
+  override def write(row: InternalRow): Unit = {
+    writer.write(s"""{"type":"RECORD","stream":${SingerJson.str(stream)},"record":${SingerJson.rowJson(row, schema)}}""")
+    writer.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    try file.getFileSystem(new Configuration()).delete(file, false)
+    catch { case _: Exception => () }
+  }
+
+  override def close(): Unit =
+    try writer.close() catch { case _: Exception => () }
+}
+
+/** StructType -> Singer JSON Schema (the inverse of
+  * [[graft.singer.SchemaConv]]) and InternalRow -> Singer record JSON.
+  * Date/timestamp render ISO-8601 (`format: date` / `date-time`) so the
+  * declared formats parse back to the same Catalyst types on read. */
+private[sources] object SingerJson {
+  private val jsonFactory = new JsonFactory()
+
+  def str(s: String): String = {
+    val w = new java.io.StringWriter()
+    val g = jsonFactory.createGenerator(w)
+    g.writeString(s); g.close()
+    w.toString
+  }
+
+  def schemaJson(st: StructType): String = {
+    val props = st.fields.map { f =>
+      str(f.name) + ":" + fieldSchema(f.dataType, f.nullable)
+    }.mkString(",")
+    s"""{"type":"object","properties":{$props}}"""
+  }
+
+  private def fieldSchema(dt: DataType, nullable: Boolean): String = {
+    def typed(t: String, format: Option[String] = None): String = {
+      val ty = if (nullable) s"""["$t","null"]""" else s""""$t""""
+      format.map(f => s"""{"type":$ty,"format":"$f"}""")
+        .getOrElse(s"""{"type":$ty}""")
+    }
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => typed("integer")
+      case DoubleType | FloatType => typed("number")
+      case BooleanType            => typed("boolean")
+      case StringType             => typed("string")
+      case DateType               => typed("string", Some("date"))
+      case TimestampType          => typed("string", Some("date-time"))
+      case ArrayType(et, en) =>
+        val ty = if (nullable) s"""["array","null"]""" else s""""array""""
+        s"""{"type":$ty,"items":${fieldSchema(et, en)}}"""
+      case st: StructType =>
+        val props = st.fields.map(f =>
+          str(f.name) + ":" + fieldSchema(f.dataType, f.nullable)).mkString(",")
+        val ty = if (nullable) s"""["object","null"]""" else s""""object""""
+        s"""{"type":$ty,"properties":{$props}}"""
+      case other =>
+        throw new IllegalArgumentException(
+          s"singer sink cannot encode ${other.catalogString}")
+    }
+  }
+
+  def rowJson(row: InternalRow, schema: StructType): String = {
+    val sb = new java.lang.StringBuilder(64)
+    appendRow(sb, row, schema)
+    sb.toString
+  }
+
+  private def appendRow(sb: java.lang.StringBuilder, row: InternalRow,
+                        schema: StructType): Unit = {
+    sb.append('{')
+    var first = true
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      if (!row.isNullAt(i)) {
+        if (!first) sb.append(',')
+        first = false
+        sb.append(str(f.name)).append(':')
+        appendValue(sb, row, i, f.dataType)
+      }
+      i += 1
+    }
+    sb.append('}')
+  }
+
+  private def appendValue(sb: java.lang.StringBuilder,
+                          get: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+                          i: Int, dt: DataType): Unit = dt match {
+    case LongType    => sb.append(get.getLong(i))
+    case IntegerType => sb.append(get.getInt(i))
+    case ShortType   => sb.append(get.getShort(i).toInt)
+    case ByteType    => sb.append(get.getByte(i).toInt)
+    case DoubleType  => sb.append(get.getDouble(i))
+    case FloatType   => sb.append(get.getFloat(i).toDouble)
+    case BooleanType => sb.append(get.getBoolean(i))
+    case StringType  => sb.append(str(get.getUTF8String(i).toString))
+    case DateType =>
+      sb.append('"')
+        .append(java.time.LocalDate.ofEpochDay(get.getInt(i).toLong))
+        .append('"')
+    case TimestampType =>
+      sb.append('"')
+        .append(DateTimeUtils.microsToInstant(get.getLong(i)))
+        .append('"')
+    case at: ArrayType =>
+      val arr: ArrayData = get.getArray(i)
+      sb.append('[')
+      var j = 0
+      while (j < arr.numElements()) {
+        if (j > 0) sb.append(',')
+        if (arr.isNullAt(j)) sb.append("null")
+        else appendValue(sb, arr, j, at.elementType)
+        j += 1
+      }
+      sb.append(']')
+    case st: StructType =>
+      appendRow(sb, get.getStruct(i, st.length), st)
+    case other =>
+      throw new IllegalArgumentException(
+        s"singer sink cannot encode ${other.catalogString}")
+  }
+}

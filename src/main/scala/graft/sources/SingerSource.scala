@@ -96,6 +96,8 @@ private[sources] object SingerSourceUtil {
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
         else Seq(st)
       }.map(_.getPath)
+        // the standard file-source convention: _metadata/.crc etc. are not data
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
     }
   }
 
@@ -140,18 +142,28 @@ private[sources] object SingerSourceUtil {
 
 private[sources] class SingerTable(schema: StructType,
                                    options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     "singer:" + Option(options.get("stream")).getOrElse("<first-stream>")
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(opts.asCaseSensitiveMap())
     new SingerScanBuilder(schema, new CaseInsensitiveStringMap(merged))
+  }
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(info.options().asCaseSensitiveMap())
+    new SingerWriteBuilder(info, merged.asScala.toMap.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
   }
 }
 

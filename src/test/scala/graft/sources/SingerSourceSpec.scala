@@ -131,6 +131,36 @@ class SingerSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink round-trip: write format(singer) then read back identically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("singer-sink").toString
+    val df = Seq(
+      (1L, "ada", Some(9.5), java.sql.Date.valueOf("2024-01-02"),
+        java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), Seq(1L, 2L)),
+      (2L, "bob", None, java.sql.Date.valueOf("2024-02-03"),
+        java.sql.Timestamp.valueOf("2024-02-03 04:05:06"), Seq.empty[Long]))
+      .toDF("id", "name", "score", "d", "ts", "xs")
+    df.write.format("singer").option("stream", "users")
+      .mode("append").save(dir)
+    val back = spark.read.format("singer").option("stream", "users").load(dir)
+    assert(back.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    val a = df.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"round-trip mismatch:\n$a\n$b")
+    // the emitted feed is valid Singer: SCHEMA precedes RECORDs per file
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl")).foreach { f =>
+        val first = Files.readAllLines(f).get(0)
+        assert(first.contains("\"SCHEMA\""), s"file $f must start with SCHEMA")
+      }
+    // overwrite truncates previous part files
+    df.limit(1).repartition(1).write.format("singer")
+      .option("stream", "users").mode("overwrite").save(dir)
+    assert(spark.read.format("singer").option("stream", "users")
+      .load(dir).count() == 1)
+  }
+
   test("inference fails loudly when the stream has no SCHEMA message") {
     val f = writeFeed(Seq(userRecord(1, "ada", 1.0, "2024-01-02")))
     val e = intercept[Exception] {
