@@ -596,7 +596,51 @@ object Relational {
         min("val").as("min_val"), max("val").as("max_val"))
       .orderBy("col_name")
 
+  /** Full ranking-window family in one pass (q92): rank / dense_rank /
+    * ntile / percent_rank-style / cume_dist-style / nth_value — all riding ONE
+    * hash exchange: same-spec functions collapse into a single Window
+    * operator, and the partition-only count window shares the exchange
+    * (its keys are a prefix of the sort spec). Verified: 2 exchanges total
+    * in the executed plan (the window hash + the output range sort). Ties
+    * are broken into a total order so every engine computes identical
+    * tiles; the ratio outputs are exact integer ppm, not round(double, 6)
+    * — (rank-1)/(n-1) lands on exact .xxxxx5 midpoints (e.g. 41/640)
+    * where the engines' round() diverge (the q62/q48 hazard). */
+  def q92RankFunctions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
+      .withColumn("tile4", ntile(4).over(w).cast("long"))
+      // ratio functions reported as exact integer ppm, not round(double, 6):
+      // (rank-1)/(n-1) lands on exact .xxxxx5 midpoints (e.g. 41/640),
+      // where the two engines' round() diverge — the q62/q48 hazard again
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+      .withColumn("pct_ppm", expr("(rnk - 1) * 1000000 div (n - 1)"))
+      .withColumn("cume_ppm", expr("rnk * 1000000 div n"))
+      .drop("n")
+      .withColumn("third_best", nth_value(col("o_orderkey"), 3).over(w))
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q92_rank_functions" -> ((q92RankFunctions _, """
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS dense_rnk,
+             ntile(4) OVER w AS tile4,
+             ((rank() OVER w - 1) * 1000000)
+               // (count(*) OVER (PARTITION BY o_orderpriority) - 1) AS pct_ppm,
+             ((rank() OVER w) * 1000000)
+               // count(*) OVER (PARTITION BY o_orderpriority) AS cume_ppm,
+             nth_value(o_orderkey, 3) OVER w AS third_best
+      FROM orders WHERE o_totalprice > 400000
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, rnk, o_orderkey""")),
     "q90_column_profile" -> ((q90ColumnProfile _, """
       SELECT col_name, count(*)::BIGINT AS n,
              sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
