@@ -161,6 +161,43 @@ class SingerSourceSpec extends AnyFunSuite {
       .load(dir).count() == 1)
   }
 
+  test("integration: singer stream -> watermarked dedup -> memory sink") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("singer-e2e")
+    val schemaLine =
+      """{"type":"SCHEMA","stream":"events","schema":{"type":"object","properties":{
+        |"event_id":{"type":"integer"},
+        |"ts":{"type":"string","format":"date-time"},
+        |"v":{"type":"number"}}}}""".stripMargin.replace("\n", "")
+    def rec(id: Int, ts: String, v: Double) =
+      s"""{"type":"RECORD","stream":"events","record":{"event_id":$id,"ts":"$ts","v":$v}}"""
+    val f = dir.resolve("events.jsonl")
+    Files.writeString(f, Seq(schemaLine,
+      rec(1, "2024-01-01T00:00:01Z", 1.0),
+      rec(2, "2024-01-01T00:00:02Z", 2.0),
+      rec(1, "2024-01-01T00:00:03Z", 99.0) // duplicate event_id
+    ).mkString("", "\n", "\n"))
+    val src = spark.readStream.format("singer").option("stream", "events")
+      .load(dir.toString + "/*.jsonl")
+      .select(col("event_id"), col("ts"), col("v"))
+    val q = graft.ops.Streaming.dedupedStream(src)
+      .writeStream.format("memory").queryName("singer_e2e_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("singer_e2e_t").count() == 2)
+      Files.writeString(f, Seq(
+        rec(2, "2024-01-01T00:00:04Z", 3.0), // dup again, later batch
+        rec(3, "2024-01-01T00:00:05Z", 4.0)
+      ).mkString("", "\n", "\n"), java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      val ids = spark.table("singer_e2e_t").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)),
+        s"watermarked dedup over the singer stream: got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("inference fails loudly when the stream has no SCHEMA message") {
     val f = writeFeed(Seq(userRecord(1, "ada", 1.0, "2024-01-02")))
     val e = intercept[Exception] {
