@@ -177,8 +177,13 @@ private[sources] object SingerJson {
     case IntegerType => sb.append(get.getInt(i))
     case ShortType   => sb.append(get.getShort(i).toInt)
     case ByteType    => sb.append(get.getByte(i).toInt)
-    case DoubleType  => sb.append(get.getDouble(i))
-    case FloatType   => sb.append(get.getFloat(i).toDouble)
+    // NaN/Infinity are not JSON — emit null rather than corrupt the line
+    case DoubleType =>
+      val v = get.getDouble(i)
+      if (java.lang.Double.isFinite(v)) sb.append(v) else sb.append("null")
+    case FloatType =>
+      val v = get.getFloat(i).toDouble
+      if (java.lang.Double.isFinite(v)) sb.append(v) else sb.append("null")
     case BooleanType => sb.append(get.getBoolean(i))
     case StringType  => sb.append(str(get.getUTF8String(i).toString))
     case DateType =>

@@ -431,9 +431,11 @@ private[sources] object JsonRecordConverter {
     * space-separated local form, read as UTC — the same shapes the load
     * path's `from_json` accepts under the UTC session. */
   private def parseTimestampMicros(s: String): java.lang.Long =
-    try java.lang.Long.valueOf(Instant.parse(s).getEpochSecond * 1000000L +
-      Instant.parse(s).getNano / 1000L)
-    catch {
+    try {
+      val inst = Instant.parse(s)
+      java.lang.Long.valueOf(
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+    } catch {
       case _: Exception =>
         try {
           val ldt = LocalDateTime.parse(s.replace(' ', 'T'))
