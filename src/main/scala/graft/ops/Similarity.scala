@@ -449,19 +449,19 @@ object Similarity {
     * `round(x*1000) + offset` per element — every downstream k-means /
     * SemDeDup number is then EXACT int64 arithmetic that DuckDB reproduces
     * bit-for-bit (no float-summation-order caveats, unlike mllib KMeans). */
-  private def quantized(s: SparkSession, d: String, offset: Int): DataFrame =
+  private[ops] def quantized(s: SparkSession, d: String, offset: Int): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"),
       call_function("ivec_quant", col("embedding"),
         lit(QuantScale), lit(offset)).as("q"))
 
-  private def centLit(cents: Array[Array[Long]]): Column =
+  private[ops] def centLit(cents: Array[Array[Long]]): Column =
     typedLit(cents.map(_.toSeq).toSeq)
 
   /** Seed codebook: the K lowest vec_ids' quantized vectors — deterministic
     * and oracle-reproducible (k-means++ would need a cross-engine RNG).
     * Driver-side collect is K rows — bounded control plane, same shape as
     * mllib's centroid broadcast. */
-  private def seedCentroids(q: DataFrame): Array[Array[Long]] =
+  private[ops] def seedCentroids(q: DataFrame): Array[Array[Long]] =
     q.orderBy("vec_id").limit(KMeansK).select("q").collect()
       .map(_.getSeq[Long](0).toArray)
 

@@ -64,34 +64,50 @@ private[sources] case class SingerWriterFactory(path: String, stream: String,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SingerDataWriter(
       new Path(path, f"part-$partitionId%05d-$queryId.jsonl"),
-      stream, schema)
+      taskId, stream, schema)
 }
 
-private[sources] class SingerDataWriter(file: Path, stream: String,
-                                        schema: StructType)
+/** Writes to an ATTEMPT-UNIQUE hidden temp file (taskId in the name; the
+  * reader's listing skips dot-files) and renames to the canonical part
+  * name on commit — so a speculative or retried attempt never interleaves
+  * with the winner's output, and a losing attempt's abort deletes only its
+  * OWN temp, never a committed file. Spark's commit coordinator authorizes
+  * exactly one attempt per partition to commit. */
+private[sources] class SingerDataWriter(file: Path, taskId: Long,
+                                        stream: String, schema: StructType)
     extends DataWriter[InternalRow] {
-  private val out = file.getFileSystem(new Configuration()).create(file, true)
+  private val tmp = new Path(file.getParent, s".${file.getName}.$taskId.tmp")
+  private val fs = file.getFileSystem(new Configuration())
   private val writer = new java.io.BufferedWriter(
-    new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+    new java.io.OutputStreamWriter(fs.create(tmp, true),
+      java.nio.charset.StandardCharsets.UTF_8))
   // every part file is a self-contained Singer feed: SCHEMA first
   writer.write(
     s"""{"type":"SCHEMA","stream":${SingerJson.str(stream)},"schema":${SingerJson.schemaJson(schema)}}""")
   writer.newLine()
+  // the message envelope is constant per writer — escape the stream once,
+  // not per row
+  private val recordPrefix =
+    s"""{"type":"RECORD","stream":${SingerJson.str(stream)},"record":"""
 
   override def write(row: InternalRow): Unit = {
-    writer.write(s"""{"type":"RECORD","stream":${SingerJson.str(stream)},"record":${SingerJson.rowJson(row, schema)}}""")
+    writer.write(recordPrefix)
+    writer.write(SingerJson.rowJson(row, schema))
+    writer.write("}")
     writer.newLine()
   }
 
   override def commit(): WriterCommitMessage = {
     writer.close()
+    fs.delete(file, false) // a leftover from a dead earlier job, not an attempt
+    if (!fs.rename(tmp, file))
+      throw new java.io.IOException(s"singer sink: rename $tmp -> $file failed")
     new WriterCommitMessage {}
   }
 
   override def abort(): Unit = {
     try writer.close() catch { case _: Exception => () }
-    try file.getFileSystem(new Configuration()).delete(file, false)
-    catch { case _: Exception => () }
+    try fs.delete(tmp, false) catch { case _: Exception => () }
   }
 
   override def close(): Unit =

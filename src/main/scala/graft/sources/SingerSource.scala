@@ -80,7 +80,10 @@ private[sources] object SingerSourceUtil {
       })
     })
 
-  def paths(options: CaseInsensitiveStringMap): Seq[Path] = {
+  /** Resolve the path/glob options to data-file statuses — ONE metadata
+    * round per file (the status carries the length callers need; no
+    * re-stat). */
+  def listFiles(options: CaseInsensitiveStringMap): Seq[org.apache.hadoop.fs.FileStatus] = {
     val raw = Option(options.get("paths"))
       .map(p => new ObjectMapper().readTree(p).elements().asScala
         .map(_.asText()).toSeq)
@@ -95,11 +98,29 @@ private[sources] object SingerSourceUtil {
       matches.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
         else Seq(st)
-      }.map(_.getPath)
+      }
         // the standard file-source convention: _metadata/.crc etc. are not data
-        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
     }
   }
+
+  def paths(options: CaseInsensitiveStringMap): Seq[Path] =
+    listFiles(options).map(_.getPath)
+
+  /** The stream every reader must bind to: the explicit option, or — so
+    * that ALL partitions agree — the stream whose SCHEMA message schema
+    * inference would pick (the first one found). Resolved ONCE driver-side;
+    * per-partition first-record binding would let different splits of a
+    * multi-stream feed decode different streams against one schema. */
+  def resolveStream(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("stream")).orElse {
+      val conf = hadoopConf()
+      paths(options).iterator
+        .flatMap(p => firstSchema(p, None, conf))
+        .nextOption()
+        .map(_._1)
+    }
 
   def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
@@ -175,19 +196,9 @@ private[sources] class SingerScanBuilder(full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val conf = SingerSourceUtil.hadoopConf()
-    val maxSplit = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
-    val parts = SingerSourceUtil.paths(options).flatMap { p =>
-      val fs = p.getFileSystem(conf)
-      val len = fs.getFileStatus(p).getLen
-      if (len == 0) Seq.empty
-      else (0L until len by maxSplit).map(start =>
-        SingerInputPartition(p.toString, start, math.min(maxSplit, len - start)))
-    }
-    SingerScan(required, Option(options.get("stream")), parts.toArray,
+  override def build(): Scan =
+    SingerScan(required, SingerSourceUtil.resolveStream(options),
       options.asCaseSensitiveMap().asScala.toMap)
-  }
 }
 
 private[sources] case class SingerInputPartition(path: String, start: Long,
@@ -196,7 +207,6 @@ private[sources] case class SingerInputPartition(path: String, start: Long,
 
 private[sources] case class SingerScan(required: StructType,
                                        stream: Option[String],
-                                       parts: Array[SingerInputPartition],
                                        optionsMap: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -204,8 +214,20 @@ private[sources] case class SingerScan(required: StructType,
   override def description(): String =
     s"singer stream=${stream.getOrElse("<first>")} " +
       s"ReadSchema: ${required.catalogString}"
-  override def planInputPartitions(): Array[InputPartition] =
-    parts.asInstanceOf[Array[InputPartition]]
+  /** Splits computed lazily HERE (the batch path only) — the streaming
+    * path plans from offsets instead and must not pay a full listing+split
+    * pass at scan build. One listing; the statuses carry the lengths. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val opts = new CaseInsensitiveStringMap(optionsMap.asJava)
+    val maxSplit = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    SingerSourceUtil.listFiles(opts).flatMap { st =>
+      val len = st.getLen
+      if (len == 0) Seq.empty
+      else (0L until len by maxSplit).map(start =>
+        SingerInputPartition(st.getPath.toString, start,
+          math.min(maxSplit, len - start)))
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     SingerReaderFactory(required, stream)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -272,12 +294,9 @@ private[sources] class SingerMicroBatchStream(required: StructType,
 
   override def initialOffset(): Offset = SingerStreamOffset(Map.empty)
 
-  override def latestOffset(): Offset = {
-    val conf = SingerSourceUtil.hadoopConf()
-    SingerStreamOffset(SingerSourceUtil.paths(options).map { p =>
-      p.toString -> p.getFileSystem(conf).getFileStatus(p).getLen
-    }.toMap)
-  }
+  override def latestOffset(): Offset =
+    SingerStreamOffset(SingerSourceUtil.listFiles(options)
+      .map(st => st.getPath.toString -> st.getLen).toMap)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SingerStreamOffset].files
@@ -354,8 +373,9 @@ private[sources] class SingerPartitionReader(part: SingerInputPartition,
     new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       new Configuration(), new org.apache.hadoop.mapreduce.TaskAttemptID()))
 
-  // the stream filter binds to the FIRST stream seen when unset, so a
-  // multi-stream feed read without options still yields one coherent table
+  // `stream` arrives resolved driver-side (option or first SCHEMA) so all
+  // partitions agree; the first-record fallback below only fires for a
+  // schema-less feed read under a user-supplied schema
   private var boundStream: Option[String] = stream
   private var current: InternalRow = _
 
@@ -405,8 +425,19 @@ private[sources] object JsonRecordConverter {
   private def conv(n: JsonNode, dt: DataType): Any = {
     if (n == null || n.isNull) return null
     dt match {
+      // the SchemaConv surface plus the narrower numerics a user-supplied
+      // schema (supportsExternalMetadata) may declare — the sink encodes
+      // them, so the reader must decode them
       case LongType    => if (n.canConvertToLong) n.asLong else null
+      case IntegerType => if (n.canConvertToInt) n.asInt else null
+      case ShortType   =>
+        if (n.canConvertToInt && n.asInt >= Short.MinValue &&
+          n.asInt <= Short.MaxValue) n.asInt.toShort else null
+      case ByteType    =>
+        if (n.canConvertToInt && n.asInt >= Byte.MinValue &&
+          n.asInt <= Byte.MaxValue) n.asInt.toByte else null
       case DoubleType  => if (n.isNumber) n.asDouble else null
+      case FloatType   => if (n.isNumber) n.asDouble.toFloat else null
       case BooleanType => if (n.isBoolean) n.asBoolean else null
       case StringType  =>
         UTF8String.fromString(if (n.isTextual) n.asText else n.toString)
@@ -427,21 +458,12 @@ private[sources] object JsonRecordConverter {
     }
   }
 
-  /** ISO-8601 instants (`2024-01-02T03:04:05Z`, offset forms) plus the
-    * space-separated local form, read as UTC — the same shapes the load
-    * path's `from_json` accepts under the UTC session. */
+  /** Timestamp strings parse through Spark's own
+    * [[org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp]]
+    * (as UTC) — the exact semantics the load path's `from_json` applies
+    * under the UTC session, so the two ingestion surfaces cannot drift. */
   private def parseTimestampMicros(s: String): java.lang.Long =
-    try {
-      val inst = Instant.parse(s)
-      java.lang.Long.valueOf(
-        inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
-    } catch {
-      case _: Exception =>
-        try {
-          val ldt = LocalDateTime.parse(s.replace(' ', 'T'))
-          val inst = ldt.toInstant(ZoneOffset.UTC)
-          java.lang.Long.valueOf(
-            inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
-        } catch { case _: Exception => null }
-    }
+    org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestamp(UTF8String.fromString(s), ZoneOffset.UTC)
+      .map(java.lang.Long.valueOf(_)).orNull
 }

@@ -22,13 +22,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(clusters.size > 1, "all vectors in one cluster — assignment broken")
   }
 
-  test("q85 kmeans: iterating reduces (or holds) total within-cluster d2") {
+  test("q85 kmeans: iterated centroids beat (or match) the seed assignment") {
     // Lloyd's monotonicity on the integer grid is only approximate (integer
-    // centroid means), but total distortion should never blow up vs the
-    // seed assignment. Compare final d2 total against assigning to seeds.
+    // centroid means truncate), but total distortion after 2 updates must
+    // not exceed the seed-codebook assignment it started from.
+    val q = Similarity.quantized(spark, sf, Similarity.QuantOffset)
+    val seedD2 = q.select(element_at(
+        call_function("ivec_nearest", col("q"),
+          Similarity.centLit(Similarity.seedCentroids(q))), 2).as("d2"))
+      .agg(sum("d2")).collect()(0).getLong(0)
     val finalD2 = Similarity.q85KMeans(spark, sf)
       .agg(sum("d2")).collect()(0).getLong(0)
     assert(finalD2 > 0)
+    assert(finalD2 <= seedD2,
+      s"2 Lloyd's iterations worsened total d2: seed=$seedD2 final=$finalD2")
   }
 
   test("q86 semdedup: pairs ordered, in-threshold, within one cluster") {

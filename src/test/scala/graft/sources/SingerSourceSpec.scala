@@ -57,6 +57,26 @@ class SingerSourceSpec extends AnyFunSuite {
     assert(df.count() == 1) // the "other" record is not a users row
   }
 
+  test("multi-stream feed without option: ALL splits bind to the inferred stream") {
+    // regression: per-partition first-record binding let a split whose
+    // first record belonged to another stream decode that stream against
+    // the inferred schema; the bound stream is now resolved driver-side
+    val lines = usersSchema +:
+      """{"type":"SCHEMA","stream":"other","schema":{"type":"object","properties":{"x":{"type":"integer"}}}}""" +:
+      (1 to 200).flatMap(i => Seq(
+        userRecord(i, s"user-$i-padpadpadpadpad", i * 1.0, "2024-01-02"),
+        s"""{"type":"RECORD","stream":"other","record":{"x":$i}}"""))
+    val f = writeFeed(lines)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val df = spark.read.format("singer").load(f.toString)
+      assert(df.rdd.getNumPartitions > 3)
+      val rows = df.collect()
+      assert(rows.length == 200, s"expected 200 users rows, got ${rows.length}")
+      assert(rows.forall(!_.isNullAt(1)), "an 'other' record decoded as users")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("column pruning reaches the scan (ReadSchema narrows)") {
     val f = writeFeed(Seq(usersSchema, userRecord(1, "ada", 1.0, "2024-01-02")))
     val df = spark.read.format("singer").option("stream", "users")
