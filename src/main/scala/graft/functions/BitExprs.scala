@@ -53,23 +53,12 @@ case class ZOrder2(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val va = ctx.freshName("va")
-      val vb = ctx.freshName("vb")
-      s"""
-         |long $va = ((long) $a) & 0xFFFFL;
-         |$va = ($va | ($va << 8)) & 0x00FF00FFL;
-         |$va = ($va | ($va << 4)) & 0x0F0F0F0FL;
-         |$va = ($va | ($va << 2)) & 0x33333333L;
-         |$va = ($va | ($va << 1)) & 0x55555555L;
-         |long $vb = ((long) $b) & 0xFFFFL;
-         |$vb = ($vb | ($vb << 8)) & 0x00FF00FFL;
-         |$vb = ($vb | ($vb << 4)) & 0x0F0F0F0FL;
-         |$vb = ($vb | ($vb << 2)) & 0x33333333L;
-         |$vb = ($vb | ($vb << 1)) & 0x55555555L;
-         |${ev.value} = $va | ($vb << 1);
-       """.stripMargin
-    })
+    // one call into the SAME static twiddle `nullSafeEval` uses — a static
+    // method on primitive longs is JIT-inlined (no boxing, no virtual
+    // dispatch), and keeping a single copy means interpreted and codegen
+    // paths cannot drift
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrder2.interleave((long) $a, (long) $b);")
 }
 
 object ZOrder2 {

@@ -301,9 +301,8 @@ object Dedup {
     * rounds on high-diameter graphs, switch to large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce") — not needed
     * for the low-diameter graphs LSH emits (see [[MaxCcIterations]]).
-    * The convergence probe is `limit(1).count()` — it short-circuits at
-    * the first changed label, a control-plane scalar, never a collect of
-    * data rows. */
+    * Convergence is detected by an `observe` metric riding each round's
+    * own checkpoint job (see [[dupLabels]]) — no separate probe pass. */
   def q70DupClusters(s: SparkSession, d: String): DataFrame = {
     val labels = dupLabels(s, d)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
@@ -345,6 +344,12 @@ object Dedup {
         .localCheckpoint(true) // eager: runs the job, populating `obs`
       // sum(all-false) = 0; a null only if every chg was null (no proposals)
       converged = obs.get.get("n_changed").forall(v => v == null || v == 0L)
+      // memory note: rebinding `labels` drops the only reference to the
+      // superseded frontier's checkpointed RDD — ContextCleaner reclaims
+      // its blocks on GC (Dataset.unpersist would be a no-op here: these
+      // are RDD-level localCheckpoint blocks, not CacheManager entries).
+      // Production runs with reliable checkpoint() get deterministic
+      // cleanup by deleting the checkpoint dir of superseded rounds.
       labels = next
       iter += 1
     }
@@ -368,11 +373,8 @@ object Dedup {
       .join(dupLabels(s, d).withColumnRenamed("id", "doc_id"),
         Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
-      .withColumn("h", expr(
-        "cast(conv(substring(md5(cast(cluster_id as string)), 1, 4), 16, 10) as bigint) % 100"))
-      .withColumn("split",
-        when(col("h") < 80, "train").when(col("h") < 90, "valid")
-          .otherwise("test"))
+      .withColumn("h", TextOps.splitBucket("cluster_id"))
+      .withColumn("split", TextOps.splitName(col("h")))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("cluster_id").as("n_clusters"))
@@ -503,11 +505,6 @@ object Dedup {
                  JOIN e b ON b.vec_id = j.id_b
       ORDER BY j.id_a, j.id_b"""
 
-  /** Connected components in the oracle: a recursive CTE walks every
-    * (node, reaching-label) pair — transitive closure, fine at oracle scale
-    * (the Spark side is the scalable algorithm). `WITH RECURSIVE` must
-    * prefix the whole CTE chain, so the shared candidate CTEs get the
-    * keyword spliced in. */
   /** Recursive-CTE chain ending in `comps` (doc -> component min label) —
     * the oracle-side transitive closure shared by q70 and q80. `WITH
     * RECURSIVE` must prefix the whole CTE list, so the shared candidate

@@ -545,9 +545,13 @@ object Relational {
     * columns simultaneously — the property that makes `sortWithinPartitions
     * (zorder2(x, y))` before a write give parquet row-group min/max stats
     * that can prune 2-D range predicates (a single-column sort bounds only
-    * one dimension). The registered query is the audit/demonstration; the
-    * production lever is the sort-before-write. One scan, one small
-    * aggregation (<= 2^16 buckets regardless of table size). */
+    * one dimension). The bound holds for keys in zorder2's 16-bit domain
+    * (test-SF TPC-H keys fit directly); wider keys fold (`& 0xFFFF`) and
+    * MUST be range-bucketed into 16 bits first — `key div
+    * ceil(key_range / 65536)` — or the locality claim is void. The
+    * registered query is the audit/demonstration; the production lever is
+    * the sort-before-write. One scan, one small aggregation (<= 2^16
+    * buckets regardless of table size). */
   def q79ZorderLocality(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .select(expr("zorder2(l_partkey, l_suppkey)").as("z"),

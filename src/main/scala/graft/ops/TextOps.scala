@@ -122,6 +122,19 @@ object TextOps {
       .agg(sum("bpe").as("bpe_tokens"), sum("ws").as("ws_tokens"))
       .orderBy("lang")
 
+  val TrainPct = 80 // split routing thresholds shared by q56 and q80:
+  val ValidPct = 90 // [0,TrainPct) train, [TrainPct,ValidPct) valid, rest test
+
+  /** md5-mod-100 split bucket of `keyCol` — the ONE definition of the
+    * split hash, shared by [[q56HashSplit]] (raw doc ids) and
+    * [[Dedup.q80LeakageSafeSplit]] (cluster ids); changing the hash width
+    * or ratios here changes both splits together. */
+  private[ops] def splitBucket(keyCol: String): org.apache.spark.sql.Column =
+    expr(s"cast(conv(substring(md5(cast($keyCol as string)), 1, 4), 16, 10) as bigint) % 100")
+
+  private[ops] def splitName(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(h < TrainPct, "train").when(h < ValidPct, "valid").otherwise("test")
+
   /** Deterministic hash-based train/valid/test split (80/10/10) — the
     * held-out-split primitive of a training-data pipeline. Assignment is
     * `hash(doc_id) mod 100` with an md5-derived hash, so the split is
@@ -132,11 +145,8 @@ object TextOps {
     * dataset versions. */
   def q56HashSplit(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("h",
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 100"))
-      .withColumn("split",
-        when(col("h") < 80, "train").when(col("h") < 90, "valid")
-          .otherwise("test"))
+      .withColumn("h", splitBucket("doc_id"))
+      .withColumn("split", splitName(col("h")))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("n_chars"), 2).as("avg_chars"),
@@ -399,7 +409,15 @@ object TextOps {
     * the per-doc pass is a single scan. The sqrt-share normalizer is an
     * ORDERED fold over the per-source values (sort_array + aggregate) so
     * the floating sum is bit-identical everywhere — a plain `sum` leaves
-    * the addition order to partial-agg scheduling. */
+    * the addition order to partial-agg scheduling.
+    *
+    * Clip caveat: a rare source whose ideal keep-rate exceeds 1 cannot be
+    * upsampled by FILTERING — its rate clips to 1 (`least`), the kept
+    * fraction lands below [[MixSampleFrac]], and the realized mix tilts
+    * back toward dominant sources by the clipped deficit. The output
+    * exposes `rate` per source so the caller can see saturation (rate =
+    * 1.0); a pipeline needing exact target mass re-normalizes unclipped
+    * sources or duplicates saturated ones (a union, not a filter). */
   def q76SourceMix(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))

@@ -43,7 +43,10 @@ class BitExprsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       // top-16-bit bucket fixes the high 8 bits of each interleaved key:
-      // both spans are <= 255 no matter how big the table is
+      // both spans are <= 255 — FOR KEYS IN zorder2's 16-bit domain (the
+      // documented contract; test-SF TPC-H keys fit). Keys past 2^16 fold
+      // (& 0xFFFF) and must be range-bucketed into 16 bits first, or this
+      // locality bound does not hold.
       assert(r.getAs[Long]("max_pk") - r.getAs[Long]("min_pk") <= 255)
       assert(r.getAs[Long]("max_sk") - r.getAs[Long]("min_sk") <= 255)
     }
