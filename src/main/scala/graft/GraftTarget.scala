@@ -61,15 +61,10 @@ object GraftTarget {
           }
           spark.read.textFile(spoolToTempFile(System.in).toUri.toString)
       }
-      val loader = new BatchLoader(spark, new SessionLakeCatalog(spark),
-        namespace = cfg.icebergCatalogNamespaceName,
-        batchSize = cfg.batchSize,
-        addRecordMetadata = cfg.addRecordMetadata,
-        strictBatches = opts.contains("strict-batches"),
-        streamMaps = cfg.streamMaps,
-        flatteningEnabled = cfg.flatteningEnabled,
-        flatteningMaxDepth = cfg.flatteningMaxDepth,
-        partitionBy = cfg.partitionBy)
+      // fromConfig is the one config->loader mapping; only the CLI-flag
+      // surface (strict-batches) is passed alongside
+      val loader = BatchLoader.fromConfig(spark, new SessionLakeCatalog(spark),
+        cfg, strictBatches = opts.contains("strict-batches"))
       val report = loader.load(lines)
       report.rowsPerStream.foreach { case (t, n) =>
         System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: $n rows")

@@ -72,7 +72,7 @@ final class BatchLoader(
           case SingerMessage.ActivateVersion(s, v) =>
             RawMsg("ACTIVATE_VERSION", s, v.toString, Nil, seq)
         }
-      }))
+      })).cache() // one decode of the feed serves control, STATE, and records
 
     // Control plane: SCHEMA/ACTIVATE_VERSION are bounded by the stream count
     // (one-ish each per stream) so the driver collect is O(streams); STATE —
@@ -115,7 +115,7 @@ final class BatchLoader(
 
     val records = msgs.filter($"mtype" === "RECORD").cache()
     try {
-      val counts = segments.map { case (stream, segs) =>
+      val perStream = segments.toSeq.map { case (stream, segs) =>
         val version = activatedVersions.get(stream)
         val target = streamMaps.get(stream).flatMap(_.alias).getOrElse(stream)
         var total = 0L
@@ -134,7 +134,7 @@ final class BatchLoader(
           val typed = typedRows(segRecs, seg.schema, version, rejectBefore)
           val mapped = applyTransforms(stream, typed.valid)
           // segment schemas evolve the table in declaration order (A12)
-          catalog.ensureTable(namespace, target, mapped.drop("seq").schema,
+          catalog.ensureTable(namespace, target, mapped.drop(SeqCol).schema,
             partitionBy.getOrElse(stream, Nil))
           // the table may have more columns than this segment declares
           // (earlier schemas/feeds) — align by name, null-fill the rest
@@ -150,10 +150,32 @@ final class BatchLoader(
         }
         target -> ((total, totalRejected))
       }
+      // an ACTIVATE_VERSION for a stream with NO SCHEMA in this feed (a pure
+      // version-swap signal) still truncates the existing table — ignoring
+      // it would keep every stale row while the tap believes the new
+      // version is active
+      val activatedOnly = activatedVersions.keys
+        .filterNot(segments.contains).toSeq.flatMap { stream =>
+          val target = streamMaps.get(stream).flatMap(_.alias).getOrElse(stream)
+          if (catalog.tableExists(namespace, target)) {
+            // an INDEPENDENT empty frame — overwriting with a limit(0) read
+            // of the same table is rejected (UNSUPPORTED_OVERWRITE)
+            val schema = catalog.load(namespace, target).schema
+            catalog.overwrite(namespace, target, spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+            Some(target -> ((0L, 0L)))
+          } else None
+        }
+      // merge by target SUMMING — two streams aliased onto one table (or a
+      // mid-feed alias change) must not overwrite each other's counts
+      val counts = (perStream ++ activatedOnly)
+        .groupBy(_._1).map { case (t, vs) =>
+          t -> ((vs.map(_._2._1).sum, vs.map(_._2._2).sum))
+        }
       LoadReport(counts.map { case (t, (n, _)) => t -> n },
         statesToEcho,
         counts.map { case (t, (_, r)) => t -> r })
-    } finally records.unpersist()
+    } finally { records.unpersist(); msgs.unpersist() }
   }
 
   /** RECORD payloads -> typed rows under the declared schema, with full B2
@@ -173,24 +195,40 @@ final class BatchLoader(
                         version: Option[Long],
                         rejectBefore: Long = Long.MinValue): Typed = {
     val corruptCol = "_graft_corrupt_record"
-    require(!schema.fieldNames.contains(corruptCol),
-      s"stream schema may not declare the reserved column $corruptCol")
+    // every engine-internal column lives under the _graft_ prefix so a
+    // legal Singer field named e.g. "seq" cannot collide with the load
+    // plumbing (duplicate-column crash or silent drop of user data)
+    Seq(corruptCol, SeqCol, BatchCol).foreach { reserved =>
+      require(!schema.fieldNames.contains(reserved),
+        s"stream schema may not declare the reserved column $reserved")
+    }
     val schemaC = StructType(schema.fields :+ StructField(corruptCol, StringType))
-    val parsedAll = recs.select(col("seq"),
+    val parsedAll = recs.select(col("seq").as(SeqCol),
       from_json(col("payload"), schemaC,
         Map("columnNameOfCorruptRecord" -> corruptCol, "mode" -> "PERMISSIVE"))
         .as("r"))
     // positional rejection (records before the stream's first SCHEMA) joins
-    // the content-based checks so all rejects share one metric/filter
+    // the content-based checks so all rejects share one metric/filter.
+    // B2 also rejects a null in a field whose declared type excludes null:
+    // from_json's corrupt column does not fire for explicit JSON nulls, but
+    // the SDK's jsonschema validation rejects them, and admitting one puts
+    // a null into a column the table declares non-nullable (which Spark
+    // does not runtime-enforce on writes — downstream IsNotNull pruning
+    // would then return wrong results). A MISSING key types identically;
+    // the reference's arrow conversion fails the whole batch on it, so
+    // reject-and-count is the gentler superset.
+    val nonNullViolation = schema.fields.filterNot(_.nullable)
+      .map(f => col(s"r.`${f.name}`").isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val isRejected = col("r").isNull || col(s"r.`$corruptCol`").isNotNull ||
-      col("seq") < lit(rejectBefore)
+      nonNullViolation || col(SeqCol) < lit(rejectBefore)
     val rejMetric = s"graft_rejected_${java.util.UUID.randomUUID()}"
     val parsed = parsedAll
       .observe(rejMetric, coalesce(sum(when(isRejected, 1L).otherwise(0L)),
         lit(0L)).as("rejected"))
       .filter(!isRejected)
     val base = parsed.select(
-      (schema.fieldNames.toIndexedSeq.map(f => col(s"r.`$f`")) :+ col("seq")): _*)
+      (schema.fieldNames.toIndexedSeq.map(f => col(s"r.`$f`")) :+ col(SeqCol)): _*)
     val valid =
       if (!addRecordMetadata) base
       else base
@@ -200,7 +238,7 @@ final class BatchLoader(
         .withColumn("_sdc_received_at", current_timestamp())
         .withColumn("_sdc_batched_at", current_timestamp())
         .withColumn("_sdc_deleted_at", lit(null).cast("timestamp"))
-        .withColumn("_sdc_sequence", col("seq"))
+        .withColumn("_sdc_sequence", col(SeqCol))
         .withColumn("_sdc_table_version",
           version.map(lit(_)).getOrElse(lit(null)).cast("long"))
     Typed(valid, rejMetric, () => parsedAll.filter(isRejected).count())
@@ -214,7 +252,7 @@ final class BatchLoader(
     val cols = tableSchema.fields.toSeq.map { f =>
       if (present(f.name)) col(s"`${f.name}`")
       else lit(null).cast(f.dataType).as(f.name)
-    } :+ col("seq")
+    } :+ col(SeqCol)
     df.select(cols: _*)
   }
 
@@ -235,7 +273,7 @@ final class BatchLoader(
     * scan (at 100 TB a second scan doubles ingest cost). */
   private def appendScale(stream: String, rows: DataFrame,
                           overwrite: Boolean, typed: Typed): (Long, Long) = {
-    val data = rows.drop("seq")
+    val data = rows.drop(SeqCol)
     val metricName = s"graft_rows_${stream}_${java.util.UUID.randomUUID()}"
     val observed = data.observe(metricName, count(lit(1)).as("n"))
     @volatile var counted = -1L
@@ -285,23 +323,23 @@ final class BatchLoader(
                            overwrite: Boolean = false): Long = {
     // row_number over global input order: single-partition window — strict
     // mode is protocol-fidelity testing only (see class doc).
-    val w = Window.orderBy("seq")
+    val w = Window.orderBy(SeqCol)
     val sliced = rows
-      .withColumn("__batch", ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .withColumn(BatchCol, ((row_number().over(w) - 1) / batchSize).cast("long"))
       .cache()
     try {
-      val batchIds = sliced.select("__batch").distinct()
+      val batchIds = sliced.select(BatchCol).distinct()
         .collect().map(_.getLong(0)).sorted
       var total = 0L
       batchIds.zipWithIndex.foreach { case (b, i) =>
-        val slice = sliced.filter(col("__batch") === b).drop("__batch", "seq")
+        val slice = sliced.filter(col(BatchCol) === b).drop(BatchCol, SeqCol)
         if (overwrite && i == 0) catalog.overwrite(namespace, stream, slice)
         else catalog.append(namespace, stream, slice)
         total += slice.count()
       }
       // an ACTIVATE_VERSION with zero records still truncates (full swap)
       if (overwrite && batchIds.isEmpty)
-        catalog.overwrite(namespace, stream, sliced.drop("__batch", "seq").limit(0))
+        catalog.overwrite(namespace, stream, sliced.drop(BatchCol, SeqCol).limit(0))
       total
     } finally sliced.unpersist()
   }
@@ -311,13 +349,21 @@ object BatchLoader {
   /** Reference batch-drain size (`sinks.py:18`). */
   val DefaultBatchSize = 10000
 
-  /** Build from a validated [[TargetConfig]] (CLI path). */
+  /** Engine-internal column names — _graft_-prefixed so they cannot
+    * collide with legal Singer field names (which "seq"/"__batch" could). */
+  private[lake] val SeqCol = "_graft_seq"
+  private[lake] val BatchCol = "_graft_batch"
+
+  /** Build from a validated [[TargetConfig]] (CLI path) — the ONE place
+    * config fields map onto loader parameters; the CLI passes only the
+    * flags that are not config-file surface. */
   def fromConfig(spark: SparkSession, catalog: LakeCatalog,
-                 cfg: TargetConfig): BatchLoader =
+                 cfg: TargetConfig, strictBatches: Boolean = false): BatchLoader =
     new BatchLoader(spark, catalog,
       namespace = cfg.icebergCatalogNamespaceName,
       batchSize = cfg.batchSize,
       addRecordMetadata = cfg.addRecordMetadata,
+      strictBatches = strictBatches,
       streamMaps = cfg.streamMaps,
       flatteningEnabled = cfg.flatteningEnabled,
       flatteningMaxDepth = cfg.flatteningMaxDepth,

@@ -86,7 +86,11 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
       val byName = existing.fields.map(f => f.name -> f.dataType).toMap
       schema.fields.foreach { f =>
         byName.get(f.name).foreach { old =>
-          require(old == f.dataType,
+          // compare type SHAPE only: nested field metadata (PARQUET:field_id
+          // renumbers when a property is added before a struct) and nested
+          // nullability (a widened null union is evolution, not drift) must
+          // not abort a legitimate additive feed
+          require(normalizeType(old) == normalizeType(f.dataType),
             s"schema drift on $ns.$table.${f.name}: table has " +
               s"${old.catalogString}, stream declares ${f.dataType.catalogString}" +
               " — type changes are not auto-evolved (fail loudly, SURVEY §7.4)")
@@ -99,6 +103,21 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
         spark.sql(s"ALTER TABLE ${id(ns, table)} ADD COLUMNS ($colsDdl)")
       }
     }
+  }
+
+  /** Strip field metadata and normalize nullability, recursively — the
+    * drift comparison cares about type shape, nothing else. */
+  private def normalizeType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        normalizeType(f.dataType), nullable = true)))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(normalizeType(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(normalizeType(k), normalizeType(v),
+        valueContainsNull = true)
+    case other => other
   }
 
   override def writeBucketed(ns: String, table: String, df: DataFrame,

@@ -87,12 +87,15 @@ object TargetConfig {
     if (missing.nonEmpty)
       return Left(missing.map(k => s"missing required config key: $k"))
 
+    // an explicit JSON null means "unset" — NullNode.asText would otherwise
+    // stringify to the literal "null" (a bucket named "null", a filter
+    // expression `null` that drops every row)
     def str(k: String, default: String = null): String =
-      Option(node.get(k)).map(_.asText()).getOrElse(default)
+      if (node.hasNonNull(k)) node.get(k).asText() else default
     def bool(k: String, default: Boolean): Boolean =
-      Option(node.get(k)).map(_.asBoolean(default)).getOrElse(default)
+      if (node.hasNonNull(k)) node.get(k).asBoolean(default) else default
     def int(k: String, default: Int): Int =
-      Option(node.get(k)).map(_.asInt(default)).getOrElse(default)
+      if (node.hasNonNull(k)) node.get(k).asInt(default) else default
 
     val batch = int("batch_size", BatchLoader.DefaultBatchSize)
     if (batch <= 0) return Left(List(s"batch_size must be positive, got $batch"))
@@ -134,8 +137,10 @@ object TargetConfig {
       var alias: Option[String] = None
       if (m.isObject) m.properties().asScala.foreach { f =>
         (f.getKey, f.getValue) match {
-          case ("__filter__", v) => filter = Some(v.asText())
-          case ("__alias__", v)  => alias = Some(v.asText())
+          // null __filter__/__alias__ is the SDK idiom for "unset" — it
+          // must NOT stringify to the expression/name "null"
+          case ("__filter__", v) => filter = if (v.isNull) None else Some(v.asText())
+          case ("__alias__", v)  => alias = if (v.isNull) None else Some(v.asText())
           case (c, v) if v.isNull => cols += c -> None
           case (c, v)             => cols += c -> Some(v.asText())
         }

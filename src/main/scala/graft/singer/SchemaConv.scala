@@ -78,7 +78,10 @@ object SchemaConv {
         val t = typeList(prop)
         // missing `type` defaults to nullable string (iceberg.py:72-74)
         val tt = if (t.isEmpty) Seq("string", "null") else t
-        (tt, Option(prop.get("format")).map(_.asText()))
+        // hasNonNull, like processAnyOf: `"format": null` means no format
+        // (NullNode.asText would yield the string "null" -> TimestampType)
+        (tt, if (prop.hasNonNull("format")) Some(prop.get("format").asText())
+             else None)
       }
     val nullable = types.contains("null")
     val primary = types.find(_ != "null")

@@ -1,0 +1,112 @@
+package graft.lake
+
+import graft.TestSpark
+import graft.singer.SchemaConv
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regressions for load-path review findings: reserved-name collisions,
+  * null-typed validation, JSON-null config values, format:null, drift
+  * comparison vs field-id metadata, alias count merging, and
+  * ACTIVATE_VERSION without an accompanying SCHEMA. */
+class LoadPathRegressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshNs(): String = s"lpr_${System.nanoTime()}"
+
+  test("a user field named 'seq' loads without colliding with the engine column") {
+    val ns = freshNs()
+    val loader = new BatchLoader(spark, new SessionLakeCatalog(spark), ns)
+    val feed = Seq(
+      """{"type":"SCHEMA","stream":"s","schema":{"properties":{"seq":{"type":["integer","null"]},"x":{"type":["string","null"]}}}}""",
+      """{"type":"RECORD","stream":"s","record":{"seq":7,"x":"a"}}""",
+      """{"type":"RECORD","stream":"s","record":{"seq":8,"x":"b"}}""")
+    val report = loader.load(feed.toDS())
+    assert(report.rowsPerStream == Map("s" -> 2L))
+    val rows = spark.table(s"`$ns`.s").orderBy("seq").collect()
+    assert(rows.map(_.getAs[Long]("seq")).toSeq == Seq(7L, 8L))
+  }
+
+  test("null in a field whose type excludes null is rejected and counted") {
+    val ns = freshNs()
+    val loader = new BatchLoader(spark, new SessionLakeCatalog(spark), ns)
+    val feed = Seq(
+      """{"type":"SCHEMA","stream":"s","schema":{"properties":{"id":{"type":["integer"]},"v":{"type":["number","null"]}}}}""",
+      """{"type":"RECORD","stream":"s","record":{"id":1,"v":1.5}}""",
+      """{"type":"RECORD","stream":"s","record":{"id":null,"v":2.5}}""",
+      """{"type":"RECORD","stream":"s","record":{"v":3.5}}""",
+      """{"type":"RECORD","stream":"s","record":{"id":4,"v":null}}""")
+    val report = loader.load(feed.toDS())
+    // id=null and id-missing rejected (non-nullable); v=null fine (nullable)
+    assert(report.rowsPerStream == Map("s" -> 2L))
+    assert(report.rejectedPerStream == Map("s" -> 2L))
+    val ids = spark.table(s"`$ns`.s").collect().map(_.getAs[Long]("id")).sorted
+    assert(ids.sameElements(Array(1L, 4L)))
+  }
+
+  test("JSON-null config values mean unset, not the string \"null\"") {
+    val cfg = TargetConfig.fromJson(
+      """{"s3_bucket": null, "iceberg_rest_uri": "u", "iceberg_catalog_name": "c",
+        |"iceberg_catalog_namespace_name": "n", "aws_access_key_id": "k",
+        |"aws_secret_access_key": "s", "s3_endpoint": "e",
+        |"stream_maps": {"s": {"__filter__": null, "__alias__": null}}}"""
+        .stripMargin.replaceAll("\n", " ")).toOption.get
+    assert(cfg.s3Bucket == "lakehouse", "null bucket must fall back to default")
+    val sm = cfg.streamMaps("s")
+    assert(sm.filter.isEmpty, "__filter__: null must mean no filter")
+    assert(sm.alias.isEmpty, "__alias__: null must mean no alias")
+  }
+
+  test("\"format\": null on a string property is StringType, not timestamp") {
+    val st = SchemaConv.toStructType(
+      """{"properties":{"s":{"type":["string","null"],"format":null}}}""")
+    assert(st("s").dataType == org.apache.spark.sql.types.StringType)
+  }
+
+  test("additive evolution survives renumbered nested field ids (no false drift)") {
+    val ns = freshNs()
+    val cat = new SessionLakeCatalog(spark)
+    val v1 = SchemaConv.assignFieldIds(SchemaConv.toStructType(
+      """{"properties":{"s":{"type":["object","null"],"properties":{"x":{"type":["string","null"]}}}}}"""))
+    cat.ensureTable(ns, "t", v1, Nil)
+    // adding a property BEFORE the struct renumbers s.x's field id
+    val v2 = SchemaConv.assignFieldIds(SchemaConv.toStructType(
+      """{"properties":{"a":{"type":["integer","null"]},"s":{"type":["object","null"],"properties":{"x":{"type":["string","null"]}}}}}"""))
+    cat.ensureTable(ns, "t", v2, Nil) // must not throw schema-drift
+    assert(spark.table(s"`$ns`.t").schema.fieldNames.contains("a"))
+  }
+
+  test("two streams aliased to one table: counts sum instead of overwriting") {
+    val ns = freshNs()
+    val cfgMaps = Map(
+      "a" -> graft.xform.StreamMapConfig(Map.empty, None, Some("t")),
+      "b" -> graft.xform.StreamMapConfig(Map.empty, None, Some("t")))
+    val loader = new BatchLoader(spark, new SessionLakeCatalog(spark), ns,
+      streamMaps = cfgMaps)
+    val feed = Seq(
+      """{"type":"SCHEMA","stream":"a","schema":{"properties":{"id":{"type":["integer","null"]}}}}""",
+      """{"type":"SCHEMA","stream":"b","schema":{"properties":{"id":{"type":["integer","null"]}}}}""",
+      """{"type":"RECORD","stream":"a","record":{"id":1}}""",
+      """{"type":"RECORD","stream":"a","record":{"id":2}}""",
+      """{"type":"RECORD","stream":"b","record":{"id":3}}""")
+    val report = loader.load(feed.toDS())
+    assert(report.rowsPerStream == Map("t" -> 3L),
+      s"expected summed counts, got ${report.rowsPerStream}")
+    assert(spark.table(s"`$ns`.t").count() == 3)
+  }
+
+  test("ACTIVATE_VERSION with no SCHEMA in the feed still truncates the table") {
+    val ns = freshNs()
+    val loader = new BatchLoader(spark, new SessionLakeCatalog(spark), ns)
+    loader.load(Seq(
+      """{"type":"SCHEMA","stream":"s","schema":{"properties":{"id":{"type":["integer","null"]}}}}""",
+      """{"type":"RECORD","stream":"s","record":{"id":1}}""").toDS())
+    assert(spark.table(s"`$ns`.s").count() == 1)
+    // a later feed carrying ONLY the version-swap signal
+    val report = loader.load(Seq(
+      """{"type":"ACTIVATE_VERSION","stream":"s","version":2}""").toDS())
+    assert(report.rowsPerStream == Map("s" -> 0L))
+    assert(spark.table(s"`$ns`.s").count() == 0,
+      "stale rows must not survive a version swap")
+  }
+}
