@@ -83,20 +83,23 @@ object Multimodal {
   final case class MediaFrame(doc_id: Long, frame_idx: Int, frame_len: Int,
                               resized_len: Int)
 
-  /** Frame-sample + resize over the binary column, batched mapPartitions
-    * (the mapInPandas shape). Emits per-frame metadata — at production
-    * scale the frame bytes would flow onward to the feature extractor. */
+  /** Frame-sample + resize over the binary column via mapPartitions.
+    * Streams ONE envelope at a time — peak task memory is a single
+    * payload. A REAL vectorized decoder (the mapInPandas shape) would
+    * re-introduce batching at its own call site, sized to what the
+    * decode kernel amortizes; buffering payload batches around per-element
+    * stubs would only multiply peak memory by the batch size. Emits
+    * per-frame metadata — at production scale the frame bytes would flow
+    * onward to the feature extractor. */
   def sampleFrames(s: SparkSession, env: DataFrame): Dataset[MediaFrame] = {
     import s.implicits._
     env.as[MediaEnvelope].mapPartitions { it =>
-      it.grouped(MediaCodec.BatchSize).flatMap { batch =>
-        batch.iterator.flatMap { e =>
-          MediaCodec.sampleFramesStub(e.bytes, MediaCodec.FramesPerDoc)
-            .zipWithIndex.map { case (frame, i) =>
-              MediaFrame(e.doc_id, i, frame.length,
-                MediaCodec.resizeStub(frame, 32).length)
-            }
-        }
+      it.flatMap { e =>
+        MediaCodec.sampleFramesStub(e.bytes, MediaCodec.FramesPerDoc)
+          .zipWithIndex.map { case (frame, i) =>
+            MediaFrame(e.doc_id, i, frame.length,
+              MediaCodec.resizeStub(frame, 32).length)
+          }
       }
     }
   }
@@ -122,18 +125,17 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("bytes"),
       struct(col("n_chars"), col("lang")).as("meta"))
 
-  /** Batched decode + feature extraction over the binary column. Partition
-    * parallelism is Spark's; each task iterates fixed-size batches so peak
-    * memory is BatchSize x payload regardless of partition size. */
+  /** Decode + feature extraction over the binary column. Streams one
+    * envelope at a time — peak task memory is ONE payload; see
+    * [[sampleFrames]] for why batching belongs at a real vectorized
+    * decoder's call site, not around a per-element stub. */
   def extractFeatures(s: SparkSession, env: DataFrame): Dataset[MediaFeatures] = {
     import s.implicits._
     env.as[MediaEnvelope].mapPartitions { it =>
-      it.grouped(MediaCodec.BatchSize).flatMap { batch =>
-        batch.iterator.map { e =>
-          val (w, h, feats) = MediaCodec.decodeStub(e.bytes)
-          MediaFeatures(e.doc_id, w, h, feats.length,
-            math.sqrt(feats.map(x => x * x).sum))
-        }
+      it.map { e =>
+        val (w, h, feats) = MediaCodec.decodeStub(e.bytes)
+        MediaFeatures(e.doc_id, w, h, feats.length,
+          math.sqrt(feats.map(x => x * x).sum))
       }
     }
   }

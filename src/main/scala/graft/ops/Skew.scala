@@ -8,20 +8,26 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join handles moderate cases at runtime; [[saltedJoin]] is the
   * explicit escape hatch when one join key dominates (the classic hot-user /
   * hot-band problem): the skewed (large) side spreads each key over
-  * `saltFactor` sub-keys deterministically, the small side is replicated
-  * `saltFactor` times — every shuffle partition then holds at most
-  * 1/saltFactor of any hot key. Result is row-identical to the plain join.
+  * `saltFactor` sub-keys round-robin, the small side is replicated
+  * `saltFactor` times — every shuffle partition then holds ~1/saltFactor
+  * of any hot key, including keys whose rows are all identical. Result is
+  * row-identical to the plain join.
   */
 object Skew {
   /** Inner equi-join of `large` (skewed) with `small` on `key`, salted.
-    * Deterministic: the salt is `pmod(hash(all large columns), saltFactor)`
-    * — no RNG, so retries/speculative tasks agree. */
+    * The salt is `monotonically_increasing_id() % saltFactor` — a
+    * round-robin over each partition's rows, which spreads a hot key
+    * even when its rows are fully IDENTICAL (any salt derived from row
+    * content, e.g. `hash(all columns)`, maps duplicate rows to one salt
+    * and the straggler survives). Join output is invariant to salt
+    * values — each large row matches exactly its one replica of the
+    * small side — so task retries re-salting differently cannot change
+    * results, only re-balance them. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
-    val largeCols = large.columns.toIndexedSeq.map(c => col(s"`$c`"))
     val salted = large.withColumn("__salt",
-      pmod(hash(largeCols: _*), lit(saltFactor)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val replicated = small
       .withColumn("__salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
       .withColumnRenamed(key, "__rkey")

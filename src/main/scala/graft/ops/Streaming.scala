@@ -39,7 +39,8 @@ final case class ClosedSession(user_id: Long, start_epoch: Long,
 object Streaming {
   import Tables._
 
-  val SessionGap = "12 hours"
+  val SessionGapHours = 12 // ONE constant drives Spark AND the oracle SQL
+  val SessionGap = s"$SessionGapHours hours"
 
   /** Batch/stream-unified tumbling hourly aggregation — the transform is a
     * function of the input frame, so the same code serves readStream. */
@@ -90,18 +91,28 @@ object Streaming {
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserStats, UserStats](timeoutConf) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0L))
-          var n = prev.n_events
-          var sum = prev.sum_value
-          var last = prev.last_seen_epoch
-          rows.foreach { r =>
-            n += 1; sum += r.value
-            last = math.max(last, r.ts.getTime / 1000)
+          if (state.hasTimedOut) {
+            // idle eviction: REMOVE the state (the whole point of the
+            // timeout) and emit the final stats once. Without this branch
+            // the timeout invocation would re-update + re-arm — a forever
+            // loop of duplicate rows and state that never shrinks.
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, 0L))
+            var n = prev.n_events
+            var sum = prev.sum_value
+            var last = prev.last_seen_epoch
+            rows.foreach { r =>
+              n += 1; sum += r.value
+              last = math.max(last, r.ts.getTime / 1000)
+            }
+            val next = UserStats(uid, n, sum, last)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration) // evict idle users
+            next
           }
-          val next = UserStats(uid, n, sum, last)
-          state.update(next)
-          idleTimeout.foreach(state.setTimeoutDuration) // evict idle users
-          next
       }
   }
 
@@ -337,11 +348,11 @@ object Streaming {
       SELECT wstart, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM expanded GROUP BY wstart, event_type
       ORDER BY wstart, event_type""")),
-    "q37_events_sessions" -> ((q37EventsSessions _, """
+    "q37_events_sessions" -> ((q37EventsSessions _, s"""
       WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR
+                         OR ts - lag(ts) OVER w >= INTERVAL $SessionGapHours HOUR
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)

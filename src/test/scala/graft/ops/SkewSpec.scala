@@ -28,13 +28,26 @@ class SkewSpec extends AnyFunSuite {
   }
 
   test("salting spreads the hot key over multiple sub-keys") {
+    import org.apache.spark.sql.functions._
     val spread = skewed
-      .withColumn("__salt", org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.hash(skewed.columns.toIndexedSeq.map(c =>
-          org.apache.spark.sql.functions.col(c)): _*),
-        org.apache.spark.sql.functions.lit(8)))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
       .filter($"k" === 1L).select("__salt").distinct().count()
     assert(spread > 4, s"hot key landed on only $spread salts")
+  }
+
+  test("fully identical rows still join correctly and spread (the content-hash trap)") {
+    import org.apache.spark.sql.functions._
+    // 1000 byte-identical rows of one hot key: a salt derived from row
+    // content would put them ALL on one salt — the round-robin salt must
+    // both spread them and keep the join row-identical to the plain join
+    val dupes = spark.range(1000).select(lit(1L).as("k"), lit("same").as("payload"))
+    val one = Seq((1L, "dim")).toDF("k", "name")
+    val out = Skew.saltedJoin(dupes, one, "k", saltFactor = 8)
+    assert(out.count() == 1000)
+    val spread = dupes
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(spread == 8, s"identical rows landed on only $spread salts")
   }
 
   test("heavy hitters surfaces the dominant key first") {
