@@ -546,6 +546,32 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cluster-purity audit (q93): how well the learned clusters align with
+    * the corpus's ground-truth labels — the evaluation every clustering
+    * deployment needs before the codebook ships (IVF cells, SemDeDup
+    * groups, topic shards). Per final k-means cluster: size, majority
+    * label, its count, purity as exact integer ppm (`n_maj·1e6 div n` —
+    * no round(double) midpoints), and total within-cluster distortion.
+    * Runs the same driver-side Lloyd's loop as [[q85KMeans]] (bounded
+    * control-plane collects), then ONE label join + two small rollups —
+    * the per-cluster output is K rows at any corpus size. */
+  def q93ClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val asg = q85KMeans(s, d)
+    val lbl = asg.join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+      Seq("vec_id"))
+    val per = lbl.groupBy("cluster", "label").agg(count(lit(1)).as("nl"))
+    val w = Window.partitionBy("cluster").orderBy(desc("nl"), col("label"))
+    val maj = per.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster"), col("label").cast("long").as("maj_label"),
+        col("nl").as("n_maj"))
+    val tot = lbl.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("d2").as("sum_d2"))
+    tot.join(maj, Seq("cluster"))
+      .select(col("cluster"), col("n"), col("maj_label"), col("n_maj"),
+        expr("n_maj * 1000000 div n").as("purity_ppm"), col("sum_d2"))
+      .orderBy("cluster")
+  }
+
   /** Shared oracle CTEs: quantized grid + seed-codebook assignment. */
   private def kmeansSqlPrefix: String = s"""
       WITH q AS (SELECT vec_id,
@@ -564,8 +590,9 @@ object Similarity {
                       row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
                FROM d1) t WHERE rn = 1)"""
 
-  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q85_kmeans" -> ((q85KMeans _, s"""
+  /** Full 2-iteration Lloyd's chain ending in `kfin` (vec_id, c, dd) —
+    * shared by the q85 output and q93's purity rollup. */
+  private def kmeansChainSql: String = s"""
       $kmeansSqlPrefix,
       c1 AS (SELECT a1.c, qe.dim, (sum(qe.v) // count(*))::BIGINT AS cv
              FROM a1 JOIN qe USING (vec_id) GROUP BY 1, 2),
@@ -578,12 +605,33 @@ object Similarity {
       c2 AS (SELECT a2.c, qe.dim, (sum(qe.v) // count(*))::BIGINT AS cv
              FROM a2 JOIN qe USING (vec_id) GROUP BY 1, 2),
       d3 AS (SELECT qe.vec_id, c2.c, sum((qe.v - c2.cv) * (qe.v - c2.cv)) AS dd
-             FROM qe JOIN c2 ON qe.dim = c2.dim GROUP BY 1, 2)
-      SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2 FROM (
+             FROM qe JOIN c2 ON qe.dim = c2.dim GROUP BY 1, 2),
+      kfin AS (SELECT vec_id, c, dd FROM (
         SELECT vec_id, c, dd,
                row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
-        FROM d3) t WHERE rn = 1
+        FROM d3) t WHERE rn = 1)"""
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q85_kmeans" -> ((q85KMeans _, s"""
+      $kmeansChainSql
+      SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2 FROM kfin
       ORDER BY vec_id""")),
+    "q93_cluster_purity" -> ((q93ClusterPurity _, s"""
+      $kmeansChainSql,
+      lbl AS (SELECT k.c, k.dd, e.label FROM kfin k
+              JOIN embeddings e USING (vec_id)),
+      per AS (SELECT c, label, count(*) AS nl FROM lbl GROUP BY 1, 2),
+      maj AS (SELECT c, label AS maj_label, nl AS n_maj FROM (
+                SELECT c, label, nl,
+                       row_number() OVER (PARTITION BY c
+                         ORDER BY nl DESC, label) AS rn
+                FROM per) t WHERE rn = 1),
+      tot AS (SELECT c, count(*) AS n, sum(dd) AS sum_d2 FROM lbl GROUP BY 1)
+      SELECT t.c::BIGINT AS cluster, t.n, m.maj_label::BIGINT AS maj_label,
+             m.n_maj, (m.n_maj * 1000000 // t.n)::BIGINT AS purity_ppm,
+             t.sum_d2::BIGINT AS sum_d2
+      FROM tot t JOIN maj m ON m.c = t.c
+      ORDER BY cluster""")),
     "q86_semdedup" -> ((q86SemDedup _, s"""
       $kmeansSqlPrefix,
       qc AS (SELECT vec_id,

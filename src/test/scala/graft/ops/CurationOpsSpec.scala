@@ -38,6 +38,20 @@ class CurationOpsSpec extends AnyFunSuite {
       s"2 Lloyd's iterations worsened total d2: seed=$seedD2 final=$finalD2")
   }
 
+  test("q93 purity: per-cluster rollup consistent with the assignment") {
+    val asg = Similarity.q85KMeans(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cluster"))
+    val rows = Similarity.q93ClusterPurity(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("cluster")).toSet == asg.keySet)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n == asg(r.getAs[Long]("cluster")).length)
+      val nMaj = r.getAs[Long]("n_maj")
+      assert(nMaj >= 1 && nMaj <= n)
+      assert(r.getAs[Long]("purity_ppm") == nMaj * 1000000L / n)
+    }
+  }
+
   test("q86 semdedup: pairs ordered, in-threshold, within one cluster") {
     val rows = Similarity.q86SemDedup(spark, sf).collect()
     rows.foreach { r =>
