@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, NullType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, NullType}
 
 /** `zorder2(a, b)` -> bigint: the 32-bit Morton (Z-order) key interleaving
   * the low 16 bits of two integer columns — bit i of `a` lands at z-bit 2i,
@@ -73,4 +73,71 @@ object ZOrder2 {
   }
 
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
+/** `dhash64(bytes)` -> bigint: 64-bit difference hash (dHash) of a binary
+  * payload — the classic perceptual fingerprint for image near-dup
+  * detection, computed here over the RAW payload bytes because no image
+  * decoder exists in this container (same honest-stub contract as
+  * [[graft.ops.Multimodal.MediaCodec]]: in production the input is the
+  * decoded + 8x9-downsampled grayscale grid; the hashing, bucketing and
+  * pair machinery downstream are unchanged).
+  *
+  * Semantics: sample 72 bytes at evenly spaced offsets `floor(n*g/72)`
+  * (g = 0..71), view them as an 8-row x 9-column grid, and set bit
+  * `r*8 + c` iff `px(r, c+1) > px(r, c)` — each row contributes 8
+  * gradient-sign bits. Empty payloads hash to 0 (identical-empty is a
+  * legitimate dup signal). Near-identical payloads differ in few bits, so
+  * Hamming distance over the 64-bit key approximates visual similarity;
+  * candidate pairs come from 16-bit-chunk equi-joins exactly like SimHash
+  * (pigeonhole: Hamming <= 3 guarantees one equal chunk of 4).
+  *
+  * One compiled pass per row (72 loads, no allocation) via the shared
+  * static kernel — stays inside WholeStageCodegen like the text hashes. */
+case class DHash64(child: Expression) extends UnaryExpression {
+  override protected def withNewChildInternal(c: Expression): DHash64 =
+    copy(child = c)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"dhash64 requires a binary argument, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dhash64"
+
+  override protected def nullSafeEval(b: Any): Any =
+    java.lang.Long.valueOf(DHash64.hash(b.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.DHash64.hash($b);")
+}
+
+object DHash64 {
+  /** Grid geometry: 8 rows x 9 cols = 72 samples -> 64 gradient bits. */
+  val Samples = 72
+
+  def hash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val g = r * 9 + c
+        // n*g stays well inside Long for any realistic payload size
+        val p1 = bytes(((n.toLong * g) / Samples).toInt) & 0xff
+        val p2 = bytes(((n.toLong * (g + 1)) / Samples).toInt) & 0xff
+        if (p2 > p1) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
 }

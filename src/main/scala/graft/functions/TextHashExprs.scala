@@ -49,6 +49,8 @@ object TextHashExprs {
         BinaryVecExpr.foldableInt(args(1), "rhp_bucket")), "built-in")
     reg.createOrReplaceTempFunction("zorder2",
       (args: Seq[Expression]) => ZOrder2(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("dhash64",
+      (args: Seq[Expression]) => DHash64(args.head), "built-in")
     reg.createOrReplaceTempFunction("ivec_quant",
       (args: Seq[Expression]) => IntVecQuant(args(0),
         BinaryVecExpr.foldableInt(args(1), "ivec_quant"),

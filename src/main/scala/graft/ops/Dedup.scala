@@ -133,8 +133,8 @@ object Dedup {
     * part) once more; at 100 TB that extra full pass costs far more than
     * the window's disk-spilled buffering of the few degenerate buckets the
     * cap exists to drop. */
-  private def capBuckets(df: DataFrame, keys: Seq[String],
-                         maxBucket: Option[Int]): DataFrame =
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String],
+                              maxBucket: Option[Int]): DataFrame =
     maxBucket match {
       case None => df
       case Some(cap) =>
@@ -404,6 +404,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C2j survivor selection — the final dedup DECISION: inside every
+    * near-dup cluster (q70's connected components), keep the single
+    * highest-quality member and drop the rest. Ranking is by
+    * type-token-ratio (q30's quality signal), tie-broken by doc_id, so the
+    * keep/drop list is deterministic and quality-aware — min-doc_id
+    * keepers (q70's `is_keeper`) systematically prefer whichever dup was
+    * crawled first, which at web scale means preferring the mirror over
+    * the origin half the time.
+    *
+    * Shape: the label table is tiny relative to the corpus (only docs in
+    * at least one candidate pair), so the ttr join broadcasts; the
+    * keeper-per-cluster argmax is ONE hash aggregate (`max_by` over a
+    * (ttr, -doc_id) ordering struct — map-side partial, no window sort,
+    * no per-cluster row buffering). Output is one row per multi-doc
+    * cluster: bounded by the duplicate count, not the corpus. */
+  def q94DedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val ttr = documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"),
+        round(expr("size(array_distinct(t))") / size(col("t")), 4).as("ttr"))
+    dupLabels(s, d)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(ttr, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(struct(col("doc_id"), col("ttr")),
+          struct(col("ttr"), col("doc_id") * -1)).as("k"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("k.doc_id").as("keeper_id"), col("k.ttr").as("keeper_ttr"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** C2i cross-source overlap matrix: for every source pair, how many
     * distinct 3-word shingles they share + the shingle-set jaccard — the
     * dedup diagnostic that tells you WHICH crawl shards duplicate each
@@ -548,8 +582,28 @@ object Dedup {
              count(DISTINCT cluster_id)::BIGINT AS n_clusters
       FROM tagged GROUP BY 1 ORDER BY split"""
 
+  private def survivorsOracle: String =
+    s"""
+      $ccCtes,
+      q AS (SELECT doc_id,
+                   round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                         / len(string_split(text, ' ')), 4) AS ttr
+            FROM documents),
+      memb AS (SELECT c.node AS doc_id, c.cluster_id, q.ttr
+               FROM comps c JOIN q ON q.doc_id = c.node),
+      ranked AS (SELECT cluster_id, doc_id, ttr,
+                        row_number() OVER (PARTITION BY cluster_id
+                                           ORDER BY ttr DESC, doc_id) AS rn,
+                        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+                 FROM memb)
+      SELECT cluster_id, cluster_size::BIGINT AS cluster_size,
+             doc_id AS keeper_id, ttr AS keeper_ttr,
+             (cluster_size - 1)::BIGINT AS n_dropped
+      FROM ranked WHERE rn = 1 AND cluster_size >= 2 ORDER BY cluster_id"""
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
+    "q94_dedup_survivors" -> ((q94DedupSurvivors _, survivorsOracle)),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
     "q81_source_overlap" -> ((q81SourceOverlap _, """
       WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),

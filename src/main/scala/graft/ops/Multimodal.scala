@@ -161,7 +161,103 @@ object Multimodal {
         round(col("l2norm"), 4).as("l2norm"))
       .orderBy("doc_id")
 
+  /** Near-dup pairs are "real" below this Hamming distance over the 64-bit
+    * perceptual hash; <= 3 also makes the 4x16-bit chunk join EXACT recall
+    * (pigeonhole: 3 flipped bits cannot touch all 4 chunks). */
+  val MaxPhashHamming = 3
+
+  /** C6 perceptual-hash near-dup audit over the BINARY payload — image
+    * dedup for the multimodal lake: the native codegen'd
+    * [[graft.functions.DHash64]] fingerprints every payload in one
+    * compiled pass (in production the input is the decoded 8x9 grayscale
+    * grid; here the raw bytes, per the honest-stub contract), candidates
+    * come from a 16-bit-chunk self-EQUI-join, and the exact Hamming check
+    * runs in-row — the same scale architecture as SimHash (q24): no
+    * all-pairs comparison ever, quadratic work confined to hash-collision
+    * buckets, AQE skew-join splits hot chunks,
+    * [[Dedup.DefaultMaxBucket]] drops degenerate ones.
+    *
+    * Output is one AUDIT row per document — its perceptual key, how many
+    * other payloads collide with it in at least one chunk, and the closest
+    * Hamming distance among them (pigeonhole: any true near-dup at
+    * Hamming <= [[MaxPhashHamming]] MUST appear as a bucket-mate, so
+    * `is_near_dup` is exact) — rather than the bare pair list, which is
+    * legitimately empty on a corpus with no perceptually-identical
+    * payloads. Like q35/q50, the whole pipeline is hash-checked end-to-end
+    * by a DuckDB oracle that recomputes the dHash via byte arithmetic on
+    * the ASCII corpus (byte == codepoint). */
+  def q96PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val hashed = envelope(s, d)
+      .select(col("doc_id"), expr("dhash64(bytes)").as("ph"))
+    val chunks = hashed.select(col("doc_id"), col("ph"),
+      posexplode(expr(
+        "transform(sequence(0,3), j -> shiftright(ph, 16 * j) & 65535)"))
+        .as(Seq("chunk", "ckey")))
+    val bounded =
+      Dedup.capBuckets(chunks, Seq("chunk", "ckey"), Some(Dedup.DefaultMaxBucket))
+    val l = bounded.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_a"), col("ph").as("ph_a"))
+    val r = bounded.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_b"), col("ph").as("ph_b"))
+    val mates = l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") =!= col("id_b"))
+      // keep each ordered pair only at its SMALLEST shared chunk — decided
+      // in-row from ph_a/ph_b (already carried), no blocking distinct over
+      // the pair stream (same codegen-friendly cascade as simhashPairs)
+      .filter(expr(
+        """chunk = 0 OR (
+          |  (ph_a & 65535) != (ph_b & 65535) AND (
+          |    chunk = 1 OR (
+          |      (shiftright(ph_a, 16) & 65535) != (shiftright(ph_b, 16) & 65535) AND (
+          |        chunk = 2 OR
+          |        (shiftright(ph_a, 32) & 65535) != (shiftright(ph_b, 32) & 65535)))))"""
+          .stripMargin))
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("nm"),
+        min(expr("bit_count(ph_a ^ ph_b)")).cast("long").as("mh"))
+    hashed.join(mates, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ph"),
+        coalesce(col("nm"), lit(0L)).as("n_bucket_mates"),
+        col("mh").as("min_hamming"),
+        coalesce(col("mh") <= MaxPhashHamming, lit(false)).as("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB-side dHash recomputation: bit k (k = r*8+c) compares sampled
+    * bytes at grid cells g=r*9+c and g+1, sample offset floor(n*g/72); the
+    * sign bit (k=63) cannot be built by `1 << 63` under DuckDB's checked
+    * shift, so it ORs the Long.MinValue literal instead. */
+  private def phashOracle: String = s"""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+                 FROM documents),
+      bits AS (
+        SELECT d.doc_id,
+               CASE WHEN ord(substr(d.text,
+                        ((d.n * ((k.k // 8) * 9 + (k.k % 8) + 1)) // ${graft.functions.DHash64.Samples}) + 1, 1))
+                   > ord(substr(d.text,
+                        ((d.n * ((k.k // 8) * 9 + (k.k % 8))) // ${graft.functions.DHash64.Samples}) + 1, 1))
+                    THEN CASE WHEN k.k = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE 1::BIGINT << k.k END
+                    ELSE 0::BIGINT END AS bv
+        FROM d, (SELECT unnest(generate_series(0, 63)) AS k) k),
+      h AS (SELECT doc_id, bit_or(bv) AS ph FROM bits GROUP BY doc_id),
+      chunks AS (SELECT doc_id, ph, j.j AS chunk, (ph >> (16 * j.j)) & 65535 AS ckey
+                 FROM h, (SELECT unnest(generate_series(0, 3)) AS j) j),
+      mates AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.ph, b.ph))::BIGINT AS ham
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id != b.doc_id),
+      agg AS (SELECT id_a, count(*) AS nm, min(ham) AS mh
+              FROM mates GROUP BY id_a)
+      SELECT h.doc_id, h.ph, coalesce(a.nm, 0) AS n_bucket_mates,
+             a.mh AS min_hamming,
+             coalesce(a.mh <= $MaxPhashHamming, false) AS is_near_dup
+      FROM h LEFT JOIN agg a ON a.id_a = h.doc_id
+      ORDER BY h.doc_id"""
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q96_phash_neardup" -> ((q96PhashNearDup _, phashOracle)),
     "q34_multimodal_meta" -> ((q34MultimodalMeta _, """
       SELECT doc_id, 'doc://' || doc_id AS uri, 'text/plain' AS mime,
              octet_length(encode(text))::BIGINT AS nbytes, lang

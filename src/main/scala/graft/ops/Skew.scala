@@ -59,7 +59,98 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** Bloom bit-array size (bits; power of 2) and probe count for
+    * [[bloomPrefilter]]. 2^17 bits = 16 KiB sized for the ~10^4 build keys
+    * of the registered query (~1% false positives at k=5). At production
+    * scale, size m ~ 10-13 bits/key: 10^9 keys -> ~1.5 GB, which is when
+    * you switch to Spark's own AQE runtime bloom
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, capped at 8 MB by
+    * default) or accept a higher FP rate — the prefilter only needs to cut
+    * the shuffle, not be exact, because an exact join always follows. */
+  val BloomBits = 1 << 17
+  val BloomProbes = 5
+
+  /** Append `__h1`/`__h2` double-hashing seeds for `key` (Kirsch-
+    * Mitzenmacher: position_i = h1 + i*(2*h2+1) mod m; the odd multiplier
+    * makes the stride coprime to the power-of-2 m). Both seeds are
+    * mod-reduced BEFORE combining so position arithmetic stays far from
+    * Long overflow (ANSI mode would throw on wrap). */
+  private def withBloomHashes(df: DataFrame, key: String): DataFrame =
+    df.withColumn("__h1", pmod(xxhash64(col(key)), lit(BloomBits.toLong)))
+      .withColumn("__h2", pmod(xxhash64(col(key), lit(1L)), lit(BloomBits.toLong)))
+
+  /** The i-th probed bit position as a column expression. */
+  private def bloomPos(i: Int): org.apache.spark.sql.Column =
+    pmod(col("__h1") + lit(i.toLong) * (lit(2L) * col("__h2") + lit(1L)),
+      lit(BloomBits.toLong))
+
+  /** Build a Bloom filter over `build(key)` as a ONE-ROW DataFrame holding a
+    * word-indexed bitmap map — fully declarative (explode -> groupBy-bit_or
+    * -> map_from_entries), no driver-side collect, no custom aggregate; the
+    * bitmap is bounded by [[BloomBits]]/64 entries regardless of build-side
+    * row count. Then drop every `probe` row whose key cannot be in the
+    * build set. This is semi-join REDUCTION, the scale lever for a
+    * selective dim filter: the probe side is filtered BEFORE its shuffle,
+    * so the join exchanges only (FP-rate-inflated) survivors — at 100 TB
+    * that is the difference between shuffling 100 TB and shuffling the ~1%
+    * that matters. False positives pass through and MUST be removed by the
+    * exact join that follows; false negatives are impossible. */
+  def bloomPrefilter(build: DataFrame, buildKey: String,
+                     probe: DataFrame, probeKey: String): DataFrame = {
+    val bits = withBloomHashes(build, buildKey)
+      .select((0 until BloomProbes).map(i => bloomPos(i).as(s"p$i")): _*)
+      .select(explode(array((0 until BloomProbes).map(i => col(s"p$i")): _*))
+        .as("bit"))
+    val bloom = bits
+      .select(expr("bit div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(bit % 64 as int))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
+        .as("__bloom"))
+    val probed = (0 until BloomProbes)
+      .foldLeft(withBloomHashes(probe, probeKey).crossJoin(broadcast(bloom))) {
+        (df, i) => df.withColumn(s"__p$i", bloomPos(i))
+      }
+    // low bit of the shifted word: `% 2 != 0` is low-bit-set for negative
+    // (sign-extended) shifts too — Java remainder keeps the operand's sign
+    val hit = (0 until BloomProbes).map { i =>
+      s"((shiftright(coalesce(element_at(__bloom, __p$i div 64)," +
+        s" cast(0 as bigint)), cast(__p$i % 64 as int)) % 2) != 0)"
+    }.mkString(" AND ")
+    probed.filter(expr(hit))
+      .drop(col("__bloom")).drop("__h1" +: "__h2" +:
+        (0 until BloomProbes).map(i => s"__p$i"): _*)
+  }
+
+  /** Registered end-to-end check of the Bloom reduction: revenue by month
+    * for lineitems of 1995 urgent orders — the fact scan is pre-filtered by
+    * a Bloom on the ~selective order-key set, then exactly joined (which
+    * removes Bloom false positives), so the DuckDB oracle IS the plain
+    * join: a hash/probe/bitmap bug surfaces as a hash mismatch. */
+  def q95BloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1995)
+      .select("o_orderkey", "o_orderdate")
+    val fact = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    bloomPrefilter(dim, "o_orderkey", fact, "l_orderkey")
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("month")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q95_bloom_semijoin" -> ((q95BloomSemiJoin _, """
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+      GROUP BY 1 ORDER BY month""")),
     "q61_salted_join" -> ((q61SaltedJoin _, """
       WITH hot AS (
         SELECT user_id FROM events GROUP BY user_id

@@ -204,6 +204,47 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  val SourceCap = 20
+
+  /** C5 per-source quota (the "domain cap" of web-corpus curation: no
+    * single domain/crawl-shard may dominate the training mix): keep the
+    * [[SourceCap]] highest-quality docs per source, ranked by type-token
+    * ratio (q30's signal) with doc_id tie-break. Selection reuses the
+    * bounded top-k [[StratSampleAgg]] — per-partition partial top-k means
+    * the shuffle carries at most `cap` rows per (partition, source) and NO
+    * source ever buffers its full document list (the window-rank
+    * alternative sorts every source's docs through one partition — exactly
+    * the skew shape a hot domain at 100 TB breaks). The rank key is the
+    * integer-scaled NEGATED ttr, computed from the already-rounded value
+    * so rank order and the reported ttr cannot disagree; the kept set
+    * (sources x cap rows) then broadcast-joins its ttr back on. */
+  def q97SourceCap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("source"), col("doc_id"),
+        round(expr("size(array_distinct(t))") / size(col("t")), 4).as("ttr"))
+    val ranked = scored.select(col("source"),
+        (lit(10000L) - expr("cast(round(ttr * 10000) as bigint)")).as("nk"),
+        col("doc_id"))
+      .as[(String, Long, Long)]
+    val agg = new StratSampleAgg(SourceCap).toColumn.name("top")
+    val kept = ranked.groupByKey(_._1).agg(agg)
+      .flatMap { case (src, buf) =>
+        buf.items.zipWithIndex.map { case ((_, id), i) =>
+          (src, (i + 1).toLong, id)
+        }
+      }
+      .toDF("source", "rnk", "doc_id")
+    // kept is (sources x cap) rows — THE broadcast side; the corpus-sized
+    // ttr relation streams through a second pruned scan (cheaper than
+    // checkpointing corpus-wide ttr just to avoid re-reading two columns)
+    scored.select(col("doc_id"), col("ttr"))
+      .join(broadcast(kept), "doc_id")
+      .select(col("source"), col("rnk"), col("doc_id"), col("ttr"))
+      .orderBy("source", "rnk")
+  }
+
   val BenchmarkMaxId = 20
 
   /** Benchmark-contamination check: per corpus document, the fraction of
@@ -863,6 +904,19 @@ object TextOps {
              count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
              min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM tagged GROUP BY 1 ORDER BY split""")),
+    "q97_source_cap" -> ((q97SourceCap _, s"""
+      WITH q AS (
+        SELECT source, doc_id,
+               round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                     / len(string_split(text, ' ')), 4) AS ttr
+        FROM documents),
+      r AS (
+        SELECT source, doc_id, ttr,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY ttr DESC, doc_id) AS rnk
+        FROM q)
+      SELECT source, rnk::BIGINT AS rnk, doc_id, ttr
+      FROM r WHERE rnk <= $SourceCap ORDER BY source, rnk""")),
     "q57_stratified_sample" -> ((q57StratifiedSample _, s"""
       SELECT lang, rnk, doc_id FROM (
         SELECT lang, doc_id,

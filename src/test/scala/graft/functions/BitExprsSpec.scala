@@ -37,6 +37,33 @@ class BitExprsSpec extends AnyFunSuite {
     assert(ints.getLong(0) == 7L)
   }
 
+  test("dhash64: gradient bits, empty payload, identical/near payloads") {
+    // constant payload: no ascending gradient anywhere -> hash 0
+    assert(DHash64.hash(Array.fill[Byte](100)(7)) == 0L)
+    assert(DHash64.hash(Array.emptyByteArray) == 0L)
+    // strictly ascending payload: every px(g+1) > px(g) -> all 64 bits set
+    assert(DHash64.hash((0 until 144).map(_.toByte).toArray) == -1L)
+    // identical payloads collide; one flipped region flips few bits
+    val base = (0 until 720).map(i => ((i * 37) % 251).toByte).toArray
+    val near = base.clone(); (0 until 10).foreach(i => near(300 + i) = 0)
+    assert(DHash64.hash(base) == DHash64.hash(base.clone()))
+    val ham = java.lang.Long.bitCount(DHash64.hash(base) ^ DHash64.hash(near))
+    assert(ham <= 4, s"local edit flipped $ham of 64 bits")
+  }
+
+  test("dhash64 codegen path matches the static kernel; null propagates") {
+    graft.functions.TextHashExprs.register(spark)
+    import spark.implicits._
+    val df = Seq("abcdef", "zzzzzz", "a").toDF("s")
+      .selectExpr("encode(s, 'UTF-8') AS b")
+      .selectExpr("b", "dhash64(b) AS h")
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == DHash64.hash(r.getAs[Array[Byte]](0)))
+    }
+    val n = spark.sql("SELECT dhash64(CAST(NULL AS BINARY)) AS h").collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("z-buckets bound BOTH dimensions (the pruning property)") {
     val rows = graft.ops.Relational
       .q79ZorderLocality(spark, "/root/testdata/sf0.001").collect()

@@ -197,4 +197,28 @@ class DedupSpec extends AnyFunSuite {
       assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(11L, 13L))
     }
   }
+
+  test("survivors keep the highest-ttr member of every multi-doc cluster") {
+    val rows = Dedup.q94DedupSurvivors(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the invariant independently: within each cluster, the
+    // keeper's ttr is the cluster max, tie broken by smallest doc_id
+    import org.apache.spark.sql.functions._
+    val ttr = Tables.documents(spark, sf)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"),
+        round(expr("size(array_distinct(t))") / size(col("t")), 4).as("ttr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = Dedup.q70DupClusters(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val ms = members(cid).map(_.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("cluster_size") == ms.length)
+      assert(r.getAs[Long]("n_dropped") == ms.length - 1)
+      val best = ms.map(id => (-ttr(id), id)).min
+      assert(r.getAs[Long]("keeper_id") == best._2)
+      assert(r.getAs[Double]("keeper_ttr") == ttr(best._2))
+    }
+  }
 }

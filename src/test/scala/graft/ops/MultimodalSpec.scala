@@ -36,6 +36,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.extractFeatures(spark, env).count() == n)
   }
 
+  test("phash audit: one row per doc, mate stats consistent, dup flag exact") {
+    val rows = Multimodal.q96PhashNearDup(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length == docs)
+    rows.foreach { r =>
+      val nm = r.getAs[Long]("n_bucket_mates")
+      val mh = Option(r.get(r.fieldIndex("min_hamming"))).map(_.asInstanceOf[Long])
+      assert(nm >= 0)
+      // min_hamming exists iff there is at least one bucket mate
+      assert(mh.isDefined == (nm > 0))
+      // a bucket mate shares a 16-bit chunk, so >= 16 bits already agree
+      mh.foreach(h => assert(h >= 0 && h <= 48))
+      assert(r.getAs[Boolean]("is_near_dup") ==
+        mh.exists(_ <= Multimodal.MaxPhashHamming))
+    }
+  }
+
+  test("phash machinery finds planted perceptual dups (pigeonhole recall)") {
+    import spark.implicits._
+    graft.functions.TextHashExprs.register(spark)
+    // two byte-identical payloads + one locally-edited near copy must land
+    // in the same chunk bucket and flag as near-dups end-to-end
+    val base = (0 until 720).map(i => ((i * 37) % 251).toByte).toArray
+    val near = base.clone(); near(300) = 0; near(301) = 0
+    val far = (0 until 720).map(i => ((i * 91 + 13) % 240).toByte).toArray
+    val hashes = Seq((1L, base), (2L, base.clone()), (3L, near), (4L, far))
+      .toDF("doc_id", "bytes")
+      .selectExpr("doc_id", "dhash64(bytes) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1) == hashes(2))
+    assert(java.lang.Long.bitCount(hashes(1) ^ hashes(3)) <=
+      Multimodal.MaxPhashHamming)
+    assert(java.lang.Long.bitCount(hashes(1) ^ hashes(4)) >
+      Multimodal.MaxPhashHamming)
+  }
+
   test("frame sampling emits k deterministic frames per doc, resized to bound") {
     val frames = Multimodal.q50MultimodalFrames(spark, sf).collect()
     val again = Multimodal.q50MultimodalFrames(spark, sf).collect()

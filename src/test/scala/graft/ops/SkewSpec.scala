@@ -77,4 +77,36 @@ class SkewSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     cat.dropNamespace(ns)
   }
+
+  test("bloom prefilter: no false negatives, real reduction, exact q95") {
+    import org.apache.spark.sql.functions._
+    val build = (1L to 50L).map(i => i * 7).toDF("k")
+    val probe = (1L to 2000L).map(i => (i, s"p$i")).toDF("k", "v")
+    val survived = Skew.bloomPrefilter(build, "k", probe, "k")
+    // every true match survives (false negatives are impossible)
+    val trueKeys = (1L to 50L).map(_ * 7).filter(_ <= 2000L).toSet
+    val survivedKeys = survived.select("k").collect().map(_.getLong(0)).toSet
+    assert(trueKeys.subsetOf(survivedKeys))
+    // the prefilter is a real reduction, not a pass-through: with 2^17
+    // bits over 50 keys the FP rate is tiny, so survivors ~ true matches
+    assert(survivedKeys.size < 200,
+      s"bloom kept ${survivedKeys.size} of 2000 probe rows")
+    // schema is untouched (helper columns dropped)
+    assert(survived.columns.toSeq == Seq("k", "v"))
+    // the registered query equals the plain exact join it accelerates
+    val sf = "/root/testdata/sf0.001"
+    val bloomed = Skew.q95BloomSemiJoin(spark, sf).collect().map(_.toSeq)
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1995)
+      .select("o_orderkey", "o_orderdate")
+    val plain = Tables.lineitem(spark, sf)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("month").collect().map(_.toSeq)
+    assert(bloomed.toSeq == plain.toSeq)
+  }
 }

@@ -312,4 +312,23 @@ class TextOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_kept") == 1L)       // doc 1
     }
   }
+
+  test("source cap keeps at most the cap per source, quality-ordered") {
+    val rows = TextOps.q97SourceCap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rs) =>
+      assert(rs.length <= TextOps.SourceCap)
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      // ranks are 1..n with no gaps, and ttr never increases down the rank
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to rs.length).toSeq)
+      val ttrs = sorted.map(_.getAs[Double]("ttr")).toSeq
+      assert(ttrs.zip(ttrs.tail).forall { case (a, b) => a >= b })
+    }
+    // every source present in the corpus is represented
+    val nSources = graft.ops.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(bySource.size == nSources)
+  }
 }
