@@ -106,6 +106,13 @@ object Skew {
         expr("shiftleft(cast(1 as bigint), cast(bit % 64 as int))").as("b"))
       .groupBy("w").agg(expr("bit_or(b)").as("word"))
       .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
+        .as("bm"))
+      // densify the sparse word map into a fixed-size array ONCE at build
+      // time: `element_at` on a Spark map is a LINEAR scan over its
+      // entries, so probing the map directly costs O(words) per probe —
+      // measured 3.3 s for q95 at sf0.1 vs 0.6 s with the O(1) array index
+      .select(expr(s"transform(sequence(0, ${BloomBits / 64 - 1}), " +
+        "i -> coalesce(element_at(bm, cast(i as bigint)), cast(0 as bigint)))")
         .as("__bloom"))
     val probed = (0 until BloomProbes)
       .foldLeft(withBloomHashes(probe, probeKey).crossJoin(broadcast(bloom))) {
@@ -114,8 +121,8 @@ object Skew {
     // low bit of the shifted word: `% 2 != 0` is low-bit-set for negative
     // (sign-extended) shifts too — Java remainder keeps the operand's sign
     val hit = (0 until BloomProbes).map { i =>
-      s"((shiftright(coalesce(element_at(__bloom, __p$i div 64)," +
-        s" cast(0 as bigint)), cast(__p$i % 64 as int)) % 2) != 0)"
+      s"((shiftright(element_at(__bloom, cast(__p$i div 64 as int) + 1)," +
+        s" cast(__p$i % 64 as int)) % 2) != 0)"
     }.mkString(" AND ")
     probed.filter(expr(hit))
       .drop(col("__bloom")).drop("__h1" +: "__h2" +:
