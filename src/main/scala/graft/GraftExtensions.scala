@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BinaryVecExpr, BpeCount, CharBigrams, DHash64, IntVecDot, IntVecExprs, IntVecNearest, IntVecNorm2, IntVecQuant, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles, ZOrder2}
+import graft.functions.{AnchorFingerprints, BinaryVecExpr, BpeCount, CharBigrams, DHash64, IntVecDot, IntVecExprs, IntVecNearest, IntVecNorm2, IntVecQuant, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles, ZOrder2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RhpBucket(args(0), BinaryVecExpr.foldableInt(args(1), "rhp_bucket"))))
     ext.injectFunction(fn("zorder2", args => ZOrder2(args(0), args(1))))
     ext.injectFunction(fn("dhash64", args => DHash64(args.head)))
+    ext.injectFunction(fn("anchor_fingerprints",
+      args => AnchorFingerprints(args.head)))
     ext.injectFunction(fn("ivec_quant", args => IntVecQuant(args(0),
       BinaryVecExpr.foldableInt(args(1), "ivec_quant"),
       BinaryVecExpr.foldableInt(args(2), "ivec_quant"))))

@@ -51,6 +51,8 @@ object TextHashExprs {
       (args: Seq[Expression]) => ZOrder2(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("dhash64",
       (args: Seq[Expression]) => DHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("anchor_fingerprints",
+      (args: Seq[Expression]) => AnchorFingerprints(args.head), "built-in")
     reg.createOrReplaceTempFunction("ivec_quant",
       (args: Seq[Expression]) => IntVecQuant(args(0),
         BinaryVecExpr.foldableInt(args(1), "ivec_quant"),
@@ -413,4 +415,75 @@ case class RollingFingerprint(child: Expression) extends SingleArgHashExpr {
     }
     java.lang.Long.valueOf(minV)
   }
+}
+
+/** `anchor_fingerprints(text)` -> array<bigint>: the DISTINCT, sorted
+  * hashes of every [[AnchorFingerprints.WindowLen]]-codepoint window whose
+  * hash is divisible by [[AnchorFingerprints.AnchorMod]] — content-defined
+  * anchor selection (the winnowing/MOSS family): whether a window is an
+  * anchor depends only on its CONTENT, so two documents sharing any long
+  * exact character run select the SAME anchors inside it regardless of
+  * where the run sits in either document. Fixed-stride sampling cannot
+  * offer that alignment robustness, and hashing every window without
+  * selection would multiply the downstream join input by AnchorMod.
+  *
+  * One compiled pass per document emitting only the ~1/AnchorMod selected
+  * hashes (in-row dedup, like [[WordShingles]]) — the candidate join never
+  * sees per-window volume. Windows are code points (BMP fast path +
+  * surrogate-aware bounds array, same two-engine contract as
+  * [[RollingFingerprint]]); hash = int(hex15(md5(window))), matching
+  * DuckDB's `('0x'||substr(md5(w),1,15))::BIGINT`. Null when the text is
+  * shorter than one window; an anchor-free long text yields an empty
+  * array (explodes to zero rows). */
+case class AnchorFingerprints(child: Expression) extends SingleArgHashExpr {
+  import AnchorFingerprints._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): AnchorFingerprints =
+    copy(child = c)
+
+  override def compute(s: UTF8String): Any = {
+    val str = s.toString
+    val n = str.length
+    val nCp = str.codePointCount(0, n)
+    if (nCp < WindowLen) return null
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    if (nCp == n) { // BMP fast path: char index == codepoint
+      var i = 0
+      while (i <= n - WindowLen) {
+        val h = TextHashExprs.md5PrefixLong(md, str.substring(i, i + WindowLen), 15)
+        if (h % AnchorMod == 0) seen.add(h)
+        i += 1
+      }
+    } else {
+      val bounds = new Array[Int](nCp + 1)
+      var ci = 0
+      var off = 0
+      while (off < n) { bounds(ci) = off; off = str.offsetByCodePoints(off, 1); ci += 1 }
+      bounds(nCp) = n
+      var i = 0
+      while (i <= nCp - WindowLen) {
+        val h = TextHashExprs.md5PrefixLong(md,
+          str.substring(bounds(i), bounds(i + WindowLen)), 15)
+        if (h % AnchorMod == 0) seen.add(h)
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object AnchorFingerprints {
+  /** 12-codepoint windows, 1-in-16 content-defined selection: a shared run
+    * of L codepoints contains L-11 windows, so runs of ~30+ chars are
+    * overwhelmingly likely to contain an anchor and runs under WindowLen
+    * can never produce one. */
+  val WindowLen = 12
+  val AnchorMod = 16
 }

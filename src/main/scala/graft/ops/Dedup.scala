@@ -438,6 +438,42 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Pairs need at least this many shared content-defined anchors to be
+    * reported. Calibrated on the measured distribution (sf0.01): pairs
+    * sharing common 12-char English phrases ("coincidence floor") cluster
+    * at 2-5 shared anchors and fall off fast; genuinely copied runs sit at
+    * 12+ with a clear gap — 8 splits the modes, reporting the ExactSubstr
+    * signal and not phrase-level noise. Production corpora re-run the same
+    * one-aggregation histogram to re-site the threshold. */
+  val MinSharedAnchors = 8
+
+  /** C2k exact-substring overlap (the ExactSubstr/winnowing family): find
+    * document pairs sharing long VERBATIM character runs — copy-paste,
+    * boilerplate, quotations — which word-shingle MinHash (q23) dilutes
+    * away when the shared run is a small fraction of both documents.
+    * Each doc emits only its content-defined anchor fingerprints (native
+    * [[graft.functions.AnchorFingerprints]]: ~1/16 of 12-char windows,
+    * selected by hash value so shared runs pick identical anchors at ANY
+    * offset in either doc — fixed-stride sampling has no such guarantee);
+    * candidates come from a self-equi-join on the anchor hash. Join input
+    * is ~len/16 rows per doc (in-row deduped), never per-window volume;
+    * a boilerplate anchor shared by b docs fans out b^2 pairs — the same
+    * hot-bucket exposure as every LSH family here, bounded by the SAME
+    * [[DefaultMaxBucket]] cap riding the join's own shuffle. */
+  def q98SubstrOverlap(s: SparkSession, d: String): DataFrame = {
+    val anchors = documents(s, d)
+      .select(col("doc_id"), explode(expr("anchor_fingerprints(text)")).as("fp"))
+    val bounded = capBuckets(anchors, Seq("fp"), Some(DefaultMaxBucket))
+    val a = bounded.select(col("fp"), col("doc_id").as("id_a"))
+    val b = bounded.select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_anchors"))
+      .filter(col("n_shared_anchors") >= MinSharedAnchors)
+      .orderBy("id_a", "id_b")
+  }
+
   /** C2i cross-source overlap matrix: for every source pair, how many
     * distinct 3-word shingles they share + the shingle-set jaccard — the
     * dedup diagnostic that tells you WHICH crawl shards duplicate each
@@ -604,6 +640,20 @@ object Dedup {
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
     "q94_dedup_survivors" -> ((q94DedupSurvivors _, survivorsOracle)),
+    "q98_substr_overlap" -> ((q98SubstrOverlap _, s"""
+      WITH w AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(substr(text, i, ${graft.functions.AnchorFingerprints.WindowLen})), 1, 15))::BIGINT AS fp
+        FROM documents,
+             unnest(generate_series(1, length(text) - ${graft.functions.AnchorFingerprints.WindowLen - 1})) AS r(i)
+        WHERE length(text) >= ${graft.functions.AnchorFingerprints.WindowLen}),
+      anch AS (SELECT doc_id, fp FROM w
+               WHERE fp % ${graft.functions.AnchorFingerprints.AnchorMod} = 0)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_shared_anchors
+      FROM anch a JOIN anch b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= $MinSharedAnchors
+      ORDER BY id_a, id_b""")),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
     "q81_source_overlap" -> ((q81SourceOverlap _, """
       WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),

@@ -146,6 +146,55 @@ class TextOpsSpec extends AnyFunSuite {
     body(dir)
   }
 
+  test("anchor fingerprints: content-defined (offset-invariant), SQL parity") {
+    import spark.implicits._
+    graft.functions.TextHashExprs.register(spark)
+    val run = "the quick brown fox jumps over the lazy dog again and again"
+    // same run embedded at different offsets in different surroundings
+    val doc1 = s"XXXX $run YYYY"
+    val doc2 = s"completely different prefix material $run and a different tail"
+    val rows = Seq(doc1, doc2).toDF("text")
+      .selectExpr("anchor_fingerprints(text) AS a")
+      .collect().map(_.getSeq[Long](0).toSet)
+    val shared = rows(0).intersect(rows(1))
+    assert(shared.nonEmpty,
+      "shared 60-char run selected no common anchors across offsets")
+    // native selection == the SQL contract, per doc
+    val parity = Seq(doc1).toDF("text").selectExpr(
+      "anchor_fingerprints(text) AS n",
+      """array_sort(array_distinct(filter(
+        |  transform(sequence(1, char_length(text) - 11),
+        |    i -> cast(conv(substr(md5(substr(text, i, 12)), 1, 15), 16, 10) as bigint)),
+        |  h -> h % 16 = 0))) AS o""".stripMargin).collect().head
+    assert(parity.getSeq[Long](0) == parity.getSeq[Long](1))
+    // shorter than one window -> null
+    val short = Seq("tiny").toDF("text")
+      .selectExpr("anchor_fingerprints(text) AS a").collect().head
+    assert(short.isNullAt(0))
+  }
+
+  test("substr overlap reports planted verbatim runs, not unrelated docs") {
+    import spark.implicits._
+    val boiler = ("all rights reserved contact support at example dot com " +
+      "this content is syndicated under license agreement number 42 " +
+      "redistribution of this material in any form without prior written " +
+      "consent of the publisher is strictly prohibited and will be " +
+      "prosecuted to the maximum extent permissible under applicable law " +
+      "for terms of service see the website footer section nine")
+    val docs = Seq(
+      (1L, s"first article body $boiler closing words", "en", "s0", 10L),
+      (2L, s"$boiler totally different second article", "en", "s1", 10L),
+      (3L, "unrelated text with no shared runs whatsoever in it at all",
+        "en", "s2", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val pairs = graft.ops.Dedup.q98SubstrOverlap(spark, dir).collect()
+      assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+      assert(pairs.head.getAs[Long]("n_shared_anchors") >=
+        graft.ops.Dedup.MinSharedAnchors)
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
