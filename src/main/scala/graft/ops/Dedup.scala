@@ -447,6 +447,17 @@ object Dedup {
     * one-aggregation histogram to re-site the threshold. */
   val MinSharedAnchors = 8
 
+  /** Stop-anchor cap: an anchor present in more than this many documents is
+    * corpus-level boilerplate (license footers, navigation chrome), not a
+    * pairwise-copy signal — the document-frequency cutoff n-gram dedup
+    * pipelines apply to frequent n-grams. Dropping those buckets is a
+    * semantic choice (mirrored in the oracle) and the scale lever: at
+    * sf0.1 it removes the 95 boilerplate buckets carrying 85% of the pair
+    * volume (3.96M -> 0.55M joined rows) while leaving every true
+    * copied-run pair intact, and it bounds any one anchor's fan-out at
+    * 64^2/2 pairs at ANY corpus size. */
+  val MaxAnchorBucket = 64
+
   /** C2k exact-substring overlap (the ExactSubstr/winnowing family): find
     * document pairs sharing long VERBATIM character runs — copy-paste,
     * boilerplate, quotations — which word-shingle MinHash (q23) dilutes
@@ -457,13 +468,13 @@ object Dedup {
     * offset in either doc — fixed-stride sampling has no such guarantee);
     * candidates come from a self-equi-join on the anchor hash. Join input
     * is ~len/16 rows per doc (in-row deduped), never per-window volume;
-    * a boilerplate anchor shared by b docs fans out b^2 pairs — the same
-    * hot-bucket exposure as every LSH family here, bounded by the SAME
-    * [[DefaultMaxBucket]] cap riding the join's own shuffle. */
+    * a boilerplate anchor shared by b docs fans out b^2 pairs — bounded by
+    * the [[MaxAnchorBucket]] stop-anchor cap riding the join's own
+    * shuffle. */
   def q98SubstrOverlap(s: SparkSession, d: String): DataFrame = {
     val anchors = documents(s, d)
       .select(col("doc_id"), explode(expr("anchor_fingerprints(text)")).as("fp"))
-    val bounded = capBuckets(anchors, Seq("fp"), Some(DefaultMaxBucket))
+    val bounded = capBuckets(anchors, Seq("fp"), Some(MaxAnchorBucket))
     val a = bounded.select(col("fp"), col("doc_id").as("id_a"))
     val b = bounded.select(col("fp"), col("doc_id").as("id_b"))
     a.join(b, "fp")
@@ -648,10 +659,13 @@ object Dedup {
              unnest(generate_series(1, length(text) - ${graft.functions.AnchorFingerprints.WindowLen - 1})) AS r(i)
         WHERE length(text) >= ${graft.functions.AnchorFingerprints.WindowLen}),
       anch AS (SELECT doc_id, fp FROM w
-               WHERE fp % ${graft.functions.AnchorFingerprints.AnchorMod} = 0)
+               WHERE fp % ${graft.functions.AnchorFingerprints.AnchorMod} = 0),
+      keepfp AS (SELECT fp FROM anch GROUP BY fp
+                 HAVING count(*) <= $MaxAnchorBucket),
+      kept AS (SELECT a.doc_id, a.fp FROM anch a JOIN keepfp USING (fp))
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              count(*) AS n_shared_anchors
-      FROM anch a JOIN anch b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= $MinSharedAnchors
       ORDER BY id_a, id_b""")),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),

@@ -157,4 +157,43 @@ class CurationOpsSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected 1 scan, got $scans")
   }
+
+  test("q94 plan: keeper argmax is a hash aggregate, not a window sort") {
+    val plan = Dedup.q94DedupSurvivors(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("max_by"), "keeper selection must use max_by")
+    assert(!plan.contains("Window"),
+      "per-cluster argmax must not buffer clusters through a window")
+  }
+
+  test("q95 plan: bloom prefilter sits under the exact join, no sort-merge") {
+    val plan = Skew.q95BloomSemiJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the probe-side filter (element_at over the bitmap) must be evaluated
+    // before the exact equi-join that removes false positives
+    val filterAt = plan.indexOf("element_at")
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    assert(filterAt >= 0 && joinAt >= 0, plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"),
+      "survivor join should hash/broadcast at this dim size")
+  }
+
+  test("q97 plan: per-source cap uses the bounded typed aggregator") {
+    val plan = TextOps.q97SourceCap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "cap must run through the partial top-k Aggregator")
+    assert(!plan.contains("Window"),
+      "per-source selection must not rank whole sources through a window")
+  }
+
+  test("q96/q98 plans: candidates from equi-joins, never all-pairs") {
+    Seq(Multimodal.q96PhashNearDup(spark, sf),
+        Dedup.q98SubstrOverlap(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        "pair generation must stay an equi-join on the hash bucket")
+    }
+  }
 }
