@@ -31,5 +31,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT size(shingle_minhash('a b c d')) AS n, token_simhash('x y') AS sh").head()
     assert(r.getAs[Int]("n") == graft.ops.Dedup.NumHashes)
     assert(!r.isNullAt(1))
+    val r5 = s.sql("SELECT dhash64(encode('abcdef', 'UTF-8')) AS dh, " +
+      "anchor_fingerprints('some text long enough for a window') AS af").head()
+    assert(r5.getLong(0) ==
+      graft.functions.DHash64.hash("abcdef".getBytes("UTF-8")))
+    assert(!r5.isNullAt(1))
   }
 }
