@@ -144,9 +144,15 @@ object Skew {
     bloomPrefilter(dim, "o_orderkey", fact, "l_orderkey")
       .join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      // exact integer money math (cents x basis points), so the sum is
+      // order-independent: round(sum(double), 2) lands on .xx5 boundaries
+      // where the engines' summation orders diverge (seen at sf0.001);
+      // the decimal(38) accumulator mirrors DuckDB's HUGEINT and cannot
+      // overflow at any corpus size
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        (sum(expr("cast(cast(round(l_extendedprice * 100) as bigint) * " +
+          "(100 - cast(round(l_discount * 100) as bigint)) as decimal(38,0))"))
+          .cast("double") / 10000.0).as("revenue"))
       .orderBy("month")
   }
 
@@ -154,7 +160,9 @@ object Skew {
     "q95_bloom_semijoin" -> ((q95BloomSemiJoin _, """
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
              count(*) AS n_items,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT))::DOUBLE
+               / 10000.0 AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
       GROUP BY 1 ORDER BY month""")),

@@ -104,8 +104,9 @@ class SkewSpec extends AnyFunSuite {
       .join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        (sum(expr("cast(cast(round(l_extendedprice * 100) as bigint) * " +
+          "(100 - cast(round(l_discount * 100) as bigint)) as decimal(38,0))"))
+          .cast("double") / 10000.0).as("revenue"))
       .orderBy("month").collect().map(_.toSeq)
     assert(bloomed.toSeq == plain.toSeq)
   }
