@@ -422,8 +422,7 @@ object Dedup {
   def q94DedupSurvivors(s: SparkSession, d: String): DataFrame = {
     val ttr = documents(s, d)
       .withColumn("t", split(col("text"), " "))
-      .select(col("doc_id"),
-        round(expr("size(array_distinct(t))") / size(col("t")), 4).as("ttr"))
+      .select(col("doc_id"), TextOps.ttrFromTokens(col("t")).as("ttr"))
     dupLabels(s, d)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .join(ttr, "doc_id")
@@ -632,10 +631,7 @@ object Dedup {
   private def survivorsOracle: String =
     s"""
       $ccCtes,
-      q AS (SELECT doc_id,
-                   round(len(list_distinct(string_split(text, ' ')))::DOUBLE
-                         / len(string_split(text, ' ')), 4) AS ttr
-            FROM documents),
+      q AS (SELECT doc_id, ${TextOps.TtrSql} AS ttr FROM documents),
       memb AS (SELECT c.node AS doc_id, c.cluster_id, q.ttr
                FROM comps c JOIN q ON q.doc_id = c.node),
       ranked AS (SELECT cluster_id, doc_id, ttr,

@@ -187,8 +187,15 @@ object Multimodal {
     * by a DuckDB oracle that recomputes the dHash via byte arithmetic on
     * the ASCII corpus (byte == codepoint). */
   def q96PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    // checkpointed: (doc_id, ph) is ~16 B/doc, while re-deriving it for the
+    // trailing left join would re-read and re-hash every payload — at
+    // production scale payloads are large binaries, so the second scan is
+    // the expensive half of the query (the q81 lesson; the self-join sides
+    // below already share one exchange via AQE stage reuse, but the left
+    // join side would not)
     val hashed = envelope(s, d)
       .select(col("doc_id"), expr("dhash64(bytes)").as("ph"))
+      .localCheckpoint(true)
     val chunks = hashed.select(col("doc_id"), col("ph"),
       posexplode(expr(
         "transform(sequence(0,3), j -> shiftright(ph, 16 * j) & 65535)"))

@@ -41,6 +41,18 @@ object TextOps {
       .orderBy(desc("n"), col("token"))
       .limit(30)
 
+  /** THE type-token-ratio quality signal, shared by q30 (quality score),
+    * q94 (dedup survivor ranking) and q97 (source-cap ranking) — one
+    * definition on each engine side, so the three operators and their
+    * oracles cannot drift apart. `t` is the space-split token array. */
+  def ttrFromTokens(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(size(array_distinct(t)) / size(t), 4)
+
+  /** DuckDB-side mirror of [[ttrFromTokens]] over the raw `text` column. */
+  val TtrSql: String =
+    "round(len(list_distinct(string_split(text, ' ')))::DOUBLE" +
+      " / len(string_split(text, ' ')), 4)"
+
   /** C5c per-document quality signals: token count, type-token ratio,
     * stopword ratio, and a boolean quality gate — the classic cheap filters
     * applied before expensive pipeline stages. */
@@ -48,7 +60,7 @@ object TextOps {
     documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), size(col("t")).as("n_tokens"),
-        round(expr("size(array_distinct(t))") / size(col("t")), 4).as("ttr"),
+        ttrFromTokens(col("t")).as("ttr"),
         round(expr(s"size(filter(t, x -> array_contains($stopArr, x)))")
           / size(col("t")), 4).as("stop_ratio"))
       .withColumn("is_quality",
@@ -223,7 +235,7 @@ object TextOps {
     val scored = documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .select(col("source"), col("doc_id"),
-        round(expr("size(array_distinct(t))") / size(col("t")), 4).as("ttr"))
+        ttrFromTokens(col("t")).as("ttr"))
     val ranked = scored.select(col("source"),
         (lit(10000L) - expr("cast(round(ttr * 10000) as bigint)")).as("nk"),
         col("doc_id"))
@@ -906,10 +918,7 @@ object TextOps {
       FROM tagged GROUP BY 1 ORDER BY split""")),
     "q97_source_cap" -> ((q97SourceCap _, s"""
       WITH q AS (
-        SELECT source, doc_id,
-               round(len(list_distinct(string_split(text, ' ')))::DOUBLE
-                     / len(string_split(text, ' ')), 4) AS ttr
-        FROM documents),
+        SELECT source, doc_id, $TtrSql AS ttr FROM documents),
       r AS (
         SELECT source, doc_id, ttr,
                row_number() OVER (PARTITION BY source

@@ -166,15 +166,20 @@ class CurationOpsSpec extends AnyFunSuite {
       "per-cluster argmax must not buffer clusters through a window")
   }
 
-  test("q95 plan: bloom prefilter sits under the exact join, no sort-merge") {
-    val plan = Skew.q95BloomSemiJoin(spark, sf)
-      .queryExecution.executedPlan.toString
-    // the probe-side filter (element_at over the bitmap) must be evaluated
-    // before the exact equi-join that removes false positives
-    val filterAt = plan.indexOf("element_at")
-    val joinAt = plan.indexOf("BroadcastHashJoin")
-    assert(filterAt >= 0 && joinAt >= 0, plan.take(1500))
-    assert(!plan.contains("SortMergeJoin"),
+  test("q95 plan: bloom prefilter sits UNDER the exact join, no sort-merge") {
+    val qe = Skew.q95BloomSemiJoin(spark, sf).queryExecution
+    // structural check on the optimized plan: the equi-join on orderkey
+    // must have the bitmap probe (element_at filter) inside its left
+    // (fact) subtree — i.e. the prefilter cuts the scan BEFORE the join,
+    // which is the whole point of the reduction
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val exact = joins.filter(_.condition.exists(_.toString.contains("orderkey")))
+    assert(exact.nonEmpty, qe.optimizedPlan.toString.take(1500))
+    assert(exact.forall(_.left.toString.contains("element_at")),
+      "bitmap probe must filter the fact side below the exact join")
+    assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
       "survivor join should hash/broadcast at this dim size")
   }
 

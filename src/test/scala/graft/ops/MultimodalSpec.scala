@@ -57,19 +57,27 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     graft.functions.TextHashExprs.register(spark)
     // two byte-identical payloads + one locally-edited near copy must land
-    // in the same chunk bucket and flag as near-dups end-to-end
-    val base = (0 until 720).map(i => ((i * 37) % 251).toByte).toArray
-    val near = base.clone(); near(300) = 0; near(301) = 0
-    val far = (0 until 720).map(i => ((i * 91 + 13) % 240).toByte).toArray
-    val hashes = Seq((1L, base), (2L, base.clone()), (3L, near), (4L, far))
-      .toDF("doc_id", "bytes")
-      .selectExpr("doc_id", "dhash64(bytes) AS h")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hashes(1) == hashes(2))
-    assert(java.lang.Long.bitCount(hashes(1) ^ hashes(3)) <=
-      Multimodal.MaxPhashHamming)
-    assert(java.lang.Long.bitCount(hashes(1) ^ hashes(4)) >
-      Multimodal.MaxPhashHamming)
+    // in the same chunk bucket and flag as near-dups END-TO-END through
+    // q96's chunk join, dedup cascade and flag logic; an unrelated payload
+    // must not. Payloads are crafted as ASCII text (the envelope encodes
+    // text as UTF-8, so text bytes ARE the payload).
+    val mk = (f: Int => Int) =>
+      new String((0 until 720).map(i => (32 + f(i) % 95).toChar).toArray)
+    val base = mk(i => i * 37)
+    val near = { val a = base.toCharArray; a(300) = ' '; a(310) = ' '; new String(a) }
+    val far = mk(i => i * 91 + 13)
+    val docs = Seq(
+      (1L, base, "en", "s0", 720L), (2L, base, "en", "s0", 720L),
+      (3L, near, "en", "s1", 720L), (4L, far, "en", "s2", 720L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("phash").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.q96PhashNearDup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_dup"))
+      .toMap
+    assert(out(1L) && out(2L), "byte-identical payloads must flag")
+    assert(out(3L), "locally-edited near copy must flag (pigeonhole recall)")
+    assert(!out(4L), "unrelated payload must not flag")
   }
 
   test("frame sampling emits k deterministic frames per doc, resized to bound") {
