@@ -377,7 +377,10 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
-    tf.join(broadcast(dfreq), "term")
+    // dfreq is VOCABULARY-sized — no broadcast hint: AQE broadcasts it at
+    // small corpora (runtime stats) and falls back to a term-keyed shuffle
+    // join at web scale, where a 1e8-term df table cannot ship to executors
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -516,7 +519,10 @@ object TextOps {
     val total = tokTotals.agg(sum("n_t").as("n"))
     bySrc
       .join(broadcast(srcTotals), "source")
-      .join(broadcast(tokTotals), "tok")
+      // tokTotals is VOCABULARY-sized (srcTotals is #sources — that one
+      // stays hinted): leave the join strategy to AQE so it broadcasts at
+      // test scale but shuffles on `tok` at a web-scale vocabulary
+      .join(tokTotals, "tok")
       .crossJoin(broadcast(total))
       .withColumn("contrib",
         expr("(cast(n_st as double) / n_s) * " +
@@ -558,8 +564,12 @@ object TextOps {
       .localCheckpoint(true)
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     val c1 = c12.groupBy("w1").agg(sum("n12").as("n1"))
-    bg.join(broadcast(c12), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    // c12 is BIGRAM-vocabulary-sized (vocab², the largest relation after the
+    // corpus itself) and c1 is vocabulary-sized — no broadcast hints: AQE
+    // broadcasts both at test scale; at web scale the joins co-partition on
+    // (w1, w2)/(w1), which is the only plan that fits executor memory
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .withColumn("nll", -log(col("n12") / col("n1")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -682,7 +692,144 @@ object TextOps {
       .orderBy("lang", "doc_id")
   }
 
+  /** Misra–Gries summary capacity. With per-partition capacity `c`, any
+    * token whose GLOBAL count exceeds N/c survives in at least one
+    * partition's summary (if sum-over-partitions count > N/c = sum(n_p)/c,
+    * some partition has count_p > n_p/c, which MG guarantees to keep), so
+    * the candidate set is a superset of every token with `n * c > N` and
+    * the exact recount makes the final answer exact — not approximate. */
+  val HhCapacity = 400
+
+  /** C5 heavy hitters under bounded memory: per-partition Misra–Gries
+    * candidate generation (one narrow pass, no shuffle, ≤ [[HhCapacity]]
+    * live counters per task), then an exact recount restricted to the
+    * candidate set. Emits every token with `n * HhCapacity > N` exactly.
+    *
+    * Scale shape: a plain `groupBy(token)` at 100 TB shuffles the whole
+    * token stream keyed by a possibly-billion-term vocabulary; here pass 1
+    * reduces the stream to ≤ capacity×partitions candidate tokens
+    * driver-free, and pass 2's shuffle carries only candidate-token rows
+    * (map-side partial agg collapses them before the exchange). The
+    * candidate set is broadcast, never collected through the driver plan. */
+  def q99HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val candidates =
+      toks.as[String].mapPartitions(mgSummary(_, HhCapacity))
+        .toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("n_tok"))
+    toks.join(broadcast(candidates), "token")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * HhCapacity > col("n_tok"))
+      .select(col("token"), col("n"))
+      .orderBy(desc("n"), col("token"))
+  }
+
+  /** One Misra–Gries pass over a partition: at most `cap` live counters; a
+    * new item arriving at a full summary decrements every counter by one
+    * and evicts zeros (the classic frequent-items sketch, Misra & Gries
+    * 1982). Returns the surviving keys — counts are NOT emitted because MG
+    * counts undercount; the exact recount in [[q99HeavyHitters]] supplies
+    * the real values. */
+  private[ops] def mgSummary(it: Iterator[String], cap: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counts.get(t) match {
+        case Some(n)                   => counts.update(t, n + 1)
+        case None if counts.size < cap => counts.update(t, 1L)
+        case None =>
+          counts.mapValuesInPlace((_, v) => v - 1)
+          counts.filterInPlace((_, v) => v > 0)
+      }
+    }
+    counts.keysIterator
+  }
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+  /** Fixed retrieval query for the registered q100 run. */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "query")
+
+  /** C5 BM25 retrieval: Robertson/Okapi scoring of every document against a
+    * fixed term set, top-[[Bm25TopK]] by score. Complements q72's TF-IDF
+    * (corpus feature extraction) with the query-time ranking function.
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene flavor, always ≥ 0).
+    *
+    * Scale shape: the token stream is filtered to query terms BEFORE the
+    * (doc, term) aggregation, so the shuffle carries only matching
+    * postings; df/N/avgdl are tiny aggregates broadcast to the scoring
+    * join. Ranking sorts on the 4-dp-rounded score with doc_id tiebreak so
+    * the top-k frontier is stable across engines and runs. */
+  def q100Bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        size(filter(col("t"), x => x =!= "")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isInCollection(Bm25Terms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf
+      .join(broadcast(dfreq), "term")
+      .join(docs.select("doc_id", "dl"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("w"))
+    val scored = w.groupBy("doc_id").agg(round(sum("w"), 4).as("bm25"))
+    // Top-k first (distributed TakeOrdered — no global sort materializes),
+    // THEN rank: the no-partition window only ever sees the K-row result.
+    scored.orderBy(desc("bm25"), col("doc_id")).limit(Bm25TopK)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(desc("bm25"), col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("bm25"))
+      .orderBy("rnk")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q99_heavy_hitters" -> ((q99HeavyHitters _, s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      t2 AS (SELECT token FROM tok WHERE token <> ''),
+      tot AS (SELECT count(*)::BIGINT AS n_tok FROM t2),
+      c AS (SELECT token, count(*)::BIGINT AS n FROM t2 GROUP BY token)
+      SELECT c.token, c.n FROM c CROSS JOIN tot
+      WHERE c.n * $HhCapacity > tot.n_tok
+      ORDER BY c.n DESC, c.token""")),
+    "q100_bm25" -> ((q100Bm25 _, s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                        len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))::BIGINT AS dl
+                 FROM documents),
+      stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+               SELECT doc_id, unnest(t) AS term FROM d) u
+             WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+             GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      w AS (SELECT tf.doc_id,
+                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                     * (tf.tf * ${Bm25K1 + 1}) /
+                     (tf.tf + $Bm25K1 *
+                       (1.0 - $Bm25B + $Bm25B * d2.dl / s.avgdl)) AS w
+            FROM tf JOIN dfreq f USING (term) JOIN d d2 USING (doc_id)
+            CROSS JOIN stats s),
+      sc AS (SELECT doc_id, round(sum(w), 4) AS bm25 FROM w GROUP BY doc_id),
+      r AS (SELECT doc_id, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM sc)
+      SELECT rnk::BIGINT AS rnk, doc_id, bm25 FROM r WHERE rnk <= $Bm25TopK
+      ORDER BY rnk""")),
     "q87_doc_chunks" -> ((q87DocChunks _, s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       ch AS (SELECT doc_id, t,

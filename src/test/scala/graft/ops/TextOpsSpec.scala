@@ -325,8 +325,11 @@ class TextOpsSpec extends AnyFunSuite {
     val p72 = TextOps.q72TfIdf(spark, sf).queryExecution.executedPlan.toString
     assert(p72.contains("WindowGroupLimit"), p72.take(1500))
     assert(p72.contains("BroadcastHashJoin"), p72.take(1500))
-    // q76/q78/q83: every join side that is aggregate-sized must broadcast;
-    // nothing may fall back to a cartesian product
+    // q76/q78/q83: at this scale the planner must still pick broadcast for
+    // the aggregate-sized sides FROM STATS ALONE — the vocabulary-sized
+    // relations (tokTotals, c12, c1, dfreq) carry no broadcast hint so they
+    // can degrade to shuffle joins at a web-scale vocabulary; nothing may
+    // fall back to a cartesian product
     Seq(
       TextOps.q76SourceMix(spark, sf),
       TextOps.q78SourceDrift(spark, sf),
@@ -379,5 +382,50 @@ class TextOpsSpec extends AnyFunSuite {
     val nSources = graft.ops.Tables.documents(spark, sf)
       .select("source").distinct().count()
     assert(bySource.size == nSources)
+  }
+
+  test("Misra-Gries summary is bounded and keeps guaranteed-frequent items") {
+    // 60×"a" in a 100-item stream with cap 4: a's count (60) > 100/4, so
+    // "a" MUST survive; the summary never holds more than cap keys.
+    val stream = Seq.fill(60)("a") ++ (1 to 40).map(i => s"rare$i")
+    val kept = TextOps.mgSummary(stream.iterator, cap = 4).toSet
+    assert(kept.contains("a"))
+    assert(kept.size <= 4)
+    // order-independence of the guarantee: reversed stream keeps "a" too
+    assert(TextOps.mgSummary(stream.reverse.iterator, cap = 4)
+      .toSet.contains("a"))
+  }
+
+  test("heavy hitters equals the exact filtered token count") {
+    import org.apache.spark.sql.functions._
+    val got = TextOps.q99HeavyHitters(spark, sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n"))).toSeq
+    val toks = graft.ops.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val n = toks.count()
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("count")))
+      .filter { case (_, c) => c * TextOps.HhCapacity > n }
+      .sortBy { case (t, c) => (-c, t) }.toSeq
+    assert(got == exact)
+    assert(got.nonEmpty)
+  }
+
+  test("bm25 ranks are contiguous, scores non-increasing and non-negative") {
+    val rows = TextOps.q100Bm25(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.Bm25TopK)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to rows.length).toSeq)
+    val scores = rows.map(_.getAs[Double]("bm25")).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ >= 0.0))
+  }
+
+  test("bm25 plan broadcasts the tiny stats sides; no global corpus sort") {
+    val qe = TextOps.q100Bm25(spark, sf).queryExecution
+    val physical = qe.executedPlan.toString
+    assert(physical.contains("BroadcastExchange"), physical.take(2000))
+    // the top-k runs as TakeOrderedAndProject, not a full Sort + window
+    assert(physical.contains("TakeOrderedAndProject"), physical.take(2000))
   }
 }

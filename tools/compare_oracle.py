@@ -5,7 +5,7 @@ and compare (columns sorted by name, rows sorted, exact values).
 
 Usage: python3 tools/compare_oracle.py [sfDir] [outDir] [--skip-verify]
 """
-import json, subprocess, sys
+import json, os, subprocess, sys
 
 import duckdb
 import pandas as pd
@@ -20,9 +20,11 @@ def run_verify():
     subprocess.run(
         ["spark-submit", "--driver-memory", "8g",
          "--class", "graft.Verify",
-         "target/scala-2.13/classes"],
+         "target/scala-2.13/classes", SF_DIR, OUT_DIR],
         env={"PATH": "/usr/bin:/bin:/opt/spark/bin",
-             "SPARK_GRAFT_CPUS": "8", "JAVA_HOME": "/usr/lib/jvm/default-java"},
+             "SPARK_GRAFT_CPUS": "8",
+             "JAVA_HOME": os.environ.get(
+                 "JAVA_HOME", "/usr/lib/jvm/java-17-openjdk-amd64")},
         check=False)
 
 
