@@ -160,6 +160,40 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** A pair is a containment dup when either doc's shingle set is ≥ 90%
+    * inside the other — the "small doc embedded in a big doc" case. */
+  val ContainDup = 0.9
+
+  /** C2 containment near-dup: ASYMMETRIC overlap |A∩B|/|A| (and /|B|) on
+    * the LSH candidate pairs, flagging pairs where one side is essentially
+    * a subset of the other. Jaccard (q23) misses exactly this case: a
+    * 100-shingle doc fully contained in a 10000-shingle doc has jaccard
+    * ≈ 0.01 but containment 1.0 — the quote/boilerplate/concatenation
+    * duplication mode a web-scale curation pipeline must catch separately.
+    *
+    * Same scale shape as q23: candidates come from the banded-LSH
+    * self-equi-join (never all-pairs), shingle arrays join in only for the
+    * tiny surviving pair set. NOTE the recall caveat inherited from
+    * MinHash: LSH banding targets high-JACCARD pairs, so an extreme
+    * containment pair with low jaccard may not surface as a candidate —
+    * at production scale swap the candidate source for a suffix/anchor
+    * index (q98's anchor fingerprints) when subset recall must be total. */
+  def q101Containment(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    minhashCandidates(s, d, Some(DefaultMaxBucket))
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(expr("size(array_intersect(sh_a, sh_b))") / expr("size(sh_a)"),
+          4).as("cont_a"),
+        round(expr("size(array_intersect(sh_a, sh_b))") / expr("size(sh_b)"),
+          4).as("cont_b"))
+      .withColumn("is_contained",
+        col("cont_a") >= ContainDup || col("cont_b") >= ContainDup)
+      .orderBy("id_a", "id_b")
+  }
+
   /** 60-bit simhash per doc via the native [[graft.functions.TokenSimHash]]
     * expression — one compiled pass per document (identical bit-majority
     * math over distinct-token md5 hashes), no explode/aggregate at all. */
@@ -571,6 +605,28 @@ object Dedup {
       $jaccardCtes
       SELECT id_a, id_b, jaccard FROM jac ORDER BY 1, 2"""
 
+  private def containmentOracle: String =
+    s"""
+      $minhashCandCtes,
+      inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS ninter
+        FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                    JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        GROUP BY c.id_a, c.id_b
+      ),
+      cont AS (
+        SELECT c.id_a, c.id_b,
+               round(coalesce(i.ninter, 0)::DOUBLE / sa.n_sh, 4) AS cont_a,
+               round(coalesce(i.ninter, 0)::DOUBLE / sb.n_sh, 4) AS cont_b
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN shs sa ON sa.doc_id = c.id_a
+        JOIN shs sb ON sb.doc_id = c.id_b
+      )
+      SELECT id_a, id_b, cont_a, cont_b,
+             (cont_a >= $ContainDup OR cont_b >= $ContainDup) AS is_contained
+      FROM cont ORDER BY 1, 2"""
+
   private def multiSignalOracle: String =
     s"""
       $jaccardCtes,
@@ -701,6 +757,7 @@ object Dedup {
              min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_id""")),
     "q23_dedup_minhash" -> ((q23DedupMinhash _, minhashOracle)),
+    "q101_containment" -> ((q101Containment _, containmentOracle)),
     "q60_dedup_multisignal" -> ((q60DedupMultiSignal _, multiSignalOracle)),
     "q24_dedup_simhash" -> ((q24DedupSimhash _, """
       WITH tok AS (

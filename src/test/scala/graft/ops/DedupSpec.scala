@@ -221,4 +221,24 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getAs[Double]("keeper_ttr") == ttr(best._2))
     }
   }
+
+  test("containment is asymmetric, bounded, and at least as large as jaccard") {
+    val cont = Dedup.q101Containment(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"),
+          r.getAs[Boolean]("is_contained")))).toMap
+    assert(cont.nonEmpty)
+    val jac = Dedup.q23DedupMinhash(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    // identical candidate pairs (both consume minhashCandidates)
+    assert(cont.keySet == jac.keySet)
+    cont.foreach { case (pair, (ca, cb, flag)) =>
+      assert(ca >= 0 && ca <= 1.0 && cb >= 0 && cb <= 1.0)
+      // |A∩B|/|A| >= |A∩B|/|A∪B| always (union is the bigger denominator);
+      // rounded independently at 4 dp, so allow that rounding slack
+      assert(ca >= jac(pair) - 0.0001 && cb >= jac(pair) - 0.0001)
+      assert(flag == (ca >= Dedup.ContainDup || cb >= Dedup.ContainDup))
+    }
+  }
 }
