@@ -145,20 +145,27 @@ object Dedup {
           .drop("__n")
     }
 
-  /** C2 near-dup via MinHash + banded LSH, with exact shingle-set Jaccard on
-    * the (tiny) candidate set. Output: candidate pairs + jaccard. */
-  def q23DedupMinhash(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs joined with both docs' shingle arrays — the shared
+    * scaffold of every exact-overlap scorer (q23 jaccard, q101 containment):
+    * ONE definition of candidate generation + shingle hookup, so the two
+    * operators cannot diverge on bucket caps or join shape. */
+  private[ops] def candidatesWithShingles(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     minhashCandidates(s, d, Some(DefaultMaxBucket))
       .join(a, "id_a").join(b, "id_b")
+  }
+
+  /** C2 near-dup via MinHash + banded LSH, with exact shingle-set Jaccard on
+    * the (tiny) candidate set. Output: candidate pairs + jaccard. */
+  def q23DedupMinhash(s: SparkSession, d: String): DataFrame =
+    candidatesWithShingles(s, d)
       .select(col("id_a"), col("id_b"),
         round(expr("size(array_intersect(sh_a, sh_b))") /
           (expr("size(sh_a) + size(sh_b)") - expr("size(array_intersect(sh_a, sh_b))")),
           4).as("jaccard"))
       .orderBy("id_a", "id_b")
-  }
 
   /** A pair is a containment dup when either doc's shingle set is ≥ 90%
     * inside the other — the "small doc embedded in a big doc" case. */
@@ -178,12 +185,8 @@ object Dedup {
     * containment pair with low jaccard may not surface as a candidate —
     * at production scale swap the candidate source for a suffix/anchor
     * index (q98's anchor fingerprints) when subset recall must be total. */
-  def q101Containment(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    minhashCandidates(s, d, Some(DefaultMaxBucket))
-      .join(a, "id_a").join(b, "id_b")
+  def q101Containment(s: SparkSession, d: String): DataFrame =
+    candidatesWithShingles(s, d)
       .select(col("id_a"), col("id_b"),
         round(expr("size(array_intersect(sh_a, sh_b))") / expr("size(sh_a)"),
           4).as("cont_a"),
@@ -192,7 +195,6 @@ object Dedup {
       .withColumn("is_contained",
         col("cont_a") >= ContainDup || col("cont_b") >= ContainDup)
       .orderBy("id_a", "id_b")
-  }
 
   /** 60-bit simhash per doc via the native [[graft.functions.TokenSimHash]]
     * expression — one compiled pass per document (identical bit-majority
@@ -579,17 +581,23 @@ object Dedup {
       )"""
   }
 
+  /** Exact pairwise shingle-intersection CTE over the candidate pairs —
+    * shared by the jaccard (q23/q60) and containment (q101) oracles so the
+    * overlap definition exists once on the oracle side too. */
+  private def interCte: String =
+    s"""inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS ninter
+        FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                    JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        GROUP BY c.id_a, c.id_b
+      )"""
+
   /** `jaccardCtes` extends the candidate chain with the exact shingle-set
     * jaccard per pair (CTE `jac`) — shared by q23 and q60. */
   private def jaccardCtes: String =
     s"""
       $minhashCandCtes,
-      inter AS (
-        SELECT c.id_a, c.id_b, count(*) AS ninter
-        FROM cand c JOIN sh x ON x.doc_id = c.id_a
-                    JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-        GROUP BY c.id_a, c.id_b
-      ),
+      $interCte,
       jac AS (
         SELECT c.id_a, c.id_b,
                round(coalesce(i.ninter, 0)::DOUBLE /
@@ -608,12 +616,7 @@ object Dedup {
   private def containmentOracle: String =
     s"""
       $minhashCandCtes,
-      inter AS (
-        SELECT c.id_a, c.id_b, count(*) AS ninter
-        FROM cand c JOIN sh x ON x.doc_id = c.id_a
-                    JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-        GROUP BY c.id_a, c.id_b
-      ),
+      $interCte,
       cont AS (
         SELECT c.id_a, c.id_b,
                round(coalesce(i.ninter, 0)::DOUBLE / sa.n_sh, 4) AS cont_a,

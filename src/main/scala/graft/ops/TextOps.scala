@@ -702,24 +702,34 @@ object TextOps {
 
   /** C5 heavy hitters under bounded memory: per-partition Misra–Gries
     * candidate generation (one narrow pass, no shuffle, ≤ [[HhCapacity]]
-    * live counters per task), then an exact recount restricted to the
-    * candidate set. Emits every token with `n * HhCapacity > N` exactly.
+    * live counters per task, which ALSO emits its partition's token count
+    * so the global N needs no extra scan), then an exact recount restricted
+    * to the candidate set. Emits every token with `n * HhCapacity > N`
+    * exactly.
     *
-    * Scale shape: a plain `groupBy(token)` at 100 TB shuffles the whole
-    * token stream keyed by a possibly-billion-term vocabulary; here pass 1
-    * reduces the stream to ≤ capacity×partitions candidate tokens
-    * driver-free, and pass 2's shuffle carries only candidate-token rows
-    * (map-side partial agg collapses them before the exchange). The
-    * candidate set is broadcast, never collected through the driver plan. */
+    * Scale shape — genuinely TWO corpus passes: a plain `groupBy(token)`
+    * at 100 TB shuffles the whole token stream keyed by a
+    * possibly-billion-term vocabulary; here pass 1 reduces the stream to
+    * ≤ capacity×partitions candidate tokens plus one count row per
+    * partition (the bounded summary is locally checkpointed so candidates
+    * and N read it without recomputing the pass), and pass 2's shuffle
+    * carries only candidate-token rows (map-side partial agg collapses
+    * them before the exchange). The candidate set is broadcast, never
+    * collected through the driver plan. */
   def q99HeavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val candidates =
-      toks.as[String].mapPartitions(mgSummary(_, HhCapacity))
-        .toDF("token").distinct()
-    val total = toks.agg(count(lit(1)).as("n_tok"))
+    // bounded: ≤ (HhCapacity + 1) rows per partition
+    val summary = toks.as[String]
+      .mapPartitions(mgSummaryAndCount(_, HhCapacity))
+      .toDF("token", "cnt")
+      .localCheckpoint(true)
+    val candidates = summary.filter(col("token") =!= "")
+      .select("token").distinct()
+    val total = summary.filter(col("token") === "")
+      .agg(sum("cnt").as("n_tok"))
     toks.join(broadcast(candidates), "token")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
@@ -731,12 +741,17 @@ object TextOps {
   /** One Misra–Gries pass over a partition: at most `cap` live counters; a
     * new item arriving at a full summary decrements every counter by one
     * and evicts zeros (the classic frequent-items sketch, Misra & Gries
-    * 1982). Returns the surviving keys — counts are NOT emitted because MG
-    * counts undercount; the exact recount in [[q99HeavyHitters]] supplies
-    * the real values. */
-  private[ops] def mgSummary(it: Iterator[String], cap: Int): Iterator[String] = {
+    * 1982). Emits the surviving keys as `(token, 0)` rows plus one
+    * `("", n_partition_tokens)` sentinel — the empty token cannot collide
+    * because the caller filters empty tokens out upstream. MG counts are
+    * NOT emitted (they undercount); the exact recount in
+    * [[q99HeavyHitters]] supplies the real values. */
+  private[ops] def mgSummaryAndCount(it: Iterator[String],
+                                     cap: Int): Iterator[(String, Long)] = {
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    var seen = 0L
     it.foreach { t =>
+      seen += 1
       counts.get(t) match {
         case Some(n)                   => counts.update(t, n + 1)
         case None if counts.size < cap => counts.update(t, 1L)
@@ -745,7 +760,7 @@ object TextOps {
           counts.filterInPlace((_, v) => v > 0)
       }
     }
-    counts.keysIterator
+    Iterator(("", seen)) ++ counts.keysIterator.map((_, 0L))
   }
 
   val Bm25K1 = 1.2
@@ -761,23 +776,31 @@ object TextOps {
     *
     * Scale shape: the token stream is filtered to query terms BEFORE the
     * (doc, term) aggregation, so the shuffle carries only matching
-    * postings; df/N/avgdl are tiny aggregates broadcast to the scoring
-    * join. Ranking sorts on the 4-dp-rounded score with doc_id tiebreak so
-    * the top-k frontier is stable across engines and runs. */
+    * postings; the narrow (doc_id, dl) projection is checkpointed once
+    * (16 B/doc) and feeds both the corpus stats and the scoring join, so
+    * the corpus tokenizes exactly twice (dl pass + postings pass);
+    * df/N/avgdl are tiny aggregates broadcast to the scoring join. The
+    * per-doc score folds the per-term weights in SORTED order (the
+    * q78/q83 bit-stability convention — a 2-3 element double sum is
+    * order-dependent in the last ulp) and ranking sorts on the
+    * 4-dp-rounded score with doc_id tiebreak, so the top-k frontier is
+    * stable across engines and runs. */
   def q100Bm25(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val toks = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("t"),
+    val dls = toks
+      .select(col("doc_id"),
         size(filter(col("t"), x => x =!= "")).cast("long").as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val tf = docs
+      .localCheckpoint(true)
+    val stats = dls.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks
       .select(col("doc_id"), explode(col("t")).as("term"))
       .filter(col("term").isInCollection(Bm25Terms))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = tf
       .join(broadcast(dfreq), "term")
-      .join(docs.select("doc_id", "dl"), "doc_id")
+      .join(dls, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
@@ -786,7 +809,10 @@ object TextOps {
           (col("tf") + lit(Bm25K1) *
             (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
           .as("w"))
-    val scored = w.groupBy("doc_id").agg(round(sum("w"), 4).as("bm25"))
+    val scored = w.groupBy("doc_id")
+      .agg(round(expr(
+        "aggregate(sort_array(collect_list(w)), 0D, (a, v) -> a + v)"), 4)
+        .as("bm25"))
     // Top-k first (distributed TakeOrdered — no global sort materializes),
     // THEN rank: the no-partition window only ever sees the K-row result.
     scored.orderBy(desc("bm25"), col("doc_id")).limit(Bm25TopK)
@@ -824,7 +850,8 @@ object TextOps {
                        (1.0 - $Bm25B + $Bm25B * d2.dl / s.avgdl)) AS w
             FROM tf JOIN dfreq f USING (term) JOIN d d2 USING (doc_id)
             CROSS JOIN stats s),
-      sc AS (SELECT doc_id, round(sum(w), 4) AS bm25 FROM w GROUP BY doc_id),
+      sc AS (SELECT doc_id, round(list_sum(list_sort(list(w))), 4) AS bm25
+             FROM w GROUP BY doc_id),
       r AS (SELECT doc_id, bm25,
                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
             FROM sc)

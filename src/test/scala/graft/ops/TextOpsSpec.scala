@@ -388,12 +388,15 @@ class TextOpsSpec extends AnyFunSuite {
     // 60×"a" in a 100-item stream with cap 4: a's count (60) > 100/4, so
     // "a" MUST survive; the summary never holds more than cap keys.
     val stream = Seq.fill(60)("a") ++ (1 to 40).map(i => s"rare$i")
-    val kept = TextOps.mgSummary(stream.iterator, cap = 4).toSet
-    assert(kept.contains("a"))
+    val out = TextOps.mgSummaryAndCount(stream.iterator, cap = 4).toSeq
+    val (sentinels, kept) = out.partition(_._1 == "")
+    // exactly one sentinel row carrying the partition's token count
+    assert(sentinels == Seq(("", 100L)))
+    assert(kept.map(_._1).contains("a"))
     assert(kept.size <= 4)
     // order-independence of the guarantee: reversed stream keeps "a" too
-    assert(TextOps.mgSummary(stream.reverse.iterator, cap = 4)
-      .toSet.contains("a"))
+    assert(TextOps.mgSummaryAndCount(stream.reverse.iterator, cap = 4)
+      .map(_._1).contains("a"))
   }
 
   test("heavy hitters equals the exact filtered token count") {
