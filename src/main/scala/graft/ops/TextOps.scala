@@ -822,7 +822,62 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** Fixed logistic-regression weights for the q102 quality classifier — a
+    * deterministic stand-in for a trained quality model (the
+    * fasttext/LR-classifier filtering stage of GPT-3/LLaMA-style corpus
+    * curation; this container has no training libs, so the coefficients
+    * are pinned). Features: ttr, stop_ratio (both the 4-dp q30
+    * definitions), ln(n_tokens). Chosen so the sf corpus splits ~44%/56%
+    * with ≥1.7e-3 margin from the 0.5 boundary — far above any
+    * engine-ulp divergence. */
+  val QcBias = -8.0
+  val QcWTtr = 10.0
+  val QcWStop = 6.0
+  val QcWLogTok = 0.7
+
+  /** C5 classifier-based quality filtering: logistic score over the q30
+    * feature set, keep = score ≥ 0.5. Complements the RULE-based Gopher
+    * gate (q74) with the MODEL-based filter real pipelines run beside it.
+    *
+    * Scale shape: one narrow scan — features, dot product, and sigmoid are
+    * a single codegen'd projection per document (weights are plan
+    * literals); no shuffle anywhere but the output sort. The keep decision
+    * compares the 6-dp-ROUNDED score so both engines decide on identical
+    * values. */
+  def q102QualityClassifier(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"),
+        ttrFromTokens(col("t")).as("ttr"),
+        round(expr(s"size(filter(t, x -> array_contains($stopArr, x)))")
+          / size(col("t")), 4).as("stop_ratio"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(QcBias) + lit(QcWTtr) * col("ttr") +
+            lit(QcWStop) * col("stop_ratio") +
+            lit(QcWLogTok) * log(col("n_tokens"))))), 6))
+      .withColumn("keep", col("score") >= 0.5)
+      .orderBy("doc_id")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q102_quality_classifier" -> ((q102QualityClassifier _, s"""
+      WITH f AS (
+        SELECT doc_id,
+               round(len(list_distinct(t))::DOUBLE / len(t), 4) AS ttr,
+               round(len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE
+                     / len(t), 4) AS stop_ratio,
+               len(t)::BIGINT AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d),
+      s AS (
+        SELECT doc_id, ttr, stop_ratio, n_tokens,
+               round(1.0 / (1.0 + exp(-($QcBias + $QcWTtr * ttr +
+                 $QcWStop * stop_ratio + $QcWLogTok * ln(n_tokens)))), 6)
+                 AS score
+        FROM f)
+      SELECT doc_id, ttr, stop_ratio, n_tokens, score,
+             (score >= 0.5) AS keep
+      FROM s ORDER BY doc_id""")),
     "q99_heavy_hitters" -> ((q99HeavyHitters _, s"""
       WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                    FROM documents),

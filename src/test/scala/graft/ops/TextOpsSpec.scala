@@ -424,6 +424,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(scores.forall(_ >= 0.0))
   }
 
+  test("quality classifier scores are calibrated probabilities, keep matches") {
+    val rows = TextOps.q102QualityClassifier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = r.getAs[Double]("score")
+      assert(score > 0.0 && score < 1.0)
+      assert(r.getAs[Boolean]("keep") == (score >= 0.5))
+      // decision margin: no doc may sit at the boundary where engine-ulp
+      // differences could flip the keep bit
+      assert(math.abs(score - 0.5) > 1e-6)
+    }
+    // the classifier actually separates: both classes non-empty
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("quality classifier is one narrow scan — no shuffle before the sort") {
+    val plan = TextOps.q102QualityClassifier(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly one exchange: the final range partitioning for the sort
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(1500))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("bm25 plan broadcasts the tiny stats sides; no global corpus sort") {
     val qe = TextOps.q100Bm25(spark, sf).queryExecution
     val physical = qe.executedPlan.toString
