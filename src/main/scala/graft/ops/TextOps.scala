@@ -860,7 +860,69 @@ object TextOps {
       .withColumn("keep", col("score") >= 0.5)
       .orderBy("doc_id")
 
+  val ZipfTopK = 50
+
+  /** C5 corpus diagnostic: ordinary-least-squares fit of ln(count) against
+    * ln(rank) over the top-[[ZipfTopK]] tokens — the Zipf power-law check
+    * (natural language slopes ≈ −1; a boilerplate-flooded or synthetic
+    * corpus diverges, so drift in this one number flags upstream
+    * collection bugs before they poison training mixes).
+    *
+    * Scale shape: the token aggregation is the standard vocab-keyed
+    * shuffle with map-side combine; the top-K arrives via distributed
+    * TakeOrdered (no vocab-sized global sort or window — the rank window
+    * only ever sees K rows); the K-row OLS sums fold in SORTED order
+    * (bit-stable convention) and the intercept is derived from the
+    * ROUNDED slope so both engines agree exactly. */
+  def q103ZipfFit(s: SparkSession, d: String): DataFrame = {
+    val top = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(ZipfTopK)
+    val xy = top
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(desc("n"), col("token"))).cast("long"))
+      .select(log(col("rnk")).as("x"), log(col("n")).as("y"))
+      .select(col("x"), col("y"),
+        (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx"))
+    def fold(c: String) =
+      expr(s"aggregate(sort_array(collect_list($c)), 0D, (a, v) -> a + v)")
+    xy.agg(
+        count(lit(1)).cast("double").as("k"),
+        fold("x").as("sx"), fold("y").as("sy"),
+        fold("xy").as("sxy"), fold("xx").as("sxx"))
+      .select(col("k"), col("sx"), col("sy"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
+      .select(col("k").cast("long").as("n_top"), col("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("k"), 6)
+          .as("intercept"))
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q103_zipf_fit" -> ((q103ZipfFit _, s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      counts AS (SELECT token, count(*)::BIGINT AS n FROM tok
+                 WHERE token <> '' GROUP BY token),
+      top AS (SELECT token, n,
+                     row_number() OVER (ORDER BY n DESC, token) AS rnk
+              FROM counts QUALIFY rnk <= $ZipfTopK),
+      xy AS (SELECT ln(rnk) AS x, ln(n) AS y FROM top),
+      sums AS (SELECT count(*)::DOUBLE AS k,
+                      list_sum(list_sort(list(x))) AS sx,
+                      list_sum(list_sort(list(y))) AS sy,
+                      list_sum(list_sort(list(x * y))) AS sxy,
+                      list_sum(list_sort(list(x * x))) AS sxx
+               FROM xy),
+      sl AS (SELECT k, sx, sy,
+                    round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                      AS slope
+             FROM sums)
+      SELECT k::BIGINT AS n_top, slope,
+             round((sy - slope * sx) / k, 6) AS intercept
+      FROM sl""")),
     "q102_quality_classifier" -> ((q102QualityClassifier _, s"""
       WITH f AS (
         SELECT doc_id,

@@ -448,6 +448,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("zipf fit produces a negative slope and matches a local OLS") {
+    val row = TextOps.q103ZipfFit(spark, sf).collect().head
+    val k = row.getAs[Long]("n_top")
+    assert(k > 1 && k <= TextOps.ZipfTopK)
+    val slope = row.getAs[Double]("slope")
+    // frequencies are non-increasing in rank, so the fit must slope down
+    assert(slope < 0.0, s"slope=$slope")
+    // recompute OLS locally from the exact counts
+    import org.apache.spark.sql.functions._
+    val counts = graft.ops.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n")))
+      .sortBy { case (t, n) => (-n, t) }.take(TextOps.ZipfTopK)
+    val pts = counts.zipWithIndex.map { case ((_, n), i) =>
+      (math.log(i + 1.0), math.log(n.toDouble))
+    }
+    val kk = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expected = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    assert(math.abs(slope - expected) < 1e-4, s"$slope vs $expected")
+  }
+
   test("bm25 plan broadcasts the tiny stats sides; no global corpus sort") {
     val qe = TextOps.q100Bm25(spark, sf).queryExecution
     val physical = qe.executedPlan.toString
