@@ -53,6 +53,20 @@ object TextOps {
     "round(len(list_distinct(string_split(text, ' ')))::DOUBLE" +
       " / len(string_split(text, ' ')), 4)"
 
+  /** THE stopword-ratio signal, shared by q30 (quality score) and q102
+    * (quality classifier) — like [[ttrFromTokens]], one definition per
+    * engine side so the feature the classifier was calibrated on cannot
+    * drift from the q30 signal. `t` is the space-split token array. */
+  def stopRatioFromTokens(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(size(filter(t, x => array_contains(
+      array(Stopwords.map(lit): _*), x))) / size(t), 4)
+
+  /** DuckDB-side mirror of [[stopRatioFromTokens]] over a token-array
+    * column named `t` (both consumers alias their split that way). */
+  val StopRatioSql: String =
+    s"round(len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE" +
+      " / len(t), 4)"
+
   /** C5c per-document quality signals: token count, type-token ratio,
     * stopword ratio, and a boolean quality gate — the classic cheap filters
     * applied before expensive pipeline stages. */
@@ -61,8 +75,7 @@ object TextOps {
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), size(col("t")).as("n_tokens"),
         ttrFromTokens(col("t")).as("ttr"),
-        round(expr(s"size(filter(t, x -> array_contains($stopArr, x)))")
-          / size(col("t")), 4).as("stop_ratio"))
+        stopRatioFromTokens(col("t")).as("stop_ratio"))
       .withColumn("is_quality",
         col("n_tokens").between(20, 1000) && col("ttr") >= 0.1)
       .orderBy("doc_id")
@@ -849,8 +862,7 @@ object TextOps {
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"),
         ttrFromTokens(col("t")).as("ttr"),
-        round(expr(s"size(filter(t, x -> array_contains($stopArr, x)))")
-          / size(col("t")), 4).as("stop_ratio"),
+        stopRatioFromTokens(col("t")).as("stop_ratio"),
         size(col("t")).cast("long").as("n_tokens"))
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) +
@@ -927,8 +939,7 @@ object TextOps {
       WITH f AS (
         SELECT doc_id,
                round(len(list_distinct(t))::DOUBLE / len(t), 4) AS ttr,
-               round(len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE
-                     / len(t), 4) AS stop_ratio,
+               $StopRatioSql AS stop_ratio,
                len(t)::BIGINT AS n_tokens
         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d),
       s AS (
@@ -1152,8 +1163,7 @@ object TextOps {
     "q30_quality_score" -> ((q30QualityScore _, s"""
       SELECT doc_id, len(t) AS n_tokens,
              round(len(list_distinct(t))::DOUBLE / len(t), 4) AS ttr,
-             round(len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE
-                   / len(t), 4) AS stop_ratio,
+             $StopRatioSql AS stop_ratio,
              (len(t) BETWEEN 20 AND 1000 AND
               round(len(list_distinct(t))::DOUBLE / len(t), 4) >= 0.1) AS is_quality
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d

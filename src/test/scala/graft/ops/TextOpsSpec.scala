@@ -443,9 +443,21 @@ class TextOpsSpec extends AnyFunSuite {
   test("quality classifier is one narrow scan — no shuffle before the sort") {
     val plan = TextOps.q102QualityClassifier(spark, sf)
       .queryExecution.executedPlan.toString
-    // exactly one exchange: the final range partitioning for the sort
-    assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(1500))
+    // exactly one exchange — the final range partitioning for the sort; a
+    // second one would mean an accidental aggregation/repartition crept in
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan.take(1500))
     assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("zipf fit: top-K via TakeOrdered, rank window above the K-row limit") {
+    val plan = TextOps.q103ZipfFit(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the vocab-sized relation must reach the window through a distributed
+    // top-k, never a global sort: TakeOrderedAndProject sits BELOW Window
+    val iWin = plan.indexOf("Window")
+    val iTop = plan.indexOf("TakeOrderedAndProject")
+    assert(iTop >= 0, plan.take(1500))
+    assert(iWin >= 0 && iWin < iTop, plan.take(1500))
   }
 
   test("zipf fit produces a negative slope and matches a local OLS") {
