@@ -872,6 +872,55 @@ object TextOps {
       .withColumn("keep", col("score") >= 0.5)
       .orderBy("doc_id")
 
+  val PostingCap = 20
+
+  /** Typed row counter usable as a SECOND aggregation on the same
+    * [[StratSampleAgg]] shuffle — q104 needs the TRUE document frequency
+    * next to the capped posting list without a second pass. */
+  final class CountAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long), Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, a: (String, Long, Long)): Long = b + 1
+    override def merge(x: Long, y: Long): Long = x + y
+    override def finish(b: Long): Long = b
+    override def bufferEncoder = org.apache.spark.sql.Encoders.scalaLong
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** C5 inverted-index construction: per-term posting lists — the first
+    * [[PostingCap]] doc ids per term (ascending) plus the TRUE document
+    * frequency — emitted one row per posting entry. The index-build step
+    * behind retrieval scoring (q100 conceptually reads this structure);
+    * `df` preserves the real count where hot terms truncate at the cap.
+    *
+    * Scale shape: (term, doc) pairs are deduplicated IN-ROW
+    * (`array_distinct` before the explode — the q31 pattern), so the only
+    * shuffle is the vocab-keyed index build itself, and per-term state is
+    * bounded: the posting list via the same partial-top-k Aggregator as
+    * q57/q97 (≤ cap entries per term at every stage, hot terms cannot
+    * buffer their full posting set) and df via a counter riding the SAME
+    * shuffle — no second pass, no unbounded `collect_list`. */
+  def q104PostingLists(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("term"), col("doc_id")).as[(String, Long)]
+      .map { case (t, id) => (t, id, id) }
+    val top = new StratSampleAgg(PostingCap).toColumn.name("top")
+    val cnt = new CountAgg().toColumn.name("df")
+    pairs.groupByKey(_._1).agg(top, cnt)
+      .flatMap { case (term, buf, df) =>
+        buf.items.zipWithIndex.map { case ((_, id), i) =>
+          (term, df, (i + 1).toLong, id)
+        }
+      }
+      .toDF("term", "df", "pos_rank", "doc_id")
+      .orderBy("term", "pos_rank")
+  }
+
   val ZipfTopK = 50
 
   /** C5 corpus diagnostic: ordinary-least-squares fit of ln(count) against
@@ -913,6 +962,19 @@ object TextOps {
   }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q104_posting_lists" -> ((q104PostingLists _, s"""
+      WITH tok AS (SELECT doc_id,
+                          unnest(list_distinct(string_split(text, ' '))) AS term
+                   FROM documents),
+      p AS (SELECT term, doc_id FROM tok WHERE term <> ''),
+      d AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term),
+      r AS (SELECT term, doc_id,
+                   row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                     AS pos_rank
+            FROM p)
+      SELECT r.term, d.df, r.pos_rank::BIGINT AS pos_rank, r.doc_id
+      FROM r JOIN d USING (term) WHERE r.pos_rank <= $PostingCap
+      ORDER BY term, pos_rank""")),
     "q103_zipf_fit" -> ((q103ZipfFit _, s"""
       WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                    FROM documents),

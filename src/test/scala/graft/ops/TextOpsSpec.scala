@@ -460,6 +460,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(iWin >= 0 && iWin < iTop, plan.take(1500))
   }
 
+  test("posting lists are capped, ascending, with true df preserved") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.q104PostingLists(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byTerm = rows.groupBy(_.getAs[String]("term"))
+    byTerm.foreach { case (_, rs) =>
+      assert(rs.length <= TextOps.PostingCap)
+      val sorted = rs.sortBy(_.getAs[Long]("pos_rank"))
+      assert(sorted.map(_.getAs[Long]("pos_rank")).toSeq ==
+        (1L to rs.length).toSeq)
+      // posting lists ascend by doc_id and df never undercounts the cap
+      val ids = sorted.map(_.getAs[Long]("doc_id")).toSeq
+      assert(ids == ids.sorted)
+      val df = rs.head.getAs[Long]("df")
+      assert(rs.forall(_.getAs[Long]("df") == df))
+      assert(df >= rs.length)
+    }
+    // df is the exact containing-doc count for a spot-checked term
+    val (term, rs) = byTerm.head
+    val exact = graft.ops.Tables.documents(spark, sf)
+      .filter(array_contains(split(col("text"), " "), term)).count()
+    assert(rs.head.getAs[Long]("df") == exact)
+  }
+
   test("zipf fit produces a negative slope and matches a local OLS") {
     val row = TextOps.q103ZipfFit(spark, sf).collect().head
     val k = row.getAs[Long]("n_top")
