@@ -907,8 +907,10 @@ object TextOps {
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
       .filter(col("term") =!= "")
-      .select(col("term"), col("doc_id")).as[(String, Long)]
-      .map { case (t, id) => (t, id, id) }
+      // doc_id twice: (sort-key, payload) — the q57 Aggregator input shape,
+      // with no object-map hop on the hottest row path
+      .select(col("term"), col("doc_id"), col("doc_id"))
+      .as[(String, Long, Long)]
     val top = new StratSampleAgg(PostingCap).toColumn.name("top")
     val cnt = new CountAgg().toColumn.name("df")
     pairs.groupByKey(_._1).agg(top, cnt)

@@ -477,11 +477,26 @@ class TextOpsSpec extends AnyFunSuite {
       assert(rs.forall(_.getAs[Long]("df") == df))
       assert(df >= rs.length)
     }
-    // df is the exact containing-doc count for a spot-checked term
-    val (term, rs) = byTerm.head
+    // the headline property — TRUE df survives past the cap — must be
+    // exercised: some term must truncate, and ITS df must be the exact
+    // containing-doc count (a df wrongly derived from the capped buffer
+    // would report PostingCap here)
+    val truncated = byTerm.filter { case (_, rs) =>
+      rs.length == TextOps.PostingCap
+    }
+    assert(truncated.nonEmpty, "corpus too small: no term reaches the cap")
+    val (term, rs) = truncated.head
     val exact = graft.ops.Tables.documents(spark, sf)
       .filter(array_contains(split(col("text"), " "), term)).count()
     assert(rs.head.getAs[Long]("df") == exact)
+    assert(exact > TextOps.PostingCap)
+  }
+
+  test("posting lists build on the bounded aggregator — no window, no collect_list") {
+    val plan = TextOps.q104PostingLists(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.toLowerCase.contains("collect_list"), plan.take(1500))
   }
 
   test("zipf fit produces a negative slope and matches a local OLS") {
