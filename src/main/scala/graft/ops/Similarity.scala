@@ -127,6 +127,39 @@ object Similarity {
 
   def q26KnnLsh(s: SparkSession, d: String): DataFrame = knnLsh(s, d, NumPlanes)
 
+  /** C3 index-quality evaluation: recall@k of the LSH tier (q26) against
+    * the exact brute-force top-k at the SAME k — the monitoring number an
+    * ANN deployment watches to catch silent index degradation (plane-count
+    * misconfiguration, embedding-model drift) before it poisons retrieval.
+    * Output: per-query hit count and recall, every query present even at
+    * zero hits.
+    *
+    * Scale shape: ground truth is the expensive exact pass, so production
+    * runs it on a SAMPLED query set — exactly what the [[NumQueries]]
+    * query side already models (broadcast queries, corpus streams once);
+    * both top-k relations are queries×k rows, so the compare joins are
+    * trivially small. */
+  def q105AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d)
+    val queries = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val truth = rankTopK(
+      corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(cosine("v", "qv"), 6).as("sim")),
+      LshK).select("q_id", "neighbor_id")
+    val approx = knnLsh(s, d, NumPlanes).select("q_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    truth.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(LshK.toLong).as("k"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(LshK), 4).as("recall"))
+      .orderBy("q_id")
+  }
+
   val NumCentroids = 16 // IVF codebook size for the test corpus
   val NumProbes = 2     // cells searched per query (recall/cost dial)
   val IvfK = 3          // neighbors per query (IVF tier)
@@ -716,6 +749,31 @@ object Similarity {
       SELECT q_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= $K
       ORDER BY q_id, rnk""")),
     "q26_knn_lsh" -> ((q26KnnLsh _, lshProbeSql)),
+    "q105_ann_recall" -> ((q105AnnRecall _, s"""
+      $lshProbeCtes,
+      ltop AS (SELECT q_id, neighbor_id FROM ranked WHERE rnk <= $LshK),
+      bsims AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(c.v, q.v), 6) AS sim
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < $NumQueries
+      ),
+      branked AS (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM bsims
+      ),
+      btop AS (SELECT q_id, neighbor_id FROM branked WHERE rnk <= $LshK),
+      hits AS (
+        SELECT b.q_id, count(l.neighbor_id)::BIGINT AS n_hit
+        FROM btop b LEFT JOIN ltop l
+          ON l.q_id = b.q_id AND l.neighbor_id = b.neighbor_id
+        GROUP BY b.q_id
+      )
+      SELECT q_id, n_hit, $LshK::BIGINT AS k,
+             round(n_hit::DOUBLE / $LshK, 4) AS recall
+      FROM hits ORDER BY q_id""")),
     "q49_knn_agg" -> ((q49KnnAgg _, s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sims AS (

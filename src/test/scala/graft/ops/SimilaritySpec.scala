@@ -166,4 +166,21 @@ class SimilaritySpec extends AnyFunSuite {
     // output rounding, which can nudge the value just past the bound)
     assert(out(3L) > 0 && out(3L) <= (2.0 / 255.0) / 2 + 1e-8)
   }
+
+  test("ann recall covers every query, bounded ratios, and the index works") {
+    val rows = Similarity.q105AnnRecall(spark, sf).collect()
+    // every sampled query is present, hit or not
+    assert(rows.map(_.getAs[Long]("q_id")).sorted.toSeq ==
+      (0L until Similarity.NumQueries).toSeq)
+    rows.foreach { r =>
+      val (hit, k) = (r.getAs[Long]("n_hit"), r.getAs[Long]("k"))
+      assert(k == Similarity.LshK)
+      assert(hit >= 0 && hit <= k)
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(hit.toDouble / k)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // a working index must recover at least one true neighbor somewhere
+    assert(rows.map(_.getAs[Long]("n_hit")).sum > 0)
+  }
 }
