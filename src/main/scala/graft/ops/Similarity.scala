@@ -85,10 +85,13 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** C3 baseline: exact cosine top-K for each query vector (vec_id < 10).
-    * round(sim, 6) before ranking makes the order robust to last-ulp
-    * differences between engines; ties break on neighbor id. */
-  def q25KnnBrute(s: SparkSession, d: String): DataFrame = {
+  /** Exact cosine top-k for the sampled query set — ONE definition of the
+    * brute-force ground truth, served at [[K]] by q25 and consumed at
+    * [[LshK]] by the q105 recall monitor (so the monitor can never measure
+    * against a different truth than q25 serves). round(sim, 6) before
+    * ranking makes the order robust to last-ulp differences between
+    * engines; ties break on neighbor id. */
+  private[ops] def bruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val corpus = emb(s, d)
     val queries = emb(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -96,8 +99,12 @@ object Similarity {
       corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           round(cosine("v", "qv"), 6).as("sim")),
-      K)
+      k)
   }
+
+  /** C3 baseline: exact cosine top-K for each query vector (vec_id < 10). */
+  def q25KnnBrute(s: SparkSession, d: String): DataFrame =
+    bruteTopK(s, d, K)
 
   /** bucket(v) = sum_j 2^j * [dot(v, plane_j) >= 0] — ONE compiled pass over
     * the vector for all planes ([[graft.functions.RhpBucket]]). */
@@ -140,18 +147,15 @@ object Similarity {
     * both top-k relations are queries×k rows, so the compare joins are
     * trivially small. */
   def q105AnnRecall(s: SparkSession, d: String): DataFrame = {
-    val corpus = emb(s, d)
-    val queries = emb(s, d).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val truth = rankTopK(
-      corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(cosine("v", "qv"), 6).as("sim")),
-      LshK).select("q_id", "neighbor_id")
-    val approx = knnLsh(s, d, NumPlanes).select("q_id", "neighbor_id")
+    val truth = bruteTopK(s, d, LshK).select("q_id", "neighbor_id")
+    val approx = q26KnnLsh(s, d).select("q_id", "neighbor_id")
     val hits = truth.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
-    truth.select("q_id").distinct()
+    // the query SET comes from the sampled queries themselves, not from
+    // truth rows — a query with zero hits (or even zero candidates) still
+    // reports its row
+    emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"))
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -346,7 +350,8 @@ object Similarity {
         .orderBy("o_orderpriority")
 
   /** Shared oracle CTE chain for the LSH probe pipeline, ending in `ranked`
-    * — composed by the q26 top-k select and the q84 rerank. */
+    * — composed by the q26 top-k select, the q84 rerank, and the q105
+    * recall oracle (its `ltop` CTE reads `ranked`). */
   private def lshProbeCtes: String = {
     val planes = hyperplanes.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ",", "]")}::DOUBLE[]) >= 0 THEN ${1 << j} ELSE 0 END)"
