@@ -602,18 +602,49 @@ object TextOps {
     * token volume at any corpus size. Chunk count per doc is
     * `1 + floor((n-1)/stride)`, so every token lands in at least one
     * chunk and the final partial chunk is kept. */
-  def q87DocChunks(s: SparkSession, d: String): DataFrame =
+  /** The chunk pipeline shared by q87 (chunk inventory) and q106 (chunk
+    * dedup): ONE definition of stride/size/slicing so the two operators
+    * cannot disagree on chunk boundaries. Emits (doc_id, chunk_id, c). */
+  private[ops] def chunked(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("k", explode(sequence(lit(0),
         floor((size(col("t")) - 1) / ChunkStride).cast("int"))))
-      .select(col("doc_id"), col("k"),
-        slice(col("t"), col("k") * ChunkStride + 1, lit(ChunkSize)).as("c"))
       .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
-        size(col("c")).cast("long").as("n_tok"),
-        expr("cast(conv(substr(md5(array_join(c, ' ')), 1, 15), 16, 10) as bigint)")
-          .as("fp"))
+        slice(col("t"), col("k") * ChunkStride + 1, lit(ChunkSize)).as("c"))
+
+  /** 60-bit md5-prefix fingerprint of a chunk's joined text — the shared
+    * chunk identity for q87/q106 (and the same hash family as q22). */
+  private def chunkFp =
+    expr("cast(conv(substr(md5(array_join(c, ' ')), 1, 15), 16, 10) as bigint)")
+
+  def q87DocChunks(s: SparkSession, d: String): DataFrame =
+    chunked(s, d)
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).cast("long").as("n_tok"), chunkFp.as("fp"))
       .orderBy("doc_id", "chunk_id")
+
+  /** C2/C5 chunk-level boilerplate inventory: fingerprint every chunk and
+    * report each fingerprint that appears in MORE THAN ONE document —
+    * the corpus-wide repeated-passage list (licence headers, templated
+    * intros, copy-pasted spans) that chunk-dedup for RAG/training removes.
+    * Complements q98: that scores pairwise substring overlap between two
+    * docs; this inventories WHAT text repeats corpus-wide and where it
+    * first appeared. Output per fp: instance count, doc count, first doc.
+    *
+    * Scale shape: one narrow chunk pass (the shared q87 pipeline), then a
+    * single hash-shuffle keyed on the 60-bit fingerprint with map-side
+    * partial agg — the q22 exact-dedup shape at chunk granularity; no
+    * chunk text survives past the projection, only fingerprints travel. */
+  def q106ChunkDedup(s: SparkSession, d: String): DataFrame =
+    chunked(s, d)
+      .select(chunkFp.as("fp"), col("doc_id"))
+      .groupBy("fp").agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), col("fp"))
 
   val BpeTopK = 20
 
@@ -964,6 +995,22 @@ object TextOps {
   }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q106_chunk_dedup" -> ((q106ChunkDedup _, s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      ch AS (SELECT doc_id,
+                    ('0x' || substr(md5(array_to_string(
+                      t[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkSize],
+                      ' ')), 1, 15))::BIGINT AS fp
+             FROM tok,
+                  unnest(generate_series(0, (len(t) - 1) // $ChunkStride))
+                    AS r(k)),
+      g AS (SELECT fp, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM ch GROUP BY fp)
+      SELECT fp, n_occurrences, n_docs, first_doc FROM g
+      WHERE n_docs >= 2
+      ORDER BY n_docs DESC, n_occurrences DESC, fp""")),
     "q104_posting_lists" -> ((q104PostingLists _, s"""
       WITH tok AS (SELECT doc_id,
                           unnest(list_distinct(string_split(text, ' '))) AS term

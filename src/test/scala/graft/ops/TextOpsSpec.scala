@@ -499,6 +499,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("collect_list"), plan.take(1500))
   }
 
+  test("chunk dedup reports only cross-doc repeats, counts consistent") {
+    val rows = TextOps.q106ChunkDedup(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus plants near-dups; some chunk must repeat")
+    rows.foreach { r =>
+      val (occ, docs) = (r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_docs"))
+      assert(docs >= 2 && occ >= docs)
+    }
+    // fingerprints agree with the q87 inventory: every reported fp exists
+    // there with the same instance count (shared chunk pipeline)
+    val inv = TextOps.q87DocChunks(spark, sf).collect()
+      .groupBy(_.getAs[Long]("fp")).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(inv(r.getAs[Long]("fp")) == r.getAs[Long]("n_occurrences"))
+    }
+  }
+
   test("zipf fit produces a negative slope and matches a local OLS") {
     val row = TextOps.q103ZipfFit(spark, sf).collect().head
     val k = row.getAs[Long]("n_top")
