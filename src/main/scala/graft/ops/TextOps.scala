@@ -594,17 +594,13 @@ object TextOps {
   val ChunkSize = 32  // tokens per chunk
   val ChunkStride = 24 // chunk start spacing (8-token overlap)
 
-  /** RAG / training-sequence chunking (q87): split each document's token
-    * stream into fixed-size overlapping windows with stable ids and a
-    * 60-bit md5 fingerprint per chunk (the retrieval-index key). Pure
-    * per-row explode + codegen'd collection ops (`sequence`/`slice`/
-    * `array_join`) — no shuffle before the output sort, linear in total
-    * token volume at any corpus size. Chunk count per doc is
-    * `1 + floor((n-1)/stride)`, so every token lands in at least one
-    * chunk and the final partial chunk is kept. */
   /** The chunk pipeline shared by q87 (chunk inventory) and q106 (chunk
     * dedup): ONE definition of stride/size/slicing so the two operators
-    * cannot disagree on chunk boundaries. Emits (doc_id, chunk_id, c). */
+    * cannot disagree on chunk boundaries. Pure per-row explode +
+    * codegen'd collection ops (`sequence`/`slice`) — no shuffle, linear
+    * in total token volume. Chunk count per doc is `1 +
+    * floor((n-1)/stride)`, so every token lands in at least one chunk and
+    * the final partial chunk is kept. Emits (doc_id, chunk_id, c). */
   private[ops] def chunked(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -618,6 +614,10 @@ object TextOps {
   private def chunkFp =
     expr("cast(conv(substr(md5(array_join(c, ' ')), 1, 15), 16, 10) as bigint)")
 
+  /** RAG / training-sequence chunking (q87): fixed-size overlapping token
+    * windows with stable ids and the 60-bit fingerprint per chunk (the
+    * retrieval-index key). All per-row work ([[chunked]] + [[chunkFp]]) —
+    * no shuffle before the output sort at any corpus size. */
   def q87DocChunks(s: SparkSession, d: String): DataFrame =
     chunked(s, d)
       .select(col("doc_id"), col("chunk_id"),
@@ -632,10 +632,13 @@ object TextOps {
     * docs; this inventories WHAT text repeats corpus-wide and where it
     * first appeared. Output per fp: instance count, doc count, first doc.
     *
-    * Scale shape: one narrow chunk pass (the shared q87 pipeline), then a
-    * single hash-shuffle keyed on the 60-bit fingerprint with map-side
-    * partial agg — the q22 exact-dedup shape at chunk granularity; no
-    * chunk text survives past the projection, only fingerprints travel. */
+    * Scale shape: one narrow chunk pass (the shared q87 pipeline), then
+    * Spark's TWO-PHASE distinct-count plan (countDistinct alongside
+    * count/min): a first exchange keyed (fp, doc_id) that dedups pairs
+    * with partial aggregation, then the (fp)-keyed exchange for the final
+    * counts — the same shape q90's profiling documents. No chunk text
+    * survives past the projection: both exchanges carry only the 60-bit
+    * fingerprint plus a doc id, and per-key state is bounded. */
   def q106ChunkDedup(s: SparkSession, d: String): DataFrame =
     chunked(s, d)
       .select(chunkFp.as("fp"), col("doc_id"))

@@ -511,8 +511,20 @@ class TextOpsSpec extends AnyFunSuite {
     val inv = TextOps.q87DocChunks(spark, sf).collect()
       .groupBy(_.getAs[Long]("fp")).view.mapValues(_.length.toLong).toMap
     rows.foreach { r =>
-      assert(inv(r.getAs[Long]("fp")) == r.getAs[Long]("n_occurrences"))
+      val fp = r.getAs[Long]("fp")
+      assert(inv.get(fp).contains(r.getAs[Long]("n_occurrences")),
+        s"fp $fp: q106 says ${r.getAs[Long]("n_occurrences")}, q87 says ${inv.get(fp)}")
     }
+  }
+
+  test("chunk dedup plans as two-phase distinct count, no unbounded state") {
+    val plan = TextOps.q106ChunkDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the documented shape: (fp, doc_id) pair-dedup exchange then the
+    // (fp)-keyed final count — and never a collect_set buffering doc ids
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      plan.take(1500))
+    assert(!plan.toLowerCase.contains("collect_set"), plan.take(1500))
   }
 
   test("zipf fit produces a negative slope and matches a local OLS") {
