@@ -416,6 +416,42 @@ object Dedup {
         countDistinct("cluster_id").as("n_clusters"))
       .orderBy("split")
 
+  /** C2 split-balance monitor — q80's companion check: per (split, lang),
+    * how far the split's language share drifts from the corpus share, in
+    * exact ppm integers. Cluster-aware splitting trades balance for
+    * leak-freedom (whole dup-clusters land on one side), so a pipeline
+    * watches this number to catch a split whose distribution has walked
+    * away from the corpus (a giant cluster, a skewed hash) before models
+    * train on it.
+    *
+    * Scale shape: the split assignment is the same label-propagation +
+    * hash-bucket pipeline q80 runs; everything after it is two tiny
+    * aggregations ((split, lang) and per-split totals — dozens of rows)
+    * broadcast into the final projection; integer ppm math keeps both
+    * engines bit-identical. */
+  def q107SplitBalance(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val assigned = docs.select(col("doc_id"), col("lang"))
+      .join(dupLabels(s, d).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        TextOps.splitName(TextOps.splitBucket("cluster_id")))
+    val sl = assigned.groupBy("split", "lang").agg(count(lit(1)).as("n"))
+    val st = sl.groupBy("split").agg(sum("n").as("n_split"))
+    val cl = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    sl.join(broadcast(st), "split")
+      .join(broadcast(cl), "lang")
+      .crossJoin(broadcast(tot))
+      .select(col("split"), col("lang"), col("n").as("n_docs"),
+        expr("n * 1000000 div n_split").as("share_ppm"),
+        expr("n_lang * 1000000 div n_total").as("corpus_ppm"),
+        expr("n * 1000000 div n_split - n_lang * 1000000 div n_total")
+          .as("delta_ppm"))
+      .orderBy("split", "lang")
+  }
+
   /** The "incoming batch" slice for [[q75IncrementalDedup]] — one of the
     * corpus's twenty sources plays the freshly-crawled shard. */
   val IncomingSource = "src0"
@@ -687,6 +723,33 @@ object Dedup {
              count(DISTINCT cluster_id)::BIGINT AS n_clusters
       FROM tagged GROUP BY 1 ORDER BY split"""
 
+  private def splitBalanceOracle: String =
+    s"""
+      $ccCtes,
+      assign AS (
+        SELECT d.doc_id, d.lang, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comps c ON c.node = d.doc_id),
+      tagged AS (
+        SELECT lang,
+               ('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::BIGINT % 100 AS h
+        FROM assign),
+      t2 AS (
+        SELECT CASE WHEN h < ${graft.ops.TextOps.TrainPct} THEN 'train'
+                    WHEN h < ${graft.ops.TextOps.ValidPct} THEN 'valid'
+                    ELSE 'test' END AS split, lang
+        FROM tagged),
+      sl AS (SELECT split, lang, count(*)::BIGINT AS n FROM t2 GROUP BY 1, 2),
+      st AS (SELECT split, sum(n)::BIGINT AS n_split FROM sl GROUP BY 1),
+      cl AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+      SELECT sl.split, sl.lang, sl.n AS n_docs,
+             (sl.n * 1000000) // st.n_split AS share_ppm,
+             (cl.n_lang * 1000000) // tot.n_total AS corpus_ppm,
+             (sl.n * 1000000) // st.n_split
+               - (cl.n_lang * 1000000) // tot.n_total AS delta_ppm
+      FROM sl JOIN st USING (split) JOIN cl USING (lang) CROSS JOIN tot
+      ORDER BY split, lang"""
+
   private def survivorsOracle: String =
     s"""
       $ccCtes,
@@ -724,6 +787,7 @@ object Dedup {
       GROUP BY 1, 2 HAVING count(*) >= $MinSharedAnchors
       ORDER BY id_a, id_b""")),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
+    "q107_split_balance" -> ((q107SplitBalance _, splitBalanceOracle)),
     "q81_source_overlap" -> ((q81SourceOverlap _, """
       WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
       sh AS (

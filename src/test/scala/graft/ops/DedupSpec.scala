@@ -222,6 +222,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("split balance: shares sum to ~1e6 per split, deltas consistent") {
+    val rows = Dedup.q107SplitBalance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta_ppm") ==
+        r.getAs[Long]("share_ppm") - r.getAs[Long]("corpus_ppm"))
+      assert(r.getAs[Long]("share_ppm") >= 0 &&
+        r.getAs[Long]("share_ppm") <= 1000000L)
+    }
+    // per split, the lang shares cover the whole split up to floor loss
+    rows.groupBy(_.getAs[String]("split")).foreach { case (sp, rs) =>
+      val sum = rs.map(_.getAs[Long]("share_ppm")).sum
+      assert(sum > 1000000L - rs.length && sum <= 1000000L, s"$sp: $sum")
+    }
+    // split totals must cover the whole corpus
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.ops.Tables.documents(spark, sf).count())
+  }
+
   test("containment is asymmetric, bounded, and at least as large as jaccard") {
     val cont = Dedup.q101Containment(spark, sf).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
