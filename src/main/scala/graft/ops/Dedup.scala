@@ -404,13 +404,20 @@ object Dedup {
     * q56 split; one broadcast-sized join against the (tiny) label table
     * assigns clusters to the full corpus scan. The no-straddle invariant
     * (every cluster in exactly one split) is pinned by spec. */
-  def q80LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"))
+  /** Every document with its dup-cluster id and its leak-free split —
+    * ONE definition of the cluster-aware split assignment, shared by q80
+    * (split sizes) and q107 (balance monitor) so the monitor can never
+    * measure a different split than q80 produces. */
+  private[ops] def splitAssigned(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("lang"))
       .join(dupLabels(s, d).withColumnRenamed("id", "doc_id"),
         Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
-      .withColumn("h", TextOps.splitBucket("cluster_id"))
-      .withColumn("split", TextOps.splitName(col("h")))
+      .withColumn("split",
+        TextOps.splitName(TextOps.splitBucket("cluster_id")))
+
+  def q80LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    splitAssigned(s, d)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("cluster_id").as("n_clusters"))
@@ -424,23 +431,21 @@ object Dedup {
     * away from the corpus (a giant cluster, a skewed hash) before models
     * train on it.
     *
-    * Scale shape: the split assignment is the same label-propagation +
-    * hash-bucket pipeline q80 runs; everything after it is two tiny
-    * aggregations ((split, lang) and per-split totals — dozens of rows)
-    * broadcast into the final projection; integer ppm math keeps both
-    * engines bit-identical. */
+    * Scale shape: the split assignment is the SHARED [[splitAssigned]]
+    * pipeline (exactly what q80 runs); the corpus is scanned ONCE — the
+    * per-split totals, corpus lang counts, and grand total all derive
+    * from the dozens-of-rows (split, lang) aggregate (the left join in
+    * [[splitAssigned]] preserves every doc exactly once, so summing
+    * `sl` over splits IS the corpus lang count) and broadcast into the
+    * final projection; integer ppm math keeps both engines
+    * bit-identical. */
   def q107SplitBalance(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val assigned = docs.select(col("doc_id"), col("lang"))
-      .join(dupLabels(s, d).withColumnRenamed("id", "doc_id"),
-        Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
-      .withColumn("split",
-        TextOps.splitName(TextOps.splitBucket("cluster_id")))
-    val sl = assigned.groupBy("split", "lang").agg(count(lit(1)).as("n"))
+    val sl = splitAssigned(s, d)
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // dozens of rows; three consumers below
     val st = sl.groupBy("split").agg(sum("n").as("n_split"))
-    val cl = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val cl = sl.groupBy("lang").agg(sum("n").as("n_lang"))
+    val tot = sl.agg(sum("n").as("n_total"))
     sl.join(broadcast(st), "split")
       .join(broadcast(cl), "lang")
       .crossJoin(broadcast(tot))
@@ -707,41 +712,41 @@ object Dedup {
       FROM comps c JOIN sizes s USING (cluster_id)
       ORDER BY doc_id"""
 
+  /** Oracle-side mirror of [[splitAssigned]]: CTE `assigned` = one row per
+    * doc with (doc_id, lang, cluster_id, split) — shared by the q80 and
+    * q107 oracles so both measure the same split rule, thresholds
+    * interpolated from the one [[TextOps.TrainPct]]/[[TextOps.ValidPct]]
+    * definition. Must be appended to [[ccCtes]]. */
+  private def splitAssignCtes: String =
+    s"""assign AS (
+        SELECT d.doc_id, d.lang, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comps c ON c.node = d.doc_id),
+      assigned AS (
+        SELECT doc_id, lang, cluster_id,
+               CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::BIGINT
+                         % 100 < ${TextOps.TrainPct} THEN 'train'
+                    WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::BIGINT
+                         % 100 < ${TextOps.ValidPct} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM assign)"""
+
   private def leakageSplitOracle: String =
     s"""
       $ccCtes,
-      assign AS (
-        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-        FROM documents d LEFT JOIN comps c ON c.node = d.doc_id),
-      tagged AS (
-        SELECT cluster_id,
-               ('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::BIGINT % 100 AS h
-        FROM assign)
-      SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid'
-                  ELSE 'test' END AS split,
-             count(*) AS n_docs,
+      $splitAssignCtes
+      SELECT split, count(*) AS n_docs,
              count(DISTINCT cluster_id)::BIGINT AS n_clusters
-      FROM tagged GROUP BY 1 ORDER BY split"""
+      FROM assigned GROUP BY 1 ORDER BY split"""
 
   private def splitBalanceOracle: String =
     s"""
       $ccCtes,
-      assign AS (
-        SELECT d.doc_id, d.lang, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-        FROM documents d LEFT JOIN comps c ON c.node = d.doc_id),
-      tagged AS (
-        SELECT lang,
-               ('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::BIGINT % 100 AS h
-        FROM assign),
-      t2 AS (
-        SELECT CASE WHEN h < ${graft.ops.TextOps.TrainPct} THEN 'train'
-                    WHEN h < ${graft.ops.TextOps.ValidPct} THEN 'valid'
-                    ELSE 'test' END AS split, lang
-        FROM tagged),
-      sl AS (SELECT split, lang, count(*)::BIGINT AS n FROM t2 GROUP BY 1, 2),
+      $splitAssignCtes,
+      sl AS (SELECT split, lang, count(*)::BIGINT AS n FROM assigned
+             GROUP BY 1, 2),
       st AS (SELECT split, sum(n)::BIGINT AS n_split FROM sl GROUP BY 1),
-      cl AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY 1),
-      tot AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+      cl AS (SELECT lang, sum(n)::BIGINT AS n_lang FROM sl GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS n_total FROM sl)
       SELECT sl.split, sl.lang, sl.n AS n_docs,
              (sl.n * 1000000) // st.n_split AS share_ppm,
              (cl.n_lang * 1000000) // tot.n_total AS corpus_ppm,

@@ -241,6 +241,15 @@ class DedupSpec extends AnyFunSuite {
     assert(total == graft.ops.Tables.documents(spark, sf).count())
   }
 
+  test("split balance joins its tiny aggregates by broadcast, never sort-merge") {
+    // sl is checkpointed, so this plan is exactly the post-aggregate part
+    // the doc comment makes claims about: st/cl/tot must broadcast
+    val plan = Dedup.q107SplitBalance(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("containment is asymmetric, bounded, and at least as large as jaccard") {
     val cont = Dedup.q101Containment(spark, sf).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
