@@ -38,8 +38,8 @@ object GraftTarget {
 
     val spark = sparkFor(cfg)
     try {
-      val lines = opts.get("input") match {
-        case Some(path) => spark.read.textFile(path)
+      val inputPath = opts.get("input") match {
+        case Some(path) => path
         case None =>
           // The reference's primary invocation pipes the feed on stdin
           // (README.md:67-70) and streams it with bounded buffers
@@ -59,13 +59,15 @@ object GraftTarget {
               "filesystem instead")
             sys.exit(2)
           }
-          spark.read.textFile(spoolToTempFile(System.in).toUri.toString)
+          spoolToTempFile(System.in).toUri.toString
       }
       // fromConfig is the one config->loader mapping; only the CLI-flag
       // surface (strict-batches) is passed alongside
       val loader = BatchLoader.fromConfig(spark, new SessionLakeCatalog(spark),
         cfg, strictBatches = opts.contains("strict-batches"))
-      val report = loader.load(lines)
+      // loadPaths keys feed order on per-file byte offsets — exact at any
+      // split count, no counting pre-pass, no full-feed cache
+      val report = loader.loadPaths(Seq(inputPath))
       report.rowsPerStream.foreach { case (t, n) =>
         System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: $n rows")
       }

@@ -60,39 +60,87 @@ final class BatchLoader(
 
   /** Decode a JSONL feed and load every stream it declares. Returns per-table
     * row counts and the final STATE payload to echo (only valid to emit now
-    * that appends are durable). */
-  def load(lines: Dataset[String]): LoadReport = {
+    * that appends are durable).
+    *
+    * Feed order (`seq`) derives from `monotonically_increasing_id()` —
+    * partition-relative position, computed inline with the scan (no counting
+    * job) — so the input must be a deterministically re-scannable source
+    * (file-backed or synthesized; the same property cache recovery always
+    * required). Exact feed order at any split count comes from [[loadPaths]],
+    * which keys `seq` on per-file byte offsets; this face matches it whenever
+    * Spark's partition order matches feed order (single-split files,
+    * in-memory datasets — every test/synthetic case). */
+  def load(lines: Dataset[String]): LoadReport =
+    loadScans(() => lines.toDF("line")
+      .select(monotonically_increasing_id().as(SeqCol), col("line")))
+
+  /** The production face: load Singer JSONL files by path (files, dirs,
+    * globs). `seq` is file index (sorted listing order) in the high bits and
+    * the line's byte offset in the low — TRUE feed order at any split count,
+    * read straight off the `LineRecordReader` position (the same mechanism
+    * the DSv2 source's byte-range splits use, `SingerSource.scala`), with no
+    * counting pre-pass. Input must be uncompressed text: compression codecs
+    * report non-exact line offsets (ties would blur the drain-then-switch
+    * segment boundaries), and only plain text splits across executors
+    * anyway. */
+  def loadPaths(paths: Seq[String]): LoadReport =
+    loadScans(() => offsetLines(paths))
+
+  /** The load pipeline over a re-scannable feed of (`seq`, line). Passes over
+    * the source instead of caching it (at 100 TB a cache is a full local-disk
+    * spill; a re-scan streams): ONE control-plane job + ONE write job per
+    * schema segment (one per stream in the common case) — each write's
+    * classify/validate/transform rides the write job itself. */
+  private def loadScans(scan: () => DataFrame): LoadReport = {
     import spark.implicits._
-    val msgs: Dataset[RawMsg] = spark.createDataset(
-      lines.rdd.zipWithIndex().mapPartitions(_.flatMap { case (line, seq) =>
-        SingerMessage.decode(line).map {
+    // Control plane, one job: SCHEMA/ACTIVATE_VERSION are bounded by the
+    // stream count (one-ish each per stream) so the driver receives
+    // O(streams); STATE — which a tap may legally emit per record — is
+    // reduced distributed-side to the single final checkpoint inside the same
+    // aggregate. The contains() prefilter skips JSON-decoding the RECORD
+    // bulk: a control message's type token must appear literally in its line
+    // (JSON serializers never escape plain ASCII letters), so only control
+    // lines and the rare payload mentioning a type word reach the decoder.
+    val ctl: Dataset[RawMsg] = scan()
+      .filter(col("line").contains("\"SCHEMA\"") ||
+        col("line").contains("\"STATE\"") ||
+        col("line").contains("\"ACTIVATE_VERSION\""))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (seq, line) =>
+        SingerMessage.decode(line).collect {
           case SingerMessage.Schema(s, js, kp) => RawMsg("SCHEMA", s, js, kp, seq)
-          case SingerMessage.Record(s, r)      => RawMsg("RECORD", s, r, Nil, seq)
           case SingerMessage.State(v)          => RawMsg("STATE", "", v, Nil, seq)
           case SingerMessage.ActivateVersion(s, v) =>
             RawMsg("ACTIVATE_VERSION", s, v.toString, Nil, seq)
         }
-      })).cache() // one decode of the feed serves control, STATE, and records
-
-    // Control plane: SCHEMA/ACTIVATE_VERSION are bounded by the stream count
-    // (one-ish each per stream) so the driver collect is O(streams); STATE —
-    // which a tap may legally emit per record — is reduced distributed-side
-    // to the single final checkpoint before anything reaches the driver.
-    val control = msgs
-      .filter($"mtype" === "SCHEMA" || $"mtype" === "ACTIVATE_VERSION")
-      .collect().sortBy(_.seq)
-    // Scale mode: only the final checkpoint is meaningful after a batch load
-    // and the reduction is distributed-side (a tap may legally emit STATE per
-    // record — O(1) driver memory). Strict mode reproduces SDK cadence and
-    // echoes EVERY checkpoint in input order (test-scale only, like the mode
-    // itself).
-    val statesToEcho: Seq[String] =
-      if (strictBatches)
-        msgs.filter($"mtype" === "STATE").orderBy("seq").collect()
-          .map(_.payload).toSeq
-      else
-        msgs.filter($"mtype" === "STATE")
-          .orderBy(desc("seq")).limit(1).collect().map(_.payload).toSeq
+      })
+    // Strict mode reproduces SDK cadence — EVERY checkpoint echoed in input
+    // order (test-scale only, like the mode itself). Scale mode reduces
+    // STATE per partition before collecting: each task forwards its
+    // SCHEMA/ACTIVATE_VERSION messages (one-ish per stream) plus only its
+    // LAST checkpoint, so the driver receives O(partitions + streams) rows
+    // from a feed that may carry STATE per record — one narrow job, no
+    // shuffle stage.
+    val (control: Seq[RawMsg], statesToEcho: Seq[String]) =
+      if (strictBatches) {
+        val all = ctl.collect().sortBy(_.seq).toSeq
+        (all.filterNot(_.mtype == "STATE"),
+          all.filter(_.mtype == "STATE").map(_.payload))
+      } else {
+        val collected = ctl.mapPartitions { it =>
+          val keep = scala.collection.mutable.ArrayBuffer.empty[RawMsg]
+          var lastState: RawMsg = null
+          it.foreach { m =>
+            if (m.mtype == "STATE") {
+              if (lastState == null || m.seq > lastState.seq) lastState = m
+            } else keep += m
+          }
+          (if (lastState == null) keep else keep += lastState).iterator
+        }.collect()
+        (collected.filterNot(_.mtype == "STATE").sortBy(_.seq).toSeq,
+          collected.filter(_.mtype == "STATE").sortBy(_.seq)
+            .lastOption.map(_.payload).toSeq)
+      }
     // SDK drain-then-switch semantics (SURVEY §3.1): each RECORD is typed
     // under the schema most recently declared BEFORE it, so a stream's feed
     // splits into one segment per SCHEMA message (almost always one). The
@@ -113,8 +161,7 @@ final class BatchLoader(
         s -> v.toLong
       }.toMap // last version wins
 
-    val records = msgs.filter($"mtype" === "RECORD").cache()
-    try {
+    {
       val perStream = segments.toSeq.map { case (stream, segs) =>
         val version = activatedVersions.get(stream)
         val target = streamMaps.get(stream).flatMap(_.alias).getOrElse(stream)
@@ -128,8 +175,8 @@ final class BatchLoader(
           // scan. Streams with no SCHEMA at all remain the documented drop
           // divergence.
           val lowerBound = if (i == 0) Long.MinValue else seg.fromSeq
-          val segRecs = records.filter($"stream" === stream &&
-            $"seq" > lowerBound && $"seq" < seg.untilSeq)
+          val segRecs = recordsOf(scan(), stream)
+            .filter(col(SeqCol) > lowerBound && col(SeqCol) < seg.untilSeq)
           val rejectBefore = if (i == 0) seg.fromSeq else Long.MinValue
           val typed = typedRows(segRecs, seg.schema, version, rejectBefore)
           val mapped = applyTransforms(stream, typed.valid)
@@ -175,7 +222,64 @@ final class BatchLoader(
       LoadReport(counts.map { case (t, (n, _)) => t -> n },
         statesToEcho,
         counts.map { case (t, (_, r)) => t -> r })
-    } finally { records.unpersist(); msgs.unpersist() }
+    }
+  }
+
+  /** One stream's RECORD payloads out of a raw feed scan, fully declarative:
+    * a cheap contains() prefilter skips non-RECORD lines without a JSON
+    * parse, then ONE `json_tuple` pass classifies and extracts the `record`
+    * subtree as text for [[typedRows]]' validating `from_json`. Both steps
+    * ride whichever job consumes the result (the write job) — no
+    * materialization. A line whose `record` is not a JSON object lands in
+    * `from_json`'s corrupt-record column downstream, i.e. rejected and
+    * counted (B2's superset of the old drop-at-decode behavior). */
+  private def recordsOf(feed: DataFrame, stream: String): DataFrame =
+    feed
+      .filter(col("line").contains("\"RECORD\""))
+      .select(col(SeqCol), json_tuple(col("line"), "type", "stream", "record")
+        .as(Seq("_graft_mtype", "_graft_stream", "payload")))
+      .filter(col("_graft_mtype") === "RECORD" &&
+        col("_graft_stream") === stream)
+      .select(col(SeqCol), col("payload"))
+
+  /** (seq, line) scan of Singer JSONL files with `seq` = (file index, byte
+    * offset): the offset is the `LineRecordReader` key — computed while
+    * reading, never by a separate count job. Bit split: 2^[[BatchLoader
+    * .FileBits]] files x 2^[[BatchLoader.OffsetBits]] bytes (16 TiB) each. */
+  private def offsetLines(paths: Seq[String]): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    val conf = spark.sessionState.newHadoopConf()
+    val files = graft.sources.SingerSourceUtil.listFiles(paths, conf)
+      .map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no input files found under: ${paths.mkString(",")}")
+    require(files.length < (1 << FileBits),
+      s"loadPaths supports < ${1 << FileBits} files, got ${files.length}")
+    require(files.forall(!_.contains(",")),
+      "input paths must not contain ',' (Hadoop path-list separator)")
+    val compressed = files.filter(f => Seq(".gz", ".bz2", ".zst", ".lz4",
+      ".snappy", ".deflate").exists(f.endsWith))
+    require(compressed.isEmpty,
+      s"loadPaths requires uncompressed text (exact line offsets): $compressed")
+    val fileIdx: Map[String, Long] =
+      files.zipWithIndex.map { case (f, i) => f -> i.toLong }.toMap
+    val rows = spark.sparkContext
+      .newAPIHadoopFile(files.mkString(","), classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text])
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit({ (split, iter) =>
+        val path = split.asInstanceOf[FileSplit].getPath.toString
+        val fi = fileIdx.getOrElse(path, throw new IllegalStateException(
+          s"split path $path not in driver listing ${fileIdx.keys}"))
+        iter.map { case (off, text) =>
+          val o = off.get // Writables are reused per record: read them NOW
+          require(o >>> OffsetBits == 0,
+            s"file exceeds ${1L << OffsetBits} bytes (seq encoding): $path")
+          ((fi << OffsetBits) | o, text.toString)
+        }
+      }, preservesPartitioning = false)
+    import spark.implicits._
+    rows.toDF(SeqCol, "line")
   }
 
   /** RECORD payloads -> typed rows under the declared schema, with full B2
@@ -191,7 +295,7 @@ final class BatchLoader(
     * [[Typed.rejectedExact]] is the test-scale fallback (one extra parse).
     * The full six `_sdc_*` metadata columns are appended when
     * `addRecordMetadata` (reference config `target.py:16`, SDK B5). */
-  private def typedRows(recs: Dataset[RawMsg], schema: StructType,
+  private def typedRows(recs: DataFrame, schema: StructType,
                         version: Option[Long],
                         rejectBefore: Long = Long.MinValue): Typed = {
     val corruptCol = "_graft_corrupt_record"
@@ -203,7 +307,7 @@ final class BatchLoader(
         s"stream schema may not declare the reserved column $reserved")
     }
     val schemaC = StructType(schema.fields :+ StructField(corruptCol, StringType))
-    val parsedAll = recs.select(col("seq").as(SeqCol),
+    val parsedAll = recs.select(col(SeqCol),
       from_json(col("payload"), schemaC,
         Map("columnNameOfCorruptRecord" -> corruptCol, "mode" -> "PERMISSIVE"))
         .as("r"))
@@ -353,6 +457,12 @@ object BatchLoader {
     * collide with legal Singer field names (which "seq"/"__batch" could). */
   private[lake] val SeqCol = "_graft_seq"
   private[lake] val BatchCol = "_graft_batch"
+
+  /** `seq` bit split for [[BatchLoader.loadPaths]]: file index (sorted
+    * listing order) in the high [[FileBits]] bits, line byte offset in the
+    * low [[OffsetBits]] — 2^19 files x 16 TiB each, ordered like the feed. */
+  private[lake] val OffsetBits = 44
+  private[lake] val FileBits = 19
 
   /** Build from a validated [[TargetConfig]] (CLI path) — the ONE place
     * config fields map onto loader parameters; the CLI passes only the

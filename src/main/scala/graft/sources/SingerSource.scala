@@ -68,7 +68,7 @@ class SingerDataSource extends TableProvider
       new CaseInsensitiveStringMap(properties))
 }
 
-private[sources] object SingerSourceUtil {
+private[graft] object SingerSourceUtil {
   /** Recursive nullable-forcing (StructType.asNullable is private[spark]). */
   def forceNullable(st: StructType): StructType =
     StructType(st.fields.map { f =>
@@ -90,7 +90,14 @@ private[sources] object SingerSourceUtil {
       .orElse(Option(options.get("path")).map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException(
         "singer source requires a path"))
-    val conf = hadoopConf()
+    listFiles(raw, hadoopConf())
+  }
+
+  /** Path/dir/glob strings -> data-file statuses (shared with the load
+    * path's [[graft.lake.BatchLoader.loadPaths]], which needs the same
+    * listing discipline outside a DSv2 scan). */
+  def listFiles(raw: Seq[String],
+                conf: Configuration): Seq[org.apache.hadoop.fs.FileStatus] =
     raw.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
@@ -103,7 +110,6 @@ private[sources] object SingerSourceUtil {
         .filterNot(st => st.getPath.getName.startsWith("_") ||
           st.getPath.getName.startsWith("."))
     }
-  }
 
   def paths(options: CaseInsensitiveStringMap): Seq[Path] =
     listFiles(options).map(_.getPath)

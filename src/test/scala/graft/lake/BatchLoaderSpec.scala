@@ -217,10 +217,12 @@ class BatchLoaderSpec extends AnyFunSuite {
       val report = loader.load(spark.createDataset(lines))
       assert(report.rowsPerStream("ev") == 20L)
       Thread.sleep(500) // let async listener events drain
-      // jobs: cache-fill of the control/record split + the single write job;
-      // the point is no dedicated count() job over the parsed rows (which
-      // would add one more). Allow the collects but cap the total.
-      assert(scans <= 5, s"too many jobs for one stream: $scans")
+      // exactly two passes over the feed for a one-stream load: the
+      // control-plane aggregation job and the write job (row + reject counts
+      // ride it via observe) — no counting pre-pass, no cache fill, no
+      // count(). The third allowed job is ensureTable's empty CREATE TABLE
+      // write (0 rows, not a feed scan).
+      assert(scans <= 3, s"too many jobs for one stream: $scans")
     } finally spark.sparkContext.removeSparkListener(listener)
     cat.dropNamespace(ns)
   }

@@ -95,6 +95,70 @@ class LoadPathRegressionSpec extends AnyFunSuite {
     assert(spark.table(s"`$ns`.t").count() == 3)
   }
 
+  test("load path is cache-free: no InMemoryRelation in the write plan, no persisted RDDs") {
+    val ns = freshNs()
+    var cachedPlans = 0
+    var persistedDuringWrite = -1
+    val cat = new SessionLakeCatalog(spark) {
+      override def append(n: String, t: String, df: org.apache.spark.sql.DataFrame,
+                          options: Map[String, String]): Unit = {
+        cachedPlans += df.queryExecution.optimizedPlan.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+        }.size
+        persistedDuringWrite = spark.sparkContext.getPersistentRDDs.size
+        super.append(n, t, df, options)
+      }
+    }
+    val loader = new BatchLoader(spark, cat, ns)
+    val feed = Seq(
+      """{"type":"SCHEMA","stream":"s","schema":{"properties":{"id":{"type":["integer","null"]}}}}""") ++
+      (1 to 50).map(i => s"""{"type":"RECORD","stream":"s","record":{"id":$i}}""")
+    val report = loader.load(feed.toDS())
+    assert(report.rowsPerStream == Map("s" -> 50L))
+    assert(cachedPlans == 0, "write plan must re-scan the source, not a cache")
+    assert(persistedDuringWrite == 0,
+      "no RDD may be persisted while the write job runs (100 TB would spill)")
+  }
+
+  test("loadPaths orders by (file, byte offset): cross-file SCHEMA-before-RECORD holds") {
+    val ns = freshNs()
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp")
+    // file order is the sorted listing: a.jsonl then b.jsonl. The SCHEMA sits
+    // at the END of a.jsonl — records in b.jsonl must still type under it,
+    // while the record EARLIER in a.jsonl (lower byte offset) is rejected.
+    java.nio.file.Files.write(dir.resolve("a.jsonl"), java.util.List.of(
+      """{"type":"RECORD","stream":"s","record":{"id":1}}""",
+      """{"type":"SCHEMA","stream":"s","schema":{"properties":{"id":{"type":["integer","null"]}}}}"""))
+    java.nio.file.Files.write(dir.resolve("b.jsonl"), java.util.List.of(
+      """{"type":"RECORD","stream":"s","record":{"id":2}}""",
+      """{"type":"RECORD","stream":"s","record":{"id":3}}"""))
+    val loader = new BatchLoader(spark, new SessionLakeCatalog(spark), ns)
+    val report = loader.loadPaths(Seq(dir.toString))
+    assert(report.rowsPerStream == Map("s" -> 2L))
+    assert(report.rejectedPerStream == Map("s" -> 1L))
+    assert(spark.table(s"`$ns`.s").collect().map(_.getAs[Long]("id")).sorted
+      .sameElements(Array(2L, 3L)))
+  }
+
+  test("loadPaths drain-then-switch segments split at in-file byte offsets") {
+    val ns = freshNs()
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp2")
+    java.nio.file.Files.write(dir.resolve("feed.jsonl"), java.util.List.of(
+      """{"type":"SCHEMA","stream":"s","schema":{"properties":{"id":{"type":["integer"]},"v":{"type":["number","null"]}}}}""",
+      """{"type":"RECORD","stream":"s","record":{"id":1,"v":1.5}}""",
+      """{"type":"SCHEMA","stream":"s","schema":{"properties":{"id":{"type":["integer"]}}}}""",
+      """{"type":"RECORD","stream":"s","record":{"id":2,"v":9.9}}""",
+      """{"type":"STATE","value":{"done":1}}"""))
+    val loader = new BatchLoader(spark, new SessionLakeCatalog(spark), ns)
+    val report = loader.loadPaths(Seq(dir.resolve("feed.jsonl").toString))
+    assert(report.rowsPerStream == Map("s" -> 2L))
+    assert(report.statesToEcho == Seq("""{"done":1}"""))
+    val back = spark.table(s"`$ns`.s").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("v")))).toMap
+    assert(back(1L).contains(1.5), "pre-switch record must keep v")
+    assert(back(2L).isEmpty, "post-switch record must drop undeclared v")
+  }
+
   test("ACTIVATE_VERSION with no SCHEMA in the feed still truncates the table") {
     val ns = freshNs()
     val loader = new BatchLoader(spark, new SessionLakeCatalog(spark), ns)
