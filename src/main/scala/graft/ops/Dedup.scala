@@ -339,14 +339,48 @@ object Dedup {
     * for the low-diameter graphs LSH emits (see [[MaxCcIterations]]).
     * Convergence is detected by an `observe` metric riding each round's
     * own checkpoint job (see [[dupLabels]]) — no separate probe pass. */
-  def q70DupClusters(s: SparkSession, d: String): DataFrame = {
-    val labels = dupLabels(s, d)
+  def q70DupClusters(s: SparkSession, d: String): DataFrame =
+    clustersOf(dupLabels(s, d))
+
+  /** q70's report shape over ANY (id, label) assignment — the consumer face
+    * for a [[clustersTable]] materialization or a memoized [[dupLabels]]. */
+  def clustersOf(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"), (col("id") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
   }
+
+  /** Materialize the converged dup-cluster assignment ONCE as a lake table
+    * and return the read-back — the production fan-out shape: label
+    * propagation is the expensive step (a join+agg per round), and four
+    * consumers re-deriving it (clusters report, leakage-safe split, balance
+    * monitor, survivor selection) would quadruple it. Write it, then feed
+    * [[clustersOf]]/[[splitSummaryOf]]/[[splitBalanceOf]]/[[survivorsOf]]
+    * from the returned table (or any later session's
+    * `catalog.load(ns, table)`). Overwrite semantics: re-materializing after
+    * a corpus refresh replaces the assignment atomically. */
+  def clustersTable(s: SparkSession, d: String,
+                    catalog: graft.lake.LakeCatalog, namespace: String,
+                    table: String = "dup_clusters"): DataFrame = {
+    val labels = dupLabels(s, d)
+    catalog.ensureTable(namespace, table, labels.schema, Nil)
+    catalog.overwrite(namespace, table, labels)
+    catalog.load(namespace, table)
+  }
+
+  /** q80's summary over a precomputed labels assignment. */
+  def splitSummaryOf(s: SparkSession, d: String, labels: DataFrame): DataFrame =
+    splitSummary(splitAssignedWith(s, d, labels))
+
+  /** q107's balance monitor over a precomputed labels assignment. */
+  def splitBalanceOf(s: SparkSession, d: String, labels: DataFrame): DataFrame =
+    splitBalance(splitAssignedWith(s, d, labels))
+
+  /** q94's survivor selection over a precomputed labels assignment. */
+  def survivorsOf(s: SparkSession, d: String, labels: DataFrame): DataFrame =
+    survivors(s, d, labels)
 
   /** Converged (doc -> component-min-label) assignment for every doc that
     * appears in at least one LSH candidate pair — the label-propagation
@@ -357,7 +391,33 @@ object Dedup {
     * is counted by an `observe` metric riding that same job (the
     * BatchLoader reject-count pattern) — no separate convergence probe, no
     * second pass over the frontier. */
-  private[ops] def dupLabels(s: SparkSession, d: String): DataFrame = {
+  private[ops] def dupLabels(s: SparkSession, d: String): DataFrame =
+    labelCache.synchronized {
+      labelCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, computeDupLabels(s, d))
+    }
+
+  /** One converged assignment per (session, corpus dir): the propagation
+    * result is a localCheckpoint'ed fixpoint, so its DataFrame is safely
+    * re-consumable within the session — q70/q80/q94/q107 in one run share
+    * ONE propagation instead of four (the in-session analog of
+    * [[clustersTable]]'s cross-session materialization). Keyed weakly by
+    * session so a stopped session's blocks are collectable; a corpus
+    * rewritten in place mid-session needs [[invalidateClusterCache]]. */
+  private val labelCache =
+    new scala.collection.mutable.WeakHashMap[
+      SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+
+  /** Drop memoized cluster assignments (all sessions) — for corpus refresh
+    * within a live session. */
+  def invalidateClusterCache(): Unit =
+    labelCache.synchronized { labelCache.clear() }
+
+  /** Test hook: how many label propagations have actually run. */
+  private[ops] val propagationRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private def computeDupLabels(s: SparkSession, d: String): DataFrame = {
+    propagationRuns.incrementAndGet()
     val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -409,15 +469,22 @@ object Dedup {
     * (split sizes) and q107 (balance monitor) so the monitor can never
     * measure a different split than q80 produces. */
   private[ops] def splitAssigned(s: SparkSession, d: String): DataFrame =
+    splitAssignedWith(s, d, dupLabels(s, d))
+
+  private[ops] def splitAssignedWith(s: SparkSession, d: String,
+                                     labels: DataFrame): DataFrame =
     documents(s, d).select(col("doc_id"), col("lang"))
-      .join(dupLabels(s, d).withColumnRenamed("id", "doc_id"),
+      .join(labels.withColumnRenamed("id", "doc_id"),
         Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
       .withColumn("split",
         TextOps.splitName(TextOps.splitBucket("cluster_id")))
 
   def q80LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
-    splitAssigned(s, d)
+    splitSummary(splitAssigned(s, d))
+
+  private def splitSummary(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("cluster_id").as("n_clusters"))
@@ -439,8 +506,11 @@ object Dedup {
     * `sl` over splits IS the corpus lang count) and broadcast into the
     * final projection; integer ppm math keeps both engines
     * bit-identical. */
-  def q107SplitBalance(s: SparkSession, d: String): DataFrame = {
-    val sl = splitAssigned(s, d)
+  def q107SplitBalance(s: SparkSession, d: String): DataFrame =
+    splitBalance(splitAssigned(s, d))
+
+  private def splitBalance(assigned: DataFrame): DataFrame = {
+    val sl = assigned
       .groupBy("split", "lang").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // dozens of rows; three consumers below
     val st = sl.groupBy("split").agg(sum("n").as("n_split"))
@@ -496,11 +566,15 @@ object Dedup {
     * (ttr, -doc_id) ordering struct — map-side partial, no window sort,
     * no per-cluster row buffering). Output is one row per multi-doc
     * cluster: bounded by the duplicate count, not the corpus. */
-  def q94DedupSurvivors(s: SparkSession, d: String): DataFrame = {
+  def q94DedupSurvivors(s: SparkSession, d: String): DataFrame =
+    survivors(s, d, dupLabels(s, d))
+
+  private def survivors(s: SparkSession, d: String,
+                        labels: DataFrame): DataFrame = {
     val ttr = documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), TextOps.ttrFromTokens(col("t")).as("ttr"))
-    dupLabels(s, d)
+    labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .join(ttr, "doc_id")
       .groupBy("cluster_id")
