@@ -1,40 +1,34 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
 
 /** The spark.sql.extensions deployment route must resolve the native
   * functions without any imperative registration call.
   *
-  * Extensions apply only when a session is BUILT, so this spec asserts only
-  * when it gets to create the JVM's first session (and leaves it running —
-  * stopping the shared SparkContext breaks every later suite; TestSpark's
-  * getOrCreate then layers its runtime confs on top). When another suite won
-  * the race the check is covered by the spark-submit drive in
-  * `.claude/skills/verify` instead. */
+  * Extensions apply only when a session is BUILT, and the shared suite
+  * session usually exists before this spec runs — so the check forks a
+  * fresh JVM (same classpath + JVM flags as this forked test JVM) where
+  * [[ExtensionsProbe]] owns the first session. Deterministic: no
+  * first-session race, no self-cancel. */
 class GraftExtensionsSpec extends AnyFunSuite {
   test("extensions-configured session resolves the injected functions") {
-    assume(SparkSession.getActiveSession.isEmpty &&
-      SparkSession.getDefaultSession.isEmpty,
-      "a shared session already exists; extensions only apply at build time")
-    val wh = java.nio.file.Files.createTempDirectory("graft-ext-wh").toString
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    val r = s.sql(
-      "SELECT size(shingle_minhash('a b c d')) AS n, token_simhash('x y') AS sh").head()
-    assert(r.getAs[Int]("n") == graft.ops.Dedup.NumHashes)
-    assert(!r.isNullAt(1))
-    val r5 = s.sql("SELECT dhash64(encode('abcdef', 'UTF-8')) AS dh, " +
-      "anchor_fingerprints('some text long enough for a window') AS af").head()
-    assert(r5.getLong(0) ==
-      graft.functions.DHash64.hash("abcdef".getBytes("UTF-8")))
-    assert(!r5.isNullAt(1))
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    // the sbt-forked test JVM carries the add-opens/conf flags Spark needs;
+    // hand the probe the same set
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.ExtensionsProbe")
+    val pb = new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+      "extensions probe timed out")
+    assert(p.exitValue() == 0 && out.contains("EXT_OK"),
+      s"extensions probe failed (exit ${p.exitValue()}):\n" +
+        out.linesIterator.toSeq.takeRight(30).mkString("\n"))
   }
 }
