@@ -181,11 +181,17 @@ object Multimodal {
     * other payloads collide with it in at least one chunk, and the closest
     * Hamming distance among them (pigeonhole: any true near-dup at
     * Hamming <= [[MaxPhashHamming]] MUST appear as a bucket-mate, so
-    * `is_near_dup` is exact) — rather than the bare pair list, which is
-    * legitimately empty on a corpus with no perceptually-identical
-    * payloads. Like q35/q50, the whole pipeline is hash-checked end-to-end
-    * by a DuckDB oracle that recomputes the dHash via byte arithmetic on
-    * the ASCII corpus (byte == codepoint). */
+    * `is_near_dup` is exact up to the bucket cap) — rather than the bare
+    * pair list, which is legitimately empty on a corpus with no
+    * perceptually-identical payloads. The [[Dedup.DefaultMaxBucket]] cap is
+    * a semantic choice MIRRORED IN THE ORACLE (keep CTE + the same
+    * smallest-shared-chunk cascade): a pair whose first hash-agreeing chunk
+    * sits in an oversize bucket — a degenerate collision floor, the q98
+    * stop-anchor analog — is dropped by BOTH engines, so the exactness
+    * claim is scoped to sub-cap buckets rather than silently diverging.
+    * Like q35/q50, the whole pipeline is hash-checked end-to-end by a
+    * DuckDB oracle that recomputes the dHash via byte arithmetic on the
+    * ASCII corpus (byte == codepoint). */
   def q96PhashNearDup(s: SparkSession, d: String): DataFrame = {
     // checkpointed: (doc_id, ph) is ~16 B/doc, while re-deriving it for the
     // trailing left join would re-read and re-hash every payload — at
@@ -250,11 +256,26 @@ object Multimodal {
       h AS (SELECT doc_id, bit_or(bv) AS ph FROM bits GROUP BY doc_id),
       chunks AS (SELECT doc_id, ph, j.j AS chunk, (ph >> (16 * j.j)) & 65535 AS ckey
                  FROM h, (SELECT unnest(generate_series(0, 3)) AS j) j),
+      -- mirror the engine's Dedup.DefaultMaxBucket cap: oversize (chunk,
+      -- ckey) buckets are boilerplate collisions, dropped BEFORE the join
+      keep AS (SELECT chunk, ckey FROM chunks GROUP BY chunk, ckey
+               HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      kchunks AS (SELECT c.* FROM chunks c JOIN keep USING (chunk, ckey)),
+      -- mirror the engine's smallest-shared-chunk cascade (no DISTINCT):
+      -- a pair survives only at the first chunk where its hashes agree,
+      -- so a capped chunk-0 bucket suppresses the pair entirely — exactly
+      -- the engine's semantics, not an approximation of them
       mates AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.ph, b.ph))::BIGINT AS ham
-        FROM chunks a JOIN chunks b
-          ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id != b.doc_id),
+        FROM kchunks a JOIN kchunks b
+          ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id != b.doc_id
+        WHERE a.chunk = 0 OR (
+          (a.ph & 65535) != (b.ph & 65535) AND (
+            a.chunk = 1 OR (
+              ((a.ph >> 16) & 65535) != ((b.ph >> 16) & 65535) AND (
+                a.chunk = 2 OR
+                ((a.ph >> 32) & 65535) != ((b.ph >> 32) & 65535)))))),
       agg AS (SELECT id_a, count(*) AS nm, min(ham) AS mh
               FROM mates GROUP BY id_a)
       SELECT h.doc_id, h.ph, coalesce(a.nm, 0) AS n_bucket_mates,

@@ -135,10 +135,16 @@ object Skew {
     * removes Bloom false positives), so the DuckDB oracle IS the plain
     * join: a hash/probe/bitmap bug surfaces as a hash mismatch. */
   def q95BloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    // checkpointed: `dim` feeds BOTH the Bloom build and the exact join, and
+    // without pinning it each consumer re-runs the orders scan + filter (the
+    // q96 `hashed` lesson) — the filtered projection is the small side by
+    // construction, so materializing it is bounded while the avoided rework
+    // is a second full orders scan at production scale
     val dim = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT" &&
         year(col("o_orderdate")) === 1995)
       .select("o_orderkey", "o_orderdate")
+      .localCheckpoint(true)
     val fact = Tables.lineitem(s, d)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     bloomPrefilter(dim, "o_orderkey", fact, "l_orderkey")
