@@ -147,51 +147,68 @@ object Similarity {
     * both top-k relations are queries×k rows, so the compare joins are
     * trivially small. */
   def q105AnnRecall(s: SparkSession, d: String): DataFrame = {
+    // checkpointed: queries x k rows, consumed by BOTH tier compares — the
+    // exact brute pass is the expensive half of the monitor and must not
+    // run once per tier
     val truth = bruteTopK(s, d, LshK).select("q_id", "neighbor_id")
-    val approx = q26KnnLsh(s, d).select("q_id", "neighbor_id")
-    val hits = truth.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
-    // the query SET comes from the sampled queries themselves, not from
-    // truth rows — a query with zero hits (or even zero candidates) still
-    // reports its row
-    emb(s, d).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"))
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        lit(LshK.toLong).as("k"),
-        round(coalesce(col("n_hit"), lit(0L)) / lit(LshK), 4).as("recall"))
-      .orderBy("q_id")
+      .localCheckpoint(true)
+    def tier(name: String, approx: DataFrame): DataFrame = {
+      val hits = truth
+        .join(approx.select("q_id", "neighbor_id"),
+          Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      // the query SET comes from the sampled queries themselves, not from
+      // truth rows — a query with zero hits (or even zero candidates) still
+      // reports its row
+      emb(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(lit(name).as("tier"), col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          lit(LshK.toLong).as("k"),
+          round(coalesce(col("n_hit"), lit(0L)) / lit(LshK), 4).as("recall"))
+    }
+    // both ANN tiers against ONE ground truth at matched k: the monitor
+    // that catches a silently-degrading index also says which index to
+    // serve (IVF probes 2/8 cells; LSH probes 7/64 buckets — comparable
+    // candidate budgets on this corpus)
+    tier("ivf", knnIvf(s, d, LshK))
+      .unionAll(tier("lsh", q26KnnLsh(s, d)))
+      .orderBy("tier", "q_id")
   }
 
-  val NumCentroids = 16 // IVF codebook size for the test corpus
   val NumProbes = 2     // cells searched per query (recall/cost dial)
   val IvfK = 3          // neighbors per query (IVF tier)
 
-  /** IVF codebook: the first [[NumCentroids]] corpus vectors — a
-    * deterministic, oracle-reproducible stand-in for a k-means codebook
-    * (production would train centroids on a sample; the operator shape is
-    * identical). Collected once per query build: K x 64 doubles of bounded
-    * control-plane data, the same class as the literal [[hyperplanes]]. */
-  private def centroids(s: SparkSession, d: String): Array[(Long, Array[Double])] =
-    emb(s, d).filter(col("vec_id") < NumCentroids).collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Float](1).map(_.toDouble).toArray))
-      .sortBy(_._1)
+  /** IVF codebook: the CONVERGED k-means centroids ([[kmeansFit]] — the
+    * same Lloyd's fit q85 ships), mapped from the quantized grid back to
+    * embedding space; cell ids are the surviving seed labels, so cells are
+    * stable across consumers. Training the index on the actual fit (rather
+    * than grabbing the first K corpus vectors) is what makes cell
+    * populations track the data's real density at scale — arbitrary seeds
+    * leave hot cells that defeat the probe bound. Deterministic and
+    * oracle-reproducible: the oracle replays the same fixed-iteration
+    * Lloyd's chain. K x 64 doubles of bounded control-plane data, the same
+    * class as the literal [[hyperplanes]]. */
+  private def ivfCodebook(s: SparkSession, d: String): Array[(Long, Array[Double])] = {
+    val (labels, cents) = kmeansFit(s, d)
+    labels.zip(cents.map(_.map(x =>
+      (x - QuantOffset).toDouble / QuantScale)))
+  }
 
   /** C3 third tier: IVF (inverted-file) ANN — the cluster-probe family,
     * complementing the hash-bucket family of [[q26KnnLsh]]:
     *   1. every corpus vector is ASSIGNED to its nearest centroid in-row
-    *      (argmax over [[NumCentroids]] literal codebook cosines — a pure
-    *      projection, ZERO shuffle; the codebook rides the closure exactly
-    *      like the hyperplane table);
+    *      (argmax over the [[KMeansK]]-entry converged-codebook cosines — a
+    *      pure projection, ZERO shuffle; the codebook rides the closure
+    *      exactly like the hyperplane table);
     *   2. each query probes its [[NumProbes]] nearest cells (multi-probe
     *      recall dial, same idea as IVF nprobe);
     *   3. exact cosine top-k within the probed cells only — per-query work
     *      is O(corpus * nprobe / K) instead of O(corpus).
     * The probe join broadcasts the tiny query side and equi-joins on cell
     * id, so the corpus streams once with no shuffle at any size; at 1e9+
-    * vectors, raise NumCentroids ~ sqrt(corpus) and write the assigned
+    * vectors, raise [[KMeansK]] ~ sqrt(corpus) and write the assigned
     * corpus bucketed by cell ([[graft.lake.LakeCatalog.writeBucketed]]) to
     * amortize assignment across repeated query batches.
     *
@@ -199,8 +216,14 @@ object Similarity {
     * in-row max is over struct(s, -c_id) so lexicographic max = best score,
     * ties to the smallest centroid id (negating the LONG id, not the
     * double score, sidesteps -0.0 comparison hazards). */
-  def q53KnnIvf(s: SparkSession, d: String): DataFrame = {
-    val cents = centroids(s, d)
+  def q53KnnIvf(s: SparkSession, d: String): DataFrame =
+    knnIvf(s, d, IvfK)
+
+  /** The IVF pipeline at any k — [[q53KnnIvf]] serves [[IvfK]]; the q105
+    * recall monitor probes the same index at [[LshK]] to compare tiers at
+    * matched k. */
+  private[ops] def knnIvf(s: SparkSession, d: String, k: Int): DataFrame = {
+    val cents = ivfCodebook(s, d)
     def cellScores(v: String): Column = array(cents.toIndexedSeq.map { case (cid, vec) =>
       struct(
         round(call_function("vec_cosine", col(v), typedLit(vec.toSeq)), 6).as("s"),
@@ -218,7 +241,7 @@ object Similarity {
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           round(cosine("v", "qv"), 6).as("sim")),
-      IvfK)
+      k)
   }
 
   val NearDupCosine = 0.4
@@ -514,7 +537,28 @@ object Similarity {
     * declaratively. Clusters that lose all members drop out of the codebook
     * (labels keep their seed identity, so survivors' ids are stable).
     * Output: (vec_id, cluster, d2) with exact squared distances. */
-  def q85KMeans(s: SparkSession, d: String): DataFrame = {
+  /** The Lloyd's loop itself: (surviving seed labels, converged quantized
+    * centroids) after [[KMeansIters]] iterations. Memoized per (session,
+    * corpus dir) — the result is K x D longs of driver-side control plane,
+    * and FOUR operators consume it (q85's assignment, q93's purity, the
+    * q53 IVF codebook, q105's IVF tier), so one fit serves them all — the
+    * [[graft.ops.Dedup.dupLabels]] pattern. */
+  private[ops] def kmeansFit(s: SparkSession, d: String): (Array[Long], Array[Array[Long]]) =
+    kmeansCache.synchronized {
+      kmeansCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, computeKmeansFit(s, d))
+    }
+
+  private val kmeansCache =
+    new scala.collection.mutable.WeakHashMap[
+      SparkSession,
+      scala.collection.mutable.Map[String, (Array[Long], Array[Array[Long]])]]
+
+  /** Test hook: how many Lloyd's loops have actually run. */
+  private[ops] val kmeansFits = new java.util.concurrent.atomic.AtomicLong
+
+  private def computeKmeansFit(s: SparkSession, d: String): (Array[Long], Array[Array[Long]]) = {
+    kmeansFits.incrementAndGet()
     val q = quantized(s, d, QuantOffset)
     var labels: Array[Long] = (0 until KMeansK).map(_.toLong).toArray
     var cents: Array[Array[Long]] = seedCentroids(q)
@@ -538,6 +582,12 @@ object Similarity {
       }
       labels = present.map(labels(_))
     }
+    (labels, cents)
+  }
+
+  def q85KMeans(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d, QuantOffset)
+    val (labels, cents) = kmeansFit(s, d)
     val a = call_function("ivec_nearest", col("q"), centLit(cents))
     q.select(col("vec_id"), a.as("a"))
       .select(col("vec_id"),
@@ -612,7 +662,10 @@ object Similarity {
 
   /** Shared oracle CTEs: quantized grid + seed-codebook assignment. */
   private def kmeansSqlPrefix: String = s"""
-      WITH q AS (SELECT vec_id,
+      WITH $kmeansPrefixBody"""
+
+  private def kmeansPrefixBody: String = s"""
+      q AS (SELECT vec_id,
         list_transform(embedding, x -> round(x::DOUBLE * $QuantScale)::BIGINT + $QuantOffset) AS qv
         FROM embeddings),
       qe AS (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
@@ -629,9 +682,13 @@ object Similarity {
                FROM d1) t WHERE rn = 1)"""
 
   /** Full 2-iteration Lloyd's chain ending in `kfin` (vec_id, c, dd) —
-    * shared by the q85 output and q93's purity rollup. */
+    * shared by the q85 output, q93's purity rollup, and (via the converged
+    * `c2` centroids) the q53/q105 IVF codebook. */
   private def kmeansChainSql: String = s"""
-      $kmeansSqlPrefix,
+      WITH $kmeansChainBody"""
+
+  private def kmeansChainBody: String = s"""
+      $kmeansPrefixBody,
       c1 AS (SELECT a1.c, qe.dim, (sum(qe.v) // count(*))::BIGINT AS cv
              FROM a1 JOIN qe USING (vec_id) GROUP BY 1, 2),
       d2_ AS (SELECT qe.vec_id, c1.c, sum((qe.v - c1.cv) * (qe.v - c1.cv)) AS dd
@@ -648,6 +705,37 @@ object Similarity {
         SELECT vec_id, c, dd,
                row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
         FROM d3) t WHERE rn = 1)"""
+
+  /** IVF oracle CTEs over the converged codebook (`c2` from the k-means
+    * chain body) and an `e` CTE (vec_id, embedding as DOUBLE[]), ending in
+    * `iranked` — composed by the q53 oracle and the q105 IVF tier so both
+    * replay exactly the engine's trained index. */
+  private def ivfCtes: String = s"""
+      fc AS (SELECT c AS c_id,
+                    list((cv - $QuantOffset)::DOUBLE / $QuantScale ORDER BY dim) AS cv
+             FROM c2 GROUP BY c),
+      iscored AS (SELECT e.vec_id, e.v, f.c_id,
+                         round(list_cosine_similarity(e.v, f.cv), 6) AS s
+                  FROM e, fc f),
+      iasg AS (SELECT vec_id, v, c_id AS cell FROM (
+                 SELECT vec_id, v, c_id,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY s DESC, c_id) AS rn
+                 FROM iscored) t WHERE rn = 1),
+      iprobes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
+                    SELECT vec_id, v, c_id,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY s DESC, c_id) AS rn
+                    FROM iscored WHERE vec_id < $NumQueries) t
+                  WHERE rn <= $NumProbes),
+      icand AS (SELECT p.q_id, a.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(p.qv, a.v), 6) AS sim
+                FROM iprobes p JOIN iasg a
+                  ON a.cell = p.cell AND a.vec_id <> p.q_id),
+      iranked AS (SELECT q_id, neighbor_id, sim,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, neighbor_id) AS rnk
+                  FROM icand)"""
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q85_kmeans" -> ((q85KMeans _, s"""
@@ -756,7 +844,10 @@ object Similarity {
     "q26_knn_lsh" -> ((q26KnnLsh _, lshProbeSql)),
     "q105_ann_recall" -> ((q105AnnRecall _, s"""
       $lshProbeCtes,
+      $kmeansChainBody,
+      $ivfCtes,
       ltop AS (SELECT q_id, neighbor_id FROM ranked WHERE rnk <= $LshK),
+      itop AS (SELECT q_id, neighbor_id FROM iranked WHERE rnk <= $LshK),
       bsims AS (
         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
                round(list_cosine_similarity(c.v, q.v), 6) AS sim
@@ -770,15 +861,25 @@ object Similarity {
         FROM bsims
       ),
       btop AS (SELECT q_id, neighbor_id FROM branked WHERE rnk <= $LshK),
-      hits AS (
+      lhits AS (
         SELECT b.q_id, count(l.neighbor_id)::BIGINT AS n_hit
         FROM btop b LEFT JOIN ltop l
           ON l.q_id = b.q_id AND l.neighbor_id = b.neighbor_id
         GROUP BY b.q_id
+      ),
+      ihits AS (
+        SELECT b.q_id, count(i.neighbor_id)::BIGINT AS n_hit
+        FROM btop b LEFT JOIN itop i
+          ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.q_id
       )
-      SELECT q_id, n_hit, $LshK::BIGINT AS k,
-             round(n_hit::DOUBLE / $LshK, 4) AS recall
-      FROM hits ORDER BY q_id""")),
+      SELECT * FROM (
+        SELECT 'ivf' AS tier, q_id, n_hit, $LshK::BIGINT AS k,
+               round(n_hit::DOUBLE / $LshK, 4) AS recall FROM ihits
+        UNION ALL
+        SELECT 'lsh' AS tier, q_id, n_hit, $LshK::BIGINT AS k,
+               round(n_hit::DOUBLE / $LshK, 4) AS recall FROM lhits)
+      ORDER BY tier, q_id""")),
     "q49_knn_agg" -> ((q49KnnAgg _, s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sims AS (
@@ -815,36 +916,10 @@ object Similarity {
              true AS approx_ok
       FROM orders GROUP BY 1 ORDER BY 1""")),
     "q53_knn_ivf" -> ((q53KnnIvf _, s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
-      scored AS (
-        SELECT e.vec_id, e.v, c.c_id,
-               round(list_cosine_similarity(e.v, c.cv), 6) AS s
-        FROM e, cents c
-      ),
-      asg AS (
-        SELECT vec_id, v, c_id AS cell FROM (
-          SELECT vec_id, v, c_id,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
-          FROM scored) t WHERE rn = 1
-      ),
-      probes AS (
-        SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
-          SELECT vec_id, v, c_id,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
-          FROM scored WHERE vec_id < $NumQueries) t WHERE rn <= $NumProbes
-      ),
-      cand AS (
-        SELECT p.q_id, a.vec_id AS neighbor_id,
-               round(list_cosine_similarity(p.qv, a.v), 6) AS sim
-        FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.q_id
-      ),
-      ranked AS (
-        SELECT q_id, neighbor_id, sim,
-               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rnk
-        FROM cand
-      )
-      SELECT q_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= $IvfK
+      WITH $kmeansChainBody,
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      $ivfCtes
+      SELECT q_id, neighbor_id, sim, rnk FROM iranked WHERE rnk <= $IvfK
       ORDER BY q_id, rnk"""))
   )
 }

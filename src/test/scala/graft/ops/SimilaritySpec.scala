@@ -167,11 +167,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(3L) > 0 && out(3L) <= (2.0 / 255.0) / 2 + 1e-8)
   }
 
-  test("ann recall covers every query, bounded ratios, and the index works") {
+  test("ann recall covers every query per tier, bounded ratios, and both indexes work") {
     val rows = Similarity.q105AnnRecall(spark, sf).collect()
-    // every sampled query is present, hit or not
-    assert(rows.map(_.getAs[Long]("q_id")).sorted.toSeq ==
-      (0L until Similarity.NumQueries).toSeq)
+    val byTier = rows.groupBy(_.getAs[String]("tier"))
+    assert(byTier.keySet == Set("ivf", "lsh"))
+    // every sampled query is present in each tier, hit or not
+    byTier.values.foreach { trs =>
+      assert(trs.map(_.getAs[Long]("q_id")).sorted.toSeq ==
+        (0L until Similarity.NumQueries).toSeq)
+    }
     rows.foreach { r =>
       val (hit, k) = (r.getAs[Long]("n_hit"), r.getAs[Long]("k"))
       assert(k == Similarity.LshK)
@@ -180,7 +184,13 @@ class SimilaritySpec extends AnyFunSuite {
         BigDecimal(hit.toDouble / k)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    // a working index must recover at least one true neighbor somewhere
-    assert(rows.map(_.getAs[Long]("n_hit")).sum > 0)
+    def total(t: String): Long =
+      byTier(t).map(_.getAs[Long]("n_hit")).sum
+    // working indexes recover true neighbors, and the k-means-trained IVF
+    // tier must not trail the hash-bucket tier at matched k (the point of
+    // training the codebook on the actual fit)
+    assert(total("lsh") > 0)
+    assert(total("ivf") >= total("lsh"),
+      s"ivf=${total("ivf")} lsh=${total("lsh")}")
   }
 }
