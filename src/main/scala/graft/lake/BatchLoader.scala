@@ -2,7 +2,7 @@ package graft.lake
 
 import graft.singer.{SchemaConv, SingerMessage}
 import graft.xform.{StreamMapConfig, StreamMaps}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -306,7 +306,27 @@ final class BatchLoader(
       require(!schema.fieldNames.contains(reserved),
         s"stream schema may not declare the reserved column $reserved")
     }
-    val schemaC = StructType(schema.fields :+ StructField(corruptCol, StringType))
+    // `format: time` fields (micros-long + singer:format tag, SURVEY §7.4)
+    // arrive as Singer-native HH:mm:ss[.SSSSSS] strings — parse them as
+    // strings, then convert to micros in the same compiled projection;
+    // bare numbers (this engine's own representation) pass through as
+    // micros. An unparseable non-null time string is a B2 rejection.
+    val timeFields = schema.fields.filter(SchemaConv.isTimeField)
+      .map(_.name).toSet
+    val parseFields = schema.fields.map(f =>
+      if (timeFields(f.name)) f.copy(dataType = StringType) else f)
+    val schemaC = StructType(parseFields :+ StructField(corruptCol, StringType))
+    def fieldValue(f: StructField): Column = {
+      val raw = col(s"r.`${f.name}`")
+      if (!timeFields(f.name)) raw
+      else when(raw.rlike("^-?\\d+$"), raw.cast("long"))
+        .otherwise(when(raw.rlike(SchemaConv.TimePattern.pattern),
+          (substring(raw, 1, 2).cast("long") * 3600L +
+            substring(raw, 4, 2).cast("long") * 60L +
+            substring(raw, 7, 2).cast("long")) * 1000000L +
+            rpad(regexp_extract(raw, "\\.(\\d{1,6})$", 1), 6, "0")
+              .cast("long")))
+    }
     val parsedAll = recs.select(col(SeqCol),
       from_json(col("payload"), schemaC,
         Map("columnNameOfCorruptRecord" -> corruptCol, "mode" -> "PERMISSIVE"))
@@ -324,15 +344,21 @@ final class BatchLoader(
     val nonNullViolation = schema.fields.filterNot(_.nullable)
       .map(f => col(s"r.`${f.name}`").isNull)
       .reduceOption(_ || _).getOrElse(lit(false))
+    val timeViolation = schema.fields.filter(f => timeFields(f.name))
+      .map(f => col(s"r.`${f.name}`").isNotNull && fieldValue(f).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val isRejected = col("r").isNull || col(s"r.`$corruptCol`").isNotNull ||
-      nonNullViolation || col(SeqCol) < lit(rejectBefore)
+      nonNullViolation || timeViolation || col(SeqCol) < lit(rejectBefore)
     val rejMetric = s"graft_rejected_${java.util.UUID.randomUUID()}"
     val parsed = parsedAll
       .observe(rejMetric, coalesce(sum(when(isRejected, 1L).otherwise(0L)),
         lit(0L)).as("rejected"))
       .filter(!isRejected)
     val base = parsed.select(
-      (schema.fieldNames.toIndexedSeq.map(f => col(s"r.`$f`")) :+ col(SeqCol)): _*)
+      (schema.fields.toIndexedSeq.map { f =>
+        if (timeFields(f.name)) fieldValue(f).as(f.name, f.metadata)
+        else col(s"r.`${f.name}`")
+      } :+ col(SeqCol)): _*)
     val valid =
       if (!addRecordMetadata) base
       else base

@@ -32,6 +32,46 @@ object SchemaConv {
   private val mapper = new ObjectMapper()
   val FieldIdKey = "PARQUET:field_id"
 
+  /** Metadata key recording the Singer `format` that produced a field's
+    * Spark type when the mapping is lossy. Today only `"time"` is recorded
+    * (Spark has no time type, so micros-since-midnight land in LongType —
+    * SURVEY §7.4): the tag lets the Singer sink re-emit
+    * `{"type":"string","format":"time"}` with `HH:mm:ss[.SSSSSS]` values,
+    * closing the round-trip the bare LongType lost. */
+  val SingerFormatKey = "singer:format"
+
+  /** Does this field carry the `format: time` provenance tag? */
+  def isTimeField(f: StructField): Boolean =
+    f.dataType == LongType && f.metadata.contains(SingerFormatKey) &&
+      f.metadata.getString(SingerFormatKey) == "time"
+
+  /** `HH:mm:ss[.SSSSSS]` -> micros-since-midnight, or null when the text
+    * does not parse — the ONE definition of the Singer time-string value
+    * rule, shared by the DSv2 reader ([[graft.sources]]) and mirrored by
+    * the load path's column expression ([[graft.lake.BatchLoader]]). */
+  val TimePattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      "^([01]\\d|2[0-3]):([0-5]\\d):([0-5]\\d)(?:\\.(\\d{1,6}))?$")
+
+  def timeStringToMicros(s: String): java.lang.Long = {
+    val m = TimePattern.matcher(s)
+    if (!m.matches()) return null
+    val secs = m.group(1).toLong * 3600 + m.group(2).toLong * 60 +
+      m.group(3).toLong
+    val frac = Option(m.group(4)).map(f => (f + "0" * (6 - f.length)).toLong)
+      .getOrElse(0L)
+    java.lang.Long.valueOf(secs * 1000000L + frac)
+  }
+
+  /** Micros-since-midnight -> the canonical Singer time string (fraction
+    * printed only when nonzero, always 6 digits — re-parses exactly). */
+  def microsToTimeString(micros: Long): String = {
+    val t = java.time.LocalTime.ofNanoOfDay(micros * 1000L)
+    val base = f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+    val frac = micros % 1000000L
+    if (frac == 0L) base else f"$base.$frac%06d"
+  }
+
   /** Parse a JSON document (the `schema` object of a Singer SCHEMA message). */
   def parse(json: String): JsonNode = mapper.readTree(json)
 
@@ -69,9 +109,11 @@ object SchemaConv {
     else Seq(t.asText())
   }
 
-  /** One property -> Spark DataType + nullability. `level` counts struct
-    * nesting depth; string formats only apply at level 0 (iceberg.py:87). */
-  private[singer] def convertField(prop: JsonNode, level: Int): (DataType, Boolean) = {
+  /** One property -> Spark DataType + nullability + provenance metadata.
+    * `level` counts struct nesting depth; string formats only apply at
+    * level 0 (iceberg.py:87). */
+  private[singer] def convertField(prop: JsonNode,
+                                   level: Int): (DataType, Boolean, Metadata) = {
     val (types, anyOfFormat) =
       if (prop.has("anyOf")) processAnyOf(prop.get("anyOf"))
       else {
@@ -85,6 +127,7 @@ object SchemaConv {
       }
     val nullable = types.contains("null")
     val primary = types.find(_ != "null")
+    var md = Metadata.empty
     val dt: DataType = primary match {
       case Some("integer") => LongType
       case Some("number")  => DoubleType
@@ -94,7 +137,12 @@ object SchemaConv {
           case Some(f) if level == 0 =>
             f match {
               case "date" => DateType
-              case "time" => LongType // micros-since-midnight; SURVEY §7.4
+              case "time" =>
+                // micros-since-midnight (SURVEY §7.4) WITH the provenance
+                // tag, so writers can re-emit format:time (round-trip)
+                md = new MetadataBuilder()
+                  .putString(SingerFormatKey, "time").build()
+                LongType
               case _      => TimestampType // date-time and any other format
             }
           case _ => StringType
@@ -103,13 +151,13 @@ object SchemaConv {
         val items = prop.get("items")
         if (items == null) ArrayType(NullType, containsNull = true)
         else {
-          val (et, en) = convertField(items, level + 1)
+          val (et, en, _) = convertField(items, level + 1)
           ArrayType(et, containsNull = en)
         }
       case Some("object") => convertObject(prop, level + 1)
       case _              => NullType // unknown type (iceberg.py:57-58)
     }
-    (dt, nullable)
+    (dt, nullable, md)
   }
 
   private[singer] def convertObject(node: JsonNode, level: Int): StructType = {
@@ -119,8 +167,8 @@ object SchemaConv {
     // rebuilds a HashSet and scrambles declaration order, which field-id
     // assignment (A10: sequential ids in declaration order) depends on
     val fields = props.properties().asScala.iterator.map { e =>
-      val (dt, nullable) = convertField(e.getValue, level)
-      StructField(e.getKey, dt, nullable)
+      val (dt, nullable, md) = convertField(e.getValue, level)
+      StructField(e.getKey, dt, nullable, md)
     }.toSeq
     StructType(fields)
   }

@@ -130,7 +130,15 @@ private[sources] object SingerJson {
 
   def schemaJson(st: StructType): String = {
     val props = st.fields.map { f =>
-      str(f.name) + ":" + fieldSchema(f.dataType, f.nullable)
+      // a micros-long carrying the singer:format=time provenance tag
+      // ([[graft.singer.SchemaConv.SingerFormatKey]]) re-emits the Singer
+      // shape it came from — the type name survives the round-trip
+      val fs =
+        if (graft.singer.SchemaConv.isTimeField(f)) {
+          val ty = if (f.nullable) """["string","null"]""" else "\"string\""
+          s"""{"type":$ty,"format":"time"}"""
+        } else fieldSchema(f.dataType, f.nullable)
+      str(f.name) + ":" + fs
     }.mkString(",")
     s"""{"type":"object","properties":{$props}}"""
   }
@@ -179,7 +187,12 @@ private[sources] object SingerJson {
         if (!first) sb.append(',')
         first = false
         sb.append(str(f.name)).append(':')
-        appendValue(sb, row, i, f.dataType)
+        if (graft.singer.SchemaConv.isTimeField(f))
+          // the declared format is time -> the value must be a time string
+          sb.append('"')
+            .append(graft.singer.SchemaConv.microsToTimeString(row.getLong(i)))
+            .append('"')
+        else appendValue(sb, row, i, f.dataType)
       }
       i += 1
     }

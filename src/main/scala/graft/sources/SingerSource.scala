@@ -422,10 +422,23 @@ private[sources] object JsonRecordConverter {
     var i = 0
     while (i < schema.length) {
       val f = schema(i)
-      values(i) = conv(node.get(f.name), f.dataType)
+      values(i) =
+        if (SchemaConv.isTimeField(f)) convTime(node.get(f.name))
+        else conv(node.get(f.name), f.dataType)
       i += 1
     }
     new GenericInternalRow(values)
+  }
+
+  /** A `format: time` field (micros-long with the singer:format tag):
+    * Singer-native `HH:mm:ss[.SSSSSS]` strings parse to micros-since-
+    * midnight; bare numbers (this engine's own earlier representation)
+    * read as micros directly. */
+  private def convTime(n: JsonNode): Any = {
+    if (n == null || n.isNull) null
+    else if (n.isTextual) SchemaConv.timeStringToMicros(n.asText)
+    else if (n.canConvertToLong) n.asLong
+    else null
   }
 
   private def conv(n: JsonNode, dt: DataType): Any = {

@@ -327,6 +327,34 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("format:time values load as micros-since-midnight; bad times reject (B6/B2)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val sl = """{"type":"SCHEMA","stream":"tt","schema":{"properties":{
+      |"id":{"type":["integer"]},
+      |"at":{"type":["string","null"],"format":"time"}}}}"""
+      .stripMargin.replaceAll("\n", "")
+    val lines = Seq(sl,
+      """{"type":"RECORD","stream":"tt","record":{"id":1,"at":"12:34:56"}}""",
+      """{"type":"RECORD","stream":"tt","record":{"id":2,"at":"00:00:01.5"}}""",
+      // this engine's own micros representation round-trips too
+      """{"type":"RECORD","stream":"tt","record":{"id":3,"at":45296000000}}""",
+      """{"type":"RECORD","stream":"tt","record":{"id":4,"at":null}}""",
+      // unparseable non-null time -> B2 rejection, never a silent null
+      """{"type":"RECORD","stream":"tt","record":{"id":5,"at":"25:00:00"}}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream == Map("tt" -> 4L))
+    assert(report.rejectedPerStream == Map("tt" -> 1L))
+    val back = cat.load(ns, "tt").orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("at")))).toMap
+    assert(back(1L).contains((12 * 3600 + 34 * 60 + 56) * 1000000L))
+    assert(back(2L).contains(1500000L))
+    assert(back(3L).contains(45296000000L))
+    assert(back(4L).isEmpty)
+    cat.dropNamespace(ns)
+  }
+
   test("typed schema lands in the table (timestamps parsed per format)") {
     val ns = freshNs()
     val cat = new CountingCatalog

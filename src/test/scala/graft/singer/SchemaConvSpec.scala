@@ -34,6 +34,26 @@ class SchemaConvSpec extends AnyFunSuite {
     assert(field(st, "dt").dataType == TimestampType)
     assert(field(st, "d").dataType == DateType)
     assert(field(st, "t").dataType == LongType) // micros; SURVEY §7.4
+    // the lossy time mapping carries its provenance tag so writers can
+    // re-emit format:time (round-trip); the lossless mappings carry none
+    assert(SchemaConv.isTimeField(field(st, "t")))
+    assert(!field(st, "dt").metadata.contains(SchemaConv.SingerFormatKey))
+  }
+
+  test("time strings parse to micros and print back identically") {
+    assert(SchemaConv.timeStringToMicros("00:00:00") == 0L)
+    assert(SchemaConv.timeStringToMicros("12:34:56") ==
+      (12 * 3600 + 34 * 60 + 56) * 1000000L)
+    assert(SchemaConv.timeStringToMicros("23:59:59.25") ==
+      (23 * 3600 + 59 * 60 + 59) * 1000000L + 250000L)
+    assert(SchemaConv.timeStringToMicros("24:00:00") == null)
+    assert(SchemaConv.timeStringToMicros("9:00:00") == null)
+    assert(SchemaConv.timeStringToMicros("not a time") == null)
+    for (m <- Seq(0L, 1L, 250000L, 86399999999L,
+        (12 * 3600 + 34 * 60 + 56) * 1000000L)) {
+      assert(SchemaConv.timeStringToMicros(
+        SchemaConv.microsToTimeString(m)) == m, s"micros $m")
+    }
   }
 
   test("nested datetime demoted to string (format gated on level 0)") {

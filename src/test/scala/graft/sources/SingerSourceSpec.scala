@@ -181,6 +181,43 @@ class SingerSourceSpec extends AnyFunSuite {
       .load(dir).count() == 1)
   }
 
+  test("format:time round-trips: tagged micros-long -> time string -> tagged micros-long") {
+    val dir = Files.createTempDirectory("singer-time").toString
+    // a tap-authored feed with a format:time property and string values
+    Files.write(java.nio.file.Paths.get(dir, "feed.jsonl"), java.util.List.of(
+      """{"type":"SCHEMA","stream":"sh","schema":{"properties":{"id":{"type":["integer"]},"at":{"type":["string","null"],"format":"time"}}}}""",
+      """{"type":"RECORD","stream":"sh","record":{"id":1,"at":"12:34:56"}}""",
+      """{"type":"RECORD","stream":"sh","record":{"id":2,"at":"23:59:59.250000"}}""",
+      """{"type":"RECORD","stream":"sh","record":{"id":3,"at":null}}"""))
+    val read1 = spark.read.format("singer").option("stream", "sh").load(dir)
+    val atField = read1.schema("at")
+    assert(graft.singer.SchemaConv.isTimeField(atField),
+      "format:time must land as tagged micros-long")
+    val vals = read1.orderBy("id").collect()
+      .map(r => Option(r.get(r.fieldIndex("at"))))
+    assert(vals(0).contains((12 * 3600 + 34 * 60 + 56) * 1000000L))
+    assert(vals(1).contains((23 * 3600 + 59 * 60 + 59) * 1000000L + 250000L))
+    assert(vals(2).isEmpty)
+    // write back through the sink: the SCHEMA must re-declare format:time
+    // and the values must be time strings again
+    val out = Files.createTempDirectory("singer-time-out").toString
+    read1.write.format("singer").option("stream", "sh")
+      .mode("append").save(out)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .flatMap(f => Files.readAllLines(f).asScala).toSeq
+    val schemaLine = lines.find(_.contains("\"SCHEMA\"")).get
+    assert(schemaLine.contains("\"format\":\"time\""), schemaLine)
+    assert(lines.exists(_.contains("\"12:34:56\"")), lines.mkString("\n"))
+    assert(lines.exists(_.contains("\"23:59:59.250000\"")), lines.mkString("\n"))
+    // and the written feed reads back to the same tagged micros
+    val read2 = spark.read.format("singer").option("stream", "sh").load(out)
+    assert(graft.singer.SchemaConv.isTimeField(read2.schema("at")))
+    assert(read2.orderBy("id").collect().map(_.toSeq).toSeq ==
+      read1.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("integration: singer stream -> watermarked dedup -> memory sink") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("singer-e2e")
