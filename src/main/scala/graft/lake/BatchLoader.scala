@@ -104,7 +104,8 @@ final class BatchLoader(
     val ctl: Dataset[RawMsg] = scan()
       .filter(col("line").contains("\"SCHEMA\"") ||
         col("line").contains("\"STATE\"") ||
-        col("line").contains("\"ACTIVATE_VERSION\""))
+        col("line").contains("\"ACTIVATE_VERSION\"") ||
+        col("line").contains("\"BATCH\""))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (seq, line) =>
         SingerMessage.decode(line).collect {
@@ -112,6 +113,10 @@ final class BatchLoader(
           case SingerMessage.State(v)          => RawMsg("STATE", "", v, Nil, seq)
           case SingerMessage.ActivateVersion(s, v) =>
             RawMsg("ACTIVATE_VERSION", s, v.toString, Nil, seq)
+          case SingerMessage.Batch(s, fmt, comp, manifest) =>
+            // control-plane row: payload carries format/compression, the
+            // keyProps slot carries the manifest (both bounded)
+            RawMsg("BATCH", s, s"$fmt:$comp", manifest, seq)
         }
       })
     // Strict mode reproduces SDK cadence — EVERY checkpoint echoed in input
@@ -160,6 +165,13 @@ final class BatchLoader(
       control.collect { case RawMsg("ACTIVATE_VERSION", s, v, _, _) =>
         s -> v.toLong
       }.toMap // last version wins
+    // BATCH file references (SDK 0.34 optional surface, SURVEY §7): each
+    // expands to its manifest files' records AT the BATCH message's feed
+    // position, so drain-then-switch segmentation and pre-SCHEMA rejection
+    // apply to batch records exactly as to inline ones.
+    val batchRefs: Map[String, Seq[RawMsg]] =
+      control.filter(b => b.mtype == "BATCH" && b.keyProps.nonEmpty)
+        .groupBy(_.stream)
 
     {
       val perStream = segments.toSeq.map { case (stream, segs) =>
@@ -175,8 +187,12 @@ final class BatchLoader(
           // scan. Streams with no SCHEMA at all remain the documented drop
           // divergence.
           val lowerBound = if (i == 0) Long.MinValue else seg.fromSeq
-          val segRecs = recordsOf(scan(), stream)
+          val inline = recordsOf(scan(), stream)
             .filter(col(SeqCol) > lowerBound && col(SeqCol) < seg.untilSeq)
+          val segRecs = batchRefs.getOrElse(stream, Nil)
+            .filter(b => b.seq > lowerBound && b.seq < seg.untilSeq)
+            .map(batchLines)
+            .foldLeft(inline)(_ unionAll _)
           val rejectBefore = if (i == 0) seg.fromSeq else Long.MinValue
           val typed = typedRows(segRecs, seg.schema, version, rejectBefore)
           val mapped = applyTransforms(stream, typed.valid)
@@ -241,6 +257,22 @@ final class BatchLoader(
       .filter(col("_graft_mtype") === "RECORD" &&
         col("_graft_stream") === stream)
       .select(col(SeqCol), col("payload"))
+
+  /** One BATCH reference -> (seq, payload) rows: every line of every
+    * manifest file is a bare record object (the SDK's JSONL batch layout),
+    * typed by the surrounding segment's schema through the same validating
+    * [[typedRows]] path as inline records. All rows take the BATCH
+    * message's own feed position — segment routing and pre-SCHEMA
+    * rejection need only that. gzip parts decode by file extension via the
+    * Hadoop codec factory; the read parallelizes per part file. */
+  private def batchLines(b: RawMsg): DataFrame = {
+    val Array(fmt, comp) = b.payload.split(":", 2)
+    require(fmt == "jsonl", s"unsupported BATCH format '$fmt' (jsonl only)")
+    require(comp == "none" || comp == "gzip",
+      s"unsupported BATCH compression '$comp'")
+    spark.read.textFile(b.keyProps: _*)
+      .select(lit(b.seq).as(SeqCol), col("value").as("payload"))
+  }
 
   /** (seq, line) scan of Singer JSONL files with `seq` = (file index, byte
     * offset): the offset is the `LineRecordReader` key — computed while

@@ -25,6 +25,12 @@ object SingerMessage {
   final case class State(valueJson: String) extends SingerMessage
   /** Full-table version swap signal. */
   final case class ActivateVersion(stream: String, version: Long) extends SingerMessage
+  /** SDK 0.34+ file-reference batch: the records live in the manifest's
+    * JSONL files (one bare record object per line, optionally gzip parts),
+    * not inline in the feed. The reference never opts in (`meltano.yml`
+    * declares no `batch` capability), so this is optional surface. */
+  final case class Batch(stream: String, format: String, compression: String,
+                         manifest: Seq[String]) extends SingerMessage
 
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -62,6 +68,19 @@ object SingerMessage {
         for (stream <- Option(node.get("stream")).map(_.asText()))
           yield ActivateVersion(stream,
             Option(node.get("version")).map(_.asLong()).getOrElse(0L))
+      case "BATCH" =>
+        val enc = Option(node.get("encoding"))
+        for (stream <- Option(node.get("stream")).map(_.asText()))
+          yield Batch(stream,
+            enc.flatMap(e => Option(e.get("format")).map(_.asText()))
+              .getOrElse("jsonl"),
+            enc.flatMap(e => Option(e.get("compression")).map(_.asText()))
+              .getOrElse("none"),
+            Option(node.get("manifest")) match {
+              case Some(m) if m.isArray =>
+                m.elements().asScala.map(_.asText()).toSeq
+              case _ => Seq.empty
+            })
       case _ => None
     }
   }

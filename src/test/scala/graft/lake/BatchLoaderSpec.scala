@@ -271,6 +271,51 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("BATCH manifests load through the same validated path as inline records") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val dir = java.nio.file.Files.createTempDirectory("graft-batch")
+    // part 1: plain JSONL, one bad record (B2 must reject it)
+    java.nio.file.Files.write(dir.resolve("p1.jsonl"), java.util.List.of(
+      """{"id":10,"v":1.0}""",
+      """{"id":"bad","v":2.0}""",
+      """{"id":11,"v":3.0}"""))
+    // part 2: gzip JSONL (decodes by extension)
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("p2.jsonl.gz")))
+    gz.write("""{"id":12,"v":4.0}""".getBytes("UTF-8")); gz.write('\n')
+    gz.finish(); gz.close()
+    val lines = Seq(schemaLine,
+      recordLine(1), // inline records coexist with batch references
+      s"""{"type":"BATCH","stream":"ev","encoding":{"format":"jsonl","compression":"none"},"manifest":["${dir.resolve("p1.jsonl")}"]}""",
+      s"""{"type":"BATCH","stream":"ev","encoding":{"format":"jsonl","compression":"gzip"},"manifest":["${dir.resolve("p2.jsonl.gz")}"]}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream == Map("ev" -> 4L),
+      s"1 inline + 3 valid batch records, got ${report.rowsPerStream}")
+    assert(report.rejectedPerStream == Map("ev" -> 1L))
+    val ids = cat.load(ns, "ev").collect().map(_.getAs[Long]("id")).sorted
+    assert(ids.sameElements(Array(1L, 10L, 11L, 12L)))
+    cat.dropNamespace(ns)
+  }
+
+  test("a BATCH preceding the stream's first SCHEMA is rejected, not lost") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val dir = java.nio.file.Files.createTempDirectory("graft-batch-pre")
+    java.nio.file.Files.write(dir.resolve("p.jsonl"), java.util.List.of(
+      """{"id":7,"v":1.0}""", """{"id":8,"v":2.0}"""))
+    val lines = Seq(
+      s"""{"type":"BATCH","stream":"ev","manifest":["${dir.resolve("p.jsonl")}"]}""",
+      schemaLine, recordLine(1))
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream == Map("ev" -> 1L))
+    assert(report.rejectedPerStream == Map("ev" -> 2L),
+      "pre-SCHEMA batch records must be counted, not silently dropped")
+    cat.dropNamespace(ns)
+  }
+
   test("multi-stream feed routes records per stream") {
     val ns = freshNs()
     val cat = new CountingCatalog

@@ -28,6 +28,21 @@ class MessagesSpec extends AnyFunSuite {
     assert(av.stream == "s" && av.version == 3L)
   }
 
+  test("BATCH decodes stream, encoding, and manifest (SDK 0.34 surface)") {
+    val m = SingerMessage.decode(
+      """{"type":"BATCH","stream":"users","encoding":{"format":"jsonl",
+        |"compression":"gzip"},"manifest":["file:///tmp/a.jsonl.gz",
+        |"file:///tmp/b.jsonl.gz"]}""".stripMargin.replaceAll("\n", ""))
+    assert(m == Some(SingerMessage.Batch("users", "jsonl", "gzip",
+      Seq("file:///tmp/a.jsonl.gz", "file:///tmp/b.jsonl.gz"))))
+    // encoding defaults: jsonl / none
+    val bare = SingerMessage.decode(
+      """{"type":"BATCH","stream":"u","manifest":["/x.jsonl"]}""")
+    assert(bare == Some(SingerMessage.Batch("u", "jsonl", "none", Seq("/x.jsonl"))))
+    // a BATCH without a stream is invalid -> ignored
+    assert(SingerMessage.decode("""{"type":"BATCH","manifest":[]}""").isEmpty)
+  }
+
   test("unknown types, blank and garbled lines are ignored (Singer spec)") {
     assert(decode("""{"type":"BATCH","stuff":1}""").isEmpty)
     assert(decode("").isEmpty)
