@@ -43,7 +43,7 @@ object Dedup {
 
   val NumHashes = 16
   val BandRows = 4 // 4 bands x 4 rows: P(candidate) = 1-(1-J^4)^4
-  private val NumBands = NumHashes / BandRows
+  private[ops] val NumBands = NumHashes / BandRows
   val MinhashPrime = 2147483647L // 2^31-1; base h < 2^28 so a*h+b < 2^63
 
   /** Production default for the in-bucket pair-join cap, wired into the
@@ -53,7 +53,20 @@ object Dedup {
     * bucket is a degenerate corpus slice (empty docs, boilerplate), not
     * near-dups: at 10^5 one bucket alone would stream 5*10^9 rows. The cap
     * never binds at oracle scale (sf0.01 buckets are < 10^2), so capped and
-    * uncapped queries agree with the DuckDB oracle there. */
+    * uncapped queries agree with the DuckDB oracle there.
+    *
+    * Calibration at 10x sf0.1 (50k docs, [[CapStress]], worst-case
+    * densification — every doc given 10 near-dup copies): minhash band
+    * buckets top out at 40 (p99.9 = 20) — the cap holds ~250x headroom and
+    * drops nothing. SimHash 15-bit-chunk buckets are the skew-prone family:
+    * the top chunk bucket reached 11,233, crossing the cap and skipping 37%
+    * of in-bucket COMPARISONS (random chunk collisions, not confirmed
+    * near-dups; pairs at Hamming <= 3 in a capped bucket are the actual
+    * recall cost — q24's pigeonhole exactness is scoped to sub-cap buckets,
+    * like q96). Re-siting guidance when a real corpus's chunk histogram
+    * looks like this: prefer MORE chunks over a higher cap (5 x 12-bit
+    * chunks keep pigeonhole at Hamming <= 4 and cut expected bucket size
+    * 8x); raising the cap buys recall at quadratic cost. */
   val DefaultMaxBucket = 10000
 
   /** Affine-hash coefficients from a fixed-seed LCG (same literals are
@@ -86,7 +99,7 @@ object Dedup {
       .select(col("doc_id"), expr("shingle_minhash(text)").as("mh"))
       .filter(col("mh").isNotNull)
 
-  private def bandKey(b: Int): Column = {
+  private[ops] def bandKey(b: Int): Column = {
     val parts = (0 until BandRows)
       .map(r => s"cast(element_at(mh, ${b * BandRows + r + 1}) as string)")
     expr(s"md5(concat_ws(',', ${parts.mkString(", ")}))")
@@ -605,7 +618,18 @@ object Dedup {
     * sf0.1 it removes the 95 boilerplate buckets carrying 85% of the pair
     * volume (3.96M -> 0.55M joined rows) while leaving every true
     * copied-run pair intact, and it bounds any one anchor's fan-out at
-    * 64^2/2 pairs at ANY corpus size. */
+    * 64^2/2 pairs at ANY corpus size.
+    *
+    * Re-calibrated at 10x sf0.1 (50k docs, [[CapStress]], every doc with
+    * 10 near-dup copies): boilerplate anchor buckets grow to 5,650 and the
+    * cap now drops 99.6% of raw pair volume (414M -> 1.5M) — the separation
+    * the threshold exploits WIDENS with corpus size, because boilerplate
+    * buckets scale with the corpus while true copy families stay small
+    * (the 10-doc copy families sit far under 64 and survive intact; q98
+    * still reports every planted copied-run pair in ~5 s). The threshold
+    * needs re-siting only if a corpus's real copy families approach 64
+    * members — then raise it toward the family size, paying fan-out
+    * quadratically. */
   val MaxAnchorBucket = 64
 
   /** C2k exact-substring overlap (the ExactSubstr/winnowing family): find
