@@ -66,8 +66,16 @@ object GraftTarget {
       val loader = BatchLoader.fromConfig(spark, new SessionLakeCatalog(spark),
         cfg, strictBatches = opts.contains("strict-batches"))
       // loadPaths keys feed order on per-file byte offsets — exact at any
-      // split count, no counting pre-pass, no full-feed cache
-      val report = loader.loadPaths(Seq(inputPath))
+      // split count, no counting pre-pass, no full-feed cache. Compressed
+      // feeds (.gz etc.) have no exact line offsets, so they take the
+      // legacy scan-order path: codec-decoded by extension, exact order
+      // within each file (a codec file is one split); segment boundaries
+      // ACROSS many compressed files follow Spark's partition order, so
+      // uncompressed input remains the production recommendation.
+      val report =
+        if (BatchLoader.anyCompressed(spark, Seq(inputPath)))
+          loader.load(spark.read.textFile(inputPath))
+        else loader.loadPaths(Seq(inputPath))
       report.rowsPerStream.foreach { case (t, n) =>
         System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: $n rows")
       }

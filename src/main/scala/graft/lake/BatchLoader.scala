@@ -241,22 +241,26 @@ final class BatchLoader(
     }
   }
 
-  /** One stream's RECORD payloads out of a raw feed scan, fully declarative:
+  /** One stream's RECORD lines out of a raw feed scan, fully declarative:
     * a cheap contains() prefilter skips non-RECORD lines without a JSON
-    * parse, then ONE `json_tuple` pass classifies and extracts the `record`
-    * subtree as text for [[typedRows]]' validating `from_json`. Both steps
-    * ride whichever job consumes the result (the write job) — no
-    * materialization. A line whose `record` is not a JSON object lands in
-    * `from_json`'s corrupt-record column downstream, i.e. rejected and
-    * counted (B2's superset of the old drop-at-decode behavior). */
+    * parse, then ONE `json_tuple` pass classifies for routing. The WHOLE
+    * line is kept as the payload — [[typedRows]]' validating `from_json`
+    * types the `record` subtree nested, because extracting it as text here
+    * would UNWRAP a JSON-string value (`"record": "{\"id\":1}"`, invalid
+    * per the Singer spec) into text indistinguishable from a real object.
+    * Nested, a non-object `record` fails the struct parse and lands in the
+    * corrupt-record column — rejected and counted (B2's superset of the
+    * old drop-at-decode behavior). Both steps ride whichever job consumes
+    * the result (the write job) — no materialization. */
   private def recordsOf(feed: DataFrame, stream: String): DataFrame =
     feed
       .filter(col("line").contains("\"RECORD\""))
-      .select(col(SeqCol), json_tuple(col("line"), "type", "stream", "record")
-        .as(Seq("_graft_mtype", "_graft_stream", "payload")))
+      .select(col(SeqCol), col("line"),
+        json_tuple(col("line"), "type", "stream")
+          .as(Seq("_graft_mtype", "_graft_stream")))
       .filter(col("_graft_mtype") === "RECORD" &&
         col("_graft_stream") === stream)
-      .select(col(SeqCol), col("payload"))
+      .select(col(SeqCol), col("line").as("payload"))
 
   /** One BATCH reference -> (seq, payload) rows: every line of every
     * manifest file is a bare record object (the SDK's JSONL batch layout),
@@ -264,14 +268,17 @@ final class BatchLoader(
     * [[typedRows]] path as inline records. All rows take the BATCH
     * message's own feed position — segment routing and pre-SCHEMA
     * rejection need only that. gzip parts decode by file extension via the
-    * Hadoop codec factory; the read parallelizes per part file. */
+    * Hadoop codec factory; the read parallelizes per part file. Each bare
+    * record is wrapped as `{"record":<line>}` so it enters [[typedRows]]'
+    * nested parse shaped exactly like an inline RECORD line. */
   private def batchLines(b: RawMsg): DataFrame = {
     val Array(fmt, comp) = b.payload.split(":", 2)
     require(fmt == "jsonl", s"unsupported BATCH format '$fmt' (jsonl only)")
     require(comp == "none" || comp == "gzip",
       s"unsupported BATCH compression '$comp'")
     spark.read.textFile(b.keyProps: _*)
-      .select(lit(b.seq).as(SeqCol), col("value").as("payload"))
+      .select(lit(b.seq).as(SeqCol),
+        concat(lit("{\"record\":"), col("value"), lit("}")).as("payload"))
   }
 
   /** (seq, line) scan of Singer JSONL files with `seq` = (file index, byte
@@ -289,8 +296,7 @@ final class BatchLoader(
       s"loadPaths supports < ${1 << FileBits} files, got ${files.length}")
     require(files.forall(!_.contains(",")),
       "input paths must not contain ',' (Hadoop path-list separator)")
-    val compressed = files.filter(f => Seq(".gz", ".bz2", ".zst", ".lz4",
-      ".snappy", ".deflate").exists(f.endsWith))
+    val compressed = files.filter(f => CompressedExts.exists(f.endsWith))
     require(compressed.isEmpty,
       s"loadPaths requires uncompressed text (exact line offsets): $compressed")
     val fileIdx: Map[String, Long] =
@@ -347,17 +353,34 @@ final class BatchLoader(
       .map(_.name).toSet
     val parseFields = schema.fields.map(f =>
       if (timeFields(f.name)) f.copy(dataType = StringType) else f)
-    val schemaC = StructType(parseFields :+ StructField(corruptCol, StringType))
+    // The stream schema sits NESTED under `record` and the WHOLE message
+    // line is parsed: a `record` whose JSON value is a string (invalid per
+    // the Singer spec — json_tuple would have unwrapped it into text that
+    // parses like an object) fails the struct parse and sets the corrupt
+    // column, so spec-invalid records are rejected, not admitted.
+    val schemaC = StructType(Seq(
+      StructField("record", StructType(parseFields.toIndexedSeq)),
+      StructField(corruptCol, StringType)))
     def fieldValue(f: StructField): Column = {
-      val raw = col(s"r.`${f.name}`")
+      val raw = col(s"r.record.`${f.name}`")
       if (!timeFields(f.name)) raw
-      else when(raw.rlike("^-?\\d+$"), raw.cast("long"))
+      // bare micros (this engine's own representation) are valid only
+      // within one day — out-of-range would crash the sink's time-string
+      // encoder on export, so B2 rejects them here. try_cast, not cast:
+      // subexpression elimination can hoist the cast out of the rlike
+      // guard, and under ANSI a plain cast of a time STRING then throws.
+      // A >19-digit string overflows try_cast to null, rejecting too.
+      else {
+        val micros = raw.try_cast(org.apache.spark.sql.types.LongType)
+        when(raw.rlike("^\\d+$") &&
+          micros.between(0L, SchemaConv.MicrosPerDay - 1L), micros)
         .otherwise(when(raw.rlike(SchemaConv.TimePattern.pattern),
           (substring(raw, 1, 2).cast("long") * 3600L +
             substring(raw, 4, 2).cast("long") * 60L +
             substring(raw, 7, 2).cast("long")) * 1000000L +
             rpad(regexp_extract(raw, "\\.(\\d{1,6})$", 1), 6, "0")
               .cast("long")))
+      }
     }
     val parsedAll = recs.select(col(SeqCol),
       from_json(col("payload"), schemaC,
@@ -374,12 +397,16 @@ final class BatchLoader(
     // the reference's arrow conversion fails the whole batch on it, so
     // reject-and-count is the gentler superset.
     val nonNullViolation = schema.fields.filterNot(_.nullable)
-      .map(f => col(s"r.`${f.name}`").isNull)
+      .map(f => col(s"r.record.`${f.name}`").isNull)
       .reduceOption(_ || _).getOrElse(lit(false))
     val timeViolation = schema.fields.filter(f => timeFields(f.name))
-      .map(f => col(s"r.`${f.name}`").isNotNull && fieldValue(f).isNull)
+      .map(f => col(s"r.record.`${f.name}`").isNotNull && fieldValue(f).isNull)
       .reduceOption(_ || _).getOrElse(lit(false))
-    val isRejected = col("r").isNull || col(s"r.`$corruptCol`").isNotNull ||
+    // `record` null: the key is missing, or its value failed the struct
+    // parse with partial results keeping the rest of the line — both B2
+    // rejections (the corrupt column usually fires too; the OR is cheap)
+    val isRejected = col("r").isNull || col("r.`record`").isNull ||
+      col(s"r.`$corruptCol`").isNotNull ||
       nonNullViolation || timeViolation || col(SeqCol) < lit(rejectBefore)
     val rejMetric = s"graft_rejected_${java.util.UUID.randomUUID()}"
     val parsed = parsedAll
@@ -389,7 +416,7 @@ final class BatchLoader(
     val base = parsed.select(
       (schema.fields.toIndexedSeq.map { f =>
         if (timeFields(f.name)) fieldValue(f).as(f.name, f.metadata)
-        else col(s"r.`${f.name}`")
+        else col(s"r.record.`${f.name}`").as(f.name, f.metadata)
       } :+ col(SeqCol)): _*)
     val valid =
       if (!addRecordMetadata) base
@@ -515,6 +542,19 @@ object BatchLoader {
     * collide with legal Singer field names (which "seq"/"__batch" could). */
   private[lake] val SeqCol = "_graft_seq"
   private[lake] val BatchCol = "_graft_batch"
+
+  /** Codec extensions Hadoop decodes transparently — [[BatchLoader
+    * .loadPaths]] rejects them (a codec stream has no exact line offsets);
+    * the CLI routes them to the legacy [[BatchLoader.load]] scan instead. */
+  private[graft] val CompressedExts =
+    Seq(".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate")
+
+  /** Does any file under `paths` carry a codec extension? (Drives the CLI's
+    * loadPaths-vs-legacy-scan routing.) */
+  def anyCompressed(spark: SparkSession, paths: Seq[String]): Boolean =
+    graft.sources.SingerSourceUtil
+      .listFiles(paths, spark.sessionState.newHadoopConf())
+      .exists(f => CompressedExts.exists(f.getPath.getName.endsWith))
 
   /** `seq` bit split for [[BatchLoader.loadPaths]]: file index (sorted
     * listing order) in the high [[FileBits]] bits, line byte offset in the

@@ -36,7 +36,13 @@ object CapStress {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables.documents(spark, sfDir)
-    val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    // id offsetting needs the SPAN (ids may be sparse after upstream
+    // filtering); the reported corpus size needs the COUNT — conflating
+    // them overstates "docs" whenever ids have gaps
+    val Seq(idSpan, nDocs) = {
+      val r = docs.agg(max("doc_id"), count(lit(1))).head()
+      Seq(r.getLong(0) + 1, r.getLong(1))
+    }
     docs.crossJoin(spark.range(mult).toDF("copy"))
       .select(
         (col("doc_id") + col("copy") * idSpan).as("doc_id"),
@@ -46,7 +52,7 @@ object CapStress {
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
     val d = work
-    println(s"""{"corpus":"$d","mult":$mult,"docs":${mult * idSpan}}""")
+    println(s"""{"corpus":"$d","mult":$mult,"docs":${mult * nDocs}}""")
 
     def stats(name: String, buckets: DataFrame, keys: Seq[String],
               cap: Int): Unit = {

@@ -406,20 +406,33 @@ object Dedup {
     * second pass over the frontier. */
   private[ops] def dupLabels(s: SparkSession, d: String): DataFrame =
     labelCache.synchronized {
-      labelCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(d, computeDupLabels(s, d))
+      val m = labelCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+      m.get(d).flatMap(r => Option(r.get)) match {
+        case Some(df) => df
+        case None =>
+          val df = computeDupLabels(s, d)
+          m(d) = new java.lang.ref.SoftReference(df)
+          df
+      }
     }
 
   /** One converged assignment per (session, corpus dir): the propagation
     * result is a localCheckpoint'ed fixpoint, so its DataFrame is safely
     * re-consumable within the session — q70/q80/q94/q107 in one run share
     * ONE propagation instead of four (the in-session analog of
-    * [[clustersTable]]'s cross-session materialization). Keyed weakly by
-    * session so a stopped session's blocks are collectable; a corpus
-    * rewritten in place mid-session needs [[invalidateClusterCache]]. */
+    * [[clustersTable]]'s cross-session materialization). The key is weak
+    * and the DataFrame value is held via SoftReference — a plain value
+    * would strongly reference its own key (Dataset holds its session, the
+    * classic WeakHashMap pitfall) and no entry could ever be evicted. Soft,
+    * the only path from cache to session is non-strong: an abandoned
+    * session becomes collectable (entry then evicted), and under heap
+    * pressure a live entry is cleared and simply recomputed on next use. A
+    * corpus rewritten in place mid-session needs
+    * [[invalidateClusterCache]]. */
   private val labelCache =
     new scala.collection.mutable.WeakHashMap[
-      SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+      SparkSession,
+      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]
 
   /** Drop memoized cluster assignments (all sessions) — for corpus refresh
     * within a live session. */

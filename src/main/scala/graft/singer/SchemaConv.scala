@@ -53,6 +53,11 @@ object SchemaConv {
     java.util.regex.Pattern.compile(
       "^([01]\\d|2[0-3]):([0-5]\\d):([0-5]\\d)(?:\\.(\\d{1,6}))?$")
 
+  /** Valid micros-since-midnight are `[0, MicrosPerDay)` — the ONE range
+    * both load faces enforce so the sink's time-string encoder can never
+    * see a value it cannot represent. */
+  val MicrosPerDay: Long = 86400000000L
+
   def timeStringToMicros(s: String): java.lang.Long = {
     val m = TimePattern.matcher(s)
     if (!m.matches()) return null
@@ -64,11 +69,16 @@ object SchemaConv {
   }
 
   /** Micros-since-midnight -> the canonical Singer time string (fraction
-    * printed only when nonzero, always 6 digits — re-parses exactly). */
+    * printed only when nonzero, always 6 digits — re-parses exactly).
+    * Both load faces reject values outside `[0, MicrosPerDay)`, but a table
+    * written by an EXTERNAL engine may still hold one — normalize by
+    * floor-mod into the day rather than crash the whole export job on a
+    * row this engine never admitted. */
   def microsToTimeString(micros: Long): String = {
-    val t = java.time.LocalTime.ofNanoOfDay(micros * 1000L)
+    val inDay = java.lang.Math.floorMod(micros, MicrosPerDay)
+    val t = java.time.LocalTime.ofNanoOfDay(inDay * 1000L)
     val base = f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
-    val frac = micros % 1000000L
+    val frac = inDay % 1000000L
     if (frac == 0L) base else f"$base.$frac%06d"
   }
 

@@ -433,11 +433,14 @@ private[sources] object JsonRecordConverter {
   /** A `format: time` field (micros-long with the singer:format tag):
     * Singer-native `HH:mm:ss[.SSSSSS]` strings parse to micros-since-
     * midnight; bare numbers (this engine's own earlier representation)
-    * read as micros directly. */
+    * read as micros directly — but only within `[0, MicrosPerDay)`, the
+    * range the sink's time-string encoder can represent (the load path
+    * enforces the same bound, `BatchLoader.fieldValue`). */
   private def convTime(n: JsonNode): Any = {
     if (n == null || n.isNull) null
     else if (n.isTextual) SchemaConv.timeStringToMicros(n.asText)
-    else if (n.canConvertToLong) n.asLong
+    else if (n.canConvertToLong && n.asLong >= 0 &&
+      n.asLong < SchemaConv.MicrosPerDay) n.asLong
     else null
   }
 

@@ -45,4 +45,27 @@ class GraftTargetSpec extends AnyFunSuite {
   test("invalid config fails fast before any Spark work") {
     assert(TargetConfig.fromJson("""{"iceberg_catalog_name":"c"}""").isLeft)
   }
+
+  test("a compressed feed routes to the legacy scan and still loads") {
+    val ns = s"cli_${System.nanoTime()}"
+    val cfg = TargetConfig.fromJson(configJson.replace("NSNAME", ns)).toOption.get
+    val gz = Files.createTempDirectory("gzfeed").resolve("feed.jsonl.gz")
+    val lines =
+      """{"type":"SCHEMA","stream":"people","schema":{"properties":{"name":{"type":["string"]}}}}""" +:
+        (1 to 3).map(i => s"""{"type":"RECORD","stream":"people","record":{"name":"p$i"}}""")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(lines.mkString("\n").getBytes); out.close()
+
+    val cat = new SessionLakeCatalog(spark)
+    val loader = BatchLoader.fromConfig(spark, cat, cfg)
+    // the CLI's routing predicate fires, because loadPaths must refuse:
+    // a codec stream reports no exact line offsets
+    assert(BatchLoader.anyCompressed(spark, Seq(gz.toString)))
+    intercept[IllegalArgumentException](loader.loadPaths(Seq(gz.toString)))
+    // the fallback branch: codec-decoded by extension, scan-order seq
+    val report = loader.load(spark.read.textFile(gz.toString))
+    assert(report.rowsPerStream == Map("people" -> 3L))
+    assert(cat.load(ns, "people").count() == 3)
+    cat.dropNamespace(ns)
+  }
 }

@@ -72,6 +72,23 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("a JSON-string-encoded record is spec-invalid and REJECTED (B2)") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val lines = Seq(schemaLine, recordLine(1),
+      // `record` must be an OBJECT; a string whose content happens to be
+      // valid JSON must not be unwrapped and admitted as a row
+      """{"type":"RECORD","stream":"ev","record":"{\"id\":7,\"v\":9.0}"}""",
+      recordLine(2))
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("ev") == 2L)
+    assert(report.rejectedPerStream == Map("ev" -> 1L))
+    val back = cat.load(ns, "ev")
+    assert(back.filter("id = 7").count() == 0)
+    cat.dropNamespace(ns)
+  }
+
   test("wrong-typed field is REJECTED and counted, not null-coerced (B2)") {
     val ns = freshNs()
     val cat = new CountingCatalog
@@ -387,10 +404,14 @@ class BatchLoaderSpec extends AnyFunSuite {
       """{"type":"RECORD","stream":"tt","record":{"id":3,"at":45296000000}}""",
       """{"type":"RECORD","stream":"tt","record":{"id":4,"at":null}}""",
       // unparseable non-null time -> B2 rejection, never a silent null
-      """{"type":"RECORD","stream":"tt","record":{"id":5,"at":"25:00:00"}}""")
+      """{"type":"RECORD","stream":"tt","record":{"id":5,"at":"25:00:00"}}""",
+      // bare micros outside [0, MicrosPerDay) would crash the sink's
+      // time-string encoder on export -> B2 rejection at load
+      """{"type":"RECORD","stream":"tt","record":{"id":6,"at":-1}}""",
+      """{"type":"RECORD","stream":"tt","record":{"id":7,"at":86400000000}}""")
     val report = loader.load(spark.createDataset(lines))
     assert(report.rowsPerStream == Map("tt" -> 4L))
-    assert(report.rejectedPerStream == Map("tt" -> 1L))
+    assert(report.rejectedPerStream == Map("tt" -> 3L))
     val back = cat.load(ns, "tt").orderBy("id").collect()
       .map(r => r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("at")))).toMap
     assert(back(1L).contains((12 * 3600 + 34 * 60 + 56) * 1000000L))

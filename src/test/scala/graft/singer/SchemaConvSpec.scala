@@ -54,6 +54,12 @@ class SchemaConvSpec extends AnyFunSuite {
       assert(SchemaConv.timeStringToMicros(
         SchemaConv.microsToTimeString(m)) == m, s"micros $m")
     }
+    // out-of-range micros (which neither load face admits) must not crash
+    // an export of an externally-written table: floor-mod into the day
+    assert(SchemaConv.microsToTimeString(-1L) == "23:59:59.999999")
+    assert(SchemaConv.microsToTimeString(SchemaConv.MicrosPerDay) == "00:00:00")
+    assert(SchemaConv.timeStringToMicros(
+      SchemaConv.microsToTimeString(Long.MaxValue)) != null)
   }
 
   test("nested datetime demoted to string (format gated on level 0)") {

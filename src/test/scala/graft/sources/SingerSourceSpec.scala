@@ -188,7 +188,10 @@ class SingerSourceSpec extends AnyFunSuite {
       """{"type":"SCHEMA","stream":"sh","schema":{"properties":{"id":{"type":["integer"]},"at":{"type":["string","null"],"format":"time"}}}}""",
       """{"type":"RECORD","stream":"sh","record":{"id":1,"at":"12:34:56"}}""",
       """{"type":"RECORD","stream":"sh","record":{"id":2,"at":"23:59:59.250000"}}""",
-      """{"type":"RECORD","stream":"sh","record":{"id":3,"at":null}}"""))
+      """{"type":"RECORD","stream":"sh","record":{"id":3,"at":null}}""",
+      // bare micros outside [0, MicrosPerDay) cannot reach the sink's
+      // time-string encoder — the reader nulls them like any type mismatch
+      """{"type":"RECORD","stream":"sh","record":{"id":4,"at":86400000000}}"""))
     val read1 = spark.read.format("singer").option("stream", "sh").load(dir)
     val atField = read1.schema("at")
     assert(graft.singer.SchemaConv.isTimeField(atField),
@@ -198,6 +201,7 @@ class SingerSourceSpec extends AnyFunSuite {
     assert(vals(0).contains((12 * 3600 + 34 * 60 + 56) * 1000000L))
     assert(vals(1).contains((23 * 3600 + 59 * 60 + 59) * 1000000L + 250000L))
     assert(vals(2).isEmpty)
+    assert(vals(3).isEmpty)
     // write back through the sink: the SCHEMA must re-declare format:time
     // and the values must be time strings again
     val out = Files.createTempDirectory("singer-time-out").toString
