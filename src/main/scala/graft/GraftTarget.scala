@@ -65,17 +65,30 @@ object GraftTarget {
       // surface (strict-batches) is passed alongside
       val loader = BatchLoader.fromConfig(spark, new SessionLakeCatalog(spark),
         cfg, strictBatches = opts.contains("strict-batches"))
-      // loadPaths keys feed order on per-file byte offsets — exact at any
-      // split count, no counting pre-pass, no full-feed cache. Compressed
-      // feeds (.gz etc.) have no exact line offsets, so they take the
-      // legacy scan-order path: codec-decoded by extension, exact order
-      // within each file (a codec file is one split); segment boundaries
-      // ACROSS many compressed files follow Spark's partition order, so
-      // uncompressed input remains the production recommendation.
+      // ONE recursive listing drives both the routing decision and the
+      // load itself (a second ListObjects sweep over a near-2^19-file S3
+      // feed would double startup metadata cost). loadFiles keys feed
+      // order on per-file byte offsets — exact at any split count, no
+      // counting pre-pass, no full-feed cache. A SINGLE compressed file
+      // (.gz etc.) has no exact line offsets but decodes as one split, so
+      // scan order IS feed order — it takes the legacy scan path. Several
+      // files where ANY is compressed must refuse loudly: across codec
+      // files seq would follow Spark's size-descending partition planning,
+      // not feed order — records before their SCHEMA would be silently
+      // rejected or mistyped.
+      val files = BatchLoader.listInput(spark, Seq(inputPath))
+      val compressed = files.filter(BatchLoader.isCompressed)
       val report =
-        if (BatchLoader.anyCompressed(spark, Seq(inputPath)))
-          loader.load(spark.read.textFile(inputPath))
-        else loader.loadPaths(Seq(inputPath))
+        if (compressed.isEmpty) loader.loadFiles(files)
+        else if (files.lengthCompare(1) == 0)
+          loader.load(spark.read.textFile(files.head))
+        else {
+          System.err.println("input mixes compressed files with other " +
+            s"files (${compressed.length} of ${files.length} compressed): " +
+            "feed order across compressed files is not preservable — " +
+            "decompress the feed, or pass a single compressed file")
+          sys.exit(2)
+        }
       report.rowsPerStream.foreach { case (t, n) =>
         System.err.println(s"[graft-target] ${cfg.icebergCatalogNamespaceName}.$t: $n rows")
       }

@@ -84,7 +84,14 @@ final class BatchLoader(
     * segment boundaries), and only plain text splits across executors
     * anyway. */
   def loadPaths(paths: Seq[String]): LoadReport =
-    loadScans(() => offsetLines(paths))
+    loadFiles(BatchLoader.listInput(spark, paths))
+
+  /** [[loadPaths]] over an already-resolved file listing (from
+    * [[BatchLoader.listInput]]) — callers that had to list for a routing
+    * decision (the CLI) pass it through instead of paying a second
+    * metadata sweep over the feed. */
+  def loadFiles(files: Seq[String]): LoadReport =
+    loadScans(() => offsetLines(files))
 
   /** The load pipeline over a re-scannable feed of (`seq`, line). Passes over
     * the source instead of caching it (at 100 TB a cache is a full local-disk
@@ -285,18 +292,15 @@ final class BatchLoader(
     * offset): the offset is the `LineRecordReader` key — computed while
     * reading, never by a separate count job. Bit split: 2^[[BatchLoader
     * .FileBits]] files x 2^[[BatchLoader.OffsetBits]] bytes (16 TiB) each. */
-  private def offsetLines(paths: Seq[String]): DataFrame = {
+  private def offsetLines(files: Seq[String]): DataFrame = {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
-    val conf = spark.sessionState.newHadoopConf()
-    val files = graft.sources.SingerSourceUtil.listFiles(paths, conf)
-      .map(_.getPath.toString).sorted
-    require(files.nonEmpty, s"no input files found under: ${paths.mkString(",")}")
+    require(files.nonEmpty, "no input files found")
     require(files.length < (1 << FileBits),
       s"loadPaths supports < ${1 << FileBits} files, got ${files.length}")
     require(files.forall(!_.contains(",")),
       "input paths must not contain ',' (Hadoop path-list separator)")
-    val compressed = files.filter(f => CompressedExts.exists(f.endsWith))
+    val compressed = files.filter(isCompressed)
     require(compressed.isEmpty,
       s"loadPaths requires uncompressed text (exact line offsets): $compressed")
     val fileIdx: Map[String, Long] =
@@ -374,12 +378,15 @@ final class BatchLoader(
         val micros = raw.try_cast(org.apache.spark.sql.types.LongType)
         when(raw.rlike("^\\d+$") &&
           micros.between(0L, SchemaConv.MicrosPerDay - 1L), micros)
+        // try_cast here too, and for the same reason as above: hoisted out
+        // of the rlike guard, cast(substring("abc",1,2)) would throw under
+        // ANSI; guarded, the pattern match makes try_cast ≡ cast
         .otherwise(when(raw.rlike(SchemaConv.TimePattern.pattern),
-          (substring(raw, 1, 2).cast("long") * 3600L +
-            substring(raw, 4, 2).cast("long") * 60L +
-            substring(raw, 7, 2).cast("long")) * 1000000L +
+          (substring(raw, 1, 2).try_cast(org.apache.spark.sql.types.LongType) * 3600L +
+            substring(raw, 4, 2).try_cast(org.apache.spark.sql.types.LongType) * 60L +
+            substring(raw, 7, 2).try_cast(org.apache.spark.sql.types.LongType)) * 1000000L +
             rpad(regexp_extract(raw, "\\.(\\d{1,6})$", 1), 6, "0")
-              .cast("long")))
+              .try_cast(org.apache.spark.sql.types.LongType)))
       }
     }
     val parsedAll = recs.select(col(SeqCol),
@@ -545,16 +552,24 @@ object BatchLoader {
 
   /** Codec extensions Hadoop decodes transparently — [[BatchLoader
     * .loadPaths]] rejects them (a codec stream has no exact line offsets);
-    * the CLI routes them to the legacy [[BatchLoader.load]] scan instead. */
+    * the CLI routes a SINGLE such file to the legacy [[BatchLoader.load]]
+    * scan (one codec file decodes as one split, so scan order is exact)
+    * and refuses multi-file compressed feeds. */
   private[graft] val CompressedExts =
     Seq(".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate")
 
-  /** Does any file under `paths` carry a codec extension? (Drives the CLI's
-    * loadPaths-vs-legacy-scan routing.) */
-  def anyCompressed(spark: SparkSession, paths: Seq[String]): Boolean =
+  /** Does this file carry a codec extension? (Drives the CLI's
+    * loadFiles-vs-legacy-scan-vs-refuse routing.) */
+  def isCompressed(file: String): Boolean =
+    CompressedExts.exists(file.endsWith)
+
+  /** Resolve paths/dirs/globs to the sorted data-file listing [[BatchLoader
+    * .loadFiles]] consumes — exposed so a caller's routing decision and the
+    * load share ONE metadata sweep over the feed. */
+  def listInput(spark: SparkSession, paths: Seq[String]): Seq[String] =
     graft.sources.SingerSourceUtil
       .listFiles(paths, spark.sessionState.newHadoopConf())
-      .exists(f => CompressedExts.exists(f.getPath.getName.endsWith))
+      .map(_.getPath.toString).sorted
 
   /** `seq` bit split for [[BatchLoader.loadPaths]]: file index (sorted
     * listing order) in the high [[FileBits]] bits, line byte offset in the

@@ -41,6 +41,7 @@ object CapStress {
     // them overstates "docs" whenever ids have gaps
     val Seq(idSpan, nDocs) = {
       val r = docs.agg(max("doc_id"), count(lit(1))).head()
+      require(!r.isNullAt(0), s"empty documents corpus under $sfDir")
       Seq(r.getLong(0) + 1, r.getLong(1))
     }
     docs.crossJoin(spark.range(mult).toDF("copy"))

@@ -406,10 +406,17 @@ object Dedup {
     * second pass over the frontier. */
   private[ops] def dupLabels(s: SparkSession, d: String): DataFrame =
     labelCache.synchronized {
+      // deterministic eviction on access: a STOPPED session's entries are
+      // dead now — soft refs alone only clear under heap pressure (default
+      // LRU policy ~1 s/MB of free heap), which on a big driver can pin an
+      // abandoned session for hours
+      labelCache.keys.filter(_.sparkContext.isStopped).toList
+        .foreach(labelCache.remove)
       val m = labelCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-      m.get(d).flatMap(r => Option(r.get)) match {
-        case Some(df) => df
-        case None =>
+      m.filterInPlace((_, r) => r.get != null) // drop cleared refs' entries
+      m.get(d).map(_.get) match {
+        case Some(df) if df != null => df
+        case _ =>
           val df = computeDupLabels(s, d)
           m(d) = new java.lang.ref.SoftReference(df)
           df
@@ -423,11 +430,12 @@ object Dedup {
     * [[clustersTable]]'s cross-session materialization). The key is weak
     * and the DataFrame value is held via SoftReference — a plain value
     * would strongly reference its own key (Dataset holds its session, the
-    * classic WeakHashMap pitfall) and no entry could ever be evicted. Soft,
-    * the only path from cache to session is non-strong: an abandoned
-    * session becomes collectable (entry then evicted), and under heap
-    * pressure a live entry is cleared and simply recomputed on next use. A
-    * corpus rewritten in place mid-session needs
+    * classic WeakHashMap pitfall) and no entry could ever be evicted.
+    * Eviction is NOT left to the soft-ref clock (which only fires under
+    * heap pressure): every access first purges entries whose session is
+    * stopped, so a closed session's plans release deterministically; the
+    * soft ref additionally lets a live entry clear under pressure and be
+    * recomputed on next use. A corpus rewritten in place mid-session needs
     * [[invalidateClusterCache]]. */
   private val labelCache =
     new scala.collection.mutable.WeakHashMap[

@@ -46,10 +46,11 @@ class GraftTargetSpec extends AnyFunSuite {
     assert(TargetConfig.fromJson("""{"iceberg_catalog_name":"c"}""").isLeft)
   }
 
-  test("a compressed feed routes to the legacy scan and still loads") {
+  test("a single compressed feed file routes to the legacy scan and loads") {
     val ns = s"cli_${System.nanoTime()}"
     val cfg = TargetConfig.fromJson(configJson.replace("NSNAME", ns)).toOption.get
-    val gz = Files.createTempDirectory("gzfeed").resolve("feed.jsonl.gz")
+    val dir = Files.createTempDirectory("gzfeed")
+    val gz = dir.resolve("feed.jsonl.gz")
     val lines =
       """{"type":"SCHEMA","stream":"people","schema":{"properties":{"name":{"type":["string"]}}}}""" +:
         (1 to 3).map(i => s"""{"type":"RECORD","stream":"people","record":{"name":"p$i"}}""")
@@ -58,14 +59,26 @@ class GraftTargetSpec extends AnyFunSuite {
 
     val cat = new SessionLakeCatalog(spark)
     val loader = BatchLoader.fromConfig(spark, cat, cfg)
-    // the CLI's routing predicate fires, because loadPaths must refuse:
-    // a codec stream reports no exact line offsets
-    assert(BatchLoader.anyCompressed(spark, Seq(gz.toString)))
+    // ONE listing feeds the CLI routing decision and the load
+    val files = BatchLoader.listInput(spark, Seq(dir.toString))
+    assert(files.map(f => f.substring(f.lastIndexOf('/') + 1)) ==
+      Seq("feed.jsonl.gz"))
+    assert(files.forall(BatchLoader.isCompressed))
+    // loadPaths must refuse: a codec stream reports no exact line offsets
     intercept[IllegalArgumentException](loader.loadPaths(Seq(gz.toString)))
-    // the fallback branch: codec-decoded by extension, scan-order seq
-    val report = loader.load(spark.read.textFile(gz.toString))
+    // the single-file fallback: codec-decoded by extension, one split, so
+    // scan order IS feed order
+    val report = loader.load(spark.read.textFile(files.head))
     assert(report.rowsPerStream == Map("people" -> 3L))
     assert(cat.load(ns, "people").count() == 3)
+
+    // several files with ANY compressed: seq across codec files would
+    // follow partition planning, not feed order — the CLI must refuse
+    // (exercised here as the routing predicate it branches on)
+    Files.writeString(dir.resolve("more.jsonl"),
+      """{"type":"RECORD","stream":"people","record":{"name":"p4"}}""")
+    val mixed = BatchLoader.listInput(spark, Seq(dir.toString))
+    assert(mixed.length == 2 && mixed.exists(BatchLoader.isCompressed))
     cat.dropNamespace(ns)
   }
 }
