@@ -209,6 +209,89 @@ object Dedup {
         col("cont_a") >= ContainDup || col("cont_b") >= ContainDup)
       .orderBy("id_a", "id_b")
 
+  /** Stop-gram cap for the exact n-gram index (q108): a 3-word shingle
+    * shared by more than this many docs is boilerplate, not dup signal —
+    * indexing it would stream df^2/2 candidate pairs for zero precision
+    * (same stop-key reasoning and same value as q98's
+    * [[MaxAnchorBucket]]). Recall cost of the cap: a pair is missed only
+    * when EVERY shingle it shares is corpus-common — but a pair at
+    * jaccard >= [[NgramDupJaccard]] shares half its shingles, and 3-word
+    * shingles are overwhelmingly rare (Zipf), so a genuine near-dup pair
+    * sharing only stop-grams does not occur outside degenerate
+    * boilerplate corpora ([[CapStress]] measures the histogram). */
+  val MaxShingleDf = 64
+
+  /** Exact-Jaccard threshold above which an n-gram pair counts as a
+    * near-dup (q108) and enters the recall ground truth (q109). */
+  val NgramDupJaccard = 0.5
+
+  /** The document-frequency-capped inverted shingle index: one
+    * (doc -> distinct shingle) explode, with [[capBuckets]] dropping
+    * stop-grams on the same sh-keyed exchange the self-equi-join reuses.
+    * Shared by the candidate join and the per-doc size rollup so the q108
+    * similarity universe has ONE definition. */
+  private[ops] def ngramIndex(s: SparkSession, d: String): DataFrame =
+    capBuckets(
+      shingled(s, d).select(col("doc_id"), explode(col("sh")).as("sh")),
+      Seq("sh"), Some(MaxShingleDf))
+
+  /** C2 near-dup via EXACT n-gram Jaccard over the df-capped shingle
+    * vocabulary, kept at >= [[NgramDupJaccard]]. Unlike q23 (MinHash
+    * banding, which misses a 1-(1-J^4)^4 fraction of true pairs), recall
+    * here is exact within that vocabulary — the ground-truth tier: run it
+    * on samples to calibrate/monitor the cheap LSH tier (q109), or as the
+    * final authority where misses are unacceptable. Stop-grams (df >
+    * [[MaxShingleDf]]) are excluded from BOTH intersection and union —
+    * boilerplate-discounted jaccard: shared boilerplate must not inflate
+    * similarity, and the exclusion is what bounds every index bucket.
+    *
+    * Shape: the intersection count is the index self-equi-join's OWN
+    * pair-keyed aggregation — no array materialization, no distinct, no
+    * per-pair second pass (the naive candidates+array-rejoin formulation
+    * ran 5x slower at sf0.1: ~1.1M candidate pairs each dragged two
+    * 50-element arrays through a shuffle to be intersected interpreted).
+    * Per-doc sizes join onto the aggregated pair stream (AQE broadcasts
+    * the dim at test scale; corpus-cardinality at 100 TB, where it's a
+    * shuffle join on the already-reduced pairs). */
+  def q108NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val ix = ngramIndex(s, d)
+    val sizes = ix.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val l = ix.select(col("sh"), col("doc_id").as("id_a"))
+    val r = ix.select(col("sh"), col("doc_id").as("id_b"))
+    l.join(r, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ninter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("ninter") / (col("n_a") + col("n_b") - col("ninter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= NgramDupJaccard)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Recall monitor of the cheap LSH dedup tier against the exact n-gram
+    * ground truth — the dedup analog of q105's ANN recall monitor: per
+    * 0.1-wide jaccard band, how many true near-dup pairs (q108) did the
+    * banded-MinHash candidate generator (q23's tier) surface? The silent
+    * failure this catches: banding parameters tuned for one corpus
+    * quietly under-recall after a distribution shift (shorter docs, new
+    * boilerplate), and dup rates "improve" because the detector got
+    * worse. Both pair streams are cap-bounded; the comparison join is
+    * pair-id equi-join over those bounded sets and the output is <= 6
+    * rows. At 100 TB run it on a sampled corpus slice, like q105. */
+  def q109DedupRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = q108NgramJaccard(s, d)
+    val lsh = minhashCandidates(s, d, Some(DefaultMaxBucket))
+      .withColumn("hit", lit(1))
+    truth.join(lsh, Seq("id_a", "id_b"), "left_outer")
+      .groupBy((floor(col("jaccard") * 10) / 10.0).as("jaccard_band"))
+      .agg(count(lit(1)).as("n_true"),
+        count(col("hit")).as("n_caught"),
+        round(count(col("hit")) / count(lit(1)), 4).as("recall"))
+      .orderBy("jaccard_band")
+  }
+
   /** 60-bit simhash per doc via the native [[graft.functions.TokenSimHash]]
     * expression — one compiled pass per document (identical bit-majority
     * math over distinct-token md5 hashes), no explode/aggregate at all. */
@@ -752,6 +835,31 @@ object Dedup {
         GROUP BY c.id_a, c.id_b
       )"""
 
+  /** Exact n-gram truth CTEs (df-capped index -> boilerplate-discounted
+    * exact jaccard, ending in `truth`) — REQUIRE the `sh` CTE from
+    * [[minhashCandCtes]]'s chain (or an identical standalone prefix) in
+    * scope; shared by the q108 and q109 oracles so the ground-truth
+    * definition exists once. Intersection AND per-doc sizes count only
+    * sub-cap shingles, mirroring [[ngramIndex]] exactly. */
+  private def ngramTruthCtes: String =
+    s"""keepg AS (SELECT shingle FROM sh GROUP BY shingle
+                  HAVING count(*) <= $MaxShingleDf),
+      ix AS (SELECT s.doc_id, s.shingle FROM sh s JOIN keepg USING (shingle)),
+      shsc AS (SELECT doc_id, count(*) AS n_sh FROM ix GROUP BY doc_id),
+      einter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+        FROM ix a JOIN ix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      truth AS (
+        SELECT i.id_a, i.id_b,
+               round(i.ninter::DOUBLE / (sa.n_sh + sb.n_sh - i.ninter), 4)
+                 AS jaccard
+        FROM einter i
+        JOIN shsc sa ON sa.doc_id = i.id_a
+        JOIN shsc sb ON sb.doc_id = i.id_b
+      )"""
+
   /** `jaccardCtes` extends the candidate chain with the exact shingle-set
     * jaccard per pair (CTE `jac`) — shared by q23 and q60. */
   private def jaccardCtes: String =
@@ -948,6 +1056,22 @@ object Dedup {
              min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_id""")),
     "q23_dedup_minhash" -> ((q23DedupMinhash _, minhashOracle)),
+    "q108_ngram_jaccard" -> ((q108NgramJaccard _, s"""
+      $minhashCandCtes,
+      $ngramTruthCtes
+      SELECT id_a, id_b, jaccard FROM truth
+      WHERE jaccard >= $NgramDupJaccard
+      ORDER BY id_a, id_b""")),
+    "q109_dedup_recall" -> ((q109DedupRecall _, s"""
+      $minhashCandCtes,
+      $ngramTruthCtes
+      SELECT floor(t.jaccard * 10) / 10 AS jaccard_band,
+             count(*) AS n_true,
+             count(c.id_a) AS n_caught,
+             round(count(c.id_a)::DOUBLE / count(*), 4) AS recall
+      FROM (SELECT * FROM truth WHERE jaccard >= $NgramDupJaccard) t
+      LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+      GROUP BY 1 ORDER BY 1""")),
     "q101_containment" -> ((q101Containment _, containmentOracle)),
     "q60_dedup_multisignal" -> ((q60DedupMultiSignal _, multiSignalOracle)),
     "q24_dedup_simhash" -> ((q24DedupSimhash _, """

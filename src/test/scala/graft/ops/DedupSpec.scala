@@ -57,6 +57,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("exact n-gram jaccard finds the planted pair and agrees with q23's overlap") {
+    withDocs(planted) { dir =>
+      val exact = Dedup.q108NgramJaccard(spark, dir).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard")))
+      // doc 4 shares no shingles with anything; doc 3 is uppercase (raw
+      // shingles all differ) -> only the 1-2 near-dup survives the 0.5 bar
+      assert(exact.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)), exact.mkString(","))
+      // ONE overlap definition: the exact tier's jaccard must equal the
+      // LSH tier's exact rescoring of the same pair
+      val lshJ = Dedup.q23DedupMinhash(spark, dir).collect()
+        .collectFirst { case r if r.getAs[Long]("id_a") == 1L &&
+          r.getAs[Long]("id_b") == 2L => r.getAs[Double]("jaccard") }
+      assert(lshJ.contains(exact.head._3), s"exact=${exact.head._3} lsh=$lshJ")
+    }
+  }
+
+  test("dedup recall monitor: bands the truth pairs and scores the LSH tier") {
+    withDocs(planted) { dir =>
+      val rows = Dedup.q109DedupRecall(spark, dir).collect()
+      // one truth pair (1-2), in one 0.1-wide band, caught by LSH here
+      assert(rows.length == 1, rows.mkString(","))
+      val r = rows.head
+      assert(r.getAs[Long]("n_true") == 1L && r.getAs[Long]("n_caught") == 1L)
+      assert(r.getAs[Double]("recall") == 1.0)
+      assert(r.getAs[Double]("jaccard_band") ===
+        math.floor(Dedup.q108NgramJaccard(spark, dir).head()
+          .getAs[Double]("jaccard") * 10) / 10.0)
+    }
+  }
+
+  test("n-gram index joins are equi-joins; pairs stream, never materialize") {
+    withDocs(planted) { dir =>
+      Seq(Dedup.q108NgramJaccard(spark, dir), Dedup.q109DedupRecall(spark, dir))
+        .foreach { df =>
+          val plan = df.queryExecution.executedPlan.toString
+          assert(!plan.contains("CartesianProduct"), plan.take(1500))
+          assert(!plan.contains("collect_list"), plan.take(1500))
+        }
+    }
+  }
+
   test("simhash flags the near-dup pair within hamming distance") {
     withDocs(planted) { dir =>
       val pairs = Dedup.simhashPairs(spark, dir).collect()
