@@ -88,6 +88,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("stop-gram cap excludes boilerplate from intersection AND union") {
+    import spark.implicits._
+    // 66 filler docs whose ONLY mutual overlap is the boilerplate shingle
+    // "zz yy xx" (df = 68 > MaxShingleDf), plus one exact-dup pair that
+    // also carries it
+    val filler = (1 to 66).map(i =>
+      (i.toLong, s"zz yy xx a$i b$i c$i", "en", "s", 20L))
+    val dupText = "zz yy xx m n o p"
+    val docs = (filler ++ Seq(
+      (200L, dupText, "en", "s", 17L), (201L, dupText, "en", "s", 17L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      // the boilerplate shingle is out of the index; rare shingles stay
+      val ixSh = Dedup.ngramIndex(spark, dir).select("sh").distinct()
+        .as[String].collect().toSet
+      assert(!ixSh.contains("zz yy xx"), "df-68 boilerplate must be capped out")
+      assert(ixSh.contains("m n o"))
+      // filler docs share ONLY the capped shingle -> no candidate pairs at
+      // all among them; the dup pair scores 1.0 because BOTH intersection
+      // and sizes count sub-cap shingles only (an asymmetric regression —
+      // capped intersection over uncapped sizes — would yield 4/(5+5-4) = 0.6667)
+      val out = Dedup.q108NgramJaccard(spark, dir).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard")))
+      assert(out.toSeq == Seq((200L, 201L, 1.0)), out.mkString(","))
+    }
+  }
+
   test("n-gram index joins are equi-joins; pairs stream, never materialize") {
     withDocs(planted) { dir =>
       Seq(Dedup.q108NgramJaccard(spark, dir), Dedup.q109DedupRecall(spark, dir))
