@@ -91,6 +91,13 @@ object CapStress {
       Tables.documents(spark, d).select(col("doc_id"),
         explode(expr("anchor_fingerprints(text)")).as("fp")),
       Seq("fp"), Dedup.MaxAnchorBucket)
+    // q108's index buckets ARE shingle document frequencies — this is the
+    // histogram its stop-gram cap is sited on (the "CapStress measures it"
+    // promise in the q108 scaladoc)
+    stats("ngram_shingle_df",
+      Dedup.shingled(spark, d)
+        .select(col("doc_id"), explode(col("sh")).as("sh")),
+      Seq("sh"), Dedup.MaxShingleDf)
     // q81's fan-out is bounded by sources^2 per shingle, not by a cap —
     // report the multiplicity histogram to confirm the bound holds
     stats("source_shingles",
@@ -103,6 +110,7 @@ object CapStress {
       ("q23_dedup_minhash", Dedup.q23DedupMinhash),
       ("q24_dedup_simhash", Dedup.q24DedupSimhash),
       ("q98_substr_overlap", Dedup.q98SubstrOverlap),
+      ("q108_ngram_jaccard", Dedup.q108NgramJaccard),
       ("q81_source_overlap", Dedup.q81SourceOverlap)
     ).foreach { case (name, fn) =>
       val t0 = System.nanoTime()

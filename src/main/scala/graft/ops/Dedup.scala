@@ -218,7 +218,19 @@ object Dedup {
     * jaccard >= [[NgramDupJaccard]] shares half its shingles, and 3-word
     * shingles are overwhelmingly rare (Zipf), so a genuine near-dup pair
     * sharing only stop-grams does not occur outside degenerate
-    * boilerplate corpora ([[CapStress]] measures the histogram). */
+    * boilerplate corpora ([[CapStress]] measures the histogram).
+    *
+    * Calibration at 10x sf0.1 ([[CapStress]], worst-case densification —
+    * every doc given 10 near-dup copies, multiplying every df by ~10):
+    * df max 250 / p99.9 210 vs cap 64 — the cap binds on every shingle
+    * whose pre-densification df >= 7 and drops 95.6% of RAW candidate
+    * pairs (138M -> 6M; the quadratic common-shingle collision bulk),
+    * while q108 still emits its 204k true near-dup pairs in ~6 s: copy
+    * families keep their within-family shingles (df = mult = 10, far
+    * under cap), so no dup family loses its candidates. Re-siting
+    * guidance when a real corpus's p999 df crosses the cap: prefer
+    * LONGER shingles (4-5 words — df falls Zipf-fast in shingle length)
+    * over raising the cap, which buys recall at quadratic cost. */
   val MaxShingleDf = 64
 
   /** Exact-Jaccard threshold above which an n-gram pair counts as a

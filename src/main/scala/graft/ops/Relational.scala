@@ -357,6 +357,26 @@ object Relational {
       .orderBy("l_suppkey", "ship_epoch", "l_orderkey", "l_linenumber")
   }
 
+  /** Forward-fill gap imputation via an IGNORE NULLS running window — the
+    * telemetry repair every event pipeline needs: a reading masked as bad
+    * (here: `value` on error events) is replaced by the user's LAST good
+    * reading, in event-time order with event_id as the deterministic
+    * tiebreak. Rows before a user's first good reading stay null (nothing
+    * to carry). Shape: one shuffle on user_id for the window sort; the
+    * fill itself is `last(_, ignoreNulls)` over a rows-unbounded-preceding
+    * frame — linear per partition, no self-join, no gap enumeration. */
+  def q111GapFill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("value_raw",
+        when(col("event_type") =!= "error", col("value")))
+      .select(col("event_id"), col("user_id"), col("value_raw"),
+        last(col("value_raw"), ignoreNulls = true).over(w).as("value_filled"))
+      .orderBy("event_id")
+  }
+
   /** lag/lead window: month-over-month revenue delta. */
   def q47MonthDelta(s: SparkSession, d: String): DataFrame = {
     val monthly = lineitem(s, d)
@@ -842,6 +862,15 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q111_gap_fill" -> ((q111GapFill _, """
+      SELECT event_id, user_id,
+             CASE WHEN event_type <> 'error' THEN value END AS value_raw,
+             last_value(CASE WHEN event_type <> 'error' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_filled
+      FROM events ORDER BY event_id""")),
     "q46_range_window" -> ((q46RangeWindow _, """
       SELECT l_suppkey, l_orderkey, l_linenumber,
              epoch(l_shipdate)::BIGINT AS ship_epoch,

@@ -510,6 +510,40 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** C5l2 token-budget epoch planner — the repeat-count decision q76's
+    * keep-rate FILTER cannot express: with a training budget of one
+    * corpus-size worth of tokens, give source s the alpha=0.5 power share
+    * n_s^0.5 / sum_t n_t^0.5 of the budget (sqrt, not pow, for the
+    * IEEE-exact root — q76's convention) and report `epochs` =
+    * target/available per source. Rare sources land epochs > 1 — they
+    * repeat (a union of passes at train time); dominant sources land < 1
+    * — they subsample. This token-weighted plan differs from q76's
+    * doc-count rates whenever doc length varies by source, which is
+    * exactly when doc-count mixing mis-allocates the compute budget.
+    *
+    * Shape: one corpus scan aggregates per-source token counts (20 rows);
+    * everything after is arithmetic on that broadcast-size table, with
+    * the share normalizer an ORDERED fold for bit-stable floats. */
+  def q110EpochPlan(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .groupBy("source")
+      .agg(sum(expr("size(filter(split(text, ' '), x -> x <> ''))"))
+        .as("n_tokens"))
+      .localCheckpoint(true) // feeds the normalizer AND the plan rows
+    val norm = toks.agg(sum("n_tokens").as("budget"),
+      expr("aggregate(sort_array(collect_list(sqrt(cast(n_tokens as double)))), " +
+        "0D, (a, x) -> a + x)").as("z"))
+    toks.crossJoin(broadcast(norm))
+      .withColumn("share_raw", sqrt(col("n_tokens")) / col("z"))
+      .select(col("source"), col("n_tokens"),
+        round(col("share_raw"), 6).as("share"),
+        expr("cast(round(share_raw * budget) as bigint)").as("target_tokens"),
+        round(col("share_raw") * col("budget") / col("n_tokens"), 4).as("epochs"),
+        (col("share_raw") * col("budget") / col("n_tokens") > 1.0)
+          .as("needs_repeat"))
+      .orderBy("source")
+  }
+
   /** C5m source-drift monitor: KL(source token distribution || corpus token
     * distribution) per source — the data-quality alarm that catches a
     * crawler shard going off-distribution before it trains. One corpus
@@ -1172,6 +1206,22 @@ object TextOps {
       SELECT doc_id, count(*) AS n_bigrams,
              round(list_sum(list_sort(list(nll))) / count(*), 6) AS mean_nll
       FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+    "q110_epoch_plan" -> ((q110EpochPlan _, """
+      WITH t AS (SELECT source,
+                   cast(sum(len(list_filter(string_split(text, ' '),
+                     x -> x <> ''))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+      norm AS (SELECT cast(sum(n_tokens) AS BIGINT) AS budget,
+                      list_sum(list_sort(list(sqrt(n_tokens::DOUBLE)))) AS z
+               FROM t),
+      p AS (SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) / z AS share_raw,
+                   budget
+            FROM t, norm)
+      SELECT source, n_tokens, round(share_raw, 6) AS share,
+             cast(round(share_raw * budget) AS BIGINT) AS target_tokens,
+             round(share_raw * budget / n_tokens, 4) AS epochs,
+             share_raw * budget / n_tokens > 1 AS needs_repeat
+      FROM p ORDER BY source""")),
     "q76_source_mix" -> ((q76SourceMix _, s"""
       WITH counts AS (SELECT source, count(*) AS n_docs
                       FROM documents GROUP BY source),

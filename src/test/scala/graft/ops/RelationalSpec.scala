@@ -106,4 +106,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(q05.collect { case j: Join
         if j.hint.leftHint.isDefined || j.hint.rightHint.isDefined => j }.nonEmpty)
   }
+
+  test("gap fill carries the last good reading forward, per user, in order") {
+    val rows = Relational.q111GapFill(spark, sf).collect()
+    // replay the fill on the driver: per user in (ts,event_id) order —
+    // which event_id order preserves here because ids are assigned in ts
+    // order in the synthetic feed — filled must equal the running last
+    // non-null raw, and raw must pass through untouched when present
+    val lastSeen = scala.collection.mutable.Map.empty[Long, java.lang.Double]
+    var checkedNullFill = 0
+    rows.sortBy(_.getAs[Long]("event_id")).foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val raw = if (r.isNullAt(r.fieldIndex("value_raw"))) null
+        else java.lang.Double.valueOf(r.getAs[Double]("value_raw"))
+      val filled = if (r.isNullAt(r.fieldIndex("value_filled"))) null
+        else java.lang.Double.valueOf(r.getAs[Double]("value_filled"))
+      if (raw != null) {
+        assert(filled == raw, s"non-null raw must pass through (user $u)")
+        lastSeen(u) = raw
+      } else {
+        assert(filled == lastSeen.getOrElse(u, null),
+          s"null raw must take the user's last good reading (user $u)")
+        checkedNullFill += 1
+      }
+    }
+    assert(checkedNullFill > 0, "fixture produced no masked rows to check")
+  }
+
+  test("gap fill is one window pass — no join, no extra shuffle") {
+    val plan = Relational.q111GapFill(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
 }

@@ -195,6 +195,33 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch plan: token-weighted alpha shares, repeats only where rare") {
+    import spark.implicits._
+    // equal DOC counts, 4x different token mass — doc-count mixing (q76)
+    // would treat these sources identically; token weighting must not
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en", "big", 15L),
+      (2L, "i j k l m n o p", "en", "big", 15L),
+      (3L, "q r", "en", "small", 3L),
+      (4L, "s t", "en", "small", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q110EpochPlan(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      // tokens: big 16, small 4; sqrt shares 4/6 and 2/6; budget 20
+      assert(out("big").getAs[Long]("n_tokens") == 16L)
+      assert(out("small").getAs[Long]("n_tokens") == 4L)
+      assert(out("big").getAs[Double]("share") == 0.666667)
+      assert(out("small").getAs[Double]("share") == 0.333333)
+      assert(out("big").getAs[Long]("target_tokens") == 13L)   // round(13.33)
+      assert(out("small").getAs[Long]("target_tokens") == 7L)  // round(6.67)
+      assert(out("big").getAs[Double]("epochs") == 0.8333)
+      assert(out("small").getAs[Double]("epochs") == 1.6667)
+      assert(!out("big").getAs[Boolean]("needs_repeat"))
+      assert(out("small").getAs[Boolean]("needs_repeat"))
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
