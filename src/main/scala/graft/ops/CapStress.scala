@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * histogram and the ANALYTIC candidate-pair counts with and without the
   * cap (sum of n*(n-1)/2 over buckets — no quadratic join ever runs, so
   * the uncapped number is measurable even when it is billions), plus the
-  * wall time of the four registered queries on the scaled corpus.
+  * wall time of the registered quadratic-pair queries on the scaled
+  * corpus.
   *
   * Usage: runMain graft.ops.CapStress [sfDir] [mult] [workDir]
   */

@@ -485,10 +485,8 @@ object Similarity {
       .select((col("pos") + 1).cast("long").as("dim"), col("x"))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"),
-        expr("aggregate(sort_array(collect_list(x)), 0D, (a, v) -> a + v)")
-          .as("sx"),
-        expr("aggregate(sort_array(collect_list(x * x)), 0D, (a, v) -> a + v)")
-          .as("sxx"),
+        TextOps.orderedSum("x").as("sx"),
+        TextOps.orderedSum("x * x").as("sxx"),
         min("x").as("min_x"), max("x").as("max_x"))
       .select(col("dim"), col("n"),
         round(col("sx") / col("n"), 6).as("mean"),

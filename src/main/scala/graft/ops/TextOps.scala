@@ -20,6 +20,17 @@ object TextOps {
   private def stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
   private def stopList = Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Bit-stable distributed float sum: collect the addends, sort, and
+    * left-fold. Plain `sum` leaves IEEE addition order to partial-agg
+    * scheduling — run-dependent low bits that break hash-matching against
+    * the oracle. This is the ONE engine-side definition of the ordered-sum
+    * convention (the oracle mirrors it as
+    * `list_sum(list_sort(list(...)))`); for a truly unbounded group swap
+    * in plain `sum` + tolerance comparison instead — the fold buffers one
+    * group-sized array. */
+  private[ops] def orderedSum(e: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(sort_array(collect_list($e)), 0D, (a, x) -> a + x)")
+
   /** C5a corpus stats per language: doc count, char/token means, sources. */
   def q28TextStats(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -492,8 +503,7 @@ object TextOps {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .localCheckpoint(true) // feeds the normalizer AND the rate table
     val norm = counts.agg(sum("n_docs").as("n_total"),
-      expr("aggregate(sort_array(collect_list(sqrt(cast(n_docs as double)))), " +
-        "0D, (a, x) -> a + x)").as("z"))
+      orderedSum("sqrt(cast(n_docs as double))").as("z"))
     val rates = counts.crossJoin(broadcast(norm))
       .withColumn("rate", least(lit(1.0),
         col("n_total") * lit(MixSampleFrac) * sqrt(col("n_docs"))
@@ -531,16 +541,19 @@ object TextOps {
         .as("n_tokens"))
       .localCheckpoint(true) // feeds the normalizer AND the plan rows
     val norm = toks.agg(sum("n_tokens").as("budget"),
-      expr("aggregate(sort_array(collect_list(sqrt(cast(n_tokens as double)))), " +
-        "0D, (a, x) -> a + x)").as("z"))
+      orderedSum("sqrt(cast(n_tokens as double))").as("z"))
     toks.crossJoin(broadcast(norm))
       .withColumn("share_raw", sqrt(col("n_tokens")) / col("z"))
+      // both epoch outputs derive from ONE raw value: the flag compares
+      // the same number the rounded column displays (flagging off the
+      // rounded value instead would flip rows within half an ulp of 1)
+      .withColumn("epochs_raw",
+        col("share_raw") * col("budget") / col("n_tokens"))
       .select(col("source"), col("n_tokens"),
         round(col("share_raw"), 6).as("share"),
         expr("cast(round(share_raw * budget) as bigint)").as("target_tokens"),
-        round(col("share_raw") * col("budget") / col("n_tokens"), 4).as("epochs"),
-        (col("share_raw") * col("budget") / col("n_tokens") > 1.0)
-          .as("needs_repeat"))
+        round(col("epochs_raw"), 4).as("epochs"),
+        (col("epochs_raw") > 1.0).as("needs_repeat"))
       .orderBy("source")
   }
 
@@ -576,8 +589,7 @@ object TextOps {
           "ln((cast(n_st as double) / n_s) / (cast(n_t as double) / n))"))
       .groupBy("source")
       .agg(max("n_s").as("n_tokens"),
-        round(expr("aggregate(sort_array(collect_list(contrib)), 0D, " +
-          "(a, x) -> a + x)"), 6).as("kl"))
+        round(orderedSum("contrib"), 6).as("kl"))
       .orderBy("source")
   }
 
@@ -620,8 +632,7 @@ object TextOps {
       .withColumn("nll", -log(col("n12") / col("n1")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(expr("aggregate(sort_array(collect_list(nll)), 0D, " +
-          "(a, x) -> a + x)") / count(lit(1)), 6).as("mean_nll"))
+        round(orderedSum("nll") / count(lit(1)), 6).as("mean_nll"))
       .orderBy("doc_id")
   }
 
@@ -891,9 +902,7 @@ object TextOps {
             (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
           .as("w"))
     val scored = w.groupBy("doc_id")
-      .agg(round(expr(
-        "aggregate(sort_array(collect_list(w)), 0D, (a, v) -> a + v)"), 4)
-        .as("bm25"))
+      .agg(round(orderedSum("w"), 4).as("bm25"))
     // Top-k first (distributed TakeOrdered — no global sort materializes),
     // THEN rank: the no-partition window only ever sees the K-row result.
     scored.orderBy(desc("bm25"), col("doc_id")).limit(Bm25TopK)
@@ -1017,8 +1026,7 @@ object TextOps {
       .select(log(col("rnk")).as("x"), log(col("n")).as("y"))
       .select(col("x"), col("y"),
         (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx"))
-    def fold(c: String) =
-      expr(s"aggregate(sort_array(collect_list($c)), 0D, (a, v) -> a + v)")
+    def fold(c: String) = orderedSum(c)
     xy.agg(
         count(lit(1)).cast("double").as("k"),
         fold("x").as("sx"), fold("y").as("sy"),
