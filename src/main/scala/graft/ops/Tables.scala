@@ -6,10 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`/root/repo/TESTDATA.md`). Reads go through `spark.read.parquet` so
   * Catalyst's parquet scan gets predicate pushdown + column pruning for free.
   *
-  * Timestamp note: `events.ts` is parquet TIMESTAMP(NANOS); Spark reads nanos
-  * only via `spark.sql.legacy.parquet.nanosAsLong` or truncation depending on
-  * version — [[Tables.events]] normalizes it to a microsecond TimestampType
-  * column named `ts` either way, so every operator sees one shape.
+  * Timestamp note: the driver has shipped `events.ts` as parquet
+  * TIMESTAMP(NANOS) (rounds 1-5) and as TIMESTAMP(MICROS, isAdjustedToUTC=
+  * false) (round 6+) — the latter surfaces as TIMESTAMP_NTZ under Spark's
+  * default `inferTimestampNTZ`. [[Tables.events]] normalizes every layout to
+  * a microsecond TimestampType column named `ts` (wall clock == UTC instant
+  * under the pinned UTC session), so every operator sees one shape.
   */
 object Tables {
   /** One-time session preparation, idempotent and safe to call per read:
@@ -26,7 +28,8 @@ object Tables {
     // explicitly pinned another zone
     if (!spark.sessionState.conf.contains("spark.sql.session.timeZone"))
       spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // events.ts is parquet TIMESTAMP(NANOS) — readable only via nanosAsLong
+    // a NANOS-typed events.ts is readable only via nanosAsLong (harmless
+    // no-op for the MICROS layout, which has no nanos columns)
     if (!spark.sessionState.conf.contains("spark.sql.legacy.parquet.nanosAsLong"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (!spark.sessionState.functionRegistry
@@ -51,14 +54,22 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // Spark rejects parquet TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL);
-    // the supported route is reading nanos as Long, then converting. The flag
-    // is set at session build in Verify/Bench/TestSpark and pinned by
-    // prepareSession (inside t) only when unset.
+    // Two driver layouts normalize to one TimestampType shape:
+    //  - NANOS: Spark rejects TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL);
+    //    the supported route is nanosAsLong (set at session build in Verify/
+    //    Bench/TestSpark, pinned by prepareSession only when unset), then
+    //    Long nanos -> micros here.
+    //  - MICROS NTZ: inferTimestampNTZ reads isAdjustedToUTC=false as
+    //    TIMESTAMP_NTZ; cast to TimestampType under the UTC session keeps the
+    //    identical micros value while restoring the type downstream operators
+    //    and the oracle compare were built against.
     val df = t(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
