@@ -38,6 +38,8 @@ object TextHashExprs {
       (args: Seq[Expression]) => NormMd5(args.head), "built-in")
     reg.createOrReplaceTempFunction("bpe_count",
       (args: Seq[Expression]) => BpeCount(args.head), "built-in")
+    reg.createOrReplaceTempFunction("char_class_entropy",
+      (args: Seq[Expression]) => CharClassEntropy(args.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       (args: Seq[Expression]) => WordShingles(args.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
@@ -329,6 +331,50 @@ case class NormMd5(child: Expression) extends SingleArgHashExpr {
 
 object NormMd5 {
   private[functions] val HexTab = "0123456789abcdef".getBytes
+}
+
+/** `char_class_entropy(text)` -> double: Shannon entropy (nats) of the
+  * document's character-CLASS distribution over {lower, upper, digit,
+  * whitespace, other} — the single-pass gibberish/boilerplate signal
+  * behind q113 (a run of one class scores 0; max is ln 5). One compiled
+  * codepoint loop replaces the five `regexp_replace` length subtractions
+  * the declarative form (and the DuckDB oracle) needs.
+  *
+  * Oracle parity: the whitespace class is RE2's `\s` (no 0x0B, like
+  * [[NormMd5]]); counts are codepoints to match DuckDB `length`; the five
+  * p*ln(p) terms are added in the fixed class order the oracle SQL writes
+  * out, and `+ 0.0` normalizes the all-one-class `-0.0` before it can
+  * break a bitwise hash compare. Null for empty text. */
+case class CharClassEntropy(child: Expression)
+    extends SingleArgHashExpr {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): CharClassEntropy =
+    copy(child = c)
+
+  override def compute(s: UTF8String): Any = {
+    val str = s.toString
+    var cl = 0L; var cu = 0L; var cd = 0L; var cw = 0L; var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if (cp >= 'a' && cp <= 'z') cl += 1
+      else if (cp >= 'A' && cp <= 'Z') cu += 1
+      else if (cp >= '0' && cp <= '9') cd += 1
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' ||
+        cp == '\r') cw += 1
+    }
+    if (n == 0L) null
+    else {
+      val co = n - cl - cu - cd - cw
+      val nd = n.toDouble
+      def term(c: Long): Double =
+        if (c > 0L) { val p = c.toDouble / nd; p * Math.log(p) } else 0.0
+      -(term(cl) + term(cu) + term(cd) + term(cw) + term(co)) + 0.0
+    }
+  }
 }
 
 /** `bpe_count(text)` -> bigint: the number of matches of the BPE-ish

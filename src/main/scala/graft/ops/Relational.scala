@@ -377,6 +377,53 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** D-family daily-trend regression per event type: OLS slope / intercept
+    * / r^2 of daily event counts vs day index — the drift detector that
+    * says which event streams are growing or decaying and how linearly.
+    * Spark has `regr_slope`, but its float accumulation order is
+    * partial-agg-schedule-dependent — run-dependent low bits that break
+    * bitwise oracle comparison. Here the five sufficient statistics
+    * (Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINT sums (x = epoch day,
+    * y = daily count — products fit a long with 2^13 headroom at any
+    * per-type history up to ~10^5 days x 10^6 events/day), and each output
+    * is a fixed tree of IEEE ops on those integers — bit-identical on any
+    * engine, any partitioning, any scale. Degenerate groups (one day, or
+    * constant counts) yield null slope/r² rather than an inf/NaN div.
+    *
+    * Shape: two hash aggregations — (type, day) then type — both map-side
+    * partial; no window, no sort beyond the final tiny ORDER BY. */
+  def q114DailyTrend(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("day").as("sx"), sum("y").as("sy"),
+        sum(expr("day * y")).as("sxy"),
+        sum(expr("day * day")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("a", expr("n * sxy - sx * sy"))
+      .withColumn("b", expr("n * sxx - sx * sx"))
+      .withColumn("c", expr("n * syy - sy * sy"))
+      .select(col("event_type"), col("n").as("n_days"),
+        round(expr("cast(sy as double) / cast(n as double)"), 4)
+          .as("avg_daily"),
+        round(expr(
+          "CASE WHEN b = 0 THEN NULL " +
+            "ELSE cast(a as double) / cast(b as double) END"), 6)
+          .as("slope"),
+        round(expr(
+          "CASE WHEN b = 0 THEN NULL ELSE " +
+            "(cast(sy as double) - cast(a as double) / cast(b as double)" +
+            " * cast(sx as double)) / cast(n as double) END"), 4)
+          .as("intercept"),
+        round(expr(
+          "CASE WHEN b = 0 OR c = 0 THEN NULL " +
+            "ELSE cast(a as double) * cast(a as double) " +
+            "/ (cast(b as double) * cast(c as double)) END"), 6).as("r2"))
+      .orderBy("event_type")
+
   /** lag/lead window: month-over-month revenue delta. */
   def q47MonthDelta(s: SparkSession, d: String): DataFrame = {
     val monthly = lineitem(s, d)
@@ -862,6 +909,36 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q114_daily_trend" -> ((q114DailyTrend _, """
+      WITH daily AS (
+        SELECT event_type, (floor(epoch(ts) / 86400))::BIGINT AS day,
+               count(*) AS y
+        FROM events GROUP BY event_type, day),
+      st AS (
+        SELECT event_type, count(*) AS n,
+               cast(sum(day) AS BIGINT) AS sx,
+               cast(sum(y) AS BIGINT) AS sy,
+               cast(sum(day * y) AS BIGINT) AS sxy,
+               cast(sum(day * day) AS BIGINT) AS sxx,
+               cast(sum(y * y) AS BIGINT) AS syy
+        FROM daily GROUP BY event_type),
+      abc AS (
+        SELECT event_type, n, sx, sy,
+               n * sxy - sx * sy AS a,
+               n * sxx - sx * sx AS b,
+               n * syy - sy * sy AS c
+        FROM st)
+      SELECT event_type, n AS n_days,
+             round(sy::DOUBLE / n::DOUBLE, 4) AS avg_daily,
+             round(CASE WHEN b = 0 THEN NULL
+                        ELSE a::DOUBLE / b::DOUBLE END, 6) AS slope,
+             round(CASE WHEN b = 0 THEN NULL
+                        ELSE (sy::DOUBLE - a::DOUBLE / b::DOUBLE * sx::DOUBLE)
+                             / n::DOUBLE END, 4) AS intercept,
+             round(CASE WHEN b = 0 OR c = 0 THEN NULL
+                        ELSE a::DOUBLE * a::DOUBLE
+                             / (b::DOUBLE * c::DOUBLE) END, 6) AS r2
+      FROM abc ORDER BY event_type""")),
     "q111_gap_fill" -> ((q111GapFill _, """
       SELECT event_id, user_id,
              CASE WHEN event_type <> 'error' THEN value END AS value_raw,

@@ -557,6 +557,118 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** C5l3 sampling-temperature tuner — the alpha-schedule report that picks
+    * the mixing temperature q76/q110 then apply. For each alpha in
+    * {1, 0.5, 0.25, 0} every language's smoothed share is
+    * n^alpha / sum_l n^alpha, and the mix's diversity is summarized as the
+    * inverse Simpson index 1/sum(share^2) ("effective language count").
+    * The alpha grid is restricted to sqrt-chain exponents (x, sqrt(x),
+    * sqrt(sqrt(x)), 1) because IEEE mandates a correctly rounded sqrt —
+    * `pow(x, 0.3)` carries no such cross-engine guarantee — and diversity
+    * uses inverse Simpson rather than exp-entropy for the same reason
+    * (arithmetic only, no transcendental ln). alpha=1 is proportional
+    * sampling, alpha=0 uniform; the report shows how hard each step of the
+    * schedule flattens the head and lifts the tail.
+    *
+    * Shape: ONE corpus scan -> per-lang counts (a handful of rows,
+    * checkpointed); the alpha grid is a literal explode over that tiny
+    * table, both normalizers are ORDERED folds per alpha (bit-stable
+    * floats, [[orderedSum]]), and the z / eff joins broadcast. Everything
+    * after the scan is (langs x 4) rows regardless of corpus size. */
+  def q112AlphaSchedule(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // feeds the grid twice (normalizer + rows)
+    val grid = counts
+      .select(col("lang"), col("n_docs"),
+        explode(expr("array(1.0D, 0.5D, 0.25D, 0.0D)")).as("alpha"))
+      .withColumn("w", expr(
+        """CASE alpha WHEN 1.0D THEN cast(n_docs as double)
+                      WHEN 0.5D THEN sqrt(cast(n_docs as double))
+                      WHEN 0.25D THEN sqrt(sqrt(cast(n_docs as double)))
+                      ELSE 1.0D END"""))
+    val z = grid.groupBy("alpha").agg(orderedSum("w").as("z"))
+    val shares = grid.join(broadcast(z), "alpha")
+      .withColumn("share_raw", col("w") / col("z"))
+    val eff = shares.groupBy("alpha")
+      .agg(orderedSum("share_raw * share_raw").as("simpson"))
+      .withColumn("eff_raw", lit(1.0) / col("simpson"))
+    shares.join(broadcast(eff.select(col("alpha"), col("eff_raw"))), "alpha")
+      .select(col("alpha"), col("lang"), col("n_docs"),
+        round(col("share_raw"), 6).as("share"),
+        round(col("eff_raw"), 4).as("eff_langs"))
+      .orderBy(desc("alpha"), col("lang"))
+  }
+
+  /** C5o char-class entropy gate — the gibberish/boilerplate detector that
+    * catches what token-level quality signals (q30) miss: a doc that is one
+    * long run of a single character class (raw digit dumps, base64 blobs
+    * rendered as letters, whitespace bombs) scores ~0 nats of class entropy
+    * no matter how many distinct "tokens" it splits into. Per-doc entropy
+    * is the native single-pass
+    * [[graft.functions.CharClassEntropy char_class_entropy]] expression
+    * (the declarative form needs five regexp_replace passes per row — the
+    * oracle pays that price so the engine doesn't); per-source stats flag
+    * how much of each slice sits under the 0.5-nat floor.
+    *
+    * Hash-stability: per-doc entropy is rounded to 4dp BEFORE aggregation
+    * (so min/max/threshold compare rounded values on both engines) and the
+    * mean is an ORDERED fold over those rounded values. */
+  def q113CharEntropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(length(col("text")) > 0) // empty text: no distribution (both
+      // engines drop the row; the expression alone would yield null)
+      .select(col("source"),
+        round(expr("char_class_entropy(text)"), 4).as("ent"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(orderedSum("ent") / count(lit(1)), 4).as("mean_entropy"),
+        min("ent").as("min_entropy"),
+        max("ent").as("max_entropy"),
+        sum(when(col("ent") < 0.5, 1L).otherwise(0L)).as("n_low_diversity"))
+      .orderBy("source")
+
+  /** C5n tokenizer-fertility audit per (lang, source) cell: tokens per 100
+    * chars and bytes per token — the cost model that says how many training
+    * tokens a byte of each corpus slice buys — plus each cell's relative
+    * deviation from its language's pooled fertility. A cell drifting >20%
+    * from its language is flagged: for a fixed tokenizer that usually means
+    * markup/boilerplate contamination or mis-tagged language, found here
+    * before it skews the token budget (q110) built on these counts.
+    * Ratios are ratio-of-sums (exact BIGINT numerators/denominators, one
+    * IEEE division each) rather than means of per-doc ratios, so they are
+    * bit-stable with no ordered-fold needed.
+    *
+    * Shape: ONE corpus scan -> (lang, source) cells (tiny, checkpointed);
+    * the language rollup re-aggregates the CELLS, not the corpus, and
+    * joins back broadcast. */
+  def q116TokenFertility(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))")
+          .cast("long").as("n_toks"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"),
+        sum("n_chars").as("chars"), sum("n_bytes").as("bytes"))
+      .localCheckpoint(true) // feeds the lang rollup AND the cell rows
+    val byLang = cells.groupBy("lang")
+      .agg(sum("toks").as("l_toks"), sum("chars").as("l_chars"))
+    cells.join(broadcast(byLang), "lang")
+      .withColumn("fert_raw",
+        lit(100.0) * col("toks") / col("chars"))
+      .withColumn("dev_raw",
+        col("fert_raw") / (lit(100.0) * col("l_toks") / col("l_chars"))
+          - lit(1.0))
+      .select(col("lang"), col("source"), col("n_docs"),
+        round(col("fert_raw"), 4).as("tokens_per_100_chars"),
+        round(col("bytes").cast("double") / col("toks"), 4)
+          .as("bytes_per_token"),
+        round(col("dev_raw"), 4).as("dev_from_lang"),
+        (abs(col("dev_raw")) > lit(0.2)).as("fertility_outlier"))
+      .orderBy("lang", "source")
+  }
+
   /** C5m source-drift monitor: KL(source token distribution || corpus token
     * distribution) per source — the data-quality alarm that catches a
     * crawler shard going off-distribution before it trains. One corpus
@@ -1230,6 +1342,82 @@ object TextOps {
              round(share_raw * budget / n_tokens, 4) AS epochs,
              share_raw * budget / n_tokens > 1 AS needs_repeat
       FROM p ORDER BY source""")),
+    "q112_alpha_schedule" -> ((q112AlphaSchedule _, """
+      WITH counts AS (SELECT lang, count(*) AS n_docs
+                      FROM documents GROUP BY lang),
+      grid AS (SELECT lang, n_docs, alpha,
+                 CASE alpha WHEN 1.0 THEN n_docs::DOUBLE
+                            WHEN 0.5 THEN sqrt(n_docs::DOUBLE)
+                            WHEN 0.25 THEN sqrt(sqrt(n_docs::DOUBLE))
+                            ELSE 1.0::DOUBLE END AS w
+               FROM counts,
+                    (SELECT unnest([1.0::DOUBLE, 0.5::DOUBLE,
+                                    0.25::DOUBLE, 0.0::DOUBLE]) AS alpha) a),
+      z AS (SELECT alpha, list_sum(list_sort(list(w))) AS z
+            FROM grid GROUP BY alpha),
+      shares AS (SELECT g.lang, g.n_docs, g.alpha, g.w / z.z AS share_raw
+                 FROM grid g JOIN z USING (alpha)),
+      eff AS (SELECT alpha,
+                     1.0::DOUBLE /
+                       list_sum(list_sort(list(share_raw * share_raw)))
+                       AS eff_raw
+              FROM shares GROUP BY alpha)
+      SELECT s.alpha, s.lang, s.n_docs, round(s.share_raw, 6) AS share,
+             round(e.eff_raw, 4) AS eff_langs
+      FROM shares s JOIN eff e USING (alpha)
+      ORDER BY s.alpha DESC, s.lang""")),
+    "q113_char_entropy" -> ((q113CharEntropy _, raw"""
+      WITH c AS (
+        SELECT source, length(text)::DOUBLE AS n,
+               (length(text) -
+                length(regexp_replace(text, '[a-z]', '', 'g')))::DOUBLE AS cl,
+               (length(text) -
+                length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE AS cu,
+               (length(text) -
+                length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS cd,
+               (length(text) -
+                length(regexp_replace(text, '\s', '', 'g')))::DOUBLE AS cw
+        FROM documents WHERE length(text) > 0),
+      e AS (
+        SELECT source, round(-(
+            (CASE WHEN cl > 0 THEN cl/n * ln(cl/n) ELSE 0.0::DOUBLE END) +
+            (CASE WHEN cu > 0 THEN cu/n * ln(cu/n) ELSE 0.0::DOUBLE END) +
+            (CASE WHEN cd > 0 THEN cd/n * ln(cd/n) ELSE 0.0::DOUBLE END) +
+            (CASE WHEN cw > 0 THEN cw/n * ln(cw/n) ELSE 0.0::DOUBLE END) +
+            (CASE WHEN n-cl-cu-cd-cw > 0
+                  THEN (n-cl-cu-cd-cw)/n * ln((n-cl-cu-cd-cw)/n)
+                  ELSE 0.0::DOUBLE END)) + 0.0::DOUBLE, 4) AS ent
+        FROM c)
+      SELECT source, count(*) AS n_docs,
+             round(list_sum(list_sort(list(ent))) / count(*), 4)
+               AS mean_entropy,
+             min(ent) AS min_entropy, max(ent) AS max_entropy,
+             cast(sum(CASE WHEN ent < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_diversity
+      FROM e GROUP BY source ORDER BY source""")),
+    "q116_token_fertility" -> ((q116TokenFertility _, """
+      WITH cells AS (
+        SELECT lang, source, count(*) AS n_docs,
+               cast(sum(len(list_filter(string_split(text, ' '),
+                 x -> x <> ''))) AS BIGINT) AS toks,
+               cast(sum(n_chars) AS BIGINT) AS chars,
+               cast(sum(strlen(text)) AS BIGINT) AS bytes
+        FROM documents GROUP BY lang, source),
+      bylang AS (SELECT lang, cast(sum(toks) AS BIGINT) AS l_toks,
+                        cast(sum(chars) AS BIGINT) AS l_chars
+                 FROM cells GROUP BY lang)
+      SELECT c.lang, c.source, c.n_docs,
+             round(100.0::DOUBLE * c.toks / c.chars, 4)
+               AS tokens_per_100_chars,
+             round(c.bytes::DOUBLE / c.toks, 4) AS bytes_per_token,
+             round(100.0::DOUBLE * c.toks / c.chars
+                     / (100.0::DOUBLE * l.l_toks / l.l_chars)
+                     - 1.0::DOUBLE, 4) AS dev_from_lang,
+             abs(100.0::DOUBLE * c.toks / c.chars
+                   / (100.0::DOUBLE * l.l_toks / l.l_chars)
+                   - 1.0::DOUBLE) > 0.2::DOUBLE AS fertility_outlier
+      FROM cells c JOIN bylang l USING (lang)
+      ORDER BY c.lang, c.source""")),
     "q76_source_mix" -> ((q76SourceMix _, s"""
       WITH counts AS (SELECT source, count(*) AS n_docs
                       FROM documents GROUP BY source),

@@ -32,6 +32,54 @@ class DedupSpec extends AnyFunSuite {
     body(dir)
   }
 
+  test("funnel: per-source monotone raw -> exact -> cluster survivors") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val t2 = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq(
+      (1L, t1, "en", "s1", 20L),  // keeper of the identical family {1,2,4}
+      (2L, t1, "en", "s1", 20L),  // exact dup, same source
+      (3L, t2, "en", "s1", 16L),  // unique
+      (4L, t1, "en", "s2", 20L)   // exact dup ACROSS sources
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = Dedup.q115DedupFunnel(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      // s1: 3 raw; exact keeps 1 (family min) and 3; both survive
+      // clustering (1 is its family's component min, 3 is isolated)
+      assert(out("s1").getAs[Long]("n_raw") == 3L)
+      assert(out("s1").getAs[Long]("chars_raw") == 56L)
+      assert(out("s1").getAs[Long]("n_exact") == 2L)
+      assert(out("s1").getAs[Long]("n_final") == 2L)
+      assert(out("s1").getAs[Long]("chars_final") == 36L)
+      assert(out("s1").getAs[Double]("pct_kept") == 66.67)
+      // s2's only doc is a cross-source copy: dropped at the exact stage
+      assert(out("s2").getAs[Long]("n_raw") == 1L)
+      assert(out("s2").getAs[Long]("n_exact") == 0L)
+      assert(out("s2").getAs[Long]("n_final") == 0L)
+      assert(out("s2").getAs[Double]("pct_kept") == 0.0)
+    }
+  }
+
+  test("funnel stages ride one corpus scan: window min on fp, no fp self-join") {
+    val df = Dedup.q115DedupFunnel(spark, sf)
+    df.collect() // materialize so AQE's FINAL plan is inspectable: the
+    // checkpointed label side has no size estimate statically, so the
+    // static plan shows a sort-merge join that AQE demotes at runtime
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), full.take(500))
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+    // judge only what actually ran
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("Window"), plan.take(1500))
+    // the exact stage must NOT appear as a corpus self-join on the
+    // fingerprint, and the (small) label hookup must land broadcast
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("exact dedup collapses whitespace/case variants to one survivor") {
     withDocs(planted) { dir =>
       val out = Dedup.q22DedupExact(spark, dir).collect()

@@ -139,4 +139,51 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(1500))
     assert(!plan.contains("Join"), plan.take(1500))
   }
+
+  test("daily trend: OLS from exact integer sums matches a driver replay") {
+    val out = Relational.q114DailyTrend(spark, sf).collect()
+    assert(out.nonEmpty)
+    // replay: daily counts per type from the same normalized events read,
+    // then the textbook OLS on exact BigInt sufficient statistics
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_timestamp(ts) div 86400 as day")
+      .collect()
+      .groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")))
+      .view.mapValues(_.size.toLong).toMap
+    def round(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val pts = daily.collect { case ((t, d), y) if t == et => (d, y) }.toSeq
+      assert(r.getAs[Long]("n_days") == pts.size.toLong)
+      val n = BigInt(pts.size)
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(p => BigInt(p._2)).sum
+      val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val syy = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val a = n * sxy - sx * sy
+      val b = n * sxx - sx * sx
+      val c = n * syy - sy * sy
+      assert(b != 0 && c != 0, s"degenerate fixture for $et")
+      assert(r.getAs[Double]("slope") ==
+        round(a.toDouble / b.toDouble, 6), s"slope($et)")
+      assert(r.getAs[Double]("r2") ==
+        round(a.toDouble * a.toDouble / (b.toDouble * c.toDouble), 6),
+        s"r2($et)")
+      assert(r.getAs[Double]("avg_daily") ==
+        round(sy.toDouble / n.toDouble, 4), s"avg_daily($et)")
+    }
+  }
+
+  test("daily trend plan: two partial-agg rollups, no window, no join") {
+    val plan = Relational.q114DailyTrend(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+    // day-level then type-level: exactly two hash-exchange boundaries at
+    // most (AQE may collapse the second when day-level output is tiny)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      plan.take(2000))
+  }
 }

@@ -222,6 +222,93 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q112 alpha schedule: sqrt-chain shares and inverse-Simpson diversity") {
+    import spark.implicits._
+    // 9 en docs vs 1 fr doc: sqrt chain gives clean closed forms per alpha
+    val docs = (1L to 9L).map(i => (i, "x", "en", "s", 1L)) :+
+      ((10L, "x", "fr", "s", 1L))
+    withDocs(docs.toDF("doc_id", "text", "lang", "source", "n_chars")) { dir =>
+      val out = TextOps.q112AlphaSchedule(spark, dir).collect()
+      assert(out.length == 8) // 2 langs x 4 alphas
+      val byKey = out.map(r =>
+        (r.getAs[Double]("alpha"), r.getAs[String]("lang")) -> r).toMap
+      // alpha=1: proportional 0.9/0.1, eff = 1/(0.81+0.01)
+      assert(byKey((1.0, "en")).getAs[Double]("share") == 0.9)
+      assert(byKey((1.0, "en")).getAs[Double]("eff_langs") == 1.2195)
+      // alpha=0.5: sqrt(9)=3, sqrt(1)=1 -> 0.75/0.25, eff = 1/0.625
+      assert(byKey((0.5, "fr")).getAs[Double]("share") == 0.25)
+      assert(byKey((0.5, "fr")).getAs[Double]("eff_langs") == 1.6)
+      // alpha=0.25: sqrt(3)/(sqrt(3)+1) etc.
+      assert(byKey((0.25, "en")).getAs[Double]("share") == 0.633975)
+      assert(byKey((0.25, "en")).getAs[Double]("eff_langs") == 1.866)
+      // alpha=0: uniform, eff = number of languages
+      assert(byKey((0.0, "en")).getAs[Double]("share") == 0.5)
+      assert(byKey((0.0, "fr")).getAs[Double]("eff_langs") == 2.0)
+      // sorted alpha-descending, lang ascending
+      assert(out.head.getAs[Double]("alpha") == 1.0)
+      assert(out.last.getAs[Double]("alpha") == 0.0)
+    }
+  }
+
+  test("q112/q116 plans: tiny post-scan relations broadcast, never sort-merge") {
+    for (q <- Seq(TextOps.q112AlphaSchedule(spark, sf),
+                  TextOps.q116TokenFertility(spark, sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+      assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    }
+  }
+
+  test("q113 char-class entropy: closed-form values, low-diversity flags") {
+    import spark.implicits._
+    val docs = Seq(
+      // one class only -> 0 nats (and the -0.0 normalization must hold)
+      (1L, "aaaaaaaa", "en", "s1", 8L),
+      // 2+2+2+2 over lower/upper/digit/ws -> ln 4 = 1.3863 nats
+      (2L, "ab AB 12", "en", "s1", 8L),
+      (3L, "xy zw qr", "en", "s2", 8L) // lower 6, ws 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q113CharEntropy(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(out("s1").getAs[Long]("n_docs") == 2L)
+      assert(out("s1").getAs[Double]("min_entropy") == 0.0)
+      assert(out("s1").getAs[Double]("max_entropy") == 1.3863)
+      assert(out("s1").getAs[Double]("mean_entropy") == 0.6932)
+      assert(out("s1").getAs[Long]("n_low_diversity") == 1L)
+      // -(0.75 ln 0.75 + 0.25 ln 0.25) = 0.5623
+      assert(out("s2").getAs[Double]("mean_entropy") == 0.5623)
+      assert(out("s2").getAs[Long]("n_low_diversity") == 0L)
+      // bit-level: the all-one-class doc must round to +0.0, not -0.0
+      assert(java.lang.Double.doubleToLongBits(
+        out("s1").getAs[Double]("min_entropy")) == 0L)
+    }
+  }
+
+  test("q116 fertility: ratio-of-sums cells, pooled-lang deviation flags") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "en", "clean", 7L),
+      (2L, "a b c d", "en", "clean", 7L),
+      (3L, "aaaaaaa", "en", "markup", 7L),
+      (4L, "aaaaaaa", "en", "markup", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q116TokenFertility(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      // clean: 8 toks / 14 chars; markup: 2 / 14; lang pooled: 10 / 28
+      assert(out("clean").getAs[Double]("tokens_per_100_chars") == 57.1429)
+      assert(out("markup").getAs[Double]("tokens_per_100_chars") == 14.2857)
+      assert(out("clean").getAs[Double]("bytes_per_token") == 1.75)
+      assert(out("markup").getAs[Double]("bytes_per_token") == 7.0)
+      // 57.14/35.71 = 1.6x pooled, 14.29/35.71 = 0.4x -> +/-0.6 deviation
+      assert(out("clean").getAs[Double]("dev_from_lang") == 0.6)
+      assert(out("markup").getAs[Double]("dev_from_lang") == -0.6)
+      assert(out("clean").getAs[Boolean]("fertility_outlier"))
+      assert(out("markup").getAs[Boolean]("fertility_outlier"))
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
