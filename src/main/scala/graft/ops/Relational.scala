@@ -424,6 +424,38 @@ object Relational {
             "/ (cast(b as double) * cast(c as double)) END"), 6).as("r2"))
       .orderBy("event_type")
 
+  /** D-family correlated-comparison profile: for every customer, how many
+    * of their orders exceed THEIR OWN average order value — the classic
+    * correlated scalar subquery (`o_totalprice > (SELECT avg(...) WHERE
+    * same customer)`), decorrelated by hand onto ONE exchange: the
+    * per-customer aggregate rides a window over the same o_custkey
+    * partitioning the groupBy needs, so Spark plans window + aggregate on
+    * a single shuffle (a naive self-join would shuffle orders twice).
+    * Output is the decile histogram of each customer's above-average
+    * fraction — bounded at 10 rows at any scale.
+    *
+    * Exactness: "above average" is decided by integer cross-multiply on
+    * exact cents (`cents * n > sum_cents`), never by comparing against a
+    * floating average whose partial-agg addition order could flip a
+    * boundary row between engines; decile banding is integer div. */
+  def q119AboveAvgProfile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    orders(s, d)
+      .select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .withColumn("sum_cents", sum("cents").over(w))
+      .withColumn("n_orders", count(lit(1)).over(w))
+      .withColumn("above",
+        (col("cents") * col("n_orders") > col("sum_cents")).cast("long"))
+      .groupBy("o_custkey")
+      .agg(max("n_orders").as("n_orders"), sum("above").as("n_above"))
+      .select(expr("least(n_above * 10 div n_orders, 9L)").as("decile"),
+        col("n_orders"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("n_orders").as("n_orders"))
+      .orderBy("decile")
+  }
+
   /** lag/lead window: month-over-month revenue delta. */
   def q47MonthDelta(s: SparkSession, d: String): DataFrame = {
     val monthly = lineitem(s, d)
@@ -909,6 +941,23 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q119_above_avg_profile" -> ((q119AboveAvgProfile _, """
+      WITH per AS (
+        SELECT o_custkey,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               sum(round(o_totalprice * 100)::BIGINT)
+                 OVER (PARTITION BY o_custkey) AS sum_cents,
+               count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM orders),
+      cust AS (
+        SELECT o_custkey, max(n_orders) AS n_orders,
+               cast(sum(CASE WHEN cents * n_orders > sum_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        FROM per GROUP BY 1)
+      SELECT least(n_above * 10 // n_orders, 9) AS decile,
+             count(*) AS n_customers,
+             cast(sum(n_orders) AS BIGINT) AS n_orders
+      FROM cust GROUP BY 1 ORDER BY decile""")),
     "q114_daily_trend" -> ((q114DailyTrend _, """
       WITH daily AS (
         SELECT event_type, (floor(epoch(ts) / 86400))::BIGINT AS day,

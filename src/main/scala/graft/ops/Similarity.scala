@@ -496,6 +496,47 @@ object Similarity {
         round(col("max_x"), 6).as("max_x"))
       .orderBy("dim")
 
+  /** C3h per-label centroid-drift monitor: each label's mean embedding
+    * compared (cosine) against the corpus mean — the semantic-drift alarm
+    * beside q78's token-level KL: a label (or source shard) whose centroid
+    * swings away from the corpus is off-distribution even when its token
+    * histogram still looks normal. All geometry is EXACT integer
+    * arithmetic on the quantized grid (offset 0 — sums must keep the
+    * origin, unlike the k-means grid): cosine is scale-invariant, so the
+    * per-label SUM vector stands in for the mean and every dot/norm is an
+    * integer sum of integer products (decimal(38) accumulator engine-side,
+    * HUGEINT oracle-side — overflow-proof at any corpus size); the only
+    * float ops are the final sqrt/divide, one fixed expression tree on
+    * identical integers on both engines.
+    *
+    * Shape: one embeddings scan -> posexplode -> (label, dim) partial-agg
+    * shuffle bounded by labels x dims; the global centroid is a rollup of
+    * THAT aggregate (checkpointed, no second scan) broadcast back. */
+  def q118EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val byDim = Tables.embeddings(s, d)
+      .select(col("label"),
+        call_function("ivec_quant", col("embedding"),
+          lit(QuantScale), lit(0)).as("q"))
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the global rollup AND the label rows
+    val global = byDim.groupBy("dim").agg(sum("sv").as("gv"))
+    byDim.join(broadcast(global), "dim")
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"), // n is constant across a label's dims
+        sum(expr("cast(sv as decimal(38,0)) * gv")).as("dot"),
+        sum(expr("cast(sv as decimal(38,0)) * sv")).as("n2l"),
+        sum(expr("cast(gv as decimal(38,0)) * gv")).as("n2g"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2l").cast("double")) * sqrt(col("n2g").cast("double"))),
+          6).as("cos_to_corpus"),
+        round(sqrt(col("n2l").cast("double")) / col("n_vecs") /
+          lit(QuantScale.toDouble), 4).as("mean_norm"))
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------- k-means
   val KMeansK = 8       // codebook size for the test corpus
   val KMeansIters = 2   // Lloyd's iterations (fixed, mirrored in the oracle)
@@ -799,6 +840,28 @@ object Similarity {
         FROM fin)
       SELECT q_id, rr, neighbor_id, sim, final_score FROM rr
       WHERE rr <= $RerankK ORDER BY q_id, rr""")),
+    "q118_embedding_drift" -> ((q118EmbeddingDrift _, s"""
+      WITH q AS (SELECT label,
+                   list_transform(embedding,
+                     x -> round(x::DOUBLE * $QuantScale)::BIGINT) AS qv
+                 FROM embeddings),
+      qe AS (SELECT label, unnest(generate_series(1, len(qv))) AS dim,
+                    unnest(qv) AS v FROM q),
+      bydim AS (SELECT label, dim, cast(sum(v) AS BIGINT) AS sv,
+                       count(*) AS n
+                FROM qe GROUP BY 1, 2),
+      gsum AS (SELECT dim, cast(sum(sv) AS BIGINT) AS gv
+               FROM bydim GROUP BY 1),
+      st AS (SELECT b.label, max(b.n) AS n_vecs,
+                    sum(b.sv::HUGEINT * g.gv) AS dot,
+                    sum(b.sv::HUGEINT * b.sv) AS n2l,
+                    sum(g.gv::HUGEINT * g.gv) AS n2g
+             FROM bydim b JOIN gsum g USING (dim) GROUP BY 1)
+      SELECT label::BIGINT AS label, n_vecs,
+             round(dot::DOUBLE / (sqrt(n2l::DOUBLE) * sqrt(n2g::DOUBLE)), 6)
+               AS cos_to_corpus,
+             round(sqrt(n2l::DOUBLE) / n_vecs / $QuantScale.0, 4) AS mean_norm
+      FROM st ORDER BY label""")),
     "q82_dim_stats" -> ((q82DimStats _, """
       WITH e AS (
         SELECT unnest(generate_series(1, len(embedding))) AS dim,

@@ -600,6 +600,42 @@ object TextOps {
       .orderBy(desc("alpha"), col("lang"))
   }
 
+  /** C5p quality threshold-sweep curve — the "how much survives each cut"
+    * report that turns q30's per-doc signal into a budget decision: for
+    * every TTR band (0.0-0.9 in 0.1 steps) the docs and token mass in the
+    * band, plus the CUMULATIVE docs/tokens/token-share a filter keeping
+    * ttr >= band would retain. Banding is exact integer arithmetic on the
+    * 4-dp signal (`round(ttr*10000) div 1000`, capped at 9) — a float
+    * `floor(ttr*10)` puts 0.3 in band 2 on both engines (0.3*10 is
+    * 2.9999…) and reads as an off-by-one to any human auditing the bands.
+    *
+    * Shape: one corpus scan -> 10-row band aggregate; the cumulative pass
+    * is a single-partition window over those ≤10 rows (bounded by the
+    * band grid, not the data — the q47 monthly-window rationale). */
+  def q117QualitySweep(s: SparkSession, d: String): DataFrame = {
+    val wCum = Window.orderBy(desc("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(
+        (round(ttrFromTokens(col("t")) * lit(10000)).cast("long")).as("ttr4"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .withColumn("band", expr("least(ttr4 div 1000, 9L)"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select(
+        (col("band").cast("double") / lit(10.0)).as("min_ttr"),
+        col("band"), col("n_docs"), col("n_tokens"),
+        sum("n_docs").over(wCum).as("cum_docs"),
+        sum("n_tokens").over(wCum).as("cum_tokens"),
+        round(sum("n_tokens").over(wCum).cast("double") /
+          sum("n_tokens").over(wAll), 6).as("cum_token_share"))
+      .drop("band")
+      .orderBy("min_ttr")
+  }
+
   /** C5o char-class entropy gate — the gibberish/boilerplate detector that
     * catches what token-level quality signals (q30) miss: a doc that is one
     * long run of a single character class (raw digit dumps, base64 blobs
@@ -1366,6 +1402,26 @@ object TextOps {
              round(e.eff_raw, 4) AS eff_langs
       FROM shares s JOIN eff e USING (alpha)
       ORDER BY s.alpha DESC, s.lang""")),
+    "q117_quality_sweep" -> ((q117QualitySweep _, s"""
+      WITH perdoc AS (
+        SELECT cast(round(($TtrSql) * 10000) AS BIGINT) AS ttr4,
+               cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      bands AS (SELECT least(ttr4 // 1000, 9) AS band, count(*) AS n_docs,
+                       cast(sum(n_tokens) AS BIGINT) AS n_tokens
+                FROM perdoc GROUP BY 1)
+      SELECT band::DOUBLE / 10.0::DOUBLE AS min_ttr, n_docs, n_tokens,
+             cast(sum(n_docs) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_docs,
+             cast(sum(n_tokens) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens,
+             round(cast(sum(n_tokens) OVER (ORDER BY band DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 ::DOUBLE / cast(sum(n_tokens) OVER () AS BIGINT), 6)
+               AS cum_token_share
+      FROM bands ORDER BY min_ttr""")),
     "q113_char_entropy" -> ((q113CharEntropy _, raw"""
       WITH c AS (
         SELECT source, length(text)::DOUBLE AS n,

@@ -176,6 +176,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("above-average profile matches an exact-cents driver replay") {
+    val out = Relational.q119AboveAvgProfile(spark, sf).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("n_orders"))).toMap
+    val perCust = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "cast(round(o_totalprice * 100) as bigint) as c")
+      .collect().groupBy(_.getAs[Long]("o_custkey"))
+      .iterator.map { case (_, rs) => // iterator: a pair-valued map over a
+        // Map would collapse customers sharing a decile
+        val cents = rs.map(_.getAs[Long]("c"))
+        val total = cents.sum
+        val n = cents.length.toLong
+        val above = cents.count(c => c * n > total).toLong
+        (math.min(above * 10 / n, 9L), n)
+      }.toSeq
+    val expected = perCust.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    assert(out == expected)
+    assert(out.values.map(_._1).sum == perCust.size.toLong)
+  }
+
+  test("above-average profile: window and per-customer agg share one exchange") {
+    val plan = Relational.q119AboveAvgProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+    // o_custkey carries window AND aggregate; the only other exchange is
+    // the 10-row decile rollup
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(plan).size == 1,
+      plan.take(2500))
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString

@@ -147,6 +147,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L) == (3.0, 1.414214, 2.0, 4.0))
   }
 
+  test("embedding drift: closed-form cosines to the corpus centroid") {
+    import spark.implicits._
+    // label 0 sums to (2000, 0) on the grid, label 1 to (0, 1000);
+    // global = (2000, 1000), |global| = 1000*sqrt(5)
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0f), 0),
+      (3L, Array(0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.q118EmbeddingDrift(spark, dir).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out(0L).getAs[Long]("n_vecs") == 2L)
+    // cos = 2/sqrt(5) and 1/sqrt(5)
+    assert(out(0L).getAs[Double]("cos_to_corpus") == 0.894427)
+    assert(out(1L).getAs[Double]("cos_to_corpus") == 0.447214)
+    // both labels' members are unit vectors pointing one way -> mean norm 1
+    assert(out(0L).getAs[Double]("mean_norm") == 1.0)
+    assert(out(1L).getAs[Double]("mean_norm") == 1.0)
+  }
+
+  test("embedding drift plan: one scan, label rollup feeds a broadcast join") {
+    val df = Similarity.q118EmbeddingDrift(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("quantization error: exact range hits zero, bounded by half a step") {
     import spark.implicits._
     val emb = Seq(

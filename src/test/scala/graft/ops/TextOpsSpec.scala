@@ -259,6 +259,29 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q117 quality sweep: integer bands, cumulative-from-top retention") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a", "en", "s", 7L), // ttr 0.25 -> band 2
+      (2L, "a b a b", "en", "s", 7L), // ttr 0.5  -> band 5
+      (3L, "a b c d", "en", "s", 7L)  // ttr 1.0  -> capped to band 9
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q117QualitySweep(spark, dir).collect()
+      assert(out.length == 3)
+      val byBand = out.map(r => r.getAs[Double]("min_ttr") -> r).toMap
+      assert(byBand(0.9).getAs[Long]("cum_docs") == 1L)
+      assert(byBand(0.9).getAs[Double]("cum_token_share") == 0.333333)
+      assert(byBand(0.5).getAs[Long]("cum_docs") == 2L)
+      assert(byBand(0.5).getAs[Double]("cum_token_share") == 0.666667)
+      assert(byBand(0.2).getAs[Long]("cum_docs") == 3L)
+      assert(byBand(0.2).getAs[Long]("cum_tokens") == 12L)
+      assert(byBand(0.2).getAs[Double]("cum_token_share") == 1.0)
+      // ascending by band so the sweep reads as a threshold curve
+      assert(out.map(_.getAs[Double]("min_ttr")).toSeq == Seq(0.2, 0.5, 0.9))
+    }
+  }
+
   test("q113 char-class entropy: closed-form values, low-diversity flags") {
     import spark.implicits._
     val docs = Seq(
