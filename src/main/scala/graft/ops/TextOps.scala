@@ -602,9 +602,11 @@ object TextOps {
 
   /** C5p quality threshold-sweep curve — the "how much survives each cut"
     * report that turns q30's per-doc signal into a budget decision: for
-    * every TTR band (0.0-0.9 in 0.1 steps) the docs and token mass in the
-    * band, plus the CUMULATIVE docs/tokens/token-share a filter keeping
-    * ttr >= band would retain. Banding is exact integer arithmetic on the
+    * every NON-EMPTY TTR band (0.1-wide steps over 0.0-0.9; a band no doc
+    * lands in emits no row, so read retention at an absent threshold from
+    * the next populated band) the docs and token mass in the band, plus
+    * the CUMULATIVE docs/tokens/token-share a filter keeping ttr >= band
+    * would retain. Banding is exact integer arithmetic on the
     * 4-dp signal (`round(ttr*10000) div 1000`, capped at 9) — a float
     * `floor(ttr*10)` puts 0.3 in band 2 on both engines (0.3*10 is
     * 2.9999…) and reads as an off-by-one to any human auditing the bands.
