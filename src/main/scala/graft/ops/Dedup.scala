@@ -666,6 +666,41 @@ object Dedup {
   def q80LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
     splitSummary(splitAssigned(s, d))
 
+  /** C2h empirical split-leakage audit — the trust-but-verify companion to
+    * q80: measure the ACTUAL cross-split surface overlap (distinct-shingle
+    * Jaccard between every split pair). Cluster-aware splitting guarantees
+    * no NEAR-DUP pair straddles a split; it does not (and cannot) zero out
+    * ordinary shared English shingles, so this report is the honest
+    * residual-leakage number a data card publishes — and the alarm that
+    * fires when a split rule regression (or a hash change) silently puts
+    * dup families on both sides of the fence: jaccard jumps.
+    *
+    * Scale shape: one shingle pass joined to the split assignment, deduped
+    * to (split, shingle) — after which every shingle appears AT MOST ONCE
+    * PER SPLIT, so the self-equi-join's fan-out is bounded by splits²
+    * per shingle regardless of how hot a boilerplate shingle is (the q81
+    * source-overlap argument, with an even tighter bound). */
+  def q120SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val tagged = shingled(s, d)
+      .join(splitAssigned(s, d).select("doc_id", "split"), "doc_id")
+      .select(col("split"), explode(col("sh")).as("sg"))
+      .distinct()
+      .localCheckpoint(true) // feeds sizes AND both self-join sides
+    val sizes = tagged.groupBy("split").agg(count(lit(1)).as("n"))
+    tagged.as("a").join(tagged.as("b"), "sg")
+      .filter(col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("split").as("split_a"),
+        col("n").as("na"))), "split_a")
+      .join(broadcast(sizes.select(col("split").as("split_b"),
+        col("n").as("nb"))), "split_b")
+      .select(col("split_a"), col("split_b"), col("n_shared"),
+        round(col("n_shared") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+      .orderBy("split_a", "split_b")
+  }
+
   private def splitSummary(assigned: DataFrame): DataFrame =
     assigned
       .groupBy("split")
@@ -1094,7 +1129,25 @@ object Dedup {
              round(100.0::DOUBLE * n_final / n_raw, 2) AS pct_kept
       FROM agg ORDER BY source"""
 
+  private def splitLeakageOracle: String =
+    s"""
+      $ccCtes,
+      $splitAssignCtes,
+      tag AS (SELECT DISTINCT a.split, s.shingle AS sg
+              FROM sh s JOIN assigned a USING (doc_id)),
+      sz AS (SELECT split, count(*) AS n FROM tag GROUP BY 1),
+      pr AS (SELECT a.split AS split_a, b.split AS split_b,
+                    count(*) AS n_shared
+             FROM tag a JOIN tag b ON a.sg = b.sg AND a.split < b.split
+             GROUP BY 1, 2)
+      SELECT split_a, split_b, n_shared,
+             round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
+      FROM pr JOIN sz sa ON sa.split = pr.split_a
+              JOIN sz sb ON sb.split = pr.split_b
+      ORDER BY split_a, split_b"""
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q120_split_leakage" -> ((q120SplitLeakage _, splitLeakageOracle)),
     "q115_dedup_funnel" -> ((q115DedupFunnel _, funnelOracle)),
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
     "q94_dedup_survivors" -> ((q94DedupSurvivors _, survivorsOracle)),

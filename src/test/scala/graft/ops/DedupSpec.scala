@@ -80,6 +80,37 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("split leakage: cross-split shingle jaccard matches a driver replay") {
+    val out = Dedup.q120SplitLeakage(spark, sf).collect()
+    assert(out.nonEmpty)
+    val assigned = Dedup.splitAssigned(spark, sf).select("doc_id", "split")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val bySplit = Dedup.shingled(spark, sf).collect()
+      .flatMap(r => r.getSeq[String](1)
+        .map(g => (assigned(r.getAs[Long]("doc_id")), g)))
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(a < b, "pairs must be canonically ordered")
+      val inter = bySplit(a).intersect(bySplit(b)).size.toLong
+      assert(r.getAs[Long]("n_shared") == inter, s"n_shared($a,$b)")
+      val union = bySplit(a).size + bySplit(b).size - inter
+      val jac = BigDecimal(inter.toDouble / union)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("jaccard") == jac, s"jaccard($a,$b)")
+    }
+  }
+
+  test("split leakage plan: bounded self-equi-join, no cartesian") {
+    val df = Dedup.q120SplitLeakage(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("exact dedup collapses whitespace/case variants to one survivor") {
     withDocs(planted) { dir =>
       val out = Dedup.q22DedupExact(spark, dir).collect()
