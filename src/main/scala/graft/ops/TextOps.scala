@@ -707,6 +707,45 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** C5q char-bigram conditional entropy rate per source — the
+    * model-free compression proxy: H(b|a) = -Σ p(ab) ln(p(ab)/p(a)) in
+    * nats (and bits) per character. Natural text sits in a narrow band;
+    * machine-generated spam, base64 blobs and template dumps fall far
+    * below it, and near-random noise rises above — a third quality lens
+    * beside token signals (q30) and class entropy (q113), sensitive to
+    * WITHIN-class structure those miss. Counts ride the native
+    * [[graft.functions.CharBigrams char_bigrams]] pass (one compiled
+    * window loop per doc).
+    *
+    * Shape: one corpus scan -> (source, bigram) counts (vocabulary-sized,
+    * checkpointed); the prefix marginal c_a and totals re-aggregate THAT
+    * table and broadcast back; the entropy fold is ORDERED per source
+    * ([[orderedSum]]) — same vocabulary-sized-buffer caveat as q78, swap
+    * for plain sum + tolerance at a production vocabulary. */
+  def q121CharEntropyRate(s: SparkSession, d: String): DataFrame = {
+    val Ln2 = 0.6931471805599453 // literal on BOTH engine sides
+    val cab = documents(s, d)
+      .select(col("source"), explode(expr("char_bigrams(text)")).as("bg"))
+      .groupBy("source", "bg").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true) // feeds marginal, totals AND the term scan
+    val ca = cab.withColumn("a", expr("substring(bg, 1, 1)"))
+      .groupBy("source", "a").agg(sum("c_ab").as("c_a"))
+    val tot = cab.groupBy("source")
+      .agg(sum("c_ab").as("n_bg"), count(lit(1)).as("vocab"))
+    val hsum = orderedSum("term")
+    cab.withColumn("a", expr("substring(bg, 1, 1)"))
+      .join(broadcast(ca), Seq("source", "a"))
+      .join(broadcast(tot), "source")
+      .withColumn("term", expr(
+        "(cast(c_ab as double) / cast(n_bg as double)) * " +
+          "ln(cast(c_ab as double) / cast(c_a as double))"))
+      .groupBy("source")
+      .agg(max("n_bg").as("n_bigrams"), max("vocab").as("vocab"),
+        round((-hsum) + lit(0.0), 4).as("h_nats"),
+        round(((-hsum) + lit(0.0)) / lit(Ln2), 4).as("h_bits"))
+      .orderBy("source")
+  }
+
   /** C5m source-drift monitor: KL(source token distribution || corpus token
     * distribution) per source — the data-quality alarm that catches a
     * crawler shard going off-distribution before it trains. One corpus
@@ -1404,6 +1443,32 @@ object TextOps {
              round(e.eff_raw, 4) AS eff_langs
       FROM shares s JOIN eff e USING (alpha)
       ORDER BY s.alpha DESC, s.lang""")),
+    "q121_char_entropy_rate" -> ((q121CharEntropyRate _, """
+      WITH bgs AS (
+        SELECT source,
+               unnest([substr(text, i, 2)
+                       FOR i IN generate_series(1, length(text)-1)]) AS bg
+        FROM documents WHERE length(text) >= 2),
+      cab AS (SELECT source, bg, count(*) AS c_ab FROM bgs GROUP BY 1, 2),
+      ca AS (SELECT source, substr(bg, 1, 1) AS a,
+                    cast(sum(c_ab) AS BIGINT) AS c_a
+             FROM cab GROUP BY 1, 2),
+      tot AS (SELECT source, cast(sum(c_ab) AS BIGINT) AS n_bg,
+                     count(*) AS vocab
+              FROM cab GROUP BY 1),
+      terms AS (
+        SELECT cab.source, n_bg, vocab,
+               (c_ab::DOUBLE / n_bg::DOUBLE) *
+                 ln(c_ab::DOUBLE / c_a::DOUBLE) AS term
+        FROM cab
+        JOIN ca ON ca.source = cab.source AND ca.a = substr(cab.bg, 1, 1)
+        JOIN tot ON tot.source = cab.source)
+      SELECT source, max(n_bg) AS n_bigrams, max(vocab) AS vocab,
+             round(-(list_sum(list_sort(list(term)))) + 0.0::DOUBLE, 4)
+               AS h_nats,
+             round((-(list_sum(list_sort(list(term)))) + 0.0::DOUBLE)
+                   / 0.6931471805599453::DOUBLE, 4) AS h_bits
+      FROM terms GROUP BY source ORDER BY source""")),
     "q117_quality_sweep" -> ((q117QualitySweep _, s"""
       WITH perdoc AS (
         SELECT cast(round(($TtrSql) * 10000) AS BIGINT) AS ttr4,

@@ -282,6 +282,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 char entropy rate: closed-form conditional entropy per source") {
+    import spark.implicits._
+    val docs = Seq(
+      // "abab": bigrams ab,ba,ab -> p(ab)=2/3, p(ba)=1/3; prefixes a:2, b:1
+      // every bigram is determined by its first char -> H = 0
+      (1L, "abab", "en", "det", 4L),
+      // "aab": bigrams aa,ab -> both start 'a' (c_a=2); H =
+      // -(1/2 ln(1/2) + 1/2 ln(1/2)) = ln 2 -> 1 bit exactly
+      (2L, "aab", "en", "coin", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q121CharEntropyRate(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(out("det").getAs[Long]("n_bigrams") == 3L)
+      assert(out("det").getAs[Long]("vocab") == 2L)
+      assert(out("det").getAs[Double]("h_nats") == 0.0)
+      // +0.0 normalization: the zero must be positive zero bit-for-bit
+      assert(java.lang.Double.doubleToLongBits(
+        out("det").getAs[Double]("h_nats")) == 0L)
+      assert(out("coin").getAs[Double]("h_nats") == 0.6931)
+      assert(out("coin").getAs[Double]("h_bits") == 1.0)
+    }
+  }
+
   test("q113 char-class entropy: closed-form values, low-diversity flags") {
     import spark.implicits._
     val docs = Seq(
