@@ -707,6 +707,49 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** C5r exact tie-corrected Spearman rank correlation between doc length
+    * (tokens) and quality (ttr) per source — the monotone-association
+    * diagnostic behind "are we selecting for length when we filter on
+    * quality?". Spearman is Pearson on AVERAGE ranks; fractional average
+    * ranks are avoided by working with rank2 = 2*avg_rank, an integer:
+    * rank2 = rank_asc + n - rank_desc + 1 (min tie rank one way, max the
+    * other). All four rank windows ride ONE hashpartitioning(source)
+    * exchange (four sorts, zero extra shuffles — a (source, value)
+    * tie-count window would force a second partitioning); the Pearson
+    * sufficient statistics are EXACT decimal(38) sums (HUGEINT on the
+    * oracle side), so rho is one fixed float expression on identical
+    * integers — bit-stable on any partitioning, the q114 argument.
+    * Sources with no rank variance (n=1, or all-tied) yield null rho. */
+  def q122SpearmanQuality(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    def rank2(v: String): org.apache.spark.sql.Column =
+      rank().over(bySrc.orderBy(col(v).asc)) + count(lit(1)).over(bySrc) -
+        rank().over(bySrc.orderBy(col(v).desc)) + lit(1)
+    documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("source"), size(col("t")).cast("long").as("x"),
+        round(ttrFromTokens(col("t")) * lit(10000)).cast("long").as("y"))
+      .select(col("source"), rank2("x").cast("long").as("rx"),
+        rank2("y").cast("long").as("ry"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(rx as decimal(38,0))")).as("sx"),
+        sum(expr("cast(ry as decimal(38,0))")).as("sy"),
+        sum(expr("cast(rx as decimal(38,0)) * ry")).as("sxy"),
+        sum(expr("cast(rx as decimal(38,0)) * rx")).as("sxx"),
+        sum(expr("cast(ry as decimal(38,0)) * ry")).as("syy"))
+      .withColumn("a", expr("cast(n_docs as decimal(38,0)) * sxy - sx * sy"))
+      .withColumn("b", expr("cast(n_docs as decimal(38,0)) * sxx - sx * sx"))
+      .withColumn("c", expr("cast(n_docs as decimal(38,0)) * syy - sy * sy"))
+      .select(col("source"), col("n_docs"),
+        round(expr(
+          "CASE WHEN b = 0 OR c = 0 THEN NULL " +
+            "ELSE cast(a as double) / " +
+            "(sqrt(cast(b as double)) * sqrt(cast(c as double))) END"), 6)
+          .as("rho"))
+      .orderBy("source")
+  }
+
   /** C5q char-bigram conditional entropy rate per source — the
     * model-free compression proxy: H(b|a) = -Σ p(ab) ln(p(ab)/p(a)) in
     * nats (and bits) per character. Natural text sits in a narrow band;
@@ -745,6 +788,31 @@ object TextOps {
         round(((-hsum) + lit(0.0)) / lit(Ln2), 4).as("h_bits"))
       .orderBy("source")
   }
+
+  /** C5s template-family detector: docs sharing an identical 64-char HEAD
+    * or TAIL window are one template family — the generated-from-template
+    * and shared-footer duplication modes that whole-text dedup (q22)
+    * misses when bodies differ and chunk dedup (q106) misses when the
+    * repeat is shorter than a chunk. Short docs fingerprint their whole
+    * text for the tail (an explicit CASE — engines disagree on
+    * substring(s, -64) semantics when len < 64, so the edge never reaches
+    * substring). One corpus scan emits both (kind, fp) keys per doc via
+    * an in-row explode; one hash aggregate; only families (n >= 2)
+    * survive, so output is bounded by the duplication actually present. */
+  def q123TemplateFamilies(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "array(struct('head' as kind, md5(substring(text, 1, 64)) as fp)," +
+            " struct('tail' as kind, md5(CASE WHEN length(text) >= 64 " +
+            "THEN substring(text, -64) ELSE text END) as fp))")).as("kf"))
+      .select(col("kf.kind").as("kind"), col("kf.fp").as("fp"),
+        col("doc_id"), col("source"))
+      .groupBy("kind", "fp")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"),
+        min("doc_id").as("keep_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("kind", "fp")
 
   /** C5m source-drift monitor: KL(source token distribution || corpus token
     * distribution) per source — the data-quality alarm that catches a
@@ -1443,6 +1511,56 @@ object TextOps {
              round(e.eff_raw, 4) AS eff_langs
       FROM shares s JOIN eff e USING (alpha)
       ORDER BY s.alpha DESC, s.lang""")),
+    "q122_spearman_quality" -> ((q122SpearmanQuality _, s"""
+      WITH v AS (
+        SELECT source,
+               cast(len(string_split(text, ' ')) AS BIGINT) AS x,
+               cast(round(($TtrSql) * 10000) AS BIGINT) AS y
+        FROM documents),
+      r AS (
+        SELECT source,
+               rank() OVER (PARTITION BY source ORDER BY x ASC)
+                 + count(*) OVER (PARTITION BY source)
+                 - rank() OVER (PARTITION BY source ORDER BY x DESC)
+                 + 1 AS rx,
+               rank() OVER (PARTITION BY source ORDER BY y ASC)
+                 + count(*) OVER (PARTITION BY source)
+                 - rank() OVER (PARTITION BY source ORDER BY y DESC)
+                 + 1 AS ry
+        FROM v),
+      st AS (
+        SELECT source, count(*) AS n,
+               sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+               sum(rx::HUGEINT * ry) AS sxy,
+               sum(rx::HUGEINT * rx) AS sxx,
+               sum(ry::HUGEINT * ry) AS syy
+        FROM r GROUP BY 1),
+      abc AS (
+        SELECT source, n, n::HUGEINT * sxy - sx * sy AS a,
+               n::HUGEINT * sxx - sx * sx AS b,
+               n::HUGEINT * syy - sy * sy AS c
+        FROM st)
+      SELECT source, n AS n_docs,
+             round(CASE WHEN b = 0 OR c = 0 THEN NULL
+                        ELSE a::DOUBLE /
+                             (sqrt(b::DOUBLE) * sqrt(c::DOUBLE)) END, 6)
+               AS rho
+      FROM abc ORDER BY source""")),
+    "q123_template_families" -> ((q123TemplateFamilies _, """
+      WITH fp AS (
+        SELECT doc_id, source, 'head' AS kind,
+               md5(substring(text, 1, 64)) AS fp
+        FROM documents
+        UNION ALL
+        SELECT doc_id, source, 'tail' AS kind,
+               md5(CASE WHEN length(text) >= 64
+                        THEN substring(text, -64) ELSE text END) AS fp
+        FROM documents)
+      SELECT kind, fp, count(*) AS n_docs,
+             count(DISTINCT source)::BIGINT AS n_sources,
+             min(doc_id) AS keep_id
+      FROM fp GROUP BY kind, fp HAVING count(*) >= 2
+      ORDER BY kind, fp""")),
     "q121_char_entropy_rate" -> ((q121CharEntropyRate _, """
       WITH bgs AS (
         SELECT source,

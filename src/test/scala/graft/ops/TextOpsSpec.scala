@@ -282,6 +282,64 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q122 spearman: perfect monotone sources hit +/-1, all-tied is null") {
+    import spark.implicits._
+    val docs = Seq(
+      // pos: token count and ttr rise together -> rho = 1
+      (1L, "a a", "en", "pos", 3L),       // x=2, ttr 0.5
+      (2L, "a b a", "en", "pos", 5L),     // x=3, ttr 0.6667
+      (3L, "a b c d", "en", "pos", 7L),   // x=4, ttr 1.0
+      // neg: ttr falls as length rises -> rho = -1
+      (4L, "a b", "en", "neg", 3L),       // x=2, ttr 1.0
+      (5L, "a b a", "en", "neg", 5L),     // x=3, ttr 0.6667
+      (6L, "a a b a", "en", "neg", 7L),   // x=4, ttr 0.5
+      // tie: identical x and y -> zero rank variance -> null
+      (7L, "a b", "en", "tie", 3L),
+      (8L, "b a", "en", "tie", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q122SpearmanQuality(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(out("pos").getAs[Double]("rho") == 1.0)
+      assert(out("neg").getAs[Double]("rho") == -1.0)
+      assert(out("tie").isNullAt(out("tie").fieldIndex("rho")))
+      assert(out("pos").getAs[Long]("n_docs") == 3L)
+    }
+  }
+
+  test("q122 plan: all four rank windows ride one source exchange") {
+    val plan = TextOps.q122SpearmanQuality(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).size == 1,
+      plan.take(2500))
+  }
+
+  test("q123 template families: head/tail windows, short-doc CASE") {
+    import spark.implicits._
+    val xs = "x" * 70
+    val zs = "z" * 70
+    val docs = Seq(
+      (1L, s"$xs uniqueA", "en", "s1", 78L), // shared 64-char head
+      (2L, s"$xs uniqueB", "en", "s2", 78L),
+      (3L, s"A $zs", "en", "s1", 72L),       // shared 64-char tail
+      (4L, s"B $zs", "en", "s1", 72L),
+      (5L, "same short", "en", "s1", 10L),   // short doc: whole-text fp
+      (6L, "same short", "en", "s2", 10L),
+      (7L, "lonely document body", "en", "s1", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q123TemplateFamilies(spark, dir).collect()
+      val byKey = out.groupBy(_.getAs[String]("kind"))
+        .view.mapValues(_.map(r =>
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"),
+            r.getAs[Long]("keep_id"))).toSet).toMap
+      // head: the x-template pair + the short-doc pair (head = whole text)
+      assert(byKey("head") == Set((2L, 2L, 1L), (2L, 2L, 5L)))
+      // tail: the z-footer pair + the short-doc pair (CASE takes whole text)
+      assert(byKey("tail") == Set((2L, 1L, 3L), (2L, 2L, 5L)))
+    }
+  }
+
   test("q121 char entropy rate: closed-form conditional entropy per source") {
     import spark.implicits._
     val docs = Seq(
