@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -125,7 +126,15 @@ object Streaming {
     * streams forever). */
   val AttributionHorizon = "1 hour"
 
-  def purchaseAttribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+  /** The join core shared by the streaming projection
+    * ([[purchaseAttribution]]) and the registered batch face
+    * ([[q124PurchaseAttribution]]): ONE definition of the watermark +
+    * interval predicate, parameterized only by join type (streaming uses
+    * inner — stream-stream outer joins need both watermarks anyway;
+    * the batch report keeps view-less purchases via left). */
+  private[ops] def purchaseAttributionRaw(views: DataFrame,
+                                          purchases: DataFrame,
+                                          joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
@@ -137,10 +146,14 @@ object Streaming {
     p.join(v, expr(
       s"""p_user = v_user AND
           v_ts <= p_ts AND
-          v_ts >= p_ts - INTERVAL $AttributionHorizon"""))
-      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
-        col("p_value"))
+          v_ts >= p_ts - INTERVAL $AttributionHorizon"""), joinType)
+      .withColumn("user_id", col("p_user"))
   }
+
+  def purchaseAttribution(views: DataFrame, purchases: DataFrame): DataFrame =
+    purchaseAttributionRaw(views, purchases)
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("p_value"))
 
   /** Custom sessionization via `flatMapGroupsWithState` + EVENT-TIME
     * timeout — the state primitive [[userRunningStats]]'s `mapGroupsWithState`
@@ -318,7 +331,59 @@ object Streaming {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** C7 registered batch face of [[purchaseAttribution]] — the SAME
+    * function, same join predicate, run in batch mode (Catalyst's
+    * EliminateEventTimeWatermark drops the watermark nodes on batch
+    * inputs, so one definition serves both run modes — the structured-
+    * streaming promise made checkable by the oracle gate). Each purchase
+    * reports its attribution-window view count and the LAST-touch view
+    * (latest v_ts, ties to the highest view id — a deterministic rule
+    * both engines express as the same row_number window); purchases with
+    * no view in the horizon keep a row with n_views = 0.
+    *
+    * Shape: equi-join on user_id (one shuffle per side) with the interval
+    * predicate as a post-join filter; both the last-touch and the count
+    * window ride one hashpartitioning(purchase_id) exchange. In the
+    * streaming form the same predicate bounds join state to
+    * rate x horizon. */
+  def q124PurchaseAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val joined = purchaseAttributionRaw(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"), "left")
+    val byPurchase = Window.partitionBy("purchase_id")
+    val lastTouch = byPurchase
+      .orderBy(col("v_ts").desc_nulls_last, col("view_id").desc_nulls_last)
+    joined
+      .withColumn("n_views", count(col("view_id")).over(byPurchase))
+      .withColumn("rn", row_number().over(lastTouch))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("n_views"),
+        col("view_id").as("attributed_view_id"),
+        round(col("p_value"), 2).as("purchase_value"))
+      .orderBy("purchase_id")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q124_purchase_attribution" -> ((q124PurchaseAttribution _, s"""
+      WITH v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+                 FROM events WHERE event_type = 'view'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+                   value AS p_value
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT p.purchase_id, p.user_id, p.p_value, v.view_id, v.v_ts
+            FROM p LEFT JOIN v
+              ON p.user_id = v.v_user AND v.v_ts <= p.p_ts
+                 AND v.v_ts >= p.p_ts - INTERVAL $AttributionHorizon),
+      r AS (SELECT purchase_id, user_id, p_value, view_id,
+                   count(view_id) OVER (PARTITION BY purchase_id) AS n_views,
+                   row_number() OVER (PARTITION BY purchase_id
+                     ORDER BY v_ts DESC NULLS LAST, view_id DESC NULLS LAST)
+                     AS rn
+            FROM j)
+      SELECT purchase_id, user_id, n_views, view_id AS attributed_view_id,
+             round(p_value, 2) AS purchase_value
+      FROM r WHERE rn = 1 ORDER BY purchase_id""")),
     "q69_anomaly" -> ((q69Anomaly _, """
       WITH hourly AS (
         SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,

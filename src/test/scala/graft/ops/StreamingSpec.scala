@@ -17,6 +17,7 @@ final case class Ev(ts: Timestamp, user_id: Long,
   * watermarks drop late data, and stream results match batch results. */
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
   private def ev(hhmm: String, user: Long = 1L, typ: String = "view",
                  v: Double = 1.0): Ev =
     Ev(Timestamp.valueOf(s"2024-01-01 $hhmm:00"), user, typ, v)
@@ -188,6 +189,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.toSeq == Seq((2L, 42.0)),
         s"exactly the in-horizon same-user view must match: ${out.mkString(",")}")
     } finally q.stop()
+  }
+
+  test("q124 batch face: last-touch per purchase, view-less purchases kept") {
+    val out = Streaming.q124PurchaseAttribution(spark, sf).collect()
+    assert(out.nonEmpty)
+    // replay against the same normalized events read
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type")))
+    val views = ev.filter(_._4 == "view")
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(out.length == purchases.length,
+      "one row per purchase, even with zero in-horizon views")
+    val byId = out.map(r => r.getAs[Long]("purchase_id") -> r).toMap
+    purchases.foreach { case (pid, pms, puser, _) =>
+      val inWin = views.filter { case (_, vms, vuser, _) =>
+        vuser == puser && vms <= pms && vms >= pms - 3600000L }
+      val r = byId(pid)
+      assert(r.getAs[Long]("n_views") == inWin.length.toLong, s"n_views($pid)")
+      if (inWin.isEmpty)
+        assert(r.isNullAt(r.fieldIndex("attributed_view_id")), s"null($pid)")
+      else {
+        val expect = inWin.maxBy(v => (v._2, v._1))._1
+        assert(r.getAs[Long]("attributed_view_id") == expect, s"last($pid)")
+      }
+    }
   }
 
   test("closed session widens to include late in-watermark events") {
