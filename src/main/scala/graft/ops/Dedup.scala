@@ -687,14 +687,18 @@ object Dedup {
       .distinct()
       .localCheckpoint(true) // feeds sizes AND both self-join sides
     val sizes = tagged.groupBy("split").agg(count(lit(1)).as("n"))
-    tagged.as("a").join(tagged.as("b"), "sg")
+    val shared = tagged.as("a").join(tagged.as("b"), "sg")
       .filter(col("a.split") < col("b.split"))
       .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(sizes.select(col("split").as("split_a"),
-        col("n").as("na"))), "split_a")
-      .join(broadcast(sizes.select(col("split").as("split_b"),
-        col("n").as("nb"))), "split_b")
+    // the pair GRID comes from the split list, not from the overlap join:
+    // a pair sharing nothing must still report jaccard = 0.0 (a missing
+    // row would be indistinguishable from a misconfigured split)
+    sizes.select(col("split").as("split_a"), col("n").as("na"))
+      .crossJoin(sizes.select(col("split").as("split_b"), col("n").as("nb")))
+      .filter(col("split_a") < col("split_b"))
+      .join(shared, Seq("split_a", "split_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .select(col("split_a"), col("split_b"), col("n_shared"),
         round(col("n_shared") /
           (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
@@ -1139,12 +1143,17 @@ object Dedup {
       pr AS (SELECT a.split AS split_a, b.split AS split_b,
                     count(*) AS n_shared
              FROM tag a JOIN tag b ON a.sg = b.sg AND a.split < b.split
-             GROUP BY 1, 2)
-      SELECT split_a, split_b, n_shared,
-             round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
-      FROM pr JOIN sz sa ON sa.split = pr.split_a
-              JOIN sz sb ON sb.split = pr.split_b
-      ORDER BY split_a, split_b"""
+             GROUP BY 1, 2),
+      grid AS (SELECT sa.split AS split_a, sa.n AS na,
+                      sb.split AS split_b, sb.n AS nb
+               FROM sz sa CROSS JOIN sz sb WHERE sa.split < sb.split)
+      SELECT g.split_a, g.split_b,
+             coalesce(pr.n_shared, 0)::BIGINT AS n_shared,
+             round(coalesce(pr.n_shared, 0)::DOUBLE
+                   / (g.na + g.nb - coalesce(pr.n_shared, 0)), 6) AS jaccard
+      FROM grid g LEFT JOIN pr
+        ON pr.split_a = g.split_a AND pr.split_b = g.split_b
+      ORDER BY g.split_a, g.split_b"""
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q120_split_leakage" -> ((q120SplitLeakage _, splitLeakageOracle)),

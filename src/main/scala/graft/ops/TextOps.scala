@@ -17,6 +17,15 @@ object TextOps {
   import Tables._
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** ln 2 as ONE 16-digit literal interpolated into BOTH engine sides of
+    * q121's h_bits — two hand-maintained copies of the digits could drift
+    * and break the bit-exact compare. */
+  val Ln2 = 0.6931471805599453
+
+  /** q123's template fingerprint window (chars), interpolated into both
+    * the Spark expression and the DuckDB oracle. */
+  val FpLen = 64
   private def stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
   private def stopList = Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -766,7 +775,6 @@ object TextOps {
     * ([[orderedSum]]) — same vocabulary-sized-buffer caveat as q78, swap
     * for plain sum + tolerance at a production vocabulary. */
   def q121CharEntropyRate(s: SparkSession, d: String): DataFrame = {
-    val Ln2 = 0.6931471805599453 // literal on BOTH engine sides
     val cab = documents(s, d)
       .select(col("source"), explode(expr("char_bigrams(text)")).as("bg"))
       .groupBy("source", "bg").agg(count(lit(1)).as("c_ab"))
@@ -803,9 +811,11 @@ object TextOps {
     documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(expr(
-          "array(struct('head' as kind, md5(substring(text, 1, 64)) as fp)," +
-            " struct('tail' as kind, md5(CASE WHEN length(text) >= 64 " +
-            "THEN substring(text, -64) ELSE text END) as fp))")).as("kf"))
+          s"array(struct('head' as kind, " +
+            s"md5(substring(text, 1, $FpLen)) as fp)," +
+            s" struct('tail' as kind, md5(CASE WHEN length(text) >= $FpLen " +
+            s"THEN substring(text, -$FpLen) ELSE text END) as fp))"))
+          .as("kf"))
       .select(col("kf.kind").as("kind"), col("kf.fp").as("fp"),
         col("doc_id"), col("source"))
       .groupBy("kind", "fp")
@@ -1546,22 +1556,22 @@ object TextOps {
                              (sqrt(b::DOUBLE) * sqrt(c::DOUBLE)) END, 6)
                AS rho
       FROM abc ORDER BY source""")),
-    "q123_template_families" -> ((q123TemplateFamilies _, """
+    "q123_template_families" -> ((q123TemplateFamilies _, s"""
       WITH fp AS (
         SELECT doc_id, source, 'head' AS kind,
-               md5(substring(text, 1, 64)) AS fp
+               md5(substring(text, 1, $FpLen)) AS fp
         FROM documents
         UNION ALL
         SELECT doc_id, source, 'tail' AS kind,
-               md5(CASE WHEN length(text) >= 64
-                        THEN substring(text, -64) ELSE text END) AS fp
+               md5(CASE WHEN length(text) >= $FpLen
+                        THEN substring(text, -$FpLen) ELSE text END) AS fp
         FROM documents)
       SELECT kind, fp, count(*) AS n_docs,
              count(DISTINCT source)::BIGINT AS n_sources,
              min(doc_id) AS keep_id
       FROM fp GROUP BY kind, fp HAVING count(*) >= 2
       ORDER BY kind, fp""")),
-    "q121_char_entropy_rate" -> ((q121CharEntropyRate _, """
+    "q121_char_entropy_rate" -> ((q121CharEntropyRate _, s"""
       WITH bgs AS (
         SELECT source,
                unnest([substr(text, i, 2)
@@ -1585,7 +1595,7 @@ object TextOps {
              round(-(list_sum(list_sort(list(term)))) + 0.0::DOUBLE, 4)
                AS h_nats,
              round((-(list_sum(list_sort(list(term)))) + 0.0::DOUBLE)
-                   / 0.6931471805599453::DOUBLE, 4) AS h_bits
+                   / $Ln2::DOUBLE, 4) AS h_bits
       FROM terms GROUP BY source ORDER BY source""")),
     "q117_quality_sweep" -> ((q117QualitySweep _, s"""
       WITH perdoc AS (
