@@ -456,6 +456,35 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** D-family first-order journey transition matrix: for consecutive
+    * events of one user (event-time order, event_id tiebreak), how often
+    * does type A follow type B — the Markov view of user behavior that
+    * funnels (q66, fixed sequence) and retention (q67, fixed horizon)
+    * cannot give: it surfaces EVERY dominant path and dead-end at once.
+    * Row-normalized probabilities are exact integer ppm (the q107
+    * convention — `n * 1000000 div row_total` — so no float summation
+    * order can perturb a digit).
+    *
+    * Shape: one user_id exchange for the `lead` window, then a
+    * (type, next_type) aggregate bounded by |types|² and a ppm window
+    * over those ≤25 rows. */
+  def q125TransitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // |types|² rows; feeds totals AND the report
+    val totals = pairs.groupBy("event_type").agg(sum("n").as("row_total"))
+    pairs.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        expr("n * 1000000 div row_total").as("p_ppm"))
+      .orderBy("event_type", "next_type")
+  }
+
   /** lag/lead window: month-over-month revenue delta. */
   def q47MonthDelta(s: SparkSession, d: String): DataFrame = {
     val monthly = lineitem(s, d)
@@ -941,6 +970,21 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q125_transition_matrix" -> ((q125TransitionMatrix _, """
+      WITH nxt AS (
+        SELECT event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_type
+        FROM events),
+      pairs AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT event_type, cast(sum(n) AS BIGINT) AS row_total
+              FROM pairs GROUP BY 1)
+      SELECT p.event_type, p.next_type, p.n,
+             (p.n * 1000000) // t.row_total AS p_ppm
+      FROM pairs p JOIN tot t USING (event_type)
+      ORDER BY p.event_type, p.next_type""")),
     "q119_above_avg_profile" -> ((q119AboveAvgProfile _, """
       WITH per AS (
         SELECT o_custkey,

@@ -512,15 +512,23 @@ object Similarity {
     * Shape: one embeddings scan -> posexplode -> (label, dim) partial-agg
     * shuffle bounded by labels x dims; the global centroid is a rollup of
     * THAT aggregate (checkpointed, no second scan) broadcast back. */
-  def q118EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
-    val byDim = Tables.embeddings(s, d)
+  /** Per-(label, dim) EXACT integer sums of origin-centered quantized
+    * embeddings (offset 0 — cosine needs the origin, unlike the k-means
+    * grid) — ONE definition of the sum-vector geometry shared by the
+    * corpus-drift monitor (q118) and the label-affinity matrix (q126).
+    * Checkpointed: labels x dims rows regardless of corpus size. */
+  private[ops] def labelDimSums(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("label"),
         call_function("ivec_quant", col("embedding"),
           lit(QuantScale), lit(0)).as("q"))
       .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-      .localCheckpoint(true) // feeds the global rollup AND the label rows
+      .localCheckpoint(true)
+
+  def q118EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val byDim = labelDimSums(s, d)
     val global = byDim.groupBy("dim").agg(sum("sv").as("gv"))
     byDim.join(broadcast(global), "dim")
       .groupBy("label")
@@ -535,6 +543,35 @@ object Similarity {
         round(sqrt(col("n2l").cast("double")) / col("n_vecs") /
           lit(QuantScale.toDouble), 4).as("mean_norm"))
       .orderBy("label")
+  }
+
+  /** C3i label-affinity matrix: pairwise cosine between every two labels'
+    * centroid directions — the confusion-proximity map that says WHICH
+    * classes are semantically entangled (q118 only says how far each sits
+    * from the corpus). High-affinity pairs are where a classifier will
+    * bleed and where per-class dedup thresholds need headroom. Same exact
+    * integer geometry as q118 on the shared [[labelDimSums]]: the
+    * dim-keyed self-join streams labels² rows per dimension (bounded by
+    * the label vocabulary, never the corpus), and each pair's dot/norms
+    * are decimal(38)-exact before the one float expression. */
+  def q126LabelAffinity(s: SparkSession, d: String): DataFrame = {
+    val sums = labelDimSums(s, d)
+    val a = sums.select(col("label").as("label_a"), col("dim"),
+      col("sv").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("dim"),
+      col("sv").as("sb"))
+    a.join(b, "dim")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(expr("cast(sa as decimal(38,0)) * sb")).as("dot"),
+        sum(expr("cast(sa as decimal(38,0)) * sa")).as("n2a"),
+        sum(expr("cast(sb as decimal(38,0)) * sb")).as("n2b"))
+      .select(col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))),
+          6).as("cos_ab"))
+      .orderBy("label_a", "label_b")
   }
 
   // ---------------------------------------------------------------- k-means
@@ -840,6 +877,26 @@ object Similarity {
         FROM fin)
       SELECT q_id, rr, neighbor_id, sim, final_score FROM rr
       WHERE rr <= $RerankK ORDER BY q_id, rr""")),
+    "q126_label_affinity" -> ((q126LabelAffinity _, s"""
+      WITH q AS (SELECT label,
+                   list_transform(embedding,
+                     x -> round(x::DOUBLE * $QuantScale)::BIGINT) AS qv
+                 FROM embeddings),
+      qe AS (SELECT label, unnest(generate_series(1, len(qv))) AS dim,
+                    unnest(qv) AS v FROM q),
+      bydim AS (SELECT label, dim, cast(sum(v) AS BIGINT) AS sv
+                FROM qe GROUP BY 1, 2),
+      st AS (SELECT a.label AS label_a, b.label AS label_b,
+                    sum(a.sv::HUGEINT * b.sv) AS dot,
+                    sum(a.sv::HUGEINT * a.sv) AS n2a,
+                    sum(b.sv::HUGEINT * b.sv) AS n2b
+             FROM bydim a JOIN bydim b
+               ON a.dim = b.dim AND a.label < b.label
+             GROUP BY 1, 2)
+      SELECT label_a::BIGINT AS label_a, label_b::BIGINT AS label_b,
+             round(dot::DOUBLE / (sqrt(n2a::DOUBLE) * sqrt(n2b::DOUBLE)), 6)
+               AS cos_ab
+      FROM st ORDER BY label_a, label_b""")),
     "q118_embedding_drift" -> ((q118EmbeddingDrift _, s"""
       WITH q AS (SELECT label,
                    list_transform(embedding,

@@ -208,6 +208,27 @@ class RelationalSpec extends AnyFunSuite {
       plan.take(2500))
   }
 
+  test("transition matrix matches a per-user driver replay; rows sum to ~1e6 ppm") {
+    val out = Relational.q125TransitionMatrix(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("event_type")))
+    val expected = ev.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val types = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      types.zip(types.drop(1))
+    }.toSeq.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val got = out.map(r => (r.getAs[String]("event_type"),
+      r.getAs[String]("next_type")) -> r.getAs[Long]("n")).toMap
+    assert(got == expected)
+    // each row's ppm cells sum to 1e6 minus at most |cells| of div flooring
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val ppm = rows.map(_.getAs[Long]("p_ppm")).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - rows.length, s"ppm($t)=$ppm")
+    }
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString

@@ -178,6 +178,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("label affinity: closed-form pairwise centroid cosines") {
+    import spark.implicits._
+    // centroid directions: label 0 -> (1,0), label 1 -> (0,1),
+    // label 2 -> (1,1)/sqrt(2); cos(0,1)=0, cos(0,2)=cos(1,2)=0.707107
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(0f, 1f), 1),
+      (4L, Array(1f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("affinity").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.q126LabelAffinity(spark, dir).collect()
+      .map(r => (r.getAs[Long]("label_a"), r.getAs[Long]("label_b")) ->
+        r.getAs[Double]("cos_ab")).toMap
+    assert(out.size == 3)
+    assert(out((0L, 1L)) == 0.0)
+    assert(out((0L, 2L)) == 0.707107)
+    assert(out((1L, 2L)) == 0.707107)
+  }
+
   test("quantization error: exact range hits zero, bounded by half a step") {
     import spark.implicits._
     val emb = Seq(
