@@ -140,6 +140,71 @@ object Multimodal {
     }
   }
 
+  final case class FrameHash(doc_id: Long, frame_idx: Int, fh: String)
+
+  /** Content hash per sampled frame — the frame-granular identity the
+    * cross-doc dedup (q127) keys on. Same streaming mapPartitions shape as
+    * [[sampleFrames]]; the MD5 instance is per-task and reset by digest(). */
+  def frameHashes(s: SparkSession, env: DataFrame): Dataset[FrameHash] = {
+    import s.implicits._
+    env.as[MediaEnvelope].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tab = "0123456789abcdef"
+      it.flatMap { e =>
+        MediaCodec.sampleFramesStub(e.bytes, MediaCodec.FramesPerDoc)
+          .zipWithIndex.map { case (frame, i) =>
+            val dg = md.digest(frame)
+            val hex = new StringBuilder(32)
+            dg.foreach { b =>
+              hex.append(tab((b >> 4) & 0xf)).append(tab(b & 0xf))
+            }
+            FrameHash(e.doc_id, i, hex.toString)
+          }
+      }
+    }
+  }
+
+  /** Cross-document frame-dup families: frame content hashes recurring in
+    * MORE THAN ONE document — the static-intro/shared-outro/test-pattern
+    * detail listing behind [[q127FrameProfile]]'s counters, exposed as a
+    * library call (its row count is the duplication actually present,
+    * which on a dup-free corpus is legitimately zero — the registered
+    * profile stays informative either way). */
+  def frameDupFamilies(s: SparkSession, d: String): DataFrame =
+    frameHashes(s, envelope(s, d)).toDF()
+      .groupBy("fh")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_frames"), min("doc_id").as("keep_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fh")
+
+  /** C6 frame-uniqueness profile: per frame POSITION, how many sampled
+    * frames exist, how many distinct contents they collapse to, how many
+    * are redundant copies, and how many contents recur across documents —
+    * the frame-granular duplication dashboard a video corpus watches
+    * (whole-payload identity and perceptual near-dup (q96) both miss
+    * frame-level sharing). Position-resolved because duplication
+    * concentrates at openings/closings (static intros, credit outros).
+    *
+    * Scale shape: the hash pass streams one payload at a time
+    * (mapPartitions, no batch buffering around a per-element stub); then
+    * a (frame_idx, fh)-keyed aggregate with map-side partial agg and a
+    * FramesPerDoc-row rollup. */
+  def q127FrameProfile(s: SparkSession, d: String): DataFrame =
+    frameHashes(s, envelope(s, d)).toDF()
+      .groupBy("frame_idx", "fh")
+      .agg(count(lit(1)).as("c"), countDistinct("doc_id").as("nd"))
+      .groupBy("frame_idx")
+      .agg(sum("c").as("n_frames"), count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L))
+          .as("n_dup_frames"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L))
+          .as("n_crossdoc_contents"))
+      .select(col("frame_idx").cast("long").as("frame_idx"),
+        col("n_frames"), col("n_distinct"), col("n_dup_frames"),
+        col("n_crossdoc_contents"))
+      .orderBy("frame_idx")
+
   /** C6 oracle query: envelope metadata projection — proves the binary
     * envelope (byte length survives the encode round-trip). */
   def q34MultimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -286,6 +351,28 @@ object Multimodal {
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_phash_neardup" -> ((q96PhashNearDup _, phashOracle)),
+    "q127_frame_profile" -> ((q127FrameProfile _, s"""
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+                 FROM documents),
+      f AS (
+        SELECT doc_id, i.i AS frame_idx,
+               substr(text, ((n * i.i) // ${MediaCodec.FramesPerDoc}) + 1,
+                 least(greatest(n // ${MediaCodec.FramesPerDoc}, 1),
+                       n - ((n * i.i) // ${MediaCodec.FramesPerDoc}))) AS fr
+        FROM d, (SELECT unnest(generate_series(0,
+                   ${MediaCodec.FramesPerDoc - 1})) AS i) i
+        WHERE n > 0 AND ((n * i.i) // ${MediaCodec.FramesPerDoc}) < n),
+      g AS (SELECT frame_idx, md5(fr) AS fh, count(*) AS c,
+                   count(DISTINCT doc_id) AS nd
+            FROM f GROUP BY 1, 2)
+      SELECT frame_idx::BIGINT AS frame_idx,
+             cast(sum(c) AS BIGINT) AS n_frames,
+             count(*) AS n_distinct,
+             cast(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_frames,
+             cast(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_crossdoc_contents
+      FROM g GROUP BY frame_idx ORDER BY frame_idx""")),
     "q34_multimodal_meta" -> ((q34MultimodalMeta _, """
       SELECT doc_id, 'doc://' || doc_id AS uri, 'text/plain' AS mime,
              octet_length(encode(text))::BIGINT AS nbytes, lang

@@ -80,6 +80,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(4L), "unrelated payload must not flag")
   }
 
+  test("frame dedup: identical payloads share all frames, unique docs none") {
+    import spark.implicits._
+    val base = (0 until 400).map(i => (32 + (i * 7) % 95).toChar).mkString
+    val other = (0 until 400).map(i => (32 + (i * 11 + 3) % 95).toChar).mkString
+    val docs = Seq(
+      (1L, base, "en", "s0", 400L),
+      (2L, base, "en", "s1", 400L),  // exact copy -> 4 shared frames
+      (3L, other, "en", "s0", 400L)  // unique -> contributes nothing
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("framededup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fams = Multimodal.frameDupFamilies(spark, dir).collect()
+    assert(fams.length == Multimodal.MediaCodec.FramesPerDoc,
+      s"one family per frame position, got ${fams.length}")
+    fams.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 2L)
+      assert(r.getAs[Long]("n_frames") == 2L)
+      assert(r.getAs[Long]("keep_id") == 1L)
+    }
+    // the registered profile: per position 3 frames, 2 distinct contents,
+    // 1 redundant copy, 1 cross-doc recurring content
+    val prof = Multimodal.q127FrameProfile(spark, dir).collect()
+    assert(prof.map(_.getAs[Long]("frame_idx")).toSeq ==
+      (0L until Multimodal.MediaCodec.FramesPerDoc.toLong))
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_frames") == 3L)
+      assert(r.getAs[Long]("n_distinct") == 2L)
+      assert(r.getAs[Long]("n_dup_frames") == 1L)
+      assert(r.getAs[Long]("n_crossdoc_contents") == 1L)
+    }
+  }
+
   test("frame sampling emits k deterministic frames per doc, resized to bound") {
     val frames = Multimodal.q50MultimodalFrames(spark, sf).collect()
     val again = Multimodal.q50MultimodalFrames(spark, sf).collect()
