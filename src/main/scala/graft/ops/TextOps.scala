@@ -728,7 +728,14 @@ object TextOps {
     * sufficient statistics are EXACT decimal(38) sums (HUGEINT on the
     * oracle side), so rho is one fixed float expression on identical
     * integers — bit-stable on any partitioning, the q114 argument.
-    * Sources with no rank variance (n=1, or all-tied) yield null rho. */
+    * Sources with no rank variance (n=1, or all-tied) yield null rho.
+    *
+    * Scale tier: a rank window serializes each source into one task (the
+    * sort spills, but does not parallelize, within a source) — fine to
+    * ~10^7 docs/source. Beyond that, swap exact ranks for bucketed ranks
+    * over [[q117QualitySweep]]-style integer bands (Spearman on band
+    * midpoints needs only per-band counts) — the same exactness-vs-
+    * throughput trade [[q82DimStats]] documents for its sorted fold. */
   def q122SpearmanQuality(s: SparkSession, d: String): DataFrame = {
     val bySrc = Window.partitionBy("source")
     def rank2(v: String): org.apache.spark.sql.Column =
