@@ -391,6 +391,39 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** C2i incremental NEAR-dup — the companion q75 (exact-only) lacks: flag
+    * each incoming doc whose shingle overlap with any EXISTING-corpus doc
+    * reaches the dup threshold. The production shape is a one-directional
+    * banded join (incoming bands probe the corpus's persisted band index;
+    * the corpus is never self-paired) — here the pair stream composes the
+    * SHARED candidate scaffold ([[candidatesWithShingles]], identical caps
+    * and jaccard definition as q23, which is what lets the oracle reuse
+    * the one candidate-chain SQL) and keeps only pairs with EXACTLY ONE
+    * incoming side; that filter is the same pre-filter the one-directional
+    * plan applies before the shuffle instead of after.
+    * Output: one row per (incoming, corpus) candidate pair with its exact
+    * jaccard and the dup verdict at [[DupJaccard]]. */
+  def q128IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val srcs = documents(s, d).select(col("doc_id"), col("source"))
+    candidatesWithShingles(s, d)
+      .join(srcs.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+        "id_a")
+      .join(srcs.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+        "id_b")
+      .filter((col("src_a") === IncomingSource) =!=
+        (col("src_b") === IncomingSource))
+      .select(
+        when(col("src_a") === IncomingSource, col("id_a"))
+          .otherwise(col("id_b")).as("incoming_id"),
+        when(col("src_a") === IncomingSource, col("id_b"))
+          .otherwise(col("id_a")).as("corpus_id"),
+        round(expr("size(array_intersect(sh_a, sh_b))") /
+          (expr("size(sh_a) + size(sh_b)") -
+            expr("size(array_intersect(sh_a, sh_b))")), 4).as("jaccard"))
+      .withColumn("is_dup", col("jaccard") >= DupJaccard)
+      .orderBy("incoming_id", "corpus_id")
+  }
+
   val DupJaccard = 0.7       // textual near-dup on its own
   val WeakJaccard = 0.3      // needs semantic confirmation...
   val ConfirmCosine = 0.4    // ...from the embedding signal
@@ -518,6 +551,35 @@ object Dedup {
       .withColumn("pct_kept",
         round(lit(100.0) * col("n_final") / col("n_raw"), 2))
       .orderBy("source")
+  }
+
+  /** C2j dedup decision ledger — the per-doc ACTION LIST a pipeline
+    * executes, where q115 reports the summary: each doc is 'drop_exact' (a
+    * lower doc_id shares its normalized fingerprint — q22's rule), else
+    * 'drop_near' (it is not its dup-cluster's keeper — q70's rule), else
+    * 'keep'; keeper_id names the doc it defers to (itself when kept).
+    * Composition of the SAME two stage rules as the funnel, materialized
+    * at doc grain — write this table next to the corpus and the drop set
+    * is one semi-join away for every downstream consumer.
+    *
+    * Same shape as q115: fingerprint min rides one fp-keyed window
+    * exchange, the memoized label assignment joins in, output is one row
+    * per doc. */
+  def q129DedupLedger(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    documents(s, d)
+      .select(col("doc_id"), expr("norm_md5(text)").as("fp"))
+      .withColumn("exact_keep_id", min("doc_id").over(w))
+      .join(dupLabels(s, d).select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_keeper", coalesce(col("label"), col("doc_id")))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("exact_keep_id"), lit("drop_exact"))
+          .when(col("doc_id") =!= col("cluster_keeper"), lit("drop_near"))
+          .otherwise(lit("keep")).as("action"),
+        when(col("doc_id") =!= col("exact_keep_id"), col("exact_keep_id"))
+          .otherwise(col("cluster_keeper")).as("keeper_id"))
+      .orderBy("doc_id")
   }
 
   /** q80's summary over a precomputed labels assignment. */
@@ -1155,7 +1217,43 @@ object Dedup {
         ON pr.split_a = g.split_a AND pr.split_b = g.split_b
       ORDER BY g.split_a, g.split_b"""
 
+  private def ledgerOracle: String =
+    raw"""
+      $ccCtes,
+      fpd AS (SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                       AS fp
+              FROM documents),
+      keep AS (SELECT fp, min(doc_id) AS keep_id FROM fpd GROUP BY fp),
+      led AS (SELECT f.doc_id, k.keep_id,
+                     coalesce(c.cluster_id, f.doc_id) AS cluster_keeper
+              FROM fpd f JOIN keep k USING (fp)
+              LEFT JOIN comps c ON c.node = f.doc_id)
+      SELECT doc_id,
+             CASE WHEN doc_id <> keep_id THEN 'drop_exact'
+                  WHEN doc_id <> cluster_keeper THEN 'drop_near'
+                  ELSE 'keep' END AS action,
+             CASE WHEN doc_id <> keep_id THEN keep_id
+                  ELSE cluster_keeper END AS keeper_id
+      FROM led ORDER BY doc_id"""
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q129_dedup_ledger" -> ((q129DedupLedger _, ledgerOracle)),
+    "q128_incremental_neardup" -> ((q128IncrementalNearDup _, s"""
+      $jaccardCtes,
+      src AS (SELECT doc_id, source FROM documents),
+      x AS (SELECT j.id_a, j.id_b, j.jaccard,
+                   sa.source AS src_a, sb.source AS src_b
+            FROM jac j JOIN src sa ON sa.doc_id = j.id_a
+                       JOIN src sb ON sb.doc_id = j.id_b
+            WHERE (sa.source = '$IncomingSource')
+                  <> (sb.source = '$IncomingSource'))
+      SELECT CASE WHEN src_a = '$IncomingSource' THEN id_a ELSE id_b END
+               AS incoming_id,
+             CASE WHEN src_a = '$IncomingSource' THEN id_b ELSE id_a END
+               AS corpus_id,
+             jaccard, jaccard >= $DupJaccard AS is_dup
+      FROM x ORDER BY incoming_id, corpus_id""")),
     "q120_split_leakage" -> ((q120SplitLeakage _, splitLeakageOracle)),
     "q115_dedup_funnel" -> ((q115DedupFunnel _, funnelOracle)),
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),

@@ -111,6 +111,52 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("incremental near-dup: only incoming-vs-corpus pairs, never corpus pairs") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val docs = Seq(
+      (1L, t, "en", Dedup.IncomingSource, 16L),            // incoming copy
+      (2L, t, "en", "corpus1", 16L),                       // corpus original
+      (3L, t, "en", "corpus2", 16L),                       // second corpus copy
+      (4L, "totally different words about nothing shared " +
+        "with the planted family at all here", "en", "corpus1", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = Dedup.q128IncrementalNearDup(spark, dir).collect()
+      // corpus-corpus pair (2,3) must NOT appear; incoming doc 1 pairs
+      // with both corpus copies at jaccard 1.0
+      assert(out.length == 2, out.mkString(","))
+      out.foreach { r =>
+        assert(r.getAs[Long]("incoming_id") == 1L)
+        assert(r.getAs[Double]("jaccard") == 1.0)
+        assert(r.getAs[Boolean]("is_dup"))
+      }
+      assert(out.map(_.getAs[Long]("corpus_id")).toSet == Set(2L, 3L))
+    }
+  }
+
+  test("dedup ledger: every doc gets exactly one action, consistent with q115") {
+    withDocs(planted) { dir =>
+      val out = Dedup.q129DedupLedger(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("action"), r.getAs[Long]("keeper_id"))).toMap
+      // planted: doc 3 is a whitespace/case copy of doc 1 -> drop_exact;
+      // doc 2 is a near-dup of doc 1 (one word changed) -> its cluster
+      // keeper is 1 when LSH surfaces the pair; doc 4 unique -> keep
+      assert(out(1L) == (("keep", 1L)))
+      assert(out(3L) == (("drop_exact", 1L)))
+      assert(out(4L) == (("keep", 4L)))
+      val (a2, k2) = out(2L)
+      assert(a2 == "drop_near" && k2 == 1L ||
+        a2 == "keep" && k2 == 2L) // near-dup recall is LSH-dependent
+      // ledger keep-set must equal the funnel's survivor count
+      val funnel = Dedup.q115DedupFunnel(spark, dir).collect()
+        .map(_.getAs[Long]("n_final")).sum
+      assert(out.values.count(_._1 == "keep").toLong == funnel)
+    }
+  }
+
   test("exact dedup collapses whitespace/case variants to one survivor") {
     withDocs(planted) { dir =>
       val out = Dedup.q22DedupExact(spark, dir).collect()
