@@ -170,14 +170,19 @@ object Dedup {
       .join(a, "id_a").join(b, "id_b")
   }
 
+  /** THE exact pair-jaccard over the (sh_a, sh_b) shingle arrays — one
+    * engine-side definition consumed by q23 and q128 (the oracle side is
+    * equally single-sourced in [[jaccardCtes]]). */
+  private[ops] def pairJaccard: org.apache.spark.sql.Column =
+    round(expr("size(array_intersect(sh_a, sh_b))") /
+      (expr("size(sh_a) + size(sh_b)") -
+        expr("size(array_intersect(sh_a, sh_b))")), 4)
+
   /** C2 near-dup via MinHash + banded LSH, with exact shingle-set Jaccard on
     * the (tiny) candidate set. Output: candidate pairs + jaccard. */
   def q23DedupMinhash(s: SparkSession, d: String): DataFrame =
     candidatesWithShingles(s, d)
-      .select(col("id_a"), col("id_b"),
-        round(expr("size(array_intersect(sh_a, sh_b))") /
-          (expr("size(sh_a) + size(sh_b)") - expr("size(array_intersect(sh_a, sh_b))")),
-          4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), pairJaccard.as("jaccard"))
       .orderBy("id_a", "id_b")
 
   /** A pair is a containment dup when either doc's shingle set is ≥ 90%
@@ -417,9 +422,7 @@ object Dedup {
           .otherwise(col("id_b")).as("incoming_id"),
         when(col("src_a") === IncomingSource, col("id_b"))
           .otherwise(col("id_a")).as("corpus_id"),
-        round(expr("size(array_intersect(sh_a, sh_b))") /
-          (expr("size(sh_a) + size(sh_b)") -
-            expr("size(array_intersect(sh_a, sh_b))")), 4).as("jaccard"))
+        pairJaccard.as("jaccard"))
       .withColumn("is_dup", col("jaccard") >= DupJaccard)
       .orderBy("incoming_id", "corpus_id")
   }

@@ -496,22 +496,6 @@ object Similarity {
         round(col("max_x"), 6).as("max_x"))
       .orderBy("dim")
 
-  /** C3h per-label centroid-drift monitor: each label's mean embedding
-    * compared (cosine) against the corpus mean — the semantic-drift alarm
-    * beside q78's token-level KL: a label (or source shard) whose centroid
-    * swings away from the corpus is off-distribution even when its token
-    * histogram still looks normal. All geometry is EXACT integer
-    * arithmetic on the quantized grid (offset 0 — sums must keep the
-    * origin, unlike the k-means grid): cosine is scale-invariant, so the
-    * per-label SUM vector stands in for the mean and every dot/norm is an
-    * integer sum of integer products (decimal(38) accumulator engine-side,
-    * HUGEINT oracle-side — overflow-proof at any corpus size); the only
-    * float ops are the final sqrt/divide, one fixed expression tree on
-    * identical integers on both engines.
-    *
-    * Shape: one embeddings scan -> posexplode -> (label, dim) partial-agg
-    * shuffle bounded by labels x dims; the global centroid is a rollup of
-    * THAT aggregate (checkpointed, no second scan) broadcast back. */
   /** Per-(label, dim) EXACT integer sums of origin-centered quantized
     * embeddings (offset 0 — cosine needs the origin, unlike the k-means
     * grid) — ONE definition of the sum-vector geometry shared by the
@@ -527,6 +511,22 @@ object Similarity {
       .agg(sum("v").as("sv"), count(lit(1)).as("n"))
       .localCheckpoint(true)
 
+  /** C3h per-label centroid-drift monitor: each label's mean embedding
+    * compared (cosine) against the corpus mean — the semantic-drift alarm
+    * beside q78's token-level KL: a label (or source shard) whose centroid
+    * swings away from the corpus is off-distribution even when its token
+    * histogram still looks normal. All geometry is EXACT integer
+    * arithmetic on the shared [[labelDimSums]] grid: cosine is
+    * scale-invariant, so the per-label SUM vector stands in for the mean
+    * and every dot/norm is an integer sum of integer products
+    * (decimal(38) accumulator engine-side, HUGEINT oracle-side —
+    * overflow-proof at any corpus size); the only float ops are the final
+    * sqrt/divide, one fixed expression tree on identical integers on both
+    * engines.
+    *
+    * Shape: one embeddings scan -> posexplode -> (label, dim) partial-agg
+    * shuffle bounded by labels x dims; the global centroid is a rollup of
+    * THAT aggregate (checkpointed, no second scan) broadcast back. */
   def q118EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
     val byDim = labelDimSums(s, d)
     val global = byDim.groupBy("dim").agg(sum("sv").as("gv"))

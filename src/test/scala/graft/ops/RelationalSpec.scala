@@ -213,8 +213,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     val ev = Tables.events(spark, sf)
       .select("user_id", "event_id", "ts", "event_type").collect()
-      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
-        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("event_type")))
+      .map { r => // full microsecond precision: getTime would truncate to
+        // millis and sort under a coarser order than the query's ts
+        val i = r.getAs[java.sql.Timestamp]("ts").toInstant
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          r.getAs[String]("event_type"))
+      }
     val expected = ev.groupBy(_._1).iterator.flatMap { case (_, rows) =>
       val types = rows.sortBy(r => (r._3, r._2)).map(_._4)
       types.zip(types.drop(1))
