@@ -1240,7 +1240,43 @@ object Dedup {
                   ELSE cluster_keeper END AS keeper_id
       FROM led ORDER BY doc_id"""
 
+  /** Oracle for q130 ([[TextOps.q130DedupedEpochPlan]]): q110's planning
+    * SQL over the ledger's keep set. Registered HERE (not in TextOps)
+    * because it splices the connected-components chain, and because
+    * Dedup's registry already forces TextOps init — the reverse reference
+    * at TextOps init would cycle. */
+  private def dedupedEpochOracle: String =
+    raw"""
+      $ccCtes,
+      fpd AS (SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                       AS fp
+              FROM documents),
+      keep AS (SELECT fp, min(doc_id) AS keep_id FROM fpd GROUP BY fp),
+      keepdocs AS (SELECT f.doc_id
+                   FROM fpd f JOIN keep k USING (fp)
+                   LEFT JOIN comps c ON c.node = f.doc_id
+                   WHERE f.doc_id = k.keep_id
+                     AND f.doc_id = coalesce(c.cluster_id, f.doc_id)),
+      t AS (SELECT source,
+                   cast(sum(len(list_filter(string_split(text, ' '),
+                     x -> x <> ''))) AS BIGINT) AS n_tokens
+            FROM documents JOIN keepdocs USING (doc_id) GROUP BY source),
+      norm AS (SELECT cast(sum(n_tokens) AS BIGINT) AS budget,
+                      list_sum(list_sort(list(sqrt(n_tokens::DOUBLE)))) AS z
+               FROM t),
+      p AS (SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) / z AS share_raw,
+                   budget
+            FROM t, norm)
+      SELECT source, n_tokens, round(share_raw, 6) AS share,
+             cast(round(share_raw * budget) AS BIGINT) AS target_tokens,
+             round(share_raw * budget / n_tokens, 4) AS epochs,
+             share_raw * budget / n_tokens > 1 AS needs_repeat
+      FROM p ORDER BY source"""
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q130_deduped_epoch_plan" ->
+      ((TextOps.q130DedupedEpochPlan _, dedupedEpochOracle)),
     "q129_dedup_ledger" -> ((q129DedupLedger _, ledgerOracle)),
     "q128_incremental_neardup" -> ((q128IncrementalNearDup _, s"""
       $jaccardCtes,

@@ -543,8 +543,14 @@ object TextOps {
     * Shape: one corpus scan aggregates per-source token counts (20 rows);
     * everything after is arithmetic on that broadcast-size table, with
     * the share normalizer an ORDERED fold for bit-stable floats. */
-  def q110EpochPlan(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+  def q110EpochPlan(s: SparkSession, d: String): DataFrame =
+    epochPlanOf(documents(s, d))
+
+  /** q110's whole pipeline over ANY document relation with (source, text)
+    * — ONE definition of the token-count + sqrt-share planning math,
+    * consumed by q110 (raw corpus) and q130 (dedup survivors only). */
+  private[ops] def epochPlanOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .groupBy("source")
       .agg(sum(expr("size(filter(split(text, ' '), x -> x <> ''))"))
         .as("n_tokens"))
@@ -564,6 +570,21 @@ object TextOps {
         round(col("epochs_raw"), 4).as("epochs"),
         (col("epochs_raw") > 1.0).as("needs_repeat"))
       .orderBy("source")
+  }
+
+  /** C5l4 dedup-aware epoch planner — q110's budget allocation computed
+    * over the tokens that actually SURVIVE dedup (q129's ledger keep set)
+    * instead of the raw corpus. The distinction is exactly where it
+    * matters: a source full of duplicates looks token-rich raw and
+    * token-poor deduped, so the raw plan over-allocates budget to
+    * redundant text and under-repeats the genuinely rare sources. Same
+    * planning math by construction ([[epochPlanOf]] is shared), only the
+    * input relation changes — the keep set arrives as one doc_id
+    * semi-join before the token count. */
+  def q130DedupedEpochPlan(s: SparkSession, d: String): DataFrame = {
+    val keep = Dedup.q129DedupLedger(s, d)
+      .filter(col("action") === "keep").select("doc_id")
+    epochPlanOf(documents(s, d).join(keep, Seq("doc_id"), "left_semi"))
   }
 
   /** C5l3 sampling-temperature tuner — the alpha-schedule report that picks

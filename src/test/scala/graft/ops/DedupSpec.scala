@@ -157,6 +157,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("deduped epoch plan budgets only surviving tokens") {
+    withDocs(planted) { dir =>
+      // planted survivors: docs 1 (or its family keeper) and 4; doc 3's
+      // whitespace/case copy and (if LSH surfaces it) doc 2's near-dup
+      // tokens must NOT count toward any source's budget
+      val raw = TextOps.q110EpochPlan(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+      val dd = TextOps.q130DedupedEpochPlan(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+      assert(dd("s").toLong < raw("s"),
+        s"dedup must shrink the surviving token mass: $dd vs $raw")
+      // budget conservation: shares still sum to ~1 over surviving sources
+      val shares = TextOps.q130DedupedEpochPlan(spark, dir).collect()
+        .map(_.getAs[Double]("share")).sum
+      assert(math.abs(shares - 1.0) < 1e-4, s"shares sum $shares")
+    }
+  }
+
   test("exact dedup collapses whitespace/case variants to one survivor") {
     withDocs(planted) { dir =>
       val out = Dedup.q22DedupExact(spark, dir).collect()
