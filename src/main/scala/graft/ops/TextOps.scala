@@ -741,40 +741,57 @@ object TextOps {
     * (tokens) and quality (ttr) per source — the monotone-association
     * diagnostic behind "are we selecting for length when we filter on
     * quality?". Spearman is Pearson on AVERAGE ranks; fractional average
-    * ranks are avoided by working with rank2 = 2*avg_rank, an integer:
-    * rank2 = rank_asc + n - rank_desc + 1 (min tie rank one way, max the
-    * other). All four rank windows ride ONE hashpartitioning(source)
-    * exchange (four sorts, zero extra shuffles — a (source, value)
-    * tie-count window would force a second partitioning); the Pearson
-    * sufficient statistics are EXACT decimal(38) sums (HUGEINT on the
-    * oracle side), so rho is one fixed float expression on identical
-    * integers — bit-stable on any partitioning, the q114 argument.
-    * Sources with no rank variance (n=1, or all-tied) yield null rho.
+    * ranks are avoided by working with rank2 = 2*avg_rank, an integer.
+    * For a value v with cnt ties and cum rows at-or-below it,
+    * rank2 = rank_asc + n - rank_desc + 1 = 2*cum - cnt + 1 — a function
+    * of the per-VALUE counts only. So the ranks are computed on the
+    * (source, value) count tables, never on raw rows: one corpus scan
+    * builds the (source, x, y) joint-count table (checkpointed — it feeds
+    * both marginals and the scoring join); each marginal re-aggregates
+    * THAT table and a cumulative-count window over the DISTINCT VALUES
+    * assigns rank2. The per-source sort is therefore bounded by value
+    * cardinality (y <= 10001 by construction — ttr scaled to 1e4; x <= max
+    * doc token count), not by corpus rows — the window input no longer
+    * grows with the corpus, which is what makes this plan survive 10^9
+    * docs/source where a per-row rank window would serialize the source
+    * into one task. The Pearson sufficient statistics are EXACT
+    * decimal(38) sums weighted by the joint counts (HUGEINT on the oracle
+    * side), so rho is bit-identical to the per-row formulation on any
+    * partitioning — the q114 argument. Sources with no rank variance
+    * (n=1, or all-tied) yield null rho.
     *
-    * Scale tier: a rank window serializes each source into one task (the
-    * sort spills, but does not parallelize, within a source) — fine to
-    * ~10^7 docs/source. Beyond that, swap exact ranks for bucketed ranks
-    * over [[q117QualitySweep]]-style integer bands (Spearman on band
-    * midpoints needs only per-band counts) — the same exactness-vs-
-    * throughput trade [[q82DimStats]] documents for its sorted fold. */
+    * Join strategy: the y marginal is bounded by construction and
+    * broadcast-hinted; the x marginal is bounded by max doc length but
+    * not by a constant, so its join is left to AQE (broadcasts at test
+    * scale, shuffles on (source, x) if a corpus ever has ~10^8 distinct
+    * lengths — the [[q78SourceDrift]] convention). */
   def q122SpearmanQuality(s: SparkSession, d: String): DataFrame = {
-    val bySrc = Window.partitionBy("source")
-    def rank2(v: String): org.apache.spark.sql.Column =
-      rank().over(bySrc.orderBy(col(v).asc)) + count(lit(1)).over(bySrc) -
-        rank().over(bySrc.orderBy(col(v).desc)) + lit(1)
-    documents(s, d)
+    val pairs = documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .select(col("source"), size(col("t")).cast("long").as("x"),
         round(ttrFromTokens(col("t")) * lit(10000)).cast("long").as("y"))
-      .select(col("source"), rank2("x").cast("long").as("rx"),
-        rank2("y").cast("long").as("ry"))
+      .groupBy("source", "x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds both marginals AND the scoring join
+    // rank2 map over the distinct values of one variable: cumulative
+    // per-source count in value order, on the marginal table (small).
+    def rank2Map(v: String): DataFrame = {
+      val w = Window.partitionBy("source").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs.groupBy("source", v).agg(sum("c").as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("source"), col(v),
+          (lit(2) * col("cum") - col("cnt") + lit(1)).as("r" + v))
+    }
+    pairs
+      .join(broadcast(rank2Map("y")), Seq("source", "y"))
+      .join(rank2Map("x"), Seq("source", "x"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(expr("cast(rx as decimal(38,0))")).as("sx"),
-        sum(expr("cast(ry as decimal(38,0))")).as("sy"),
-        sum(expr("cast(rx as decimal(38,0)) * ry")).as("sxy"),
-        sum(expr("cast(rx as decimal(38,0)) * rx")).as("sxx"),
-        sum(expr("cast(ry as decimal(38,0)) * ry")).as("syy"))
+      .agg(sum("c").as("n_docs"),
+        sum(expr("cast(c as decimal(38,0)) * rx")).as("sx"),
+        sum(expr("cast(c as decimal(38,0)) * ry")).as("sy"),
+        sum(expr("cast(c as decimal(38,0)) * rx * ry")).as("sxy"),
+        sum(expr("cast(c as decimal(38,0)) * rx * rx")).as("sxx"),
+        sum(expr("cast(c as decimal(38,0)) * ry * ry")).as("syy"))
       .withColumn("a", expr("cast(n_docs as decimal(38,0)) * sxy - sx * sy"))
       .withColumn("b", expr("cast(n_docs as decimal(38,0)) * sxx - sx * sx"))
       .withColumn("c", expr("cast(n_docs as decimal(38,0)) * syy - sy * sy"))

@@ -307,11 +307,22 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q122 plan: all four rank windows ride one source exchange") {
+  test("q122 plan: rank windows consume value-count aggregates, not rows") {
+    // The scale contract: every Window sorts a (source, value) marginal —
+    // bounded by value cardinality — never the raw corpus. Structurally:
+    // each WindowExec must have an aggregate below it, and the raw scan
+    // feeds a checkpoint (the joint-count table), not a window.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = TextOps.q122SpearmanQuality(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).size == 1,
-      plan.take(2500))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 2, plan.toString.take(2500))
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "window has no aggregate below it:\n" + w.toString.take(1500))
+      assert(!w.child.toString.contains("parquet"),
+        "window reads raw corpus rows:\n" + w.toString.take(1500))
+    }
   }
 
   test("q123 template families: head/tail windows, short-doc CASE") {
