@@ -11,20 +11,39 @@ import scala.io.Source
   * file), validate config, load every stream, echo STATE to stdout.
   *
   * Usage: graft.GraftTarget --config <config.json> [--input <messages.jsonl>]
-  *                          [--strict-batches] | --about
+  *                          [--strict-batches]
+  *                          | --about [--format=<json|markdown>] | --version
   */
 object GraftTarget {
+  /** Reported by `--version` — the SDK CLI surface the reference inherits
+    * (`target.py:64-65`). Read from the jar manifest when packaged;
+    * build.sbt's version is the fallback for classes-dir runs. */
+  val Version: String =
+    Option(getClass.getPackage.getImplementationVersion).getOrElse("0.1.0")
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList)
+    if (opts.contains("version")) {
+      println(s"graft-target v$Version")
+      return
+    }
     if (opts.contains("about")) {
       // discovery surface (reference meltano.yml:13 declares `about`):
       // emit the config JSON-Schema + capabilities, no Spark session needed
-      println(TargetConfig.aboutJson)
+      opts.getOrElse("format", "json") match {
+        case "json"     => println(TargetConfig.aboutJson)
+        case "markdown" => println(TargetConfig.aboutMarkdown)
+        case other =>
+          System.err.println(
+            s"unknown --about format: $other (expected json or markdown)")
+          sys.exit(2)
+      }
       return
     }
     val configPath = opts.getOrElse("config", {
       System.err.println("usage: GraftTarget --config <config.json> " +
-        "[--input <messages.jsonl>] [--strict-batches] | --about")
+        "[--input <messages.jsonl>] [--strict-batches] " +
+        "| --about [--format=<json|markdown>] | --version")
       sys.exit(2)
     })
 
@@ -150,6 +169,10 @@ object GraftTarget {
       case "--input" :: v :: rest   => parseArgs(rest, acc + ("input" -> v))
       case "--strict-batches" :: rest => parseArgs(rest, acc + ("strict-batches" -> "true"))
       case "--about" :: rest => parseArgs(rest, acc + ("about" -> "true"))
+      case "--version" :: rest => parseArgs(rest, acc + ("version" -> "true"))
+      case "--format" :: v :: rest => parseArgs(rest, acc + ("format" -> v))
+      case arg :: rest if arg.startsWith("--format=") =>
+        parseArgs(rest, acc + ("format" -> arg.stripPrefix("--format=")))
       case Nil => acc
       case other :: _ =>
         System.err.println(s"unknown argument: $other"); sys.exit(2)

@@ -60,6 +60,44 @@ trait LakeCatalog {
   def compact(ns: String, table: String, targetFiles: Int): Unit
 }
 
+/** Type-shape normalization shared by every [[LakeCatalog]] implementation's
+  * schema-drift check: strip field metadata and nullability, recursively —
+  * the drift comparison cares about type shape, nothing else (nested
+  * PARQUET:field_id renumbering and widened null unions are evolution, not
+  * drift). */
+private[lake] object SchemaShape {
+  def normalize(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        normalize(f.dataType), nullable = true)))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(normalize(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(normalize(k), normalize(v),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  /** The one drift rule (SURVEY §7.4): additive columns evolve, a type
+    * change on an existing column fails loudly. Returns the columns to
+    * add. */
+  def diffForEvolution(existing: StructType, declared: StructType,
+                       where: String)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    val byName = existing.fields.map(f => f.name -> f.dataType).toMap
+    declared.fields.foreach { f =>
+      byName.get(f.name).foreach { old =>
+        require(normalize(old) == normalize(f.dataType),
+          s"schema drift on $where.${f.name}: table has " +
+            s"${old.catalogString}, stream declares ${f.dataType.catalogString}" +
+            " — type changes are not auto-evolved (fail loudly, SURVEY §7.4)")
+      }
+    }
+    declared.fields.filterNot(f => byName.contains(f.name)).toSeq
+  }
+}
+
 /** Parquet-backed implementation on the Spark session catalog. Identifiers
   * are backtick-quoted everywhere so legal Singer stream names containing
   * '-' or '.' resolve to one consistent table. */
@@ -83,41 +121,14 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
         .saveAsTable(id(ns, table))
     } else {
       val existing = spark.table(id(ns, table)).schema
-      val byName = existing.fields.map(f => f.name -> f.dataType).toMap
-      schema.fields.foreach { f =>
-        byName.get(f.name).foreach { old =>
-          // compare type SHAPE only: nested field metadata (PARQUET:field_id
-          // renumbers when a property is added before a struct) and nested
-          // nullability (a widened null union is evolution, not drift) must
-          // not abort a legitimate additive feed
-          require(normalizeType(old) == normalizeType(f.dataType),
-            s"schema drift on $ns.$table.${f.name}: table has " +
-              s"${old.catalogString}, stream declares ${f.dataType.catalogString}" +
-              " — type changes are not auto-evolved (fail loudly, SURVEY §7.4)")
-        }
-      }
-      val added = schema.fields.filterNot(f => byName.contains(f.name))
+      val added =
+        SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
       if (added.nonEmpty) {
         val colsDdl = added
           .map(f => s"`${f.name}` ${f.dataType.catalogString}").mkString(", ")
         spark.sql(s"ALTER TABLE ${id(ns, table)} ADD COLUMNS ($colsDdl)")
       }
     }
-  }
-
-  /** Strip field metadata and normalize nullability, recursively — the
-    * drift comparison cares about type shape, nothing else. */
-  private def normalizeType(dt: org.apache.spark.sql.types.DataType)
-      : org.apache.spark.sql.types.DataType = dt match {
-    case st: StructType => StructType(st.fields.map(f =>
-      org.apache.spark.sql.types.StructField(f.name,
-        normalizeType(f.dataType), nullable = true)))
-    case org.apache.spark.sql.types.ArrayType(et, _) =>
-      org.apache.spark.sql.types.ArrayType(normalizeType(et), containsNull = true)
-    case org.apache.spark.sql.types.MapType(k, v, _) =>
-      org.apache.spark.sql.types.MapType(normalizeType(k), normalizeType(v),
-        valueContainsNull = true)
-    case other => other
   }
 
   override def writeBucketed(ns: String, table: String, df: DataFrame,

@@ -43,27 +43,41 @@ object TargetConfig {
     * `config_jsonschema` from `target.py:15-59`). Same 7 reference keys,
     * same required-ness and defaults, plus this engine's documented
     * extensions. */
+  /** One settings row: JSON-Schema type, optional default (as JSON
+    * literal), secret flag — the single source both `--about` formats
+    * render from, so the JSON and markdown surfaces cannot drift. */
+  private final case class Setting(name: String, tpe: String,
+                                   default: Option[String] = None,
+                                   secret: Boolean = false)
+
+  private val Settings: Seq[Setting] = Seq(
+    Setting("add_record_metadata", "boolean", Some("false")),
+    Setting("aws_access_key_id", "string"),
+    Setting("aws_secret_access_key", "string", secret = true),
+    Setting("s3_endpoint", "string"),
+    Setting("s3_bucket", "string", Some(""""lakehouse"""")),
+    Setting("iceberg_rest_uri", "string"),
+    Setting("iceberg_catalog_name", "string"),
+    Setting("iceberg_catalog_namespace_name", "string"),
+    Setting("batch_size", "integer", Some(BatchLoader.DefaultBatchSize.toString)),
+    Setting("stream_maps", "object"),
+    Setting("flattening_enabled", "boolean", Some("false")),
+    Setting("flattening_max_depth", "integer", Some("1")),
+    Setting("partition_by", "object"))
+
+  val Capabilities: Seq[String] = Seq("about", "stream-maps", "schema-flattening")
+
   def aboutJson: String = {
-    def prop(name: String, tpe: String, extra: String = ""): String =
-      s"""      "$name": {"type": "$tpe"$extra}"""
-    val props = Seq(
-      prop("add_record_metadata", "boolean", """, "default": false"""),
-      prop("aws_access_key_id", "string"),
-      prop("aws_secret_access_key", "string", """, "secret": true"""),
-      prop("s3_endpoint", "string"),
-      prop("s3_bucket", "string", """, "default": "lakehouse""""),
-      prop("iceberg_rest_uri", "string"),
-      prop("iceberg_catalog_name", "string"),
-      prop("iceberg_catalog_namespace_name", "string"),
-      prop("batch_size", "integer", s""", "default": ${BatchLoader.DefaultBatchSize}"""),
-      prop("stream_maps", "object"),
-      prop("flattening_enabled", "boolean", """, "default": false"""),
-      prop("flattening_max_depth", "integer", """, "default": 1"""),
-      prop("partition_by", "object")).mkString(",\n")
+    val props = Settings.map { st =>
+      val extra = st.default.map(d => s""", "default": $d""").getOrElse("") +
+        (if (st.secret) """, "secret": true""" else "")
+      s"""      "${st.name}": {"type": "${st.tpe}"$extra}"""
+    }.mkString(",\n")
     val required = RequiredKeys.map(k => s""""$k"""").mkString(", ")
+    val caps = Capabilities.map(c => s""""$c"""").mkString(", ")
     s"""{
        |  "name": "graft-target",
-       |  "capabilities": ["about", "stream-maps", "schema-flattening"],
+       |  "capabilities": [$caps],
        |  "settings": {
        |    "type": "object",
        |    "required": [$required],
@@ -72,6 +86,35 @@ object TargetConfig {
        |    }
        |  }
        |}""".stripMargin
+  }
+
+  /** `--about --format=markdown` payload — the human-readable discovery
+    * page the SDK CLI renders (`target.py:64-65` inherits
+    * `--about --format=<json|markdown>`): capabilities list + settings
+    * table, from the same [[Settings]] rows as the JSON form. */
+  def aboutMarkdown: String = {
+    // assembled from a line list, NOT stripMargin — markdown table rows
+    // begin with '|', which stripMargin would eat as a margin marker
+    val header = Seq(
+      "# `graft-target`",
+      "",
+      "Spark-native Singer target: loads Singer JSONL streams into lake",
+      "tables with typed schema mapping, batching, and idempotent DDL.",
+      "",
+      "## Capabilities",
+      "") ++ Capabilities.map(c => s"* `$c`") ++ Seq(
+      "",
+      "## Settings",
+      "",
+      "| Setting | Type | Required | Default | Notes |",
+      "|:--------|:-----|:--------:|:--------|:------|")
+    val rows = Settings.map { st =>
+      val req = if (RequiredKeys.contains(st.name)) "yes" else "no"
+      val dfl = st.default.getOrElse("")
+      val note = if (st.secret) "secret" else ""
+      s"| `${st.name}` | ${st.tpe} | $req | $dfl | $note |"
+    }
+    (header ++ rows).mkString("", "\n", "\n")
   }
 
   @transient private lazy val mapper = new ObjectMapper()

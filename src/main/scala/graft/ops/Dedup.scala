@@ -565,6 +565,17 @@ object Dedup {
     * at doc grain — write this table next to the corpus and the drop set
     * is one semi-join away for every downstream consumer.
     *
+    * keeper_id is ONE dedup-stage hop, not a transitively-resolved kept
+    * doc: a 'drop_near' row's keeper is its cluster's component-min label,
+    * and that doc can itself be 'drop_exact' when the LSH bucket cap kept
+    * an exact-dup pair out of the candidate graph (the cap is a semantic
+    * choice, q96's rationale). Consumers that need the final surviving
+    * replacement should follow the chain (keeper_id -> that row's
+    * keeper_id, iterating; every hop strictly decreases doc_id — both
+    * stage rules defer to a minimum — so it terminates at a 'keep' row)
+    * rather than treat keeper_id as terminal. The keep/drop ACTIONS are
+    * chain-free and final.
+    *
     * Same shape as q115: fingerprint min rides one fp-keyed window
     * exchange, the memoized label assignment joins in, output is one row
     * per doc. */
@@ -612,8 +623,20 @@ object Dedup {
       // dead now; live sessions hold at most [[MaxCachedCorpora]] corpora
       labelCache.keys.filter(_.sparkContext.isStopped).toList
         .foreach(labelCache.remove)
-      val m = labelCache.getOrElseUpdate(s,
-        scala.collection.mutable.LinkedHashMap.empty)
+      val m = labelCache.getOrElseUpdate(s, {
+        // release this session's entries the moment its context stops —
+        // without a listener, a stopped session's plan handles would pin
+        // it until the NEXT dupLabels call from any session (or forever,
+        // if none comes). The listener dies with the context it is
+        // registered on, so it adds no lifetime of its own.
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = labelCache.synchronized { labelCache.remove(s) }
+          })
+        scala.collection.mutable.LinkedHashMap.empty
+      })
       m.remove(d) match {
         case Some(df) =>
           m(d) = df // re-insert = move to LRU tail
@@ -646,11 +669,11 @@ object Dedup {
     * blocks are reclaimed by the ContextCleaner once unreferenced).
     * Honest caveat: a cached Dataset strongly references its session, so
     * while a session has live entries its weak key cannot be GC-collected
-    * — eviction happens on the stopped-session purge every access runs,
-    * not via the GC. That purge is deterministic and the pinned residue is
-    * bounded (≤ [[MaxCachedCorpora]] plan handles per stopped session,
-    * only until any later dupLabels call). A corpus rewritten in place
-    * mid-session needs [[invalidateClusterCache]]. */
+    * — eviction is deterministic instead: an onApplicationEnd listener
+    * (registered once per session, on first insert) drops the session's
+    * entries the moment its context stops, and the access-time purge
+    * below catches any session stopped without firing listeners. A corpus
+    * rewritten in place mid-session needs [[invalidateClusterCache]]. */
   private val labelCache =
     new scala.collection.mutable.WeakHashMap[
       SparkSession,

@@ -189,7 +189,17 @@ object Multimodal {
     * Scale shape: the hash pass streams one payload at a time
     * (mapPartitions, no batch buffering around a per-element stub); then
     * a (frame_idx, fh)-keyed aggregate with map-side partial agg and a
-    * FramesPerDoc-row rollup. */
+    * FramesPerDoc-row rollup.
+    *
+    * Oracle scope — ASCII corpus only (byte == codepoint): the engine
+    * frames and md5s the raw UTF-8 BYTE array (the honest semantics for a
+    * binary payload), while DuckDB 1.0 cannot slice or md5 a BLOB, so the
+    * oracle slices `text` with character `substr` at byte offsets and
+    * md5s the character substring. The two agree exactly on ASCII (which
+    * the test corpus is — same contract as q96/q35/q50); a multibyte
+    * document would shift both frame boundaries AND hashed content on the
+    * oracle side. The assumption is stated in the oracle SQL itself and
+    * guarded by [[MultimodalSpec]]'s byte-vs-char framing test. */
   def q127FrameProfile(s: SparkSession, d: String): DataFrame =
     frameHashes(s, envelope(s, d)).toDF()
       .groupBy("frame_idx", "fh")
@@ -352,6 +362,10 @@ object Multimodal {
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_phash_neardup" -> ((q96PhashNearDup _, phashOracle)),
     "q127_frame_profile" -> ((q127FrameProfile _, s"""
+      -- ASCII-corpus contract (byte == codepoint): character substr at
+      -- byte offsets + md5 of the character slice mirror the engine's
+      -- byte-array framing ONLY because the corpus is ASCII; DuckDB 1.0
+      -- cannot slice/md5 BLOBs, so a byte-exact oracle is not expressible
       WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
                  FROM documents),
       f AS (

@@ -46,6 +46,28 @@ class GraftTargetSpec extends AnyFunSuite {
     assert(TargetConfig.fromJson("""{"iceberg_catalog_name":"c"}""").isLeft)
   }
 
+  test("--version reports a non-empty semantic version") {
+    // the SDK CLI surface the reference inherits (target.py:64-65)
+    assert(GraftTarget.Version.matches("""\d+\.\d+\.\d+.*"""),
+      GraftTarget.Version)
+  }
+
+  test("--about markdown renders every setting and capability of the JSON") {
+    val md = TargetConfig.aboutMarkdown
+    val js = TargetConfig.aboutJson
+    // same single source: every JSON property name appears in the table,
+    // required keys marked, capabilities listed
+    val names = """"(\w+)": \{"type"""".r.findAllMatchIn(js).map(_.group(1))
+    names.foreach(n => assert(md.contains(s"| `$n` |"), s"missing $n"))
+    TargetConfig.Capabilities.foreach(c => assert(md.contains(s"* `$c`")))
+    TargetConfig.RequiredKeys.foreach { k =>
+      val row = md.linesIterator.find(_.contains(s"| `$k` |")).get
+      assert(row.contains("| yes |"), row)
+    }
+    // defaults surface verbatim (s3_bucket's quoted literal included)
+    assert(md.contains("\"lakehouse\""))
+  }
+
   test("a single compressed feed file routes to the legacy scan and loads") {
     val ns = s"cli_${System.nanoTime()}"
     val cfg = TargetConfig.fromJson(configJson.replace("NSNAME", ns)).toOption.get

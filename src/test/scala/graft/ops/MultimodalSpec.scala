@@ -112,6 +112,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("frame hashing is BYTE-based: multibyte text frames on UTF-8 bytes") {
+    // Pins the engine side of q127's documented ASCII-oracle contract: the
+    // payload is the UTF-8 byte array, so frame boundaries and md5 inputs
+    // are byte slices — NOT character slices. A doc with a multibyte char
+    // must hash to the md5 of its byte-sliced frames (and char slicing
+    // must disagree), so nobody "fixes" the engine to match the oracle's
+    // character arithmetic on non-ASCII input.
+    import spark.implicits._
+    val text = "héllo wörld — multibyte contenté " * 8 // é/ö/— are 2-3 bytes
+    val docs = Seq((1L, text, "fr", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("bytesframe").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.frameHashes(spark, Multimodal.envelope(spark, dir))
+      .collect().sortBy(_.frame_idx)
+    val bytes = text.getBytes("UTF-8")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+    val want = Multimodal.MediaCodec
+      .sampleFramesStub(bytes, Multimodal.MediaCodec.FramesPerDoc)
+      .map(f => hex(md.digest(f)))
+    assert(got.map(_.fh).toSeq == want, "engine must frame on bytes")
+    // and char-based framing (the oracle's arithmetic) differs here
+    val k = Multimodal.MediaCodec.FramesPerDoc
+    val n = bytes.length // oracle uses BYTE length for offsets...
+    val charFrames = (0 until k).flatMap { i =>
+      val off = (n.toLong * i / k).toInt
+      val len = math.min(math.max(n / k, 1), n - off)
+      if (off < text.length) // ...but slices CHARACTERS
+        Some(hex(md.digest(
+          text.substring(off, math.min(off + len, text.length)).getBytes("UTF-8"))))
+      else None
+    }
+    assert(got.map(_.fh).toSeq != charFrames,
+      "multibyte text must expose the byte-vs-char divergence")
+  }
+
   test("frame sampling emits k deterministic frames per doc, resized to bound") {
     val frames = Multimodal.q50MultimodalFrames(spark, sf).collect()
     val again = Multimodal.q50MultimodalFrames(spark, sf).collect()

@@ -195,10 +195,17 @@ class StreamingSpec extends AnyFunSuite {
     val out = Streaming.q124PurchaseAttribution(spark, sf).collect()
     assert(out.nonEmpty)
     // replay against the same normalized events read
+    // replay in MICROSECONDS: the engine's interval predicate compares
+    // full timestamp precision, and the round-6 events layout is
+    // TIMESTAMP(MICROS) — a millisecond replay would disagree with the
+    // engine on a view landing exactly at the horizon boundary with
+    // sub-millisecond micros (the micros-precise-replay convention)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     val ev = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type").collect()
       .map(r => (r.getAs[Long]("event_id"),
-        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("user_id"),
+        micros(r.getAs[java.sql.Timestamp]("ts")), r.getAs[Long]("user_id"),
         r.getAs[String]("event_type")))
     val views = ev.filter(_._4 == "view")
     val purchases = ev.filter(_._4 == "purchase")
@@ -207,7 +214,7 @@ class StreamingSpec extends AnyFunSuite {
     val byId = out.map(r => r.getAs[Long]("purchase_id") -> r).toMap
     purchases.foreach { case (pid, pms, puser, _) =>
       val inWin = views.filter { case (_, vms, vuser, _) =>
-        vuser == puser && vms <= pms && vms >= pms - 3600000L }
+        vuser == puser && vms <= pms && vms >= pms - 3600000000L }
       val r = byId(pid)
       assert(r.getAs[Long]("n_views") == inWin.length.toLong, s"n_views($pid)")
       if (inWin.isEmpty)
