@@ -1,0 +1,298 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Filesystem-rooted [[LakeCatalog]]: tables live under
+  * `<root>/<namespace>/<table>/` with parquet data in per-snapshot
+  * directories and versioned Iceberg-style metadata JSON — the layout of
+  * Iceberg's HadoopCatalog (`metadata/v<N>.metadata.json` +
+  * `metadata/version-hint.text`, public Iceberg spec), which is what the
+  * reference's REST catalog serves over HTTP
+  * (`/root/reference/target_iceberg/sinks.py:55-65`).
+  *
+  * This is the second, independent implementation of the trait — it shares
+  * no machinery with [[SessionLakeCatalog]] beyond [[SchemaShape]]'s drift
+  * rule, and the spec matrix (`LakeCatalogMatrixSpec`) runs the full
+  * lifecycle contract against both, proving the trait isolation SURVEY §7.0
+  * claims: a catalog that stores its own metadata (as a real
+  * Iceberg/REST catalog does) plugs in behind the same surface with zero
+  * loader changes.
+  *
+  * Commit model (Iceberg semantics, single-writer): every write lands in a
+  * fresh `data/snap-<id>/` directory, then a new metadata version is
+  * published whose current snapshot lists the LIVE snapshot directories
+  * (append = parent's live set + the new dir; overwrite/compact = the new
+  * dir alone). Readers resolve `version-hint.text` → metadata → live dirs,
+  * so a reader never observes a half-written snapshot: data files are fully
+  * written before the metadata pointer moves, and an abandoned write leaves
+  * only an unreferenced directory (Iceberg's orphan-file case). Multi-writer
+  * atomicity needs the compare-and-swap a real catalog provides
+  * (HadoopCatalog itself documents the same caveat on non-atomic
+  * filesystems).
+  *
+  * Schema evolution reads like Iceberg's: each metadata version pins the
+  * schema current AT THAT SNAPSHOT; [[load]] reads every live snapshot with
+  * its own layout and aligns to the latest schema (missing columns read
+  * NULL — exactly A12's add-column semantics). Type changes fail loudly via
+  * [[SchemaShape.diffForEvolution]], same rule as the session catalog.
+  */
+class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCatalog {
+  private val mapper = new ObjectMapper()
+
+  private def nsDir(ns: String): Path = root.resolve(ns)
+  private def tableDir(ns: String, table: String): Path =
+    nsDir(ns).resolve(table)
+  private def metaDir(ns: String, table: String): Path =
+    tableDir(ns, table).resolve("metadata")
+  private def dataDir(ns: String, table: String): Path =
+    tableDir(ns, table).resolve("data")
+
+  override def ensureNamespace(ns: String): Unit =
+    Files.createDirectories(nsDir(ns))
+
+  override def tableExists(ns: String, table: String): Boolean =
+    Files.exists(metaDir(ns, table).resolve("version-hint.text"))
+
+  // ---- metadata read/write (HadoopCatalog file convention) -------------
+
+  private def currentVersion(ns: String, table: String): Int =
+    new String(Files.readAllBytes(
+      metaDir(ns, table).resolve("version-hint.text")),
+      StandardCharsets.UTF_8).trim.toInt
+
+  private def readMeta(ns: String, table: String): ObjectNode = {
+    val v = currentVersion(ns, table)
+    mapper.readTree(Files.readAllBytes(
+      metaDir(ns, table).resolve(s"v$v.metadata.json"))).asInstanceOf[ObjectNode]
+  }
+
+  /** Publish a new metadata version and only then move the version hint —
+    * the hint flip IS the commit point. */
+  private def writeMeta(ns: String, table: String, meta: ObjectNode): Unit = {
+    val md = metaDir(ns, table)
+    Files.createDirectories(md)
+    val v =
+      if (Files.exists(md.resolve("version-hint.text")))
+        currentVersion(ns, table) + 1
+      else 1
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    Files.write(md.resolve(s"v$v.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    Files.write(md.resolve("version-hint.text"),
+      v.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Iceberg-style field list (id/name/required/type) alongside the exact
+    * Spark schema JSON: ids are assigned depth-first at the top level, the
+    * simple half of SchemaConv's Singer assignment — enough for an external
+    * Iceberg reader to map columns; the `spark-schema` node is what this
+    * catalog itself round-trips. */
+  private def schemaNode(schema: StructType): ObjectNode = {
+    val node = mapper.createObjectNode()
+    node.put("type", "struct")
+    val fields = node.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", f.dataType.catalogString)
+    }
+    node.put("spark-schema", schema.json)
+    node
+  }
+
+  private def metaSchema(meta: ObjectNode): StructType =
+    DataType.fromJson(meta.get("schema").get("spark-schema").asText())
+      .asInstanceOf[StructType]
+
+  private def metaPartitionCols(meta: ObjectNode): Seq[String] =
+    meta.get("partition-spec").elements().asScala.map(_.asText()).toSeq
+
+  /** Live snapshot dirs of the current snapshot, oldest first, resolved
+    * against the table's data dir. Each entry carries the schema version it
+    * was written under. */
+  private def liveSnapshots(meta: ObjectNode): Seq[String] = {
+    val cur = meta.get("current-snapshot-id").asLong()
+    meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == cur)
+      .map(_.get("live").elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  private def newMeta(schema: StructType, partitionBy: Seq[String],
+                      bucket: Option[(Seq[String], Int)]): ObjectNode = {
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 2)
+    meta.put("table-uuid", java.util.UUID.randomUUID().toString)
+    meta.set[JsonNode]("schema", schemaNode(schema))
+    val spec = meta.putArray("partition-spec")
+    partitionBy.foreach(spec.add)
+    bucket match {
+      case Some((cols, n)) =>
+        val b = meta.putObject("bucket-spec")
+        val bc = b.putArray("columns"); cols.foreach(bc.add)
+        b.put("num-buckets", n)
+      case None => meta.putNull("bucket-spec")
+    }
+    meta.put("current-snapshot-id", 0L)
+    meta.putArray("snapshots")
+    meta
+  }
+
+  /** Append a snapshot entry to `meta` and make it current. `live` is the
+    * full live set AFTER this commit. */
+  private def addSnapshot(meta: ObjectNode, operation: String,
+                          live: Seq[String]): ObjectNode = {
+    val id = meta.get("current-snapshot-id").asLong() + 1
+    val snap = meta.get("snapshots").asInstanceOf[ArrayNode].addObject()
+    snap.put("snapshot-id", id)
+    snap.put("operation", operation)
+    val arr = snap.putArray("live"); live.foreach(arr.add)
+    meta.put("current-snapshot-id", id)
+    meta
+  }
+
+  // ---- lifecycle -------------------------------------------------------
+
+  override def ensureTable(ns: String, table: String, schema: StructType,
+                           partitionBy: Seq[String]): Unit = {
+    ensureNamespace(ns)
+    if (!tableExists(ns, table)) {
+      writeMeta(ns, table, newMeta(schema, partitionBy, None))
+    } else {
+      val meta = readMeta(ns, table)
+      val existing = metaSchema(meta)
+      val added = SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
+      if (added.nonEmpty) {
+        // additive evolution: publish a metadata version with the widened
+        // schema; existing snapshots keep their layout, load() aligns
+        val widened = StructType(existing.fields ++ added)
+        meta.set[JsonNode]("schema", schemaNode(widened))
+        writeMeta(ns, table, meta)
+      }
+    }
+  }
+
+  private def writeSnapshot(ns: String, table: String, df: DataFrame,
+                            partitionBy: Seq[String],
+                            options: Map[String, String],
+                            targetFiles: Option[Int] = None): String = {
+    val snapName = s"snap-${System.nanoTime()}"
+    val dir = dataDir(ns, table).resolve(snapName)
+    val shaped = targetFiles match {
+      case Some(n) if partitionBy.nonEmpty =>
+        df.repartition(n, partitionBy.map(c => col(s"`$c`")): _*)
+      case Some(n) => df.repartition(n)
+      case None => df
+    }
+    val w = shaped.write.options(options).format("parquet").mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(dir.toString)
+    snapName
+  }
+
+  override def append(ns: String, table: String, df: DataFrame,
+                      options: Map[String, String]): Unit = {
+    if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
+    val meta = readMeta(ns, table)
+    val snap = writeSnapshot(ns, table, df, metaPartitionCols(meta), options)
+    writeMeta(ns, table,
+      addSnapshot(meta, "append", liveSnapshots(meta) :+ snap))
+  }
+
+  override def overwrite(ns: String, table: String, df: DataFrame,
+                         options: Map[String, String]): Unit = {
+    if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
+    val meta = readMeta(ns, table)
+    val snap = writeSnapshot(ns, table, df, metaPartitionCols(meta), options)
+    writeMeta(ns, table, addSnapshot(meta, "overwrite", Seq(snap)))
+  }
+
+  /** Bucketed layout: rows are clustered into `numBuckets` hash buckets and
+    * sorted within them, and the spec is recorded in the table metadata —
+    * the data layout a bucket-join needs. Honest caveat (scaladoc'd, not
+    * hidden): a PATH-based parquet read cannot convey the bucket spec to
+    * Catalyst, so shuffle-free joins through THIS catalog's load() are not
+    * elided by the optimizer; the layout is still cluster-correct, and a
+    * real Iceberg catalog (or [[SessionLakeCatalog]]) exposes the same spec
+    * to the planner. */
+  override def writeBucketed(ns: String, table: String, df: DataFrame,
+                             bucketCols: Seq[String], numBuckets: Int,
+                             sortCols: Seq[String]): Unit = {
+    ensureNamespace(ns)
+    val meta = newMeta(df.schema, Nil, Some((bucketCols, numBuckets)))
+    val clustered = df.repartition(numBuckets, bucketCols.map(col): _*)
+    val sorted =
+      if (sortCols.nonEmpty)
+        clustered.sortWithinPartitions(sortCols.map(col): _*)
+      else clustered
+    val snap = writeSnapshot(ns, table, sorted, Nil, Map.empty)
+    writeMeta(ns, table, addSnapshot(meta, "overwrite", Seq(snap)))
+  }
+
+  override def load(ns: String, table: String): DataFrame = {
+    val meta = readMeta(ns, table)
+    val schema = metaSchema(meta)
+    val snaps = liveSnapshots(meta)
+    if (snaps.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // read each live snapshot with ITS layout (basePath recovers partition
+    // columns), align to the current schema: unionByName fills columns a
+    // snapshot predates with NULL — Iceberg's read-time evolution
+    val frames = snaps.map { s =>
+      val dir = dataDir(ns, table).resolve(s).toString
+      spark.read.option("basePath", dir).parquet(dir)
+    }
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val withAll = schema.fieldNames.foldLeft(unioned) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, org.apache.spark.sql.functions.lit(null)
+        .cast(schema(c).dataType))
+    }
+    withAll.select(schema.fieldNames.map(c => col(s"`$c`")): _*)
+  }
+
+  override def dropNamespace(ns: String): Unit = {
+    val dir = nsDir(ns)
+    if (Files.exists(dir)) {
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  override def compact(ns: String, table: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val meta = readMeta(ns, table)
+    require(meta.get("bucket-spec").isNull,
+      s"$ns.$table is bucketed — compact() would drop its bucket spec; " +
+        "rewrite via writeBucketed instead")
+    val parts = metaPartitionCols(meta)
+    // snapshot isolation makes the checkpoint dance unnecessary here: the
+    // rewrite READS the old live dirs and WRITES a fresh snap dir — the
+    // sources are never truncated under the reader (they just become
+    // unreferenced, Iceberg's expire-snapshots debt)
+    val snap = writeSnapshot(ns, table, load(ns, table), parts, Map.empty,
+      targetFiles = Some(targetFiles))
+    writeMeta(ns, table, addSnapshot(meta, "replace", Seq(snap)))
+  }
+}
+
+object DirectoryLakeCatalog {
+  /** Warehouse under a fresh temp root (test/demo convenience). */
+  def temp(spark: SparkSession): DirectoryLakeCatalog =
+    new DirectoryLakeCatalog(spark,
+      Files.createTempDirectory("graft-lake-"))
+
+  def apply(spark: SparkSession, root: String): DirectoryLakeCatalog =
+    new DirectoryLakeCatalog(spark, Paths.get(root))
+}

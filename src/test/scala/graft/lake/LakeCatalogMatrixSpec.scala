@@ -1,0 +1,162 @@
+package graft.lake
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.sum
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The trait-isolation proof (VERDICT r6 #2): the FULL [[LakeCatalog]]
+  * lifecycle contract — create/evolve/drift/append/overwrite/partition/
+  * compact — run identically against BOTH implementations, plus the Singer
+  * load path end-to-end through each. A real Iceberg/REST catalog binding
+  * is a third row in this matrix, not a loader change. */
+class LakeCatalogMatrixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** name + factory + a data-directory resolver for file-count assertions
+    * (the one thing the trait deliberately does NOT expose). */
+  private case class Impl(name: String, make: () => LakeCatalog,
+                          dir: (LakeCatalog, String, String) => Path)
+
+  private def sessionDir(cat: LakeCatalog, ns: String, table: String): Path = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED `$ns`.`$table`")
+      .filter($"col_name" === "Location").select("data_type").head().getString(0)
+    Paths.get(new java.net.URI(loc))
+  }
+
+  private val impls = Seq(
+    Impl("session", () => new SessionLakeCatalog(spark), sessionDir),
+    Impl("directory", () => DirectoryLakeCatalog.temp(spark),
+      (cat, ns, table) => cat.asInstanceOf[DirectoryLakeCatalog]
+        .root.resolve(ns).resolve(table)))
+
+  private def parquetFiles(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+
+  private def freshNs(): String = s"mx_${System.nanoTime()}"
+
+  for (impl <- impls) {
+    test(s"[${impl.name}] create / append / overwrite / load lifecycle") {
+      val cat = impl.make(); val ns = freshNs()
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType)))
+      assert(!cat.tableExists(ns, "t"))
+      cat.ensureTable(ns, "t", schema)
+      assert(cat.tableExists(ns, "t"))
+      assert(cat.load(ns, "t").schema.fieldNames.toSeq == Seq("id", "name"))
+      assert(cat.load(ns, "t").count() == 0)
+      cat.append(ns, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+      cat.append(ns, "t", Seq((3L, "c")).toDF("id", "name"))
+      assert(cat.load(ns, "t").count() == 3)
+      assert(cat.load(ns, "t").agg(sum("id")).head().getLong(0) == 6L)
+      // ACTIVATE_VERSION semantics: full-table swap in one commit
+      cat.overwrite(ns, "t", Seq((9L, "z")).toDF("id", "name"))
+      assert(cat.load(ns, "t").collect().map(r => (r.getLong(0),
+        r.getString(1))).toSeq == Seq((9L, "z")))
+      cat.dropNamespace(ns)
+      assert(!cat.tableExists(ns, "t"))
+    }
+
+    test(s"[${impl.name}] additive evolution: old rows read NULL in new column") {
+      val cat = impl.make(); val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L).toDF("id"))
+      val widened = StructType(Seq(StructField("id", LongType),
+        StructField("tag", StringType)))
+      cat.ensureTable(ns, "t", widened) // A12: ALTER in the new column
+      assert(cat.load(ns, "t").schema.fieldNames.toSeq == Seq("id", "tag"))
+      cat.append(ns, "t", Seq((3L, "new")).toDF("id", "tag"))
+      val rows = cat.load(ns, "t").orderBy("id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      assert(rows == Seq((1L, None), (2L, None), (3L, Some("new"))))
+      cat.dropNamespace(ns)
+    }
+
+    test(s"[${impl.name}] type drift on an existing column fails loudly") {
+      val cat = impl.make(); val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      val drifted = StructType(Seq(StructField("id", StringType)))
+      val e = intercept[IllegalArgumentException](
+        cat.ensureTable(ns, "t", drifted))
+      assert(e.getMessage.contains("schema drift"))
+      cat.dropNamespace(ns)
+    }
+
+    test(s"[${impl.name}] partitioned layout: directories + scan pruning") {
+      val cat = impl.make(); val ns = freshNs()
+      val df = (1L to 100L).map(i => (i, s"c${i % 2}")).toDF("id", "cat")
+      cat.ensureTable(ns, "t", df.schema, partitionBy = Seq("cat"))
+      cat.append(ns, "t", df)
+      val partDirs = Files.walk(impl.dir(cat, ns, "t")).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+        .filter(_.startsWith("cat=")).toSet
+      assert(partDirs == Set("cat=c0", "cat=c1"), partDirs.mkString(","))
+      val plan = cat.load(ns, "t").filter($"cat" === "c0")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(cat"), plan.take(1500))
+      assert(cat.load(ns, "t").filter($"cat" === "c0").count() == 50)
+      cat.dropNamespace(ns)
+    }
+
+    test(s"[${impl.name}] compact: many small files -> target count, data intact") {
+      val cat = impl.make(); val ns = freshNs()
+      val df = (1L to 1000L).toDF("id").repartition(10)
+      cat.ensureTable(ns, "t", df.schema)
+      (0 until 5).foreach(_ => cat.append(ns, "t", df))
+      val dir = impl.dir(cat, ns, "t")
+      assert(parquetFiles(dir).size >= 20)
+      cat.compact(ns, "t", targetFiles = 2)
+      // directory impl keeps unreferenced old snapshots (expire-snapshots
+      // debt); count only what load() actually reads
+      val live = cat.load(ns, "t")
+      assert(live.rdd.getNumPartitions <= 4,
+        s"live read spans ${live.rdd.getNumPartitions} partitions")
+      assert(live.count() == 5000)
+      assert(live.agg(sum("id")).head().getLong(0) == 5 * 500500L)
+      cat.dropNamespace(ns)
+    }
+
+    test(s"[${impl.name}] compact refuses bucketed tables and bad targets") {
+      val cat = impl.make(); val ns = freshNs()
+      cat.writeBucketed(ns, "t", (1L to 100L).toDF("id"), Seq("id"), 4)
+      assert(cat.load(ns, "t").count() == 100)
+      val e = intercept[IllegalArgumentException](cat.compact(ns, "t", 2))
+      assert(e.getMessage.contains("bucket"))
+      intercept[IllegalArgumentException](cat.compact(ns, "t", 0))
+      cat.dropNamespace(ns)
+    }
+
+    test(s"[${impl.name}] Singer load path end-to-end: batches, evolution, swap") {
+      val cat = impl.make(); val ns = freshNs()
+      val loader = new BatchLoader(spark, cat, ns, batchSize = 10)
+      val schema =
+        """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+          |"id":{"type":["integer"]},"v":{"type":["number","null"]}}},
+          |"key_properties":["id"]}""".stripMargin.replaceAll("\n", "")
+      val lines = Seq(schema) ++ (1 to 25).map(i =>
+        s"""{"type":"RECORD","stream":"ev","record":{"id":$i,"v":${i * 1.5}}}""") ++
+        Seq("""{"type":"STATE","value":{"bookmark":25}}""")
+      val report = loader.load(spark.createDataset(lines))
+      assert(report.rowsPerStream("ev") == 25L)
+      assert(cat.load(ns, "ev").count() == 25)
+      // evolved feed: a new column arrives mid-stream
+      val schema2 =
+        """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+          |"id":{"type":["integer"]},"v":{"type":["number","null"]},
+          |"tag":{"type":["string","null"]}}}}"""
+          .stripMargin.replaceAll("\n", "")
+      val lines2 = Seq(schema2,
+        """{"type":"RECORD","stream":"ev","record":{"id":26,"v":1.0,"tag":"x"}}""")
+      loader.load(spark.createDataset(lines2))
+      val out = cat.load(ns, "ev")
+      assert(out.count() == 26)
+      assert(out.filter($"tag".isNotNull).count() == 1)
+      cat.dropNamespace(ns)
+    }
+  }
+}
