@@ -633,6 +633,47 @@ object Similarity {
   /** Test hook: how many Lloyd's loops have actually run. */
   private[ops] val kmeansFits = new java.util.concurrent.atomic.AtomicLong
 
+  /** Persist the converged ANN codebook to the lake — the
+    * [[graft.ops.Dedup.clustersTable]] pattern for the k-means fit: training
+    * is the expensive step (KMeansIters corpus scans), and at 100 TB the
+    * index must outlive the session that trained it. One row per surviving
+    * cluster: `(idx, label, centroid)` — `idx` preserves codebook order
+    * (the assignment argmax is positional), `label` the stable seed
+    * identity, `centroid` the converged quantized vector. K rows of
+    * control-plane data, overwrite semantics on re-train. Returns the
+    * read-back table. */
+  def codebookTable(s: SparkSession, d: String,
+                    catalog: graft.lake.LakeCatalog, namespace: String,
+                    table: String = "ann_codebook"): DataFrame = {
+    val (labels, cents) = kmeansFit(s, d)
+    val df = s.createDataFrame(
+        labels.indices.map(i => (i, labels(i), cents(i).toSeq)))
+      .toDF("idx", "label", "centroid")
+    catalog.ensureTable(namespace, table, df.schema, Nil)
+    catalog.overwrite(namespace, table, df)
+    catalog.load(namespace, table)
+  }
+
+  /** Install a persisted codebook ([[codebookTable]]) into THIS session's
+    * fit memo for corpus `d`: every consumer of [[kmeansFit]] (q53 IVF
+    * probe, q85 assignment, q93 purity, q105's IVF tier) then runs with
+    * ZERO Lloyd's iterations — a fresh session probes a 100 TB index
+    * without touching the training path. The collect is K rows (bounded
+    * control plane, same class as the centroid broadcast itself). */
+  def installCodebook(s: SparkSession, d: String,
+                      catalog: graft.lake.LakeCatalog, namespace: String,
+                      table: String = "ann_codebook"): Unit = {
+    val rows = catalog.load(namespace, table)
+      .orderBy("idx").select("label", "centroid").collect()
+    require(rows.nonEmpty, s"codebook table $namespace.$table is empty")
+    val labels = rows.map(_.getLong(0))
+    val cents = rows.map(_.getSeq[Long](1).toArray)
+    kmeansCache.synchronized {
+      kmeansCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .update(d, (labels, cents))
+    }
+  }
+
   private def computeKmeansFit(s: SparkSession, d: String): (Array[Long], Array[Array[Long]]) = {
     kmeansFits.incrementAndGet()
     val q = quantized(s, d, QuantOffset)
