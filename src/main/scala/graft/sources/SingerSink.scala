@@ -36,14 +36,47 @@ private[sources] class SingerWriteBuilder(info: LogicalWriteInfo,
         throw new IllegalArgumentException("singer sink requires a path"))
       val stream = options.getOrElse("stream", "data")
       new SingerBatchWrite(path, stream, info.schema(),
-        info.queryId(), doTruncate)
+        info.queryId(), doTruncate,
+        options.get("batch_config").map(BatchWriteConfig.parse(_, path)))
     }
+  }
+}
+
+/** SDK batch write mode (`batch_config` setting, same JSON shape as
+  * singer-sdk's: `{"encoding":{"format":"jsonl","compression":"gzip"},
+  * "storage":{"root":"<dir>"}}`). When set, the sink emits BATCH
+  * file-reference messages instead of inline RECORDs: records land as bare
+  * JSONL (optionally gzip) part files under the storage root, and the feed
+  * carries SCHEMA + one BATCH message per partition whose manifest names
+  * the part — the shape [[graft.singer.SingerMessage.Batch]] and the
+  * BatchLoader expansion read back. */
+private[sources] final case class BatchWriteConfig(compression: String,
+                                                   root: String) {
+  require(compression == "gzip" || compression == "none",
+    s"batch_config compression must be gzip or none, got '$compression'")
+}
+
+private[sources] object BatchWriteConfig {
+  def parse(json: String, sinkPath: String): BatchWriteConfig = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val enc = Option(node.get("encoding"))
+    val fmt = enc.flatMap(e => Option(e.get("format")).map(_.asText()))
+      .getOrElse("jsonl")
+    require(fmt == "jsonl",
+      s"batch_config format must be jsonl, got '$fmt'")
+    BatchWriteConfig(
+      enc.flatMap(e => Option(e.get("compression")).map(_.asText()))
+        .getOrElse("gzip"),
+      Option(node.get("storage"))
+        .flatMap(s => Option(s.get("root")).map(_.asText()))
+        .getOrElse(new Path(sinkPath, "batches").toString))
   }
 }
 
 private[sources] class SingerBatchWrite(path: String, stream: String,
                                         schema: StructType, queryId: String,
-                                        truncate: Boolean)
+                                        truncate: Boolean,
+                                        batchConfig: Option[BatchWriteConfig])
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
@@ -51,7 +84,8 @@ private[sources] class SingerBatchWrite(path: String, stream: String,
     if (truncate && fs.exists(dir))
       fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
     fs.mkdirs(dir)
-    SingerWriterFactory(path, stream, schema, queryId)
+    batchConfig.foreach(bc => fs.mkdirs(new Path(bc.root)))
+    SingerWriterFactory(path, stream, schema, queryId, batchConfig)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -59,12 +93,18 @@ private[sources] class SingerBatchWrite(path: String, stream: String,
 
 private[sources] case class SingerWriterFactory(path: String, stream: String,
                                                 schema: StructType,
-                                                queryId: String)
+                                                queryId: String,
+                                                batchConfig: Option[BatchWriteConfig])
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SingerDataWriter(
-      new Path(path, f"part-$partitionId%05d-$queryId.jsonl"),
-      taskId, stream, schema)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val feed = new Path(path, f"part-$partitionId%05d-$queryId.jsonl")
+    batchConfig match {
+      case Some(bc) =>
+        new SingerBatchModeWriter(feed, taskId, stream, schema, bc,
+          partitionId, queryId)
+      case None => new SingerDataWriter(feed, taskId, stream, schema)
+    }
+  }
 }
 
 /** Writes to an ATTEMPT-UNIQUE hidden temp file (taskId in the name; the
@@ -112,6 +152,72 @@ private[sources] class SingerDataWriter(file: Path, taskId: Long,
 
   override def close(): Unit =
     try writer.close() catch { case _: Exception => () }
+}
+
+/** Batch write mode: records go to a bare-JSONL part file (gzip per
+  * [[BatchWriteConfig.compression]]) under the batch storage root; the feed
+  * part carries SCHEMA + ONE BATCH message whose manifest names the part —
+  * singer-sdk's `batch_config` wire behavior. Same attempt-unique
+  * temp-then-rename discipline as the inline writer, with commit ORDER
+  * making the reference safe: the records part renames first, the feed
+  * that points at it second, so a visible feed never names a missing
+  * part. An empty partition still commits (its part decodes to zero
+  * records — valid). Throughput is the point at scale: the feed is O(1)
+  * lines per partition and the record stream is compressed bulk bytes the
+  * downstream target can route without re-parsing the envelope. */
+private[sources] class SingerBatchModeWriter(feed: Path, taskId: Long,
+                                             stream: String, schema: StructType,
+                                             bc: BatchWriteConfig,
+                                             partitionId: Int, queryId: String)
+    extends DataWriter[InternalRow] {
+  private val ext = if (bc.compression == "gzip") ".jsonl.gz" else ".jsonl"
+  private val part = new Path(bc.root,
+    f"$stream-$partitionId%05d-$queryId$ext")
+  private val fs = feed.getFileSystem(new Configuration())
+  private val feedTmp = new Path(feed.getParent, s".${feed.getName}.$taskId.tmp")
+  private val partTmp = new Path(part.getParent, s".${part.getName}.$taskId.tmp")
+  private val partWriter = {
+    val raw: java.io.OutputStream = fs.create(partTmp, true)
+    val out = if (bc.compression == "gzip")
+      new java.util.zip.GZIPOutputStream(raw) else raw
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(out,
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    // bare record object per line — the SDK JSONL batch layout (no envelope)
+    partWriter.write(SingerJson.rowJson(row, schema))
+    partWriter.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    partWriter.close()
+    fs.delete(part, false)
+    if (!fs.rename(partTmp, part))
+      throw new java.io.IOException(s"singer sink: rename $partTmp -> $part failed")
+    val manifestEntry = fs.makeQualified(part).toString
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(feedTmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      w.write(s"""{"type":"SCHEMA","stream":${SingerJson.str(stream)},"schema":${SingerJson.schemaJson(schema)}}""")
+      w.newLine()
+      w.write(s"""{"type":"BATCH","stream":${SingerJson.str(stream)},"encoding":{"format":"jsonl","compression":"${bc.compression}"},"manifest":[${SingerJson.str(manifestEntry)}]}""")
+      w.newLine()
+    } finally w.close()
+    fs.delete(feed, false)
+    if (!fs.rename(feedTmp, feed))
+      throw new java.io.IOException(s"singer sink: rename $feedTmp -> $feed failed")
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = {
+    try partWriter.close() catch { case _: Exception => () }
+    try fs.delete(partTmp, false) catch { case _: Exception => () }
+    try fs.delete(feedTmp, false) catch { case _: Exception => () }
+  }
+
+  override def close(): Unit =
+    try partWriter.close() catch { case _: Exception => () }
 }
 
 /** StructType -> Singer JSON Schema (the inverse of

@@ -181,6 +181,65 @@ class SingerSourceSpec extends AnyFunSuite {
       .load(dir).count() == 1)
   }
 
+  test("batch write mode: gzip JSONL parts + BATCH feed round-trip the load path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("singer-batch-sink").toString
+    val df = (1L to 50L).map(i => (i, s"user$i", i * 1.5))
+      .toDF("id", "name", "score").repartition(3)
+    df.write.format("singer").option("stream", "users")
+      .option("batch_config",
+        """{"encoding":{"format":"jsonl","compression":"gzip"}}""")
+      .mode("append").save(dir)
+
+    import scala.jdk.CollectionConverters._
+    val feeds = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl")).toSeq.sortBy(_.toString)
+    assert(feeds.size == 3, s"one feed part per partition, got ${feeds.size}")
+    feeds.foreach { f =>
+      val lines = Files.readAllLines(f).asScala
+      assert(lines.size == 2, "feed is SCHEMA + one BATCH, nothing inline")
+      assert(lines.head.contains("\"SCHEMA\""))
+      assert(lines(1).contains("\"BATCH\"") &&
+        lines(1).contains("\"compression\":\"gzip\""))
+      assert(!lines.exists(_.contains("\"RECORD\"")))
+    }
+    val parts = Files.list(java.nio.file.Paths.get(dir, "batches"))
+      .iterator().asScala.filter(!_.getFileName.toString.startsWith("."))
+      .toSeq
+    assert(parts.size == 3 &&
+      parts.forall(_.getFileName.toString.endsWith(".jsonl.gz")))
+    parts.foreach { p => // really gzip: magic bytes
+      val bytes = Files.readAllBytes(p)
+      assert((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b,
+        s"$p is not gzip")
+    }
+
+    // round-trip: the emitted feed drives the Singer load path (87df6cb's
+    // BATCH expansion) back into a lake table identical to the input
+    val ns = s"sbw_${System.nanoTime()}"
+    val cat = new graft.lake.SessionLakeCatalog(spark)
+    val loader = new graft.lake.BatchLoader(spark, cat, ns)
+    val lines = feeds.flatMap(f => Files.readAllLines(f).asScala)
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("users") == 50L)
+    val back = cat.load(ns, "users").select("id", "name", "score")
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    cat.dropNamespace(ns)
+  }
+
+  test("batch write mode validates its config") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("singer-batch-bad").toString
+    val e = intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "name").write.format("singer")
+        .option("stream", "users")
+        .option("batch_config", """{"encoding":{"format":"parquet"}}""")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("format:time round-trips: tagged micros-long -> time string -> tagged micros-long") {
     val dir = Files.createTempDirectory("singer-time").toString
     // a tap-authored feed with a format:time property and string values
