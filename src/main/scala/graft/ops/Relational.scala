@@ -134,11 +134,28 @@ object Relational {
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
       .limit(10)
 
-  /** Ranking window: top-3 parts per brand by retail price. */
+  val TopKSalts = 64 // salt slices for low-cardinality top-k-per-group
+
+  /** Ranking window: top-3 parts per brand by retail price. `p_brand` has
+    * 25 values (TPC-H spec), so a direct `Window.partitionBy(p_brand)`
+    * serializes rows/25 into one task (the r6 low-cardinality-window
+    * audit). Two-phase salted top-k instead: a local top-3 within each of
+    * [[TopKSalts]] deterministic salt slices per brand (partition count
+    * scales with the corpus), then the real rank over the surviving
+    * ≤ brands × salts × 3 candidates — bounded regardless of table size.
+    * Exact at any scale: the window's sort key is a TOTAL order (price
+    * desc, partkey), so any global top-3 row is its salt slice's top-3
+    * (rank == row_number under a total order), and the final rank over
+    * candidates equals the global rank because every better row is also a
+    * candidate. */
   def q10WindowRank(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("p_brand")
-      .orderBy(desc("p_retailprice"), col("p_partkey"))
+    val order = Seq(desc("p_retailprice"), col("p_partkey"))
+    val wLocal = Window.partitionBy("p_brand", "salt").orderBy(order: _*)
+    val w = Window.partitionBy("p_brand").orderBy(order: _*)
     part(s, d)
+      .withColumn("salt", pmod(col("p_partkey"), lit(TopKSalts)))
+      .withColumn("r0", row_number().over(wLocal))
+      .filter(col("r0") <= 3)
       .withColumn("rnk", rank().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select("p_brand", "p_partkey", "p_retailprice", "rnk")
@@ -648,18 +665,57 @@ object Relational {
       .orderBy("o_orderpriority")
 
   /** Distribution windows: quartile (ntile) + percent_rank of customers by
-    * balance within each market segment. */
+    * balance within each market segment — reported as per-(segment,
+    * quartile) summaries.
+    *
+    * `c_mktsegment` has 5 values, so the textbook `ntile(4).over(
+    * partitionBy(segment))` serializes rows/5 into one task (the r6
+    * low-cardinality-window audit). But every reported number is a
+    * function of the segment's VALUE-COUNT MARGINAL alone — `c_acctbal`
+    * is a decimal(12,2) on a bounded grid (TPC-H: [-999.99, 9999.99],
+    * ≤ 1.1M distinct values) — so this computes it the q122 way:
+    *   1. one (segment, balance) count aggregate (map-side combined);
+    *   2. cumulative positions over the MARGINAL (window rows bounded by
+    *      grid cardinality, never corpus size): a balance group occupies
+    *      positions [lo, hi] in the segment's (balance, custkey) total
+    *      order — per-row ranks are position numbers because the
+    *      tie-break key is unique, and equal-balance rows are
+    *      interchangeable for every reported stat;
+    *   3. each group overlaps ≤ 4 of the ntile intervals (first n%4
+    *      tiles take one extra row — the SQL-standard split, exact
+    *      integer arithmetic), so a 4-way explode + overlap filter
+    *      reassembles per-tile counts, balance extremes, and the tile's
+    *      last-position percent_rank `(end-1)/(ntot-1)` bit-identically
+    *      to the per-row formulation. */
   def q52Quartiles(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wCum = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeg = Window.partitionBy("c_mktsegment")
     customer(s, d)
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pr", round(percent_rank().over(w), 6))
+      .groupBy("c_mktsegment", "c_acctbal")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hi", sum("cnt").over(wCum))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn("ntot", sum("cnt").over(wSeg))
+      .select(col("c_mktsegment"), col("c_acctbal"), col("lo"), col("hi"),
+        col("ntot"), explode(sequence(lit(1L), lit(4L))).as("quartile"))
+      // SQL ntile(4): base = n div 4, first n % 4 tiles get base + 1
+      .withColumn("t_start",
+        expr("(quartile - 1) * (ntot div 4) + least(quartile - 1, ntot % 4) + 1"))
+      .withColumn("t_end",
+        expr("t_start + (ntot div 4) + if(quartile <= ntot % 4, 1, 0) - 1"))
+      .withColumn("overlap",
+        least(col("hi"), col("t_end")) - greatest(col("lo"), col("t_start")) + 1)
+      .filter(col("overlap") > 0)
       .groupBy("c_mktsegment", "quartile")
-      .agg(count(lit(1)).as("n"),
+      .agg(sum("overlap").as("n"),
         round(min("c_acctbal"), 2).as("min_bal"),
         round(max("c_acctbal"), 2).as("max_bal"),
-        round(max("pr"), 6).as("max_pr"))
+        // percent_rank of the tile's LAST row: rank == position under the
+        // unique (balance, custkey) tie-break; n == 1 degenerates to 0
+        round(when(max("ntot") === 1, lit(0.0))
+          .otherwise((max("t_end") - 1).cast("double") /
+            (max("ntot") - 1)), 6).as("max_pr"))
       .orderBy("c_mktsegment", "quartile")
   }
 
@@ -737,7 +793,15 @@ object Relational {
     * are broken into a total order so every engine computes identical
     * tiles; the ratio outputs are exact integer ppm, not round(double, 6)
     * — (rank-1)/(n-1) lands on exact .xxxxx5 midpoints (e.g. 41/640)
-    * where the engines' round() diverge (the q62/q48 hazard). */
+    * where the engines' round() diverge (the q62/q48 hazard).
+    *
+    * Low-cardinality-window audit: `o_orderpriority` is a 5-value key,
+    * so per-partition rows are bounded by the SELECTIVE FILTER feeding
+    * the window (totalprice > 400k admits the top ~2% of orders), not by
+    * the table — the demonstration corpus for the full ranking family,
+    * not a whole-table scan shape. For an UNBOUNDED input on a 5-value
+    * key, use [[q10WindowRank]]'s salted two-phase split (top-k) or
+    * [[q52Quartiles]]' value-count-marginal path (distribution stats). */
   def q92RankFunctions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(desc("o_totalprice"), col("o_orderkey"))

@@ -759,7 +759,11 @@ object Similarity {
     * no round(double) midpoints), and total within-cluster distortion.
     * Runs the same driver-side Lloyd's loop as [[q85KMeans]] (bounded
     * control-plane collects), then ONE label join + two small rollups —
-    * the per-cluster output is K rows at any corpus size. */
+    * the per-cluster output is K rows at any corpus size. The
+    * majority-label window partitions on `cluster` (only K values) but its
+    * input is the (cluster, label) COUNT AGGREGATE — ≤ K × |labels| rows
+    * regardless of corpus size, the bounded-marginal exemption in the
+    * low-cardinality-window audit. */
   def q93ClusterPurity(s: SparkSession, d: String): DataFrame = {
     val asg = q85KMeans(s, d)
     val lbl = asg.join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),

@@ -109,6 +109,11 @@ object TextOps {
     * predict argmax; output the confusion matrix. Profiles are tiny -> the
     * scoring join broadcasts.
     *
+    * The profile-ranking window partitions on `plang` (few values) but
+    * its input is the (lang, bigram) DOCUMENT-FREQUENCY AGGREGATE —
+    * bounded by langs × the bigram grid, never corpus size (the
+    * bounded-marginal exemption in the low-cardinality-window audit).
+    *
     * Shuffle design: per-document bigram dedup happens IN-ROW
     * (`array_distinct` over the native `char_bigrams` array — codegen'd,
     * before any explode), so no shuffle ever carries raw bigram
@@ -1075,21 +1080,47 @@ object TextOps {
   }
 
   val PackBudget = 512 // tokens per packed training sequence
+  val PackBlockDocs = 128L // doc_id span per prefix-sum block — small enough
+  // that the sf0.01 oracle corpus (doc_ids 0..499) spans multiple blocks,
+  // so block STITCHING is inside the correctness gate; production tuning
+  // raises it (the result is invariant to the split, tested both ways)
 
   /** Sequence packing (q91): assign documents to fixed-token-budget
     * training bins by cumulative token offset — `bin = start_offset div
-    * budget`. Packing is inherently a running sum, so it is computed PER
-    * SHARD (here: per language, the natural training-mix shard) — each
-    * partition's window is independent, no global single-partition
-    * ordering anywhere. A doc whose tokens straddle a bin boundary belongs
-    * to the bin its first token lands in (loaders handle the wrap). */
+    * budget`. Packing is inherently a running sum per shard (language,
+    * the natural training-mix shard) — but `lang` is a ≤ ~100-value key,
+    * so a naive `Window.partitionBy(lang)` serializes corpus/|langs| rows
+    * into one task (the r6 low-cardinality-window audit). The running sum
+    * is therefore TWO-PHASE, the classic distributed prefix sum:
+    *   1. local prefix within (lang, doc_id-block of [[PackBlockDocs]]) —
+    *      partition count scales WITH the corpus;
+    *   2. block offsets = prefix over the per-(lang, block) TOTALS,
+    *      derived from a SECOND column-pruned scan that map-side-combines
+    *      straight down to corpus/[[PackBlockDocs]] rows (no corpus-sized
+    *      shuffle — the two-narrow-scans-beat-a-shared-exchange trade
+    *      q31 A/B-measured), then a window over that block marginal
+    *      (recurse the same split if it ever saturates), broadcast-joined
+    *      back on (lang, block).
+    * `cum = local + block offset` is exact integer arithmetic — identical
+    * bins to the single-window form at any split. A doc whose tokens
+    * straddle a bin boundary belongs to the bin its first token lands in
+    * (loaders handle the wrap). */
   def q91SeqPacking(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val wLocal = Window.partitionBy("lang", "block").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, d)
+    val wBlocks = Window.partitionBy("lang").orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = documents(s, d)
       .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("cum", sum("n_tok").over(w))
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr(s"doc_id div $PackBlockDocs").as("block"))
+    val local = base.withColumn("lcum", sum("n_tok").over(wLocal))
+    val offsets = base.groupBy("lang", "block")
+      .agg(sum("n_tok").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(wBlocks), lit(0L)))
+      .select("lang", "block", "boff")
+    local.join(offsets, Seq("lang", "block"))
+      .withColumn("cum", col("lcum") + col("boff"))
       .select(col("doc_id"), col("lang"), col("n_tok"),
         expr(s"(cum - n_tok) div $PackBudget").as("bin"),
         expr(s"(cum - n_tok) % $PackBudget").as("bin_offset"))

@@ -244,4 +244,33 @@ class RelationalSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       plan.take(2000))
   }
+
+  test("q10 plan: the 25-value brand window consumes salted survivors, not the table") {
+    // low-cardinality-window audit: the brand-only window may see at most
+    // brands x salts x 3 rows — structurally, a Filter on the salted local
+    // rank must sit between it and the scan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    val plan = Relational.q10WindowRank(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 2, plan.toString.take(2000))
+    val brandOnly = windows.filter(_.partitionSpec.size == 1)
+    assert(brandOnly.size == 1, "exactly one brand-only window")
+    assert(brandOnly.head.child.collectFirst {
+      case f: Filter if f.condition.toString.contains("r0") => f
+    }.nonEmpty, "brand window must consume the salted local top-3:\n" +
+      brandOnly.head.toString.take(1500))
+  }
+
+  test("q52 plan: distribution windows consume the balance marginal, not rows") {
+    // the q122 contract: every window's input is a value-count aggregate
+    // (bounded by the balance grid), never raw customer rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Relational.q52Quartiles(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, plan.toString.take(2000))
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "window has no aggregate below it:\n" + w.toString.take(1500))
+    }
+  }
 }

@@ -325,6 +325,41 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q91 plan: the per-lang running sum is two-phase — the lang-only window consumes block totals") {
+    // low-cardinality-window audit: lang has few values, so the only
+    // lang-partitioned window must ride the (lang, block) TOTALS aggregate
+    // (corpus/PackBlockDocs rows), never raw document rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = TextOps.q91SeqPacking(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 2, plan.toString.take(2500))
+    val langOnly = windows.filter(_.partitionSpec.size == 1)
+    assert(langOnly.size == 1, "exactly one lang-only window")
+    assert(langOnly.head.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "lang window must consume the per-block totals aggregate:\n" +
+        langOnly.head.toString.take(1500))
+  }
+
+  test("q91 packing is invariant to the block split (multi-block stitching)") {
+    import spark.implicits._
+    // doc_ids span many PackBlockDocs blocks with uneven token counts
+    val docs = (0L until 1000L).map(i =>
+      (i, ("tok " * (1 + (i % 37).toInt)).trim,
+        if (i % 3 == 0) "en" else "de", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val rows = TextOps.q91SeqPacking(spark, dir).collect()
+      rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+        var cum = 0L // single-sequence replay = the old one-window semantics
+        rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          assert(r.getAs[Long]("bin") == cum / TextOps.PackBudget)
+          assert(r.getAs[Long]("bin_offset") == cum % TextOps.PackBudget)
+          cum += r.getAs[Long]("n_tok")
+        }
+      }
+    }
+  }
+
   test("q123 template families: head/tail windows, short-doc CASE") {
     import spark.implicits._
     val xs = "x" * 70
