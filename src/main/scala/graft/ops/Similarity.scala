@@ -269,8 +269,29 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  val DedupTargetBucket = 64L // expected vectors per LSH bucket the in-bucket pair scan is sized for
+  val MaxDedupPlanes = 14     // oracle inlines this plane-table prefix (2^14 buckets)
+
+  /** q44's plane count grows WITH the corpus: smallest p (floored at
+    * [[NumPlanes]], capped at [[MaxDedupPlanes]]) such that 2^p buckets
+    * keep expected occupancy <= [[DedupTargetBucket]] — in-bucket pair
+    * volume then stays ~n × bucket (LINEAR in corpus size) instead of
+    * n²/2^planes. The r7 sf1 stress run measured the fixed-plane form at
+    * 21× cost for 10× data; [[planeTable]]'s prefix property makes the
+    * adaptive count a pure extension (same first 6 planes at every test
+    * scale, so the sf0.001-0.1 results are unchanged). Integer-only
+    * arithmetic (no log2 floats), mirrored exactly by the oracle's
+    * generate_series probe. The count() is a parquet-metadata job. */
+  private[ops] def dedupPlanes(s: SparkSession, d: String): Int = {
+    val n = Tables.embeddings(s, d).count()
+    val cells = (n + DedupTargetBucket - 1) / DedupTargetBucket
+    val p = if (cells <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
+    math.min(MaxDedupPlanes, math.max(NumPlanes, p))
+  }
+
   def q44DedupEmbedding(s: SparkSession, d: String): DataFrame =
-    dedupEmbedding(s, d, NumPlanes)
+    dedupEmbedding(s, d, dedupPlanes(s, d))
 
   /** Typed single-pass grouped top-k (SURVEY §7.5's custom `Aggregator`):
     * each partition keeps only its k best (neighbor, sim) pairs, so the
@@ -594,12 +615,12 @@ object Similarity {
   private[ops] def centLit(cents: Array[Array[Long]]): Column =
     typedLit(cents.map(_.toSeq).toSeq)
 
-  /** Seed codebook: the K lowest vec_ids' quantized vectors — deterministic
+  /** Seed codebook: the k lowest vec_ids' quantized vectors — deterministic
     * and oracle-reproducible (k-means++ would need a cross-engine RNG).
-    * Driver-side collect is K rows — bounded control plane, same shape as
+    * Driver-side collect is k rows — bounded control plane, same shape as
     * mllib's centroid broadcast. */
-  private[ops] def seedCentroids(q: DataFrame): Array[Array[Long]] =
-    q.orderBy("vec_id").limit(KMeansK).select("q").collect()
+  private[ops] def seedCentroids(q: DataFrame, k: Int = KMeansK): Array[Array[Long]] =
+    q.orderBy("vec_id").limit(k).select("q").collect()
       .map(_.getSeq[Long](0).toArray)
 
   /** Lloyd's k-means over quantized embeddings (q85). Per iteration:
@@ -715,12 +736,25 @@ object Similarity {
   }
 
   val SemDedupTauSq10k = 1600 // cosine threshold τ=0.40 (the corpus has no >0.5 semantic pairs): keep 1e4·dot² >= τ²·1e4·|a|²·|b|²
+  val SemDedupCell = 1000 // target vectors per SemDeDup cluster
+
+  /** q86's codebook size grows WITH the corpus — `max(KMeansK,
+    * ceil(n / SemDedupCell))` — so expected in-cluster pair volume stays
+    * ~n × [[SemDedupCell]] (LINEAR in corpus size) instead of n²/K. The r7
+    * sf1 stress run measured the fixed-K form at 31× cost for 10× data —
+    * exactly the quadratic this kills; SemDeDup itself scales K with n
+    * (Abbas et al. 2023 use k=11k on 134M LAION embeddings, ~12k/cell).
+    * The count() is a parquet-metadata job, not a scan. */
+  private[ops] def semDedupK(s: SparkSession, d: String): Int =
+    math.max(KMeansK,
+      ((Tables.embeddings(s, d).count() + SemDedupCell - 1) / SemDedupCell).toInt)
 
   /** SemDeDup (q86): semantic near-dup pairs = cluster the corpus, then
     * compare only WITHIN clusters — the pruning that makes semantic dedup
     * tractable (per-cluster pairs instead of corpus²). Clustering here is
-    * one assignment pass against the seed codebook (recall tuning, not
-    * correctness — the oracle mirrors the same codebook); the in-cluster
+    * one assignment pass against the corpus-scaled seed codebook
+    * ([[semDedupK]] — recall tuning, not correctness: the oracle mirrors
+    * the same codebook, adaptive LIMIT included); the in-cluster
     * pair stream is the same self-equi-join shape as q44/q24 (no bucket
     * materialization, AQE splits hot clusters). The cosine threshold is
     * evaluated in EXACT integer arithmetic on the unshifted quantized grid:
@@ -728,7 +762,7 @@ object Similarity {
     * embeddings at scale 1000, all products stay under 2^62. */
   def q86SemDedup(s: SparkSession, d: String): DataFrame = {
     val qs = quantized(s, d, QuantOffset)
-    val cents = seedCentroids(qs)
+    val cents = seedCentroids(qs, semDedupK(s, d))
     val asg = Tables.embeddings(s, d).select(col("vec_id"),
         element_at(call_function("ivec_nearest",
           call_function("ivec_quant", col("embedding"),
@@ -784,6 +818,30 @@ object Similarity {
   /** Shared oracle CTEs: quantized grid + seed-codebook assignment. */
   private def kmeansSqlPrefix: String = s"""
       WITH $kmeansPrefixBody"""
+
+  /** q86's oracle prefix: same CTEs as [[kmeansSqlPrefix]] but with the
+    * corpus-scaled codebook size — the adaptive LIMIT mirrors
+    * [[semDedupK]]'s `max(K, ceil(n / cell))` exactly (`//` is DuckDB
+    * floor division, so ceil = (n + cell - 1) // cell). */
+  private def semDedupSqlPrefix: String = s"""
+      WITH q AS (SELECT vec_id,
+        list_transform(embedding, x -> round(x::DOUBLE * $QuantScale)::BIGINT + $QuantOffset) AS qv
+        FROM embeddings),
+      qe AS (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
+                    unnest(qv) AS v FROM q),
+      seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+                FROM (SELECT vec_id FROM q ORDER BY vec_id
+                      LIMIT (SELECT greatest($KMeansK,
+                               (count(*) + $SemDedupCell - 1) // $SemDedupCell)
+                             FROM embeddings))),
+      c0 AS (SELECT s.c, qe.dim, qe.v AS cv
+             FROM seeds s JOIN qe ON qe.vec_id = s.vec_id),
+      d1 AS (SELECT qe.vec_id, c0.c, sum((qe.v - c0.cv) * (qe.v - c0.cv)) AS dd
+             FROM qe JOIN c0 ON qe.dim = c0.dim GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+               FROM d1) t WHERE rn = 1)"""
 
   private def kmeansPrefixBody: String = s"""
       q AS (SELECT vec_id,
@@ -880,7 +938,7 @@ object Similarity {
       FROM tot t JOIN maj m ON m.c = t.c
       ORDER BY cluster""")),
     "q86_semdedup" -> ((q86SemDedup _, s"""
-      $kmeansSqlPrefix,
+      $semDedupSqlPrefix,
       qc AS (SELECT vec_id,
                list_transform(embedding, x -> round(x::DOUBLE * $QuantScale)::BIGINT) AS qv
              FROM embeddings),
@@ -1059,12 +1117,22 @@ object Similarity {
       SELECT q_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= $K
       ORDER BY q_id, rnk""")),
     "q44_dedup_embedding" -> ((q44DedupEmbedding _, {
-      val planes = hyperplanes.zipWithIndex.map { case (p, j) =>
-        s"(CASE WHEN list_inner_product(v, ${p.mkString("[", ",", "]")}::DOUBLE[]) >= 0 THEN ${1 << j} ELSE 0 END)"
+      // all MaxDedupPlanes plane terms inlined; plane j contributes only
+      // when j < np — the adaptive count from the SAME integer formula as
+      // dedupPlanes (generate_series probe = smallest p with 2^p >= cells)
+      val planes = planeTable(MaxDedupPlanes).zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN $j < n.np AND list_inner_product(v, ${p.mkString("[", ",", "]")}::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      b AS (SELECT vec_id, v, ($planes)::BIGINT AS bucket FROM e)
+      WITH n AS (SELECT least($MaxDedupPlanes, greatest($NumPlanes,
+                   coalesce((SELECT min(p)
+                             FROM generate_series(0, $MaxDedupPlanes) t(p)
+                             WHERE (1::BIGINT << p) >=
+                               ((SELECT count(*) FROM embeddings)
+                                 + ${DedupTargetBucket - 1}) // $DedupTargetBucket),
+                     $MaxDedupPlanes))) AS np),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v, ($planes)::BIGINT AS bucket FROM e, n)
       SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
              round(list_cosine_similarity(a.v, b2.v), 6) AS sim
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id

@@ -67,6 +67,42 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 codebook size scales with the corpus (linear pair volume)") {
+    // the test corpus floors at KMeansK...
+    assert(Similarity.semDedupK(spark, sf) == Similarity.KMeansK)
+    // ...and a corpus past KMeansK * SemDedupCell vectors gets
+    // ceil(n / cell) cells, keeping expected in-cluster pairs ~n * cell
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semk").toString
+    val n = Similarity.SemDedupCell * (Similarity.KMeansK + 2) + 1
+    (0 until n).map(i => (i.toLong, Array.fill(4)(0.5f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.semDedupK(spark, dir) == Similarity.KMeansK + 3)
+  }
+
+  test("q44 plane count scales with the corpus (bounded LSH buckets)") {
+    // floors at NumPlanes on every test corpus (so results are unchanged
+    // there)...
+    assert(Similarity.dedupPlanes(spark, sf) == Similarity.NumPlanes)
+    // ...and a corpus needing more than 2^NumPlanes buckets gets the
+    // smallest p with 2^p * DedupTargetBucket >= n (prefix planes, so the
+    // first NumPlanes hyperplanes are identical)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpl").toString
+    val n = (Similarity.DedupTargetBucket << 9).toInt + 1 // needs 2^10 cells
+    (0 until n).map(i => (i.toLong, Array.fill(4)(0.5f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.dedupPlanes(spark, dir) == 10)
+    // the oracle's generate_series probe uses the same integer formula —
+    // replicate it here to pin the contract
+    val cells = (n + Similarity.DedupTargetBucket - 1) / Similarity.DedupTargetBucket
+    val p = (0 to Similarity.MaxDedupPlanes).find(p => (1L << p) >= cells).get
+    assert(math.min(Similarity.MaxDedupPlanes,
+      math.max(Similarity.NumPlanes, p)) == 10)
+  }
+
   test("q87 chunking: full token coverage, stable fingerprints") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
