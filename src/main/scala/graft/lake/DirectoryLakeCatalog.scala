@@ -239,10 +239,35 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
     writeMeta(ns, table, addSnapshot(meta, "overwrite", Seq(snap)))
   }
 
-  override def load(ns: String, table: String): DataFrame = {
+  override def load(ns: String, table: String): DataFrame =
+    loadSnapshot(ns, table, None)
+
+  /** Time travel (Iceberg `VERSION AS OF`): read the table as of any
+    * snapshot in the log — snapshots are immutable directory sets, so a
+    * historical read costs the same as a current one. Fails loudly on an
+    * expired or unknown id. */
+  def loadAt(ns: String, table: String, snapshotId: Long): DataFrame =
+    loadSnapshot(ns, table, Some(snapshotId))
+
+  /** Snapshot ids still present in the metadata log, oldest first. */
+  def snapshotIds(ns: String, table: String): Seq[Long] =
+    readMeta(ns, table).get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+
+  private def loadSnapshot(ns: String, table: String,
+                           at: Option[Long]): DataFrame = {
     val meta = readMeta(ns, table)
     val schema = metaSchema(meta)
-    val snaps = liveSnapshots(meta)
+    val snaps = at match {
+      case None => liveSnapshots(meta)
+      case Some(id) =>
+        val snap = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown or expired snapshot $id of $ns.$table " +
+              s"(log has ${snapshotIds(ns, table).mkString(", ")})"))
+        snap.get("live").elements().asScala.map(_.asText()).toSeq
+    }
     if (snaps.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -262,12 +287,36 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
     withAll.select(schema.fieldNames.map(c => col(s"`$c`")): _*)
   }
 
-  override def dropNamespace(ns: String): Unit = {
-    val dir = nsDir(ns)
+  override def dropNamespace(ns: String): Unit = deleteTree(nsDir(ns))
+
+  private def deleteTree(dir: Path): Unit =
     if (Files.exists(dir)) {
       Files.walk(dir).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))
     }
+
+  /** Iceberg `expire_snapshots`: retain the `keepLast` most recent log
+    * entries, then delete every snapshot directory referenced by NO
+    * retained snapshot — the reclamation pass for the orphan debt
+    * [[compact]] and [[overwrite]] accrue. Commit order is crash-safe:
+    * the trimmed metadata publishes FIRST, so an interrupted expiry
+    * leaves only unreferenced directories (orphans, re-collectable), never
+    * a live snapshot with missing files. Time travel to an expired id
+    * fails loudly ([[loadAt]]). */
+  def expireSnapshots(ns: String, table: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val meta = readMeta(ns, table)
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    if (snaps.size <= keepLast) return
+    val (drop, keep) = snaps.splitAt(snaps.size - keepLast)
+    def dirsOf(s: Seq[JsonNode]): Set[String] =
+      s.flatMap(_.get("live").elements().asScala.map(_.asText())).toSet
+    val orphaned = dirsOf(drop) -- dirsOf(keep)
+    val arr = mapper.createArrayNode()
+    keep.foreach(arr.add)
+    meta.set[JsonNode]("snapshots", arr)
+    writeMeta(ns, table, meta)
+    orphaned.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
   }
 
   override def compact(ns: String, table: String, targetFiles: Int): Unit = {

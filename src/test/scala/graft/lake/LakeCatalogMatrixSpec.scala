@@ -131,6 +131,37 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    // directory-catalog-only surface: snapshot time travel + expiry
+    if (impl.name == "directory") test("[directory] time travel + expireSnapshots") {
+      val cat = impl.make().asInstanceOf[DirectoryLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L).toDF("id"))          // snapshot 1
+      cat.append(ns, "t", Seq(3L).toDF("id"))              // snapshot 2
+      cat.overwrite(ns, "t", Seq(9L).toDF("id"))           // snapshot 3
+      assert(cat.snapshotIds(ns, "t") == Seq(1L, 2L, 3L))
+      assert(cat.loadAt(ns, "t", 1L).collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L))
+      assert(cat.loadAt(ns, "t", 2L).collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L))
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).toSeq == Seq(9L))
+      // expire everything but the current snapshot: history reads fail
+      // loudly, current data intact, orphaned directories reclaimed
+      val dataDir = impl.dir(cat, ns, "t").resolve("data")
+      val before = Files.list(dataDir).iterator().asScala.size
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      assert(cat.snapshotIds(ns, "t") == Seq(3L))
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).toSeq == Seq(9L))
+      val after = Files.list(dataDir).iterator().asScala.size
+      assert(after < before, s"expiry reclaimed nothing ($before -> $after)")
+      val e = intercept[IllegalArgumentException](cat.loadAt(ns, "t", 1L))
+      assert(e.getMessage.contains("expired") ||
+        e.getMessage.contains("unknown"))
+      intercept[IllegalArgumentException](
+        cat.expireSnapshots(ns, "t", keepLast = 0))
+      cat.dropNamespace(ns)
+    }
+
     test(s"[${impl.name}] Singer load path end-to-end: batches, evolution, swap") {
       val cat = impl.make(); val ns = freshNs()
       val loader = new BatchLoader(spark, cat, ns, batchSize = 10)
