@@ -137,6 +137,73 @@ object Dedup {
       .distinct()
   }
 
+  /** Persist the corpus's dedup signatures — the [[graft.functions.NormMd5
+    * norm_md5]] exact fingerprint plus the [[NumHashes]]-slot MinHash
+    * sketch — as a lake table: the ONE corpus text scan that every
+    * incremental load then amortizes (the
+    * [[graft.ops.Similarity.codebookTable]] pattern applied to dedup
+    * state). One row per doc `(doc_id, fp, mh)`; overwrite on corpus
+    * refresh. */
+  def signaturesTable(s: SparkSession, d: String,
+                      catalog: graft.lake.LakeCatalog, namespace: String,
+                      table: String = "dedup_signatures"): DataFrame = {
+    val sig = documents(s, d).select(col("doc_id"),
+      expr("norm_md5(text)").as("fp"),
+      expr("shingle_minhash(text)").as("mh"))
+    catalog.ensureTable(namespace, table, sig.schema, Nil)
+    catalog.overwrite(namespace, table, sig)
+    catalog.load(namespace, table)
+  }
+
+  /** Dedup an INCOMING batch against a persisted signature index
+    * ([[signaturesTable]]) with ZERO corpus text reads — the fresh-session
+    * ingest path: only the incoming docs are hashed; exact dups are an
+    * fp equi-join; near-dup candidates collide on the same banded-MinHash
+    * keys as q23; and a candidate's similarity is the MinHash ESTIMATE
+    * (matching-slot fraction — E[est] = true jaccard), because the exact
+    * verdict would need the corpus shingle sets this path exists to avoid
+    * re-reading. One row per (incoming_id, corpus_id) match, `match_kind`
+    * exact|near, exact pairs never re-reported as near.
+    *
+    * Scale shape: the index side streams (doc_id, fp, mh) — ~150 B/doc,
+    * orders of magnitude under text — through one fp join and one banded
+    * join; the incoming side is batch-sized. Band keys derive from the
+    * STORED sketch ([[bandKey]] over `mh`), so index rows are written once
+    * and banded at read time. */
+  def dedupAgainstIndex(s: SparkSession, incoming: DataFrame,
+                        index: DataFrame): DataFrame = {
+    // a fresh session may never have read a corpus table — register the
+    // hash expressions explicitly (idempotent)
+    graft.functions.TextHashExprs.register(s)
+    val inc = incoming.select(col("doc_id").as("incoming_id"),
+      expr("norm_md5(text)").as("ifp"),
+      expr("shingle_minhash(text)").as("imh"))
+      .filter(col("imh").isNotNull)
+    val idx = index.select(col("doc_id").as("corpus_id"), col("fp"),
+      col("mh"))
+    val exact = inc.join(idx, col("ifp") === col("fp"))
+      .select(col("incoming_id"), col("corpus_id"),
+        lit("exact").as("match_kind"), lit(1.0).as("est_jaccard"))
+    def withBands(df: DataFrame) = df.select(col("*"),
+      posexplode(array((0 until NumBands).map(bandKey): _*))
+        .as(Seq("band", "bkey")))
+    val li = withBands(inc.withColumnRenamed("imh", "mh"))
+      .select(col("band"), col("bkey"), col("incoming_id"),
+        col("mh").as("imh"))
+    val ri = withBands(idx)
+      .select(col("band"), col("bkey"), col("corpus_id"), col("mh"))
+    val near = li.join(ri, Seq("band", "bkey"))
+      .select(col("incoming_id"), col("corpus_id"), col("imh"), col("mh"))
+      .distinct() // a pair can collide in several bands
+      .join(exact.select("incoming_id", "corpus_id"),
+        Seq("incoming_id", "corpus_id"), "left_anti")
+      .select(col("incoming_id"), col("corpus_id"),
+        lit("near").as("match_kind"),
+        round(expr(s"size(filter(zip_with(imh, mh, (x, y) -> x = y), " +
+          s"b -> b)) / $NumHashes"), 4).as("est_jaccard"))
+    exact.unionAll(near).orderBy("incoming_id", "corpus_id")
+  }
+
   /** Annotate rows with their bucket size via a count-over-partition window
     * and drop rows in buckets larger than `cap`. The window partition keys
     * equal the downstream join keys, so the cap rides the SAME shuffle the
