@@ -106,6 +106,31 @@ object Similarity {
   def q25KnnBrute(s: SparkSession, d: String): DataFrame =
     bruteTopK(s, d, K)
 
+  val HardNegK = 3 // hard negatives per query
+
+  /** C3 hard-negative mining (q132): for each query vector, the
+    * [[HardNegK]] most cosine-similar corpus vectors with a DIFFERENT
+    * label — the negatives contrastive training wants (similar enough to
+    * be hard, labeled different so they are true negatives; the DPR/
+    * SimCSE in-batch-negatives upgrade). Exact brute tier over the
+    * bounded query sample, same shape and same caveat as [[q25KnnBrute]]:
+    * the corpus streams once against a broadcast query set; at scale,
+    * probe the q53 IVF cells first and apply the label filter inside the
+    * probed cells — scoring and ranking are unchanged. */
+  def q132HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("q_label"))
+    rankTopK(
+      e.join(broadcast(queries),
+          col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(cosine("v", "qv"), 6).as("sim")),
+      HardNegK)
+  }
+
   /** bucket(v) = sum_j 2^j * [dot(v, plane_j) >= 0] — ONE compiled pass over
     * the vector for all planes ([[graft.functions.RhpBucket]]). */
   private[ops] def withBucket(df: DataFrame, planes: Int = NumPlanes): DataFrame =
@@ -1062,6 +1087,24 @@ object Similarity {
       )
       SELECT q_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= $K
       ORDER BY q_id, rnk""")),
+    "q132_hard_negatives" -> ((q132HardNegatives _, s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                 FROM embeddings),
+      sims AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(c.v, q.v), 6) AS sim
+        FROM e q JOIN e c
+          ON c.vec_id <> q.vec_id AND c.label <> q.label
+        WHERE q.vec_id < $NumQueries
+      ),
+      ranked AS (
+        SELECT q_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM sims
+      )
+      SELECT q_id, neighbor_id, sim, rnk FROM ranked
+      WHERE rnk <= $HardNegK ORDER BY q_id, rnk""")),
     "q26_knn_lsh" -> ((q26KnnLsh _, lshProbeSql)),
     "q105_ann_recall" -> ((q105AnnRecall _, s"""
       $lshProbeCtes,

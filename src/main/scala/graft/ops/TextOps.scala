@@ -1255,6 +1255,74 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  val RetrNumQueries = 5 // query docs: doc_id < 5
+  val RetrQueryTerms = 6 // first N distinct tokens of the query doc
+  val RetrTopK = 3       // results per query
+  val RetrSalts = 64     // salt slices for the per-query top-k
+
+  /** C5 BM25 retrieval (q131): top-k documents PER QUERY — the query-time
+    * face of the q100 scoring machinery (q100 ranks the corpus for one
+    * fixed term set; retrieval serves many queries at once, the RAG/
+    * contrastive-mining shape). Queries are deterministic and
+    * oracle-reproducible: the [[RetrNumQueries]] lowest doc_ids, each
+    * querying its first [[RetrQueryTerms]] distinct tokens;
+    * self-retrieval is excluded.
+    *
+    * Scale shape: term weights are computed ONLY for query terms (the
+    * broadcast term-set join lands BEFORE the tf groupBy, so the corpus
+    * token explode collapses to query-term rows immediately); per-doc
+    * BM25 components (df, dl, avgdl) are shared across queries — one
+    * weight table fans out to (query, doc) scores via a broadcast join on
+    * term. The per-query top-k is the q10 salted two-phase split (q_id is
+    * a [[RetrNumQueries]]-value key — the low-cardinality-window rule), so
+    * no corpus-sized rank partition exists anywhere. At web scale swap
+    * candidate generation to the df-capped posting lists of q104; scoring
+    * and ranking are unchanged. */
+  def q131Bm25Retrieval(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val dls = toks
+      .select(col("doc_id"),
+        size(filter(col("t"), x => x =!= "")).cast("long").as("dl"))
+      .localCheckpoint(true)
+    val stats = dls.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val queries = toks.filter(col("doc_id") < RetrNumQueries)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(col("t"), 1, RetrQueryTerms))).as("term"))
+      .filter(col("term") =!= "")
+    val qterms = queries.select("term").distinct()
+    val tf = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf
+      .join(broadcast(dfreq), "term")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("w"))
+    val scored = w.join(broadcast(queries), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(round(orderedSum("w"), 4).as("score"))
+    val order = Seq(desc("score"), col("doc_id"))
+    val wLocal = Window.partitionBy("q_id", "salt").orderBy(order: _*)
+    val wQ = Window.partitionBy("q_id").orderBy(order: _*)
+    scored
+      .withColumn("salt", pmod(col("doc_id"), lit(RetrSalts)))
+      .withColumn("r0", row_number().over(wLocal))
+      .filter(col("r0") <= RetrTopK)
+      .withColumn("rnk", row_number().over(wQ).cast("long"))
+      .filter(col("rnk") <= RetrTopK)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Fixed logistic-regression weights for the q102 quality classifier — a
     * deterministic stand-in for a trained quality model (the
     * fasttext/LR-classifier filtering stage of GPT-3/LLaMA-style corpus
@@ -1459,6 +1527,39 @@ object TextOps {
       SELECT c.token, c.n FROM c CROSS JOIN tot
       WHERE c.n * $HhCapacity > tot.n_tok
       ORDER BY c.n DESC, c.token""")),
+    "q131_bm25_retrieval" -> ((q131Bm25Retrieval _, s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                        len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))::BIGINT AS dl
+                 FROM documents),
+      stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+      qf AS (SELECT q_id, term FROM (
+               SELECT doc_id AS q_id,
+                      unnest(list_distinct(t[1:$RetrQueryTerms])) AS term
+               FROM d WHERE doc_id < $RetrNumQueries) u
+             WHERE term <> ''),
+      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+               SELECT doc_id, unnest(t) AS term FROM d) u
+             WHERE term IN (SELECT DISTINCT term FROM qf)
+             GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      w AS (SELECT tf.doc_id, tf.term,
+                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                     * (tf.tf * ${Bm25K1 + 1}) /
+                     (tf.tf + $Bm25K1 *
+                       (1.0 - $Bm25B + $Bm25B * d2.dl / s.avgdl)) AS w
+            FROM tf JOIN dfreq f USING (term) JOIN d d2 USING (doc_id)
+            CROSS JOIN stats s),
+      sc AS (SELECT qf.q_id, w.doc_id,
+                    round(list_sum(list_sort(list(w.w))), 4) AS score
+             FROM w JOIN qf USING (term) WHERE w.doc_id <> qf.q_id
+             GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, doc_id) AS rnk
+            FROM sc)
+      SELECT q_id, rnk::BIGINT AS rnk, doc_id, score FROM r
+      WHERE rnk <= $RetrTopK ORDER BY q_id, rnk""")),
     "q100_bm25" -> ((q100Bm25 _, s"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
                         len(list_filter(string_split(text, ' '),

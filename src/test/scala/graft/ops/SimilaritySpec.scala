@@ -24,6 +24,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q132 hard negatives: label-different, similarity-ranked, no self") {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.q132HardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= Similarity.HardNegK)
+      rs.foreach { r =>
+        val n = r.getAs[Long]("neighbor_id")
+        assert(n != q)
+        assert(labels(n) != labels(q), s"negative $n shares label with $q")
+      }
+      val sims = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("sim"))
+      assert(sims.toSeq == sims.sorted.reverse.toSeq)
+      // hard = the TOP similar among label-different: no label-different
+      // vector may beat the worst reported negative
+      val worst = sims.last
+      val better = Tables.embeddings(spark, sf).collect()
+      assert(rs.length == Similarity.HardNegK || better.count(r2 =>
+        r2.getLong(0) != q && labels(r2.getLong(0)) != labels(q)) == rs.length)
+      assert(worst >= -1.0001 && worst <= 1.0001)
+    }
+  }
+
   test("LSH tier: neighbors come from probed buckets and rank correctly") {
     val lsh = Similarity.q26KnnLsh(spark, sf).collect()
     val brute = Similarity.q25KnnBrute(spark, sf).collect()

@@ -360,6 +360,39 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q131 retrieval: per-query top-k, descending, no self-retrieval") {
+    val rows = TextOps.q131Bm25Retrieval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet.subsetOf((0L until TextOps.RetrNumQueries).toSet))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= TextOps.RetrTopK)
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to rs.length).toSeq, "contiguous ranks")
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, "descending scores")
+      assert(!rs.exists(_.getAs[Long]("doc_id") == q), "no self-retrieval")
+    }
+    // the query doc's own first tokens make it the best match for itself —
+    // excluded — but its near-dups (if any) and term-sharing docs score > 0
+    assert(rows.forall(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("q131 plan: the per-query rank window consumes salted survivors") {
+    // q_id is a 5-value key: the q10 rule — the q_id-only window must sit
+    // above the salted local top-k filter, never raw scored rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    val plan = TextOps.q131Bm25Retrieval(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    val qOnly = windows.filter(_.partitionSpec.size == 1)
+    assert(qOnly.size == 1, plan.toString.take(2000))
+    assert(qOnly.head.child.collectFirst {
+      case f: Filter if f.condition.toString.contains("r0") => f
+    }.nonEmpty, "q_id window must consume the salted local top-k:\n" +
+      qOnly.head.toString.take(1500))
+  }
+
   test("q123 template families: head/tail windows, short-doc CASE") {
     import spark.implicits._
     val xs = "x" * 70
