@@ -178,15 +178,17 @@ object Dedup {
     val inc = incoming.select(col("doc_id").as("incoming_id"),
       expr("norm_md5(text)").as("ifp"),
       expr("shingle_minhash(text)").as("imh"))
-      .filter(col("imh").isNotNull)
     val idx = index.select(col("doc_id").as("corpus_id"), col("fp"),
       col("mh"))
+    // exact matching needs only the fingerprint — a doc too short to
+    // shingle (null mh) still exact-dedups
     val exact = inc.join(idx, col("ifp") === col("fp"))
       .select(col("incoming_id"), col("corpus_id"),
         lit("exact").as("match_kind"), lit(1.0).as("est_jaccard"))
-    def withBands(df: DataFrame) = df.select(col("*"),
-      posexplode(array((0 until NumBands).map(bandKey): _*))
-        .as(Seq("band", "bkey")))
+    def withBands(df: DataFrame) = df.filter(col("mh").isNotNull)
+      .select(col("*"),
+        posexplode(array((0 until NumBands).map(bandKey): _*))
+          .as(Seq("band", "bkey")))
     val li = withBands(inc.withColumnRenamed("imh", "mh"))
       .select(col("band"), col("bkey"), col("incoming_id"),
         col("mh").as("imh"))
@@ -202,6 +204,24 @@ object Dedup {
         round(expr(s"size(filter(zip_with(imh, mh, (x, y) -> x = y), " +
           s"b -> b)) / $NumHashes"), 4).as("est_jaccard"))
     exact.unionAll(near).orderBy("incoming_id", "corpus_id")
+  }
+
+  /** C2j index-side incremental dedup (q133): the registry face of
+    * [[dedupAgainstIndex]] — incoming docs ([[IncomingSource]], the q128
+    * split convention) deduped against the REST of the corpus as the
+    * signature index, certifying the text-free decision math (fp exact +
+    * banded-MinHash candidates + matching-slot jaccard ESTIMATE) against
+    * the oracle. In production the index side is the persisted
+    * [[signaturesTable]] (SignatureIndexSpec proves that plumbing); here
+    * both sides derive in-query so the stateless correctness gate can
+    * replay them. */
+  def q133IndexDedup(s: SparkSession, d: String): DataFrame = {
+    val corpus = documents(s, d).filter(col("source") =!= IncomingSource)
+      .select(col("doc_id"), expr("norm_md5(text)").as("fp"),
+        expr("shingle_minhash(text)").as("mh"))
+    val incoming = documents(s, d).filter(col("source") === IncomingSource)
+      .select(col("doc_id"), col("text"))
+    dedupAgainstIndex(s, incoming, corpus)
   }
 
   /** Annotate rows with their bucket size via a count-over-partition window
@@ -1442,6 +1462,56 @@ object Dedup {
              min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_id""")),
     "q23_dedup_minhash" -> ((q23DedupMinhash _, minhashOracle)),
+    "q133_index_dedup" -> ((q133IndexDedup _, {
+      val mhCols = (0 until NumHashes).map(i =>
+        s"min((${hashA(i)} * h + ${hashB(i)}) % $MinhashPrime) AS mh$i")
+        .mkString(",\n               ")
+      val bandSelects = (0 until NumBands).map { b =>
+        val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}")
+          .mkString("||','||")
+        s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM mh"
+      }.mkString("\n        UNION ALL ")
+      val slotMatches = (0 until NumHashes).map(i =>
+        s"(x.mh$i = y.mh$i)::INT").mkString(" + ")
+      s"""
+      WITH doc AS (SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+           FROM documents),
+      tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+             FROM tok, unnest(generate_series(1, len(t)-2)) AS r(i)),
+      hashed AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,7))::BIGINT AS h
+                 FROM sh),
+      mh AS (SELECT doc_id, $mhCols FROM hashed GROUP BY doc_id),
+      exact AS (SELECT i.doc_id AS incoming_id, c.doc_id AS corpus_id
+                FROM doc i JOIN doc c ON i.fp = c.fp
+                WHERE i.source = '$IncomingSource'
+                  AND c.source <> '$IncomingSource'),
+      bands AS (
+        $bandSelects
+      ),
+      nc AS (SELECT DISTINCT a.doc_id AS incoming_id, b.doc_id AS corpus_id
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey
+             JOIN doc da ON da.doc_id = a.doc_id
+             JOIN doc db ON db.doc_id = b.doc_id
+             WHERE da.source = '$IncomingSource'
+               AND db.source <> '$IncomingSource'),
+      near AS (SELECT nc.incoming_id, nc.corpus_id,
+                      round(($slotMatches) / ${NumHashes}.0, 4) AS est_jaccard
+               FROM nc JOIN mh x ON x.doc_id = nc.incoming_id
+                       JOIN mh y ON y.doc_id = nc.corpus_id
+               WHERE NOT EXISTS (SELECT 1 FROM exact e
+                                 WHERE e.incoming_id = nc.incoming_id
+                                   AND e.corpus_id = nc.corpus_id))
+      SELECT incoming_id, corpus_id, 'exact' AS match_kind,
+             1.0::DOUBLE AS est_jaccard
+      FROM exact
+      UNION ALL
+      SELECT incoming_id, corpus_id, 'near' AS match_kind, est_jaccard
+      FROM near
+      ORDER BY incoming_id, corpus_id"""
+    })),
     "q108_ngram_jaccard" -> ((q108NgramJaccard _, s"""
       $minhashCandCtes,
       $ngramTruthCtes

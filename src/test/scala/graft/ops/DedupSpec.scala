@@ -482,4 +482,25 @@ class DedupSpec extends AnyFunSuite {
       assert(flag == (ca >= Dedup.ContainDup || cb >= Dedup.ContainDup))
     }
   }
+
+  test("q133 index dedup: incoming-only left side, estimates bounded, exact never re-reported") {
+    val rows = Dedup.q133IndexDedup(spark, sf).collect()
+    val srcOf = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    rows.foreach { r =>
+      val (i, c) = (r.getAs[Long]("incoming_id"), r.getAs[Long]("corpus_id"))
+      assert(srcOf(i) == Dedup.IncomingSource)
+      assert(srcOf(c) != Dedup.IncomingSource)
+      assert(seen.add((i, c)), s"pair ($i,$c) reported twice")
+      val est = r.getAs[Double]("est_jaccard")
+      r.getAs[String]("match_kind") match {
+        case "exact" => assert(est == 1.0)
+        case "near"  => assert(est >= 0.0 && est <= 1.0)
+        case other   => fail(s"unknown match_kind $other")
+      }
+    }
+  }
 }
