@@ -224,6 +224,27 @@ object Dedup {
     dedupAgainstIndex(s, incoming, corpus)
   }
 
+  /** C2k dup-aware sampling weights (q136): per doc, its near-dup cluster
+    * size and the inverse-size sampling weight (exact integer ppm) — the
+    * soft alternative to hard-dropping near-dups: keep every doc but
+    * downweight cluster members so each CLUSTER contributes ~one doc's
+    * worth of training mass (the dedup-vs-diversity compromise when
+    * near-dups carry distinct metadata worth keeping). Docs outside every
+    * LSH candidate pair are their own cluster (size 1, full weight).
+    * Shape: the memoized [[dupLabels]] assignment (shared with
+    * q70/q80/q94/q107/q115/q129/q130), one label-size aggregate, two
+    * equi-joins onto a doc_id projection — no text columns move. */
+  def q136SamplingWeights(s: SparkSession, d: String): DataFrame = {
+    val labels = dupLabels(s, d).select(col("id").as("doc_id"), col("label"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+    documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(sizes, Seq("label"), "left")
+      .select(col("doc_id"), coalesce(col("sz"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Annotate rows with their bucket size via a count-over-partition window
     * and drop rows in buckets larger than `cap`. The window partition keys
     * equal the downstream join keys, so the cap rides the SAME shuffle the
@@ -1406,6 +1427,17 @@ object Dedup {
     "q120_split_leakage" -> ((q120SplitLeakage _, splitLeakageOracle)),
     "q115_dedup_funnel" -> ((q115DedupFunnel _, funnelOracle)),
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
+    "q136_sampling_weights" -> ((q136SamplingWeights _, s"""
+      $ccCtes,
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM comps GROUP BY cluster_id)
+      SELECT d.doc_id,
+             coalesce(s.cluster_size, 1)::BIGINT AS cluster_size,
+             (1000000 // coalesce(s.cluster_size, 1))::BIGINT AS weight_ppm
+      FROM documents d
+      LEFT JOIN comps c ON c.node = d.doc_id
+      LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+      ORDER BY doc_id""")),
     "q94_dedup_survivors" -> ((q94DedupSurvivors _, survivorsOracle)),
     "q98_substr_overlap" -> ((q98SubstrOverlap _, s"""
       WITH w AS (

@@ -1323,6 +1323,51 @@ object TextOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** C5 packed-sequence export (q134): the materialization face of q91's
+    * bin assignment — one row per (lang, bin) training shard with its doc
+    * count, token total, and a fingerprint of the concatenated sequence
+    * (docs joined by newline in doc_id order — the bytes a loader would
+    * stream), so a writer can verify shard integrity without shipping
+    * shard text through the result set. Shape: q91's two-phase prefix sum
+    * (no low-card window), one doc_id equi-join to pick up text, one
+    * (lang, bin) aggregate whose per-group payload is bounded by the
+    * [[PackBudget]]-token bin size. */
+  def q134PackedSequences(s: SparkSession, d: String): DataFrame =
+    q91SeqPacking(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        md5(to_binary(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n"), lit("utf-8"))).as("seq_fp"))
+      .orderBy("lang", "bin")
+
+  val VocabSize = 500 // top terms by corpus frequency
+
+  /** C5 tokenizer vocab coverage (q135): per source, the out-of-vocabulary
+    * token rate against the corpus's own top-[[VocabSize]] frequency vocab
+    * — the coverage audit run before pinning a tokenizer (a source with
+    * high OOV under the shared vocab gets fragmented into bytes at
+    * training time). Exact integer ppm. Shape: one token explode feeding
+    * BOTH the vocab top-V (TakeOrdered, V rows to the driver plan — the
+    * hyperplane-literal class) and the per-source rollup; membership is a
+    * broadcast left join against the V-row vocab. */
+  def q135VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("term")).limit(VocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy("source")
+  }
+
   /** Fixed logistic-regression weights for the q102 quality classifier — a
     * deterministic stand-in for a trained quality model (the
     * fasttext/LR-classifier filtering stage of GPT-3/LLaMA-style corpus
@@ -1632,6 +1677,38 @@ object TextOps {
               FROM scored)
       SELECT rnk, w1, w2, n12, lift_x100 FROM top WHERE rnk <= $PmiTopK
       ORDER BY rnk""")),
+    "q134_packed_sequences" -> ((q134PackedSequences _, s"""
+      WITH d AS (SELECT doc_id, lang, text,
+                        len(string_split(text, ' '))::BIGINT AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, lang, text, n_tok,
+                   sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+      b AS (SELECT doc_id, lang, text, n_tok,
+                   ((cum - n_tok) // $PackBudget)::BIGINT AS bin
+            FROM c)
+      SELECT lang, bin, count(*)::BIGINT AS n_docs,
+             sum(n_tok)::BIGINT AS n_tokens,
+             md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_fp
+      FROM b GROUP BY lang, bin ORDER BY lang, bin""")),
+    "q135_vocab_coverage" -> ((q135VocabCoverage _, s"""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT source, term FROM tok WHERE term <> ''),
+      vocab AS (SELECT term FROM (
+                  SELECT term, count(*) AS cnt,
+                         row_number() OVER (ORDER BY count(*) DESC, term)
+                           AS rn
+                  FROM tf GROUP BY term) t
+                WHERE rn <= $VocabSize),
+      j AS (SELECT tf.source, (v.term IS NOT NULL) AS hit
+            FROM tf LEFT JOIN vocab v USING (term))
+      SELECT source, count(*)::BIGINT AS n_tokens,
+             sum(CASE WHEN hit THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+             (sum(CASE WHEN hit THEN 0 ELSE 1 END) * 1000000
+               // count(*))::BIGINT AS oov_ppm
+      FROM j GROUP BY source ORDER BY source""")),
     "q91_seq_packing" -> ((q91SeqPacking _, s"""
       WITH d AS (SELECT doc_id, lang,
                         len(string_split(text, ' '))::BIGINT AS n_tok

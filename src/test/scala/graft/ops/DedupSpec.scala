@@ -483,6 +483,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q136 sampling weights: one row per doc, inverse-size ppm, q70 parity") {
+    val rows = Dedup.q136SamplingWeights(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      assert(sz >= 1)
+      assert(r.getAs[Long]("weight_ppm") == 1000000L / sz)
+    }
+    // parity with q70's cluster sizes for every clustered doc
+    val q70 = Dedup.q70DupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size"))
+      .toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      q70.get(d).foreach(sz =>
+        assert(r.getAs[Long]("cluster_size") == sz, s"doc $d size mismatch"))
+    }
+  }
+
   test("q133 index dedup: incoming-only left side, estimates bounded, exact never re-reported") {
     val rows = Dedup.q133IndexDedup(spark, sf).collect()
     val srcOf = Tables.documents(spark, sf)

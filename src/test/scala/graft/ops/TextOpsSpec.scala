@@ -393,6 +393,34 @@ class TextOpsSpec extends AnyFunSuite {
       qOnly.head.toString.take(1500))
   }
 
+  test("q134 packed sequences: shard totals reconcile with q91's assignment") {
+    val bins = TextOps.q91SeqPacking(spark, sf).collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("bin")))
+    val shards = TextOps.q134PackedSequences(spark, sf).collect()
+    assert(shards.nonEmpty)
+    shards.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("bin"))
+      val docs = bins(key)
+      assert(r.getAs[Long]("n_docs") == docs.length.toLong)
+      assert(r.getAs[Long]("n_tokens") ==
+        docs.map(_.getAs[Long]("n_tok")).sum)
+      assert(r.getAs[String]("seq_fp").length == 32, "md5 hex fingerprint")
+    }
+    assert(shards.length == bins.size, "every (lang, bin) shard reported")
+  }
+
+  test("q135 vocab coverage: oov bounded, ppm exact, all sources present") {
+    val rows = TextOps.q135VocabCoverage(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))
+      assert(oov >= 0 && oov <= n)
+      assert(r.getAs[Long]("oov_ppm") == oov * 1000000L / n)
+    }
+  }
+
   test("q123 template families: head/tail windows, short-doc CASE") {
     import spark.implicits._
     val xs = "x" * 70
