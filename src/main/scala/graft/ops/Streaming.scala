@@ -284,6 +284,33 @@ object Streaming {
       }
       .start()
 
+  /** Streaming ingest dedup against a PERSISTED signature index — the
+    * stream-static composition of [[graft.ops.Dedup.dedupAgainstIndex]]:
+    * each micro-batch of incoming docs is hashed and matched against the
+    * (static, lake-resident) index built by
+    * [[graft.ops.Dedup.signaturesTable]], and the per-doc decisions land
+    * in an append-only decision table — the ingest gate that never
+    * re-reads corpus text. foreachBatch (not a raw stream-stream join)
+    * because the decision math needs the banded self-join + distinct that
+    * streaming append mode cannot express without state; per micro-batch
+    * it is the exact batch operator, so the streaming face can never
+    * diverge from the oracle-checked q133 semantics. */
+  def indexDedupSink(docs: DataFrame, index: DataFrame,
+                     catalog: graft.lake.LakeCatalog, ns: String,
+                     table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession // cloned session per epoch
+        val decisions =
+          graft.ops.Dedup.dedupAgainstIndex(s, batch.toDF(), index)
+        catalog.ensureTable(ns, table, decisions.schema)
+        catalog.append(ns, table, decisions)
+      }
+      .start()
+
   private def epochStart(w: Column): Column = unix_timestamp(w("start"))
 
   /** C7a tumbling-window aggregation (true `window()` operator; oracle =

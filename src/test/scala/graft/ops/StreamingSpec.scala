@@ -320,6 +320,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming index dedup: decisions match the batch operator per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = s"sidx_${System.nanoTime()}"
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    // the static side: a persisted signature index over the test corpus
+    val index = Dedup.signaturesTable(spark, sf, cat, ns)
+    val probe = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .orderBy(desc("len"), col("doc_id")).head()
+    val srcId = probe.getLong(0)
+    val srcText = probe.getString(1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sidx-ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.indexDedupSink(
+      in.toDF().toDF("doc_id", "text"), index, cat, ns, "decisions", ckpt)
+    try {
+      in.addData((800001L, srcText), (800002L, ("brandnew " * 30).trim))
+      q.processAllAvailable()
+      val d1 = cat.load(ns, "decisions").collect()
+      assert(d1.exists(r => r.getAs[Long]("incoming_id") == 800001L &&
+        r.getAs[Long]("corpus_id") == srcId &&
+        r.getAs[String]("match_kind") == "exact"))
+      assert(!d1.exists(_.getAs[Long]("incoming_id") == 800002L))
+      // epoch 2 appends, epoch 1 decisions retained
+      in.addData((800003L, srcText))
+      q.processAllAvailable()
+      val d2 = cat.load(ns, "decisions").collect()
+      assert(d2.length > d1.length)
+      assert(d2.exists(r => r.getAs[Long]("incoming_id") == 800003L &&
+        r.getAs[String]("match_kind") == "exact"))
+      // per-epoch equivalence with the batch operator
+      val batch = Dedup.dedupAgainstIndex(spark,
+        Seq((800001L, srcText)).toDF("doc_id", "text"), index).collect()
+        .map(r => (r.getAs[Long]("incoming_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[String]("match_kind"))).toSet
+      val streamed = d2.filter(_.getAs[Long]("incoming_id") == 800001L)
+        .map(r => (r.getAs[Long]("incoming_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[String]("match_kind"))).toSet
+      assert(streamed == batch)
+    } finally {
+      q.stop()
+      cat.dropNamespace(ns)
+    }
+  }
+
   test("session windows run under readStream with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
