@@ -192,7 +192,13 @@ object Dedup {
     val li = withBands(inc.withColumnRenamed("imh", "mh"))
       .select(col("band"), col("bkey"), col("incoming_id"),
         col("mh").as("imh"))
-    val ri = withBands(idx)
+    // boilerplate guard (the q23 convention): an index band bucket larger
+    // than [[DefaultMaxBucket]] is shared boilerplate, not dup signal —
+    // candidates from it would be |batch| x |bucket| for zero precision.
+    // Never binds at gate scale (10k >> any test bucket), so the oracle
+    // stays cap-free like minhashOracle.
+    val ri = capBuckets(withBands(idx), Seq("band", "bkey"),
+      Some(DefaultMaxBucket))
       .select(col("band"), col("bkey"), col("corpus_id"), col("mh"))
     val near = li.join(ri, Seq("band", "bkey"))
       .select(col("incoming_id"), col("corpus_id"), col("imh"), col("mh"))
