@@ -1268,37 +1268,41 @@ object TextOps {
     * querying its first [[RetrQueryTerms]] distinct tokens;
     * self-retrieval is excluded.
     *
-    * Scale shape: term weights are computed ONLY for query terms (the
-    * broadcast term-set join lands BEFORE the tf groupBy, so the corpus
-    * token explode collapses to query-term rows immediately); per-doc
-    * BM25 components (df, dl, avgdl) are shared across queries — one
-    * weight table fans out to (query, doc) scores via a broadcast join on
-    * term. The per-query top-k is the q10 salted two-phase split (q_id is
-    * a [[RetrNumQueries]]-value key — the low-cardinality-window rule), so
-    * no corpus-sized rank partition exists anywhere. At web scale swap
+    * Scale shape: the query TERM SET is bounded by construction
+    * ([[RetrNumQueries]] × [[RetrQueryTerms]] ≤ 30 strings — driver-side
+    * control plane, the hyperplane-literal class), so it rides the plan
+    * as an in-row membership literal and the corpus is tokenized ONCE:
+    * a single scan emits each doc's length and its query-term hits, and
+    * everything downstream (stats, tf, df, per-query scores) derives from
+    * that narrow checkpointed frame — no second tokenize, no corpus-sized
+    * broadcast. The per-query top-k is the q10 salted two-phase split
+    * (q_id is a [[RetrNumQueries]]-value key — the low-cardinality-window
+    * rule), so no corpus-sized rank partition exists anywhere. At web
+    * scale (thousands of queries, term set no longer literal-sized) swap
     * candidate generation to the df-capped posting lists of q104; scoring
     * and ranking are unchanged. */
   def q131Bm25Retrieval(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val dls = toks
+    val qRows = toks.filter(col("doc_id") < RetrNumQueries)
       .select(col("doc_id"),
-        size(filter(col("t"), x => x =!= "")).cast("long").as("dl"))
+        array_distinct(slice(col("t"), 1, RetrQueryTerms)).as("qt"))
+      .collect() // <= RetrNumQueries rows — bounded control plane
+    val queries: Seq[(Long, Seq[String])] = qRows.toSeq.map(r =>
+      r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
+    val qterms = queries.flatMap(_._2).distinct
+    // ONE corpus tokenize: per doc, its length + its query-term hits
+    val base = toks.select(col("doc_id"),
+        size(filter(col("t"), x => x =!= "")).cast("long").as("dl"),
+        filter(col("t"), x => x.isin(qterms: _*)).as("hits"))
       .localCheckpoint(true)
-    val stats = dls.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val queries = toks.filter(col("doc_id") < RetrNumQueries)
-      .select(col("doc_id").as("q_id"),
-        explode(array_distinct(slice(col("t"), 1, RetrQueryTerms))).as("term"))
-      .filter(col("term") =!= "")
-    val qterms = queries.select("term").distinct()
-    val tf = toks
-      .select(col("doc_id"), explode(col("t")).as("term"))
-      .join(broadcast(qterms), "term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = tf
       .join(broadcast(dfreq), "term")
-      .join(dls, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
         (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
@@ -1307,7 +1311,10 @@ object TextOps {
           (col("tf") + lit(Bm25K1) *
             (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
           .as("w"))
-    val scored = w.join(broadcast(queries), "term")
+    val qdf = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("q_id", "term")
+    val scored = w.join(broadcast(qdf), "term")
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id").agg(round(orderedSum("w"), 4).as("score"))
     val order = Seq(desc("score"), col("doc_id"))
