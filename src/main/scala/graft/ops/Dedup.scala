@@ -128,8 +128,13 @@ object Dedup {
         computeMinhashCandidates(s, d, maxBucket).localCheckpoint(true))
     else computeMinhashCandidates(s, d, maxBucket)
 
+  /** Test hooks: how many live derivations actually ran (memo hits skip). */
+  private[ops] val pairDerivations = new java.util.concurrent.atomic.AtomicLong
+  private[ops] val truthDerivations = new java.util.concurrent.atomic.AtomicLong
+
   private def computeMinhashCandidates(s: SparkSession, d: String,
                                        maxBucket: Option[Int]): DataFrame = {
+    pairDerivations.incrementAndGet()
     val banded = minhashes(s, d).select(col("doc_id"),
       posexplode(array((0 until NumBands).map(bandKey): _*)).as(Seq("band", "bkey")))
     val bounded = capBuckets(banded, Seq("band", "bkey"), maxBucket)
@@ -403,6 +408,7 @@ object Dedup {
       computeNgramJaccard(s, d).localCheckpoint(true))
 
   private def computeNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    truthDerivations.incrementAndGet()
     val ix = ngramIndex(s, d)
     val sizes = ix.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val l = ix.select(col("sh"), col("doc_id").as("id_a"))

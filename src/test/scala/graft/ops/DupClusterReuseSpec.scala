@@ -55,4 +55,20 @@ class DupClusterReuseSpec extends AnyFunSuite {
       "materialized-table consumers must match the registered forms")
     cat.dropNamespace(ns)
   }
+
+  test("candidate pairs derive ONCE across q23/q60/q101/q109/q128 (memoized)") {
+    Dedup.invalidateClusterCache()
+    val pairsBefore = Dedup.pairDerivations.get()
+    val truthBefore = Dedup.truthDerivations.get()
+    Dedup.q23DedupMinhash(spark, sf).collect()
+    Dedup.q60DedupMultiSignal(spark, sf).collect()
+    Dedup.q101Containment(spark, sf).collect()
+    Dedup.q108NgramJaccard(spark, sf).collect()
+    Dedup.q109DedupRecall(spark, sf).collect()
+    Dedup.q128IncrementalNearDup(spark, sf).collect()
+    assert(Dedup.pairDerivations.get() == pairsBefore + 1,
+      "the standard-cap pair list must derive exactly once")
+    assert(Dedup.truthDerivations.get() == truthBefore + 1,
+      "the n-gram truth must derive exactly once (q109 reuses q108's)")
+  }
 }
