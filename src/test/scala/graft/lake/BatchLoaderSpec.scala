@@ -333,6 +333,19 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("BATCH with a missing manifest file fails loudly, not silently empty") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val lines = Seq(schemaLine,
+      """{"type":"BATCH","stream":"ev","encoding":{"format":"jsonl","compression":"none"},"manifest":["/nonexistent/graft/part.jsonl"]}""")
+    // a dangling file reference is feed corruption — loading zero rows
+    // and echoing STATE would corrupt the bookmark contract
+    val e = intercept[Exception](loader.load(spark.createDataset(lines)))
+    assert(e.getMessage != null)
+    cat.dropNamespace(ns)
+  }
+
   test("multi-stream feed routes records per stream") {
     val ns = freshNs()
     val cat = new CountingCatalog
