@@ -284,7 +284,7 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
       else df.withColumn(c, org.apache.spark.sql.functions.lit(null)
         .cast(schema(c).dataType))
     }
-    withAll.select(schema.fieldNames.map(c => col(s"`$c`")): _*)
+    withAll.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
   }
 
   override def dropNamespace(ns: String): Unit = deleteTree(nsDir(ns))

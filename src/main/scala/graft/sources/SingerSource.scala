@@ -155,7 +155,8 @@ private[graft] object SingerSourceUtil {
     try {
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(
-          new org.apache.commons.io.input.BoundedInputStream(in, MaxInferBytes),
+          org.apache.commons.io.input.BoundedInputStream.builder()
+            .setInputStream(in).setMaxCount(MaxInferBytes).get(),
           java.nio.charset.StandardCharsets.UTF_8))
       Iterator.continually(reader.readLine()).takeWhile(_ != null)
         .flatMap(SingerMessage.decode)
