@@ -760,6 +760,159 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  val PqM = 4                 // PQ subspaces (64 dims -> 4 x 16)
+  val PqSubDim = 16           // dims per subspace
+  val PqAdcK = 3              // neighbors per query (ADC tier)
+
+  /** Test hook: how many PQ trainings have actually run. */
+  private[ops] val pqFits = new java.util.concurrent.atomic.AtomicLong
+
+  private val pqCache =
+    new scala.collection.mutable.WeakHashMap[
+      SparkSession,
+      scala.collection.mutable.Map[
+        String, Array[(Array[Long], Array[Array[Long]])]]]
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): an independent
+    * [[KMeansK]]-centroid Lloyd's fit per [[PqM]] disjoint 16-dim subspace,
+    * over the same non-negative quantized grid as [[kmeansFit]]. Training is
+    * FUSED across subspaces: each of the [[KMeansIters]] iterations is ONE
+    * corpus scan — a single select computes all four subspace assignments
+    * (four compiled [[graft.functions.IntVecNearest]] kernels over sliced
+    * vectors), an in-row explode tags partial sums with the subspace id, and
+    * the (m, idx, dim) aggregate collapses map-side to at most
+    * PqM·K·PqSubDim = 512 rows before the driver collect. At 1e9 vectors
+    * that is 2 corpus scans total for the whole PQ training, no
+    * corpus-sized shuffle anywhere — the same treeAggregate shape as
+    * [[computeKmeansFit]], amortized over all subspaces. Memoized per
+    * (session, corpus): q137 codes and q138 ADC share one fit.
+    * Returns per subspace (surviving seed labels, converged centroids). */
+  private[ops] def pqFit(s: SparkSession, d: String)
+      : Array[(Array[Long], Array[Array[Long]])] =
+    pqCache.synchronized {
+      pqCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, computePqFit(s, d))
+    }
+
+  private def subVec(m: Int): Column =
+    slice(col("q"), m * PqSubDim + 1, PqSubDim)
+
+  private def computePqFit(s: SparkSession, d: String)
+      : Array[(Array[Long], Array[Array[Long]])] = {
+    pqFits.incrementAndGet()
+    val q = quantized(s, d, QuantOffset)
+    // seed: the K lowest vec_ids' subvectors — all subspaces, ONE K-row
+    // collect (deterministic, oracle-reproducible; see seedCentroids)
+    val seedRows = q.orderBy("vec_id").limit(KMeansK).select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    var labels: Array[Array[Long]] =
+      Array.fill(PqM)((0 until KMeansK).map(_.toLong).toArray)
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(PqM)(m =>
+      seedRows.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    for (_ <- 1 to KMeansIters) {
+      val sums = q
+        .select(explode(array((0 until PqM).map { m =>
+          struct(lit(m).as("m"),
+            element_at(call_function("ivec_nearest", subVec(m),
+              centLit(cents(m))), 1).as("idx"),
+            subVec(m).as("v"))
+        }: _*)).as("sub"))
+        .select(col("sub.m").as("m"), col("sub.idx").as("idx"),
+          posexplode(col("sub.v")).as(Seq("dim", "v")))
+        .groupBy("m", "idx", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .collect() // bounded: at most PqM * K * PqSubDim rows
+      val byM = sums.groupBy(_.getInt(0))
+      val upd = (0 until PqM).map { m =>
+        val byIdx = byM.getOrElse(m, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getLong(1).toInt)
+        val present = byIdx.keys.toArray.sorted
+        val cs = present.map { i =>
+          val v = new Array[Long](PqSubDim)
+          byIdx(i).foreach(r => v(r.getInt(2)) = r.getLong(3) / r.getLong(4))
+          v
+        }
+        (present.map(labels(m)(_)), cs)
+      }
+      labels = upd.map(_._1).toArray
+      cents = upd.map(_._2).toArray
+    }
+    Array.tabulate(PqM)(m => (labels(m), cents(m)))
+  }
+
+  /** PQ encoding (q137): per vector, the converged nearest-centroid code in
+    * each subspace plus the EXACT integer reconstruction error (sum of
+    * per-subspace squared distances at the converged codebooks) — the
+    * compression audit a PQ deployment ships before swapping exact vectors
+    * for codes. One corpus pass: four compiled argmin kernels over sliced
+    * vectors, no shuffle except the output sort (oracle parity). Codes are
+    * the stable seed identities ([[computeKmeansFit]]'s survivor
+    * convention), so they match the oracle's chain `c` exactly. 64 dims of
+    * float32 become 4 small ints — the 64× memory cut that lets a 100 TB
+    * corpus's index live in RAM. */
+  def q137PqCodes(s: SparkSession, d: String): DataFrame = {
+    val fits = pqFit(s, d)
+    val withA = quantized(s, d, QuantOffset)
+      .select(col("vec_id") +: (0 until PqM).map(m =>
+        call_function("ivec_nearest", subVec(m), centLit(fits(m)._2))
+          .as(s"a_$m")): _*)
+    withA.select(
+      col("vec_id") +:
+        (0 until PqM).map(m =>
+          element_at(typedLit(fits(m)._1.toSeq),
+            (element_at(col(s"a_$m"), 1) + 1).cast("int")).as(s"code_$m")) :+
+        (0 until PqM).map(m => element_at(col(s"a_$m"), 2))
+          .reduce(_ + _).as("recon_d2"): _*)
+      .orderBy("vec_id")
+  }
+
+  /** PQ asymmetric-distance search (q138): approximate nearest neighbors
+    * for the query sample via ADC — the query's EXACT subvectors score
+    * against the codebooks once (a [[NumQueries]]·K·[[PqM]]-row distance
+    * table), then every corpus vector's distance is just [[PqM]] table
+    * lookups summed, never a D-dim computation. The distance table is
+    * broadcast; the corpus streams once through the equi-join on
+    * (subspace, code) and the per-(query, neighbor) sum partial-aggregates
+    * map-side. This is the memory-bandwidth win PQ exists for: at 1e9
+    * vectors the scan reads 4 codes/vector instead of 64 floats. Exact
+    * integer arithmetic throughout (d² = |q|² + |c|² − 2·q·c on the
+    * offset grid); at large query counts, probe the q53 IVF cells first
+    * and ADC-score only inside probed cells — the IVFADC composition. */
+  def q138PqAdc(s: SparkSession, d: String): DataFrame = {
+    val fits = pqFit(s, d)
+    val q = quantized(s, d, QuantOffset)
+    val dtab = (0 until PqM).map { m =>
+      q.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), subVec(m).as("qs"))
+        .select(col("q_id"), col("qs"),
+          posexplode(centLit(fits(m)._2)).as(Seq("pos", "cv")))
+        .select(col("q_id"), lit(m).as("m"),
+          element_at(typedLit(fits(m)._1.toSeq), col("pos") + 1).as("code"),
+          (call_function("ivec_norm2", col("qs")) +
+            call_function("ivec_norm2", col("cv")) -
+            lit(2L) * call_function("ivec_dot", col("qs"), col("cv")))
+            .as("pd2"))
+    }.reduce(_ union _)
+    val codes = q
+      .select(col("vec_id").as("neighbor_id"),
+        explode(array((0 until PqM).map { m =>
+          struct(lit(m).as("m"),
+            element_at(typedLit(fits(m)._1.toSeq),
+              (element_at(call_function("ivec_nearest", subVec(m),
+                centLit(fits(m)._2)), 1) + 1).cast("int")).as("code"))
+        }: _*)).as("mc"))
+      .select(col("neighbor_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("neighbor_id"))
+    codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .groupBy("q_id", "neighbor_id")
+      .agg(sum("pd2").as("adc_d2"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= PqAdcK)
+      .orderBy("q_id", "rnk")
+  }
+
   val SemDedupTauSq10k = 1600 // cosine threshold τ=0.40 (the corpus has no >0.5 semantic pairs): keep 1e4·dot² >= τ²·1e4·|a|²·|b|²
   val SemDedupCell = 1000 // target vectors per SemDeDup cluster
 
@@ -910,6 +1063,57 @@ object Similarity {
                row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
         FROM d3) t WHERE rn = 1)"""
 
+  /** PQ oracle: [[kmeansChainBody]] replayed per subspace — the same
+    * 2-iteration Lloyd's chain with `qe` restricted to the subspace's dim
+    * range and CTE names suffixed by the subspace index, all sharing one
+    * seed CTE (the engine seeds every subspace from the same K lowest
+    * vec_ids). Ends in `kf<m>` (vec_id, c, dd) per subspace. */
+  private def pqChainBody(m: Int): String = {
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    s"""
+      qe$m AS (SELECT vec_id, dim, v FROM qe WHERE dim BETWEEN $lo AND $hi),
+      c0_$m AS (SELECT s.c, qe$m.dim, qe$m.v AS cv
+             FROM pqseeds s JOIN qe$m ON qe$m.vec_id = s.vec_id),
+      d1_$m AS (SELECT qe$m.vec_id, c0_$m.c,
+                    sum((qe$m.v - c0_$m.cv) * (qe$m.v - c0_$m.cv)) AS dd
+             FROM qe$m JOIN c0_$m ON qe$m.dim = c0_$m.dim GROUP BY 1, 2),
+      a1_$m AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+               FROM d1_$m) t WHERE rn = 1),
+      c1_$m AS (SELECT a1_$m.c, qe$m.dim, (sum(qe$m.v) // count(*))::BIGINT AS cv
+             FROM a1_$m JOIN qe$m USING (vec_id) GROUP BY 1, 2),
+      d2_$m AS (SELECT qe$m.vec_id, c1_$m.c,
+                    sum((qe$m.v - c1_$m.cv) * (qe$m.v - c1_$m.cv)) AS dd
+              FROM qe$m JOIN c1_$m ON qe$m.dim = c1_$m.dim GROUP BY 1, 2),
+      a2_$m AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+               FROM d2_$m) t WHERE rn = 1),
+      c2_$m AS (SELECT a2_$m.c, qe$m.dim, (sum(qe$m.v) // count(*))::BIGINT AS cv
+             FROM a2_$m JOIN qe$m USING (vec_id) GROUP BY 1, 2),
+      d3_$m AS (SELECT qe$m.vec_id, c2_$m.c,
+                    sum((qe$m.v - c2_$m.cv) * (qe$m.v - c2_$m.cv)) AS dd
+             FROM qe$m JOIN c2_$m ON qe$m.dim = c2_$m.dim GROUP BY 1, 2),
+      kf$m AS (SELECT vec_id, c, dd FROM (
+        SELECT vec_id, c, dd,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+        FROM d3_$m) t WHERE rn = 1)"""
+  }
+
+  /** Shared PQ oracle prefix: quantized grid + per-dim explode + one seed
+    * CTE + all [[PqM]] subspace chains. */
+  private def pqSqlPrefix: String = s"""
+      WITH q AS (SELECT vec_id,
+        list_transform(embedding, x -> round(x::DOUBLE * $QuantScale)::BIGINT + $QuantOffset) AS qv
+        FROM embeddings),
+      qe AS (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
+                    unnest(qv) AS v FROM q),
+      pqseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+                FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $KMeansK)),
+      ${(0 until PqM).map(pqChainBody).mkString(",")}"""
+
   /** IVF oracle CTEs over the converged codebook (`c2` from the k-means
     * chain body) and an `e` CTE (vec_id, embedding as DOUBLE[]), ending in
     * `iranked` — composed by the q53 oracle and the q105 IVF tier so both
@@ -962,6 +1166,35 @@ object Similarity {
              t.sum_d2::BIGINT AS sum_d2
       FROM tot t JOIN maj m ON m.c = t.c
       ORDER BY cluster""")),
+    "q137_pq_codes" -> ((q137PqCodes _, s"""
+      $pqSqlPrefix
+      SELECT k0.vec_id,
+             k0.c::BIGINT AS code_0, k1.c::BIGINT AS code_1,
+             k2.c::BIGINT AS code_2, k3.c::BIGINT AS code_3,
+             (k0.dd + k1.dd + k2.dd + k3.dd)::BIGINT AS recon_d2
+      FROM kf0 k0 JOIN kf1 k1 USING (vec_id)
+                  JOIN kf2 k2 USING (vec_id)
+                  JOIN kf3 k3 USING (vec_id)
+      ORDER BY vec_id""")),
+    "q138_pq_adc" -> ((q138PqAdc _, s"""
+      $pqSqlPrefix,
+      ${(0 until PqM).map(m => s"""
+      qt$m AS (SELECT qe$m.vec_id AS q_id, c2_$m.c AS code,
+                    sum((qe$m.v - c2_$m.cv) * (qe$m.v - c2_$m.cv)) AS pd2
+             FROM qe$m JOIN c2_$m ON qe$m.dim = c2_$m.dim
+             WHERE qe$m.vec_id < $NumQueries GROUP BY 1, 2)""").mkString(",")},
+      parts AS (
+        ${(0 until PqM).map(m =>
+          s"""SELECT q.q_id, k.vec_id AS neighbor_id, q.pd2
+            FROM qt$m q JOIN kf$m k ON k.c = q.code""").mkString("\n        UNION ALL ")}),
+      adc AS (SELECT q_id, neighbor_id, sum(pd2) AS adc_d2 FROM parts
+              WHERE neighbor_id <> q_id GROUP BY 1, 2),
+      rk AS (SELECT q_id, neighbor_id, adc_d2,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY adc_d2, neighbor_id) AS rnk
+             FROM adc)
+      SELECT q_id, neighbor_id, adc_d2::BIGINT AS adc_d2, rnk FROM rk
+      WHERE rnk <= $PqAdcK ORDER BY q_id, rnk""")),
     "q86_semdedup" -> ((q86SemDedup _, s"""
       $semDedupSqlPrefix,
       qc AS (SELECT vec_id,

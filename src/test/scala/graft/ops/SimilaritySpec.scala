@@ -271,4 +271,84 @@ class SimilaritySpec extends AnyFunSuite {
     assert(total("ivf") >= total("lsh"),
       s"ivf=${total("ivf")} lsh=${total("lsh")}")
   }
+
+  private def quantizedById: Map[Long, Array[Long]] =
+    Similarity.quantized(spark, sf, Similarity.QuantOffset)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+  private def pqSubD2(fits: Array[(Array[Long], Array[Array[Long]])],
+                      v: Array[Long], m: Int, code: Long): Long = {
+    val (labels, cents) = fits(m)
+    val pos = labels.indexOf(code)
+    assert(pos >= 0, s"code $code is not a subspace-$m label")
+    val sub = v.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
+    sub.zip(cents(pos)).map { case (a, b) => (a - b) * (a - b) }.sum
+  }
+
+  test("PQ codes: per-subspace argmin codes, exact reconstruction error") {
+    val fits = Similarity.pqFit(spark, sf)
+    assert(fits.length == Similarity.PqM)
+    val qv = quantizedById
+    val rows = Similarity.q137PqCodes(spark, sf).collect()
+    assert(rows.length == qv.size)
+    rows.foreach { r =>
+      val v = qv(r.getAs[Long]("vec_id"))
+      var tot = 0L
+      for (m <- 0 until Similarity.PqM) {
+        val code = r.getAs[Long](s"code_$m")
+        val (labels, cents) = fits(m)
+        val sub = v.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
+        val dists = cents.map(c =>
+          sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+        val d = dists(labels.indexOf(code))
+        // assigned centroid is the argmin (ties resolve to lowest label,
+        // which indexOf can't distinguish — argmin VALUE is the invariant)
+        assert(d == dists.min, s"subspace $m: $d != ${dists.min}")
+        tot += d
+      }
+      assert(r.getAs[Long]("recon_d2") == tot)
+    }
+  }
+
+  test("PQ training is memoized: codes and ADC share one fit") {
+    Similarity.q137PqCodes(spark, sf).collect()
+    Similarity.q138PqAdc(spark, sf).collect()
+    val n = Similarity.pqFits.get()
+    Similarity.q137PqCodes(spark, sf).collect()
+    Similarity.q138PqAdc(spark, sf).collect()
+    assert(Similarity.pqFits.get() == n)
+  }
+
+  test("PQ ADC: exact table-lookup distances, true top-k, broadcast join") {
+    val fits = Similarity.pqFit(spark, sf)
+    val qv = quantizedById
+    val codes = Similarity.q137PqCodes(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until Similarity.PqM).map(m => r.getAs[Long](s"code_$m"))).toMap
+    def adc(q: Long, n: Long): Long =
+      (0 until Similarity.PqM).map(m => pqSubD2(fits, qv(q), m, codes(n)(m))).sum
+    val rows = Similarity.q138PqAdc(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == Similarity.PqAdcK)
+      rs.foreach { r =>
+        val n = r.getAs[Long]("neighbor_id")
+        assert(n != q)
+        assert(r.getAs[Long]("adc_d2") == adc(q, n))
+      }
+      // reported k must be the GLOBAL minimum over all non-self neighbors,
+      // ordered (adc_d2 asc, neighbor asc)
+      val expect = codes.keys.filter(_ != q).toSeq
+        .map(n => (adc(q, n), n)).sorted.take(Similarity.PqAdcK)
+      val got = rs.sortBy(_.getAs[Long]("rnk"))
+        .map(r => (r.getAs[Long]("adc_d2"), r.getAs[Long]("neighbor_id"))).toSeq
+      assert(got == expect)
+    }
+    val plan = Similarity.q138PqAdc(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
 }
