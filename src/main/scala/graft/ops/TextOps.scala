@@ -1502,7 +1502,130 @@ object TextOps {
           .as("intercept"))
   }
 
+  val MadCut = 3     // robust outlier cut: |x - median| > MadCut * MAD
+  val VocabBands = 20 // doc_id bands for the vocabulary-growth profile
+
+  /** C5s robust per-source length outliers (q139): median and MAD
+    * (median absolute deviation) of `n_chars`, plus how many docs sit
+    * beyond [[MadCut]]·MAD — the outlier gate that, unlike the q119
+    * mean/stddev profile, one pathological 100 MB doc cannot drag. Both
+    * medians are the WEIGHTED LOWER median computed on the (source,
+    * value) count marginal — the q122 pattern: the corpus collapses to
+    * per-source value counts in one exchange, and every window below
+    * runs on that bounded marginal (distinct lengths per source, not
+    * rows), so no low-cardinality window ever sees corpus rows. Exact
+    * integer output end to end — median = min v with cum ≥ ⌈n/2⌉. */
+  def q139LengthOutliers(s: SparkSession, d: String): DataFrame = {
+    val marg = documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds totals, two medians AND the outlier count
+    val tot = marg.groupBy("source").agg(sum("c").as("n"))
+    def lowerMedian(m: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy("source").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.withColumn("cum", sum("c").over(w))
+        .join(broadcast(tot), "source")
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("source").agg(min(col(v)).as(out))
+    }
+    val med = lowerMedian(marg, "v", "med_chars")
+    val dev = marg.join(broadcast(med), "source")
+      .groupBy(col("source"), abs(col("v") - col("med_chars")).as("v"))
+      .agg(sum("c").as("c"))
+    val mad = lowerMedian(dev, "v", "mad_chars")
+    marg.join(broadcast(med), "source").join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(sum(when(abs(col("v") - col("med_chars")) >
+          lit(MadCut) * col("mad_chars"), col("c")).otherwise(lit(0L)))
+        .as("n_outliers"))
+      .join(broadcast(tot), "source").join(broadcast(med), "source")
+      .join(broadcast(mad), "source")
+      .select(col("source"), col("n").as("n_docs"), col("med_chars"),
+        col("mad_chars"), col("n_outliers"))
+      .orderBy("source")
+  }
+
+  /** C5t vocabulary-growth profile (q140): Heaps'-law curve over
+    * [[VocabBands]] equal doc_id bands — per band, docs, running tokens,
+    * NEW types first seen in that band, and the cumulative type count. A
+    * healthy crawl grows vocabulary sublinearly (Heaps exponent < 1);
+    * a template dump flattens the curve, an encoding break explodes it.
+    * Shape: one tokenize pass aggregates to (band, token) counts
+    * (vocabulary-sized, checkpointed — the q121 convention), and BOTH
+    * derivations (per-band token totals; min-band-per-type → new-type
+    * counts) re-aggregate that table. The only windows run on ≤
+    * [[VocabBands]] rows. Banding by `doc_id · B div (max+1)` is a
+    * monotone map, so min(band) per token IS the band of first
+    * occurrence — no per-token doc_id sort. The second corpus pass for
+    * per-band doc counts reads one column. */
+  def q140VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val mx = documents(s, d).agg((max("doc_id") + 1).as("m"))
+    val banded = documents(s, d).crossJoin(broadcast(mx))
+      .withColumn("band", expr(s"(doc_id * $VocabBands) div m"))
+    val btc = banded
+      .select(col("band"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("band", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds token totals AND first-seen bands
+    val ntok = btc.groupBy("band").agg(sum("c").as("n_tokens"))
+    val ndocs = banded.groupBy("band").agg(count(lit(1)).as("n_docs"))
+    val newTypes = btc.groupBy("token").agg(min("band").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ndocs.join(ntok, "band")
+      .join(newTypes, Seq("band"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .select(col("band"), col("n_docs"), col("n_tokens"),
+        col("new_types"), col("cum_types"))
+      .orderBy("band")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q139_length_outliers" -> ((q139LengthOutliers _, s"""
+      WITH marg AS (SELECT source, n_chars AS v, count(*) AS c
+                    FROM documents GROUP BY 1, 2),
+      tot AS (SELECT source, sum(c) AS n FROM marg GROUP BY 1),
+      medx AS (SELECT x.source, min(x.v) AS med_chars FROM (
+                 SELECT source, v,
+                        sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+                 FROM marg) x JOIN tot USING (source)
+               WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      dev AS (SELECT m.source, abs(m.v - md.med_chars) AS v, sum(m.c) AS c
+              FROM marg m JOIN medx md USING (source) GROUP BY 1, 2),
+      madx AS (SELECT x.source, min(x.v) AS mad_chars FROM (
+                 SELECT source, v,
+                        sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+                 FROM dev) x JOIN tot USING (source)
+               WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      outc AS (SELECT m.source,
+                      sum(CASE WHEN abs(m.v - md.med_chars) >
+                            $MadCut * mx.mad_chars THEN m.c ELSE 0 END) AS n_out
+               FROM marg m JOIN medx md USING (source)
+                           JOIN madx mx USING (source) GROUP BY 1)
+      SELECT t.source, t.n::BIGINT AS n_docs, md.med_chars::BIGINT AS med_chars,
+             mx.mad_chars::BIGINT AS mad_chars, o.n_out::BIGINT AS n_outliers
+      FROM tot t JOIN medx md USING (source) JOIN madx mx USING (source)
+                 JOIN outc o USING (source)
+      ORDER BY source""")),
+    "q140_vocab_growth" -> ((q140VocabGrowth _, s"""
+      WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      db AS (SELECT doc_id, (doc_id * $VocabBands) // m AS band, text
+             FROM documents, mx),
+      btc AS (SELECT band, unnest(string_split(text, ' ')) AS token
+              FROM db),
+      btcc AS (SELECT band, token, count(*) AS c FROM btc GROUP BY 1, 2),
+      ntok AS (SELECT band, sum(c) AS n_tokens FROM btcc GROUP BY 1),
+      nd AS (SELECT band, count(*) AS n_docs FROM db GROUP BY 1),
+      fb AS (SELECT token, min(band) AS band FROM btcc GROUP BY 1),
+      nt AS (SELECT band, count(*) AS new_types FROM fb GROUP BY 1)
+      SELECT d.band::BIGINT AS band, d.n_docs, k.n_tokens::BIGINT AS n_tokens,
+             coalesce(t.new_types, 0)::BIGINT AS new_types,
+             (sum(coalesce(t.new_types, 0))
+                OVER (ORDER BY d.band))::BIGINT AS cum_types
+      FROM nd d JOIN ntok k USING (band) LEFT JOIN nt t USING (band)
+      ORDER BY band""")),
     "q106_chunk_dedup" -> ((q106ChunkDedup _, s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       ch AS (SELECT doc_id,

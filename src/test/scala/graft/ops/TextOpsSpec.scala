@@ -886,4 +886,96 @@ class TextOpsSpec extends AnyFunSuite {
     // the top-k runs as TakeOrderedAndProject, not a full Sort + window
     assert(physical.contains("TakeOrderedAndProject"), physical.take(2000))
   }
+
+  test("q139 MAD outliers: lower median, MAD, cut at 3 MAD — closed form") {
+    import spark.implicits._
+    val docs = Seq(
+      // spike: 4 identical lengths + one huge -> MAD 0, the spike is out
+      (1L, "x", "en", "spike", 10L), (2L, "x", "en", "spike", 10L),
+      (3L, "x", "en", "spike", 10L), (4L, "x", "en", "spike", 10L),
+      (5L, "x", "en", "spike", 100L),
+      // ramp 1..7: med 4, devs {0,1,1,2,2,3,3} -> MAD 2, cut 6 -> none out
+      (6L, "x", "en", "ramp", 1L), (7L, "x", "en", "ramp", 2L),
+      (8L, "x", "en", "ramp", 3L), (9L, "x", "en", "ramp", 4L),
+      (10L, "x", "en", "ramp", 5L), (11L, "x", "en", "ramp", 6L),
+      (12L, "x", "en", "ramp", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q139LengthOutliers(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(out("spike").getAs[Long]("med_chars") == 10L)
+      assert(out("spike").getAs[Long]("mad_chars") == 0L)
+      assert(out("spike").getAs[Long]("n_outliers") == 1L)
+      assert(out("ramp").getAs[Long]("n_docs") == 7L)
+      assert(out("ramp").getAs[Long]("med_chars") == 4L)
+      assert(out("ramp").getAs[Long]("mad_chars") == 2L)
+      assert(out("ramp").getAs[Long]("n_outliers") == 0L)
+    }
+  }
+
+  test("q139 plan: median windows consume value-count marginals, not rows") {
+    // Each median window must sort a bounded input: either an Aggregate or
+    // the checkpointed (source, value) count marginal (a LogicalRDD after
+    // localCheckpoint truncates lineage) — never the raw corpus scan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val plan = TextOps.q139LengthOutliers(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, plan.toString.take(2000))
+    windows.foreach { w =>
+      val bounded = w.child.collectFirst {
+        case a: Aggregate => a: Any
+        case r: LogicalRDD => r: Any
+      }
+      assert(bounded.nonEmpty,
+        "window has no bounded input below it:\n" + w.toString.take(1500))
+      assert(!w.child.toString.contains("parquet"),
+        "window reads raw corpus rows:\n" + w.toString.take(1500))
+    }
+  }
+
+  test("q140 vocab growth: new types accrue by first-seen band") {
+    import spark.implicits._
+    // ids 0..3 over 20 bands -> bands 0, 5, 10, 15
+    val docs = Seq(
+      (0L, "a b", "en", "s", 3L), (1L, "a c", "en", "s", 3L),
+      (2L, "c a", "en", "s", 3L), (3L, "d", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q140VocabGrowth(spark, dir).collect()
+        .map(r => r.getAs[Long]("band") -> r).toMap
+      assert(out.keySet == Set(0L, 5L, 10L, 15L))
+      assert(out(0L).getAs[Long]("new_types") == 2L)  // a, b
+      assert(out(5L).getAs[Long]("new_types") == 1L)  // c
+      assert(out(10L).getAs[Long]("new_types") == 0L)
+      assert(out(15L).getAs[Long]("new_types") == 1L) // d
+      assert(out(15L).getAs[Long]("cum_types") == 4L)
+      assert(out(10L).getAs[Long]("n_tokens") == 2L)
+      assert(out.values.forall(_.getAs[Long]("n_docs") == 1L))
+    }
+  }
+
+  test("q140 plan: cumulative window runs on the band aggregate only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val plan = TextOps.q140VocabGrowth(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 1, plan.toString.take(2000))
+    // every leaf under the window must sit below an aggregate (or be the
+    // checkpointed band-token marginal): the window's input is the per-band
+    // rollup (≤ VocabBands rows), never raw corpus rows
+    def boundedToLeaf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: Aggregate => true
+        case _: LogicalRDD => true
+        case leaf if leaf.children.isEmpty => false
+        case other => other.children.forall(boundedToLeaf)
+      }
+    windows.foreach { w =>
+      assert(boundedToLeaf(w.child),
+        "window sees a leaf not behind an aggregate:\n" + w.toString.take(1500))
+    }
+  }
 }
