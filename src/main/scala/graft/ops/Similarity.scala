@@ -879,11 +879,14 @@ object Similarity {
     * integer arithmetic throughout (d² = |q|² + |c|² − 2·q·c on the
     * offset grid); at large query counts, probe the q53 IVF cells first
     * and ADC-score only inside probed cells — the IVFADC composition. */
-  def q138PqAdc(s: SparkSession, d: String): DataFrame = {
-    val fits = pqFit(s, d)
-    val q = quantized(s, d, QuantOffset)
-    val dtab = (0 until PqM).map { m =>
-      q.filter(col("vec_id") < NumQueries)
+  /** The ADC distance table: for each query, its exact subvector's squared
+    * distance to every centroid of every subspace —
+    * [[NumQueries]]·K·[[PqM]] rows, the broadcast side of every ADC join. */
+  private def pqDistTable(s: SparkSession, d: String,
+                          fits: Array[(Array[Long], Array[Array[Long]])])
+      : DataFrame =
+    (0 until PqM).map { m =>
+      quantized(s, d, QuantOffset).filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), subVec(m).as("qs"))
         .select(col("q_id"), col("qs"),
           posexplode(centLit(fits(m)._2)).as(Seq("pos", "cv")))
@@ -894,18 +897,79 @@ object Similarity {
             lit(2L) * call_function("ivec_dot", col("qs"), col("cv")))
             .as("pd2"))
     }.reduce(_ union _)
-    val codes = q
+
+  /** In-row array of (m, code) structs for a frame carrying the quantized
+    * vector in `q` — the per-vector PQ encoding, exploded by callers only
+    * where the ADC lookup join needs one row per subspace. */
+  private def pqCodeArray(fits: Array[(Array[Long], Array[Array[Long]])])
+      : Column =
+    array((0 until PqM).map { m =>
+      struct(lit(m).as("m"),
+        element_at(typedLit(fits(m)._1.toSeq),
+          (element_at(call_function("ivec_nearest", subVec(m),
+            centLit(fits(m)._2)), 1) + 1).cast("int")).as("code"))
+    }: _*)
+
+  def q138PqAdc(s: SparkSession, d: String): DataFrame = {
+    val fits = pqFit(s, d)
+    val codes = quantized(s, d, QuantOffset)
       .select(col("vec_id").as("neighbor_id"),
-        explode(array((0 until PqM).map { m =>
-          struct(lit(m).as("m"),
-            element_at(typedLit(fits(m)._1.toSeq),
-              (element_at(call_function("ivec_nearest", subVec(m),
-                centLit(fits(m)._2)), 1) + 1).cast("int")).as("code"))
-        }: _*)).as("mc"))
+        explode(pqCodeArray(fits)).as("mc"))
       .select(col("neighbor_id"), col("mc.m").as("m"), col("mc.code").as("code"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("neighbor_id"))
-    codes.join(broadcast(dtab), Seq("m", "code"))
+    codes.join(broadcast(pqDistTable(s, d, fits)), Seq("m", "code"))
       .filter(col("neighbor_id") =!= col("q_id"))
+      .groupBy("q_id", "neighbor_id")
+      .agg(sum("pd2").as("adc_d2"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= PqAdcK)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** IVFADC (q141): the full FAISS-style composition — a coarse IVF
+    * quantizer bounds the candidate set, the PQ fine quantizer scores it.
+    * One corpus pass builds the index rows `(cell, codes…)`: the coarse
+    * cell is a compiled argmin against the CONVERGED [[kmeansFit]]
+    * codebook (the same index q53/q105 probe) and the four PQ codes ride
+    * the same projection, so the index is exactly what a production
+    * deployment would persist (cell + [[PqM]] bytes per vector — the
+    * layout that lets 1e9 vectors fit one machine's RAM). Queries rank
+    * every coarse centroid by exact integer distance (K rows per query —
+    * control-plane sized) and probe their [[NumProbes]] nearest cells;
+    * candidates stream through the cell equi-join against the broadcast
+    * probe set, and ADC scoring is [[PqM]] lookups into the broadcast
+    * [[pqDistTable]] — per-query work is O(corpus·nprobe/K) lookups, no
+    * exact distance ever computed against a corpus vector. This is the
+    * scale tier [[q138PqAdc]]'s scaladoc points at; recall vs the exact
+    * truth stays monitorable through the q105 pattern. */
+  def q141Ivfadc(s: SparkSession, d: String): DataFrame = {
+    val (labels, cents) = kmeansFit(s, d)
+    val fits = pqFit(s, d)
+    val q = quantized(s, d, QuantOffset)
+    val index = q.select(col("vec_id").as("neighbor_id"),
+      element_at(typedLit(labels.toSeq),
+        (element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1)
+          + 1).cast("int")).as("cell"),
+      pqCodeArray(fits).as("mcs"))
+    val wq = Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))
+    val probes = q.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("q"),
+        posexplode(centLit(cents)).as(Seq("pos", "cv")))
+      .select(col("q_id"),
+        element_at(typedLit(labels.toSeq), col("pos") + 1).as("cell"),
+        (call_function("ivec_norm2", col("q")) +
+          call_function("ivec_norm2", col("cv")) -
+          lit(2L) * call_function("ivec_dot", col("q"), col("cv"))).as("cd2"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= NumProbes)
+      .select("q_id", "cell")
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("neighbor_id"))
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"), explode(col("mcs")).as("mc"))
+      .select(col("q_id"), col("neighbor_id"),
+        col("mc.m").as("m"), col("mc.code").as("code"))
+      .join(broadcast(pqDistTable(s, d, fits)), Seq("q_id", "m", "code"))
       .groupBy("q_id", "neighbor_id")
       .agg(sum("pd2").as("adc_d2"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -1114,6 +1178,14 @@ object Similarity {
                 FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $KMeansK)),
       ${(0 until PqM).map(pqChainBody).mkString(",")}"""
 
+  /** qt<m> CTEs: per-subspace query-to-converged-centroid partial squared
+    * distances — the ADC distance table in SQL, shared by q138 and q141. */
+  private def pqQtCtes: String = (0 until PqM).map(m => s"""
+      qt$m AS (SELECT qe$m.vec_id AS q_id, c2_$m.c AS code,
+                    sum((qe$m.v - c2_$m.cv) * (qe$m.v - c2_$m.cv)) AS pd2
+             FROM qe$m JOIN c2_$m ON qe$m.dim = c2_$m.dim
+             WHERE qe$m.vec_id < $NumQueries GROUP BY 1, 2)""").mkString(",")
+
   /** IVF oracle CTEs over the converged codebook (`c2` from the k-means
     * chain body) and an `e` CTE (vec_id, embedding as DOUBLE[]), ending in
     * `iranked` — composed by the q53 oracle and the q105 IVF tier so both
@@ -1178,11 +1250,7 @@ object Similarity {
       ORDER BY vec_id""")),
     "q138_pq_adc" -> ((q138PqAdc _, s"""
       $pqSqlPrefix,
-      ${(0 until PqM).map(m => s"""
-      qt$m AS (SELECT qe$m.vec_id AS q_id, c2_$m.c AS code,
-                    sum((qe$m.v - c2_$m.cv) * (qe$m.v - c2_$m.cv)) AS pd2
-             FROM qe$m JOIN c2_$m ON qe$m.dim = c2_$m.dim
-             WHERE qe$m.vec_id < $NumQueries GROUP BY 1, 2)""").mkString(",")},
+      $pqQtCtes,
       parts AS (
         ${(0 until PqM).map(m =>
           s"""SELECT q.q_id, k.vec_id AS neighbor_id, q.pd2
@@ -1194,6 +1262,32 @@ object Similarity {
                       ORDER BY adc_d2, neighbor_id) AS rnk
              FROM adc)
       SELECT q_id, neighbor_id, adc_d2::BIGINT AS adc_d2, rnk FROM rk
+      WHERE rnk <= $PqAdcK ORDER BY q_id, rnk""")),
+    "q141_ivfadc" -> ((q141Ivfadc _, s"""
+      $kmeansChainSql,
+      pqseeds AS (SELECT vec_id, c FROM seeds),
+      ${(0 until PqM).map(pqChainBody).mkString(",")},
+      $pqQtCtes,
+      aprobes AS (SELECT vec_id AS q_id, c AS cell FROM (
+         SELECT vec_id, c,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+         FROM d3 WHERE vec_id < $NumQueries) t WHERE rn <= $NumProbes),
+      acand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+                FROM aprobes p JOIN kfin a
+                  ON a.c = p.cell AND a.vec_id <> p.q_id),
+      aparts AS (
+        ${(0 until PqM).map(m =>
+          s"""SELECT c.q_id, c.neighbor_id, q.pd2
+            FROM acand c JOIN kf$m k ON k.vec_id = c.neighbor_id
+            JOIN qt$m q ON q.q_id = c.q_id AND q.code = k.c""")
+          .mkString("\n        UNION ALL ")}),
+      aadc AS (SELECT q_id, neighbor_id, sum(pd2) AS adc_d2 FROM aparts
+               GROUP BY 1, 2),
+      ark AS (SELECT q_id, neighbor_id, adc_d2,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY adc_d2, neighbor_id) AS rnk
+              FROM aadc)
+      SELECT q_id, neighbor_id, adc_d2::BIGINT AS adc_d2, rnk FROM ark
       WHERE rnk <= $PqAdcK ORDER BY q_id, rnk""")),
     "q86_semdedup" -> ((q86SemDedup _, s"""
       $semDedupSqlPrefix,

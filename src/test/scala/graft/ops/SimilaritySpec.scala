@@ -351,4 +351,43 @@ class SimilaritySpec extends AnyFunSuite {
       !plan.contains("SortMergeJoin"), plan.take(1500))
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
+
+  test("IVFADC: probed-cell candidates only, ADC-exact, true cell top-k") {
+    val (labels, cents) = Similarity.kmeansFit(spark, sf)
+    val fits = Similarity.pqFit(spark, sf)
+    val qv = quantizedById
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // coarse assignment: argmin over converged centroids, ties -> lowest label
+    def cellOf(v: Array[Long]): Long = {
+      val ds = cents.map(l2(v, _))
+      labels(ds.indexOf(ds.min))
+    }
+    val cellsById = qv.map { case (id, v) => id -> cellOf(v) }
+    val codes = Similarity.q137PqCodes(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until Similarity.PqM).map(m => r.getAs[Long](s"code_$m"))).toMap
+    def adc(q: Long, n: Long): Long =
+      (0 until Similarity.PqM).map(m => pqSubD2(fits, qv(q), m, codes(n)(m))).sum
+    val rows = Similarity.q141Ivfadc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      // probe set: NumProbes nearest cells by L2, ties -> lowest label
+      val probed = labels.map(l => (l2(qv(q), cents(labels.indexOf(l))), l))
+        .sorted.take(Similarity.NumProbes).map(_._2).toSet
+      val cand = cellsById.collect {
+        case (id, c) if id != q && probed.contains(c) => id
+      }.toSeq
+      val expect = cand.map(n => (adc(q, n), n)).sorted
+        .take(Similarity.PqAdcK)
+      val got = rs.sortBy(_.getAs[Long]("rnk"))
+        .map(r => (r.getAs[Long]("adc_d2"), r.getAs[Long]("neighbor_id"))).toSeq
+      assert(got == expect, s"q=$q got=$got expect=$expect")
+    }
+    val plan = Similarity.q141Ivfadc(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
 }
