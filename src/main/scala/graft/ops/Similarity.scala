@@ -193,12 +193,14 @@ object Similarity {
           lit(LshK.toLong).as("k"),
           round(coalesce(col("n_hit"), lit(0L)) / lit(LshK), 4).as("recall"))
     }
-    // both ANN tiers against ONE ground truth at matched k: the monitor
-    // that catches a silently-degrading index also says which index to
-    // serve (IVF probes 2/8 cells; LSH probes 7/64 buckets — comparable
-    // candidate budgets on this corpus)
+    // all three ANN tiers against ONE ground truth at matched k: the
+    // monitor that catches a silently-degrading index also says which
+    // index to serve (IVF probes 2/8 cells; LSH probes 7/64 buckets;
+    // IVFADC probes the same 2 cells but scores by PQ lookups — its
+    // recall delta vs the ivf tier isolates the quantization loss)
     tier("ivf", knnIvf(s, d, LshK))
       .unionAll(tier("lsh", q26KnnLsh(s, d)))
+      .unionAll(tier("ivfadc", q141Ivfadc(s, d)))
       .orderBy("tier", "q_id")
   }
 
@@ -1437,6 +1439,29 @@ object Similarity {
       $lshProbeCtes,
       $kmeansChainBody,
       $ivfCtes,
+      pqseeds AS (SELECT vec_id, c FROM seeds),
+      ${(0 until PqM).map(pqChainBody).mkString(",")},
+      $pqQtCtes,
+      aprobes AS (SELECT vec_id AS q_id, c AS cell FROM (
+         SELECT vec_id, c,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+         FROM d3 WHERE vec_id < $NumQueries) t WHERE rn <= $NumProbes),
+      acand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+                FROM aprobes p JOIN kfin a
+                  ON a.c = p.cell AND a.vec_id <> p.q_id),
+      aparts AS (
+        ${(0 until PqM).map(m =>
+          s"""SELECT c.q_id, c.neighbor_id, q.pd2
+            FROM acand c JOIN kf$m k ON k.vec_id = c.neighbor_id
+            JOIN qt$m q ON q.q_id = c.q_id AND q.code = k.c""")
+          .mkString("\n        UNION ALL ")}),
+      aadc AS (SELECT q_id, neighbor_id, sum(pd2) AS adc_d2 FROM aparts
+               GROUP BY 1, 2),
+      ark AS (SELECT q_id, neighbor_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY adc_d2, neighbor_id) AS rnk
+              FROM aadc),
+      atop AS (SELECT q_id, neighbor_id FROM ark WHERE rnk <= $PqAdcK),
       ltop AS (SELECT q_id, neighbor_id FROM ranked WHERE rnk <= $LshK),
       itop AS (SELECT q_id, neighbor_id FROM iranked WHERE rnk <= $LshK),
       bsims AS (
@@ -1463,13 +1488,22 @@ object Similarity {
         FROM btop b LEFT JOIN itop i
           ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
         GROUP BY b.q_id
+      ),
+      ahits AS (
+        SELECT b.q_id, count(a.neighbor_id)::BIGINT AS n_hit
+        FROM btop b LEFT JOIN atop a
+          ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+        GROUP BY b.q_id
       )
       SELECT * FROM (
         SELECT 'ivf' AS tier, q_id, n_hit, $LshK::BIGINT AS k,
                round(n_hit::DOUBLE / $LshK, 4) AS recall FROM ihits
         UNION ALL
         SELECT 'lsh' AS tier, q_id, n_hit, $LshK::BIGINT AS k,
-               round(n_hit::DOUBLE / $LshK, 4) AS recall FROM lhits)
+               round(n_hit::DOUBLE / $LshK, 4) AS recall FROM lhits
+        UNION ALL
+        SELECT 'ivfadc' AS tier, q_id, n_hit, $LshK::BIGINT AS k,
+               round(n_hit::DOUBLE / $LshK, 4) AS recall FROM ahits)
       ORDER BY tier, q_id""")),
     "q49_knn_agg" -> ((q49KnnAgg _, s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -248,7 +248,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("ann recall covers every query per tier, bounded ratios, and both indexes work") {
     val rows = Similarity.q105AnnRecall(spark, sf).collect()
     val byTier = rows.groupBy(_.getAs[String]("tier"))
-    assert(byTier.keySet == Set("ivf", "lsh"))
+    assert(byTier.keySet == Set("ivf", "lsh", "ivfadc"))
     // every sampled query is present in each tier, hit or not
     byTier.values.foreach { trs =>
       assert(trs.map(_.getAs[Long]("q_id")).sorted.toSeq ==
@@ -270,6 +270,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(total("lsh") > 0)
     assert(total("ivf") >= total("lsh"),
       s"ivf=${total("ivf")} lsh=${total("lsh")}")
+    // ADC scores the SAME probed cells as the ivf tier, so its recall can
+    // only lose to quantization — never exceed the exact-scored probe
+    assert(total("ivfadc") <= total("ivf"),
+      s"ivfadc=${total("ivfadc")} ivf=${total("ivf")}")
   }
 
   private def quantizedById: Map[Long, Array[Long]] =
