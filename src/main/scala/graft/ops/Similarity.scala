@@ -195,9 +195,12 @@ object Similarity {
     }
     // all three ANN tiers against ONE ground truth at matched k: the
     // monitor that catches a silently-degrading index also says which
-    // index to serve (IVF probes 2/8 cells; LSH probes 7/64 buckets;
-    // IVFADC probes the same 2 cells but scores by PQ lookups — its
-    // recall delta vs the ivf tier isolates the quantization loss)
+    // index to serve (IVF probes its 2 cosine-nearest cells of 8; LSH
+    // probes 7/64 buckets; IVFADC probes its 2 L2-nearest cells on the
+    // quantized grid and scores by PQ lookups — its recall delta vs the
+    // ivf tier mostly reflects quantization loss, though the two probe
+    // metrics can pick different cells for boundary queries when centroid
+    // norms differ)
     tier("ivf", knnIvf(s, d, LshK))
       .unionAll(tier("lsh", q26KnnLsh(s, d)))
       .unionAll(tier("ivfadc", q141Ivfadc(s, d)))
@@ -642,6 +645,15 @@ object Similarity {
   private[ops] def centLit(cents: Array[Array[Long]]): Column =
     typedLit(cents.map(_.toSeq).toSeq)
 
+  /** Survivor-label lookup for a 0-based codebook position — the ONE
+    * definition of the position→seed-label convention shared by q85's
+    * assignment, the PQ encoders and the IVFADC index. Labels ascend with
+    * position ([[computeKmeansFit]]'s survivor rule), which is what makes
+    * `ivec_nearest`'s lowest-position tie-break equal the oracle's
+    * `ORDER BY dd, c`. */
+  private def labelAt(labels: Array[Long], pos0: Column): Column =
+    element_at(typedLit(labels.toSeq), (pos0 + 1).cast("int"))
+
   /** Seed codebook: the k lowest vec_ids' quantized vectors — deterministic
     * and oracle-reproducible (k-means++ would need a cross-engine RNG).
     * Driver-side collect is k rows — bounded control plane, same shape as
@@ -756,8 +768,7 @@ object Similarity {
     val a = call_function("ivec_nearest", col("q"), centLit(cents))
     q.select(col("vec_id"), a.as("a"))
       .select(col("vec_id"),
-        element_at(typedLit(labels.toSeq),
-          (element_at(col("a"), 1) + 1).cast("int")).as("cluster"),
+        labelAt(labels, element_at(col("a"), 1)).as("cluster"),
         element_at(col("a"), 2).as("d2"))
       .orderBy("vec_id")
   }
@@ -862,8 +873,7 @@ object Similarity {
     withA.select(
       col("vec_id") +:
         (0 until PqM).map(m =>
-          element_at(typedLit(fits(m)._1.toSeq),
-            (element_at(col(s"a_$m"), 1) + 1).cast("int")).as(s"code_$m")) :+
+          labelAt(fits(m)._1, element_at(col(s"a_$m"), 1)).as(s"code_$m")) :+
         (0 until PqM).map(m => element_at(col(s"a_$m"), 2))
           .reduce(_ + _).as("recon_d2"): _*)
       .orderBy("vec_id")
@@ -893,7 +903,7 @@ object Similarity {
         .select(col("q_id"), col("qs"),
           posexplode(centLit(fits(m)._2)).as(Seq("pos", "cv")))
         .select(col("q_id"), lit(m).as("m"),
-          element_at(typedLit(fits(m)._1.toSeq), col("pos") + 1).as("code"),
+          labelAt(fits(m)._1, col("pos")).as("code"),
           (call_function("ivec_norm2", col("qs")) +
             call_function("ivec_norm2", col("cv")) -
             lit(2L) * call_function("ivec_dot", col("qs"), col("cv")))
@@ -907,9 +917,9 @@ object Similarity {
       : Column =
     array((0 until PqM).map { m =>
       struct(lit(m).as("m"),
-        element_at(typedLit(fits(m)._1.toSeq),
-          (element_at(call_function("ivec_nearest", subVec(m),
-            centLit(fits(m)._2)), 1) + 1).cast("int")).as("code"))
+        labelAt(fits(m)._1,
+          element_at(call_function("ivec_nearest", subVec(m),
+            centLit(fits(m)._2)), 1)).as("code"))
     }: _*)
 
   def q138PqAdc(s: SparkSession, d: String): DataFrame = {
@@ -949,16 +959,16 @@ object Similarity {
     val fits = pqFit(s, d)
     val q = quantized(s, d, QuantOffset)
     val index = q.select(col("vec_id").as("neighbor_id"),
-      element_at(typedLit(labels.toSeq),
-        (element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1)
-          + 1).cast("int")).as("cell"),
+      labelAt(labels,
+        element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1))
+        .as("cell"),
       pqCodeArray(fits).as("mcs"))
     val wq = Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))
     val probes = q.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("q"),
         posexplode(centLit(cents)).as(Seq("pos", "cv")))
       .select(col("q_id"),
-        element_at(typedLit(labels.toSeq), col("pos") + 1).as("cell"),
+        labelAt(labels, col("pos")).as("cell"),
         (call_function("ivec_norm2", col("q")) +
           call_function("ivec_norm2", col("cv")) -
           lit(2L) * call_function("ivec_dot", col("q"), col("cv"))).as("cd2"))
@@ -1188,6 +1198,32 @@ object Similarity {
              FROM qe$m JOIN c2_$m ON qe$m.dim = c2_$m.dim
              WHERE qe$m.vec_id < $NumQueries GROUP BY 1, 2)""").mkString(",")
 
+  /** The full IVFADC oracle chain on top of [[kmeansChainBody]] (needs its
+    * `seeds`, `d3`, `kfin`): PQ subspace chains + ADC distance tables +
+    * L2 cell probes + candidate pairs, ending in `aadc` (q_id,
+    * neighbor_id, adc_d2). ONE definition serves the q141 oracle and the
+    * q105 ivfadc tier so the two can never diverge on probe ranking or
+    * candidate filtering. */
+  private def ivfadcCtes: String = s"""
+      pqseeds AS (SELECT vec_id, c FROM seeds),
+      ${(0 until PqM).map(pqChainBody).mkString(",")},
+      $pqQtCtes,
+      aprobes AS (SELECT vec_id AS q_id, c AS cell FROM (
+         SELECT vec_id, c,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
+         FROM d3 WHERE vec_id < $NumQueries) t WHERE rn <= $NumProbes),
+      acand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+                FROM aprobes p JOIN kfin a
+                  ON a.c = p.cell AND a.vec_id <> p.q_id),
+      aparts AS (
+        ${(0 until PqM).map(m =>
+          s"""SELECT c.q_id, c.neighbor_id, q.pd2
+            FROM acand c JOIN kf$m k ON k.vec_id = c.neighbor_id
+            JOIN qt$m q ON q.q_id = c.q_id AND q.code = k.c""")
+          .mkString("\n        UNION ALL ")}),
+      aadc AS (SELECT q_id, neighbor_id, sum(pd2) AS adc_d2 FROM aparts
+               GROUP BY 1, 2)"""
+
   /** IVF oracle CTEs over the converged codebook (`c2` from the k-means
     * chain body) and an `e` CTE (vec_id, embedding as DOUBLE[]), ending in
     * `iranked` — composed by the q53 oracle and the q105 IVF tier so both
@@ -1267,24 +1303,7 @@ object Similarity {
       WHERE rnk <= $PqAdcK ORDER BY q_id, rnk""")),
     "q141_ivfadc" -> ((q141Ivfadc _, s"""
       $kmeansChainSql,
-      pqseeds AS (SELECT vec_id, c FROM seeds),
-      ${(0 until PqM).map(pqChainBody).mkString(",")},
-      $pqQtCtes,
-      aprobes AS (SELECT vec_id AS q_id, c AS cell FROM (
-         SELECT vec_id, c,
-                row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
-         FROM d3 WHERE vec_id < $NumQueries) t WHERE rn <= $NumProbes),
-      acand AS (SELECT p.q_id, a.vec_id AS neighbor_id
-                FROM aprobes p JOIN kfin a
-                  ON a.c = p.cell AND a.vec_id <> p.q_id),
-      aparts AS (
-        ${(0 until PqM).map(m =>
-          s"""SELECT c.q_id, c.neighbor_id, q.pd2
-            FROM acand c JOIN kf$m k ON k.vec_id = c.neighbor_id
-            JOIN qt$m q ON q.q_id = c.q_id AND q.code = k.c""")
-          .mkString("\n        UNION ALL ")}),
-      aadc AS (SELECT q_id, neighbor_id, sum(pd2) AS adc_d2 FROM aparts
-               GROUP BY 1, 2),
+      $ivfadcCtes,
       ark AS (SELECT q_id, neighbor_id, adc_d2,
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY adc_d2, neighbor_id) AS rnk
@@ -1439,24 +1458,7 @@ object Similarity {
       $lshProbeCtes,
       $kmeansChainBody,
       $ivfCtes,
-      pqseeds AS (SELECT vec_id, c FROM seeds),
-      ${(0 until PqM).map(pqChainBody).mkString(",")},
-      $pqQtCtes,
-      aprobes AS (SELECT vec_id AS q_id, c AS cell FROM (
-         SELECT vec_id, c,
-                row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) AS rn
-         FROM d3 WHERE vec_id < $NumQueries) t WHERE rn <= $NumProbes),
-      acand AS (SELECT p.q_id, a.vec_id AS neighbor_id
-                FROM aprobes p JOIN kfin a
-                  ON a.c = p.cell AND a.vec_id <> p.q_id),
-      aparts AS (
-        ${(0 until PqM).map(m =>
-          s"""SELECT c.q_id, c.neighbor_id, q.pd2
-            FROM acand c JOIN kf$m k ON k.vec_id = c.neighbor_id
-            JOIN qt$m q ON q.q_id = c.q_id AND q.code = k.c""")
-          .mkString("\n        UNION ALL ")}),
-      aadc AS (SELECT q_id, neighbor_id, sum(pd2) AS adc_d2 FROM aparts
-               GROUP BY 1, 2),
+      $ivfadcCtes,
       ark AS (SELECT q_id, neighbor_id,
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY adc_d2, neighbor_id) AS rnk

@@ -1538,9 +1538,11 @@ object TextOps {
       .groupBy("source")
       .agg(sum(when(abs(col("v") - col("med_chars")) >
           lit(MadCut) * col("mad_chars"), col("c")).otherwise(lit(0L)))
-        .as("n_outliers"))
-      .join(broadcast(tot), "source").join(broadcast(med), "source")
-      .join(broadcast(mad), "source")
+        .as("n_outliers"),
+        // med/mad are per-source constants here: max() carries them
+        // through the rollup instead of re-joining the frames they came from
+        max("med_chars").as("med_chars"), max("mad_chars").as("mad_chars"))
+      .join(broadcast(tot), "source")
       .select(col("source"), col("n").as("n_docs"), col("med_chars"),
         col("mad_chars"), col("n_outliers"))
       .orderBy("source")

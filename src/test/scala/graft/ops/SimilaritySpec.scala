@@ -270,10 +270,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(total("lsh") > 0)
     assert(total("ivf") >= total("lsh"),
       s"ivf=${total("ivf")} lsh=${total("lsh")}")
-    // ADC scores the SAME probed cells as the ivf tier, so its recall can
-    // only lose to quantization — never exceed the exact-scored probe
-    assert(total("ivfadc") <= total("ivf"),
-      s"ivfadc=${total("ivfadc")} ivf=${total("ivf")}")
+    // the IVFADC tier works at all (its probe metric is L2 on the
+    // quantized grid vs the ivf tier's cosine, so neither dominates the
+    // other by construction — the closed-form IVFADC spec pins its exact
+    // candidate set and scores instead)
+    assert(total("ivfadc") > 0)
   }
 
   private def quantizedById: Map[Long, Array[Long]] =
@@ -375,7 +376,10 @@ class SimilaritySpec extends AnyFunSuite {
       (0 until Similarity.PqM).map(m => pqSubD2(fits, qv(q), m, codes(n)(m))).sum
     val rows = Similarity.q141Ivfadc(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    // EVERY sampled query is checked against the hand model — a query
+    // whose rows silently vanish must fail, not fall out of the groupBy
+    (0L until Similarity.NumQueries).foreach { q =>
       // probe set: NumProbes nearest cells by L2, ties -> lowest label
       val probed = labels.map(l => (l2(qv(q), cents(labels.indexOf(l))), l))
         .sorted.take(Similarity.NumProbes).map(_._2).toSet
@@ -384,7 +388,7 @@ class SimilaritySpec extends AnyFunSuite {
       }.toSeq
       val expect = cand.map(n => (adc(q, n), n)).sorted
         .take(Similarity.PqAdcK)
-      val got = rs.sortBy(_.getAs[Long]("rnk"))
+      val got = byQ.getOrElse(q, Array.empty).sortBy(_.getAs[Long]("rnk"))
         .map(r => (r.getAs[Long]("adc_d2"), r.getAs[Long]("neighbor_id"))).toSeq
       assert(got == expect, s"q=$q got=$got expect=$expect")
     }
