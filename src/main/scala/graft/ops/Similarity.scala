@@ -734,6 +734,79 @@ object Similarity {
     }
   }
 
+  /** Persist the PQ codebooks ([[pqFit]]) to the lake — the fine-quantizer
+    * companion of [[codebookTable]]: one row per (subspace, surviving
+    * cluster): `(m, idx, label, centroid)`. PqM·K rows of control plane,
+    * overwrite semantics on re-train. */
+  def pqCodebookTable(s: SparkSession, d: String,
+                      catalog: graft.lake.LakeCatalog, namespace: String,
+                      table: String = "pq_codebook"): DataFrame = {
+    val fits = pqFit(s, d)
+    val rows = for {
+      m <- 0 until PqM
+      i <- fits(m)._1.indices
+    } yield (m, i, fits(m)._1(i), fits(m)._2(i).toSeq)
+    val df = s.createDataFrame(rows).toDF("m", "idx", "label", "centroid")
+    catalog.ensureTable(namespace, table, df.schema, Nil)
+    catalog.overwrite(namespace, table, df)
+    catalog.load(namespace, table)
+  }
+
+  /** Install persisted PQ codebooks ([[pqCodebookTable]]) into THIS
+    * session's fit memo — q137 codes, q138 ADC and q141 IVFADC then run
+    * with ZERO training scans, completing the cross-session story
+    * [[installCodebook]] starts for the coarse quantizer. */
+  def installPqCodebook(s: SparkSession, d: String,
+                        catalog: graft.lake.LakeCatalog, namespace: String,
+                        table: String = "pq_codebook"): Unit = {
+    val rows = catalog.load(namespace, table)
+      .orderBy("m", "idx").select("m", "label", "centroid").collect()
+    require(rows.nonEmpty, s"PQ codebook table $namespace.$table is empty")
+    val byM = rows.groupBy(_.getInt(0))
+    require(byM.keySet == (0 until PqM).toSet,
+      s"PQ codebook table $namespace.$table is missing subspaces " +
+        s"(found ${byM.keySet.toSeq.sorted})")
+    val fits = Array.tabulate(PqM) { m =>
+      val rs = byM(m)
+      (rs.map(_.getLong(1)), rs.map(_.getSeq[Long](2).toArray))
+    }
+    pqCache.synchronized {
+      pqCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .update(d, fits)
+    }
+  }
+
+  /** One ANN index row per incoming vector: the coarse IVF cell plus the
+    * [[PqM]] PQ codes — the `(cell, codes…)` layout [[q141Ivfadc]] probes
+    * and the payload the streaming ingest appends
+    * ([[graft.ops.Streaming.annIngestSink]]). Fits arrive as plain arrays
+    * so the projection is session-free (foreachBatch clones the session
+    * per epoch); the whole row is ONE compiled map-side pass. */
+  def annIndexRows(batch: DataFrame,
+                   coarse: (Array[Long], Array[Array[Long]]),
+                   pq: Array[(Array[Long], Array[Array[Long]])]): DataFrame = {
+    // foreachBatch hands over a CLONED session whose temp-function registry
+    // is empty — (re-)register the native kernels there (idempotent)
+    graft.functions.TextHashExprs.register(batch.sparkSession)
+    batch.select(col("vec_id"),
+        call_function("ivec_quant", col("embedding"),
+          lit(QuantScale), lit(QuantOffset)).as("q"))
+      .select(Seq(col("vec_id"),
+        labelAt(coarse._1, element_at(
+          call_function("ivec_nearest", col("q"), centLit(coarse._2)), 1))
+          .as("cell")) ++
+        (0 until PqM).map(m =>
+          labelAt(pq(m)._1, element_at(call_function("ivec_nearest",
+            subVec(m), centLit(pq(m)._2)), 1)).as(s"code_$m")): _*)
+  }
+
+  /** The trained quantizer pair for `d` in session `s` (memo-served):
+    * what a streaming ingest captures before starting its query. */
+  private[ops] def trainedQuantizers(s: SparkSession, d: String)
+      : ((Array[Long], Array[Array[Long]]),
+         Array[(Array[Long], Array[Array[Long]])]) =
+    (kmeansFit(s, d), pqFit(s, d))
+
   private def computeKmeansFit(s: SparkSession, d: String): (Array[Long], Array[Array[Long]]) = {
     kmeansFits.incrementAndGet()
     val q = quantized(s, d, QuantOffset)

@@ -311,6 +311,32 @@ object Streaming {
       }
       .start()
 
+  /** Streaming ANN ingest: append `(vec_id, cell, code_0..3)` index rows
+    * for every embedding arriving on the stream, against quantizers
+    * trained elsewhere — typically installed from the lake
+    * ([[graft.ops.Similarity.installCodebook]] /
+    * [[graft.ops.Similarity.installPqCodebook]]), so NO epoch ever touches
+    * a training path. The fits are captured as plain arrays before the
+    * query starts ([[graft.ops.Similarity.trainedQuantizers]] resolves them
+    * from `s`'s memo, never from the per-epoch cloned session); each batch
+    * is one compiled projection + a lake append — the streaming face of
+    * the q141 index build, mirroring [[indexDedupSink]]'s shape. */
+  def annIngestSink(s: SparkSession, d: String, embs: DataFrame,
+                    catalog: graft.lake.LakeCatalog, ns: String,
+                    table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (coarse, pq) = graft.ops.Similarity.trainedQuantizers(s, d)
+    embs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = graft.ops.Similarity.annIndexRows(batch.toDF(), coarse, pq)
+        catalog.ensureTable(ns, table, rows.schema)
+        catalog.append(ns, table, rows)
+      }
+      .start()
+  }
+
   private def epochStart(w: Column): Column = unix_timestamp(w("start"))
 
   /** C7a tumbling-window aggregation (true `window()` operator; oracle =

@@ -47,6 +47,74 @@ class CodebookPersistenceSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("PQ codebooks persist; streaming ingest writes q137-equal rows in a fresh session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"pqcb_${System.nanoTime()}"
+
+    // session A: train (memoized) + persist BOTH quantizers
+    Similarity.codebookTable(spark, sf, cat, ns)
+    val persisted = Similarity.pqCodebookTable(spark, sf, cat, ns)
+    assert(persisted.count() == Similarity.PqM * Similarity.KMeansK,
+      "no subspace cluster died on the test corpus — PqM x K rows")
+    val refCodes = Similarity.q137PqCodes(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until Similarity.PqM).map(m => r.getAs[Long](s"code_$m"))).toMap
+    val refCells = Similarity.q85KMeans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"))).toMap
+    val sample = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    // session B: install from the lake, stream vectors through the ingest
+    // sink — zero training observed on either quantizer
+    val b = spark.newSession()
+    val kBefore = Similarity.kmeansFits.get()
+    val pBefore = Similarity.pqFits.get()
+    Similarity.installCodebook(b, sf, cat, ns)
+    Similarity.installPqCodebook(b, sf, cat, ns)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = b.sqlContext
+    import b.implicits._
+    val in = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ckpt").toString
+    val q = Streaming.annIngestSink(b, sf,
+      in.toDF().toDF("vec_id", "embedding"), cat, ns, "ann_index", ckpt)
+    try {
+      in.addData(sample.take(2).toSeq)
+      q.processAllAvailable()
+      in.addData(sample.drop(2).toSeq) // epoch 2 appends
+      q.processAllAvailable()
+      val rows = cat.load(ns, "ann_index").collect()
+      assert(rows.length == sample.length)
+      rows.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        assert(r.getAs[Long]("cell") == refCells(id))
+        (0 until Similarity.PqM).foreach(m =>
+          assert(r.getAs[Long](s"code_$m") == refCodes(id)(m)))
+      }
+      assert(Similarity.kmeansFits.get() == kBefore &&
+        Similarity.pqFits.get() == pBefore,
+        "session B observed ZERO training loops on either quantizer")
+    } finally {
+      q.stop()
+      cat.dropNamespace(ns)
+    }
+  }
+
+  test("installPqCodebook refuses an empty table") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"pqe_${System.nanoTime()}"
+    import org.apache.spark.sql.types._
+    cat.ensureTable(ns, "pq_codebook", StructType(Seq(
+      StructField("m", IntegerType), StructField("idx", IntegerType),
+      StructField("label", LongType),
+      StructField("centroid", ArrayType(LongType)))))
+    val e = intercept[IllegalArgumentException](
+      Similarity.installPqCodebook(spark.newSession(), sf, cat, ns))
+    assert(e.getMessage.contains("empty"))
+    cat.dropNamespace(ns)
+  }
+
   test("installCodebook refuses an empty table") {
     val cat = DirectoryLakeCatalog.temp(spark)
     val ns = s"cbe_${System.nanoTime()}"
