@@ -1149,6 +1149,68 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  val SketchOverlapTol = 0.05 // union estimate within 5% of the exact count
+
+  /** C4c sketched cross-source distinct overlap (q142): the 100 TB tier of
+    * [[q81SourceOverlap]]'s exact matrix. ONE corpus pass folds each
+    * source's shingle set into a mergeable DataSketches HLL
+    * (`hll_sketch_agg` — no distinct, no shuffle of shingles beyond the
+    * per-source partial sketches); the pair matrix is then a crossJoin of
+    * the |sources|-row sketch table (bounded control plane — the ONE place
+    * a cartesian is the right plan), `hll_union` + estimate giving |A∪B|
+    * with no shingle join at all, and |A∩B| by inclusion–exclusion. The
+    * estimate is MONITORED, not assumed (the q27 discipline): under
+    * [[graft.ops.Similarity.ExactCheckConf]] the exact q81-shaped counts
+    * run alongside and `approx_ok` bounds the UNION estimate at
+    * [[SketchOverlapTol]] — the union is what the sketch directly
+    * measures; the derived intersection's relative error compounds, which
+    * is exactly why the gate sits on the union. Verify mode emits the
+    * exact counts (oracle-stable); production emits the estimates. */
+  def q142SketchOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("source"), explode(expr("word_shingles(text)")).as("sh"))
+    val est = {
+      val sk = sh.groupBy("source")
+        .agg(expr("hll_sketch_agg(sh, 14)").as("skt"))
+        .localCheckpoint(true) // ONE corpus scan; both crossJoin sides read the |sources|-row sketch table
+      sk.select(col("source").as("src_a"), col("skt").as("sk_a"))
+        .crossJoin(sk.select(col("source").as("src_b"), col("skt").as("sk_b")))
+        .filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          expr("hll_sketch_estimate(sk_a)").as("est_a"),
+          expr("hll_sketch_estimate(sk_b)").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_u"))
+    }
+    if (s.conf.getOption(graft.ops.Similarity.ExactCheckConf).contains("true")) {
+      val dsh = sh.distinct().localCheckpoint(true)
+      val sizes = dsh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = dsh.select(col("sh"), col("source").as("src_a"))
+        .join(dsh.select(col("sh"), col("source").as("src_b")), "sh")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+        .crossJoin(sizes.select(col("source").as("src_b"), col("n").as("n_b")))
+        .filter(col("src_a") < col("src_b"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .join(est, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("n_union"),
+          (abs(col("est_u") - col("n_union")) <=
+            col("n_union") * SketchOverlapTol).as("approx_ok"))
+        .orderBy("src_a", "src_b")
+    } else
+      est.select(col("src_a"), col("src_b"),
+          floor(col("est_a")).cast("long").as("n_a"),
+          floor(col("est_b")).cast("long").as("n_b"),
+          greatest(lit(0L), floor(col("est_a") + col("est_b") - col("est_u"))
+            .cast("long")).as("n_inter"),
+          floor(col("est_u")).cast("long").as("n_union"),
+          lit(true).as("approx_ok"))
+        .orderBy("src_a", "src_b")
+  }
+
   /** Shared oracle CTE chain ending in `cand` (the distinct LSH candidate
     * pairs) — composed by both the jaccard and edit-distance oracles. */
   private def minhashCandCtes: String = {
@@ -1515,6 +1577,24 @@ object Dedup {
       ORDER BY id_a, id_b""")),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
     "q107_split_balance" -> ((q107SplitBalance _, splitBalanceOracle)),
+    "q142_sketch_overlap" -> ((q142SketchOverlap _, """
+      WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS sh
+             FROM tok, unnest(generate_series(1, len(t)-2)) AS r(i)),
+      sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                       count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+                GROUP BY 1, 2),
+      uni AS (SELECT a.source AS src_a, b.source AS src_b,
+                     a.n AS n_a, b.n AS n_b
+              FROM sizes a JOIN sizes b ON a.source < b.source)
+      SELECT u.src_a, u.src_b, u.n_a, u.n_b,
+             coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+             (u.n_a + u.n_b - coalesce(i.n_inter, 0))::BIGINT AS n_union,
+             true AS approx_ok
+      FROM uni u LEFT JOIN inter i USING (src_a, src_b)
+      ORDER BY src_a, src_b""")),
     "q81_source_overlap" -> ((q81SourceOverlap _, """
       WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
       sh AS (

@@ -522,4 +522,41 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q142 sketch overlap: exact mode holds I-E identities and the 5% gate") {
+    spark.conf.set(Similarity.ExactCheckConf, "true")
+    try {
+      val rows = Dedup.q142SketchOverlap(spark, sf).collect()
+      val nSrc = Tables.documents(spark, sf)
+        .select("source").distinct().count()
+      assert(rows.length == nSrc * (nSrc - 1) / 2, "every source pair reports")
+      rows.foreach { r =>
+        val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+        val (ni, nu) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))
+        assert(ni >= 0 && ni <= math.min(na, nb))
+        assert(nu == na + nb - ni, "inclusion-exclusion identity")
+        assert(r.getAs[Boolean]("approx_ok"),
+          s"union sketch off by >5% for ${r.getAs[String]("src_a")}/" +
+            s"${r.getAs[String]("src_b")}")
+      }
+    } finally spark.conf.unset(Similarity.ExactCheckConf)
+  }
+
+  test("q142 production plan is sketch-only: no distinct shingle aggregate") {
+    val df = Dedup.q142SketchOverlap(spark, sf)
+    // the corpus was scanned ONCE into the checkpointed sketch table; the
+    // lazy plan pairs that |sources|-row table with itself — no parquet
+    // scan, no exact-branch distinct/intersection aggregates
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("parquet"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("hll_sketch_agg"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("approx_ok")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_inter") >= 0)
+      assert(r.getAs[Long]("n_union") >= math.max(
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) - 1) // estimate slack
+    }
+  }
 }
