@@ -1131,11 +1131,17 @@ object Dedup {
     * bounded by the source count, never the corpus. The deduped relation
     * feeds the sizes rollup AND both join sides — checkpointed so the
     * shingle explosion runs once (the q72 lesson). */
-  def q81SourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
+  /** The distinct (source, shingle) relation, checkpointed — ONE corpus
+    * scan + shingle explode serving both q81's exact matrix and q142's
+    * exact-mode gate, so the two can never tokenize differently. */
+  private def distinctSourceShingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("source"), explode(expr("word_shingles(text)")).as("sh"))
       .distinct()
       .localCheckpoint(true)
+
+  def q81SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = distinctSourceShingles(s, d)
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val a = sh.select(col("sh"), col("source").as("src_a"))
     val b = sh.select(col("sh"), col("source").as("src_b"))
@@ -1167,12 +1173,20 @@ object Dedup {
     * is exactly why the gate sits on the union. Verify mode emits the
     * exact counts (oracle-stable); production emits the estimates. */
   def q142SketchOverlap(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("source"), explode(expr("word_shingles(text)")).as("sh"))
+    val exactMode =
+      s.conf.getOption(graft.ops.Similarity.ExactCheckConf).contains("true")
+    // production: sketch straight off the raw shingle stream (HLL of the
+    // multiset == HLL of the distinct set — no distinct shuffle at all);
+    // exact mode: reuse the ONE checkpointed distinct relation for both
+    // the sketch and the exact counts (no second corpus scan)
+    val base =
+      if (exactMode) distinctSourceShingles(s, d)
+      else documents(s, d)
+        .select(col("source"), explode(expr("word_shingles(text)")).as("sh"))
     val est = {
-      val sk = sh.groupBy("source")
+      val sk = base.groupBy("source")
         .agg(expr("hll_sketch_agg(sh, 14)").as("skt"))
-        .localCheckpoint(true) // ONE corpus scan; both crossJoin sides read the |sources|-row sketch table
+        .localCheckpoint(true) // both crossJoin sides read the |sources|-row sketch table
       sk.select(col("source").as("src_a"), col("skt").as("sk_a"))
         .crossJoin(sk.select(col("source").as("src_b"), col("skt").as("sk_b")))
         .filter(col("src_a") < col("src_b"))
@@ -1181,11 +1195,10 @@ object Dedup {
           expr("hll_sketch_estimate(sk_b)").as("est_b"),
           expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_u"))
     }
-    if (s.conf.getOption(graft.ops.Similarity.ExactCheckConf).contains("true")) {
-      val dsh = sh.distinct().localCheckpoint(true)
-      val sizes = dsh.groupBy("source").agg(count(lit(1)).as("n"))
-      val inter = dsh.select(col("sh"), col("source").as("src_a"))
-        .join(dsh.select(col("sh"), col("source").as("src_b")), "sh")
+    if (exactMode) {
+      val sizes = base.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = base.select(col("sh"), col("source").as("src_a"))
+        .join(base.select(col("sh"), col("source").as("src_b")), "sh")
         .filter(col("src_a") < col("src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
       sizes.select(col("source").as("src_a"), col("n").as("n_a"))
@@ -1201,13 +1214,19 @@ object Dedup {
             col("n_union") * SketchOverlapTol).as("approx_ok"))
         .orderBy("src_a", "src_b")
     } else
+      // floor the three direct estimates FIRST, then derive the
+      // intersection from the floored longs — inclusion-exclusion
+      // (n_union == n_a + n_b - n_inter) holds on the emitted row by
+      // construction, as it does in exact mode and the oracle
       est.select(col("src_a"), col("src_b"),
           floor(col("est_a")).cast("long").as("n_a"),
           floor(col("est_b")).cast("long").as("n_b"),
-          greatest(lit(0L), floor(col("est_a") + col("est_b") - col("est_u"))
-            .cast("long")).as("n_inter"),
-          floor(col("est_u")).cast("long").as("n_union"),
-          lit(true).as("approx_ok"))
+          floor(col("est_u")).cast("long").as("n_union"))
+        .withColumn("n_inter",
+          greatest(lit(0L), col("n_a") + col("n_b") - col("n_union")))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("n_union"), lit(true).as("approx_ok"))
         .orderBy("src_a", "src_b")
   }
 

@@ -330,7 +330,16 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val rows = graft.ops.Similarity.annIndexRows(batch.toDF(), coarse, pq)
+        val all = graft.ops.Similarity.annIndexRows(batch.toDF(), coarse, pq)
+        // foreachBatch is at-least-once: a replayed epoch must not append
+        // duplicate index rows (a duplicated vector would occupy two
+        // candidate slots in every probe of its cell) — same anti-join
+        // guard as dedupedSinkToLake's fingerprint table
+        val rows =
+          if (catalog.tableExists(ns, table))
+            all.join(catalog.load(ns, table).select("vec_id"),
+              Seq("vec_id"), "left_anti")
+          else all
         catalog.ensureTable(ns, table, rows.schema)
         catalog.append(ns, table, rows)
       }

@@ -84,8 +84,13 @@ class CodebookPersistenceSpec extends AnyFunSuite {
       q.processAllAvailable()
       in.addData(sample.drop(2).toSeq) // epoch 2 appends
       q.processAllAvailable()
+      // an at-least-once replay of already-indexed vectors must not
+      // duplicate their index rows (the anti-join guard)
+      in.addData(sample.take(2).toSeq)
+      q.processAllAvailable()
       val rows = cat.load(ns, "ann_index").collect()
-      assert(rows.length == sample.length)
+      assert(rows.length == sample.length,
+        "replayed vectors were appended twice")
       rows.foreach { r =>
         val id = r.getAs[Long]("vec_id")
         assert(r.getAs[Long]("cell") == refCells(id))
