@@ -117,6 +117,24 @@ object Streaming {
       }
   }
 
+  /** Batch face of [[userRunningStats]], registered as q143: the SAME
+    * `mapGroupsWithState` operator run in batch mode (Spark executes the
+    * stateful fold as one pass per group — the q124 one-definition-two-modes
+    * convention, here for arbitrary-stateful aggregation rather than a
+    * join). Output money is exact-integer CENTS: the per-user double sum
+    * is integral-by-construction (2-decimal values), so rounding the
+    * scaled sum is bit-stable against the oracle's own summation order —
+    * the repo's exact-money discipline without changing the streaming
+    * face's schema. last_seen truncates to whole epoch seconds on both
+    * engines. At scale this is a shuffle on user_id with the state fold
+    * running once per group — the same cost class as a hash aggregate. */
+  def q143UserStats(s: SparkSession, d: String): DataFrame =
+    userRunningStats(s, events(s, d)).toDF()
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value") * 100).cast("long").as("sum_cents"),
+        col("last_seen_epoch"))
+      .orderBy("user_id")
+
   /** STREAM-STREAM interval join: attribute each purchase to the view
     * events of the same user within the preceding attribution horizon.
     * Both sides carry watermarks and the join condition bounds event-time
@@ -427,6 +445,11 @@ object Streaming {
   }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q143_user_stats" -> ((q143UserStats _, """
+      SELECT user_id, count(*) AS n_events,
+             round(sum(value) * 100)::BIGINT AS sum_cents,
+             floor(epoch(max(ts)))::BIGINT AS last_seen_epoch
+      FROM events GROUP BY user_id ORDER BY user_id""")),
     "q124_purchase_attribution" -> ((q124PurchaseAttribution _, s"""
       WITH v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
                  FROM events WHERE event_type = 'view'),

@@ -102,6 +102,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q143 batch face equals the streaming operator's final per-user state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      ev("10:00", user = 1, v = 2.25), ev("10:05", user = 1, v = 4.50),
+      ev("11:00", user = 1, v = 6.75), ev("09:30", user = 2, v = 0.01))
+    // streaming: drive the operator over two micro-batches, keep each
+    // user's LAST update (the final state)
+    val in = MemoryStream[Ev]
+    val q = Streaming.userRunningStats(spark, in.toDF())
+      .writeStream.format("memory").queryName("q143_stream")
+      .outputMode("update").start()
+    val streamed = try {
+      in.addData(evs.take(2)); q.processAllAvailable()
+      in.addData(evs.drop(2)); q.processAllAvailable()
+      spark.table("q143_stream").collect()
+        .groupBy(_.getAs[Long]("user_id")).map { case (u, rs) =>
+          val last = rs.maxBy(_.getAs[Long]("n_events"))
+          (u, last.getAs[Long]("n_events"),
+            math.round(last.getAs[Double]("sum_value") * 100),
+            last.getAs[Long]("last_seen_epoch"))
+        }.toSet
+    } finally q.stop()
+    // batch face: the SAME operator over the same rows via q143's shape
+    val dir = java.nio.file.Files.createTempDirectory("q143").toString
+    evs.toDF().write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val batch = Streaming.q143UserStats(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("sum_cents"), r.getAs[Long]("last_seen_epoch"))).toSet
+    assert(batch == streamed, s"batch=$batch streamed=$streamed")
+    assert(batch.exists(t => t._1 == 1L && t._2 == 3L && t._3 == 1350L))
+  }
+
   test("tumbling agg runs on the RocksDB state store (production state path)") {
     // the 100 TB deployment keeps streaming state off-heap in RocksDB; prove
     // that path actually runs in this Spark build, not just the default
