@@ -1062,6 +1062,46 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF cell-population report (q144): per coarse cell, member count and
+    * exact-ppm share of the corpus — the index-health monitor every IVF
+    * deployment watches (FAISS's imbalance factor): a hot cell defeats the
+    * probe bound (per-query work is corpus·nprobe/K only when cells are
+    * balanced), and an empty cell wastes a codebook slot. One compiled
+    * assignment pass + a K-row aggregate; the 1-row total joins back by
+    * broadcast. Reading max(share_ppm)·K/1e6 gives the imbalance factor. */
+  def q144IvfCellStats(s: SparkSession, d: String): DataFrame = {
+    val (labels, cents) = kmeansFit(s, d)
+    val cells = quantized(s, d, QuantOffset)
+      .select(labelAt(labels,
+        element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1))
+        .as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    cells.crossJoin(broadcast(cells.agg(sum("n_vecs").as("total"))))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000000 div total").as("share_ppm"))
+      .orderBy("cell")
+  }
+
+  /** PQ code-utilization report (q145): per (subspace, code), member count
+    * and exact-ppm share — the fine-quantizer health check beside q144's
+    * coarse one: a code that captures most of a subspace means the
+    * quantizer wastes bits there (reconstruction error concentrates), and
+    * unused survivor codes mean the subspace collapsed. One pass computes
+    * all [[PqM]] code assignments in-row ([[pqCodeArray]]); the aggregate
+    * is at most PqM·K rows. */
+  def q145PqCodeStats(s: SparkSession, d: String): DataFrame = {
+    val fits = pqFit(s, d)
+    val codes = quantized(s, d, QuantOffset)
+      .select(explode(pqCodeArray(fits)).as("mc"))
+      .select(col("mc.m").as("m"), col("mc.code").as("code"))
+      .groupBy("m", "code").agg(count(lit(1)).as("n_vecs"))
+    codes.crossJoin(broadcast(
+        codes.groupBy().agg((sum("n_vecs") / PqM).cast("long").as("total"))))
+      .select(col("m").cast("long").as("m"), col("code"), col("n_vecs"),
+        expr("n_vecs * 1000000 div total").as("share_ppm"))
+      .orderBy("m", "code")
+  }
+
   val SemDedupTauSq10k = 1600 // cosine threshold τ=0.40 (the corpus has no >0.5 semantic pairs): keep 1e4·dot² >= τ²·1e4·|a|²·|b|²
   val SemDedupCell = 1000 // target vectors per SemDeDup cluster
 
@@ -1349,6 +1389,23 @@ object Similarity {
              t.sum_d2::BIGINT AS sum_d2
       FROM tot t JOIN maj m ON m.c = t.c
       ORDER BY cluster""")),
+    "q144_ivf_cell_stats" -> ((q144IvfCellStats _, s"""
+      $kmeansChainSql,
+      cc AS (SELECT c AS cell, count(*) AS n_vecs FROM kfin GROUP BY 1),
+      tt AS (SELECT sum(n_vecs) AS total FROM cc)
+      SELECT cc.cell::BIGINT AS cell, cc.n_vecs,
+             (cc.n_vecs * 1000000 // tt.total)::BIGINT AS share_ppm
+      FROM cc, tt ORDER BY cell""")),
+    "q145_pq_code_stats" -> ((q145PqCodeStats _, s"""
+      $pqSqlPrefix,
+      allc AS (
+        ${(0 until PqM).map(m =>
+          s"SELECT $m AS m, c AS code, count(*) AS n_vecs FROM kf$m GROUP BY 2")
+          .mkString("\n        UNION ALL ")}),
+      tt AS (SELECT (sum(n_vecs) // $PqM) AS total FROM allc)
+      SELECT allc.m::BIGINT AS m, allc.code::BIGINT AS code, allc.n_vecs,
+             (allc.n_vecs * 1000000 // tt.total)::BIGINT AS share_ppm
+      FROM allc, tt ORDER BY m, code""")),
     "q137_pq_codes" -> ((q137PqCodes _, s"""
       $pqSqlPrefix
       SELECT k0.vec_id,

@@ -1584,7 +1584,38 @@ object TextOps {
       .orderBy("band")
   }
 
+  val PadLen = 128 // fixed-length batching target (tokens per sequence)
+
+  /** C5u fixed-length padding-waste audit (q146): per lang, the tokens a
+    * fixed-[[PadLen]] batcher burns as PAD and the tokens it loses to
+    * truncation — the measurement that justifies dynamic batching or the
+    * q91/q134 packed export (which exist precisely to reclaim this waste).
+    * One narrow scan + a per-lang aggregate; exact integers throughout
+    * (waste also as ppm of the padded volume, integer division). */
+  def q146PaddingWaste(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum(expr(s"$PadLen - least(n_tok, ${PadLen}L)")).as("pad_waste"),
+        sum(expr(s"greatest(0L, n_tok - $PadLen)")).as("trunc_loss"))
+      .withColumn("waste_ppm",
+        expr(s"pad_waste * 1000000 div (n_docs * $PadLen)"))
+      .orderBy("lang")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q146_padding_waste" -> ((q146PaddingWaste _, s"""
+      WITH t AS (SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tok
+                 FROM documents),
+      ag AS (SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+                    sum($PadLen - least(n_tok, $PadLen)) AS pad_waste,
+                    sum(greatest(0, n_tok - $PadLen)) AS trunc_loss
+             FROM t GROUP BY 1)
+      SELECT lang, n_docs, n_tokens::BIGINT AS n_tokens,
+             pad_waste::BIGINT AS pad_waste, trunc_loss::BIGINT AS trunc_loss,
+             (pad_waste * 1000000 // (n_docs * $PadLen))::BIGINT AS waste_ppm
+      FROM ag ORDER BY lang""")),
     "q139_length_outliers" -> ((q139LengthOutliers _, s"""
       WITH marg AS (SELECT source, n_chars AS v, count(*) AS c
                     FROM documents GROUP BY 1, 2),

@@ -357,6 +357,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("q144/q145 index-health reports partition the corpus exactly") {
+    val n = Tables.embeddings(spark, sf).count()
+    val (labels, _) = Similarity.kmeansFit(spark, sf)
+    val cells = Similarity.q144IvfCellStats(spark, sf).collect()
+    assert(cells.map(_.getAs[Long]("n_vecs")).sum == n,
+      "every vector lands in exactly one cell")
+    cells.foreach { r =>
+      assert(labels.contains(r.getAs[Long]("cell")))
+      assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("n_vecs") * 1000000L / n)
+    }
+    val fits = Similarity.pqFit(spark, sf)
+    val codes = Similarity.q145PqCodeStats(spark, sf).collect()
+    (0 until Similarity.PqM).foreach { m =>
+      val sub = codes.filter(_.getAs[Long]("m") == m)
+      assert(sub.map(_.getAs[Long]("n_vecs")).sum == n,
+        s"subspace $m does not partition the corpus")
+      sub.foreach(r => assert(fits(m)._1.contains(r.getAs[Long]("code"))))
+    }
+  }
+
   test("IVFADC: probed-cell candidates only, ADC-exact, true cell top-k") {
     val (labels, cents) = Similarity.kmeansFit(spark, sf)
     val fits = Similarity.pqFit(spark, sf)

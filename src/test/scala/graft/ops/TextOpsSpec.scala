@@ -935,6 +935,29 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q146 padding waste: pad/trunc identities at the PadLen boundary") {
+    import spark.implicits._
+    val shortDoc = ("a " * 10).trim            // 10 tokens -> pad 118
+    val exactDoc = ("b " * TextOps.PadLen).trim // exactly PadLen -> 0/0
+    val longDoc = ("c " * (TextOps.PadLen + 50)).trim // trunc 50
+    val docs = Seq(
+      (1L, shortDoc, "en", "s", 1L), (2L, exactDoc, "en", "s", 1L),
+      (3L, longDoc, "de", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q146PaddingWaste(spark, dir).collect()
+        .map(r => r.getAs[String]("lang") -> r).toMap
+      assert(out("en").getAs[Long]("pad_waste") == TextOps.PadLen - 10)
+      assert(out("en").getAs[Long]("trunc_loss") == 0L)
+      assert(out("de").getAs[Long]("pad_waste") == 0L)
+      assert(out("de").getAs[Long]("trunc_loss") == 50L)
+      val en = out("en")
+      assert(en.getAs[Long]("waste_ppm") ==
+        en.getAs[Long]("pad_waste") * 1000000L /
+          (en.getAs[Long]("n_docs") * TextOps.PadLen))
+    }
+  }
+
   test("q140 vocab growth: new types accrue by first-seen band") {
     import spark.implicits._
     // ids 0..3 over 20 bands -> bands 0, 5, 10, 15
