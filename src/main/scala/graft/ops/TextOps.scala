@@ -1505,6 +1505,54 @@ object TextOps {
   val MadCut = 3     // robust outlier cut: |x - median| > MadCut * MAD
   val VocabBands = 20 // doc_id bands for the vocabulary-growth profile
 
+  /** Weighted LOWER quantile on a (source, value)-count marginal: the
+    * smallest value whose cumulative count reaches ⌈n·num/den⌉ — ONE
+    * definition of the quantile convention shared by q139's medians
+    * (num/den = 1/2) and q147's winsorization cuts (5/100, 95/100), so
+    * engine and oracle can never disagree on ties or even counts. The
+    * window runs on the marginal (distinct values per source), never
+    * corpus rows. */
+  private def weightedLowerQuantile(m: DataFrame, tot: DataFrame, v: String,
+                                    num: Int, den: Int, out: String)
+      : DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("cum", sum("c").over(w))
+      .join(broadcast(tot), "source")
+      .filter(col("cum") >= expr(s"(n * $num + $den - 1) div $den"))
+      .groupBy("source").agg(min(col(v)).as(out))
+  }
+
+  /** C5v winsorized per-source length stats (q147): the robust companion
+    * of q139's outlier GATE — instead of flagging tails, clip them: p5/p95
+    * cuts (weighted lower quantiles on the same value-count marginal) and
+    * the exact winsorized char sum + clipped-doc count. The robust mean a
+    * corpus report should quote when a few giant docs would otherwise own
+    * the average. Same scale shape as q139: one exchange to the marginal,
+    * every window on bounded rows, exact integers end to end. */
+  def q147WinsorizedStats(s: SparkSession, d: String): DataFrame = {
+    val marg = documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds totals, both cuts AND the clip sums
+    val tot = marg.groupBy("source").agg(sum("c").as("n"))
+    val p05 = weightedLowerQuantile(marg, tot, "v", 5, 100, "p05_chars")
+    val p95 = weightedLowerQuantile(marg, tot, "v", 95, 100, "p95_chars")
+    marg.join(broadcast(p05), "source").join(broadcast(p95), "source")
+      .groupBy("source")
+      .agg(
+        sum(expr("least(greatest(v, p05_chars), p95_chars) * c"))
+          .as("win_sum_chars"),
+        sum(when(col("v") < col("p05_chars") ||
+            col("v") > col("p95_chars"), col("c")).otherwise(lit(0L)))
+          .as("n_clipped"),
+        max("p05_chars").as("p05_chars"), max("p95_chars").as("p95_chars"))
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("n").as("n_docs"), col("p05_chars"),
+        col("p95_chars"), col("win_sum_chars"), col("n_clipped"))
+      .orderBy("source")
+  }
+
   /** C5s robust per-source length outliers (q139): median and MAD
     * (median absolute deviation) of `n_chars`, plus how many docs sit
     * beyond [[MadCut]]·MAD — the outlier gate that, unlike the q119
@@ -1521,14 +1569,8 @@ object TextOps {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // feeds totals, two medians AND the outlier count
     val tot = marg.groupBy("source").agg(sum("c").as("n"))
-    def lowerMedian(m: DataFrame, v: String, out: String): DataFrame = {
-      val w = Window.partitionBy("source").orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      m.withColumn("cum", sum("c").over(w))
-        .join(broadcast(tot), "source")
-        .filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy("source").agg(min(col(v)).as(out))
-    }
+    def lowerMedian(m: DataFrame, v: String, out: String): DataFrame =
+      weightedLowerQuantile(m, tot, v, 1, 2, out)
     val med = lowerMedian(marg, "v", "med_chars")
     val dev = marg.join(broadcast(med), "source")
       .groupBy(col("source"), abs(col("v") - col("med_chars")).as("v"))
@@ -1616,6 +1658,29 @@ object TextOps {
              pad_waste::BIGINT AS pad_waste, trunc_loss::BIGINT AS trunc_loss,
              (pad_waste * 1000000 // (n_docs * $PadLen))::BIGINT AS waste_ppm
       FROM ag ORDER BY lang""")),
+    "q147_winsorized_stats" -> ((q147WinsorizedStats _, s"""
+      WITH marg AS (SELECT source, n_chars AS v, count(*) AS c
+                    FROM documents GROUP BY 1, 2),
+      tot AS (SELECT source, sum(c) AS n FROM marg GROUP BY 1),
+      cums AS (SELECT source, v, c,
+                      sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+               FROM marg),
+      p05 AS (SELECT x.source, min(x.v) AS p05 FROM cums x JOIN tot USING (source)
+              WHERE cum >= (n * 5 + 99) // 100 GROUP BY 1),
+      p95 AS (SELECT x.source, min(x.v) AS p95 FROM cums x JOIN tot USING (source)
+              WHERE cum >= (n * 95 + 99) // 100 GROUP BY 1),
+      wins AS (SELECT m.source,
+                      sum(least(greatest(m.v, p05.p05), p95.p95) * m.c) AS win_sum,
+                      sum(CASE WHEN m.v < p05.p05 OR m.v > p95.p95
+                               THEN m.c ELSE 0 END) AS n_clipped
+               FROM marg m JOIN p05 USING (source) JOIN p95 USING (source)
+               GROUP BY 1)
+      SELECT t.source, t.n::BIGINT AS n_docs, p05.p05::BIGINT AS p05_chars,
+             p95.p95::BIGINT AS p95_chars, w.win_sum::BIGINT AS win_sum_chars,
+             w.n_clipped::BIGINT AS n_clipped
+      FROM tot t JOIN p05 USING (source) JOIN p95 USING (source)
+                 JOIN wins w USING (source)
+      ORDER BY source""")),
     "q139_length_outliers" -> ((q139LengthOutliers _, s"""
       WITH marg AS (SELECT source, n_chars AS v, count(*) AS c
                     FROM documents GROUP BY 1, 2),

@@ -935,6 +935,22 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 winsorized stats: closed-form cuts and clip sums on 1..100") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, "x", "en", "u", i.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val r = TextOps.q147WinsorizedStats(spark, dir).collect().head
+      assert(r.getAs[Long]("n_docs") == 100L)
+      assert(r.getAs[Long]("p05_chars") == 5L)  // ceil(100*5/100) = 5th value
+      assert(r.getAs[Long]("p95_chars") == 95L)
+      // clipped: 1..4 below, 96..100 above
+      assert(r.getAs[Long]("n_clipped") == 9L)
+      // sum(5..95) + 4*5 + 5*95
+      assert(r.getAs[Long]("win_sum_chars") == (5 to 95).sum + 20L + 475L)
+    }
+  }
+
   test("q146 padding waste: pad/trunc identities at the PadLen boundary") {
     import spark.implicits._
     val shortDoc = ("a " * 10).trim            // 10 tokens -> pad 118
