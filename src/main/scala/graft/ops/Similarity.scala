@@ -1071,11 +1071,18 @@ object Similarity {
     * broadcast. Reading max(share_ppm)·K/1e6 gives the imbalance factor. */
   def q144IvfCellStats(s: SparkSession, d: String): DataFrame = {
     val (labels, cents) = kmeansFit(s, d)
-    val cells = quantized(s, d, QuantOffset)
+    val counts = quantized(s, d, QuantOffset)
       .select(labelAt(labels,
         element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1))
         .as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    // EVERY codebook cell reports — an empty cell (the wasted-slot alarm
+    // this monitor exists for) must surface as n_vecs = 0, not vanish
+    // from the groupBy output
+    val cells = s.range(1)
+      .select(explode(typedLit(labels.toSeq)).as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
     cells.crossJoin(broadcast(cells.agg(sum("n_vecs").as("total"))))
       .select(col("cell"), col("n_vecs"),
         expr("n_vecs * 1000000 div total").as("share_ppm"))
@@ -1091,12 +1098,19 @@ object Similarity {
     * is at most PqM·K rows. */
   def q145PqCodeStats(s: SparkSession, d: String): DataFrame = {
     val fits = pqFit(s, d)
-    val codes = quantized(s, d, QuantOffset)
+    val counts = quantized(s, d, QuantOffset)
       .select(explode(pqCodeArray(fits)).as("mc"))
       .select(col("mc.m").as("m"), col("mc.code").as("code"))
       .groupBy("m", "code").agg(count(lit(1)).as("n_vecs"))
+    // every (subspace, survivor code) reports, unused codes as 0 — the
+    // collapsed-subspace alarm must be visible in the output itself
+    val slots = s.range(1).select(explode(typedLit(
+        (0 until PqM).flatMap(m => fits(m)._1.map(c => (m, c))))).as("mc"))
+      .select(col("mc._1").as("m"), col("mc._2").as("code"))
+    val codes = slots.join(counts, Seq("m", "code"), "left")
+      .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
     codes.crossJoin(broadcast(
-        codes.groupBy().agg((sum("n_vecs") / PqM).cast("long").as("total"))))
+        codes.groupBy().agg(expr(s"sum(n_vecs) div $PqM").as("total"))))
       .select(col("m").cast("long").as("m"), col("code"), col("n_vecs"),
         expr("n_vecs * 1000000 div total").as("share_ppm"))
       .orderBy("m", "code")
@@ -1391,19 +1405,25 @@ object Similarity {
       ORDER BY cluster""")),
     "q144_ivf_cell_stats" -> ((q144IvfCellStats _, s"""
       $kmeansChainSql,
-      cc AS (SELECT c AS cell, count(*) AS n_vecs FROM kfin GROUP BY 1),
+      slots AS (SELECT DISTINCT c AS cell FROM c2),
+      occ AS (SELECT c AS cell, count(*) AS n FROM kfin GROUP BY 1),
+      cc AS (SELECT s.cell, coalesce(occ.n, 0) AS n_vecs
+             FROM slots s LEFT JOIN occ USING (cell)),
       tt AS (SELECT sum(n_vecs) AS total FROM cc)
-      SELECT cc.cell::BIGINT AS cell, cc.n_vecs,
+      SELECT cc.cell::BIGINT AS cell, cc.n_vecs::BIGINT AS n_vecs,
              (cc.n_vecs * 1000000 // tt.total)::BIGINT AS share_ppm
       FROM cc, tt ORDER BY cell""")),
     "q145_pq_code_stats" -> ((q145PqCodeStats _, s"""
       $pqSqlPrefix,
       allc AS (
-        ${(0 until PqM).map(m =>
-          s"SELECT $m AS m, c AS code, count(*) AS n_vecs FROM kf$m GROUP BY 2")
-          .mkString("\n        UNION ALL ")}),
+        ${(0 until PqM).map(m => s"""
+        SELECT $m AS m, s.code, coalesce(occ.n, 0) AS n_vecs
+        FROM (SELECT DISTINCT c AS code FROM c2_$m) s
+        LEFT JOIN (SELECT c AS code, count(*) AS n FROM kf$m GROUP BY 1) occ
+          USING (code)""").mkString("\n        UNION ALL ")}),
       tt AS (SELECT (sum(n_vecs) // $PqM) AS total FROM allc)
-      SELECT allc.m::BIGINT AS m, allc.code::BIGINT AS code, allc.n_vecs,
+      SELECT allc.m::BIGINT AS m, allc.code::BIGINT AS code,
+             allc.n_vecs::BIGINT AS n_vecs,
              (allc.n_vecs * 1000000 // tt.total)::BIGINT AS share_ppm
       FROM allc, tt ORDER BY m, code""")),
     "q137_pq_codes" -> ((q137PqCodes _, s"""

@@ -363,8 +363,9 @@ class SimilaritySpec extends AnyFunSuite {
     val cells = Similarity.q144IvfCellStats(spark, sf).collect()
     assert(cells.map(_.getAs[Long]("n_vecs")).sum == n,
       "every vector lands in exactly one cell")
+    // EVERY codebook slot reports (empty cells as 0 — the alarm row)
+    assert(cells.map(_.getAs[Long]("cell")).toSet == labels.toSet)
     cells.foreach { r =>
-      assert(labels.contains(r.getAs[Long]("cell")))
       assert(r.getAs[Long]("share_ppm") ==
         r.getAs[Long]("n_vecs") * 1000000L / n)
     }
@@ -374,7 +375,8 @@ class SimilaritySpec extends AnyFunSuite {
       val sub = codes.filter(_.getAs[Long]("m") == m)
       assert(sub.map(_.getAs[Long]("n_vecs")).sum == n,
         s"subspace $m does not partition the corpus")
-      sub.foreach(r => assert(fits(m)._1.contains(r.getAs[Long]("code"))))
+      assert(sub.map(_.getAs[Long]("code")).toSet == fits(m)._1.toSet,
+        s"subspace $m must report every survivor code, used or not")
     }
   }
 
