@@ -315,6 +315,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), pairJaccard.as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** C2x MinHash-estimate calibration (q148): per slot-match count, how
+    * the [[NumHashes]]-slot MinHash jaccard ESTIMATE tracks the exact
+    * shingle jaccard over the live candidate pairs — the
+    * trust-the-estimator report behind every threshold choice in the
+    * near-dup tier (the r6 cap calibration did this offline; this keeps
+    * it runnable as data drifts). Bands are the raw match counts
+    * (0..[[NumHashes]]), so est_ppm = n_match·1e6/NumHashes is exact by
+    * construction; the exact side rides the same memoized candidate list
+    * + shingle arrays q23 scores ([[candidatesWithShingles]]), and all
+    * means are exact integer ppm. Output is ≤ NumHashes+1 rows. */
+  def q148MinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val mh = minhashes(s, d)
+    val slotEq = (1 to NumHashes).map(i =>
+      expr(s"if(element_at(mh_a, $i) = element_at(mh_b, $i), 1L, 0L)"))
+      .reduce(_ + _)
+    candidatesWithShingles(s, d)
+      .join(mh.select(col("doc_id").as("id_a"), col("mh").as("mh_a")), "id_a")
+      .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
+      .select(slotEq.as("n_match"),
+        expr("size(array_intersect(sh_a, sh_b))").cast("long").as("ninter"),
+        expr("cast(size(sh_a) as long)").as("n_a"),
+        expr("cast(size(sh_b) as long)").as("n_b"))
+      .withColumn("true_ppm",
+        expr("ninter * 1000000 div (n_a + n_b - ninter)"))
+      .withColumn("est_ppm", col("n_match") * lit(1000000L / NumHashes))
+      .groupBy("n_match", "est_ppm")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(true_ppm) div count(1)").as("mean_true_ppm"),
+        expr("sum(abs(est_ppm - true_ppm)) div count(1)")
+          .as("mean_abs_err_ppm"))
+      .orderBy("n_match")
+  }
+
   /** A pair is a containment dup when either doc's shingle set is ≥ 90%
     * inside the other — the "small doc embedded in a big doc" case. */
   val ContainDup = 0.9
@@ -1699,6 +1732,33 @@ object Dedup {
       SELECT incoming_id, corpus_id, 'near' AS match_kind, est_jaccard
       FROM near
       ORDER BY incoming_id, corpus_id"""
+    })),
+    "q148_minhash_calibration" -> ((q148MinhashCalibration _, {
+      val slotMatches = (0 until NumHashes).map(i =>
+        s"(x.mh$i = y.mh$i)::INT").mkString(" + ")
+      s"""
+      $minhashCandCtes,
+      $interCte,
+      cal AS (
+        SELECT c.id_a, c.id_b, ($slotMatches) AS n_match,
+               coalesce(i.ninter, 0) AS ninter,
+               sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM cand c
+        JOIN mh x ON x.doc_id = c.id_a
+        JOIN mh y ON y.doc_id = c.id_b
+        JOIN shs sa ON sa.doc_id = c.id_a
+        JOIN shs sb ON sb.doc_id = c.id_b
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b),
+      cal2 AS (
+        SELECT n_match, n_match * ${1000000L / NumHashes} AS est_ppm,
+               (ninter * 1000000) // (n_a + n_b - ninter) AS true_ppm
+        FROM cal)
+      SELECT n_match::BIGINT AS n_match, est_ppm::BIGINT AS est_ppm,
+             count(*) AS n_pairs,
+             (sum(true_ppm) // count(*))::BIGINT AS mean_true_ppm,
+             (sum(abs(est_ppm - true_ppm)) // count(*))::BIGINT
+               AS mean_abs_err_ppm
+      FROM cal2 GROUP BY 1, 2 ORDER BY n_match"""
     })),
     "q108_ngram_jaccard" -> ((q108NgramJaccard _, s"""
       $minhashCandCtes,

@@ -523,6 +523,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q148 calibration: exact ppm bands, full candidate coverage, correlated") {
+    val rows = Dedup.q148MinhashCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_match")
+      assert(m >= 0 && m <= Dedup.NumHashes)
+      assert(r.getAs[Long]("est_ppm") == m * (1000000L / Dedup.NumHashes))
+      val t = r.getAs[Long]("mean_true_ppm")
+      assert(t >= 0 && t <= 1000000L)
+      assert(r.getAs[Long]("mean_abs_err_ppm") >= 0)
+    }
+    // every candidate pair lands in exactly one band
+    val nCand = Dedup.q23DedupMinhash(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nCand)
+    // the estimator correlates: the highest-match band's true jaccard
+    // must not trail the lowest band's
+    val sorted = rows.sortBy(_.getAs[Long]("n_match"))
+    assert(sorted.last.getAs[Long]("mean_true_ppm") >=
+      sorted.head.getAs[Long]("mean_true_ppm"))
+  }
+
   test("q142 sketch overlap: exact mode holds I-E identities and the 5% gate") {
     spark.conf.set(Similarity.ExactCheckConf, "true")
     try {
