@@ -873,13 +873,16 @@ object Dedup {
     * heavy derivation (df-capped inverted index + pair-keyed aggregation),
     * consumed standalone AND by q109's recall compare. */
   private val truthCache = new SessionMemo(MaxCachedCorpora)
+  private val srcShingleCache = new SessionMemo(MaxCachedCorpora)
 
-  /** Drop memoized cluster assignments, candidate pairs, and n-gram truth
-    * (all sessions) — for corpus refresh within a live session. */
+  /** Drop memoized cluster assignments, candidate pairs, n-gram truth and
+    * source-shingle relations (all sessions) — for corpus refresh within a
+    * live session. */
   def invalidateClusterCache(): Unit = {
     labelCache.invalidate()
     pairCache.invalidate()
     truthCache.invalidate()
+    srcShingleCache.invalidate()
   }
 
   /** Test hook: how many label propagations have actually run. */
@@ -1164,14 +1167,16 @@ object Dedup {
     * bounded by the source count, never the corpus. The deduped relation
     * feeds the sizes rollup AND both join sides — checkpointed so the
     * shingle explosion runs once (the q72 lesson). */
-  /** The distinct (source, shingle) relation, checkpointed — ONE corpus
-    * scan + shingle explode serving both q81's exact matrix and q142's
-    * exact-mode gate, so the two can never tokenize differently. */
+  /** The distinct (source, shingle) relation, checkpointed AND memoized
+    * per (session, corpus) — ONE corpus scan + shingle explode genuinely
+    * serves both q81's exact matrix and q142's exact-mode gate (they also
+    * cannot tokenize differently: one definition). */
   private def distinctSourceShingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("source"), explode(expr("word_shingles(text)")).as("sh"))
-      .distinct()
-      .localCheckpoint(true)
+    srcShingleCache.getOrElseUpdate(s, d)(
+      documents(s, d)
+        .select(col("source"), explode(expr("word_shingles(text)")).as("sh"))
+        .distinct()
+        .localCheckpoint(true))
 
   def q81SourceOverlap(s: SparkSession, d: String): DataFrame = {
     val sh = distinctSourceShingles(s, d)
@@ -1206,8 +1211,7 @@ object Dedup {
     * is exactly why the gate sits on the union. Verify mode emits the
     * exact counts (oracle-stable); production emits the estimates. */
   def q142SketchOverlap(s: SparkSession, d: String): DataFrame = {
-    val exactMode =
-      s.conf.getOption(graft.ops.Similarity.ExactCheckConf).contains("true")
+    val exactMode = Similarity.validateExact(s)
     // production: sketch straight off the raw shingle stream (HLL of the
     // multiset == HLL of the distinct set — no distinct shuffle at all);
     // exact mode: reuse the ONE checkpointed distinct relation for both

@@ -201,6 +201,12 @@ object Similarity {
     // ivf tier mostly reflects quantization loss, though the two probe
     // metrics can pick different cells for boundary queries when centroid
     // norms differ)
+    // matched-k contract: the ivfadc tier emits PqAdcK rows per query and
+    // is scored against the LshK-truth — pin the equality so tuning one
+    // dial cannot silently break the comparison (the tier() divisor and
+    // the oracle both assume it)
+    require(PqAdcK == LshK,
+      s"q105 compares tiers at matched k: PqAdcK ($PqAdcK) must equal LshK ($LshK)")
     tier("ivf", knnIvf(s, d, LshK))
       .unionAll(tier("lsh", q26KnnLsh(s, d)))
       .unionAll(tier("ivfadc", q141Ivfadc(s, d)))
@@ -373,7 +379,7 @@ object Similarity {
     * branch, never accidentally run the exact pass the sketch exists to
     * avoid. */
   val ExactCheckConf = "spark.graft.exactCheck"
-  private def validateExact(s: SparkSession): Boolean =
+  private[ops] def validateExact(s: SparkSession): Boolean =
     s.conf.getOption(ExactCheckConf).contains("true")
 
   /** C4 approximate distinct: HLL++ `approx_count_distinct` (rsd 1%). Under
@@ -1083,6 +1089,7 @@ object Similarity {
       .select(explode(typedLit(labels.toSeq)).as("cell"))
       .join(counts, Seq("cell"), "left")
       .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
+      .localCheckpoint(true) // K rows; both crossJoin sides read them, not the corpus scan
     cells.crossJoin(broadcast(cells.agg(sum("n_vecs").as("total"))))
       .select(col("cell"), col("n_vecs"),
         expr("n_vecs * 1000000 div total").as("share_ppm"))
@@ -1109,6 +1116,7 @@ object Similarity {
       .select(col("mc._1").as("m"), col("mc._2").as("code"))
     val codes = slots.join(counts, Seq("m", "code"), "left")
       .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
+      .localCheckpoint(true) // PqM*K rows; both crossJoin sides read them, not the corpus scan
     codes.crossJoin(broadcast(
         codes.groupBy().agg(expr(s"sum(n_vecs) div $PqM").as("total"))))
       .select(col("m").cast("long").as("m"), col("code"), col("n_vecs"),

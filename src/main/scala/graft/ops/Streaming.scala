@@ -348,11 +348,14 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val all = graft.ops.Similarity.annIndexRows(batch.toDF(), coarse, pq)
-        // foreachBatch is at-least-once: a replayed epoch must not append
-        // duplicate index rows (a duplicated vector would occupy two
-        // candidate slots in every probe of its cell) — same anti-join
-        // guard as dedupedSinkToLake's fingerprint table
+        // at-least-once delivery can duplicate a vector WITHIN one batch
+        // (redelivery inside the epoch) and ACROSS epochs (replay after a
+        // crash); a duplicated vector would occupy two candidate slots in
+        // every probe of its cell, so both paths are guarded — the same
+        // intra-batch dedup + persisted-key anti-join pair as
+        // dedupedSinkToLake
+        val all = graft.ops.Similarity
+          .annIndexRows(batch.dropDuplicates("vec_id").toDF(), coarse, pq)
         val rows =
           if (catalog.tableExists(ns, table))
             all.join(catalog.load(ns, table).select("vec_id"),

@@ -80,7 +80,9 @@ class CodebookPersistenceSpec extends AnyFunSuite {
     val q = Streaming.annIngestSink(b, sf,
       in.toDF().toDF("vec_id", "embedding"), cat, ns, "ann_index", ckpt)
     try {
-      in.addData(sample.take(2).toSeq)
+      // epoch 1 carries an INTRA-batch duplicate (at-least-once redelivery
+      // inside the epoch) — it must index once
+      in.addData((sample.take(2) :+ sample.head).toSeq)
       q.processAllAvailable()
       in.addData(sample.drop(2).toSeq) // epoch 2 appends
       q.processAllAvailable()
