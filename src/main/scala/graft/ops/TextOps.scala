@@ -1646,7 +1646,48 @@ object TextOps {
         expr(s"pad_waste * 1000000 div (n_docs * $PadLen)"))
       .orderBy("lang")
 
+  /** C8s skyline / Pareto frontier (q149): documents not DOMINATED on the
+    * (token count, lexical diversity) plane — a ≥ b on both axes with one
+    * strict — the multi-criteria selection primitive behind "keep the
+    * longest AND most diverse exemplars" curation (skyline queries in
+    * Spark SQL: EDBT 2023, PAPERS.md; the operator Spark itself lacks).
+    *
+    * Shape — NO quadratic dominance join and NO corpus-row window: for 2D
+    * skylines, a point survives iff its y equals the max y at its x AND
+    * strictly exceeds every higher-x max. So the frontier computes on the
+    * (x, max y) MARGINAL (one exchange, bounded by distinct token counts
+    * — the q139/q122 marginal class), ONE window over that marginal finds
+    * the frontier x's, and the skyline-sized result broadcasts back to
+    * tag the surviving rows. Same-signal definitions as q122 (ONE ttr). */
+  def q149ParetoFrontier(s: SparkSession, d: String): DataFrame = {
+    val sig = documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), size(col("t")).cast("long").as("x"),
+        round(ttrFromTokens(col("t")) * lit(10000)).cast("long").as("y"))
+    val marg = sig.groupBy("x").agg(max("y").as("ymax"))
+      .localCheckpoint(true) // distinct-x rows; feeds the window AND the tag join
+    val w = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val skyx = marg.withColumn("prevmax", max("ymax").over(w))
+      .filter(col("prevmax").isNull || col("ymax") > col("prevmax"))
+      .select(col("x").as("sky_x"), col("ymax").as("sky_y"))
+    sig.join(broadcast(skyx),
+        col("x") === col("sky_x") && col("y") === col("sky_y"))
+      .select(col("doc_id"), col("x"), col("y"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q149_pareto_frontier" -> ((q149ParetoFrontier _, s"""
+      WITH sig AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS x,
+               cast(round(($TtrSql) * 10000) AS BIGINT) AS y
+        FROM documents)
+      SELECT s.doc_id, s.x, s.y FROM sig s
+      WHERE NOT EXISTS (SELECT 1 FROM sig d
+                        WHERE d.x >= s.x AND d.y >= s.y
+                          AND (d.x > s.x OR d.y > s.y))
+      ORDER BY doc_id""")),
     "q146_padding_waste" -> ((q146PaddingWaste _, s"""
       WITH t AS (SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tok
                  FROM documents),

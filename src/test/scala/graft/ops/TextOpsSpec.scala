@@ -935,6 +935,36 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 pareto frontier: dominance closed-form, ties kept, marginal window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a", "en", "s", 5L),         // (3, 3333)  dominated by doc 4
+      (2L, "a b c", "en", "s", 5L),         // (3, 10000) dominated by doc 3
+      (3L, "a b c d e", "en", "s", 9L),     // (5, 10000) frontier
+      (4L, "a a b b c c d d", "en", "s", 15L), // (8, 5000) frontier
+      (5L, "b c a d e", "en", "s", 9L)      // (5, 10000) frontier (tie of 3)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val out = TextOps.q149ParetoFrontier(spark, dir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(out == Set(3L, 4L, 5L), s"frontier was $out")
+    }
+    // scale contract: the frontier window runs on the (x, max y) marginal
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val plan = TextOps.q149ParetoFrontier(spark, sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 1, plan.toString.take(2000))
+    val bounded = windows.head.child.collectFirst {
+      case a: Aggregate => a: Any
+      case r: LogicalRDD => r: Any
+    }
+    assert(bounded.nonEmpty,
+      "frontier window has no bounded input:\n" + windows.head.toString.take(1500))
+    assert(!windows.head.child.toString.contains("parquet"),
+      "frontier window reads raw corpus rows")
+  }
+
   test("q147 winsorized stats: closed-form cuts and clip sums on 1..100") {
     import spark.implicits._
     val docs = (1 to 100).map(i => (i.toLong, "x", "en", "u", i.toLong))
