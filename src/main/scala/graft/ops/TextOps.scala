@@ -254,6 +254,48 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  val WeightedSampleK = 3 // weighted draws per source
+
+  /** C5w weighted sampling without replacement (q150): Efraimidis &
+    * Spirakis 2006 — per source, the [[WeightedSampleK]] docs winning the
+    * exponential race `-ln(u)/w` (u a deterministic md5 uniform, w the
+    * quality weight round(ttr·1e4)+1), which IS a weight-proportional
+    * draw without replacement. This is the op that CONSUMES sampling
+    * weights (q76 tempers sources, q136 produces dup-aware weights;
+    * nothing drew with them); one distributed pass, per-partition bounded
+    * top-k ([[StratSampleAgg]] — no per-source window, no full-source
+    * buffering), exactly the q57/q97 scale shape. The race key rounds to
+    * integer micro-units BEFORE ranking so both engines rank identical
+    * keys (ln differs by ≤1 ulp across libms; at 1e-6 granularity a
+    * boundary flip needs a ~1e-8 coincidence — and the oracle gate would
+    * catch it). */
+  def q150WeightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keyed = documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("source"), col("doc_id"),
+        (round(ttrFromTokens(col("t")) * lit(10000)).cast("long") + lit(1L))
+          .as("w"))
+      .select(col("source"),
+        expr("cast(round(-ln((cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) + 1) / 4294967296.0) / w * 1000000) as bigint)")
+          .as("nk"),
+        col("doc_id"), col("w"))
+    val agg = new StratSampleAgg(WeightedSampleK).toColumn.name("top")
+    val kept = keyed.select("source", "nk", "doc_id").as[(String, Long, Long)]
+      .groupByKey(_._1).agg(agg)
+      .flatMap { case (source, buf) =>
+        buf.items.zipWithIndex.map { case ((_, id), i) =>
+          (source, (i + 1).toLong, id)
+        }
+      }
+      .toDF("source", "rnk", "doc_id")
+    // the KEPT set (sources x k rows) broadcasts; the corpus-sized weight
+    // frame streams — q97's join direction
+    keyed.select("doc_id", "w").join(broadcast(kept), "doc_id")
+      .select(col("source"), col("rnk"), col("doc_id"), col("w").as("weight"))
+      .orderBy("source", "rnk")
+  }
+
   val SourceCap = 20
 
   /** C5 per-source quota (the "domain cap" of web-corpus curation: no
@@ -1678,6 +1720,22 @@ object TextOps {
   }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q150_weighted_sample" -> ((q150WeightedSample _, s"""
+      WITH sc AS (
+        SELECT source, doc_id,
+               cast(round(($TtrSql) * 10000) AS BIGINT) + 1 AS w
+        FROM documents),
+      keyed AS (
+        SELECT source, doc_id, w,
+               cast(round(-ln((('0x'||substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                     / 4294967296.0) / w * 1000000) AS BIGINT) AS nk
+        FROM sc),
+      rk AS (SELECT source, doc_id, w,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY nk, doc_id) AS rnk
+             FROM keyed)
+      SELECT source, rnk::BIGINT AS rnk, doc_id, w AS weight FROM rk
+      WHERE rnk <= $WeightedSampleK ORDER BY source, rnk""")),
     "q149_pareto_frontier" -> ((q149ParetoFrontier _, s"""
       WITH sig AS (
         SELECT doc_id, len(string_split(text, ' '))::BIGINT AS x,

@@ -935,6 +935,35 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q150 weighted sample: ES race replicated in-JVM, k per source, no window") {
+    def key(docId: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(md, 16) + 1).toDouble / 4294967296.0
+      math.round(-math.log(u) / w * 1000000)
+    }
+    val docs = Tables.documents(spark, sf).collect()
+    val ref = docs.map { r =>
+      val toks = r.getAs[String]("text").split(" ")
+      val w = math.round(toks.distinct.length.toDouble / toks.length * 10000) + 1
+      (r.getAs[String]("source"), key(r.getAs[Long]("doc_id"), w),
+        r.getAs[Long]("doc_id"), w)
+    }
+    val expect = ref.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      rs.sortBy(t => (t._2, t._3)).take(TextOps.WeightedSampleK).zipWithIndex
+        .map { case (t, i) => (src, (i + 1).toLong, t._3, t._4) }
+    }.toSet
+    val got = TextOps.q150WeightedSample(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("weight"))).toSet
+    assert(got == expect)
+    // bounded aggregator, not a per-source window sort
+    val plan = TextOps.q150WeightedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("q149 pareto frontier: dominance closed-form, ties kept, marginal window") {
     import spark.implicits._
     val docs = Seq(
