@@ -687,7 +687,12 @@ object Similarity {
     * [[graft.ops.Dedup.dupLabels]] pattern. */
   /** One lock guards BOTH fit memos: the joint trainer fills the two maps
     * together, and independent per-map locks would deadlock (kmeansFit
-    * takes coarse→pq, pqFit pq→coarse). */
+    * takes coarse→pq, pqFit pq→coarse). The lock is held across the
+    * training jobs — as the per-map locks already were for same-family
+    * fits — so a concurrent PQ fit/install now also waits on an in-flight
+    * coarse training; acceptable for the session-serial consumers this
+    * repo runs (swap for per-(session, dir) striping if concurrent
+    * multi-corpus sessions ever matter). */
   private val fitLock = new Object
 
   private[ops] def kmeansFit(s: SparkSession, d: String): (Array[Long], Array[Array[Long]]) =
@@ -840,16 +845,21 @@ object Similarity {
     * its fixed-job-overhead stack while producing BIT-IDENTICAL results
     * to the solo trainers (same seeds, same assignment kernels, same
     * integer means — [[PqFitProps]] pins the PQ side against an
-    * independent reference). Solo trainers remain for the install paths
-    * (one quantizer restored from the lake must not retrain the other). */
+    * independent reference). Tradeoff, accepted knowingly: a session that
+    * only ever consumes ONE quantizer still trains both (the fused pass
+    * explodes 128 dim-rows/vector instead of 64 and runs 4 extra compiled
+    * kernels) — every registered consumer chain here needs both within a
+    * run, and the absolute cost is two bounded scans. Solo trainers
+    * remain for the install paths (one quantizer restored from the lake
+    * must not retrain the other). */
   private def computeJointFit(s: SparkSession, d: String)
       : ((Array[Long], Array[Array[Long]]),
          Array[(Array[Long], Array[Array[Long]])]) = {
     kmeansFits.incrementAndGet()
     pqFits.incrementAndGet()
     val q = quantized(s, d, QuantOffset)
-    val seedRows = q.orderBy("vec_id").limit(KMeansK).select("q").collect()
-      .map(_.getSeq[Long](0).toArray)
+    val seedRows = seedCentroids(q) // ONE seed rule (shared collect)
+    val coarseDims = seedRows.headOption.map(_.length).getOrElse(0)
     var cLabels: Array[Long] = (0 until KMeansK).map(_.toLong).toArray
     var cCents: Array[Array[Long]] = seedRows.map(_.clone)
     var pLabels: Array[Array[Long]] =
@@ -889,7 +899,7 @@ object Similarity {
       }
       val (ncl, ncc) = updated(
         byM.getOrElse(-1, Array.empty[org.apache.spark.sql.Row]),
-        cCents.head.length, cLabels)
+        coarseDims, cLabels)
       cLabels = ncl; cCents = ncc
       val upd = (0 until PqM).map(m => updated(
         byM.getOrElse(m, Array.empty[org.apache.spark.sql.Row]),
@@ -994,10 +1004,9 @@ object Similarity {
       : Array[(Array[Long], Array[Array[Long]])] = {
     pqFits.incrementAndGet()
     val q = quantized(s, d, QuantOffset)
-    // seed: the K lowest vec_ids' subvectors — all subspaces, ONE K-row
-    // collect (deterministic, oracle-reproducible; see seedCentroids)
-    val seedRows = q.orderBy("vec_id").limit(KMeansK).select("q").collect()
-      .map(_.getSeq[Long](0).toArray)
+    // seed: the K lowest vec_ids' subvectors — all subspaces from the ONE
+    // seed rule (deterministic, oracle-reproducible)
+    val seedRows = seedCentroids(q)
     var labels: Array[Array[Long]] =
       Array.fill(PqM)((0 until KMeansK).map(_.toLong).toArray)
     var cents: Array[Array[Array[Long]]] = Array.tabulate(PqM)(m =>

@@ -260,9 +260,12 @@ object TextOps {
     * Spirakis 2006 — per source, the [[WeightedSampleK]] docs winning the
     * exponential race `-ln(u)/w` (u a deterministic md5 uniform, w the
     * quality weight round(ttr·1e4)+1), which IS a weight-proportional
-    * draw without replacement. This is the op that CONSUMES sampling
-    * weights (q76 tempers sources, q136 produces dup-aware weights;
-    * nothing drew with them); one distributed pass, per-partition bounded
+    * draw without replacement. This is the DRAWER the weight-producing
+    * ops lacked (q76 tempers sources, q136 emits dup-aware weights —
+    * neither executes a draw); the registered form weights by the
+    * self-contained quality signal round(ttr·1e4)+1, and any per-doc
+    * weight column (q136's ppm included) slots into the same race by
+    * swapping `w`. One distributed pass, per-partition bounded
     * top-k ([[StratSampleAgg]] — no per-source window, no full-source
     * buffering), exactly the q57/q97 scale shape. The race key rounds to
     * integer micro-units BEFORE ranking so both engines rank identical
