@@ -964,6 +964,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("q150 draws are weight-proportional, not just formula-parity") {
+    // the parity test and the oracle MIRROR the same formula, so a shared
+    // sign/inversion error would pass both — this pins the DIRECTION:
+    // a ~500x-weight doc must win its source's race almost always
+    import spark.implicits._
+    val docs = (0 until 20).flatMap { src =>
+      val heavy = (src * 100L, (1 to 50).map(i => s"w$i").mkString(" "),
+        "en", s"s$src", 1L) // all-distinct -> ttr 1.0 -> w = 10001
+      val lights = (1 to 9).map(j =>
+        (src * 100L + j, Seq.fill(500)("a").mkString(" "),
+          "en", s"s$src", 1L)) // ttr 0.002 -> w = 21
+      heavy +: lights
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocs(docs) { dir =>
+      val firsts = TextOps.q150WeightedSample(spark, dir).collect()
+        .filter(_.getAs[Long]("rnk") == 1L)
+      assert(firsts.length == 20)
+      val heavyWins = firsts.count(_.getAs[Long]("doc_id") % 100 == 0)
+      // P(heavy first) = 10001/(10001 + 9*21) = 0.98 per source;
+      // 16/20 leaves a wide margin while a direction flip scores ~0
+      assert(heavyWins >= 16, s"heavy docs won only $heavyWins/20 races")
+    }
+  }
+
   test("q149 pareto frontier: dominance closed-form, ties kept, marginal window") {
     import spark.implicits._
     val docs = Seq(
