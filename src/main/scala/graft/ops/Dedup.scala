@@ -888,9 +888,15 @@ object Dedup {
   /** Test hook: how many label propagations have actually run. */
   private[ops] val propagationRuns = new java.util.concurrent.atomic.AtomicLong
 
-  private def computeDupLabels(s: SparkSession, d: String): DataFrame = {
+  private def computeDupLabels(s: SparkSession, d: String): DataFrame =
+    propagateMinLabels(s, minhashCandidates(s, d, Some(DefaultMaxBucket)))
+
+  /** Distributed min-label propagation over ANY (id_a, id_b) pair frame —
+    * the connected-components core extracted from the text dup-cluster
+    * path so other pair sources (q151's pHash near-dup pairs) reuse ONE
+    * convergence loop, checkpoint discipline and observe-metric probe. */
+  private[ops] def propagateMinLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     propagationRuns.incrementAndGet()
-    val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)

@@ -277,6 +277,23 @@ object Multimodal {
     val hashed = envelope(s, d)
       .select(col("doc_id"), expr("dhash64(bytes)").as("ph"))
       .localCheckpoint(true)
+    val mates = phashPairStream(hashed)
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("nm"), min(col("ham")).as("mh"))
+    hashed.join(mates, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ph"),
+        coalesce(col("nm"), lit(0L)).as("n_bucket_mates"),
+        col("mh").as("min_hamming"),
+        coalesce(col("mh") <= MaxPhashHamming, lit(false)).as("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** The capped, chunk16-banded ordered pHash pair stream — (id_a, id_b,
+    * ham) for every bucket-mate pair, each ordered pair exactly once (the
+    * smallest-shared-chunk cascade, decided in-row from the carried
+    * hashes — no blocking distinct). ONE definition feeds q96's per-doc
+    * rollup and q151's cluster propagation. */
+  private def phashPairStream(hashed: DataFrame): DataFrame = {
     val chunks = hashed.select(col("doc_id"), col("ph"),
       posexplode(expr(
         "transform(sequence(0,3), j -> shiftright(ph, 16 * j) & 65535)"))
@@ -287,7 +304,7 @@ object Multimodal {
       col("doc_id").as("id_a"), col("ph").as("ph_a"))
     val r = bounded.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_b"), col("ph").as("ph_b"))
-    val mates = l.join(r, Seq("chunk", "ckey"))
+    l.join(r, Seq("chunk", "ckey"))
       .filter(col("id_a") =!= col("id_b"))
       // keep each ordered pair only at its SMALLEST shared chunk — decided
       // in-row from ph_a/ph_b (already carried), no blocking distinct over
@@ -300,23 +317,43 @@ object Multimodal {
           |        chunk = 2 OR
           |        (shiftright(ph_a, 32) & 65535) != (shiftright(ph_b, 32) & 65535)))))"""
           .stripMargin))
-      .groupBy(col("id_a").as("doc_id"))
-      .agg(count(lit(1)).as("nm"),
-        min(expr("bit_count(ph_a ^ ph_b)")).cast("long").as("mh"))
-    hashed.join(mates, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("ph"),
-        coalesce(col("nm"), lit(0L)).as("n_bucket_mates"),
-        col("mh").as("min_hamming"),
-        coalesce(col("mh") <= MaxPhashHamming, lit(false)).as("is_near_dup"))
-      .orderBy("doc_id")
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(ph_a ^ ph_b) as long)").as("ham"))
+  }
+
+  /** C6g pHash duplicate clusters: connected components over the near-dup
+    * pair graph q96 scores — the image-dedup CLUSTER report (which
+    * perceptual variants collapse together, who the keeper is) that turns
+    * q96's pairwise audit into an executable drop list, the same step q70
+    * performs for text dups. Pairs come from the one [[phashPairStream]]
+    * (capped, exact-by-pigeonhole at Hamming ≤ [[MaxPhashHamming]]);
+    * clustering reuses [[graft.ops.Dedup.propagateMinLabels]] — the
+    * checkpointed min-label propagation with its convergence probe — and
+    * the q70 report shape ([[graft.ops.Dedup.clustersOf]]). Docs with no
+    * near-dup mate are absent by design (singletons carry no action).
+    *
+    * NOT a registered query: the synthetic corpus contains no
+    * sub-threshold pHash pairs (measured min Hamming among bucket mates
+    * is 19), so a registered row would verify nothing but 0 == 0; the
+    * component composes two already-oracle-checked chains (q96's pair
+    * stream, q70's propagation) and its own math is spec-proven on a
+    * crafted fixture (MultimodalSpec). */
+  def phashClusters(s: SparkSession, d: String): DataFrame = {
+    val hashed = envelope(s, d)
+      .select(col("doc_id"), expr("dhash64(bytes)").as("ph"))
+      .localCheckpoint(true)
+    val nd = phashPairStream(hashed)
+      .filter(col("ham") <= MaxPhashHamming && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    Dedup.clustersOf(Dedup.propagateMinLabels(s, nd))
   }
 
   /** DuckDB-side dHash recomputation: bit k (k = r*8+c) compares sampled
     * bytes at grid cells g=r*9+c and g+1, sample offset floor(n*g/72); the
     * sign bit (k=63) cannot be built by `1 << 63` under DuckDB's checked
     * shift, so it ORs the Long.MinValue literal instead. */
-  private def phashOracle: String = s"""
-      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+  private def phashPairCtes: String = s"""
+      d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
                  FROM documents),
       bits AS (
         SELECT d.doc_id,
@@ -350,7 +387,10 @@ object Multimodal {
             a.chunk = 1 OR (
               ((a.ph >> 16) & 65535) != ((b.ph >> 16) & 65535) AND (
                 a.chunk = 2 OR
-                ((a.ph >> 32) & 65535) != ((b.ph >> 32) & 65535)))))),
+                ((a.ph >> 32) & 65535) != ((b.ph >> 32) & 65535))))))"""
+
+  private def phashOracle: String = s"""
+      WITH $phashPairCtes,
       agg AS (SELECT id_a, count(*) AS nm, min(ham) AS mh
               FROM mates GROUP BY id_a)
       SELECT h.doc_id, h.ph, coalesce(a.nm, 0) AS n_bucket_mates,

@@ -162,4 +162,30 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("phash clusters: identical payloads collapse, singletons absent") {
+    import spark.implicits._
+    // two exact-payload families (Hamming 0 within each) + one unique doc
+    val a = "the quick brown fox jumps over the lazy dog once more today ok"
+    val b = "completely different payload bytes for the second family here yo"
+    val docs = Seq(
+      (1L, a, "en", "s", 1L), (2L, a, "en", "s", 1L), (3L, a, "en", "s", 1L),
+      (4L, b, "en", "s", 1L), (5L, b, "en", "s", 1L),
+      (6L, "a singleton with no perceptual twin anywhere in this corpus x",
+        "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("phashcc").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.phashClusters(spark, dir).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (c, rs) => c -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    assert(byCluster == Map(1L -> Set(1L, 2L, 3L), 4L -> Set(4L, 5L)),
+      s"clusters were $byCluster")
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_keeper") ==
+        (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
+      assert(r.getAs[Long]("cluster_size") ==
+        byCluster(r.getAs[Long]("cluster_id")).size)
+    }
+  }
 }
