@@ -10,6 +10,7 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [prefix,prefix,...]")
     }
     def keep(name: String): Boolean =
       only.forall(_.exists(name.startsWith))

@@ -321,8 +321,10 @@ object Dedup {
     * trust-the-estimator report behind every threshold choice in the
     * near-dup tier (the r6 cap calibration did this offline; this keeps
     * it runnable as data drifts). Bands are the raw match counts
-    * (0..[[NumHashes]]), so est_ppm = n_match·1e6/NumHashes is exact by
-    * construction; the exact side rides the same memoized candidate list
+    * (0..[[NumHashes]]), so est_ppm = n_match·1e6 floor-div NumHashes is
+    * exact by construction at any NumHashes (per-row integer division on
+    * BOTH engines — no precomputed constant that silently degrades when
+    * NumHashes stops dividing 1e6); the exact side rides the same memoized candidate list
     * + shingle arrays q23 scores ([[candidatesWithShingles]]), and all
     * means are exact integer ppm. Output is ≤ NumHashes+1 rows. */
   def q148MinhashCalibration(s: SparkSession, d: String): DataFrame = {
@@ -339,7 +341,7 @@ object Dedup {
         expr("cast(size(sh_b) as long)").as("n_b"))
       .withColumn("true_ppm",
         expr("ninter * 1000000 div (n_a + n_b - ninter)"))
-      .withColumn("est_ppm", col("n_match") * lit(1000000L / NumHashes))
+      .withColumn("est_ppm", expr(s"n_match * 1000000 div $NumHashes"))
       .groupBy("n_match", "est_ppm")
       .agg(count(lit(1)).as("n_pairs"),
         expr("sum(true_ppm) div count(1)").as("mean_true_ppm"),
@@ -1760,7 +1762,7 @@ object Dedup {
         JOIN shs sb ON sb.doc_id = c.id_b
         LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b),
       cal2 AS (
-        SELECT n_match, n_match * ${1000000L / NumHashes} AS est_ppm,
+        SELECT n_match, (n_match * 1000000) // $NumHashes AS est_ppm,
                (ninter * 1000000) // (n_a + n_b - ninter) AS true_ppm
         FROM cal)
       SELECT n_match::BIGINT AS n_match, est_ppm::BIGINT AS est_ppm,

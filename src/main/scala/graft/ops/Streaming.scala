@@ -338,7 +338,15 @@ object Streaming {
     * query starts ([[graft.ops.Similarity.trainedQuantizers]] resolves them
     * from `s`'s memo, never from the per-epoch cloned session); each batch
     * is one compiled projection + a lake append — the streaming face of
-    * the q141 index build, mirroring [[indexDedupSink]]'s shape. */
+    * the q141 index build, mirroring [[indexDedupSink]]'s shape.
+    *
+    * Replay-guard cost, accepted knowingly: the anti-join reads the FULL
+    * persisted index table every epoch (the dedupedSinkToLake shape), so
+    * per-epoch read cost grows linearly with the table over the stream's
+    * lifetime. For a long-lived ingest of a large index, bound it — keep a
+    * compact key-only companion table (vec_id sorted/bucketed so the
+    * anti-join prunes to the probed buckets), or a Bloom sketch of ingested
+    * keys rebuilt per checkpoint — the decision math is unchanged. */
   def annIngestSink(s: SparkSession, d: String, embs: DataFrame,
                     catalog: graft.lake.LakeCatalog, ns: String,
                     table: String, checkpointDir: String)
