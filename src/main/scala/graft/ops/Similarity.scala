@@ -195,7 +195,8 @@ object Similarity {
     }
     // all three ANN tiers against ONE ground truth at matched k: the
     // monitor that catches a silently-degrading index also says which
-    // index to serve (IVF probes its 2 cosine-nearest cells of 8; LSH
+    // index to serve (IVF probes its 2 cosine-nearest of the ~sqrt(n)
+    // adaptive-K cells; LSH
     // probes 7/64 buckets; IVFADC probes its 2 L2-nearest cells on the
     // quantized grid and scores by PQ lookups — its recall delta vs the
     // ivf tier mostly reflects quantization loss, though the two probe
@@ -213,7 +214,10 @@ object Similarity {
       .orderBy("tier", "q_id")
   }
 
-  val NumProbes = 2     // cells searched per query (recall/cost dial)
+  val NumProbes = 2     // cells searched per query (recall/cost dial; the
+                        // probe bound corpus*nprobe/K shrinks as the
+                        // adaptive K grows ~ sqrt(corpus), so a fixed small
+                        // nprobe stays a constant-recall dial, FAISS-style)
   val IvfK = 3          // neighbors per query (IVF tier)
 
   /** IVF codebook: the CONVERGED k-means centroids ([[kmeansFit]] — the
@@ -235,7 +239,7 @@ object Similarity {
   /** C3 third tier: IVF (inverted-file) ANN — the cluster-probe family,
     * complementing the hash-bucket family of [[q26KnnLsh]]:
     *   1. every corpus vector is ASSIGNED to its nearest centroid in-row
-    *      (argmax over the [[KMeansK]]-entry converged-codebook cosines — a
+    *      (argmax over the adaptive-K converged-codebook cosines — a
     *      pure projection, ZERO shuffle; the codebook rides the closure
     *      exactly like the hyperplane table);
     *   2. each query probes its [[NumProbes]] nearest cells (multi-probe
@@ -243,9 +247,11 @@ object Similarity {
     *   3. exact cosine top-k within the probed cells only — per-query work
     *      is O(corpus * nprobe / K) instead of O(corpus).
     * The probe join broadcasts the tiny query side and equi-joins on cell
-    * id, so the corpus streams once with no shuffle at any size; at 1e9+
-    * vectors, raise [[KMeansK]] ~ sqrt(corpus) and write the assigned
-    * corpus bucketed by cell ([[graft.lake.LakeCatalog.writeBucketed]]) to
+    * id, so the corpus streams once with no shuffle at any size. K grows
+    * automatically with the corpus ([[kmeansKFor]] ≈ √n, oracle-mirrored),
+    * so per-query probed work is ~[[NumProbes]]·√n, a SHRINKING fraction
+    * of the corpus; at 1e9+ vectors also write the assigned corpus
+    * bucketed by cell ([[graft.lake.LakeCatalog.writeBucketed]]) to
     * amortize assignment across repeated query batches.
     *
     * Argmax/tie rules match the oracle's `ORDER BY s DESC, c_id ASC`: the
@@ -632,8 +638,44 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- k-means
-  val KMeansK = 8       // codebook size for the test corpus
+  val KMeansK = 8       // codebook-size FLOOR (corpora under 64 vectors)
+  val MaxKMeansK = 4096 // adaptive-K cap: the codebook rides query plans as
+                        // a literal / closure (K×64 longs) and the trainer
+                        // collects ≤ K×64 partial sums per iteration, so K
+                        // stays control-plane-sized; past the cap
+                        // (n > ~16.8M vectors) serve the codebook from the
+                        // lake instead ([[codebookTable]] + cell-bucketed
+                        // index rows) — same index, different carrier
   val KMeansIters = 2   // Lloyd's iterations (fixed, mirrored in the oracle)
+
+  /** The codebook size grows WITH the corpus — IVF practice sizes
+    * K ≈ √n (FAISS guideline), so the per-query probe bound
+    * corpus·nprobe/K ≈ nprobe·√n SHRINKS relative to the corpus as data
+    * grows (at fixed K it was a constant fraction — the r7 `weak` flag).
+    * Smallest k with k·k ≥ n, floored at [[KMeansK]], capped at
+    * [[MaxKMeansK]] — integer-only (no float sqrt), mirrored exactly by
+    * the oracle's generate_series probe ([[adaptiveKSql]]), the
+    * q44/q86 adaptive-capacity pattern. */
+  private[ops] def kmeansKFor(n: Long): Int = {
+    var k = KMeansK
+    while (k < MaxKMeansK && k.toLong * k < n) k += 1
+    k
+  }
+
+  /** Adaptive K for corpus `d`: [[kmeansKFor]] of the vector count. The
+    * count() is a parquet-metadata job, and every caller sits inside the
+    * memoized training path, so it never re-runs per query. */
+  private[ops] def adaptiveKmeansK(s: SparkSession, d: String): Int =
+    kmeansKFor(Tables.embeddings(s, d).count())
+
+  /** The oracle's mirror of [[kmeansKFor]]: a scalar subquery every seed
+    * LIMIT shares — min k in [1, cap] with k·k ≥ n (NULL past the cap →
+    * coalesce to the cap), floored and capped like the engine. */
+  private def adaptiveKSql: String =
+    s"""(SELECT least($MaxKMeansK, greatest($KMeansK,
+         coalesce((SELECT min(k) FROM generate_series(1, $MaxKMeansK) t(k)
+                   WHERE k * k >= (SELECT count(*) FROM embeddings)),
+           $MaxKMeansK))))"""
   val QuantScale = 1000 // quantization grid: round(x * 1000)
   val QuantOffset = 1024 // shift onto a non-negative grid (|x| <= 1 for
                          // unit-norm embeddings) so integer centroid means
@@ -664,7 +706,7 @@ object Similarity {
     * and oracle-reproducible (k-means++ would need a cross-engine RNG).
     * Driver-side collect is k rows — bounded control plane, same shape as
     * mllib's centroid broadcast. */
-  private[ops] def seedCentroids(q: DataFrame, k: Int = KMeansK): Array[Array[Long]] =
+  private[ops] def seedCentroids(q: DataFrame, k: Int): Array[Array[Long]] =
     q.orderBy("vec_id").limit(k).select("q").collect()
       .map(_.getSeq[Long](0).toArray)
 
@@ -858,12 +900,13 @@ object Similarity {
     kmeansFits.incrementAndGet()
     pqFits.incrementAndGet()
     val q = quantized(s, d, QuantOffset)
-    val seedRows = seedCentroids(q) // ONE seed rule (shared collect)
+    val k = adaptiveKmeansK(s, d)
+    val seedRows = seedCentroids(q, k) // ONE seed rule (shared collect)
     val coarseDims = seedRows.headOption.map(_.length).getOrElse(0)
-    var cLabels: Array[Long] = (0 until KMeansK).map(_.toLong).toArray
+    var cLabels: Array[Long] = (0 until k).map(_.toLong).toArray
     var cCents: Array[Array[Long]] = seedRows.map(_.clone)
     var pLabels: Array[Array[Long]] =
-      Array.fill(PqM)((0 until KMeansK).map(_.toLong).toArray)
+      Array.fill(PqM)((0 until k).map(_.toLong).toArray)
     var pCents: Array[Array[Array[Long]]] = Array.tabulate(PqM)(m =>
       seedRows.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
     for (_ <- 1 to KMeansIters) {
@@ -913,8 +956,9 @@ object Similarity {
   private def computeKmeansFit(s: SparkSession, d: String): (Array[Long], Array[Array[Long]]) = {
     kmeansFits.incrementAndGet()
     val q = quantized(s, d, QuantOffset)
-    var labels: Array[Long] = (0 until KMeansK).map(_.toLong).toArray
-    var cents: Array[Array[Long]] = seedCentroids(q)
+    val k = adaptiveKmeansK(s, d)
+    var labels: Array[Long] = (0 until k).map(_.toLong).toArray
+    var cents: Array[Array[Long]] = seedCentroids(q, k)
     for (_ <- 1 to KMeansIters) {
       val assigned = q.select(
         element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1)
@@ -1006,9 +1050,10 @@ object Similarity {
     val q = quantized(s, d, QuantOffset)
     // seed: the K lowest vec_ids' subvectors — all subspaces from the ONE
     // seed rule (deterministic, oracle-reproducible)
-    val seedRows = seedCentroids(q)
+    val k = adaptiveKmeansK(s, d)
+    val seedRows = seedCentroids(q, k)
     var labels: Array[Array[Long]] =
-      Array.fill(PqM)((0 until KMeansK).map(_.toLong).toArray)
+      Array.fill(PqM)((0 until k).map(_.toLong).toArray)
     var cents: Array[Array[Array[Long]]] = Array.tabulate(PqM)(m =>
       seedRows.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
     for (_ <- 1 to KMeansIters) {
@@ -1110,20 +1155,47 @@ object Similarity {
             centLit(fits(m)._2)), 1)).as("code"))
     }: _*)
 
+  val AdcSalts = 32 // salt slices for the ADC tier's per-query top-k
+
+  /** Bounded per-query top-k for the ADC tier — the q131/q10 salted
+    * two-phase shape instead of a single q_id-partitioned window: phase 1
+    * ranks within (q_id, neighbor_id mod [[AdcSalts]]) so the window that
+    * sees the full candidate stream is spread over AdcSalts× more
+    * partitions (and WindowGroupLimit caps each at k rows before its
+    * shuffle); phase 2 ranks the ≤ AdcSalts·k survivors per query — a
+    * bounded input no matter how large the candidate set. At 1e9 vectors a
+    * plain q_id window would sort corpus·nprobe/K rows in ONE task per
+    * query; here no single task ever sees more than a salt slice.
+    * Deterministic: both phases order (adc_d2, neighbor_id) and the salt
+    * is a pure function of neighbor_id, so the surviving k are exactly the
+    * global top-k. */
+  private def adcTopK(cand: DataFrame, k: Int): DataFrame = {
+    val w1 = Window.partitionBy("q_id", "salt")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    val w2 = Window.partitionBy("q_id")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    cand
+      .withColumn("salt", pmod(col("neighbor_id"), lit(AdcSalts.toLong)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "neighbor_id", "adc_d2", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   def q138PqAdc(s: SparkSession, d: String): DataFrame = {
     val fits = pqFit(s, d)
     val codes = quantized(s, d, QuantOffset)
       .select(col("vec_id").as("neighbor_id"),
         explode(pqCodeArray(fits)).as("mc"))
       .select(col("neighbor_id"), col("mc.m").as("m"), col("mc.code").as("code"))
-    val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("neighbor_id"))
-    codes.join(broadcast(pqDistTable(s, d, fits)), Seq("m", "code"))
-      .filter(col("neighbor_id") =!= col("q_id"))
-      .groupBy("q_id", "neighbor_id")
-      .agg(sum("pd2").as("adc_d2"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= PqAdcK)
-      .orderBy("q_id", "rnk")
+    adcTopK(
+      codes.join(broadcast(pqDistTable(s, d, fits)), Seq("m", "code"))
+        .filter(col("neighbor_id") =!= col("q_id"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(sum("pd2").as("adc_d2")),
+      PqAdcK)
   }
 
   /** IVFADC (q141): the full FAISS-style composition — a coarse IVF
@@ -1151,6 +1223,8 @@ object Similarity {
         element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1))
         .as("cell"),
       pqCodeArray(fits).as("mcs"))
+    // the probe window ranks K rows per query (the codebook, bounded by
+    // MaxKMeansK — control-plane sized, not corpus-sized)
     val wq = Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))
     val probes = q.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("q"),
@@ -1163,18 +1237,16 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= NumProbes)
       .select("q_id", "cell")
-    val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("neighbor_id"))
-    index.join(broadcast(probes), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("q_id"))
-      .select(col("q_id"), col("neighbor_id"), explode(col("mcs")).as("mc"))
-      .select(col("q_id"), col("neighbor_id"),
-        col("mc.m").as("m"), col("mc.code").as("code"))
-      .join(broadcast(pqDistTable(s, d, fits)), Seq("q_id", "m", "code"))
-      .groupBy("q_id", "neighbor_id")
-      .agg(sum("pd2").as("adc_d2"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= PqAdcK)
-      .orderBy("q_id", "rnk")
+    adcTopK(
+      index.join(broadcast(probes), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("q_id"))
+        .select(col("q_id"), col("neighbor_id"), explode(col("mcs")).as("mc"))
+        .select(col("q_id"), col("neighbor_id"),
+          col("mc.m").as("m"), col("mc.code").as("code"))
+        .join(broadcast(pqDistTable(s, d, fits)), Seq("q_id", "m", "code"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(sum("pd2").as("adc_d2")),
+      PqAdcK)
   }
 
   /** IVF cell-population report (q144): per coarse cell, member count and
@@ -1348,7 +1420,8 @@ object Similarity {
       qe AS (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
                     unnest(qv) AS v FROM q),
       seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
-                FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $KMeansK)),
+                FROM (SELECT vec_id FROM q ORDER BY vec_id
+                      LIMIT $adaptiveKSql)),
       c0 AS (SELECT s.c, qe.dim, qe.v AS cv
              FROM seeds s JOIN qe ON qe.vec_id = s.vec_id),
       d1 AS (SELECT qe.vec_id, c0.c, sum((qe.v - c0.cv) * (qe.v - c0.cv)) AS dd
@@ -1431,7 +1504,8 @@ object Similarity {
       qe AS (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
                     unnest(qv) AS v FROM q),
       pqseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
-                FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $KMeansK)),
+                FROM (SELECT vec_id FROM q ORDER BY vec_id
+                      LIMIT $adaptiveKSql)),
       ${(0 until PqM).map(pqChainBody).mkString(",")}"""
 
   /** qt<m> CTEs: per-subspace query-to-converged-centroid partial squared

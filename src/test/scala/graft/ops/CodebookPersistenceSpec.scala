@@ -18,8 +18,8 @@ class CodebookPersistenceSpec extends AnyFunSuite {
 
     // session A: train (memoized fit) + persist
     val persisted = Similarity.codebookTable(spark, sf, cat, ns)
-    assert(persisted.count() == Similarity.KMeansK,
-      "no cluster died on the test corpus — codebook is K rows")
+    assert(persisted.count() == Similarity.kmeansFit(spark, sf)._1.length,
+      "the persisted codebook is exactly the surviving clusters")
     val refIvf = Similarity.q53KnnIvf(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
         r.getAs[Double]("sim"))).toSet
@@ -55,8 +55,9 @@ class CodebookPersistenceSpec extends AnyFunSuite {
     // session A: train (memoized) + persist BOTH quantizers
     Similarity.codebookTable(spark, sf, cat, ns)
     val persisted = Similarity.pqCodebookTable(spark, sf, cat, ns)
-    assert(persisted.count() == Similarity.PqM * Similarity.KMeansK,
-      "no subspace cluster died on the test corpus — PqM x K rows")
+    assert(persisted.count() ==
+        Similarity.pqFit(spark, sf).map(_._1.length).sum,
+      "the persisted PQ codebook is exactly the surviving clusters per subspace")
     val refCodes = Similarity.q137PqCodes(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
         (0 until Similarity.PqM).map(m => r.getAs[Long](s"code_$m"))).toMap

@@ -18,7 +18,8 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.length == nVec)
     assert(rows.forall(_.getAs[Long]("d2") >= 0L))
     val clusters = rows.map(_.getAs[Long]("cluster")).toSet
-    assert(clusters.subsetOf((0 until Similarity.KMeansK).map(_.toLong).toSet))
+    assert(clusters.subsetOf(
+      (0 until Similarity.adaptiveKmeansK(spark, sf)).map(_.toLong).toSet))
     assert(clusters.size > 1, "all vectors in one cluster — assignment broken")
   }
 
@@ -29,7 +30,8 @@ class CurationOpsSpec extends AnyFunSuite {
     val q = Similarity.quantized(spark, sf, Similarity.QuantOffset)
     val seedD2 = q.select(element_at(
         call_function("ivec_nearest", col("q"),
-          Similarity.centLit(Similarity.seedCentroids(q))), 2).as("d2"))
+          Similarity.centLit(Similarity.seedCentroids(q,
+            Similarity.adaptiveKmeansK(spark, sf)))), 2).as("d2"))
       .agg(sum("d2")).collect()(0).getLong(0)
     val finalD2 = Similarity.q85KMeans(spark, sf)
       .agg(sum("d2")).collect()(0).getLong(0)

@@ -33,12 +33,13 @@ class PqFitProps extends AnyFunSuite {
   private def refPqFit(qs: Seq[(Long, Array[Long])])
       : Array[(Array[Long], Array[Array[Long]])] = {
     val sorted = qs.sortBy(_._1)
+    val k = Similarity.kmeansKFor(qs.size.toLong) // adaptive K, engine rule
     Array.tabulate(Similarity.PqM) { m =>
       val lo = m * Similarity.PqSubDim
       def sub(v: Array[Long]) = v.slice(lo, lo + Similarity.PqSubDim)
       val subs = qs.map { case (_, v) => sub(v) }
-      var labels = (0 until Similarity.KMeansK).map(_.toLong).toArray
-      var cents = sorted.take(Similarity.KMeansK).map(p => sub(p._2)).toArray
+      var labels = (0 until k).map(_.toLong).toArray
+      var cents = sorted.take(k).map(p => sub(p._2)).toArray
       for (_ <- 1 to Similarity.KMeansIters) {
         val asg = subs.map { sv =>
           val ds = cents.map(c =>

@@ -421,4 +421,39 @@ class SimilaritySpec extends AnyFunSuite {
       !plan.contains("SortMergeJoin"), plan.take(1500))
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
+
+  test("adaptive K: integer sqrt rule, floored and capped, oracle-matching") {
+    // smallest k with k*k >= n, floor KMeansK, cap MaxKMeansK
+    assert(Similarity.kmeansKFor(0L) == Similarity.KMeansK)
+    assert(Similarity.kmeansKFor(64L) == Similarity.KMeansK)   // 8^2 = 64
+    assert(Similarity.kmeansKFor(65L) == 9)
+    assert(Similarity.kmeansKFor(500L) == 23)                  // test corpus
+    assert(Similarity.kmeansKFor(2000L) == 45)                 // sf0.1 corpus
+    assert(Similarity.kmeansKFor(1000000L) == 1000)
+    // past the cap the codebook stops growing (serve it from the lake)
+    val cap = Similarity.MaxKMeansK
+    assert(Similarity.kmeansKFor(cap.toLong * cap + 1) == cap)
+    assert(Similarity.kmeansKFor(Long.MaxValue) == cap)
+    // the session corpus trains at the adaptive size: every codebook
+    // position is one of the surviving seed labels 0..K-1
+    val n = Tables.embeddings(spark, sf).count()
+    val k = Similarity.adaptiveKmeansK(spark, sf)
+    assert(k == Similarity.kmeansKFor(n))
+    val (labels, cents) = Similarity.kmeansFit(spark, sf)
+    assert(labels.length <= k && cents.length == labels.length)
+    assert(labels.forall(l => l >= 0 && l < k))
+  }
+
+  test("ADC tier top-k is salted two-phase: no corpus-wide q_id-only window") {
+    for ((name, df) <- Seq("q138" -> Similarity.q138PqAdc(spark, sf),
+                           "q141" -> Similarity.q141Ivfadc(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // phase 1 partitions the candidate stream by (q_id, salt) and
+      // WindowGroupLimit caps each slice at k rows BEFORE its shuffle —
+      // the q_id-only window then only ever sees <= AdcSalts*k survivors
+      assert(plan.contains("salt"), s"$name: no salt phase\n" + plan.take(1500))
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: rank filter not pushed into WindowGroupLimit\n" + plan.take(1500))
+    }
+  }
 }
