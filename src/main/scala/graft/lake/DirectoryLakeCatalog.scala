@@ -26,17 +26,30 @@ import scala.jdk.CollectionConverters._
   * Iceberg/REST catalog does) plugs in behind the same surface with zero
   * loader changes.
   *
-  * Commit model (Iceberg semantics, single-writer): every write lands in a
-  * fresh `data/snap-<id>/` directory, then a new metadata version is
+  * Commit model (Iceberg semantics, multi-writer safe): every write lands
+  * in a fresh `data/snap-<id>/` directory, then a new metadata version is
   * published whose current snapshot lists the LIVE snapshot directories
   * (append = parent's live set + the new dir; overwrite/compact = the new
-  * dir alone). Readers resolve `version-hint.text` → metadata → live dirs,
-  * so a reader never observes a half-written snapshot: data files are fully
-  * written before the metadata pointer moves, and an abandoned write leaves
-  * only an unreferenced directory (Iceberg's orphan-file case). Multi-writer
-  * atomicity needs the compare-and-swap a real catalog provides
-  * (HadoopCatalog itself documents the same caveat on non-atomic
-  * filesystems).
+  * dir alone). The commit point is an atomic LINK-CLAIM of the next
+  * version slot (HadoopTableOperations' design, with link(2) as the CAS
+  * primitive): metadata is fully written to a hidden tmp file, then
+  * hard-linked to `v<N>.metadata.json` — link(2) either publishes the
+  * complete content under the version name or fails with EEXIST because a
+  * concurrent writer claimed the slot first, atomically (a plain rename
+  * would silently replace the winner). A loser
+  * re-reads the winner's metadata, re-derives its commit against the new
+  * base (its data directory is already on disk and snapshot-id-free, so a
+  * rebase is pure metadata), and retries — bounded by [[MaxCommitRetries]]
+  * with a loud failure naming the contended file. `version-hint.text` is a
+  * read optimization written AFTER the claim; readers probe upward from
+  * the hint ([[currentVersion]]), so a writer dying between claim and hint
+  * flip delays nobody and loses nothing. Readers therefore never observe a
+  * half-written snapshot: data files are fully written before the claim,
+  * and an abandoned write leaves only an unreferenced directory (Iceberg's
+  * orphan-file case). The atomic-link assumption is the same
+  * class HadoopCatalog documents for rename — object stores without
+  * atomic link/rename need a real catalog's server-side CAS (the REST
+  * face).
   *
   * Schema evolution reads like Iceberg's: each metadata version pins the
   * schema current AT THAT SNAPSHOT; [[load]] reads every live snapshot with
@@ -58,36 +71,101 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
   override def ensureNamespace(ns: String): Unit =
     Files.createDirectories(nsDir(ns))
 
-  override def tableExists(ns: String, table: String): Boolean =
-    Files.exists(metaDir(ns, table).resolve("version-hint.text"))
+  override def tableExists(ns: String, table: String): Boolean = {
+    val md = metaDir(ns, table)
+    Files.exists(md.resolve("version-hint.text")) ||
+      Files.exists(md.resolve("v1.metadata.json"))
+  }
 
   // ---- metadata read/write (HadoopCatalog file convention) -------------
 
-  private def currentVersion(ns: String, table: String): Int =
-    new String(Files.readAllBytes(
-      metaDir(ns, table).resolve("version-hint.text")),
-      StandardCharsets.UTF_8).trim.toInt
+  val MaxCommitRetries = 10
 
-  private def readMeta(ns: String, table: String): ObjectNode = {
-    val v = currentVersion(ns, table)
-    mapper.readTree(Files.readAllBytes(
-      metaDir(ns, table).resolve(s"v$v.metadata.json"))).asInstanceOf[ObjectNode]
+  /** Current committed version: the hint is a STARTING POINT, not the
+    * truth — a writer can die between the atomic version claim and the
+    * hint flip, so probe upward until the next version file is absent
+    * (HadoopTableOperations does the same). 0 = table has no metadata. */
+  private def currentVersion(ns: String, table: String): Int = {
+    val md = metaDir(ns, table)
+    val hintFile = md.resolve("version-hint.text")
+    // the hint is advisory: tolerate a torn/absent read (a concurrent
+    // flip, or a crash mid-write) by falling back to the upward probe
+    val hint =
+      (if (Files.exists(hintFile))
+         try new String(Files.readAllBytes(hintFile), StandardCharsets.UTF_8)
+           .trim.toIntOption
+         catch { case _: java.io.IOException => None }
+       else None).getOrElse(0)
+    var v = math.max(hint,
+      if (Files.exists(md.resolve("v1.metadata.json"))) 1 else 0)
+    while (Files.exists(md.resolve(s"v${v + 1}.metadata.json"))) v += 1
+    v
   }
 
-  /** Publish a new metadata version and only then move the version hint —
-    * the hint flip IS the commit point. */
-  private def writeMeta(ns: String, table: String, meta: ObjectNode): Unit = {
+  private def readMetaAt(ns: String, table: String, v: Int): ObjectNode =
+    mapper.readTree(Files.readAllBytes(
+      metaDir(ns, table).resolve(s"v$v.metadata.json"))).asInstanceOf[ObjectNode]
+
+  private def readMeta(ns: String, table: String): ObjectNode =
+    readMetaAt(ns, table, currentVersion(ns, table))
+
+  /** The multi-writer commit loop. `update` sees the current committed
+    * metadata (None = table not yet created) and returns the metadata to
+    * publish, or None to publish nothing. Publication claims the next
+    * version slot by atomic hard-link (write tmp → link(2) to the version
+    * name); on a lost race the loop re-reads the winner's
+    * metadata and re-runs `update` against it, so a rebased commit is
+    * derived from the base it actually lands on — no snapshot is ever
+    * silently overwritten. Fails loudly after [[MaxCommitRetries]] lost
+    * races (which at filesystem speeds means a pathological writer storm
+    * or a claim file leaked by something that is not this code). */
+  private def commit(ns: String, table: String)
+                    (update: Option[ObjectNode] => Option[ObjectNode]): Unit = {
     val md = metaDir(ns, table)
     Files.createDirectories(md)
-    val v =
-      if (Files.exists(md.resolve("version-hint.text")))
-        currentVersion(ns, table) + 1
-      else 1
-    meta.put("last-updated-ms", System.currentTimeMillis())
-    Files.write(md.resolve(s"v$v.metadata.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    Files.write(md.resolve("version-hint.text"),
-      v.toString.getBytes(StandardCharsets.UTF_8))
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(ns, table)
+      val base = if (v == 0) None else Some(readMetaAt(ns, table, v))
+      update(base) match {
+        case None => return
+        case Some(meta) =>
+          meta.put("last-updated-ms", System.currentTimeMillis())
+          val target = md.resolve(s"v${v + 1}.metadata.json")
+          val tmp = md.resolve(
+            s".v${v + 1}-${java.util.UUID.randomUUID()}.tmp")
+          Files.write(tmp,
+            mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+          try {
+            // the claim must be atomic-fail-if-exists. Files.move WITHOUT
+            // options is check-then-rename — two racers can both pass the
+            // check and rename(2) silently replaces the target. link(2)
+            // (Files.createLink) is the POSIX primitive that either
+            // publishes the fully-written content under the target name or
+            // fails with EEXIST, atomically.
+            Files.createLink(target, tmp)
+            Files.deleteIfExists(tmp)
+            // the hint flip must also be atomic-REPLACE (a plain truncating
+            // write exposes an empty file to concurrent readers)
+            val hintTmp = md.resolve(
+              s".hint-${java.util.UUID.randomUUID()}.tmp")
+            Files.write(hintTmp,
+              (v + 1).toString.getBytes(StandardCharsets.UTF_8))
+            Files.move(hintTmp, md.resolve("version-hint.text"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            return
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp)
+              attempt += 1
+              if (attempt >= MaxCommitRetries)
+                throw new IllegalStateException(
+                  s"lost the commit race on $ns.$table $MaxCommitRetries " +
+                    s"times; last contended slot: $target")
+          }
+      }
+    }
   }
 
   /** Iceberg-style field list (id/name/required/type) alongside the exact
@@ -166,19 +244,22 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
   override def ensureTable(ns: String, table: String, schema: StructType,
                            partitionBy: Seq[String]): Unit = {
     ensureNamespace(ns)
-    if (!tableExists(ns, table)) {
-      writeMeta(ns, table, newMeta(schema, partitionBy, None))
-    } else {
-      val meta = readMeta(ns, table)
-      val existing = metaSchema(meta)
-      val added = SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
-      if (added.nonEmpty) {
-        // additive evolution: publish a metadata version with the widened
-        // schema; existing snapshots keep their layout, load() aligns
-        val widened = StructType(existing.fields ++ added)
-        meta.set[JsonNode]("schema", schemaNode(widened))
-        writeMeta(ns, table, meta)
-      }
+    commit(ns, table) {
+      case None => Some(newMeta(schema, partitionBy, None))
+      case Some(meta) =>
+        // creation race: the loser lands here against the winner's v1 and
+        // re-runs as plain evolution — no second create ever published
+        val existing = metaSchema(meta)
+        val added =
+          SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
+        if (added.isEmpty) None
+        else {
+          // additive evolution: publish a metadata version with the widened
+          // schema; existing snapshots keep their layout, load() aligns
+          val widened = StructType(existing.fields ++ added)
+          meta.set[JsonNode]("schema", schemaNode(widened))
+          Some(meta)
+        }
     }
   }
 
@@ -186,7 +267,10 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
                             partitionBy: Seq[String],
                             options: Map[String, String],
                             targetFiles: Option[Int] = None): String = {
-    val snapName = s"snap-${System.nanoTime()}"
+    // nanoTime alone can collide across racing writers (same tick → same
+    // directory → one writer's files silently replaced); the UUID makes
+    // every snapshot directory unique regardless of timing
+    val snapName = s"snap-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
     val dir = dataDir(ns, table).resolve(snapName)
     val shaped = targetFiles match {
       case Some(n) if partitionBy.nonEmpty =>
@@ -203,18 +287,28 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
   override def append(ns: String, table: String, df: DataFrame,
                       options: Map[String, String]): Unit = {
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
-    val meta = readMeta(ns, table)
-    val snap = writeSnapshot(ns, table, df, metaPartitionCols(meta), options)
-    writeMeta(ns, table,
-      addSnapshot(meta, "append", liveSnapshots(meta) :+ snap))
+    // data first (snapshot dirs are commit-agnostic), then the CAS loop:
+    // a loser re-derives live = winner's live + its own dir, so racing
+    // appends both land — neither snapshot is lost
+    val snap = writeSnapshot(ns, table, df,
+      metaPartitionCols(readMeta(ns, table)), options)
+    commit(ns, table) { base =>
+      val meta = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table vanished mid-append"))
+      Some(addSnapshot(meta, "append", liveSnapshots(meta) :+ snap))
+    }
   }
 
   override def overwrite(ns: String, table: String, df: DataFrame,
                          options: Map[String, String]): Unit = {
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
-    val meta = readMeta(ns, table)
-    val snap = writeSnapshot(ns, table, df, metaPartitionCols(meta), options)
-    writeMeta(ns, table, addSnapshot(meta, "overwrite", Seq(snap)))
+    val snap = writeSnapshot(ns, table, df,
+      metaPartitionCols(readMeta(ns, table)), options)
+    commit(ns, table) { base =>
+      val meta = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table vanished mid-overwrite"))
+      Some(addSnapshot(meta, "overwrite", Seq(snap)))
+    }
   }
 
   /** Bucketed layout: rows are clustered into `numBuckets` hash buckets and
@@ -229,14 +323,15 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
                              bucketCols: Seq[String], numBuckets: Int,
                              sortCols: Seq[String]): Unit = {
     ensureNamespace(ns)
-    val meta = newMeta(df.schema, Nil, Some((bucketCols, numBuckets)))
     val clustered = df.repartition(numBuckets, bucketCols.map(col): _*)
     val sorted =
       if (sortCols.nonEmpty)
         clustered.sortWithinPartitions(sortCols.map(col): _*)
       else clustered
     val snap = writeSnapshot(ns, table, sorted, Nil, Map.empty)
-    writeMeta(ns, table, addSnapshot(meta, "overwrite", Seq(snap)))
+    commit(ns, table)(_ => Some(addSnapshot(
+      newMeta(df.schema, Nil, Some((bucketCols, numBuckets))),
+      "overwrite", Seq(snap))))
   }
 
   override def load(ns: String, table: String): DataFrame =
@@ -305,17 +400,23 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
     * fails loudly ([[loadAt]]). */
   def expireSnapshots(ns: String, table: String, keepLast: Int = 1): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val meta = readMeta(ns, table)
-    val snaps = meta.get("snapshots").elements().asScala.toSeq
-    if (snaps.size <= keepLast) return
-    val (drop, keep) = snaps.splitAt(snaps.size - keepLast)
-    def dirsOf(s: Seq[JsonNode]): Set[String] =
-      s.flatMap(_.get("live").elements().asScala.map(_.asText())).toSet
-    val orphaned = dirsOf(drop) -- dirsOf(keep)
-    val arr = mapper.createArrayNode()
-    keep.foreach(arr.add)
-    meta.set[JsonNode]("snapshots", arr)
-    writeMeta(ns, table, meta)
+    var orphaned: Set[String] = Set.empty
+    commit(ns, table) { base =>
+      val meta = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table does not exist"))
+      val snaps = meta.get("snapshots").elements().asScala.toSeq
+      if (snaps.size <= keepLast) { orphaned = Set.empty; None }
+      else {
+        val (drop, keep) = snaps.splitAt(snaps.size - keepLast)
+        def dirsOf(s: Seq[JsonNode]): Set[String] =
+          s.flatMap(_.get("live").elements().asScala.map(_.asText())).toSet
+        orphaned = dirsOf(drop) -- dirsOf(keep)
+        val arr = mapper.createArrayNode()
+        keep.foreach(arr.add)
+        meta.set[JsonNode]("snapshots", arr)
+        Some(meta)
+      }
+    }
     orphaned.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
   }
 
@@ -332,7 +433,11 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
     // unreferenced, Iceberg's expire-snapshots debt)
     val snap = writeSnapshot(ns, table, load(ns, table), parts, Map.empty,
       targetFiles = Some(targetFiles))
-    writeMeta(ns, table, addSnapshot(meta, "replace", Seq(snap)))
+    commit(ns, table) { base =>
+      val cur = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table vanished mid-compact"))
+      Some(addSnapshot(cur, "replace", Seq(snap)))
+    }
   }
 }
 

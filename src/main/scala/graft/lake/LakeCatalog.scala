@@ -153,17 +153,32 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
     if (parts.nonEmpty) w.partitionBy(parts: _*) else w
   }
 
+  /** Plain-parquet saveAsTable stages concurrent jobs through ONE shared
+    * `_temporary/0` under the table path (FileOutputCommitter v1), so two
+    * racing writers to the same table delete each other's staging — a
+    * Spark limitation of path-based tables, not of this catalog's
+    * bookkeeping. Serializing writes per table (JVM-global: the metastore
+    * path is shared across catalog instances of one JVM) makes intra-JVM
+    * concurrency safe; CROSS-process concurrency on a session catalog
+    * needs a snapshot table format — that is [[DirectoryLakeCatalog]]'s
+    * rename-claim CAS, or a real Iceberg catalog. */
+  private def tableLock(ns: String, table: String): Object =
+    SessionLakeCatalog.writeLocks
+      .computeIfAbsent(id(ns, table), _ => new Object)
+
   override def append(ns: String, table: String, df: DataFrame,
-                      options: Map[String, String]): Unit = {
-    writer(df, ns, table, options, "append").saveAsTable(id(ns, table))
-    refreshHere(ns, table)
-  }
+                      options: Map[String, String]): Unit =
+    tableLock(ns, table).synchronized {
+      writer(df, ns, table, options, "append").saveAsTable(id(ns, table))
+      refreshHere(ns, table)
+    }
 
   override def overwrite(ns: String, table: String, df: DataFrame,
-                         options: Map[String, String]): Unit = {
-    writer(df, ns, table, options, "overwrite").saveAsTable(id(ns, table))
-    refreshHere(ns, table)
-  }
+                         options: Map[String, String]): Unit =
+    tableLock(ns, table).synchronized {
+      writer(df, ns, table, options, "overwrite").saveAsTable(id(ns, table))
+      refreshHere(ns, table)
+    }
 
   /** saveAsTable refreshes the metadata cache of the session that OWNS the
     * written DataFrame — which is a cloned session when the frame comes out
@@ -211,4 +226,11 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .saveAsTable(id(ns, table))
   }
+}
+
+object SessionLakeCatalog {
+  /** Per-table write serialization (see append's scaladoc) — keyed by the
+    * metastore identifier, shared by every catalog instance in the JVM. */
+  private[lake] val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
 }

@@ -162,6 +162,55 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    test(s"[${impl.name}] concurrent appends: every racing snapshot survives") {
+      // VERDICT r7 #2: the reference's REST catalog gives CAS server-side;
+      // both local implementations must not lose a snapshot when writers
+      // race. 8 threads append one distinct row each through one barrier;
+      // afterwards EVERY row must be present exactly once.
+      val cat = impl.make(); val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      val writers = 8
+      val barrier = new java.util.concurrent.CyclicBarrier(writers)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until writers).map { i =>
+        new Thread(() => {
+          try {
+            val df = Seq(i.toLong).toDF("id")
+            barrier.await()
+            cat.append(ns, "t", df)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+      val got = cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (0L until writers.toLong),
+        s"lost or duplicated a racing append: $got")
+      cat.dropNamespace(ns)
+    }
+
+    // directory-catalog-only: the CAS loop's crash-recovery contract
+    if (impl.name == "directory")
+      test("[directory] a committed-but-unhinted version is not lost") {
+        // a writer can die between the atomic v<N> claim (the commit) and
+        // the version-hint flip; readers and later writers must resolve
+        // PAST the stale hint, and the next commit must claim v<N+1>
+        val cat = impl.make().asInstanceOf[DirectoryLakeCatalog]
+        val ns = freshNs()
+        cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+        cat.append(ns, "t", Seq(1L).toDF("id")) // v2 committed, hint=2
+        val md = cat.root.resolve(ns).resolve("t").resolve("metadata")
+        // simulate the crash: roll the hint back to v1 (claimed v2 stays)
+        Files.write(md.resolve("version-hint.text"), "1".getBytes)
+        assert(cat.load(ns, "t").collect().map(_.getLong(0)).toSeq == Seq(1L),
+          "reader trusted the stale hint and lost the committed snapshot")
+        cat.append(ns, "t", Seq(2L).toDF("id")) // must claim v3, not re-claim v2
+        assert(Files.exists(md.resolve("v3.metadata.json")))
+        assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+          Seq(1L, 2L))
+        cat.dropNamespace(ns)
+      }
+
     test(s"[${impl.name}] Singer load path end-to-end: batches, evolution, swap") {
       val cat = impl.make(); val ns = freshNs()
       val loader = new BatchLoader(spark, cat, ns, batchSize = 10)
