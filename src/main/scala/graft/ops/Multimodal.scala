@@ -332,14 +332,17 @@ object Multimodal {
     * the q70 report shape ([[graft.ops.Dedup.clustersOf]]). Docs with no
     * near-dup mate are absent by design (singletons carry no action).
     *
-    * NOT a registered query: the synthetic corpus contains no
-    * sub-threshold pHash pairs (measured min Hamming among bucket mates
-    * is 19), so a registered row would verify nothing but 0 == 0; the
-    * component composes two already-oracle-checked chains (q96's pair
-    * stream, q70's propagation) and its own math is spec-proven on a
-    * crafted fixture (MultimodalSpec). */
-  def phashClusters(s: SparkSession, d: String): DataFrame = {
-    val hashed = envelope(s, d)
+    * The corpus-only face stays informative on a dup-free corpus (empty
+    * drop list); the REGISTERED face is [[q151PhashClusters]], which
+    * unions the crafted [[PhashFixture]] so the oracle checks real
+    * clusters, not 0 == 0. */
+  def phashClusters(s: SparkSession, d: String): DataFrame =
+    phashClustersOf(s, envelope(s, d))
+
+  /** The cluster chain over any envelope frame (doc_id, ..., bytes) —
+    * shared by the corpus face and the fixture-enriched q151. */
+  private def phashClustersOf(s: SparkSession, env: DataFrame): DataFrame = {
+    val hashed = env
       .select(col("doc_id"), expr("dhash64(bytes)").as("ph"))
       .localCheckpoint(true)
     val nd = phashPairStream(hashed)
@@ -348,13 +351,44 @@ object Multimodal {
     Dedup.clustersOf(Dedup.propagateMinLabels(s, nd))
   }
 
+  /** Crafted near-dup payloads appended to the corpus by [[q151]]: two
+    * verbatim duplicates (Hamming 0) and a one-character mutation pair
+    * measured at Hamming 1 under [[graft.functions.DHash64]] — the
+    * sub-threshold pairs the synthetic corpus lacks (its measured minimum
+    * among bucket mates is 19). Ids sit far above any corpus doc_id. */
+  private[ops] val PhashFixture: Seq[(Long, String)] = Seq(
+    9000001L -> "phash fixture: duplicate payload replicated verbatim for cluster alpha",
+    9000002L -> "phash fixture: duplicate payload replicated verbatim for cluster alpha",
+    9000003L -> "the quick brown fox jumps over the lazy dog while the cat watches quietly",
+    9000004L -> "ahe quick brown fox jumps over the lazy dog while the cat watches quietly",
+    9000005L -> "phash fixture: a singleton payload with no perceptual mate anywhere")
+
+  /** C6g registered face of [[phashClusters]] (VERDICT r7 #3): the corpus
+    * UNION the crafted [[PhashFixture]] rows, so the drop-list math runs
+    * under the full oracle discipline — the fixture guarantees
+    * sub-threshold pairs exist (two clusters must come out), while the 500
+    * corpus docs prove the absence side (no false cluster from real
+    * payloads; the oracle recomputes every hash, bucket cap and the
+    * recursive min-label walk from scratch). Singletons are absent by
+    * design — the output is an executable drop list. */
+  def q151PhashClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = PhashFixture.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("bytes"))
+    phashClustersOf(s,
+      documents(s, d).select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("bytes"))
+        .unionAll(fixture))
+  }
+
   /** DuckDB-side dHash recomputation: bit k (k = r*8+c) compares sampled
     * bytes at grid cells g=r*9+c and g+1, sample offset floor(n*g/72); the
     * sign bit (k=63) cannot be built by `1 << 63` under DuckDB's checked
     * shift, so it ORs the Long.MinValue literal instead. */
-  private def phashPairCtes: String = s"""
+  private def phashPairCtes(docsSrc: String = "documents"): String = s"""
       d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
-                 FROM documents),
+                 FROM $docsSrc),
       bits AS (
         SELECT d.doc_id,
                CASE WHEN ord(substr(d.text,
@@ -390,7 +424,7 @@ object Multimodal {
                 ((a.ph >> 32) & 65535) != ((b.ph >> 32) & 65535))))))"""
 
   private def phashOracle: String = s"""
-      WITH $phashPairCtes,
+      WITH ${phashPairCtes()},
       agg AS (SELECT id_a, count(*) AS nm, min(ham) AS mh
               FROM mates GROUP BY id_a)
       SELECT h.doc_id, h.ph, coalesce(a.nm, 0) AS n_bucket_mates,
@@ -399,8 +433,33 @@ object Multimodal {
       FROM h LEFT JOIN agg a ON a.id_a = h.doc_id
       ORDER BY h.doc_id"""
 
+  /** q151 oracle: the same pair CTEs over corpus ∪ fixture, then a
+    * recursive min-label walk (the q70 ccOracle shape) and the clustersOf
+    * rollup. */
+  private def phashClusterOracle: String = s"""
+      WITH RECURSIVE ${phashPairCtes(s"""(SELECT doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES
+            (9000001, 'phash fixture: duplicate payload replicated verbatim for cluster alpha'), (9000002, 'phash fixture: duplicate payload replicated verbatim for cluster alpha'), (9000003, 'the quick brown fox jumps over the lazy dog while the cat watches quietly'), (9000004, 'ahe quick brown fox jumps over the lazy dog while the cat watches quietly'), (9000005, 'phash fixture: a singleton payload with no perceptual mate anywhere')) fx(doc_id, text))""")},
+      nd AS (SELECT id_a, id_b FROM mates
+             WHERE ham <= $MaxPhashHamming AND id_a < id_b),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM nd
+                UNION ALL SELECT id_b, id_a FROM nd),
+      walk AS (
+        SELECT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
+      ),
+      comps AS (SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM comps GROUP BY cluster_id)
+      SELECT c.node AS doc_id, c.cluster_id, s2.cluster_size,
+             (c.node = c.cluster_id) AS is_keeper
+      FROM comps c JOIN sizes s2 USING (cluster_id)
+      ORDER BY doc_id"""
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_phash_neardup" -> ((q96PhashNearDup _, phashOracle)),
+    "q151_phash_clusters" -> ((q151PhashClusters _, phashClusterOracle)),
     "q127_frame_profile" -> ((q127FrameProfile _, s"""
       -- ASCII-corpus contract (byte == codepoint): character substr at
       -- byte offsets + md5 of the character slice mirror the engine's

@@ -188,4 +188,20 @@ class MultimodalSpec extends AnyFunSuite {
         byCluster(r.getAs[Long]("cluster_id")).size)
     }
   }
+
+  test("q151: the registered face surfaces exactly the fixture clusters") {
+    // on the real corpus (no sub-threshold pairs) the drop list is exactly
+    // the crafted fixture: the verbatim pair and the Hamming-1 mutation
+    // pair cluster; the singleton fixture row and all 500 corpus docs are
+    // absent
+    val out = Multimodal.q151PhashClusters(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (c, rs) => c -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    assert(byCluster == Map(
+      9000001L -> Set(9000001L, 9000002L),
+      9000003L -> Set(9000003L, 9000004L)), s"clusters were $byCluster")
+    assert(out.forall(r => r.getAs[Boolean]("is_keeper") ==
+      (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id"))))
+  }
 }
