@@ -738,23 +738,23 @@ object Dedup {
     * at doc grain — write this table next to the corpus and the drop set
     * is one semi-join away for every downstream consumer.
     *
-    * keeper_id is ONE dedup-stage hop, not a transitively-resolved kept
-    * doc: a 'drop_near' row's keeper is its cluster's component-min label,
-    * and that doc can itself be 'drop_exact' when the LSH bucket cap kept
-    * an exact-dup pair out of the candidate graph (the cap is a semantic
-    * choice, q96's rationale). Consumers that need the final surviving
-    * replacement should follow the chain (keeper_id -> that row's
-    * keeper_id, iterating; every hop strictly decreases doc_id — both
-    * stage rules defer to a minimum — so it terminates at a 'keep' row)
-    * rather than treat keeper_id as terminal. The keep/drop ACTIONS are
-    * chain-free and final.
+    * keeper_id is ONE dedup-stage hop: a 'drop_near' row's keeper is its
+    * cluster's component-min label, and that doc can itself be
+    * 'drop_exact' when the LSH bucket cap kept an exact-dup pair out of
+    * the candidate graph (the cap is a semantic choice, q96's rationale).
+    * final_keeper_id is that chain RESOLVED to fixpoint (keeper_id ->
+    * that row's keeper_id, iterated; every hop strictly decreases
+    * doc_id — both stage rules defer to a minimum — so it terminates at a
+    * 'keep' row): the surviving doc a consumer can substitute directly.
+    * keeper_id stays in the output as the stage-attributable hop; the
+    * keep/drop ACTIONS are chain-free and final.
     *
     * Same shape as q115: fingerprint min rides one fp-keyed window
     * exchange, the memoized label assignment joins in, output is one row
     * per doc. */
   def q129DedupLedger(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    documents(s, d)
+    val ledger = documents(s, d)
       .select(col("doc_id"), expr("norm_md5(text)").as("fp"))
       .withColumn("exact_keep_id", min("doc_id").over(w))
       .join(dupLabels(s, d).select(col("id").as("doc_id"), col("label")),
@@ -766,7 +766,37 @@ object Dedup {
           .otherwise(lit("keep")).as("action"),
         when(col("doc_id") =!= col("exact_keep_id"), col("exact_keep_id"))
           .otherwise(col("cluster_keeper")).as("keeper_id"))
-      .orderBy("doc_id")
+      .localCheckpoint(true) // both the chain walk and its lookup side read it
+    // resolve keeper CHAINS to their surviving doc: iterate "follow a
+    // non-keep keeper one hop" to fixpoint, with the propagateMinLabels
+    // convergence discipline (observe metric on the same job, checkpointed
+    // frontiers). Every hop strictly decreases doc_id — both stage rules
+    // defer to a minimum — so the loop terminates; depth is the longest
+    // exact-under-near chain, in practice 1-2 hops.
+    val lookup = ledger.select(col("doc_id").as("k_id"),
+      col("action").as("k_action"), col("keeper_id").as("k_keeper"))
+    var resolved = ledger.withColumn("final_keeper_id", col("keeper_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxCcIterations) {
+      val obs = org.apache.spark.sql.Observation()
+      val next = resolved
+        .join(lookup, resolved("final_keeper_id") === lookup("k_id"), "left")
+        .select(col("doc_id"), col("action"), col("keeper_id"),
+          when(col("k_action") === "keep" || col("k_id").isNull,
+            col("final_keeper_id")).otherwise(col("k_keeper"))
+            .as("final_keeper_id"),
+          (col("k_action") =!= "keep").as("chg"))
+        .observe(obs, sum(col("chg").cast("long")).as("n_hopped"))
+        .select("doc_id", "action", "keeper_id", "final_keeper_id")
+        .localCheckpoint(true)
+      converged = obs.get.get("n_hopped").forall(v => v == null || v == 0L)
+      resolved = next
+      iter += 1
+    }
+    require(converged,
+      s"keeper-chain resolution did not converge in $MaxCcIterations hops")
+    resolved.orderBy("doc_id")
   }
 
   /** q80's summary over a precomputed labels assignment. */
@@ -1545,14 +1575,28 @@ object Dedup {
       led AS (SELECT f.doc_id, k.keep_id,
                      coalesce(c.cluster_id, f.doc_id) AS cluster_keeper
               FROM fpd f JOIN keep k USING (fp)
-              LEFT JOIN comps c ON c.node = f.doc_id)
-      SELECT doc_id,
-             CASE WHEN doc_id <> keep_id THEN 'drop_exact'
-                  WHEN doc_id <> cluster_keeper THEN 'drop_near'
-                  ELSE 'keep' END AS action,
-             CASE WHEN doc_id <> keep_id THEN keep_id
-                  ELSE cluster_keeper END AS keeper_id
-      FROM led ORDER BY doc_id"""
+              LEFT JOIN comps c ON c.node = f.doc_id),
+      ledger AS (
+        SELECT doc_id,
+               CASE WHEN doc_id <> keep_id THEN 'drop_exact'
+                    WHEN doc_id <> cluster_keeper THEN 'drop_near'
+                    ELSE 'keep' END AS action,
+               CASE WHEN doc_id <> keep_id THEN keep_id
+                    ELSE cluster_keeper END AS keeper_id
+        FROM led),
+      -- follow non-keep keepers hop by hop; every hop strictly decreases
+      -- doc_id, so min(fk) over a doc's chain IS its terminal 'keep' row
+      chain AS (
+        SELECT doc_id, keeper_id AS fk FROM ledger
+        UNION ALL
+        SELECT c.doc_id, l.keeper_id
+        FROM chain c JOIN ledger l ON l.doc_id = c.fk
+        WHERE l.action <> 'keep'
+      )
+      SELECT g.doc_id, g.action, g.keeper_id,
+             (SELECT min(fk) FROM chain ch WHERE ch.doc_id = g.doc_id)
+               AS final_keeper_id
+      FROM ledger g ORDER BY g.doc_id"""
 
   /** Oracle for q130 ([[TextOps.q130DedupedEpochPlan]]): q110's planning
     * SQL over the ledger's keep set. Registered HERE (not in TextOps)

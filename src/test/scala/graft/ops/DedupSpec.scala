@@ -154,6 +154,18 @@ class DedupSpec extends AnyFunSuite {
       val funnel = Dedup.q115DedupFunnel(spark, dir).collect()
         .map(_.getAs[Long]("n_final")).sum
       assert(out.values.count(_._1 == "keep").toLong == funnel)
+      // final_keeper_id is TERMINAL: it must name a 'keep' row, never a
+      // dropped doc (the one-hop keeper_id may), and never exceed the hop
+      val full = Dedup.q129DedupLedger(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("action"), r.getAs[Long]("keeper_id"),
+            r.getAs[Long]("final_keeper_id"))).toMap
+      full.foreach { case (id, (action, keeper, fin)) =>
+        assert(full(fin)._1 == "keep",
+          s"doc $id resolved to $fin, whose action is ${full(fin)._1}")
+        assert(fin <= keeper, s"doc $id: final $fin > hop $keeper")
+        if (action == "keep") assert(fin == id)
+      }
     }
   }
 
