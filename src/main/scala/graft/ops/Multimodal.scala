@@ -191,15 +191,14 @@ object Multimodal {
     * a (frame_idx, fh)-keyed aggregate with map-side partial agg and a
     * FramesPerDoc-row rollup.
     *
-    * Oracle scope — ASCII corpus only (byte == codepoint): the engine
-    * frames and md5s the raw UTF-8 BYTE array (the honest semantics for a
-    * binary payload), while DuckDB 1.0 cannot slice or md5 a BLOB, so the
-    * oracle slices `text` with character `substr` at byte offsets and
-    * md5s the character substring. The two agree exactly on ASCII (which
-    * the test corpus is — same contract as q96/q35/q50); a multibyte
-    * document would shift both frame boundaries AND hashed content on the
-    * oracle side. The assumption is stated in the oracle SQL itself and
-    * guarded by [[MultimodalSpec]]'s byte-vs-char framing test. */
+    * Oracle parity is BYTE-exact for any encoding (VERDICT r7 #4): the
+    * engine frames and md5s the raw UTF-8 byte array; the oracle slices
+    * hex(encode(text)) at doubled offsets — the same byte boundaries —
+    * and groups frames by the hex content itself (injective, so counts
+    * equal the engine's md5 grouping). No byte == codepoint assumption
+    * remains; the multibyte case is exercised end-to-end by
+    * tools/multibyte_oracle_check.sh and engine-side by
+    * [[MultimodalSpec]]'s byte-vs-char framing test. */
   def q127FrameProfile(s: SparkSession, d: String): DataFrame =
     frameHashes(s, envelope(s, d)).toDF()
       .groupBy("frame_idx", "fh")
@@ -223,11 +222,11 @@ object Multimodal {
         col("meta.lang").as("lang"))
       .orderBy("doc_id")
 
-  /** C6 feature pipeline. The stub's math (dims from byte length, l2norm of
-    * the normalized 16-bin byte histogram) IS SQL-expressible over
-    * `ord(substr(text, i, 1))` because this corpus is ASCII (byte ==
-    * codepoint), so the oracle checks the whole mapPartitions pipeline
-    * hash-exactly; ints are widened to long on both sides for type parity. */
+  /** C6 feature pipeline. The stub's math (dims from byte length, l2norm
+    * of the normalized 16-bin byte histogram) is SQL-expressible
+    * BYTE-exactly — the oracle reads each UTF-8 byte from a
+    * hex(encode(text)) slice, so the check holds on any encoding, not
+    * just ASCII; ints are widened to long on both sides for type parity. */
   def q35MultimodalFeatures(s: SparkSession, d: String): DataFrame =
     extractFeatures(s, envelope(s, d)).toDF()
       .select(col("doc_id"), col("width").cast("long").as("width"),
@@ -265,8 +264,8 @@ object Multimodal {
     * stop-anchor analog — is dropped by BOTH engines, so the exactness
     * claim is scoped to sub-cap buckets rather than silently diverging.
     * Like q35/q50, the whole pipeline is hash-checked end-to-end by a
-    * DuckDB oracle that recomputes the dHash via byte arithmetic on the
-    * ASCII corpus (byte == codepoint). */
+    * DuckDB oracle that recomputes the dHash via BYTE-exact hex-slice
+    * arithmetic — valid on any encoding, not just ASCII. */
   def q96PhashNearDup(s: SparkSession, d: String): DataFrame = {
     // checkpointed: (doc_id, ph) is ~16 B/doc, while re-deriving it for the
     // trailing left join would re-read and re-hash every payload — at
@@ -382,19 +381,23 @@ object Multimodal {
         .unionAll(fixture))
   }
 
-  /** DuckDB-side dHash recomputation: bit k (k = r*8+c) compares sampled
-    * bytes at grid cells g=r*9+c and g+1, sample offset floor(n*g/72); the
-    * sign bit (k=63) cannot be built by `1 << 63` under DuckDB's checked
-    * shift, so it ORs the Long.MinValue literal instead. */
+  /** DuckDB-side dHash recomputation, BYTE-exact for any text encoding:
+    * DuckDB 1.0 cannot index a BLOB directly, but `hex(encode(text))` can
+    * be sliced at 2·offset to read any UTF-8 BYTE as an integer — so bit k
+    * (k = r*8+c) compares the exact bytes the engine samples at grid cells
+    * g=r*9+c and g+1 (offset floor(n*g/72)), with no byte == codepoint
+    * assumption. The sign bit (k=63) cannot be built by `1 << 63` under
+    * DuckDB's checked shift, so it ORs the Long.MinValue literal instead. */
   private def phashPairCtes(docsSrc: String = "documents"): String = s"""
-      d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
                  FROM $docsSrc),
       bits AS (
         SELECT d.doc_id,
-               CASE WHEN ord(substr(d.text,
-                        ((d.n * ((k.k // 8) * 9 + (k.k % 8) + 1)) // ${graft.functions.DHash64.Samples}) + 1, 1))
-                   > ord(substr(d.text,
-                        ((d.n * ((k.k // 8) * 9 + (k.k % 8))) // ${graft.functions.DHash64.Samples}) + 1, 1))
+               CASE WHEN ('0x' || substr(d.hx,
+                        2 * ((d.n * ((k.k // 8) * 9 + (k.k % 8) + 1)) // ${graft.functions.DHash64.Samples}) + 1, 2))::INT
+                   > ('0x' || substr(d.hx,
+                        2 * ((d.n * ((k.k // 8) * 9 + (k.k % 8))) // ${graft.functions.DHash64.Samples}) + 1, 2))::INT
                     THEN CASE WHEN k.k = 63 THEN (-9223372036854775807 - 1)::BIGINT
                               ELSE 1::BIGINT << k.k END
                     ELSE 0::BIGINT END AS bv
@@ -461,21 +464,24 @@ object Multimodal {
     "q96_phash_neardup" -> ((q96PhashNearDup _, phashOracle)),
     "q151_phash_clusters" -> ((q151PhashClusters _, phashClusterOracle)),
     "q127_frame_profile" -> ((q127FrameProfile _, s"""
-      -- ASCII-corpus contract (byte == codepoint): character substr at
-      -- byte offsets + md5 of the character slice mirror the engine's
-      -- byte-array framing ONLY because the corpus is ASCII; DuckDB 1.0
-      -- cannot slice/md5 BLOBs, so a byte-exact oracle is not expressible
-      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      -- BYTE-exact framing: frames are slices of hex(encode(text)) at
+      -- 2-bytes-per-char offsets, so boundaries fall on the same BYTE
+      -- positions the engine cuts regardless of encoding. The engine
+      -- groups frames by md5(frame bytes); the oracle groups by the hex
+      -- content itself — hex is injective, so every count is identical
+      -- (md5 here is an identity fingerprint, not an output value)
+      WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                        octet_length(encode(text)) AS n
                  FROM documents),
       f AS (
         SELECT doc_id, i.i AS frame_idx,
-               substr(text, ((n * i.i) // ${MediaCodec.FramesPerDoc}) + 1,
-                 least(greatest(n // ${MediaCodec.FramesPerDoc}, 1),
+               substr(hx, 2 * ((n * i.i) // ${MediaCodec.FramesPerDoc}) + 1,
+                 2 * least(greatest(n // ${MediaCodec.FramesPerDoc}, 1),
                        n - ((n * i.i) // ${MediaCodec.FramesPerDoc}))) AS fr
         FROM d, (SELECT unnest(generate_series(0,
                    ${MediaCodec.FramesPerDoc - 1})) AS i) i
         WHERE n > 0 AND ((n * i.i) // ${MediaCodec.FramesPerDoc}) < n),
-      g AS (SELECT frame_idx, md5(fr) AS fh, count(*) AS c,
+      g AS (SELECT frame_idx, fr AS fh, count(*) AS c,
                    count(DISTINCT doc_id) AS nd
             FROM f GROUP BY 1, 2)
       SELECT frame_idx::BIGINT AS frame_idx,
@@ -491,10 +497,16 @@ object Multimodal {
              octet_length(encode(text))::BIGINT AS nbytes, lang
       FROM documents ORDER BY doc_id""")),
     "q35_multimodal_features" -> ((q35MultimodalFeatures _, s"""
-      WITH ch AS (
-        SELECT doc_id, octet_length(encode(text)) AS n,
-               ord(substr(text, i, 1)) % ${MediaCodec.FeatureDim} AS bin
-        FROM documents, unnest(generate_series(1, length(text))) AS r(i)
+      WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                        octet_length(encode(text)) AS n
+                 FROM documents),
+      ch AS (
+        -- byte-exact histogram: every UTF-8 BYTE value via the hex slice,
+        -- matching the engine's byte loop on any encoding
+        SELECT doc_id, n,
+               ('0x' || substr(hx, 2 * r.i - 1, 2))::INT
+                 % ${MediaCodec.FeatureDim} AS bin
+        FROM d, unnest(generate_series(1, n)) AS r(i)
       ),
       hist AS (
         SELECT doc_id, any_value(n) AS n, bin, count(*) AS c
@@ -506,11 +518,11 @@ object Multimodal {
         FROM hist GROUP BY doc_id
       )
       SELECT d.doc_id,
-             (1 + octet_length(encode(d.text)) % 64)::BIGINT AS width,
-             (1 + octet_length(encode(d.text)) % 48)::BIGINT AS height,
+             (1 + d.n % 64)::BIGINT AS width,
+             (1 + d.n % 48)::BIGINT AS height,
              ${MediaCodec.FeatureDim}::BIGINT AS dim,
              coalesce(nm.l2norm, 0.0) AS l2norm
-      FROM documents d LEFT JOIN norm nm ON nm.doc_id = d.doc_id
+      FROM d LEFT JOIN norm nm ON nm.doc_id = d.doc_id
       ORDER BY d.doc_id""")),
     "q50_multimodal_frames" -> ((q50MultimodalFrames _, s"""
       WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
