@@ -1,16 +1,12 @@
 package graft.lake
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DataType, StructType}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.SparkSession
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 
-/** Filesystem-rooted [[LakeCatalog]]: tables live under
+/** Filesystem-rooted [[SnapshotLakeCatalog]]: tables live under
   * `<root>/<namespace>/<table>/` with parquet data in per-snapshot
   * directories and versioned Iceberg-style metadata JSON — the layout of
   * Iceberg's HadoopCatalog (`metadata/v<N>.metadata.json` +
@@ -21,65 +17,40 @@ import scala.jdk.CollectionConverters._
   * This is the second, independent implementation of the trait — it shares
   * no machinery with [[SessionLakeCatalog]] beyond [[SchemaShape]]'s drift
   * rule, and the spec matrix (`LakeCatalogMatrixSpec`) runs the full
-  * lifecycle contract against both, proving the trait isolation SURVEY §7.0
-  * claims: a catalog that stores its own metadata (as a real
-  * Iceberg/REST catalog does) plugs in behind the same surface with zero
-  * loader changes.
+  * lifecycle contract against every implementation, proving the trait
+  * isolation SURVEY §7.0 claims: a catalog that stores its own metadata (as
+  * a real Iceberg/REST catalog does) plugs in behind the same surface with
+  * zero loader changes.
   *
-  * Commit model (Iceberg semantics, multi-writer safe): every write lands
-  * in a fresh `data/snap-<id>/` directory, then a new metadata version is
-  * published whose current snapshot lists the LIVE snapshot directories
-  * (append = parent's live set + the new dir; overwrite/compact = the new
-  * dir alone). The commit point is an atomic LINK-CLAIM of the next
-  * version slot (HadoopTableOperations' design, with link(2) as the CAS
-  * primitive): metadata is fully written to a hidden tmp file, then
+  * The carrier (commit semantics and lifecycle live in
+  * [[SnapshotLakeCatalog]]): the commit point is an atomic LINK-CLAIM of
+  * the next version slot (HadoopTableOperations' design, with link(2) as
+  * the CAS primitive). Metadata is fully written to a hidden tmp file, then
   * hard-linked to `v<N>.metadata.json` — link(2) either publishes the
   * complete content under the version name or fails with EEXIST because a
   * concurrent writer claimed the slot first, atomically (a plain rename
-  * would silently replace the winner). A loser
-  * re-reads the winner's metadata, re-derives its commit against the new
-  * base (its data directory is already on disk and snapshot-id-free, so a
-  * rebase is pure metadata), and retries — bounded by [[MaxCommitRetries]]
-  * with a loud failure naming the contended file. `version-hint.text` is a
-  * read optimization written AFTER the claim; readers probe upward from
-  * the hint ([[currentVersion]]), so a writer dying between claim and hint
-  * flip delays nobody and loses nothing. Readers therefore never observe a
-  * half-written snapshot: data files are fully written before the claim,
-  * and an abandoned write leaves only an unreferenced directory (Iceberg's
-  * orphan-file case). The atomic-link assumption is the same
-  * class HadoopCatalog documents for rename — object stores without
-  * atomic link/rename need a real catalog's server-side CAS (the REST
-  * face).
-  *
-  * Schema evolution reads like Iceberg's: each metadata version pins the
-  * schema current AT THAT SNAPSHOT; [[load]] reads every live snapshot with
-  * its own layout and aligns to the latest schema (missing columns read
-  * NULL — exactly A12's add-column semantics). Type changes fail loudly via
-  * [[SchemaShape.diffForEvolution]], same rule as the session catalog.
+  * would silently replace the winner — rename(2) clobbers, and
+  * `Files.move` without options is check-then-rename). `version-hint.text`
+  * is a read optimization written AFTER the claim; readers probe upward
+  * from the hint ([[currentVersion]]), so a writer dying between claim and
+  * hint flip delays nobody and loses nothing. The atomic-link assumption
+  * is the same class HadoopCatalog documents for rename — object stores
+  * without atomic link/rename need a real catalog's server-side CAS
+  * ([[RestLakeCatalog]]).
   */
-class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCatalog {
-  private val mapper = new ObjectMapper()
+class DirectoryLakeCatalog(spark: SparkSession, val root: Path)
+    extends SnapshotLakeCatalog(spark) {
 
   private def nsDir(ns: String): Path = root.resolve(ns)
-  private def tableDir(ns: String, table: String): Path =
-    nsDir(ns).resolve(table)
   private def metaDir(ns: String, table: String): Path =
-    tableDir(ns, table).resolve("metadata")
-  private def dataDir(ns: String, table: String): Path =
-    tableDir(ns, table).resolve("data")
+    nsDir(ns).resolve(table).resolve("metadata")
+  override protected def dataDir(ns: String, table: String): Path =
+    nsDir(ns).resolve(table).resolve("data")
 
   override def ensureNamespace(ns: String): Unit =
     Files.createDirectories(nsDir(ns))
 
-  override def tableExists(ns: String, table: String): Boolean = {
-    val md = metaDir(ns, table)
-    Files.exists(md.resolve("version-hint.text")) ||
-      Files.exists(md.resolve("v1.metadata.json"))
-  }
-
-  // ---- metadata read/write (HadoopCatalog file convention) -------------
-
-  val MaxCommitRetries = 10
+  override def dropNamespace(ns: String): Unit = deleteTree(nsDir(ns))
 
   /** Current committed version: the hint is a STARTING POINT, not the
     * truth — a writer can die between the atomic version claim and the
@@ -102,341 +73,46 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path) extends LakeCata
     v
   }
 
-  private def readMetaAt(ns: String, table: String, v: Int): ObjectNode =
-    mapper.readTree(Files.readAllBytes(
-      metaDir(ns, table).resolve(s"v$v.metadata.json"))).asInstanceOf[ObjectNode]
+  override protected def fetchMeta(ns: String,
+                                   table: String): Option[(Int, ObjectNode)] = {
+    val v = currentVersion(ns, table)
+    if (v == 0) None
+    else Some((v, mapper.readTree(Files.readAllBytes(
+      metaDir(ns, table).resolve(s"v$v.metadata.json")))
+      .asInstanceOf[ObjectNode]))
+  }
 
-  private def readMeta(ns: String, table: String): ObjectNode =
-    readMetaAt(ns, table, currentVersion(ns, table))
-
-  /** The multi-writer commit loop. `update` sees the current committed
-    * metadata (None = table not yet created) and returns the metadata to
-    * publish, or None to publish nothing. Publication claims the next
-    * version slot by atomic hard-link (write tmp → link(2) to the version
-    * name); on a lost race the loop re-reads the winner's
-    * metadata and re-runs `update` against it, so a rebased commit is
-    * derived from the base it actually lands on — no snapshot is ever
-    * silently overwritten. Fails loudly after [[MaxCommitRetries]] lost
-    * races (which at filesystem speeds means a pathological writer storm
-    * or a claim file leaked by something that is not this code). */
-  private def commit(ns: String, table: String)
-                    (update: Option[ObjectNode] => Option[ObjectNode]): Unit = {
+  override protected def casMeta(ns: String, table: String, base: Int,
+                                 meta: ObjectNode): Boolean = {
     val md = metaDir(ns, table)
     Files.createDirectories(md)
-    var attempt = 0
-    while (true) {
-      val v = currentVersion(ns, table)
-      val base = if (v == 0) None else Some(readMetaAt(ns, table, v))
-      update(base) match {
-        case None => return
-        case Some(meta) =>
-          meta.put("last-updated-ms", System.currentTimeMillis())
-          val target = md.resolve(s"v${v + 1}.metadata.json")
-          val tmp = md.resolve(
-            s".v${v + 1}-${java.util.UUID.randomUUID()}.tmp")
-          Files.write(tmp,
-            mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-          try {
-            // the claim must be atomic-fail-if-exists. Files.move WITHOUT
-            // options is check-then-rename — two racers can both pass the
-            // check and rename(2) silently replaces the target. link(2)
-            // (Files.createLink) is the POSIX primitive that either
-            // publishes the fully-written content under the target name or
-            // fails with EEXIST, atomically.
-            Files.createLink(target, tmp)
-            Files.deleteIfExists(tmp)
-            // the hint flip must also be atomic-REPLACE (a plain truncating
-            // write exposes an empty file to concurrent readers)
-            val hintTmp = md.resolve(
-              s".hint-${java.util.UUID.randomUUID()}.tmp")
-            Files.write(hintTmp,
-              (v + 1).toString.getBytes(StandardCharsets.UTF_8))
-            Files.move(hintTmp, md.resolve("version-hint.text"),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            return
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              Files.deleteIfExists(tmp)
-              attempt += 1
-              if (attempt >= MaxCommitRetries)
-                throw new IllegalStateException(
-                  s"lost the commit race on $ns.$table $MaxCommitRetries " +
-                    s"times; last contended slot: $target")
-          }
-      }
-    }
-  }
-
-  /** Iceberg-style field list (id/name/required/type) alongside the exact
-    * Spark schema JSON: ids are assigned depth-first at the top level, the
-    * simple half of SchemaConv's Singer assignment — enough for an external
-    * Iceberg reader to map columns; the `spark-schema` node is what this
-    * catalog itself round-trips. */
-  private def schemaNode(schema: StructType): ObjectNode = {
-    val node = mapper.createObjectNode()
-    node.put("type", "struct")
-    val fields = node.putArray("fields")
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val fn = fields.addObject()
-      fn.put("id", i + 1)
-      fn.put("name", f.name)
-      fn.put("required", !f.nullable)
-      fn.put("type", f.dataType.catalogString)
-    }
-    node.put("spark-schema", schema.json)
-    node
-  }
-
-  private def metaSchema(meta: ObjectNode): StructType =
-    DataType.fromJson(meta.get("schema").get("spark-schema").asText())
-      .asInstanceOf[StructType]
-
-  private def metaPartitionCols(meta: ObjectNode): Seq[String] =
-    meta.get("partition-spec").elements().asScala.map(_.asText()).toSeq
-
-  /** Live snapshot dirs of the current snapshot, oldest first, resolved
-    * against the table's data dir. Each entry carries the schema version it
-    * was written under. */
-  private def liveSnapshots(meta: ObjectNode): Seq[String] = {
-    val cur = meta.get("current-snapshot-id").asLong()
-    meta.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == cur)
-      .map(_.get("live").elements().asScala.map(_.asText()).toSeq)
-      .getOrElse(Seq.empty)
-  }
-
-  private def newMeta(schema: StructType, partitionBy: Seq[String],
-                      bucket: Option[(Seq[String], Int)]): ObjectNode = {
-    val meta = mapper.createObjectNode()
-    meta.put("format-version", 2)
-    meta.put("table-uuid", java.util.UUID.randomUUID().toString)
-    meta.set[JsonNode]("schema", schemaNode(schema))
-    val spec = meta.putArray("partition-spec")
-    partitionBy.foreach(spec.add)
-    bucket match {
-      case Some((cols, n)) =>
-        val b = meta.putObject("bucket-spec")
-        val bc = b.putArray("columns"); cols.foreach(bc.add)
-        b.put("num-buckets", n)
-      case None => meta.putNull("bucket-spec")
-    }
-    meta.put("current-snapshot-id", 0L)
-    meta.putArray("snapshots")
-    meta
-  }
-
-  /** Append a snapshot entry to `meta` and make it current. `live` is the
-    * full live set AFTER this commit. */
-  private def addSnapshot(meta: ObjectNode, operation: String,
-                          live: Seq[String]): ObjectNode = {
-    val id = meta.get("current-snapshot-id").asLong() + 1
-    val snap = meta.get("snapshots").asInstanceOf[ArrayNode].addObject()
-    snap.put("snapshot-id", id)
-    snap.put("operation", operation)
-    val arr = snap.putArray("live"); live.foreach(arr.add)
-    meta.put("current-snapshot-id", id)
-    meta
-  }
-
-  // ---- lifecycle -------------------------------------------------------
-
-  override def ensureTable(ns: String, table: String, schema: StructType,
-                           partitionBy: Seq[String]): Unit = {
-    ensureNamespace(ns)
-    commit(ns, table) {
-      case None => Some(newMeta(schema, partitionBy, None))
-      case Some(meta) =>
-        // creation race: the loser lands here against the winner's v1 and
-        // re-runs as plain evolution — no second create ever published
-        val existing = metaSchema(meta)
-        val added =
-          SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
-        if (added.isEmpty) None
-        else {
-          // additive evolution: publish a metadata version with the widened
-          // schema; existing snapshots keep their layout, load() aligns
-          val widened = StructType(existing.fields ++ added)
-          meta.set[JsonNode]("schema", schemaNode(widened))
-          Some(meta)
-        }
-    }
-  }
-
-  private def writeSnapshot(ns: String, table: String, df: DataFrame,
-                            partitionBy: Seq[String],
-                            options: Map[String, String],
-                            targetFiles: Option[Int] = None): String = {
-    // nanoTime alone can collide across racing writers (same tick → same
-    // directory → one writer's files silently replaced); the UUID makes
-    // every snapshot directory unique regardless of timing
-    val snapName = s"snap-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
-    val dir = dataDir(ns, table).resolve(snapName)
-    val shaped = targetFiles match {
-      case Some(n) if partitionBy.nonEmpty =>
-        df.repartition(n, partitionBy.map(c => col(s"`$c`")): _*)
-      case Some(n) => df.repartition(n)
-      case None => df
-    }
-    val w = shaped.write.options(options).format("parquet").mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .save(dir.toString)
-    snapName
-  }
-
-  override def append(ns: String, table: String, df: DataFrame,
-                      options: Map[String, String]): Unit = {
-    if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
-    // data first (snapshot dirs are commit-agnostic), then the CAS loop:
-    // a loser re-derives live = winner's live + its own dir, so racing
-    // appends both land — neither snapshot is lost
-    val snap = writeSnapshot(ns, table, df,
-      metaPartitionCols(readMeta(ns, table)), options)
-    commit(ns, table) { base =>
-      val meta = base.getOrElse(throw new IllegalStateException(
-        s"$ns.$table vanished mid-append"))
-      Some(addSnapshot(meta, "append", liveSnapshots(meta) :+ snap))
-    }
-  }
-
-  override def overwrite(ns: String, table: String, df: DataFrame,
-                         options: Map[String, String]): Unit = {
-    if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
-    val snap = writeSnapshot(ns, table, df,
-      metaPartitionCols(readMeta(ns, table)), options)
-    commit(ns, table) { base =>
-      val meta = base.getOrElse(throw new IllegalStateException(
-        s"$ns.$table vanished mid-overwrite"))
-      Some(addSnapshot(meta, "overwrite", Seq(snap)))
-    }
-  }
-
-  /** Bucketed layout: rows are clustered into `numBuckets` hash buckets and
-    * sorted within them, and the spec is recorded in the table metadata —
-    * the data layout a bucket-join needs. Honest caveat (scaladoc'd, not
-    * hidden): a PATH-based parquet read cannot convey the bucket spec to
-    * Catalyst, so shuffle-free joins through THIS catalog's load() are not
-    * elided by the optimizer; the layout is still cluster-correct, and a
-    * real Iceberg catalog (or [[SessionLakeCatalog]]) exposes the same spec
-    * to the planner. */
-  override def writeBucketed(ns: String, table: String, df: DataFrame,
-                             bucketCols: Seq[String], numBuckets: Int,
-                             sortCols: Seq[String]): Unit = {
-    ensureNamespace(ns)
-    val clustered = df.repartition(numBuckets, bucketCols.map(col): _*)
-    val sorted =
-      if (sortCols.nonEmpty)
-        clustered.sortWithinPartitions(sortCols.map(col): _*)
-      else clustered
-    val snap = writeSnapshot(ns, table, sorted, Nil, Map.empty)
-    commit(ns, table)(_ => Some(addSnapshot(
-      newMeta(df.schema, Nil, Some((bucketCols, numBuckets))),
-      "overwrite", Seq(snap))))
-  }
-
-  override def load(ns: String, table: String): DataFrame =
-    loadSnapshot(ns, table, None)
-
-  /** Time travel (Iceberg `VERSION AS OF`): read the table as of any
-    * snapshot in the log — snapshots are immutable directory sets, so a
-    * historical read costs the same as a current one. Fails loudly on an
-    * expired or unknown id. */
-  def loadAt(ns: String, table: String, snapshotId: Long): DataFrame =
-    loadSnapshot(ns, table, Some(snapshotId))
-
-  /** Snapshot ids still present in the metadata log, oldest first. */
-  def snapshotIds(ns: String, table: String): Seq[Long] =
-    readMeta(ns, table).get("snapshots").elements().asScala
-      .map(_.get("snapshot-id").asLong()).toSeq
-
-  private def loadSnapshot(ns: String, table: String,
-                           at: Option[Long]): DataFrame = {
-    val meta = readMeta(ns, table)
-    val schema = metaSchema(meta)
-    val snaps = at match {
-      case None => liveSnapshots(meta)
-      case Some(id) =>
-        val snap = meta.get("snapshots").elements().asScala
-          .find(_.get("snapshot-id").asLong() == id)
-          .getOrElse(throw new IllegalArgumentException(
-            s"unknown or expired snapshot $id of $ns.$table " +
-              s"(log has ${snapshotIds(ns, table).mkString(", ")})"))
-        snap.get("live").elements().asScala.map(_.asText()).toSeq
-    }
-    if (snaps.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // read each live snapshot with ITS layout (basePath recovers partition
-    // columns), align to the current schema: unionByName fills columns a
-    // snapshot predates with NULL — Iceberg's read-time evolution
-    val frames = snaps.map { s =>
-      val dir = dataDir(ns, table).resolve(s).toString
-      spark.read.option("basePath", dir).parquet(dir)
-    }
-    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
-    val withAll = schema.fieldNames.foldLeft(unioned) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, org.apache.spark.sql.functions.lit(null)
-        .cast(schema(c).dataType))
-    }
-    withAll.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
-  }
-
-  override def dropNamespace(ns: String): Unit = deleteTree(nsDir(ns))
-
-  private def deleteTree(dir: Path): Unit =
-    if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
-
-  /** Iceberg `expire_snapshots`: retain the `keepLast` most recent log
-    * entries, then delete every snapshot directory referenced by NO
-    * retained snapshot — the reclamation pass for the orphan debt
-    * [[compact]] and [[overwrite]] accrue. Commit order is crash-safe:
-    * the trimmed metadata publishes FIRST, so an interrupted expiry
-    * leaves only unreferenced directories (orphans, re-collectable), never
-    * a live snapshot with missing files. Time travel to an expired id
-    * fails loudly ([[loadAt]]). */
-  def expireSnapshots(ns: String, table: String, keepLast: Int = 1): Unit = {
-    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    var orphaned: Set[String] = Set.empty
-    commit(ns, table) { base =>
-      val meta = base.getOrElse(throw new IllegalStateException(
-        s"$ns.$table does not exist"))
-      val snaps = meta.get("snapshots").elements().asScala.toSeq
-      if (snaps.size <= keepLast) { orphaned = Set.empty; None }
-      else {
-        val (drop, keep) = snaps.splitAt(snaps.size - keepLast)
-        def dirsOf(s: Seq[JsonNode]): Set[String] =
-          s.flatMap(_.get("live").elements().asScala.map(_.asText())).toSet
-        orphaned = dirsOf(drop) -- dirsOf(keep)
-        val arr = mapper.createArrayNode()
-        keep.foreach(arr.add)
-        meta.set[JsonNode]("snapshots", arr)
-        Some(meta)
-      }
-    }
-    orphaned.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
-  }
-
-  override def compact(ns: String, table: String, targetFiles: Int): Unit = {
-    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    val meta = readMeta(ns, table)
-    require(meta.get("bucket-spec").isNull,
-      s"$ns.$table is bucketed — compact() would drop its bucket spec; " +
-        "rewrite via writeBucketed instead")
-    val parts = metaPartitionCols(meta)
-    // snapshot isolation makes the checkpoint dance unnecessary here: the
-    // rewrite READS the old live dirs and WRITES a fresh snap dir — the
-    // sources are never truncated under the reader (they just become
-    // unreferenced, Iceberg's expire-snapshots debt)
-    val snap = writeSnapshot(ns, table, load(ns, table), parts, Map.empty,
-      targetFiles = Some(targetFiles))
-    commit(ns, table) { base =>
-      val cur = base.getOrElse(throw new IllegalStateException(
-        s"$ns.$table vanished mid-compact"))
-      Some(addSnapshot(cur, "replace", Seq(snap)))
+    // stale base: a writer committed since our fetch — lose without
+    // touching the filesystem (the claim below would also lose, but a
+    // version could have appeared BELOW base+1 only if base was stale)
+    if (currentVersion(ns, table) != base) return false
+    val target = md.resolve(s"v${base + 1}.metadata.json")
+    val tmp = md.resolve(s".v${base + 1}-${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    try {
+      // the claim must be atomic-fail-if-exists: link(2) either publishes
+      // the fully-written content under the target name or fails with
+      // EEXIST — the POSIX CAS
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+      // the hint flip must be atomic-REPLACE (a plain truncating write
+      // exposes an empty file to concurrent readers)
+      val hintTmp = md.resolve(s".hint-${java.util.UUID.randomUUID()}.tmp")
+      Files.write(hintTmp,
+        (base + 1).toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(hintTmp, md.resolve("version-hint.text"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        false
     }
   }
 }

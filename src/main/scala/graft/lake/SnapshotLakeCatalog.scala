@@ -1,0 +1,365 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** The snapshot-committing [[LakeCatalog]] family: Iceberg-style versioned
+  * table metadata (schema + partition/bucket spec + a snapshot log whose
+  * current entry lists the LIVE data directories) committed through an
+  * optimistic-concurrency loop, with the data plane (per-snapshot parquet
+  * directories, read-time schema alignment, time travel, snapshot expiry,
+  * compaction) shared across carriers.
+  *
+  * Concrete subclasses supply only the METADATA CARRIER — where the
+  * versioned document lives and what makes a commit atomic:
+  *   - [[DirectoryLakeCatalog]]: HadoopCatalog file convention, link(2) as
+  *     the compare-and-swap;
+  *   - [[RestLakeCatalog]]: the Iceberg REST catalog protocol, the
+  *     server's version check as the compare-and-swap (what the reference
+  *     relies on, `/root/reference/target_iceberg/sinks.py:55-65`).
+  * Everything above the carrier — commit rebase semantics, evolution,
+  * append/overwrite/bucketed writes, snapshot reads — is ONE
+  * implementation, so the matrix spec's lifecycle contract cannot drift
+  * between carriers.
+  *
+  * Commit model: every write lands in a fresh `data/snap-<id>/` directory
+  * first (commit-agnostic: the directory name carries a UUID, so racing
+  * writers never share one), then the commit loop fetches the current
+  * metadata, derives the new version against it, and asks the carrier to
+  * publish iff the base is unchanged ([[casMeta]]). A loser re-fetches the
+  * winner's metadata and re-derives — e.g. a racing append rebases to
+  * live = winner's live + its own directory — bounded by
+  * [[MaxCommitRetries]] with a loud failure. Readers never observe a
+  * half-written snapshot: data files are complete before the metadata
+  * version naming them exists.
+  */
+abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
+  protected val mapper = new ObjectMapper()
+
+  val MaxCommitRetries = 10
+
+  // ---- carrier contract ------------------------------------------------
+
+  /** Current (version, metadata document), or None if the table has no
+    * committed metadata. */
+  protected def fetchMeta(ns: String, table: String): Option[(Int, ObjectNode)]
+
+  /** Publish `meta` as version `base`+1 iff the current version is still
+    * `base` (0 = table creation). MUST be atomic. True = committed;
+    * false = lost the race (caller re-fetches and re-derives). */
+  protected def casMeta(ns: String, table: String, base: Int,
+                        meta: ObjectNode): Boolean
+
+  /** Root of the table's snapshot data directories. */
+  protected def dataDir(ns: String, table: String): Path
+
+  // ---- commit loop -----------------------------------------------------
+
+  override def tableExists(ns: String, table: String): Boolean =
+    fetchMeta(ns, table).isDefined
+
+  protected def readMeta(ns: String, table: String): ObjectNode =
+    fetchMeta(ns, table).getOrElse(throw new IllegalStateException(
+      s"$ns.$table does not exist"))._2
+
+  /** The multi-writer commit loop. `update` sees the current committed
+    * metadata (None = table not yet created) and returns the metadata to
+    * publish, or None to publish nothing. On a lost race the loop
+    * re-fetches the winner's metadata and re-runs `update` against it, so
+    * a rebased commit is derived from the base it actually lands on — no
+    * snapshot is ever silently overwritten. */
+  protected def commit(ns: String, table: String)
+                      (update: Option[ObjectNode] => Option[ObjectNode]): Unit = {
+    var attempt = 0
+    while (true) {
+      val cur = fetchMeta(ns, table)
+      update(cur.map(_._2)) match {
+        case None => return
+        case Some(meta) =>
+          meta.put("last-updated-ms", System.currentTimeMillis())
+          if (casMeta(ns, table, cur.map(_._1).getOrElse(0), meta)) return
+          attempt += 1
+          if (attempt >= MaxCommitRetries)
+            throw new IllegalStateException(
+              s"lost the commit race on $ns.$table $MaxCommitRetries times")
+      }
+    }
+  }
+
+  // ---- metadata document -----------------------------------------------
+
+  /** Iceberg-style field list (id/name/required/type) alongside the exact
+    * Spark schema JSON: ids are assigned depth-first at the top level, the
+    * simple half of SchemaConv's Singer assignment — enough for an external
+    * Iceberg reader to map columns; the `spark-schema` node is what this
+    * catalog itself round-trips. */
+  private def schemaNode(schema: StructType): ObjectNode = {
+    val node = mapper.createObjectNode()
+    node.put("type", "struct")
+    val fields = node.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", f.dataType.catalogString)
+    }
+    node.put("spark-schema", schema.json)
+    node
+  }
+
+  private def metaSchema(meta: ObjectNode): StructType =
+    DataType.fromJson(meta.get("schema").get("spark-schema").asText())
+      .asInstanceOf[StructType]
+
+  private def metaPartitionCols(meta: ObjectNode): Seq[String] =
+    meta.get("partition-spec").elements().asScala.map(_.asText()).toSeq
+
+  /** Live snapshot dirs of the current snapshot, oldest first, resolved
+    * against the table's data dir. */
+  private def liveSnapshots(meta: ObjectNode): Seq[String] = {
+    val cur = meta.get("current-snapshot-id").asLong()
+    meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == cur)
+      .map(_.get("live").elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  private def newMeta(schema: StructType, partitionBy: Seq[String],
+                      bucket: Option[(Seq[String], Int)]): ObjectNode = {
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 2)
+    meta.put("table-uuid", java.util.UUID.randomUUID().toString)
+    meta.set[JsonNode]("schema", schemaNode(schema))
+    val spec = meta.putArray("partition-spec")
+    partitionBy.foreach(spec.add)
+    bucket match {
+      case Some((cols, n)) =>
+        val b = meta.putObject("bucket-spec")
+        val bc = b.putArray("columns"); cols.foreach(bc.add)
+        b.put("num-buckets", n)
+      case None => meta.putNull("bucket-spec")
+    }
+    meta.put("current-snapshot-id", 0L)
+    meta.putArray("snapshots")
+    meta
+  }
+
+  /** Append a snapshot entry to `meta` and make it current. `live` is the
+    * full live set AFTER this commit. */
+  private def addSnapshot(meta: ObjectNode, operation: String,
+                          live: Seq[String]): ObjectNode = {
+    val id = meta.get("current-snapshot-id").asLong() + 1
+    val snap = meta.get("snapshots").asInstanceOf[ArrayNode].addObject()
+    snap.put("snapshot-id", id)
+    snap.put("operation", operation)
+    val arr = snap.putArray("live"); live.foreach(arr.add)
+    meta.put("current-snapshot-id", id)
+    meta
+  }
+
+  // ---- lifecycle -------------------------------------------------------
+
+  override def ensureTable(ns: String, table: String, schema: StructType,
+                           partitionBy: Seq[String]): Unit = {
+    ensureNamespace(ns)
+    commit(ns, table) {
+      case None => Some(newMeta(schema, partitionBy, None))
+      case Some(meta) =>
+        // creation race: the loser lands here against the winner's v1 and
+        // re-runs as plain evolution — no second create ever published
+        val existing = metaSchema(meta)
+        val added =
+          SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
+        if (added.isEmpty) None
+        else {
+          // additive evolution: publish a metadata version with the widened
+          // schema; existing snapshots keep their layout, load() aligns
+          val widened = StructType(existing.fields ++ added)
+          meta.set[JsonNode]("schema", schemaNode(widened))
+          Some(meta)
+        }
+    }
+  }
+
+  private def writeSnapshot(ns: String, table: String, df: DataFrame,
+                            partitionBy: Seq[String],
+                            options: Map[String, String],
+                            targetFiles: Option[Int] = None): String = {
+    // nanoTime alone can collide across racing writers (same tick → same
+    // directory → one writer's files silently replaced); the UUID makes
+    // every snapshot directory unique regardless of timing
+    val snapName = s"snap-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
+    val dir = dataDir(ns, table).resolve(snapName)
+    val shaped = targetFiles match {
+      case Some(n) if partitionBy.nonEmpty =>
+        df.repartition(n, partitionBy.map(c => col(s"`$c`")): _*)
+      case Some(n) => df.repartition(n)
+      case None => df
+    }
+    val w = shaped.write.options(options).format("parquet").mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(dir.toString)
+    snapName
+  }
+
+  override def append(ns: String, table: String, df: DataFrame,
+                      options: Map[String, String]): Unit = {
+    if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
+    // data first (snapshot dirs are commit-agnostic), then the CAS loop:
+    // a loser re-derives live = winner's live + its own dir, so racing
+    // appends both land — neither snapshot is lost
+    val snap = writeSnapshot(ns, table, df,
+      metaPartitionCols(readMeta(ns, table)), options)
+    commit(ns, table) { base =>
+      val meta = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table vanished mid-append"))
+      Some(addSnapshot(meta, "append", liveSnapshots(meta) :+ snap))
+    }
+  }
+
+  override def overwrite(ns: String, table: String, df: DataFrame,
+                         options: Map[String, String]): Unit = {
+    if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
+    val snap = writeSnapshot(ns, table, df,
+      metaPartitionCols(readMeta(ns, table)), options)
+    commit(ns, table) { base =>
+      val meta = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table vanished mid-overwrite"))
+      Some(addSnapshot(meta, "overwrite", Seq(snap)))
+    }
+  }
+
+  /** Bucketed layout: rows are clustered into `numBuckets` hash buckets and
+    * sorted within them, and the spec is recorded in the table metadata —
+    * the data layout a bucket-join needs. Honest caveat (scaladoc'd, not
+    * hidden): a PATH-based parquet read cannot convey the bucket spec to
+    * Catalyst, so shuffle-free joins through THIS catalog's load() are not
+    * elided by the optimizer; the layout is still cluster-correct, and a
+    * real Iceberg catalog (or [[SessionLakeCatalog]]) exposes the same spec
+    * to the planner. */
+  override def writeBucketed(ns: String, table: String, df: DataFrame,
+                             bucketCols: Seq[String], numBuckets: Int,
+                             sortCols: Seq[String]): Unit = {
+    ensureNamespace(ns)
+    val clustered = df.repartition(numBuckets, bucketCols.map(col): _*)
+    val sorted =
+      if (sortCols.nonEmpty)
+        clustered.sortWithinPartitions(sortCols.map(col): _*)
+      else clustered
+    val snap = writeSnapshot(ns, table, sorted, Nil, Map.empty)
+    commit(ns, table)(_ => Some(addSnapshot(
+      newMeta(df.schema, Nil, Some((bucketCols, numBuckets))),
+      "overwrite", Seq(snap))))
+  }
+
+  override def load(ns: String, table: String): DataFrame =
+    loadSnapshot(ns, table, None)
+
+  /** Time travel (Iceberg `VERSION AS OF`): read the table as of any
+    * snapshot in the log — snapshots are immutable directory sets, so a
+    * historical read costs the same as a current one. Fails loudly on an
+    * expired or unknown id. */
+  def loadAt(ns: String, table: String, snapshotId: Long): DataFrame =
+    loadSnapshot(ns, table, Some(snapshotId))
+
+  /** Snapshot ids still present in the metadata log, oldest first. */
+  def snapshotIds(ns: String, table: String): Seq[Long] =
+    readMeta(ns, table).get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+
+  private def loadSnapshot(ns: String, table: String,
+                           at: Option[Long]): DataFrame = {
+    val meta = readMeta(ns, table)
+    val schema = metaSchema(meta)
+    val snaps = at match {
+      case None => liveSnapshots(meta)
+      case Some(id) =>
+        val snap = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown or expired snapshot $id of $ns.$table " +
+              s"(log has ${snapshotIds(ns, table).mkString(", ")})"))
+        snap.get("live").elements().asScala.map(_.asText()).toSeq
+    }
+    if (snaps.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // read each live snapshot with ITS layout (basePath recovers partition
+    // columns), align to the current schema: unionByName fills columns a
+    // snapshot predates with NULL — Iceberg's read-time evolution
+    val frames = snaps.map { s =>
+      val dir = dataDir(ns, table).resolve(s).toString
+      spark.read.option("basePath", dir).parquet(dir)
+    }
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val withAll = schema.fieldNames.foldLeft(unioned) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, org.apache.spark.sql.functions.lit(null)
+        .cast(schema(c).dataType))
+    }
+    withAll.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
+  }
+
+  protected def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+
+  /** Iceberg `expire_snapshots`: retain the `keepLast` most recent log
+    * entries, then delete every snapshot directory referenced by NO
+    * retained snapshot — the reclamation pass for the orphan debt
+    * [[compact]] and [[overwrite]] accrue. Commit order is crash-safe:
+    * the trimmed metadata publishes FIRST, so an interrupted expiry
+    * leaves only unreferenced directories (orphans, re-collectable), never
+    * a live snapshot with missing files. Time travel to an expired id
+    * fails loudly ([[loadAt]]). */
+  def expireSnapshots(ns: String, table: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    var orphaned: Set[String] = Set.empty
+    commit(ns, table) { base =>
+      val meta = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table does not exist"))
+      val snaps = meta.get("snapshots").elements().asScala.toSeq
+      if (snaps.size <= keepLast) { orphaned = Set.empty; None }
+      else {
+        val (drop, keep) = snaps.splitAt(snaps.size - keepLast)
+        def dirsOf(s: Seq[JsonNode]): Set[String] =
+          s.flatMap(_.get("live").elements().asScala.map(_.asText())).toSet
+        orphaned = dirsOf(drop) -- dirsOf(keep)
+        val arr = mapper.createArrayNode()
+        keep.foreach(arr.add)
+        meta.set[JsonNode]("snapshots", arr)
+        Some(meta)
+      }
+    }
+    orphaned.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
+  }
+
+  override def compact(ns: String, table: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val meta = readMeta(ns, table)
+    require(meta.get("bucket-spec").isNull,
+      s"$ns.$table is bucketed — compact() would drop its bucket spec; " +
+        "rewrite via writeBucketed instead")
+    val parts = metaPartitionCols(meta)
+    // snapshot isolation makes the checkpoint dance unnecessary here: the
+    // rewrite READS the old live dirs and WRITES a fresh snap dir — the
+    // sources are never truncated under the reader (they just become
+    // unreferenced, Iceberg's expire-snapshots debt)
+    val snap = writeSnapshot(ns, table, load(ns, table), parts, Map.empty,
+      targetFiles = Some(targetFiles))
+    commit(ns, table) { base =>
+      val cur = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table vanished mid-compact"))
+      Some(addSnapshot(cur, "replace", Seq(snap)))
+    }
+  }
+}

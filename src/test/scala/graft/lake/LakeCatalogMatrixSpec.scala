@@ -28,11 +28,19 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
     Paths.get(new java.net.URI(loc))
   }
 
+  /** One stub catalog server for the whole suite (namespaces are fresh
+    * per test); each rest make() gets its own warehouse + HTTP client. */
+  private lazy val restServer = RestCatalogStub.start()
+
   private val impls = Seq(
     Impl("session", () => new SessionLakeCatalog(spark), sessionDir),
     Impl("directory", () => DirectoryLakeCatalog.temp(spark),
       (cat, ns, table) => cat.asInstanceOf[DirectoryLakeCatalog]
-        .root.resolve(ns).resolve(table)))
+        .root.resolve(ns).resolve(table)),
+    Impl("rest", () => new RestLakeCatalog(spark, restServer.uri,
+        Files.createTempDirectory("graft-rest-wh-")),
+      (cat, ns, table) => cat.asInstanceOf[RestLakeCatalog]
+        .warehouse.resolve(ns).resolve(table)))
 
   private def parquetFiles(dir: Path): Seq[Path] =
     Files.walk(dir).iterator().asScala
@@ -131,9 +139,10 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
-    // directory-catalog-only surface: snapshot time travel + expiry
-    if (impl.name == "directory") test("[directory] time travel + expireSnapshots") {
-      val cat = impl.make().asInstanceOf[DirectoryLakeCatalog]
+    // snapshot-carrier surface: time travel + expiry (both carriers — the
+    // machinery is SnapshotLakeCatalog's, the carrier only stores bytes)
+    if (impl.name != "session") test(s"[${impl.name}] time travel + expireSnapshots") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
       val ns = freshNs()
       cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
       cat.append(ns, "t", Seq(1L, 2L).toDF("id"))          // snapshot 1
