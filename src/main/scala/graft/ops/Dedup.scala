@@ -482,6 +482,52 @@ object Dedup {
       .orderBy("jaccard_band")
   }
 
+  /** Jaccard threshold grid for the q153 retention sweep — every point at
+    * or above [[NgramDupJaccard]], because the exact-truth memo only
+    * contains pairs at or above that floor. */
+  val JaccardSweep: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Near-dup threshold sweep (q153): for every candidate dedup threshold
+    * in [[JaccardSweep]], the retention curve — true near-dup pairs
+    * flagged (q108 exact truth), docs dropped under the min-id keeper
+    * rule (the q129 drop_near decision), chars removed, and the exact-ppm
+    * char mass retained. The knob-tuning report behind
+    * [[NgramDupJaccard]]: q108 says which pairs are dups AT the chosen
+    * threshold; this says what each alternative choice would have cost,
+    * so the threshold is a measured decision instead of folklore (the
+    * dedup analog of q117's quality-cut retention curve).
+    *
+    * Scale shape: rides the memoized q108 truth (above-floor pairs only —
+    * tiny, its index scan already amortized across q109/q128/q148),
+    * cross-joined with the 5-row broadcast grid; every aggregate is
+    * grid-keyed, and the doc-char join touches only dropped doc ids.
+    * Nothing here rescans the corpus text. */
+  def q153ThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val grid = s.createDataFrame(JaccardSweep.map(Tuple1(_))).toDF("threshold")
+    val flagged = q108NgramJaccard(s, d).crossJoin(broadcast(grid))
+      .filter(col("jaccard") >= col("threshold"))
+    val pairs = flagged.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val dropStats = flagged.select("threshold", "id_b").distinct()
+      .join(documents(s, d).select(col("doc_id").as("id_b"), col("n_chars")),
+        Seq("id_b"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_docs_dropped"),
+        sum("n_chars").as("chars_removed"))
+    val totals = documents(s, d)
+      .agg(count(lit(1)).as("n_docs_total"), sum("n_chars").as("chars_total"))
+    grid.join(pairs, Seq("threshold"), "left")
+      .join(dropStats, Seq("threshold"), "left")
+      .crossJoin(totals)
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        col("n_docs_total"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        expr("(chars_total - coalesce(chars_removed, 0)) * 1000000" +
+          " div chars_total").as("retained_chars_ppm"))
+      .orderBy("threshold")
+  }
+
   /** 60-bit simhash per doc via the native [[graft.functions.TokenSimHash]]
     * expression — one compiled pass per document (identical bit-majority
     * math over distinct-token md5 hashes), no explode/aggregate at all. */
@@ -1822,6 +1868,33 @@ object Dedup {
       SELECT id_a, id_b, jaccard FROM truth
       WHERE jaccard >= $NgramDupJaccard
       ORDER BY id_a, id_b""")),
+    "q153_threshold_sweep" -> ((q153ThresholdSweep _, s"""
+      $minhashCandCtes,
+      $ngramTruthCtes,
+      grid AS (SELECT unnest([${JaccardSweep.mkString(", ")}]::DOUBLE[])
+                 AS threshold),
+      flagged AS (SELECT g.threshold, t.id_a, t.id_b
+                  FROM grid g JOIN truth t ON t.jaccard >= g.threshold),
+      p AS (SELECT threshold, count(*)::BIGINT AS n_pairs
+            FROM flagged GROUP BY 1),
+      ds AS (SELECT f.threshold, count(*)::BIGINT AS n_docs_dropped,
+                    sum(d.n_chars)::BIGINT AS chars_removed
+             FROM (SELECT DISTINCT threshold, id_b FROM flagged) f
+             JOIN documents d ON d.doc_id = f.id_b
+             GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS n_docs_total,
+                     sum(n_chars)::BIGINT AS chars_total FROM documents)
+      SELECT g.threshold,
+             coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+             coalesce(ds.n_docs_dropped, 0)::BIGINT AS n_docs_dropped,
+             tot.n_docs_total,
+             coalesce(ds.chars_removed, 0)::BIGINT AS chars_removed,
+             ((tot.chars_total - coalesce(ds.chars_removed, 0)) * 1000000
+               // tot.chars_total)::BIGINT AS retained_chars_ppm
+      FROM grid g
+      LEFT JOIN p USING (threshold)
+      LEFT JOIN ds USING (threshold), tot
+      ORDER BY g.threshold""")),
     "q109_dedup_recall" -> ((q109DedupRecall _, s"""
       $minhashCandCtes,
       $ngramTruthCtes

@@ -218,6 +218,69 @@ object Similarity {
                         // probe bound corpus*nprobe/K shrinks as the
                         // adaptive K grows ~ sqrt(corpus), so a fixed small
                         // nprobe stays a constant-recall dial, FAISS-style)
+  val NprobeGrid: Seq[Int] = Seq(1, 2, 4) // sweep points bracketing NumProbes
+
+  /** IVF nprobe tuning sweep (q152): recall@k AND probed-candidate cost of
+    * the IVF tier at every nprobe in [[NprobeGrid]], against the exact
+    * brute-force truth at matched k — the measured curve that justifies
+    * the [[NumProbes]] dial the q53/q105/q141 tiers run on. q105 tells you
+    * the index degraded; this says which way to move the dial and what
+    * each recall point costs (n_cand IS corpus·nprobe/K realized — the
+    * probe bound made observable per sweep point).
+    *
+    * Scale shape: the cell ranking is K rows per query (control-plane,
+    * bounded by MaxKMeansK); the grid join multiplies probes by |grid|
+    * (3), so total candidate volume is Σ(np)·corpus/K per query — the
+    * sweep costs ~3.5× one NumProbes=2 search over the SAMPLED query set,
+    * the standard price of an offline tuning pass. The per-(np, q_id)
+    * top-k is the salted two-phase shape ([[adcTopK]]'s), never a
+    * corpus-sized single-partition window; the brute truth is the same
+    * [[bruteTopK]] pass the q105 monitor shares. */
+  def q152NprobeSweep(s: SparkSession, d: String): DataFrame = {
+    val cents = ivfCodebook(s, d)
+    val assigned = emb(s, d).select(col("vec_id"), col("v"),
+      (-array_max(cellScoresArr(cents, "v")).getField("ci")).as("cell"))
+    // every cell ranked per query: K rows/query, control-plane sized
+    val qcells = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(cellScoresArr(cents, "v")).as("sc"))
+      .select(col("q_id"), col("qv"),
+        (-col("sc.ci")).as("cell"), col("sc.s").as("s"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("s"), col("cell"))))
+    val grid = s.createDataFrame(
+      NprobeGrid.map(np => Tuple1(np.toLong))).toDF("np")
+    val probes = qcells.join(broadcast(grid), col("crk") <= col("np"))
+      .select("np", "q_id", "qv", "cell")
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("np"), col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine("v", "qv"), 6).as("sim"))
+    val w1 = Window.partitionBy("np", "q_id", "salt")
+      .orderBy(desc("sim"), col("neighbor_id"))
+    val w2 = Window.partitionBy("np", "q_id")
+      .orderBy(desc("sim"), col("neighbor_id"))
+    val top = cand
+      .withColumn("salt", pmod(col("neighbor_id"), lit(AdcSalts.toLong)))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= LshK)
+      .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= LshK)
+      .select("np", "q_id", "neighbor_id")
+    val truth = bruteTopK(s, d, LshK).select("q_id", "neighbor_id")
+    val hits = top.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("np", "q_id").agg(count(lit(1)).as("n_hit"))
+    val ncand = cand.groupBy("np", "q_id").agg(count(lit(1)).as("n_cand"))
+    // every (np, query) row present even at zero candidates
+    emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id")).crossJoin(broadcast(grid))
+      .join(ncand, Seq("np", "q_id"), "left")
+      .join(hits, Seq("np", "q_id"), "left")
+      .select(col("np"), col("q_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(LshK.toLong).as("k"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(LshK), 4).as("recall"))
+      .orderBy("np", "q_id")
+  }
   val IvfK = 3          // neighbors per query (IVF tier)
 
   /** IVF codebook: the CONVERGED k-means centroids ([[kmeansFit]] — the
@@ -264,13 +327,21 @@ object Similarity {
   /** The IVF pipeline at any k — [[q53KnnIvf]] serves [[IvfK]]; the q105
     * recall monitor probes the same index at [[LshK]] to compare tiers at
     * matched k. */
-  private[ops] def knnIvf(s: SparkSession, d: String, k: Int): DataFrame = {
-    val cents = ivfCodebook(s, d)
-    def cellScores(v: String): Column = array(cents.toIndexedSeq.map { case (cid, vec) =>
+  /** Per-cell cosine scores as an in-row array of (score, -cell_id)
+    * structs — lexicographic max = best score with ties to the smallest
+    * cell id (negating the LONG id, not the double score, sidesteps -0.0
+    * comparison hazards). Shared by [[knnIvf]] and the q152 nprobe sweep
+    * so the two can never disagree on cell assignment. */
+  private def cellScoresArr(cents: Array[(Long, Array[Double])], v: String): Column =
+    array(cents.toIndexedSeq.map { case (cid, vec) =>
       struct(
         round(call_function("vec_cosine", col(v), typedLit(vec.toSeq)), 6).as("s"),
         lit(-cid).as("ci"))
     }: _*)
+
+  private[ops] def knnIvf(s: SparkSession, d: String, k: Int): DataFrame = {
+    val cents = ivfCodebook(s, d)
+    def cellScores(v: String): Column = cellScoresArr(cents, v)
     val assigned = emb(s, d).select(col("vec_id"), col("v"),
       (-array_max(cellScores("v")).getField("ci")).as("cell"))
     val queries = emb(s, d).filter(col("vec_id") < NumQueries)
@@ -1848,6 +1919,52 @@ object Similarity {
         SELECT 'ivfadc' AS tier, q_id, n_hit, $LshK::BIGINT AS k,
                round(n_hit::DOUBLE / $LshK, 4) AS recall FROM ahits)
       ORDER BY tier, q_id""")),
+    "q152_nprobe_sweep" -> ((q152NprobeSweep _, s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      $kmeansChainBody,
+      $ivfCtes,
+      qrank AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY s DESC, c_id) AS crk
+                FROM iscored WHERE vec_id < $NumQueries),
+      grid AS (SELECT unnest([${NprobeGrid.mkString(", ")}])::BIGINT AS np),
+      sprobes AS (SELECT g.np, q.q_id, q.qv, q.cell
+                  FROM grid g JOIN qrank q ON q.crk <= g.np),
+      scand AS (SELECT p.np, p.q_id, a.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(p.qv, a.v), 6) AS sim
+                FROM sprobes p JOIN iasg a
+                  ON a.cell = p.cell AND a.vec_id <> p.q_id),
+      stop_ AS (SELECT np, q_id, neighbor_id FROM (
+                  SELECT np, q_id, neighbor_id,
+                         row_number() OVER (PARTITION BY np, q_id
+                           ORDER BY sim DESC, neighbor_id) AS rnk
+                  FROM scand) t WHERE rnk <= $LshK),
+      bsims AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(c.v, q.v), 6) AS sim
+                FROM e q JOIN e c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < $NumQueries),
+      btop AS (SELECT q_id, neighbor_id FROM (
+                 SELECT q_id, neighbor_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM bsims) t WHERE rnk <= $LshK),
+      nc AS (SELECT np, q_id, count(*)::BIGINT AS n_cand
+             FROM scand GROUP BY 1, 2),
+      nh AS (SELECT t.np, t.q_id, count(*)::BIGINT AS n_hit
+             FROM stop_ t JOIN btop b
+               ON b.q_id = t.q_id AND b.neighbor_id = t.neighbor_id
+             GROUP BY 1, 2),
+      sbase AS (SELECT g.np, e.vec_id AS q_id FROM grid g, e
+                WHERE e.vec_id < $NumQueries)
+      SELECT b.np, b.q_id,
+             coalesce(nc.n_cand, 0)::BIGINT AS n_cand,
+             coalesce(nh.n_hit, 0)::BIGINT AS n_hit,
+             $LshK::BIGINT AS k,
+             round(coalesce(nh.n_hit, 0)::DOUBLE / $LshK, 4) AS recall
+      FROM sbase b
+      LEFT JOIN nc ON nc.np = b.np AND nc.q_id = b.q_id
+      LEFT JOIN nh ON nh.np = b.np AND nh.q_id = b.q_id
+      ORDER BY b.np, b.q_id""")),
     "q49_knn_agg" -> ((q49KnnAgg _, s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sims AS (

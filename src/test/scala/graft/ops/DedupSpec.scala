@@ -475,6 +475,41 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("q153 threshold sweep: grid-complete, monotone, floor point = q108") {
+    val truth = Dedup.q108NgramJaccard(spark, sf).collect()
+    val before = Dedup.truthDerivations.get()
+    val out = Dedup.q153ThresholdSweep(spark, sf).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    // rides the memoized truth — no second index derivation
+    assert(Dedup.truthDerivations.get() == before)
+    assert(out.map(_.getAs[Double]("threshold")).toSeq == Dedup.JaccardSweep)
+    // tightening the threshold can only flag fewer pairs, drop fewer docs,
+    // remove fewer chars, retain more
+    def mono(col: String, incr: Boolean): Unit = {
+      val v = out.map(_.getAs[Long](col))
+      assert(v.zip(v.tail).forall { case (a, b) => if (incr) a <= b else a >= b },
+        s"$col not monotone: ${v.toSeq}")
+    }
+    mono("n_pairs", incr = false)
+    mono("n_docs_dropped", incr = false)
+    mono("chars_removed", incr = false)
+    mono("retained_chars_ppm", incr = true)
+    // the sweep point at the served floor IS q108's truth
+    val floor = out.head
+    assert(floor.getAs[Long]("n_pairs") == truth.length)
+    assert(floor.getAs[Long]("n_docs_dropped") ==
+      truth.map(_.getAs[Long]("id_b")).distinct.length)
+    // retained ppm identity against the recomputed totals
+    val docs = Tables.documents(spark, sf)
+      .agg(count(lit(1)), sum("n_chars")).collect()(0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs_total") == docs.getLong(0))
+      val total = docs.getLong(1)
+      assert(r.getAs[Long]("retained_chars_ppm") ==
+        (total - r.getAs[Long]("chars_removed")) * 1000000L / total)
+    }
+  }
+
   test("containment is asymmetric, bounded, and at least as large as jaccard") {
     val cont = Dedup.q101Containment(spark, sf).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),

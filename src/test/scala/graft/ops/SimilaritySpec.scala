@@ -444,6 +444,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(labels.forall(l => l >= 0 && l < k))
   }
 
+  test("nprobe sweep: grid-complete, monotone in nprobe, matches the ivf tier") {
+    val out = Similarity.q152NprobeSweep(spark, sf).collect()
+    assert(out.length == Similarity.NprobeGrid.size * Similarity.NumQueries)
+    for ((_, rows) <- out.groupBy(_.getAs[Long]("q_id"))) {
+      val sorted = rows.sortBy(_.getAs[Long]("np"))
+      val cands = sorted.map(_.getAs[Long]("n_cand"))
+      val hits = sorted.map(_.getAs[Long]("n_hit"))
+      // a larger nprobe probes a SUPERSET of cells: candidate cost grows,
+      // and hits vs the global truth can only improve (any candidate that
+      // displaces a truth member from the top-k would itself be truth)
+      assert(cands.zip(cands.tail).forall { case (a, b) => a <= b })
+      assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("n_hit") <= Similarity.LshK.toLong)
+        assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
+      }
+    }
+    // the sweep point at np = NumProbes IS the served ivf tier: its hit
+    // counts must agree with the q105 monitor's ivf rows exactly
+    val served = out.filter(_.getAs[Long]("np") == Similarity.NumProbes.toLong)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_hit")).toMap
+    val monitor = Similarity.q105AnnRecall(spark, sf).collect()
+      .filter(_.getAs[String]("tier") == "ivf")
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(served == monitor)
+    // salted two-phase top-k, same contract as the ADC tier
+    val plan = Similarity.q152NprobeSweep(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("salt"))
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("ADC tier top-k is salted two-phase: no corpus-wide q_id-only window") {
     for ((name, df) <- Seq("q138" -> Similarity.q138PqAdc(spark, sf),
                            "q141" -> Similarity.q141Ivfadc(spark, sf))) {
