@@ -528,6 +528,39 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** Cross-source near-dup matrix (q157): exact near-dup PAIR counts per
+    * (source, source) cell, sources ordered within the pair — the
+    * who-copies-from-whom map at document granularity. q81 answers the
+    * corpus-level question (how much shingle vocabulary do two sources
+    * share); this answers the curation one (how many actual near-dup doc
+    * pairs cross each source boundary — the diagonal is within-source
+    * duplication), which is what decides whether a source is additive or
+    * a mirror of one you already ingest. Source sizes ride along so
+    * consumers can normalize to a density.
+    *
+    * Scale shape: rides the memoized q108 exact truth (tiny above-floor
+    * pair list); the two source lookups are joins from that bounded pair
+    * stream into the (doc_id, source) projection, and the rollup is
+    * |sources|²-bounded. No corpus text is rescanned. */
+  def q157SourceDupMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val sizes = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val cells = q108NgramJaccard(s, d)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    cells
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_docs").as("n_docs_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_docs").as("n_docs_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** 60-bit simhash per doc via the native [[graft.functions.TokenSimHash]]
     * expression — one compiled pass per document (identical bit-majority
     * math over distinct-token md5 hashes), no explode/aggregate at all. */
@@ -1868,6 +1901,27 @@ object Dedup {
       SELECT id_a, id_b, jaccard FROM truth
       WHERE jaccard >= $NgramDupJaccard
       ORDER BY id_a, id_b""")),
+    "q157_source_dup_matrix" -> ((q157SourceDupMatrix _, s"""
+      $minhashCandCtes,
+      $ngramTruthCtes,
+      tpairs AS (SELECT id_a, id_b FROM truth
+                 WHERE jaccard >= $NgramDupJaccard),
+      sz AS (SELECT source, count(*)::BIGINT AS n_docs
+             FROM documents GROUP BY 1),
+      cells AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*)::BIGINT AS n_pairs
+        FROM tpairs t
+        JOIN documents da ON da.doc_id = t.id_a
+        JOIN documents db ON db.doc_id = t.id_b
+        GROUP BY 1, 2)
+      SELECT c.source_a, c.source_b, c.n_pairs,
+             sa.n_docs AS n_docs_a, sb.n_docs AS n_docs_b
+      FROM cells c
+      JOIN sz sa ON sa.source = c.source_a
+      JOIN sz sb ON sb.source = c.source_b
+      ORDER BY c.source_a, c.source_b""")),
     "q153_threshold_sweep" -> ((q153ThresholdSweep _, s"""
       $minhashCandCtes,
       $ngramTruthCtes,

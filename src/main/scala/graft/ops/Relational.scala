@@ -502,6 +502,59 @@ object Relational {
       .orderBy("event_type", "next_type")
   }
 
+  val FastGapSec = 600L // an inter-event gap this small is "machine-paced"
+  val BotFastGaps = 3L  // flag users with at least this many fast gaps
+
+  /** Per-user automation/bot detection (q154): inter-arrival behavioral
+    * stats per user — event count, distinct event types, active span, the
+    * exact LOWER-median inter-event gap, and the count of machine-paced
+    * gaps (≤ [[FastGapSec]]); users with ≥ [[BotFastGaps]] fast gaps are
+    * flagged. The traffic-hygiene gate a behavioral pipeline runs before
+    * trusting events as training signal: scripted clients reveal
+    * themselves through gap REGULARITY and burst pacing long before any
+    * content signal fires (the q69 anomaly monitor's per-user
+    * counterpart).
+    *
+    * Exactness: gaps are whole epoch seconds (timestamp floor, matching
+    * DuckDB `epoch(ts)::BIGINT`); the median is the rank-selected lower
+    * median — value at position (n+1) div 2 of the sorted gap multiset —
+    * never an interpolated float, so both engines agree bit-for-bit.
+    *
+    * Scale shape: both windows partition by user_id — a HIGH-cardinality
+    * key (every user is an independent partition, parallelism is corpus-
+    * wide; the q10/q52 low-cardinality-window concern does not apply),
+    * and per-user event counts are human-bounded. One shuffle on user_id
+    * serves the gap window, the rank-median window and the per-user
+    * aggregate; the three per-user frames then join on the same key. */
+  def q154BotDetect(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val gaps = e
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("long").as("sec"))
+      .withColumn("gap", col("sec") - lag("sec", 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("gap").isNotNull)
+      .select("user_id", "gap")
+    val med = gaps
+      .withColumn("r", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("gap"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("r") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("gap").as("median_gap_sec"))
+    val fast = gaps.groupBy("user_id").agg(
+      sum(when(col("gap") <= FastGapSec, 1L).otherwise(0L)).as("n_fast"))
+    val stats = e.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct("event_type").as("n_types"),
+      (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("span_sec"))
+    stats.join(med, Seq("user_id"), "left").join(fast, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_types"), col("span_sec"),
+        col("median_gap_sec"),
+        coalesce(col("n_fast"), lit(0L)).as("n_fast"),
+        (coalesce(col("n_fast"), lit(0L)) >= BotFastGaps).as("is_bot"))
+      .orderBy("user_id")
+  }
+
   /** lag/lead window: month-over-month revenue delta. */
   def q47MonthDelta(s: SparkSession, d: String): DataFrame = {
     val monthly = lineitem(s, d)
@@ -1049,6 +1102,36 @@ object Relational {
              (p.n * 1000000) // t.row_total AS p_ppm
       FROM pairs p JOIN tot t USING (event_type)
       ORDER BY p.event_type, p.next_type""")),
+    "q154_bot_detect" -> ((q154BotDetect _, s"""
+      WITH g0 AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000
+                 - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id)) // 1000000 AS gap
+        FROM events),
+      g AS (SELECT user_id, gap FROM g0 WHERE gap IS NOT NULL),
+      med AS (SELECT user_id, gap AS median_gap_sec FROM (
+                SELECT user_id, gap,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY gap) AS r,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM g) t WHERE r = (n + 1) // 2),
+      fast AS (SELECT user_id,
+                      coalesce(count(*) FILTER (gap <= $FastGapSec), 0)::BIGINT
+                        AS n_fast
+               FROM g GROUP BY 1),
+      stats AS (SELECT user_id, count(*)::BIGINT AS n_events,
+                       count(DISTINCT event_type)::BIGINT AS n_types,
+                       (max(epoch_us(ts) // 1000000)
+                         - min(epoch_us(ts) // 1000000)) AS span_sec
+                FROM events GROUP BY 1)
+      SELECT s.user_id, s.n_events, s.n_types, s.span_sec, m.median_gap_sec,
+             coalesce(f.n_fast, 0)::BIGINT AS n_fast,
+             coalesce(f.n_fast, 0) >= $BotFastGaps AS is_bot
+      FROM stats s
+      LEFT JOIN med m USING (user_id)
+      LEFT JOIN fast f USING (user_id)
+      ORDER BY s.user_id""")),
     "q119_above_avg_profile" -> ((q119AboveAvgProfile _, """
       WITH per AS (
         SELECT o_custkey,

@@ -357,6 +357,42 @@ object Similarity {
       k)
   }
 
+  /** Embedding-health audit (q155): per label — vector count, dimension
+    * range, effectively-zero vectors (norm 0 on the quantized grid, i.e.
+    * every component under half a quantization step), exact-duplicate
+    * vectors, and the exact integer norm² range. The input-integrity gate
+    * an embedding pipeline runs BEFORE building any index on a new batch:
+    * a broken encoder ships zero vectors, truncated dims or mass-duplicated
+    * outputs long before recall monitors (q105) can notice, and each of
+    * those failure modes poisons k-means training and LSH bucketing
+    * silently.
+    *
+    * Exactness: norms ride [[graft.functions.IntVecExprs]]' integer grid
+    * (scale [[QuantScale]], no offset — components may be negative), so
+    * min/max norm² are exact BIGINTs in both engines. Scale shape: one
+    * corpus scan computes dim/norm in-row; the dup check is one
+    * exchange keyed on the vector value (at 1e9+ vectors key the exchange
+    * on a 128-bit content fingerprint instead — same plan shape, smaller
+    * key); the label rollup rides a |labels|-row aggregate. */
+  def q155EmbedHealth(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val dupCnt = e.groupBy("embedding").agg(count(lit(1)).as("cnt"))
+    e.join(dupCnt, Seq("embedding"))
+      .select(col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        call_function("ivec_norm2",
+          call_function("ivec_quant", col("embedding"),
+            lit(QuantScale), lit(0))).as("norm2"),
+        when(col("cnt") >= 2, 1L).otherwise(0L).as("is_dup"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("dim").as("min_dim"), max("dim").as("max_dim"),
+        sum(when(col("norm2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum("is_dup").as("n_dup"),
+        min("norm2").as("min_norm2"), max("norm2").as("max_norm2"))
+      .orderBy("label")
+  }
+
   val NearDupCosine = 0.4
 
   /** C2c embedding-cosine near-dup: vector pairs with cosine >=
@@ -1919,6 +1955,27 @@ object Similarity {
         SELECT 'ivfadc' AS tier, q_id, n_hit, $LshK::BIGINT AS k,
                round(n_hit::DOUBLE / $LshK, 4) AS recall FROM ahits)
       ORDER BY tier, q_id""")),
+    "q155_embed_health" -> ((q155EmbedHealth _, s"""
+      WITH q AS (SELECT vec_id, label, embedding,
+                        list_transform(embedding,
+                          x -> round(x::DOUBLE * $QuantScale)::BIGINT) AS qv,
+                        len(embedding)::BIGINT AS dim
+                 FROM embeddings),
+      n AS (SELECT vec_id, sum(v * v)::BIGINT AS norm2
+            FROM (SELECT vec_id, unnest(qv) AS v FROM q) GROUP BY vec_id),
+      dc AS (SELECT embedding, count(*) AS cnt
+             FROM embeddings GROUP BY embedding),
+      b AS (SELECT q.label, q.dim, coalesce(n.norm2, 0) AS norm2,
+                   CASE WHEN dc.cnt >= 2 THEN 1 ELSE 0 END AS is_dup
+            FROM q
+            LEFT JOIN n USING (vec_id)
+            JOIN dc ON dc.embedding = q.embedding)
+      SELECT label, count(*)::BIGINT AS n_vecs,
+             min(dim)::BIGINT AS min_dim, max(dim)::BIGINT AS max_dim,
+             sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+             sum(is_dup)::BIGINT AS n_dup,
+             min(norm2)::BIGINT AS min_norm2, max(norm2)::BIGINT AS max_norm2
+      FROM b GROUP BY label ORDER BY label""")),
     "q152_nprobe_sweep" -> ((q152NprobeSweep _, s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       $kmeansChainBody,

@@ -162,7 +162,71 @@ object Skew {
       .orderBy("month")
   }
 
+  val HotKeyFactor = 4L // a key above this multiple of the median is "hot"
+
+  /** Key-skew profile (q156 via [[q156SkewProfile]]): the one-row report
+    * that decides whether a join/agg key needs [[saltedJoin]] or AQE skew
+    * handling BEFORE the shuffle stalls at 100 TB — row/key totals, exact
+    * lower-quantile per-key counts (p50/p99), the max key, max/median
+    * ratio, and how many keys exceed [[HotKeyFactor]]× the median (the
+    * salt-candidate list's size).
+    *
+    * Scale shape: ONE distributed groupBy produces the per-key counts,
+    * which immediately collapse to the (cnt → n_keys) COUNT MARGINAL —
+    * bounded by the number of DISTINCT count values, not by keys — and
+    * every quantile/total/hot-key stat derives from that checkpointed
+    * marginal (the q139/q52 marginal discipline; the unpartitioned cumsum
+    * window orders marginal rows, never keys). Quantiles are exact
+    * integers: lower quantile q is the smallest cnt with
+    * cum·denom ≥ num·n_keys — no float interpolation to diverge on. */
+  def skewProfile(df: DataFrame, key: String): DataFrame = {
+    val marg = df.groupBy(col(s"`$key`")).agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("nk"))
+      .localCheckpoint(true) // bounded marginal feeds 4 consumers below
+    val w = org.apache.spark.sql.expressions.Window.orderBy("cnt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = marg.withColumn("cum", sum("nk").over(w))
+    val tot = marg.agg(sum(expr("cnt * nk")).as("n_rows"),
+      sum("nk").as("n_keys"), max("cnt").as("max_cnt"))
+    val withTot = cum.crossJoin(broadcast(tot))
+    val p50 = withTot.filter(expr("2 * cum >= n_keys"))
+      .agg(min("cnt").as("p50_cnt"))
+    val p99 = withTot.filter(expr("100 * cum >= 99 * n_keys"))
+      .agg(min("cnt").as("p99_cnt"))
+    val hot = cum.crossJoin(broadcast(p50))
+      .filter(col("cnt") > lit(HotKeyFactor) * col("p50_cnt"))
+      .agg(coalesce(sum("nk"), lit(0L)).as("n_hot_keys"))
+    tot.crossJoin(p50).crossJoin(p99).crossJoin(hot)
+      .select(col("n_rows"), col("n_keys"), col("p50_cnt"), col("p99_cnt"),
+        col("max_cnt"),
+        expr("max_cnt * 100 div p50_cnt").as("max_over_p50_x100"),
+        col("n_hot_keys"))
+  }
+
+  /** Registered face: profile lineitem's part-key distribution — the fact
+    * table's highest-cardinality join key. */
+  def q156SkewProfile(s: SparkSession, d: String): DataFrame =
+    skewProfile(Tables.lineitem(s, d), "l_partkey")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q156_skew_profile" -> ((q156SkewProfile _, s"""
+      WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      m AS (SELECT cnt, count(*) AS nk FROM c GROUP BY 1),
+      cum AS (SELECT cnt, nk, sum(nk) OVER (ORDER BY cnt) AS cum FROM m),
+      tot AS (SELECT sum(cnt * nk)::BIGINT AS n_rows,
+                     sum(nk)::BIGINT AS n_keys,
+                     max(cnt)::BIGINT AS max_cnt FROM m),
+      p50 AS (SELECT min(cnt)::BIGINT AS p50_cnt FROM cum, tot
+              WHERE 2 * cum >= n_keys),
+      p99 AS (SELECT min(cnt)::BIGINT AS p99_cnt FROM cum, tot
+              WHERE 100 * cum >= 99 * n_keys),
+      hot AS (SELECT coalesce(sum(nk), 0)::BIGINT AS n_hot_keys
+              FROM cum, p50 WHERE cnt > $HotKeyFactor * p50_cnt)
+      SELECT tot.n_rows, tot.n_keys, p50.p50_cnt, p99.p99_cnt, tot.max_cnt,
+             (tot.max_cnt * 100 // p50.p50_cnt)::BIGINT AS max_over_p50_x100,
+             hot.n_hot_keys
+      FROM tot, p50, p99, hot""")),
     "q95_bloom_semijoin" -> ((q95BloomSemiJoin _, """
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
              count(*) AS n_items,

@@ -510,6 +510,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 source matrix: ordered cells, pair totals conserve q108 truth") {
+    val truth = Dedup.q108NgramJaccard(spark, sf).collect()
+    val before = Dedup.truthDerivations.get()
+    val out = Dedup.q157SourceDupMatrix(spark, sf).collect()
+    assert(Dedup.truthDerivations.get() == before) // rides the memo
+    out.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+    // every truth pair lands in exactly one cell
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == truth.length.toLong)
+    // source sizes match an independent count
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs_a") == sizes(r.getAs[String]("source_a")))
+      assert(r.getAs[Long]("n_docs_b") == sizes(r.getAs[String]("source_b")))
+    }
+  }
+
   test("containment is asymmetric, bounded, and at least as large as jaccard") {
     val cont = Dedup.q101Containment(spark, sf).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),

@@ -197,6 +197,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == perCust.size.toLong)
   }
 
+  test("q154 bot detect: per-user stats match a driver-side replay") {
+    val out = Relational.q154BotDetect(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    // independent replay of the whole definition on the 1k-row corpus
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "cast(ts as long) as sec", "ts")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("sec")))
+    val byUser = ev.groupBy(_._1)
+    assert(out.keySet == byUser.keySet)
+    for ((u, rows) <- byUser) {
+      val sorted = rows.sortBy(t => (t._2.getTime, t._2.getNanos, t._3))
+      val secs = sorted.map(_._4)
+      val gaps = secs.zip(secs.tail).map { case (a, b) => b - a }
+      val r = out(u)
+      assert(r.getAs[Long]("n_events") == rows.length)
+      assert(r.getAs[Long]("span_sec") == secs.max - secs.min)
+      if (gaps.nonEmpty) {
+        val lowerMedian = gaps.sorted.apply((gaps.length + 1) / 2 - 1)
+        assert(r.getAs[Long]("median_gap_sec") == lowerMedian,
+          s"user $u: ${r.getAs[Long]("median_gap_sec")} vs $lowerMedian")
+        val nFast = gaps.count(_ <= Relational.FastGapSec)
+        assert(r.getAs[Long]("n_fast") == nFast)
+        assert(r.getAs[Boolean]("is_bot") == (nFast >= Relational.BotFastGaps))
+      }
+    }
+  }
+
   test("above-average profile: window and per-customer agg share one exchange") {
     val plan = Relational.q119AboveAvgProfile(spark, sf)
       .queryExecution.executedPlan.toString

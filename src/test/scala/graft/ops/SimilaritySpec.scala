@@ -444,6 +444,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(labels.forall(l => l >= 0 && l < k))
   }
 
+  test("q155 embed health: label-partitioned totals match a driver replay") {
+    val out = Similarity.q155EmbedHealth(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    assert(out.values.map(_.getAs[Long]("n_vecs")).sum == vecs.length)
+    val byLabel = vecs.groupBy(_._1)
+    assert(out.keySet == byLabel.keySet)
+    val dupKeys = vecs.groupBy(_._2).filter(_._2.length >= 2).keySet
+    for ((l, vs) <- byLabel) {
+      val norms = vs.map { case (_, v) =>
+        v.map(x => { val q = math.round(x * Similarity.QuantScale.toDouble); q * q }).sum
+      }
+      val r = out(l)
+      assert(r.getAs[Long]("n_vecs") == vs.length)
+      assert(r.getAs[Long]("min_dim") == vs.map(_._2.length).min.toLong)
+      assert(r.getAs[Long]("max_dim") == vs.map(_._2.length).max.toLong)
+      assert(r.getAs[Long]("min_norm2") == norms.min)
+      assert(r.getAs[Long]("max_norm2") == norms.max)
+      assert(r.getAs[Long]("n_zero") == norms.count(_ == 0L).toLong)
+      assert(r.getAs[Long]("n_dup") == vs.count(v => dupKeys.contains(v._2)).toLong)
+    }
+  }
+
   test("nprobe sweep: grid-complete, monotone in nprobe, matches the ivf tier") {
     val out = Similarity.q152NprobeSweep(spark, sf).collect()
     assert(out.length == Similarity.NprobeGrid.size * Similarity.NumQueries)

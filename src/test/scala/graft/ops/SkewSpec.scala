@@ -110,4 +110,21 @@ class SkewSpec extends AnyFunSuite {
       .orderBy("month").collect().map(_.toSeq)
     assert(bloomed.toSeq == plain.toSeq)
   }
+
+  test("skew profile: exact quantiles and hot-key count on a planted distribution") {
+    // 90 keys x 1 row, 9 keys x 10 rows, 1 key x 100 rows
+    val rows = (1 to 90).map(k => (k.toLong, "a")) ++
+      (for (k <- 91 to 99; i <- 1 to 10) yield (k.toLong, s"b$i")) ++
+      (1 to 100).map(i => (100L, s"c$i"))
+    val out = Skew.skewProfile(rows.toDF("k", "v"), "k").collect()(0)
+    assert(out.getAs[Long]("n_rows") == 280L)
+    assert(out.getAs[Long]("n_keys") == 100L)
+    // lower p50: cum(cnt=1)=90 >= 50; lower p99: cum(cnt=10)=99 >= 99
+    assert(out.getAs[Long]("p50_cnt") == 1L)
+    assert(out.getAs[Long]("p99_cnt") == 10L)
+    assert(out.getAs[Long]("max_cnt") == 100L)
+    assert(out.getAs[Long]("max_over_p50_x100") == 10000L)
+    // hot = keys above 4x the median count: the nine 10s and the one 100
+    assert(out.getAs[Long]("n_hot_keys") == 10L)
+  }
 }
