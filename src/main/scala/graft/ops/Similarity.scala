@@ -834,31 +834,42 @@ object Similarity {
     * and FOUR operators consume it (q85's assignment, q93's purity, the
     * q53 IVF codebook, q105's IVF tier), so one fit serves them all — the
     * [[graft.ops.Dedup.dupLabels]] pattern. */
-  /** One lock guards BOTH fit memos: the joint trainer fills the two maps
-    * together, and independent per-map locks would deadlock (kmeansFit
-    * takes coarse→pq, pqFit pq→coarse). The lock is held across the
-    * training jobs — as the per-map locks already were for same-family
-    * fits — so a concurrent PQ fit/install now also waits on an in-flight
-    * coarse training; acceptable for the session-serial consumers this
-    * repo runs (swap for per-(session, dir) striping if concurrent
-    * multi-corpus sessions ever matter). */
-  private val fitLock = new Object
+  /** Striped training locks: ONE lock per (session, corpus dir) guards
+    * both fit memos for that corpus — the joint trainer still fills the
+    * coarse and PQ maps atomically under it (per-family locks would
+    * deadlock: kmeansFit takes coarse→pq, pqFit pq→coarse), while
+    * concurrent sessions or different corpora train fully independently
+    * (the round-7 global lock serialized them — r7 advisory). `mapLock`
+    * guards only memo-map STRUCTURE (fast lookups/inserts, never held
+    * across a Spark job); lock order is always per-(s,d) → mapLock. */
+  private val mapLock = new Object
+  private val lockTable = new scala.collection.mutable.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, Object]]
+  private[ops] def fitLockFor(s: SparkSession, d: String): Object =
+    mapLock.synchronized {
+      lockTable.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, new Object)
+    }
 
   private[ops] def kmeansFit(s: SparkSession, d: String): (Array[Long], Array[Array[Long]]) =
-    fitLock.synchronized {
-      val km = kmeansCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-      km.get(d) match {
+    fitLockFor(s, d).synchronized {
+      mapLock.synchronized {
+        kmeansCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty).get(d)
+      } match {
         case Some(v) => v
         case None =>
-          val pqm = pqCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+          val pqInstalled = mapLock.synchronized {
+            pqCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+              .contains(d)
+          }
           val coarse =
-            if (pqm.contains(d)) computeKmeansFit(s, d) // PQ installed/trained: train coarse alone
+            if (pqInstalled) computeKmeansFit(s, d) // PQ installed/trained: train coarse alone
             else {
               val (c, p) = computeJointFit(s, d)
-              pqm.update(d, p)
+              mapLock.synchronized { pqCache(s).update(d, p) }
               c
             }
-          km.update(d, coarse)
+          mapLock.synchronized { kmeansCache(s).update(d, coarse) }
           coarse
       }
     }
@@ -906,9 +917,11 @@ object Similarity {
     require(rows.nonEmpty, s"codebook table $namespace.$table is empty")
     val labels = rows.map(_.getLong(0))
     val cents = rows.map(_.getSeq[Long](1).toArray)
-    fitLock.synchronized {
-      kmeansCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-        .update(d, (labels, cents))
+    fitLockFor(s, d).synchronized {
+      mapLock.synchronized {
+        kmeansCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+          .update(d, (labels, cents))
+      }
     }
   }
 
@@ -948,9 +961,11 @@ object Similarity {
       val rs = byM(m)
       (rs.map(_.getLong(1)), rs.map(_.getSeq[Long](2).toArray))
     }
-    fitLock.synchronized {
-      pqCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-        .update(d, fits)
+    fitLockFor(s, d).synchronized {
+      mapLock.synchronized {
+        pqCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+          .update(d, fits)
+      }
     }
   }
 
@@ -1130,20 +1145,24 @@ object Similarity {
     * Returns per subspace (surviving seed labels, converged centroids). */
   private[ops] def pqFit(s: SparkSession, d: String)
       : Array[(Array[Long], Array[Array[Long]])] =
-    fitLock.synchronized {
-      val pqm = pqCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-      pqm.get(d) match {
+    fitLockFor(s, d).synchronized {
+      mapLock.synchronized {
+        pqCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty).get(d)
+      } match {
         case Some(v) => v
         case None =>
-          val km = kmeansCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+          val coarseInstalled = mapLock.synchronized {
+            kmeansCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+              .contains(d)
+          }
           val pq =
-            if (km.contains(d)) computePqFit(s, d) // coarse installed/trained: train PQ alone
+            if (coarseInstalled) computePqFit(s, d) // coarse installed/trained: train PQ alone
             else {
               val (c, p) = computeJointFit(s, d)
-              km.update(d, c)
+              mapLock.synchronized { kmeansCache(s).update(d, c) }
               p
             }
-          pqm.update(d, pq)
+          mapLock.synchronized { pqCache(s).update(d, pq) }
           pq
       }
     }

@@ -469,6 +469,12 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("fit locks are striped per (session, corpus dir)") {
+    val a = Similarity.fitLockFor(spark, "/tmp/corpus-a")
+    assert(Similarity.fitLockFor(spark, "/tmp/corpus-a") eq a)
+    assert(!(Similarity.fitLockFor(spark, "/tmp/corpus-b") eq a))
+  }
+
   test("nprobe sweep: grid-complete, monotone in nprobe, matches the ivf tier") {
     val out = Similarity.q152NprobeSweep(spark, sf).collect()
     assert(out.length == Similarity.NprobeGrid.size * Similarity.NumQueries)
