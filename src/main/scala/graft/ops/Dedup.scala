@@ -350,6 +350,58 @@ object Dedup {
       .orderBy("n_match")
   }
 
+  /** Signature-size sweep grid (q158): prefix lengths of the
+    * [[NumHashes]]-slot signature — the first h hash functions of a
+    * MinHash signature are themselves a valid h-hash signature, so each
+    * prefix is exactly the estimator a pipeline running with that hash
+    * budget would ship. */
+  val HashBudgetGrid: Seq[Int] = Seq(4, 8, 16)
+
+  /** MinHash signature-size sweep (q158): estimate error vs hash budget —
+    * for every h in [[HashBudgetGrid]], the mean/max absolute error and
+    * signed total error (ppm) of the h-slot jaccard estimate against the
+    * exact shingle jaccard, over the memoized candidate pairs. q148
+    * calibrates the SHIPPED estimator (h = [[NumHashes]]); this is the
+    * sizing curve that says what each smaller/larger signature would have
+    * cost in accuracy — signature bytes per document are the dominant
+    * storage term of a petabyte dedup index ([[signaturesTable]]), so the
+    * budget deserves a measured decision too (the q152/q153 discipline).
+    *
+    * Exactness: per-pair errors are integer ppm (floor-div per row, the
+    * q148 rule); the signed total is a SUM, never a signed division, so
+    * no truncation-vs-floor divergence between engines can appear. Scale
+    * shape: one pass over the cap-bounded candidate pairs with the slot
+    * bools computed in-row; the h-grid explode multiplies that bounded
+    * stream by 3; the rollup is |grid|-keyed. */
+  def q158SignatureSweep(s: SparkSession, d: String): DataFrame = {
+    val mh = minhashes(s, d)
+    val base = candidatesWithShingles(s, d)
+      .join(mh.select(col("doc_id").as("id_a"), col("mh").as("mh_a")), "id_a")
+      .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
+      .select(
+        expr("cast(size(array_intersect(sh_a, sh_b)) as long)").as("ninter"),
+        expr("cast(size(sh_a) as long)").as("n_a"),
+        expr("cast(size(sh_b) as long)").as("n_b"),
+        array(HashBudgetGrid.map { h =>
+          val nm = (1 to h).map(i =>
+            expr(s"if(element_at(mh_a, $i) = element_at(mh_b, $i), 1L, 0L)"))
+            .reduce(_ + _)
+          struct(lit(h.toLong).as("h"), nm.as("nm"))
+        }: _*).as("sweep"))
+      .withColumn("true_ppm",
+        expr("ninter * 1000000 div (n_a + n_b - ninter)"))
+    base.select(col("true_ppm"), explode(col("sweep")).as("e"))
+      .select(col("e.h").as("n_hashes"),
+        expr("e.nm * 1000000 div e.h").as("est_ppm"), col("true_ppm"))
+      .groupBy("n_hashes")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs(est_ppm - true_ppm)) div count(1)")
+          .as("mean_abs_err_ppm"),
+        max(abs(col("est_ppm") - col("true_ppm"))).as("max_abs_err_ppm"),
+        sum(col("est_ppm") - col("true_ppm")).as("sum_err_ppm"))
+      .orderBy("n_hashes")
+  }
+
   /** A pair is a containment dup when either doc's shingle set is ≥ 90%
     * inside the other — the "small doc embedded in a big doc" case. */
   val ContainDup = 0.9
@@ -1867,6 +1919,39 @@ object Dedup {
       SELECT incoming_id, corpus_id, 'near' AS match_kind, est_jaccard
       FROM near
       ORDER BY incoming_id, corpus_id"""
+    })),
+    "q158_signature_sweep" -> ((q158SignatureSweep _, {
+      val sweepArms = HashBudgetGrid.map { h =>
+        val nm = (0 until h).map(i => s"s$i").mkString(" + ")
+        s"""SELECT $h AS n_hashes, (($nm) * 1000000) // $h AS est_ppm,
+                   true_ppm FROM calt"""
+      }.mkString("\n        UNION ALL ")
+      val slotBools = (0 until NumHashes).map(i =>
+        s"(x.mh$i = y.mh$i)::BIGINT AS s$i").mkString(",\n               ")
+      s"""
+      $minhashCandCtes,
+      $interCte,
+      cal AS (
+        SELECT $slotBools,
+               coalesce(i.ninter, 0) AS ninter,
+               sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM cand c
+        JOIN mh x ON x.doc_id = c.id_a
+        JOIN mh y ON y.doc_id = c.id_b
+        JOIN shs sa ON sa.doc_id = c.id_a
+        JOIN shs sb ON sb.doc_id = c.id_b
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b),
+      calt AS (
+        SELECT *, (ninter * 1000000) // (n_a + n_b - ninter) AS true_ppm
+        FROM cal),
+      sweep AS (
+        $sweepArms)
+      SELECT n_hashes::BIGINT AS n_hashes, count(*) AS n_pairs,
+             (sum(abs(est_ppm - true_ppm)) // count(*))::BIGINT
+               AS mean_abs_err_ppm,
+             max(abs(est_ppm - true_ppm))::BIGINT AS max_abs_err_ppm,
+             sum(est_ppm - true_ppm)::BIGINT AS sum_err_ppm
+      FROM sweep GROUP BY 1 ORDER BY n_hashes"""
     })),
     "q148_minhash_calibration" -> ((q148MinhashCalibration _, {
       val slotMatches = (0 until NumHashes).map(i =>

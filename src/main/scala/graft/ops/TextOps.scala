@@ -1691,6 +1691,42 @@ object TextOps {
         expr(s"pad_waste * 1000000 div (n_docs * $PadLen)"))
       .orderBy("lang")
 
+  /** Batching-length sweep grid (q159): candidate fixed-length targets
+    * bracketing [[PadLen]] on both sides. */
+  val PadLenGrid: Seq[Int] = Seq(32, 64, 128, 256)
+
+  /** Batching-length sweep (q159): PAD burn and truncation loss at every
+    * candidate sequence length in [[PadLenGrid]] — q146 audits the SHIPPED
+    * [[PadLen]]; this is the curve that picks it (padding waste falls and
+    * truncation loss grows with the length — the knee is the measured
+    * choice, the q152/q153/q158 sweep discipline applied to the batching
+    * knob).
+    *
+    * Scale shape: the corpus collapses to the (token count → doc count)
+    * MARGINAL in one distributed aggregate — bounded by distinct lengths,
+    * not docs — and every sweep point is arithmetic over that marginal
+    * crossed with the 4-row broadcast grid. Exact integers end to end. */
+  def q159PadLenSweep(s: SparkSession, d: String): DataFrame = {
+    val marg = documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("n_tok").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // distinct-length rows feed all 4 sweep points
+    val grid = s.createDataFrame(
+      PadLenGrid.map(l => Tuple1(l.toLong))).toDF("pad_len")
+    marg.crossJoin(broadcast(grid))
+      .groupBy("pad_len")
+      .agg(sum("n_docs").as("n_docs"),
+        sum(expr("n_tok * n_docs")).as("n_tokens"),
+        sum(expr("(pad_len - least(n_tok, pad_len)) * n_docs"))
+          .as("pad_waste"),
+        sum(expr("greatest(0L, n_tok - pad_len) * n_docs")).as("trunc_loss"),
+        sum(expr("if(n_tok > pad_len, n_docs, 0L)")).as("n_trunc_docs"))
+      .withColumn("waste_ppm",
+        expr("pad_waste * 1000000 div (n_docs * pad_len)"))
+      .withColumn("trunc_ppm", expr("trunc_loss * 1000000 div n_tokens"))
+      .orderBy("pad_len")
+  }
+
   /** C8s skyline / Pareto frontier (q149): documents not DOMINATED on the
     * (token count, lexical diversity) plane — a ≥ b on both axes with one
     * strict — the multi-criteria selection primitive behind "keep the
@@ -1723,6 +1759,26 @@ object TextOps {
   }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q159_padlen_sweep" -> ((q159PadLenSweep _, s"""
+      WITH m AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tok,
+                        count(*)::BIGINT AS n_docs
+                 FROM documents GROUP BY 1),
+      grid AS (SELECT unnest([${PadLenGrid.mkString(", ")}])::BIGINT
+                 AS pad_len),
+      agg AS (
+        SELECT g.pad_len, sum(m.n_docs)::BIGINT AS n_docs,
+               sum(m.n_tok * m.n_docs)::BIGINT AS n_tokens,
+               sum((g.pad_len - least(m.n_tok, g.pad_len)) * m.n_docs)::BIGINT
+                 AS pad_waste,
+               sum(greatest(0, m.n_tok - g.pad_len) * m.n_docs)::BIGINT
+                 AS trunc_loss,
+               sum(CASE WHEN m.n_tok > g.pad_len THEN m.n_docs
+                        ELSE 0 END)::BIGINT AS n_trunc_docs
+        FROM grid g, m GROUP BY 1)
+      SELECT pad_len, n_docs, n_tokens, pad_waste, trunc_loss, n_trunc_docs,
+             (pad_waste * 1000000 // (n_docs * pad_len))::BIGINT AS waste_ppm,
+             (trunc_loss * 1000000 // n_tokens)::BIGINT AS trunc_ppm
+      FROM agg ORDER BY pad_len""")),
     "q150_weighted_sample" -> ((q150WeightedSample _, s"""
       WITH sc AS (
         SELECT source, doc_id,

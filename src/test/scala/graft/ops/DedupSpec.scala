@@ -530,6 +530,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 signature sweep: grid-complete, pair-conserving, bounded errors") {
+    val out = Dedup.q158SignatureSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("n_hashes"))
+    assert(out.map(_.getAs[Long]("n_hashes")).toSeq ==
+      Dedup.HashBudgetGrid.map(_.toLong))
+    // every sweep point scores the SAME candidate-pair universe
+    val nPairs = out.map(_.getAs[Long]("n_pairs")).distinct
+    assert(nPairs.length == 1 && nPairs.head > 0L)
+    out.foreach { r =>
+      val mean = r.getAs[Long]("mean_abs_err_ppm")
+      val mx = r.getAs[Long]("max_abs_err_ppm")
+      assert(mean >= 0L && mean <= mx && mx <= 1000000L)
+      // the signed total can never exceed the absolute total
+      assert(math.abs(r.getAs[Long]("sum_err_ppm")) <=
+        mx * r.getAs[Long]("n_pairs"))
+    }
+  }
+
   test("containment is asymmetric, bounded, and at least as large as jaccard") {
     val cont = Dedup.q101Containment(spark, sf).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),

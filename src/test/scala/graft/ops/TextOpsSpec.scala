@@ -1034,6 +1034,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 padlen sweep: slot conservation, monotone waste/truncation") {
+    val out = TextOps.q159PadLenSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("pad_len"))
+    assert(out.map(_.getAs[Long]("pad_len")).toSeq ==
+      TextOps.PadLenGrid.map(_.toLong))
+    // corpus totals are sweep-invariant
+    assert(out.map(_.getAs[Long]("n_docs")).distinct.length == 1)
+    assert(out.map(_.getAs[Long]("n_tokens")).distinct.length == 1)
+    out.foreach { r =>
+      // slot conservation: docs*len = kept tokens + padding
+      assert(r.getAs[Long]("n_docs") * r.getAs[Long]("pad_len") ==
+        r.getAs[Long]("n_tokens") - r.getAs[Long]("trunc_loss") +
+          r.getAs[Long]("pad_waste"))
+    }
+    // longer targets: waste grows, truncation shrinks
+    def vals(c: String) = out.map(_.getAs[Long](c))
+    assert(vals("pad_waste").zip(vals("pad_waste").tail)
+      .forall { case (a, b) => a <= b })
+    assert(vals("trunc_loss").zip(vals("trunc_loss").tail)
+      .forall { case (a, b) => a >= b })
+    assert(vals("n_trunc_docs").zip(vals("n_trunc_docs").tail)
+      .forall { case (a, b) => a >= b })
+  }
+
   test("q146 padding waste: pad/trunc identities at the PadLen boundary") {
     import spark.implicits._
     val shortDoc = ("a " * 10).trim            // 10 tokens -> pad 118
