@@ -1115,6 +1115,52 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Cluster-quality report (q160): a Davies-Bouldin-style separation
+    * index in exact SQUARED integer space — per cluster, the member
+    * count, mean within-cluster squared distance (cohesion), the nearest
+    * OTHER centroid with its squared distance (separation), and
+    * db_x1000 = (S²ᵢ + S²ⱼ)·1000 / M²ᵢⱼ for that nearest neighbor j.
+    * High values mean the cluster blurs into its neighbor — the
+    * geometry-level health check beside q93's label purity and
+    * q144's population balance: it catches a degenerate codebook even
+    * when labels/populations look fine. Squared space (no sqrt) keeps
+    * every quantity an exact integer both engines agree on; the ORDERING
+    * of ratios is what the monitor consumes, and squaring is monotone.
+    *
+    * Scale shape: cohesion rides the same assignment pass q85 ships
+    * (corpus-linear, memoized fit); centroid separation is a K²-row
+    * self-join of the K-row centroid frame (control-plane, K ≤
+    * MaxKMeansK) with the nearest pick a K-bounded window. Assumes ≥ 2
+    * surviving clusters and distinct centroids (coincident centroids
+    * fail loudly on the zero divide — the q108 corpus-contract
+    * discipline). */
+  def q160ClusterQuality(s: SparkSession, d: String): DataFrame = {
+    val (labels, cents) = kmeansFit(s, d)
+    val s2 = q85KMeans(s, d).groupBy("cluster")
+      .agg(count(lit(1)).as("n"), expr("sum(d2) div count(1)").as("s2_mean"))
+    val cdf = s.createDataFrame(
+      labels.indices.map(i => (labels(i), cents(i).toSeq))).toDF("c_id", "cv")
+    val m2 = cdf.select(col("c_id").as("ca"), col("cv").as("va"))
+      .join(cdf.select(col("c_id").as("cb"), col("cv").as("vb")),
+        col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"),
+        (call_function("ivec_norm2", col("va")) +
+          call_function("ivec_norm2", col("vb")) -
+          lit(2L) * call_function("ivec_dot", col("va"), col("vb"))).as("m2"))
+    val nn = m2.withColumn("rn", row_number().over(
+        Window.partitionBy("ca").orderBy(col("m2"), col("cb"))))
+      .filter(col("rn") === 1)
+      .select(col("ca").as("cluster"), col("cb").as("nn_cluster"),
+        col("m2").as("m2_nn"))
+    s2.join(nn, Seq("cluster"))
+      .join(s2.select(col("cluster").as("nn_cluster"),
+        col("s2_mean").as("s2_nn")), Seq("nn_cluster"))
+      .select(col("cluster"), col("n"), col("s2_mean"),
+        col("nn_cluster"), col("m2_nn"),
+        expr("(s2_mean + s2_nn) * 1000 div m2_nn").as("db_x1000"))
+      .orderBy("cluster")
+  }
+
   val PqM = 4                 // PQ subspaces (64 dims -> 4 x 16)
   val PqSubDim = 16           // dims per subspace
   val PqAdcK = 3              // neighbors per query (ADC tier)
@@ -1974,6 +2020,28 @@ object Similarity {
         SELECT 'ivfadc' AS tier, q_id, n_hit, $LshK::BIGINT AS k,
                round(n_hit::DOUBLE / $LshK, 4) AS recall FROM ahits)
       ORDER BY tier, q_id""")),
+    "q160_cluster_quality" -> ((q160ClusterQuality _, s"""
+      $kmeansChainSql,
+      s2 AS (SELECT c, count(*)::BIGINT AS n,
+                    (sum(dd) // count(*))::BIGINT AS s2_mean
+             FROM kfin GROUP BY c),
+      cm2 AS (SELECT a.c AS ca, b.c AS cb,
+                     sum((a.cv - b.cv) * (a.cv - b.cv))::BIGINT AS m2
+              FROM c2 a JOIN c2 b ON a.dim = b.dim AND a.c <> b.c
+              GROUP BY 1, 2),
+      nn AS (SELECT ca AS cluster, cb AS nn_cluster, m2 AS m2_nn FROM (
+               SELECT ca, cb, m2,
+                      row_number() OVER (PARTITION BY ca
+                        ORDER BY m2, cb) AS rn
+               FROM cm2) t WHERE rn = 1)
+      SELECT s.c::BIGINT AS cluster, s.n, s.s2_mean,
+             nn.nn_cluster::BIGINT AS nn_cluster, nn.m2_nn,
+             ((s.s2_mean + s2b.s2_mean) * 1000 // nn.m2_nn)::BIGINT
+               AS db_x1000
+      FROM s2 s
+      JOIN nn ON nn.cluster = s.c
+      JOIN s2 s2b ON s2b.c = nn.nn_cluster
+      ORDER BY cluster""")),
     "q155_embed_health" -> ((q155EmbedHealth _, s"""
       WITH q AS (SELECT vec_id, label, embedding,
                         list_transform(embedding,

@@ -469,6 +469,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q160 cluster quality: cohesion/separation match a driver replay") {
+    val (labels, cents) = Similarity.kmeansFit(spark, sf)
+    val byLabel = labels.zip(cents).toMap
+    val assign = Similarity.q85KMeans(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cluster"))
+    val out = Similarity.q160ClusterQuality(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= labels.length)
+    def m2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    out.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      val mem = assign(c)
+      assert(r.getAs[Long]("n") == mem.length)
+      assert(r.getAs[Long]("s2_mean") ==
+        mem.map(_.getAs[Long]("d2")).sum / mem.length)
+      val nnC = r.getAs[Long]("nn_cluster")
+      assert(nnC != c)
+      // the reported neighbor really is the closest other centroid
+      val dists = labels.filter(_ != c)
+        .map(o => (m2(byLabel(c), byLabel(o)), o)).sorted
+      assert((r.getAs[Long]("m2_nn"), nnC) == dists.head)
+      assert(r.getAs[Long]("m2_nn") > 0L)
+      assert(r.getAs[Long]("db_x1000") >= 0L)
+    }
+  }
+
   test("fit locks are striped per (session, corpus dir)") {
     val a = Similarity.fitLockFor(spark, "/tmp/corpus-a")
     assert(Similarity.fitLockFor(spark, "/tmp/corpus-a") eq a)
