@@ -270,6 +270,26 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     loadSnapshot(ns, table, Some(snapshotId))
 
   /** Snapshot ids still present in the metadata log, oldest first. */
+  /** Roll the table back to the state of `snapshotId` — as a NEW commit
+    * (Iceberg rollback semantics: history is never rewritten; a fresh
+    * snapshot is appended whose live set is the target's, so concurrent
+    * writers CAS against it like any other commit, time travel still
+    * reaches the abandoned states, and [[expireSnapshots]] reclaims them
+    * on its usual schedule). Fails loudly on an unknown table or
+    * snapshot id. */
+  def rollbackTo(ns: String, table: String, snapshotId: Long): Unit =
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        val snap = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == snapshotId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no snapshot $snapshotId on $ns.$table"))
+        val live = snap.get("live").elements().asScala.map(_.asText()).toSeq
+        Some(addSnapshot(meta, "rollback", live))
+    }
+
   def snapshotIds(ns: String, table: String): Seq[Long] =
     readMeta(ns, table).get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong()).toSeq

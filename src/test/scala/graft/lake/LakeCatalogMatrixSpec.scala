@@ -171,6 +171,31 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name != "session") test(s"[${impl.name}] rollback: new commit, history intact, writes continue") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L).toDF("id"))          // snapshot 1
+      cat.append(ns, "t", Seq(3L).toDF("id"))              // snapshot 2
+      cat.rollbackTo(ns, "t", 1L)                          // snapshot 3
+      // rollback is a NEW snapshot pointing at the old live set —
+      // history is preserved, current state is the target's
+      assert(cat.snapshotIds(ns, "t") == Seq(1L, 2L, 3L))
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L))
+      // the abandoned state stays time-travelable until expiry
+      assert(cat.loadAt(ns, "t", 2L).collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L))
+      // writes continue from the rolled-back state
+      cat.append(ns, "t", Seq(7L).toDF("id"))              // snapshot 4
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 7L))
+      // unknown id fails loudly, nothing committed
+      intercept[IllegalArgumentException](cat.rollbackTo(ns, "t", 99L))
+      assert(cat.snapshotIds(ns, "t") == Seq(1L, 2L, 3L, 4L))
+      cat.dropNamespace(ns)
+    }
+
     test(s"[${impl.name}] concurrent appends: every racing snapshot survives") {
       // VERDICT r7 #2: the reference's REST catalog gives CAS server-side;
       // both local implementations must not lose a snapshot when writers
