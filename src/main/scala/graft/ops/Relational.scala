@@ -502,6 +502,34 @@ object Relational {
       .orderBy("event_type", "next_type")
   }
 
+  /** Referential-integrity audit (q161): the ingestion QA gate for the
+    * star schema — row totals plus every orphan class that would silently
+    * corrupt downstream joins: lineitems whose order is missing, orders
+    * whose customer is missing, and childless orders (legal, but a spike
+    * is an ingest-ordering alarm). A load pipeline runs this after every
+    * batch: fact-side joins silently DROP orphans, so the q01/q09-class
+    * revenue queries would under-report without ever failing.
+    *
+    * Scale shape: each orphan class is one distributed left-anti join on
+    * the join key (dim side build/broadcast under AQE at test scale,
+    * shuffle join at 100 TB) feeding a count — no row survives to the
+    * driver; the five counts assemble by crossJoin of 1-row aggregates. */
+  def q161IntegrityAudit(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val ord = orders(s, d)
+    val cust = customer(s, d)
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as(name))
+    val orphanLi = cnt(li.join(ord,
+      li("l_orderkey") === ord("o_orderkey"), "left_anti"), "n_orphan_lineitems")
+    val orphanOrd = cnt(ord.join(cust,
+      ord("o_custkey") === cust("c_custkey"), "left_anti"), "n_orphan_orders")
+    val childless = cnt(ord.join(li,
+      ord("o_orderkey") === li("l_orderkey"), "left_anti"), "n_childless_orders")
+    cnt(li, "n_lineitems").crossJoin(cnt(ord, "n_orders"))
+      .crossJoin(orphanLi).crossJoin(orphanOrd).crossJoin(childless)
+  }
+
   val FastGapSec = 600L // an inter-event gap this small is "machine-paced"
   val BotFastGaps = 3L  // flag users with at least this many fast gaps
 
@@ -1102,6 +1130,22 @@ object Relational {
              (p.n * 1000000) // t.row_total AS p_ppm
       FROM pairs p JOIN tot t USING (event_type)
       ORDER BY p.event_type, p.next_type""")),
+    "q161_integrity_audit" -> ((q161IntegrityAudit _, """
+      SELECT
+        (SELECT count(*) FROM lineitem)::BIGINT AS n_lineitems,
+        (SELECT count(*) FROM orders)::BIGINT AS n_orders,
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+          AS n_orphan_lineitems,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))::BIGINT
+          AS n_orphan_orders,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey))::BIGINT
+          AS n_childless_orders""")),
     "q154_bot_detect" -> ((q154BotDetect _, s"""
       WITH g0 AS (
         SELECT user_id,

@@ -197,6 +197,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == perCust.size.toLong)
   }
 
+  test("q161 integrity audit: orphan counts match key-set arithmetic") {
+    val out = Relational.q161IntegrityAudit(spark, sf).collect()(0)
+    val liKeys = Tables.lineitem(spark, sf).select("l_orderkey").collect()
+      .map(_.getLong(0))
+    val ordKeys = Tables.orders(spark, sf).select("o_orderkey").collect()
+      .map(_.getLong(0))
+    val custKeys = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val ordCust = Tables.orders(spark, sf).select("o_custkey").collect()
+      .map(_.getLong(0))
+    val ordSet = ordKeys.toSet
+    val liSet = liKeys.toSet
+    assert(out.getAs[Long]("n_lineitems") == liKeys.length.toLong)
+    assert(out.getAs[Long]("n_orders") == ordKeys.length.toLong)
+    assert(out.getAs[Long]("n_orphan_lineitems") ==
+      liKeys.count(k => !ordSet.contains(k)).toLong)
+    assert(out.getAs[Long]("n_orphan_orders") ==
+      ordCust.count(k => !custKeys.contains(k)).toLong)
+    assert(out.getAs[Long]("n_childless_orders") ==
+      ordKeys.count(k => !liSet.contains(k)).toLong)
+  }
+
   test("q154 bot detect: per-user stats match a driver-side replay") {
     val out = Relational.q154BotDetect(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r).toMap
