@@ -327,18 +327,41 @@ object Dedup {
     * NumHashes stops dividing 1e6); the exact side rides the same memoized candidate list
     * + shingle arrays q23 scores ([[candidatesWithShingles]]), and all
     * means are exact integer ppm. Output is ≤ NumHashes+1 rows. */
+  /** Test hook: how many times the calibration base was scored. */
+  private[ops] val calibDerivations = new java.util.concurrent.atomic.AtomicLong
+  // lazy: MaxCachedCorpora is declared further down this object, and a
+  // strict val here would capture its pre-init 0 (capacity-0 memo that
+  // evicts every insert — observed as q158 re-scoring q148's base)
+  private lazy val calibCache = new SessionMemo(MaxCachedCorpora)
+
+  /** Scored calibration base shared by q148 and the q158 budget sweep:
+    * per candidate pair, the per-slot signature-match indicators plus the
+    * exact shingle intersection and set sizes — ONE array_intersect pass
+    * over the cap-bounded candidate stream, checkpointed, so the
+    * calibration report and the hash-budget sweep never score the pairs
+    * twice (the truthCache discipline; at 10× this pass is the linear
+    * cost term both consumers would otherwise each pay). */
+  private def calibrationBase(s: SparkSession, d: String): DataFrame =
+    calibCache.getOrElseUpdate(s, d) {
+      calibDerivations.incrementAndGet()
+      val mh = minhashes(s, d)
+      candidatesWithShingles(s, d)
+        .join(mh.select(col("doc_id").as("id_a"), col("mh").as("mh_a")), "id_a")
+        .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
+        .select(
+          array((1 to NumHashes).map(i =>
+            expr(s"if(element_at(mh_a, $i) = element_at(mh_b, $i), 1L, 0L)")): _*)
+            .as("slot_eq"),
+          expr("cast(size(array_intersect(sh_a, sh_b)) as long)").as("ninter"),
+          expr("cast(size(sh_a) as long)").as("n_a"),
+          expr("cast(size(sh_b) as long)").as("n_b"))
+        .localCheckpoint(true)
+    }
+
   def q148MinhashCalibration(s: SparkSession, d: String): DataFrame = {
-    val mh = minhashes(s, d)
-    val slotEq = (1 to NumHashes).map(i =>
-      expr(s"if(element_at(mh_a, $i) = element_at(mh_b, $i), 1L, 0L)"))
-      .reduce(_ + _)
-    candidatesWithShingles(s, d)
-      .join(mh.select(col("doc_id").as("id_a"), col("mh").as("mh_a")), "id_a")
-      .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
-      .select(slotEq.as("n_match"),
-        expr("size(array_intersect(sh_a, sh_b))").cast("long").as("ninter"),
-        expr("cast(size(sh_a) as long)").as("n_a"),
-        expr("cast(size(sh_b) as long)").as("n_b"))
+    calibrationBase(s, d)
+      .select(expr("aggregate(slot_eq, 0L, (a, x) -> a + x)").as("n_match"),
+        col("ninter"), col("n_a"), col("n_b"))
       .withColumn("true_ppm",
         expr("ninter * 1000000 div (n_a + n_b - ninter)"))
       .withColumn("est_ppm", expr(s"n_match * 1000000 div $NumHashes"))
@@ -374,22 +397,14 @@ object Dedup {
     * bools computed in-row; the h-grid explode multiplies that bounded
     * stream by 3; the rollup is |grid|-keyed. */
   def q158SignatureSweep(s: SparkSession, d: String): DataFrame = {
-    val mh = minhashes(s, d)
-    val base = candidatesWithShingles(s, d)
-      .join(mh.select(col("doc_id").as("id_a"), col("mh").as("mh_a")), "id_a")
-      .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
-      .select(
-        expr("cast(size(array_intersect(sh_a, sh_b)) as long)").as("ninter"),
-        expr("cast(size(sh_a) as long)").as("n_a"),
-        expr("cast(size(sh_b) as long)").as("n_b"),
-        array(HashBudgetGrid.map { h =>
-          val nm = (1 to h).map(i =>
-            expr(s"if(element_at(mh_a, $i) = element_at(mh_b, $i), 1L, 0L)"))
-            .reduce(_ + _)
-          struct(lit(h.toLong).as("h"), nm.as("nm"))
-        }: _*).as("sweep"))
+    val base = calibrationBase(s, d)
       .withColumn("true_ppm",
         expr("ninter * 1000000 div (n_a + n_b - ninter)"))
+      .withColumn("sweep", array(HashBudgetGrid.map { h =>
+        struct(lit(h.toLong).as("h"),
+          expr(s"aggregate(slice(slot_eq, 1, $h), 0L, (a, x) -> a + x)")
+            .as("nm"))
+      }: _*))
     base.select(col("true_ppm"), explode(col("sweep")).as("e"))
       .select(col("e.h").as("n_hashes"),
         expr("e.nm * 1000000 div e.h").as("est_ppm"), col("true_ppm"))
@@ -1046,6 +1061,7 @@ object Dedup {
     pairCache.invalidate()
     truthCache.invalidate()
     srcShingleCache.invalidate()
+    calibCache.invalidate()
   }
 
   /** Test hook: how many label propagations have actually run. */

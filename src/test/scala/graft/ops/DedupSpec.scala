@@ -531,8 +531,12 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("q158 signature sweep: grid-complete, pair-conserving, bounded errors") {
+    // the scored base derives once across q148 and q158
+    Dedup.q148MinhashCalibration(spark, sf).collect()
+    val calibBefore = Dedup.calibDerivations.get()
     val out = Dedup.q158SignatureSweep(spark, sf).collect()
       .sortBy(_.getAs[Long]("n_hashes"))
+    assert(Dedup.calibDerivations.get() == calibBefore)
     assert(out.map(_.getAs[Long]("n_hashes")).toSeq ==
       Dedup.HashBudgetGrid.map(_.toLong))
     // every sweep point scores the SAME candidate-pair universe
