@@ -805,6 +805,38 @@ object Dedup {
   def q70DupClusters(s: SparkSession, d: String): DataFrame =
     clustersOf(dupLabels(s, d))
 
+  /** Dup-cluster size histogram (q162): how duplication mass is SHAPED —
+    * for every cluster size, how many clusters, how many docs, and the
+    * exact-ppm share of the corpus (size 1 = docs outside the pair graph).
+    * The same labels q70 reports per-doc, read as a distribution: the
+    * answer decides survivor POLICY — a long tail of pairs/triples favors
+    * per-cluster keep-best (q94), while a few mega-clusters mean template
+    * families where whole-cluster drops or q136's soft weights are safer,
+    * and a sudden histogram shift is a crawl-regression alarm no per-doc
+    * view shows.
+    *
+    * Scale shape: rides the memoized propagation labels; two bounded
+    * rollups (per-cluster sizes → per-size counts) plus 1-row totals —
+    * nothing corpus-sized after the first aggregate. */
+  def q162ClusterHistogram(s: SparkSession, d: String): DataFrame = {
+    val labels = dupLabels(s, d)
+    val multi = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val totals = documents(s, d).agg(count(lit(1)).as("n_docs_total"))
+      .crossJoin(labels.agg(count(lit(1)).as("n_in_graph")))
+      .localCheckpoint(true) // 1 row, read by the singleton arm AND the ppm
+    val singles = totals.select(lit(1L).as("cluster_size"),
+      (col("n_docs_total") - col("n_in_graph")).as("n_clusters"))
+    multi.unionByName(singles)
+      .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(totals.select("n_docs_total")))
+      .withColumn("docs_ppm", expr("n_docs * 1000000 div n_docs_total"))
+      .select("cluster_size", "n_clusters", "n_docs", "docs_ppm")
+      .orderBy("cluster_size")
+  }
+
   /** q70's report shape over ANY (id, label) assignment — the consumer face
     * for a [[clustersTable]] materialization or a memoized [[dupLabels]]. */
   def clustersOf(labels: DataFrame): DataFrame = {
@@ -1801,6 +1833,26 @@ object Dedup {
     "q120_split_leakage" -> ((q120SplitLeakage _, splitLeakageOracle)),
     "q115_dedup_funnel" -> ((q115DedupFunnel _, funnelOracle)),
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
+    "q162_cluster_histogram" -> ((q162ClusterHistogram _, s"""
+      $ccCtes,
+      csizes AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM comps GROUP BY cluster_id),
+      multi AS (SELECT cluster_size::BIGINT AS cluster_size,
+                       count(*)::BIGINT AS n_clusters
+                FROM csizes GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS n_docs_total FROM documents),
+      ing AS (SELECT count(*)::BIGINT AS n_in FROM comps),
+      uni AS (SELECT cluster_size, n_clusters FROM multi
+              UNION ALL
+              SELECT 1::BIGINT, (tot.n_docs_total - ing.n_in)
+              FROM tot, ing),
+      h AS (SELECT cluster_size, sum(n_clusters)::BIGINT AS n_clusters
+            FROM uni GROUP BY 1 HAVING sum(n_clusters) > 0)
+      SELECT h.cluster_size, h.n_clusters,
+             (h.cluster_size * h.n_clusters)::BIGINT AS n_docs,
+             (h.cluster_size * h.n_clusters * 1000000
+               // tot.n_docs_total)::BIGINT AS docs_ppm
+      FROM h, tot ORDER BY h.cluster_size""")),
     "q136_sampling_weights" -> ((q136SamplingWeights _, s"""
       $ccCtes,
       sizes AS (SELECT cluster_id, count(*) AS cluster_size

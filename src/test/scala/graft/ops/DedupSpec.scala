@@ -475,6 +475,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("q162 cluster histogram: conserves docs, matches the q70 view") {
+    val out = Dedup.q162ClusterHistogram(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    // every doc lands in exactly one size bucket
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("docs_ppm") ==
+        r.getAs[Long]("n_docs") * 1000000L / docs)
+    }
+    // the multi-doc buckets agree with q70's per-doc cluster sizes
+    val q70 = Dedup.q70DupClusters(spark, sf).collect()
+    val bySize = q70.groupBy(_.getAs[Long]("cluster_size"))
+      .map { case (sz, rows) => sz -> rows.length.toLong / sz }
+    bySize.foreach { case (sz, nClusters) =>
+      val row = out.find(_.getAs[Long]("cluster_size") == sz)
+      assert(row.exists(_.getAs[Long]("n_clusters") == nClusters),
+        s"size $sz: expected $nClusters clusters")
+    }
+  }
+
   test("q153 threshold sweep: grid-complete, monotone, floor point = q108") {
     val truth = Dedup.q108NgramJaccard(spark, sf).collect()
     val before = Dedup.truthDerivations.get()
