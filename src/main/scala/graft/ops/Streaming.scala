@@ -375,6 +375,59 @@ object Streaming {
       .start()
   }
 
+  /** One epoch of [[statsSink]] — factored out so the spec can pin replay
+    * semantics by invoking the same code twice with one epoch id. The
+    * DELTA table doubles as the exactly-once ledger: deltas are keyed by
+    * (epoch, source), and a replayed epoch's rows anti-join away against
+    * the already-persisted epoch keys, so at-least-once redelivery
+    * contributes ZERO new rows — no cross-table atomicity needed. */
+  private[ops] def statsEpoch(batch: DataFrame, epoch: Long,
+                              catalog: graft.lake.LakeCatalog,
+                              ns: String, table: String): Unit = {
+    val deltas = batch
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .withColumn("epoch", lit(epoch))
+      .select("epoch", "source", "n_docs", "n_tokens", "n_chars")
+    val rows =
+      if (catalog.tableExists(ns, table))
+        deltas.join(catalog.load(ns, table).select("epoch").distinct(),
+          Seq("epoch"), "left_anti")
+      else deltas
+    catalog.ensureTable(ns, table, rows.schema)
+    catalog.append(ns, table, rows)
+  }
+
+  /** Incremental corpus statistics maintained in the lake — the third
+    * index-maintenance face beside [[indexDedupSink]] (signatures) and
+    * [[annIngestSink]] (ANN index rows): every epoch appends its
+    * per-source (docs, whitespace tokens, chars) DELTA rows; the running
+    * totals are [[corpusStats]]' bounded SUM over them. Per-epoch work is
+    * one aggregate of the batch plus an anti-join against the
+    * |epochs|·|sources| delta table (control-plane-sized; compact it by
+    * summing history into a base row when epochs accumulate). This is
+    * what keeps q76/q110-class mixing/budget planners runnable at ingest
+    * time without ever rescanning a 100 TB corpus for totals. */
+  def statsSink(docs: DataFrame, catalog: graft.lake.LakeCatalog,
+                ns: String, table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        statsEpoch(batch.toDF(), epoch, catalog, ns, table)
+      }
+      .start()
+
+  /** Current per-source totals over the [[statsSink]] delta table. */
+  def corpusStats(catalog: graft.lake.LakeCatalog, ns: String,
+                  table: String): DataFrame =
+    catalog.load(ns, table).groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+
   private def epochStart(w: Column): Column = unix_timestamp(w("start"))
 
   /** C7a tumbling-window aggregation (true `window()` operator; oracle =

@@ -400,6 +400,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stats sink: totals match batch aggregation, replayed epochs add zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = s"cst_${System.nanoTime()}"
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cst-ckpt").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.statsSink(
+      in.toDF().toDF("doc_id", "text", "source"), cat, ns, "stats", ckpt)
+    try {
+      in.addData((1L, "a b c", "web"), (2L, "d e", "web"), (3L, "x", "book"))
+      q.processAllAvailable()
+      in.addData((4L, "y z", "book"))
+      q.processAllAvailable()
+      val totals = Streaming.corpusStats(cat, ns, "stats").collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("n_chars"))).toMap
+      assert(totals("web") == ((2L, 5L, 8L)))
+      assert(totals("book") == ((2L, 3L, 4L)))
+      // at-least-once replay: re-running an already-persisted epoch's
+      // batch through the same epoch id must contribute ZERO new rows
+      val before = cat.load(ns, "stats").count()
+      Streaming.statsEpoch(
+        Seq((1L, "a b c", "web")).toDF("doc_id", "text", "source"),
+        epoch = 0L, cat, ns, "stats")
+      assert(cat.load(ns, "stats").count() == before)
+      // a genuinely new epoch still lands
+      Streaming.statsEpoch(
+        Seq((5L, "k", "web")).toDF("doc_id", "text", "source"),
+        epoch = 99L, cat, ns, "stats")
+      val after = Streaming.corpusStats(cat, ns, "stats").collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+      assert(after("web") == 3L)
+    } finally {
+      q.stop()
+      cat.dropNamespace(ns)
+    }
+  }
+
   test("session windows run under readStream with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
