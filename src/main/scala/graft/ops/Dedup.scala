@@ -549,6 +549,35 @@ object Dedup {
       .orderBy("jaccard_band")
   }
 
+  /** Dedup-quality interaction report (q164): per ledger action
+    * (drop_exact / drop_near / keep) — doc count, exact char mass, and
+    * mean lexical quality as floor(Σ round(ttr·10⁴) / n). The
+    * am-I-dropping-good-docs audit on the q129 decisions: drops SHOULD
+    * skew toward boilerplate-grade quality (duplicates are
+    * disproportionately templates); a drop class whose mean quality
+    * matches or beats the keeps means the near-dup threshold is eating
+    * genuine content — the policy alarm that pairs with q153's volume
+    * curve (what a threshold costs) by saying WHAT KIND of docs it costs.
+    *
+    * Scale shape: the ledger derives from memoized labels; the quality
+    * signal is one narrow projection of documents joined on doc_id; the
+    * rollup is 3 rows. Uses THE shared ttr definition
+    * ([[TextOps.ttrFromTokens]]), so this report cannot drift from the
+    * q30/q94/q97 signal. */
+  def q164DropQuality(s: SparkSession, d: String): DataFrame = {
+    val sig = documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("n_chars"),
+        round(TextOps.ttrFromTokens(col("t")) * 10000).cast("long").as("ttr4"))
+    q129DedupLedger(s, d).select("doc_id", "action")
+      .join(sig, "doc_id")
+      .groupBy("action")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        expr("sum(ttr4) div count(1)").as("mean_ttr_x10000"))
+      .orderBy("action")
+  }
+
   /** Jaccard threshold grid for the q153 retention sweep — every point at
     * or above [[NgramDupJaccard]], because the exact-truth memo only
     * contains pairs at or above that floor. */
@@ -1743,7 +1772,11 @@ object Dedup {
         ON pr.split_a = g.split_a AND pr.split_b = g.split_b
       ORDER BY g.split_a, g.split_b"""
 
-  private def ledgerOracle: String =
+  /** The per-doc decision CTE chain ending in `ledger` (doc_id, action,
+    * keeper_id) — shared by the q129 oracle and the q164 quality
+    * interaction so the action definition exists once on the oracle
+    * side too. */
+  private def ledgerCtes: String =
     raw"""
       $ccCtes,
       fpd AS (SELECT doc_id,
@@ -1762,7 +1795,11 @@ object Dedup {
                     ELSE 'keep' END AS action,
                CASE WHEN doc_id <> keep_id THEN keep_id
                     ELSE cluster_keeper END AS keeper_id
-        FROM led),
+        FROM led)"""
+
+  private def ledgerOracle: String =
+    raw"""
+      $ledgerCtes,
       -- follow non-keep keepers hop by hop; every hop strictly decreases
       -- doc_id, so min(fk) over a doc's chain IS its terminal 'keep' row
       chain AS (
@@ -1815,6 +1852,17 @@ object Dedup {
     "q130_deduped_epoch_plan" ->
       ((TextOps.q130DedupedEpochPlan _, dedupedEpochOracle)),
     "q129_dedup_ledger" -> ((q129DedupLedger _, ledgerOracle)),
+    "q164_drop_quality" -> ((q164DropQuality _, s"""
+      $ledgerCtes,
+      sig AS (SELECT doc_id, n_chars,
+                     cast(round((${TextOps.TtrSql}) * 10000) AS BIGINT)
+                       AS ttr4
+              FROM documents)
+      SELECT g.action, count(*)::BIGINT AS n_docs,
+             sum(s.n_chars)::BIGINT AS n_chars,
+             (sum(s.ttr4) // count(*))::BIGINT AS mean_ttr_x10000
+      FROM ledger g JOIN sig s USING (doc_id)
+      GROUP BY g.action ORDER BY g.action""")),
     "q128_incremental_neardup" -> ((q128IncrementalNearDup _, s"""
       $jaccardCtes,
       src AS (SELECT doc_id, source FROM documents),

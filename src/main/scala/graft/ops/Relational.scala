@@ -502,6 +502,46 @@ object Relational {
       .orderBy("event_type", "next_type")
   }
 
+  /** Conversion-latency report (q163): one row — viewers, converters
+    * (users with a purchase at-or-after their first view), exact-ppm
+    * conversion share, and the exact lower-quantile p50/p90/max
+    * first-view→first-purchase latency in whole epoch seconds. q66 says
+    * how many users pass each funnel stage; this says how LONG the
+    * view→purchase edge takes — the latency half of funnel analysis.
+    *
+    * Exactness: second-floor timestamps (the q154 convention), lower
+    * quantiles by cumulative rank over the (gap → user count) MARGINAL —
+    * bounded by distinct gap values, the q156/q139 marginal discipline;
+    * the per-user reductions are plain distributed aggregates. */
+  def q163ConversionLatency(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"),
+      col("ts").cast("long").as("sec"))
+    val v0 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("v0"))
+    val gaps = e.filter(col("event_type") === "purchase")
+      .join(v0, "user_id")
+      .filter(col("sec") >= col("v0"))
+      .groupBy("user_id").agg(min(col("sec") - col("v0")).as("gap"))
+    val marg = gaps.groupBy("gap").agg(count(lit(1)).as("nu"))
+      .localCheckpoint(true) // distinct-gap rows feed totals + 2 quantiles
+    val cum = marg.withColumn("cum", sum("nu").over(
+      Window.orderBy("gap").rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val tot = marg.agg(sum("nu").as("n_converted"),
+      max("gap").as("max_gap_sec"))
+    val wt = cum.crossJoin(broadcast(tot))
+    val p50 = wt.filter(expr("2 * cum >= n_converted"))
+      .agg(min("gap").as("p50_gap_sec"))
+    val p90 = wt.filter(expr("10 * cum >= 9 * n_converted"))
+      .agg(min("gap").as("p90_gap_sec"))
+    v0.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(tot).crossJoin(p50).crossJoin(p90)
+      .withColumn("converted_ppm",
+        expr("n_converted * 1000000 div n_viewers"))
+      .select("n_viewers", "n_converted", "converted_ppm",
+        "p50_gap_sec", "p90_gap_sec", "max_gap_sec")
+  }
+
   /** Referential-integrity audit (q161): the ingestion QA gate for the
     * star schema — row totals plus every orphan class that would silently
     * corrupt downstream joins: lineitems whose order is missing, orders
@@ -1130,6 +1170,29 @@ object Relational {
              (p.n * 1000000) // t.row_total AS p_ppm
       FROM pairs p JOIN tot t USING (event_type)
       ORDER BY p.event_type, p.next_type""")),
+    "q163_conversion_latency" -> ((q163ConversionLatency _, """
+      WITH e AS (SELECT user_id, event_type,
+                        epoch_us(ts) // 1000000 AS sec FROM events),
+      v0 AS (SELECT user_id, min(sec) AS v0 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      gaps AS (SELECT e.user_id, min(e.sec - v.v0) AS gap
+               FROM e JOIN v0 v USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.sec >= v.v0
+               GROUP BY 1),
+      m AS (SELECT gap, count(*)::BIGINT AS nu FROM gaps GROUP BY 1),
+      cum AS (SELECT gap, nu, sum(nu) OVER (ORDER BY gap) AS cum FROM m),
+      tot AS (SELECT sum(nu)::BIGINT AS n_converted,
+                     max(gap)::BIGINT AS max_gap_sec FROM m),
+      vv AS (SELECT count(*)::BIGINT AS n_viewers FROM v0),
+      p50 AS (SELECT min(gap)::BIGINT AS p50_gap_sec FROM cum, tot
+              WHERE 2 * cum >= n_converted),
+      p90 AS (SELECT min(gap)::BIGINT AS p90_gap_sec FROM cum, tot
+              WHERE 10 * cum >= 9 * n_converted)
+      SELECT vv.n_viewers, tot.n_converted,
+             (tot.n_converted * 1000000 // vv.n_viewers)::BIGINT
+               AS converted_ppm,
+             p50.p50_gap_sec, p90.p90_gap_sec, tot.max_gap_sec
+      FROM vv, tot, p50, p90""")),
     "q161_integrity_audit" -> ((q161IntegrityAudit _, """
       SELECT
         (SELECT count(*) FROM lineitem)::BIGINT AS n_lineitems,

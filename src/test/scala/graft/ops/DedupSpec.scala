@@ -475,6 +475,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("q164 drop quality: actions partition the corpus, signals bounded") {
+    val out = Dedup.q164DropQuality(spark, sf).collect()
+    val actions = out.map(_.getAs[String]("action")).toSet
+    assert(actions.subsetOf(Set("keep", "drop_exact", "drop_near")))
+    assert(actions.contains("keep"))
+    val docs = Tables.documents(spark, sf)
+      .agg(count(lit(1)), sum("n_chars")).collect()(0)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.getLong(0))
+    assert(out.map(_.getAs[Long]("n_chars")).sum == docs.getLong(1))
+    out.foreach { r =>
+      val m = r.getAs[Long]("mean_ttr_x10000")
+      assert(m >= 0L && m <= 10000L)
+    }
+    // the per-action counts agree with the ledger itself
+    val ledger = Dedup.q129DedupLedger(spark, sf).collect()
+      .groupBy(_.getAs[String]("action")).map { case (a, rs) => a -> rs.length.toLong }
+    out.foreach { r =>
+      assert(ledger(r.getAs[String]("action")) == r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q162 cluster histogram: conserves docs, matches the q70 view") {
     val out = Dedup.q162ClusterHistogram(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()

@@ -197,6 +197,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == perCust.size.toLong)
   }
 
+  test("q163 conversion latency: matches a driver replay of the definition") {
+    val out = Relational.q163ConversionLatency(spark, sf).collect()(0)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "cast(ts as long) as sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val v0 = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._3).min }
+    val gaps = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, sec) =>
+        v0.get(u).filter(sec >= _).map(v => (u, sec - v)) }
+      .groupBy(_._1).map { case (_, rs) => rs.map(_._2).min }.toSeq.sorted
+    assert(out.getAs[Long]("n_viewers") == v0.size.toLong)
+    assert(out.getAs[Long]("n_converted") == gaps.length.toLong)
+    assert(out.getAs[Long]("converted_ppm") ==
+      gaps.length.toLong * 1000000L / v0.size)
+    // lower quantile: the sorted element at 1-based position ceil(n*p/q)
+    assert(out.getAs[Long]("p50_gap_sec") == gaps((gaps.length + 1) / 2 - 1))
+    assert(out.getAs[Long]("p90_gap_sec") ==
+      gaps((gaps.length * 9 + 9) / 10 - 1))
+    assert(out.getAs[Long]("max_gap_sec") == gaps.max)
+  }
+
   test("q161 integrity audit: orphan counts match key-set arithmetic") {
     val out = Relational.q161IntegrityAudit(spark, sf).collect()(0)
     val liKeys = Tables.lineitem(spark, sf).select("l_orderkey").collect()
