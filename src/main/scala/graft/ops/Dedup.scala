@@ -549,6 +549,44 @@ object Dedup {
       .orderBy("jaccard_band")
   }
 
+  /** LSH banding theory-vs-practice monitor (q165): per 0.1 jaccard band
+    * over the exact truth — the EMPIRICAL candidate rate (q109's
+    * observation) beside the ANALYTIC S-curve expectation
+    * P(candidate) = 1 − (1 − J^r)^b for the configured r = [[BandRows]],
+    * b = [[NumBands]]. The delta column separates failure modes q109
+    * alone cannot: empirical far BELOW analytic means the hash family or
+    * bucket caps are eating recall (a mechanism bug); both low just means
+    * the band sits on the S-curve's floor (a threshold choice).
+    *
+    * Exactness: the S-curve evaluates per pair with MULTIPLICATION-ONLY
+    * squaring chains (j² = j·j, j⁴ = j²·j², then (1−j⁴)² and its square)
+    * floored to integer ppm per row — one fixed association order of
+    * deterministic IEEE ops, no cross-engine pow/exp (the q112
+    * discipline); everything after is integer sums. Rides the memoized
+    * truth and candidate relations — no new corpus work at all. */
+  def q165BandingCurve(s: SparkSession, d: String): DataFrame = {
+    require(BandRows == 4 && NumBands == 4,
+      "q165's squaring-chain S-curve is specialized to r = b = 4")
+    val lsh = minhashCandidates(s, d, Some(DefaultMaxBucket))
+      .withColumn("hit", lit(1))
+    q108NgramJaccard(s, d)
+      .join(lsh, Seq("id_a", "id_b"), "left_outer")
+      .withColumn("j2", col("jaccard") * col("jaccard"))
+      .withColumn("j4", col("j2") * col("j2"))
+      .withColumn("t2",
+        (lit(1.0d) - col("j4")) * (lit(1.0d) - col("j4")))
+      .withColumn("p_ppm",
+        floor((lit(1.0d) - col("t2") * col("t2")) * lit(1000000.0d))
+          .cast("long"))
+      .groupBy((floor(col("jaccard") * 10) / 10.0).as("jaccard_band"))
+      .agg(count(lit(1)).as("n_true"),
+        count(col("hit")).as("n_caught"),
+        expr("count(hit) * 1000000 div count(1)").as("empirical_ppm"),
+        expr("sum(p_ppm) div count(1)").as("expected_ppm"))
+      .withColumn("delta_ppm", col("empirical_ppm") - col("expected_ppm"))
+      .orderBy("jaccard_band")
+  }
+
   /** Dedup-quality interaction report (q164): per ledger action
     * (drop_exact / drop_near / keep) — doc count, exact char mass, and
     * mean lexical quality as floor(Σ round(ttr·10⁴) / n). The
@@ -2160,6 +2198,29 @@ object Dedup {
       FROM (SELECT * FROM truth WHERE jaccard >= $NgramDupJaccard) t
       LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
       GROUP BY 1 ORDER BY 1""")),
+    "q165_banding_curve" -> ((q165BandingCurve _, s"""
+      $minhashCandCtes,
+      $ngramTruthCtes,
+      tj AS (SELECT t.jaccard,
+                    CASE WHEN c.id_a IS NOT NULL THEN 1 END AS hit,
+                    t.jaccard * t.jaccard AS j2
+             FROM (SELECT * FROM truth
+                   WHERE jaccard >= $NgramDupJaccard) t
+             LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b),
+      tp AS (SELECT jaccard, hit,
+                    (1.0 - j2 * j2) * (1.0 - j2 * j2) AS t2
+             FROM tj),
+      pp AS (SELECT jaccard, hit,
+                    floor((1.0 - t2 * t2) * 1000000.0)::BIGINT AS p_ppm
+             FROM tp)
+      SELECT floor(jaccard * 10) / 10 AS jaccard_band,
+             count(*) AS n_true,
+             count(hit) AS n_caught,
+             (count(hit) * 1000000 // count(*))::BIGINT AS empirical_ppm,
+             (sum(p_ppm) // count(*))::BIGINT AS expected_ppm,
+             ((count(hit) * 1000000 // count(*))
+               - (sum(p_ppm) // count(*)))::BIGINT AS delta_ppm
+      FROM pp GROUP BY 1 ORDER BY 1""")),
     "q101_containment" -> ((q101Containment _, containmentOracle)),
     "q60_dedup_multisignal" -> ((q60DedupMultiSignal _, multiSignalOracle)),
     "q24_dedup_simhash" -> ((q24DedupSimhash _, """

@@ -475,6 +475,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("q165 banding curve: bands agree with q109, S-curve bounded") {
+    val out = Dedup.q165BandingCurve(spark, sf).collect()
+      .map(r => r.getAs[Double]("jaccard_band") -> r).toMap
+    val q109 = Dedup.q109DedupRecall(spark, sf).collect()
+      .map(r => r.getAs[Double]("jaccard_band") -> r).toMap
+    assert(out.keySet == q109.keySet)
+    for ((band, r) <- out) {
+      assert(r.getAs[Long]("n_true") == q109(band).getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_caught") == q109(band).getAs[Long]("n_caught"))
+      val emp = r.getAs[Long]("empirical_ppm")
+      val exp = r.getAs[Long]("expected_ppm")
+      assert(emp >= 0L && emp <= 1000000L)
+      assert(exp >= 0L && exp <= 1000000L)
+      assert(r.getAs[Long]("delta_ppm") == emp - exp)
+      // analytic floor: every pair in this band has j >= band, and the
+      // S-curve is monotone, so the band mean cannot undercut p(band)
+      val j2 = band * band; val j4 = j2 * j2
+      val t2 = (1.0 - j4) * (1.0 - j4)
+      val floorPpm = math.floor((1.0 - t2 * t2) * 1000000.0).toLong
+      assert(exp >= floorPpm, s"band $band: $exp < $floorPpm")
+    }
+  }
+
   test("q164 drop quality: actions partition the corpus, signals bounded") {
     val out = Dedup.q164DropQuality(spark, sf).collect()
     val actions = out.map(_.getAs[String]("action")).toSet
