@@ -549,6 +549,48 @@ object Dedup {
       .orderBy("jaccard_band")
   }
 
+  /** Cap-utilization monitor (q167): are the candidate-generation caps
+    * binding, and what did they buy? One row per cap family —
+    * `lsh_bucket` ([[DefaultMaxBucket]] over (band, bkey) buckets) and
+    * `shingle_df` ([[MaxShingleDf]] over the inverted-index shingle df) —
+    * with group counts, groups over the cap, rows living in dropped
+    * groups, the PAIR MASS the cap suppressed (Σ n·(n−1)/2 over capped
+    * groups — the quadratic work that would have run) and the pair bound
+    * the survivors still generate. q109/q165 measure a cap's recall
+    * EFFECT; this measures its CAUSE and cost side, turning "the caps are
+    * safe" from scaladoc prose into a runnable number (the CapStress
+    * histogram as a registered, oracle-checked report).
+    *
+    * Scale shape: both inputs collapse to (group → size) marginals on
+    * their own distributed aggregates; everything after is arithmetic on
+    * the marginals. Pair masses are BIGINT-bounded (overflow needs a
+    * single 4e9-row group — far past any cap this monitor would pass). */
+  def q167CapUtilization(s: SparkSession, d: String): DataFrame = {
+    val buckets = minhashes(s, d).select(col("doc_id"),
+        posexplode(array((0 until NumBands).map(bandKey): _*))
+          .as(Seq("band", "bkey")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+      .select(lit("lsh_bucket").as("cap_name"),
+        lit(DefaultMaxBucket.toLong).as("cap_value"), col("n"))
+    val dfs = shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("shg"))
+      .groupBy("shg").agg(count(lit(1)).as("n"))
+      .select(lit("shingle_df").as("cap_name"),
+        lit(MaxShingleDf.toLong).as("cap_value"), col("n"))
+    buckets.unionByName(dfs)
+      .groupBy("cap_name", "cap_value")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") > col("cap_value"), 1L).otherwise(0L))
+          .as("n_over_cap"),
+        sum(when(col("n") > col("cap_value"), col("n")).otherwise(0L))
+          .as("rows_dropped"),
+        sum(when(col("n") > col("cap_value"), expr("n * (n - 1) div 2"))
+          .otherwise(0L)).as("pairs_suppressed"),
+        sum(when(col("n") <= col("cap_value"), expr("n * (n - 1) div 2"))
+          .otherwise(0L)).as("pairs_kept_bound"))
+      .orderBy("cap_name")
+  }
+
   /** LSH banding theory-vs-practice monitor (q165): per 0.1 jaccard band
     * over the exact truth — the EMPIRICAL candidate rate (q109's
     * observation) beside the ANALYTIC S-curve expectation
@@ -2198,6 +2240,28 @@ object Dedup {
       FROM (SELECT * FROM truth WHERE jaccard >= $NgramDupJaccard) t
       LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
       GROUP BY 1 ORDER BY 1""")),
+    "q167_cap_utilization" -> ((q167CapUtilization _, s"""
+      $minhashCandCtes,
+      bsz AS (SELECT 'lsh_bucket' AS cap_name,
+                     $DefaultMaxBucket::BIGINT AS cap_value,
+                     count(*)::BIGINT AS n
+              FROM bands GROUP BY band, bkey),
+      ssz AS (SELECT 'shingle_df' AS cap_name,
+                     $MaxShingleDf::BIGINT AS cap_value,
+                     count(*)::BIGINT AS n
+              FROM sh GROUP BY shingle),
+      uni AS (SELECT * FROM bsz UNION ALL SELECT * FROM ssz)
+      SELECT cap_name, cap_value,
+             count(*)::BIGINT AS n_groups,
+             sum(CASE WHEN n > cap_value THEN 1 ELSE 0 END)::BIGINT
+               AS n_over_cap,
+             sum(CASE WHEN n > cap_value THEN n ELSE 0 END)::BIGINT
+               AS rows_dropped,
+             sum(CASE WHEN n > cap_value THEN n * (n - 1) // 2
+                      ELSE 0 END)::BIGINT AS pairs_suppressed,
+             sum(CASE WHEN n <= cap_value THEN n * (n - 1) // 2
+                      ELSE 0 END)::BIGINT AS pairs_kept_bound
+      FROM uni GROUP BY 1, 2 ORDER BY cap_name""")),
     "q165_banding_curve" -> ((q165BandingCurve _, s"""
       $minhashCandCtes,
       $ngramTruthCtes,

@@ -602,6 +602,47 @@ object Similarity {
           "END"), 8).as("max_err"))
       .orderBy("vec_id")
 
+  /** Bit widths swept by q166 — brackets q77's shipped 8-bit audit. */
+  val QuantBitsGrid: Seq[Int] = Seq(2, 4, 8)
+
+  /** Quantization bit-width sweep (q166): per candidate bit width, the
+    * corpus-level reconstruction-error envelope of per-vector min/max
+    * scalar quantization — max and floor-mean of the per-vector worst
+    * error, in 1e-8 integer units. q77 audits the SHIPPED 8-bit scheme
+    * per vector; this is the curve that picks the width (the
+    * q152/q153/q158/q159 sweep discipline applied to the
+    * memory-bandwidth knob: 2-bit halves storage twice more than 8-bit
+    * but the error curve says what retrieval pays).
+    *
+    * Exactness: per-vector errors round to integer 1e-8 units IN-ROW
+    * (one fixed association order of IEEE ops, the q77 shapes), so every
+    * aggregate is an order-free integer sum/max — no cross-partition
+    * float summation to diverge on. One corpus scan serves all three
+    * arms via an in-row explode. */
+  def q166QuantSweep(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("mn", expr("array_min(v)"))
+      .withColumn("mx", expr("array_max(v)"))
+    val arms = QuantBitsGrid.map { bits =>
+      val l = ((1 << bits) - 1).toString + ".0"
+      struct(lit(bits.toLong).as("bits"),
+        lit(((1 << bits) - 1).toLong).as("levels"),
+        expr(s"""cast(round((CASE WHEN mx = mn THEN 0.0 ELSE
+          array_max(transform(v, x -> abs(x - (mn +
+            round((x - mn) / ((mx - mn) / $l)) * ((mx - mn) / $l)))))
+          END) * 100000000) as bigint)""").as("err8"))
+    }
+    base.select(explode(array(arms: _*)).as("e"))
+      .select(col("e.bits").as("bits"), col("e.levels").as("levels"),
+        col("e.err8").as("err8"))
+      .groupBy("bits", "levels")
+      .agg(count(lit(1)).as("n_vecs"),
+        max("err8").as("max_err_x1e8"),
+        expr("sum(err8) div count(1)").as("mean_err_x1e8"))
+      .orderBy("bits")
+  }
+
   val RerankK = 2
   val RerankSimWeight = 0.7 // blend: 0.7 * ANN cosine + 0.3 * rerank score
   // spelled out, not 1 - RerankSimWeight: the subtraction yields
@@ -2020,6 +2061,29 @@ object Similarity {
         SELECT 'ivfadc' AS tier, q_id, n_hit, $LshK::BIGINT AS k,
                round(n_hit::DOUBLE / $LshK, 4) AS recall FROM ahits)
       ORDER BY tier, q_id""")),
+    "q166_quant_sweep" -> ((q166QuantSweep _, {
+      val armSelects = QuantBitsGrid.map { bits =>
+        val lv = (1 << bits) - 1
+        val l = s"$lv.0"
+        s"""SELECT $bits AS bits, $lv AS levels,
+               cast(round((CASE WHEN mx = mn THEN 0.0 ELSE
+                 list_max(list_transform(v, x -> abs(x - (mn +
+                   round((x - mn) / ((mx - mn) / $l)) * ((mx - mn) / $l)))))
+                 END) * 100000000) AS BIGINT) AS err8
+            FROM c"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH b AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+      c AS (SELECT v, list_min(v) AS mn, list_max(v) AS mx FROM b),
+      arms AS (
+        $armSelects)
+      SELECT bits::BIGINT AS bits, levels::BIGINT AS levels,
+             count(*)::BIGINT AS n_vecs,
+             max(err8)::BIGINT AS max_err_x1e8,
+             (sum(err8) // count(*))::BIGINT AS mean_err_x1e8
+      FROM arms GROUP BY 1, 2 ORDER BY bits"""
+    })),
     "q160_cluster_quality" -> ((q160ClusterQuality _, s"""
       $kmeansChainSql,
       s2 AS (SELECT c, count(*)::BIGINT AS n,

@@ -475,6 +475,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("q167 cap utilization: both cap rows present, identities hold") {
+    val out = Dedup.q167CapUtilization(spark, sf).collect()
+      .map(r => r.getAs[String]("cap_name") -> r).toMap
+    assert(out.keySet == Set("lsh_bucket", "shingle_df"))
+    assert(out("lsh_bucket").getAs[Long]("cap_value") ==
+      Dedup.DefaultMaxBucket.toLong)
+    assert(out("shingle_df").getAs[Long]("cap_value") ==
+      Dedup.MaxShingleDf.toLong)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_over_cap") <= r.getAs[Long]("n_groups"))
+      // dropped groups are each over the cap, so their row mass exceeds
+      // cap * count; a clean corpus may simply have none
+      val over = r.getAs[Long]("n_over_cap")
+      assert(r.getAs[Long]("rows_dropped") >=
+        over * (r.getAs[Long]("cap_value") + 1) ||
+        (over == 0L && r.getAs[Long]("rows_dropped") == 0L))
+      assert(r.getAs[Long]("pairs_kept_bound") >= 0L)
+      assert(over > 0L || r.getAs[Long]("pairs_suppressed") == 0L)
+    }
+    // total LSH bucket rows = docs x bands (every doc lands in every band)
+    val docs = Tables.documents(spark, sf).count()
+    val lsh = out("lsh_bucket")
+    assert(lsh.getAs[Long]("rows_dropped") <= docs * Dedup.NumBands)
+  }
+
   test("q165 banding curve: bands agree with q109, S-curve bounded") {
     val out = Dedup.q165BandingCurve(spark, sf).collect()
       .map(r => r.getAs[Double]("jaccard_band") -> r).toMap

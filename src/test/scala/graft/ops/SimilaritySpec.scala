@@ -469,6 +469,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q166 quant sweep: fewer bits, more error; 8-bit arm matches q77") {
+    val out = Similarity.q166QuantSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bits"))
+    assert(out.map(_.getAs[Long]("bits")).toSeq ==
+      Similarity.QuantBitsGrid.map(_.toLong))
+    assert(out.map(_.getAs[Long]("n_vecs")).distinct.length == 1)
+    out.foreach { r =>
+      assert(r.getAs[Long]("levels") ==
+        (1L << r.getAs[Long]("bits").toInt) - 1L)
+      assert(r.getAs[Long]("mean_err_x1e8") <= r.getAs[Long]("max_err_x1e8"))
+    }
+    def v(c: String) = out.map(_.getAs[Long](c))
+    assert(v("max_err_x1e8").zip(v("max_err_x1e8").tail)
+      .forall { case (a, b) => a >= b })
+    assert(v("mean_err_x1e8").zip(v("mean_err_x1e8").tail)
+      .forall { case (a, b) => a >= b })
+    // the 8-bit arm is q77's shipped scheme: corpus max agrees (±1 ulp of
+    // the two rounding routes: round(x, 8)*1e8 vs round(x*1e8))
+    val q77max = Similarity.q77QuantError(spark, sf).collect()
+      .map(r => math.round(r.getAs[Double]("max_err") * 1e8)).max
+    assert(math.abs(out.last.getAs[Long]("max_err_x1e8") - q77max) <= 1L)
+  }
+
   test("q160 cluster quality: cohesion/separation match a driver replay") {
     val (labels, cents) = Similarity.kmeansFit(spark, sf)
     val byLabel = labels.zip(cents).toMap
