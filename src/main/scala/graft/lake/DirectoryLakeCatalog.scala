@@ -94,26 +94,40 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path)
     val tmp = md.resolve(s".v${base + 1}-${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    try {
-      // the claim must be atomic-fail-if-exists: link(2) either publishes
-      // the fully-written content under the target name or fails with
-      // EEXIST — the POSIX CAS
-      Files.createLink(target, tmp)
-      Files.deleteIfExists(tmp)
-      // the hint flip must be atomic-REPLACE (a plain truncating write
-      // exposes an empty file to concurrent readers)
-      val hintTmp = md.resolve(s".hint-${java.util.UUID.randomUUID()}.tmp")
-      Files.write(hintTmp,
-        (base + 1).toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(hintTmp, md.resolve("version-hint.text"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        false
+    val claimed =
+      try {
+        // the claim must be atomic-fail-if-exists: link(2) either
+        // publishes the fully-written content under the target name or
+        // fails with EEXIST — the POSIX CAS
+        Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally Files.deleteIfExists(tmp) // win or lose, never leak the tmp
+    if (claimed) {
+      // The commit is DURABLE the instant the link lands: readers find
+      // v<base+1> by the upward probe even with a stale/absent hint (the
+      // "committed-but-unhinted" matrix case). The hint flip is therefore
+      // advisory — a failure here (disk full, tmp race) must NOT surface
+      // as a failed commit, or the caller would retry and append the same
+      // data twice on top of its own successful snapshot.
+      try {
+        // atomic-REPLACE (a plain truncating write exposes an empty file
+        // to concurrent readers)
+        val hintTmp = md.resolve(s".hint-${java.util.UUID.randomUUID()}.tmp")
+        Files.write(hintTmp,
+          (base + 1).toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(hintTmp, md.resolve("version-hint.text"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[graft-lake] hint flip failed after a " +
+            s"successful v${base + 1} commit on $ns.$table " +
+            s"(readers recover via the version probe): $e")
+      }
     }
+    claimed
   }
 }
 

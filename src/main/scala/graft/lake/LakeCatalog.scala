@@ -135,10 +135,14 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
                              bucketCols: Seq[String], numBuckets: Int,
                              sortCols: Seq[String]): Unit = {
     ensureNamespace(ns)
-    val w = df.write.format("parquet").mode("overwrite")
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(id(ns, table))
+    // same _temporary/0 clobber hazard as append/overwrite (see
+    // tableLock's scaladoc) — every saveAsTable path serializes per table
+    tableLock(ns, table).synchronized {
+      val w = df.write.format("parquet").mode("overwrite")
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+        .saveAsTable(id(ns, table))
+    }
   }
 
   /** Writes into a partitioned table must redeclare its partitioning. */
@@ -215,16 +219,22 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // task writes whole files for few partitions (a bare repartition(n)
     // scatters every partition over all n tasks -> n files per partition,
     // recreating the small-file problem being fixed).
-    val snapshot0 = load(ns, table)
-    val snapshot = (if (parts.nonEmpty)
-        snapshot0.repartition(targetFiles, parts.map(p => col(s"`$p`")): _*)
-      else snapshot0.repartition(targetFiles))
-      // localCheckpoint severs lineage eagerly — a cached plan could be
-      // evicted and recomputed from files AFTER the overwrite truncates them
-      .localCheckpoint(true)
-    val w = snapshot.write.format("parquet").mode("overwrite")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-      .saveAsTable(id(ns, table))
+    // the whole read-checkpoint-rewrite cycle sits under the table lock:
+    // a concurrent append truncating files mid-checkpoint would abort the
+    // snapshot read, and the rewrite itself shares append/overwrite's
+    // _temporary/0 staging hazard
+    tableLock(ns, table).synchronized {
+      val snapshot0 = load(ns, table)
+      val snapshot = (if (parts.nonEmpty)
+          snapshot0.repartition(targetFiles, parts.map(p => col(s"`$p`")): _*)
+        else snapshot0.repartition(targetFiles))
+        // localCheckpoint severs lineage eagerly — a cached plan could be
+        // evicted and recomputed from files AFTER the overwrite truncates them
+        .localCheckpoint(true)
+      val w = snapshot.write.format("parquet").mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+        .saveAsTable(id(ns, table))
+    }
   }
 }
 

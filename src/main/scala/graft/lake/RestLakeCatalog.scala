@@ -44,8 +44,13 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
 
   private val http = HttpClient.newHttpClient()
 
+  /** Percent-encode a PATH segment. URLEncoder alone form-encodes
+    * (space -> '+'), which a path-decoding server reads back as a literal
+    * plus — so the '+' is rewritten to %20 (and a literal '+' in the name
+    * was already %2B-escaped by URLEncoder), giving true RFC 3986 segment
+    * encoding that survives exactly one server-side decode. */
   private def enc(s: String): String =
-    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
 
   private def send(method: String, path: String, body: String = "")
       : HttpResponse[String] = {

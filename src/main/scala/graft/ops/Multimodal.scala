@@ -439,10 +439,19 @@ object Multimodal {
   /** q151 oracle: the same pair CTEs over corpus ∪ fixture, then a
     * recursive min-label walk (the q70 ccOracle shape) and the clustersOf
     * rollup. */
+  /** The ONE definition of the fixture on the oracle side too: the SQL
+    * VALUES list interpolates from [[PhashFixture]], so editing a fixture
+    * row can never silently desync the two engines' corpora (the
+    * ttrFromTokens/TtrSql single-definition discipline). */
+  private def fixtureValuesSql: String =
+    PhashFixture.map { case (id, t) =>
+      s"($id, '" + t.replace("'", "''") + "')"
+    }.mkString(", ")
+
   private def phashClusterOracle: String = s"""
       WITH RECURSIVE ${phashPairCtes(s"""(SELECT doc_id, text FROM documents
           UNION ALL SELECT * FROM (VALUES
-            (9000001, 'phash fixture: duplicate payload replicated verbatim for cluster alpha'), (9000002, 'phash fixture: duplicate payload replicated verbatim for cluster alpha'), (9000003, 'the quick brown fox jumps over the lazy dog while the cat watches quietly'), (9000004, 'ahe quick brown fox jumps over the lazy dog while the cat watches quietly'), (9000005, 'phash fixture: a singleton payload with no perceptual mate anywhere')) fx(doc_id, text))""")},
+            $fixtureValuesSql) fx(doc_id, text))""")},
       nd AS (SELECT id_a, id_b FROM mates
              WHERE ham <= $MaxPhashHamming AND id_a < id_b),
       edges AS (SELECT id_a AS src, id_b AS dst FROM nd

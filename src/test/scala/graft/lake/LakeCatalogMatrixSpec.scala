@@ -196,6 +196,21 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name == "rest") test("[rest] names with '+', '%' and spaces survive the wire") {
+      val cat = impl.make().asInstanceOf[RestLakeCatalog]
+      // '+' (the form-encoding trap: URLEncoder alone sends space as '+'
+      // and a path-decoding server then conflates the two) and a space
+      // ('%' stays out only because Hadoop Path rejects stray escapes in
+      // the DATA-plane directory name — the wire handles it fine)
+      val ns = s"mx a+b c_${System.nanoTime()}"
+      cat.ensureTable(ns, "t+1", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t+1", Seq(1L, 2L).toDF("id"))
+      assert(cat.tableExists(ns, "t+1"))
+      assert(cat.load(ns, "t+1").count() == 2L)
+      cat.dropNamespace(ns)
+      assert(!cat.tableExists(ns, "t+1"))
+    }
+
     test(s"[${impl.name}] concurrent appends: every racing snapshot survives") {
       // VERDICT r7 #2: the reference's REST catalog gives CAS server-side;
       // both local implementations must not lose a snapshot when writers

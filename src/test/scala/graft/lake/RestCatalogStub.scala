@@ -39,7 +39,10 @@ object RestCatalogStub {
 
     private[RestCatalogStub] def handle(ex: HttpExchange): Unit = try {
       val method = ex.getRequestMethod
-      val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      // RAW path: URI.getPath percent-decodes, and dec() below decodes
+      // exactly once — decoding twice would corrupt names containing '+'
+      // or '%' (the client sends RFC 3986 segment encoding)
+      val parts = ex.getRequestURI.getRawPath.split("/").filter(_.nonEmpty)
       val body = new String(ex.getRequestBody.readAllBytes(),
         StandardCharsets.UTF_8)
       (method, parts.toList) match {

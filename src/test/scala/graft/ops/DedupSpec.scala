@@ -585,11 +585,29 @@ class DedupSpec extends AnyFunSuite {
     mono("n_docs_dropped", incr = false)
     mono("chars_removed", incr = false)
     mono("retained_chars_ppm", incr = true)
-    // the sweep point at the served floor IS q108's truth
+    // every sweep point matches a driver-side union-find replay of the
+    // COMPONENT min-keeper rule over its filtered pair set
+    def componentDrops(minJ: Double): Long = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      truth.filter(_.getAs[Double]("jaccard") >= minJ).foreach { r =>
+        val (a, b) = (find(r.getAs[Long]("id_a")), find(r.getAs[Long]("id_b")))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val nodes = truth.filter(_.getAs[Double]("jaccard") >= minJ)
+        .flatMap(r => Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).distinct
+      nodes.count(n => find(n) != n).toLong
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs_dropped") ==
+        componentDrops(r.getAs[Double]("threshold")),
+        s"threshold ${r.getAs[Double]("threshold")}")
+    }
     val floor = out.head
     assert(floor.getAs[Long]("n_pairs") == truth.length)
-    assert(floor.getAs[Long]("n_docs_dropped") ==
-      truth.map(_.getAs[Long]("id_b")).distinct.length)
     // retained ppm identity against the recomputed totals
     val docs = Tables.documents(spark, sf)
       .agg(count(lit(1)), sum("n_chars")).collect()(0)

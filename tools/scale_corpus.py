@@ -31,6 +31,15 @@ for f in SRC.glob("*.parquet"):
         shutil.copy(f, OUT / f.name)
 
 docs = pq.read_table(SRC / "documents.parquet").to_pylist()
+# rotation by c % len(words) collides for docs shorter than COPIES words
+# (copies c and c+len would be byte-identical under different doc_ids,
+# injecting cross-copy exact-dup structure the source corpus lacks) —
+# fail loudly instead of silently corrupting the stress corpus
+short = sum(1 for r in docs if len(r["text"].split(" ")) < COPIES)
+assert short == 0, (
+    f"{short} docs have fewer than {COPIES} words — word rotation would "
+    f"duplicate them verbatim across copies; lower COPIES or extend the "
+    f"rotation scheme")
 rows = []
 for c in range(COPIES):
     for r in docs:
@@ -43,6 +52,8 @@ for c in range(COPIES):
 pq.write_table(pa.Table.from_pylist(rows), OUT / "documents.parquet")
 
 emb = pq.read_table(SRC / "embeddings.parquet").to_pylist()
+assert all(len(r["embedding"]) >= COPIES for r in emb), (
+    "vector dim < COPIES: component rotation would repeat verbatim")
 rows = []
 for c in range(COPIES):
     for r in emb:
