@@ -290,6 +290,22 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         Some(addSnapshot(meta, "rollback", live))
     }
 
+  /** Row-level snapshot diff — the changelog read an Iceberg incremental
+    * scan provides, composed from this catalog's own time travel: rows
+    * visible at `toId` but not at `fromId` (added) and the reverse
+    * (removed), as MULTISET differences so duplicate rows diff by count.
+    * Both sides are lazy scans of the snapshots' live directories; the
+    * anti-semantics run as distributed exceptAll, never a collect.
+    * Consumers: incremental downstream syncs (ship `added` only),
+    * overwrite audits (`removed` nonempty on an append-only table is an
+    * alarm), and CDC-style replication without a log. */
+  def snapshotDiff(ns: String, table: String, fromId: Long, toId: Long)
+      : (DataFrame, DataFrame) = {
+    val from = loadAt(ns, table, fromId)
+    val to = loadAt(ns, table, toId)
+    (to.exceptAll(from), from.exceptAll(to))
+  }
+
   def snapshotIds(ns: String, table: String): Seq[Long] =
     readMeta(ns, table).get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong()).toSeq

@@ -549,6 +549,35 @@ object Dedup {
       .orderBy("jaccard_band")
   }
 
+  val DupTrendBands = 10 // doc_id bands for the q168 duplication trend
+
+  /** Duplication trend (q168): the q129 ledger rolled up over
+    * [[DupTrendBands]] equal doc_id bands (the q140 banding convention —
+    * doc_id is the corpus's arrival proxy): per band, docs, exact and
+    * near drops, and the exact-ppm drop share. The is-duplication-getting-
+    * worse dashboard: a crawl that starts re-ingesting mirrors shows up
+    * as a drop-share ramp in the newest bands long before corpus-level
+    * totals move — the temporal view q162's size histogram and q115's
+    * per-source funnel both lack.
+    *
+    * Scale shape: rides the memoized resolved ledger; banding is an
+    * in-row projection and the rollup is [[DupTrendBands]] rows. */
+  def q168DupTrend(s: SparkSession, d: String): DataFrame = {
+    val mx = documents(s, d).agg((max("doc_id") + 1).as("m"))
+    q129DedupLedger(s, d).select("doc_id", "action")
+      .crossJoin(broadcast(mx))
+      .withColumn("band", expr(s"(doc_id * $DupTrendBands) div m"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("action") === "drop_exact", 1L).otherwise(0L))
+          .as("n_drop_exact"),
+        sum(when(col("action") === "drop_near", 1L).otherwise(0L))
+          .as("n_drop_near"),
+        expr("sum(if(action <> 'keep', 1L, 0L)) * 1000000 div count(1)")
+          .as("drop_ppm"))
+      .orderBy("band")
+  }
+
   /** Cap-utilization monitor (q167): are the candidate-generation caps
     * binding, and what did they buy? One row per cap family —
     * `lsh_bucket` ([[DefaultMaxBucket]] over (band, bkey) buckets) and
@@ -1947,6 +1976,20 @@ object Dedup {
     "q130_deduped_epoch_plan" ->
       ((TextOps.q130DedupedEpochPlan _, dedupedEpochOracle)),
     "q129_dedup_ledger" -> ((q129DedupLedger _, ledgerOracle)),
+    "q168_dup_trend" -> ((q168DupTrend _, s"""
+      $ledgerCtes,
+      mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      banded AS (SELECT (g.doc_id * $DupTrendBands) // mx.m AS band,
+                        g.action
+                 FROM ledger g, mx)
+      SELECT band::BIGINT AS band, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN action = 'drop_exact' THEN 1 ELSE 0 END)::BIGINT
+               AS n_drop_exact,
+             sum(CASE WHEN action = 'drop_near' THEN 1 ELSE 0 END)::BIGINT
+               AS n_drop_near,
+             (sum(CASE WHEN action <> 'keep' THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS drop_ppm
+      FROM banded GROUP BY band ORDER BY band""")),
     "q164_drop_quality" -> ((q164DropQuality _, s"""
       $ledgerCtes,
       sig AS (SELECT doc_id, n_chars,

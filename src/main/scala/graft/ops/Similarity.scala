@@ -1427,20 +1427,47 @@ object Similarity {
     * exact distance ever computed against a corpus vector. This is the
     * scale tier [[q138PqAdc]]'s scaladoc points at; recall vs the exact
     * truth stays monitorable through the q105 pattern. */
-  def q141Ivfadc(s: SparkSession, d: String): DataFrame = {
+  def q141Ivfadc(s: SparkSession, d: String): DataFrame =
+    ivfadcSearch(s, d,
+      Tables.embeddings(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding")),
+      PqAdcK, excludeSelf = true)
+
+  /** The PUBLIC IVFADC serving face: approximate top-k neighbors for ANY
+    * query frame `(q_id: long, embedding: array<float>)` against corpus
+    * `d`'s trained index — the API an external retrieval caller actually
+    * uses (the registered q141 is this face applied to the sampled
+    * corpus-query convention with self-matches excluded). Quantizers come
+    * from the session memo, so a fresh session serves after
+    * [[installCodebook]]/[[installPqCodebook]] with zero training scans.
+    *
+    * Shape (unchanged from the audited q141 plan): queries rank every
+    * coarse centroid by exact integer distance (K rows per query —
+    * control-plane, bounded by [[MaxKMeansK]]), probe [[NumProbes]]
+    * cells; candidates stream through the broadcast cell equi-join and
+    * score by [[PqM]] ADC lookups into the broadcast per-query distance
+    * table; the final top-k is the salted two-phase [[adcTopK]]. The
+    * query side is assumed serving-batch-sized (it broadcasts); corpus
+    * work is O(corpus·nprobe/K) lookups per query with no exact distance
+    * against any corpus vector. */
+  def ivfadcSearch(s: SparkSession, d: String, queries: DataFrame, k: Int,
+                   excludeSelf: Boolean = false): DataFrame = {
     val (labels, cents) = kmeansFit(s, d)
     val fits = pqFit(s, d)
-    val q = quantized(s, d, QuantOffset)
-    val index = q.select(col("vec_id").as("neighbor_id"),
-      labelAt(labels,
-        element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1))
-        .as("cell"),
-      pqCodeArray(fits).as("mcs"))
+    val index = quantized(s, d, QuantOffset)
+      .select(col("vec_id").as("neighbor_id"),
+        labelAt(labels, element_at(
+          call_function("ivec_nearest", col("q"), centLit(cents)), 1))
+          .as("cell"),
+        pqCodeArray(fits).as("mcs"))
+    val qq = queries.select(col("q_id"),
+      call_function("ivec_quant", col("embedding"),
+        lit(QuantScale), lit(QuantOffset)).as("q"))
     // the probe window ranks K rows per query (the codebook, bounded by
     // MaxKMeansK — control-plane sized, not corpus-sized)
     val wq = Window.partitionBy("q_id").orderBy(col("cd2"), col("cell"))
-    val probes = q.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("q"),
+    val probes = qq
+      .select(col("q_id"), col("q"),
         posexplode(centLit(cents)).as(Seq("pos", "cv")))
       .select(col("q_id"),
         labelAt(labels, col("pos")).as("cell"),
@@ -1450,16 +1477,30 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= NumProbes)
       .select("q_id", "cell")
+    val dist = (0 until PqM).map { m =>
+      qq.select(col("q_id"), subVec(m).as("qs"))
+        .select(col("q_id"), col("qs"),
+          posexplode(centLit(fits(m)._2)).as(Seq("pos", "cv")))
+        .select(col("q_id"), lit(m).as("m"),
+          labelAt(fits(m)._1, col("pos")).as("code"),
+          (call_function("ivec_norm2", col("qs")) +
+            call_function("ivec_norm2", col("cv")) -
+            lit(2L) * call_function("ivec_dot", col("qs"), col("cv")))
+            .as("pd2"))
+    }.reduce(_ union _)
+    val cand0 = index.join(broadcast(probes), Seq("cell"))
+    val cand =
+      if (excludeSelf) cand0.filter(col("neighbor_id") =!= col("q_id"))
+      else cand0
     adcTopK(
-      index.join(broadcast(probes), Seq("cell"))
-        .filter(col("neighbor_id") =!= col("q_id"))
+      cand
         .select(col("q_id"), col("neighbor_id"), explode(col("mcs")).as("mc"))
         .select(col("q_id"), col("neighbor_id"),
           col("mc.m").as("m"), col("mc.code").as("code"))
-        .join(broadcast(pqDistTable(s, d, fits)), Seq("q_id", "m", "code"))
+        .join(broadcast(dist), Seq("q_id", "m", "code"))
         .groupBy("q_id", "neighbor_id")
         .agg(sum("pd2").as("adc_d2")),
-      PqAdcK)
+      k)
   }
 
   /** IVF cell-population report (q144): per coarse cell, member count and

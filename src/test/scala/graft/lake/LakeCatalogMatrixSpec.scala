@@ -171,6 +171,26 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name != "session") test(s"[${impl.name}] snapshot diff: multiset changelog between any two snapshots") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 1L, 2L).toDF("id"))      // snapshot 1
+      cat.append(ns, "t", Seq(3L).toDF("id"))              // snapshot 2
+      cat.overwrite(ns, "t", Seq(9L).toDF("id"))           // snapshot 3
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getLong(0)).sorted.toSeq
+      val (a12, r12) = cat.snapshotDiff(ns, "t", 1L, 2L)
+      assert(ids(a12) == Seq(3L) && ids(r12) == Seq.empty)
+      val (a23, r23) = cat.snapshotDiff(ns, "t", 2L, 3L)
+      assert(ids(a23) == Seq(9L))
+      // multiset semantics: the duplicated 1L appears twice in removed
+      assert(ids(r23) == Seq(1L, 1L, 2L, 3L))
+      val (a31, r31) = cat.snapshotDiff(ns, "t", 3L, 1L)
+      assert(ids(a31) == Seq(1L, 1L, 2L) && ids(r31) == Seq(9L))
+      cat.dropNamespace(ns)
+    }
+
     if (impl.name != "session") test(s"[${impl.name}] rollback: new commit, history intact, writes continue") {
       val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
       val ns = freshNs()

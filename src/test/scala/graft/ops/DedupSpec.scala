@@ -475,6 +475,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("q168 dup trend: bands partition the corpus, ledger-consistent") {
+    val out = Dedup.q168DupTrend(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.length <= Dedup.DupTrendBands)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs)
+    val ledger = Dedup.q129DedupLedger(spark, sf).collect()
+      .groupBy(_.getAs[String]("action")).map { case (a, r) => a -> r.length.toLong }
+    assert(out.map(_.getAs[Long]("n_drop_exact")).sum ==
+      ledger.getOrElse("drop_exact", 0L))
+    assert(out.map(_.getAs[Long]("n_drop_near")).sum ==
+      ledger.getOrElse("drop_near", 0L))
+    out.foreach { r =>
+      val drops = r.getAs[Long]("n_drop_exact") + r.getAs[Long]("n_drop_near")
+      assert(r.getAs[Long]("drop_ppm") ==
+        drops * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q167 cap utilization: both cap rows present, identities hold") {
     val out = Dedup.q167CapUtilization(spark, sf).collect()
       .map(r => r.getAs[String]("cap_name") -> r).toMap

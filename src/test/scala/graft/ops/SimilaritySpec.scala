@@ -469,6 +469,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfadcSearch serves external queries; q141 is its corpus face") {
+    import spark.implicits._
+    // the registered face == the public face fed the same query frame
+    val viaFace = Similarity.ivfadcSearch(spark, sf,
+      Tables.embeddings(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("vec_id") <
+          Similarity.NumQueries)
+        .selectExpr("vec_id as q_id", "embedding"),
+      Similarity.PqAdcK, excludeSelf = true).collect()
+    val viaQ141 = Similarity.q141Ivfadc(spark, sf).collect()
+    assert(viaFace.map(_.toSeq).toSeq == viaQ141.map(_.toSeq).toSeq)
+    // EXTERNAL vectors (not corpus members): results exist, k per query,
+    // ranked by ADC distance, no self-exclusion semantics involved
+    val corpus = Tables.embeddings(spark, sf).collect()
+    val ext = Seq(
+      (-1L, corpus(0).getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => x + 0.001f)),
+      (-2L, corpus(7).getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => -x))).toDF("q_id", "embedding")
+    val hits = Similarity.ivfadcSearch(spark, sf, ext, 3).collect()
+    val byQ = hits.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(-1L, -2L))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val d2 = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("adc_d2"))
+      assert(d2.zip(d2.tail).forall { case (a, b) => a <= b })
+    }
+    // a near-copy of vector 0 must retrieve vector 0 itself
+    assert(byQ(-1L).exists(_.getAs[Long]("neighbor_id") ==
+      corpus(0).getAs[Long]("vec_id")))
+  }
+
   test("q166 quant sweep: fewer bits, more error; 8-bit arm matches q77") {
     val out = Similarity.q166QuantSweep(spark, sf).collect()
       .sortBy(_.getAs[Long]("bits"))
