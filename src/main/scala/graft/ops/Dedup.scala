@@ -978,6 +978,49 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /** Dup-cluster edge density (q170): per cluster SIZE, how CLIQUEY the
+    * clusters of that size are — observed candidate-pair edges vs the
+    * size·(size−1)/2 possible, in exact ppm. Connected components only
+    * certify REACHABILITY: a 10-doc cluster can be a clique (a true
+    * template family — every member pairwise similar) or a chain (nine
+    * borderline edges daisy-chaining unrelated docs through bridge
+    * documents — a threshold artifact). The histogram (q162) shows the
+    * size distribution; this shows which of those two regimes produced
+    * it, which decides whether whole-cluster drops are safe (cliques) or
+    * reckless (chains) — the graph-shape audit behind q94's survivor
+    * policy. density_ppm near 1e6 = cliques; near the spanning-tree floor
+    * 2/size = chains.
+    *
+    * Exactness: pairs are the distinct standard-cap LSH candidates (the
+    * exact edge set the propagation consumed); possible-pair counts use
+    * size·(size−1) div 2 (always even, so div is exact) and density is an
+    * integer ppm of summed edges over summed possible — no division
+    * convention can diverge.
+    *
+    * Scale shape: both inputs are memoized ([[dupLabels]],
+    * [[minhashCandidates]]); new work is one join of the two-id pair list
+    * against the label map (shuffle on doc id, 24 B rows) and two
+    * bounded rollups (per-cluster, then per-size) — nothing corpus-sized
+    * beyond the pair list itself, which the bucket caps already bound. */
+  def q170ClusterDensity(s: SparkSession, d: String): DataFrame = {
+    val labels = dupLabels(s, d)
+    val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
+    // both endpoints share a component by construction — one join suffices
+    val edges = pairs
+      .join(labels.select(col("id").as("id_a"), col("label")), "id_a")
+      .groupBy("label").agg(count(lit(1)).as("n_edges"))
+    labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .join(edges, "label") // every cluster has >= 1 edge by construction
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum("n_edges").as("n_edges"))
+      .withColumn("n_possible",
+        expr("n_clusters * (cluster_size * (cluster_size - 1) div 2)"))
+      .withColumn("density_ppm", expr("n_edges * 1000000 div n_possible"))
+      .select("cluster_size", "n_clusters", "n_edges", "n_possible",
+        "density_ppm")
+      .orderBy("cluster_size")
+  }
+
   /** q70's report shape over ANY (id, label) assignment — the consumer face
     * for a [[clustersTable]] materialization or a memoized [[dupLabels]]. */
   def clustersOf(labels: DataFrame): DataFrame = {
@@ -2019,6 +2062,21 @@ object Dedup {
     "q120_split_leakage" -> ((q120SplitLeakage _, splitLeakageOracle)),
     "q115_dedup_funnel" -> ((q115DedupFunnel _, funnelOracle)),
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
+    "q170_cluster_density" -> ((q170ClusterDensity _, s"""
+      $ccCtes,
+      ed AS (SELECT c.cluster_id, count(*)::BIGINT AS n_edges
+             FROM cand p JOIN comps c ON c.node = p.id_a GROUP BY 1),
+      cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+             FROM comps GROUP BY 1)
+      SELECT cs.cluster_size, count(*)::BIGINT AS n_clusters,
+             sum(ed.n_edges)::BIGINT AS n_edges,
+             (count(*) * (cs.cluster_size * (cs.cluster_size - 1) // 2))::BIGINT
+               AS n_possible,
+             (sum(ed.n_edges) * 1000000
+               // (count(*) * (cs.cluster_size * (cs.cluster_size - 1) // 2)))::BIGINT
+               AS density_ppm
+      FROM cs JOIN ed USING (cluster_id)
+      GROUP BY cs.cluster_size ORDER BY cs.cluster_size""")),
     "q162_cluster_histogram" -> ((q162ClusterHistogram _, s"""
       $ccCtes,
       csizes AS (SELECT cluster_id, count(*) AS cluster_size

@@ -1202,6 +1202,44 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Prototype-pruning retention: keep the hardest 70% of each cluster
+    * (ppm, ceil — a singleton cluster always keeps its one vector). */
+  val PruneKeepPpm = 700000
+
+  /** Prototype pruning (q169): per-vector keep/drop by HARDNESS rank
+    * within the vector's k-means cluster — Sorscher et al., "Beyond
+    * neural scaling laws: beating power law scaling via data pruning"
+    * (NeurIPS 2022): with abundant data, prune the most PROTOTYPICAL
+    * examples (smallest distance to their cluster centroid) and keep the
+    * hard ones; the self-supervised prune metric is exactly this
+    * distance-to-centroid rank. Output is the actionable per-vector
+    * ledger (vec_id, cluster, d2, keep) — the embedding-space sibling of
+    * q129's dedup ledger, and the third member of the pruning toolbox
+    * beside q86's SemDeDup (semantic near-dup drops) and q136's soft
+    * dup-aware weights.
+    *
+    * Exactness: d2 is the exact integer squared distance q85 ships;
+    * n_keep = ceil(n · [[PruneKeepPpm]] / 1e6) in integer arithmetic
+    * ((n·ppm + 999999) div 1e6 — both engines truncate positive
+    * division); ties at the keep boundary break on vec_id ascending.
+    *
+    * Scale shape: rides the memoized fit + the same single assignment
+    * pass as q85; the only new work is ONE window partitioned by cluster,
+    * and with adaptive K ≈ √n each partition holds ~n/K ≈ √n rows — the
+    * per-cluster sort SHRINKS relative to the corpus as data grows
+    * (never a corpus-sized single partition; the q141 bound argument). */
+  def q169PrototypePruning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("cluster")
+    q85KMeans(s, d)
+      .withColumn("rnk",
+        row_number().over(w.orderBy(col("d2").desc, col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("vec_id"), col("cluster"), col("d2"),
+        (col("rnk") <=
+          expr(s"(n * $PruneKeepPpm + 999999) div 1000000")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   val PqM = 4                 // PQ subspaces (64 dims -> 4 x 16)
   val PqSubDim = 16           // dims per subspace
   val PqAdcK = 3              // neighbors per query (ADC tier)
@@ -1832,6 +1870,13 @@ object Similarity {
       $kmeansChainSql
       SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2 FROM kfin
       ORDER BY vec_id""")),
+    "q169_prototype_pruning" -> ((q169PrototypePruning _, s"""
+      $kmeansChainSql
+      SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2,
+             (row_number() OVER (PARTITION BY c ORDER BY dd DESC, vec_id)
+                <= (count(*) OVER (PARTITION BY c) * $PruneKeepPpm
+                    + 999999) // 1000000) AS keep
+      FROM kfin ORDER BY vec_id""")),
     "q93_cluster_purity" -> ((q93ClusterPurity _, s"""
       $kmeansChainSql,
       lbl AS (SELECT k.c, k.dd, e.label FROM kfin k

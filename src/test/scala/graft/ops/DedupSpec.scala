@@ -584,6 +584,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 cluster density: edges conserved, bounded, pair-clusters are cliques") {
+    val out = Dedup.q170ClusterDensity(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nPairs = Dedup.minhashCandidates(spark, sf,
+      Some(Dedup.DefaultMaxBucket)).count()
+    // every candidate edge lands in exactly one cluster's count
+    assert(out.map(_.getAs[Long]("n_edges")).sum == nPairs)
+    out.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      val nc = r.getAs[Long]("n_clusters")
+      val edges = r.getAs[Long]("n_edges")
+      val poss = r.getAs[Long]("n_possible")
+      assert(size >= 2L) // labels only cover docs in >= 1 pair
+      assert(poss == nc * (size * (size - 1) / 2))
+      // connected needs >= size-1 edges per cluster; clique caps at possible
+      assert(edges >= nc * (size - 1) && edges <= poss)
+      assert(r.getAs[Long]("density_ppm") == edges * 1000000L / poss)
+      // a 2-doc cluster is its one edge — exactly a clique
+      if (size == 2L) assert(r.getAs[Long]("density_ppm") == 1000000L)
+    }
+    // sizes agree with the q162 multi-doc buckets
+    val hist = Dedup.q162ClusterHistogram(spark, sf).collect()
+      .filter(_.getAs[Long]("cluster_size") > 1L)
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters"))
+      .toMap
+    assert(out.map(r => r.getAs[Long]("cluster_size") ->
+      r.getAs[Long]("n_clusters")).toMap == hist)
+  }
+
   test("q153 threshold sweep: grid-complete, monotone, floor point = q108") {
     val truth = Dedup.q108NgramJaccard(spark, sf).collect()
     val before = Dedup.truthDerivations.get()

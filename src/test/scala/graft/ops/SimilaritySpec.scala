@@ -550,6 +550,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q169 prototype pruning: ceil retention per cluster, hardest kept") {
+    val out = Similarity.q169PrototypePruning(spark, sf).collect()
+    val assign = Similarity.q85KMeans(spark, sf).collect()
+    assert(out.length == assign.length) // one decision per vector
+    assert(out.map(_.getAs[Long]("vec_id")).toSet ==
+      assign.map(_.getAs[Long]("vec_id")).toSet)
+    for ((_, rows) <- out.groupBy(_.getAs[Long]("cluster"))) {
+      val n = rows.length.toLong
+      val nKeep = (n * Similarity.PruneKeepPpm + 999999L) / 1000000L
+      val kept = rows.filter(_.getAs[Boolean]("keep"))
+      assert(kept.length.toLong == nKeep)
+      assert(nKeep >= 1L) // a singleton cluster keeps its one vector
+      // the kept set is exactly the hardest n_keep by (d2 desc, vec_id)
+      val expected = rows.sortBy(r =>
+        (-r.getAs[Long]("d2"), r.getAs[Long]("vec_id")))
+        .take(nKeep.toInt).map(_.getAs[Long]("vec_id")).toSet
+      assert(kept.map(_.getAs[Long]("vec_id")).toSet == expected)
+    }
+  }
+
   test("fit locks are striped per (session, corpus dir)") {
     val a = Similarity.fitLockFor(spark, "/tmp/corpus-a")
     assert(Similarity.fitLockFor(spark, "/tmp/corpus-a") eq a)
