@@ -502,6 +502,38 @@ object Relational {
       .orderBy("event_type", "next_type")
   }
 
+  /** Behavioral path mining (q172): every 3-step event-type path users
+    * actually walk, with traversal counts, distinct walkers and exact-ppm
+    * share — the trigram extension of q125's first-order transition
+    * matrix. A Markov matrix cannot see third-order structure (view→
+    * cart→purchase vs view→cart→view score identically pairwise); the
+    * path table is what funnel DESIGN reads (which 3-step routes dominate,
+    * where do loops sit), and n vs n_users separates a popular path from
+    * one bot walking it in a loop (the q154 signal at path granularity).
+    *
+    * Scale shape: one window over per-user partitions (user_id is a
+    * high-cardinality key — partitions stay small however big the log);
+    * the rollup is ≤ |types|³ rows with map-side partial aggregation, and
+    * the distinct-walker count shuffles (path, user) pairs ≤ one row per
+    * event. Deterministic order: hottest paths first, ties lexicographic. */
+  def q172EventPaths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val g = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(byUser))
+      .withColumn("e3", lead("e1", 2).over(byUser))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      .localCheckpoint(true) // |types|³ rows; feeds the total AND the report
+    g.crossJoin(broadcast(g.agg(sum("n").as("total"))))
+      .select(col("e1"), col("e2"), col("e3"), col("n"), col("n_users"),
+        expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+  }
+
   /** Conversion-latency report (q163): one row — viewers, converters
     * (users with a purchase at-or-after their first view), exact-ppm
     * conversion share, and the exact lower-quantile p50/p90/max
@@ -1155,6 +1187,21 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q172_event_paths" -> ((q172EventPaths _, """
+      WITH t AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (SELECT e1, e2, e3, count(*)::BIGINT AS n,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM t WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+      tot AS (SELECT cast(sum(n) AS BIGINT) AS total FROM g)
+      SELECT g.e1, g.e2, g.e3, g.n, g.n_users,
+             (g.n * 1000000) // tot.total AS share_ppm
+      FROM g, tot
+      ORDER BY g.n DESC, g.e1, g.e2, g.e3""")),
     "q125_transition_matrix" -> ((q125TransitionMatrix _, """
       WITH nxt AS (
         SELECT event_type,

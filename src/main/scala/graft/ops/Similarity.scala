@@ -1240,6 +1240,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Assignment churn (q171): per converged cluster, how many members the
+    * SEED codebook would have placed elsewhere — the measured gap between
+    * a stale quantizer and the retrained one, in exact ppm. This is the
+    * retrain-trigger monitor for a production ANN index: assignments are
+    * what the IVF probe bound lives on, so when churn vs the installed
+    * codebook grows past a dial, the index needs rebuilding (the
+    * time-axis companion of q144's population balance and q160's
+    * geometry check, measuring MOVEMENT rather than state). Here the
+    * stale codebook is the deterministic seed set — the exact initial
+    * state the trainer improved on — so the number also reads as "what
+    * did Lloyd's buy": near-zero churn means seeding alone was enough.
+    *
+    * Exactness: both assignments are `ivec_nearest` argmins in exact
+    * integer squared distance (lowest-position tie-break = the oracle's
+    * `ORDER BY dd, c`); seed position i IS the oracle's `a1` label i.
+    *
+    * Scale shape: ONE corpus scan — both codebooks ride the projection
+    * as plan literals (K·D longs each) — then a K-bounded rollup; the
+    * memoized fit supplies the converged side for free. */
+  def q171AssignmentChurn(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d, QuantOffset)
+    val (labels, cents) = kmeansFit(s, d)
+    val seeds = seedCentroids(q, adaptiveKmeansK(s, d))
+    q.select(col("vec_id"),
+        element_at(call_function("ivec_nearest", col("q"), centLit(seeds)), 1)
+          .as("seed_c"),
+        labelAt(labels,
+          element_at(call_function("ivec_nearest", col("q"), centLit(cents)), 1))
+          .as("cluster"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("seed_c") =!= col("cluster"), lit(1L))
+          .otherwise(lit(0L))).as("n_moved"))
+      .withColumn("churn_ppm", expr("n_moved * 1000000 div n"))
+      .select("cluster", "n", "n_moved", "churn_ppm")
+      .orderBy("cluster")
+  }
+
   val PqM = 4                 // PQ subspaces (64 dims -> 4 x 16)
   val PqSubDim = 16           // dims per subspace
   val PqAdcK = 3              // neighbors per query (ADC tier)
@@ -1870,6 +1908,14 @@ object Similarity {
       $kmeansChainSql
       SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2 FROM kfin
       ORDER BY vec_id""")),
+    "q171_assignment_churn" -> ((q171AssignmentChurn _, s"""
+      $kmeansChainSql
+      SELECT k.c::BIGINT AS cluster, count(*)::BIGINT AS n,
+             sum(CASE WHEN a1.c <> k.c THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+             (sum(CASE WHEN a1.c <> k.c THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS churn_ppm
+      FROM kfin k JOIN a1 USING (vec_id)
+      GROUP BY k.c ORDER BY cluster""")),
     "q169_prototype_pruning" -> ((q169PrototypePruning _, s"""
       $kmeansChainSql
       SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2,

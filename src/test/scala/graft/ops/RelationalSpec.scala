@@ -309,6 +309,40 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q172 event paths: trigrams match a per-user driver replay") {
+    val out = Relational.q172EventPaths(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp]("ts").toInstant
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          r.getAs[String]("event_type"))
+      }
+    val walks = ev.groupBy(_._1).iterator.flatMap { case (u, rows) =>
+      val types = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      types.lazyZip(types.drop(1)).lazyZip(types.drop(2))
+        .map((a, b, c) => (u, (a, b, c)))
+    }.toSeq
+    val expN = walks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expU = walks.distinct.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[String]("e1"),
+      r.getAs[String]("e2"), r.getAs[String]("e3"))
+    assert(out.map(r => key(r) -> r.getAs[Long]("n")).toMap == expN)
+    assert(out.map(r => key(r) -> r.getAs[Long]("n_users")).toMap == expU)
+    val total = expN.values.sum
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("n") * 1000000L / total)
+    }
+    // hottest-first output order
+    val ns = out.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString

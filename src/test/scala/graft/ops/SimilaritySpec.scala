@@ -570,6 +570,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q171 assignment churn: matches a driver replay of the seed argmin") {
+    val out = Similarity.q171AssignmentChurn(spark, sf).collect()
+    val assign = Similarity.q85KMeans(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    // per-cluster n agrees with q85; churn formula holds
+    val byCluster = assign.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    assert(out.map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
+      == byCluster)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_moved") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("churn_ppm") ==
+        r.getAs[Long]("n_moved") * 1000000L / r.getAs[Long]("n"))
+    }
+    // replay the seed argmin in the driver: nearest seed by (d2, position)
+    val q = Similarity.quantized(spark, sf, Similarity.QuantOffset).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray).toMap
+    val seeds = Similarity.seedCentroids(
+      Similarity.quantized(spark, sf, Similarity.QuantOffset),
+      Similarity.kmeansKFor(q.size.toLong))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val movedByCluster = q.toSeq.map { case (id, v) =>
+      val seedC = seeds.zipWithIndex.map { case (sc, i) => (d2(v, sc), i) }
+        .min._2.toLong
+      (assign(id), if (seedC != assign(id)) 1L else 0L)
+    }.groupBy(_._1).map { case (c, m) => c -> m.map(_._2).sum }
+    assert(out.map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_moved"))
+      .toMap == movedByCluster)
+  }
+
   test("fit locks are striped per (session, corpus dir)") {
     val a = Similarity.fitLockFor(spark, "/tmp/corpus-a")
     assert(Similarity.fitLockFor(spark, "/tmp/corpus-a") eq a)
