@@ -1021,6 +1021,63 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /** Crafted exact-dup groups appended by [[q173DupMetaConflicts]]: the
+    * synthetic corpus has NO exact-dup groups at all (measured at sf0.01),
+    * so without a fixture the audit would oracle 0 == 0 — the q151
+    * pattern. Three groups: a lang conflict (same normalized content,
+    * `en` vs `de` — the second copy differs only in case/whitespace, so
+    * the group also exercises the normalization rule), a source conflict
+    * (syndicated verbatim across `web`/`crawl`), and a clean dup group
+    * (the absence side INSIDE a flagged-as-dup group). Ids far above any
+    * corpus doc_id. */
+  private[ops] val MetaConflictFixture: Seq[(Long, String, String, String)] =
+    Seq(
+      (9100001L, "shared payload alpha replicated for the metadata audit",
+        "en", "web"),
+      (9100002L, "  SHARED payload   alpha replicated for the metadata audit ",
+        "de", "web"),
+      (9100003L, "shared payload beta replicated for the metadata audit",
+        "en", "web"),
+      (9100004L, "shared payload beta replicated for the metadata audit",
+        "en", "crawl"),
+      (9100005L, "shared payload gamma replicated for the metadata audit",
+        "en", "web"),
+      (9100006L, "shared payload gamma replicated for the metadata audit",
+        "en", "web"))
+
+  /** Dup-group metadata-conflict audit (q173): for every EXACT-dup group
+    * (same [[graft.functions.NormMd5 norm_md5]] fingerprint, > 1 doc),
+    * do the copies agree on their metadata? Same content tagged `en` AND
+    * `de` means the langid signal is noise for that content (and a
+    * language-stratified sample double-counts it); same content across
+    * two sources is syndication, which the keep-min-id rule then silently
+    * attributes to whichever source holds the lower id — q115's per-source
+    * funnel reads cleanly only when this audit is quiet. The content-level
+    * integrity check beside q161's key-level referential audit.
+    *
+    * Scale shape: ONE fingerprint exchange (map-side partial agg on fp),
+    * distinct-counting two tiny-domain columns per group in the same
+    * aggregate; output is bounded by the dup-group count. Registered over
+    * the corpus UNION [[MetaConflictFixture]] (the q151 discipline: the
+    * fixture guarantees the presence side, the corpus proves absence). */
+  def q173DupMetaConflicts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val aug = documents(s, d).select(col("doc_id"), col("text"),
+        col("lang"), col("source"))
+      .unionAll(MetaConflictFixture.toDF("doc_id", "text", "lang", "source"))
+    aug.select(col("doc_id"), expr("norm_md5(text)").as("fp"),
+        col("lang"), col("source"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("anchor_id"), count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"))
+      .filter(col("n_docs") > 1)
+      .select(col("anchor_id"), col("n_docs"), col("n_langs"),
+        col("n_sources"), (col("n_langs") > 1).as("lang_conflict"),
+        (col("n_sources") > 1).as("source_conflict"))
+      .orderBy("anchor_id")
+  }
+
   /** q70's report shape over ANY (id, label) assignment — the consumer face
     * for a [[clustersTable]] materialization or a memoized [[dupLabels]]. */
   def clustersOf(labels: DataFrame): DataFrame = {
@@ -2062,6 +2119,25 @@ object Dedup {
     "q120_split_leakage" -> ((q120SplitLeakage _, splitLeakageOracle)),
     "q115_dedup_funnel" -> ((q115DedupFunnel _, funnelOracle)),
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
+    "q173_dup_meta_conflicts" -> ((q173DupMetaConflicts _, {
+      val rows = MetaConflictFixture.map { case (id, t, l, src) =>
+        s"($id, '$t', '$l', '$src')"
+      }.mkString(",\n        ")
+      s"""
+      WITH aug AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+        $rows) v(doc_id, text, lang, source)),
+      g AS (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                   min(doc_id)::BIGINT AS anchor_id, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   count(DISTINCT source)::BIGINT AS n_sources
+            FROM aug GROUP BY 1)
+      SELECT anchor_id, n_docs, n_langs, n_sources,
+             n_langs > 1 AS lang_conflict, n_sources > 1 AS source_conflict
+      FROM g WHERE n_docs > 1 ORDER BY anchor_id"""
+    })),
     "q170_cluster_density" -> ((q170ClusterDensity _, s"""
       $ccCtes,
       ed AS (SELECT c.cluster_id, count(*)::BIGINT AS n_edges

@@ -613,6 +613,21 @@ class DedupSpec extends AnyFunSuite {
       r.getAs[Long]("n_clusters")).toMap == hist)
   }
 
+  test("q173 dup metadata conflicts: fixture groups flagged, corpus clean") {
+    val out = Dedup.q173DupMetaConflicts(spark, sf).collect()
+    // the corpus has no exact-dup groups — every group is the fixture's
+    assert(out.length == 3)
+    val byAnchor = out.map(r => r.getAs[Long]("anchor_id") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Boolean]("lang_conflict"),
+        r.getAs[Boolean]("source_conflict"))).toMap
+    // alpha: lang conflict through the case/whitespace-normalized copy
+    assert(byAnchor(9100001L) == ((2L, true, false)))
+    // beta: verbatim syndication across sources
+    assert(byAnchor(9100003L) == ((2L, false, true)))
+    // gamma: a dup group with CONSISTENT metadata stays unflagged
+    assert(byAnchor(9100005L) == ((2L, false, false)))
+  }
+
   test("q153 threshold sweep: grid-complete, monotone, floor point = q108") {
     val truth = Dedup.q108NgramJaccard(spark, sf).collect()
     val before = Dedup.truthDerivations.get()
