@@ -1278,6 +1278,80 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** One codebook's probe outcome for [[q174StaleRecall]]: per query,
+    * candidates probed and truth hits at [[LshK]] under [[NumProbes]] —
+    * the q152 sweep chain with the codebook as a PARAMETER instead of the
+    * nprobe dial. Same scale shape: assignment is a pure projection with
+    * the codebook as a plan literal, candidates stream the cell equi-join
+    * (corpus·nprobe/K per query), top-k is the salted two-phase shape. */
+  private def probeStats(s: SparkSession, d: String,
+      cents: Array[(Long, Array[Double])], tag: String): DataFrame = {
+    val assigned = emb(s, d).select(col("vec_id"), col("v"),
+      (-array_max(cellScoresArr(cents, "v")).getField("ci")).as("cell"))
+    val qprobes = emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(cellScoresArr(cents, "v")).as("sc"))
+      .select(col("q_id"), col("qv"),
+        (-col("sc.ci")).as("cell"), col("sc.s").as("s"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("s"), col("cell"))))
+      .filter(col("crk") <= NumProbes)
+      .select("q_id", "qv", "cell")
+    val cand = assigned.join(broadcast(qprobes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine("v", "qv"), 6).as("sim"))
+    val w1 = Window.partitionBy("q_id", "salt")
+      .orderBy(desc("sim"), col("neighbor_id"))
+    val w2 = Window.partitionBy("q_id")
+      .orderBy(desc("sim"), col("neighbor_id"))
+    val top = cand
+      .withColumn("salt", pmod(col("neighbor_id"), lit(AdcSalts.toLong)))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= LshK)
+      .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= LshK)
+      .select("q_id", "neighbor_id")
+    val hits = top
+      .join(bruteTopK(s, d, LshK).select("q_id", "neighbor_id"),
+        Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val ncand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+    emb(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"))
+      .join(ncand, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(lit(tag).as("codebook"), col("q_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(LshK.toLong).as("k"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(LshK), 4).as("recall"))
+  }
+
+  /** Index-staleness recall audit (q174): the SAME IVF probe run against
+    * two codebook generations — the deterministic seed codebook (the
+    * stalest index possible: never trained) and the converged trained one
+    * — each measured against the shared brute-force truth at matched k.
+    * q171 says assignments MOVED between generations; this says what that
+    * movement costs where it matters, in served recall and probed
+    * candidate volume — the pair of numbers that decides whether an aging
+    * production index needs the rebuild (rising churn + sagging recall)
+    * or is merely drifting harmlessly. Seed-vs-trained also bounds the
+    * value of training itself: if seed recall matches trained recall, the
+    * corpus is easy and Lloyd's budget can shrink.
+    *
+    * Scale shape: two [[probeStats]] probe chains (each the q53/q152
+    * shape — codebook as plan literal, cell equi-join candidates, salted
+    * two-phase top-k) over the memoized fit, seed collect is K rows of
+    * control plane, truth is the memoized [[bruteTopK]]. */
+  def q174StaleRecall(s: SparkSession, d: String): DataFrame = {
+    val stale = seedCentroids(quantized(s, d, QuantOffset),
+        adaptiveKmeansK(s, d)).zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(x => (x - QuantOffset).toDouble / QuantScale))
+    }
+    probeStats(s, d, stale, "seed")
+      .unionByName(probeStats(s, d, ivfCodebook(s, d), "trained"))
+      .orderBy("codebook", "q_id")
+  }
+
   val PqM = 4                 // PQ subspaces (64 dims -> 4 x 16)
   val PqSubDim = 16           // dims per subspace
   val PqAdcK = 3              // neighbors per query (ADC tier)
@@ -1872,42 +1946,83 @@ object Similarity {
       aadc AS (SELECT q_id, neighbor_id, sum(pd2) AS adc_d2 FROM aparts
                GROUP BY 1, 2)"""
 
-  /** IVF oracle CTEs over the converged codebook (`c2` from the k-means
-    * chain body) and an `e` CTE (vec_id, embedding as DOUBLE[]), ending in
-    * `iranked` — composed by the q53 oracle and the q105 IVF tier so both
-    * replay exactly the engine's trained index. */
-  private def ivfCtes: String = s"""
-      fc AS (SELECT c AS c_id,
+  /** IVF oracle CTEs over ANY per-dim centroid CTE (`(c, dim, cv)` shape
+    * — `c2` for the trained codebook, `c0` for the seeds) and an `e` CTE
+    * (vec_id, embedding as DOUBLE[]), ending in `<p>iranked`. The empty
+    * prefix keeps the historical names (`fc`/`iscored`/…/`iranked`) the
+    * q53/q105 oracles compose; q174 instantiates the chain twice with
+    * distinct prefixes so the two codebooks replay side by side. */
+  private def ivfCtesOver(centroids: String, p: String): String = s"""
+      ${p}fc AS (SELECT c AS c_id,
                     list((cv - $QuantOffset)::DOUBLE / $QuantScale ORDER BY dim) AS cv
-             FROM c2 GROUP BY c),
-      iscored AS (SELECT e.vec_id, e.v, f.c_id,
+             FROM $centroids GROUP BY c),
+      ${p}iscored AS (SELECT e.vec_id, e.v, f.c_id,
                          round(list_cosine_similarity(e.v, f.cv), 6) AS s
-                  FROM e, fc f),
-      iasg AS (SELECT vec_id, v, c_id AS cell FROM (
+                  FROM e, ${p}fc f),
+      ${p}iasg AS (SELECT vec_id, v, c_id AS cell FROM (
                  SELECT vec_id, v, c_id,
                         row_number() OVER (PARTITION BY vec_id
                           ORDER BY s DESC, c_id) AS rn
-                 FROM iscored) t WHERE rn = 1),
-      iprobes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
+                 FROM ${p}iscored) t WHERE rn = 1),
+      ${p}iprobes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
                     SELECT vec_id, v, c_id,
                            row_number() OVER (PARTITION BY vec_id
                              ORDER BY s DESC, c_id) AS rn
-                    FROM iscored WHERE vec_id < $NumQueries) t
+                    FROM ${p}iscored WHERE vec_id < $NumQueries) t
                   WHERE rn <= $NumProbes),
-      icand AS (SELECT p.q_id, a.vec_id AS neighbor_id,
+      ${p}icand AS (SELECT p.q_id, a.vec_id AS neighbor_id,
                        round(list_cosine_similarity(p.qv, a.v), 6) AS sim
-                FROM iprobes p JOIN iasg a
+                FROM ${p}iprobes p JOIN ${p}iasg a
                   ON a.cell = p.cell AND a.vec_id <> p.q_id),
-      iranked AS (SELECT q_id, neighbor_id, sim,
+      ${p}iranked AS (SELECT q_id, neighbor_id, sim,
                          row_number() OVER (PARTITION BY q_id
                            ORDER BY sim DESC, neighbor_id) AS rnk
-                  FROM icand)"""
+                  FROM ${p}icand)"""
+
+  /** The trained-codebook instantiation the q53 oracle and the q105 IVF
+    * tier compose — replays exactly the engine's served index. */
+  private def ivfCtes: String = ivfCtesOver("c2", "")
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q85_kmeans" -> ((q85KMeans _, s"""
       $kmeansChainSql
       SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2 FROM kfin
       ORDER BY vec_id""")),
+    "q174_stale_recall" -> ((q174StaleRecall _, s"""
+      WITH $kmeansChainBody,
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${ivfCtesOver("c0", "st")},
+      ${ivfCtesOver("c2", "tr")},
+      bsims AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(c.v, q.v), 6) AS sim
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < $NumQueries),
+      btop AS (SELECT q_id, neighbor_id FROM (
+                 SELECT q_id, neighbor_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM bsims) t WHERE rnk <= $LshK),
+      base AS (SELECT vec_id AS q_id FROM e WHERE vec_id < $NumQueries),
+      arms AS (
+        SELECT 'seed' AS codebook, b.q_id,
+               (SELECT count(*) FROM sticand c WHERE c.q_id = b.q_id)::BIGINT
+                 AS n_cand,
+               (SELECT count(*) FROM stiranked r JOIN btop t
+                  ON t.q_id = r.q_id AND t.neighbor_id = r.neighbor_id
+                WHERE r.q_id = b.q_id AND r.rnk <= $LshK)::BIGINT AS n_hit
+        FROM base b
+        UNION ALL
+        SELECT 'trained' AS codebook, b.q_id,
+               (SELECT count(*) FROM tricand c WHERE c.q_id = b.q_id)::BIGINT
+                 AS n_cand,
+               (SELECT count(*) FROM triranked r JOIN btop t
+                  ON t.q_id = r.q_id AND t.neighbor_id = r.neighbor_id
+                WHERE r.q_id = b.q_id AND r.rnk <= $LshK)::BIGINT AS n_hit
+        FROM base b)
+      SELECT codebook, q_id, n_cand, n_hit, $LshK::BIGINT AS k,
+             round(n_hit::DOUBLE / $LshK, 4) AS recall
+      FROM arms ORDER BY codebook, q_id""")),
     "q171_assignment_churn" -> ((q171AssignmentChurn _, s"""
       $kmeansChainSql
       SELECT k.c::BIGINT AS cluster, count(*)::BIGINT AS n,

@@ -600,6 +600,23 @@ class SimilaritySpec extends AnyFunSuite {
       .toMap == movedByCluster)
   }
 
+  test("q174 stale recall: trained arm equals the served q105 ivf tier") {
+    val out = Similarity.q174StaleRecall(spark, sf).collect()
+    assert(out.length == 2 * Similarity.NumQueries)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("k"))
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(r.getAs[Long]("n_hit").toDouble / r.getAs[Long]("k"))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val trained = out.filter(_.getAs[String]("codebook") == "trained")
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_hit")).toMap
+    val ivfTier = Similarity.q105AnnRecall(spark, sf).collect()
+      .filter(_.getAs[String]("tier") == "ivf")
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(trained == ivfTier)
+  }
+
   test("fit locks are striped per (session, corpus dir)") {
     val a = Similarity.fitLockFor(spark, "/tmp/corpus-a")
     assert(Similarity.fitLockFor(spark, "/tmp/corpus-a") eq a)
