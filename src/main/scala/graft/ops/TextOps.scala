@@ -1243,6 +1243,59 @@ object TextOps {
     Iterator(("", seen)) ++ counts.keysIterator.map((_, 0L))
   }
 
+  val CmsDepth = 4    // Count-Min rows (independent hash functions)
+  val CmsWidth = 256  // buckets per row
+  val CmsTrackK = 20  // head tokens the accuracy report prices
+
+  /** Count-Min-Sketch accuracy report (q175, Cormode & Muthukrishnan
+    * 2005): build the [[CmsDepth]]×[[CmsWidth]] counter array over the
+    * corpus token stream, then price it — for each of the [[CmsTrackK]]
+    * head tokens, the sketch estimate (min over rows of the token's
+    * bucket counter) beside the exact count and the guaranteed-positive
+    * overcount. The third sketch family beside HLL (distinct) and
+    * Misra-Gries (membership): CMS answers point FREQUENCY queries in
+    * depth·width integers, and unlike MG its counters are pure SUMS — two
+    * shards' sketches merge by addition, the property a 100 TB / streaming
+    * frequency monitor actually needs (q99's MG summaries need the exact
+    * recount pass instead). The report is the runnable width-sizing tool:
+    * overcount ≈ corpus/width collisions, so a rising overcount on head
+    * tokens says the width dial is too small for the vocabulary.
+    *
+    * Exactness: bucket hashes are md5-derived 28-bit integers both
+    * engines compute byte-identically; counters and estimates are integer
+    * sums/mins — no float anywhere.
+    *
+    * Scale shape: counters aggregate the (token, n) vocabulary MARGINAL
+    * (one token exchange, shared with the exact side the audit needs
+    * anyway) into ≤ depth·width rows; the production ingest path is the
+    * same expression as a streaming map-side partial aggregation. The
+    * tracked head is a bounded top-k; estimate joins are K·depth rows
+    * against the broadcast counter table. */
+  def q175CmsAccuracy(s: SparkSession, d: String): DataFrame = {
+    def bucket(i: Int): org.apache.spark.sql.Column = expr(
+      s"cast(conv(substring(md5(concat('$i:', token)), 1, 7), 16, 10) " +
+        s"as bigint) % $CmsWidth")
+    val counts = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // vocabulary marginal: counters + tracked head
+    val counters = (0 until CmsDepth).map { i =>
+        counts.select(lit(i.toLong).as("r"), bucket(i).as("b"), col("n"))
+      }.reduce(_ unionAll _)
+      .groupBy("r", "b").agg(sum("n").as("c"))
+    val tracked = counts.orderBy(desc("n"), col("token")).limit(CmsTrackK)
+    (0 until CmsDepth).map { i =>
+        tracked.select(col("token"), col("n"),
+          lit(i.toLong).as("r"), bucket(i).as("b"))
+      }.reduce(_ unionAll _)
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy("token").agg(max("n").as("exact_n"), min("c").as("cms_n"))
+      .select(col("token"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).as("overcount"))
+      .orderBy(desc("exact_n"), col("token"))
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25TopK = 20
@@ -1949,6 +2002,34 @@ object TextOps {
       SELECT doc_id, ttr, stop_ratio, n_tokens, score,
              (score >= 0.5) AS keep
       FROM s ORDER BY doc_id""")),
+    "q175_cms_accuracy" -> ((q175CmsAccuracy _, {
+      val series = s"(SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS i)"
+      s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      cnt AS (SELECT token, count(*)::BIGINT AS n FROM tok
+              WHERE token <> '' GROUP BY 1),
+      rws AS (
+        SELECT i.i AS r,
+               ('0x' || substr(md5(i.i::VARCHAR || ':' || token), 1, 7))::BIGINT
+                 % $CmsWidth AS b,
+               n
+        FROM cnt CROSS JOIN $series i),
+      counters AS (SELECT r, b, sum(n)::BIGINT AS c FROM rws GROUP BY 1, 2),
+      tracked AS (SELECT token, n FROM cnt
+                  ORDER BY n DESC, token LIMIT $CmsTrackK),
+      est AS (
+        SELECT t.token, t.n AS exact_n, min(co.c) AS cms_n
+        FROM tracked t
+        CROSS JOIN $series i
+        JOIN counters co
+          ON co.r = i.i
+         AND co.b = ('0x' || substr(md5(i.i::VARCHAR || ':' || t.token), 1, 7))::BIGINT
+                      % $CmsWidth
+        GROUP BY 1, 2)
+      SELECT token, exact_n, cms_n, cms_n - exact_n AS overcount
+      FROM est ORDER BY exact_n DESC, token"""
+    })),
     "q99_heavy_hitters" -> ((q99HeavyHitters _, s"""
       WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                    FROM documents),

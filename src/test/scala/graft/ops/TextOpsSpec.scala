@@ -741,6 +741,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q175 cms accuracy: estimates match a driver replay, never undercount") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.q175CmsAccuracy(spark, sf).collect()
+    assert(out.length == TextOps.CmsTrackK)
+    out.foreach(r => assert(r.getAs[Long]("overcount") >= 0L &&
+      r.getAs[Long]("cms_n") ==
+        r.getAs[Long]("exact_n") + r.getAs[Long]("overcount")))
+    // replay the whole sketch from the exact vocabulary marginal
+    val counts = graft.ops.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").count().collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("count")).toMap
+    def bucket(i: Int, t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$i:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16) % TextOps.CmsWidth
+    }
+    val counters = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    for ((t, n) <- counts; i <- 0 until TextOps.CmsDepth)
+      counters((i, bucket(i, t))) += n
+    val tracked = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(TextOps.CmsTrackK)
+    val expected = tracked.map { case (t, n) =>
+      t -> (n, (0 until TextOps.CmsDepth).map(i =>
+        counters((i, bucket(i, t)))).min)
+    }.toMap
+    assert(out.map(r => r.getAs[String]("token") ->
+      ((r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n")))).toMap == expected)
+  }
+
   test("bm25 ranks are contiguous, scores non-increasing and non-negative") {
     val rows = TextOps.q100Bm25(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= TextOps.Bm25TopK)
