@@ -358,6 +358,54 @@ object Dedup {
         .localCheckpoint(true)
     }
 
+  /** b-bit sweep grid: bits kept per signature slot. */
+  val BbitGrid: Seq[Int] = Seq(2, 4, 8)
+
+  /** b-bit MinHash storage sweep (q176, Li & König, "b-Bit Minwise
+    * Hashing", WWW 2010): store only the low b bits of every signature
+    * slot and the index shrinks 32/b× — at the price of accidental
+    * low-bit collisions inflating the match estimate by ~2^-b per
+    * non-matching slot. For each b in [[BbitGrid]], over the standard
+    * candidate pairs: slots matching on b bits beside slots matching in
+    * full, the guaranteed-non-negative excess, and excess as exact ppm of
+    * all compared slots — the REALIZED collision rate to hold against the
+    * 2^-b theory line. Together with q158 (slot-count axis) this prices
+    * both dimensions of the dominant storage term of a petabyte
+    * signature index: slots × bits.
+    *
+    * Exactness: slot values are non-negative, so `% 2^b` agrees
+    * cross-engine; everything else is integer sums and one ppm div.
+    *
+    * Scale shape: one join of the memoized two-id pair list against the
+    * signature projection (the calibrationBase shape), per-pair work is
+    * NumHashes·|grid| in-row comparisons, and the rollup is |grid| rows. */
+  def q176BbitSweep(s: SparkSession, d: String): DataFrame = {
+    val mh = minhashes(s, d)
+    minhashCandidates(s, d, Some(DefaultMaxBucket))
+      .join(mh.select(col("doc_id").as("id_a"), col("mh").as("mh_a")), "id_a")
+      .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
+      .select(
+        expr("aggregate(zip_with(mh_a, mh_b, (x, y) -> if(x = y, 1L, 0L)), " +
+          "0L, (a, x) -> a + x)").as("full_m"),
+        array(BbitGrid.map { b =>
+          val m = 1L << b
+          struct(lit(b.toLong).as("b"),
+            expr(s"aggregate(zip_with(mh_a, mh_b, " +
+              s"(x, y) -> if(x % $m = y % $m, 1L, 0L)), 0L, (a, x) -> a + x)")
+              .as("m"))
+        }: _*).as("sweep"))
+      .select(col("full_m"), explode(col("sweep")).as("e"))
+      .groupBy(col("e.b").as("b"))
+      .agg(count(lit(1)).as("n_pairs"), sum("full_m").as("full_matches"),
+        sum("e.m").as("bbit_matches"))
+      .withColumn("excess", col("bbit_matches") - col("full_matches"))
+      .withColumn("excess_ppm",
+        expr(s"excess * 1000000 div (n_pairs * $NumHashes)"))
+      .select("b", "n_pairs", "full_matches", "bbit_matches", "excess",
+        "excess_ppm")
+      .orderBy("b")
+  }
+
   def q148MinhashCalibration(s: SparkSession, d: String): DataFrame = {
     calibrationBase(s, d)
       .select(expr("aggregate(slot_eq, 0L, (a, x) -> a + x)").as("n_match"),
@@ -2119,6 +2167,31 @@ object Dedup {
     "q120_split_leakage" -> ((q120SplitLeakage _, splitLeakageOracle)),
     "q115_dedup_funnel" -> ((q115DedupFunnel _, funnelOracle)),
     "q70_dup_clusters" -> ((q70DupClusters _, ccOracle)),
+    "q176_bbit_sweep" -> ((q176BbitSweep _, {
+      def slotSum(f: Int => String) =
+        (0 until NumHashes).map(f).mkString("\n             + ")
+      val arms = BbitGrid.map { b =>
+        val m = 1L << b
+        s"""SELECT $b AS b, count(*)::BIGINT AS n_pairs,
+             sum(full_m)::BIGINT AS full_matches,
+             sum(${slotSum(i =>
+               s"(CASE WHEN a.mh$i % $m = bb.mh$i % $m THEN 1 ELSE 0 END)")})::BIGINT
+               AS bbit_matches
+           FROM cand c JOIN mh a ON a.doc_id = c.id_a
+                       JOIN mh bb ON bb.doc_id = c.id_b
+           CROSS JOIN LATERAL (SELECT ${slotSum(i =>
+             s"(CASE WHEN a.mh$i = bb.mh$i THEN 1 ELSE 0 END)")} AS full_m) f"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      $minhashCandCtes,
+      arms AS (
+        $arms)
+      SELECT b::BIGINT AS b, n_pairs, full_matches, bbit_matches,
+             (bbit_matches - full_matches)::BIGINT AS excess,
+             ((bbit_matches - full_matches) * 1000000
+               // (n_pairs * $NumHashes))::BIGINT AS excess_ppm
+      FROM arms ORDER BY b"""
+    })),
     "q173_dup_meta_conflicts" -> ((q173DupMetaConflicts _, {
       val rows = MetaConflictFixture.map { case (id, t, l, src) =>
         s"($id, '$t', '$l', '$src')"

@@ -628,6 +628,26 @@ class DedupSpec extends AnyFunSuite {
     assert(byAnchor(9100005L) == ((2L, false, false)))
   }
 
+  test("q176 bbit sweep: monotone in b, never below full matches, ties q148") {
+    val out = Dedup.q176BbitSweep(spark, sf).collect().sortBy(_.getAs[Long]("b"))
+    assert(out.map(_.getAs[Long]("b")).toSeq == Dedup.BbitGrid.map(_.toLong))
+    assert(out.map(_.getAs[Long]("n_pairs")).distinct.length == 1)
+    out.foreach { r =>
+      assert(r.getAs[Long]("bbit_matches") >= r.getAs[Long]("full_matches"))
+      assert(r.getAs[Long]("excess") ==
+        r.getAs[Long]("bbit_matches") - r.getAs[Long]("full_matches"))
+      assert(r.getAs[Long]("excess_ppm") == r.getAs[Long]("excess") * 1000000L /
+        (r.getAs[Long]("n_pairs") * Dedup.NumHashes))
+    }
+    // keeping more bits can only remove accidental collisions
+    val bm = out.map(_.getAs[Long]("bbit_matches"))
+    assert(bm.zip(bm.tail).forall { case (a, b) => a >= b })
+    // full-slot matches agree with the q148 calibration marginal
+    val full = Dedup.q148MinhashCalibration(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_match") * r.getAs[Long]("n_pairs")).sum
+    assert(out.head.getAs[Long]("full_matches") == full)
+  }
+
   test("q153 threshold sweep: grid-complete, monotone, floor point = q108") {
     val truth = Dedup.q108NgramJaccard(spark, sf).collect()
     val before = Dedup.truthDerivations.get()
