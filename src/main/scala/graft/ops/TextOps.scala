@@ -1473,6 +1473,56 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Vocabulary sizes the q177 coverage sweep prices. */
+  val VocabSweepGrid: Seq[Long] = Seq(64L, 256L, 1024L, 4096L)
+
+  /** Vocabulary-size coverage sweep (q177): for each candidate vocab size
+    * V, what share of all token OCCURRENCES the top-V types cover — the
+    * tokenizer-sizing curve (Heaps' law read backwards): q135 prices ONE
+    * fixed vocab's OOV per source, this sweeps the size dial and shows
+    * where coverage flattens, which is where a bigger vocabulary stops
+    * buying anything. Emits covered types/occurrences, the corpus total
+    * and exact-ppm coverage per grid point.
+    *
+    * Exactness + scale in one trick: top-V-by-frequency coverage does not
+    * need the ranked vocabulary — on the COUNT-OF-COUNTS marginal (the
+    * q103 Zipf relation, ≤ O(√total) distinct frequencies however large
+    * the vocabulary), covered(V) = Σ_c c · clamp(V − types_before(c), 0,
+    * n_types(c)) with types_before a prefix sum in frequency-descending
+    * order. Boundary ties all share frequency c, so coverage is
+    * tie-break-independent — exact integers with no term-level ordering.
+    * The only window runs over the count-of-counts rows, never the
+    * vocabulary, and the grid join is a 4-row broadcast. */
+  def q177VocabSweep(s: SparkSession, d: String): DataFrame = {
+    val cc = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("c"))
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("occ", col("c") * col("n_types"))
+      .localCheckpoint(true) // count-of-counts marginal: prefix sum + totals
+    val wPrev = Window.orderBy(desc("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cc.withColumn("types_before",
+      coalesce(sum("n_types").over(wPrev), lit(0L)))
+    val grid = s.createDataFrame(VocabSweepGrid.map(Tuple1(_))).toDF("v")
+    val tot = cc.agg(sum("occ").as("total_occ"))
+    cum.crossJoin(broadcast(grid))
+      .select(col("v"),
+        expr("greatest(0L, least(n_types, v - types_before))").as("t_in"),
+        col("c"))
+      .groupBy("v")
+      .agg(sum("t_in").as("n_covered_types"),
+        sum(col("c") * col("t_in")).as("covered_occ"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm",
+        expr("covered_occ * 1000000 div total_occ"))
+      .select("v", "n_covered_types", "covered_occ", "total_occ",
+        "coverage_ppm")
+      .orderBy("v")
+  }
+
   /** Fixed logistic-regression weights for the q102 quality classifier — a
     * deterministic stand-in for a trained quality model (the
     * fasttext/LR-classifier filtering stage of GPT-3/LLaMA-style corpus
@@ -2002,6 +2052,30 @@ object TextOps {
       SELECT doc_id, ttr, stop_ratio, n_tokens, score,
              (score >= 0.5) AS keep
       FROM s ORDER BY doc_id""")),
+    "q177_vocab_sweep" -> ((q177VocabSweep _, s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      cnt AS (SELECT term, count(*)::BIGINT AS n FROM tok
+              WHERE term <> '' GROUP BY 1),
+      cc AS (SELECT n AS c, count(*)::BIGINT AS n_types,
+                    (n * count(*))::BIGINT AS occ
+             FROM cnt GROUP BY 1),
+      cum AS (SELECT c, n_types, occ,
+                     coalesce(sum(n_types) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS types_before
+              FROM cc),
+      tot AS (SELECT sum(occ)::BIGINT AS total_occ FROM cc),
+      grid AS (SELECT unnest([${VocabSweepGrid.mkString(", ")}]) AS v),
+      sw AS (SELECT g.v,
+                    sum(greatest(0, least(n_types, g.v - types_before)))::BIGINT
+                      AS n_covered_types,
+                    sum(c * greatest(0, least(n_types, g.v - types_before)))::BIGINT
+                      AS covered_occ
+             FROM cum CROSS JOIN grid g GROUP BY 1)
+      SELECT v::BIGINT AS v, n_covered_types, covered_occ, tot.total_occ,
+             (covered_occ * 1000000 // tot.total_occ)::BIGINT AS coverage_ppm
+      FROM sw, tot ORDER BY v""")),
     "q175_cms_accuracy" -> ((q175CmsAccuracy _, {
       val series = s"(SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS i)"
       s"""

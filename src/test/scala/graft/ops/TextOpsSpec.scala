@@ -774,6 +774,31 @@ class TextOpsSpec extends AnyFunSuite {
       ((r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n")))).toMap == expected)
   }
 
+  test("q177 vocab sweep: marginal trick equals brute top-V coverage") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.q177VocabSweep(spark, sf).collect().sortBy(_.getAs[Long]("v"))
+    assert(out.map(_.getAs[Long]("v")).toSeq == TextOps.VocabSweepGrid)
+    val counts = graft.ops.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").count().collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("count"))
+    val sorted = counts.sortBy { case (t, n) => (-n, t) }
+    val total = counts.map(_._2).sum
+    out.foreach { r =>
+      val v = r.getAs[Long]("v").toInt
+      val top = sorted.take(v)
+      assert(r.getAs[Long]("n_covered_types") == math.min(v, sorted.length).toLong)
+      assert(r.getAs[Long]("covered_occ") == top.map(_._2).sum)
+      assert(r.getAs[Long]("total_occ") == total)
+      assert(r.getAs[Long]("coverage_ppm") ==
+        r.getAs[Long]("covered_occ") * 1000000L / total)
+    }
+    // a bigger vocabulary can only cover more
+    val cov = out.map(_.getAs[Long]("covered_occ"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+  }
+
   test("bm25 ranks are contiguous, scores non-increasing and non-negative") {
     val rows = TextOps.q100Bm25(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= TextOps.Bm25TopK)
