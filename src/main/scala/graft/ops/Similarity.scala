@@ -1352,6 +1352,36 @@ object Similarity {
       .orderBy("codebook", "q_id")
   }
 
+  /** Doc↔embedding alignment audit (q178): the ML-side referential
+    * integrity check — every text/embedding JOIN in the pipeline (q44's
+    * cosine confirm, q60's multi-signal decision, q80's split carry-over)
+    * silently DROPS rows whose counterpart is missing, so an encoder that
+    * skipped a shard under-counts dup pairs and splits without ever
+    * failing. One row: table sizes, matched ids, each side's orphans, the
+    * embedding-side id-uniqueness violation count (a vec_id emitted twice
+    * poisons every equi-join downstream), and exact-ppm doc coverage —
+    * q161's star-schema audit re-aimed at the documents/embeddings pair.
+    *
+    * Scale shape: two distributed anti-joins + one semi-join on the id
+    * (each one exchange with map-side partials), a dup rollup keyed by
+    * vec_id, and five 1-row aggregates assembled by crossJoin. */
+  def q178AlignmentAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"))
+    def cnt(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    cnt(docs, "n_docs")
+      .crossJoin(cnt(vecs, "n_vecs"))
+      .crossJoin(cnt(docs.join(vecs, docs("doc_id") === vecs("vec_id"),
+        "left_semi"), "n_matched"))
+      .crossJoin(cnt(docs.join(vecs, docs("doc_id") === vecs("vec_id"),
+        "left_anti"), "n_doc_only"))
+      .crossJoin(cnt(vecs.join(docs, vecs("vec_id") === docs("doc_id"),
+        "left_anti"), "n_vec_only"))
+      .crossJoin(cnt(vecs.groupBy("vec_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1), "n_dup_vec_ids"))
+      .withColumn("coverage_ppm", expr("n_matched * 1000000 div n_docs"))
+  }
+
   val PqM = 4                 // PQ subspaces (64 dims -> 4 x 16)
   val PqSubDim = 16           // dims per subspace
   val PqAdcK = 3              // neighbors per query (ADC tier)
@@ -1988,6 +2018,26 @@ object Similarity {
       $kmeansChainSql
       SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2 FROM kfin
       ORDER BY vec_id""")),
+    "q178_alignment_audit" -> ((q178AlignmentAudit _, """
+      WITH base AS (
+        SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+               (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
+               (SELECT count(*) FROM documents
+                WHERE doc_id IN (SELECT vec_id FROM embeddings))::BIGINT
+                 AS n_matched,
+               (SELECT count(*) FROM documents
+                WHERE doc_id NOT IN (SELECT vec_id FROM embeddings))::BIGINT
+                 AS n_doc_only,
+               (SELECT count(*) FROM embeddings
+                WHERE vec_id NOT IN (SELECT doc_id FROM documents))::BIGINT
+                 AS n_vec_only,
+               (SELECT count(*) FROM (SELECT vec_id FROM embeddings
+                  GROUP BY 1 HAVING count(*) > 1) t)::BIGINT
+                 AS n_dup_vec_ids)
+      SELECT n_docs, n_vecs, n_matched, n_doc_only, n_vec_only,
+             n_dup_vec_ids,
+             (n_matched * 1000000 // n_docs)::BIGINT AS coverage_ppm
+      FROM base""")),
     "q174_stale_recall" -> ((q174StaleRecall _, s"""
       WITH $kmeansChainBody,
       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

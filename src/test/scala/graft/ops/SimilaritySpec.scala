@@ -617,6 +617,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trained == ivfTier)
   }
 
+  test("q178 alignment audit: clean corpus + crafted orphans both exact") {
+    val clean = Similarity.q178AlignmentAudit(spark, sf).collect()(0)
+    assert(clean.getAs[Long]("n_matched") + clean.getAs[Long]("n_doc_only")
+      == clean.getAs[Long]("n_docs"))
+    assert(clean.getAs[Long]("n_dup_vec_ids") == 0L)
+    assert(clean.getAs[Long]("n_matched") +
+      clean.getAs[Long]("n_vec_only") == clean.getAs[Long]("n_vecs"))
+    assert(clean.getAs[Long]("coverage_ppm") ==
+      clean.getAs[Long]("n_matched") * 1000000L / clean.getAs[Long]("n_docs"))
+    // crafted: doc 3 has no vector, vec 4 has no doc, vec 2 is doubled
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("align").toString
+    Seq((1L, "a", "en", "s", 1L), (2L, "b", "en", "s", 1L),
+      (3L, "c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((1L, Array(0.1f), 0), (2L, Array(0.2f), 0), (2L, Array(0.3f), 0),
+      (4L, Array(0.4f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.q178AlignmentAudit(spark, dir).collect()(0)
+    assert(out.getAs[Long]("n_docs") == 3L && out.getAs[Long]("n_vecs") == 4L)
+    assert(out.getAs[Long]("n_matched") == 2L)  // docs 1 and 2
+    assert(out.getAs[Long]("n_doc_only") == 1L) // doc 3
+    assert(out.getAs[Long]("n_vec_only") == 1L) // vec 4
+    assert(out.getAs[Long]("n_dup_vec_ids") == 1L) // vec 2
+    assert(out.getAs[Long]("coverage_ppm") == 2L * 1000000L / 3L)
+  }
+
   test("fit locks are striped per (session, corpus dir)") {
     val a = Similarity.fitLockFor(spark, "/tmp/corpus-a")
     assert(Similarity.fitLockFor(spark, "/tmp/corpus-a") eq a)
