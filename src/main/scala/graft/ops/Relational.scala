@@ -802,6 +802,45 @@ object Relational {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Exact Gini inequality profile (q179): per event type, the Gini
+    * coefficient of the event values in exact integer ppm — the
+    * whale-detection dial for monetization/engagement streams: a gini
+    * near 0 says value is spread evenly across events, near 1e6 says a
+    * handful of whale events carry it all, and a SHIFT is a pricing or
+    * instrumentation alarm the mean (q65) and percentiles (q48) smear.
+    *
+    * Exactness: values floor to integer cents (floor has no rounding
+    * midpoint, so both engines agree on any double); Gini = mean absolute
+    * pairwise difference / (2·mean) computed WITHOUT enumerating pairs:
+    * on the per-type (cents → count) marginal ordered ascending,
+    * Σ_pairs |x−y| = Σ_v c_v·(v·C_before(v) − S_before(v)) with prefix
+    * count/sum windows — so gini_ppm = D·1e6 div (n·total). D crosses
+    * int64 at petabyte event counts, so it accumulates in decimal(38)
+    * (DuckDB HUGEINT) — the q118 convention.
+    *
+    * Scale shape: one exchange to the (type, cents) marginal with
+    * map-side partials; every window and the rollup run on marginal rows
+    * (distinct cent values per type), never on events. */
+  def q179ValueGini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+      .withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+      .withColumn("sb", coalesce(sum(expr("c * cents")).over(w), lit(0L)))
+      .groupBy("event_type")
+      .agg(sum("c").as("n"), sum(expr("c * cents")).as("total_cents"),
+        sum(expr("cast(c as decimal(38, 0)) * " +
+          "(cast(cents as decimal(38, 0)) * cb - sb)")).as("dd"))
+      .withColumn("gini_ppm", expr(
+        "cast((dd * 1000000) div (cast(n as decimal(38, 0)) * total_cents) " +
+          "as bigint)"))
+      .select("event_type", "n", "total_cents", "gini_ppm")
+      .orderBy("event_type")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
@@ -1187,6 +1226,23 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q179_value_gini" -> ((q179ValueGini _, """
+      WITH m AS (SELECT event_type, floor(value * 100)::BIGINT AS cents,
+                        count(*)::BIGINT AS c
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      p AS (SELECT event_type, cents, c,
+                   coalesce(sum(c) OVER w, 0)::BIGINT AS cb,
+                   coalesce(sum(c * cents) OVER w, 0)::BIGINT AS sb
+            FROM m WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      g AS (SELECT event_type, sum(c)::BIGINT AS n,
+                   sum(c * cents)::BIGINT AS total_cents,
+                   sum(c::HUGEINT * (cents::HUGEINT * cb - sb)) AS dd
+            FROM p GROUP BY 1)
+      SELECT event_type, n, total_cents,
+             ((dd * 1000000) // (n::HUGEINT * total_cents))::BIGINT
+               AS gini_ppm
+      FROM g ORDER BY event_type""")),
     "q172_event_paths" -> ((q172EventPaths _, """
       WITH t AS (
         SELECT user_id, event_type AS e1,

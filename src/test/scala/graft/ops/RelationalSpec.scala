@@ -343,6 +343,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q179 value gini: matches a brute-force pairwise replay") {
+    val out = Relational.q179ValueGini(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getAs[String]("event_type") ->
+        math.floor(r.getAs[Double]("value") * 100).toLong)
+    val byType = ev.groupBy(_._1).map { case (t, rows) => t -> rows.map(_._2) }
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = byType(t)
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(r.getAs[Long]("total_cents") == xs.sum)
+      val d = (for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield math.abs(xs(i) - xs(j))).map(BigInt(_)).sum
+      val gini = d * 1000000 / (BigInt(xs.length) * xs.sum)
+      assert(BigInt(r.getAs[Long]("gini_ppm")) == gini, s"gini($t)")
+      assert(r.getAs[Long]("gini_ppm") >= 0L &&
+        r.getAs[Long]("gini_ppm") < 1000000L)
+    }
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString
