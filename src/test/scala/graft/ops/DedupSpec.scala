@@ -648,6 +648,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("full_matches") == full)
   }
 
+  test("q170 plan: equi-joins over memoized frames, no cartesian") {
+    val df = Dedup.q170ClusterDensity(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
   test("q153 threshold sweep: grid-complete, monotone, floor point = q108") {
     val truth = Dedup.q108NgramJaccard(spark, sf).collect()
     val before = Dedup.truthDerivations.get()

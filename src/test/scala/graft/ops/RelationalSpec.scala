@@ -366,6 +366,16 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q179 plan: marginal windows and rollups only — no join anywhere") {
+    val df = Relational.q179ValueGini(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString

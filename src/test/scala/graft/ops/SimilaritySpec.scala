@@ -646,6 +646,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.getAs[Long]("coverage_ppm") == 2L * 1000000L / 3L)
   }
 
+  test("q169 plan: one cluster-partitioned window over the assignment, no join") {
+    val df = Similarity.q169PrototypePruning(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Window"), plan.take(1500))
+    // the pruning rides the same single assignment pass q85 ships —
+    // no join, no corpus self-comparison anywhere
+    assert(!plan.contains("Join"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
   test("fit locks are striped per (session, corpus dir)") {
     val a = Similarity.fitLockFor(spark, "/tmp/corpus-a")
     assert(Similarity.fitLockFor(spark, "/tmp/corpus-a") eq a)
