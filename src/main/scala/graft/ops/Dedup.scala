@@ -986,9 +986,11 @@ object Dedup {
     * lineage stays O(1) instead of growing per round (the classic
     * iterative-Spark failure). On a real cluster use reliable
     * `checkpoint()` to survive executor loss; for O(log n) worst-case
-    * rounds on high-diameter graphs, switch to large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce") — not needed
-    * for the low-diameter graphs LSH emits (see [[MaxCcIterations]]).
+    * rounds on high-diameter graphs, switch to large-star/small-star —
+    * IMPLEMENTED as [[propagateStarContraction]] (spec-pinned label-
+    * equivalent; converges on a 300-node chain the round budget here
+    * cannot) — not needed for the low-diameter graphs LSH emits (see
+    * [[MaxCcIterations]]).
     * Convergence is detected by an `observe` metric riding each round's
     * own checkpoint job (see [[dupLabels]]) — no separate probe pass. */
   def q70DupClusters(s: SparkSession, d: String): DataFrame =
@@ -1124,6 +1126,74 @@ object Dedup {
         col("n_sources"), (col("n_langs") > 1).as("lang_conflict"),
         (col("n_sources") > 1).as("source_conflict"))
       .orderBy("anchor_id")
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the HIGH-DIAMETER path [[propagateMinLabels]]'s scaladoc
+    * promises: min-label propagation needs diameter-many rounds (a
+    * 300-node chain blows the [[MaxCcIterations]] budget), star
+    * contraction REWRITES the edge set each round and converges in
+    * O(log n) rounds on any graph. Same contract as the propagation core:
+    * any (id_a, id_b) pair frame in, converged (id, label=component min)
+    * out, bit-identical labels (spec-pinned equivalent on the corpus
+    * graph and on randoms vs a union-find replay).
+    *
+    * Per round — all bounded, shuffle-on-id shapes: large-star connects
+    * every larger neighbor to each node's min (one groupBy-min + one
+    * equi-join on the adjacency), small-star the smaller neighbors
+    * likewise; edges stay canonical (a < b), deduped, and checkpointed so
+    * lineage is O(1). Convergence = empty symmetric difference between
+    * rounds, one aggregate job over the (shrinking) edge list. LSH dup
+    * graphs are low-diameter so the serving path keeps the cheaper
+    * label-propagation loop; this is the drop-in replacement when a
+    * pathological graph (crawl chains, containment ladders) shows up. */
+  private[ops] def propagateStarContraction(s: SparkSession,
+                                            pairs: DataFrame): DataFrame = {
+    def canonical(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var canon = canonical(pairs.select(col("id_a").as("u"),
+      col("id_b").as("v"))).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < MaxCcIterations) {
+      val adj = canon.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(canon.select(col("b").as("u"), col("a").as("v")))
+      // large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u})
+      val mAll = adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = canonical(adj.join(mAll, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint(true)
+      // small-star: u and its smaller neighbors all link to their min
+      val adj2 = ls.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(ls.select(col("b").as("u"), col("a").as("v")))
+      val smAdj = adj2.filter(col("v") < col("u"))
+      val mS = smAdj.groupBy("u").agg(min("v").as("m"))
+      val ss = canonical(
+        mS.select(col("u"), col("m").as("v"))
+          .unionAll(smAdj.join(mS, "u")
+            .filter(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      // converged when the round was a no-op (empty symmetric difference)
+      converged = ss.unionAll(canon).groupBy("a", "b")
+        .agg(count(lit(1)).as("n")).filter(col("n") === 1)
+        .limit(1).isEmpty
+      canon = ss
+      iter += 1
+    }
+    require(converged,
+      s"star contraction did not converge in $MaxCcIterations rounds")
+    // stars: centers are component minima; every member points at its center
+    val members = canon.select(col("b").as("id"), col("a").as("label"))
+    val centers = canon.select(col("a").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    members.unionAll(centers)
   }
 
   /** q70's report shape over ANY (id, label) assignment — the consumer face

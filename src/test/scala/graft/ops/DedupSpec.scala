@@ -657,6 +657,51 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
   }
 
+  test("star contraction equals min-label propagation on the corpus graph") {
+    val pairs = Dedup.minhashCandidates(spark, sf, Some(Dedup.DefaultMaxBucket))
+    val star = Dedup.propagateStarContraction(spark, pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    val prop = Dedup.dupLabels(spark, sf).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(star == prop)
+  }
+
+  test("star contraction: 300-node chain converges inside the round budget") {
+    import spark.implicits._
+    // diameter 299 >> MaxCcIterations: min-label propagation CANNOT finish
+    // this graph; star contraction needs only O(log n) rounds
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.propagateStarContraction(spark, chain).collect()
+    assert(out.length == 300)
+    assert(out.forall(_.getAs[Long]("label") == 0L))
+  }
+
+  test("star contraction matches a union-find replay on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(150)(
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+    val out = Dedup.propagateStarContraction(spark,
+      edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    // driver union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val comps = nodes.groupBy(find).flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+    assert(out == comps)
+  }
+
   test("q153 threshold sweep: grid-complete, monotone, floor point = q108") {
     val truth = Dedup.q108NgramJaccard(spark, sf).collect()
     val before = Dedup.truthDerivations.get()
