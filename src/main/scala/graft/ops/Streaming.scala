@@ -508,7 +508,70 @@ object Streaming {
       .orderBy("purchase_id")
   }
 
+  /** Session-grain conversion dashboard (q180): per session-start hour,
+    * how many sessions happened and how many CONVERTED — contained a view
+    * and a purchase at-or-after it — in exact ppm. q66's funnel counts
+    * users over their lifetime and q163 prices the view→purchase latency;
+    * this is the session-grain truth both of them smear: a user who
+    * browses nightly but buys once is 1/30 converting sessions, not a
+    * converted user, and the hour axis exposes when conversion actually
+    * happens. Runs on the TRUE `session_window` operator (the q37
+    * machinery with richer aggregates) — on a stream the identical
+    * expression runs with watermarked session state.
+    *
+    * Exactness: conversion compares raw event timestamps (purchase ≥
+    * first view, the q163 boundary rule); hours are epoch-second floors
+    * (`unix_timestamp` ↔ `floor(epoch())`, the q37 convention).
+    *
+    * Scale shape: the session aggregation keys on high-cardinality
+    * user_id; the hour rollup consumes one row per SESSION, not per
+    * event, with map-side partials. */
+  def q180SessionConversion(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), SessionGap))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("v0"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("p1"))
+      .select(
+        expr("(unix_timestamp(session_window.start) div 3600) * 3600")
+          .as("hour_epoch"),
+        when(col("v0").isNotNull && col("p1").isNotNull &&
+          col("p1") >= col("v0"), 1L).otherwise(0L).as("conv"))
+      .groupBy("hour_epoch")
+      .agg(count(lit(1)).as("n_sessions"), sum("conv").as("n_converted"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_sessions"))
+      .orderBy("hour_epoch")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q180_session_conversion" -> ((q180SessionConversion _, s"""
+      WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL $SessionGapHours HOUR
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ),
+      islands AS (
+        SELECT user_id, ts, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      ),
+      sess AS (
+        SELECT user_id, session_id,
+               floor(epoch(min(ts)))::BIGINT AS start_sec,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS v0,
+               max(CASE WHEN event_type = 'purchase' THEN ts END) AS p1
+        FROM islands GROUP BY 1, 2
+      )
+      SELECT (start_sec // 3600) * 3600 AS hour_epoch,
+             count(*)::BIGINT AS n_sessions,
+             sum(CASE WHEN v0 IS NOT NULL AND p1 IS NOT NULL AND p1 >= v0
+                      THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+             (sum(CASE WHEN v0 IS NOT NULL AND p1 IS NOT NULL AND p1 >= v0
+                       THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS conv_ppm
+      FROM sess GROUP BY 1 ORDER BY 1""")),
     "q143_user_stats" -> ((q143UserStats _, """
       SELECT user_id, count(*) AS n_events,
              round(sum(value) * 100)::BIGINT AS sum_cents,

@@ -102,6 +102,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q180 session conversion matches a driver sessionization replay") {
+    val out = Streaming.q180SessionConversion(spark, sf).collect()
+    assert(out.nonEmpty)
+    // q37 and q180 must count the SAME sessions
+    val q37n = Streaming.q37EventsSessions(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_sessions")).sum == q37n)
+    // replay: 12h-gap islands per user, converted = any purchase >= first view
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp]("ts").toInstant
+        (r.getAs[Long]("user_id"),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          r.getAs[String]("event_type"))
+      }
+    val gapUs = Streaming.SessionGapHours * 3600L * 1000000L
+    val sessions = ev.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val buf = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.tail.foreach { e =>
+        if (e._2 - buf.last.last._2 >= gapUs)
+          buf += scala.collection.mutable.ArrayBuffer(e)
+        else buf.last += e
+      }
+      buf.map { s =>
+        val v0 = s.collect { case (_, t, "view") => t }.minOption
+        val p1 = s.collect { case (_, t, "purchase") => t }.maxOption
+        val conv = v0.nonEmpty && p1.nonEmpty && p1.get >= v0.get
+        (s.head._2 / 1000000L / 3600L * 3600L, conv)
+      }
+    }.toSeq
+    val expected = sessions.groupBy(_._1).map { case (h, ss) =>
+      h -> ((ss.size.toLong, ss.count(_._2).toLong))
+    }
+    val got = out.map(r => r.getAs[Long]("hour_epoch") ->
+      ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converted")))).toMap
+    assert(got == expected)
+    out.foreach(r => assert(r.getAs[Long]("conv_ppm") ==
+      r.getAs[Long]("n_converted") * 1000000L / r.getAs[Long]("n_sessions")))
+  }
+
   test("q143 batch face equals the streaming operator's final per-user state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
