@@ -541,7 +541,56 @@ object Streaming {
       .withColumn("conv_ppm", expr("n_converted * 1000000 div n_sessions"))
       .orderBy("hour_epoch")
 
+  /** Multi-touch attribution (q181): q124 picks ONE last-touch view per
+    * purchase; this splits the credit LINEARLY across every view in the
+    * attribution window — the weighting marketing mix models actually
+    * consume — with an exact integer guarantee: weights per purchase sum
+    * to EXACTLY 1e6 ppm. base = 1e6 div n and the 1e6 mod n remainder
+    * goes +1 each to the MOST RECENT views (q124's recency order), so
+    * the split is deterministic and float-free in both engines — no
+    * "0.333… × 3 ≠ 1" leakage at any n. Same interval-join shape as
+    * q124 (streaming form bounds state to rate × horizon); the windows
+    * partition by purchase_id, bounded by views-per-horizon.
+    *
+    * rnk 1 is the last touch, so q124's single-touch report is exactly
+    * the rnk=1 slice of this one (spec-pinned). */
+  def q181MultiTouch(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val byP = Window.partitionBy("purchase_id")
+    purchaseAttributionRaw(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "inner")
+      .withColumn("n_views", count(lit(1)).over(byP))
+      .withColumn("rnk", row_number().over(
+        byP.orderBy(col("v_ts").desc, col("view_id").desc)))
+      .withColumn("weight_ppm", expr(
+        "1000000 div n_views + if(rnk <= 1000000 % n_views, 1, 0)"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("n_views"), col("rnk").cast("long").as("rnk"),
+        col("weight_ppm").cast("long").as("weight_ppm"))
+      .orderBy("purchase_id", "rnk")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q181_multi_touch" -> ((q181MultiTouch _, s"""
+      WITH v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+                 FROM events WHERE event_type = 'view'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT p.purchase_id, p.user_id, v.view_id, v.v_ts
+            FROM p JOIN v
+              ON p.user_id = v.v_user AND v.v_ts <= p.p_ts
+                 AND v.v_ts >= p.p_ts - INTERVAL $AttributionHorizon),
+      r AS (SELECT purchase_id, user_id, view_id,
+                   count(*) OVER (PARTITION BY purchase_id) AS n_views,
+                   row_number() OVER (PARTITION BY purchase_id
+                     ORDER BY v_ts DESC, view_id DESC) AS rnk
+            FROM j)
+      SELECT purchase_id, user_id, view_id, n_views::BIGINT AS n_views,
+             rnk::BIGINT AS rnk,
+             (1000000 // n_views
+               + CASE WHEN rnk <= 1000000 % n_views THEN 1 ELSE 0 END)::BIGINT
+               AS weight_ppm
+      FROM r ORDER BY purchase_id, rnk""")),
     "q180_session_conversion" -> ((q180SessionConversion _, s"""
       WITH flagged AS (
         SELECT user_id, ts, event_type,

@@ -144,6 +144,29 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Long]("n_converted") * 1000000L / r.getAs[Long]("n_sessions")))
   }
 
+  test("q181 multi-touch: credit sums to exactly 1e6; rnk=1 slice equals q124") {
+    val out = Streaming.q181MultiTouch(spark, sf).collect()
+    assert(out.nonEmpty)
+    for ((_, rows) <- out.groupBy(_.getAs[Long]("purchase_id"))) {
+      assert(rows.map(_.getAs[Long]("weight_ppm")).sum == 1000000L)
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+      assert(rows.forall(_.getAs[Long]("n_views") == rows.length.toLong))
+      // split is fair: weights differ by at most 1 ppm
+      val w = rows.map(_.getAs[Long]("weight_ppm"))
+      assert(w.max - w.min <= 1L)
+    }
+    // last-touch slice reproduces q124 for purchases that have views
+    val last = out.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("view_id")).toMap
+    Streaming.q124PurchaseAttribution(spark, sf).collect()
+      .filter(_.getAs[Long]("n_views") > 0L)
+      .foreach { r =>
+        assert(last(r.getAs[Long]("purchase_id")) ==
+          r.getAs[Long]("attributed_view_id"))
+      }
+  }
+
   test("q143 batch face equals the streaming operator's final per-user state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
