@@ -25,7 +25,14 @@ object Bench {
         .foreach(q => SparkEntry.queries(q)(spark, warmSf).foreach(_ => ()))
     } catch { case _: Throwable => () }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only knob (the driver never sets it): restrict to name prefixes
+    // for scale-ratio measurements of a query subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // foreach materializes every row (count() would let Catalyst prune the
       // final projection and skip decoding selected columns).
