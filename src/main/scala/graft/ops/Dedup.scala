@@ -398,9 +398,17 @@ object Dedup {
       .groupBy(col("e.b").as("b"))
       .agg(count(lit(1)).as("n_pairs"), sum("full_m").as("full_matches"),
         sum("e.m").as("bbit_matches"))
+      // grid-complete even on a pair-free corpus (every arm emits a row,
+      // matching the oracle's global-aggregate arms; ppm guards the
+      // zero-pair division instead of diverging or crashing)
+      .join(s.createDataFrame(BbitGrid.map(b => Tuple1(b.toLong)))
+        .toDF("b"), Seq("b"), "right")
+      .select(col("b"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("full_matches"), lit(0L)).as("full_matches"),
+        coalesce(col("bbit_matches"), lit(0L)).as("bbit_matches"))
       .withColumn("excess", col("bbit_matches") - col("full_matches"))
-      .withColumn("excess_ppm",
-        expr(s"excess * 1000000 div (n_pairs * $NumHashes)"))
+      .withColumn("excess_ppm", expr(
+        s"if(n_pairs = 0, 0L, excess * 1000000 div (n_pairs * $NumHashes))"))
       .select("b", "n_pairs", "full_matches", "bbit_matches", "excess",
         "excess_ppm")
       .orderBy("b")
@@ -1134,7 +1142,9 @@ object Dedup {
     * promises: min-label propagation needs diameter-many rounds (a
     * 300-node chain blows the [[MaxCcIterations]] budget), star
     * contraction REWRITES the edge set each round and converges in
-    * O(log n) rounds on any graph. Same contract as the propagation core:
+    * O(log² n) worst-case rounds (O(log n) in practice) on any graph,
+    * under its own [[MaxStarIterations]] budget. Same contract as the
+    * propagation core:
     * any (id_a, id_b) pair frame in, converged (id, label=component min)
     * out, bit-identical labels (spec-pinned equivalent on the corpus
     * graph and on randoms vs a union-find replay).
@@ -1148,6 +1158,13 @@ object Dedup {
     * graphs are low-diameter so the serving path keeps the cheaper
     * label-propagation loop; this is the drop-in replacement when a
     * pathological graph (crawl chains, containment ladders) shows up. */
+  /** Star-contraction round budget — SEPARATE from [[MaxCcIterations]]:
+    * alternating large/small-star is proven O(log² n) worst case (O(log n)
+    * in practice), so the fallback gets the headroom the diameter-bound
+    * propagation loop deliberately lacks; 64 alternations cover any
+    * realistic id space (log²(2^63) pathologies are not star graphs). */
+  val MaxStarIterations = 64
+
   private[ops] def propagateStarContraction(s: SparkSession,
                                             pairs: DataFrame): DataFrame = {
     def canonical(df: DataFrame): DataFrame = df
@@ -1159,7 +1176,7 @@ object Dedup {
       col("id_b").as("v"))).localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (!converged && iter < MaxCcIterations) {
+    while (!converged && iter < MaxStarIterations) {
       val adj = canon.select(col("a").as("u"), col("b").as("v"))
         .unionAll(canon.select(col("b").as("u"), col("a").as("v")))
       // large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u})
@@ -1187,7 +1204,7 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"star contraction did not converge in $MaxCcIterations rounds")
+      s"star contraction did not converge in $MaxStarIterations rounds")
     // stars: centers are component minima; every member points at its center
     val members = canon.select(col("b").as("id"), col("a").as("label"))
     val centers = canon.select(col("a").as("id")).distinct()
@@ -2243,9 +2260,9 @@ object Dedup {
       val arms = BbitGrid.map { b =>
         val m = 1L << b
         s"""SELECT $b AS b, count(*)::BIGINT AS n_pairs,
-             sum(full_m)::BIGINT AS full_matches,
-             sum(${slotSum(i =>
-               s"(CASE WHEN a.mh$i % $m = bb.mh$i % $m THEN 1 ELSE 0 END)")})::BIGINT
+             coalesce(sum(full_m), 0)::BIGINT AS full_matches,
+             coalesce(sum(${slotSum(i =>
+               s"(CASE WHEN a.mh$i % $m = bb.mh$i % $m THEN 1 ELSE 0 END)")}), 0)::BIGINT
                AS bbit_matches
            FROM cand c JOIN mh a ON a.doc_id = c.id_a
                        JOIN mh bb ON bb.doc_id = c.id_b
@@ -2258,8 +2275,9 @@ object Dedup {
         $arms)
       SELECT b::BIGINT AS b, n_pairs, full_matches, bbit_matches,
              (bbit_matches - full_matches)::BIGINT AS excess,
-             ((bbit_matches - full_matches) * 1000000
-               // (n_pairs * $NumHashes))::BIGINT AS excess_ppm
+             (CASE WHEN n_pairs = 0 THEN 0
+                   ELSE (bbit_matches - full_matches) * 1000000
+                        // (n_pairs * $NumHashes) END)::BIGINT AS excess_ppm
       FROM arms ORDER BY b"""
     })),
     "q173_dup_meta_conflicts" -> ((q173DupMetaConflicts _, {

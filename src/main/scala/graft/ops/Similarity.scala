@@ -236,11 +236,23 @@ object Similarity {
     * top-k is the salted two-phase shape ([[adcTopK]]'s), never a
     * corpus-sized single-partition window; the brute truth is the same
     * [[bruteTopK]] pass the q105 monitor shares. */
-  def q152NprobeSweep(s: SparkSession, d: String): DataFrame = {
-    val cents = ivfCodebook(s, d)
+  def q152NprobeSweep(s: SparkSession, d: String): DataFrame =
+    probeMeasure(s, d, ivfCodebook(s, d), NprobeGrid)
+
+  /** The ONE IVF probe-measurement chain — per (np, q_id): candidates
+    * probed and truth hits at [[LshK]], for ANY codebook and nprobe grid.
+    * q152 sweeps the grid over the trained codebook; q174's [[probeStats]]
+    * fixes np = [[NumProbes]] and varies the CODEBOOK — one definition of
+    * assignment, probing, the salted two-phase top-k and recall, so the
+    * two measurements cannot drift apart. Shapes: assignment is a pure
+    * projection (codebook as plan literal); the cell ranking is K
+    * rows/query; candidates stream the cell equi-join (Σnp·corpus/K per
+    * query); the per-(np, q_id) top-k is the salted two-phase shape;
+    * every (np, query) row is present even at zero candidates. */
+  private def probeMeasure(s: SparkSession, d: String,
+      cents: Array[(Long, Array[Double])], npGrid: Seq[Int]): DataFrame = {
     val assigned = emb(s, d).select(col("vec_id"), col("v"),
       (-array_max(cellScoresArr(cents, "v")).getField("ci")).as("cell"))
-    // every cell ranked per query: K rows/query, control-plane sized
     val qcells = emb(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(cellScoresArr(cents, "v")).as("sc"))
@@ -249,7 +261,7 @@ object Similarity {
       .withColumn("crk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("s"), col("cell"))))
     val grid = s.createDataFrame(
-      NprobeGrid.map(np => Tuple1(np.toLong))).toDF("np")
+      npGrid.map(np => Tuple1(np.toLong))).toDF("np")
     val probes = qcells.join(broadcast(grid), col("crk") <= col("np"))
       .select("np", "q_id", "qv", "cell")
     val cand = assigned.join(broadcast(probes), Seq("cell"))
@@ -269,7 +281,6 @@ object Similarity {
     val hits = top.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy("np", "q_id").agg(count(lit(1)).as("n_hit"))
     val ncand = cand.groupBy("np", "q_id").agg(count(lit(1)).as("n_cand"))
-    // every (np, query) row present even at zero candidates
     emb(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id")).crossJoin(broadcast(grid))
       .join(ncand, Seq("np", "q_id"), "left")
@@ -1240,6 +1251,28 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Memoized seed codebook per (session, corpus) — the k lowest vec_ids'
+    * quantized vectors. The TRAINING paths derive seeds once inside their
+    * own memoized fits; this memo serves the MONITOR queries (q171 churn,
+    * q174 stale recall) that need the seed generation on every call, so
+    * repeated monitors don't re-run the TakeOrdered collect per query. */
+  private val seedCache =
+    new scala.collection.mutable.WeakHashMap[
+      SparkSession, scala.collection.mutable.Map[String, Array[Array[Long]]]]
+  private[ops] def seedsFor(s: SparkSession, d: String): Array[Array[Long]] =
+    fitLockFor(s, d).synchronized {
+      mapLock.synchronized {
+        seedCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty).get(d)
+      } match {
+        case Some(v) => v
+        case None =>
+          val v = seedCentroids(quantized(s, d, QuantOffset),
+            adaptiveKmeansK(s, d))
+          mapLock.synchronized { seedCache(s).update(d, v) }
+          v
+      }
+    }
+
   /** Assignment churn (q171): per converged cluster, how many members the
     * SEED codebook would have placed elsewhere — the measured gap between
     * a stale quantizer and the retrained one, in exact ppm. This is the
@@ -1262,7 +1295,7 @@ object Similarity {
   def q171AssignmentChurn(s: SparkSession, d: String): DataFrame = {
     val q = quantized(s, d, QuantOffset)
     val (labels, cents) = kmeansFit(s, d)
-    val seeds = seedCentroids(q, adaptiveKmeansK(s, d))
+    val seeds = seedsFor(s, d)
     q.select(col("vec_id"),
         element_at(call_function("ivec_nearest", col("q"), centLit(seeds)), 1)
           .as("seed_c"),
@@ -1280,51 +1313,14 @@ object Similarity {
 
   /** One codebook's probe outcome for [[q174StaleRecall]]: per query,
     * candidates probed and truth hits at [[LshK]] under [[NumProbes]] —
-    * the q152 sweep chain with the codebook as a PARAMETER instead of the
-    * nprobe dial. Same scale shape: assignment is a pure projection with
-    * the codebook as a plan literal, candidates stream the cell equi-join
-    * (corpus·nprobe/K per query), top-k is the salted two-phase shape. */
+    * the [[probeMeasure]] chain with the codebook as the parameter and
+    * the nprobe dial pinned, so q174 and the q152 sweep share one
+    * definition of assignment, probing, top-k and recall. */
   private def probeStats(s: SparkSession, d: String,
-      cents: Array[(Long, Array[Double])], tag: String): DataFrame = {
-    val assigned = emb(s, d).select(col("vec_id"), col("v"),
-      (-array_max(cellScoresArr(cents, "v")).getField("ci")).as("cell"))
-    val qprobes = emb(s, d).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        explode(cellScoresArr(cents, "v")).as("sc"))
-      .select(col("q_id"), col("qv"),
-        (-col("sc.ci")).as("cell"), col("sc.s").as("s"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("s"), col("cell"))))
-      .filter(col("crk") <= NumProbes)
-      .select("q_id", "qv", "cell")
-    val cand = assigned.join(broadcast(qprobes), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(cosine("v", "qv"), 6).as("sim"))
-    val w1 = Window.partitionBy("q_id", "salt")
-      .orderBy(desc("sim"), col("neighbor_id"))
-    val w2 = Window.partitionBy("q_id")
-      .orderBy(desc("sim"), col("neighbor_id"))
-    val top = cand
-      .withColumn("salt", pmod(col("neighbor_id"), lit(AdcSalts.toLong)))
-      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= LshK)
-      .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= LshK)
-      .select("q_id", "neighbor_id")
-    val hits = top
-      .join(bruteTopK(s, d, LshK).select("q_id", "neighbor_id"),
-        Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
-    val ncand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
-    emb(s, d).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"))
-      .join(ncand, Seq("q_id"), "left")
-      .join(hits, Seq("q_id"), "left")
-      .select(lit(tag).as("codebook"), col("q_id"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        lit(LshK.toLong).as("k"),
-        round(coalesce(col("n_hit"), lit(0L)) / lit(LshK), 4).as("recall"))
-  }
+      cents: Array[(Long, Array[Double])], tag: String): DataFrame =
+    probeMeasure(s, d, cents, Seq(NumProbes))
+      .select(lit(tag).as("codebook"), col("q_id"), col("n_cand"),
+        col("n_hit"), col("k"), col("recall"))
 
   /** Index-staleness recall audit (q174): the SAME IVF probe run against
     * two codebook generations — the deterministic seed codebook (the
@@ -1343,8 +1339,7 @@ object Similarity {
     * two-phase top-k) over the memoized fit, seed collect is K rows of
     * control plane, truth is the memoized [[bruteTopK]]. */
   def q174StaleRecall(s: SparkSession, d: String): DataFrame = {
-    val stale = seedCentroids(quantized(s, d, QuantOffset),
-        adaptiveKmeansK(s, d)).zipWithIndex.map { case (v, i) =>
+    val stale = seedsFor(s, d).zipWithIndex.map { case (v, i) =>
       (i.toLong, v.map(x => (x - QuantOffset).toDouble / QuantScale))
     }
     probeStats(s, d, stale, "seed")

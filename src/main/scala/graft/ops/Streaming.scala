@@ -570,30 +570,13 @@ object Streaming {
       .orderBy("purchase_id", "rnk")
   }
 
-  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q181_multi_touch" -> ((q181MultiTouch _, s"""
-      WITH v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
-                 FROM events WHERE event_type = 'view'),
-      p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
-            FROM events WHERE event_type = 'purchase'),
-      j AS (SELECT p.purchase_id, p.user_id, v.view_id, v.v_ts
-            FROM p JOIN v
-              ON p.user_id = v.v_user AND v.v_ts <= p.p_ts
-                 AND v.v_ts >= p.p_ts - INTERVAL $AttributionHorizon),
-      r AS (SELECT purchase_id, user_id, view_id,
-                   count(*) OVER (PARTITION BY purchase_id) AS n_views,
-                   row_number() OVER (PARTITION BY purchase_id
-                     ORDER BY v_ts DESC, view_id DESC) AS rnk
-            FROM j)
-      SELECT purchase_id, user_id, view_id, n_views::BIGINT AS n_views,
-             rnk::BIGINT AS rnk,
-             (1000000 // n_views
-               + CASE WHEN rnk <= 1000000 % n_views THEN 1 ELSE 0 END)::BIGINT
-               AS weight_ppm
-      FROM r ORDER BY purchase_id, rnk""")),
-    "q180_session_conversion" -> ((q180SessionConversion _, s"""
-      WITH flagged AS (
-        SELECT user_id, ts, event_type,
+  /** ONE gaps-and-islands sessionization chain (`flagged` → `islands`,
+    * carrying ts/value/event_type) shared by the q37 and q180 oracles so
+    * the session-boundary rule (gap ≥ [[SessionGap]], `>=`) exists once
+    * on the oracle side too — the minhashCandCtes discipline. */
+  private def sessionIslandsCtes: String = s"""
+      flagged AS (
+        SELECT user_id, ts, value, event_type,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL $SessionGapHours HOUR
                     THEN 1 ELSE 0 END AS new_session
@@ -601,11 +584,43 @@ object Streaming {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
       ),
       islands AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, value, event_type,
                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM flagged
-      ),
+      )"""
+
+  /** ONE attribution interval-join chain (`v`/`p` → `j`, LEFT join with
+    * p_value carried) shared by the q124 and q181 oracles — the window
+    * predicate (view ≤ purchase, within [[AttributionHorizon]]) exists
+    * once; q181 takes the inner slice via `view_id IS NOT NULL`. */
+  private def attributionJoinCtes: String = s"""
+      v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+            FROM events WHERE event_type = 'view'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+                   value AS p_value
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT p.purchase_id, p.user_id, p.p_value, v.view_id, v.v_ts
+            FROM p LEFT JOIN v
+              ON p.user_id = v.v_user AND v.v_ts <= p.p_ts
+                 AND v.v_ts >= p.p_ts - INTERVAL $AttributionHorizon)"""
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q181_multi_touch" -> ((q181MultiTouch _, s"""
+      WITH $attributionJoinCtes,
+      r AS (SELECT purchase_id, user_id, view_id,
+                   count(*) OVER (PARTITION BY purchase_id) AS n_views,
+                   row_number() OVER (PARTITION BY purchase_id
+                     ORDER BY v_ts DESC, view_id DESC) AS rnk
+            FROM j WHERE view_id IS NOT NULL)
+      SELECT purchase_id, user_id, view_id, n_views::BIGINT AS n_views,
+             rnk::BIGINT AS rnk,
+             (1000000 // n_views
+               + CASE WHEN rnk <= 1000000 % n_views THEN 1 ELSE 0 END)::BIGINT
+               AS weight_ppm
+      FROM r ORDER BY purchase_id, rnk""")),
+    "q180_session_conversion" -> ((q180SessionConversion _, s"""
+      WITH $sessionIslandsCtes,
       sess AS (
         SELECT user_id, session_id,
                floor(epoch(min(ts)))::BIGINT AS start_sec,
@@ -627,15 +642,7 @@ object Streaming {
              floor(epoch(max(ts)))::BIGINT AS last_seen_epoch
       FROM events GROUP BY user_id ORDER BY user_id""")),
     "q124_purchase_attribution" -> ((q124PurchaseAttribution _, s"""
-      WITH v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
-                 FROM events WHERE event_type = 'view'),
-      p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
-                   value AS p_value
-            FROM events WHERE event_type = 'purchase'),
-      j AS (SELECT p.purchase_id, p.user_id, p.p_value, v.view_id, v.v_ts
-            FROM p LEFT JOIN v
-              ON p.user_id = v.v_user AND v.v_ts <= p.p_ts
-                 AND v.v_ts >= p.p_ts - INTERVAL $AttributionHorizon),
+      WITH $attributionJoinCtes,
       r AS (SELECT purchase_id, user_id, p_value, view_id,
                    count(view_id) OVER (PARTITION BY purchase_id) AS n_views,
                    row_number() OVER (PARTITION BY purchase_id
@@ -675,20 +682,7 @@ object Streaming {
       FROM expanded GROUP BY wstart, event_type
       ORDER BY wstart, event_type""")),
     "q37_events_sessions" -> ((q37EventsSessions _, s"""
-      WITH flagged AS (
-        SELECT user_id, ts, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL $SessionGapHours HOUR
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-      ),
-      islands AS (
-        SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM flagged
-      )
+      WITH $sessionIslandsCtes
       SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM islands GROUP BY user_id, session_id
