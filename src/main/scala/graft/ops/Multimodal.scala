@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support (SURVEY.md §2.C6): media payloads travel as an
@@ -118,7 +119,12 @@ object Multimodal {
   /** Documents wrapped as media envelopes (bytes = UTF-8 payload — the
     * "opaque blob" stand-in; for real media this is the encoded frame). */
   def envelope(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    envelopeOf(documents(s, d))
+
+  /** The envelope projection over ANY document-shaped frame — shared by
+    * the corpus face and the fixture-enriched q182. */
+  private[ops] def envelopeOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       concat(lit("doc://"), col("doc_id")).as("uri"),
       lit("text/plain").as("mime"),
@@ -213,6 +219,53 @@ object Multimodal {
         col("n_frames"), col("n_distinct"), col("n_dup_frames"),
         col("n_crossdoc_contents"))
       .orderBy("frame_idx")
+
+  /** Crafted payloads appended by [[q182FrameRuns]]: a FROZEN payload
+    * (uniform bytes — all four sampled frames identical, run 4), a
+    * two-scene payload (two static halves, run 2) and a live payload
+    * (distinct frames, run 1). The synthetic corpus has no intra-doc
+    * frame repetition, so without these the run histogram would prove
+    * only the absence side — the q151/q173 fixture discipline. */
+  private[ops] val FrameRunFixture: Seq[(Long, String)] = Seq(
+    9200001L -> ("x" * 64),
+    9200002L -> ("a" * 32 + "b" * 32),
+    9200003L -> "plain distinct content with no repetition structure here")
+
+  /** Static-content run profile (q182): per asset, the LONGEST run of
+    * identical consecutive sampled frames, rolled into a (max_run →
+    * assets) histogram. q127 counts duplication across documents at each
+    * position; this measures it along TIME within each asset — the
+    * frozen-stream detector for a video corpus (a stuck encoder, a
+    * slideshow, a test card all ship runs at FramesPerDoc while live
+    * footage sits at 1), which is a drop/down-weight signal no cross-doc
+    * view produces.
+    *
+    * Scale shape: one streaming frame-hash pass (the q127 mapPartitions),
+    * then lag/sum windows PARTITIONED BY doc_id over FramesPerDoc rows
+    * each (bounded, high-cardinality key) and two bounded rollups.
+    * Byte-exact oracle: the engine compares frame md5s, the oracle the
+    * injective hex slices at the same byte boundaries. First-frame rule:
+    * `lag <> fh` is NULL on the first frame in both engines → no run
+    * break, matching islands semantics. */
+  def q182FrameRuns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = FrameRunFixture.map { case (id, t) =>
+      (id, t, "en", "fixture", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val env = envelopeOf(documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionAll(fixture))
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frameHashes(s, env).toDF()
+      .withColumn("chg",
+        when(lag("fh", 1).over(byDoc) =!= col("fh"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "run_id").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id").agg(max("len").as("max_run"))
+      .groupBy("max_run").agg(count(lit(1)).as("n_docs"))
+      .orderBy("max_run")
+  }
 
   /** C6 oracle query: envelope metadata projection — proves the binary
     * envelope (byte length survives the encode round-trip). */
@@ -381,6 +434,22 @@ object Multimodal {
         .unionAll(fixture))
   }
 
+  /** ONE byte-exact frame-slicing CTE chain (`d` → `f`, frames as hex
+    * slices at 2-bytes-per-char offsets) shared by the q127 and q182
+    * oracles — the framing rule exists once on the oracle side too. */
+  private def frameSliceCtes(docsSrc: String): String = s"""
+      d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM $docsSrc),
+      f AS (
+        SELECT doc_id, i.i AS frame_idx,
+               substr(hx, 2 * ((n * i.i) // ${MediaCodec.FramesPerDoc}) + 1,
+                 2 * least(greatest(n // ${MediaCodec.FramesPerDoc}, 1),
+                       n - ((n * i.i) // ${MediaCodec.FramesPerDoc}))) AS fr
+        FROM d, (SELECT unnest(generate_series(0,
+                   ${MediaCodec.FramesPerDoc - 1})) AS i) i
+        WHERE n > 0 AND ((n * i.i) // ${MediaCodec.FramesPerDoc}) < n)"""
+
   /** DuckDB-side dHash recomputation, BYTE-exact for any text encoding:
     * DuckDB 1.0 cannot index a BLOB directly, but `hex(encode(text))` can
     * be sliced at 2·offset to read any UTF-8 BYTE as an integer — so bit k
@@ -472,6 +541,31 @@ object Multimodal {
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_phash_neardup" -> ((q96PhashNearDup _, phashOracle)),
     "q151_phash_clusters" -> ((q151PhashClusters _, phashClusterOracle)),
+    "q182_frame_runs" -> ((q182FrameRuns _, {
+      val rows = FrameRunFixture.map { case (id, t) => s"($id, '$t')" }
+        .mkString(",\n        ")
+      s"""
+      WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+        $rows) v(doc_id, text)),
+      ${frameSliceCtes("aug")},
+      flag AS (
+        SELECT doc_id, frame_idx,
+               CASE WHEN lag(fr) OVER (PARTITION BY doc_id
+                      ORDER BY frame_idx) <> fr
+                    THEN 1 ELSE 0 END AS chg
+        FROM f),
+      runs AS (
+        SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM flag),
+      rl AS (SELECT doc_id, run_id, count(*) AS len FROM runs GROUP BY 1, 2),
+      mx AS (SELECT doc_id, max(len)::BIGINT AS max_run FROM rl GROUP BY 1)
+      SELECT max_run, count(*)::BIGINT AS n_docs
+      FROM mx GROUP BY 1 ORDER BY 1"""
+    })),
     "q127_frame_profile" -> ((q127FrameProfile _, s"""
       -- BYTE-exact framing: frames are slices of hex(encode(text)) at
       -- 2-bytes-per-char offsets, so boundaries fall on the same BYTE
@@ -479,17 +573,7 @@ object Multimodal {
       -- groups frames by md5(frame bytes); the oracle groups by the hex
       -- content itself — hex is injective, so every count is identical
       -- (md5 here is an identity fingerprint, not an output value)
-      WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
-                        octet_length(encode(text)) AS n
-                 FROM documents),
-      f AS (
-        SELECT doc_id, i.i AS frame_idx,
-               substr(hx, 2 * ((n * i.i) // ${MediaCodec.FramesPerDoc}) + 1,
-                 2 * least(greatest(n // ${MediaCodec.FramesPerDoc}, 1),
-                       n - ((n * i.i) // ${MediaCodec.FramesPerDoc}))) AS fr
-        FROM d, (SELECT unnest(generate_series(0,
-                   ${MediaCodec.FramesPerDoc - 1})) AS i) i
-        WHERE n > 0 AND ((n * i.i) // ${MediaCodec.FramesPerDoc}) < n),
+      WITH ${frameSliceCtes("documents")},
       g AS (SELECT frame_idx, fr AS fh, count(*) AS c,
                    count(DISTINCT doc_id) AS nd
             FROM f GROUP BY 1, 2)

@@ -204,4 +204,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Boolean]("is_keeper") ==
       (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id"))))
   }
+
+  test("q182 frame runs: fixture runs land exactly, corpus is run-free") {
+    val out = Multimodal.q182FrameRuns(spark, sf).collect()
+      .map(r => r.getAs[Long]("max_run") -> r.getAs[Long]("n_docs")).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    // frozen payload: all 4 frames identical; two-scene: run 2; the
+    // live fixture and every corpus doc have no consecutive repeats
+    assert(out(4L) == 1L)
+    assert(out(2L) == 1L)
+    assert(out(1L) == nDocs + 1L)
+    assert(out.values.sum == nDocs + Multimodal.FrameRunFixture.length)
+  }
 }
