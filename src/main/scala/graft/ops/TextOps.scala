@@ -1473,6 +1473,47 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Source×language independence audit (q183): the contingency matrix
+    * of doc counts with, per cell, the observed corpus share beside the
+    * share the MARGINALS would predict under independence (n_src·n_lang /
+    * n²) and the signed delta, all in exact ppm. A balanced crawl has
+    * deltas near zero; a source that over-contributes one language skews
+    * every language-conditioned statistic downstream (langid priors,
+    * per-lang quality baselines, the q57/q80 strata), and this is the
+    * audit that localizes WHICH (source, lang) cells carry the skew —
+    * q76 prices source volume and q107 split balance; neither crosses
+    * source WITH language.
+    *
+    * Exactness: observed_ppm = n·1e6 div total; expected_ppm =
+    * n_src·n_lang·1e6 div total² in decimal(38)/HUGEINT (the q179
+    * convention — the numerator crosses int64 at petabyte doc counts);
+    * delta is a difference of the two floored ppms, never a division of
+    * signed values.
+    *
+    * Scale shape: ONE (source, lang) exchange builds the contingency
+    * marginal; both 1-D marginals are rollups of it (localCheckpoint'ed,
+    * never a second corpus scan) and join back broadcast — cells are
+    * |sources|·|langs|. */
+  def q183SourceLangMatrix(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // contingency marginal: 3 consumers below
+    val bySrc = cells.groupBy("source").agg(sum("n").as("n_src"))
+    val byLang = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+    val total = cells.agg(sum("n").as("n_total"))
+    cells.join(broadcast(bySrc), "source")
+      .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(total))
+      .withColumn("observed_ppm", expr("n * 1000000 div n_total"))
+      .withColumn("expected_ppm", expr(
+        "cast((cast(n_src as decimal(38, 0)) * n_lang * 1000000) div " +
+          "(cast(n_total as decimal(38, 0)) * n_total) as bigint)"))
+      .select(col("source"), col("lang"), col("n"), col("n_src"),
+        col("n_lang"), col("observed_ppm"), col("expected_ppm"),
+        (col("observed_ppm") - col("expected_ppm")).as("delta_ppm"))
+      .orderBy("source", "lang")
+  }
+
   /** Vocabulary sizes the q177 coverage sweep prices. */
   val VocabSweepGrid: Seq[Long] = Seq(64L, 256L, 1024L, 4096L)
 
@@ -2052,6 +2093,21 @@ object TextOps {
       SELECT doc_id, ttr, stop_ratio, n_tokens, score,
              (score >= 0.5) AS keep
       FROM s ORDER BY doc_id""")),
+    "q183_source_lang_matrix" -> ((q183SourceLangMatrix _, """
+      WITH cells AS (SELECT source, lang, count(*)::BIGINT AS n
+                     FROM documents GROUP BY 1, 2),
+      bs AS (SELECT source, sum(n)::BIGINT AS n_src FROM cells GROUP BY 1),
+      bl AS (SELECT lang, sum(n)::BIGINT AS n_lang FROM cells GROUP BY 1),
+      tt AS (SELECT sum(n)::BIGINT AS n_total FROM cells)
+      SELECT c.source, c.lang, c.n, bs.n_src, bl.n_lang,
+             (c.n * 1000000 // tt.n_total)::BIGINT AS observed_ppm,
+             ((bs.n_src::HUGEINT * bl.n_lang * 1000000)
+               // (tt.n_total::HUGEINT * tt.n_total))::BIGINT AS expected_ppm,
+             ((c.n * 1000000 // tt.n_total)
+               - ((bs.n_src::HUGEINT * bl.n_lang * 1000000)
+                  // (tt.n_total::HUGEINT * tt.n_total)))::BIGINT AS delta_ppm
+      FROM cells c JOIN bs USING (source) JOIN bl USING (lang), tt
+      ORDER BY c.source, c.lang""")),
     "q177_vocab_sweep" -> ((q177VocabSweep _, s"""
       WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
                    FROM documents),

@@ -799,6 +799,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q183 source-lang matrix: marginals conserve, deltas match a replay") {
+    val out = TextOps.q183SourceLangMatrix(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")))
+    val total = docs.length.toLong
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byCell = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    out.foreach { r =>
+      val (src, lang) = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n") == byCell((src, lang)))
+      assert(r.getAs[Long]("n_src") == bySrc(src))
+      assert(r.getAs[Long]("n_lang") == byLang(lang))
+      assert(r.getAs[Long]("observed_ppm") ==
+        r.getAs[Long]("n") * 1000000L / total)
+      assert(BigInt(r.getAs[Long]("expected_ppm")) ==
+        BigInt(bySrc(src)) * byLang(lang) * 1000000 / (BigInt(total) * total))
+      assert(r.getAs[Long]("delta_ppm") ==
+        r.getAs[Long]("observed_ppm") - r.getAs[Long]("expected_ppm"))
+    }
+  }
+
   test("bm25 ranks are contiguous, scores non-increasing and non-negative") {
     val rows = TextOps.q100Bm25(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= TextOps.Bm25TopK)
