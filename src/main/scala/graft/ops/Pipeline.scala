@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation pipeline a training-data user actually runs —
+  * the single-call composition of the operator families this library
+  * verifies one by one: exact+near dedup (the q129 ledger), Gopher-style
+  * quality gating (the q74 rules), leakage-safe cluster-aware splitting
+  * (the q80 assignment), materialized to lake tables through any
+  * [[graft.lake.LakeCatalog]].
+  *
+  * Everything rides the session memos (ledger, dup labels) and the shared
+  * per-doc rule definitions ([[TextOps.gateDecisions]],
+  * [[Dedup.splitAssigned]]) — the pipeline cannot disagree with the
+  * operators the oracle gate verifies, because it runs the same code.
+  *
+  * Scale shape: three id-keyed joins against the corpus scan (two
+  * left-semi from bounded decision frames, one split hookup), one write.
+  * On a real cluster, partition the curated table by `split` (pass
+  * `partitionBy`) so epoch readers prune to their split. */
+object Pipeline {
+  import Tables._
+
+  /** Run the full curation chain and materialize `ns.table`:
+    * keep = ledger-keep ∧ gate-pass, each kept doc labeled with its
+    * leakage-safe split. Returns the table read BACK from the catalog
+    * (the production contract: consumers read the lake, not the plan). */
+  def curateCorpus(s: SparkSession, d: String,
+                   catalog: graft.lake.LakeCatalog, ns: String,
+                   table: String = "documents_curated",
+                   partitionBy: Seq[String] = Nil): DataFrame = {
+    val keeps = Dedup.q129DedupLedger(s, d)
+      .filter(col("action") === "keep").select("doc_id")
+    val pass = TextOps.gateDecisions(s, d)
+      .filter(col("gate_pass")).select("doc_id")
+    val splits = Dedup.splitAssigned(s, d).select("doc_id", "split")
+    val curated = documents(s, d)
+      .join(keeps, Seq("doc_id"), "left_semi")
+      .join(pass, Seq("doc_id"), "left_semi")
+      .join(splits, "doc_id")
+      .select("doc_id", "text", "lang", "source", "n_chars", "split")
+    catalog.ensureNamespace(ns)
+    catalog.ensureTable(ns, table, curated.schema, partitionBy)
+    catalog.overwrite(ns, table, curated)
+    catalog.load(ns, table)
+  }
+
+  /** The curation scoreboard over a materialized curated table: per
+    * (split, lang) — kept docs and exact char mass. Reads the LAKE table,
+    * so any later session can audit a curation it didn't run. */
+  def curationReport(curated: DataFrame): DataFrame =
+    curated.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("split", "lang")
+}

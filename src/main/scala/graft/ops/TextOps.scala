@@ -509,7 +509,10 @@ object TextOps {
     * rules evaluated in one codegen'd projection, one small (lang-keyed)
     * aggregation. Complements q30 (per-doc signals) with the corpus-level
     * decision matrix. */
-  def q74QualityGate(s: SparkSession, d: String): DataFrame =
+  /** The per-doc Gopher-style gate decisions behind [[q74QualityGate]] —
+    * one definition of the three rejection rules, shared by the q74
+    * rollup and [[Pipeline.curateCorpus]]'s document filter. */
+  private[ops] def gateDecisions(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .withColumn("n_tok", size(col("t")).cast("long"))
@@ -523,6 +526,11 @@ object TextOps {
       .withColumn("r_word_len",
         col("mean_wl") < GateMinMeanWordLen || col("mean_wl") > GateMaxMeanWordLen)
       .withColumn("r_stop", col("stop_ratio") > GateMaxStopRatio)
+      .withColumn("gate_pass",
+        !(col("r_len") || col("r_word_len") || col("r_stop")))
+
+  def q74QualityGate(s: SparkSession, d: String): DataFrame =
+    gateDecisions(s, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("r_len").cast("long")).as("n_r_len"),
