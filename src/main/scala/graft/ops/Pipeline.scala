@@ -46,6 +46,51 @@ object Pipeline {
     catalog.load(ns, table)
   }
 
+  /** Incremental curation — the production crawl-ingest path: curate an
+    * INCOMING document batch against the lake state with ZERO corpus text
+    * reads. Dedup decisions ride the persisted signature index
+    * ([[Dedup.signaturesTable]] / [[Dedup.dedupAgainstIndex]]: fp exact +
+    * banded-MinHash estimate ≥ [[Dedup.DupJaccard]]); survivors pass the
+    * SAME gate rules as the batch pipeline; gate-passers append to the
+    * curated table with the q80 split convention (a novel doc is its own
+    * cluster → split hashes its id). EVERY non-dup incoming doc's
+    * signature is appended to the index — dedup is about what was SEEN,
+    * curation about what was kept — which also makes a replayed batch a
+    * no-op: its docs are all index hits the second time.
+    *
+    * Returns the 1-row ingest report (n_incoming, n_dup, n_gated,
+    * n_appended). Scale shape: the q133 decision joins (index bands
+    * equi-join, bucket-capped) + one append per table. */
+  def curateIncrement(s: SparkSession, incoming: DataFrame,
+                      catalog: graft.lake.LakeCatalog, ns: String,
+                      sigTable: String = "dedup_signatures",
+                      curatedTable: String = "documents_curated"): DataFrame = {
+    val index = catalog.load(ns, sigTable)
+    val dupIds = Dedup.dedupAgainstIndex(s, incoming, index)
+      .filter(col("match_kind") === "exact" ||
+        col("est_jaccard") >= Dedup.DupJaccard)
+      .select(col("incoming_id").as("doc_id")).distinct()
+      .localCheckpoint(true) // read by the survivor filter AND the report
+    val survivors = incoming.join(dupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // feeds signatures, gate AND the report
+    val kept = TextOps.gateDecisionsOf(survivors).filter(col("gate_pass"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"),
+        TextOps.splitName(TextOps.splitBucket("doc_id")).as("split"))
+      .localCheckpoint(true) // appended AND counted
+    catalog.append(ns, sigTable, survivors.select(col("doc_id"),
+      expr("norm_md5(text)").as("fp"),
+      expr("shingle_minhash(text)").as("mh")))
+    catalog.append(ns, curatedTable, kept)
+    val nInc = incoming.count()
+    val nDup = dupIds.count()
+    val nSurv = survivors.count()
+    val nKept = kept.count()
+    import s.implicits._
+    Seq((nInc, nDup, nSurv - nKept, nKept))
+      .toDF("n_incoming", "n_dup", "n_gated", "n_appended")
+  }
+
   /** The curation scoreboard over a materialized curated table: per
     * (split, lang) — kept docs and exact char mass. Reads the LAKE table,
     * so any later session can audit a curation it didn't run. */

@@ -513,7 +513,12 @@ object TextOps {
     * one definition of the three rejection rules, shared by the q74
     * rollup and [[Pipeline.curateCorpus]]'s document filter. */
   private[ops] def gateDecisions(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    gateDecisionsOf(documents(s, d))
+
+  /** The same gate over ANY document-shaped frame — the incremental
+    * pipeline gates incoming batches with the identical rules. */
+  private[ops] def gateDecisionsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", split(col("text"), " "))
       .withColumn("n_tok", size(col("t")).cast("long"))
       .withColumn("mean_wl",

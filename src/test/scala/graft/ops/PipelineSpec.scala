@@ -42,6 +42,44 @@ class PipelineSpec extends AnyFunSuite {
       == rows.length.toLong)
   }
 
+  test("curateIncrement: index dedup + gate, index grows, replay is a no-op") {
+    import spark.implicits._
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    Dedup.signaturesTable(spark, sf, cat, "inc")
+    Pipeline.curateCorpus(spark, sf, cat, "inc")
+    val before = cat.load("inc", "documents_curated").count()
+    val sigBefore = cat.load("inc", "dedup_signatures").count()
+    // a corpus doc's verbatim copy, a junk doc (gated), and a clean novel doc
+    val corpusText = Tables.documents(spark, sf)
+      .orderBy("doc_id").limit(1).collect()(0).getAs[String]("text")
+    val novel = "the migratory patterns of arctic terns span hemispheres " +
+      "while coastal winds carry them across open water toward nesting " +
+      "grounds that shift gradually with every warming season in turn " +
+      "and researchers tracking individual birds recorded journeys " +
+      "exceeding seventy thousand kilometers within a single year " +
+      "making these seabirds the most widely traveled vertebrates known"
+    val batch = Seq(
+      (9300001L, corpusText, "en", "crawl", corpusText.length.toLong),
+      (9300002L, "tiny", "en", "crawl", 4L),
+      (9300003L, novel, "en", "crawl", novel.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = Pipeline.curateIncrement(spark, batch, cat, "inc").collect()(0)
+    assert(rep.getAs[Long]("n_incoming") == 3L)
+    assert(rep.getAs[Long]("n_dup") == 1L)      // the verbatim copy
+    assert(rep.getAs[Long]("n_gated") == 1L)    // the tiny doc
+    assert(rep.getAs[Long]("n_appended") == 1L) // the novel doc
+    val curated = cat.load("inc", "documents_curated")
+    assert(curated.count() == before + 1)
+    assert(curated.filter(col("doc_id") === 9300003L).count() == 1)
+    // every non-dup doc was indexed (junk included — it was SEEN)
+    assert(cat.load("inc", "dedup_signatures").count() == sigBefore + 2)
+    // replaying the same batch: all index hits, nothing appended
+    val rep2 = Pipeline.curateIncrement(spark, batch, cat, "inc").collect()(0)
+    assert(rep2.getAs[Long]("n_dup") >= 2L) // copy + novel doc now indexed
+    assert(rep2.getAs[Long]("n_appended") == 0L)
+    assert(cat.load("inc", "documents_curated").count() == before + 1)
+  }
+
   test("curateCorpus partitioned by split: same rows, prunable layout") {
     val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
     val flat = Pipeline.curateCorpus(spark, sf, cat, "flat")
