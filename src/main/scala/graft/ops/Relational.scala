@@ -841,6 +841,47 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Traffic burstiness profile (q184): per event type, the pooled
+    * per-user inter-arrival gaps' squared coefficient of variation in
+    * exact 1e-6 units — cv² = n·Σg²/(Σg)² − 1, the Poisson-ness dial:
+    * cv² ≈ 1e6 is memoryless arrivals, far above is bursty (sessions,
+    * retries, incidents), far below is machine-paced regularity (the
+    * corpus-level reading of the per-user signal q154 flags). Whole-second
+    * gaps, so a per-type traffic MODEL (capacity, anomaly baselines) can
+    * be chosen on measured arrival statistics instead of an assumed
+    * Poisson.
+    *
+    * Exactness: gaps are whole epoch seconds (`ts.cast(long)` ↔
+    * `epoch_us // 1e6`); Σg² accumulates in decimal(38)/HUGEINT and the
+    * cv² division is integer-floored in both engines (n·Σg² ≥ (Σg)² by
+    * Cauchy-Schwarz, so the result is never negative). The 38-digit
+    * headroom bounds exactness to ~1e12 gaps per type with ~1e6-second
+    * gaps — shard the rollup (e.g. by day) past that, the q118/q179
+    * accumulator convention.
+    *
+    * Scale shape: ONE window over (user_id, event_type) partitions — the
+    * high-cardinality q154 key, never a per-type corpus window — then a
+    * |types|-row rollup with map-side partials. */
+  def q184Burstiness(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+      .withColumn("g", col("sec") - lag("sec", 1).over(w))
+      .filter(col("g").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("g").as("sum_g"),
+        sum(expr("cast(g as decimal(38, 0)) * g")).as("sum_g2"))
+      .withColumn("mean_gap", expr("sum_g div n_gaps"))
+      .withColumn("cv2_x1e6", expr(
+        "if(sum_g = 0, 0L, cast((cast(n_gaps as decimal(38, 0)) * sum_g2 " +
+          "* 1000000) div (cast(sum_g as decimal(38, 0)) * sum_g) " +
+          "- 1000000 as bigint))"))
+      .select("event_type", "n_gaps", "sum_g", "mean_gap", "cv2_x1e6")
+      .orderBy("event_type")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
@@ -1226,6 +1267,24 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q184_burstiness" -> ((q184Burstiness _, """
+      WITH e AS (SELECT user_id, event_type, ts, event_id,
+                        epoch_us(ts) // 1000000 AS sec
+                 FROM events),
+      g AS (SELECT event_type,
+                   sec - lag(sec) OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS g
+            FROM e),
+      r AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+                   sum(g)::BIGINT AS sum_g, sum(g::HUGEINT * g) AS sum_g2
+            FROM g WHERE g IS NOT NULL GROUP BY 1)
+      SELECT event_type, n_gaps, sum_g,
+             (sum_g // n_gaps)::BIGINT AS mean_gap,
+             (CASE WHEN sum_g = 0 THEN 0
+                   ELSE (n_gaps::HUGEINT * sum_g2 * 1000000)
+                        // (sum_g::HUGEINT * sum_g) - 1000000
+              END)::BIGINT AS cv2_x1e6
+      FROM r ORDER BY event_type""")),
     "q179_value_gini" -> ((q179ValueGini _, """
       WITH m AS (SELECT event_type, floor(value * 100)::BIGINT AS cents,
                         count(*)::BIGINT AS c

@@ -376,6 +376,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
 
+  test("q184 burstiness: matches a driver gap replay, never negative") {
+    val out = Relational.q184Burstiness(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map { r =>
+        val i = r.getAs[java.sql.Timestamp]("ts").toInstant
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L, // order key (us)
+          i.getEpochSecond, r.getAs[Long]("event_id"))
+      }
+    val gaps = ev.groupBy(e => (e._1, e._2)).iterator.flatMap { case (_, rows) =>
+      val secs = rows.sortBy(r => (r._3, r._5)).map(_._4)
+      secs.zip(secs.drop(1)).map { case (a, b) => (rows.head._2, b - a) }
+    }.toSeq
+    val byType = gaps.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val g = byType(t)
+      assert(r.getAs[Long]("n_gaps") == g.length.toLong)
+      assert(r.getAs[Long]("sum_g") == g.sum)
+      assert(r.getAs[Long]("mean_gap") == g.sum / g.length)
+      val cv2 = if (g.sum == 0L) BigInt(0)
+        else BigInt(g.length) * g.map(x => BigInt(x) * x).sum * 1000000 /
+          (BigInt(g.sum) * g.sum) - 1000000
+      assert(BigInt(r.getAs[Long]("cv2_x1e6")) == cv2, s"cv2($t)")
+      assert(r.getAs[Long]("cv2_x1e6") >= 0L)
+    }
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString
