@@ -26,7 +26,8 @@ object Bench {
     } catch { case _: Throwable => () }
     var failed = List.empty[String]
     // dev-only knob (the driver never sets it): restrict to name prefixes
-    // for scale-ratio measurements of a query subset
+    // for scale-ratio measurements of a query subset. PREFIX semantics:
+    // "q10" also matches q100-q109 — use "q10_" to pin one query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty) // set-but-empty = no filter, never a 0-query "run"
