@@ -379,6 +379,77 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     orphaned.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
   }
 
+  private def dirStats(ns: String, table: String,
+                       dirName: String): (Long, Long) = {
+    val p = dataDir(ns, table).resolve(dirName)
+    if (!Files.exists(p)) (0L, 0L)
+    else {
+      val fs = Files.walk(p).iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq
+      (fs.size.toLong, fs.map(Files.size).sum)
+    }
+  }
+
+  private def liveDirsOf(sn: JsonNode): Seq[String] =
+    sn.get("live").elements().asScala.map(_.asText()).toSeq
+
+  /** Table maintenance report — the `snapshots` metadata table an Iceberg
+    * operator reads before running maintenance: one row per retained
+    * snapshot with its operation, referenced data directories/files/bytes,
+    * whether it serves current reads, and whether
+    * [[expireSnapshots]](keepLast) would drop it. Directory stats are
+    * filesystem truth (a referenced dir missing on disk reads as 0 — the
+    * corruption signal, not an exception). */
+  def maintenanceReport(ns: String, table: String,
+                        keepLast: Int = 1): DataFrame = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val meta = readMeta(ns, table)
+    val cur = meta.get("current-snapshot-id").asLong()
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val rows = snaps.zipWithIndex.map { case (sn, i) =>
+      val dirs = liveDirsOf(sn)
+      val (nf, bytes) = dirs.map(dirStats(ns, table, _))
+        .foldLeft((0L, 0L)) { case ((f, b), (f2, b2)) => (f + f2, b + b2) }
+      (sn.get("snapshot-id").asLong(), sn.get("operation").asText(),
+        dirs.size.toLong, nf, bytes,
+        sn.get("snapshot-id").asLong() == cur,
+        i < snaps.size - keepLast)
+    }
+    spark.createDataFrame(rows).toDF("snapshot_id", "operation", "n_dirs",
+      "n_files", "bytes", "is_current", "expirable")
+  }
+
+  /** One-row storage audit: snapshot count, bytes serving current reads,
+    * bytes referenced by ANY retained snapshot, the bytes
+    * [[expireSnapshots]](keepLast) would actually reclaim (exactly the
+    * expiry set-difference math, so the number is a promise, spec-pinned
+    * to the bytes freed), and the ORPHAN debt — directories on disk
+    * referenced by no snapshot at all, the residue of interrupted
+    * expiries/compactions that only a collector pass frees. */
+  def storageAudit(ns: String, table: String, keepLast: Int = 1): DataFrame = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val meta = readMeta(ns, table)
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    def dirsOf(s: Seq[JsonNode]): Set[String] = s.flatMap(liveDirsOf).toSet
+    val all = dirsOf(snaps)
+    val kept = dirsOf(snaps.takeRight(keepLast))
+    val reclaim = all -- kept
+    val current = liveSnapshots(meta).toSet
+    val onDisk = {
+      val root = dataDir(ns, table)
+      if (!Files.exists(root)) Set.empty[String]
+      else Files.list(root).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    }
+    val orphans = onDisk -- all
+    def bytes(ds: Set[String]): Long =
+      ds.toSeq.map(dirStats(ns, table, _)._2).sum
+    spark.createDataFrame(Seq((snaps.size.toLong, bytes(current),
+        bytes(all), bytes(reclaim), orphans.size.toLong, bytes(orphans))))
+      .toDF("n_snapshots", "current_bytes", "retained_bytes",
+        "reclaimable_bytes", "n_orphan_dirs", "orphan_bytes")
+  }
+
   override def compact(ns: String, table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val meta = readMeta(ns, table)

@@ -171,6 +171,49 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name != "session") test(s"[${impl.name}] maintenance report + storage audit: reclaimable is a kept promise") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L).toDF("id"))          // snapshot 1
+      cat.append(ns, "t", Seq(3L).toDF("id"))              // snapshot 2
+      cat.overwrite(ns, "t", Seq(9L).toDF("id"))           // snapshot 3
+      val rep = cat.maintenanceReport(ns, "t", keepLast = 1).collect()
+        .map(r => r.getAs[Long]("snapshot_id") -> r).toMap
+      assert(rep.keySet == Set(1L, 2L, 3L))
+      assert(rep(3L).getAs[Boolean]("is_current") &&
+        !rep(3L).getAs[Boolean]("expirable"))
+      assert(rep(1L).getAs[Boolean]("expirable") &&
+        rep(2L).getAs[Boolean]("expirable"))
+      assert(rep(2L).getAs[Long]("n_dirs") == 2L) // append refs both dirs
+      assert(rep.values.forall(r => r.getAs[Long]("bytes") > 0L &&
+        r.getAs[Long]("n_files") > 0L))
+      // plant an orphan dir (the interrupted-expiry residue)
+      val orphan = impl.dir(cat, ns, "t").resolve("data")
+        .resolve("snap-0-orphan")
+      Files.createDirectories(orphan)
+      Files.write(orphan.resolve("stray.bin"), Array[Byte](1, 2, 3))
+      val audit = cat.storageAudit(ns, "t", keepLast = 1).collect()(0)
+      assert(audit.getAs[Long]("n_snapshots") == 3L)
+      assert(audit.getAs[Long]("n_orphan_dirs") == 1L)
+      assert(audit.getAs[Long]("orphan_bytes") == 3L)
+      assert(audit.getAs[Long]("current_bytes") > 0L)
+      assert(audit.getAs[Long]("retained_bytes") >=
+        audit.getAs[Long]("current_bytes"))
+      val promised = audit.getAs[Long]("reclaimable_bytes")
+      assert(promised > 0L)
+      // the promise is kept: expiry frees exactly the audited bytes
+      def tableBytes(): Long = {
+        val dd = impl.dir(cat, ns, "t").resolve("data")
+        Files.walk(dd).iterator().asScala.filter(Files.isRegularFile(_))
+          .map(Files.size).sum
+      }
+      val before = tableBytes()
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      assert(before - tableBytes() == promised)
+      cat.dropNamespace(ns)
+    }
+
     if (impl.name != "session") test(s"[${impl.name}] snapshot diff: multiset changelog between any two snapshots") {
       val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
       val ns = freshNs()
