@@ -1486,6 +1486,41 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Fixed panel size per stratum for the q185 balanced sampler. */
+  val PanelKPerSource = 20
+
+  /** Balanced evaluation panel (q185): EXACTLY [[PanelKPerSource]] docs
+    * per source (or all of a smaller source), chosen by md5-hash rank —
+    * the eval-set builder. q57's stratified sampler keeps proportional
+    * shares (big sources dominate the panel); an eval panel wants equal
+    * per-stratum counts so per-source metrics carry equal evidence. Hash
+    * rank makes the panel deterministic, oracle-reproducible AND stable
+    * under growth: an inserted doc displaces at most one panel member
+    * (expected churn k/n per insert), where a random re-sample would
+    * reshuffle everything — the property that keeps longitudinal eval
+    * comparisons honest.
+    *
+    * Scale shape: the per-source rank is the q10 salted two-phase top-k —
+    * each (source, salt) slice keeps its local top-k, so the global
+    * per-source window sees ≤ salts·k rows, never a corpus-sized
+    * single partition on the low-cardinality source key. */
+  def q185BalancedSample(s: SparkSession, d: String): DataFrame = {
+    val order = Seq(col("h"), col("doc_id"))
+    val wLocal = Window.partitionBy("source", "salt").orderBy(order: _*)
+    val w = Window.partitionBy("source").orderBy(order: _*)
+    documents(s, d).select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
+          "as bigint)"))
+      .withColumn("salt", pmod(col("doc_id"), lit(Relational.TopKSalts)))
+      .withColumn("r0", row_number().over(wLocal))
+      .filter(col("r0") <= PanelKPerSource)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= PanelKPerSource)
+      .select("source", "doc_id", "lang", "rnk")
+      .orderBy("source", "rnk")
+  }
+
   /** Source×language independence audit (q183): the contingency matrix
     * of doc counts with, per cell, the observed corpus share beside the
     * share the MARGINALS would predict under independence (n_src·n_lang /
@@ -2106,6 +2141,18 @@ object TextOps {
       SELECT doc_id, ttr, stop_ratio, n_tokens, score,
              (score >= 0.5) AS keep
       FROM s ORDER BY doc_id""")),
+    "q185_balanced_sample" -> ((q185BalancedSample _, s"""
+      WITH hh AS (SELECT doc_id, source, lang,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                           AS h
+                  FROM documents),
+      r AS (SELECT source, doc_id, lang,
+                   row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                     AS rnk
+            FROM hh)
+      SELECT source, doc_id, lang, rnk::BIGINT AS rnk
+      FROM r WHERE rnk <= $PanelKPerSource
+      ORDER BY source, rnk""")),
     "q183_source_lang_matrix" -> ((q183SourceLangMatrix _, """
       WITH cells AS (SELECT source, lang, count(*)::BIGINT AS n
                      FROM documents GROUP BY 1, 2),

@@ -824,6 +824,32 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q185 balanced sample: exact per-source panels match a hash-rank replay") {
+    val out = TextOps.q185BalancedSample(spark, sf).collect()
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val expected = docs.groupBy(_._2).iterator.flatMap { case (src, rows) =>
+      rows.map(_._1).sortBy(id => (h(id), id))
+        .take(TextOps.PanelKPerSource).zipWithIndex
+        .map { case (id, i) => (src, id, i + 1L) }
+    }.toSet
+    assert(out.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("rnk"))).toSet == expected)
+    for ((src, rows) <- out.groupBy(_.getAs[String]("source"))) {
+      val n = docs.count(_._2 == src)
+      assert(rows.length == math.min(TextOps.PanelKPerSource, n), src)
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+  }
+
   test("bm25 ranks are contiguous, scores non-increasing and non-negative") {
     val rows = TextOps.q100Bm25(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= TextOps.Bm25TopK)
