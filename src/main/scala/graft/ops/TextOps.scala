@@ -1649,6 +1649,37 @@ object TextOps {
       .withColumn("keep", col("score") >= 0.5)
       .orderBy("doc_id")
 
+  /** Classifier-vs-rules calibration (q186): the q102 logistic score
+    * banded into deciles, with each band's rule-gate pass rate and the
+    * classifier↔gate agreement rate in exact ppm — the reliability
+    * diagram that answers "does the cheap model actually track the
+    * expensive rules?" before a corpus swaps gate for classifier (the
+    * GPT-3/LLaMA curation pattern). A calibrated model shows gate_ppm
+    * rising monotonically with the band; high-band disagreement
+    * localizes exactly which score region the rules and model fight
+    * over — the docs worth a human look.
+    *
+    * Exactness: both per-doc signals are the SHARED definitions (q102's
+    * score expression, [[gateDecisions]]' rules), the decile is
+    * floor(score·10) on the same rounded double both engines compute,
+    * and the rates are integer ppm. Scale shape: two per-doc projections
+    * joined on doc_id (one exchange), then a ≤10-row rollup. */
+  def q186GateCalibration(s: SparkSession, d: String): DataFrame =
+    q102QualityClassifier(s, d).select(col("doc_id"), col("score"),
+        col("keep"))
+      .join(gateDecisions(s, d).select(col("doc_id"), col("gate_pass")),
+        "doc_id")
+      .withColumn("band", least(lit(9L), floor(col("score") * 10)))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("gate_pass").cast("long")).as("n_gate_pass"),
+        sum((col("keep") === col("gate_pass")).cast("long")).as("n_agree"))
+      .withColumn("gate_ppm", expr("n_gate_pass * 1000000 div n_docs"))
+      .withColumn("agree_ppm", expr("n_agree * 1000000 div n_docs"))
+      .select("band", "n_docs", "n_gate_pass", "gate_ppm", "n_agree",
+        "agree_ppm")
+      .orderBy("band")
+
   val PostingCap = 20
 
   /** Typed row counter usable as a SECOND aggregation on the same
@@ -2141,6 +2172,38 @@ object TextOps {
       SELECT doc_id, ttr, stop_ratio, n_tokens, score,
              (score >= 0.5) AS keep
       FROM s ORDER BY doc_id""")),
+    "q186_gate_calibration" -> ((q186GateCalibration _, s"""
+      WITH f AS (
+        SELECT doc_id,
+               round(len(list_distinct(t))::DOUBLE / len(t), 4) AS ttr,
+               $StopRatioSql AS stop_ratio,
+               len(t)::BIGINT AS n_tokens,
+               (n_chars - len(t) + 1)::DOUBLE / len(t) AS mean_wl
+        FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t
+              FROM documents) d),
+      sc AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-($QcBias + $QcWTtr * ttr +
+                 $QcWStop * stop_ratio + $QcWLogTok * ln(n_tokens)))), 6)
+                 AS score,
+               (NOT (n_tokens < $GateMinTokens OR n_tokens > $GateMaxTokens
+                     OR mean_wl < $GateMinMeanWordLen
+                     OR mean_wl > $GateMaxMeanWordLen
+                     OR stop_ratio > $GateMaxStopRatio)) AS gate_pass
+        FROM f),
+      b AS (
+        SELECT least(9, floor(score * 10))::BIGINT AS band,
+               gate_pass, (score >= 0.5) = gate_pass AS agree
+        FROM sc)
+      SELECT band, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN gate_pass THEN 1 ELSE 0 END)::BIGINT
+               AS n_gate_pass,
+             (sum(CASE WHEN gate_pass THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS gate_ppm,
+             sum(CASE WHEN agree THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+             (sum(CASE WHEN agree THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS agree_ppm
+      FROM b GROUP BY band ORDER BY band""")),
     "q185_balanced_sample" -> ((q185BalancedSample _, s"""
       WITH hh AS (SELECT doc_id, source, lang,
                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT

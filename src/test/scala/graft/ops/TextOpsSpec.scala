@@ -850,6 +850,33 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q186 gate calibration: bands conserve docs, rates match components") {
+    val out = TextOps.q186GateCalibration(spark, sf).collect()
+    assert(out.nonEmpty)
+    val clf = TextOps.q102QualityClassifier(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Boolean]("keep")))).toMap
+    val gate = TextOps.gateDecisions(spark, sf)
+      .select("doc_id", "gate_pass").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("gate_pass"))
+      .toMap
+    assert(out.map(_.getAs[Long]("n_docs")).sum == clf.size.toLong)
+    val expected = clf.toSeq.map { case (id, (score, keep)) =>
+      (math.min(9L, math.floor(score * 10).toLong), gate(id),
+        keep == gate(id))
+    }.groupBy(_._1).view.mapValues { rows =>
+      (rows.size.toLong, rows.count(_._2).toLong, rows.count(_._3).toLong)
+    }.toMap
+    out.foreach { r =>
+      val (n, gp, ag) = expected(r.getAs[Long]("band"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_gate_pass") == gp)
+      assert(r.getAs[Long]("n_agree") == ag)
+      assert(r.getAs[Long]("gate_ppm") == gp * 1000000L / n)
+      assert(r.getAs[Long]("agree_ppm") == ag * 1000000L / n)
+    }
+  }
+
   test("bm25 ranks are contiguous, scores non-increasing and non-negative") {
     val rows = TextOps.q100Bm25(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= TextOps.Bm25TopK)
