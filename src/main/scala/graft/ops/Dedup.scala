@@ -605,6 +605,39 @@ object Dedup {
       .orderBy("jaccard_band")
   }
 
+  val LenBandChars = 150 // char-band width for the q187 recall breakdown
+
+  /** LSH recall by document length (q187): the q109 recall measurement
+    * re-cut along the SHORTER document's length — the axis MinHash
+    * actually degrades on: a short doc has few shingles, so its 16-slot
+    * signature estimates jaccard noisily and banding misses true pairs
+    * that long-doc pairs at the same jaccard would catch. q109 says
+    * recall per similarity band; this says WHICH DOCS the index fails,
+    * which is what decides a min-length floor or a short-doc exact-pass
+    * side channel. Band = least(3, min(len_a, len_b) div
+    * [[LenBandChars]]) — the shorter side governs, it carries the weaker
+    * signature.
+    *
+    * Scale shape: the memoized truth pair list left-joins the memoized
+    * candidates (both bounded), two id-keyed length hookups, a 4-row
+    * rollup. */
+  def q187RecallByLength(s: SparkSession, d: String): DataFrame = {
+    val lens = documents(s, d).select(col("doc_id"), col("n_chars"))
+    q108NgramJaccard(s, d)
+      .join(minhashCandidates(s, d, Some(DefaultMaxBucket))
+        .withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left_outer")
+      .join(lens.select(col("doc_id").as("id_a"), col("n_chars").as("ca")),
+        "id_a")
+      .join(lens.select(col("doc_id").as("id_b"), col("n_chars").as("cb")),
+        "id_b")
+      .withColumn("len_band",
+        expr(s"least(3L, least(ca, cb) div $LenBandChars)"))
+      .groupBy("len_band")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"),
+        round(count(col("hit")) / count(lit(1)), 4).as("recall"))
+      .orderBy("len_band")
+  }
+
   val DupTrendBands = 10 // doc_id bands for the q168 duplication trend
 
   /** Duplication trend (q168): the q129 ledger rolled up over
@@ -2604,6 +2637,20 @@ object Dedup {
              round(count(c.id_a)::DOUBLE / count(*), 4) AS recall
       FROM (SELECT * FROM truth WHERE jaccard >= $NgramDupJaccard) t
       LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+      GROUP BY 1 ORDER BY 1""")),
+    "q187_recall_by_length" -> ((q187RecallByLength _, s"""
+      $minhashCandCtes,
+      $ngramTruthCtes,
+      ln AS (SELECT doc_id, n_chars FROM documents)
+      SELECT least(3, least(la.n_chars, lb.n_chars) // $LenBandChars)::BIGINT
+               AS len_band,
+             count(*) AS n_true,
+             count(c.id_a) AS n_caught,
+             round(count(c.id_a)::DOUBLE / count(*), 4) AS recall
+      FROM (SELECT * FROM truth WHERE jaccard >= $NgramDupJaccard) t
+      LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+      JOIN ln la ON la.doc_id = t.id_a
+      JOIN ln lb ON lb.doc_id = t.id_b
       GROUP BY 1 ORDER BY 1""")),
     "q167_cap_utilization" -> ((q167CapUtilization _, s"""
       $minhashCandCtes,

@@ -702,6 +702,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out == comps)
   }
 
+  test("q187 recall by length: bands conserve the q109 truth totals") {
+    val out = Dedup.q187RecallByLength(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the same truth pairs q109 measures, re-cut by length band
+    val q109 = Dedup.q109DedupRecall(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_true")).sum ==
+      q109.map(_.getAs[Long]("n_true")).sum)
+    assert(out.map(_.getAs[Long]("n_caught")).sum ==
+      q109.map(_.getAs[Long]("n_caught")).sum)
+    out.foreach { r =>
+      val (t, c) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_caught"))
+      assert(c <= t)
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(c.toDouble / t)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Long]("len_band") >= 0L &&
+        r.getAs[Long]("len_band") <= 3L)
+    }
+  }
+
   test("q153 threshold sweep: grid-complete, monotone, floor point = q108") {
     val truth = Dedup.q108NgramJaccard(spark, sf).collect()
     val before = Dedup.truthDerivations.get()
