@@ -767,6 +767,46 @@ object Similarity {
       .orderBy("label")
   }
 
+  val DriftTrendBands = 10 // vec_id bands for the q188 drift trend
+
+  /** Embedding drift TREND (q188): per vec_id band (the arrival proxy,
+    * the q168/q140 banding convention), the band's sum-vector cosine to
+    * the whole-corpus mean direction and its mean norm — q118 re-cut
+    * along TIME instead of label. This is the encoder-regression alarm: a
+    * silent encoder version bump or input-domain shift shows up as the
+    * newest bands' cosine sagging away from 1 long before any label-level
+    * view moves, and BEFORE the vectors poison k-means training or the
+    * served index (q171/q174 then price the damage; this catches it at
+    * ingest).
+    *
+    * Exactness: the q118 geometry exactly — integer quantized per-dim
+    * sums (one corpus pass to a bands×dims marginal), decimal(38)
+    * dot/norm accumulators, ONE final float cosine per band rounded at
+    * 6 dp. */
+  def q188DriftTrend(s: SparkSession, d: String): DataFrame = {
+    val mx = Tables.embeddings(s, d).agg((max("vec_id") + 1).as("m"))
+    val byDim = quantized(s, d, 0) // no offset: raw signed grid, q118's rule
+      .crossJoin(broadcast(mx))
+      .withColumn("band", expr(s"(vec_id * $DriftTrendBands) div m"))
+      .select(col("band"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("band", "dim")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val global = byDim.groupBy("dim").agg(sum("sv").as("gv"))
+    byDim.join(broadcast(global), "dim")
+      .groupBy("band")
+      .agg(max("n").as("n_vecs"), // n is constant across a band's dims
+        sum(expr("cast(sv as decimal(38,0)) * gv")).as("dot"),
+        sum(expr("cast(sv as decimal(38,0)) * sv")).as("n2b"),
+        sum(expr("cast(gv as decimal(38,0)) * gv")).as("n2g"))
+      .select(col("band"), col("n_vecs"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2b").cast("double")) * sqrt(col("n2g").cast("double"))),
+          6).as("cos_to_corpus"),
+        round(sqrt(col("n2b").cast("double")) / col("n_vecs") /
+          lit(QuantScale.toDouble), 4).as("mean_norm"))
+      .orderBy("band")
+  }
+
   /** C3i label-affinity matrix: pairwise cosine between every two labels'
     * centroid directions — the confusion-proximity map that says WHICH
     * classes are semantically entangled (q118 only says how far each sits
@@ -2219,6 +2259,29 @@ object Similarity {
              round(dot::DOUBLE / (sqrt(n2a::DOUBLE) * sqrt(n2b::DOUBLE)), 6)
                AS cos_ab
       FROM st ORDER BY label_a, label_b""")),
+    "q188_drift_trend" -> ((q188DriftTrend _, s"""
+      WITH mx AS (SELECT max(vec_id) + 1 AS m FROM embeddings),
+      q AS (SELECT (vec_id * $DriftTrendBands) // mx.m AS band,
+                   list_transform(embedding,
+                     x -> round(x::DOUBLE * $QuantScale)::BIGINT) AS qv
+            FROM embeddings, mx),
+      qe AS (SELECT band, unnest(generate_series(1, len(qv))) AS dim,
+                    unnest(qv) AS v FROM q),
+      bydim AS (SELECT band, dim, cast(sum(v) AS BIGINT) AS sv,
+                       count(*) AS n
+                FROM qe GROUP BY 1, 2),
+      gsum AS (SELECT dim, cast(sum(sv) AS BIGINT) AS gv
+               FROM bydim GROUP BY 1),
+      st AS (SELECT b.band, max(b.n) AS n_vecs,
+                    sum(b.sv::HUGEINT * g.gv) AS dot,
+                    sum(b.sv::HUGEINT * b.sv) AS n2b,
+                    sum(g.gv::HUGEINT * g.gv) AS n2g
+             FROM bydim b JOIN gsum g USING (dim) GROUP BY 1)
+      SELECT band::BIGINT AS band, n_vecs,
+             round(dot::DOUBLE / (sqrt(n2b::DOUBLE) * sqrt(n2g::DOUBLE)), 6)
+               AS cos_to_corpus,
+             round(sqrt(n2b::DOUBLE) / n_vecs / $QuantScale.0, 4) AS mean_norm
+      FROM st ORDER BY band""")),
     "q118_embedding_drift" -> ((q118EmbeddingDrift _, s"""
       WITH q AS (SELECT label,
                    list_transform(embedding,

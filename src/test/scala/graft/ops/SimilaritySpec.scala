@@ -658,6 +658,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
   }
 
+  test("q188 drift trend: bands conserve vectors, cosines sane, bands ordered") {
+    val out = Similarity.q188DriftTrend(spark, sf).collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == nVec)
+    assert(out.length == Similarity.DriftTrendBands)
+    assert(out.map(_.getAs[Long]("band")).toSeq ==
+      (0L until Similarity.DriftTrendBands.toLong))
+    out.foreach { r =>
+      val c = r.getAs[Double]("cos_to_corpus")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Double]("mean_norm") > 0.0)
+    }
+    // on a stationary synthetic corpus every band points WITH the corpus
+    // mean (a negative band cosine would mean planted drift — none here)
+    assert(out.forall(_.getAs[Double]("cos_to_corpus") > 0.0))
+  }
+
   test("fit locks are striped per (session, corpus dir)") {
     val a = Similarity.fitLockFor(spark, "/tmp/corpus-a")
     assert(Similarity.fitLockFor(spark, "/tmp/corpus-a") eq a)
