@@ -1486,6 +1486,36 @@ object TextOps {
       .orderBy("source")
   }
 
+  val QualityTrendBands = 10 // doc_id bands for the q189 quality trend
+
+  /** Corpus-quality trend (q189): gate-pass rate and floor-mean TTR per
+    * doc_id arrival band — the crawl-quality-regression alarm completing
+    * the trend triptych: q168 watches duplication over time, q188 the
+    * embedding geometry, this the TEXT quality signals. A crawler that
+    * starts swallowing boilerplate or truncated pages shows as the newest
+    * bands' pass rate and TTR sagging long before corpus-level totals
+    * move. Shares THE per-doc definitions ([[gateDecisions]]' rules, the
+    * q30/q94/q164 ttr-x10000 convention), so the trend can never disagree
+    * with the gates it summarizes.
+    *
+    * Scale shape: one corpus pass (banding is an in-row projection off a
+    * broadcast 1-row max), a [[QualityTrendBands]]-row rollup. */
+  def q189QualityTrend(s: SparkSession, d: String): DataFrame = {
+    val mx = documents(s, d).agg((max("doc_id") + 1).as("m"))
+    gateDecisions(s, d)
+      .select(col("doc_id"), col("gate_pass"),
+        round(ttrFromTokens(col("t")) * lit(10000)).cast("long").as("ttr4"))
+      .crossJoin(broadcast(mx))
+      .withColumn("band", expr(s"(doc_id * $QualityTrendBands) div m"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("gate_pass").cast("long")).as("n_gate_pass"),
+        expr("sum(ttr4) div count(1)").as("mean_ttr_x10000"))
+      .withColumn("gate_ppm", expr("n_gate_pass * 1000000 div n_docs"))
+      .select("band", "n_docs", "n_gate_pass", "gate_ppm", "mean_ttr_x10000")
+      .orderBy("band")
+  }
+
   /** Fixed panel size per stratum for the q185 balanced sampler. */
   val PanelKPerSource = 20
 
@@ -2172,6 +2202,27 @@ object TextOps {
       SELECT doc_id, ttr, stop_ratio, n_tokens, score,
              (score >= 0.5) AS keep
       FROM s ORDER BY doc_id""")),
+    "q189_quality_trend" -> ((q189QualityTrend _, s"""
+      WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      sig AS (
+        SELECT (doc_id * $QualityTrendBands) // mx.m AS band,
+               cast(round(($TtrSql) * 10000) AS BIGINT) AS ttr4,
+               (NOT (len(t) < $GateMinTokens OR len(t) > $GateMaxTokens
+                     OR (n_chars - len(t) + 1)::DOUBLE / len(t)
+                        < $GateMinMeanWordLen
+                     OR (n_chars - len(t) + 1)::DOUBLE / len(t)
+                        > $GateMaxMeanWordLen
+                     OR len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE
+                        / len(t) > $GateMaxStopRatio)) AS gate_pass
+        FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS t
+              FROM documents) d, mx)
+      SELECT band::BIGINT AS band, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN gate_pass THEN 1 ELSE 0 END)::BIGINT
+               AS n_gate_pass,
+             (sum(CASE WHEN gate_pass THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS gate_ppm,
+             (sum(ttr4) // count(*))::BIGINT AS mean_ttr_x10000
+      FROM sig GROUP BY band ORDER BY band""")),
     "q186_gate_calibration" -> ((q186GateCalibration _, s"""
       WITH f AS (
         SELECT doc_id,

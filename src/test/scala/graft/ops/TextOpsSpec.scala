@@ -877,6 +877,23 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q189 quality trend: bands conserve docs, totals match the q74 gate") {
+    val out = TextOps.q189QualityTrend(spark, sf).collect()
+    assert(out.length == TextOps.QualityTrendBands)
+    val nDocs = graft.ops.Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // band pass totals sum to exactly the q74 gate's corpus-wide keeps
+    val q74kept = TextOps.q74QualityGate(spark, sf).collect()
+      .map(_.getAs[Long]("n_kept")).sum
+    assert(out.map(_.getAs[Long]("n_gate_pass")).sum == q74kept)
+    out.foreach { r =>
+      assert(r.getAs[Long]("gate_ppm") ==
+        r.getAs[Long]("n_gate_pass") * 1000000L / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("mean_ttr_x10000") > 0L &&
+        r.getAs[Long]("mean_ttr_x10000") <= 10000L)
+    }
+  }
+
   test("bm25 ranks are contiguous, scores non-increasing and non-negative") {
     val rows = TextOps.q100Bm25(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= TextOps.Bm25TopK)
