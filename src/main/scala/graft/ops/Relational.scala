@@ -882,6 +882,37 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Audience-overlap matrix (q190): for every ordered event-type pair,
+    * how many distinct users do BOTH, with each side's audience size and
+    * the exact-ppm Jaccard — the cross-feature adoption map (do buyers
+    * also err? does signup co-occur with purchase?) that funnels (ordered
+    * stages) and the transition matrix (adjacent steps) both miss:
+    * overlap is order-free co-membership over the whole horizon.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (type, user)
+    * membership relation (one exchange, ≤ |types| rows per user), the
+    * pair join fans out ≤ |types|² rows per user keyed on user_id, and
+    * the rollup is |types|²-bounded. Exact integers end to end. */
+  def q190AudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val m = events(s, d).select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true) // membership relation: sizes AND the pair join
+    val sizes = m.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = m.select(col("event_type").as("type_a"), col("user_id"))
+      .join(m.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")),
+        "type_a")
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")),
+        "type_b")
+      .withColumn("jaccard_ppm",
+        expr("n_both * 1000000 div (n_a + n_b - n_both)"))
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm")
+      .orderBy("type_a", "type_b")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
@@ -1267,6 +1298,21 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q190_audience_overlap" -> ((q190AudienceOverlap _, """
+      WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+      sizes AS (SELECT event_type, count(*)::BIGINT AS n FROM m GROUP BY 1),
+      inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*)::BIGINT AS n_both
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+             (i.n_both * 1000000 // (sa.n + sb.n - i.n_both))::BIGINT
+               AS jaccard_ppm
+      FROM inter i JOIN sizes sa ON sa.event_type = i.type_a
+                   JOIN sizes sb ON sb.event_type = i.type_b
+      ORDER BY i.type_a, i.type_b""")),
     "q184_burstiness" -> ((q184Burstiness _, """
       WITH e AS (SELECT user_id, event_type, ts, event_id,
                         epoch_us(ts) // 1000000 AS sec

@@ -406,6 +406,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q190 audience overlap: matches a driver set replay") {
+    val out = Relational.q190AudienceOverlap(spark, sf).collect()
+    assert(out.nonEmpty)
+    val m = Tables.events(spark, sf).select("event_type", "user_id")
+      .distinct().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+    val byType = m.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b)
+      val (sa, sb) = (byType(a), byType(b))
+      val both = sa.intersect(sb).size.toLong
+      assert(r.getAs[Long]("n_a") == sa.size.toLong)
+      assert(r.getAs[Long]("n_b") == sb.size.toLong)
+      assert(r.getAs[Long]("n_both") == both)
+      assert(r.getAs[Long]("jaccard_ppm") ==
+        both * 1000000L / (sa.size + sb.size - both))
+    }
+    // every unordered type pair with nonzero overlap appears
+    val types = byType.keys.toSeq.sorted
+    val expectedPairs = (for (i <- types.indices; j <- i + 1 until types.size
+      if byType(types(i)).intersect(byType(types(j))).nonEmpty)
+      yield (types(i), types(j))).toSet
+    assert(out.map(r => (r.getAs[String]("type_a"),
+      r.getAs[String]("type_b"))).toSet == expectedPairs)
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString
