@@ -638,6 +638,35 @@ object Dedup {
       .orderBy("len_band")
   }
 
+  /** Shingle-df histogram (q191): the document-frequency distribution of
+    * the shingle vocabulary in power-of-two bands — per band, distinct
+    * shingles and their total posting mass in exact ppm. THE tool that
+    * SIZES [[MaxShingleDf]]: the high bands are boilerplate (navigation,
+    * licenses, templates) whose postings would quadratically dominate the
+    * inverted index and the pair streams, and the histogram shows exactly
+    * where the mass cliff sits before the cap is chosen (q167 then
+    * monitors the chosen cap's utilization — this picks it, that audits
+    * it). Banding is the integer bit-length (floor log2) computed by
+    * BINARY-STRING length on both engines — no float log at any value.
+    *
+    * Scale shape: one exchange to the distinct (doc, shingle) relation,
+    * a vocabulary-keyed df rollup with map-side partials, then a
+    * ≤ log2(corpus)-row count-of-counts histogram. */
+  def q191DfHistogram(s: SparkSession, d: String): DataFrame = {
+    val dfs = shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle")).distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true) // feeds the histogram AND the total
+    val tot = dfs.agg(sum("df").as("n_total"))
+    dfs.groupBy(expr("cast(length(conv(df, 10, 2)) - 1 as bigint)")
+        .as("band"))
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"))
+      .crossJoin(broadcast(tot))
+      .withColumn("postings_ppm", expr("n_postings * 1000000 div n_total"))
+      .select("band", "n_shingles", "n_postings", "postings_ppm")
+      .orderBy("band")
+  }
+
   val DupTrendBands = 10 // doc_id bands for the q168 duplication trend
 
   /** Duplication trend (q168): the q129 ledger rolled up over
@@ -2638,6 +2667,21 @@ object Dedup {
       FROM (SELECT * FROM truth WHERE jaccard >= $NgramDupJaccard) t
       LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
       GROUP BY 1 ORDER BY 1""")),
+    "q191_df_histogram" -> ((q191DfHistogram _, """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM tok, unnest(generate_series(1, len(t)-2)) AS r(i)),
+      dfs AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1),
+      tot AS (SELECT sum(df)::BIGINT AS n_total FROM dfs),
+      h AS (SELECT (length(bin(df)) - 1)::BIGINT AS band,
+                   count(*)::BIGINT AS n_shingles,
+                   sum(df)::BIGINT AS n_postings
+            FROM dfs GROUP BY 1)
+      SELECT band, n_shingles, n_postings,
+             (n_postings * 1000000 // tot.n_total)::BIGINT AS postings_ppm
+      FROM h, tot ORDER BY band""")),
     "q187_recall_by_length" -> ((q187RecallByLength _, s"""
       $minhashCandCtes,
       $ngramTruthCtes,

@@ -722,6 +722,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 df histogram: bands partition the vocabulary, replay-exact") {
+    val out = Dedup.q191DfHistogram(spark, sf).collect()
+    assert(out.nonEmpty)
+    val dfs = Dedup.shingled(spark, sf).collect()
+      .flatMap(r => r.getSeq[String](1).distinct
+        .map(g => (r.getAs[Long]("doc_id"), g)))
+      .distinct.groupBy(_._2).map { case (_, xs) => xs.length.toLong }.toSeq
+    val total = dfs.sum
+    val expected = dfs.groupBy(df => 63 - java.lang.Long.numberOfLeadingZeros(df))
+      .map { case (b, xs) => b.toLong -> ((xs.length.toLong, xs.sum)) }
+    assert(out.map(r => r.getAs[Long]("band") ->
+      ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_postings")))).toMap
+      == expected)
+    assert(out.map(_.getAs[Long]("n_postings")).sum == total)
+    out.foreach(r => assert(r.getAs[Long]("postings_ppm") ==
+      r.getAs[Long]("n_postings") * 1000000L / total))
+  }
+
   test("q153 threshold sweep: grid-complete, monotone, floor point = q108") {
     val truth = Dedup.q108NgramJaccard(spark, sf).collect()
     val before = Dedup.truthDerivations.get()
