@@ -913,6 +913,47 @@ object Relational {
       .orderBy("type_a", "type_b")
   }
 
+  /** Supplier-concentration HHI per nation (q192): the Herfindahl-
+    * Hirschman index of supplier revenue shares in exact 1e-6 units —
+    * HHI = Σ shareᵢ² = Σ centsᵢ²·1e6 div (Σ cents)², the
+    * supply-concentration dial procurement risk reads: 1e6/n is perfect
+    * balance, 1e6 is a single-supplier nation, and a rising HHI is the
+    * dependency alarm no mean or top-k view gives (the q179 Gini's
+    * market-structure sibling, squared-shares instead of pairwise
+    * differences).
+    *
+    * Exactness: per-line revenue floors to cents FIRST (floor has no
+    * rounding midpoint; the double product is IEEE-identical in both
+    * engines), so every downstream number is integer; Σcents² and the
+    * HHI numerator accumulate in decimal(38)/HUGEINT (the q179/q184
+    * convention).
+    *
+    * Scale shape: fact-side revenue aggregates to the (nation, supplier)
+    * marginal with map-side partials (the supplier dim broadcasts);
+    * both the Σs² rollup and the share math run on the marginal. */
+  def q192SupplierHhi(s: SparkSession, d: String): DataFrame = {
+    val perSupp = lineitem(s, d)
+      .select(col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) " +
+          "as bigint)").as("cents"))
+      .groupBy("l_suppkey").agg(sum("cents").as("s_cents"))
+      .join(broadcast(supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+        "l_suppkey")
+      .join(broadcast(nation(s, d)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+    perSupp.groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("s_cents").as("total_cents"),
+        sum(expr("cast(s_cents as decimal(38, 0)) * s_cents")).as("s2"))
+      .withColumn("hhi_x1e6", expr(
+        "cast((s2 * 1000000) div (cast(total_cents as decimal(38, 0)) " +
+          "* total_cents) as bigint)"))
+      .select("n_name", "n_suppliers", "total_cents", "hhi_x1e6")
+      .orderBy("n_name")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
@@ -1298,6 +1339,21 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q192_supplier_hhi" -> ((q192SupplierHhi _, """
+      WITH per AS (
+        SELECT l_suppkey,
+               sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                 AS s_cents
+        FROM lineitem GROUP BY 1),
+      ns AS (SELECT p.s_cents, n.n_name
+             FROM per p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+                        JOIN nation n ON n.n_nationkey = s.s_nationkey)
+      SELECT n_name, count(*)::BIGINT AS n_suppliers,
+             sum(s_cents)::BIGINT AS total_cents,
+             ((sum(s_cents::HUGEINT * s_cents) * 1000000)
+               // (sum(s_cents)::HUGEINT * sum(s_cents)))::BIGINT
+               AS hhi_x1e6
+      FROM ns GROUP BY 1 ORDER BY 1""")),
     "q190_audience_overlap" -> ((q190AudienceOverlap _, """
       WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
       sizes AS (SELECT event_type, count(*)::BIGINT AS n FROM m GROUP BY 1),

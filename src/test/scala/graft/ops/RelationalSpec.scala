@@ -433,6 +433,36 @@ class RelationalSpec extends AnyFunSuite {
       r.getAs[String]("type_b"))).toSet == expectedPairs)
   }
 
+  test("q192 supplier hhi: matches a driver replay, bounded by 1e6/n and 1e6") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q192SupplierHhi(spark, sf).collect()
+    assert(out.nonEmpty)
+    val perSupp = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) " +
+          "as bigint)").as("cents")).collect()
+      .groupBy(_.getAs[Long]("l_suppkey")).view
+      .mapValues(_.map(_.getAs[Long]("cents")).sum).toMap
+    val nationOf = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name").collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("n_name"))
+      .toMap
+    val byNation = perSupp.toSeq.groupBy { case (k, _) => nationOf(k) }
+    out.foreach { r =>
+      val cents = byNation(r.getAs[String]("n_name")).map(_._2)
+      assert(r.getAs[Long]("n_suppliers") == cents.length.toLong)
+      assert(r.getAs[Long]("total_cents") == cents.sum)
+      val hhi = cents.map(c => BigInt(c) * c).sum * 1000000 /
+        (BigInt(cents.sum) * cents.sum)
+      assert(BigInt(r.getAs[Long]("hhi_x1e6")) == hhi)
+      // perfectly-balanced floor <= hhi <= single-supplier ceiling
+      assert(r.getAs[Long]("hhi_x1e6") >= 1000000L / cents.length - 1 &&
+        r.getAs[Long]("hhi_x1e6") <= 1000000L)
+    }
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString
