@@ -954,6 +954,36 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Sourcing-redundancy census (q193): parts bucketed by how many
+    * DISTINCT suppliers actually shipped them, with each bucket's part
+    * count and exact-ppm spend share — the single-sourced-spend risk
+    * report completing q192's picture: HHI says revenue concentrates in
+    * few suppliers; this says which SPEND has no alternative supplier at
+    * all (bucket 1), the procurement number a resilience review opens
+    * with. Buckets cap at 4+ so the report is fixed-width at any scale.
+    *
+    * Exactness: the q192 cents-floor rule; counts and shares are
+    * integers end to end. Scale shape: one distinct (part, supplier)
+    * exchange and one part-keyed spend rollup join on the part key
+    * (both map-side-partial), then a ≤4-row bucket rollup. */
+  def q193SourcingRedundancy(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+      expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) " +
+        "as bigint)").as("cents"))
+    val redund = li.select("l_partkey", "l_suppkey").distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_supp"))
+    val spend = li.groupBy("l_partkey").agg(sum("cents").as("p_cents"))
+    val tot = spend.agg(sum("p_cents").as("n_total"))
+    redund.join(spend, "l_partkey")
+      .withColumn("bucket", least(col("n_supp"), lit(4L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_parts"), sum("p_cents").as("spend_cents"))
+      .crossJoin(broadcast(tot))
+      .withColumn("spend_ppm", expr("spend_cents * 1000000 div n_total"))
+      .select("bucket", "n_parts", "spend_cents", "spend_ppm")
+      .orderBy("bucket")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
@@ -1339,6 +1369,23 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q193_sourcing_redundancy" -> ((q193SourcingRedundancy _, """
+      WITH li AS (SELECT l_partkey, l_suppkey,
+                         floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                           AS cents
+                  FROM lineitem),
+      red AS (SELECT l_partkey, count(*)::BIGINT AS n_supp
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM li) d
+              GROUP BY 1),
+      sp AS (SELECT l_partkey, sum(cents)::BIGINT AS p_cents
+             FROM li GROUP BY 1),
+      tot AS (SELECT sum(p_cents)::BIGINT AS n_total FROM sp),
+      b AS (SELECT least(r.n_supp, 4) AS bucket, sp.p_cents
+            FROM red r JOIN sp USING (l_partkey))
+      SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_parts,
+             sum(p_cents)::BIGINT AS spend_cents,
+             (sum(p_cents) * 1000000 // tot.n_total)::BIGINT AS spend_ppm
+      FROM b, tot GROUP BY bucket, tot.n_total ORDER BY bucket""")),
     "q192_supplier_hhi" -> ((q192SupplierHhi _, """
       WITH per AS (
         SELECT l_suppkey,

@@ -463,6 +463,34 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q193 sourcing redundancy: crafted buckets land exactly; corpus conserves") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus: spend conserved across buckets
+    val corpus = Relational.q193SourcingRedundancy(spark, sf).collect()
+    val totalCents = Tables.lineitem(spark, sf)
+      .select(expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) " +
+        "as bigint)").as("c")).agg(sum("c")).head().getLong(0)
+    assert(corpus.map(_.getAs[Long]("spend_cents")).sum == totalCents)
+    // crafted: part 1 single-sourced, part 2 dual, part 3 five suppliers
+    val dir = java.nio.file.Files.createTempDirectory("redund").toString
+    Seq(
+      (1L, 10L, 100.0, 0.0), (1L, 10L, 100.0, 0.0),
+      (2L, 10L, 100.0, 0.0), (2L, 11L, 100.0, 0.0),
+      (3L, 10L, 100.0, 0.0), (3L, 11L, 100.0, 0.0), (3L, 12L, 100.0, 0.0),
+      (3L, 13L, 100.0, 0.0), (3L, 14L, 100.0, 0.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.q193SourcingRedundancy(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_parts"), r.getAs[Long]("spend_cents")))).toMap
+    assert(out(1L) == ((1L, 20000L))) // two lines, one supplier
+    assert(out(2L) == ((1L, 20000L)))
+    assert(out(4L) == ((1L, 50000L))) // 5 suppliers cap at the 4+ bucket
+    assert(!out.contains(3L))
+    out.values.foreach { case (_, c) => assert(c > 0L) }
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString
