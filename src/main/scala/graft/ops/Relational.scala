@@ -984,6 +984,28 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Diurnal activity profile (q194): per (event type, hour-of-day), the
+    * event count and its exact-ppm share of the type's total — the
+    * seasonality baseline q69's anomaly z-scores ignore (a type whose
+    * traffic peaks at 14:00 UTC will z-flag every ordinary afternoon
+    * against a flat mean; the right baseline is per-hour-of-day, and
+    * this is that baseline, materialized). UTC hours (the session is
+    * pinned UTC, so `hour(ts)` agrees cross-engine).
+    *
+    * Scale shape: one rollup to the ≤ |types|·24 marginal with map-side
+    * partials; type totals are a rollup of it joined back broadcast. */
+  def q194DiurnalProfile(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the totals AND the report
+    cells.join(broadcast(cells.groupBy("event_type")
+        .agg(sum("n").as("n_type"))), "event_type")
+      .withColumn("share_ppm", expr("n * 1000000 div n_type"))
+      .select("event_type", "hod", "n", "share_ppm")
+      .orderBy("event_type", "hod")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
@@ -1369,6 +1391,16 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q194_diurnal_profile" -> ((q194DiurnalProfile _, """
+      WITH cells AS (SELECT event_type, hour(ts)::BIGINT AS hod,
+                            count(*)::BIGINT AS n
+                     FROM events GROUP BY 1, 2),
+      tt AS (SELECT event_type, sum(n)::BIGINT AS n_type
+             FROM cells GROUP BY 1)
+      SELECT c.event_type, c.hod, c.n,
+             (c.n * 1000000 // t.n_type)::BIGINT AS share_ppm
+      FROM cells c JOIN tt t USING (event_type)
+      ORDER BY c.event_type, c.hod""")),
     "q193_sourcing_redundancy" -> ((q193SourcingRedundancy _, """
       WITH li AS (SELECT l_partkey, l_suppkey,
                          floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT

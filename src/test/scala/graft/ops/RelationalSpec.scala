@@ -491,6 +491,20 @@ class RelationalSpec extends AnyFunSuite {
     out.values.foreach { case (_, c) => assert(c > 0L) }
   }
 
+  test("q194 diurnal profile: cells conserve events, shares sum per type") {
+    val out = Relational.q194DiurnalProfile(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables.events(spark, sf).count())
+    out.foreach(r => assert(r.getAs[Long]("hod") >= 0L &&
+      r.getAs[Long]("hod") <= 23L))
+    // each type's ppm cells sum to 1e6 minus at most |cells| of flooring
+    for ((t, rows) <- out.groupBy(_.getAs[String]("event_type"))) {
+      val ppm = rows.map(_.getAs[Long]("share_ppm")).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - rows.length, s"ppm($t)=$ppm")
+    }
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString
