@@ -1417,6 +1417,31 @@ object Similarity {
       .withColumn("coverage_ppm", expr("n_matched * 1000000 div n_docs"))
   }
 
+  /** Per-source embedding coverage (q195): q178's alignment audit
+    * LOCALIZED — per source: docs, docs with a vector, the exact-ppm
+    * coverage and the missing count. q178 says the corpus has orphans;
+    * this says WHICH SHARD the encoder skipped (ingest batches track
+    * sources, so the repair action is per-source re-encoding, and a
+    * source stuck below 1e6 ppm is the alarm that pages someone).
+    *
+    * Scale shape: one semi-join of documents against the embedding id
+    * projection (shuffle on id with map-side partials), one |sources|
+    * rollup joined back to the per-source doc counts. */
+  def q195SourceCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val withVec = docs.join(
+        Tables.embeddings(s, d).select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_with_vec"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(withVec, Seq("source"), "left")
+      .withColumn("n_with_vec", coalesce(col("n_with_vec"), lit(0L)))
+      .withColumn("coverage_ppm", expr("n_with_vec * 1000000 div n_docs"))
+      .withColumn("n_missing", col("n_docs") - col("n_with_vec"))
+      .select("source", "n_docs", "n_with_vec", "n_missing", "coverage_ppm")
+      .orderBy("source")
+  }
+
   val PqM = 4                 // PQ subspaces (64 dims -> 4 x 16)
   val PqSubDim = 16           // dims per subspace
   val PqAdcK = 3              // neighbors per query (ADC tier)
@@ -2053,6 +2078,19 @@ object Similarity {
       $kmeansChainSql
       SELECT vec_id, c::BIGINT AS cluster, dd::BIGINT AS d2 FROM kfin
       ORDER BY vec_id""")),
+    "q195_source_coverage" -> ((q195SourceCoverage _, """
+      WITH d AS (SELECT doc_id, source FROM documents),
+      w AS (SELECT source, count(*)::BIGINT AS n_with_vec
+            FROM d WHERE doc_id IN (SELECT vec_id FROM embeddings)
+            GROUP BY 1),
+      t AS (SELECT source, count(*)::BIGINT AS n_docs FROM d GROUP BY 1)
+      SELECT t.source, t.n_docs,
+             coalesce(w.n_with_vec, 0)::BIGINT AS n_with_vec,
+             (t.n_docs - coalesce(w.n_with_vec, 0))::BIGINT AS n_missing,
+             (coalesce(w.n_with_vec, 0) * 1000000 // t.n_docs)::BIGINT
+               AS coverage_ppm
+      FROM t LEFT JOIN w USING (source)
+      ORDER BY t.source""")),
     "q178_alignment_audit" -> ((q178AlignmentAudit _, """
       WITH base AS (
         SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,

@@ -675,6 +675,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Double]("cos_to_corpus") > 0.0))
   }
 
+  test("q195 source coverage: conserves q178's totals; crafted orphan localizes") {
+    val out = Similarity.q195SourceCoverage(spark, sf).collect()
+    val global = Similarity.q178AlignmentAudit(spark, sf).collect()(0)
+    assert(out.map(_.getAs[Long]("n_docs")).sum ==
+      global.getAs[Long]("n_docs"))
+    assert(out.map(_.getAs[Long]("n_with_vec")).sum ==
+      global.getAs[Long]("n_matched"))
+    assert(out.map(_.getAs[Long]("n_missing")).sum ==
+      global.getAs[Long]("n_doc_only"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_missing") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_with_vec"))
+      assert(r.getAs[Long]("coverage_ppm") ==
+        r.getAs[Long]("n_with_vec") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+    // crafted: a shard the encoder skipped reads 0 ppm; a full one 1e6
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cov").toString
+    Seq((1L, "a", "en", "ok", 1L), (2L, "b", "en", "skipped", 1L),
+      (3L, "c", "en", "ok", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((1L, Array(0.1f), 0), (3L, Array(0.3f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val crafted = Similarity.q195SourceCoverage(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("coverage_ppm"))
+      .toMap
+    assert(crafted == Map("ok" -> 1000000L, "skipped" -> 0L))
+  }
+
   test("fit locks are striped per (session, corpus dir)") {
     val a = Similarity.fitLockFor(spark, "/tmp/corpus-a")
     assert(Similarity.fitLockFor(spark, "/tmp/corpus-a") eq a)
