@@ -1006,6 +1006,41 @@ object Relational {
       .orderBy("event_type", "hod")
   }
 
+  /** Ship-latency percentiles (q196): per order priority, the exact
+    * lower-quantile p50/p90 and the max order→ship delay in whole days —
+    * the tail half of q41's mean: SLA conversations happen at p90 and
+    * max, which a mean smears (one expedited-priority order shipping a
+    * quarter late is invisible in the average and IS the incident).
+    *
+    * Exactness + scale: day gaps collapse to the (priority, days)
+    * count marginal in one exchange; every window and rank-select runs
+    * on marginal rows (the q139/q163 discipline — distinct day values,
+    * never lineitems under the 5-value priority key), and quantiles are
+    * rank-selected minima (cum ≥ ceil(n·p)), never interpolated. */
+  def q196ShipLatency(s: SparkSession, d: String): DataFrame = {
+    val marg = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("v"))
+      .groupBy("o_orderpriority", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // totals, cum frame and the max arm read it
+    val tot = marg.groupBy("o_orderpriority").agg(sum("c").as("n"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = marg.withColumn("cum", sum("c").over(w))
+      .join(broadcast(tot), "o_orderpriority")
+      .localCheckpoint(true) // both quantile arms read it
+    def q(num: Int, den: Int, out: String) =
+      cum.filter(col("cum") >= expr(s"(n * $num + $den - 1) div $den"))
+        .groupBy("o_orderpriority").agg(min("v").as(out))
+    tot.join(q(1, 2, "p50_days"), "o_orderpriority")
+      .join(q(9, 10, "p90_days"), "o_orderpriority")
+      .join(marg.groupBy("o_orderpriority").agg(max("v").as("max_days")),
+        "o_orderpriority")
+      .select("o_orderpriority", "n", "p50_days", "p90_days", "max_days")
+      .orderBy("o_orderpriority")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
@@ -1391,6 +1426,29 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q196_ship_latency" -> ((q196ShipLatency _, """
+      WITH g AS (SELECT o_orderpriority,
+                        date_diff('day', o_orderdate, l_shipdate)::BIGINT AS v
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      m AS (SELECT o_orderpriority, v, count(*)::BIGINT AS c
+            FROM g GROUP BY 1, 2),
+      t AS (SELECT o_orderpriority, sum(c)::BIGINT AS n FROM m GROUP BY 1),
+      cum AS (SELECT m.o_orderpriority, m.v, t.n,
+                     sum(m.c) OVER (PARTITION BY m.o_orderpriority
+                       ORDER BY m.v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+              FROM m JOIN t USING (o_orderpriority)),
+      p50 AS (SELECT o_orderpriority, min(v) AS p50_days FROM cum
+              WHERE cum >= (n * 1 + 1) // 2 GROUP BY 1),
+      p90 AS (SELECT o_orderpriority, min(v) AS p90_days FROM cum
+              WHERE cum >= (n * 9 + 9) // 10 GROUP BY 1),
+      mx AS (SELECT o_orderpriority, max(v)::BIGINT AS max_days
+             FROM m GROUP BY 1)
+      SELECT t.o_orderpriority, t.n, p50.p50_days, p90.p90_days, mx.max_days
+      FROM t JOIN p50 USING (o_orderpriority)
+             JOIN p90 USING (o_orderpriority)
+             JOIN mx USING (o_orderpriority)
+      ORDER BY t.o_orderpriority""")),
     "q194_diurnal_profile" -> ((q194DiurnalProfile _, """
       WITH cells AS (SELECT event_type, hour(ts)::BIGINT AS hod,
                             count(*)::BIGINT AS n

@@ -505,6 +505,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q196 ship latency: rank-selected quantiles match a sorted replay") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q196ShipLatency(spark, sf).collect()
+    assert(out.nonEmpty)
+    val gaps = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("v"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("v"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val xs = gaps(r.getAs[String]("o_orderpriority"))
+      val n = xs.length
+      assert(r.getAs[Long]("n") == n.toLong)
+      // lower quantile: value at 1-based rank ceil(n*p)
+      assert(r.getAs[Long]("p50_days") == xs((n + 1) / 2 - 1))
+      assert(r.getAs[Long]("p90_days") == xs((n * 9 + 9) / 10 - 1))
+      assert(r.getAs[Long]("max_days") == xs.last)
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days") &&
+        r.getAs[Long]("p90_days") <= r.getAs[Long]("max_days"))
+    }
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString
