@@ -406,9 +406,13 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val meta = readMeta(ns, table)
     val cur = meta.get("current-snapshot-id").asLong()
     val snaps = meta.get("snapshots").elements().asScala.toSeq
+    // one filesystem walk per DISTINCT directory — snapshots share dirs
+    // heavily (every append references all its predecessors' dirs)
+    val stats = snaps.flatMap(liveDirsOf).distinct
+      .map(dn => dn -> dirStats(ns, table, dn)).toMap
     val rows = snaps.zipWithIndex.map { case (sn, i) =>
       val dirs = liveDirsOf(sn)
-      val (nf, bytes) = dirs.map(dirStats(ns, table, _))
+      val (nf, bytes) = dirs.map(stats)
         .foldLeft((0L, 0L)) { case ((f, b), (f2, b2)) => (f + f2, b + b2) }
       (sn.get("snapshot-id").asLong(), sn.get("operation").asText(),
         dirs.size.toLong, nf, bytes,
@@ -442,8 +446,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
     }
     val orphans = onDisk -- all
-    def bytes(ds: Set[String]): Long =
-      ds.toSeq.map(dirStats(ns, table, _)._2).sum
+    // one walk per distinct dir across all four overlapping sets
+    val stats = (all ++ orphans).toSeq
+      .map(dn => dn -> dirStats(ns, table, dn)._2).toMap
+    def bytes(ds: Set[String]): Long = ds.toSeq.map(stats).sum
     spark.createDataFrame(Seq((snaps.size.toLong, bytes(current),
         bytes(all), bytes(reclaim), orphans.size.toLong, bytes(orphans))))
       .toDF("n_snapshots", "current_bytes", "retained_bytes",

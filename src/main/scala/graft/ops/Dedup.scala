@@ -228,6 +228,40 @@ object Dedup {
     exact.unionAll(near).orderBy("incoming_id", "corpus_id")
   }
 
+  /** Intra-batch dup ids for [[graft.ops.Pipeline.curateIncrement]]: the
+    * doc_ids an incoming batch should drop against ITSELF — exact (shared
+    * norm_md5 fingerprint) or near (banded-MinHash candidates with
+    * matching-slot estimate ≥ [[DupJaccard]], the q133 decision math) —
+    * under the min-id keeper rule: any doc paired with a smaller id
+    * drops, so each pair-graph component keeps exactly its minimum.
+    * Batches are increment-sized, so the banded self-join is small; the
+    * same bucket-cap guard as the index path applies. */
+  private[ops] def dedupWithinBatch(s: SparkSession,
+                                    incoming: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(s)
+    val sig = incoming.select(col("doc_id"),
+        expr("norm_md5(text)").as("fp"),
+        expr("shingle_minhash(text)").as("mh"))
+      .localCheckpoint(true) // exact arm + both sides of the banded join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val exact = sig.withColumn("keep", min("doc_id").over(w))
+      .filter(col("doc_id") =!= col("keep")).select("doc_id")
+    val banded = capBuckets(sig.filter(col("mh").isNotNull)
+      .select(col("doc_id"), col("mh"),
+        posexplode(array((0 until NumBands).map(bandKey): _*))
+          .as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), Some(DefaultMaxBucket))
+    val near = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("id_a"), col("mh").as("mh_a"))
+      .join(banded.select(col("band"), col("bkey"),
+        col("doc_id").as("id_b"), col("mh").as("mh_b")), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(s"size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), " +
+        s"b -> b)) / $NumHashes") >= DupJaccard)
+      .select(col("id_b").as("doc_id"))
+    exact.unionByName(near).distinct()
+  }
+
   /** C2j index-side incremental dedup (q133): the registry face of
     * [[dedupAgainstIndex]] — incoming docs ([[IncomingSource]], the q128
     * split convention) deduped against the REST of the corpus as the
@@ -662,7 +696,11 @@ object Dedup {
         .as("band"))
       .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"))
       .crossJoin(broadcast(tot))
-      .withColumn("postings_ppm", expr("n_postings * 1000000 div n_total"))
+      // decimal(38): n_postings·1e6 crosses int64 at ~9.2e12 postings,
+      // well inside this query's large-corpus purpose (q183 convention)
+      .withColumn("postings_ppm", expr(
+        "cast((cast(n_postings as decimal(38, 0)) * 1000000) div n_total " +
+          "as bigint)"))
       .select("band", "n_shingles", "n_postings", "postings_ppm")
       .orderBy("band")
   }

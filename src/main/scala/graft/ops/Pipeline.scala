@@ -66,10 +66,18 @@ object Pipeline {
                       sigTable: String = "dedup_signatures",
                       curatedTable: String = "documents_curated"): DataFrame = {
     val index = catalog.load(ns, sigTable)
-    val dupIds = Dedup.dedupAgainstIndex(s, incoming, index)
+    // INTRA-batch dedup first: a crawl batch routinely carries its own
+    // copies, which the index (state BEFORE this batch) cannot see. The
+    // min-id keeper rule over the batch's own exact + banded-near pair
+    // graph — any doc paired with a smaller id drops (the component min
+    // always survives; the q129 one-hop discipline)
+    val intraDups = Dedup.dedupWithinBatch(s, incoming)
+    val crossDups = Dedup.dedupAgainstIndex(s,
+        incoming.join(intraDups, Seq("doc_id"), "left_anti"), index)
       .filter(col("match_kind") === "exact" ||
         col("est_jaccard") >= Dedup.DupJaccard)
       .select(col("incoming_id").as("doc_id")).distinct()
+    val dupIds = intraDups.unionByName(crossDups)
       .localCheckpoint(true) // read by the survivor filter AND the report
     val survivors = incoming.join(dupIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // feeds signatures, gate AND the report

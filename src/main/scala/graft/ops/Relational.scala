@@ -979,7 +979,11 @@ object Relational {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_parts"), sum("p_cents").as("spend_cents"))
       .crossJoin(broadcast(tot))
-      .withColumn("spend_ppm", expr("spend_cents * 1000000 div n_total"))
+      // decimal(38): spend_cents·1e6 crosses int64 at ~9.2e12 cents
+      // (TPC-H SF1-class volumes already), the q183/q192 convention
+      .withColumn("spend_ppm", expr(
+        "cast((cast(spend_cents as decimal(38, 0)) * 1000000) div n_total " +
+          "as bigint)"))
       .select("bucket", "n_parts", "spend_cents", "spend_ppm")
       .orderBy("bucket")
   }

@@ -2228,6 +2228,10 @@ object TextOps {
         SELECT doc_id,
                round(len(list_distinct(t))::DOUBLE / len(t), 4) AS ttr,
                $StopRatioSql AS stop_ratio,
+               -- the GATE compares the UNROUNDED ratio (the q74/q189
+               -- rule); only the q102 SCORE uses the rounded one
+               len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE
+                 / len(t) AS stop_ratio_raw,
                len(t)::BIGINT AS n_tokens,
                (n_chars - len(t) + 1)::DOUBLE / len(t) AS mean_wl
         FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t
@@ -2240,7 +2244,7 @@ object TextOps {
                (NOT (n_tokens < $GateMinTokens OR n_tokens > $GateMaxTokens
                      OR mean_wl < $GateMinMeanWordLen
                      OR mean_wl > $GateMaxMeanWordLen
-                     OR stop_ratio > $GateMaxStopRatio)) AS gate_pass
+                     OR stop_ratio_raw > $GateMaxStopRatio)) AS gate_pass
         FROM f),
       b AS (
         SELECT least(9, floor(score * 10))::BIGINT AS band,

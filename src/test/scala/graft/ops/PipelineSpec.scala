@@ -80,6 +80,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(cat.load("inc", "documents_curated").count() == before + 1)
   }
 
+  test("curateIncrement: intra-batch copies dedup before the index sees them") {
+    import spark.implicits._
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    Dedup.signaturesTable(spark, sf, cat, "intra")
+    Pipeline.curateCorpus(spark, sf, cat, "intra")
+    val before = cat.load("intra", "documents_curated").count()
+    val novel = "the migratory patterns of arctic terns span hemispheres " +
+      "while coastal winds carry them across open water toward nesting " +
+      "grounds that shift gradually with every warming season in turn " +
+      "and researchers tracking individual birds recorded journeys " +
+      "exceeding seventy thousand kilometers within a single year " +
+      "making these seabirds the most widely traveled vertebrates known"
+    // TWO verbatim copies of the same novel page in ONE batch — the index
+    // cannot see either; intra-batch dedup must keep exactly the min id
+    val batch = Seq(
+      (9400001L, novel, "en", "crawl", novel.length.toLong),
+      (9400002L, novel, "en", "crawl", novel.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = Pipeline.curateIncrement(spark, batch, cat, "intra").collect()(0)
+    assert(rep.getAs[Long]("n_incoming") == 2L)
+    assert(rep.getAs[Long]("n_dup") == 1L)      // the higher-id copy
+    assert(rep.getAs[Long]("n_appended") == 1L)
+    val curated = cat.load("intra", "documents_curated")
+    assert(curated.count() == before + 1)
+    assert(curated.filter(col("doc_id") === 9400001L).count() == 1)
+    assert(curated.filter(col("doc_id") === 9400002L).count() == 0)
+  }
+
   test("curateCorpus partitioned by split: same rows, prunable layout") {
     val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
     val flat = Pipeline.curateCorpus(spark, sf, cat, "flat")
