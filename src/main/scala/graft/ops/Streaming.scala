@@ -527,7 +527,17 @@ object Streaming {
     * user_id; the hour rollup consumes one row per SESSION, not per
     * event, with map-side partials. */
   def q180SessionConversion(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    sessionConversionOf(events(s, d))
+
+  /** The STATEFUL stage of q180 over ANY events frame: one true
+    * `session_window` aggregation emitting per-session (hour_epoch, conv)
+    * decisions — this is the operator that runs watermarked on a stream
+    * (parity spec-pinned streamed == batch; the hour rollup below is the
+    * stateless downstream a streaming deployment runs per epoch or in
+    * `foreachBatch` — chaining a second stateful aggregate behind session
+    * state is the global-watermark correctness trap Spark itself flags). */
+  def sessionDecisionsOf(ev: DataFrame): DataFrame =
+    ev
       .groupBy(col("user_id"), session_window(col("ts"), SessionGap))
       .agg(min(when(col("event_type") === "view", col("ts"))).as("v0"),
         max(when(col("event_type") === "purchase", col("ts"))).as("p1"))
@@ -536,6 +546,11 @@ object Streaming {
           .as("hour_epoch"),
         when(col("v0").isNotNull && col("p1").isNotNull &&
           col("p1") >= col("v0"), 1L).otherwise(0L).as("conv"))
+
+  /** q180's full report over any events frame: the [[sessionDecisionsOf]]
+    * stage plus the hour rollup. */
+  def sessionConversionOf(ev: DataFrame): DataFrame =
+    sessionDecisionsOf(ev)
       .groupBy("hour_epoch")
       .agg(count(lit(1)).as("n_sessions"), sum("conv").as("n_converted"))
       .withColumn("conv_ppm", expr("n_converted * 1000000 div n_sessions"))

@@ -167,6 +167,45 @@ class StreamingSpec extends AnyFunSuite {
       }
   }
 
+  test("q180 streamed session conversion equals the batch face on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sessions with and without conversions, across users and hours
+    val rows = (0 until 300).flatMap { i =>
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        (i % 5) * 50L * 3600000L + (i / 5) * 60000L
+      val user = (i % 7).toLong
+      Seq(Ev(new Timestamp(base), user, "view", 1.0),
+        Ev(new Timestamp(base + 30000L), user,
+          if (i % 3 == 0) "purchase" else "click", 1.0))
+    }
+    val in = MemoryStream[Ev]
+    in.addData(rows: _*)
+    val q = Streaming.sessionDecisionsOf(in.toDF())
+      .writeStream.format("memory").queryName("sess_conv")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // the stateful session stage agrees row-for-row (as multisets)
+      val streamed = spark.table("sess_conv").collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      val batchDecisions = Streaming.sessionDecisionsOf(rows.toDF())
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      assert(streamed == batchDecisions)
+      // and the report rollup over the streamed state equals the batch face
+      val reportFromStream = spark.table("sess_conv")
+        .groupBy("hour_epoch")
+        .agg(count(lit(1)).as("n_sessions"), sum("conv").as("n_converted"))
+        .withColumn("conv_ppm",
+          expr("n_converted * 1000000 div n_sessions"))
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.sessionConversionOf(rows.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(reportFromStream == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("q143 batch face equals the streaming operator's final per-user state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
