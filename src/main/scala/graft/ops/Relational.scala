@@ -1045,6 +1045,36 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Basket-size histogram (q197): orders bucketed by line count (1..6,
+    * 7+) with each bucket's order count and exact-ppm revenue share —
+    * basket analysis: whether revenue rides many small baskets or few
+    * large ones decides fulfillment batching and promotion design, and a
+    * shift in the histogram is a demand-mix alarm the daily trend (q114)
+    * cannot attribute. Fixed-width report at any scale.
+    *
+    * Exactness: the q192 cents-floor rule per line; decimal(38) for the
+    * ppm numerator (the q191/q193 fix class). Scale shape: one
+    * order-keyed rollup of lineitem with map-side partials, then a
+    * ≤7-row bucket rollup. */
+  def q197BasketHistogram(s: SparkSession, d: String): DataFrame = {
+    val perOrder = lineitem(s, d)
+      .select(col("l_orderkey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) " +
+          "as bigint)").as("cents"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), sum("cents").as("o_cents"))
+    val tot = perOrder.agg(sum("o_cents").as("n_total"))
+    perOrder.withColumn("bucket", least(col("n_lines"), lit(7L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"), sum("o_cents").as("revenue_cents"))
+      .crossJoin(broadcast(tot))
+      .withColumn("revenue_ppm", expr(
+        "cast((cast(revenue_cents as decimal(38, 0)) * 1000000) " +
+          "div n_total as bigint)"))
+      .select("bucket", "n_orders", "revenue_cents", "revenue_ppm")
+      .orderBy("bucket")
+  }
+
   /** Exact interpolated percentiles per group (median + p90). */
   def q48Percentiles(s: SparkSession, d: String): DataFrame =
     // interpolated percentiles of 2-decimal prices land on .xx5 midpoints
@@ -1430,6 +1460,19 @@ object Relational {
              round(avg((props->>'k')::BIGINT), 4) AS avg_k,
              max((props->>'k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    "q197_basket_histogram" -> ((q197BasketHistogram _, """
+      WITH per AS (
+        SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+               sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                 AS o_cents
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT sum(o_cents)::BIGINT AS n_total FROM per),
+      b AS (SELECT least(n_lines, 7) AS bucket, o_cents FROM per)
+      SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_orders,
+             sum(o_cents)::BIGINT AS revenue_cents,
+             ((sum(o_cents)::HUGEINT * 1000000) // tot.n_total)::BIGINT
+               AS revenue_ppm
+      FROM b, tot GROUP BY bucket, tot.n_total ORDER BY bucket""")),
     "q196_ship_latency" -> ((q196ShipLatency _, """
       WITH g AS (SELECT o_orderpriority,
                         date_diff('day', o_orderdate, l_shipdate)::BIGINT AS v

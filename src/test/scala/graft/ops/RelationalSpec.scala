@@ -530,6 +530,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q197 basket histogram: buckets conserve orders and revenue") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q197BasketHistogram(spark, sf).collect()
+    assert(out.nonEmpty)
+    val per = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) " +
+          "as bigint)").as("c"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), sum("c").as("oc")).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("oc")))
+    assert(out.map(_.getAs[Long]("n_orders")).sum == per.length.toLong)
+    assert(out.map(_.getAs[Long]("revenue_cents")).sum == per.map(_._2).sum)
+    val expected = per.groupBy(p => math.min(p._1, 7L)).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    assert(out.map(r => r.getAs[Long]("bucket") ->
+      ((r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_cents")))).toMap
+      == expected)
+    val total = per.map(_._2).sum
+    out.foreach(r => assert(BigInt(r.getAs[Long]("revenue_ppm")) ==
+      BigInt(r.getAs[Long]("revenue_cents")) * 1000000 / total))
+  }
+
   test("daily trend plan: two partial-agg rollups, no window, no join") {
     val plan = Relational.q114DailyTrend(spark, sf)
       .queryExecution.executedPlan.toString
