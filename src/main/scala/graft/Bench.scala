@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Host steal time (jiffies) from /proc/stat — column 8 of the aggregate
+    * `cpu` line. A timing window where this delta is large was contaminated
+    * by the hypervisor/co-tenant stealing cycles from this VM: per-query
+    * numbers from such a window measure the host, not the code. Emitting
+    * the before/after delta makes a contaminated BENCH artifact
+    * machine-detectable instead of needing human forensics (the r8 bench
+    * showed 0.9 s queries at 34 s with zero GC attribution — classic steal).
+    * Returns -1 when /proc/stat is unavailable (non-Linux). */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+"))
+          .filter(_.length > 8)
+          .map(_(8).toLong)
+          .getOrElse(-1L)
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Total JVM GC time across all collectors, ms. The second axis of the
+    * contamination triage: a slow window with high gc_ms is the JVM's own
+    * fault (heap pressure); high steal with flat gc_ms is the host's. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,6 +63,8 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    val steal0 = stealJiffies()
+    val gc0 = gcMillis()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // foreach materializes every row (count() would let Catalyst prune the
@@ -51,7 +82,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Contamination self-report: delta of host steal jiffies and JVM GC ms
+    // over the timed window. steal_jiffies is -1 when /proc/stat is absent;
+    // otherwise a large value (hundreds+ of jiffies while individual queries
+    // spike with flat gc_ms) marks the whole artifact as host-contaminated.
+    val steal1 = stealJiffies()
+    val stealDelta = if (steal0 < 0 || steal1 < 0) -1L else steal1 - steal0
+    val gcDelta = gcMillis() - gc0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"steal_jiffies":$stealDelta,"gc_ms":$gcDelta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

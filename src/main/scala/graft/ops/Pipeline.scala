@@ -65,7 +65,31 @@ object Pipeline {
                       catalog: graft.lake.LakeCatalog, ns: String,
                       sigTable: String = "dedup_signatures",
                       curatedTable: String = "documents_curated"): DataFrame = {
-    val index = catalog.load(ns, sigTable)
+    val plan = curateDecide(s, incoming, catalog, ns, sigTable, curatedTable)
+    curateCommit(catalog, ns, sigTable, curatedTable, plan)
+    plan.report
+  }
+
+  /** One epoch's curation decisions, fully materialized BEFORE any lake
+    * write — shared verbatim by the batch face ([[curateIncrement]]) and
+    * the streaming face ([[curateStream]]), the q124 one-definition-two-
+    * modes convention. `kept`/`sigs` are localCheckpointed bounded frames;
+    * `report` carries values already computed, so a caller can persist it
+    * first and commit the data after (the crash-safe ordering — see
+    * [[curateCommit]]). */
+  private[ops] final case class EpochPlan(report: DataFrame,
+                                          kept: DataFrame, sigs: DataFrame)
+
+  private[ops] def curateDecide(s: SparkSession, incoming: DataFrame,
+                                catalog: graft.lake.LakeCatalog, ns: String,
+                                sigTable: String,
+                                curatedTable: String): EpochPlan = {
+    // bootstrap: a from-scratch stream's first epoch has no index yet —
+    // an empty frame with the signaturesTable schema means "nothing seen"
+    val index =
+      if (catalog.tableExists(ns, sigTable)) catalog.load(ns, sigTable)
+      else s.range(0).select(col("id").as("doc_id"),
+        lit("").as("fp"), array().cast("array<bigint>").as("mh"))
     // INTRA-batch dedup first: a crawl batch routinely carries its own
     // copies, which the index (state BEFORE this batch) cannot see. The
     // min-id keeper rule over the batch's own exact + banded-near pair
@@ -81,23 +105,105 @@ object Pipeline {
       .localCheckpoint(true) // read by the survivor filter AND the report
     val survivors = incoming.join(dupIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // feeds signatures, gate AND the report
-    val kept = TextOps.gateDecisionsOf(survivors).filter(col("gate_pass"))
+    val keptAll = TextOps.gateDecisionsOf(survivors).filter(col("gate_pass"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"),
         TextOps.splitName(TextOps.splitBucket("doc_id")).as("split"))
-      .localCheckpoint(true) // appended AND counted
-    catalog.append(ns, sigTable, survivors.select(col("doc_id"),
+      .localCheckpoint(true) // counted AND guarded below
+    // Crash-replay guard (the annIngestSink key-anti-join shape): a doc
+    // already in the curated table — possible only when a previous attempt
+    // of this same batch crashed between its curated append and its
+    // signature append — must not append twice. Reads only the curated
+    // table's doc_id column; at long-lived-ingest scale keep that table
+    // bucketed by doc_id (or keep a key-only companion) so the anti-join
+    // prunes to the probed buckets.
+    val kept = (if (catalog.tableExists(ns, curatedTable))
+        keptAll.join(catalog.load(ns, curatedTable).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else keptAll).localCheckpoint(true) // appended AND counted
+    val sigs = survivors.select(col("doc_id"),
       expr("norm_md5(text)").as("fp"),
-      expr("shingle_minhash(text)").as("mh")))
-    catalog.append(ns, curatedTable, kept)
+      expr("shingle_minhash(text)").as("mh"))
     val nInc = incoming.count()
     val nDup = dupIds.count()
-    val nSurv = survivors.count()
+    val nGated = survivors.count() - keptAll.count()
     val nKept = kept.count()
     import s.implicits._
-    Seq((nInc, nDup, nSurv - nKept, nKept))
-      .toDF("n_incoming", "n_dup", "n_gated", "n_appended")
+    EpochPlan(
+      Seq((nInc, nDup, nGated, nKept))
+        .toDF("n_incoming", "n_dup", "n_gated", "n_appended"),
+      kept, sigs)
   }
+
+  /** Commit one decided epoch: curated rows FIRST, signatures second.
+    * This ordering makes every crash point replay-exact (each append is an
+    * atomic catalog commit; "replay" = the same batch runs [[curateDecide]]
+    * again against whatever state persisted):
+    *  - crash before the curated append: nothing persisted, replay redoes
+    *    the epoch from scratch;
+    *  - crash between the appends: the signature index is unchanged, so
+    *    replay recomputes the SAME survivors; the curated guard anti-joins
+    *    the already-appended rows away and only the signature append runs;
+    *  - crash after both: every incoming doc is an index hit on replay —
+    *    the whole epoch is a no-op.
+    * The reverse order (signatures first — the pre-round-9 layout) loses a
+    * kept doc forever when the crash lands between the appends: replay
+    * classifies it as a dup before it ever reached the curated table. */
+  private[ops] def curateCommit(catalog: graft.lake.LakeCatalog, ns: String,
+                                sigTable: String, curatedTable: String,
+                                plan: EpochPlan): Unit = {
+    catalog.ensureTable(ns, curatedTable, plan.kept.schema)
+    catalog.append(ns, curatedTable, plan.kept)
+    catalog.ensureTable(ns, sigTable, plan.sigs.schema)
+    catalog.append(ns, sigTable, plan.sigs)
+  }
+
+  /** The streaming curation face — the three index-maintenance sinks plus
+    * the gate/split rules composed into ONE `foreachBatch` call: every
+    * micro-batch of crawl docs is intra-batch deduped, deduped against the
+    * persisted signature index, quality-gated, split-labeled, appended to
+    * the curated table, signature-indexed for future epochs, and its
+    * 1-row ingest report ledgered by epoch — [[curateIncrement]] run as a
+    * stream, byte-identical decisions because it IS [[curateDecide]] +
+    * [[curateCommit]] (the q124 one-definition-two-modes convention).
+    *
+    * Exactly-once across mid-epoch crashes, by ordering alone: the epoch
+    * report (computed wholly from pre-epoch state) lands FIRST under an
+    * epoch-key anti-join (the statsSink ledger guard), so however the
+    * crash interleaves with the data appends, the ledger keeps the
+    * original true counts and [[curateCommit]]'s replay analysis covers
+    * the tables. Per-epoch read cost: the signature index (the dedup
+    * input), the curated table's doc_id column (the guard), and the
+    * report table's epoch column — bucket the first two by their keys on
+    * a long-lived ingest. */
+  def curateStream(docs: DataFrame, catalog: graft.lake.LakeCatalog,
+                   ns: String, checkpointDir: String,
+                   sigTable: String = "dedup_signatures",
+                   curatedTable: String = "documents_curated",
+                   reportTable: String = "curation_epochs")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], epoch: Long) =>
+        val s = batch.sparkSession // cloned session per epoch
+        graft.functions.TextHashExprs.register(s)
+        val plan = curateDecide(s, batch.toDF(), catalog, ns,
+          sigTable, curatedTable)
+        val rep = plan.report.withColumn("epoch", lit(epoch))
+          .select("epoch", "n_incoming", "n_dup", "n_gated", "n_appended")
+        val ledgered =
+          if (catalog.tableExists(ns, reportTable))
+            rep.join(catalog.load(ns, reportTable).select("epoch").distinct(),
+              Seq("epoch"), "left_anti")
+          else rep
+        catalog.ensureTable(ns, reportTable, ledgered.schema)
+        catalog.append(ns, reportTable, ledgered)
+        curateCommit(catalog, ns, sigTable, curatedTable, plan)
+        Streaming.CrashHook.fire()
+      }
+      .start()
 
   /** The curation scoreboard over a materialized curated table: per
     * (split, lang) — kept docs and exact char mass. Reads the LAKE table,

@@ -542,9 +542,24 @@ object Relational {
     * view→purchase edge takes — the latency half of funnel analysis.
     *
     * Exactness: second-floor timestamps (the q154 convention), lower
-    * quantiles by cumulative rank over the (gap → user count) MARGINAL —
-    * bounded by distinct gap values, the q156/q139 marginal discipline;
-    * the per-user reductions are plain distributed aggregates. */
+    * quantiles by cumulative rank over the (gap → user count) MARGINAL;
+    * the per-user reductions are plain distributed aggregates.
+    *
+    * Scale shape: the gap marginal's cardinality is bounded by the corpus
+    * TIMESPAN in seconds, not by a fixed grid (≈1e8 distinct values at
+    * decade span) — the one marginal in the repo that grows with data, so
+    * the cumulative rank is the q91 TWO-PHASE prefix sum, not a naked
+    * `Window.orderBy(gap)`: local prefix within day blocks
+    * (`gap div [[GapBlockSec]]`, ≤ 86 400 distinct gaps per partition),
+    * block offsets from a window over the per-block totals (timespan/1 day
+    * rows — a true bounded grid), broadcast-joined back. Identical `cum`
+    * to the single-window form at any split; the quantile filters then
+    * rank-select as before. */
+  /** q163 prefix-sum block width: one day of whole-second gaps. Caps the
+    * per-partition local prefix at 86 400 rows and sizes the block grid at
+    * timespan/1day (≈3.7k rows per decade). */
+  val GapBlockSec = 86400L
+
   def q163ConversionLatency(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_type"),
       col("ts").cast("long").as("sec"))
@@ -555,10 +570,18 @@ object Relational {
       .filter(col("sec") >= col("v0"))
       .groupBy("user_id").agg(min(col("sec") - col("v0")).as("gap"))
     val marg = gaps.groupBy("gap").agg(count(lit(1)).as("nu"))
+      .withColumn("block", expr(s"gap div $GapBlockSec"))
       .localCheckpoint(true) // distinct-gap rows feed totals + 2 quantiles
-    val cum = marg.withColumn("cum", sum("nu").over(
-      Window.orderBy("gap").rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)))
+    val wLocal = Window.partitionBy("block").orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlocks = Window.orderBy("block") // ≤ timespan/1day rows: bounded
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = marg.groupBy("block").agg(sum("nu").as("btot"))
+      .withColumn("boff", coalesce(sum("btot").over(wBlocks), lit(0L)))
+      .select("block", "boff")
+    val cum = marg.withColumn("lcum", sum("nu").over(wLocal))
+      .join(offsets, Seq("block"))
+      .withColumn("cum", col("lcum") + col("boff"))
     val tot = marg.agg(sum("nu").as("n_converted"),
       max("gap").as("max_gap_sec"))
     val wt = cum.crossJoin(broadcast(tot))

@@ -245,6 +245,25 @@ object Streaming {
     * caller's catalog handles (a real Iceberg catalog dedups by commit;
     * the parquet-backed local one documents at-least-once). Returns the
     * started query; the caller owns its lifecycle. */
+  /** Crash-injection point for the exactly-once specs: every lake sink
+    * calls [[CrashHook.fire]] as the LAST statement of its foreachBatch
+    * body — after the epoch's appends, before Structured Streaming commits
+    * the epoch to the checkpoint. A test that arms the hook gets a query
+    * that dies exactly in the at-least-once window the replay guards exist
+    * for (appends persisted, offset commit lost); restarting from the same
+    * checkpoint redelivers the epoch, and the guards must absorb it.
+    * Unarmed (production) it is a single volatile read. */
+  private[ops] object CrashHook {
+    private val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    /** Arm: the NEXT sink epoch to complete its appends throws (one-shot). */
+    private[ops] def arm(): Unit = armed.set(true)
+    private[ops] def disarm(): Unit = armed.set(false)
+    private[ops] def fire(): Unit =
+      if (armed.getAndSet(false))
+        throw new RuntimeException(
+          "injected crash: epoch appended but not checkpoint-committed")
+  }
+
   def sinkToLake(df: DataFrame, catalog: graft.lake.LakeCatalog,
                  ns: String, table: String,
                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -268,11 +287,18 @@ object Streaming {
     * survives restarts, other jobs can read it, and its size is
     * ~32 B/unique doc. At 100 TB keep it bucketed by `fp` so each epoch's
     * anti-join prunes to matching buckets (see
-    * [[graft.ops.Dedup.q75IncrementalDedup]]). At-least-once on epoch
-    * replay matches the plain [[sinkToLake]] contract — a replayed epoch's
-    * rows are all caught by the fingerprint anti-join EXCEPT when the
-    * crash hit between the two appends; a transactional catalog (real
-    * Iceberg) commits both in one snapshot. */
+    * [[graft.ops.Dedup.q75IncrementalDedup]]).
+    *
+    * Exactly-once across mid-epoch crashes (each append is an atomic
+    * catalog commit): the document append runs FIRST under a doc_id
+    * anti-join against the table's existing keys, the fingerprint append
+    * second. Crash between them ⇒ replay recomputes the SAME survivors
+    * (fpTable unchanged), the doc_id guard absorbs the already-appended
+    * rows, and only the fingerprint append runs; crash after both ⇒ the
+    * fingerprint anti-join zeroes the replayed epoch. The reverse order
+    * would lose a doc forever (fp recorded ⇒ replay calls it a dup before
+    * it reached the document table). The guard reads only the document
+    * table's key column — bucket by doc_id on a long-lived ingest. */
   def dedupedSinkToLake(docs: DataFrame, catalog: graft.lake.LakeCatalog,
                         ns: String, table: String, fpTable: String,
                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -294,11 +320,17 @@ object Streaming {
               Seq("fp"), "left_anti")
           else inBatch
         val out = survivors.localCheckpoint(true) // two appends, one compute
-        catalog.ensureTable(ns, table, out.drop("fp").schema)
-        catalog.append(ns, table, out.drop("fp"))
+        val docsOut =
+          if (catalog.tableExists(ns, table))
+            out.drop("fp").join(catalog.load(ns, table).select("doc_id"),
+              Seq("doc_id"), "left_anti")
+          else out.drop("fp")
+        catalog.ensureTable(ns, table, docsOut.schema)
+        catalog.append(ns, table, docsOut)
         val fps = out.select("fp", "doc_id")
         catalog.ensureTable(ns, fpTable, fps.schema)
         catalog.append(ns, fpTable, fps)
+        CrashHook.fire()
       }
       .start()
 
@@ -312,7 +344,14 @@ object Streaming {
     * because the decision math needs the banded self-join + distinct that
     * streaming append mode cannot express without state; per micro-batch
     * it is the exact batch operator, so the streaming face can never
-    * diverge from the oracle-checked q133 semantics. */
+    * diverge from the oracle-checked q133 semantics.
+    *
+    * Replay guard: decisions are keyed by incoming doc, so a replayed
+    * epoch (at-least-once redelivery after a crash) recomputes identical
+    * rows — the `incoming_id` anti-join against the persisted decision
+    * table drops them all, making the decision log exactly-once. Same
+    * bounded-key-read note as [[annIngestSink]]: only the key column of
+    * the decision table is read per epoch. */
   def indexDedupSink(docs: DataFrame, index: DataFrame,
                      catalog: graft.lake.LakeCatalog, ns: String,
                      table: String, checkpointDir: String)
@@ -322,10 +361,16 @@ object Streaming {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession // cloned session per epoch
-        val decisions =
+        val all =
           graft.ops.Dedup.dedupAgainstIndex(s, batch.toDF(), index)
+        val decisions =
+          if (catalog.tableExists(ns, table))
+            all.join(catalog.load(ns, table).select("incoming_id").distinct(),
+              Seq("incoming_id"), "left_anti")
+          else all
         catalog.ensureTable(ns, table, decisions.schema)
         catalog.append(ns, table, decisions)
+        CrashHook.fire()
       }
       .start()
 
@@ -371,6 +416,7 @@ object Streaming {
           else all
         catalog.ensureTable(ns, table, rows.schema)
         catalog.append(ns, table, rows)
+        CrashHook.fire()
       }
       .start()
   }
@@ -418,6 +464,7 @@ object Streaming {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         statsEpoch(batch.toDF(), epoch, catalog, ns, table)
+        CrashHook.fire()
       }
       .start()
 

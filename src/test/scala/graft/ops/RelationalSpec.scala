@@ -220,6 +220,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.getAs[Long]("max_gap_sec") == gaps.max)
   }
 
+  test("q163 rides the two-phase prefix sum: every unpartitioned window " +
+    "is the per-day block grid, never the distinct-gap marginal") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = (p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case q: QueryStageExec => windows(q.plan)
+      case w: WindowExec => Seq(w)
+      case _ => Seq.empty
+    }) ++ p.children.flatMap(windows)
+    val q = Relational.q163ConversionLatency(spark, sf)
+    // the two window shapes may each appear several times (the p50/p90
+    // branches re-plan `cum`); the invariant is on KINDS, not node count
+    val wins = windows(q.queryExecution.executedPlan)
+    val (unpart, part) = wins.partition(_.partitionSpec.isEmpty)
+    // the local prefix partitions by block (small partitions at any span)
+    assert(part.nonEmpty &&
+      part.forall(_.partitionSpec.exists(_.toString.contains("block"))))
+    // every unpartitioned window is the block-offset prefix, ordered on
+    // the day-block grid (timespan/1 day rows) — the gap marginal itself
+    // (cardinality ~ timespan in SECONDS) never flows through one task
+    assert(unpart.nonEmpty && unpart.forall(w =>
+      w.orderSpec.exists(_.child.toString.contains("block")) &&
+        !w.orderSpec.exists(_.child.toString.contains("gap"))),
+      unpart.map(_.simpleStringWithNodeId()).mkString("; "))
+  }
+
   test("q161 integrity audit: orphan counts match key-set arithmetic") {
     val out = Relational.q161IntegrityAudit(spark, sf).collect()(0)
     val liKeys = Tables.lineitem(spark, sf).select("l_orderkey").collect()
