@@ -59,6 +59,13 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   /** Root of the table's snapshot data directories. */
   protected def dataDir(ns: String, table: String): Path
 
+  /** Where snapshot manifest-list files live — the table's `metadata/`
+    * directory, as in Iceberg proper. Keeping them OUT of `data/` keeps the
+    * storage audit's data-byte math exact (expiry's reclaimable-bytes
+    * promise is measured over data dirs only). */
+  protected def manifestDir(ns: String, table: String): Path =
+    dataDir(ns, table).getParent.resolve("metadata")
+
   // ---- commit loop -----------------------------------------------------
 
   override def tableExists(ns: String, table: String): Boolean =
@@ -93,33 +100,86 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   }
 
   // ---- metadata document -----------------------------------------------
+  //
+  // The document follows the PUBLIC Iceberg v2 table-metadata field layout
+  // (the spec pyiceberg 0.6.1 implements for the reference,
+  // `/root/reference/target_iceberg/sinks.py:96-100`): format-version,
+  // table-uuid, location, last-sequence-number, last-updated-ms,
+  // last-column-id, schemas/current-schema-id, partition-specs/
+  // default-spec-id/last-partition-id, sort-orders/default-sort-order-id,
+  // properties, current-snapshot-id, snapshots (snapshot-id,
+  // parent-snapshot-id, sequence-number, timestamp-ms, manifest-list,
+  // summary.operation, schema-id), snapshot-log, metadata-log.
+  // DOCUMENTED DIVERGENCES, only where the spec demands Avro or where the
+  // sandbox cannot (IcebergMetadataSpec pins both the conformant fields
+  // and these):
+  //  - `manifest-list` points at a JSON file (list of
+  //    {manifest-path, content} entries naming this snapshot's data dirs)
+  //    instead of an Avro manifest list — no Avro writer in the jar-less
+  //    sandbox; each snapshot also carries a `live` array (the same dir
+  //    set inline) which is what THIS catalog's reader uses.
+  //  - nested field `type`s (array/map/struct) are Spark catalogStrings,
+  //    not the spec's nested type objects; primitives use Iceberg names.
+  //  - each schema object carries an extra `spark-schema` node (the exact
+  //    StructType JSON this catalog round-trips); extra fields are legal —
+  //    Iceberg readers ignore unknown fields.
 
-  /** Iceberg-style field list (id/name/required/type) alongside the exact
-    * Spark schema JSON: ids are assigned depth-first at the top level, the
-    * simple half of SchemaConv's Singer assignment — enough for an external
-    * Iceberg reader to map columns; the `spark-schema` node is what this
-    * catalog itself round-trips. */
-  private def schemaNode(schema: StructType): ObjectNode = {
+  /** Spark catalogString → Iceberg primitive type name. Nested types keep
+    * the Spark string (documented divergence above). */
+  private def icebergType(catalogString: String): String =
+    catalogString match {
+      case "bigint"                   => "long"
+      case "smallint" | "tinyint"     => "int"
+      case "timestamp"                => "timestamptz"
+      case "timestamp_ntz"            => "timestamp"
+      case other                      => other // int/string/double/float/
+                                               // boolean/date/binary/
+                                               // decimal(p,s) already match
+    }
+
+  /** One spec-layout schema object: struct type, schema-id, field list
+    * with id/name/required/type (ids assigned at the top level, the simple
+    * half of SchemaConv's Singer assignment), plus the exact Spark schema
+    * JSON as the `spark-schema` extension this catalog round-trips. */
+  private def schemaNode(schema: StructType, schemaId: Int): ObjectNode = {
     val node = mapper.createObjectNode()
     node.put("type", "struct")
+    node.put("schema-id", schemaId)
     val fields = node.putArray("fields")
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val fn = fields.addObject()
       fn.put("id", i + 1)
       fn.put("name", f.name)
       fn.put("required", !f.nullable)
-      fn.put("type", f.dataType.catalogString)
+      fn.put("type", icebergType(f.dataType.catalogString))
     }
     node.put("spark-schema", schema.json)
     node
   }
 
+  private def currentSchemaNode(meta: ObjectNode): JsonNode = {
+    val cur = meta.get("current-schema-id").asInt()
+    meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == cur)
+      .getOrElse(throw new IllegalStateException(
+        s"current-schema-id $cur missing from schemas"))
+  }
+
   private def metaSchema(meta: ObjectNode): StructType =
-    DataType.fromJson(meta.get("schema").get("spark-schema").asText())
+    DataType.fromJson(currentSchemaNode(meta).get("spark-schema").asText())
       .asInstanceOf[StructType]
 
-  private def metaPartitionCols(meta: ObjectNode): Seq[String] =
-    meta.get("partition-spec").elements().asScala.map(_.asText()).toSeq
+  /** Identity-transform partition columns of the default spec (bucket[N]
+    * fields describe layout, not directory partitioning). */
+  private def metaPartitionCols(meta: ObjectNode): Seq[String] = {
+    val specId = meta.get("default-spec-id").asInt()
+    meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == specId)
+      .map(_.get("fields").elements().asScala
+        .filter(_.get("transform").asText() == "identity")
+        .map(_.get("name").asText()).toSeq)
+      .getOrElse(Seq.empty)
+  }
 
   /** Live snapshot dirs of the current snapshot, oldest first, resolved
     * against the table's data dir. */
@@ -131,14 +191,44 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       .getOrElse(Seq.empty)
   }
 
-  private def newMeta(schema: StructType, partitionBy: Seq[String],
+  private def newMeta(location: String, schema: StructType,
+                      partitionBy: Seq[String],
                       bucket: Option[(Seq[String], Int)]): ObjectNode = {
     val meta = mapper.createObjectNode()
     meta.put("format-version", 2)
     meta.put("table-uuid", java.util.UUID.randomUUID().toString)
-    meta.set[JsonNode]("schema", schemaNode(schema))
-    val spec = meta.putArray("partition-spec")
-    partitionBy.foreach(spec.add)
+    meta.put("location", location)
+    meta.put("last-sequence-number", 0L)
+    meta.put("last-column-id", schema.fields.length)
+    meta.put("current-schema-id", 0)
+    meta.putArray("schemas").add(schemaNode(schema, 0))
+    val fieldId = schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val spec = mapper.createObjectNode()
+    spec.put("spec-id", 0)
+    val specFields = spec.putArray("fields")
+    val partFields: Seq[(String, String, Int)] = bucket match {
+      case Some((cols, n)) =>
+        cols.map(c => (s"${c}_bucket", s"bucket[$n]", fieldId(c)))
+      case None =>
+        partitionBy.map(c => (c, "identity", fieldId(c)))
+    }
+    partFields.zipWithIndex.foreach { case ((name, transform, srcId), i) =>
+      val f = specFields.addObject()
+      f.put("name", name)
+      f.put("transform", transform)
+      f.put("source-id", srcId)
+      f.put("field-id", 1000 + i)
+    }
+    meta.putArray("partition-specs").add(spec)
+    meta.put("default-spec-id", 0)
+    meta.put("last-partition-id", 999 + partFields.length)
+    val order = mapper.createObjectNode()
+    order.put("order-id", 0)
+    order.putArray("fields")
+    meta.putArray("sort-orders").add(order)
+    meta.put("default-sort-order-id", 0)
+    meta.putObject("properties")
     bucket match {
       case Some((cols, n)) =>
         val b = meta.putObject("bucket-spec")
@@ -146,20 +236,58 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         b.put("num-buckets", n)
       case None => meta.putNull("bucket-spec")
     }
-    meta.put("current-snapshot-id", 0L)
+    meta.put("current-snapshot-id", -1L)
     meta.putArray("snapshots")
+    meta.putArray("snapshot-log")
+    meta.putArray("metadata-log")
     meta
   }
 
+  /** Iceberg snapshot summary.operation vocabulary (append, replace,
+    * overwrite, delete); our richer internal op names map onto it and are
+    * kept verbatim in the sibling `operation` extension field. */
+  private def summaryOperation(op: String): String = op match {
+    case "append"    => "append"
+    case "overwrite" => "overwrite"
+    case _           => "replace" // replace, rollback, compaction rewrites
+  }
+
   /** Append a snapshot entry to `meta` and make it current. `live` is the
-    * full live set AFTER this commit. */
-  private def addSnapshot(meta: ObjectNode, operation: String,
-                          live: Seq[String]): ObjectNode = {
-    val id = meta.get("current-snapshot-id").asLong() + 1
+    * full live set AFTER this commit; it is emitted inline (the reader's
+    * source of truth) AND as a JSON manifest-list file (the spec's
+    * pointer-to-file shape, JSON standing in for Avro — see the divergence
+    * note above). Runs inside the CAS loop: a lost race re-derives and
+    * writes a fresh manifest-list file; the loser's file is tiny orphan
+    * debt the expiry pass's storage audit already accounts for. */
+  private def addSnapshot(ns: String, table: String, meta: ObjectNode,
+                          operation: String, live: Seq[String]): ObjectNode = {
+    val id = meta.get("last-sequence-number").asLong() + 1
+    val parent = meta.get("current-snapshot-id").asLong()
+    val now = System.currentTimeMillis()
+    val manifests = mapper.createArrayNode()
+    live.foreach { dir =>
+      val m = manifests.addObject()
+      m.put("manifest-path", dataDir(ns, table).resolve(dir).toString)
+      m.put("content", "data")
+    }
+    val mlPath = manifestDir(ns, table)
+      .resolve(s"manifest-list-$id-${java.util.UUID.randomUUID()}.json")
+    Files.createDirectories(mlPath.getParent)
+    Files.writeString(mlPath, manifests.toString)
     val snap = meta.get("snapshots").asInstanceOf[ArrayNode].addObject()
     snap.put("snapshot-id", id)
+    if (parent >= 0) snap.put("parent-snapshot-id", parent)
+    snap.put("sequence-number", id)
+    snap.put("timestamp-ms", now)
+    snap.put("manifest-list", mlPath.toString)
+    snap.putObject("summary").put("operation", summaryOperation(operation))
+    snap.put("schema-id", meta.get("current-schema-id").asInt())
     snap.put("operation", operation)
     val arr = snap.putArray("live"); live.foreach(arr.add)
+    val logEntry = meta.get("snapshot-log").asInstanceOf[ArrayNode].addObject()
+    logEntry.put("timestamp-ms", now)
+    logEntry.put("snapshot-id", id)
+    meta.put("last-sequence-number", id)
     meta.put("current-snapshot-id", id)
     meta
   }
@@ -170,7 +298,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                            partitionBy: Seq[String]): Unit = {
     ensureNamespace(ns)
     commit(ns, table) {
-      case None => Some(newMeta(schema, partitionBy, None))
+      case None => Some(newMeta(dataDir(ns, table).getParent.toString,
+        schema, partitionBy, None))
       case Some(meta) =>
         // creation race: the loser lands here against the winner's v1 and
         // re-runs as plain evolution — no second create ever published
@@ -179,10 +308,17 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
         if (added.isEmpty) None
         else {
-          // additive evolution: publish a metadata version with the widened
-          // schema; existing snapshots keep their layout, load() aligns
+          // additive evolution, spec-style: APPEND a new schema object with
+          // the next schema-id and point current-schema-id at it — history
+          // keeps every schema; existing snapshots keep their layout,
+          // load() aligns
           val widened = StructType(existing.fields ++ added)
-          meta.set[JsonNode]("schema", schemaNode(widened))
+          val nextId = meta.get("schemas").elements().asScala
+            .map(_.get("schema-id").asInt()).max + 1
+          meta.get("schemas").asInstanceOf[ArrayNode]
+            .add(schemaNode(widened, nextId))
+          meta.put("current-schema-id", nextId)
+          meta.put("last-column-id", widened.fields.length)
           Some(meta)
         }
     }
@@ -220,7 +356,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table vanished mid-append"))
-      Some(addSnapshot(meta, "append", liveSnapshots(meta) :+ snap))
+      Some(addSnapshot(ns, table, meta, "append",
+        liveSnapshots(meta) :+ snap))
     }
   }
 
@@ -232,7 +369,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table vanished mid-overwrite"))
-      Some(addSnapshot(meta, "overwrite", Seq(snap)))
+      Some(addSnapshot(ns, table, meta, "overwrite", Seq(snap)))
     }
   }
 
@@ -254,8 +391,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         clustered.sortWithinPartitions(sortCols.map(col): _*)
       else clustered
     val snap = writeSnapshot(ns, table, sorted, Nil, Map.empty)
-    commit(ns, table)(_ => Some(addSnapshot(
-      newMeta(df.schema, Nil, Some((bucketCols, numBuckets))),
+    commit(ns, table)(_ => Some(addSnapshot(ns, table,
+      newMeta(dataDir(ns, table).getParent.toString, df.schema, Nil,
+        Some((bucketCols, numBuckets))),
       "overwrite", Seq(snap))))
   }
 
@@ -287,7 +425,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           .getOrElse(throw new IllegalArgumentException(
             s"no snapshot $snapshotId on $ns.$table"))
         val live = snap.get("live").elements().asScala.map(_.asText()).toSeq
-        Some(addSnapshot(meta, "rollback", live))
+        Some(addSnapshot(ns, table, meta, "rollback", live))
     }
 
   /** Row-level snapshot diff — the changelog read an Iceberg incremental
@@ -360,6 +498,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   def expireSnapshots(ns: String, table: String, keepLast: Int = 1): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     var orphaned: Set[String] = Set.empty
+    var droppedManifestLists: Seq[String] = Seq.empty
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table does not exist"))
@@ -367,16 +506,28 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       if (snaps.size <= keepLast) { orphaned = Set.empty; None }
       else {
         val (drop, keep) = snaps.splitAt(snaps.size - keepLast)
+        droppedManifestLists = drop
+          .flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
         def dirsOf(s: Seq[JsonNode]): Set[String] =
           s.flatMap(_.get("live").elements().asScala.map(_.asText())).toSet
         orphaned = dirsOf(drop) -- dirsOf(keep)
         val arr = mapper.createArrayNode()
         keep.foreach(arr.add)
         meta.set[JsonNode]("snapshots", arr)
+        // keep snapshot-log consistent with the trimmed snapshot set (the
+        // spec requires every log entry's id to resolve)
+        val keptIds = keep.map(_.get("snapshot-id").asLong()).toSet
+        val log = mapper.createArrayNode()
+        Option(meta.get("snapshot-log")).foreach(_.elements().asScala
+          .filter(e => keptIds.contains(e.get("snapshot-id").asLong()))
+          .foreach(log.add))
+        meta.set[JsonNode]("snapshot-log", log)
         Some(meta)
       }
     }
     orphaned.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
+    droppedManifestLists.foreach(p =>
+      Files.deleteIfExists(java.nio.file.Paths.get(p)))
   }
 
   private def dirStats(ns: String, table: String,
@@ -472,7 +623,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     commit(ns, table) { base =>
       val cur = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table vanished mid-compact"))
-      Some(addSnapshot(cur, "replace", Seq(snap)))
+      Some(addSnapshot(ns, table, cur, "replace", Seq(snap)))
     }
   }
 }

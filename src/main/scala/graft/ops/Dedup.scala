@@ -42,6 +42,10 @@ object Dedup {
       .orderBy("keep_id")
 
   val NumHashes = 16
+  // q148's est_ppm = n_match * 1000000 div NumHashes is exact only while
+  // NumHashes divides the ppm scale; a non-divisor would silently truncate.
+  require(1000000 % NumHashes == 0,
+    s"NumHashes=$NumHashes must divide 1000000 for exact est_ppm")
   val BandRows = 4 // 4 bands x 4 rows: P(candidate) = 1-(1-J^4)^4
   private[ops] val NumBands = NumHashes / BandRows
   val MinhashPrime = 2147483647L // 2^31-1; base h < 2^28 so a*h+b < 2^63

@@ -85,11 +85,14 @@ object Pipeline {
                                 sigTable: String,
                                 curatedTable: String): EpochPlan = {
     // bootstrap: a from-scratch stream's first epoch has no index yet —
-    // an empty frame with the signaturesTable schema means "nothing seen"
+    // an empty frame with the signaturesTable schema means "nothing seen".
+    // Columns derive from `id` (not literals) so Catalyst cannot constant-
+    // fold the band-key element_at over a foldable empty array.
     val index =
       if (catalog.tableExists(ns, sigTable)) catalog.load(ns, sigTable)
       else s.range(0).select(col("id").as("doc_id"),
-        lit("").as("fp"), array().cast("array<bigint>").as("mh"))
+        col("id").cast("string").as("fp"),
+        array(col("id")).as("mh"))
     // INTRA-batch dedup first: a crawl batch routinely carries its own
     // copies, which the index (state BEFORE this batch) cannot see. The
     // min-id keeper rule over the batch's own exact + banded-near pair

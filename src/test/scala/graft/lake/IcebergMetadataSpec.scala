@@ -1,0 +1,219 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The snapshot catalogs' metadata document follows the PUBLIC Iceberg v2
+  * table-metadata field layout (the spec pyiceberg 0.6.1 implements for
+  * the reference, `/root/reference/target_iceberg/sinks.py:96-100`). This
+  * spec pins the conformant field list AND the documented divergences:
+  * JSON manifest lists (no Avro writer in the sandbox), Spark
+  * catalogStrings for nested field types, and the `spark-schema` /
+  * `live` / `operation` / `bucket-spec` extension fields (Iceberg readers
+  * ignore unknown fields). */
+class IcebergMetadataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val mapper = new ObjectMapper()
+
+  /** Read the current metadata JSON straight off the directory carrier —
+    * an external reader's view, not this library's. */
+  private def rawMeta(cat: DirectoryLakeCatalog, ns: String,
+                      table: String): JsonNode = {
+    val md = cat.root.resolve(ns).resolve(table).resolve("metadata")
+    val versions = Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
+        s.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+      .toSeq
+    assert(versions.nonEmpty, s"no metadata versions under $md")
+    mapper.readTree(Files.readString(
+      md.resolve(s"v${versions.max}.metadata.json")))
+  }
+
+  private def mkTable(cat: DirectoryLakeCatalog, ns: String): Unit = {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5))
+      .toDF("id", "name", "score")
+    cat.ensureTable(ns, "t", df.schema)
+    cat.append(ns, "t", df)
+    cat.append(ns, "t", Seq((3L, "c", 3.5)).toDF("id", "name", "score"))
+  }
+
+  test("table metadata carries every required Iceberg v2 field") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icemeta_${System.nanoTime()}"
+    try {
+      mkTable(cat, ns)
+      val m = rawMeta(cat, ns, "t")
+      // the v2 required top-level fields
+      assert(m.get("format-version").asInt() == 2)
+      assert(m.get("table-uuid").asText().matches(
+        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+      assert(m.get("location").asText().endsWith(s"$ns/t"))
+      assert(m.get("last-sequence-number").asLong() == 2L)
+      assert(m.get("last-updated-ms").asLong() > 0L)
+      assert(m.get("last-column-id").asInt() == 3)
+      // schemas + current-schema-id resolve
+      val curSchema = m.get("current-schema-id").asInt()
+      val schema = m.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == curSchema)
+      assert(schema.isDefined, "current-schema-id must resolve in schemas")
+      assert(schema.get.get("type").asText() == "struct")
+      val fields = schema.get.get("fields").elements().asScala.toSeq
+      assert(fields.map(f => (f.get("id").asInt(), f.get("name").asText(),
+        f.get("type").asText())) ==
+        Seq((1, "id", "long"), (2, "name", "string"), (3, "score", "double")),
+        "field ids/names/Iceberg primitive types")
+      assert(fields.forall(_.has("required")))
+      // partition-specs + default-spec-id resolve; unpartitioned = no fields
+      val specId = m.get("default-spec-id").asInt()
+      val spec = m.get("partition-specs").elements().asScala
+        .find(_.get("spec-id").asInt() == specId)
+      assert(spec.isDefined && spec.get.get("fields").size() == 0)
+      assert(m.get("last-partition-id").asInt() == 999)
+      // sort-orders + default-sort-order-id resolve
+      val orderId = m.get("default-sort-order-id").asInt()
+      assert(m.get("sort-orders").elements().asScala
+        .exists(_.get("order-id").asInt() == orderId))
+      assert(m.get("properties").isObject)
+      assert(m.has("metadata-log"))
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("snapshots carry the v2 snapshot fields; snapshot-log tracks them") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icesnap_${System.nanoTime()}"
+    try {
+      mkTable(cat, ns)
+      val m = rawMeta(cat, ns, "t")
+      val snaps = m.get("snapshots").elements().asScala.toSeq
+      assert(snaps.size == 2)
+      snaps.foreach { s =>
+        assert(s.get("snapshot-id").asLong() > 0L)
+        assert(s.get("sequence-number").asLong() ==
+          s.get("snapshot-id").asLong())
+        assert(s.get("timestamp-ms").asLong() > 0L)
+        assert(Set("append", "replace", "overwrite", "delete")
+          .contains(s.get("summary").get("operation").asText()),
+          "summary.operation uses the spec vocabulary")
+        assert(s.has("schema-id"))
+      }
+      // the second append's parent is the first snapshot
+      assert(snaps(1).get("parent-snapshot-id").asLong() ==
+        snaps(0).get("snapshot-id").asLong())
+      assert(m.get("current-snapshot-id").asLong() ==
+        snaps(1).get("snapshot-id").asLong())
+      // snapshot-log: one entry per commit, ids resolve, time monotonic
+      val log = m.get("snapshot-log").elements().asScala.toSeq
+      assert(log.map(_.get("snapshot-id").asLong()) ==
+        snaps.map(_.get("snapshot-id").asLong()))
+      assert(log.map(_.get("timestamp-ms").asLong())
+        .sliding(2).forall(w => w.size < 2 || w(0) <= w(1)))
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("manifest-list is a readable JSON file naming the snapshot's data " +
+    "dirs (documented Avro divergence)") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"iceml_${System.nanoTime()}"
+    try {
+      mkTable(cat, ns)
+      val m = rawMeta(cat, ns, "t")
+      val cur = m.get("current-snapshot-id").asLong()
+      val snap = m.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == cur).get
+      val mlPath = Paths.get(snap.get("manifest-list").asText())
+      assert(Files.exists(mlPath), s"manifest-list file missing: $mlPath")
+      val entries = mapper.readTree(Files.readString(mlPath))
+        .elements().asScala.toSeq
+      val live = snap.get("live").elements().asScala.map(_.asText()).toSeq
+      assert(entries.size == live.size && live.size == 2,
+        "second append references both snapshots' dirs")
+      assert(entries.map(_.get("manifest-path").asText()).toSet ==
+        live.map(d => cat.root.resolve(ns).resolve("t").resolve("data")
+          .resolve(d).toString).toSet)
+      assert(entries.forall(_.get("content").asText() == "data"))
+      entries.map(_.get("manifest-path").asText()).foreach(p =>
+        assert(Files.isDirectory(Paths.get(p)),
+          "every manifest-path names an existing data dir"))
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("schema evolution appends a schema object and bumps " +
+    "current-schema-id/last-column-id (history kept)") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"iceevo_${System.nanoTime()}"
+    try {
+      mkTable(cat, ns)
+      cat.ensureTable(ns, "t",
+        Seq((1L, "a", 1.5, 7L)).toDF("id", "name", "score", "extra").schema)
+      val m = rawMeta(cat, ns, "t")
+      val schemas = m.get("schemas").elements().asScala.toSeq
+      assert(schemas.map(_.get("schema-id").asInt()) == Seq(0, 1))
+      assert(m.get("current-schema-id").asInt() == 1)
+      assert(m.get("last-column-id").asInt() == 4)
+      assert(schemas(1).get("fields").elements().asScala.toSeq
+        .map(_.get("name").asText()) == Seq("id", "name", "score", "extra"))
+      // old snapshots still read, NULL-filled in the new column
+      val rows = cat.load(ns, "t").collect()
+      assert(rows.length == 3 && rows.forall(_.isNullAt(3)))
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("partitioned and bucketed tables express their layout as " +
+    "partition-spec transforms") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icepart_${System.nanoTime()}"
+    try {
+      val df = Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "part")
+      cat.ensureTable(ns, "p", df.schema, Seq("part"))
+      cat.append(ns, "p", df)
+      val mp = rawMeta(cat, ns, "p")
+      val pf = mp.get("partition-specs").get(0).get("fields").get(0)
+      assert(pf.get("name").asText() == "part" &&
+        pf.get("transform").asText() == "identity" &&
+        pf.get("source-id").asInt() == 3 &&
+        pf.get("field-id").asInt() == 1000)
+      assert(mp.get("last-partition-id").asInt() == 1000)
+
+      cat.writeBucketed(ns, "b", df, Seq("id"), 4, Seq("id"))
+      val mb = rawMeta(cat, ns, "b")
+      val bf = mb.get("partition-specs").get(0).get("fields").get(0)
+      assert(bf.get("name").asText() == "id_bucket" &&
+        bf.get("transform").asText() == "bucket[4]" &&
+        bf.get("source-id").asInt() == 1)
+      // bucket transforms describe layout, not directory partitioning:
+      // the loader must NOT treat them as partition columns
+      assert(cat.load(ns, "b").count() == 2)
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("expireSnapshots trims snapshot-log in step and deletes dropped " +
+    "manifest-list files") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"iceexp_${System.nanoTime()}"
+    try {
+      mkTable(cat, ns)
+      val before = rawMeta(cat, ns, "t")
+      val droppedMl = Paths.get(before.get("snapshots").get(0)
+        .get("manifest-list").asText())
+      assert(Files.exists(droppedMl))
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      val m = rawMeta(cat, ns, "t")
+      val ids = m.get("snapshots").elements().asScala
+        .map(_.get("snapshot-id").asLong()).toSeq
+      assert(ids.size == 1)
+      assert(m.get("snapshot-log").elements().asScala
+        .map(_.get("snapshot-id").asLong()).toSeq == ids,
+        "snapshot-log entries must all resolve after expiry")
+      assert(!Files.exists(droppedMl),
+        "expired snapshot's manifest-list file reclaimed")
+    } finally cat.dropNamespace(ns)
+  }
+}

@@ -64,8 +64,10 @@ class CodebookPersistenceSpec extends AnyFunSuite {
     val refCells = Similarity.q85KMeans(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"))).toMap
     val sample = Tables.embeddings(spark, sf)
-      .select("vec_id", "embedding").orderBy("vec_id").limit(3).collect()
+      .select("vec_id", "embedding").orderBy("vec_id").limit(4).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val crashVec = sample.last // held back for the mid-epoch crash phase
+    val clean = sample.dropRight(1)
 
     // session B: install from the lake, stream vectors through the ingest
     // sink — zero training observed on either quantizer
@@ -78,21 +80,22 @@ class CodebookPersistenceSpec extends AnyFunSuite {
     import b.implicits._
     val in = MemoryStream[(Long, Seq[Float])]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ckpt").toString
-    val q = Streaming.annIngestSink(b, sf,
+    def start() = Streaming.annIngestSink(b, sf,
       in.toDF().toDF("vec_id", "embedding"), cat, ns, "ann_index", ckpt)
+    val q = start()
     try {
       // epoch 1 carries an INTRA-batch duplicate (at-least-once redelivery
       // inside the epoch) — it must index once
-      in.addData((sample.take(2) :+ sample.head).toSeq)
+      in.addData((clean.take(2) :+ clean.head).toSeq)
       q.processAllAvailable()
-      in.addData(sample.drop(2).toSeq) // epoch 2 appends
+      in.addData(clean.drop(2).toSeq) // epoch 2 appends
       q.processAllAvailable()
       // an at-least-once replay of already-indexed vectors must not
       // duplicate their index rows (the anti-join guard)
-      in.addData(sample.take(2).toSeq)
+      in.addData(clean.take(2).toSeq)
       q.processAllAvailable()
       val rows = cat.load(ns, "ann_index").collect()
-      assert(rows.length == sample.length,
+      assert(rows.length == clean.length,
         "replayed vectors were appended twice")
       rows.foreach { r =>
         val id = r.getAs[Long]("vec_id")
@@ -103,7 +106,27 @@ class CodebookPersistenceSpec extends AnyFunSuite {
       assert(Similarity.kmeansFits.get() == kBefore &&
         Similarity.pqFits.get() == pBefore,
         "session B observed ZERO training loops on either quantizer")
+      // mid-epoch crash: the index row appended, the checkpoint commit
+      // lost — restarting from the same checkpoint redelivers the epoch
+      // and the vec_id anti-join must absorb it
+      Streaming.CrashHook.arm()
+      in.addData(Seq(crashVec))
+      intercept[Exception](q.processAllAvailable())
+      assert(cat.load(ns, "ann_index")
+        .filter(org.apache.spark.sql.functions.col("vec_id") === crashVec._1)
+        .count() == 1, "the crashed epoch's append should have landed")
+      val q2 = start()
+      try {
+        q2.processAllAvailable() // replay
+        assert(cat.load(ns, "ann_index").count() == sample.length.toLong,
+          "replayed crash epoch duplicated index rows")
+        assert(cat.load(ns, "ann_index")
+          .groupBy("vec_id").count()
+          .filter(org.apache.spark.sql.functions.col("count") > 1)
+          .count() == 0)
+      } finally q2.stop()
     } finally {
+      graft.ops.Streaming.CrashHook.disarm()
       q.stop()
       cat.dropNamespace(ns)
     }

@@ -108,6 +108,179 @@ class PipelineSpec extends AnyFunSuite {
     assert(curated.filter(col("doc_id") === 9400002L).count() == 0)
   }
 
+  // ≥ GateMinTokens distinct-word docs; mutually non-near-dup so only the
+  // copies we PLANT dedup
+  private val novelA = "the migratory patterns of arctic terns span " +
+    "hemispheres while coastal winds carry them across open water toward " +
+    "nesting grounds that shift gradually with every warming season in " +
+    "turn and researchers tracking individual birds recorded journeys " +
+    "exceeding seventy thousand kilometers within a single year making " +
+    "these seabirds the most widely traveled vertebrates known"
+  private val novelB = "volcanic glass forms when molten rock cools too " +
+    "quickly for crystals to arrange themselves and ancient toolmakers " +
+    "prized the resulting obsidian for edges sharper than surgical steel " +
+    "trading cores of it along routes that archaeologists now reconstruct " +
+    "by matching trace element fingerprints between quarry outcrops and " +
+    "distant settlement sites across several continents"
+  private val novelC = "deep ocean vents sustain ecosystems that never " +
+    "see sunlight where bacteria oxidize dissolved minerals to power " +
+    "food webs of tube worms and blind shrimp and every expedition to " +
+    "these ridges catalogs species unknown to science suggesting the " +
+    "chemosynthetic biosphere rivals surface life in its diversity while " +
+    "remaining almost entirely unexplored by humanity"
+
+  private def doc(id: Long, text: String) =
+    (id, text, "en", "crawl", text.length.toLong)
+
+  private def seeded(ns: String): graft.lake.DirectoryLakeCatalog = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    Dedup.signaturesTable(spark, sf, cat, ns)
+    Pipeline.curateCorpus(spark, sf, cat, ns)
+    cat
+  }
+
+  test("curateStream: one epoch equals curateIncrement on the same batch; " +
+    "a replayed batch is a no-op (one-definition-two-modes)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val catB = seeded("cs")
+    val catS = seeded("cs")
+    val corpusText = Tables.documents(spark, sf)
+      .orderBy("doc_id").limit(1).collect()(0).getAs[String]("text")
+    val batch = Seq(
+      doc(9500001L, corpusText),      // index dup
+      (9500002L, "tiny", "en", "crawl", 4L), // gated
+      doc(9500003L, novelA))          // kept
+    val batchDf = batch.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cs-ckpt").toString
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val q = Pipeline.curateStream(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      catS, "cs", ckpt)
+    try {
+      in.addData(batch)
+      q.processAllAvailable()
+      val repB = Pipeline.curateIncrement(spark, batchDf, catB, "cs")
+        .collect()(0)
+      val led = catS.load("cs", "curation_epochs").collect()
+      assert(led.length == 1 && led(0).getAs[Long]("epoch") == 0L)
+      Seq("n_incoming", "n_dup", "n_gated", "n_appended").foreach(c =>
+        assert(led(0).getAs[Long](c) == repB.getAs[Long](c),
+          s"$c: streamed=${led(0).getAs[Long](c)} batch=${repB.getAs[Long](c)}"))
+      def state(cat: graft.lake.LakeCatalog) = (
+        cat.load("cs", "documents_curated").select("doc_id", "split")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet,
+        cat.load("cs", "dedup_signatures").select("doc_id")
+          .collect().map(_.getLong(0)).toSet)
+      assert(state(catS) == state(catB),
+        "streamed epoch diverged from the batch face")
+      // replay the same docs as a NEW epoch: all index hits on both faces
+      in.addData(batch)
+      q.processAllAvailable()
+      val repB2 = Pipeline.curateIncrement(spark, batchDf, catB, "cs")
+        .collect()(0)
+      val led2 = catS.load("cs", "curation_epochs")
+        .filter(col("epoch") === 1L).collect()(0)
+      Seq("n_incoming", "n_dup", "n_gated", "n_appended").foreach(c =>
+        assert(led2.getAs[Long](c) == repB2.getAs[Long](c)))
+      assert(led2.getAs[Long]("n_appended") == 0L)
+      assert(state(catS) == state(catB))
+    } finally {
+      q.stop()
+      catB.dropNamespace("cs"); catS.dropNamespace("cs")
+    }
+  }
+
+  test("curateStream mid-epoch crash: appends persisted but epoch " +
+    "uncommitted — restart replays it to exactly-once tables and ledger") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cat = seeded("ccr")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ccr-ckpt").toString
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    def start() = Pipeline.curateStream(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      cat, "ccr", ckpt)
+    val q1 = start()
+    try {
+      in.addData(Seq(doc(9600001L, novelA)))
+      q1.processAllAvailable() // epoch 0, clean
+      val curated0 = cat.load("ccr", "documents_curated").count()
+      val sigs0 = cat.load("ccr", "dedup_signatures").count()
+      Streaming.CrashHook.arm()
+      in.addData(Seq(doc(9600002L, novelB), doc(9600003L, novelC)))
+      intercept[Exception](q1.processAllAvailable()) // dies post-append
+      assert(q1.exception.isDefined)
+      // the at-least-once window is REAL: epoch 1's writes all landed,
+      // only the checkpoint commit is missing
+      assert(cat.load("ccr", "documents_curated").count() == curated0 + 2)
+      assert(cat.load("ccr", "dedup_signatures").count() == sigs0 + 2)
+      assert(cat.load("ccr", "curation_epochs")
+        .filter(col("epoch") === 1L).count() == 1)
+      // restart from the same checkpoint: epoch 1 redelivers and every
+      // guard must absorb it
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(cat.load("ccr", "documents_curated").count() == curated0 + 2,
+          "replayed epoch duplicated curated rows")
+        assert(cat.load("ccr", "dedup_signatures").count() == sigs0 + 2,
+          "replayed epoch duplicated signatures")
+        val led = cat.load("ccr", "curation_epochs").collect()
+        assert(led.count(_.getAs[Long]("epoch") == 1L) == 1,
+          "replayed epoch duplicated its ledger row")
+        // the ledger row is the ORIGINAL (pre-crash) truth, not the
+        // replay's all-dup recount
+        val e1 = led.find(_.getAs[Long]("epoch") == 1L).get
+        assert(e1.getAs[Long]("n_appended") == 2L &&
+          e1.getAs[Long]("n_dup") == 0L)
+        // the stream continues past the recovered epoch
+        in.addData(Seq(doc(9600001L, novelA))) // dup of epoch 0's doc
+        q2.processAllAvailable()
+        val e2 = cat.load("ccr", "curation_epochs")
+          .filter(col("epoch") === 2L).collect()(0)
+        assert(e2.getAs[Long]("n_dup") == 1L &&
+          e2.getAs[Long]("n_appended") == 0L)
+      } finally q2.stop()
+    } finally {
+      Streaming.CrashHook.disarm()
+      q1.stop()
+      cat.dropNamespace("ccr")
+    }
+  }
+
+  test("curateStream bootstraps from an empty catalog (no pre-seeded index)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    cat.ensureNamespace("boot")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-boot-ckpt").toString
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val q = Pipeline.curateStream(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      cat, "boot", ckpt)
+    try {
+      in.addData(Seq(doc(1L, novelA), doc(2L, novelA))) // intra-batch pair
+      q.processAllAvailable()
+      assert(cat.load("boot", "documents_curated").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L))
+      in.addData(Seq(doc(3L, novelA), doc(4L, novelB))) // cross-epoch dup
+      q.processAllAvailable()
+      assert(cat.load("boot", "documents_curated").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+      // signatures carry the SURVIVORS only: 1 (epoch 0) and 4 (epoch 1);
+      // the intra-batch copy 2 and the index hit 3 were never novel
+      assert(cat.load("boot", "dedup_signatures").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    } finally {
+      q.stop()
+      cat.dropNamespace("boot")
+    }
+  }
+
   test("curateCorpus partitioned by split: same rows, prunable layout") {
     val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
     val flat = Pipeline.curateCorpus(spark, sf, cat, "flat")

@@ -544,6 +544,140 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stats sink mid-epoch crash: delta appended, commit lost — restart " +
+    "replays to unchanged totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = s"cstc_${System.nanoTime()}"
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cstc").toString
+    val in = MemoryStream[(Long, String, String)]
+    def start() = Streaming.statsSink(
+      in.toDF().toDF("doc_id", "text", "source"), cat, ns, "stats", ckpt)
+    val q1 = start()
+    try {
+      in.addData((1L, "a b c", "web"))
+      q1.processAllAvailable() // epoch 0, clean
+      Streaming.CrashHook.arm()
+      in.addData((2L, "d e", "web"), (3L, "x", "book"))
+      intercept[Exception](q1.processAllAvailable()) // epoch 1 dies post-append
+      assert(q1.exception.isDefined)
+      // the delta rows DID land — the at-least-once window is real
+      assert(cat.load(ns, "stats").filter(col("epoch") === 1L).count() == 2)
+      val q2 = start() // same checkpoint: epoch 1 redelivers
+      try {
+        q2.processAllAvailable()
+        val totals = Streaming.corpusStats(cat, ns, "stats").collect()
+          .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+        assert(totals == Map("web" -> 2L, "book" -> 1L),
+          s"replayed epoch double-counted: $totals")
+        assert(cat.load(ns, "stats").filter(col("epoch") === 1L).count() == 2)
+        in.addData((4L, "y z", "book")) // the stream continues
+        q2.processAllAvailable()
+        assert(Streaming.corpusStats(cat, ns, "stats").collect()
+          .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs"))
+          .toMap == Map("web" -> 2L, "book" -> 2L))
+      } finally q2.stop()
+    } finally {
+      Streaming.CrashHook.disarm()
+      q1.stop()
+      cat.dropNamespace(ns)
+    }
+  }
+
+  test("deduped sink mid-epoch crash between its two appends: docs landed, " +
+    "fingerprints lost — restart completes the epoch exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = s"ddc_${System.nanoTime()}"
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ddc").toString
+    val in = MemoryStream[(Long, String)]
+    def start() = Streaming.dedupedSinkToLake(
+      in.toDF().toDF("doc_id", "text"), cat, ns, "docs", "docs_fp", ckpt)
+    val q1 = start()
+    try {
+      in.addData((1L, "alpha beta"))
+      q1.processAllAvailable() // epoch 0, clean
+      // the crash hook fires AFTER both appends; the harder interleaving
+      // (docs appended, fingerprints not) is exercised below by hand-
+      // running the replay against a doctored fp table — here we prove the
+      // full-epoch replay first
+      Streaming.CrashHook.arm()
+      in.addData((2L, "gamma delta"))
+      intercept[Exception](q1.processAllAvailable())
+      assert(cat.load(ns, "docs").count() == 2) // appends landed
+      val q2 = start()
+      try {
+        q2.processAllAvailable() // epoch 1 replays: fp anti-join absorbs it
+        assert(cat.load(ns, "docs").select("doc_id").collect()
+          .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+          "replayed epoch duplicated document rows")
+        assert(cat.load(ns, "docs_fp").count() == 2)
+        // the BETWEEN-appends crash: simulate its persisted state by
+        // deleting doc 2's fingerprint row (docs present, fp missing) and
+        // replaying the same batch — the doc_id guard must absorb the doc
+        // append and only the fingerprint append may run
+        val fps = cat.load(ns, "docs_fp").filter(col("doc_id") === 1L)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        cat.overwrite(ns, "docs_fp", fps.toSeq.toDF("fp", "doc_id"))
+        in.addData((2L, "gamma delta")) // redelivery of the same doc
+        q2.processAllAvailable()
+        assert(cat.load(ns, "docs").select("doc_id").collect()
+          .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+          "doc_id guard failed: between-appends replay duplicated the doc")
+        assert(cat.load(ns, "docs_fp").select("doc_id").collect()
+          .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+          "fingerprint append did not complete the interrupted epoch")
+      } finally q2.stop()
+    } finally {
+      Streaming.CrashHook.disarm()
+      q1.stop()
+      cat.dropNamespace(ns)
+    }
+  }
+
+  test("index dedup sink mid-epoch crash: decision log replays exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = s"sidc_${System.nanoTime()}"
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    val index = Dedup.signaturesTable(spark, sf, cat, ns)
+    val probe = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .orderBy(desc("len"), col("doc_id")).head()
+    val srcText = probe.getString(1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sidc").toString
+    val in = MemoryStream[(Long, String)]
+    def start() = Streaming.indexDedupSink(
+      in.toDF().toDF("doc_id", "text"), index, cat, ns, "decisions", ckpt)
+    val q1 = start()
+    try {
+      in.addData((810001L, srcText))
+      q1.processAllAvailable() // epoch 0, clean
+      val d0 = cat.load(ns, "decisions").count()
+      assert(d0 >= 1)
+      Streaming.CrashHook.arm()
+      in.addData((810002L, srcText))
+      intercept[Exception](q1.processAllAvailable())
+      val d1 = cat.load(ns, "decisions").count()
+      assert(d1 > d0) // epoch 1's decisions landed before the crash
+      val q2 = start()
+      try {
+        q2.processAllAvailable() // replay: incoming_id anti-join absorbs it
+        assert(cat.load(ns, "decisions").count() == d1,
+          "replayed epoch duplicated decision rows")
+        assert(cat.load(ns, "decisions")
+          .groupBy("incoming_id", "corpus_id").count()
+          .filter(col("count") > 1).count() == 0)
+      } finally q2.stop()
+    } finally {
+      Streaming.CrashHook.disarm()
+      q1.stop()
+      cat.dropNamespace(ns)
+    }
+  }
+
   test("session windows run under readStream with watermark (smoke)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
