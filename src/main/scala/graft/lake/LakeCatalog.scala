@@ -58,6 +58,25 @@ trait LakeCatalog {
     * whole table (fine for the local catalog); a production Iceberg catalog
     * would rewrite per-partition via its own rewrite_data_files action. */
   def compact(ns: String, table: String, targetFiles: Int): Unit
+
+  /** The shared at-least-once replay guard, used by every streaming lake
+    * sink and the curation faces: drop the rows of `df` whose `key` already
+    * exists in `ns.table`; a missing table passes everything through. Reads
+    * ONLY the key column — on a long-lived ingest keep the guarded table
+    * bucketed/sorted by `key` (or keep a key-only companion table) so the
+    * anti-join prunes to the probed buckets instead of scanning.
+    * `distinctKeys` pre-shrinks the build side when the key repeats across
+    * rows (decision logs keyed by incoming doc, epoch-keyed ledgers);
+    * uniquely-keyed tables skip that extra shuffle. */
+  def exceptExistingKeys(ns: String, table: String, key: String,
+                         df: DataFrame,
+                         distinctKeys: Boolean = false): DataFrame =
+    if (!tableExists(ns, table)) df
+    else {
+      val keys = load(ns, table).select(key)
+      df.join(if (distinctKeys) keys.distinct() else keys,
+        Seq(key), "left_anti")
+    }
 }
 
 /** Type-shape normalization shared by every [[LakeCatalog]] implementation's

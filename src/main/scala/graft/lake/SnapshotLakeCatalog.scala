@@ -72,8 +72,64 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     fetchMeta(ns, table).isDefined
 
   protected def readMeta(ns: String, table: String): ObjectNode =
-    fetchMeta(ns, table).getOrElse(throw new IllegalStateException(
-      s"$ns.$table does not exist"))._2
+    migrateLegacy(ns, table, fetchMeta(ns, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$ns.$table does not exist"))._2)
+
+  /** In-place upgrade of a metadata document written before the Iceberg v2
+    * layout (single `schema` node, `partition-spec` string array,
+    * `current-snapshot-id` doubling as the id counter with 0 = none).
+    * Already-v2 documents pass through untouched; a migrated document is
+    * only PERSISTED by its next write commit — reads never write. Old
+    * snapshot entries keep their `{snapshot-id, operation, live}` shape
+    * (every internal reader of the new per-snapshot fields tolerates their
+    * absence); synthesized snapshot-log timestamps are 0 = unknown. */
+  private def migrateLegacy(ns: String, table: String,
+                            meta: ObjectNode): ObjectNode = {
+    if (meta.has("schemas")) return meta
+    val oldSchema = meta.get("schema").asInstanceOf[ObjectNode]
+    oldSchema.put("schema-id", 0)
+    meta.putArray("schemas").add(oldSchema)
+    meta.remove("schema")
+    meta.put("current-schema-id", 0)
+    meta.put("last-column-id", oldSchema.get("fields").size())
+    val names = oldSchema.get("fields").elements().asScala
+      .map(_.get("name").asText()).toSeq
+    val spec = mapper.createObjectNode()
+    spec.put("spec-id", 0)
+    val specFields = spec.putArray("fields")
+    val partCols = Option(meta.get("partition-spec"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      val f = specFields.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", names.indexOf(c) + 1)
+      f.put("field-id", 1000 + i)
+    }
+    meta.remove("partition-spec")
+    meta.putArray("partition-specs").add(spec)
+    meta.put("default-spec-id", 0)
+    meta.put("last-partition-id", 999 + partCols.size)
+    val order = mapper.createObjectNode()
+    order.put("order-id", 0)
+    order.putArray("fields")
+    meta.putArray("sort-orders").add(order)
+    meta.put("default-sort-order-id", 0)
+    meta.putObject("properties")
+    meta.put("location", dataDir(ns, table).getParent.toString)
+    val lastId = meta.get("current-snapshot-id").asLong()
+    meta.put("last-sequence-number", lastId)
+    if (lastId == 0L) meta.put("current-snapshot-id", -1L)
+    val log = meta.putArray("snapshot-log")
+    meta.get("snapshots").elements().asScala.foreach { sn =>
+      val e = log.addObject()
+      e.put("timestamp-ms", 0L)
+      e.put("snapshot-id", sn.get("snapshot-id").asLong())
+    }
+    meta.putArray("metadata-log")
+    meta
+  }
 
   /** The multi-writer commit loop. `update` sees the current committed
     * metadata (None = table not yet created) and returns the metadata to
@@ -86,7 +142,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     var attempt = 0
     while (true) {
       val cur = fetchMeta(ns, table)
-      update(cur.map(_._2)) match {
+      update(cur.map(t => migrateLegacy(ns, table, t._2))) match {
         case None => return
         case Some(meta) =>
           meta.put("last-updated-ms", System.currentTimeMillis())
@@ -258,7 +314,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * pointer-to-file shape, JSON standing in for Avro — see the divergence
     * note above). Runs inside the CAS loop: a lost race re-derives and
     * writes a fresh manifest-list file; the loser's file is tiny orphan
-    * debt the expiry pass's storage audit already accounts for. */
+    * debt that [[expireSnapshots]]' manifest GC reclaims (any unreferenced
+    * manifest-list whose sequence id is at or below the newest expired
+    * snapshot's). */
   private def addSnapshot(ns: String, table: String, meta: ObjectNode,
                           operation: String, live: Seq[String]): ObjectNode = {
     val id = meta.get("last-sequence-number").asLong() + 1
@@ -498,16 +556,22 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   def expireSnapshots(ns: String, table: String, keepLast: Int = 1): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     var orphaned: Set[String] = Set.empty
-    var droppedManifestLists: Seq[String] = Seq.empty
+    var maxDroppedId = -1L
+    var keptManifests: Set[String] = Set.empty
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table does not exist"))
       val snaps = meta.get("snapshots").elements().asScala.toSeq
-      if (snaps.size <= keepLast) { orphaned = Set.empty; None }
-      else {
+      if (snaps.size <= keepLast) {
+        // reset ALL attempt state: a lost race (e.g. vs another expiry)
+        // can land a retry here after an earlier attempt populated it
+        orphaned = Set.empty; maxDroppedId = -1L; keptManifests = Set.empty
+        None
+      } else {
         val (drop, keep) = snaps.splitAt(snaps.size - keepLast)
-        droppedManifestLists = drop
-          .flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
+        maxDroppedId = drop.map(_.get("snapshot-id").asLong()).max
+        keptManifests = keep
+          .flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSet
         def dirsOf(s: Seq[JsonNode]): Set[String] =
           s.flatMap(_.get("live").elements().asScala.map(_.asText())).toSet
         orphaned = dirsOf(drop) -- dirsOf(keep)
@@ -526,8 +590,24 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       }
     }
     orphaned.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
-    droppedManifestLists.foreach(p =>
-      Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    // Manifest GC: every manifest-list file at or below the newest expired
+    // sequence id that no kept snapshot references — the dropped snapshots'
+    // own files AND the residue of CAS-race losers from older commits.
+    // A concurrent in-flight append is never harmed: its file carries a
+    // sequence id strictly above every dropped id (losers re-derive with a
+    // fresh, higher id), so the id bound alone protects uncommitted files.
+    if (maxDroppedId >= 0) {
+      val md = manifestDir(ns, table)
+      if (Files.exists(md)) Files.list(md).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("manifest-list-"))
+        .filter { p =>
+          val id = p.getFileName.toString
+            .stripPrefix("manifest-list-").takeWhile(_.isDigit)
+          id.nonEmpty && id.toLong <= maxDroppedId &&
+            !keptManifests.contains(p.toString)
+        }
+        .toSeq.foreach(Files.deleteIfExists(_))
+    }
   }
 
   private def dirStats(ns: String, table: String,

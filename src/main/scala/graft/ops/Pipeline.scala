@@ -59,7 +59,11 @@ object Pipeline {
     * no-op: its docs are all index hits the second time.
     *
     * Returns the 1-row ingest report (n_incoming, n_dup, n_gated,
-    * n_appended). Scale shape: the q133 decision joins (index bands
+    * n_appended, n_preexisting — the columns always sum: n_incoming =
+    * n_dup + n_gated + n_appended + n_preexisting, where n_preexisting
+    * counts gate-passers absorbed by the curated-table doc_id guard —
+    * crash replays and upstream id reuse).
+    * Scale shape: the q133 decision joins (index bands
     * equi-join, bucket-capped) + one append per table. */
   def curateIncrement(s: SparkSession, incoming: DataFrame,
                       catalog: graft.lake.LakeCatalog, ns: String,
@@ -114,27 +118,30 @@ object Pipeline {
         TextOps.splitName(TextOps.splitBucket("doc_id")).as("split"))
       .localCheckpoint(true) // counted AND guarded below
     // Crash-replay guard (the annIngestSink key-anti-join shape): a doc
-    // already in the curated table — possible only when a previous attempt
-    // of this same batch crashed between its curated append and its
-    // signature append — must not append twice. Reads only the curated
-    // table's doc_id column; at long-lived-ingest scale keep that table
-    // bucketed by doc_id (or keep a key-only companion) so the anti-join
-    // prunes to the probed buckets.
-    val kept = (if (catalog.tableExists(ns, curatedTable))
-        keptAll.join(catalog.load(ns, curatedTable).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-      else keptAll).localCheckpoint(true) // appended AND counted
+    // whose id is already in the curated table must not append twice. Two
+    // ways to get here: a previous attempt of this same batch crashed
+    // between its curated append and its signature append (the replay this
+    // guard exists for), or the UPSTREAM reused a doc_id for different
+    // text (a key violation — first write wins; the new text's signature
+    // still joins the index under the keeper id, so future copies of it
+    // dedup, and the drop is NOT silent: it lands in the ledger's
+    // n_preexisting column, which keeps every epoch report balanced:
+    // n_incoming = n_dup + n_gated + n_appended + n_preexisting).
+    val keptAllN = keptAll.count()
+    val kept = catalog.exceptExistingKeys(ns, curatedTable, "doc_id", keptAll)
+      .localCheckpoint(true) // appended AND counted
     val sigs = survivors.select(col("doc_id"),
       expr("norm_md5(text)").as("fp"),
       expr("shingle_minhash(text)").as("mh"))
     val nInc = incoming.count()
     val nDup = dupIds.count()
-    val nGated = survivors.count() - keptAll.count()
+    val nGated = survivors.count() - keptAllN
     val nKept = kept.count()
     import s.implicits._
     EpochPlan(
-      Seq((nInc, nDup, nGated, nKept))
-        .toDF("n_incoming", "n_dup", "n_gated", "n_appended"),
+      Seq((nInc, nDup, nGated, nKept, keptAllN - nKept))
+        .toDF("n_incoming", "n_dup", "n_gated", "n_appended",
+          "n_preexisting"),
       kept, sigs)
   }
 
@@ -195,12 +202,10 @@ object Pipeline {
         val plan = curateDecide(s, batch.toDF(), catalog, ns,
           sigTable, curatedTable)
         val rep = plan.report.withColumn("epoch", lit(epoch))
-          .select("epoch", "n_incoming", "n_dup", "n_gated", "n_appended")
-        val ledgered =
-          if (catalog.tableExists(ns, reportTable))
-            rep.join(catalog.load(ns, reportTable).select("epoch").distinct(),
-              Seq("epoch"), "left_anti")
-          else rep
+          .select("epoch", "n_incoming", "n_dup", "n_gated", "n_appended",
+            "n_preexisting")
+        val ledgered = catalog.exceptExistingKeys(ns, reportTable,
+          "epoch", rep, distinctKeys = true)
         catalog.ensureTable(ns, reportTable, ledgered.schema)
         catalog.append(ns, reportTable, ledgered)
         curateCommit(catalog, ns, sigTable, curatedTable, plan)

@@ -315,16 +315,15 @@ object Streaming {
               .partitionBy("fp").orderBy("doc_id")))
           .filter(col("__rn") === 1).drop("__rn")
         val survivors =
-          if (catalog.tableExists(ns, fpTable))
-            inBatch.join(catalog.load(ns, fpTable).select("fp"),
-              Seq("fp"), "left_anti")
-          else inBatch
+          catalog.exceptExistingKeys(ns, fpTable, "fp", inBatch)
         val out = survivors.localCheckpoint(true) // two appends, one compute
+        // the doc_id guard also absorbs an upstream doc_id REUSE (same id,
+        // different text, fp unseen): the first write wins, the new fp is
+        // still recorded against the keeper id — a key violation surfaced
+        // by the fp table carrying two rows for one doc_id, never by
+        // silently duplicating the id in the document table
         val docsOut =
-          if (catalog.tableExists(ns, table))
-            out.drop("fp").join(catalog.load(ns, table).select("doc_id"),
-              Seq("doc_id"), "left_anti")
-          else out.drop("fp")
+          catalog.exceptExistingKeys(ns, table, "doc_id", out.drop("fp"))
         catalog.ensureTable(ns, table, docsOut.schema)
         catalog.append(ns, table, docsOut)
         val fps = out.select("fp", "doc_id")
@@ -363,11 +362,8 @@ object Streaming {
         val s = batch.sparkSession // cloned session per epoch
         val all =
           graft.ops.Dedup.dedupAgainstIndex(s, batch.toDF(), index)
-        val decisions =
-          if (catalog.tableExists(ns, table))
-            all.join(catalog.load(ns, table).select("incoming_id").distinct(),
-              Seq("incoming_id"), "left_anti")
-          else all
+        val decisions = catalog.exceptExistingKeys(ns, table,
+          "incoming_id", all, distinctKeys = true)
         catalog.ensureTable(ns, table, decisions.schema)
         catalog.append(ns, table, decisions)
         CrashHook.fire()
@@ -409,11 +405,7 @@ object Streaming {
         // dedupedSinkToLake
         val all = graft.ops.Similarity
           .annIndexRows(batch.dropDuplicates("vec_id").toDF(), coarse, pq)
-        val rows =
-          if (catalog.tableExists(ns, table))
-            all.join(catalog.load(ns, table).select("vec_id"),
-              Seq("vec_id"), "left_anti")
-          else all
+        val rows = catalog.exceptExistingKeys(ns, table, "vec_id", all)
         catalog.ensureTable(ns, table, rows.schema)
         catalog.append(ns, table, rows)
         CrashHook.fire()
@@ -437,11 +429,8 @@ object Streaming {
         sum(length(col("text")).cast("long")).as("n_chars"))
       .withColumn("epoch", lit(epoch))
       .select("epoch", "source", "n_docs", "n_tokens", "n_chars")
-    val rows =
-      if (catalog.tableExists(ns, table))
-        deltas.join(catalog.load(ns, table).select("epoch").distinct(),
-          Seq("epoch"), "left_anti")
-      else deltas
+    val rows = catalog.exceptExistingKeys(ns, table, "epoch", deltas,
+      distinctKeys = true)
     catalog.ensureTable(ns, table, rows.schema)
     catalog.append(ns, table, rows)
   }

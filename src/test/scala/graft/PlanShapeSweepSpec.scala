@@ -47,6 +47,7 @@ class PlanShapeSweepSpec extends AnyFunSuite {
   private val unpartitionedWindowWhitelist: Map[String, String] = Map(
     "q47_month_delta" -> "lag over the per-month revenue marginal (calendar-month grid)",
     "q117_quality_sweep" -> "cumulative over the <=10-row TTR band marginal (band = least(.., 9))",
+    "q140_vocab_growth" -> "cumulative types over the <=VocabBands band grid (band = id*B div max)",
     "q149_pareto_frontier" -> "frontier scan over the checkpointed distinct-x marginal",
     "q156_skew_profile" -> "rank-select over checkpointed count-of-counts marginals (r6 audit)",
     "q163_conversion_latency" -> "q91-style block-offset prefix over the bounded per-day gap grid",
@@ -77,23 +78,54 @@ class PlanShapeSweepSpec extends AnyFunSuite {
     case _ => Seq(p) ++ (p.children ++ p.subqueries).flatMap(walk)
   }
 
-  /** A subtree is statically bounded when it contains a grouping-free
-    * aggregate (scalar), a literal relation, a small Range, or a top-K. */
-  private def statBounded(side: SparkPlan): Boolean =
-    walk(side).exists {
-      case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
-      case _: LocalTableScanExec => true
-      case _: TakeOrderedAndProjectExec => true
-      case _: GlobalLimitExec => true
-      case r: RangeExec => r.numElements <= BigInt(10000)
-      case _ => false
-    }
+  /** STRUCTURAL boundedness — does this plan produce a bounded number of
+    * rows regardless of input size? Leaves: a grouping-free aggregate
+    * (1 row), a literal relation, a top-K / limit, a small Range.
+    * Row-preserving/reducing wrappers recurse; a join is bounded only if
+    * BOTH inputs are. Deliberately NOT `walk(...).exists(...)`: a
+    * data-sized frame that merely CONTAINS a scalar subtree (the
+    * scalar-attach crossJoin pattern) must not pass. Grouped aggregates,
+    * windows, and sorts count as bounded only when their INPUT is; opaque
+    * RDD scans and file scans are unbounded here and need a whitelist
+    * entry instead. */
+  private def statBounded(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => statBounded(a.executedPlan)
+    case q: QueryStageExec => statBounded(q.plan)
+    case agg: BaseAggregateExec if agg.groupingExpressions.isEmpty => true
+    case _: LocalTableScanExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case _: GlobalLimitExec => true
+    case r: RangeExec => r.numElements <= BigInt(10000)
+    case j: BroadcastNestedLoopJoinExec =>
+      statBounded(j.left) && statBounded(j.right)
+    case j: CartesianProductExec =>
+      statBounded(j.left) && statBounded(j.right)
+    case _: org.apache.spark.sql.execution.ProjectExec |
+         _: org.apache.spark.sql.execution.FilterExec |
+         _: org.apache.spark.sql.execution.SortExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.exchange.Exchange |
+         _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec |
+         _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+         _: org.apache.spark.sql.execution.InputAdapter |
+         _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec |
+         _: WindowExec |
+         _: org.apache.spark.sql.execution.GenerateExec =>
+      // grouped aggregates / windows reduce-or-preserve; Generate explodes
+      // bounded inputs by a bounded factor in this registry (array grids)
+      p.children.forall(statBounded)
+    case _ => false
+  }
 
   test("registry sweep: whitelisted cartesians only, bounded BNLJ sides, " +
     "unpartitioned windows only on bounded inputs") {
     // correctness-mode exact self-checks mirror Verify's environment (the
-    // plans the oracle actually grades)
+    // plans the oracle actually grades); restored in the finally below so
+    // the shared TestSpark session doesn't leak the mode into later suites
+    val prevExact = spark.conf.getOption(graft.ops.Similarity.ExactCheckConf)
     spark.conf.set(graft.ops.Similarity.ExactCheckConf, "true")
+    try {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val planned = scala.collection.mutable.ArrayBuffer.empty[String]
     val used = scala.collection.mutable.Set.empty[(String, String)]
@@ -140,5 +172,11 @@ class PlanShapeSweepSpec extends AnyFunSuite {
         bnljWhitelist.keySet.map(("bnlj", _)) ++
         unpartitionedWindowWhitelist.keySet.map(("window", _)) -- used
     assert(unused.isEmpty, s"whitelist entries no longer exercised: $unused")
+    } finally {
+      prevExact match {
+        case Some(v) => spark.conf.set(graft.ops.Similarity.ExactCheckConf, v)
+        case None => spark.conf.unset(graft.ops.Similarity.ExactCheckConf)
+      }
+    }
   }
 }

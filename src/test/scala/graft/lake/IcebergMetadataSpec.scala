@@ -216,4 +216,86 @@ class IcebergMetadataSpec extends AnyFunSuite {
         "expired snapshot's manifest-list file reclaimed")
     } finally cat.dropNamespace(ns)
   }
+
+  test("expiry GC reclaims CAS-loser manifest-list residue but never a " +
+    "kept or higher-sequence file") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icegc_${System.nanoTime()}"
+    try {
+      mkTable(cat, ns) // snapshots 1, 2
+      val md = cat.root.resolve(ns).resolve("t").resolve("metadata")
+      // a CAS loser's first attempt: a manifest-list at sequence 1 that no
+      // committed snapshot references
+      val loser = md.resolve("manifest-list-1-deadbeef-loser.json")
+      Files.writeString(loser, "[]")
+      // an in-flight writer's file ABOVE every committed sequence — GC
+      // must leave it alone even though nothing references it yet
+      val inflight = md.resolve("manifest-list-3-cafe-inflight.json")
+      Files.writeString(inflight, "[]")
+      cat.expireSnapshots(ns, "t", keepLast = 1) // drops snapshot 1
+      assert(!Files.exists(loser), "loser residue at seq<=dropped reclaimed")
+      assert(Files.exists(inflight), "uncommitted higher-seq file untouched")
+      val keptMl = Paths.get(rawMeta(cat, ns, "t").get("snapshots").get(0)
+        .get("manifest-list").asText())
+      assert(Files.exists(keptMl), "kept snapshot's manifest-list survives")
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("a pre-v2 metadata document (single schema node, partition-spec " +
+    "strings) migrates on read: load, append, evolve, expire all work and " +
+    "the next commit persists the v2 layout") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icemig_${System.nanoTime()}"
+    try {
+      // materialize a real data snapshot, then hand-write the LEGACY
+      // metadata document around it (the exact pre-round-9 layout)
+      val tdir = cat.root.resolve(ns).resolve("t")
+      val dataDir = tdir.resolve("data").resolve("snap-legacy")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+        .write.parquet(dataDir.toString)
+      val schemaJson = Seq((1L, "a")).toDF("id", "name").schema.json
+      val legacy = s"""{
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "schema": {"type": "struct", "fields": [
+          {"id": 1, "name": "id", "required": false, "type": "bigint"},
+          {"id": 2, "name": "name", "required": false, "type": "string"}],
+          "spark-schema": ${new ObjectMapper().writeValueAsString(schemaJson)}},
+        "partition-spec": [],
+        "bucket-spec": null,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "operation": "append",
+          "live": ["snap-legacy"]}],
+        "last-updated-ms": 0}"""
+      val md = tdir.resolve("metadata")
+      Files.createDirectories(md)
+      Files.writeString(md.resolve("v1.metadata.json"), legacy)
+      Files.writeString(md.resolve("version-hint.text"), "1")
+      // read paths migrate in memory
+      assert(cat.tableExists(ns, "t"))
+      assert(cat.load(ns, "t").count() == 2)
+      assert(cat.snapshotIds(ns, "t") == Seq(1L))
+      assert(cat.loadAt(ns, "t", 1L).count() == 2)
+      // a write commit persists the migrated v2 layout
+      cat.append(ns, "t", Seq((3L, "c")).toDF("id", "name"))
+      assert(cat.load(ns, "t").count() == 3)
+      val m = rawMeta(cat, ns, "t")
+      Seq("schemas", "current-schema-id", "partition-specs",
+        "last-sequence-number", "snapshot-log", "metadata-log")
+        .foreach(f => assert(m.has(f), s"migrated doc missing $f"))
+      assert(!m.has("schema") && !m.has("partition-spec"),
+        "legacy field names removed by migration")
+      assert(m.get("last-sequence-number").asLong() == 2L)
+      assert(m.get("current-snapshot-id").asLong() == 2L)
+      // evolution + expiry over the migrated document
+      cat.ensureTable(ns, "t", org.apache.spark.sql.types.StructType(
+        Seq((1L, "a", 0.0)).toDF("id", "name", "score").schema.fields))
+      assert(cat.load(ns, "t").columns.toSeq ==
+        Seq("id", "name", "score"))
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      assert(cat.snapshotIds(ns, "t") == Seq(2L))
+      assert(cat.load(ns, "t").count() == 3)
+    } finally cat.dropNamespace(ns)
+  }
 }

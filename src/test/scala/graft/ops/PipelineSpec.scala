@@ -68,6 +68,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("n_dup") == 1L)      // the verbatim copy
     assert(rep.getAs[Long]("n_gated") == 1L)    // the tiny doc
     assert(rep.getAs[Long]("n_appended") == 1L) // the novel doc
+    assert(rep.getAs[Long]("n_preexisting") == 0L)
     val curated = cat.load("inc", "documents_curated")
     assert(curated.count() == before + 1)
     assert(curated.filter(col("doc_id") === 9300003L).count() == 1)
@@ -106,6 +107,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(curated.count() == before + 1)
     assert(curated.filter(col("doc_id") === 9400001L).count() == 1)
     assert(curated.filter(col("doc_id") === 9400002L).count() == 0)
+  }
+
+  test("curateIncrement: upstream doc_id reuse with NEW text is absorbed " +
+    "into n_preexisting — the ledger balances, the first write wins, the " +
+    "new text still joins the dedup index") {
+    import spark.implicits._
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    Dedup.signaturesTable(spark, sf, cat, "reuse")
+    Pipeline.curateCorpus(spark, sf, cat, "reuse")
+    def batchOf(text: String) =
+      Seq((9450001L, text, "en", "crawl", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep1 = Pipeline.curateIncrement(spark, batchOf(novelA), cat, "reuse")
+      .collect()(0)
+    assert(rep1.getAs[Long]("n_appended") == 1L)
+    // same id, unrelated novel text: not a dup, not gated — but the id is
+    // taken, so the append is absorbed and COUNTED, never silent
+    val rep2 = Pipeline.curateIncrement(spark, batchOf(novelB), cat, "reuse")
+      .collect()(0)
+    assert(rep2.getAs[Long]("n_preexisting") == 1L)
+    assert(rep2.getAs[Long]("n_incoming") ==
+      rep2.getAs[Long]("n_dup") + rep2.getAs[Long]("n_gated") +
+        rep2.getAs[Long]("n_appended") + rep2.getAs[Long]("n_preexisting"))
+    val stored = cat.load("reuse", "documents_curated")
+      .filter(col("doc_id") === 9450001L).collect()
+    assert(stored.length == 1 && stored(0).getAs[String]("text") == novelA,
+      "first write wins; id reuse never duplicates or replaces")
+    // the reused id's NEW text was still signature-indexed under the
+    // keeper id: a future copy of it classifies as a dup
+    val rep3 = Pipeline.curateIncrement(spark,
+      Seq((9450002L, novelB, "en", "crawl", novelB.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), cat, "reuse")
+      .collect()(0)
+    assert(rep3.getAs[Long]("n_dup") == 1L)
   }
 
   // ≥ GateMinTokens distinct-word docs; mutually non-near-dup so only the
@@ -165,7 +200,8 @@ class PipelineSpec extends AnyFunSuite {
         .collect()(0)
       val led = catS.load("cs", "curation_epochs").collect()
       assert(led.length == 1 && led(0).getAs[Long]("epoch") == 0L)
-      Seq("n_incoming", "n_dup", "n_gated", "n_appended").foreach(c =>
+      Seq("n_incoming", "n_dup", "n_gated", "n_appended",
+        "n_preexisting").foreach(c =>
         assert(led(0).getAs[Long](c) == repB.getAs[Long](c),
           s"$c: streamed=${led(0).getAs[Long](c)} batch=${repB.getAs[Long](c)}"))
       def state(cat: graft.lake.LakeCatalog) = (
@@ -182,7 +218,8 @@ class PipelineSpec extends AnyFunSuite {
         .collect()(0)
       val led2 = catS.load("cs", "curation_epochs")
         .filter(col("epoch") === 1L).collect()(0)
-      Seq("n_incoming", "n_dup", "n_gated", "n_appended").foreach(c =>
+      Seq("n_incoming", "n_dup", "n_gated", "n_appended",
+        "n_preexisting").foreach(c =>
         assert(led2.getAs[Long](c) == repB2.getAs[Long](c)))
       assert(led2.getAs[Long]("n_appended") == 0L)
       assert(state(catS) == state(catB))
