@@ -464,6 +464,34 @@ object Streaming {
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
         sum("n_chars").as("n_chars"))
 
+  /** Compact a [[statsSink]] delta table: fold the accumulated per-epoch
+    * rows into ONE base row per source (summed totals), so the per-epoch
+    * replay anti-join and [[corpusStats]]' sum stop growing with stream
+    * lifetime — the compaction step the statsSink scaladoc promises.
+    *
+    * Exactly-once survives the fold because foreachBatch epochs commit in
+    * ORDER: epoch e+1 only runs after e's checkpoint commit, so once any
+    * later epoch's rows are visible, epoch e can never be redelivered —
+    * the only replayable epoch is the NEWEST one in the table, and the
+    * base rows keep exactly that epoch id (the global max), so its replay
+    * still anti-joins away. The rewrite is one atomic overwrite commit;
+    * a crash before it leaves the delta rows untouched, a crash after it
+    * leaves the folded table — never a partial state. Totals are sums, so
+    * [[corpusStats]] reads identically before and after. */
+  def compactStats(catalog: graft.lake.LakeCatalog, ns: String,
+                   table: String): Unit = {
+    if (!catalog.tableExists(ns, table)) return
+    val t = catalog.load(ns, table)
+    val folded = t.groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      .crossJoin(broadcast(t.agg(max("epoch").as("epoch"))))
+      .select("epoch", "source", "n_docs", "n_tokens", "n_chars")
+      .localCheckpoint(true) // materialize BEFORE the overwrite drops the
+                             // rows it reads from
+    catalog.overwrite(ns, table, folded)
+  }
+
   private def epochStart(w: Column): Column = unix_timestamp(w("start"))
 
   /** C7a tumbling-window aggregation (true `window()` operator; oracle =

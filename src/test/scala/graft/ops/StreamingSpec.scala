@@ -585,6 +585,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("compactStats folds the delta table to base rows with totals and " +
+    "replay semantics intact — even when compaction lands between a " +
+    "crashed epoch's append and its replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ns = s"cstf_${System.nanoTime()}"
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cstf").toString
+    val in = MemoryStream[(Long, String, String)]
+    def start() = Streaming.statsSink(
+      in.toDF().toDF("doc_id", "text", "source"), cat, ns, "stats", ckpt)
+    def totals() = Streaming.corpusStats(cat, ns, "stats").collect()
+      .map(r => (r.getAs[String]("source"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    val q1 = start()
+    try {
+      in.addData((1L, "a b c", "web"))
+      q1.processAllAvailable() // epoch 0
+      in.addData((2L, "d e", "web"), (3L, "x", "book"))
+      q1.processAllAvailable() // epoch 1
+      val before = totals()
+      Streaming.compactStats(cat, ns, "stats")
+      // folded to one row per source, totals identical, newest epoch kept
+      assert(cat.load(ns, "stats").count() == 2)
+      assert(totals() == before, "compaction changed the running totals")
+      assert(cat.load(ns, "stats").agg(max("epoch")).collect()(0)
+        .getLong(0) == 1L)
+      // the dangerous interleaving: epoch 2 appends, crashes uncommitted,
+      // compaction folds ITS rows too, then the restart replays it — the
+      // folded base rows carry epoch 2 (the global max), so the replay
+      // must still anti-join away
+      Streaming.CrashHook.arm()
+      in.addData((4L, "p q r s", "web"))
+      intercept[Exception](q1.processAllAvailable())
+      Streaming.CrashHook.disarm()
+      val afterCrash = totals()
+      assert(afterCrash("web")._1 == 3L) // the at-least-once window is real
+      Streaming.compactStats(cat, ns, "stats")
+      assert(cat.load(ns, "stats").count() == 2)
+      val q2 = start()
+      try {
+        q2.processAllAvailable() // epoch 2 redelivers
+        assert(totals() == afterCrash,
+          "replay after compaction double-counted the folded epoch")
+        in.addData((5L, "t u", "book")) // the stream continues past it
+        q2.processAllAvailable()
+        assert(totals()("book") == ((2L, 3L)))
+      } finally q2.stop()
+    } finally {
+      Streaming.CrashHook.disarm()
+      q1.stop()
+      cat.dropNamespace(ns)
+    }
+  }
+
   test("deduped sink mid-epoch crash between its two appends: docs landed, " +
     "fingerprints lost — restart completes the epoch exactly-once") {
     import spark.implicits._
