@@ -407,13 +407,20 @@ object Multimodal {
     * verbatim duplicates (Hamming 0) and a one-character mutation pair
     * measured at Hamming 1 under [[graft.functions.DHash64]] — the
     * sub-threshold pairs the synthetic corpus lacks (its measured minimum
-    * among bucket mates is 19). Ids sit far above any corpus doc_id. */
+    * among bucket mates is 19). Ids sit far above any corpus doc_id AND —
+    * like q173's 9100001+ / q182's 9200001+ — keep `id mod 1_000_000`
+    * above the base doc_id range, so the key-offset replication the 10×
+    * stress corpora use (copy c ↦ doc_id + c·1e6, tools/scale_corpus.py)
+    * can never mint a corpus doc with a fixture id. (9000001–9000005
+    * violated this: copy 9 spans 9000000–9000499, and the colliding ids
+    * made the oracle's per-doc bit_or fold two different payloads into one
+    * garbage hash — the round-9 10× gate caught it.) */
   private[ops] val PhashFixture: Seq[(Long, String)] = Seq(
-    9000001L -> "phash fixture: duplicate payload replicated verbatim for cluster alpha",
-    9000002L -> "phash fixture: duplicate payload replicated verbatim for cluster alpha",
-    9000003L -> "the quick brown fox jumps over the lazy dog while the cat watches quietly",
-    9000004L -> "ahe quick brown fox jumps over the lazy dog while the cat watches quietly",
-    9000005L -> "phash fixture: a singleton payload with no perceptual mate anywhere")
+    9300001L -> "phash fixture: duplicate payload replicated verbatim for cluster alpha",
+    9300002L -> "phash fixture: duplicate payload replicated verbatim for cluster alpha",
+    9300003L -> "the quick brown fox jumps over the lazy dog while the cat watches quietly",
+    9300004L -> "ahe quick brown fox jumps over the lazy dog while the cat watches quietly",
+    9300005L -> "phash fixture: a singleton payload with no perceptual mate anywhere")
 
   /** C6g registered face of [[phashClusters]] (VERDICT r7 #3): the corpus
     * UNION the crafted [[PhashFixture]] rows, so the drop-list math runs

@@ -199,8 +199,8 @@ class MultimodalSpec extends AnyFunSuite {
     val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
       .map { case (c, rs) => c -> rs.map(_.getAs[Long]("doc_id")).toSet }
     assert(byCluster == Map(
-      9000001L -> Set(9000001L, 9000002L),
-      9000003L -> Set(9000003L, 9000004L)), s"clusters were $byCluster")
+      9300001L -> Set(9300001L, 9300002L),
+      9300003L -> Set(9300003L, 9300004L)), s"clusters were $byCluster")
     assert(out.forall(r => r.getAs[Boolean]("is_keeper") ==
       (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id"))))
   }
