@@ -1371,6 +1371,46 @@ object TextOps {
   val RetrTopK = 3       // results per query
   val RetrSalts = 64     // salt slices for the per-query top-k
 
+  /** ONE oracle-side statement of the retrieval chain (tokenize → query
+    * terms → tf/df → BM25 weights → per-query ranked lists), shared by
+    * the q131 and q198 oracles — the shared-CTE-fragment discipline: the
+    * ranking rule exists once on the oracle side too, so the eval oracle
+    * can never drift from the retrieval oracle it grades. `docsSrc`
+    * swaps the corpus for the q198 fixture union; `extraQf` appends the
+    * q198 eval queries to the derived ones. */
+  private def retrievalCtes(docsSrc: String = "documents",
+      extraQf: String = ""): String = s"""
+      d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x <> ''))::BIGINT AS dl
+            FROM $docsSrc),
+      stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+      qf AS (SELECT q_id, term FROM (
+               SELECT doc_id AS q_id,
+                      unnest(list_distinct(t[1:$RetrQueryTerms])) AS term
+               FROM d WHERE doc_id < $RetrNumQueries) u
+             WHERE term <> ''$extraQf),
+      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+               SELECT doc_id, unnest(t) AS term FROM d) u
+             WHERE term IN (SELECT DISTINCT term FROM qf)
+             GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      w AS (SELECT tf.doc_id, tf.term,
+                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                     * (tf.tf * ${Bm25K1 + 1}) /
+                     (tf.tf + $Bm25K1 *
+                       (1.0 - $Bm25B + $Bm25B * d2.dl / s.avgdl)) AS w
+            FROM tf JOIN dfreq f USING (term) JOIN d d2 USING (doc_id)
+            CROSS JOIN stats s),
+      sc AS (SELECT qf.q_id, w.doc_id,
+                    round(list_sum(list_sort(list(w.w))), 4) AS score
+             FROM w JOIN qf USING (term) WHERE w.doc_id <> qf.q_id
+             GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, doc_id) AS rnk
+            FROM sc)"""
+
   /** C5 BM25 retrieval (q131): top-k documents PER QUERY — the query-time
     * face of the q100 scoring machinery (q100 ranks the corpus for one
     * fixed term set; retrieval serves many queries at once, the RAG/
@@ -1392,21 +1432,47 @@ object TextOps {
     * scale (thousands of queries, term set no longer literal-sized) swap
     * candidate generation to the df-capped posting lists of q104; scoring
     * and ranking are unchanged. */
-  def q131Bm25Retrieval(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+  def q131Bm25Retrieval(s: SparkSession, d: String): DataFrame =
+    retrRanked(s, d).orderBy("q_id", "rnk")
+
+  /** The bounded retrieval control plane: the [[RetrNumQueries]] lowest
+    * doc_ids, each querying its first [[RetrQueryTerms]] distinct
+    * non-empty tokens. A query whose term list comes out empty is dropped
+    * on BOTH engines (the oracle's qf/qsz CTEs never emit it), so the
+    * q198 evaluation grid matches the oracle's grid exactly. */
+  private def retrQueries(s: SparkSession, d: String)
+      : Seq[(Long, Seq[String])] =
+    documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val qRows = toks.filter(col("doc_id") < RetrNumQueries)
+      .filter(col("doc_id") < RetrNumQueries)
       .select(col("doc_id"),
         array_distinct(slice(col("t"), 1, RetrQueryTerms)).as("qt"))
-      .collect() // <= RetrNumQueries rows — bounded control plane
-    val queries: Seq[(Long, Seq[String])] = qRows.toSeq.map(r =>
-      r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
-    val qterms = queries.flatMap(_._2).distinct
-    // ONE corpus tokenize: per doc, its length + its query-term hits
-    val base = toks.select(col("doc_id"),
+      .collect().toSeq // <= RetrNumQueries rows — bounded control plane
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+
+  private val retrBaseCache = new Dedup.SessionMemo(Dedup.MaxCachedCorpora)
+  private val retrRankCache = new Dedup.SessionMemo(Dedup.MaxCachedCorpora)
+
+  /** The ONE tokenize of a retrieval corpus — per doc its token length
+    * and its query-term hits — the shared core both the q131 face (corpus
+    * docs, derived queries) and the q198 eval face (corpus ∪ eval
+    * fixture) instantiate; callers memoize the checkpointed result. */
+  private def retrBaseOf(docs: DataFrame, qterms: Seq[String]): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
         size(filter(col("t"), x => x =!= "")).cast("long").as("dl"),
         filter(col("t"), x => x.isin(qterms: _*)).as("hits"))
       .localCheckpoint(true)
+
+  /** The ONE BM25 ranking chain over a tokenized base — (q_id, rnk,
+    * doc_id, score), rnk <= [[RetrTopK]]; <= queries x RetrTopK rows, so
+    * the caller's checkpoint is a handful of blocks while the derivation
+    * is the full tf/df/weight chain. */
+  private def retrRankedOf(s: SparkSession, base: DataFrame,
+      queries: Seq[(Long, Seq[String])],
+      checkpoint: Boolean = true): DataFrame = {
     val stats = base.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val tf = base
       .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
@@ -1431,14 +1497,162 @@ object TextOps {
     val order = Seq(desc("score"), col("doc_id"))
     val wLocal = Window.partitionBy("q_id", "salt").orderBy(order: _*)
     val wQ = Window.partitionBy("q_id").orderBy(order: _*)
-    scored
+    val ranked = scored
       .withColumn("salt", pmod(col("doc_id"), lit(RetrSalts)))
       .withColumn("r0", row_number().over(wLocal))
       .filter(col("r0") <= RetrTopK)
       .withColumn("rnk", row_number().over(wQ).cast("long"))
       .filter(col("rnk") <= RetrTopK)
       .select(col("q_id"), col("rnk"), col("doc_id"), col("score"))
-      .orderBy("q_id", "rnk")
+    if (checkpoint) ranked.localCheckpoint(true) else ranked
+  }
+
+  /** q131's memoized ranked lists: corpus docs, derived queries. */
+  private def retrRanked(s: SparkSession, d: String): DataFrame =
+    retrRankCache.getOrElseUpdate(s, s"retr_rank:$d") {
+      val queries = retrQueries(s, d)
+      val base = retrBaseCache.getOrElseUpdate(s, s"retr_base:$d") {
+        retrBaseOf(documents(s, d), queries.flatMap(_._2).distinct)
+      }
+      retrRankedOf(s, base, queries)
+    }
+
+  /** The un-checkpointed ranking lineage — the plan-shape inspection
+    * hook (the memoized runtime path severs it at the checkpoint, so a
+    * spec asserting the salted-window structure reads this instead). */
+  private[ops] def retrRankedPlan(s: SparkSession, d: String): DataFrame = {
+    val queries = retrQueries(s, d)
+    retrRankedOf(s,
+      retrBaseOf(documents(s, d), queries.flatMap(_._2).distinct),
+      queries, checkpoint = false)
+  }
+
+  /** Tokens of the pad tail every eval-fixture doc carries: [[
+    * RetrEvalPadLen]] copies of a non-query token, so all fixture docs
+    * have near-equal length far above any real avgdl — which pins the
+    * BM25 length-normalization term high enough that the engineered
+    * tf-saturation ordering below holds at EVERY corpus scale (the
+    * irrelevant-above-relevant case needs c = k1*(1-b+b*dl/avgdl) > 1.18
+    * for tf=13 vs two tf=1 terms; dl/avgdl >= 2 gives c >= 2.1). */
+  private[ops] val RetrEvalPadLen = 2000
+
+  /** Eval-only fixture docs (ids 9400001+, the mod-1e6 residue
+    * convention — see [[graft.ops.Multimodal.PhashFixture]]): unique
+    * `qzx*` vocabulary no corpus doc contains (spec-asserted), so the
+    * fixture couples to the corpus ONLY through n_docs/avgdl, which both
+    * engines compute identically. Engineered structure per eval query
+    * below: a high-tf doc MISSING one query term that outranks the
+    * relevant doc (the retrieval-miss case the corpus cannot produce), a
+    * term-disjoint pair (zero-relevant query), and a single perfect hit. */
+  private[ops] val RetrEvalDocs: Seq[(Long, String)] = Seq(
+    9400001L -> ("qzxalpha " * 13).trim, // tf=13 of alpha, NO beta
+    9400002L -> "qzxalpha qzxbeta",      // the one relevant doc for qe1
+    9400003L -> "qzxbeta",               // beta only — also irrelevant
+    9400004L -> "qzxgamma",              // qe2: gamma and delta never
+    9400005L -> "qzxdelta",              //      co-occur -> n_rel = 0
+    9400006L -> "qzxepsilon qzxepsilon qzxepsilon") // qe3: perfect hit
+
+  /** Eval-only fixture queries (q_ids 9400101+): explicit term lists —
+    * the qrels-style eval set a deployment would supply — exercising
+    * first_rel_rank=2 (alpha+beta), n_rel=0 (gamma+delta), and
+    * first_rel_rank=1 (epsilon). */
+  private[ops] val RetrEvalQueries: Seq[(Long, Seq[String])] = Seq(
+    9400101L -> Seq("qzxalpha", "qzxbeta"),
+    9400102L -> Seq("qzxgamma", "qzxdelta"),
+    9400103L -> Seq("qzxepsilon"))
+
+  /** The ONE definition of the eval fixture on the oracle side too: both
+    * VALUES lists interpolate from the Scala Seqs (the fixtureValuesSql
+    * discipline), the pad tail built by the same repeat-and-trim rule the
+    * engine applies, so the two engines' corpora can never desync. */
+  private def retrEvalDocsSql: String =
+    RetrEvalDocs.map { case (id, u) =>
+      s"($id, '$u' || ' ' || trim(repeat('pad ', $RetrEvalPadLen)))"
+    }.mkString(", ")
+
+  private def retrEvalQfSql: String =
+    RetrEvalQueries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+
+  /** C5 retrieval evaluation (q198): the quality report FOR the q131
+    * retrieval tier — per query, how the BM25 top-[[RetrTopK]] list
+    * scores against an EXACT relevance truth, the eval harness any
+    * RAG/contrastive-mining deployment runs before trusting its
+    * retriever. Runs over the corpus ∪ [[RetrEvalDocs]] with the derived
+    * queries ∪ [[RetrEvalQueries]] — the q151 presence/absence
+    * discipline: the corpus exercises the saturated regime (its shared
+    * vocabulary makes the top-k all-relevant for every derived query, so
+    * they pin the ceiling), while the crafted fixture produces the
+    * retrieval MISS (an irrelevant high-tf doc at rank 1 above the one
+    * relevant doc), the zero-relevant query, and the perfect hit — the
+    * cases a working eval must score below the ceiling.
+    *
+    * The truth is exact term containment: a doc is relevant to a query
+    * iff it contains EVERY query term and is not the query doc itself —
+    * integer-exact and oracle-recomputable from scratch, unlike a graded
+    * judgment. Metrics per query, all exact integers: corpus-wide
+    * relevant count, relevant found in the top-k, the first relevant
+    * rank (null when the top-k misses entirely), MRR in ppm (1e6 div
+    * first_rel_rank), precision@k and recall@k in floor ppm. Queries
+    * appear in the grid even when nothing is relevant or nothing
+    * retrieved (the sweep grid-completeness rule).
+    *
+    * Scale shape: ONE tokenize of corpus ∪ fixture (memoized with the
+    * ranked lists, the labelCache discipline); the truth join is the
+    * tokenized hits x a broadcast <= 35-term literal grid grouped on
+    * (q_id, doc_id), candidate volume bounded exactly as q131's; every
+    * downstream frame rolls to one row per query. At web scale the truth
+    * side swaps to labeled qrels; the metric math is unchanged. */
+  def q198RetrievalEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = retrQueries(s, d) ++ RetrEvalQueries
+    val fixture = RetrEvalDocs
+      .map { case (id, u) => (id, u + " " + ("pad " * RetrEvalPadLen).trim) }
+      .toDF("doc_id", "text")
+    val base = retrBaseCache.getOrElseUpdate(s, s"retr_eval_base:$d") {
+      retrBaseOf(
+        documents(s, d).select(col("doc_id"), col("text")).unionAll(fixture),
+        queries.flatMap(_._2).distinct)
+    }
+    val ranked = retrRankCache.getOrElseUpdate(s, s"retr_eval_rank:$d") {
+      retrRankedOf(s, base, queries)
+    }
+    val qgrid = s.createDataFrame(
+        queries.map { case (q, ts) => (q, ts.size.toLong) })
+      .toDF("q_id", "qsize")
+    val qdf = s.createDataFrame(
+        queries.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("q_id", "term")
+    // distinct (doc, query-term) hits from the shared scan — never a
+    // second tokenize
+    val docTerm = base
+      .select(col("doc_id"), explode(col("hits")).as("term")).distinct()
+    val rel = docTerm.join(broadcast(qdf), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("nmatch"))
+      .join(broadcast(qgrid), "q_id")
+      .filter(col("nmatch") === col("qsize"))
+      .select("q_id", "doc_id")
+      .localCheckpoint(true) // two consumers below share one derivation
+    val nrel = rel.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val topRel = ranked.join(rel, Seq("q_id", "doc_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_rel_topk"),
+        min("rnk").as("first_rel_rank"))
+    qgrid.select("q_id")
+      .join(nrel, Seq("q_id"), "left")
+      .join(topRel, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_rel_topk"), lit(0L)).as("n_rel_topk"),
+        col("first_rel_rank"))
+      .withColumn("mrr_ppm",
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)))
+      .withColumn("precision_ppm",
+        expr(s"n_rel_topk * 1000000 div $RetrTopK"))
+      .withColumn("recall_ppm",
+        expr("if(n_rel > 0, n_rel_topk * 1000000 div n_rel, 0L)"))
+      .orderBy("q_id")
   }
 
   /** C5 packed-sequence export (q134): the materialization face of q91's
@@ -2348,38 +2562,40 @@ object TextOps {
       WHERE c.n * $HhCapacity > tot.n_tok
       ORDER BY c.n DESC, c.token""")),
     "q131_bm25_retrieval" -> ((q131Bm25Retrieval _, s"""
-      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
-                        len(list_filter(string_split(text, ' '),
-                                        x -> x <> ''))::BIGINT AS dl
-                 FROM documents),
-      stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
-      qf AS (SELECT q_id, term FROM (
-               SELECT doc_id AS q_id,
-                      unnest(list_distinct(t[1:$RetrQueryTerms])) AS term
-               FROM d WHERE doc_id < $RetrNumQueries) u
-             WHERE term <> ''),
-      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
-               SELECT doc_id, unnest(t) AS term FROM d) u
-             WHERE term IN (SELECT DISTINCT term FROM qf)
-             GROUP BY doc_id, term),
-      dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-      w AS (SELECT tf.doc_id, tf.term,
-                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-                     * (tf.tf * ${Bm25K1 + 1}) /
-                     (tf.tf + $Bm25K1 *
-                       (1.0 - $Bm25B + $Bm25B * d2.dl / s.avgdl)) AS w
-            FROM tf JOIN dfreq f USING (term) JOIN d d2 USING (doc_id)
-            CROSS JOIN stats s),
-      sc AS (SELECT qf.q_id, w.doc_id,
-                    round(list_sum(list_sort(list(w.w))), 4) AS score
-             FROM w JOIN qf USING (term) WHERE w.doc_id <> qf.q_id
-             GROUP BY 1, 2),
-      r AS (SELECT q_id, doc_id, score,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY score DESC, doc_id) AS rnk
-            FROM sc)
+      WITH ${retrievalCtes()}
       SELECT q_id, rnk::BIGINT AS rnk, doc_id, score FROM r
       WHERE rnk <= $RetrTopK ORDER BY q_id, rnk""")),
+    "q198_retrieval_eval" -> ((q198RetrievalEval _, s"""
+      WITH ${retrievalCtes(
+        docsSrc = s"""(SELECT doc_id, text FROM documents
+          UNION ALL SELECT * FROM (VALUES $retrEvalDocsSql) fx(doc_id, text))""",
+        extraQf = s"""
+             UNION ALL SELECT * FROM (VALUES $retrEvalQfSql) eq(q_id, term)""")},
+      qsz AS (SELECT q_id, count(*)::BIGINT AS qsize FROM qf GROUP BY q_id),
+      -- distinct (doc, query-term) hits: tf is already per distinct term
+      relv AS (SELECT q.q_id, t.doc_id
+               FROM tf t JOIN qf q USING (term) JOIN qsz USING (q_id)
+               WHERE t.doc_id <> q.q_id
+               GROUP BY q.q_id, t.doc_id, qsz.qsize
+               HAVING count(*) = qsz.qsize),
+      nrel AS (SELECT q_id, count(*)::BIGINT AS n_rel
+               FROM relv GROUP BY q_id),
+      tk AS (SELECT r.q_id, count(*)::BIGINT AS n_rel_topk,
+                    min(r.rnk)::BIGINT AS first_rel_rank
+             FROM r JOIN relv USING (q_id, doc_id)
+             WHERE r.rnk <= $RetrTopK GROUP BY r.q_id)
+      SELECT qsz.q_id,
+             coalesce(n_rel, 0)::BIGINT AS n_rel,
+             coalesce(n_rel_topk, 0)::BIGINT AS n_rel_topk,
+             first_rel_rank,
+             coalesce(1000000 // first_rel_rank, 0)::BIGINT AS mrr_ppm,
+             (coalesce(n_rel_topk, 0) * 1000000 // $RetrTopK)::BIGINT
+               AS precision_ppm,
+             CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN coalesce(n_rel_topk, 0) * 1000000 // n_rel
+                  ELSE 0 END::BIGINT AS recall_ppm
+      FROM qsz LEFT JOIN nrel USING (q_id) LEFT JOIN tk USING (q_id)
+      ORDER BY qsz.q_id""")),
     "q100_bm25" -> ((q100Bm25 _, s"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
                         len(list_filter(string_split(text, ' '),

@@ -33,7 +33,11 @@ class FixtureIdSpec extends AnyFunSuite {
   private def allFixtureIds: Map[String, Seq[Long]] = Map(
     "PhashFixture" -> Multimodal.PhashFixture.map(_._1),
     "FrameRunFixture" -> Multimodal.FrameRunFixture.map(_._1),
-    "MetaConflictFixture" -> Dedup.MetaConflictFixture.map(_._1))
+    "MetaConflictFixture" -> Dedup.MetaConflictFixture.map(_._1),
+    "RetrEvalDocs" -> TextOps.RetrEvalDocs.map(_._1),
+    // q_ids share the doc id space through `doc_id <> q_id` filters: a
+    // replication-minted doc at an eval q_id would be dropped as "self"
+    "RetrEvalQueries" -> TextOps.RetrEvalQueries.map(_._1))
 
   test("every fixture id's mod-KEY_OFFSET residue clears the base doc_id range") {
     for ((name, ids) <- allFixtureIds; id <- ids)

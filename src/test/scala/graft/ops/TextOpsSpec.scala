@@ -383,7 +383,9 @@ class TextOpsSpec extends AnyFunSuite {
     // q_id is a 5-value key: the q10 rule — the q_id-only window must sit
     // above the salted local top-k filter, never raw scored rows
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
-    val plan = TextOps.q131Bm25Retrieval(spark, sf).queryExecution.optimizedPlan
+    // the registered face consumes the memoized checkpoint (lineage
+    // severed); the structure lives in the un-checkpointed plan hook
+    val plan = TextOps.retrRankedPlan(spark, sf).queryExecution.optimizedPlan
     val windows = plan.collect { case w: LWindow => w }
     val qOnly = windows.filter(_.partitionSpec.size == 1)
     assert(qOnly.size == 1, plan.toString.take(2000))
@@ -391,6 +393,54 @@ class TextOpsSpec extends AnyFunSuite {
       case f: Filter if f.condition.toString.contains("r0") => f
     }.nonEmpty, "q_id window must consume the salted local top-k:\n" +
       qOnly.head.toString.take(1500))
+  }
+
+  test("q198 retrieval eval: fixture queries land their engineered cases") {
+    val out = TextOps.q198RetrievalEval(spark, sf).collect()
+    val byQ = out.map(r => r.getAs[Long]("q_id") -> r).toMap
+    // grid completeness: every derived query + every eval query, once
+    assert(out.map(_.getAs[Long]("q_id")).sorted.toSeq ==
+      ((0L until TextOps.RetrNumQueries) ++
+        TextOps.RetrEvalQueries.map(_._1)).sorted.toSeq)
+    // the retrieval MISS: the high-tf alpha-only doc outranks the one
+    // relevant doc, so the first relevant rank is 2 and MRR halves
+    val miss = byQ(9400101L)
+    assert(miss.getAs[Long]("n_rel") == 1L)
+    assert(miss.getAs[Long]("first_rel_rank") == 2L)
+    assert(miss.getAs[Long]("mrr_ppm") == 500000L)
+    assert(miss.getAs[Long]("n_rel_topk") == 1L)
+    assert(miss.getAs[Long]("recall_ppm") == 1000000L)
+    // the zero-relevant query: gamma and delta never co-occur
+    val zero = byQ(9400102L)
+    assert(zero.getAs[Long]("n_rel") == 0L)
+    assert(zero.isNullAt(zero.fieldIndex("first_rel_rank")))
+    assert(zero.getAs[Long]("mrr_ppm") == 0L)
+    assert(zero.getAs[Long]("recall_ppm") == 0L)
+    // the perfect hit
+    val hit = byQ(9400103L)
+    assert(hit.getAs[Long]("first_rel_rank") == 1L)
+    assert(hit.getAs[Long]("mrr_ppm") == 1000000L)
+    // metric identities hold on every row, derived queries included
+    out.foreach { r =>
+      val nrt = r.getAs[Long]("n_rel_topk")
+      assert(nrt <= math.min(TextOps.RetrTopK.toLong, r.getAs[Long]("n_rel")))
+      assert(r.getAs[Long]("precision_ppm") == nrt * 1000000L / TextOps.RetrTopK)
+      if (r.isNullAt(r.fieldIndex("first_rel_rank")))
+        assert(r.getAs[Long]("mrr_ppm") == 0L && nrt == 0L)
+      else
+        assert(r.getAs[Long]("mrr_ppm") ==
+          1000000L / r.getAs[Long]("first_rel_rank"))
+    }
+  }
+
+  test("q198 fixture vocabulary is absent from the corpus") {
+    // the eval fixture couples to the corpus only through n_docs/avgdl:
+    // no corpus doc may contain a qzx* term (else the engineered ranks
+    // could be disturbed by real candidates)
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+      assert(spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").contains("qzx")).count() == 0L, dir)
   }
 
   test("q134 packed sequences: shard totals reconcile with q91's assignment") {
