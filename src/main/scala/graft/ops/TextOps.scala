@@ -380,6 +380,68 @@ object TextOps {
         round(lit(1.0) - col("n_unique") / col("n_shingles"), 4).as("rep_ratio"))
       .orderBy("doc_id")
 
+  /** The n-gram sizes the repetition profile sweeps — the Gopher quality
+    * filters' 2/3/4-gram family (Rae et al. 2021, Table A1), interpolated
+    * into BOTH the engine transform and the oracle's unnest grid. */
+  val TopGramNs: Seq[Int] = Seq(2, 3, 4)
+
+  /** The ONE definition of the top-n-gram repetition profile over any
+    * `(doc_id, text)` frame — q199 applies it to the corpus; the value
+    * spec replays it on a crafted document with hand-computed counts. */
+  private[ops] def topGramProfileOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      .select(col("doc_id"), col("n_chars"), col("t"),
+        explode(lit(TopGramNs.toArray)).as("n"))
+      .filter(size(col("t")) >= col("n"))
+      .select(col("doc_id"), col("n_chars"), col("n"),
+        explode(expr(
+          "transform(sequence(1, size(t) - n + 1)," +
+            " i -> array_join(slice(t, i, n), ' '))")).as("g"))
+    // one (doc, n)-keyed exchange serves BOTH the top-1 rank and the
+    // whole-partition gram totals: the ordered and unordered windows share
+    // the partitioning, so Spark plans one shuffle, and partition sizes
+    // are bounded by document length — never corpus-shaped
+    val w = Window.partitionBy("doc_id", "n")
+    grams
+      .groupBy("doc_id", "n_chars", "n", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w.orderBy(desc("cnt"), col("g"))))
+      .withColumn("n_grams", sum("cnt").over(w))
+      .withColumn("n_unique", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n").cast("long").as("n"),
+        col("g").as("top_gram"), col("cnt").as("top_count"),
+        expr("cnt * length(g) * 1000000 div n_chars").as("mass_ppm"),
+        col("n_grams"), col("n_unique"),
+        expr("(n_grams - n_unique) * 1000000 div n_grams").as("dup_ppm"))
+      .orderBy("doc_id", "n")
+  }
+
+  /** C5 within-document repetition profile (q199): per document and n-gram
+    * size in [[TopGramNs]], the MOST FREQUENT word n-gram (count + its
+    * exact char-mass ppm of the document, counting every occurrence) and
+    * the duplicate-gram fraction ((total − distinct) grams in ppm) — the
+    * Gopher repetition filters (Rae et al. 2021: "fraction of characters
+    * in the most frequent n-gram", "fraction of duplicate n-grams") that
+    * catch template spam and looping generations q59's single distinct/
+    * total ratio blurs: a doc repeating ONE slogan and a doc of shuffled
+    * common words can share a rep_ratio, but only the first has a
+    * dominant top-gram mass. mass_ppm can exceed 1e6 for n ≥ 3 because
+    * overlapping occurrences re-count shared characters — it is a
+    * dominance score, not a coverage fraction (span-union coverage would
+    * need per-position interval merging for no extra filtering power).
+    *
+    * Scale shape: gram explosion is a per-row projection (|Ns| token-array
+    * copies per doc, columnar); ONE (doc, n, gram)-keyed partial-agg
+    * shuffle; then ONE (doc, n)-keyed exchange where the ordered top-1
+    * window and the unordered total/distinct windows share the partition —
+    * every partition is document-bounded, so the shape is flat in corpus
+    * size and skew-free at 100 TB. */
+  def q199TopGramProfile(s: SparkSession, d: String): DataFrame =
+    topGramProfileOf(documents(s, d))
+
   /** Shingle novelty: per document, the fraction of its 3-word shingles it
     * INTRODUCES to the corpus (no lower doc_id contains them) — the
     * "marginal contribution" score used to prioritize which near-dups to
@@ -3120,6 +3182,28 @@ object TextOps {
              n_unique::BIGINT AS n_unique,
              round(1.0 - n_unique::DOUBLE / n_shingles, 4) AS rep_ratio
       FROM sh ORDER BY doc_id""")),
+    "q199_topgram_profile" -> ((q199TopGramProfile _, s"""
+      WITH d AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM documents),
+      g AS (SELECT doc_id, n_chars, n,
+                   unnest(list_transform(generate_series(1, len(t)-n+1),
+                          i -> array_to_string(t[i:i+n-1], ' '))) AS g
+            FROM d, unnest([${TopGramNs.mkString(", ")}]) AS u(n)
+            WHERE len(t) >= n),
+      c AS (SELECT doc_id, n_chars, n, g, count(*)::BIGINT AS cnt
+            FROM g GROUP BY ALL),
+      r AS (SELECT *,
+                   row_number() OVER (PARTITION BY doc_id, n
+                     ORDER BY cnt DESC, g) AS rn,
+                   sum(cnt) OVER (PARTITION BY doc_id, n) AS n_grams,
+                   count(*) OVER (PARTITION BY doc_id, n) AS n_unique
+            FROM c)
+      SELECT doc_id, n::BIGINT AS n, g AS top_gram, cnt AS top_count,
+             (cnt * length(g) * 1000000 // n_chars)::BIGINT AS mass_ppm,
+             n_grams::BIGINT AS n_grams, n_unique::BIGINT AS n_unique,
+             ((n_grams - n_unique) * 1000000 // n_grams)::BIGINT AS dup_ppm
+      FROM r WHERE rn = 1 ORDER BY doc_id, n""")),
     "q68_novelty" -> ((q68Novelty _, """
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (

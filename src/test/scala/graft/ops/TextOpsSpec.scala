@@ -443,6 +443,39 @@ class TextOpsSpec extends AnyFunSuite {
         .filter(col("text").contains("qzx")).count() == 0L, dir)
   }
 
+  test("q199 top-gram profile: hand-computed counts on a crafted document") {
+    import spark.implicits._
+    // "a b a b a": 2-grams [a b, b a, a b, b a] -> top (a b, 2), 4 total /
+    // 2 unique; 3-grams [a b a, b a b, a b a] -> top (a b a, 2), 3/2;
+    // 4-grams [a b a b, b a b a] -> all unique, top is the lexicographic
+    // min (a b a b, 1). n_chars = 9.
+    val out = TextOps.topGramProfileOf(
+        Seq((1L, "a b a b a")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("n"),
+        (r.getAs[String]("top_gram"), r.getAs[Long]("top_count"),
+         r.getAs[Long]("mass_ppm"), r.getAs[Long]("n_grams"),
+         r.getAs[Long]("n_unique"), r.getAs[Long]("dup_ppm")))).toMap
+    assert(out(2L) == (("a b", 2L, 2L * 3 * 1000000 / 9, 4L, 2L, 500000L)))
+    assert(out(3L) == (("a b a", 2L, 2L * 5 * 1000000 / 9, 3L, 2L, 333333L)))
+    assert(out(4L) == (("a b a b", 1L, 7L * 1000000 / 9, 2L, 2L, 0L)))
+    // a doc shorter than the smallest n emits nothing
+    assert(TextOps.topGramProfileOf(
+      Seq((2L, "solo")).toDF("doc_id", "text")).count() == 0L)
+  }
+
+  test("q199 plan: one exchange serves the top-1 and total windows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = TextOps.q199TopGramProfile(spark, sf)
+      .queryExecution.executedPlan
+    // (doc,n,gram) partial-agg shuffle + the shared (doc,n) window
+    // exchange + the output sort: a third corpus-keyed exchange would mean
+    // the ordered and unordered windows stopped sharing their partitioning
+    val shuffles = plan.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }
+    assert(shuffles.size <= 3, plan.toString.take(2000))
+  }
+
   test("q134 packed sequences: shard totals reconcile with q91's assignment") {
     val bins = TextOps.q91SeqPacking(spark, sf).collect()
       .groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("bin")))
