@@ -2,8 +2,8 @@ package graft.lake
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import java.nio.file.{Files, Path}
@@ -305,6 +305,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   private def summaryOperation(op: String): String = op match {
     case "append"    => "append"
     case "overwrite" => "overwrite"
+    case "delete"    => "delete"
     case _           => "replace" // replace, rollback, compaction rewrites
   }
 
@@ -506,6 +507,108 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     readMeta(ns, table).get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong()).toSeq
 
+  // ---- row-level delete (Iceberg v2 copy-on-write) -----------------------
+
+  /** Test seam: fired between the delete's rewrite and its commit attempt,
+    * so the conflict-validation path (a concurrent commit rewriting a
+    * touched dir) is deterministically exercisable. No-op in production. */
+  protected def beforeDeleteCommit(ns: String, table: String): Unit = ()
+
+  /** Iceberg v2 copy-on-write row-level DELETE: remove the rows where
+    * `predicate` is TRUE (rows where it evaluates NULL are KEPT — SQL
+    * DELETE semantics), rewriting ONLY the data directories that contain a
+    * match and carrying every untouched directory into the new snapshot by
+    * reference. Returns the number of rows deleted; deleting nothing
+    * publishes NO snapshot.
+    *
+    * Cost shape: one locate scan over the live set (a real Iceberg writer
+    * additionally prunes files by column min/max stats before this scan —
+    * dir-level stats pruning is the same idea at this catalog's file-group
+    * granularity), then a rewrite scan over ONLY the touched directories.
+    * On a 100 TB table where a purge hits a handful of recent file groups,
+    * the rewrite is proportional to the touched bytes, never the table.
+    *
+    * Isolation: the commit validates that every touched directory is still
+    * live at publish time and fails loudly (serializable-style conflict)
+    * if a concurrent compact/overwrite/delete rewrote one — a blind rebase
+    * would resurrect rows the other commit removed. A racing APPEND rebases
+    * cleanly (its directory is carried over untouched); rows it adds are
+    * NOT covered by this delete — standard snapshot isolation, the delete
+    * applies to the snapshot it read. */
+  def deleteWhere(ns: String, table: String, predicate: Column): Long =
+    deleteMatching(ns, table,
+      df => df.filter(coalesce(predicate, lit(false))),
+      df => df.filter(not(coalesce(predicate, lit(false)))))
+
+  /** Key-set purge — [[deleteWhere]] for data-sized key sets (a predicate
+    * cannot express "key IN <100M-row frame>"): removes every row whose
+    * `keyCol` appears in `keys`, via semi/anti joins so the key set streams
+    * through the shuffle (or broadcasts when small) instead of a driver
+    * collect. The consumer shape: feed the dedup ledger's dropped doc_ids
+    * (q129) or a right-to-be-forgotten list straight in. Idempotent by
+    * construction: a replay matches nothing and publishes no snapshot. */
+  def purgeKeys(ns: String, table: String, keyCol: String,
+                keys: DataFrame): Long = {
+    val ks = keys.select(col(keyCol)).distinct()
+    deleteMatching(ns, table,
+      df => df.join(ks, Seq(keyCol), "left_semi"),
+      df => df.join(ks, Seq(keyCol), "left_anti"))
+  }
+
+  /** Shared copy-on-write core. `matched` selects the rows to delete,
+    * `kept` their complement — the two faces above keep the pair
+    * consistent (null-predicate rows fall on the KEPT side). */
+  private def deleteMatching(ns: String, table: String,
+                             matched: DataFrame => DataFrame,
+                             kept: DataFrame => DataFrame): Long = {
+    val meta = readMeta(ns, table)
+    val schema = metaSchema(meta)
+    val tag = "_graft_src_dir"
+    require(!schema.fieldNames.contains(tag),
+      s"$ns.$table has a column named $tag, which the delete rewrite reserves")
+    val baseLive = liveSnapshots(meta)
+    if (baseLive.isEmpty) return 0L
+    // locate pass: ONE job over the live set, each dir's rows tagged with
+    // their source dir; per-dir match counts are bounded by the dir count
+    // (control plane), never row-shaped
+    def tagged(dirs: Seq[String]): DataFrame = dirs
+      .map(d => readAligned(ns, table, schema, Seq(d))
+        .withColumn(tag, lit(d)))
+      .reduce(_.unionByName(_))
+    val perDir = matched(tagged(baseLive))
+      .groupBy(tag).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = baseLive.filter(d => perDir.getOrElse(d, 0L) > 0L)
+    if (touched.isEmpty) return 0L
+    val deleted = touched.map(perDir).sum
+    // rewrite pass: only the touched dirs, in the current schema (an
+    // Iceberg rewrite emits current-spec files), preserving the table's
+    // partition layout
+    val remainder = kept(tagged(touched)).drop(tag)
+    // a rewrite that keeps nothing writes NO dir (a 0-row parquet dir in
+    // the live set would poison the union read); the count scans only the
+    // touched dirs, the same bytes the write is about to read
+    val snapOpt =
+      if (remainder.isEmpty) None
+      else Some(writeSnapshot(ns, table, remainder,
+        metaPartitionCols(meta), Map.empty))
+    beforeDeleteCommit(ns, table)
+    commit(ns, table) { base =>
+      val cur = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table vanished mid-delete"))
+      val curLive = liveSnapshots(cur)
+      val gone = touched.filterNot(curLive.contains)
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"delete on $ns.$table read ${gone.mkString(", ")} but a " +
+            "concurrent commit rewrote or removed them — retry the delete " +
+            "against the new snapshot")
+      val newLive = curLive.filterNot(touched.contains) ++ snapOpt.toSeq
+      Some(addSnapshot(ns, table, cur, "delete", newLive))
+    }
+    deleted
+  }
+
   private def loadSnapshot(ns: String, table: String,
                            at: Option[Long]): DataFrame = {
     val meta = readMeta(ns, table)
@@ -520,21 +623,28 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
               s"(log has ${snapshotIds(ns, table).mkString(", ")})"))
         snap.get("live").elements().asScala.map(_.asText()).toSeq
     }
-    if (snaps.isEmpty)
+    readAligned(ns, table, schema, snaps)
+  }
+
+  /** Read a set of snapshot data dirs, each with ITS layout (basePath
+    * recovers partition columns), aligned to `schema`: unionByName fills
+    * columns a snapshot predates with NULL — Iceberg's read-time
+    * evolution. Shared by [[load]]/[[loadAt]] and the copy-on-write delete
+    * rewrite (which must rewrite old dirs in the CURRENT schema, as an
+    * Iceberg rewrite does). */
+  private def readAligned(ns: String, table: String, schema: StructType,
+                          dirs: Seq[String]): DataFrame = {
+    if (dirs.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // read each live snapshot with ITS layout (basePath recovers partition
-    // columns), align to the current schema: unionByName fills columns a
-    // snapshot predates with NULL — Iceberg's read-time evolution
-    val frames = snaps.map { s =>
+    val frames = dirs.map { s =>
       val dir = dataDir(ns, table).resolve(s).toString
       spark.read.option("basePath", dir).parquet(dir)
     }
     val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     val withAll = schema.fieldNames.foldLeft(unioned) { (df, c) =>
       if (df.columns.contains(c)) df
-      else df.withColumn(c, org.apache.spark.sql.functions.lit(null)
-        .cast(schema(c).dataType))
+      else df.withColumn(c, lit(null).cast(schema(c).dataType))
     }
     withAll.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
   }

@@ -213,6 +213,38 @@ object Pipeline {
       }
       .start()
 
+  /** Retention / right-to-be-forgotten purge — the lifecycle face the
+    * curation tables need once data may not be kept forever: remove the
+    * given doc_ids from the curated table AND the signature index in one
+    * call, via the catalog's copy-on-write row delete
+    * ([[graft.lake.SnapshotLakeCatalog.purgeKeys]] — only file groups
+    * containing a match are rewritten, so a purge of yesterday's crawl on
+    * a 100 TB table touches yesterday's files, not the table). Signatures
+    * go too: a MinHash/fingerprint is data DERIVED from the content being
+    * forgotten. Two documented consequences, both by design:
+    *  - re-ingesting identical content later re-adds it (its signatures
+    *    are gone) — retiring is not banning; pair with an upstream block
+    *    list when the content must stay out;
+    *  - the purged rows remain time-travelable in older snapshots until
+    *    `expireSnapshots` runs — a COMPLETE forget is retire + expire,
+    *    exactly Iceberg's own GDPR guidance.
+    * Returns a 1-row report (rows purged per table). Idempotent: a replay
+    * matches nothing and publishes no snapshot. */
+  def retireDocuments(catalog: graft.lake.SnapshotLakeCatalog, ns: String,
+                      docIds: DataFrame,
+                      curatedTable: String = "documents_curated",
+                      sigTable: String = "dedup_signatures"): DataFrame = {
+    val s = docIds.sparkSession
+    def purge(table: String): Long =
+      if (catalog.tableExists(ns, table))
+        catalog.purgeKeys(ns, table, "doc_id", docIds)
+      else 0L
+    val nCur = purge(curatedTable)
+    val nSig = purge(sigTable)
+    import s.implicits._
+    Seq((nCur, nSig)).toDF("n_purged_curated", "n_purged_signatures")
+  }
+
   /** The curation scoreboard over a materialized curated table: per
     * (split, lang) — kept docs and exact char mass. Reads the LAKE table,
     * so any later session can audit a curation it didn't run. */

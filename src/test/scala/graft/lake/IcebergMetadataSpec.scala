@@ -116,6 +116,25 @@ class IcebergMetadataSpec extends AnyFunSuite {
     } finally cat.dropNamespace(ns)
   }
 
+  test("a copy-on-write delete publishes a snapshot with " +
+    "summary.operation = delete") {
+    import org.apache.spark.sql.functions.col
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icedel_${System.nanoTime()}"
+    try {
+      mkTable(cat, ns)
+      assert(cat.deleteWhere(ns, "t", col("id") === 2L) == 1L)
+      val snaps = rawMeta(cat, ns, "t").get("snapshots")
+        .elements().asScala.toSeq
+      val last = snaps.last
+      assert(last.get("summary").get("operation").asText() == "delete")
+      assert(last.get("operation").asText() == "delete")
+      // the delete snapshot's parent is the pre-delete current snapshot
+      assert(last.get("parent-snapshot-id").asLong() ==
+        snaps(snaps.size - 2).get("snapshot-id").asLong())
+    } finally cat.dropNamespace(ns)
+  }
+
   test("manifest-list is a readable JSON file naming the snapshot's data " +
     "dirs (documented Avro divergence)") {
     val cat = DirectoryLakeCatalog.temp(spark)

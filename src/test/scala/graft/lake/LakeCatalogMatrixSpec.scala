@@ -259,6 +259,94 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name != "session") test(s"[${impl.name}] copy-on-write delete: only touched dirs rewritten, history intact") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L).toDF("id"))          // snapshot 1, dir A
+      cat.append(ns, "t", Seq(10L, 11L).toDF("id"))        // snapshot 2, dir B
+      cat.append(ns, "t", Seq(20L).toDF("id"))             // snapshot 3, dir C
+      val dataDir = impl.dir(cat, ns, "t").resolve("data")
+      def dirs(): Set[String] = Files.list(dataDir).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+      val before = dirs()
+      assert(cat.deleteWhere(ns, "t", $"id" === 10L) == 1L) // snapshot 4
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 11L, 20L))
+      // only dir B was rewritten: exactly ONE new dir appeared on disk, and
+      // the delete snapshot still references three dirs (A and C verbatim)
+      assert((dirs() -- before).size == 1, s"expected 1 new dir, got ${dirs() -- before}")
+      val rep = cat.maintenanceReport(ns, "t").collect()
+        .map(r => r.getAs[Long]("snapshot_id") -> r.getAs[Long]("n_dirs")).toMap
+      assert(rep(4L) == 3L, s"delete snapshot references ${rep(4L)} dirs")
+      // history is intact: pre-delete snapshot still shows the row
+      assert(cat.loadAt(ns, "t", 3L).collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 10L, 11L, 20L))
+      // a delete matching nothing publishes NO snapshot
+      assert(cat.deleteWhere(ns, "t", $"id" === 999L) == 0L)
+      assert(cat.snapshotIds(ns, "t") == Seq(1L, 2L, 3L, 4L))
+      // deleting every row of a dir carries no empty dir into the live set
+      assert(cat.deleteWhere(ns, "t", $"id" < 3L) == 2L)    // snapshot 5: dir A gone
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(11L, 20L))
+      val rep2 = cat.maintenanceReport(ns, "t").collect()
+        .map(r => r.getAs[Long]("snapshot_id") -> r.getAs[Long]("n_dirs")).toMap
+      assert(rep2(5L) == 2L, s"empty rewrite dir leaked: ${rep2(5L)} dirs")
+      // expiry reclaims the rewritten-away dirs; current reads unharmed
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(11L, 20L))
+      cat.dropNamespace(ns)
+    }
+
+    if (impl.name != "session") test(s"[${impl.name}] purgeKeys is idempotent; NULL-predicate rows are kept") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      val df = Seq((1L, "a"), (2L, null), (3L, "b")).toDF("id", "tag")
+      cat.ensureTable(ns, "t", df.schema)
+      cat.append(ns, "t", df)
+      // SQL DELETE semantics: the NULL-tag row is neither matched nor
+      // dropped by a predicate it evaluates NULL under
+      assert(cat.deleteWhere(ns, "t", $"tag" === "a") == 1L)
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(2L, 3L))
+      // ledger-driven purge: keys arrive as a DataFrame (data-sized at
+      // scale), not a predicate
+      assert(cat.purgeKeys(ns, "t", "id", Seq(3L, 99L).toDF("id")) == 1L)
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // replaying the purge matches nothing and publishes no snapshot
+      val snaps = cat.snapshotIds(ns, "t")
+      assert(cat.purgeKeys(ns, "t", "id", Seq(3L, 99L).toDF("id")) == 0L)
+      assert(cat.snapshotIds(ns, "t") == snaps)
+      cat.dropNamespace(ns)
+    }
+
+    if (impl.name == "directory") test("[directory] delete conflict: concurrent rewrite of a touched dir fails loudly") {
+      // a compact lands between the delete's rewrite and its commit — a
+      // blind rebase would resurrect the compacted-away rows, so the
+      // validation must refuse (carrier-independent: the check lives in
+      // SnapshotLakeCatalog's shared core)
+      val ns = freshNs()
+      var fired = false
+      val cat = new DirectoryLakeCatalog(spark,
+          Files.createTempDirectory("graft-del-conflict-")) {
+        override protected def beforeDeleteCommit(n: String, t: String): Unit =
+          if (!fired) { fired = true; compact(n, t, targetFiles = 1) }
+      }
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L, 3L).toDF("id"))
+      intercept[java.util.ConcurrentModificationException](
+        cat.deleteWhere(ns, "t", $"id" === 2L))
+      // nothing was lost: the compacted table still has every row
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // the retry (against the post-compact snapshot) succeeds
+      assert(cat.deleteWhere(ns, "t", $"id" === 2L) == 1L)
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 3L))
+      cat.dropNamespace(ns)
+    }
+
     if (impl.name == "rest") test("[rest] names with '+', '%' and spaces survive the wire") {
       val cat = impl.make().asInstanceOf[RestLakeCatalog]
       // '+' (the form-encoding trap: URLEncoder alone sends space as '+'

@@ -109,6 +109,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(curated.filter(col("doc_id") === 9400002L).count() == 0)
   }
 
+  test("retireDocuments: purged from curated + signature tables, " +
+    "time-travelable until expiry, idempotent") {
+    import spark.implicits._
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    Dedup.signaturesTable(spark, sf, cat, "ret")
+    Pipeline.curateCorpus(spark, sf, cat, "ret")
+    val novel = "the migratory patterns of arctic terns span hemispheres " +
+      "while coastal winds carry them across open water toward nesting " +
+      "grounds that shift gradually with every warming season in turn " +
+      "and researchers tracking individual birds recorded journeys " +
+      "exceeding seventy thousand kilometers within a single year " +
+      "making these seabirds the most widely traveled vertebrates known"
+    val batch = Seq((9500001L, novel, "en", "crawl", novel.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Pipeline.curateIncrement(spark, batch, cat, "ret")
+    def inCurated() = cat.load("ret", "documents_curated")
+      .filter(col("doc_id") === 9500001L).count()
+    def inSigs() = cat.load("ret", "dedup_signatures")
+      .filter(col("doc_id") === 9500001L).count()
+    assert(inCurated() == 1L && inSigs() == 1L)
+    val preDelete = cat.snapshotIds("ret", "documents_curated").max
+    val rep = Pipeline.retireDocuments(cat, "ret",
+      Seq(9500001L).toDF("doc_id")).collect()(0)
+    assert(rep.getAs[Long]("n_purged_curated") == 1L)
+    assert(rep.getAs[Long]("n_purged_signatures") == 1L)
+    assert(inCurated() == 0L && inSigs() == 0L)
+    // retired, not yet forgotten: older snapshots still hold the doc until
+    // expiry — the documented retire + expire contract
+    assert(cat.loadAt("ret", "documents_curated", preDelete)
+      .filter(col("doc_id") === 9500001L).count() == 1L)
+    cat.expireSnapshots("ret", "documents_curated", keepLast = 1)
+    intercept[IllegalArgumentException](
+      cat.loadAt("ret", "documents_curated", preDelete))
+    // replaying the purge matches nothing and publishes no snapshot
+    val snaps = cat.snapshotIds("ret", "documents_curated")
+    val rep2 = Pipeline.retireDocuments(cat, "ret",
+      Seq(9500001L).toDF("doc_id")).collect()(0)
+    assert(rep2.getAs[Long]("n_purged_curated") == 0L)
+    assert(rep2.getAs[Long]("n_purged_signatures") == 0L)
+    assert(cat.snapshotIds("ret", "documents_curated") == snaps)
+    // the other curated rows are untouched by the purge
+    assert(cat.load("ret", "documents_curated").count() > 0L)
+  }
+
   test("curateIncrement: upstream doc_id reuse with NEW text is absorbed " +
     "into n_preexisting — the ledger balances, the first write wins, the " +
     "new text still joins the dedup index") {
