@@ -1824,7 +1824,15 @@ object Similarity {
     * evaluated in EXACT integer arithmetic on the unshifted quantized grid:
     * `1e4·dot² >= τ²·1e4·|a|²·|b|² AND dot > 0` — with |x|<=1 unit-norm
     * embeddings at scale 1000, all products stay under 2^62. */
-  def q86SemDedup(s: SparkSession, d: String): DataFrame = {
+  def q86SemDedup(s: SparkSession, d: String): DataFrame =
+    semPairsAbove(s, d, SemDedupTauSq10k).orderBy("id_a", "id_b")
+
+  /** The within-cluster cosine-qualified pair stream at threshold
+    * `tauSq10k` — q86's body, shared with the q200 sweep (which reads it
+    * once at the grid's LOWEST τ and re-qualifies per arm, so the sweep
+    * costs one pair pass, not one per arm). */
+  private[ops] def semPairsAbove(s: SparkSession, d: String,
+                                 tauSq10k: Int): DataFrame = {
     val qs = quantized(s, d, QuantOffset)
     val cents = seedCentroids(qs, semDedupK(s, d))
     val asg = Tables.embeddings(s, d).select(col("vec_id"),
@@ -1843,10 +1851,47 @@ object Similarity {
       .withColumn("dot", call_function("ivec_dot", col("qa"), col("qb")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(10000L) >=
-          col("n2_a") * col("n2_b") * lit(SemDedupTauSq10k.toLong))
+          col("n2_a") * col("n2_b") * lit(tauSq10k.toLong))
       .select(col("cluster"), col("id_a"), col("id_b"), col("dot"),
         col("n2_a"), col("n2_b"))
-      .orderBy("id_a", "id_b")
+  }
+
+  /** The τ grid the SemDeDup retention sweep evaluates, as τ²·1e4
+    * (τ ∈ {0.30, 0.35, 0.40, 0.45, 0.50} — brackets [[SemDedupTauSq10k]]'s
+    * production 0.40 from both sides), interpolated into BOTH engines. */
+  val SemDedupTauSweep10k: Seq[Int] = Seq(900, 1225, 1600, 2025, 2500)
+
+  /** SemDeDup threshold retention sweep (q200): per candidate cosine
+    * threshold τ — qualifying within-cluster pairs, vectors DROPPED under
+    * the one-hop min-id keeper rule (a vector paired with any smaller id
+    * drops; the `curateDecide` intra-batch discipline), kept count and
+    * exact retention ppm. The curve that PICKS τ before a semantic dedup
+    * ships — q153's MinHash retention sweep transposed to the embedding
+    * side, closing the calibrate-then-deploy symmetry between the two
+    * near-dup families. Grid-complete: a τ arm with zero pairs still
+    * emits its row (full retention), the degenerate-input convention.
+    *
+    * Scale shape: ONE pair pass at the grid's lowest τ (the in-cluster
+    * self-join is ~n·[[SemDedupCell]] pairs, linear in corpus size), a
+    * 5-row broadcast grid cross, one (tau)-keyed aggregate — per-arm
+    * work is a predicate, not a rescan. */
+  def q200SemdedupSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = semPairsAbove(s, d, SemDedupTauSweep10k.min)
+    val n = Tables.embeddings(s, d).count() // parquet-metadata job
+    val grid = SemDedupTauSweep10k.map(_.toLong).toDF("tau_sq_10k")
+    val agg = pairs.crossJoin(broadcast(grid))
+      .filter(col("dot") * col("dot") * lit(10000L) >=
+        col("tau_sq_10k") * col("n2_a") * col("n2_b"))
+      .groupBy("tau_sq_10k")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dropped"))
+    grid.join(agg, Seq("tau_sq_10k"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dropped"))
+      .select(col("tau_sq_10k"), col("n_pairs"), col("n_dropped"),
+        (lit(n) - col("n_dropped")).as("n_kept"),
+        expr(s"($n - n_dropped) * 1000000 div $n").as("kept_ppm"))
+      .orderBy("tau_sq_10k")
   }
 
   /** Cluster-purity audit (q93): how well the learned clusters align with
@@ -2257,6 +2302,44 @@ object Similarity {
       JOIN n2 nb ON nb.vec_id = d.id_b
       WHERE d.dot > 0 AND 10000 * d.dot * d.dot >= $SemDedupTauSq10k * na.n2 * nb.n2
       ORDER BY d.id_a, d.id_b""")),
+    "q200_semdedup_sweep" -> ((q200SemdedupSweep _, s"""
+      $semDedupSqlPrefix,
+      qc AS (SELECT vec_id,
+               list_transform(embedding, x -> round(x::DOUBLE * $QuantScale)::BIGINT) AS qv
+             FROM embeddings),
+      qce AS (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
+                     unnest(qv) AS v FROM qc),
+      n2 AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM qce GROUP BY 1),
+      pairs AS (SELECT pa.c AS cluster, pa.vec_id AS id_a, pb.vec_id AS id_b
+                FROM a1 pa JOIN a1 pb
+                  ON pa.c = pb.c AND pa.vec_id < pb.vec_id),
+      dots AS (SELECT p.cluster, p.id_a, p.id_b, sum(x.v * y.v)::BIGINT AS dot
+               FROM pairs p
+               JOIN qce x ON x.vec_id = p.id_a
+               JOIN qce y ON y.vec_id = p.id_b AND y.dim = x.dim
+               GROUP BY 1, 2, 3),
+      qual AS (SELECT d.cluster, d.id_a, d.id_b, d.dot,
+                      na.n2 AS n2_a, nb.n2 AS n2_b
+               FROM dots d
+               JOIN n2 na ON na.vec_id = d.id_a
+               JOIN n2 nb ON nb.vec_id = d.id_b
+               WHERE d.dot > 0 AND 10000 * d.dot * d.dot >=
+                 ${SemDedupTauSweep10k.min} * na.n2 * nb.n2),
+      grid AS (SELECT unnest([${SemDedupTauSweep10k.mkString(", ")}])::BIGINT
+                 AS tau_sq_10k),
+      arm AS (SELECT g.tau_sq_10k, count(*)::BIGINT AS n_pairs,
+                     count(DISTINCT q.id_b)::BIGINT AS n_dropped
+              FROM grid g JOIN qual q
+                ON 10000 * q.dot * q.dot >= g.tau_sq_10k * q.n2_a * q.n2_b
+              GROUP BY 1),
+      nv AS (SELECT count(*)::BIGINT AS n FROM embeddings)
+      SELECT g.tau_sq_10k, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs,
+             coalesce(a.n_dropped, 0)::BIGINT AS n_dropped,
+             (nv.n - coalesce(a.n_dropped, 0))::BIGINT AS n_kept,
+             ((nv.n - coalesce(a.n_dropped, 0)) * 1000000 // nv.n)::BIGINT
+               AS kept_ppm
+      FROM grid g LEFT JOIN arm a USING (tau_sq_10k) CROSS JOIN nv
+      ORDER BY tau_sq_10k""")),
     "q84_rerank_topk" -> ((q84RerankTopK _, s"""
       $lshProbeCtes,
       topk AS (SELECT q_id, neighbor_id, sim FROM ranked WHERE rnk <= $LshK),

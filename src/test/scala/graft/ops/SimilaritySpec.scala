@@ -744,6 +744,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("q200 semdedup sweep: grid-complete, monotone, production arm matches q86") {
+    val out = Similarity.q200SemdedupSweep(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("tau_sq_10k")).toSeq ==
+      Similarity.SemDedupTauSweep10k.map(_.toLong))
+    val n = Tables.embeddings(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == n - r.getAs[Long]("n_dropped"))
+      assert(r.getAs[Long]("kept_ppm") ==
+        r.getAs[Long]("n_kept") * 1000000L / n)
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_pairs"))
+    }
+    // a higher τ qualifies a subset of pairs: pair and drop counts can
+    // only fall, retention can only rise
+    val pairs = out.map(_.getAs[Long]("n_pairs"))
+    val drops = out.map(_.getAs[Long]("n_dropped"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b })
+    assert(pairs.head > 0L, "sweep never exercised: no pairs at the lowest τ")
+    // the τ = 0.40 arm IS q86: same pair count, same one-hop drop set
+    val q86 = Similarity.q86SemDedup(spark, sf).collect()
+    val arm = out.find(_.getAs[Long]("tau_sq_10k") ==
+      Similarity.SemDedupTauSq10k.toLong).get
+    assert(arm.getAs[Long]("n_pairs") == q86.length.toLong)
+    assert(arm.getAs[Long]("n_dropped") ==
+      q86.map(_.getAs[Long]("id_b")).distinct.length.toLong)
+  }
+
   test("ADC tier top-k is salted two-phase: no corpus-wide q_id-only window") {
     for ((name, df) <- Seq("q138" -> Similarity.q138PqAdc(spark, sf),
                            "q141" -> Similarity.q141Ivfadc(spark, sf))) {
