@@ -361,17 +361,22 @@ object Multimodal {
       // keep each ordered pair only at its SMALLEST shared chunk — decided
       // in-row from ph_a/ph_b (already carried), no blocking distinct over
       // the pair stream (same codegen-friendly cascade as simhashPairs)
-      .filter(expr(
-        """chunk = 0 OR (
-          |  (ph_a & 65535) != (ph_b & 65535) AND (
-          |    chunk = 1 OR (
-          |      (shiftright(ph_a, 16) & 65535) != (shiftright(ph_b, 16) & 65535) AND (
-          |        chunk = 2 OR
-          |        (shiftright(ph_a, 32) & 65535) != (shiftright(ph_b, 32) & 65535)))))"""
-          .stripMargin))
+      .filter(expr(SmallestSharedChunkCascade))
       .select(col("id_a"), col("id_b"),
         expr("cast(bit_count(ph_a ^ ph_b) as long)").as("ham"))
   }
+
+  /** ONE definition of the smallest-shared-chunk dedup cascade over
+    * (chunk, ph_a, ph_b) — shared by the whole-payload pair stream and the
+    * per-frame q201 variant. */
+  private val SmallestSharedChunkCascade: String =
+    """chunk = 0 OR (
+      |  (ph_a & 65535) != (ph_b & 65535) AND (
+      |    chunk = 1 OR (
+      |      (shiftright(ph_a, 16) & 65535) != (shiftright(ph_b, 16) & 65535) AND (
+      |        chunk = 2 OR
+      |        (shiftright(ph_a, 32) & 65535) != (shiftright(ph_b, 32) & 65535)))))"""
+      .stripMargin
 
   /** C6g pHash duplicate clusters: connected components over the near-dup
     * pair graph q96 scores — the image-dedup CLUSTER report (which
@@ -440,6 +445,177 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("bytes"))
         .unionAll(fixture))
   }
+
+  final case class FrameSlice(doc_id: Long, frame_idx: Int, fb: Array[Byte])
+
+  /** Sampled frame BYTES per asset — the [[frameHashes]] shape emitting the
+    * payload slices themselves, so a perceptual (rather than exact) frame
+    * identity can hash them downstream with the native dhash64. Streams one
+    * payload at a time. */
+  private def frameSlices(s: SparkSession, env: DataFrame): Dataset[FrameSlice] = {
+    import s.implicits._
+    env.as[MediaEnvelope].mapPartitions { it =>
+      it.flatMap { e =>
+        MediaCodec.sampleFramesStub(e.bytes, MediaCodec.FramesPerDoc)
+          .zipWithIndex.map { case (frame, i) => FrameSlice(e.doc_id, i, frame) }
+      }
+    }
+  }
+
+  /** A video pair is a near-dup when at least this many of its
+    * [[MediaCodec.FramesPerDoc]] frame positions match perceptually
+    * (Hamming ≤ [[MaxPhashHamming]]) — the majority vote that absorbs one
+    * re-encoded or swapped frame (a replaced title card, a re-rendered
+    * outro) without letting two-scene-overlap pairs through. */
+  val VideoDupMinFrames = 3
+
+  /** Crafted "videos" appended by [[q201VideoNearDup]] (quarter-aligned
+    * payloads: 4 frames of exactly 40 bytes each, vocabulary-DISJOINT
+    * across families so no cross-family frame can match): a verbatim pair
+    * (4/4 positions), a last-frame-swapped pair (3/4 — at the majority
+    * threshold), a half-swapped pair (2/4 — BELOW it, flag must read
+    * false), and a singleton. The synthetic corpus has no frame-level
+    * near-dups, so without these the pair list proves only absence — the
+    * q151 fixture discipline; ids follow the FixtureIdSpec residue
+    * convention (mod 1e6 far above any base doc_id). */
+  private[ops] val VideoFixture: Seq[(Long, String)] = {
+    // md5-hex quarters: a repeated single word is PERIODIC, and two
+    // periodic byte patterns dhash within Hamming 3 of each other easily
+    // (the first cut of this fixture paired the singleton with the
+    // b-family); 40 high-entropy hex chars keep distinct quarters far
+    // apart under any gradient hash
+    def quarter(seed: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hx(x: String) =
+        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (hx(seed) + hx(seed + "x")).take(40)
+    }
+    val (a1, a2, a3, a4) = (quarter("alpha"), quarter("bravo"),
+      quarter("cedar"), quarter("delta"))
+    val (b1, b2, b3, b4, b5) = (quarter("fjord"), quarter("glyph"),
+      quarter("harbor"), quarter("insect"), quarter("jungle"))
+    val (c1, c2, c3, c4, c5, c6) = (quarter("koala"), quarter("lumen"),
+      quarter("meadow"), quarter("nectar"), quarter("onyx"), quarter("quartz"))
+    Seq(
+      9600001L -> (a1 + a2 + a3 + a4),
+      9600002L -> (a1 + a2 + a3 + a4), // verbatim: 4/4
+      9600003L -> (b1 + b2 + b3 + b4),
+      9600004L -> (b1 + b2 + b3 + b5), // last frame swapped: 3/4
+      9600005L -> (c1 + c2 + c3 + c4),
+      9600006L -> (c1 + c2 + c5 + c6), // back half swapped: 2/4
+      9600007L -> (quarter("zephyr") + quarter("yonder") +
+        quarter("willow") + quarter("vortex"))) // singleton
+  }
+
+  /** C6 video-level near-dup (q201): pairs of assets whose sampled frame
+    * SEQUENCES match position-by-position — per pair, the number of frame
+    * positions whose dhash64 Hamming distance is ≤ [[MaxPhashHamming]],
+    * the closest such distance, and the [[VideoDupMinFrames]]-of-4
+    * majority verdict. q96/q151 dedup single images and q127/q182 count
+    * exact frame sharing; this is the missing VIDEO-grain decision — two
+    * re-encodes of the same clip agree perceptually frame-by-frame without
+    * a single byte-identical frame, and one swapped title card must not
+    * break the match (hence the vote, not all-positions-equal).
+    *
+    * Scale shape: the frame pass streams one payload at a time; per-frame
+    * hashes are 4×16-bit-chunk banded PER POSITION, so candidates come
+    * from a (frame_idx, chunk, ckey) equi-join — never all-pairs, hot
+    * buckets capped ([[Dedup.DefaultMaxBucket]], mirrored in the oracle) —
+    * and every MATCHED position is discoverable by pigeonhole (≤3 flipped
+    * bits leave one 16-bit chunk intact), so the vote count is exact up to
+    * the cap. The pair rollup is keyed by the pair itself — bounded by
+    * true collision volume, not corpus². Registered over corpus ∪
+    * [[VideoFixture]] so both presence (4/4, 3/4) and sub-majority
+    * rejection (2/4) are oracle-checked. */
+  def q201VideoNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture = VideoFixture.map { case (id, t) =>
+      (id, t, "en", "fixture", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val env = envelopeOf(documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionAll(fixture))
+    // (doc, frame) → perceptual hash: ~32 B/frame; checkpointed so the
+    // self-join's two sides and the rollup never re-read payloads
+    val hashed = frameSlices(s, env).toDF()
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr("dhash64(fb)").as("ph"))
+      .localCheckpoint(true)
+    val chunks = hashed.select(col("doc_id"), col("frame_idx"), col("ph"),
+      posexplode(expr(
+        "transform(sequence(0,3), j -> shiftright(ph, 16 * j) & 65535)"))
+        .as(Seq("chunk", "ckey")))
+    val bounded = Dedup.capBuckets(chunks,
+      Seq("frame_idx", "chunk", "ckey"), Some(Dedup.DefaultMaxBucket))
+    val l = bounded.select(col("frame_idx"), col("chunk"), col("ckey"),
+      col("doc_id").as("id_a"), col("ph").as("ph_a"))
+    val r = bounded.select(col("frame_idx"), col("chunk"), col("ckey"),
+      col("doc_id").as("id_b"), col("ph").as("ph_b"))
+    l.join(r, Seq("frame_idx", "chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(SmallestSharedChunkCascade))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(ph_a ^ ph_b) as long)").as("ham"))
+      .filter(col("ham") <= MaxPhashHamming)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_match_frames"), min("ham").as("min_ham"))
+      .withColumn("is_video_dup",
+        col("n_match_frames") >= VideoDupMinFrames)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def videoFixtureValuesSql: String =
+    VideoFixture.map { case (id, t) =>
+      s"($id, '" + t.replace("'", "''") + "')"
+    }.mkString(", ")
+
+  /** q201 oracle: byte-exact per-frame dHash (the [[phashPairCtes]] bit
+    * arithmetic applied to each frame's hex slice), the same per-position
+    * chunk banding + cap + smallest-shared-chunk cascade, then the pair
+    * vote rollup. */
+  private def videoNearDupOracle: String = s"""
+      WITH aug AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT * FROM (VALUES
+                     $videoFixtureValuesSql) fx(doc_id, text)),
+      ${frameSliceCtes("aug")},
+      fbyt AS (SELECT doc_id, frame_idx, fr, length(fr) // 2 AS nf FROM f),
+      bits AS (
+        SELECT fb.doc_id, fb.frame_idx,
+               CASE WHEN ('0x' || substr(fb.fr,
+                        2 * ((fb.nf * ((k.k // 8) * 9 + (k.k % 8) + 1)) // ${graft.functions.DHash64.Samples}) + 1, 2))::INT
+                   > ('0x' || substr(fb.fr,
+                        2 * ((fb.nf * ((k.k // 8) * 9 + (k.k % 8))) // ${graft.functions.DHash64.Samples}) + 1, 2))::INT
+                    THEN CASE WHEN k.k = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE 1::BIGINT << k.k END
+                    ELSE 0::BIGINT END AS bv
+        FROM fbyt fb, (SELECT unnest(generate_series(0, 63)) AS k) k),
+      h AS (SELECT doc_id, frame_idx, bit_or(bv) AS ph
+            FROM bits GROUP BY 1, 2),
+      chunks AS (SELECT doc_id, frame_idx, ph, j.j AS chunk,
+                        (ph >> (16 * j.j)) & 65535 AS ckey
+                 FROM h, (SELECT unnest(generate_series(0, 3)) AS j) j),
+      keep AS (SELECT frame_idx, chunk, ckey FROM chunks
+               GROUP BY 1, 2, 3
+               HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+      kchunks AS (SELECT c.* FROM chunks c
+                  JOIN keep USING (frame_idx, chunk, ckey)),
+      mates AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.ph, b.ph))::BIGINT AS ham
+        FROM kchunks a JOIN kchunks b
+          ON a.frame_idx = b.frame_idx AND a.chunk = b.chunk
+         AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+        WHERE a.chunk = 0 OR (
+          (a.ph & 65535) != (b.ph & 65535) AND (
+            a.chunk = 1 OR (
+              ((a.ph >> 16) & 65535) != ((b.ph >> 16) & 65535) AND (
+                a.chunk = 2 OR
+                ((a.ph >> 32) & 65535) != ((b.ph >> 32) & 65535))))))
+      SELECT id_a, id_b, count(*)::BIGINT AS n_match_frames,
+             min(ham)::BIGINT AS min_ham,
+             (count(*) >= $VideoDupMinFrames) AS is_video_dup
+      FROM mates WHERE ham <= $MaxPhashHamming
+      GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** ONE byte-exact frame-slicing CTE chain (`d` → `f`, frames as hex
     * slices at 2-bytes-per-char offsets) shared by the q127 and q182
@@ -547,6 +723,7 @@ object Multimodal {
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q96_phash_neardup" -> ((q96PhashNearDup _, phashOracle)),
+    "q201_video_neardup" -> ((q201VideoNearDup _, videoNearDupOracle)),
     "q151_phash_clusters" -> ((q151PhashClusters _, phashClusterOracle)),
     "q182_frame_runs" -> ((q182FrameRuns _, {
       val rows = FrameRunFixture.map { case (id, t) => s"($id, '$t')" }

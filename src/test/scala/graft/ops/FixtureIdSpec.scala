@@ -33,6 +33,7 @@ class FixtureIdSpec extends AnyFunSuite {
   private def allFixtureIds: Map[String, Seq[Long]] = Map(
     "PhashFixture" -> Multimodal.PhashFixture.map(_._1),
     "FrameRunFixture" -> Multimodal.FrameRunFixture.map(_._1),
+    "VideoFixture" -> Multimodal.VideoFixture.map(_._1),
     "MetaConflictFixture" -> Dedup.MetaConflictFixture.map(_._1),
     "RetrEvalDocs" -> TextOps.RetrEvalDocs.map(_._1),
     // q_ids share the doc id space through `doc_id <> q_id` filters: a

@@ -216,4 +216,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) == nDocs + 1L)
     assert(out.values.sum == nDocs + Multimodal.FrameRunFixture.length)
   }
+
+  test("q201 video near-dup: fixture votes land exactly (4/4, 3/4, 2/4), " +
+    "majority threshold splits the flag, singleton absent") {
+    val out = Multimodal.q201VideoNearDup(spark, sf).collect()
+    val byPair = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+      ((r.getAs[Long]("n_match_frames"), r.getAs[Long]("min_ham"),
+        r.getAs[Boolean]("is_video_dup")))).toMap
+    // verbatim pair: every position matches at Hamming 0
+    assert(byPair((9600001L, 9600002L)) == ((4L, 0L, true)))
+    // one swapped frame: 3/4 — AT the majority threshold, still a dup;
+    // the swapped position must NOT have sneaked in as a 4th match (the
+    // disjoint-vocabulary quarters are beyond MaxPhashHamming)
+    assert(byPair((9600003L, 9600004L)) == ((3L, 0L, true)))
+    // half swapped: 2/4 — below the majority, flag must read false
+    assert(byPair((9600005L, 9600006L)) == ((2L, 0L, false)))
+    // the singleton pairs with nothing, and no fixture crosses families
+    val fixturePairs = byPair.keySet.filter(p => p._1 >= 9600001L)
+    assert(fixturePairs == Set((9600001L, 9600002L), (9600003L, 9600004L),
+      (9600005L, 9600006L)), s"unexpected fixture pairs: $fixturePairs")
+    assert(!byPair.keySet.exists(p => p._1 == 9600007L || p._2 == 9600007L))
+  }
 }
