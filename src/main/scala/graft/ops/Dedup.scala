@@ -1664,6 +1664,49 @@ object Dedup {
   def q80LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
     splitSummary(splitAssigned(s, d))
 
+  /** Per-split token-distribution divergence (q202): for each train/valid/
+    * test split — its token count and the KL divergence of its token
+    * distribution from the corpus's. q107 checks split parity at the
+    * (split, lang) DOC-count grain; this is the token-level
+    * representativeness check it cannot make: a split can hold perfectly
+    * proportional doc counts per language while cluster-aware assignment
+    * concentrates a template family (one giant dup cluster lands wholly in
+    * one split BY DESIGN) and skews the vocabulary the held-out loss is
+    * measured on. Same exactness tier as q78 (its source-axis sibling):
+    * double KL terms summed by an ordered fold, rounded at 6 dp, identical
+    * expression text on both engines.
+    *
+    * Scale shape: ONE tokenize scan joined to the split assignment (the
+    * memoized dup labels feed it), a (split, tok) partial-agg exchange
+    * (checkpointed — it feeds the per-split totals, the vocabulary
+    * marginal AND the contribution join), then a vocabulary-keyed join
+    * that AQE broadcasts at test scale and shuffles at a web-scale
+    * vocabulary; the output is 3 rows. */
+  def q202SplitTokenKl(s: SparkSession, d: String): DataFrame = {
+    val splits = splitAssigned(s, d).select("doc_id", "split")
+    val bySplit = documents(s, d).join(splits, "doc_id")
+      .select(col("split"),
+        explode(org.apache.spark.sql.functions.split(col("text"), " "))
+          .as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("split", "tok").agg(count(lit(1)).as("n_st"))
+      .localCheckpoint(true)
+    val splitTotals = bySplit.groupBy("split").agg(sum("n_st").as("n_s"))
+    val tokTotals = bySplit.groupBy("tok").agg(sum("n_st").as("n_t"))
+    val total = tokTotals.agg(sum("n_t").as("n"))
+    bySplit
+      .join(broadcast(splitTotals), "split")
+      .join(tokTotals, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("contrib",
+        expr("(cast(n_st as double) / n_s) * " +
+          "ln((cast(n_st as double) / n_s) / (cast(n_t as double) / n))"))
+      .groupBy("split")
+      .agg(max("n_s").as("n_tokens"),
+        round(TextOps.orderedSum("contrib"), 6).as("kl"))
+      .orderBy("split")
+  }
+
   /** C2h empirical split-leakage audit — the trust-but-verify companion to
     * q80: measure the ACTUAL cross-split surface overlap (distinct-shingle
     * Jaccard between every split pair). Cluster-aware splitting guarantees
@@ -2469,6 +2512,24 @@ object Dedup {
       ORDER BY id_a, id_b""")),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
     "q107_split_balance" -> ((q107SplitBalance _, splitBalanceOracle)),
+    "q202_split_token_kl" -> ((q202SplitTokenKl _, s"""
+      $ccCtes,
+      $splitAssignCtes,
+      sptok AS (SELECT a.split, unnest(string_split(d.text, ' ')) AS sptk
+                FROM documents d JOIN assigned a USING (doc_id)),
+      spst AS (SELECT split, sptk, count(*) AS n_st FROM sptok
+               WHERE sptk <> '' GROUP BY 1, 2),
+      spsz AS (SELECT split, sum(n_st) AS n_s FROM spst GROUP BY 1),
+      spt AS (SELECT sptk, sum(n_st) AS n_t FROM spst GROUP BY 1),
+      spn AS (SELECT sum(n_t) AS n FROM spt),
+      spc AS (SELECT spst.split, spsz.n_s,
+                     (spst.n_st::DOUBLE / spsz.n_s) *
+                       ln((spst.n_st::DOUBLE / spsz.n_s) /
+                          (spt.n_t::DOUBLE / spn.n)) AS contrib
+              FROM spst JOIN spsz USING (split) JOIN spt USING (sptk), spn)
+      SELECT split, max(n_s)::BIGINT AS n_tokens,
+             round(list_sum(list_sort(list(contrib))), 6) AS kl
+      FROM spc GROUP BY split ORDER BY split""")),
     "q142_sketch_overlap" -> ((q142SketchOverlap _, """
       WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
       sh AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS sh

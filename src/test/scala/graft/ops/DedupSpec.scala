@@ -952,4 +952,28 @@ class DedupSpec extends AnyFunSuite {
         r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) - 1) // estimate slack
     }
   }
+
+  test("q202 split token KL: three splits conserve corpus tokens, KL >= 0, " +
+    "splits agree with q80's assignment") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.q202SplitTokenKl(spark, sf).collect()
+    assert(out.map(_.getAs[String]("split")).sorted.toSeq ==
+      Seq("test", "train", "valid"))
+    // every corpus token lands in exactly one split
+    val corpusTokens = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").count()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == corpusTokens)
+    // KL to the pooled corpus distribution is non-negative (Gibbs), and a
+    // split's token count matches a direct replay over q80's assignment
+    out.foreach(r => assert(r.getAs[Double]("kl") >= -1e-6))
+    val replay = Tables.documents(spark, sf)
+      .join(Dedup.splitAssigned(spark, sf).select("doc_id", "split"), "doc_id")
+      .select(col("split"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    out.foreach(r => assert(
+      r.getAs[Long]("n_tokens") == replay(r.getAs[String]("split"))))
+  }
 }
