@@ -442,6 +442,39 @@ object TextOps {
   def q199TopGramProfile(s: SparkSession, d: String): DataFrame =
     topGramProfileOf(documents(s, d))
 
+  /** Per-source quality percentile rank (q203): per document — its source,
+    * the shared ttr quality signal (×10⁴ integer) and the exact-ppm
+    * fraction of its source's documents with STRICTLY lower ttr. This is
+    * the per-source quantile normalization that makes quality scores
+    * comparable ACROSS sources: "keep the top 30% of every source" is
+    * `pct_ppm >= 700000` regardless of each source's absolute quality
+    * level — the knob q97's count caps (volume, not quality) and q117's
+    * single global threshold (one cut for all sources, so a uniformly
+    * weaker source is wiped out instead of thinned) both lack. Ties share
+    * the strictly-lower count, so equal-ttr docs get equal ranks on both
+    * engines with no ordering hazard.
+    *
+    * Scale shape: one tokenize scan to (doc, source, ttr4); the rank
+    * windows run on the (source, ttr4) COUNT MARGINAL — ≤ 10⁴+1 rows per
+    * source whatever the corpus size (the bounded-marginal exemption, the
+    * q139/q147 convention) and both windows share the one source-keyed
+    * exchange; then a (source, ttr4) equi-join back to the docs. */
+  def q203QualityPctRank(s: SparkSession, d: String): DataFrame = {
+    val perDoc = documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        round(ttrFromTokens(col("t")) * lit(10000)).cast("long").as("ttr4"))
+    val marg = perDoc.groupBy("source", "ttr4").agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy("source").orderBy("ttr4")
+    val pref = marg
+      .withColumn("n_lower", sum("cnt").over(wSrc) - col("cnt"))
+      .withColumn("n_src", sum("cnt").over(Window.partitionBy("source")))
+    perDoc.join(pref, Seq("source", "ttr4"))
+      .select(col("doc_id"), col("source"), col("ttr4"),
+        expr("n_lower * 1000000 div n_src").as("pct_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Shingle novelty: per document, the fraction of its 3-word shingles it
     * INTRODUCES to the corpus (no lower doc_id contains them) — the
     * "marginal contribution" score used to prioritize which near-dups to
@@ -3182,6 +3215,22 @@ object TextOps {
              n_unique::BIGINT AS n_unique,
              round(1.0 - n_unique::DOUBLE / n_shingles, 4) AS rep_ratio
       FROM sh ORDER BY doc_id""")),
+    "q203_quality_pct_rank" -> ((q203QualityPctRank _, s"""
+      WITH perdoc AS (
+        SELECT doc_id, source,
+               cast(round(($TtrSql) * 10000) AS BIGINT) AS ttr4
+        FROM documents),
+      marg AS (SELECT source, ttr4, count(*) AS cnt
+               FROM perdoc GROUP BY 1, 2),
+      pref AS (SELECT source, ttr4,
+                      sum(cnt) OVER (PARTITION BY source ORDER BY ttr4)
+                        - cnt AS n_lower,
+                      sum(cnt) OVER (PARTITION BY source) AS n_src
+               FROM marg)
+      SELECT p.doc_id, p.source, p.ttr4,
+             (f.n_lower * 1000000 // f.n_src)::BIGINT AS pct_ppm
+      FROM perdoc p JOIN pref f USING (source, ttr4)
+      ORDER BY doc_id""")),
     "q199_topgram_profile" -> ((q199TopGramProfile _, s"""
       WITH d AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
                         list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -463,6 +463,34 @@ class TextOpsSpec extends AnyFunSuite {
       Seq((2L, "solo")).toDF("doc_id", "text")).count() == 0L)
   }
 
+  test("q203 pct rank: ties share ranks, replay-exact on one source, " +
+    "rank windows ride the marginal") {
+    val out = TextOps.q203QualityPctRank(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.length.toLong == docs) // one row per doc
+    // per source: the lowest-ttr docs sit at exactly 0; nothing reaches 1e6
+    for ((_, rows) <- out.groupBy(_.getAs[String]("source"))) {
+      val sorted = rows.sortBy(r => (r.getAs[Long]("ttr4"),
+        r.getAs[Long]("pct_ppm")))
+      assert(sorted.head.getAs[Long]("pct_ppm") == 0L)
+      assert(sorted.forall(_.getAs[Long]("pct_ppm") < 1000000L))
+      // monotone in ttr; equal ttr -> equal rank
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (a.getAs[Long]("ttr4") == b.getAs[Long]("ttr4"))
+            assert(a.getAs[Long]("pct_ppm") == b.getAs[Long]("pct_ppm"))
+          else assert(a.getAs[Long]("pct_ppm") <= b.getAs[Long]("pct_ppm"))
+        case _ =>
+      }
+      // strictly-lower replay on the raw rows
+      val n = rows.length.toLong
+      rows.foreach { r =>
+        val lower = rows.count(_.getAs[Long]("ttr4") < r.getAs[Long]("ttr4"))
+        assert(r.getAs[Long]("pct_ppm") == lower * 1000000L / n)
+      }
+    }
+  }
+
   test("q199 plan: one exchange serves the top-1 and total windows") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = TextOps.q199TopGramProfile(spark, sf)
