@@ -347,6 +347,59 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name == "directory") test("[directory] delete crash between rewrite and commit: table intact, residue is accounted orphan debt, retry clean") {
+      val ns = freshNs()
+      var crash = true
+      val cat = new DirectoryLakeCatalog(spark,
+          Files.createTempDirectory("graft-del-crash-")) {
+        override protected def beforeDeleteCommit(n: String, t: String): Unit =
+          if (crash) { crash = false; throw new RuntimeException("injected crash") }
+      }
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L, 3L).toDF("id"))
+      intercept[RuntimeException](cat.deleteWhere(ns, "t", $"id" === 2L))
+      // nothing committed: the table reads exactly as before the crash
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      assert(cat.snapshotIds(ns, "t") == Seq(1L))
+      // the dead rewrite dir is visible as ORPHAN debt, not silent leakage
+      val audit = cat.storageAudit(ns, "t").collect()(0)
+      assert(audit.getAs[Long]("n_orphan_dirs") == 1L,
+        s"crashed rewrite left ${audit.getAs[Long]("n_orphan_dirs")} orphans")
+      // the retry re-derives from live state and lands
+      assert(cat.deleteWhere(ns, "t", $"id" === 2L) == 1L)
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 3L))
+      cat.dropNamespace(ns)
+    }
+
+    if (impl.name != "session") test(s"[${impl.name}] racing deletes on disjoint dirs: both land via rebase") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L).toDF("id"))          // dir A
+      cat.append(ns, "t", Seq(10L, 11L).toDF("id"))        // dir B
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val deleted = new java.util.concurrent.atomic.AtomicLong(0)
+      val threads = Seq(1L, 10L).map { id =>
+        new Thread(() => {
+          try { barrier.await(); deleted.addAndGet(
+            cat.deleteWhere(ns, "t", $"id" === id)) }
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      // the two deletes touch DIFFERENT dirs: whoever loses the CAS race
+      // re-derives against the winner's live set, validation passes (its
+      // touched dir is still live) and both removals land
+      assert(errs.isEmpty, s"racing delete failed: ${Option(errs.peek())}")
+      assert(deleted.get() == 2L)
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(2L, 11L))
+      cat.dropNamespace(ns)
+    }
+
     if (impl.name == "rest") test("[rest] names with '+', '%' and spaces survive the wire") {
       val cat = impl.make().asInstanceOf[RestLakeCatalog]
       // '+' (the form-encoding trap: URLEncoder alone sends space as '+'
