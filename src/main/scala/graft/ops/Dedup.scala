@@ -1664,6 +1664,43 @@ object Dedup {
   def q80LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
     splitSummary(splitAssigned(s, d))
 
+  /** Within-source duplication concentration (q205): per source — docs,
+    * distinct dup clusters, the largest cluster's exact-ppm share of the
+    * source, and the inverse-Simpson EFFECTIVE cluster count ×1000
+    * ((Σn)²·1000 div Σn² over its per-cluster doc counts, the q112
+    * effective-language construction turned on dup structure). The
+    * template-monoculture detector: q115 counts what dedup DROPS per
+    * source and q168 trends it, but two sources with the same drop rate
+    * differ materially when one spreads its dups over thousands of small
+    * clusters and the other is one template family wearing a thousand
+    * doc_ids — concentration, not volume, decides whether a source still
+    * contributes diversity after dedup (the q192 HHI question asked of
+    * dup clusters). Exact integers end to end; at corpus scales where
+    * (Σn)²·1000 approaches 2⁶³, lift the two sums to decimal(38) — noted
+    * here rather than silently floated.
+    *
+    * Scale shape: the memoized dup labels join the corpus's (doc_id,
+    * source) projection once; one (source, cluster) partial-agg exchange;
+    * the share/effective math runs on the |sources|-bounded rollup, and
+    * the largest-cluster share is a max over the same marginal. */
+  def q205SourceDiversity(s: SparkSession, d: String): DataFrame = {
+    val assigned = documents(s, d).select(col("doc_id"), col("source"))
+      .join(dupLabels(s, d).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+    assigned.groupBy("source", "cluster_id")
+      .agg(count(lit(1)).as("nc"))
+      .groupBy("source")
+      .agg(sum("nc").as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        max("nc").as("max_c"),
+        sum(col("nc") * col("nc")).as("sumsq"))
+      .select(col("source"), col("n_docs"), col("n_clusters"),
+        expr("max_c * 1000000 div n_docs").as("top_cluster_ppm"),
+        expr("n_docs * n_docs * 1000 div sumsq").as("eff_clusters_x1000"))
+      .orderBy("source")
+  }
+
   /** Per-split token-distribution divergence (q202): for each train/valid/
     * test split — its token count and the KL divergence of its token
     * distribution from the corpus's. q107 checks split parity at the
@@ -2512,6 +2549,22 @@ object Dedup {
       ORDER BY id_a, id_b""")),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
     "q107_split_balance" -> ((q107SplitBalance _, splitBalanceOracle)),
+    "q205_source_diversity" -> ((q205SourceDiversity _, s"""
+      $ccCtes,
+      sdassign AS (
+        SELECT d.doc_id, d.source,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comps c ON c.node = d.doc_id),
+      sdc AS (SELECT source, cluster_id, count(*) AS nc
+              FROM sdassign GROUP BY 1, 2),
+      sdr AS (SELECT source, sum(nc) AS n_docs, count(*) AS n_clusters,
+                     max(nc) AS max_c, sum(nc * nc) AS sumsq
+              FROM sdc GROUP BY 1)
+      SELECT source, n_docs::BIGINT AS n_docs,
+             n_clusters::BIGINT AS n_clusters,
+             (max_c * 1000000 // n_docs)::BIGINT AS top_cluster_ppm,
+             (n_docs * n_docs * 1000 // sumsq)::BIGINT AS eff_clusters_x1000
+      FROM sdr ORDER BY source""")),
     "q202_split_token_kl" -> ((q202SplitTokenKl _, s"""
       $ccCtes,
       $splitAssignCtes,

@@ -128,6 +128,19 @@ object TextOps {
     * and the exchange variant shuffles the full doc-distinct pair set
     * while this shape shuffles almost nothing. */
   def q31LangId(s: SparkSession, d: String): DataFrame = {
+    val wPred = Window.partitionBy("doc_id").orderBy(desc("score"), col("plang"))
+    langScored(s, d)
+      .withColumn("r", row_number().over(wPred))
+      .filter(col("r") === 1)
+      .groupBy(col("lang"), col("plang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** q31's scoring chain up to the per-(doc, profile) shared-bigram score —
+    * ONE definition feeding the q31 confusion matrix and the q204 per-doc
+    * margin, so the two views can never score a doc differently. */
+  private[ops] def langScored(s: SparkSession, d: String): DataFrame = {
     // native expression: one compiled pass/doc vs interpreted array lambdas
     val docBigrams = documents(s, d).filter(length(col("text")) >= 2)
       .select(col("doc_id"), col("lang"),
@@ -139,16 +152,41 @@ object TextOps {
       .withColumn("r", row_number().over(wProf))
       .filter(col("r") <= ProfileSize)
       .select("plang", "bg")
-    val wPred = Window.partitionBy("doc_id").orderBy(desc("score"), col("plang"))
-    val predicted = docBigrams
+    docBigrams
       .join(broadcast(profiles), "bg")
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(count(lit(1)).as("score"))
-      .withColumn("r", row_number().over(wPred))
-      .filter(col("r") === 1)
-    predicted.groupBy(col("lang"), col("plang").as("predicted"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("lang", "predicted")
+  }
+
+  /** Language-confidence margin (q204): per document — the argmax language
+    * profile, the runner-up, both scores in exact shared-bigram counts,
+    * their margin, and an ambiguity flag (margin ≤ 1). q31 publishes the
+    * corpus-level confusion matrix; this is the PER-DOC decision signal a
+    * curation pass acts on: a doc matching two language profiles nearly
+    * equally is code-switched, boilerplate-dominated, or too short to
+    * call — review/route it rather than trusting the argmax label that
+    * q31's matrix (and every lang-conditioned statistic downstream) would
+    * silently assign. Docs sharing no bigram with any profile are absent
+    * (nothing to rank); pred2 is NULL when only one profile matches.
+    *
+    * Scale shape: rides [[langScored]] (broadcast ≤|langs|·10-row profile
+    * join; the doc-keyed shuffle carries ≤|langs| rows per doc), then one
+    * doc-partitioned top-2 window whose partitions hold ≤|langs| rows —
+    * bounded by the language inventory, never corpus-shaped. */
+  def q204LangMargin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("plang"))
+    langScored(s, d)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 2)
+      .groupBy("doc_id", "lang")
+      .agg(
+        max(when(col("r") === 1, col("plang"))).as("pred"),
+        max(when(col("r") === 1, col("score"))).as("s1"),
+        max(when(col("r") === 2, col("plang"))).as("pred2"),
+        coalesce(max(when(col("r") === 2, col("score"))), lit(0L)).as("s2"))
+      .withColumn("margin", col("s1") - col("s2"))
+      .withColumn("is_ambiguous", col("margin") <= 1)
+      .orderBy("doc_id")
   }
 
   /** C5e document fingerprint: min-hash over all char 12-gram windows (the
@@ -3147,6 +3185,45 @@ object TextOps {
       )
       SELECT lang, predicted, count(*) AS n FROM pred WHERE r = 1
       GROUP BY lang, predicted ORDER BY lang, predicted""")),
+    "q204_lang_margin" -> ((q204LangMargin _, s"""
+      WITH docs AS (
+        SELECT doc_id, lang,
+               [substr(text, i, 2) FOR i IN generate_series(1, length(text)-1)] AS bgs
+        FROM documents WHERE length(text) >= 2
+      ),
+      docb AS (
+        SELECT DISTINCT doc_id, lang, unnest(list_distinct(bgs)) AS bg FROM docs
+      ),
+      prof AS (
+        SELECT plang, bg FROM (
+          SELECT lang AS plang, bg, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bg) AS r
+          FROM docb GROUP BY lang, bg) p
+        WHERE r <= $ProfileSize
+      ),
+      scored AS (
+        SELECT d.doc_id, d.lang, p.plang, count(*) AS score
+        FROM docb d JOIN prof p ON p.bg = d.bg
+        GROUP BY d.doc_id, d.lang, p.plang
+      ),
+      top2 AS (
+        SELECT doc_id, lang, plang, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, plang) AS r
+        FROM scored
+      ),
+      agg AS (
+        SELECT doc_id, lang,
+               max(CASE WHEN r = 1 THEN plang END) AS pred,
+               max(CASE WHEN r = 1 THEN score END)::BIGINT AS s1,
+               max(CASE WHEN r = 2 THEN plang END) AS pred2,
+               coalesce(max(CASE WHEN r = 2 THEN score END), 0)::BIGINT AS s2
+        FROM top2 WHERE r <= 2 GROUP BY 1, 2
+      )
+      SELECT doc_id, lang, pred, s1, pred2, s2,
+             (s1 - s2)::BIGINT AS margin,
+             (s1 - s2) <= 1 AS is_ambiguous
+      FROM agg ORDER BY doc_id""")),
     "q32_fingerprint" -> ((q32Fingerprint _, """
       SELECT doc_id,
              min(('0x'||substr(md5(substr(text, i, 12)), 1, 15))::BIGINT) AS fp

@@ -953,6 +953,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q205 source diversity: conserves docs, inverse-Simpson bounds, " +
+    "replay-exact off the shared cluster assignment") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.q205SourceDiversity(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (n, k, eff) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("eff_clusters_x1000"))
+      assert(k <= n)
+      assert(eff >= 1000L && eff <= k * 1000L) // 1 <= effective <= distinct
+      assert(r.getAs[Long]("top_cluster_ppm") >= 1000000L / n)
+    }
+    // full driver replay off the SAME memoized cluster assignment q80 uses
+    val asg = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .join(Dedup.splitAssigned(spark, sf).select("doc_id", "cluster_id"),
+        "doc_id").collect()
+    val expect = asg.groupBy(_.getAs[String]("source")).map { case (src, rows) =>
+      val sizes = rows.groupBy(_.getAs[Long]("cluster_id")).values
+        .map(_.length.toLong).toSeq
+      val n = sizes.sum
+      src -> ((n, sizes.length.toLong, sizes.max * 1000000L / n,
+        n * n * 1000L / sizes.map(c => c * c).sum))
+    }
+    out.foreach { r =>
+      assert(expect(r.getAs[String]("source")) ==
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"),
+          r.getAs[Long]("top_cluster_ppm"),
+          r.getAs[Long]("eff_clusters_x1000"))))
+    }
+  }
+
   test("q202 split token KL: three splits conserve corpus tokens, KL >= 0, " +
     "splits agree with q80's assignment") {
     import org.apache.spark.sql.functions._

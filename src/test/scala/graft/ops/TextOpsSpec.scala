@@ -491,6 +491,26 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q204 lang margin: consistent with q31's argmax, margins ordered") {
+    val out = TextOps.q204LangMargin(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("s1") >= r.getAs[Long]("s2"))
+      assert(r.getAs[Long]("margin") ==
+        r.getAs[Long]("s1") - r.getAs[Long]("s2"))
+      assert(r.getAs[Boolean]("is_ambiguous") ==
+        (r.getAs[Long]("margin") <= 1L))
+      // a missing runner-up reads as score 0, never a null margin
+      if (r.getAs[String]("pred2") == null) assert(r.getAs[Long]("s2") == 0L)
+    }
+    // folding the per-doc argmax back up reproduces q31's confusion matrix
+    val folded = out.groupBy(r => (r.getAs[String]("lang"),
+        r.getAs[String]("pred"))).view.mapValues(_.length.toLong).toMap
+    val q31 = TextOps.q31LangId(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted")) ->
+        r.getAs[Long]("n")).toMap
+    assert(folded == q31)
+  }
+
   test("q199 plan: one exchange serves the top-1 and total windows") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = TextOps.q199TopGramProfile(spark, sf)
