@@ -2271,6 +2271,54 @@ object TextOps {
       .orderBy("band")
   }
 
+  val BurstBands = 10  // doc_id arrival bands, the q168/q188/q189 trend grain
+  val BurstTopK = 10   // bursting tokens reported per band
+
+  /** Token burst detector (q206): per doc_id arrival band, the
+    * [[BurstTopK]] tokens most OVER-REPRESENTED in that band — ranked by
+    * excess share (the band's exact-ppm share of the token minus its
+    * corpus-wide ppm share) with the counts and both shares emitted. The
+    * token-grain crawl-drift localizer completing the trend family: q140
+    * counts NEW types per band, q78/q202 score whole-distribution KL per
+    * source/split, q189 tracks quality — this names WHICH tokens a
+    * spam-wave, a template rollout, or a topical event pushed into a
+    * band. Excess is a DIFFERENCE of exact ppm integers, not a ratio:
+    * Long-safe at any corpus size (n_bt·10⁶ ≤ N·10⁶ < 2⁶³ to a
+    * quadrillion tokens), no cross-engine division-order hazard, and it
+    * naturally weights tokens by mass where a lift ratio would surface
+    * two-occurrence flukes.
+    *
+    * Scale shape: one tokenize scan to the (band, token) count table
+    * (checkpointed — it feeds the band totals, the vocabulary marginal
+    * AND the rank input, the q140 discipline); the vocabulary-keyed join
+    * AQE-broadcasts at test scale and shuffles at web scale; the per-band
+    * top-k is a row_number over the 10-value band key whose rank filter
+    * pushes into WindowGroupLimit (spec-asserted) — each task forwards at
+    * most [[BurstTopK]] rows per band, never the vocabulary. */
+  def q206TokenBursts(s: SparkSession, d: String): DataFrame = {
+    val mx = documents(s, d).agg((max("doc_id") + 1).as("m"))
+    val bt = documents(s, d).crossJoin(broadcast(mx))
+      .withColumn("band", expr(s"(doc_id * $BurstBands) div m"))
+      .select(col("band"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("band", "token").agg(count(lit(1)).as("n_bt"))
+      .localCheckpoint(true)
+    val bandTot = bt.groupBy("band").agg(sum("n_bt").as("n_band"))
+    val tokTot = bt.groupBy("token").agg(sum("n_bt").as("n_tok"))
+    val total = tokTot.agg(sum("n_tok").as("n_total"))
+    val scored = bt.join(broadcast(bandTot), "band")
+      .join(tokTot, "token")
+      .crossJoin(broadcast(total))
+      .select(col("band"), col("token"), col("n_bt"),
+        expr("n_bt * 1000000 div n_band").as("band_ppm"),
+        expr("n_tok * 1000000 div n_total").as("corpus_ppm"))
+      .withColumn("excess_ppm", col("band_ppm") - col("corpus_ppm"))
+    val w = Window.partitionBy("band").orderBy(desc("excess_ppm"), col("token"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= BurstTopK)
+      .orderBy("band", "rnk")
+  }
+
   val PadLen = 128 // fixed-length batching target (tokens per sequence)
 
   /** C5u fixed-length padding-waste audit (q146): per lang, the tokens a
@@ -3292,6 +3340,28 @@ object TextOps {
              n_unique::BIGINT AS n_unique,
              round(1.0 - n_unique::DOUBLE / n_shingles, 4) AS rep_ratio
       FROM sh ORDER BY doc_id""")),
+    "q206_token_bursts" -> ((q206TokenBursts _, s"""
+      WITH m AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      bt AS (SELECT (doc_id * $BurstBands) // m.m AS band,
+                    unnest(string_split(text, ' ')) AS token
+             FROM documents, m),
+      btc AS (SELECT band, token, count(*) AS n_bt FROM bt
+              WHERE token <> '' GROUP BY 1, 2),
+      bd AS (SELECT band, sum(n_bt) AS n_band FROM btc GROUP BY 1),
+      tt AS (SELECT token, sum(n_bt) AS n_tok FROM btc GROUP BY 1),
+      nt AS (SELECT sum(n_tok) AS n_total FROM tt),
+      sc AS (SELECT c.band, c.token, c.n_bt,
+                    (c.n_bt * 1000000) // b.n_band AS band_ppm,
+                    (t.n_tok * 1000000) // nt.n_total AS corpus_ppm
+             FROM btc c JOIN bd b USING (band) JOIN tt t USING (token), nt),
+      rk AS (SELECT *, (band_ppm - corpus_ppm) AS excess_ppm,
+                    row_number() OVER (PARTITION BY band
+                      ORDER BY band_ppm - corpus_ppm DESC, token) AS rnk
+             FROM sc)
+      SELECT band::BIGINT AS band, token, n_bt::BIGINT AS n_bt,
+             band_ppm::BIGINT AS band_ppm, corpus_ppm::BIGINT AS corpus_ppm,
+             excess_ppm::BIGINT AS excess_ppm, rnk::BIGINT AS rnk
+      FROM rk WHERE rnk <= $BurstTopK ORDER BY band, rnk""")),
     "q203_quality_pct_rank" -> ((q203QualityPctRank _, s"""
       WITH perdoc AS (
         SELECT doc_id, source,

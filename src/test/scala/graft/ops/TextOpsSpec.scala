@@ -491,6 +491,29 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q206 token bursts: k per band, excess identity, rank order, " +
+    "WindowGroupLimit in the plan") {
+    val df = TextOps.q206TokenBursts(spark, sf)
+    val out = df.collect()
+    val byBand = out.groupBy(_.getAs[Long]("band"))
+    assert(byBand.keySet == (0L until TextOps.BurstBands.toLong).toSet)
+    for ((_, rows) <- byBand) {
+      assert(rows.length == TextOps.BurstTopK)
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to TextOps.BurstTopK.toLong))
+      // rank order follows excess desc (ties broken by token, so excess
+      // alone must be non-increasing)
+      val ex = sorted.map(_.getAs[Long]("excess_ppm"))
+      assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
+      rows.foreach(r => assert(r.getAs[Long]("excess_ppm") ==
+        r.getAs[Long]("band_ppm") - r.getAs[Long]("corpus_ppm")))
+    }
+    // the rank filter must push into WindowGroupLimit: each task forwards
+    // k rows per band, never the vocabulary
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("q204 lang margin: consistent with q31's argmax, margins ordered") {
     val out = TextOps.q204LangMargin(spark, sf).collect()
     out.foreach { r =>
