@@ -1664,6 +1664,35 @@ object Dedup {
   def q80LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
     splitSummary(splitAssigned(s, d))
 
+  /** Near-dup arrival-gap histogram (q207): the q108 exact truth pairs
+    * banded by the BIT LENGTH of their doc_id gap (`id_b − id_a`; doc_id
+    * is the arrival proxy throughout the trend family) — pairs, min/max
+    * gap and exact-ppm share per power-of-two band. The duplication
+    * TIME-STRUCTURE diagnostic the volume views lack: a histogram massed
+    * in the low bands says duplication is BURSTY (same-crawl copies —
+    * fixed by in-batch dedup alone, cheap), mass in the high bands says
+    * LONG-RANGE re-syndication (only a persistent signature index catches
+    * it — the q133/`indexDedupSink` machinery earns its storage), and a
+    * band suddenly filling is a re-crawl loop. Banding by binary string
+    * length — the q191 convention, no float log on either engine.
+    *
+    * Scale shape: rides the MEMOIZED q108 truth (tiny above-threshold
+    * pair list, already checkpointed); one projection, one ≤64-row
+    * rollup; the total for the ppm share is a count on the checkpointed
+    * frame (bounded control plane). */
+  def q207DupArrivalGaps(s: SparkSession, d: String): DataFrame = {
+    val gaps = q108NgramJaccard(s, d)
+      .select((col("id_b") - col("id_a")).as("gap"))
+    val n = gaps.count()
+    gaps.withColumn("band", length(expr("bin(gap)")).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("gap").as("min_gap"), max("gap").as("max_gap"))
+      .select(col("band"), col("n_pairs"), col("min_gap"), col("max_gap"),
+        expr(s"n_pairs * 1000000 div $n").as("share_ppm"))
+      .orderBy("band")
+  }
+
   /** Within-source duplication concentration (q205): per source — docs,
     * distinct dup clusters, the largest cluster's exact-ppm share of the
     * source, and the inverse-Simpson EFFECTIVE cluster count ×1000
@@ -2549,6 +2578,19 @@ object Dedup {
       ORDER BY id_a, id_b""")),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
     "q107_split_balance" -> ((q107SplitBalance _, splitBalanceOracle)),
+    "q207_dup_arrival_gaps" -> ((q207DupArrivalGaps _, s"""
+      $minhashCandCtes,
+      $ngramTruthCtes,
+      gp AS (SELECT id_b - id_a AS gap FROM truth
+             WHERE jaccard >= $NgramDupJaccard),
+      tot AS (SELECT count(*) AS n FROM gp),
+      h AS (SELECT length(bin(gap)) AS band, count(*) AS n_pairs,
+                   min(gap) AS min_gap, max(gap) AS max_gap
+            FROM gp GROUP BY 1)
+      SELECT band::BIGINT AS band, n_pairs::BIGINT AS n_pairs,
+             min_gap::BIGINT AS min_gap, max_gap::BIGINT AS max_gap,
+             (n_pairs * 1000000 // tot.n)::BIGINT AS share_ppm
+      FROM h, tot ORDER BY band""")),
     "q205_source_diversity" -> ((q205SourceDiversity _, s"""
       $ccCtes,
       sdassign AS (

@@ -953,6 +953,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q207 dup arrival gaps: conserves the q108 truth, bit-length bands " +
+    "bound their gaps, floor shares sum under 1e6") {
+    val out = Dedup.q207DupArrivalGaps(spark, sf).collect()
+    val truth = Dedup.q108NgramJaccard(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == truth.length.toLong)
+    out.foreach { r =>
+      val b = r.getAs[Long]("band")
+      val (lo, hi) = (if (b == 1L) 1L else 1L << (b - 1), (1L << b) - 1)
+      assert(r.getAs[Long]("min_gap") >= lo && r.getAs[Long]("max_gap") <= hi,
+        s"band $b holds gaps outside [$lo, $hi]")
+      assert(r.getAs[Long]("min_gap") <= r.getAs[Long]("max_gap"))
+    }
+    val shares = out.map(_.getAs[Long]("share_ppm"))
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - out.length)
+  }
+
   test("q205 source diversity: conserves docs, inverse-Simpson bounds, " +
     "replay-exact off the shared cluster assignment") {
     import org.apache.spark.sql.functions._
