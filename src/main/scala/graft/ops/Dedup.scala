@@ -1664,6 +1664,36 @@ object Dedup {
   def q80LeakageSafeSplit(s: SparkSession, d: String): DataFrame =
     splitSummary(splitAssigned(s, d))
 
+  /** Filter-overlap audit (q208): the (dedup ledger action × quality gate
+    * outcome) matrix — docs, exact char mass, and corpus share ppm per
+    * cell, grid-complete over all 6 cells. The filter-REDUNDANCY planning
+    * view: (drop_*, false) cells are double-kills either filter catches
+    * alone, (keep, false) is the gate's unique contribution, (drop_*,
+    * true) is dedup's — the numbers that decide pipeline ORDER at 100 TB
+    * (when overlap is high, run the cheap gate first and dedup only its
+    * survivors; when the off-diagonal mass dominates, both passes earn
+    * their cost) and that q164 (quality OF drops) and q115 (volume per
+    * source) don't expose. Composes the two memoized/shared rule
+    * surfaces: the resolved ledger and [[TextOps.gateDecisionsOf]]'s pass
+    * rule — one doc_id join, a 6-row rollup. */
+  def q208FilterOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = documents(s, d).count() // parquet-metadata job
+    val cells = q129DedupLedger(s, d).select("doc_id", "action")
+      .join(TextOps.gateDecisions(s, d)
+        .select("doc_id", "gate_pass", "n_chars"), "doc_id")
+      .groupBy("action", "gate_pass")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val grid = Seq("drop_exact", "drop_near", "keep")
+      .flatMap(a => Seq((a, false), (a, true)))
+      .toDF("action", "gate_pass")
+    grid.join(cells, Seq("action", "gate_pass"), "left")
+      .na.fill(0L, Seq("n_docs", "n_chars"))
+      .select(col("action"), col("gate_pass"), col("n_docs"), col("n_chars"),
+        expr(s"n_docs * 1000000 div $n").as("corpus_ppm"))
+      .orderBy("action", "gate_pass")
+  }
+
   /** Near-dup arrival-gap histogram (q207): the q108 exact truth pairs
     * banded by the BIT LENGTH of their doc_id gap (`id_b − id_a`; doc_id
     * is the arrival proxy throughout the trend family) — pairs, min/max
@@ -2578,6 +2608,26 @@ object Dedup {
       ORDER BY id_a, id_b""")),
     "q80_leakage_safe_split" -> ((q80LeakageSafeSplit _, leakageSplitOracle)),
     "q107_split_balance" -> ((q107SplitBalance _, splitBalanceOracle)),
+    "q208_filter_overlap" -> ((q208FilterOverlap _, s"""
+      $ledgerCtes,
+      ${TextOps.gateDocCte},
+      ogrid AS (SELECT a.action, g.gate_pass
+                FROM (VALUES ('drop_exact'), ('drop_near'), ('keep'))
+                  a(action),
+                  (VALUES (false), (true)) g(gate_pass)),
+      ocells AS (SELECT l.action, gd.gate_pass, count(*) AS n_docs,
+                        sum(d.n_chars) AS n_chars
+                 FROM ledger l
+                 JOIN gatedoc gd USING (doc_id)
+                 JOIN documents d USING (doc_id)
+                 GROUP BY 1, 2),
+      otot AS (SELECT count(*) AS n FROM documents)
+      SELECT g.action, g.gate_pass,
+             coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+             coalesce(c.n_chars, 0)::BIGINT AS n_chars,
+             (coalesce(c.n_docs, 0) * 1000000 // otot.n)::BIGINT AS corpus_ppm
+      FROM ogrid g LEFT JOIN ocells c USING (action, gate_pass), otot
+      ORDER BY action, gate_pass""")),
     "q207_dup_arrival_gaps" -> ((q207DupArrivalGaps _, s"""
       $minhashCandCtes,
       $ngramTruthCtes,

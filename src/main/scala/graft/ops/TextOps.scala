@@ -648,6 +648,23 @@ object TextOps {
   private[ops] def gateDecisions(s: SparkSession, d: String): DataFrame =
     gateDecisionsOf(documents(s, d))
 
+  /** Oracle-side per-doc gate decision as a spliceable CTE (`gatedoc` →
+    * doc_id, gate_pass) — the SQL statement of [[gateDecisionsOf]]'s pass
+    * rule for oracles OUTSIDE this file (q208's filter-overlap matrix in
+    * Dedup splices it beside the ledger CTEs). */
+  private[ops] def gateDocCte: String = s"""
+      gatedoc AS (
+        SELECT doc_id,
+               (NOT (len(t) < $GateMinTokens OR len(t) > $GateMaxTokens
+                     OR (n_chars - len(t) + 1)::DOUBLE / len(t)
+                        < $GateMinMeanWordLen
+                     OR (n_chars - len(t) + 1)::DOUBLE / len(t)
+                        > $GateMaxMeanWordLen
+                     OR len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE
+                        / len(t) > $GateMaxStopRatio)) AS gate_pass
+        FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t
+              FROM documents))"""
+
   /** The same gate over ANY document-shaped frame — the incremental
     * pipeline gates incoming batches with the identical rules. */
   private[ops] def gateDecisionsOf(docs: DataFrame): DataFrame =

@@ -953,6 +953,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q208 filter overlap: grid-complete, conserves corpus docs and " +
+    "both filters' marginals") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.q208FilterOverlap(spark, sf).collect()
+    assert(out.length == 6) // 3 actions x 2 gate outcomes, always
+    val n = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == n)
+    // folding out gate_pass reproduces the ledger's action counts
+    val byAction = out.groupBy(_.getAs[String]("action")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val ledger = Dedup.q129DedupLedger(spark, sf).groupBy("action").count()
+      .collect().map(r => r.getAs[String]("action") -> r.getAs[Long]("count"))
+      .toMap
+    assert(byAction.filter(_._2 > 0) == ledger)
+    // folding out the action reproduces the gate's pass/fail counts
+    val byGate = out.groupBy(_.getAs[Boolean]("gate_pass")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val gates = TextOps.gateDecisions(spark, sf).groupBy("gate_pass").count()
+      .collect().map(r => r.getAs[Boolean]("gate_pass") -> r.getAs[Long]("count"))
+      .toMap
+    assert(byGate.filter(_._2 > 0) == gates)
+    out.foreach(r => assert(r.getAs[Long]("corpus_ppm") ==
+      r.getAs[Long]("n_docs") * 1000000L / n))
+  }
+
   test("q207 dup arrival gaps: conserves the q108 truth, bit-length bands " +
     "bound their gaps, floor shares sum under 1e6") {
     val out = Dedup.q207DupArrivalGaps(spark, sf).collect()
