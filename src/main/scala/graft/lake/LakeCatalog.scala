@@ -59,6 +59,20 @@ trait LakeCatalog {
     * would rewrite per-partition via its own rewrite_data_files action. */
   def compact(ns: String, table: String, targetFiles: Int): Unit
 
+  /** Atomically replace `ns.table`'s contents with `fold(current)` — the
+    * read-modify-write primitive behind ledger compactions
+    * (`Streaming.compactStats`). The fold's READ and the replacing WRITE
+    * are one isolated unit: a row appended concurrently is either visible
+    * to the fold or lands after the replacement — never silently dropped
+    * by a read-then-blind-overwrite. Carrier-specific isolation:
+    * [[SessionLakeCatalog]] runs the whole cycle under the per-table write
+    * lock this JVM's writers already serialize on; [[SnapshotLakeCatalog]]
+    * validates at commit time that no snapshot landed after the one the
+    * fold read and RE-RUNS the fold against the winner on conflict
+    * (bounded retries, loud failure). */
+  def foldReplace(ns: String, table: String)
+                 (fold: DataFrame => DataFrame): Unit
+
   /** The shared at-least-once replay guard, used by every streaming lake
     * sink and the curation faces: drop the rows of `df` whose `key` already
     * exists in `ns.table`; a missing table passes everything through. Reads
@@ -67,16 +81,32 @@ trait LakeCatalog {
     * anti-join prunes to the probed buckets instead of scanning.
     * `distinctKeys` pre-shrinks the build side when the key repeats across
     * rows (decision logs keyed by incoming doc, epoch-keyed ledgers);
-    * uniquely-keyed tables skip that extra shuffle. */
+    * uniquely-keyed tables skip that extra shuffle.
+    *
+    * Keys must be NON-NULL: left_anti equi-join semantics pass a
+    * null-keyed row through on EVERY replay (null never equals anything),
+    * which would silently break the exactly-once contract for that row —
+    * so a null key fails loudly at scan time instead (a codegen'd per-row
+    * null check, no extra pass over the data). */
   def exceptExistingKeys(ns: String, table: String, key: String,
                          df: DataFrame,
-                         distinctKeys: Boolean = false): DataFrame =
-    if (!tableExists(ns, table)) df
+                         distinctKeys: Boolean = false): DataFrame = {
+    val guarded = df.withColumn(key,
+      org.apache.spark.sql.functions.when(col(key).isNull,
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.lit(
+            s"exceptExistingKeys($ns.$table): null '$key' — replay-guard " +
+              "keys must be non-null (a null key can never be recognized " +
+              "as already persisted, so its row would re-append on every " +
+              "replay)")))
+        .otherwise(col(key)))
+    if (!tableExists(ns, table)) guarded
     else {
       val keys = load(ns, table).select(key)
-      df.join(if (distinctKeys) keys.distinct() else keys,
+      guarded.join(if (distinctKeys) keys.distinct() else keys,
         Seq(key), "left_anti")
     }
+  }
 }
 
 /** Type-shape normalization shared by every [[LakeCatalog]] implementation's
@@ -201,6 +231,21 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
     tableLock(ns, table).synchronized {
       writer(df, ns, table, options, "overwrite").saveAsTable(id(ns, table))
       refreshHere(ns, table)
+    }
+
+  /** The whole read-fold-write cycle under the table lock: every writer in
+    * this JVM (append/overwrite/compact, incl. foreachBatch epochs through
+    * this catalog) serializes on the same monitor, so no epoch row can land
+    * between the fold's read and the overwrite — the lost-update the naive
+    * load-then-overwrite shape allows. localCheckpoint materializes the
+    * folded rows BEFORE the overwrite truncates the files they read from.
+    * (Cross-process writers are out of scope for the session catalog —
+    * see tableLock's scaladoc; the snapshot catalogs validate instead.) */
+  override def foldReplace(ns: String, table: String)
+                          (fold: DataFrame => DataFrame): Unit =
+    tableLock(ns, table).synchronized {
+      val folded = fold(load(ns, table)).localCheckpoint(true)
+      overwrite(ns, table, folded)
     }
 
   /** saveAsTable refreshes the metadata cache of the session that OWNS the

@@ -593,20 +593,66 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       else Some(writeSnapshot(ns, table, remainder,
         metaPartitionCols(meta), Map.empty))
     beforeDeleteCommit(ns, table)
-    commit(ns, table) { base =>
-      val cur = base.getOrElse(throw new IllegalStateException(
-        s"$ns.$table vanished mid-delete"))
-      val curLive = liveSnapshots(cur)
-      val gone = touched.filterNot(curLive.contains)
-      if (gone.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
-          s"delete on $ns.$table read ${gone.mkString(", ")} but a " +
-            "concurrent commit rewrote or removed them — retry the delete " +
-            "against the new snapshot")
-      val newLive = curLive.filterNot(touched.contains) ++ snapOpt.toSeq
-      Some(addSnapshot(ns, table, cur, "delete", newLive))
+    // The conflict throw below is a DESIGNED outcome — but the remainder
+    // dir is already on disk, and a dir never referenced by any snapshot
+    // is invisible to expireSnapshots (which derives reclaimable dirs from
+    // metadata). Delete it before propagating so an aborted delete leaves
+    // no permanent orphan.
+    try {
+      commit(ns, table) { base =>
+        val cur = base.getOrElse(throw new IllegalStateException(
+          s"$ns.$table vanished mid-delete"))
+        val curLive = liveSnapshots(cur)
+        val gone = touched.filterNot(curLive.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"delete on $ns.$table read ${gone.mkString(", ")} but a " +
+              "concurrent commit rewrote or removed them — retry the delete " +
+              "against the new snapshot")
+        val newLive = curLive.filterNot(touched.contains) ++ snapOpt.toSeq
+        Some(addSnapshot(ns, table, cur, "delete", newLive))
+      }
+    } catch {
+      case e: Throwable =>
+        snapOpt.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
+        throw e
     }
     deleted
+  }
+
+  /** Atomic read-fold-replace ([[LakeCatalog.foldReplace]]): the commit
+    * VALIDATES that the current snapshot is still the one the fold read —
+    * an epoch appended between the read and the publish loses nothing,
+    * because the stale rewrite is discarded (its never-referenced snapshot
+    * directory deleted, no orphan debt) and the fold re-runs against the
+    * winner. Bounded by [[MaxCommitRetries]] with a loud failure. */
+  override def foldReplace(ns: String, table: String)
+                          (fold: DataFrame => DataFrame): Unit = {
+    var attempt = 0
+    while (true) {
+      val meta = readMeta(ns, table)
+      val baseId = meta.get("current-snapshot-id").asLong()
+      // fold reads the base snapshot's dirs; the rewrite lands in a FRESH
+      // dir (snapshot isolation), so no checkpoint dance is needed — the
+      // sources are never truncated under the reader
+      val snap = writeSnapshot(ns, table, fold(load(ns, table)),
+        metaPartitionCols(meta), Map.empty)
+      var stale = false
+      commit(ns, table) { base =>
+        val cur = base.getOrElse(throw new IllegalStateException(
+          s"$ns.$table vanished mid-foldReplace"))
+        if (cur.get("current-snapshot-id").asLong() != baseId) {
+          stale = true; None
+        } else Some(addSnapshot(ns, table, cur, "overwrite", Seq(snap)))
+      }
+      if (!stale) return
+      deleteTree(dataDir(ns, table).resolve(snap))
+      attempt += 1
+      if (attempt >= MaxCommitRetries)
+        throw new IllegalStateException(
+          s"foldReplace on $ns.$table lost to concurrent commits " +
+            s"$MaxCommitRetries times")
+    }
   }
 
   private def loadSnapshot(ns: String, table: String,
@@ -651,7 +697,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   protected def deleteTree(dir: Path): Unit =
     if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse
+      // Files.walk returns a Stream holding directory handles — close it
+      // (materialize first; deletion happens outside the walk)
+      scala.util.Using.resource(Files.walk(dir))(
+        _.iterator().asScala.toSeq).reverse
         .foreach(Files.deleteIfExists(_))
     }
 
@@ -708,15 +757,16 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // fresh, higher id), so the id bound alone protects uncommitted files.
     if (maxDroppedId >= 0) {
       val md = manifestDir(ns, table)
-      if (Files.exists(md)) Files.list(md).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("manifest-list-"))
-        .filter { p =>
-          val id = p.getFileName.toString
-            .stripPrefix("manifest-list-").takeWhile(_.isDigit)
-          id.nonEmpty && id.toLong <= maxDroppedId &&
-            !keptManifests.contains(p.toString)
-        }
-        .toSeq.foreach(Files.deleteIfExists(_))
+      if (Files.exists(md))
+        scala.util.Using.resource(Files.list(md))(_.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("manifest-list-"))
+          .filter { p =>
+            val id = p.getFileName.toString
+              .stripPrefix("manifest-list-").takeWhile(_.isDigit)
+            id.nonEmpty && id.toLong <= maxDroppedId &&
+              !keptManifests.contains(p.toString)
+          }
+          .toSeq).foreach(Files.deleteIfExists(_))
     }
   }
 
@@ -725,8 +775,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val p = dataDir(ns, table).resolve(dirName)
     if (!Files.exists(p)) (0L, 0L)
     else {
-      val fs = Files.walk(p).iterator().asScala
-        .filter(Files.isRegularFile(_)).toSeq
+      val fs = scala.util.Using.resource(Files.walk(p))(
+        _.iterator().asScala.filter(Files.isRegularFile(_)).toSeq)
       (fs.size.toLong, fs.map(Files.size).sum)
     }
   }
@@ -783,8 +833,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val onDisk = {
       val root = dataDir(ns, table)
       if (!Files.exists(root)) Set.empty[String]
-      else Files.list(root).iterator().asScala
-        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+      else scala.util.Using.resource(Files.list(root))(_.iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet)
     }
     val orphans = onDisk -- all
     // one walk per distinct dir across all four overlapping sets

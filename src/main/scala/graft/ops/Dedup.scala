@@ -1157,7 +1157,9 @@ object Dedup {
     * exact edge set the propagation consumed); possible-pair counts use
     * size·(size−1) div 2 (always even, so div is exact) and density is an
     * integer ppm of summed edges over summed possible — no division
-    * convention can diverge.
+    * convention can diverge. The size² pair count and the edges·1e6 ppm
+    * numerator run in decimal(38)/HUGEINT (the q205 lift: size² crosses
+    * int64 at ~4.3e9-doc clusters), cast back to BIGINT on output.
     *
     * Scale shape: both inputs are memoized ([[dupLabels]],
     * [[minhashCandidates]]); new work is one join of the two-id pair list
@@ -1175,9 +1177,13 @@ object Dedup {
       .join(edges, "label") // every cluster has >= 1 edge by construction
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"), sum("n_edges").as("n_edges"))
-      .withColumn("n_possible",
-        expr("n_clusters * (cluster_size * (cluster_size - 1) div 2)"))
-      .withColumn("density_ppm", expr("n_edges * 1000000 div n_possible"))
+      .withColumn("n_possible_d",
+        expr("cast(n_clusters as decimal(38, 0)) * " +
+          "(cast(cluster_size as decimal(38, 0)) * (cluster_size - 1) div 2)"))
+      .withColumn("n_possible", expr("cast(n_possible_d as bigint)"))
+      .withColumn("density_ppm",
+        expr("cast((cast(n_edges as decimal(38, 0)) * 1000000) " +
+          "div n_possible_d as bigint)"))
       .select("cluster_size", "n_clusters", "n_edges", "n_possible",
         "density_ppm")
       .orderBy("cluster_size")
@@ -1734,9 +1740,10 @@ object Dedup {
     * clusters and the other is one template family wearing a thousand
     * doc_ids — concentration, not volume, decides whether a source still
     * contributes diversity after dedup (the q192 HHI question asked of
-    * dup clusters). Exact integers end to end; at corpus scales where
-    * (Σn)²·1000 approaches 2⁶³, lift the two sums to decimal(38) — noted
-    * here rather than silently floated.
+    * dup clusters). Exact integers end to end; Σn² accumulates in
+    * decimal(38)/HUGEINT and both ppm numerators ((Σn)²·1000 and
+    * max_c·1e6, which cross int64 at billions of docs per source) run the
+    * q179/q192 decimal-lift convention, cast back to BIGINT on output.
     *
     * Scale shape: the memoized dup labels join the corpus's (doc_id,
     * source) projection once; one (source, cluster) partial-agg exchange;
@@ -1753,10 +1760,12 @@ object Dedup {
       .agg(sum("nc").as("n_docs"),
         count(lit(1)).as("n_clusters"),
         max("nc").as("max_c"),
-        sum(col("nc") * col("nc")).as("sumsq"))
+        sum(expr("cast(nc as decimal(38, 0)) * nc")).as("sumsq"))
       .select(col("source"), col("n_docs"), col("n_clusters"),
-        expr("max_c * 1000000 div n_docs").as("top_cluster_ppm"),
-        expr("n_docs * n_docs * 1000 div sumsq").as("eff_clusters_x1000"))
+        expr("cast((cast(max_c as decimal(38, 0)) * 1000000) div n_docs " +
+          "as bigint)").as("top_cluster_ppm"),
+        expr("cast((cast(n_docs as decimal(38, 0)) * n_docs * 1000) " +
+          "div sumsq as bigint)").as("eff_clusters_x1000"))
       .orderBy("source")
   }
 
@@ -2550,10 +2559,12 @@ object Dedup {
              FROM comps GROUP BY 1)
       SELECT cs.cluster_size, count(*)::BIGINT AS n_clusters,
              sum(ed.n_edges)::BIGINT AS n_edges,
-             (count(*) * (cs.cluster_size * (cs.cluster_size - 1) // 2))::BIGINT
+             (count(*)::HUGEINT *
+               (cs.cluster_size::HUGEINT * (cs.cluster_size - 1) // 2))::BIGINT
                AS n_possible,
-             (sum(ed.n_edges) * 1000000
-               // (count(*) * (cs.cluster_size * (cs.cluster_size - 1) // 2)))::BIGINT
+             (sum(ed.n_edges)::HUGEINT * 1000000
+               // (count(*)::HUGEINT *
+                   (cs.cluster_size::HUGEINT * (cs.cluster_size - 1) // 2)))::BIGINT
                AS density_ppm
       FROM cs JOIN ed USING (cluster_id)
       GROUP BY cs.cluster_size ORDER BY cs.cluster_size""")),
@@ -2650,12 +2661,13 @@ object Dedup {
       sdc AS (SELECT source, cluster_id, count(*) AS nc
               FROM sdassign GROUP BY 1, 2),
       sdr AS (SELECT source, sum(nc) AS n_docs, count(*) AS n_clusters,
-                     max(nc) AS max_c, sum(nc * nc) AS sumsq
+                     max(nc) AS max_c, sum(nc::HUGEINT * nc) AS sumsq
               FROM sdc GROUP BY 1)
       SELECT source, n_docs::BIGINT AS n_docs,
              n_clusters::BIGINT AS n_clusters,
-             (max_c * 1000000 // n_docs)::BIGINT AS top_cluster_ppm,
-             (n_docs * n_docs * 1000 // sumsq)::BIGINT AS eff_clusters_x1000
+             (max_c::HUGEINT * 1000000 // n_docs)::BIGINT AS top_cluster_ppm,
+             (n_docs::HUGEINT * n_docs * 1000 // sumsq)::BIGINT
+               AS eff_clusters_x1000
       FROM sdr ORDER BY source""")),
     "q202_split_token_kl" -> ((q202SplitTokenKl _, s"""
       $ccCtes,

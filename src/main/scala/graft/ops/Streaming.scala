@@ -474,22 +474,28 @@ object Streaming {
     * later epoch's rows are visible, epoch e can never be redelivered —
     * the only replayable epoch is the NEWEST one in the table, and the
     * base rows keep exactly that epoch id (the global max), so its replay
-    * still anti-joins away. The rewrite is one atomic overwrite commit;
-    * a crash before it leaves the delta rows untouched, a crash after it
-    * leaves the folded table — never a partial state. Totals are sums, so
-    * [[corpusStats]] reads identically before and after. */
+    * still anti-joins away.
+    *
+    * A LIVE [[statsSink]] stream is safe too: the fold runs through
+    * [[graft.lake.LakeCatalog.foldReplace]], whose read and replacing
+    * write are one ISOLATED unit (session catalog: the per-table write
+    * lock every epoch append also takes; snapshot catalogs: commit-time
+    * validation that no snapshot landed after the one the fold read, with
+    * a re-fold on conflict) — an epoch row appended mid-fold is either
+    * folded in or lands after the replacement, never silently dropped.
+    * A crash before the replacing commit leaves the delta rows untouched,
+    * after it the folded table — never a partial state. Totals are sums,
+    * so [[corpusStats]] reads identically before and after. */
   def compactStats(catalog: graft.lake.LakeCatalog, ns: String,
                    table: String): Unit = {
     if (!catalog.tableExists(ns, table)) return
-    val t = catalog.load(ns, table)
-    val folded = t.groupBy("source")
-      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
-        sum("n_chars").as("n_chars"))
-      .crossJoin(broadcast(t.agg(max("epoch").as("epoch"))))
-      .select("epoch", "source", "n_docs", "n_tokens", "n_chars")
-      .localCheckpoint(true) // materialize BEFORE the overwrite drops the
-                             // rows it reads from
-    catalog.overwrite(ns, table, folded)
+    catalog.foldReplace(ns, table) { t =>
+      t.groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"))
+        .crossJoin(broadcast(t.agg(max("epoch").as("epoch"))))
+        .select("epoch", "source", "n_docs", "n_tokens", "n_chars")
+    }
   }
 
   private def epochStart(w: Column): Column = unix_timestamp(w("start"))

@@ -340,6 +340,12 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       // nothing was lost: the compacted table still has every row
       assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
         Seq(1L, 2L, 3L))
+      // the aborted delete's already-written remainder dir was cleaned on
+      // the conflict throw — a dir referenced by NO snapshot is invisible
+      // to expireSnapshots, so leaving it would be permanent orphan debt
+      assert(cat.storageAudit(ns, "t").collect()(0)
+        .getAs[Long]("n_orphan_dirs") == 0L,
+        "conflict-aborted delete left an orphan rewrite dir")
       // the retry (against the post-compact snapshot) succeeds
       assert(cat.deleteWhere(ns, "t", $"id" === 2L) == 1L)
       assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
@@ -463,6 +469,66 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
           Seq(1L, 2L))
         cat.dropNamespace(ns)
       }
+
+    test(s"[${impl.name}] foldReplace replaces contents atomically") {
+      val cat = impl.make(); val ns = freshNs()
+      val df = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "n")
+      cat.ensureTable(ns, "t", df.schema)
+      cat.append(ns, "t", df)
+      cat.foldReplace(ns, "t")(_.groupBy("k").agg(sum("n").as("n")))
+      val out = cat.load(ns, "t").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("a" -> 3L, "b" -> 5L))
+      cat.dropNamespace(ns)
+    }
+
+    if (impl.name != "session") test(s"[${impl.name}] foldReplace re-folds when a concurrent append lands mid-fold") {
+      // the ADVICE r9 lost-update scenario: an epoch row appended between
+      // the fold's read and its replacing write must NOT be dropped — the
+      // commit validation catches the superseded base and re-runs the fold
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      val df = Seq(("a", 1L), ("a", 2L)).toDF("k", "n")
+      cat.ensureTable(ns, "t", df.schema)
+      cat.append(ns, "t", df)
+      var folds = 0
+      cat.foldReplace(ns, "t") { t =>
+        folds += 1
+        if (folds == 1) cat.append(ns, "t", Seq(("b", 10L)).toDF("k", "n"))
+        t.groupBy("k").agg(sum("n").as("n"))
+      }
+      assert(folds == 2, "stale fold was committed without re-running")
+      val out = cat.load(ns, "t").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("a" -> 3L, "b" -> 10L),
+        s"concurrent append dropped by the fold: $out")
+      // the discarded stale rewrite left no orphan debt behind
+      assert(cat.storageAudit(ns, "t").collect()(0)
+        .getAs[Long]("n_orphan_dirs") == 0L)
+      cat.dropNamespace(ns)
+    }
+
+    test(s"[${impl.name}] exceptExistingKeys fails loudly on a null key") {
+      val cat = impl.make(); val ns = freshNs()
+      val df = Seq(("a", 1L)).toDF("k", "n")
+      cat.ensureTable(ns, "t", df.schema)
+      cat.append(ns, "t", df)
+      // non-null path: the guard drops the already-persisted key
+      val ok = cat.exceptExistingKeys(ns, "t", "k",
+        Seq(("a", 9L), ("b", 3L)).toDF("k", "n")).collect()
+      assert(ok.map(_.getString(0)).toSeq == Seq("b"))
+      // a null key can never be recognized as persisted (left_anti passes
+      // it through on EVERY replay) — the guard must refuse, not re-append
+      val bad = Seq((null.asInstanceOf[String], 2L)).toDF("k", "n")
+      val ex = intercept[Exception](
+        cat.exceptExistingKeys(ns, "t", "k", bad).collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("replay-guard")),
+        s"expected the null-key raise_error, got: $ex")
+      cat.dropNamespace(ns)
+    }
 
     test(s"[${impl.name}] Singer load path end-to-end: batches, evolution, swap") {
       val cat = impl.make(); val ns = freshNs()
