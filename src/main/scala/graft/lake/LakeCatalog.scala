@@ -59,6 +59,19 @@ trait LakeCatalog {
     * would rewrite per-partition via its own rewrite_data_files action. */
   def compact(ns: String, table: String, targetFiles: Int): Unit
 
+  /** MERGE / upsert — replace-by-key: land every row of `df` and, in the
+    * SAME atomic commit, remove any existing row sharing its `keys`
+    * tuple. This is the row-level surface the reference's
+    * `key_properties` imply but never implement (it accepts them,
+    * `sinks.py:25,31`, then appends unconditionally, `sinks.py:100`).
+    * Missing table ⇒ plain insert; additive schema evolution applies
+    * first. Key columns must be non-null (a null key matches nothing and
+    * simply inserts). Concurrency (snapshot catalogs): merges racing on
+    * DISJOINT keys both land via commit rebase; a race that touches the
+    * same rewritten data fails loudly like the delete paths. */
+  def merge(ns: String, table: String, keys: Seq[String],
+            df: DataFrame): Unit
+
   /** Atomically replace `ns.table`'s contents with `fold(current)` — the
     * read-modify-write primitive behind ledger compactions
     * (`Streaming.compactStats`). The fold's READ and the replacing WRITE
@@ -161,6 +174,11 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   override def ensureTable(ns: String, table: String, schema: StructType,
                            partitionBy: Seq[String]): Unit = {
+    // transform syntax (days(ts), truncate(4, c)) is a snapshot-catalog
+    // feature — the session catalog partitions by plain columns only
+    partitionBy.foreach(p => require(!p.contains("("),
+      s"partition transforms ('$p') need a SnapshotLakeCatalog; the " +
+        "session catalog supports identity partition columns only"))
     ensureNamespace(ns)
     if (!tableExists(ns, table)) {
       val empty = spark.createDataFrame(
@@ -232,6 +250,25 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
       writer(df, ns, table, options, "overwrite").saveAsTable(id(ns, table))
       refreshHere(ns, table)
     }
+
+  /** Replace-by-key under the table lock (the session catalog's one-JVM
+    * isolation): materialize the incoming rows FIRST (the overwrite
+    * truncates the files the remainder reads), then keep every existing
+    * row whose key tuple is absent from the incoming set and overwrite
+    * with remainder ∪ incoming. */
+  override def merge(ns: String, table: String, keys: Seq[String],
+                     df: DataFrame): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    tableLock(ns, table).synchronized {
+      ensureTable(ns, table, df.schema)
+      val incoming = df.localCheckpoint(true)
+      val ks = incoming.select(keys.map(k => col(s"`$k`")): _*).distinct()
+      val merged = load(ns, table).join(ks, keys, "left_anti")
+        .unionByName(incoming, allowMissingColumns = true)
+        .localCheckpoint(true)
+      overwrite(ns, table, merged)
+    }
+  }
 
   /** The whole read-fold-write cycle under the table lock: every writer in
     * this JVM (append/overwrite/compact, incl. foreachBatch epochs through

@@ -166,19 +166,24 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   // properties, current-snapshot-id, snapshots (snapshot-id,
   // parent-snapshot-id, sequence-number, timestamp-ms, manifest-list,
   // summary.operation, schema-id), snapshot-log, metadata-log.
-  // DOCUMENTED DIVERGENCES, only where the spec demands Avro or where the
-  // sandbox cannot (IcebergMetadataSpec pins both the conformant fields
-  // and these):
-  //  - `manifest-list` points at a JSON file (list of
-  //    {manifest-path, content} entries naming this snapshot's data dirs)
-  //    instead of an Avro manifest list — no Avro writer in the jar-less
-  //    sandbox; each snapshot also carries a `live` array (the same dir
-  //    set inline) which is what THIS catalog's reader uses.
+  // `manifest-list` points at a spec-schema Avro manifest-list file whose
+  // `manifest_file` rows reference per-directory Avro manifests tracking
+  // individual data files ([[AvroManifests]]) — the same file formats
+  // pyiceberg writes for the reference.
+  // DOCUMENTED DIVERGENCES (IcebergMetadataSpec pins both the conformant
+  // fields and these):
   //  - nested field `type`s (array/map/struct) are Spark catalogStrings,
   //    not the spec's nested type objects; primitives use Iceberg names.
   //  - each schema object carries an extra `spark-schema` node (the exact
-  //    StructType JSON this catalog round-trips); extra fields are legal —
-  //    Iceberg readers ignore unknown fields.
+  //    StructType JSON this catalog round-trips); each snapshot carries a
+  //    `live` array (the manifest-list's directory set inline — DERIVED
+  //    convenience for directory-granular bookkeeping: expiry set math,
+  //    storage audits; scan planning reads the MANIFESTS) and an
+  //    `operation` field (the richer internal op vocabulary beside the
+  //    spec's summary.operation). Extra fields are legal — Iceberg
+  //    readers ignore unknown fields.
+  //  - optional per-column stats in data_file (ids 108-128) are omitted
+  //    (all optional in the spec).
 
   /** Spark catalogString → Iceberg primitive type name. Nested types keep
     * the Spark string (documented divergence above). */
@@ -225,27 +230,126 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     DataType.fromJson(currentSchemaNode(meta).get("spark-schema").asText())
       .asInstanceOf[StructType]
 
-  /** Identity-transform partition columns of the default spec (bucket[N]
-    * fields describe layout, not directory partitioning). */
-  private def metaPartitionCols(meta: ObjectNode): Seq[String] = {
+  /** The write-side derivation of a spec transform, or None for identity
+    * (the data column itself partitions). Shared by the write layout and
+    * [[loadSlice]]'s bound evaluation so the two can never diverge.
+    * Formats follow Iceberg's (day `yyyy-MM-dd`, month `yyyy-MM`, hour
+    * `yyyy-MM-dd-HH`, year `yyyy` — all lexicographically ordered);
+    * truncate[W] floors integers (`v - pmod(v, W)`, exact for negatives)
+    * and prefixes strings. */
+  private def transformColumn(transform: String, src: String,
+                              srcType: DataType): Option[Column] = {
+    val c = col(s"`$src`")
+    transform match {
+      case "identity" => None
+      case "day"      => Some(org.apache.spark.sql.functions
+        .date_format(c, "yyyy-MM-dd"))
+      case "month"    => Some(org.apache.spark.sql.functions
+        .date_format(c, "yyyy-MM"))
+      case "hour"     => Some(org.apache.spark.sql.functions
+        .date_format(c, "yyyy-MM-dd-HH"))
+      case "year"     => Some(org.apache.spark.sql.functions
+        .date_format(c, "yyyy"))
+      case t if t.startsWith("truncate[") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        srcType match {
+          case org.apache.spark.sql.types.StringType =>
+            Some(org.apache.spark.sql.functions.substring(c, 1, w))
+          case _ =>
+            Some(c - org.apache.spark.sql.functions.pmod(c, lit(w)))
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform: $other")
+    }
+  }
+
+  /** The physical directory layout of the default spec: one
+    * (name, derive) per non-bucket partition field — identity fields
+    * partition by the data column itself (derive = None); transform
+    * fields (day/month/hour/year/truncate[W]) by a derived column
+    * computed at write time, recovered from the Hive path at read time,
+    * and DROPPED from query output (it is spec metadata, not a table
+    * column). bucket[N] fields describe row clustering, not
+    * directories. */
+  private def partitionLayout(meta: ObjectNode)
+      : Seq[(String, Option[Column])] = {
+    val schema = metaSchema(meta)
     val specId = meta.get("default-spec-id").asInt()
     meta.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == specId)
       .map(_.get("fields").elements().asScala
-        .filter(_.get("transform").asText() == "identity")
-        .map(_.get("name").asText()).toSeq)
+        .filter(f => !f.get("transform").asText().startsWith("bucket["))
+        .map { f =>
+          val src = schema.fields(f.get("source-id").asInt() - 1)
+          f.get("name").asText() -> transformColumn(
+            f.get("transform").asText(), src.name, src.dataType)
+        }.toSeq)
       .getOrElse(Seq.empty)
+  }
+
+  /** Partition fields of the default spec as the manifest layer needs
+    * them: spec field name + the Avro type its path-parsed tuple values
+    * carry (None = not path-derivable, e.g. bucket[N]). Identity
+    * transforms on long/int sources type natively; everything else rides
+    * the Hive path string ([[AvroManifests]]' documented divergence). */
+  private def manifestPartitionFields(meta: ObjectNode)
+      : Seq[AvroManifests.PartitionField] = {
+    val schema = metaSchema(meta)
+    val specId = meta.get("default-spec-id").asInt()
+    meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == specId)
+      .map(_.get("fields").elements().asScala.map { f =>
+        val transform = f.get("transform").asText()
+        val srcIdx = f.get("source-id").asInt() - 1
+        val avroType =
+          if (transform.startsWith("bucket[")) None
+          else if (transform == "identity")
+            schema.fields.lift(srcIdx).map(_.dataType) match {
+              case Some(org.apache.spark.sql.types.LongType)    => Some("long")
+              case Some(org.apache.spark.sql.types.IntegerType) => Some("int")
+              case _                                            => Some("string")
+            }
+          else Some("string") // days/months/hours/truncate path values
+        AvroManifests.PartitionField(f.get("name").asText(), avroType)
+      }.toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** The per-directory manifest file: immutable once written, reused by
+    * every snapshot referencing the directory (Iceberg manifest reuse —
+    * possible because entries inherit snapshot/sequence ids from the
+    * manifest LIST, see [[AvroManifests]]). */
+  protected def manifestPathFor(ns: String, table: String,
+                                dir: String): Path =
+    manifestDir(ns, table).resolve(s"manifest-$dir.avro")
+
+  /** Drop a snapshot directory AND its per-dir manifest — the cleanup
+    * unit for aborted rewrites and expired snapshots (a manifest whose
+    * directory is gone is pure debt; one without the other is a leak). */
+  private def dropDirArtifacts(ns: String, table: String,
+                               dir: String): Unit = {
+    deleteTree(dataDir(ns, table).resolve(dir))
+    Files.deleteIfExists(manifestPathFor(ns, table, dir))
   }
 
   /** Live snapshot dirs of the current snapshot, oldest first, resolved
     * against the table's data dir. */
-  private def liveSnapshots(meta: ObjectNode): Seq[String] = {
+  private def currentSnapNode(meta: ObjectNode): Option[JsonNode] = {
     val cur = meta.get("current-snapshot-id").asLong()
     meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == cur)
+  }
+
+  private def liveSnapshots(meta: ObjectNode): Seq[String] =
+    currentSnapNode(meta)
       .map(_.get("live").elements().asScala.map(_.asText()).toSeq)
       .getOrElse(Seq.empty)
-  }
+
+  /** The current snapshot's delete-file groups — what append-family
+    * commits CARRY (delete files keep masking until a rewrite folds them
+    * in). */
+  private def currentDeletes(meta: ObjectNode): Seq[DeleteRef] =
+    currentSnapNode(meta).map(deleteFilesOf).getOrElse(Seq.empty)
 
   private def newMeta(location: String, schema: StructType,
                       partitionBy: Seq[String],
@@ -267,7 +371,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       case Some((cols, n)) =>
         cols.map(c => (s"${c}_bucket", s"bucket[$n]", fieldId(c)))
       case None =>
-        partitionBy.map(c => (c, "identity", fieldId(c)))
+        partitionBy.map { p =>
+          val (name, transform, src) = SnapshotLakeCatalog.parseTransform(p)
+          require(fieldId.contains(src),
+            s"partition transform '$p' names unknown column '$src'")
+          (name, transform, fieldId(src))
+        }
     }
     partFields.zipWithIndex.foreach { case ((name, transform, srcId), i) =>
       val f = specFields.addObject()
@@ -310,29 +419,91 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   }
 
   /** Append a snapshot entry to `meta` and make it current. `live` is the
-    * full live set AFTER this commit; it is emitted inline (the reader's
-    * source of truth) AND as a JSON manifest-list file (the spec's
-    * pointer-to-file shape, JSON standing in for Avro — see the divergence
-    * note above). Runs inside the CAS loop: a lost race re-derives and
-    * writes a fresh manifest-list file; the loser's file is tiny orphan
-    * debt that [[expireSnapshots]]' manifest GC reclaims (any unreferenced
-    * manifest-list whose sequence id is at or below the newest expired
-    * snapshot's). */
+    * full live set AFTER this commit; it is emitted as a spec-schema Avro
+    * manifest list (one `manifest_file` row per live directory referencing
+    * the directory's per-file Avro manifest, [[AvroManifests]]) AND inline
+    * as the `live` array (derived dir-set convenience). A directory
+    * carried over from the parent keeps the parent's manifest-list entry
+    * VERBATIM — original sequence numbers, added-snapshot id and counts —
+    * the spec's manifest-reuse + inheritance shape; a new directory's
+    * manifest is written here (once ever: manifests are immutable and the
+    * CAS retry reuses the file). Runs inside the CAS loop: a lost race
+    * re-derives and writes a fresh manifest-list file; the loser's file is
+    * tiny orphan debt that [[expireSnapshots]]' manifest GC reclaims (any
+    * unreferenced manifest-list whose sequence id is at or below the
+    * newest expired snapshot's). */
   private def addSnapshot(ns: String, table: String, meta: ObjectNode,
-                          operation: String, live: Seq[String]): ObjectNode = {
+                          operation: String, live: Seq[String],
+                          deletes: Seq[DeleteRef] = Seq.empty): ObjectNode = {
     val id = meta.get("last-sequence-number").asLong() + 1
     val parent = meta.get("current-snapshot-id").asLong()
     val now = System.currentTimeMillis()
-    val manifests = mapper.createArrayNode()
-    live.foreach { dir =>
-      val m = manifests.addObject()
-      m.put("manifest-path", dataDir(ns, table).resolve(dir).toString)
-      m.put("content", "data")
+    val pf = manifestPartitionFields(meta)
+    val specId = meta.get("default-spec-id").asInt()
+    // a NEW delete file group (seq < 0 sentinel) is stamped with THIS
+    // commit's sequence — resolved here so a CAS rebase re-stamps it
+    val resolvedDeletes = deletes.map(r =>
+      if (r.seq < 0) r.copy(seq = id) else r)
+    // a JSON/absent parent list reads as empty: legacy dirs re-enter as if
+    // added by this snapshot — the one-time migration-on-write path
+    val parentEntries: Map[String, AvroManifests.ManifestListEntry] =
+      meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == parent)
+        .flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
+        .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
+        .map(p => AvroManifests.readManifestList(Path.of(p))
+          .map(e => e.manifestPath -> e).toMap)
+        .getOrElse(Map.empty)
+    val mlEntries = live.map { dir =>
+      val mp = manifestPathFor(ns, table, dir)
+      val scanned: Option[Seq[AvroManifests.DataFileEntry]] =
+        if (Files.exists(mp)) None
+        else {
+          val es = AvroManifests.scanDataDir(
+            dataDir(ns, table).resolve(dir), pf)
+          AvroManifests.writeManifest(mp, es, pf)
+          Some(es)
+        }
+      parentEntries.getOrElse(mp.toString, {
+        val es = scanned.getOrElse(AvroManifests.readManifest(mp))
+        AvroManifests.ManifestListEntry(mp.toString, Files.size(mp),
+          specId, content = 0, sequenceNumber = id, minSequenceNumber = id,
+          addedSnapshotId = id, addedFilesCount = es.size,
+          existingFilesCount = 0, deletedFilesCount = 0,
+          addedRowsCount = es.map(_.recordCount).sum,
+          existingRowsCount = 0L, deletedRowsCount = 0L)
+      })
+    }
+    // delete-file manifests: content=1 list entries wrapping content=1/2
+    // data_file rows (position / equality, with equality_ids) — same
+    // reuse-by-path + inheritance shape as the data manifests
+    val delEntries = resolvedDeletes.map { r =>
+      val mp = manifestPathFor(ns, table, r.dir)
+      val scanned: Option[Seq[AvroManifests.DataFileEntry]] =
+        if (Files.exists(mp)) None
+        else {
+          val contentCode = if (r.kind == "position") 1 else 2
+          val eqIds = r.cols.map(c =>
+            metaSchema(meta).fieldNames.indexOf(c) + 1)
+          val es = AvroManifests.scanDataDir(
+              dataDir(ns, table).resolve(r.dir), pf)
+            .map(_.copy(content = contentCode, equalityIds = eqIds))
+          AvroManifests.writeManifest(mp, es, pf)
+          Some(es)
+        }
+      parentEntries.getOrElse(mp.toString, {
+        val es = scanned.getOrElse(AvroManifests.readManifest(mp))
+        AvroManifests.ManifestListEntry(mp.toString, Files.size(mp),
+          specId, content = 1, sequenceNumber = r.seq,
+          minSequenceNumber = r.seq, addedSnapshotId = r.seq,
+          addedFilesCount = es.size, existingFilesCount = 0,
+          deletedFilesCount = 0, addedRowsCount = es.map(_.recordCount).sum,
+          existingRowsCount = 0L, deletedRowsCount = 0L)
+      })
     }
     val mlPath = manifestDir(ns, table)
-      .resolve(s"manifest-list-$id-${java.util.UUID.randomUUID()}.json")
-    Files.createDirectories(mlPath.getParent)
-    Files.writeString(mlPath, manifests.toString)
+      .resolve(s"manifest-list-$id-${java.util.UUID.randomUUID()}.avro")
+    AvroManifests.writeManifestList(mlPath, mlEntries ++ delEntries)
     val snap = meta.get("snapshots").asInstanceOf[ArrayNode].addObject()
     snap.put("snapshot-id", id)
     if (parent >= 0) snap.put("parent-snapshot-id", parent)
@@ -343,6 +514,16 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     snap.put("schema-id", meta.get("current-schema-id").asInt())
     snap.put("operation", operation)
     val arr = snap.putArray("live"); live.foreach(arr.add)
+    if (resolvedDeletes.nonEmpty) {
+      val delArr = snap.putArray("delete-files")
+      resolvedDeletes.foreach { r =>
+        val o = delArr.addObject()
+        o.put("dir", r.dir)
+        o.put("kind", r.kind)
+        o.put("seq", r.seq)
+        val ca = o.putArray("cols"); r.cols.foreach(ca.add)
+      }
+    }
     val logEntry = meta.get("snapshot-log").asInstanceOf[ArrayNode].addObject()
     logEntry.put("timestamp-ms", now)
     logEntry.put("snapshot-id", id)
@@ -384,7 +565,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   }
 
   private def writeSnapshot(ns: String, table: String, df: DataFrame,
-                            partitionBy: Seq[String],
+                            layout: Seq[(String, Option[Column])],
                             options: Map[String, String],
                             targetFiles: Option[Int] = None): String = {
     // nanoTime alone can collide across racing writers (same tick → same
@@ -392,14 +573,19 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // every snapshot directory unique regardless of timing
     val snapName = s"snap-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
     val dir = dataDir(ns, table).resolve(snapName)
+    val withDerived = layout.foldLeft(df) {
+      case (acc, (n, Some(e))) => acc.withColumn(n, e)
+      case (acc, (_, None))    => acc
+    }
+    val partNames = layout.map(_._1)
     val shaped = targetFiles match {
-      case Some(n) if partitionBy.nonEmpty =>
-        df.repartition(n, partitionBy.map(c => col(s"`$c`")): _*)
-      case Some(n) => df.repartition(n)
-      case None => df
+      case Some(n) if partNames.nonEmpty =>
+        withDerived.repartition(n, partNames.map(c => col(s"`$c`")): _*)
+      case Some(n) => withDerived.repartition(n)
+      case None => withDerived
     }
     val w = shaped.write.options(options).format("parquet").mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    (if (partNames.nonEmpty) w.partitionBy(partNames: _*) else w)
       .save(dir.toString)
     snapName
   }
@@ -411,12 +597,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // a loser re-derives live = winner's live + its own dir, so racing
     // appends both land — neither snapshot is lost
     val snap = writeSnapshot(ns, table, df,
-      metaPartitionCols(readMeta(ns, table)), options)
+      partitionLayout(readMeta(ns, table)), options)
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table vanished mid-append"))
       Some(addSnapshot(ns, table, meta, "append",
-        liveSnapshots(meta) :+ snap))
+        liveSnapshots(meta) :+ snap, currentDeletes(meta)))
     }
   }
 
@@ -424,7 +610,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                          options: Map[String, String]): Unit = {
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
     val snap = writeSnapshot(ns, table, df,
-      metaPartitionCols(readMeta(ns, table)), options)
+      partitionLayout(readMeta(ns, table)), options)
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table vanished mid-overwrite"))
@@ -484,7 +670,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           .getOrElse(throw new IllegalArgumentException(
             s"no snapshot $snapshotId on $ns.$table"))
         val live = snap.get("live").elements().asScala.map(_.asText()).toSeq
-        Some(addSnapshot(ns, table, meta, "rollback", live))
+        // the target's delete files are part of its state: restore them too
+        Some(addSnapshot(ns, table, meta, "rollback", live,
+          deleteFilesOf(snap)))
     }
 
   /** Row-level snapshot diff — the changelog read an Iceberg incremental
@@ -557,41 +745,56 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   /** Shared copy-on-write core. `matched` selects the rows to delete,
     * `kept` their complement — the two faces above keep the pair
-    * consistent (null-predicate rows fall on the KEPT side). */
+    * consistent (null-predicate rows fall on the KEPT side). [[merge]]
+    * rides the same core: `extraDirs` are already-written data dirs that
+    * join the live set IN THE SAME COMMIT as the rewrite (replace-by-key
+    * needs the removal and the insertion to be one atomic snapshot), and
+    * `operation` names the snapshot's op. */
   private def deleteMatching(ns: String, table: String,
                              matched: DataFrame => DataFrame,
-                             kept: DataFrame => DataFrame): Long = {
+                             kept: DataFrame => DataFrame,
+                             extraDirs: Seq[String] = Nil,
+                             operation: String = "delete"): Long = {
     val meta = readMeta(ns, table)
     val schema = metaSchema(meta)
     val tag = "_graft_src_dir"
     require(!schema.fieldNames.contains(tag),
       s"$ns.$table has a column named $tag, which the delete rewrite reserves")
     val baseLive = liveSnapshots(meta)
-    if (baseLive.isEmpty) return 0L
+    if (baseLive.isEmpty && extraDirs.isEmpty) return 0L
+    val snOpt = currentSnapNode(meta) // None ⇒ empty table (merge-insert)
+    // the scan applies the snapshot's MERGE-ON-READ delete files, so a
+    // copy-on-write rewrite over a MOR-deleted table cannot resurrect
+    // masked rows — the rewrite folds that dir's delete debt in
+    val baseDeleteDirs =
+      snOpt.map(deleteFilesOf(_).map(_.dir).toSet).getOrElse(Set.empty)
     // locate pass: ONE job over the live set, each dir's rows tagged with
     // their source dir; per-dir match counts are bounded by the dir count
     // (control plane), never row-shaped
-    def tagged(dirs: Seq[String]): DataFrame = dirs
-      .map(d => readAligned(ns, table, schema, Seq(d))
-        .withColumn(tag, lit(d)))
-      .reduce(_.unionByName(_))
-    val perDir = matched(tagged(baseLive))
-      .groupBy(tag).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def tagged(dirs: Seq[String]): DataFrame =
+      scanWithDeletes(ns, table, schema, snOpt.get, dirs, Some(tag))
+    val perDir =
+      if (baseLive.isEmpty) Map.empty[String, Long]
+      else matched(tagged(baseLive))
+        .groupBy(tag).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val touched = baseLive.filter(d => perDir.getOrElse(d, 0L) > 0L)
-    if (touched.isEmpty) return 0L
+    if (touched.isEmpty && extraDirs.isEmpty) return 0L
     val deleted = touched.map(perDir).sum
     // rewrite pass: only the touched dirs, in the current schema (an
     // Iceberg rewrite emits current-spec files), preserving the table's
     // partition layout
-    val remainder = kept(tagged(touched)).drop(tag)
     // a rewrite that keeps nothing writes NO dir (a 0-row parquet dir in
     // the live set would poison the union read); the count scans only the
     // touched dirs, the same bytes the write is about to read
     val snapOpt =
-      if (remainder.isEmpty) None
-      else Some(writeSnapshot(ns, table, remainder,
-        metaPartitionCols(meta), Map.empty))
+      if (touched.isEmpty) None
+      else {
+        val remainder = kept(tagged(touched)).drop(tag)
+        if (remainder.isEmpty) None
+        else Some(writeSnapshot(ns, table, remainder,
+          partitionLayout(meta), Map.empty))
+      }
     beforeDeleteCommit(ns, table)
     // The conflict throw below is a DESIGNED outcome — but the remainder
     // dir is already on disk, and a dir never referenced by any snapshot
@@ -609,15 +812,304 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
             s"delete on $ns.$table read ${gone.mkString(", ")} but a " +
               "concurrent commit rewrote or removed them — retry the delete " +
               "against the new snapshot")
-        val newLive = curLive.filterNot(touched.contains) ++ snapOpt.toSeq
-        Some(addSnapshot(ns, table, cur, "delete", newLive))
+        // a delete FILE committed since the read is the same hazard in MOR
+        // form: the rewrite was computed without it, so carrying it blindly
+        // would mask the wrong rows (or miss its masks in the rewrite)
+        val curDels = currentDeletes(cur)
+        if (curDels.map(_.dir).toSet != baseDeleteDirs)
+          throw new java.util.ConcurrentModificationException(
+            s"delete on $ns.$table raced a concurrent merge-on-read delete " +
+              "commit — retry against the new snapshot")
+        val newLive = curLive.filterNot(touched.contains) ++
+          snapOpt.toSeq ++ extraDirs
+        // carried delete files stay: they still mask rows in UNTOUCHED
+        // dirs; for rewritten dirs they are inert (position deletes name
+        // dead file paths; equality deletes see a higher sequence) — debt
+        // the delete-debt report prices and compact() folds away
+        Some(addSnapshot(ns, table, cur, operation, newLive, curDels))
       }
     } catch {
       case e: Throwable =>
-        snapOpt.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
+        snapOpt.foreach(sd => dropDirArtifacts(ns, table, sd))
         throw e
     }
     deleted
+  }
+
+  /** Replace-by-key as ONE snapshot commit ([[LakeCatalog.merge]]): the
+    * incoming rows are written to a fresh data dir first (commit-agnostic,
+    * like every write here), their keys are read BACK off that dir (one
+    * computation of `df`, no double evaluation of its lineage), and the
+    * copy-on-write core then rewrites only the key-matching dirs while
+    * the new dir joins the live set in the SAME commit — removal and
+    * insertion are never separately visible. Cost: locate scan + rewrite
+    * of touched dirs + the insert write; untouched dirs carry by
+    * reference. Racing merges on disjoint keys rebase and both land;
+    * racing rewrites of shared dirs conflict loudly (the delete-path
+    * validation). Failure before commit leaves only an unreferenced dir,
+    * which is cleaned up on the way out. */
+  override def merge(ns: String, table: String, keys: Seq[String],
+                     df: DataFrame): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    keys.foreach(k => require(df.columns.contains(k),
+      s"merge key '$k' missing from the incoming frame"))
+    ensureTable(ns, table, df.schema) // create or additive-evolve
+    val meta = readMeta(ns, table)
+    val newDir = writeSnapshot(ns, table, df, partitionLayout(meta),
+      Map.empty)
+    try {
+      val ks = rawDirFrame(ns, table, newDir) match {
+        case None => // empty incoming frame: nothing can match
+          spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            StructType(keys.map(k => metaSchema(meta)(k)).toArray))
+        case Some(f) => f.select(keys.map(k => col(s"`$k`")): _*).distinct()
+      }
+      deleteMatching(ns, table,
+        d => d.join(ks, keys, "left_semi"),
+        d => d.join(ks, keys, "left_anti"),
+        extraDirs = Seq(newDir), operation = "overwrite")
+    } catch {
+      case e: Throwable =>
+        dropDirArtifacts(ns, table, newDir)
+        throw e
+    }
+  }
+
+  // ---- row-level delete (Iceberg v2 merge-on-read) -----------------------
+
+  /** Iceberg v2 MERGE-ON-READ row-level DELETE: instead of rewriting the
+    * matched data directories ([[deleteWhere]]'s copy-on-write), write a
+    * POSITION DELETE file — the spec's (file_path, pos) parquet, sorted by
+    * file then position — and publish a snapshot whose readers mask those
+    * rows with an anti-join ([[scanWithDeletes]]). Returns rows deleted;
+    * no match publishes nothing. NULL-predicate rows are KEPT (SQL DELETE
+    * semantics, same as the copy-on-write face).
+    *
+    * Cost shape vs copy-on-write: ONE scan to locate match positions and
+    * a write proportional to the MATCH COUNT — no data rewrite at all. At
+    * 100 TB under frequent small purges this is the cheap path the v2
+    * delete-file format exists for; the debt moves to read time (one
+    * (file, pos) anti-join per scan) and is folded away by [[compact]],
+    * which reads deletes-applied and publishes a delete-free snapshot.
+    * The delete-debt report query (q209) prices the accumulation.
+    *
+    * Isolation: the commit validates that every data dir the scan read is
+    * still live — positions bind to files, so a concurrent
+    * compact/overwrite/delete rewriting one would leave this file masking
+    * the wrong (or no) rows; the conflict fails loudly exactly like the
+    * copy-on-write path. A racing APPEND rebases cleanly: position
+    * deletes name files, and files it adds are never named. */
+  def deleteWhereMOR(ns: String, table: String, predicate: Column): Long = {
+    val meta = readMeta(ns, table)
+    val schema = metaSchema(meta)
+    val baseLive = liveSnapshots(meta)
+    if (baseLive.isEmpty) return 0L
+    val sn = currentSnapNode(meta).get
+    val scan = scanWithDeletes(ns, table, schema, sn, baseLive,
+      withPos = true)
+    val matched = scan.filter(coalesce(predicate, lit(false)))
+      .select(col(PosFileTag).as("file_path"), col(PosPosTag).as("pos"))
+    val dirName = s"del-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
+    val path = dataDir(ns, table).resolve(dirName)
+    matched.sort("file_path", "pos").write.parquet(path.toString)
+    // row count off the just-written footers — no second data scan
+    val n = AvroManifests.scanDataDir(path, Seq.empty).map(_.recordCount).sum
+    if (n == 0L) { deleteTree(path); return 0L }
+    commitDeleteFile(ns, table, dirName, "position", Nil, baseLive, n)
+  }
+
+  /** Key-set purge as EQUALITY DELETE files — [[purgeKeys]]'s
+    * merge-on-read face: writes the distinct keys actually present (a
+    * replay finds none and publishes nothing) as the spec's
+    * equality-delete parquet, `equality_ids` naming `keyCol` in the
+    * manifest entry. At read time the file masks rows only in data dirs
+    * with sequence number BELOW its own (the spec's scoping rule, read
+    * off the Avro manifest list) — so a key re-appended AFTER the purge
+    * survives it: snapshot semantics the matrix spec pins. Returns rows
+    * deleted.
+    *
+    * Same commit validation as the position face: a concurrent rewrite
+    * re-emits the purged rows into a HIGHER-sequence dir this delete
+    * would not mask, silently resurrecting them — so a changed live set
+    * conflicts loudly; racing appends rebase cleanly (their new dirs
+    * genuinely postdate the purge). */
+  def purgeKeysMOR(ns: String, table: String, keyCol: String,
+                   keys: DataFrame): Long = {
+    val meta = readMeta(ns, table)
+    val schema = metaSchema(meta)
+    val baseLive = liveSnapshots(meta)
+    if (baseLive.isEmpty) return 0L
+    val sn = currentSnapNode(meta).get
+    val scan = scanWithDeletes(ns, table, schema, sn, baseLive)
+    val ks = keys.select(col(s"`$keyCol`")).distinct()
+    val n = scan.join(ks, Seq(keyCol), "left_semi").count()
+    if (n == 0L) return 0L
+    val present = ks.join(scan.select(col(s"`$keyCol`")),
+      Seq(keyCol), "left_semi")
+    val dirName = s"del-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
+    val path = dataDir(ns, table).resolve(dirName)
+    present.sort(keyCol).write.parquet(path.toString)
+    commitDeleteFile(ns, table, dirName, "equality", Seq(keyCol),
+      baseLive, n)
+  }
+
+  /** Partition-pruned range scan — Iceberg SCAN PLANNING over the Avro
+    * manifests: read ONLY the data files whose partition tuple admits
+    * `column` values in [`from`, `to`] (inclusive; literals given as
+    * strings in the column's natural format, e.g. `"2024-01-02 00:00:00"`
+    * for a timestamp), then apply the exact row-level bound on the
+    * survivors, merge-on-read deletes applied. This is where the
+    * day/month/hour/year/truncate[W] transforms pay off at 100 TB: a
+    * time-bounded query touches only the matching partitions' FILES —
+    * decided from manifest metadata on the driver, zero storage I/O for
+    * the pruned ones.
+    *
+    * Exactness is never at stake: files whose tuple value is missing
+    * (legacy dirs, non-derivable transforms) are kept, and the row bound
+    * re-applies on everything read — pruning only removes files the
+    * transform PROVES cannot match. Bound comparison mirrors the
+    * write-side derivation exactly ([[transformColumn]] evaluated on the
+    * literals — one local 1-row job): date formats compare
+    * lexicographically, numeric identity/truncate compare numerically. */
+  def loadSlice(ns: String, table: String, column: String,
+                from: String, to: String): DataFrame = {
+    val meta = readMeta(ns, table)
+    val schema = metaSchema(meta)
+    val srcType = schema(column).dataType
+    val rowBound = col(s"`$column`") >= lit(from).cast(srcType) &&
+      col(s"`$column`") <= lit(to).cast(srcType)
+    val sn = currentSnapNode(meta) match {
+      case None => return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(s0) => s0
+    }
+    val specId = meta.get("default-spec-id").asInt()
+    val fieldOpt = meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == specId)
+      .flatMap(_.get("fields").elements().asScala.find { f =>
+        schema.fields(f.get("source-id").asInt() - 1).name == column &&
+          !f.get("transform").asText().startsWith("bucket[")
+      })
+    val fileFilter = fieldOpt.map { f =>
+      val fname = f.get("name").asText()
+      val transform = f.get("transform").asText()
+      val numeric = transform != "day" && transform != "month" &&
+        transform != "hour" && transform != "year" &&
+        (srcType == org.apache.spark.sql.types.LongType ||
+          srcType == org.apache.spark.sql.types.IntegerType)
+      // evaluate the WRITE-SIDE derivation on the two literals (a local
+      // 1-row job — control plane), so pruning can never disagree with
+      // the directory layout
+      def bound(v: String): String = {
+        val one = spark.range(1)
+          .select(lit(v).cast(srcType).as(column))
+        transformColumn(transform, column, srcType) match {
+          case None    => v
+          case Some(e) => one.select(e.cast("string")).head().getString(0)
+        }
+      }
+      val (lo, hi) = (bound(from), bound(to))
+      (e: AvroManifests.DataFileEntry) =>
+        e.partition.find(_._1 == fname).flatMap(_._2) match {
+          case None => true // not derivable from this file: cannot prune
+          case Some(v) =>
+            if (numeric) v.toLong >= lo.toLong && v.toLong <= hi.toLong
+            else v >= lo && v <= hi
+        }
+    }
+    scanWithDeletes(ns, table, schema, sn, liveDirsOf(sn),
+      fileFilter = fileFilter).filter(rowBound)
+  }
+
+  /** Delete-file DEBT report — one row per delete-file group of the
+    * current snapshot, ordered by commit sequence: its kind, `n_rows`
+    * (masks recorded), `n_masking` (masks that still suppress a stored
+    * row: a position mask whose file is still live, an equality mask
+    * whose key matches a row in some lower-sequence live dir), and
+    * `n_dangling` (inert residue — the file was rewritten away, or no
+    * applicable row matches). A rising dangling ratio is the
+    * [[compact]]-is-overdue signal: inert masks cost an anti-join on
+    * every scan and reclaim nothing.
+    *
+    * Scale shape: `n_rows` comes off the manifests (no data read); the
+    * masking counts are distributed joins of each delete file against the
+    * live FILE list (manifest truth, one row per file — the same
+    * control-plane frame Iceberg scan planning holds) or the applicable
+    * dirs' key columns; one bounded count per delete group. */
+  def deleteDebtReport(ns: String, table: String): DataFrame = {
+    val meta = readMeta(ns, table)
+    val sn = currentSnapNode(meta)
+    val dels = sn.map(deleteFilesOf).getOrElse(Seq.empty).sortBy(_.seq)
+    if (dels.isEmpty)
+      return spark.createDataFrame(
+        Seq.empty[(String, Long, Long, Long, Long)])
+        .toDF("kind", "seq", "n_rows", "n_masking", "n_dangling")
+    val live = liveSnapshots(meta)
+    val seqs = sn.map(manifestListSeqs).getOrElse(Map.empty[String, Long])
+    val liveFiles = live.flatMap { d =>
+      val mp = manifestPathFor(ns, table, d)
+      if (Files.exists(mp))
+        AvroManifests.readManifest(mp).filter(_.content == 0).map(_.filePath)
+      else Seq.empty
+    }
+    import spark.implicits._
+    val liveFilesDf = liveFiles.toDF("lf")
+    val rows = dels.map { r =>
+      val n = AvroManifests.readManifest(manifestPathFor(ns, table, r.dir))
+        .map(_.recordCount).sum
+      val path = dataDir(ns, table).resolve(r.dir).toString
+      val masking = r.kind match {
+        case "position" =>
+          // delete rows carry the scan URI (file:///...), manifests the
+          // plain path — normalize the scheme before the semi-join
+          spark.read.parquet(path)
+            .select(org.apache.spark.sql.functions.expr(
+              "regexp_replace(file_path, '^file:/+', '/')").as("lf"))
+            .join(liveFilesDf, Seq("lf"), "left_semi").count()
+        case _ =>
+          val applicable =
+            live.filter(d => seqs.getOrElse(d, Long.MaxValue) < r.seq)
+          if (applicable.isEmpty) 0L
+          else spark.read.parquet(path)
+            .join(readAligned(ns, table, metaSchema(meta), applicable)
+              .select(r.cols.map(c => col(s"`$c`")): _*),
+              r.cols, "left_semi")
+            .count()
+      }
+      (r.kind, r.seq, n, masking, n - masking)
+    }
+    spark.createDataFrame(rows)
+      .toDF("kind", "seq", "n_rows", "n_masking", "n_dangling")
+  }
+
+  /** Shared MOR commit: validates the read live set is intact (see the
+    * two faces' isolation notes), appends the new delete-file group to
+    * the carried set, cleans up the written delete dir on any failure. */
+  private def commitDeleteFile(ns: String, table: String, dirName: String,
+                               kind: String, cols: Seq[String],
+                               readLive: Seq[String], n: Long): Long = {
+    beforeDeleteCommit(ns, table)
+    try {
+      commit(ns, table) { base =>
+        val cur = base.getOrElse(throw new IllegalStateException(
+          s"$ns.$table vanished mid-delete"))
+        val curLive = liveSnapshots(cur)
+        val gone = readLive.filterNot(curLive.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"merge-on-read delete on $ns.$table read " +
+              s"${gone.mkString(", ")} but a concurrent commit rewrote or " +
+              "removed them — retry the delete against the new snapshot")
+        Some(addSnapshot(ns, table, cur, "delete", curLive,
+          currentDeletes(cur) :+ DeleteRef(dirName, kind, cols, -1L)))
+      }
+    } catch {
+      case e: Throwable =>
+        dropDirArtifacts(ns, table, dirName)
+        throw e
+    }
+    n
   }
 
   /** Atomic read-fold-replace ([[LakeCatalog.foldReplace]]): the commit
@@ -636,7 +1128,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       // dir (snapshot isolation), so no checkpoint dance is needed — the
       // sources are never truncated under the reader
       val snap = writeSnapshot(ns, table, fold(load(ns, table)),
-        metaPartitionCols(meta), Map.empty)
+        partitionLayout(meta), Map.empty)
       var stale = false
       commit(ns, table) { base =>
         val cur = base.getOrElse(throw new IllegalStateException(
@@ -646,7 +1138,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         } else Some(addSnapshot(ns, table, cur, "overwrite", Seq(snap)))
       }
       if (!stale) return
-      deleteTree(dataDir(ns, table).resolve(snap))
+      dropDirArtifacts(ns, table, snap)
       attempt += 1
       if (attempt >= MaxCommitRetries)
         throw new IllegalStateException(
@@ -659,17 +1151,135 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                            at: Option[Long]): DataFrame = {
     val meta = readMeta(ns, table)
     val schema = metaSchema(meta)
-    val snaps = at match {
-      case None => liveSnapshots(meta)
+    val snapOpt = at match {
+      case None =>
+        val cur = meta.get("current-snapshot-id").asLong()
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == cur)
       case Some(id) =>
-        val snap = meta.get("snapshots").elements().asScala
+        Some(meta.get("snapshots").elements().asScala
           .find(_.get("snapshot-id").asLong() == id)
           .getOrElse(throw new IllegalArgumentException(
             s"unknown or expired snapshot $id of $ns.$table " +
-              s"(log has ${snapshotIds(ns, table).mkString(", ")})"))
-        snap.get("live").elements().asScala.map(_.asText()).toSeq
+              s"(log has ${snapshotIds(ns, table).mkString(", ")})")))
     }
-    readAligned(ns, table, schema, snaps)
+    snapOpt match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(sn) =>
+        scanWithDeletes(ns, table, schema, sn, liveDirsOf(sn))
+    }
+  }
+
+  // ---- merge-on-read reader ---------------------------------------------
+
+  /** One delete file group of a snapshot (the internal digest of a
+    * content=1 manifest): its directory, kind ("position" | "equality"),
+    * the equality columns (empty for position), and the sequence number it
+    * was committed at (the spec's scoping input). */
+  case class DeleteRef(dir: String, kind: String, cols: Seq[String],
+                       seq: Long)
+
+  /** The snapshot's `delete-files` extension array (absent on append-only
+    * and pre-MOR snapshots). */
+  private def deleteFilesOf(sn: JsonNode): Seq[DeleteRef] =
+    Option(sn.get("delete-files")).map(_.elements().asScala.map { d =>
+      DeleteRef(d.get("dir").asText(), d.get("kind").asText(),
+        d.get("cols").elements().asScala.map(_.asText()).toSeq,
+        d.get("seq").asLong())
+    }.toSeq).getOrElse(Seq.empty)
+
+  /** Per-data-dir sequence numbers from the snapshot's Avro manifest list
+    * (dir name recovered from the manifest filename) — the scoping input
+    * for equality deletes. Absent/legacy lists read as empty: such
+    * snapshots predate delete files, so nothing needs scoping. */
+  private def manifestListSeqs(sn: JsonNode): Map[String, Long] =
+    Option(sn.get("manifest-list")).map(_.asText())
+      .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
+      .map(p => AvroManifests.readManifestList(Path.of(p)).map { e =>
+        Path.of(e.manifestPath).getFileName.toString
+          .stripPrefix("manifest-").stripSuffix(".avro") -> e.sequenceNumber
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  private val PosFileTag = "_graft_file"
+  private val PosPosTag = "_graft_pos"
+  private val SeqTag = "_graft_seq"
+
+  /** Scan `dirs` (⊆ the snapshot's live set) with the snapshot's DELETE
+    * FILES applied — the merge-on-read reader shared by load/time-travel,
+    * the copy-on-write locate/rewrite passes, and the MOR delete writers.
+    *
+    * Application shape (all distributed joins, never a collect): position
+    * deletes are ONE (file_path, pos) anti-join over the unioned scan —
+    * the delete frame shuffles (or broadcasts, AQE's call at purge-sized
+    * inputs) against the tagged scan; each equality delete file is one
+    * anti-join on its columns, scoped by the spec's sequence rule — it
+    * masks only rows from data dirs with sequence number < the delete's
+    * (read off the Avro manifest list), which is exactly what lets a
+    * re-appended key survive an older purge.
+    *
+    * `tag`: add a source-dir column (the COW delete's locate pass needs
+    * per-dir attribution); `withPos`: keep the file/pos columns on the
+    * output (the position-delete writer turns them into delete files). */
+  private def scanWithDeletes(ns: String, table: String, schema: StructType,
+                              sn: JsonNode, dirs: Seq[String],
+                              tag: Option[String] = None,
+                              withPos: Boolean = false,
+                              fileFilter: Option[
+                                AvroManifests.DataFileEntry => Boolean] = None)
+      : DataFrame = {
+    val dels = deleteFilesOf(sn)
+    val eqDels = dels.filter(_.kind == "equality")
+    val posDels = dels.filter(_.kind == "position")
+    val needPos = withPos || posDels.nonEmpty
+    val seqs = if (eqDels.isEmpty) Map.empty[String, Long]
+               else manifestListSeqs(sn)
+    val frames = dirs.flatMap { d =>
+      rawDirFrame(ns, table, d, fileFilter).map { df0 =>
+        var df = if (needPos) df0.select(col("*"),
+            col("_metadata.file_path").as(PosFileTag),
+            col("_metadata.row_index").as(PosPosTag))
+          else df0
+        tag.foreach(t => df = df.withColumn(t, lit(d)))
+        if (eqDels.nonEmpty)
+          df = df.withColumn(SeqTag,
+            lit(seqs.getOrElse(d, Long.MaxValue)))
+        df
+      }
+    }
+    val extraCols = tag.toSeq ++ (if (withPos) Seq(PosFileTag, PosPosTag)
+                                  else Seq.empty)
+    if (frames.isEmpty) {
+      val outSchema = StructType(schema.fields ++ extraCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          if (c == PosPosTag) org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.StringType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
+    var out = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    out = schema.fieldNames.foldLeft(out) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(schema(c).dataType))
+    }
+    if (posDels.nonEmpty) {
+      val pd = posDels.map(r => spark.read.parquet(
+          dataDir(ns, table).resolve(r.dir).toString))
+        .reduce(_.unionByName(_))
+      out = out.join(pd,
+        out(PosFileTag) === pd("file_path") && out(PosPosTag) === pd("pos"),
+        "left_anti")
+    }
+    eqDels.foreach { r =>
+      val keys = spark.read.parquet(
+        dataDir(ns, table).resolve(r.dir).toString)
+      val cond = r.cols.map(c => out(c) === keys(c))
+        .reduce(_ && _) && out(SeqTag) < lit(r.seq)
+      out = out.join(keys, cond, "left_anti")
+    }
+    out.select((schema.fieldNames.toIndexedSeq ++ extraCols)
+      .map(c => col(s"`$c`")): _*)
   }
 
   /** Read a set of snapshot data dirs, each with ITS layout (basePath
@@ -677,16 +1287,38 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * columns a snapshot predates with NULL — Iceberg's read-time
     * evolution. Shared by [[load]]/[[loadAt]] and the copy-on-write delete
     * rewrite (which must rewrite old dirs in the CURRENT schema, as an
-    * Iceberg rewrite does). */
+    * Iceberg rewrite does).
+    *
+    * Scan planning reads each directory's Avro MANIFEST (the per-file
+    * source of truth, as an Iceberg reader would): the exact data-file
+    * list goes to the parquet reader, no directory listing — which is
+    * what makes manifest-level pruning (partition tuples, file counts)
+    * possible without touching storage. A directory written before the
+    * manifest layer (no manifest yet — one materializes on the table's
+    * next write commit) falls back to directory listing. */
+  private def rawDirFrame(ns: String, table: String, s: String,
+      fileFilter: Option[AvroManifests.DataFileEntry => Boolean] = None)
+      : Option[DataFrame] = {
+    val dir = dataDir(ns, table).resolve(s).toString
+    val mp = manifestPathFor(ns, table, s)
+    if (Files.exists(mp)) {
+      val files = AvroManifests.readManifest(mp)
+        .filter(e => e.content == 0 && fileFilter.forall(_(e)))
+        .map(_.filePath)
+      // a zero-file snapshot dir (empty partitioned write) scans nothing
+      if (files.isEmpty) None
+      else Some(spark.read.option("basePath", dir).parquet(files: _*))
+    } else Some(spark.read.option("basePath", dir).parquet(dir))
+    // a pre-manifest legacy dir cannot prune (full read stays CORRECT:
+    // callers always re-apply the exact row-level bound)
+  }
+
   private def readAligned(ns: String, table: String, schema: StructType,
                           dirs: Seq[String]): DataFrame = {
-    if (dirs.isEmpty)
+    val frames = dirs.flatMap(s => rawDirFrame(ns, table, s))
+    if (frames.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val frames = dirs.map { s =>
-      val dir = dataDir(ns, table).resolve(s).toString
-      spark.read.option("basePath", dir).parquet(dir)
-    }
     val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     val withAll = schema.fieldNames.foldLeft(unioned) { (df, c) =>
       if (df.columns.contains(c)) df
@@ -732,7 +1364,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         keptManifests = keep
           .flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSet
         def dirsOf(s: Seq[JsonNode]): Set[String] =
-          s.flatMap(_.get("live").elements().asScala.map(_.asText())).toSet
+          s.flatMap(referencedDirsOf).toSet
         orphaned = dirsOf(drop) -- dirsOf(keep)
         val arr = mapper.createArrayNode()
         keep.foreach(arr.add)
@@ -748,7 +1380,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         Some(meta)
       }
     }
-    orphaned.foreach(sd => deleteTree(dataDir(ns, table).resolve(sd)))
+    orphaned.foreach(sd => dropDirArtifacts(ns, table, sd))
     // Manifest GC: every manifest-list file at or below the newest expired
     // sequence id that no kept snapshot references — the dropped snapshots'
     // own files AND the residue of CAS-race losers from older commits.
@@ -784,6 +1416,13 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   private def liveDirsOf(sn: JsonNode): Seq[String] =
     sn.get("live").elements().asScala.map(_.asText()).toSeq
 
+  /** Every directory a snapshot references: its live DATA dirs plus its
+    * DELETE-FILE dirs — the GC/audit grain (delete files are real bytes
+    * and must not be reclaimed while any retained snapshot masks rows
+    * with them). */
+  private def referencedDirsOf(sn: JsonNode): Seq[String] =
+    liveDirsOf(sn) ++ deleteFilesOf(sn).map(_.dir)
+
   /** Table maintenance report — the `snapshots` metadata table an Iceberg
     * operator reads before running maintenance: one row per retained
     * snapshot with its operation, referenced data directories/files/bytes,
@@ -799,10 +1438,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     // one filesystem walk per DISTINCT directory — snapshots share dirs
     // heavily (every append references all its predecessors' dirs)
-    val stats = snaps.flatMap(liveDirsOf).distinct
+    val stats = snaps.flatMap(referencedDirsOf).distinct
       .map(dn => dn -> dirStats(ns, table, dn)).toMap
     val rows = snaps.zipWithIndex.map { case (sn, i) =>
-      val dirs = liveDirsOf(sn)
+      val dirs = referencedDirsOf(sn)
       val (nf, bytes) = dirs.map(stats)
         .foldLeft((0L, 0L)) { case ((f, b), (f2, b2)) => (f + f2, b + b2) }
       (sn.get("snapshot-id").asLong(), sn.get("operation").asText(),
@@ -825,11 +1464,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val meta = readMeta(ns, table)
     val snaps = meta.get("snapshots").elements().asScala.toSeq
-    def dirsOf(s: Seq[JsonNode]): Set[String] = s.flatMap(liveDirsOf).toSet
+    def dirsOf(s: Seq[JsonNode]): Set[String] =
+      s.flatMap(referencedDirsOf).toSet
     val all = dirsOf(snaps)
     val kept = dirsOf(snaps.takeRight(keepLast))
     val reclaim = all -- kept
-    val current = liveSnapshots(meta).toSet
+    val current = currentSnapNode(meta).toSeq.flatMap(referencedDirsOf).toSet
     val onDisk = {
       val root = dataDir(ns, table)
       if (!Files.exists(root)) Set.empty[String]
@@ -847,13 +1487,19 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         "reclaimable_bytes", "n_orphan_dirs", "orphan_bytes")
   }
 
+  /** Partition-preserving small-file rewrite; on a table carrying
+    * merge-on-read delete files it doubles as the DEBT FOLD: the rewrite
+    * reads deletes-applied ([[load]]) and the published snapshot carries
+    * NO delete files — masked rows are physically gone, the (file, pos) /
+    * equality anti-joins disappear from subsequent reads, and the old
+    * delete dirs become expire-snapshots debt like any superseded dir. */
   override def compact(ns: String, table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val meta = readMeta(ns, table)
     require(meta.get("bucket-spec").isNull,
       s"$ns.$table is bucketed — compact() would drop its bucket spec; " +
         "rewrite via writeBucketed instead")
-    val parts = metaPartitionCols(meta)
+    val parts = partitionLayout(meta)
     // snapshot isolation makes the checkpoint dance unnecessary here: the
     // rewrite READS the old live dirs and WRITES a fresh snap dir — the
     // sources are never truncated under the reader (they just become
@@ -866,4 +1512,26 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       Some(addSnapshot(ns, table, cur, "replace", Seq(snap)))
     }
   }
+}
+
+object SnapshotLakeCatalog {
+  private val FnRx =
+    """(days?|months?|hours?|years?)\s*\(\s*`?([^`()\s]+)`?\s*\)""".r
+  private val TruncRx =
+    """truncate\s*\(\s*(\d+)\s*,\s*`?([^`()\s]+)`?\s*\)""".r
+
+  /** Iceberg partition-transform syntax → (spec field name, spec
+    * transform name, source column). `"days(ts)"` → `("ts_day", "day",
+    * "ts")`, `"truncate(4, name)"` → `("name_trunc", "truncate[4]",
+    * "name")`; a plain column name is identity. Singular and plural
+    * function names both accepted (the spec metadata name is singular,
+    * Iceberg SQL writes plural). */
+  private[lake] def parseTransform(p: String): (String, String, String) =
+    p.trim match {
+      case FnRx(fn, src) =>
+        val t = fn.stripSuffix("s")
+        (s"${src}_$t", t, src)
+      case TruncRx(w, src) => (s"${src}_trunc", s"truncate[$w]", src)
+      case name => (name, "identity", name)
+    }
 }

@@ -690,7 +690,59 @@ object Streaming {
               ON p.user_id = v.v_user AND v.v_ts <= p.p_ts
                  AND v.v_ts >= p.p_ts - INTERVAL $AttributionHorizon)"""
 
+  /** Merge-on-read delete-debt report (q209): drive the FULL v2
+    * delete-file lifecycle on a real lake table built from the corpus and
+    * report the debt — the registry face of
+    * [[graft.lake.SnapshotLakeCatalog.deleteDebtReport]]. The scenario
+    * composes every delete face so the report has one row per kind with
+    * both extremes of the dangling spectrum:
+    *   1. two appends split by doc_id parity (two data dirs);
+    *   2. a merge-on-read POSITION delete (`lang = 'de'`);
+    *   3. a copy-on-write delete (`doc_id % 7 = 0`) — it matches BOTH
+    *      parities, so it rewrites both dirs, turning every position mask
+    *      into dangling residue (their files are gone);
+    *   4. a merge-on-read EQUALITY purge (`doc_id % 5 = 3` of whatever
+    *      survived) — fully masking: its keys sit in lower-sequence live
+    *      dirs and nothing rewrote them since.
+    * The oracle prices the same set algebra straight off `documents`:
+    * position n_rows = the de docs (all dangling after the rewrite);
+    * equality n_rows = the %5=3 survivors (none dangling).
+    *
+    * Scale shape: the catalog ops under test are the operators' own
+    * (bucketed scans, anti-join masks, manifest-count report math); the
+    * 2-row result is collected to free the scratch table — bounded
+    * control plane by construction. */
+  def q209DeleteDebt(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "debt"
+    val docs = documents(s, d).select("doc_id", "source", "lang")
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 0))
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 1))
+    cat.deleteWhereMOR(ns, "t", col("lang") === "de")
+    cat.deleteWhere(ns, "t", col("doc_id") % 7 === 0)
+    cat.purgeKeysMOR(ns, "t", "doc_id",
+      docs.filter(col("doc_id") % 5 === 3).select("doc_id"))
+    val rows = cat.deleteDebtReport(ns, "t")
+      .select("kind", "n_rows", "n_masking", "n_dangling")
+      .collect() // ≤ one row per delete-file group — control plane
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    cat.dropNamespace(ns)
+    import s.implicits._
+    rows.toDF("kind", "n_rows", "n_masking", "n_dangling").orderBy("kind")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q209_delete_debt" -> ((q209DeleteDebt _, s"""
+      WITH qpos AS (SELECT count(*) AS n FROM documents WHERE lang = 'de'),
+      qeq AS (SELECT count(*) AS n FROM documents
+              WHERE doc_id % 5 = 3 AND lang <> 'de' AND doc_id % 7 <> 0)
+      SELECT 'equality' AS kind, n::BIGINT AS n_rows,
+             n::BIGINT AS n_masking, 0::BIGINT AS n_dangling FROM qeq
+      UNION ALL
+      SELECT 'position', n::BIGINT, 0::BIGINT, n::BIGINT FROM qpos
+      ORDER BY kind""")),
     "q181_multi_touch" -> ((q181MultiTouch _, s"""
       WITH $attributionJoinCtes,
       r AS (SELECT purchase_id, user_id, view_id,

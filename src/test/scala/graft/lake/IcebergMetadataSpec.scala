@@ -8,16 +8,34 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** The snapshot catalogs' metadata document follows the PUBLIC Iceberg v2
-  * table-metadata field layout (the spec pyiceberg 0.6.1 implements for
-  * the reference, `/root/reference/target_iceberg/sinks.py:96-100`). This
-  * spec pins the conformant field list AND the documented divergences:
-  * JSON manifest lists (no Avro writer in the sandbox), Spark
-  * catalogStrings for nested field types, and the `spark-schema` /
-  * `live` / `operation` / `bucket-spec` extension fields (Iceberg readers
-  * ignore unknown fields). */
+  * table-metadata field layout, and their manifest lists / manifests are
+  * spec-schema AVRO files (the formats pyiceberg 0.6.1 writes for the
+  * reference, `/root/reference/target_iceberg/sinks.py:96-100`). This
+  * spec pins the conformant field lists — validating the Avro files by
+  * reading them back with `org.apache.avro`'s GenericDatumReader, an
+  * EXTERNAL reader's view — and the documented divergences: Spark
+  * catalogStrings for nested field types, omitted optional per-column
+  * stats, and the `spark-schema` / `live` / `operation` / `bucket-spec`
+  * extension fields (Iceberg readers ignore unknown fields). */
 class IcebergMetadataSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val mapper = new ObjectMapper()
+
+  /** Read an Avro file as an external reader would: no reader schema
+    * supplied — the file's embedded writer schema drives decoding. */
+  private def readAvro(path: java.nio.file.Path)
+      : (org.apache.avro.Schema, Seq[org.apache.avro.generic.GenericRecord]) = {
+    val r = new org.apache.avro.file.DataFileReader(
+      path.toFile,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try (r.getSchema, r.iterator().asScala.toSeq) finally r.close()
+  }
+
+  private def fieldIds(s: org.apache.avro.Schema): Map[String, Int] =
+    s.getFields.asScala.map(f =>
+      f.name() -> f.getObjectProp("field-id").asInstanceOf[Number].intValue())
+      .toMap
 
   /** Read the current metadata JSON straight off the directory carrier —
     * an external reader's view, not this library's. */
@@ -135,8 +153,9 @@ class IcebergMetadataSpec extends AnyFunSuite {
     } finally cat.dropNamespace(ns)
   }
 
-  test("manifest-list is a readable JSON file naming the snapshot's data " +
-    "dirs (documented Avro divergence)") {
+  test("manifest-list is a spec-schema Avro file an external reader opens: " +
+    "v2 manifest_file fields with spec field-ids, carried manifests " +
+    "reused with original sequence numbers") {
     val cat = DirectoryLakeCatalog.temp(spark)
     val ns = s"iceml_${System.nanoTime()}"
     try {
@@ -147,18 +166,128 @@ class IcebergMetadataSpec extends AnyFunSuite {
         .find(_.get("snapshot-id").asLong() == cur).get
       val mlPath = Paths.get(snap.get("manifest-list").asText())
       assert(Files.exists(mlPath), s"manifest-list file missing: $mlPath")
-      val entries = mapper.readTree(Files.readString(mlPath))
-        .elements().asScala.toSeq
-      val live = snap.get("live").elements().asScala.map(_.asText()).toSeq
-      assert(entries.size == live.size && live.size == 2,
-        "second append references both snapshots' dirs")
-      assert(entries.map(_.get("manifest-path").asText()).toSet ==
-        live.map(d => cat.root.resolve(ns).resolve("t").resolve("data")
-          .resolve(d).toString).toSet)
-      assert(entries.forall(_.get("content").asText() == "data"))
-      entries.map(_.get("manifest-path").asText()).foreach(p =>
-        assert(Files.isDirectory(Paths.get(p)),
-          "every manifest-path names an existing data dir"))
+      val (schema, entries) = readAvro(mlPath)
+      // the spec's v2 manifest_file field set, ids carried as Avro props
+      assert(schema.getName == "manifest_file")
+      assert(fieldIds(schema) == Map(
+        "manifest_path" -> 500, "manifest_length" -> 501,
+        "partition_spec_id" -> 502, "content" -> 517,
+        "sequence_number" -> 515, "min_sequence_number" -> 516,
+        "added_snapshot_id" -> 503, "added_files_count" -> 504,
+        "existing_files_count" -> 505, "deleted_files_count" -> 506,
+        "added_rows_count" -> 512, "existing_rows_count" -> 513,
+        "deleted_rows_count" -> 514))
+      assert(entries.size == 2, "second append references both manifests")
+      entries.foreach { e =>
+        val mp = Paths.get(e.get("manifest_path").toString)
+        assert(Files.isRegularFile(mp), s"manifest missing: $mp")
+        assert(e.get("manifest_length").asInstanceOf[Long] == Files.size(mp),
+          "manifest_length is the manifest file's actual size")
+        assert(e.get("content") == 0 && e.get("partition_spec_id") == 0)
+      }
+      // manifest REUSE: the first append's manifest keeps its original
+      // sequence/snapshot attribution in the second snapshot's list
+      assert(entries.map(_.get("sequence_number").asInstanceOf[Long])
+        .sorted.toSeq == Seq(1L, 2L))
+      assert(entries.map(_.get("added_snapshot_id").asInstanceOf[Long])
+        .sorted.toSeq == Seq(1L, 2L))
+      // the FIRST snapshot's list references only its own manifest
+      val firstMl = Paths.get(m.get("snapshots").get(0)
+        .get("manifest-list").asText())
+      assert(readAvro(firstMl)._2.size == 1)
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("per-directory manifests track individual data FILES: " +
+    "manifest_entry/data_file spec fields, footer-true record counts, " +
+    "inherited snapshot ids") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icemf_${System.nanoTime()}"
+    try {
+      mkTable(cat, ns) // 2 appends: rows (1,2) then (3)
+      val m = rawMeta(cat, ns, "t")
+      val cur = m.get("current-snapshot-id").asLong()
+      val snap = m.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == cur).get
+      val mlEntries = readAvro(
+        Paths.get(snap.get("manifest-list").asText()))._2
+      val fileEntries = mlEntries.flatMap { mle =>
+        val (es, recs) = readAvro(Paths.get(mle.get("manifest_path").toString))
+        assert(es.getName == "manifest_entry")
+        assert(fieldIds(es) == Map("status" -> 0, "snapshot_id" -> 1,
+          "sequence_number" -> 3, "file_sequence_number" -> 4,
+          "data_file" -> 2))
+        val dfSchema = es.getField("data_file").schema()
+        assert(fieldIds(dfSchema) == Map("content" -> 134,
+          "file_path" -> 100, "file_format" -> 101, "partition" -> 102,
+          "record_count" -> 103, "file_size_in_bytes" -> 104,
+          "equality_ids" -> 135))
+        recs
+      }
+      assert(fileEntries.nonEmpty)
+      fileEntries.foreach { e =>
+        assert(e.get("status") == 1, "entries written as ADDED")
+        assert(e.get("snapshot_id") == null &&
+          e.get("sequence_number") == null,
+          "ids are null = INHERITED from the manifest-list entry (v2 " +
+            "inheritance; what makes manifests commit-agnostic/reusable)")
+        val df = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        assert(df.get("content") == 0)
+        assert(df.get("file_format").toString == "PARQUET")
+        val p = Paths.get(df.get("file_path").toString)
+        assert(Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        assert(df.get("file_size_in_bytes").asInstanceOf[Long] ==
+          Files.size(p))
+      }
+      // record counts are parquet-footer truth: they sum to the table count
+      val totalRows = fileEntries.map(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum
+      assert(totalRows == cat.load(ns, "t").count(),
+        "sum of manifest record_count == table row count")
+      // and the manifest-list rollups agree with the entries they cover
+      assert(mlEntries.map(_.get("added_rows_count").asInstanceOf[Long]).sum
+        == totalRows)
+      assert(mlEntries.map(_.get("added_files_count").asInstanceOf[Int]).sum
+        == fileEntries.size)
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("partitioned tables carry typed partition tuples in their " +
+    "data_file entries (r102 record, values parsed from the Hive layout)") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icept_${System.nanoTime()}"
+    try {
+      val df = Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "a"))
+        .toDF("id", "v", "part")
+      cat.ensureTable(ns, "p", df.schema, Seq("part"))
+      cat.append(ns, "p", df)
+      val m = rawMeta(cat, ns, "p")
+      val snap = m.get("snapshots").get(0)
+      val mle = readAvro(Paths.get(snap.get("manifest-list").asText()))._2
+      val entries = readAvro(
+        Paths.get(mle.head.get("manifest_path").toString))._2
+      val partVals = entries.map { e =>
+        val part = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("partition")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        part.get("part").toString
+      }
+      assert(partVals.toSet == Set("a", "b"),
+        s"partition tuple values parsed from the path: $partVals")
+      // per-file counts respect the partition split (a=2 rows, b=1)
+      val byPart = entries.groupBy(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("partition")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("part").toString)
+        .view.mapValues(_.map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum).toMap
+      assert(byPart == Map("a" -> 2L, "b" -> 1L))
     } finally cat.dropNamespace(ns)
   }
 

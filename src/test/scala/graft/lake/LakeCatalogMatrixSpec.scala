@@ -530,6 +530,74 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    test(s"[${impl.name}] merge upserts by key: updates replace, inserts " +
+      "land, one atomic commit") {
+      val cat = impl.make(); val ns = freshNs()
+      // missing table: merge = insert
+      cat.merge(ns, "t", Seq("id"),
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      assert(cat.load(ns, "t").collect().map(r =>
+        r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "a", 2L -> "b"))
+      // update one key, insert another
+      cat.merge(ns, "t", Seq("id"),
+        Seq((2L, "B"), (3L, "c")).toDF("id", "v"))
+      assert(cat.load(ns, "t").collect().map(r =>
+        r.getLong(0) -> r.getString(1)).toMap ==
+        Map(1L -> "a", 2L -> "B", 3L -> "c"),
+        "existing key replaced, new key inserted, untouched key kept")
+      // exactly one row per key survives repeated merges (idempotent
+      // replay of the same batch)
+      cat.merge(ns, "t", Seq("id"), Seq((2L, "B")).toDF("id", "v"))
+      assert(cat.load(ns, "t").groupBy("id").count()
+        .collect().forall(_.getLong(1) == 1L))
+      cat.dropNamespace(ns)
+    }
+
+    if (impl.name != "session") test(s"[${impl.name}] racing merges on disjoint keys both land (CAS rebase)") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      // separate dirs per key range so the rewrites are disjoint
+      cat.ensureTable(ns, "t",
+        Seq((0L, "")).toDF("id", "v").schema)
+      cat.append(ns, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      cat.append(ns, "t", Seq((10L, "x"), (11L, "y")).toDF("id", "v"))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq((1L, "A"), (10L, "X")).map { case (id, v) =>
+        new Thread(() => {
+          try {
+            val df = Seq((id, v)).toDF("id", "v")
+            barrier.await()
+            cat.merge(ns, "t", Seq("id"), df)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"racing merge failed: ${Option(errs.peek())}")
+      assert(cat.load(ns, "t").collect().map(r =>
+        r.getLong(0) -> r.getString(1)).toMap ==
+        Map(1L -> "A", 2L -> "b", 10L -> "X", 11L -> "y"))
+      cat.dropNamespace(ns)
+    }
+
+    if (impl.name != "session") test(s"[${impl.name}] merge over a MOR-deleted table neither resurrects masked rows nor re-masks merged keys") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t", Seq((0L, "")).toDF("id", "v").schema)
+      cat.append(ns, "t",
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+      assert(cat.purgeKeysMOR(ns, "t", "id", Seq(2L).toDF("id")) == 1L)
+      // merging key 2 back in: the new dir postdates the equality delete
+      // (sequence scoping), so the merged row is visible; key 3's rewrite
+      // carries the delete-applied state
+      cat.merge(ns, "t", Seq("id"),
+        Seq((2L, "B"), (3L, "C")).toDF("id", "v"))
+      assert(cat.load(ns, "t").collect().map(r =>
+        r.getLong(0) -> r.getString(1)).toMap ==
+        Map(1L -> "a", 2L -> "B", 3L -> "C"))
+      cat.dropNamespace(ns)
+    }
+
     test(s"[${impl.name}] Singer load path end-to-end: batches, evolution, swap") {
       val cat = impl.make(); val ns = freshNs()
       val loader = new BatchLoader(spark, cat, ns, batchSize = 10)

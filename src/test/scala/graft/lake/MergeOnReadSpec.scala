@@ -1,0 +1,231 @@
+package graft.lake
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Merge-on-read row deletes (VERDICT r9 #3): position/equality delete
+  * FILES beside the copy-on-write path, reader-side application as
+  * anti-joins with the spec's sequence-number scoping, compaction folding
+  * the debt away. The core contract is EQUIVALENCE: on the same data and
+  * predicates, a merge-on-read delete must read back identically to the
+  * copy-on-write delete — including under concurrency conflicts. */
+class MergeOnReadSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val restServer = RestCatalogStub.start()
+
+  private case class Impl(name: String, make: () => SnapshotLakeCatalog)
+  private val impls = Seq(
+    Impl("directory", () => DirectoryLakeCatalog.temp(spark)),
+    Impl("rest", () => new RestLakeCatalog(spark, restServer.uri,
+      Files.createTempDirectory("graft-rest-mor-"))))
+
+  private def freshNs(): String = s"mor_${System.nanoTime()}"
+
+  private def seed(cat: SnapshotLakeCatalog, ns: String): Unit = {
+    val a = Seq((1L, "x", "de"), (2L, "y", "en"), (3L, "z", "de"))
+      .toDF("id", "v", "lang")
+    cat.ensureTable(ns, "t", a.schema)
+    cat.append(ns, "t", a)
+    cat.append(ns, "t",
+      Seq((4L, "w", "fr"), (5L, "q", "de")).toDF("id", "v", "lang"))
+  }
+
+  private def ids(cat: SnapshotLakeCatalog, ns: String): Seq[Long] =
+    cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq
+
+  for (impl <- impls) {
+    test(s"[${impl.name}] deleteWhereMOR reads back identically to " +
+      "copy-on-write deleteWhere, without rewriting any data dir") {
+      // separate namespaces: the rest impls share one stub server, so a
+      // shared ns would interleave two warehouses' directory names
+      val morCat = impl.make(); val cowCat = impl.make()
+      val ns = freshNs(); val cowNs = freshNs()
+      seed(morCat, ns); seed(cowCat, cowNs)
+      val liveBefore = morCat.storageAudit(ns, "t").collect()(0)
+      assert(morCat.deleteWhereMOR(ns, "t", col("lang") === "de") == 3L)
+      assert(cowCat.deleteWhere(cowNs, "t", col("lang") === "de") == 3L)
+      assert(ids(morCat, ns) == Seq(2L, 4L) && ids(cowCat, cowNs) ==
+        Seq(2L, 4L), "MOR and COW must read back identically")
+      // MOR rewrote nothing: current bytes only GREW (delete file added),
+      // and both original data dirs still serve the current snapshot
+      val after = morCat.storageAudit(ns, "t").collect()(0)
+      assert(after.getAs[Long]("current_bytes") >
+        liveBefore.getAs[Long]("current_bytes"),
+        "position delete adds a delete file, rewrites no data")
+      // deleting nothing publishes nothing (both faces)
+      val snaps = morCat.snapshotIds(ns, "t")
+      assert(morCat.deleteWhereMOR(ns, "t", col("lang") === "zz") == 0L)
+      assert(morCat.snapshotIds(ns, "t") == snaps)
+      // NULL-predicate rows are kept: v = "x" deleted already; a predicate
+      // NULL on every row matches nothing
+      assert(morCat.deleteWhereMOR(ns, "t",
+        (col("v") === "nope") && (org.apache.spark.sql.functions
+          .lit(null).cast("boolean"))) == 0L)
+      morCat.dropNamespace(ns); cowCat.dropNamespace(cowNs)
+    }
+
+    test(s"[${impl.name}] purgeKeysMOR matches purgeKeys; a re-appended " +
+      "key SURVIVES the older equality delete (sequence scoping)") {
+      val morCat = impl.make(); val cowCat = impl.make()
+      val ns = freshNs(); val cowNs = freshNs()
+      seed(morCat, ns); seed(cowCat, cowNs)
+      val keys = Seq(2L, 5L, 99L).toDF("id")
+      assert(morCat.purgeKeysMOR(ns, "t", "id", keys) == 2L)
+      assert(cowCat.purgeKeys(cowNs, "t", "id", keys) == 2L)
+      assert(ids(morCat, ns) == ids(cowCat, cowNs))
+      // replay: nothing left to purge, no snapshot published
+      val snaps = morCat.snapshotIds(ns, "t")
+      assert(morCat.purgeKeysMOR(ns, "t", "id", keys) == 0L)
+      assert(morCat.snapshotIds(ns, "t") == snaps)
+      // the spec's sequence rule: data appended AFTER the equality delete
+      // has a higher sequence, so the purge must NOT mask it
+      morCat.append(ns, "t", Seq((2L, "back", "en")).toDF("id", "v", "lang"))
+      assert(ids(morCat, ns) == Seq(1L, 2L, 3L, 4L),
+        "re-appended key must survive the older purge")
+      morCat.dropNamespace(ns); cowCat.dropNamespace(cowNs)
+    }
+
+    test(s"[${impl.name}] position and equality deletes stack; time " +
+      "travel and rollback see pre-delete state") {
+      val cat = impl.make(); val ns = freshNs()
+      seed(cat, ns)
+      val preDelete = cat.snapshotIds(ns, "t").last
+      assert(cat.deleteWhereMOR(ns, "t", col("lang") === "fr") == 1L)
+      assert(cat.purgeKeysMOR(ns, "t", "id", Seq(1L).toDF("id")) == 1L)
+      assert(ids(cat, ns) == Seq(2L, 3L, 5L))
+      // time travel BEFORE the deletes reads the unmasked rows
+      assert(cat.loadAt(ns, "t", preDelete).collect().length == 5)
+      // rollback restores the pre-delete state as a NEW commit
+      cat.rollbackTo(ns, "t", preDelete)
+      assert(ids(cat, ns) == Seq(1L, 2L, 3L, 4L, 5L))
+      cat.dropNamespace(ns)
+    }
+
+    test(s"[${impl.name}] copy-on-write delete over a MOR-deleted table " +
+      "does not resurrect masked rows") {
+      val cat = impl.make(); val ns = freshNs()
+      seed(cat, ns)
+      assert(cat.deleteWhereMOR(ns, "t", col("id") === 3L) == 1L)
+      // the COW rewrite reads deletes-applied, so id=3 must stay gone even
+      // though its dir gets rewritten
+      assert(cat.deleteWhere(ns, "t", col("id") === 1L) == 1L)
+      assert(ids(cat, ns) == Seq(2L, 4L, 5L))
+      cat.dropNamespace(ns)
+    }
+
+    test(s"[${impl.name}] compact folds delete files away: rows unchanged, " +
+      "delete dirs become expirable debt") {
+      val cat = impl.make(); val ns = freshNs()
+      seed(cat, ns)
+      assert(cat.deleteWhereMOR(ns, "t", col("lang") === "de") == 3L)
+      assert(cat.purgeKeysMOR(ns, "t", "id", Seq(4L).toDF("id")) == 1L)
+      cat.compact(ns, "t", targetFiles = 1)
+      assert(ids(cat, ns) == Seq(2L))
+      // the compacted snapshot carries no delete files: reclaim everything
+      // older and re-read
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      assert(ids(cat, ns) == Seq(2L))
+      val audit = cat.storageAudit(ns, "t").collect()(0)
+      assert(audit.getAs[Long]("n_orphan_dirs") == 0L,
+        "expiry reclaimed the delete dirs (referenced-dir GC includes them)")
+      cat.dropNamespace(ns)
+    }
+  }
+
+  test("[directory] MOR delete conflict: a concurrent compact between the " +
+    "delete-file write and its commit fails loudly, cleans up, and the " +
+    "retry lands") {
+    val ns = freshNs()
+    var fired = false
+    val cat = new DirectoryLakeCatalog(spark,
+        Files.createTempDirectory("graft-mor-conflict-")) {
+      override protected def beforeDeleteCommit(n: String, t: String): Unit =
+        if (!fired) { fired = true; compact(n, t, targetFiles = 1) }
+    }
+    seed(cat, ns)
+    // the compact rewrites both data dirs: the delete file's positions
+    // would mask the WRONG rows (or none) — a blind commit would
+    // silently resurrect the deleted rows
+    intercept[java.util.ConcurrentModificationException](
+      cat.deleteWhereMOR(ns, "t", col("id") === 2L))
+    assert(ids(cat, ns) == Seq(1L, 2L, 3L, 4L, 5L), "nothing committed")
+    assert(cat.storageAudit(ns, "t").collect()(0)
+      .getAs[Long]("n_orphan_dirs") == 0L,
+      "aborted MOR delete cleaned up its delete dir")
+    assert(cat.deleteWhereMOR(ns, "t", col("id") === 2L) == 1L)
+    assert(ids(cat, ns) == Seq(1L, 3L, 4L, 5L))
+    cat.dropNamespace(ns)
+  }
+
+  test("[directory] deleteDebtReport prices masking vs dangling: live " +
+    "masks count as masking, a rewrite turns them dangling, compact " +
+    "clears the report") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    seed(cat, ns)
+    assert(cat.deleteWhereMOR(ns, "t", col("lang") === "de") == 3L)
+    assert(cat.purgeKeysMOR(ns, "t", "id", Seq(2L).toDF("id")) == 1L)
+    val r1 = cat.deleteDebtReport(ns, "t").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_masking"), r.getAs[Long]("n_dangling"))).toMap
+    assert(r1 == Map("position" -> ((3L, 3L, 0L)),
+      "equality" -> ((1L, 1L, 0L))), s"fresh masks all masking: $r1")
+    // a copy-on-write delete of id=4 rewrites ONLY dir B (ids 4,5): the
+    // de-mask on id 5 dangles (its file is gone — and its row with it),
+    // while the de-masks on ids 1,3 still suppress live dir-A rows; the
+    // equality mask on id 2 keeps masking its untouched dir-A row
+    assert(cat.deleteWhere(ns, "t", col("id") === 4L) == 1L)
+    val r2 = cat.deleteDebtReport(ns, "t").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_masking"),
+        r.getAs[Long]("n_dangling"))).toMap
+    assert(r2 == Map("position" -> ((2L, 1L)), "equality" -> ((1L, 0L))),
+      s"partial rewrite dangles only the rewritten dir's masks: $r2")
+    // compact folds the debt: the report empties and the masked rows are
+    // physically gone (everything here was deleted by one face or other)
+    cat.compact(ns, "t", targetFiles = 1)
+    assert(cat.deleteDebtReport(ns, "t").collect().isEmpty)
+    assert(ids(cat, ns) == Seq.empty)
+    cat.dropNamespace(ns)
+  }
+
+  test("[directory] delete manifests are spec-shaped: content=1 list " +
+    "entries, position/equality data_file content codes, equality_ids") {
+    val ns = freshNs()
+    val cat = DirectoryLakeCatalog.temp(spark)
+    seed(cat, ns)
+    assert(cat.deleteWhereMOR(ns, "t", col("id") === 1L) == 1L)
+    assert(cat.purgeKeysMOR(ns, "t", "id", Seq(3L).toDF("id")) == 1L)
+    val md = cat.root.resolve(ns).resolve("t").resolve("metadata")
+    val versions = scala.util.Using.resource(Files.list(md))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") &&
+          s.endsWith(".metadata.json") =>
+          s.stripPrefix("v").stripSuffix(".metadata.json").toInt }.toSeq)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(md.resolve(s"v${versions.max}.metadata.json")))
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val mlPath = java.nio.file.Paths.get(
+      snaps.last.get("manifest-list").asText())
+    val mlEntries = AvroManifests.readManifestList(mlPath)
+    val (dataE, delE) = mlEntries.partition(_.content == 0)
+    assert(dataE.size == 2 && delE.size == 2,
+      s"2 data + 2 delete manifests, got $mlEntries")
+    val delFiles = delE.flatMap(e =>
+      AvroManifests.readManifest(java.nio.file.Paths.get(e.manifestPath)))
+    assert(delFiles.map(_.content).sorted == Seq(1, 2),
+      "position (1) and equality (2) delete data_file content codes")
+    val eq = delFiles.find(_.content == 2).get
+    assert(eq.equalityIds == Seq(1),
+      "equality_ids names the id column (field id 1)")
+    // delete-file sequence numbers postdate every data dir they mask
+    val maxDataSeq = dataE.map(_.sequenceNumber).max
+    assert(delE.forall(_.sequenceNumber > maxDataSeq))
+    cat.dropNamespace(ns)
+  }
+}

@@ -1,0 +1,185 @@
+package graft.lake
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Time/truncate partition transforms (VERDICT r9 #4): `days(ts)` /
+  * `months` / `hours` / `years` / `truncate(W, c)` in partition specs,
+  * the derived directory layout they produce, and — the point of it all —
+  * the PRUNING PROOF: a ts-bounded `loadSlice` must read only the
+  * matching partitions' files, decided from manifest metadata
+  * (`DataFrame.inputFiles` is the witness). */
+class PartitionTransformSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshNs(): String = s"pt_${System.nanoTime()}"
+
+  /** 6 rows across 3 UTC days, 2 per day. */
+  private def tsData = Seq(
+    ("2024-01-01 05:00:00", 1L), ("2024-01-01 23:30:00", 2L),
+    ("2024-01-02 00:00:01", 3L), ("2024-01-02 13:00:00", 4L),
+    ("2024-01-03 08:00:00", 5L), ("2024-01-03 21:45:00", 6L))
+    .toDF("ts_s", "id")
+    .select(col("ts_s").cast("timestamp").as("ts"), col("id"))
+
+  test("days(ts): spec metadata transform, derived dir layout, schema " +
+    "round-trip without the derived column") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    cat.ensureTable(ns, "ev", tsData.schema, Seq("days(ts)"))
+    cat.append(ns, "ev", tsData)
+    // spec metadata: transform "day", name ts_day, source-id of ts
+    val md = cat.root.resolve(ns).resolve("ev").resolve("metadata")
+    val vmax = scala.util.Using.resource(Files.list(md))(_.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
+        s.stripPrefix("v").stripSuffix(".metadata.json").toInt }.max)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(md.resolve(s"v$vmax.metadata.json")))
+    val pf = meta.get("partition-specs").get(0).get("fields").get(0)
+    assert(pf.get("name").asText() == "ts_day" &&
+      pf.get("transform").asText() == "day" &&
+      pf.get("source-id").asInt() == 1)
+    // the physical layout is Hive dirs on the DERIVED value
+    val dataRoot = cat.root.resolve(ns).resolve("ev").resolve("data")
+    val dayDirs = scala.util.Using.resource(Files.walk(dataRoot))(
+      _.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).filter(_.startsWith("ts_day=")).toSet)
+    assert(dayDirs == Set("ts_day=2024-01-01", "ts_day=2024-01-02",
+      "ts_day=2024-01-03"))
+    // reads return the TABLE schema — the derived column is spec
+    // metadata, not data
+    val out = cat.load(ns, "ev")
+    assert(out.columns.toSeq == Seq("ts", "id"))
+    assert(out.collect().map(_.getLong(1)).sorted.toSeq == (1L to 6L))
+    // manifests carry the tuple value per file
+    val manifests = scala.util.Using.resource(Files.list(md))(
+      _.iterator().asScala.filter(_.getFileName.toString
+        .startsWith("manifest-snap-")).toSeq)
+    val tupleVals = manifests.flatMap(AvroManifests.readManifest)
+      .flatMap(_.partition.collect { case ("ts_day", Some(v)) => v })
+    assert(tupleVals.toSet == Set("2024-01-01", "2024-01-02", "2024-01-03"))
+    cat.dropNamespace(ns)
+  }
+
+  test("loadSlice prunes to the matching day's files (inputFiles proof) " +
+    "and stays exact at the boundaries") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    cat.ensureTable(ns, "ev", tsData.schema, Seq("days(ts)"))
+    cat.append(ns, "ev", tsData)
+    cat.append(ns, "ev", Seq(("2024-01-02 18:00:00", 7L)).toDF("ts_s", "id")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("id")))
+    val allFiles = cat.load(ns, "ev").inputFiles
+    val slice = cat.loadSlice(ns, "ev", "ts",
+      "2024-01-02 00:00:00", "2024-01-02 23:59:59")
+    // the PROOF: only ts_day=2024-01-02 files are planned, across BOTH
+    // snapshots' dirs
+    assert(slice.inputFiles.nonEmpty &&
+      slice.inputFiles.forall(_.contains("ts_day=2024-01-02")),
+      s"slice read outside the pruned partition: ${slice.inputFiles.toSeq}")
+    assert(slice.inputFiles.length < allFiles.length)
+    assert(slice.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 4L, 7L))
+    // a slice bound INSIDE a day still prunes to that day, with the row
+    // bound trimming the rest
+    val half = cat.loadSlice(ns, "ev", "ts",
+      "2024-01-02 12:00:00", "2024-01-02 23:59:59")
+    assert(half.collect().map(_.getLong(1)).sorted.toSeq == Seq(4L, 7L))
+    // merge-on-read deletes apply inside a slice
+    assert(cat.deleteWhereMOR(ns, "ev", col("id") === 4L) == 1L)
+    assert(cat.loadSlice(ns, "ev", "ts", "2024-01-02 00:00:00",
+      "2024-01-02 23:59:59").collect().map(_.getLong(1)).sorted.toSeq ==
+      Seq(3L, 7L))
+    cat.dropNamespace(ns)
+  }
+
+  test("hours/months/years transforms lay out and prune") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    val df = Seq(("2024-01-01 05:10:00", 1L), ("2024-01-01 05:55:00", 2L),
+      ("2024-01-01 06:05:00", 3L), ("2024-02-15 09:00:00", 4L))
+      .toDF("ts_s", "id")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("id"))
+    cat.ensureTable(ns, "h", df.schema, Seq("hours(ts)"))
+    cat.append(ns, "h", df)
+    val hr = cat.loadSlice(ns, "h", "ts",
+      "2024-01-01 05:00:00", "2024-01-01 05:59:59")
+    assert(hr.inputFiles.forall(_.contains("ts_hour=2024-01-01-05")))
+    assert(hr.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    cat.ensureTable(ns, "m", df.schema, Seq("months(ts)"))
+    cat.append(ns, "m", df)
+    val mo = cat.loadSlice(ns, "m", "ts",
+      "2024-02-01 00:00:00", "2024-02-29 23:59:59")
+    assert(mo.inputFiles.forall(_.contains("ts_month=2024-02")))
+    assert(mo.collect().map(_.getLong(1)).toSeq == Seq(4L))
+    cat.dropNamespace(ns)
+  }
+
+  test("truncate(W, col) floors longs (negatives too) and prefixes " +
+    "strings; numeric pruning compares numerically") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    val df = Seq((-7L, "alpha"), (-1L, "alps"), (0L, "beta"),
+      (9L, "bets"), (10L, "gamma"), (23L, "alp"))
+      .toDF("v", "name")
+    cat.ensureTable(ns, "n", df.schema, Seq("truncate(10, v)"))
+    cat.append(ns, "n", df)
+    // Iceberg truncate floors toward -inf: -7 -> -10, -1 -> -10, 9 -> 0
+    val dirs = scala.util.Using.resource(Files.walk(
+      cat.root.resolve(ns).resolve("n").resolve("data")))(
+      _.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).filter(_.startsWith("v_trunc="))
+        .toSet)
+    assert(dirs == Set("v_trunc=-10", "v_trunc=0", "v_trunc=10",
+      "v_trunc=20"))
+    val neg = cat.loadSlice(ns, "n", "v", "-10", "-1")
+    assert(neg.inputFiles.forall(_.contains("v_trunc=-10")))
+    assert(neg.collect().map(_.getLong(0)).sorted.toSeq == Seq(-7L, -1L))
+    // string truncate prefixes
+    cat.ensureTable(ns, "s", df.schema, Seq("truncate(3, name)"))
+    cat.append(ns, "s", df)
+    val alp = cat.loadSlice(ns, "s", "name", "alp", "alzzz")
+    assert(alp.inputFiles.forall(_.contains("name_trunc=alp")))
+    assert(alp.collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("alp", "alpha", "alps"))
+    cat.dropNamespace(ns)
+  }
+
+  test("copy-on-write delete and compact preserve the transform layout") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    cat.ensureTable(ns, "ev", tsData.schema, Seq("days(ts)"))
+    cat.append(ns, "ev", tsData)
+    assert(cat.deleteWhere(ns, "ev", col("id") === 1L) == 1L)
+    cat.compact(ns, "ev", targetFiles = 1)
+    // the rewritten snapshot still partitions by the derived day — a
+    // slice after maintenance prunes exactly as before
+    val slice = cat.loadSlice(ns, "ev", "ts",
+      "2024-01-01 00:00:00", "2024-01-01 23:59:59")
+    assert(slice.inputFiles.nonEmpty &&
+      slice.inputFiles.forall(_.contains("ts_day=2024-01-01")))
+    assert(slice.collect().map(_.getLong(1)).toSeq == Seq(2L))
+    cat.dropNamespace(ns)
+  }
+
+  test("loadSlice without a matching transform field falls back to a " +
+    "full-but-exact scan; identity partitioning prunes too") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    val df = Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("part", "id")
+    cat.ensureTable(ns, "p", df.schema, Seq("part"))
+    cat.append(ns, "p", df)
+    val ident = cat.loadSlice(ns, "p", "part", "a", "a")
+    assert(ident.inputFiles.forall(_.contains("part=a")))
+    assert(ident.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 3L))
+    // no spec field over id: exact, unpruned
+    val noSpec = cat.loadSlice(ns, "p", "id", "2", "3")
+    assert(noSpec.collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+    cat.dropNamespace(ns)
+  }
+}
