@@ -733,7 +733,95 @@ object Streaming {
     rows.toDF("kind", "n_rows", "n_masking", "n_dangling").orderBy("kind")
   }
 
+  /** MERGE/upsert audit (q210): drive [[graft.lake.LakeCatalog.merge]] —
+    * the row-level surface the reference's `key_properties` promise but
+    * never implement — on a lake table built from the corpus, and report
+    * the post-merge language census. The incoming batch mixes UPDATES
+    * (every doc_id % 3 == 0 re-landed with lang recoded 'xx' — must
+    * REPLACE, not duplicate) and INSERTS (fresh keys offset by 10M for
+    * doc_id % 97 == 0, lang 'new'); the oracle states the same set
+    * algebra directly over `documents`. One atomic replace-by-key commit;
+    * a key appearing twice post-merge would double a count and
+    * hash-mismatch.
+    *
+    * Scale shape: merge cost is locate scan + rewrite of key-matching
+    * dirs + the insert write (dir-granular, untouched dirs carried by
+    * reference); the census is one partial-agg over the merged table. */
+  def q210MergeAudit(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "mrg"
+    val docs = documents(s, d).select("doc_id", "source", "lang")
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.append(ns, "t", docs)
+    val updates = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("lang", lit("xx"))
+    val inserts = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+        lit("new").as("lang"))
+    cat.merge(ns, "t", Seq("doc_id"), updates.unionByName(inserts))
+    val rows = cat.load(ns, "t").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+      .collect() // |langs|-bounded census — control plane
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    cat.dropNamespace(ns)
+    import s.implicits._
+    rows.toDF("lang", "n_docs").orderBy("lang")
+  }
+
+  /** Partition-transform slice (q211): build a `days(ts)`-partitioned
+    * lake table from the event stream and answer a one-day query through
+    * [[graft.lake.SnapshotLakeCatalog.loadSlice]] — Iceberg scan planning
+    * over the manifest partition tuples, so only the matching day's FILES
+    * are read (the pruning itself is spec-proven by inputFiles in
+    * PartitionTransformSpec; this registers the VALUE face: the slice
+    * must agree with the oracle's plain ts-range filter). The sliced day
+    * is the corpus's earliest UTC day (derived, so every SF works); the
+    * upper bound rides micros precision (Spark timestamps are micros, so
+    * `23:59:59.999999` is day-inclusive).
+    *
+    * Scale shape: at 100 TB this is the date-partitioned layout
+    * SURVEY §4.3 mandates — the slice touches one day's partitions
+    * regardless of table size; the aggregate is a |event_types|-bounded
+    * partial agg. */
+  def q211DaySlice(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "slice"
+    val ev = events(s, d)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    cat.ensureTable(ns, "ev", ev.schema, Seq("days(ts)"))
+    cat.append(ns, "ev", ev)
+    val minDay = ev
+      .agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("d"))
+      .head().getString(0) // 1-row bound derivation — control plane
+    val rows = cat
+      .loadSlice(ns, "ev", "ts", s"$minDay 00:00:00",
+        s"$minDay 23:59:59.999999")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+      .collect() // |event_types|-bounded — control plane
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    cat.dropNamespace(ns)
+    import s.implicits._
+    rows.toDF("event_type", "n", "sum_value").orderBy("event_type")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q210_merge_audit" -> ((q210MergeAudit _, """
+      WITH merged AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang
+        FROM documents
+        UNION ALL
+        SELECT 'new' AS lang FROM documents WHERE doc_id % 97 = 0)
+      SELECT lang, count(*)::BIGINT AS n_docs
+      FROM merged GROUP BY 1 ORDER BY 1""")),
+    "q211_day_slice" -> ((q211DaySlice _, """
+      WITH md AS (SELECT min(ts::DATE) AS d0 FROM events)
+      SELECT event_type, count(*)::BIGINT AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events, md WHERE ts::DATE = md.d0
+      GROUP BY 1 ORDER BY 1""")),
     "q209_delete_debt" -> ((q209DeleteDebt _, s"""
       WITH qpos AS (SELECT count(*) AS n FROM documents WHERE lang = 'de'),
       qeq AS (SELECT count(*) AS n FROM documents
