@@ -434,7 +434,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * newest expired snapshot's). */
   private def addSnapshot(ns: String, table: String, meta: ObjectNode,
                           operation: String, live: Seq[String],
-                          deletes: Seq[DeleteRef] = Seq.empty): ObjectNode = {
+                          deletes: Seq[DeleteRef] = Seq.empty,
+                          reuseFrom: Option[JsonNode] = None): ObjectNode = {
     val id = meta.get("last-sequence-number").asLong() + 1
     val parent = meta.get("current-snapshot-id").asLong()
     val now = System.currentTimeMillis()
@@ -445,15 +446,23 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val resolvedDeletes = deletes.map(r =>
       if (r.seq < 0) r.copy(seq = id) else r)
     // a JSON/absent parent list reads as empty: legacy dirs re-enter as if
-    // added by this snapshot — the one-time migration-on-write path
+    // added by this snapshot — the one-time migration-on-write path.
+    // `reuseFrom` (rollback's TARGET snapshot) contributes its entries too,
+    // parent's winning on overlap: a dir restored from a rolled-back-to
+    // state must keep its ORIGINAL sequence number, or equality deletes
+    // restored with it would stop masking (seq scoping compares dir seq <
+    // delete seq — a re-stamped dir would postdate every delete)
+    def entriesOf(snOpt: Option[JsonNode])
+        : Map[String, AvroManifests.ManifestListEntry] = snOpt
+      .flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
+      .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
+      .map(p => AvroManifests.readManifestList(Path.of(p))
+        .map(e => e.manifestPath -> e).toMap)
+      .getOrElse(Map.empty)
     val parentEntries: Map[String, AvroManifests.ManifestListEntry] =
-      meta.get("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong() == parent)
-        .flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
-        .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
-        .map(p => AvroManifests.readManifestList(Path.of(p))
-          .map(e => e.manifestPath -> e).toMap)
-        .getOrElse(Map.empty)
+      entriesOf(reuseFrom) ++
+        entriesOf(meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == parent))
     val mlEntries = live.map { dir =>
       val mp = manifestPathFor(ns, table, dir)
       val scanned: Option[Seq[AvroManifests.DataFileEntry]] =
@@ -670,9 +679,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           .getOrElse(throw new IllegalArgumentException(
             s"no snapshot $snapshotId on $ns.$table"))
         val live = snap.get("live").elements().asScala.map(_.asText()).toSeq
-        // the target's delete files are part of its state: restore them too
+        // the target's delete files are part of its state: restore them
+        // too, and reuse ITS manifest-list entries so restored dirs keep
+        // their original sequence numbers (equality-delete scoping)
         Some(addSnapshot(ns, table, meta, "rollback", live,
-          deleteFilesOf(snap)))
+          deleteFilesOf(snap), reuseFrom = Some(snap)))
     }
 
   /** Row-level snapshot diff — the changelog read an Iceberg incremental
@@ -857,14 +868,18 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val meta = readMeta(ns, table)
     val newDir = writeSnapshot(ns, table, df, partitionLayout(meta),
       Map.empty)
+    // an empty incoming batch (e.g. an upsert feed that filtered to zero
+    // rows) is a no-op, not a commit: a PARTITIONED empty write leaves a
+    // file-less dir that cannot even be read back for keys
+    if (AvroManifests.scanDataDir(dataDir(ns, table).resolve(newDir),
+        Seq.empty).forall(_.recordCount == 0L)) {
+      dropDirArtifacts(ns, table, newDir)
+      return
+    }
     try {
-      val ks = rawDirFrame(ns, table, newDir) match {
-        case None => // empty incoming frame: nothing can match
-          spark.createDataFrame(spark.sparkContext
-              .emptyRDD[org.apache.spark.sql.Row],
-            StructType(keys.map(k => metaSchema(meta)(k)).toArray))
-        case Some(f) => f.select(keys.map(k => col(s"`$k`")): _*).distinct()
-      }
+      val ks = rawDirFrame(ns, table, newDir)
+        .get // nonempty by the guard above
+        .select(keys.map(k => col(s"`$k`")): _*).distinct()
       deleteMatching(ns, table,
         d => d.join(ks, keys, "left_semi"),
         d => d.join(ks, keys, "left_anti"),
@@ -943,13 +958,24 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val sn = currentSnapNode(meta).get
     val scan = scanWithDeletes(ns, table, schema, sn, baseLive)
     val ks = keys.select(col(s"`$keyCol`")).distinct()
-    val n = scan.join(ks, Seq(keyCol), "left_semi").count()
+    // ONE corpus scan serves both the deleted-row count and the
+    // present-key list: the semi-join rolls up per key (≤ |keys| rows),
+    // localCheckpoint materializes that bounded frame, and the delete
+    // file and the return count both read it — never a second scan
+    val matched = scan.join(ks, Seq(keyCol), "left_semi")
+      .groupBy(col(s"`$keyCol`"))
+      .agg(org.apache.spark.sql.functions.count(lit(1))
+        .as("_graft_nrows"))
+      .localCheckpoint(true)
+    val n = matched
+      .agg(coalesce(org.apache.spark.sql.functions.sum("_graft_nrows"),
+        lit(0L)))
+      .head().getLong(0)
     if (n == 0L) return 0L
-    val present = ks.join(scan.select(col(s"`$keyCol`")),
-      Seq(keyCol), "left_semi")
     val dirName = s"del-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
     val path = dataDir(ns, table).resolve(dirName)
-    present.sort(keyCol).write.parquet(path.toString)
+    matched.select(col(s"`$keyCol`")).sort(keyCol)
+      .write.parquet(path.toString)
     commitDeleteFile(ns, table, dirName, "equality", Seq(keyCol),
       baseLive, n)
   }

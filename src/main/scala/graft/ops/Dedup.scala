@@ -1177,9 +1177,12 @@ object Dedup {
       .join(edges, "label") // every cluster has >= 1 edge by construction
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"), sum("n_edges").as("n_edges"))
+      // the halving stays in DECIMAL `/` (exact: size·(size−1) is even) —
+      // `div` always returns BIGINT, which would re-truncate the pair
+      // count at the very 4.3e9 threshold the lift exists for
       .withColumn("n_possible_d",
         expr("cast(n_clusters as decimal(38, 0)) * " +
-          "(cast(cluster_size as decimal(38, 0)) * (cluster_size - 1) div 2)"))
+          "(cast(cluster_size as decimal(38, 0)) * (cluster_size - 1) / 2)"))
       .withColumn("n_possible", expr("cast(n_possible_d as bigint)"))
       .withColumn("density_ppm",
         expr("cast((cast(n_edges as decimal(38, 0)) * 1000000) " +

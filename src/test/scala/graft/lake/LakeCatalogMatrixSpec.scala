@@ -550,6 +550,11 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.merge(ns, "t", Seq("id"), Seq((2L, "B")).toDF("id", "v"))
       assert(cat.load(ns, "t").groupBy("id").count()
         .collect().forall(_.getLong(1) == 1L))
+      // an EMPTY incoming batch (an upsert feed that filtered to zero
+      // rows) is a no-op — no crash, no rows touched
+      cat.merge(ns, "t", Seq("id"),
+        Seq.empty[(Long, String)].toDF("id", "v"))
+      assert(cat.load(ns, "t").count() == 3L)
       cat.dropNamespace(ns)
     }
 

@@ -138,6 +138,31 @@ class MergeOnReadSpec extends AnyFunSuite {
     }
   }
 
+  test("[directory] rollback across an intervening rewrite restores " +
+    "equality-delete masking (restored dirs keep their original " +
+    "sequence numbers)") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    seed(cat, ns) // dirs A (seq 1), B (seq 2)
+    assert(cat.purgeKeysMOR(ns, "t", "id", Seq(2L).toDF("id")) == 1L)
+    val purgeSnap = cat.snapshotIds(ns, "t").last // seq 3
+    assert(ids(cat, ns) == Seq(1L, 3L, 4L, 5L))
+    // an intervening rewrite supersedes everything...
+    cat.overwrite(ns, "t",
+      Seq((99L, "z", "en")).toDF("id", "v", "lang")) // seq 4
+    assert(ids(cat, ns) == Seq(99L))
+    // ...and the rollback must restore the PURGED state: if the restored
+    // data dirs were re-stamped with the new commit's sequence, they
+    // would postdate the restored equality delete and key 2 would
+    // silently resurrect
+    cat.rollbackTo(ns, "t", purgeSnap)
+    assert(ids(cat, ns) == Seq(1L, 3L, 4L, 5L),
+      "rollback resurrected an equality-purged key")
+    assert(cat.loadAt(ns, "t", purgeSnap).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    cat.dropNamespace(ns)
+  }
+
   test("[directory] MOR delete conflict: a concurrent compact between the " +
     "delete-file write and its commit fails loudly, cleans up, and the " +
     "retry lands") {

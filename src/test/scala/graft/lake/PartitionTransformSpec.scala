@@ -150,6 +150,21 @@ class PartitionTransformSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("merge with an empty incoming batch on a transform-partitioned " +
+    "table is a no-op (a partitioned empty write leaves a file-less dir)") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    cat.ensureTable(ns, "ev", tsData.schema, Seq("days(ts)"))
+    cat.append(ns, "ev", tsData)
+    val snaps = cat.snapshotIds(ns, "ev")
+    cat.merge(ns, "ev", Seq("id"), tsData.filter(col("id") === -999L))
+    assert(cat.snapshotIds(ns, "ev") == snaps, "no-op published no commit")
+    assert(cat.load(ns, "ev").count() == 6L)
+    assert(cat.storageAudit(ns, "ev").collect()(0)
+      .getAs[Long]("n_orphan_dirs") == 0L, "empty-batch dir cleaned up")
+    cat.dropNamespace(ns)
+  }
+
   test("copy-on-write delete and compact preserve the transform layout") {
     val cat = DirectoryLakeCatalog.temp(spark)
     val ns = freshNs()
