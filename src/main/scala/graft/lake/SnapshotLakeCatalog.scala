@@ -1428,6 +1428,83 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     }
   }
 
+  /** Iceberg `remove_orphan_files`: delete data directories present on
+    * disk but referenced by NO retained snapshot — the collector pass for
+    * the debt [[storageAudit]] reports as `n_orphan_dirs` (interrupted
+    * expiries, rewrites whose CAS race was lost mid-crash, writers killed
+    * between the data write and the metadata commit). Also sweeps the two
+    * metadata residues the dir-grain audit cannot see: per-dir manifests
+    * whose directory is gone, and manifest-list files no retained snapshot
+    * names (CAS losers).
+    *
+    * Safety contract (same as Iceberg's `older_than`): nothing younger
+    * than `graceMs` is touched — an unreferenced young artifact may belong
+    * to a commit still racing toward CAS. The disk is listed BEFORE the
+    * snapshot set is read, so a dir that commits between the two reads is
+    * referenced by the fresh metadata and protected; one that commits
+    * after the metadata read is young by construction and the grace window
+    * protects it. Age is the NEWEST mtime under the dir (a slow writer
+    * keeps refreshing it). Returns a one-row report. */
+  def removeOrphans(ns: String, table: String,
+                    graceMs: Long = 24L * 3600 * 1000): DataFrame = {
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
+    val root = dataDir(ns, table)
+    val md = manifestDir(ns, table)
+    val cutoff = System.currentTimeMillis() - graceMs
+    def newestMtime(p: Path): Long =
+      scala.util.Using.resource(Files.walk(p))(_.iterator().asScala
+        .map(f => Files.getLastModifiedTime(f).toMillis).max)
+    // 1) list disk FIRST (see ordering argument in the scaladoc)
+    val onDisk: Set[String] =
+      if (!Files.exists(root)) Set.empty
+      else scala.util.Using.resource(Files.list(root))(_.iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet)
+    val mlOnDisk: Seq[Path] =
+      if (!Files.exists(md)) Seq.empty
+      else scala.util.Using.resource(Files.list(md))(_.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("manifest-list-")).toSeq)
+    val mfOnDisk: Seq[Path] =
+      if (!Files.exists(md)) Seq.empty
+      else scala.util.Using.resource(Files.list(md))(_.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("manifest-"))
+        .filterNot(_.getFileName.toString.startsWith("manifest-list-"))
+        .toSeq)
+    // 2) then read the snapshot set
+    val meta = readMeta(ns, table)
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val referenced = snaps.flatMap(referencedDirsOf).toSet
+    val keptLists = snaps
+      .flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSet
+    val orphanDirs = (onDisk -- referenced).toSeq.sorted
+    val removable = orphanDirs.filter { d =>
+      val p = root.resolve(d)
+      Files.exists(p) && newestMtime(p) < cutoff
+    }
+    val bytesFreed = removable.map(dirStats(ns, table, _)._2).sum
+    removable.foreach(dropDirArtifacts(ns, table, _))
+    // manifests whose data dir neither exists nor is referenced (leak
+    // residue of a crash BETWEEN deleteTree and the manifest unlink)
+    val danglingManifests = mfOnDisk.filter { p =>
+      val d = p.getFileName.toString
+        .stripPrefix("manifest-").stripSuffix(".avro")
+      !referenced.contains(d) && !Files.exists(root.resolve(d)) &&
+        Files.exists(p) && Files.getLastModifiedTime(p).toMillis < cutoff
+    }
+    danglingManifests.foreach(Files.deleteIfExists(_))
+    // manifest-lists no retained snapshot names: CAS losers' first
+    // attempts and expiry residue ABOVE the sequence bound expiry GCs
+    val orphanLists = mlOnDisk.filter { p =>
+      !keptLists.contains(p.toString) && Files.exists(p) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff
+    }
+    orphanLists.foreach(Files.deleteIfExists(_))
+    spark.createDataFrame(Seq((orphanDirs.size.toLong,
+        removable.size.toLong, bytesFreed,
+        danglingManifests.size.toLong, orphanLists.size.toLong)))
+      .toDF("n_orphan_dirs", "n_removed_dirs", "bytes_freed",
+        "n_removed_manifests", "n_removed_manifest_lists")
+  }
+
   private def dirStats(ns: String, table: String,
                        dirName: String): (Long, Long) = {
     val p = dataDir(ns, table).resolve(dirName)

@@ -214,6 +214,64 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name != "session") test(s"[${impl.name}] removeOrphans: collects aged unreferenced dirs, grace window protects the young, referenced data untouched") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L).toDF("id"))          // snapshot 1
+      cat.append(ns, "t", Seq(3L).toDF("id"))              // snapshot 2
+      // plant TWO orphans: one aged past any grace, one fresh
+      val dataDir = impl.dir(cat, ns, "t").resolve("data")
+      val aged = dataDir.resolve("snap-0-aged-orphan")
+      Files.createDirectories(aged)
+      Files.write(aged.resolve("stray.bin"), Array[Byte](1, 2, 3, 4))
+      val old = java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000)
+      Files.setLastModifiedTime(aged.resolve("stray.bin"), old)
+      Files.setLastModifiedTime(aged, old)
+      val young = dataDir.resolve("snap-0-young-orphan")
+      Files.createDirectories(young)
+      Files.write(young.resolve("inflight.bin"), Array[Byte](9))
+      // plus a dangling per-dir manifest (crash between deleteTree and
+      // the manifest unlink) and an unreferenced manifest-list (CAS loser)
+      val md = impl.dir(cat, ns, "t").resolve("metadata")
+      val danglingMf = md.resolve("manifest-snap-0-gone.avro")
+      Files.write(danglingMf, Array[Byte](0))
+      Files.setLastModifiedTime(danglingMf, old)
+      val loserMl = md.resolve("manifest-list-0-loser.avro")
+      Files.write(loserMl, Array[Byte](0))
+      Files.setLastModifiedTime(loserMl, old)
+      val rep = cat.removeOrphans(ns, "t").collect()(0)
+      assert(rep.getAs[Long]("n_orphan_dirs") == 2L)
+      assert(rep.getAs[Long]("n_removed_dirs") == 1L, "only the aged dir")
+      assert(rep.getAs[Long]("bytes_freed") == 4L)
+      assert(rep.getAs[Long]("n_removed_manifests") == 1L)
+      assert(rep.getAs[Long]("n_removed_manifest_lists") == 1L)
+      assert(!Files.exists(aged) && Files.exists(young),
+        "grace window must protect the young orphan")
+      assert(!Files.exists(danglingMf) && !Files.exists(loserMl))
+      // referenced data and history untouched: current + time travel read
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L))
+      assert(cat.loadAt(ns, "t", 1L).collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L))
+      // grace 0 collects the remaining orphan; a second pass is a no-op
+      val rep2 = cat.removeOrphans(ns, "t", graceMs = 0L).collect()(0)
+      assert(rep2.getAs[Long]("n_removed_dirs") == 1L)
+      assert(!Files.exists(young))
+      val rep3 = cat.removeOrphans(ns, "t", graceMs = 0L).collect()(0)
+      assert(rep3.getAs[Long]("n_orphan_dirs") == 0L &&
+        rep3.getAs[Long]("n_removed_dirs") == 0L &&
+        rep3.getAs[Long]("n_removed_manifests") == 0L &&
+        rep3.getAs[Long]("n_removed_manifest_lists") == 0L)
+      assert(cat.storageAudit(ns, "t").collect()(0)
+        .getAs[Long]("n_orphan_dirs") == 0L)
+      assert(cat.load(ns, "t").count() == 3L)
+      intercept[IllegalArgumentException](
+        cat.removeOrphans(ns, "t", graceMs = -1L))
+      cat.dropNamespace(ns)
+    }
+
     if (impl.name != "session") test(s"[${impl.name}] snapshot diff: multiset changelog between any two snapshots") {
       val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
       val ns = freshNs()
