@@ -25,9 +25,22 @@ import scala.jdk.CollectionConverters._
   * carried-over directory's manifest is referenced by every later
   * snapshot without rewriting (Iceberg's manifest-reuse shape).
   *
+  * Per-column stats (since round 10): `value_counts` / `null_value_counts`
+  * / `lower_bounds` / `upper_bounds` (spec ids 109/110/125/128, map-as-
+  * array k/v records exactly as Iceberg's Java writer emits them) are
+  * populated from the parquet FOOTERS at manifest-write time — min/max
+  * folded across row groups, bounds in the spec's Appendix-D single-value
+  * binary form (little-endian ints/longs/floats, UTF-8 strings) — for
+  * every top-level column whose physical type carries usable parquet
+  * statistics. These are what make manifest-level FILE SKIPPING work:
+  * a reader (ours: `loadSlice`) drops a file when its [lower, upper]
+  * range cannot intersect the query bound, without opening the file.
+  *
   * Documented divergences (pinned by IcebergMetadataSpec): the optional
-  * per-column stats fields (column_sizes, value_counts, bounds — ids
-  * 108-128) are omitted (legal: all optional in the spec); partition
+  * `column_sizes`/`nan_value_counts` stats are omitted (legal: all
+  * optional in the spec), as are stats for types without a defined
+  * single-value form here (binary, decimal) and for INT96 timestamps
+  * (parquet deprecates their statistics); partition
   * tuple values are typed for long/int/string identity sources and carry
   * the Hive path string for other source types; non-path-derivable
   * transforms (bucket[N]) carry null.
@@ -47,7 +60,16 @@ object AvroManifests {
       partition: Seq[(String, Option[String])],
       recordCount: Long,
       fileSizeInBytes: Long,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      valueCounts: Seq[(Int, Long)] = Nil,
+      nullValueCounts: Seq[(Int, Long)] = Nil,
+      lowerBounds: Seq[(Int, Array[Byte])] = Nil,
+      upperBounds: Seq[(Int, Array[Byte])] = Nil)
+
+  /** A top-level column the stats collector covers: its Iceberg field id
+    * (the bounds-map key) and Iceberg type (picks the Appendix-D binary
+    * form). */
+  case class StatField(name: String, fieldId: Int, icebergType: String)
 
   /** One manifest row of a manifest list (spec `manifest_file`).
     * `content` 0=data 1=deletes. Sequence numbers are what the manifest's
@@ -119,11 +141,89 @@ object AvroManifests {
               {"type": "record", "name": "r102", "fields": [$r102Fields]}},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "value_counts", "type": ["null",
+              {"type": "array", "logicalType": "map", "items":
+                {"type": "record", "name": "k119_v120", "fields": [
+                  {"name": "key", "type": "int", "field-id": 119},
+                  {"name": "value", "type": "long", "field-id": 120}]}}],
+             "default": null, "field-id": 109},
+            {"name": "null_value_counts", "type": ["null",
+              {"type": "array", "logicalType": "map", "items":
+                {"type": "record", "name": "k121_v122", "fields": [
+                  {"name": "key", "type": "int", "field-id": 121},
+                  {"name": "value", "type": "long", "field-id": 122}]}}],
+             "default": null, "field-id": 110},
+            {"name": "lower_bounds", "type": ["null",
+              {"type": "array", "logicalType": "map", "items":
+                {"type": "record", "name": "k126_v127", "fields": [
+                  {"name": "key", "type": "int", "field-id": 126},
+                  {"name": "value", "type": "bytes", "field-id": 127}]}}],
+             "default": null, "field-id": 125},
+            {"name": "upper_bounds", "type": ["null",
+              {"type": "array", "logicalType": "map", "items":
+                {"type": "record", "name": "k129_v130", "fields": [
+                  {"name": "key", "type": "int", "field-id": 129},
+                  {"name": "value", "type": "bytes", "field-id": 130}]}}],
+             "default": null, "field-id": 128},
             {"name": "equality_ids", "type": ["null",
               {"type": "array", "items": "int", "element-id": 136}],
              "default": null, "field-id": 135}
           ]}}
       ]}""")
+  }
+
+  // ---- Appendix-D single-value binary form --------------------------------
+
+  /** Serialize one bound value to the spec's single-value binary form.
+    * None for types this layer does not cover (binary, decimal, INT96). */
+  def boundBytes(icebergType: String, v: Any): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    (icebergType, v) match {
+      case ("long" | "timestamp" | "timestamptz", l: java.lang.Long) =>
+        Some(le(8).putLong(l).array())
+      case ("int" | "date", i: java.lang.Integer) =>
+        Some(le(4).putInt(i).array())
+      case ("double", d: java.lang.Double) =>
+        Some(le(8).putDouble(d).array())
+      case ("float", f: java.lang.Float) =>
+        Some(le(4).putFloat(f).array())
+      case ("boolean", b: java.lang.Boolean) =>
+        Some(Array[Byte](if (b) 1 else 0))
+      case ("string", b: org.apache.parquet.io.api.Binary) =>
+        Some(b.getBytes)
+      case _ => None
+    }
+  }
+
+  /** Decode a bound back into the comparable domain [[boundBytes]] wrote:
+    * Long for long/timestamps, Int for int/date, Double/Float, the raw
+    * UTF-8 bytes for string (compare unsigned-lexicographically — parquet
+    * UTF8 order), Boolean. */
+  def decodeBound(icebergType: String, bytes: Array[Byte]): Option[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    icebergType match {
+      case "long" | "timestamp" | "timestamptz" if bytes.length == 8 =>
+        Some(bb.getLong)
+      case "int" | "date" if bytes.length == 4 => Some(bb.getInt)
+      case "double" if bytes.length == 8       => Some(bb.getDouble)
+      case "float" if bytes.length == 4        => Some(bb.getFloat)
+      case "boolean" if bytes.length == 1      => Some(bytes(0) != 0)
+      case "string"                            => Some(bytes)
+      case _                                   => None
+    }
+  }
+
+  /** Unsigned lexicographic byte compare (parquet UTF8/BINARY order). */
+  def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
   }
 
   private def quote(s: String): String =
@@ -141,6 +241,80 @@ object AvroManifests {
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
+  }
+
+  /** One footer read serving the row count AND the per-column stats:
+    * value/null counts summed and min/max folded across row groups, bounds
+    * serialized per Appendix D. A column chunk without usable statistics
+    * (INT96, missing stats) drops that column's bounds for the FILE —
+    * never fabricates. `statFields` empty = row count only (the pre-stats
+    * behavior, one cheap footer read). */
+  private def footerStats(file: Path, statFields: Seq[StatField])
+      : (Long, Seq[(Int, Long)], Seq[(Int, Long)],
+         Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rows = r.getRecordCount
+      if (statFields.isEmpty) return (rows, Nil, Nil, Nil, Nil)
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val byName = statFields.map(sf => sf.name -> sf).toMap
+      // (fieldId -> accumulators) over every row group
+      val vc = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      val nc = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      val lo = scala.collection.mutable.LinkedHashMap[Int, Any]()
+      val hi = scala.collection.mutable.LinkedHashMap[Int, Any]()
+      val statsBroken = scala.collection.mutable.Set[Int]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val path = c.getPath.toArray
+        if (path.length == 1) byName.get(path(0)).foreach { sf =>
+          vc.updateWith(sf.fieldId)(p =>
+            Some(p.getOrElse(0L) + c.getValueCount))
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.isNumNullsSet)
+            statsBroken += sf.fieldId
+          else {
+            nc.updateWith(sf.fieldId)(p =>
+              Some(p.getOrElse(0L) + st.getNumNulls))
+            if (st.hasNonNullValue) {
+              def fold(m: scala.collection.mutable.LinkedHashMap[Int, Any],
+                       v: Any, keepLeft: (Any, Any) => Boolean): Unit =
+                m.updateWith(sf.fieldId) {
+                  case Some(prev) =>
+                    Some(if (keepLeft(prev, v)) prev else v)
+                  case None => Some(v)
+                }
+              def lt(a: Any, b: Any): Boolean = (a, b) match {
+                case (x: org.apache.parquet.io.api.Binary,
+                      y: org.apache.parquet.io.api.Binary) =>
+                  compareUnsigned(x.getBytes, y.getBytes) < 0
+                case (x: java.lang.Comparable[_], y) =>
+                  x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
+                case _ => false
+              }
+              fold(lo, st.genericGetMin, (p, v) => lt(p, v) || p == v)
+              fold(hi, st.genericGetMax, (p, v) => lt(v, p) || p == v)
+            }
+          }
+        }
+      }
+      def bounds(m: scala.collection.mutable.LinkedHashMap[Int, Any])
+          : Seq[(Int, Array[Byte])] =
+        statFields.flatMap { sf =>
+          if (statsBroken.contains(sf.fieldId)) None
+          else m.get(sf.fieldId)
+            .flatMap(v => boundBytes(sf.icebergType, v))
+            .map(sf.fieldId -> _)
+        }
+      val vcs = statFields.flatMap(sf =>
+        vc.get(sf.fieldId).map(sf.fieldId -> _))
+      val ncs = statFields.flatMap(sf =>
+        if (statsBroken.contains(sf.fieldId)) None
+        else nc.get(sf.fieldId).map(sf.fieldId -> _))
+      (rows, vcs, ncs, bounds(lo), bounds(hi))
+    } finally r.close()
   }
 
   // ---- data-dir scan -----------------------------------------------------
@@ -168,7 +342,8 @@ object AvroManifests {
     * cost: one footer read per file, once per directory ever (manifests
     * are immutable and reused across snapshots). */
   def scanDataDir(dir: Path,
-                  partitionFields: Seq[PartitionField]): Seq[DataFileEntry] = {
+                  partitionFields: Seq[PartitionField],
+                  statFields: Seq[StatField] = Nil): Seq[DataFileEntry] = {
     val files = scala.util.Using.resource(Files.walk(dir))(
       _.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
@@ -189,9 +364,12 @@ object AvroManifests {
             .filter(_ != "__HIVE_DEFAULT_PARTITION__")
         })
       }
+      val (rows, vcs, ncs, lows, ups) = footerStats(f, statFields)
       DataFileEntry(status = 1, content = 0, filePath = f.toString,
         fileFormat = "PARQUET", partition = tuple,
-        recordCount = parquetRowCount(f), fileSizeInBytes = Files.size(f))
+        recordCount = rows, fileSizeInBytes = Files.size(f),
+        valueCounts = vcs, nullValueCounts = ncs,
+        lowerBounds = lows, upperBounds = ups)
     }
   }
 
@@ -226,6 +404,29 @@ object AvroManifests {
         df.put("partition", part)
         df.put("record_count", e.recordCount)
         df.put("file_size_in_bytes", e.fileSizeInBytes)
+        def kvArray(field: String, pairs: Seq[(Int, AnyRef)]): AnyRef =
+          if (pairs.isEmpty) null
+          else {
+            val arrSchema = r2.getField(field).schema()
+              .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+            val itemSchema = arrSchema.getElementType
+            pairs.map { case (k, v) =>
+              val kv = new GenericData.Record(itemSchema)
+              kv.put("key", k); kv.put("value", v); kv
+            }.asJava
+          }
+        df.put("value_counts", kvArray("value_counts",
+          e.valueCounts.map { case (k, v) =>
+            k -> (java.lang.Long.valueOf(v): AnyRef) }))
+        df.put("null_value_counts", kvArray("null_value_counts",
+          e.nullValueCounts.map { case (k, v) =>
+            k -> (java.lang.Long.valueOf(v): AnyRef) }))
+        df.put("lower_bounds", kvArray("lower_bounds",
+          e.lowerBounds.map { case (k, v) =>
+            k -> (java.nio.ByteBuffer.wrap(v): AnyRef) }))
+        df.put("upper_bounds", kvArray("upper_bounds",
+          e.upperBounds.map { case (k, v) =>
+            k -> (java.nio.ByteBuffer.wrap(v): AnyRef) }))
         df.put("equality_ids",
           if (e.equalityIds.isEmpty) null
           else e.equalityIds.map(java.lang.Integer.valueOf).asJava)
@@ -252,6 +453,20 @@ object AvroManifests {
         val eq = Option(df.get("equality_ids"))
           .map(_.asInstanceOf[java.util.List[Integer]].asScala
             .map(_.intValue()).toSeq).getOrElse(Nil)
+        def longMap(field: String): Seq[(Int, Long)] =
+          Option(df.get(field)).map(_
+            .asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq
+            .map(kv => kv.get("key").asInstanceOf[Int] ->
+              kv.get("value").asInstanceOf[Long])).getOrElse(Nil)
+        def bytesMap(field: String): Seq[(Int, Array[Byte])] =
+          Option(df.get(field)).map(_
+            .asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq
+            .map { kv =>
+              val buf = kv.get("value")
+                .asInstanceOf[java.nio.ByteBuffer].duplicate()
+              val arr = new Array[Byte](buf.remaining()); buf.get(arr)
+              kv.get("key").asInstanceOf[Int] -> arr
+            }).getOrElse(Nil)
         DataFileEntry(
           status = rec.get("status").asInstanceOf[Int],
           content = df.get("content").asInstanceOf[Int],
@@ -260,7 +475,11 @@ object AvroManifests {
           partition = tuple,
           recordCount = df.get("record_count").asInstanceOf[Long],
           fileSizeInBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
-          equalityIds = eq)
+          equalityIds = eq,
+          valueCounts = longMap("value_counts"),
+          nullValueCounts = longMap("null_value_counts"),
+          lowerBounds = bytesMap("lower_bounds"),
+          upperBounds = bytesMap("upper_bounds"))
       }.toSeq
     } finally r.close()
   }

@@ -323,6 +323,21 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                                 dir: String): Path =
     manifestDir(ns, table).resolve(s"manifest-$dir.avro")
 
+  /** Top-level columns the manifest stats collector covers, with their
+    * Iceberg field ids (= schema position + 1, stable across this
+    * catalog's append-only schema evolution) and Iceberg types. Types
+    * without an Appendix-D form here (binary, decimal) are left out —
+    * their stats maps simply omit the column (legal: all optional). */
+  private def manifestStatFields(meta: ObjectNode)
+      : Seq[AvroManifests.StatField] = {
+    val covered = Set("long", "int", "double", "float", "string",
+      "boolean", "date", "timestamp", "timestamptz")
+    currentSchemaNode(meta).get("fields").elements().asScala.toSeq
+      .map(f => AvroManifests.StatField(f.get("name").asText(),
+        f.get("id").asInt(), f.get("type").asText()))
+      .filter(sf => covered.contains(sf.icebergType))
+  }
+
   /** Drop a snapshot directory AND its per-dir manifest — the cleanup
     * unit for aborted rewrites and expired snapshots (a manifest whose
     * directory is gone is pure debt; one without the other is a leak). */
@@ -469,7 +484,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         if (Files.exists(mp)) None
         else {
           val es = AvroManifests.scanDataDir(
-            dataDir(ns, table).resolve(dir), pf)
+            dataDir(ns, table).resolve(dir), pf, manifestStatFields(meta))
           AvroManifests.writeManifest(mp, es, pf)
           Some(es)
         }
@@ -495,7 +510,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           val eqIds = r.cols.map(c =>
             metaSchema(meta).fieldNames.indexOf(c) + 1)
           val es = AvroManifests.scanDataDir(
-              dataDir(ns, table).resolve(r.dir), pf)
+              dataDir(ns, table).resolve(r.dir), pf,
+              manifestStatFields(meta))
             .map(_.copy(content = contentCode, equalityIds = eqIds))
           AvroManifests.writeManifest(mp, es, pf)
           Some(es)
@@ -1044,8 +1060,76 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
             else v >= lo && v <= hi
         }
     }
+    // STATS TIER: manifest lower/upper bounds prune on ANY covered column
+    // — the partition tier above only fires when `column` drives the
+    // layout; bounds make file skipping work on unpartitioned tables and
+    // non-partition columns too. A file without bounds for the column
+    // (pre-stats manifest, uncovered type, broken chunk stats) is KEPT —
+    // pruning is an optimization, never a semantics change; the exact
+    // rowBound always re-applies.
+    val statId = schema.fieldNames.indexOf(column) + 1
+    val icType = currentSchemaNode(meta).get("fields").elements().asScala
+      .find(_.get("name").asText() == column)
+      .map(_.get("type").asText()).getOrElse("")
+    // the two literals land in the SAME comparable domain decodeBound
+    // reads back (micros for timestamps, epoch days for dates, UTF-8
+    // bytes for strings) — evaluated through Spark casts so literal
+    // parsing can never disagree with the engine's
+    def litPrim(v: String): Option[Any] = icType match {
+      case "string" =>
+        Some(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case "long" | "int" | "double" | "float" | "date" |
+           "timestamp" | "timestamptz" =>
+        val c = icType match {
+          case "timestamp" | "timestamptz" =>
+            org.apache.spark.sql.functions.unix_micros(
+              lit(v).cast(srcType).cast(
+                org.apache.spark.sql.types.TimestampType))
+          case "date" => org.apache.spark.sql.functions.datediff(
+            lit(v).cast(srcType), lit("1970-01-01").cast(
+              org.apache.spark.sql.types.DateType))
+          case _ => lit(v).cast(srcType)
+        }
+        val row = spark.range(1).select(c).head()
+        if (row.isNullAt(0)) None
+        else Some(icType match {
+          case "long"                      => row.getLong(0)
+          case "int"                       => row.getInt(0)
+          case "double"                    => row.getDouble(0)
+          case "float"                     => row.getFloat(0)
+          case "date"                      => row.getInt(0)
+          case "timestamp" | "timestamptz" => row.getLong(0)
+        })
+      case _ => None
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)       => Integer.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: Float, y: Float)   => java.lang.Float.compare(x, y)
+      case (x: Array[Byte], y: Array[Byte]) =>
+        AvroManifests.compareUnsigned(x, y)
+      case _ => 0 // incomparable: never prune
+    }
+    val statFilter: Option[AvroManifests.DataFileEntry => Boolean] =
+      (litPrim(from), litPrim(to)) match {
+        case (Some(loV), Some(hiV)) => Some { e =>
+          val lower = e.lowerBounds.find(_._1 == statId).map(_._2)
+            .flatMap(AvroManifests.decodeBound(icType, _))
+          val upper = e.upperBounds.find(_._1 == statId).map(_._2)
+            .flatMap(AvroManifests.decodeBound(icType, _))
+          upper.forall(u => cmp(u, loV) >= 0) &&
+            lower.forall(l => cmp(l, hiV) <= 0)
+        }
+        case _ => None
+      }
+    val combined = (fileFilter, statFilter) match {
+      case (Some(a), Some(b)) =>
+        Some((e: AvroManifests.DataFileEntry) => a(e) && b(e))
+      case (a, b) => a.orElse(b)
+    }
     scanWithDeletes(ns, table, schema, sn, liveDirsOf(sn),
-      fileFilter = fileFilter).filter(rowBound)
+      fileFilter = combined).filter(rowBound)
   }
 
   /** Delete-file DEBT report — one row per delete-file group of the

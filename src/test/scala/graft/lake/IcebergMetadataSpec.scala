@@ -221,6 +221,8 @@ class IcebergMetadataSpec extends AnyFunSuite {
         assert(fieldIds(dfSchema) == Map("content" -> 134,
           "file_path" -> 100, "file_format" -> 101, "partition" -> 102,
           "record_count" -> 103, "file_size_in_bytes" -> 104,
+          "value_counts" -> 109, "null_value_counts" -> 110,
+          "lower_bounds" -> 125, "upper_bounds" -> 128,
           "equality_ids" -> 135))
         recs
       }
@@ -251,6 +253,63 @@ class IcebergMetadataSpec extends AnyFunSuite {
         == totalRows)
       assert(mlEntries.map(_.get("added_files_count").asInstanceOf[Int]).sum
         == fileEntries.size)
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("data_file entries carry per-column stats an external reader " +
+    "decodes: value/null counts and Appendix-D binary bounds") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icest_${System.nanoTime()}"
+    try {
+      mkTable(cat, ns) // id long=1, name string=2, score double=3; rows 1-3
+      val m = rawMeta(cat, ns, "t")
+      val cur = m.get("current-snapshot-id").asLong()
+      val snap = m.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == cur).get
+      val files = readAvro(Paths.get(snap.get("manifest-list").asText()))._2
+        .flatMap(mle => readAvro(
+          Paths.get(mle.get("manifest_path").toString))._2)
+        .map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord])
+      assert(files.nonEmpty)
+      def kvMap(df: org.apache.avro.generic.GenericRecord, field: String)
+          : Map[Int, AnyRef] =
+        Option(df.get(field)).map(_.asInstanceOf[java.util.List[
+            org.apache.avro.generic.GenericRecord]].asScala
+          .map(kv => kv.get("key").asInstanceOf[Int] -> kv.get("value"))
+          .toMap).getOrElse(Map.empty)
+      def le(df: org.apache.avro.generic.GenericRecord, field: String,
+             id: Int): Array[Byte] = {
+        val buf = kvMap(df, field)(id)
+          .asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val a = new Array[Byte](buf.remaining()); buf.get(a); a
+      }
+      def leLong(b: Array[Byte]): Long = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      def leDouble(b: Array[Byte]): Double = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble
+      files.foreach { df =>
+        val rows = df.get("record_count").asInstanceOf[Long]
+        // counts: every covered column counts every row, zero nulls
+        (1 to 3).foreach { id =>
+          assert(kvMap(df, "value_counts")(id) == rows)
+          assert(kvMap(df, "null_value_counts")(id) == 0L)
+        }
+        // per-file bound sanity: lower <= upper in the decoded domain
+        assert(leLong(le(df, "lower_bounds", 1)) <=
+          leLong(le(df, "upper_bounds", 1)))
+        assert(leDouble(le(df, "lower_bounds", 3)) <=
+          leDouble(le(df, "upper_bounds", 3)))
+      }
+      // global fold across files recovers the true column ranges
+      assert(files.map(df => leLong(le(df, "lower_bounds", 1))).min == 1L)
+      assert(files.map(df => leLong(le(df, "upper_bounds", 1))).max == 3L)
+      assert(files.map(df => new String(le(df, "lower_bounds", 2),
+        java.nio.charset.StandardCharsets.UTF_8)).min == "a")
+      assert(files.map(df => new String(le(df, "upper_bounds", 2),
+        java.nio.charset.StandardCharsets.UTF_8)).max == "c")
+      assert(files.map(df => leDouble(le(df, "lower_bounds", 3))).min == 1.5)
+      assert(files.map(df => leDouble(le(df, "upper_bounds", 3))).max == 3.5)
     } finally cat.dropNamespace(ns)
   }
 

@@ -67,6 +67,63 @@ class PartitionTransformSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("loadSlice prunes an UNPARTITIONED table via manifest column " +
+    "bounds (inputFiles proof on a long and a string column)") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    // three appends with DISJOINT id ranges -> three dirs whose manifest
+    // bounds cannot overlap; no partition layout at all
+    def batch(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, f"k$i%04d")).toDF("id", "k")
+    cat.ensureTable(ns, "t", batch(1, 1).schema)
+    cat.append(ns, "t", batch(1L, 100L))
+    cat.append(ns, "t", batch(101L, 200L))
+    cat.append(ns, "t", batch(201L, 300L))
+    val allFiles = cat.load(ns, "t").inputFiles
+    val slice = cat.loadSlice(ns, "t", "id", "120", "180")
+    assert(slice.collect().map(_.getLong(0)).sorted.toSeq ==
+      (120L to 180L))
+    assert(slice.inputFiles.nonEmpty &&
+      slice.inputFiles.length < allFiles.length,
+      s"stats pruning read all ${allFiles.length} files")
+    // the skipping invariant: every file KEPT must actually intersect
+    // the bound — a pruned plan may keep extra files, never wrong ones
+    slice.inputFiles.foreach { f =>
+      val mm = spark.read.parquet(f).agg(
+        org.apache.spark.sql.functions.min("id"),
+        org.apache.spark.sql.functions.max("id")).head()
+      assert(mm.getLong(1) >= 120L && mm.getLong(0) <= 180L,
+        s"kept file outside bound: $f [${mm.getLong(0)}, ${mm.getLong(1)}]")
+    }
+    // string column bounds prune too (UTF-8 byte order)
+    val ks = cat.loadSlice(ns, "t", "k", "k0150", "k0160")
+    assert(ks.collect().map(_.getString(1)).sorted.toSeq ==
+      (150 to 160).map(i => f"k$i%04d"))
+    assert(ks.inputFiles.length < allFiles.length)
+    // a bound beyond every file's range reads NOTHING (plans zero files
+    // or empties them; rows are the contract)
+    val none = cat.loadSlice(ns, "t", "id", "500", "600")
+    assert(none.count() == 0L)
+    cat.dropNamespace(ns)
+  }
+
+  test("loadSlice bound-pruning composes with row-level deletes " +
+    "(MOR masks still apply to the kept files)") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    def batch(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, s"v$i")).toDF("id", "v")
+    cat.ensureTable(ns, "t", batch(1, 1).schema)
+    cat.append(ns, "t", batch(1L, 100L))
+    cat.append(ns, "t", batch(101L, 200L))
+    assert(cat.purgeKeysMOR(ns, "t", "id",
+      Seq(150L, 160L).toDF("id")) == 2L)
+    val slice = cat.loadSlice(ns, "t", "id", "120", "180")
+    assert(slice.collect().map(_.getLong(0)).sorted.toSeq ==
+      ((120L to 180L).toSet -- Set(150L, 160L)).toSeq.sorted)
+    cat.dropNamespace(ns)
+  }
+
   test("loadSlice prunes to the matching day's files (inputFiles proof) " +
     "and stays exact at the boundaries") {
     val cat = DirectoryLakeCatalog.temp(spark)
