@@ -30,7 +30,11 @@ import scala.jdk.CollectionConverters._
   * array k/v records exactly as Iceberg's Java writer emits them) are
   * populated from the parquet FOOTERS at manifest-write time — min/max
   * folded across row groups, bounds in the spec's Appendix-D single-value
-  * binary form (little-endian ints/longs/floats, UTF-8 strings) — for
+  * binary form (little-endian ints/longs/floats, UTF-8 strings; string
+  * bounds truncated to 16 bytes — lower as a prefix, upper as a prefix
+  * with its last code point incremented, Iceberg's `truncate(16)`
+  * metrics default — so a long text column costs each manifest entry
+  * bytes, not kilobytes) — for
   * every top-level column whose physical type carries usable parquet
   * statistics. These are what make manifest-level FILE SKIPPING work:
   * a reader (ours: `loadSlice`) drops a file when its [lower, upper]
@@ -215,6 +219,65 @@ object AvroManifests {
     }
   }
 
+  /** String bounds are TRUNCATED to this many bytes (Iceberg's
+    * `write.metadata.metrics.default = truncate(16)`): without it a long
+    * text column would embed kilobytes of document prefix into every
+    * manifest entry — manifests are control-plane metadata read on every
+    * scan plan, and at 100 TB their size is a first-order cost. */
+  val StringBoundTruncate = 16
+
+  /** Lower-bound truncation: a UTF-8-boundary prefix is always a valid
+    * (≤ actual min) lower bound. */
+  def truncateLower(b: Array[Byte]): Array[Byte] =
+    if (b.length <= StringBoundTruncate) b
+    else {
+      var i = StringBoundTruncate
+      // back off to a UTF-8 code-point boundary (never split a char)
+      while (i > 0 && (b(i) & 0xC0) == 0x80) i -= 1
+      java.util.Arrays.copyOf(b, i)
+    }
+
+  /** Upper-bound truncation: the prefix alone would UNDERSTATE the max,
+    * so the truncated prefix's last code point is incremented (valid
+    * UTF-8 in, valid UTF-8 out — code-point order = UTF-8 byte order);
+    * invalid-UTF-8 input falls back to a byte-level increment (still a
+    * correct unsigned-byte-order bound, parquet's BINARY order). None
+    * when nothing can be incremented (all 0xFF / U+10FFFF prefix) —
+    * the column then publishes no upper bound for the file. */
+  def truncateUpper(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StringBoundTruncate) Some(b)
+    else {
+      val prefix = truncateLower(b)
+      val s = new String(prefix, java.nio.charset.StandardCharsets.UTF_8)
+      val roundTrips = java.util.Arrays.equals(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8), prefix)
+      if (roundTrips) {
+        val cps = s.codePoints().toArray
+        var i = cps.length - 1
+        while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+        if (i < 0) None
+        else {
+          var next = cps(i) + 1
+          // skip the surrogate block (not encodable as a scalar value)
+          if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+          val out = new java.lang.StringBuilder()
+          (0 until i).foreach(j => out.appendCodePoint(cps(j)))
+          out.appendCodePoint(next)
+          Some(out.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+      } else {
+        var i = prefix.length - 1
+        while (i >= 0 && (prefix(i) & 0xff) == 0xff) i -= 1
+        if (i < 0) None
+        else {
+          val out = java.util.Arrays.copyOf(prefix, i + 1)
+          out(i) = ((out(i) & 0xff) + 1).toByte
+          Some(out)
+        }
+      }
+    }
+
   /** Unsigned lexicographic byte compare (parquet UTF8/BINARY order). */
   def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
@@ -300,12 +363,17 @@ object AvroManifests {
           }
         }
       }
-      def bounds(m: scala.collection.mutable.LinkedHashMap[Int, Any])
-          : Seq[(Int, Array[Byte])] =
+      def bounds(m: scala.collection.mutable.LinkedHashMap[Int, Any],
+                 isUpper: Boolean): Seq[(Int, Array[Byte])] =
         statFields.flatMap { sf =>
           if (statsBroken.contains(sf.fieldId)) None
           else m.get(sf.fieldId)
             .flatMap(v => boundBytes(sf.icebergType, v))
+            .flatMap { raw =>
+              if (sf.icebergType != "string") Some(raw)
+              else if (isUpper) truncateUpper(raw)
+              else Some(truncateLower(raw))
+            }
             .map(sf.fieldId -> _)
         }
       val vcs = statFields.flatMap(sf =>
@@ -313,7 +381,7 @@ object AvroManifests {
       val ncs = statFields.flatMap(sf =>
         if (statsBroken.contains(sf.fieldId)) None
         else nc.get(sf.fieldId).map(sf.fieldId -> _))
-      (rows, vcs, ncs, bounds(lo), bounds(hi))
+      (rows, vcs, ncs, bounds(lo, isUpper = false), bounds(hi, isUpper = true))
     } finally r.close()
   }
 

@@ -313,6 +313,76 @@ class IcebergMetadataSpec extends AnyFunSuite {
     } finally cat.dropNamespace(ns)
   }
 
+  test("string bounds truncate at 16 bytes (Iceberg truncate(16)): " +
+    "lower is a prefix, upper is a prefix with the last code point " +
+    "incremented, and both remain VALID bounds") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def b(s: String) = s.getBytes(UTF_8)
+    // short strings pass through exact
+    assert(AvroManifests.truncateLower(b("abc")).sameElements(b("abc")))
+    assert(AvroManifests.truncateUpper(b("abc")).get.sameElements(b("abc")))
+    // long lower: 16-byte prefix
+    val lower = AvroManifests.truncateLower(b("abcdefghijklmnopqrstuvwx"))
+    assert(lower.sameElements(b("abcdefghijklmnop")))
+    // long upper: prefix with last code point bumped — still >= the input
+    val upper = AvroManifests.truncateUpper(b("abcdefghijklmnopqrstuvwx")).get
+    assert(upper.sameElements(b("abcdefghijklmnoq")))
+    assert(AvroManifests.compareUnsigned(
+      upper, b("abcdefghijklmnopqrstuvwx")) > 0)
+    // multi-byte chars are never split: é is 2 bytes; a cut landing
+    // mid-char backs off to the code-point boundary
+    val accented = "ééééééééé" // 18 bytes
+    val accLower = AvroManifests.truncateLower(b(accented))
+    assert(accLower.length == 16 && new String(accLower, UTF_8) == "é" * 8)
+    val accUpper = AvroManifests.truncateUpper(b(accented)).get
+    assert(new String(accUpper, UTF_8) == "é" * 7 + "ê")
+    assert(AvroManifests.compareUnsigned(accUpper, b(accented)) > 0)
+    // an invalid-UTF-8 max falls back to a byte-level increment
+    val raw = Array.fill[Byte](20)(0xC3.toByte) // lead bytes, no tails
+    val rawUpper = AvroManifests.truncateUpper(raw).get
+    assert(rawUpper.length == 16 && (rawUpper(15) & 0xff) == 0xC4)
+    assert(AvroManifests.compareUnsigned(rawUpper, raw) > 0)
+    // an unincrementable prefix (all 0xFF) publishes NO upper bound
+    assert(AvroManifests.truncateUpper(
+      Array.fill[Byte](20)(0xFF.toByte)).isEmpty)
+  }
+
+  test("truncated bounds still prune correctly: a long-string column " +
+    "never wrong-prunes and still skips disjoint files") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icetr_${System.nanoTime()}"
+    try {
+      // two appends with text values whose FIRST 16 BYTES already
+      // separate them, plus long tails that truncation discards
+      def doc(prefix: String, i: Int) = s"$prefix-document-$i-" + ("x" * 100)
+      val a = (1 to 20).map(i => (i.toLong, doc("alpha", i))).toDF("id", "text")
+      val z = (1 to 20).map(i => (i + 100L, doc("zulu", i))).toDF("id", "text")
+      cat.ensureTable(ns, "t", a.schema)
+      cat.append(ns, "t", a)
+      cat.append(ns, "t", z)
+      // manifest bounds for the text column are truncation-bounded
+      val md = cat.root.resolve(ns).resolve("t").resolve("metadata")
+      val manifests = scala.util.Using.resource(Files.list(md))(
+        _.iterator().asScala.filter(_.getFileName.toString
+          .startsWith("manifest-snap-")).toSeq)
+      val textBounds = manifests.flatMap(AvroManifests.readManifest)
+        .flatMap(e => e.lowerBounds ++ e.upperBounds)
+        .collect { case (2, v) => v }
+      assert(textBounds.nonEmpty && textBounds.forall(_.length <= 17),
+        s"text bound leaked past truncation: ${textBounds.map(_.length)}")
+      // a slice inside the alpha range prunes the zulu files...
+      val slice = cat.loadSlice(ns, "t", "text",
+        "alpha-document-0", "alpha-document-9z")
+      assert(slice.count() == 20L)
+      assert(slice.inputFiles.length < cat.load(ns, "t").inputFiles.length,
+        "truncated bounds failed to skip the disjoint file set")
+      // ...and never wrong-prunes rows whose tails truncation discarded
+      val one = cat.loadSlice(ns, "t", "text", doc("zulu", 7), doc("zulu", 7))
+      assert(one.collect().map(_.getLong(0)).toSeq == Seq(107L))
+    } finally cat.dropNamespace(ns)
+  }
+
   test("partitioned tables carry typed partition tuples in their " +
     "data_file entries (r102 record, values parsed from the Hive layout)") {
     import spark.implicits._
