@@ -535,7 +535,21 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     snap.put("sequence-number", id)
     snap.put("timestamp-ms", now)
     snap.put("manifest-list", mlPath.toString)
-    snap.putObject("summary").put("operation", summaryOperation(operation))
+    // the spec's standard summary metrics, straight off the manifest-list
+    // rollups already in hand (string-valued, as Iceberg serializes them):
+    // what an external operator reads to size a table without opening a
+    // single manifest
+    val dataEntries = mlEntries
+    val newData = dataEntries.filter(_.sequenceNumber == id)
+    snap.putObject("summary")
+      .put("operation", summaryOperation(operation))
+      .put("added-data-files", newData.map(_.addedFilesCount).sum.toString)
+      .put("added-records", newData.map(_.addedRowsCount).sum.toString)
+      .put("total-data-files",
+        dataEntries.map(_.addedFilesCount).sum.toString)
+      .put("total-records", dataEntries.map(_.addedRowsCount).sum.toString)
+      .put("total-delete-files",
+        delEntries.map(_.addedFilesCount).sum.toString)
     snap.put("schema-id", meta.get("current-schema-id").asInt())
     snap.put("operation", operation)
     val arr = snap.putArray("live"); live.foreach(arr.add)
@@ -629,6 +643,78 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       Some(addSnapshot(ns, table, meta, "append",
         liveSnapshots(meta) :+ snap, currentDeletes(meta)))
     }
+  }
+
+  /** Sorted append — the WRITE-side half of bounds-based file skipping:
+    * rows are RANGE-partitioned on `sortCols` and sorted within each
+    * file, so per-file [lower, upper] windows are disjoint and a bounded
+    * read ([[loadSlice]]) keeps ~1 file per range hit instead of every
+    * file the append produced. The order is declared in the table
+    * metadata as an Iceberg sort order (`sort-orders` +
+    * `default-sort-order-id`, identity/asc/nulls-first per column) — the
+    * spec's WRITE-order contract: a declared order is a promise about
+    * future writes, never a retroactive claim about old files, so
+    * earlier unsorted dirs keep their wider bounds and stay readable
+    * as-is. At scale this is one range shuffle per batch (the same
+    * exchange any global sort pays) traded for scan plans that touch
+    * O(selectivity) files forever after. */
+  def appendSorted(ns: String, table: String, df: DataFrame,
+                   sortCols: Seq[String],
+                   targetFiles: Option[Int] = None): Unit = {
+    require(sortCols.nonEmpty, "appendSorted needs a sort column")
+    targetFiles.foreach(n => require(n >= 1, s"targetFiles $n"))
+    if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
+    val cols = sortCols.map(c => col(s"`$c`"))
+    val shaped = (targetFiles match {
+      case Some(n) => df.repartitionByRange(n, cols: _*)
+      case None    => df.repartitionByRange(cols: _*)
+    }).sortWithinPartitions(cols: _*)
+    val snap = writeSnapshot(ns, table, shaped,
+      partitionLayout(readMeta(ns, table)), Map.empty)
+    commit(ns, table) { base =>
+      val meta = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table vanished mid-append"))
+      declareSortOrder(meta, sortCols)
+      Some(addSnapshot(ns, table, meta, "append",
+        liveSnapshots(meta) :+ snap, currentDeletes(meta)))
+    }
+  }
+
+  /** Upsert (idempotently) the identity/asc/nulls-first sort order for
+    * `sortCols` into `sort-orders` and point `default-sort-order-id` at
+    * it. Runs inside the commit closure, so a CAS retry re-derives
+    * against the winner's metadata. */
+  private def declareSortOrder(meta: ObjectNode,
+                               sortCols: Seq[String]): Unit = {
+    val schema = metaSchema(meta)
+    val srcIds = sortCols.map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"unknown sort column $c")
+      i + 1
+    }
+    val orders = meta.get("sort-orders").asInstanceOf[ArrayNode]
+    def idsOf(o: JsonNode): Seq[Int] = o.get("fields").elements().asScala
+      .map(_.get("source-id").asInt()).toSeq
+    val existing = orders.elements().asScala
+      .find(o => idsOf(o) == srcIds)
+    val orderId = existing match {
+      case Some(o) => o.get("order-id").asInt()
+      case None =>
+        val next = orders.elements().asScala
+          .map(_.get("order-id").asInt()).maxOption.getOrElse(-1) + 1
+        val o = orders.addObject()
+        o.put("order-id", next)
+        val fs = o.putArray("fields")
+        srcIds.foreach { id =>
+          val f = fs.addObject()
+          f.put("transform", "identity")
+          f.put("source-id", id)
+          f.put("direction", "asc")
+          f.put("null-order", "nulls-first")
+        }
+        next
+    }
+    meta.put("default-sort-order-id", orderId)
   }
 
   override def overwrite(ns: String, table: String, df: DataFrame,

@@ -120,6 +120,16 @@ class IcebergMetadataSpec extends AnyFunSuite {
           "summary.operation uses the spec vocabulary")
         assert(s.has("schema-id"))
       }
+      // standard summary metrics (string-valued, as Iceberg serializes
+      // them): table sizing without opening a single manifest
+      assert(snaps(0).get("summary").get("added-records").asText() == "2")
+      assert(snaps(0).get("summary").get("total-records").asText() == "2")
+      assert(snaps(1).get("summary").get("added-records").asText() == "1")
+      assert(snaps(1).get("summary").get("total-records").asText() == "3")
+      assert(snaps(1).get("summary").get("added-data-files").asText().toInt
+        <= snaps(1).get("summary").get("total-data-files").asText().toInt)
+      assert(snaps(1).get("summary")
+        .get("total-delete-files").asText() == "0")
       // the second append's parent is the first snapshot
       assert(snaps(1).get("parent-snapshot-id").asLong() ==
         snaps(0).get("snapshot-id").asLong())

@@ -107,6 +107,48 @@ class PartitionTransformSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("appendSorted: range-partitioned sorted files give DISJOINT " +
+    "bounds — a bounded read touches O(selectivity) files — and the " +
+    "order lands in sort-orders metadata exactly once") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    val shuffled = new scala.util.Random(7).shuffle((1L to 300L).toList)
+      .map(i => (i, s"v$i")).toDF("id", "v")
+    cat.ensureTable(ns, "t", shuffled.schema)
+    cat.appendSorted(ns, "t", shuffled, Seq("id"), targetFiles = Some(6))
+    val all = cat.load(ns, "t")
+    assert(all.collect().map(_.getLong(0)).sorted.toSeq == (1L to 300L))
+    assert(all.inputFiles.length >= 5, "range partitioning wrote one file")
+    // a 7%-selectivity slice reads at most 2 adjacent range files
+    val slice = cat.loadSlice(ns, "t", "id", "40", "60")
+    assert(slice.collect().map(_.getLong(0)).sorted.toSeq == (40L to 60L))
+    assert(slice.inputFiles.length <= 2,
+      s"sorted table read ${slice.inputFiles.length} of " +
+        s"${all.inputFiles.length} files for a 7% slice")
+    // metadata declares the write order, idempotently across appends
+    cat.appendSorted(ns, "t",
+      Seq((301L, "v301")).toDF("id", "v"), Seq("id"))
+    val md = cat.root.resolve(ns).resolve("t").resolve("metadata")
+    val vmax = scala.util.Using.resource(Files.list(md))(_.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
+        s.stripPrefix("v").stripSuffix(".metadata.json").toInt }.max)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(md.resolve(s"v$vmax.metadata.json")))
+    val sorted = meta.get("sort-orders").elements().asScala
+      .filter(_.get("fields").size() > 0).toSeq
+    assert(sorted.size == 1, "same order declared twice")
+    val f = sorted.head.get("fields").get(0)
+    assert(f.get("transform").asText() == "identity" &&
+      f.get("source-id").asInt() == 1 &&
+      f.get("direction").asText() == "asc" &&
+      f.get("null-order").asText() == "nulls-first")
+    assert(meta.get("default-sort-order-id").asInt() ==
+      sorted.head.get("order-id").asInt())
+    assert(cat.load(ns, "t").count() == 301L)
+    cat.dropNamespace(ns)
+  }
+
   test("loadSlice bound-pruning composes with row-level deletes " +
     "(MOR masks still apply to the kept files)") {
     val cat = DirectoryLakeCatalog.temp(spark)
