@@ -807,7 +807,59 @@ object Streaming {
     rows.toDF("event_type", "n", "sum_value").orderBy("event_type")
   }
 
+  /** Sorted-ingest slice census (q212): ingest the corpus through
+    * [[graft.lake.SnapshotLakeCatalog.appendSorted]] (two range-
+    * partitioned, doc_id-sorted batches split by parity — the layout
+    * whose per-file bound windows are disjoint) and answer a bounded
+    * doc_id query through [[graft.lake.SnapshotLakeCatalog.loadSlice]],
+    * which prunes files on the MANIFEST COLUMN BOUNDS the sorted write
+    * tightened (the skipping itself is spec-proven by inputFiles in
+    * PartitionTransformSpec; this registers the VALUE face: slice ≡ the
+    * oracle's plain range filter). The bound is the middle half of the
+    * id domain, derived from min/max so every SF works; integer-div
+    * formula mirrored in the oracle (positive ids, so Spark `div` and
+    * DuckDB `//` agree).
+    *
+    * Scale shape: each ingest batch pays ONE range exchange (what any
+    * sorted write costs) and the bounded read then touches
+    * O(selectivity) files forever after — the manifest-stats version of
+    * q211's partition pruning, for the column no partition transform
+    * covers. The census is a |sources|-bounded partial agg. */
+  def q212SortedIngest(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "sorted"
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).as("n_chars"))
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.appendSorted(ns, "t", docs.filter(col("doc_id") % 2 === 0),
+      Seq("doc_id"), targetFiles = Some(4))
+    cat.appendSorted(ns, "t", docs.filter(col("doc_id") % 2 === 1),
+      Seq("doc_id"), targetFiles = Some(4))
+    val b = docs.agg(min("doc_id"), max("doc_id")).head() // control plane
+    val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (lo0 + (hi0 - lo0) / 4, lo0 + (hi0 - lo0) / 4 * 3)
+    val rows = cat.loadSlice(ns, "t", "doc_id", lo.toString, hi.toString)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("source")
+      .collect() // |sources|-bounded census — control plane
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    cat.dropNamespace(ns)
+    import s.implicits._
+    rows.toDF("source", "n_docs", "n_chars").orderBy("source")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q212_sorted_ingest" -> ((q212SortedIngest _, """
+      WITH b AS (SELECT min(doc_id) AS lo0, max(doc_id) AS hi0
+                 FROM documents),
+      r AS (SELECT lo0 + (hi0 - lo0) // 4 AS lo,
+                   lo0 + (hi0 - lo0) // 4 * 3 AS hi FROM b)
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(length(text))::BIGINT AS n_chars
+      FROM documents, r WHERE doc_id BETWEEN lo AND hi
+      GROUP BY 1 ORDER BY 1""")),
     "q210_merge_audit" -> ((q210MergeAudit _, """
       WITH merged AS (
         SELECT CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang
