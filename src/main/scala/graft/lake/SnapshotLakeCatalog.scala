@@ -606,7 +606,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   private def writeSnapshot(ns: String, table: String, df: DataFrame,
                             layout: Seq[(String, Option[Column])],
                             options: Map[String, String],
-                            targetFiles: Option[Int] = None): String = {
+                            targetFiles: Option[Int] = None,
+                            sortCols: Seq[String] = Seq.empty): String = {
     // nanoTime alone can collide across racing writers (same tick → same
     // directory → one writer's files silently replaced); the UUID makes
     // every snapshot directory unique regardless of timing
@@ -617,9 +618,22 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       case (acc, (_, None))    => acc
     }
     val partNames = layout.map(_._1)
+    val sc = sortCols.map(c => col(s"`$c`"))
     val shaped = targetFiles match {
       case Some(n) if partNames.nonEmpty =>
-        withDerived.repartition(n, partNames.map(c => col(s"`$c`")): _*)
+        val clustered = withDerived
+          .repartition(n, partNames.map(c => col(s"`$c`")): _*)
+        // a declared sort order rides within each partition cluster:
+        // partition dirs first (one task = one cluster slice), sort
+        // columns second → per-file bounds tight inside every dir
+        if (sc.isEmpty) clustered
+        else clustered.sortWithinPartitions(
+          partNames.map(c => col(s"`$c`")) ++ sc: _*)
+      case Some(n) if sc.nonEmpty =>
+        // unpartitioned + sorted: RANGE partitioning makes the per-file
+        // bound windows disjoint — the appendSorted layout
+        withDerived.repartitionByRange(n, sc: _*)
+          .sortWithinPartitions(sc: _*)
       case Some(n) => withDerived.repartition(n)
       case None => withDerived
     }
@@ -1760,12 +1774,32 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         "reclaimable_bytes", "n_orphan_dirs", "orphan_bytes")
   }
 
+  /** The declared default sort order's column names, empty when the
+    * table is unsorted (order 0) or a sort column no longer resolves. */
+  private def defaultSortCols(meta: ObjectNode): Seq[String] = {
+    val id = Option(meta.get("default-sort-order-id"))
+      .map(_.asInt()).getOrElse(0)
+    val names = metaSchema(meta).fieldNames
+    meta.get("sort-orders").elements().asScala
+      .find(_.get("order-id").asInt() == id)
+      .map(_.get("fields").elements().asScala
+        .map(_.get("source-id").asInt()).toSeq
+        .filter(i => i >= 1 && i <= names.length)
+        .map(i => names(i - 1)))
+      .getOrElse(Seq.empty)
+  }
+
   /** Partition-preserving small-file rewrite; on a table carrying
     * merge-on-read delete files it doubles as the DEBT FOLD: the rewrite
     * reads deletes-applied ([[load]]) and the published snapshot carries
     * NO delete files — masked rows are physically gone, the (file, pos) /
     * equality anti-joins disappear from subsequent reads, and the old
-    * delete dirs become expire-snapshots debt like any superseded dir. */
+    * delete dirs become expire-snapshots debt like any superseded dir.
+    * A table with a DECLARED sort order is compacted IN that order
+    * (Iceberg's sort-strategy rewrite): range-partitioned on the sort
+    * columns when unpartitioned (disjoint per-file bound windows —
+    * compaction RESTORES the file skipping that unsorted appends and
+    * delete folds eroded), sorted within partition clusters otherwise. */
   override def compact(ns: String, table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val meta = readMeta(ns, table)
@@ -1778,7 +1812,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // sources are never truncated under the reader (they just become
     // unreferenced, Iceberg's expire-snapshots debt)
     val snap = writeSnapshot(ns, table, load(ns, table), parts, Map.empty,
-      targetFiles = Some(targetFiles))
+      targetFiles = Some(targetFiles), sortCols = defaultSortCols(meta))
     commit(ns, table) { base =>
       val cur = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table vanished mid-compact"))

@@ -149,6 +149,37 @@ class PartitionTransformSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("compact honors the declared sort order: an unsorted append's " +
+    "wide bounds are RESTORED to disjoint windows by the rewrite") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    val rnd = new scala.util.Random(11)
+    def shuffledDf(r: Range) = rnd.shuffle(r.toList)
+      .map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    // the order is declared by the first sorted ingest...
+    cat.ensureTable(ns, "t", shuffledDf(1 to 1).schema)
+    cat.appendSorted(ns, "t", shuffledDf(1 to 150), Seq("id"),
+      targetFiles = Some(3))
+    // ...then an UNSORTED append erodes it (each file spans the whole
+    // 151-300 range: bounds overlap, nothing prunable inside it)
+    cat.append(ns, "t", shuffledDf(151 to 300).repartition(3))
+    val before = cat.loadSlice(ns, "t", "id", "200", "220")
+    assert(before.collect().map(_.getLong(0)).sorted.toSeq ==
+      (200L to 220L))
+    assert(before.inputFiles.length >= 3,
+      "unsorted files should NOT be prunable on this slice")
+    // compact rewrites in the declared order: disjoint windows again
+    cat.compact(ns, "t", targetFiles = 6)
+    val after = cat.loadSlice(ns, "t", "id", "200", "220")
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq ==
+      (200L to 220L))
+    assert(after.inputFiles.length <= 2,
+      s"sorted compaction left ${after.inputFiles.length} files for a " +
+        "7% slice")
+    assert(cat.load(ns, "t").count() == 300L)
+    cat.dropNamespace(ns)
+  }
+
   test("loadSlice bound-pruning composes with row-level deletes " +
     "(MOR masks still apply to the kept files)") {
     val cat = DirectoryLakeCatalog.temp(spark)
