@@ -279,15 +279,8 @@ object AvroManifests {
     }
 
   /** Unsigned lexicographic byte compare (parquet UTF8/BINARY order). */
-  def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
-    var i = 0
-    while (i < a.length && i < b.length) {
-      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    java.lang.Integer.compare(a.length, b.length)
-  }
+  def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
 
   private def quote(s: String): String =
     com.fasterxml.jackson.databind.json.JsonMapper.builder().build()

@@ -182,8 +182,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   //    `operation` field (the richer internal op vocabulary beside the
   //    spec's summary.operation). Extra fields are legal — Iceberg
   //    readers ignore unknown fields.
-  //  - optional per-column stats in data_file (ids 108-128) are omitted
-  //    (all optional in the spec).
+  //  - data_file carries the per-column stats quartet (value_counts /
+  //    null_value_counts / lower_bounds / upper_bounds, ids 109/110/125/
+  //    128, string bounds truncate(16)); the still-omitted optional stats
+  //    are column_sizes and nan_value_counts, and no stats are written
+  //    for binary/decimal columns or INT96 timestamps (all optional in
+  //    the spec).
 
   /** Spark catalogString → Iceberg primitive type name. Nested types keep
     * the Spark string (documented divergence above). */
@@ -1178,10 +1182,22 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     def litPrim(v: String): Option[Any] = icType match {
       case "string" =>
         Some(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      case "long" | "int" | "double" | "float" | "date" |
-           "timestamp" | "timestamptz" =>
+      case "timestamp" =>
+        // NTZ: parquet stores WALL-CLOCK micros (isAdjustedToUTC=false),
+        // so the literal must become micros WITHOUT a timezone hop — a
+        // cast through TimestampType would shift by the session zone and
+        // a non-UTC session would silently wrong-prune
+        val row = spark.range(1).select(lit(v).cast(srcType)).head()
+        if (row.isNullAt(0)) None
+        else {
+          val ldt = row.getAs[java.time.LocalDateTime](0)
+          Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L)
+        }
+      case "long" | "int" | "double" | "float" | "date" | "timestamptz" =>
         val c = icType match {
-          case "timestamp" | "timestamptz" =>
+          case "timestamptz" =>
+            // tz-adjusted micros: an instant, zone-independent
             org.apache.spark.sql.functions.unix_micros(
               lit(v).cast(srcType).cast(
                 org.apache.spark.sql.types.TimestampType))
@@ -1193,20 +1209,26 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         val row = spark.range(1).select(c).head()
         if (row.isNullAt(0)) None
         else Some(icType match {
-          case "long"                      => row.getLong(0)
-          case "int"                       => row.getInt(0)
-          case "double"                    => row.getDouble(0)
-          case "float"                     => row.getFloat(0)
-          case "date"                      => row.getInt(0)
-          case "timestamp" | "timestamptz" => row.getLong(0)
+          // getAs[Number]: smallint/tinyint sources cast to Short/Byte,
+          // a bare getInt would ClassCastException on the boxed value
+          case "long" | "timestamptz" =>
+            row.getAs[Number](0).longValue()
+          case "int" | "date" => row.getAs[Number](0).intValue()
+          case "double"       => row.getAs[Number](0).doubleValue()
+          case "float"        => row.getAs[Number](0).floatValue()
         })
       case _ => None
     }
     def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
-      case (x: Int, y: Int)       => Integer.compare(x, y)
-      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-      case (x: Float, y: Float)   => java.lang.Float.compare(x, y)
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int)   => Integer.compare(x, y)
+      // + 0.0 collapses -0.0 to +0.0 first: the prune side must not use
+      // a total order stricter than the row filter's IEEE comparison, or
+      // a file whose max is -0.0 is wrongly pruned for a 0.0 lower bound
+      case (x: Double, y: Double) =>
+        java.lang.Double.compare(x + 0.0d, y + 0.0d)
+      case (x: Float, y: Float) =>
+        java.lang.Float.compare(x + 0.0f, y + 0.0f)
       case (x: Array[Byte], y: Array[Byte]) =>
         AvroManifests.compareUnsigned(x, y)
       case _ => 0 // incomparable: never prune
@@ -1635,9 +1657,16 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val root = dataDir(ns, table)
     val md = manifestDir(ns, table)
     val cutoff = System.currentTimeMillis() - graceMs
-    def newestMtime(p: Path): Long =
-      scala.util.Using.resource(Files.walk(p))(_.iterator().asScala
-        .map(f => Files.getLastModifiedTime(f).toMillis).max)
+    // ONE walk per candidate dir serves the grace check, the bytes-freed
+    // report AND the deletion list (a maintenance pass over many orphan
+    // files must not traverse each three times)
+    def walkOnce(p: Path): (Long, Long, Seq[Path]) = {
+      val all = scala.util.Using.resource(Files.walk(p))(
+        _.iterator().asScala.toSeq)
+      val newest = all.map(f => Files.getLastModifiedTime(f).toMillis).max
+      val bytes = all.filter(Files.isRegularFile(_)).map(Files.size).sum
+      (newest, bytes, all)
+    }
     // 1) list disk FIRST (see ordering argument in the scaladoc)
     val onDisk: Set[String] =
       if (!Files.exists(root)) Set.empty
@@ -1660,12 +1689,19 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val keptLists = snaps
       .flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSet
     val orphanDirs = (onDisk -- referenced).toSeq.sorted
-    val removable = orphanDirs.filter { d =>
+    val removable = orphanDirs.flatMap { d =>
       val p = root.resolve(d)
-      Files.exists(p) && newestMtime(p) < cutoff
+      if (!Files.exists(p)) None
+      else {
+        val (newest, bytes, paths) = walkOnce(p)
+        if (newest < cutoff) Some((d, bytes, paths)) else None
+      }
     }
-    val bytesFreed = removable.map(dirStats(ns, table, _)._2).sum
-    removable.foreach(dropDirArtifacts(ns, table, _))
+    val bytesFreed = removable.map(_._2).sum
+    removable.foreach { case (d, _, paths) =>
+      paths.reverse.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(manifestPathFor(ns, table, d))
+    }
     // manifests whose data dir neither exists nor is referenced (leak
     // residue of a crash BETWEEN deleteTree and the manifest unlink)
     val danglingManifests = mfOnDisk.filter { p =>

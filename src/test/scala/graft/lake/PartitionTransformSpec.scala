@@ -180,6 +180,55 @@ class PartitionTransformSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("stats-tier edge types: smallint slices work, NTZ bounds are " +
+    "timezone-proof, -0.0 doubles never wrong-prune") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    // smallint: the literal casts to Short — a bare getInt would throw
+    val ns1 = freshNs()
+    val small = Seq((1L, 10.toShort), (2L, 20.toShort), (3L, 30.toShort))
+      .toDF("id", "n")
+    cat.ensureTable(ns1, "t", small.schema)
+    cat.append(ns1, "t", small)
+    assert(cat.loadSlice(ns1, "t", "n", "15", "25")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    cat.dropNamespace(ns1)
+    // timestamp_ntz: wall-clock bounds must not shift with the session
+    // timezone (parquet NTZ micros are zone-less; a TimestampType hop
+    // would move the literal by the zone offset and wrong-prune)
+    val ns2 = freshNs()
+    // batch A sits ENTIRELY inside [00:00, 06:00) wall-clock: a +7h
+    // literal shift (America/Los_Angeles) moves the lower bound past A's
+    // upper bound and prunes the whole file — the bug shape
+    val ntz = Seq(("2024-06-01 01:00:00", 1L), ("2024-06-01 02:00:00", 2L),
+        ("2024-06-03 12:00:00", 3L))
+      .toDF("ts_s", "id")
+      .select(col("ts_s").cast("timestamp_ntz").as("ts"), col("id"))
+    cat.ensureTable(ns2, "t", ntz.schema)
+    cat.append(ns2, "t", ntz.filter(col("id") < 3L).repartition(1))
+    cat.append(ns2, "t", ntz.filter(col("id") === 3L))
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val rows = cat.loadSlice(ns2, "t", "ts",
+        "2024-06-01 00:00:00", "2024-06-01 06:00:00")
+        .collect().map(_.getLong(1)).sorted.toSeq
+      assert(rows == Seq(1L, 2L),
+        s"NTZ slice shifted by session timezone: got $rows")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    cat.dropNamespace(ns2)
+    // -0.0: a file whose max is -0.0 must be KEPT for a 0.0 lower bound
+    // (the row filter's IEEE compare says -0.0 >= 0.0)
+    val ns3 = freshNs()
+    val negz = Seq((1L, -1.0), (2L, -0.0)).toDF("id", "x").repartition(1)
+    cat.ensureTable(ns3, "t", negz.schema)
+    cat.append(ns3, "t", negz)
+    cat.append(ns3, "t", Seq((3L, 5.0)).toDF("id", "x"))
+    assert(cat.loadSlice(ns3, "t", "x", "0", "9")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L),
+      "file with max = -0.0 was wrongly pruned for a 0.0 lower bound")
+    cat.dropNamespace(ns3)
+  }
+
   test("loadSlice bound-pruning composes with row-level deletes " +
     "(MOR masks still apply to the kept files)") {
     val cat = DirectoryLakeCatalog.temp(spark)
