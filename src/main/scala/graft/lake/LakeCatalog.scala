@@ -47,6 +47,27 @@ trait LakeCatalog {
     * contents with `df` in one commit. */
   def overwrite(ns: String, table: String, df: DataFrame,
                 options: Map[String, String] = Map.empty): Unit
+
+  /** Sorted append: range-partition the batch on `sortCols` and sort
+    * within each file, so per-file value windows are disjoint and a
+    * bounded read skips non-matching files — via manifest column bounds
+    * on snapshot catalogs ([[SnapshotLakeCatalog.appendSorted]] also
+    * declares the Iceberg sort order), via parquet row-group statistics
+    * pushdown on the session catalog. One range exchange per batch — the
+    * cost any sorted write pays — traded for O(selectivity) scans. */
+  def appendSorted(ns: String, table: String, df: DataFrame,
+                   sortCols: Seq[String],
+                   targetFiles: Option[Int] = None): Unit = {
+    require(sortCols.nonEmpty, "appendSorted needs a sort column")
+    targetFiles.foreach(n => require(n >= 1, s"targetFiles $n"))
+    import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(c => col(s"`$c`"))
+    val shaped = (targetFiles match {
+      case Some(n) => df.repartitionByRange(n, cols: _*)
+      case None    => df.repartitionByRange(cols: _*)
+    }).sortWithinPartitions(cols: _*)
+    append(ns, table, shaped)
+  }
   def load(ns: String, table: String): DataFrame
   def dropNamespace(ns: String): Unit
   /** Small-file compaction: rewrite the table into ~`targetFiles` files,

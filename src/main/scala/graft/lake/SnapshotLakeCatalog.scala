@@ -676,9 +676,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * as-is. At scale this is one range shuffle per batch (the same
     * exchange any global sort pays) traded for scan plans that touch
     * O(selectivity) files forever after. */
-  def appendSorted(ns: String, table: String, df: DataFrame,
-                   sortCols: Seq[String],
-                   targetFiles: Option[Int] = None): Unit = {
+  override def appendSorted(ns: String, table: String, df: DataFrame,
+                            sortCols: Seq[String],
+                            targetFiles: Option[Int] = None): Unit = {
     require(sortCols.nonEmpty, "appendSorted needs a sort column")
     targetFiles.foreach(n => require(n >= 1, s"targetFiles $n"))
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)

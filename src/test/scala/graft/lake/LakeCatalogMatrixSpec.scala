@@ -588,6 +588,24 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    test(s"[${impl.name}] appendSorted lands range-sorted batches on " +
+      "every carrier: rows exact, later appends compose") {
+      val cat = impl.make(); val ns = freshNs()
+      val shuffled = new scala.util.Random(3).shuffle((1L to 200L).toList)
+        .map(i => (i, s"v$i")).toDF("id", "v")
+      cat.ensureTable(ns, "t", shuffled.schema)
+      cat.appendSorted(ns, "t", shuffled, Seq("id"), targetFiles = Some(4))
+      cat.appendSorted(ns, "t",
+        Seq((201L, "v201")).toDF("id", "v"), Seq("id"))
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        (1L to 201L))
+      intercept[IllegalArgumentException](
+        cat.appendSorted(ns, "t", shuffled, Seq.empty))
+      intercept[IllegalArgumentException](
+        cat.appendSorted(ns, "t", shuffled, Seq("id"), Some(0)))
+      cat.dropNamespace(ns)
+    }
+
     test(s"[${impl.name}] merge upserts by key: updates replace, inserts " +
       "land, one atomic commit") {
       val cat = impl.make(); val ns = freshNs()
