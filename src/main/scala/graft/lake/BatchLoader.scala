@@ -54,7 +54,8 @@ final class BatchLoader(
     streamMaps: Map[String, StreamMapConfig] = Map.empty,
     flatteningEnabled: Boolean = false,
     flatteningMaxDepth: Int = 1,
-    partitionBy: Map[String, Seq[String]] = Map.empty) extends Serializable {
+    partitionBy: Map[String, Seq[String]] = Map.empty,
+    sortedBy: Map[String, Seq[String]] = Map.empty) extends Serializable {
 
   import BatchLoader._
 
@@ -211,10 +212,12 @@ final class BatchLoader(
           val aligned = alignTo(mapped, catalog.load(namespace, target).schema)
           // ACTIVATE_VERSION swaps the table on the FIRST write, appends after
           val overwrite = version.isDefined && i == 0
+          val sortCols = sortedBy.getOrElse(stream, Nil)
           val (n, rejected) =
             if (strictBatches)
-              (appendStrict(target, aligned, overwrite), typed.rejectedExact())
-            else appendScale(target, aligned, overwrite, typed)
+              (appendStrict(target, aligned, overwrite, sortCols),
+                typed.rejectedExact())
+            else appendScale(target, aligned, overwrite, typed, sortCols)
           total += n
           totalRejected += rejected
         }
@@ -468,8 +471,28 @@ final class BatchLoader(
     * parse/validate/transform pipeline executes once — no separate count()
     * scan (at 100 TB a second scan doubles ingest cost). */
   private def appendScale(stream: String, rows: DataFrame,
-                          overwrite: Boolean, typed: Typed): (Long, Long) = {
+                          overwrite: Boolean, typed: Typed,
+                          sortCols: Seq[String] = Nil): (Long, Long) = {
     val data = rows.drop(SeqCol)
+    // sorted_by path: range partitioning SAMPLES its child before the
+    // real pass, so an observe-based count would tally every row twice
+    // AND the parse/validate pipeline would execute twice. Materialize
+    // ONCE (localCheckpoint spills to disk past memory) — the range
+    // sampler, the write and the counts all read the cached blocks; the
+    // count() and exact reject re-parse are cheap against that.
+    if (!overwrite && sortCols.nonEmpty) {
+      val confKey0 = "spark.sql.files.maxRecordsPerFile"
+      val prevMax0 = spark.conf.getOption(confKey0)
+      spark.conf.set(confKey0, batchSize.toString)
+      try {
+        val mat = data.localCheckpoint(true)
+        catalog.appendSorted(namespace, stream, mat, sortCols)
+        return (mat.count(), typed.rejectedExact())
+      } finally prevMax0 match {
+        case Some(v) => spark.conf.set(confKey0, v)
+        case None    => spark.conf.unset(confKey0)
+      }
+    }
     val metricName = s"graft_rows_${stream}_${java.util.UUID.randomUUID()}"
     val observed = data.observe(metricName, count(lit(1)).as("n"))
     @volatile var counted = -1L
@@ -496,7 +519,12 @@ final class BatchLoader(
     spark.conf.set(confKey, batchSize.toString)
     try {
       val opts = Map("maxRecordsPerFile" -> batchSize.toString)
+      // sorted_by rides the same one write job: appendSorted reshapes the
+      // observed frame (range partition + sort), the observe node stays in
+      // the plan, and the session-conf file bound above still applies
       if (overwrite) catalog.overwrite(namespace, stream, observed, opts)
+      else if (sortCols.nonEmpty)
+        catalog.appendSorted(namespace, stream, observed, sortCols)
       else catalog.append(namespace, stream, observed, opts)
       // listener fires async after commit; fall back to counts only if the
       // metrics never arrive (defensive — should not happen)
@@ -516,7 +544,8 @@ final class BatchLoader(
     * slice replaces the table contents and later slices append — same final
     * table as scale mode's single overwrite commit, per-batch cadence kept. */
   private def appendStrict(stream: String, rows: DataFrame,
-                           overwrite: Boolean = false): Long = {
+                           overwrite: Boolean = false,
+                           sortCols: Seq[String] = Nil): Long = {
     // row_number over global input order: single-partition window — strict
     // mode is protocol-fidelity testing only (see class doc).
     val w = Window.orderBy(SeqCol)
@@ -530,6 +559,8 @@ final class BatchLoader(
       batchIds.zipWithIndex.foreach { case (b, i) =>
         val slice = sliced.filter(col(BatchCol) === b).drop(BatchCol, SeqCol)
         if (overwrite && i == 0) catalog.overwrite(namespace, stream, slice)
+        else if (sortCols.nonEmpty)
+          catalog.appendSorted(namespace, stream, slice, sortCols)
         else catalog.append(namespace, stream, slice)
         total += slice.count()
       }
@@ -590,7 +621,8 @@ object BatchLoader {
       streamMaps = cfg.streamMaps,
       flatteningEnabled = cfg.flatteningEnabled,
       flatteningMaxDepth = cfg.flatteningMaxDepth,
-      partitionBy = cfg.partitionBy)
+      partitionBy = cfg.partitionBy,
+      sortedBy = cfg.sortedBy)
 
   private[lake] final case class RawMsg(
       mtype: String, stream: String, payload: String,

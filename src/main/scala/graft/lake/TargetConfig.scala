@@ -28,7 +28,8 @@ final case class TargetConfig(
     streamMaps: Map[String, StreamMapConfig],
     flatteningEnabled: Boolean,
     flatteningMaxDepth: Int,
-    partitionBy: Map[String, Seq[String]])
+    partitionBy: Map[String, Seq[String]],
+    sortedBy: Map[String, Seq[String]] = Map.empty)
 
 object TargetConfig {
   /** Required keys, exactly as in target.py (required=True properties). */
@@ -63,7 +64,8 @@ object TargetConfig {
     Setting("stream_maps", "object"),
     Setting("flattening_enabled", "boolean", Some("false")),
     Setting("flattening_max_depth", "integer", Some("1")),
-    Setting("partition_by", "object"))
+    Setting("partition_by", "object"),
+    Setting("sorted_by", "object"))
 
   val Capabilities: Seq[String] = Seq("about", "stream-maps", "schema-flattening")
 
@@ -156,12 +158,15 @@ object TargetConfig {
       streamMaps = parseStreamMaps(node.get("stream_maps")),
       flatteningEnabled = bool("flattening_enabled", default = false),
       flatteningMaxDepth = int("flattening_max_depth", 1),
-      partitionBy = parsePartitionBy(node.get("partition_by"))))
+      partitionBy = parsePartitionBy(node.get("partition_by")),
+      sortedBy = parsePartitionBy(node.get("sorted_by"))))
   }
 
-  /** `partition_by`: `{"stream": ["col", ...]}` — opt-in partitioned table
-    * layout (the reference creates unpartitioned tables, sinks.py:96; the
-    * 100 TB divergence documented in SURVEY §4.3). */
+  /** `partition_by` / `sorted_by`: `{"stream": ["col", ...]}` — opt-in
+    * partitioned table layout / sorted-ingest order (the reference creates
+    * unpartitioned unsorted tables, sinks.py:96; the 100 TB divergences
+    * documented in SURVEY §4.3: partition pruning and manifest-bounds file
+    * skipping both need the write side to cooperate). */
   private def parsePartitionBy(n: JsonNode): Map[String, Seq[String]] =
     if (n == null || !n.isObject) Map.empty
     else n.properties().asScala.collect {

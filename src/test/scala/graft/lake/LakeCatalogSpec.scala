@@ -99,4 +99,53 @@ class LakeCatalogSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(cat"), plan.take(1500))
     cat.dropNamespace(ns)
   }
+
+  test("sorted_by config routes the load through sorted appends " +
+    "(rows exact; snapshot carrier declares the sort order)") {
+    val ns = s"srt_${System.nanoTime()}"
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val loader = new BatchLoader(spark, cat, ns,
+      sortedBy = Map("ev" -> Seq("id")))
+    val schema =
+      """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+        |"id":{"type":["integer"]},"v":{"type":["string"]}}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val shuffled = new scala.util.Random(5).shuffle((1 to 50).toList)
+    val lines = Seq(schema) ++ shuffled.map(i =>
+      s"""{"type":"RECORD","stream":"ev","record":{"id":$i,"v":"x$i"}}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("ev") == 50L)
+    assert(cat.load(ns, "ev").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 50L))
+    // the write order is declared in the Iceberg metadata
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString {
+        val md = cat.root.resolve(ns).resolve("ev").resolve("metadata")
+        Files.list(md).iterator().asScala.map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") &&
+            s.endsWith(".metadata.json") =>
+            s.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+          .toSeq.sorted.lastOption
+          .map(v => md.resolve(s"v$v.metadata.json")).get
+      })
+    val declared = meta.get("sort-orders").elements().asScala
+      .filter(_.get("fields").size() > 0).toSeq
+    assert(declared.size == 1 &&
+      declared.head.get("fields").get(0).get("source-id").asInt() == 1)
+    assert(meta.get("default-sort-order-id").asInt() ==
+      declared.head.get("order-id").asInt())
+    cat.dropNamespace(ns)
+  }
+
+  test("sorted_by config parses beside partition_by (TargetConfig)") {
+    val cfg = TargetConfig.fromJson(
+      """{"aws_access_key_id":"k","aws_secret_access_key":"s",
+        |"s3_endpoint":"e","iceberg_rest_uri":"u",
+        |"iceberg_catalog_name":"c","iceberg_catalog_namespace_name":"n",
+        |"sorted_by":{"ev":["id","ts"]},"partition_by":{"ev":["cat"]}}"""
+        .stripMargin.replaceAll("\n", ""))
+    assert(cfg.isRight)
+    assert(cfg.toOption.get.sortedBy == Map("ev" -> Seq("id", "ts")))
+    assert(cfg.toOption.get.partitionBy == Map("ev" -> Seq("cat")))
+  }
 }
