@@ -2336,6 +2336,58 @@ object TextOps {
       .orderBy("band", "rnk")
   }
 
+  /** Decontamination eval-set derivation knobs (q213): every
+    * [[DecontamEvalMod]]-th doc contributes one probe, capped at
+    * [[DecontamEvalK]] probes; each probe is the doc's words
+    * [[DecontamGramStart]]..+[[DecontamGramLen]] (the 13-gram unit the
+    * GPT-3/PaLM decontamination procedures standardized on). */
+  val DecontamEvalMod = 211L
+  val DecontamEvalK = 20
+  val DecontamGramStart = 4
+  val DecontamGramLen = 13
+
+  /** Benchmark decontamination audit (q213): per source, how many corpus
+    * documents CONTAIN an eval-set 13-gram — the train/test overlap scrub
+    * every LLM pipeline runs before shipping a corpus (eval answers
+    * leaking into training data inflate benchmarks silently). The eval
+    * set here is a BOUNDED derived stand-in for an external benchmark
+    * file (no external fixtures exist in this harness): a deterministic
+    * ≤[[DecontamEvalK]]-probe sample of the corpus's own documents, which
+    * also guarantees hits exist at every SF (the sampled docs flag
+    * themselves — exactly what decontamination would remove). Distinct
+    * from q58 (per-doc fuzzy 3-gram overlap RATIO against a benchmark
+    * doc-id range — a similarity score that shuffles the corpus's full
+    * shingle mass), q98 (anchor-fingerprint overlap between corpus docs)
+    * and q120 (cross-split shingle leakage): this is the exact long-gram
+    * CONTAINMENT census — the binary quarantine rule the published
+    * decontamination procedures apply, at broadcast cost.
+    *
+    * Scale shape: the eval side is ORDER BY + LIMIT bounded (≤20 rows,
+    * broadcast); contamination is a broadcast semi-join with a contains()
+    * predicate — ~K substring scans per document, projection-local, the
+    * corpus never shuffles (an inverted 13-gram index would shuffle the
+    * corpus's full gram mass to find the same ≤K needles). Census is a
+    * |sources|-bounded partial agg; exact integer ppm. */
+  def q213Decontamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val minWords = DecontamGramStart + DecontamGramLen - 1
+    val eval = docs
+      .filter(col("doc_id") % DecontamEvalMod === 0)
+      .filter(size(split(col("text"), " ")) >= minWords)
+      .orderBy("doc_id").limit(DecontamEvalK)
+      .select(concat_ws(" ", slice(split(col("text"), " "),
+        DecontamGramStart, DecontamGramLen)).as("gram"))
+    val contam = docs
+      .join(broadcast(eval), expr("contains(text, gram)"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_contam"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(contam, Seq("source"), "left")
+      .na.fill(0L, Seq("n_contam"))
+      .select(col("source"), col("n_docs"), col("n_contam"),
+        expr("n_contam * 1000000 div n_docs").as("contam_ppm"))
+      .orderBy("source")
+  }
+
   val PadLen = 128 // fixed-length batching target (tokens per sequence)
 
   /** C5u fixed-length padding-waste audit (q146): per lang, the tokens a
@@ -3357,6 +3409,25 @@ object TextOps {
              n_unique::BIGINT AS n_unique,
              round(1.0 - n_unique::DOUBLE / n_shingles, 4) AS rep_ratio
       FROM sh ORDER BY doc_id""")),
+    "q213_decontamination" -> ((q213Decontamination _, s"""
+      WITH ev AS (
+        SELECT array_to_string(
+                 string_split(text, ' ')[$DecontamGramStart:${DecontamGramStart + DecontamGramLen - 1}], ' ') AS gram
+        FROM documents
+        WHERE doc_id % $DecontamEvalMod = 0
+          AND len(string_split(text, ' ')) >= ${DecontamGramStart + DecontamGramLen - 1}
+        ORDER BY doc_id LIMIT $DecontamEvalK),
+      c AS (
+        SELECT source, count(*)::BIGINT AS n_contam FROM documents d
+        WHERE EXISTS (SELECT 1 FROM ev WHERE contains(d.text, ev.gram))
+        GROUP BY 1)
+      SELECT s.source, s.n_docs,
+             coalesce(c.n_contam, 0)::BIGINT AS n_contam,
+             (coalesce(c.n_contam, 0) * 1000000 // s.n_docs)::BIGINT
+               AS contam_ppm
+      FROM (SELECT source, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1) s
+      LEFT JOIN c USING (source) ORDER BY source""")),
     "q206_token_bursts" -> ((q206TokenBursts _, s"""
       WITH m AS (SELECT max(doc_id) + 1 AS m FROM documents),
       bt AS (SELECT (doc_id * $BurstBands) // m.m AS band,
