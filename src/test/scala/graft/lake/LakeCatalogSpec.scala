@@ -137,6 +137,29 @@ class LakeCatalogSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("sorted_by path still counts rejects exactly (the observe-based " +
+    "tally is bypassed on this path)") {
+    val ns = s"srtrej_${System.nanoTime()}"
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val loader = new BatchLoader(spark, cat, ns,
+      sortedBy = Map("ev" -> Seq("id")))
+    val schema =
+      """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+        |"id":{"type":["integer"]},"v":{"type":["string"]}}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val lines = Seq(schema,
+      """{"type":"RECORD","stream":"ev","record":{"id":1,"v":"a"}}""",
+      """{"type":"RECORD","stream":"ev","record":{"id":"NOT_AN_INT","v":"b"}}""",
+      """{"type":"RECORD","stream":"ev","record":{"id":3,"v":"c"}}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("ev") == 2L)
+    assert(report.rejectedPerStream.getOrElse("ev", 0L) == 1L,
+      "sorted path lost the reject count")
+    assert(cat.load(ns, "ev").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    cat.dropNamespace(ns)
+  }
+
   test("sorted_by config parses beside partition_by (TargetConfig)") {
     val cfg = TargetConfig.fromJson(
       """{"aws_access_key_id":"k","aws_secret_access_key":"s",
