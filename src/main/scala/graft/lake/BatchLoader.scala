@@ -475,22 +475,64 @@ final class BatchLoader(
                           sortCols: Seq[String] = Nil): (Long, Long) = {
     val data = rows.drop(SeqCol)
     // sorted_by path: range partitioning SAMPLES its child before the
-    // real pass, so an observe-based count would tally every row twice
-    // AND the parse/validate pipeline would execute twice. Materialize
-    // ONCE (localCheckpoint spills to disk past memory) — the range
-    // sampler, the write and the counts all read the cached blocks; the
-    // count() and exact reject re-parse are cheap against that.
-    if (!overwrite && sortCols.nonEmpty) {
+    // real pass, so observe metrics riding the WRITE job would tally
+    // every row twice AND the parse/validate pipeline would execute
+    // twice. Materialize ONCE via localCheckpoint — BOTH observe metrics
+    // (row count attached here, reject count already in the lineage)
+    // fire on that single materialization (localCheckpoint runs through
+    // withAction, so the QueryExecutionListener sees them) — then the
+    // range sampler and the write read the cached blocks. ACTIVATE_
+    // VERSION composes: a sorted full refresh goes through
+    // overwriteSorted (rewriting the whole table is exactly where
+    // sorting pays off most). Output is sized to ceil(rows/batchSize)
+    // range files so a small batch cannot shatter into
+    // shuffle.partitions-many files of small-file debt.
+    if (sortCols.nonEmpty) {
+      val metricName = s"graft_rows_${stream}_${java.util.UUID.randomUUID()}"
+      val observed = data.observe(metricName, count(lit(1)).as("n"))
+      @volatile var counted = -1L
+      @volatile var rejected = -1L
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val listener = new QueryExecutionListener {
+        override def onSuccess(fn: String, qe: QueryExecution,
+                               ns: Long): Unit = {
+          qe.observedMetrics.get(typed.rejectMetric).foreach { row =>
+            rejected = if (row.isNullAt(0)) 0L else row.getLong(0)
+          }
+          qe.observedMetrics.get(metricName).foreach { row =>
+            counted = row.getLong(0); latch.countDown()
+          }
+        }
+        override def onFailure(fn: String, qe: QueryExecution,
+                               e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
       val confKey0 = "spark.sql.files.maxRecordsPerFile"
       val prevMax0 = spark.conf.getOption(confKey0)
       spark.conf.set(confKey0, batchSize.toString)
       try {
-        val mat = data.localCheckpoint(true)
-        catalog.appendSorted(namespace, stream, mat, sortCols)
-        return (mat.count(), typed.rejectedExact())
-      } finally prevMax0 match {
-        case Some(v) => spark.conf.set(confKey0, v)
-        case None    => spark.conf.unset(confKey0)
+        val mat = observed.localCheckpoint(true)
+        try {
+          val nRows =
+            if (latch.await(30, java.util.concurrent.TimeUnit.SECONDS) &&
+                counted >= 0) counted
+            else mat.count() // cached blocks — cheap defensive fallback
+          val nFiles = Some(math.max(1L,
+            (nRows + batchSize - 1) / batchSize).toInt)
+          if (overwrite)
+            catalog.overwriteSorted(namespace, stream, mat, sortCols, nFiles)
+          else
+            catalog.appendSorted(namespace, stream, mat, sortCols, nFiles)
+          return (nRows,
+            if (rejected >= 0) rejected else typed.rejectedExact())
+        } finally mat.unpersist() // data is durably committed; free the
+                                  // checkpoint blocks now, not at GC
+      } finally {
+        spark.listenerManager.unregister(listener)
+        prevMax0 match {
+          case Some(v) => spark.conf.set(confKey0, v)
+          case None    => spark.conf.unset(confKey0)
+        }
       }
     }
     val metricName = s"graft_rows_${stream}_${java.util.UUID.randomUUID()}"
@@ -519,12 +561,8 @@ final class BatchLoader(
     spark.conf.set(confKey, batchSize.toString)
     try {
       val opts = Map("maxRecordsPerFile" -> batchSize.toString)
-      // sorted_by rides the same one write job: appendSorted reshapes the
-      // observed frame (range partition + sort), the observe node stays in
-      // the plan, and the session-conf file bound above still applies
+      // (sortCols.nonEmpty returned above — this is the unsorted path)
       if (overwrite) catalog.overwrite(namespace, stream, observed, opts)
-      else if (sortCols.nonEmpty)
-        catalog.appendSorted(namespace, stream, observed, sortCols)
       else catalog.append(namespace, stream, observed, opts)
       // listener fires async after commit; fall back to counts only if the
       // metrics never arrive (defensive — should not happen)
@@ -558,9 +596,15 @@ final class BatchLoader(
       var total = 0L
       batchIds.zipWithIndex.foreach { case (b, i) =>
         val slice = sliced.filter(col(BatchCol) === b).drop(BatchCol, SeqCol)
-        if (overwrite && i == 0) catalog.overwrite(namespace, stream, slice)
-        else if (sortCols.nonEmpty)
-          catalog.appendSorted(namespace, stream, slice, sortCols)
+        // each strict slice holds <= batchSize rows by construction:
+        // ONE range file per slice, never shuffle.partitions-many
+        if (overwrite && i == 0) {
+          if (sortCols.nonEmpty) catalog.overwriteSorted(namespace, stream,
+            slice, sortCols, targetFiles = Some(1))
+          else catalog.overwrite(namespace, stream, slice)
+        } else if (sortCols.nonEmpty)
+          catalog.appendSorted(namespace, stream, slice, sortCols,
+            targetFiles = Some(1))
         else catalog.append(namespace, stream, slice)
         total += slice.count()
       }

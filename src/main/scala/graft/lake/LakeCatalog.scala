@@ -48,6 +48,22 @@ trait LakeCatalog {
   def overwrite(ns: String, table: String, df: DataFrame,
                 options: Map[String, String] = Map.empty): Unit
 
+  /** The ONE sorted-write shaping, shared by every carrier and both the
+    * append and overwrite faces — range partition on the sort columns
+    * (disjoint per-file value windows), sort within each file. Kept on
+    * the trait so a fix here can never diverge the carriers' layouts. */
+  protected final def shapeSorted(df: DataFrame, sortCols: Seq[String],
+                                  targetFiles: Option[Int]): DataFrame = {
+    require(sortCols.nonEmpty, "sorted write needs a sort column")
+    targetFiles.foreach(n => require(n >= 1, s"targetFiles $n"))
+    import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(c => col(s"`$c`"))
+    (targetFiles match {
+      case Some(n) => df.repartitionByRange(n, cols: _*)
+      case None    => df.repartitionByRange(cols: _*)
+    }).sortWithinPartitions(cols: _*)
+  }
+
   /** Sorted append: range-partition the batch on `sortCols` and sort
     * within each file, so per-file value windows are disjoint and a
     * bounded read skips non-matching files — via manifest column bounds
@@ -57,17 +73,17 @@ trait LakeCatalog {
     * cost any sorted write pays — traded for O(selectivity) scans. */
   def appendSorted(ns: String, table: String, df: DataFrame,
                    sortCols: Seq[String],
-                   targetFiles: Option[Int] = None): Unit = {
-    require(sortCols.nonEmpty, "appendSorted needs a sort column")
-    targetFiles.foreach(n => require(n >= 1, s"targetFiles $n"))
-    import org.apache.spark.sql.functions.col
-    val cols = sortCols.map(c => col(s"`$c`"))
-    val shaped = (targetFiles match {
-      case Some(n) => df.repartitionByRange(n, cols: _*)
-      case None    => df.repartitionByRange(cols: _*)
-    }).sortWithinPartitions(cols: _*)
-    append(ns, table, shaped)
-  }
+                   targetFiles: Option[Int] = None): Unit =
+    append(ns, table, shapeSorted(df, sortCols, targetFiles))
+
+  /** Sorted full-table swap — [[overwrite]] with the [[appendSorted]]
+    * layout (the ACTIVATE_VERSION + sorted_by composition: a full
+    * refresh is exactly where rewriting the whole table sorted pays
+    * off most). Snapshot catalogs also declare the sort order. */
+  def overwriteSorted(ns: String, table: String, df: DataFrame,
+                      sortCols: Seq[String],
+                      targetFiles: Option[Int] = None): Unit =
+    overwrite(ns, table, shapeSorted(df, sortCols, targetFiles))
   def load(ns: String, table: String): DataFrame
   def dropNamespace(ns: String): Unit
   /** Small-file compaction: rewrite the table into ~`targetFiles` files,

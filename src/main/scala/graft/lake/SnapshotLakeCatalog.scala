@@ -678,23 +678,29 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * O(selectivity) files forever after. */
   override def appendSorted(ns: String, table: String, df: DataFrame,
                             sortCols: Seq[String],
-                            targetFiles: Option[Int] = None): Unit = {
-    require(sortCols.nonEmpty, "appendSorted needs a sort column")
-    targetFiles.foreach(n => require(n >= 1, s"targetFiles $n"))
+                            targetFiles: Option[Int] = None): Unit =
+    sortedWrite(ns, table, df, sortCols, targetFiles, replace = false)
+
+  override def overwriteSorted(ns: String, table: String, df: DataFrame,
+                               sortCols: Seq[String],
+                               targetFiles: Option[Int] = None): Unit =
+    sortedWrite(ns, table, df, sortCols, targetFiles, replace = true)
+
+  private def sortedWrite(ns: String, table: String, df: DataFrame,
+                          sortCols: Seq[String], targetFiles: Option[Int],
+                          replace: Boolean): Unit = {
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
-    val cols = sortCols.map(c => col(s"`$c`"))
-    val shaped = (targetFiles match {
-      case Some(n) => df.repartitionByRange(n, cols: _*)
-      case None    => df.repartitionByRange(cols: _*)
-    }).sortWithinPartitions(cols: _*)
-    val snap = writeSnapshot(ns, table, shaped,
+    val snap = writeSnapshot(ns, table,
+      shapeSorted(df, sortCols, targetFiles),
       partitionLayout(readMeta(ns, table)), Map.empty)
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
-        s"$ns.$table vanished mid-append"))
+        s"$ns.$table vanished mid-write"))
       declareSortOrder(meta, sortCols)
-      Some(addSnapshot(ns, table, meta, "append",
-        liveSnapshots(meta) :+ snap, currentDeletes(meta)))
+      Some(
+        if (replace) addSnapshot(ns, table, meta, "overwrite", Seq(snap))
+        else addSnapshot(ns, table, meta, "append",
+          liveSnapshots(meta) :+ snap, currentDeletes(meta)))
     }
   }
 

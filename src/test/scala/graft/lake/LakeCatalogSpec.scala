@@ -160,6 +160,42 @@ class LakeCatalogSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("sorted_by composes with ACTIVATE_VERSION: the full refresh is " +
+    "rewritten SORTED, the order is declared, files sized to the batch") {
+    val ns = s"srtav_${System.nanoTime()}"
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val loader = new BatchLoader(spark, cat, ns,
+      sortedBy = Map("ev" -> Seq("id")))
+    val schema =
+      """{"type":"SCHEMA","stream":"ev","schema":{"properties":{
+        |"id":{"type":["integer"]},"v":{"type":["string"]}}}}"""
+        .stripMargin.replaceAll("\n", "")
+    // seed the table, then a versioned feed swaps it wholesale
+    loader.load(spark.createDataset(Seq(schema,
+      """{"type":"RECORD","stream":"ev","record":{"id":999,"v":"old"}}""")))
+    val shuffled = new scala.util.Random(9).shuffle((1 to 60).toList)
+    val versioned = Seq(schema) ++ shuffled.map(i =>
+        s"""{"type":"RECORD","stream":"ev","record":{"id":$i,"v":"x$i"}}""") ++
+      Seq("""{"type":"ACTIVATE_VERSION","stream":"ev","version":7}""")
+    val report = loader.load(spark.createDataset(versioned))
+    assert(report.rowsPerStream("ev") == 60L)
+    val out = cat.load(ns, "ev")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == (1L to 60L),
+      "ACTIVATE_VERSION swap lost rows or kept the old generation")
+    assert(out.inputFiles.length <= 2,
+      s"sorted full refresh shattered into ${out.inputFiles.length} files")
+    // the order was declared through the overwrite face too
+    val md = cat.root.resolve(ns).resolve("ev").resolve("metadata")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(Files.list(md).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".metadata.json"))
+        .maxBy(_.getFileName.toString
+          .stripPrefix("v").stripSuffix(".metadata.json").toInt)))
+    assert(meta.get("sort-orders").elements().asScala
+      .exists(_.get("fields").size() > 0))
+    cat.dropNamespace(ns)
+  }
+
   test("sorted_by config parses beside partition_by (TargetConfig)") {
     val cfg = TargetConfig.fromJson(
       """{"aws_access_key_id":"k","aws_secret_access_key":"s",
