@@ -119,13 +119,41 @@ object AvroManifests {
       {"name": "deleted_rows_count", "type": "long", "field-id": 514}
     ]}""")
 
+  private val AvroNameRx = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Avro record field names must match `[A-Za-z_][A-Za-z0-9_]*`, but a
+    * partition field is named after a source COLUMN, which may carry a
+    * hyphen, a leading digit, or unicode — embedding such a name verbatim
+    * makes Schema.Parser throw at manifest-WRITE time, failing every
+    * commit on the table. A non-identifier name falls back to the
+    * positional `_gp<i>`; the REAL name always rides the field's
+    * `real-name` prop, which the read side prefers — so the
+    * [[DataFileEntry]] partition tuple is keyed by the real name either
+    * way. */
+  private def avroFieldNames(partitionFields: Seq[PartitionField])
+      : Seq[String] = {
+    val taken = scala.collection.mutable.Set[String]()
+    partitionFields.zipWithIndex.map { case (pf, i) =>
+      val base =
+        if (AvroNameRx.matches(pf.name) && !taken.contains(pf.name)) pf.name
+        else s"_gp$i"
+      var name = base
+      while (taken.contains(name)) name += "_"
+      taken += name
+      name
+    }.toSeq
+  }
+
   /** Spec `manifest_entry` wrapping `data_file` (r2) with the partition
     * tuple record (r102) built from the table's partition spec. */
   def manifestEntrySchema(partitionFields: Seq[PartitionField]): Schema = {
-    val r102Fields = partitionFields.zipWithIndex.map { case (pf, i) =>
-      val t = pf.avroType.getOrElse("string")
-      s"""{"name": ${quote(pf.name)}, "type": ["null", "$t"],
-          "default": null, "field-id": ${1000 + i}}"""
+    val avroNames = avroFieldNames(partitionFields)
+    val r102Fields = partitionFields.zip(avroNames).zipWithIndex.map {
+      case ((pf, an), i) =>
+        val t = pf.avroType.getOrElse("string")
+        s"""{"name": "$an", "type": ["null", "$t"],
+            "default": null, "field-id": ${1000 + i},
+            "real-name": ${quote(pf.name)}}"""
     }.mkString(",")
     new Schema.Parser().parse(s"""
       {"type": "record", "name": "manifest_entry", "fields": [
@@ -446,12 +474,16 @@ object AvroManifests {
       new GenericDatumWriter[GenericRecord](schema))
     try {
       w.create(schema, path.toFile)
+      // real column name → the (possibly sanitized) Avro field carrying it
+      val fieldFor: Map[String, Schema.Field] = r102.getFields.asScala
+        .map(f => Option(f.getProp("real-name")).getOrElse(f.name()) -> f)
+        .toMap
       entries.foreach { e =>
         val part = new GenericData.Record(r102)
         e.partition.foreach { case (name, v) =>
           val fieldType = partitionFields.find(_.name == name)
             .flatMap(_.avroType)
-          part.put(name, (v, fieldType) match {
+          part.put(fieldFor(name).name(), (v, fieldType) match {
             case (Some(s), Some("long")) => java.lang.Long.valueOf(s)
             case (Some(s), Some("int"))  => java.lang.Integer.valueOf(s)
             case (Some(s), _)            => s
@@ -509,8 +541,11 @@ object AvroManifests {
       r.iterator().asScala.map { rec =>
         val df = rec.get("data_file").asInstanceOf[GenericRecord]
         val part = df.get("partition").asInstanceOf[GenericRecord]
+        // `real-name` prop (sanitized fields) wins over the Avro name —
+        // the tuple is ALWAYS keyed by the real partition field name
         val tuple = part.getSchema.getFields.asScala.toSeq.map(f =>
-          f.name() -> Option(part.get(f.name())).map(_.toString))
+          Option(f.getProp("real-name")).getOrElse(f.name()) ->
+            Option(part.get(f.name())).map(_.toString))
         val eq = Option(df.get("equality_ids"))
           .map(_.asInstanceOf[java.util.List[Integer]].asScala
             .map(_.intValue()).toSeq).getOrElse(Nil)

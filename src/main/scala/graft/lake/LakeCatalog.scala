@@ -136,24 +136,27 @@ trait LakeCatalog {
     * Keys must be NON-NULL: left_anti equi-join semantics pass a
     * null-keyed row through on EVERY replay (null never equals anything),
     * which would silently break the exactly-once contract for that row —
-    * so a null key fails loudly at scan time instead (a codegen'd per-row
-    * null check, no extra pass over the data). */
+    * so a null key fails loudly UP FRONT, as one column-pruned pre-scan
+    * of `df`'s key column that early-exits on the first null. (An earlier
+    * shape wove a per-row raise_error into the key column itself — zero
+    * extra passes, but the failure then surfaced deep inside the sink
+    * epoch's write instead of at validation, and the when/otherwise
+    * wrapper blocked filter pushdown on the key.) The pre-scan costs one
+    * evaluation of `df`'s lineage projected to the key; streaming epochs
+    * and the curation faces feed materialized batches, where that is a
+    * cheap metadata-sized read. */
   def exceptExistingKeys(ns: String, table: String, key: String,
                          df: DataFrame,
                          distinctKeys: Boolean = false): DataFrame = {
-    val guarded = df.withColumn(key,
-      org.apache.spark.sql.functions.when(col(key).isNull,
-        org.apache.spark.sql.functions.raise_error(
-          org.apache.spark.sql.functions.lit(
-            s"exceptExistingKeys($ns.$table): null '$key' — replay-guard " +
-              "keys must be non-null (a null key can never be recognized " +
-              "as already persisted, so its row would re-append on every " +
-              "replay)")))
-        .otherwise(col(key)))
-    if (!tableExists(ns, table)) guarded
+    require(df.select(col(key)).filter(col(key).isNull).isEmpty,
+      s"exceptExistingKeys($ns.$table): null '$key' — replay-guard " +
+        "keys must be non-null (a null key can never be recognized " +
+        "as already persisted, so its row would re-append on every " +
+        "replay)")
+    if (!tableExists(ns, table)) df
     else {
       val keys = load(ns, table).select(key)
-      guarded.join(if (distinctKeys) keys.distinct() else keys,
+      df.join(if (distinctKeys) keys.distinct() else keys,
         Seq(key), "left_anti")
     }
   }

@@ -1264,7 +1264,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * current snapshot, ordered by commit sequence: its kind, `n_rows`
     * (masks recorded), `n_masking` (masks that still suppress a stored
     * row: a position mask whose file is still live, an equality mask
-    * whose key matches a row in some lower-sequence live dir), and
+    * whose key matches a row in some lower-sequence live dir that no
+    * position delete already suppresses), and
     * `n_dangling` (inert residue — the file was rewritten away, or no
     * applicable row matches). A rising dangling ratio is the
     * [[compact]]-is-overdue signal: inert masks cost an anti-join on
@@ -1309,8 +1310,16 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           val applicable =
             live.filter(d => seqs.getOrElse(d, Long.MaxValue) < r.seq)
           if (applicable.isEmpty) 0L
+          // join against the POSITION-deletes-applied scan of the
+          // applicable dirs, not the raw read: a row a position delete
+          // already suppresses is not suppressed BY this equality group,
+          // so counting it would overstate n_masking (and understate
+          // n_dangling) whenever the two kinds overlap. Overlapping
+          // EQUALITY groups still each count a shared row (removing
+          // either alone keeps it suppressed — a tie, counted for both).
           else spark.read.parquet(path)
-            .join(readAligned(ns, table, metaSchema(meta), applicable)
+            .join(scanWithDeletes(ns, table, metaSchema(meta), sn.get,
+                applicable, delFilter = _.kind == "position")
               .select(r.cols.map(c => col(s"`$c`")): _*),
               r.cols, "left_semi")
             .count()
@@ -1459,15 +1468,18 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     *
     * `tag`: add a source-dir column (the COW delete's locate pass needs
     * per-dir attribution); `withPos`: keep the file/pos columns on the
-    * output (the position-delete writer turns them into delete files). */
+    * output (the position-delete writer turns them into delete files);
+    * `delFilter`: restrict WHICH delete-file groups apply (the debt
+    * report's per-group masking counts need a partial view). */
   private def scanWithDeletes(ns: String, table: String, schema: StructType,
                               sn: JsonNode, dirs: Seq[String],
                               tag: Option[String] = None,
                               withPos: Boolean = false,
                               fileFilter: Option[
-                                AvroManifests.DataFileEntry => Boolean] = None)
+                                AvroManifests.DataFileEntry => Boolean] = None,
+                              delFilter: DeleteRef => Boolean = _ => true)
       : DataFrame = {
-    val dels = deleteFilesOf(sn)
+    val dels = deleteFilesOf(sn).filter(delFilter)
     val eqDels = dels.filter(_.kind == "equality")
     val posDels = dels.filter(_.kind == "position")
     val needPos = withPos || posDels.nonEmpty
@@ -1831,6 +1843,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       .getOrElse(Seq.empty)
   }
 
+  /** Test seam: fired between compact's rewrite and its commit attempt,
+    * so the stale-base retry path (a commit landing mid-compact) is
+    * deterministically exercisable. No-op in production. */
+  protected def beforeCompactCommit(ns: String, table: String): Unit = ()
+
   /** Partition-preserving small-file rewrite; on a table carrying
     * merge-on-read delete files it doubles as the DEBT FOLD: the rewrite
     * reads deletes-applied ([[load]]) and the published snapshot carries
@@ -1841,24 +1858,49 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * (Iceberg's sort-strategy rewrite): range-partitioned on the sort
     * columns when unpartitioned (disjoint per-file bound windows —
     * compaction RESTORES the file skipping that unsorted appends and
-    * delete folds eroded), sorted within partition clusters otherwise. */
+    * delete folds eroded), sorted within partition clusters otherwise.
+    *
+    * Isolation (the [[foldReplace]] shape): the commit VALIDATES that the
+    * current snapshot is still the one the rewrite read — a replace
+    * snapshot derived from a stale base would silently discard whatever
+    * landed in between (an append's rows, a MOR delete's masks, a purge's
+    * key set: all resurrect or vanish under a blind rebase, because the
+    * compacted snapshot carries neither the newer dirs nor any delete
+    * files). A stale rewrite is discarded (its never-referenced dir
+    * deleted — no orphan debt) and compact re-runs against the winner,
+    * bounded by [[MaxCommitRetries]] with a loud failure. */
   override def compact(ns: String, table: String, targetFiles: Int): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    val meta = readMeta(ns, table)
-    require(meta.get("bucket-spec").isNull,
-      s"$ns.$table is bucketed — compact() would drop its bucket spec; " +
-        "rewrite via writeBucketed instead")
-    val parts = partitionLayout(meta)
-    // snapshot isolation makes the checkpoint dance unnecessary here: the
-    // rewrite READS the old live dirs and WRITES a fresh snap dir — the
-    // sources are never truncated under the reader (they just become
-    // unreferenced, Iceberg's expire-snapshots debt)
-    val snap = writeSnapshot(ns, table, load(ns, table), parts, Map.empty,
-      targetFiles = Some(targetFiles), sortCols = defaultSortCols(meta))
-    commit(ns, table) { base =>
-      val cur = base.getOrElse(throw new IllegalStateException(
-        s"$ns.$table vanished mid-compact"))
-      Some(addSnapshot(ns, table, cur, "replace", Seq(snap)))
+    var attempt = 0
+    while (true) {
+      val meta = readMeta(ns, table)
+      require(meta.get("bucket-spec").isNull,
+        s"$ns.$table is bucketed — compact() would drop its bucket spec; " +
+          "rewrite via writeBucketed instead")
+      val baseId = meta.get("current-snapshot-id").asLong()
+      val parts = partitionLayout(meta)
+      // snapshot isolation makes the checkpoint dance unnecessary here: the
+      // rewrite READS the old live dirs and WRITES a fresh snap dir — the
+      // sources are never truncated under the reader (they just become
+      // unreferenced, Iceberg's expire-snapshots debt)
+      val snap = writeSnapshot(ns, table, load(ns, table), parts, Map.empty,
+        targetFiles = Some(targetFiles), sortCols = defaultSortCols(meta))
+      beforeCompactCommit(ns, table)
+      var stale = false
+      commit(ns, table) { base =>
+        val cur = base.getOrElse(throw new IllegalStateException(
+          s"$ns.$table vanished mid-compact"))
+        if (cur.get("current-snapshot-id").asLong() != baseId) {
+          stale = true; None
+        } else Some(addSnapshot(ns, table, cur, "replace", Seq(snap)))
+      }
+      if (!stale) return
+      dropDirArtifacts(ns, table, snap)
+      attempt += 1
+      if (attempt >= MaxCommitRetries)
+        throw new IllegalStateException(
+          s"compact on $ns.$table lost to concurrent commits " +
+            s"$MaxCommitRetries times")
     }
   }
 }

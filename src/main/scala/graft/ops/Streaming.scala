@@ -738,9 +738,14 @@ object Streaming {
     * never implement — on a lake table built from the corpus, and report
     * the post-merge language census. The incoming batch mixes UPDATES
     * (every doc_id % 3 == 0 re-landed with lang recoded 'xx' — must
-    * REPLACE, not duplicate) and INSERTS (fresh keys offset by 10M for
-    * doc_id % 97 == 0, lang 'new'); the oracle states the same set
-    * algebra directly over `documents`. One atomic replace-by-key commit;
+    * REPLACE, not duplicate) and INSERTS (keys offset by max(doc_id)+1
+    * for doc_id % 97 == 0, lang 'new' — derived, so insert keys are
+    * FRESH at every scale factor; a fixed offset would collide with real
+    * ids once the corpus outgrows it and silently turn inserts into
+    * replaces); the oracle states the same set
+    * algebra directly over `documents` (the census never reads the
+    * insert keys, only their count, so the oracle needs no offset). One
+    * atomic replace-by-key commit;
     * a key appearing twice post-merge would double a count and
     * hash-mismatch.
     *
@@ -755,8 +760,9 @@ object Streaming {
     cat.append(ns, "t", docs)
     val updates = docs.filter(col("doc_id") % 3 === 0)
       .withColumn("lang", lit("xx"))
+    val off = docs.agg(max("doc_id")).head().getLong(0) + 1L // control plane
     val inserts = docs.filter(col("doc_id") % 97 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+      .select((col("doc_id") + off).as("doc_id"), col("source"),
         lit("new").as("lang"))
     cat.merge(ns, "t", Seq("doc_id"), updates.unionByName(inserts))
     val rows = cat.load(ns, "t").groupBy("lang")

@@ -585,4 +585,59 @@ class IcebergMetadataSpec extends AnyFunSuite {
       assert(cat.load(ns, "t").count() == 3)
     } finally cat.dropNamespace(ns)
   }
+
+  test("a partition column that is not a valid Avro identifier " +
+    "(hyphen, leading digit) still commits: the manifest sanitizes the " +
+    "Avro field name and keeps the real name in a prop") {
+    // Avro names must match [A-Za-z_][A-Za-z0-9_]* — embedding a source
+    // column name verbatim made Schema.Parser throw at manifest-write
+    // time, failing EVERY commit on such a table (ADVICE r10)
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"iceav_${System.nanoTime()}"
+    try {
+      val df = Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "a"))
+        .toDF("id", "v", "lang-code")
+      cat.ensureTable(ns, "p", df.schema, Seq("lang-code"))
+      cat.append(ns, "p", df) // threw before the fix
+      // round-trip: partition values recover through the sanitized field
+      assert(cat.load(ns, "p").select("lang-code").collect()
+        .map(_.getString(0)).sorted.toSeq == Seq("a", "a", "b"))
+      // external Avro view: sanitized name on the record field, the real
+      // name in its real-name prop
+      val m = rawMeta(cat, ns, "p")
+      val mle = readAvro(Paths.get(
+        m.get("snapshots").get(0).get("manifest-list").asText()))._2
+      val entrySchema = readAvro(
+        Paths.get(mle.head.get("manifest_path").toString))._1
+      val r102 = entrySchema.getField("data_file").schema()
+        .getField("partition").schema()
+      val pf = r102.getFields.asScala.head
+      assert(pf.name() == "_gp0", s"sanitized positional name: ${pf.name()}")
+      assert(pf.getProp("real-name") == "lang-code")
+      // loadSlice's bound check keys on the REAL name — pruning intact
+      assert(cat.loadSlice(ns, "p", "lang-code", "a", "a").count() == 2L)
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("AvroManifests round-trips sanitized partition field names: " +
+    "tuples keyed by the real names, collisions disambiguated") {
+    val tmp = Files.createTempDirectory("graft-avro-name-")
+    val pfs = Seq(
+      AvroManifests.PartitionField("2lead", Some("long")),
+      AvroManifests.PartitionField("ok_name", Some("string")),
+      AvroManifests.PartitionField("weird-col", Some("string")))
+    val entries = Seq(AvroManifests.DataFileEntry(
+      status = 1, content = 0, filePath = "/x/f.parquet",
+      fileFormat = "PARQUET",
+      partition = Seq("2lead" -> Some("7"), "ok_name" -> Some("v"),
+        "weird-col" -> Some("w")),
+      recordCount = 3L, fileSizeInBytes = 10L))
+    val p = tmp.resolve("m.avro")
+    AvroManifests.writeManifest(p, entries, pfs)
+    val back = AvroManifests.readManifest(p)
+    assert(back.head.partition == Seq("2lead" -> Some("7"),
+      "ok_name" -> Some("v"), "weird-col" -> Some("w")),
+      s"real-name round-trip: ${back.head.partition}")
+  }
 }

@@ -411,6 +411,39 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name == "directory") test("[directory] compact re-runs on a stale base: a commit landing mid-compact is never discarded") {
+      // compact's replace snapshot carries ONLY its rewrite dir and NO
+      // delete files — committing it against a newer base would silently
+      // drop a concurrent append's rows and resurrect a concurrent MOR
+      // purge's masked rows (ADVICE r10). The commit must validate the
+      // base (the foldReplace shape) and re-run against the winner.
+      val ns = freshNs()
+      var fired = false
+      val cat = new DirectoryLakeCatalog(spark,
+          Files.createTempDirectory("graft-compact-race-")) {
+        override protected def beforeCompactCommit(n: String, t: String): Unit =
+          if (!fired) {
+            fired = true
+            purgeKeysMOR(n, t, "id", Seq(2L).toDF("id"))
+            append(n, t, Seq(10L).toDF("id"))
+          }
+      }
+      cat.ensureTable(ns, "t", StructType(Seq(StructField("id", LongType))))
+      cat.append(ns, "t", Seq(1L, 2L, 3L).toDF("id"))
+      cat.compact(ns, "t", targetFiles = 1)
+      // blind rebase would read {1,2,3}: 2 resurrected, 10 dropped
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 3L, 10L),
+        "compact must fold the concurrent purge and carry the append")
+      // the compacted snapshot folded the delete debt away entirely
+      assert(cat.deleteDebtReport(ns, "t").isEmpty)
+      // the discarded stale rewrite left no orphan debt
+      assert(cat.storageAudit(ns, "t").collect()(0)
+        .getAs[Long]("n_orphan_dirs") == 0L,
+        "stale compact rewrite dir must be cleaned up")
+      cat.dropNamespace(ns)
+    }
+
     if (impl.name == "directory") test("[directory] delete crash between rewrite and commit: table intact, residue is accounted orphan debt, retry clean") {
       val ns = freshNs()
       var crash = true
@@ -584,7 +617,7 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
         Option(t).toSeq.flatMap(e =>
           Option(e.getMessage).toSeq ++ messages(e.getCause))
       assert(messages(ex).exists(_.contains("replay-guard")),
-        s"expected the null-key raise_error, got: $ex")
+        s"expected the null-key guard failure, got: $ex")
       cat.dropNamespace(ns)
     }
 

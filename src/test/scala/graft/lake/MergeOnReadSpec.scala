@@ -253,4 +253,41 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(delE.forall(_.sequenceNumber > maxDataSeq))
     cat.dropNamespace(ns)
   }
+
+  test("[directory] deleteDebtReport: a row masked by BOTH a position and " +
+    "an equality delete counts as masking only for the position group") {
+    // The overlap is reachable as a RACE: a position delete commits
+    // between an equality purge's scan and its commit (delete-file
+    // commits validate the live DIR set, which a racing delete file does
+    // not change — both legitimately land). The purge's file then carries
+    // a key whose only matching row the position delete already
+    // suppresses; counting it as equality-masking would overstate
+    // n_masking and understate n_dangling (ADVICE r10).
+    val ns = freshNs()
+    var fired = false
+    val cat = new DirectoryLakeCatalog(spark,
+        Files.createTempDirectory("graft-mor-overlap-")) {
+      override protected def beforeDeleteCommit(n: String, t: String): Unit =
+        if (!fired) { fired = true; deleteWhereMOR(n, t, col("id") === 3L) }
+    }
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    cat.ensureTable(ns, "t", rows.schema)
+    cat.append(ns, "t", rows)
+    // the purge scans {1,2,3,4}, writes keys {3,4}; the seam injects the
+    // position delete on id=3 before the purge's commit
+    assert(cat.purgeKeysMOR(ns, "t", "id",
+      Seq(3L, 4L).toDF("id")) == 2L)
+    assert(ids(cat, ns) == Seq(1L, 2L))
+    val debt = cat.deleteDebtReport(ns, "t").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_masking"), r.getAs[Long]("n_dangling"))).toMap
+    assert(debt("position") == ((1L, 1L, 0L)),
+      s"position mask on id=3 is live: $debt")
+    // key 3's only row is position-masked — the equality mask on it is
+    // redundant residue, NOT masking; key 4's row is equality-suppressed
+    assert(debt("equality") == ((2L, 1L, 1L)),
+      s"equality group must not count the position-masked row: $debt")
+    cat.dropNamespace(ns)
+  }
 }
