@@ -1,0 +1,282 @@
+#!/usr/bin/env python3
+"""Clean-room EXTERNAL reader for graft's Iceberg-v2-layout tables.
+
+Reads a table exactly the way a third-party Iceberg engine would — from the
+spec file formats alone:
+
+  metadata/v<N>.metadata.json  ->  current snapshot  ->  manifest-list
+  (Avro)  ->  per-directory manifests (Avro)  ->  parquet data + delete
+  files, with v2 sequence-number inheritance, (file_path, pos) position
+  deletes, and sequence-scoped equality deletes.
+
+ZERO code is shared with the Scala library: the Avro container/binary
+decoder below is written from the public Avro 1.11 spec, parquet reading
+and the delete-application relational algebra run in DuckDB. No Iceberg
+engine (pyiceberg / duckdb-iceberg / iceberg-spark-runtime) exists in this
+offline environment, so this independent spec implementation is the
+external-read gate: it must reproduce the library's own load() output
+(dumped by graft.InteropDump) exactly, row for row.
+
+Usage: iceberg_external_read.py <outRoot>   # as written by InteropDump
+         (expects <outRoot>/warehouse/interop/* and <outRoot>/expected/*)
+"""
+import json
+import os
+import struct
+import sys
+import zlib
+
+import duckdb
+
+# ---------------------------------------------------------------- Avro ----
+# Container + binary decoder per the public Avro spec: magic Obj\x01, file
+# metadata map (avro.schema JSON, avro.codec), 16-byte sync marker, then
+# blocks of <count, byte-size, payload, sync>. Scalars: zigzag varints for
+# int/long, little-endian IEEE for float/double, length-prefixed UTF-8 /
+# bytes; complex: records = fields in order, unions = branch index + value,
+# arrays/maps = repeated blocks terminated by count 0 (negative count =
+# |count| items preceded by a byte size).
+
+
+class _Cursor:
+    def __init__(self, buf):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n):
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated Avro data")
+        self.pos += n
+        return b
+
+    def vlong(self):
+        shift, acc = 0, 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        return (acc >> 1) ^ -(acc & 1)
+
+    def read(self, sch):
+        if isinstance(sch, list):  # union: branch index, then its value
+            return self.read(sch[self.vlong()])
+        t = sch if isinstance(sch, str) else sch["type"]
+        if t == "null":
+            return None
+        if t == "boolean":
+            return self.take(1)[0] != 0
+        if t in ("int", "long"):
+            return self.vlong()
+        if t == "float":
+            return struct.unpack("<f", self.take(4))[0]
+        if t == "double":
+            return struct.unpack("<d", self.take(8))[0]
+        if t == "bytes":
+            return self.take(self.vlong())
+        if t == "string":
+            return self.take(self.vlong()).decode("utf-8")
+        if t == "fixed":
+            return self.take(sch["size"])
+        if t == "enum":
+            return sch["symbols"][self.vlong()]
+        if t == "record":
+            return {f["name"]: self.read(f["type"]) for f in sch["fields"]}
+        if t in ("array", "map"):
+            out = [] if t == "array" else {}
+            while True:
+                n = self.vlong()
+                if n == 0:
+                    break
+                if n < 0:
+                    self.vlong()  # byte size of the block — skip
+                    n = -n
+                for _ in range(n):
+                    if t == "array":
+                        out.append(self.read(sch["items"]))
+                    else:
+                        k = self.take(self.vlong()).decode("utf-8")
+                        out[k] = self.read(sch["values"])
+            return out
+        raise ValueError(f"unsupported Avro type: {t}")
+
+
+def read_avro(path):
+    """All records of an Avro container file, as dicts. Returns
+    (writer_schema, records)."""
+    buf = open(path, "rb").read()
+    cur = _Cursor(buf)
+    if cur.take(4) != b"Obj\x01":
+        raise ValueError(f"{path}: not an Avro container file")
+    meta = cur.read({"type": "map", "values": "bytes"})
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = cur.take(16)
+    records = []
+    while cur.pos < len(buf):
+        count = cur.vlong()
+        size = cur.vlong()
+        payload = cur.take(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        block = _Cursor(payload)
+        for _ in range(count):
+            records.append(block.read(schema))
+        if cur.take(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch")
+    return schema, records
+
+
+# ------------------------------------------------------------- metadata ----
+
+ICEBERG_TO_DUCK = {
+    "long": "BIGINT", "int": "INTEGER", "string": "VARCHAR",
+    "double": "DOUBLE", "float": "FLOAT", "boolean": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP", "timestamptz": "TIMESTAMPTZ",
+}
+
+
+def current_metadata(table_dir):
+    """Latest vN.metadata.json, by the HadoopCatalog upward probe."""
+    md = os.path.join(table_dir, "metadata")
+    versions = [int(f[1:-len(".metadata.json")])
+                for f in os.listdir(md)
+                if f.startswith("v") and f.endswith(".metadata.json")
+                and f[1:-len(".metadata.json")].isdigit()]
+    if not versions:
+        raise ValueError(f"{table_dir}: no metadata versions")
+    with open(os.path.join(md, f"v{max(versions)}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+def plan_scan(meta):
+    """Iceberg scan planning from the spec files: walk the current
+    snapshot's manifest list, apply v2 inheritance, and split entries into
+    data files, position-delete files and equality-delete files (each with
+    its data sequence number)."""
+    cur = meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+    _, ml = read_avro(snap["manifest-list"])
+    data_files, pos_files, eq_files = [], [], []
+    for m in ml:
+        seq = m["sequence_number"]  # inherited by the manifest's entries
+        _, entries = read_avro(m["manifest_path"])
+        for e in entries:
+            df = e["data_file"]
+            own = e.get("sequence_number")
+            eseq = own if own is not None else seq
+            if df["content"] == 0:
+                data_files.append((df["file_path"], eseq))
+            elif df["content"] == 1:
+                pos_files.append((df["file_path"], eseq))
+            elif df["content"] == 2:
+                eq_files.append((df["file_path"], eseq,
+                                 df["equality_ids"] or []))
+    return data_files, pos_files, eq_files
+
+
+def table_columns(meta):
+    """(name, iceberg_type, field_id) of the current schema, in order."""
+    sid = meta["current-schema-id"]
+    schema = next(s for s in meta["schemas"] if s["schema-id"] == sid)
+    return [(f["name"], f["type"], f["id"]) for f in schema["fields"]]
+
+
+# ------------------------------------------------------------ read table ----
+
+
+def read_table(con, table_dir):
+    """The table's current rows as a DuckDB relation SQL string, deletes
+    applied — the external reader's equivalent of load()."""
+    meta = current_metadata(table_dir)
+    cols = table_columns(meta)
+    data_files, pos_files, eq_files = plan_scan(meta)
+    if not data_files:
+        empty = ", ".join(
+            f'NULL::{ICEBERG_TO_DUCK.get(t, "VARCHAR")} AS "{n}"'
+            for n, t, _ in cols)
+        return f"SELECT {empty} WHERE false"
+
+    files_sql = ", ".join(f"('{p}', {s})" for p, s in data_files)
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE _seq(path VARCHAR,
+                    seq BIGINT); INSERT INTO _seq VALUES {files_sql}""")
+    paths = "[" + ", ".join(f"'{p}'" for p, _ in data_files) + "]"
+    # hive_partitioning recovers identity-partition columns from the path;
+    # union_by_name null-fills columns older files predate (read-time
+    # schema evolution); filename + file_row_number feed position deletes
+    con.execute(f"""
+        CREATE OR REPLACE TEMP VIEW _scan AS
+        SELECT d.*, s.seq AS _seq
+        FROM read_parquet({paths}, union_by_name=true,
+                          hive_partitioning=true, filename=true,
+                          file_row_number=true) d
+        JOIN _seq s ON d.filename = s.path""")
+
+    masks = []
+    if pos_files:
+        pp = "[" + ", ".join(f"'{p}'" for p, _ in pos_files) + "]"
+        # delete rows carry the writer's scan URI (file:///...); manifests
+        # and DuckDB's filename carry the plain path — normalize the scheme
+        masks.append(f"""NOT EXISTS (SELECT 1 FROM read_parquet({pp}) p
+            WHERE regexp_replace(p.file_path, '^file:/+', '/') =
+                  _scan.filename AND p.pos = _scan.file_row_number)""")
+    by_id = {fid: name for name, _, fid in cols}
+    for path, seq, eq_ids in eq_files:
+        keys = [by_id[i] for i in eq_ids]
+        on = " AND ".join(f'e."{k}" = _scan."{k}"' for k in keys)
+        # the spec's scoping rule: an equality delete masks only data files
+        # with a STRICTLY LOWER data sequence number — a key re-appended
+        # after the purge survives it
+        masks.append(f"""NOT EXISTS (SELECT 1 FROM read_parquet('{path}') e
+            WHERE {on} AND _scan._seq < {seq})""")
+    where = ("WHERE " + " AND ".join(masks)) if masks else ""
+    sel = ", ".join(
+        f'"{n}"::{ICEBERG_TO_DUCK[t]} AS "{n}"' if t in ICEBERG_TO_DUCK
+        else f'"{n}"' for n, t, _ in cols)
+    return f"SELECT {sel} FROM _scan {where}"
+
+
+def compare(con, table_dir, expected_dir):
+    meta = current_metadata(table_dir)
+    cols = table_columns(meta)
+    ext_sql = read_table(con, table_dir)
+    sel = ", ".join(
+        f'"{n}"::{ICEBERG_TO_DUCK[t]} AS "{n}"' if t in ICEBERG_TO_DUCK
+        else f'"{n}"' for n, t, _ in cols)
+    ext = con.execute(
+        f"SELECT * FROM ({ext_sql}) ORDER BY ALL").fetchall()
+    exp = con.execute(
+        f"""SELECT {sel} FROM read_parquet('{expected_dir}/*.parquet')
+            ORDER BY ALL""").fetchall()
+    name = os.path.basename(table_dir)
+    if len(ext) != len(exp):
+        print(f"FAIL {name}: external {len(ext)} rows, load() {len(exp)}")
+        return False
+    for i, (a, b) in enumerate(zip(ext, exp)):
+        if a != b:
+            print(f"FAIL {name}: row {i} differs\n  external: {a}\n"
+                  f"  load():   {b}")
+            return False
+    print(f"PASS {name} ({len(ext)} rows, byte-identical to load())")
+    return True
+
+
+def main():
+    out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/interop"
+    wh = os.path.join(out_root, "warehouse", "interop")
+    ok = True
+    tables = sorted(os.listdir(wh))
+    for t in tables:
+        ok &= compare(duckdb.connect(), os.path.join(wh, t),
+                      os.path.join(out_root, "expected", t))
+    print(f"\n{'ALL PASS' if ok else 'FAILURES'} ({len(tables)} tables)")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
