@@ -25,26 +25,29 @@ import scala.jdk.CollectionConverters._
   * carried-over directory's manifest is referenced by every later
   * snapshot without rewriting (Iceberg's manifest-reuse shape).
   *
-  * Per-column stats (since round 10): `value_counts` / `null_value_counts`
-  * / `lower_bounds` / `upper_bounds` (spec ids 109/110/125/128, map-as-
-  * array k/v records exactly as Iceberg's Java writer emits them) are
-  * populated from the parquet FOOTERS at manifest-write time — min/max
-  * folded across row groups, bounds in the spec's Appendix-D single-value
-  * binary form (little-endian ints/longs/floats, UTF-8 strings; string
-  * bounds truncated to 16 bytes — lower as a prefix, upper as a prefix
-  * with its last code point incremented, Iceberg's `truncate(16)`
-  * metrics default — so a long text column costs each manifest entry
-  * bytes, not kilobytes) — for
-  * every top-level column whose physical type carries usable parquet
-  * statistics. These are what make manifest-level FILE SKIPPING work:
-  * a reader (ours: `loadSlice`) drops a file when its [lower, upper]
-  * range cannot intersect the query bound, without opening the file.
+  * Per-column stats (round 10, completed round 11): `column_sizes` /
+  * `value_counts` / `null_value_counts` / `nan_value_counts` /
+  * `lower_bounds` / `upper_bounds` (spec ids 108/109/110/137/125/128,
+  * map-as-array k/v records exactly as Iceberg's Java writer emits them)
+  * are populated from the parquet FOOTERS at manifest-write time — sizes
+  * and counts summed and min/max folded across row groups, bounds in the
+  * spec's Appendix-D single-value binary form (little-endian ints/longs/
+  * floats, UTF-8 strings, raw binary, minimal two's-complement big-endian
+  * unscaled decimals; string and binary bounds truncated to 16 bytes —
+  * lower as a prefix, upper as a prefix with its last code point / byte
+  * incremented, Iceberg's `truncate(16)` metrics default — so a long text
+  * column costs each manifest entry bytes, not kilobytes) — for every
+  * top-level column whose physical type carries usable parquet
+  * statistics. `nan_value_counts` alone cannot come off a footer
+  * (parquet statistics exclude NaNs); float/double columns pay one
+  * projected column scan per file, once ever, for the exact count.
+  * These stats are what make manifest-level FILE SKIPPING work: a reader
+  * (ours: `loadSlice`) drops a file when its [lower, upper] range cannot
+  * intersect the query bound, without opening the file.
   *
-  * Documented divergences (pinned by IcebergMetadataSpec): the optional
-  * `column_sizes`/`nan_value_counts` stats are omitted (legal: all
-  * optional in the spec), as are stats for types without a defined
-  * single-value form here (binary, decimal) and for INT96 timestamps
-  * (parquet deprecates their statistics); partition
+  * Documented divergences (pinned by IcebergMetadataSpec): no stats for
+  * INT96 timestamps (parquet deprecates their statistics — Spark 4
+  * writes INT64); partition
   * tuple values are typed for long/int/string identity sources and carry
   * the Hive path string for other source types; non-path-derivable
   * transforms (bucket[N]) carry null.
@@ -68,7 +71,9 @@ object AvroManifests {
       valueCounts: Seq[(Int, Long)] = Nil,
       nullValueCounts: Seq[(Int, Long)] = Nil,
       lowerBounds: Seq[(Int, Array[Byte])] = Nil,
-      upperBounds: Seq[(Int, Array[Byte])] = Nil)
+      upperBounds: Seq[(Int, Array[Byte])] = Nil,
+      columnSizes: Seq[(Int, Long)] = Nil,
+      nanValueCounts: Seq[(Int, Long)] = Nil)
 
   /** A top-level column the stats collector covers: its Iceberg field id
     * (the bounds-map key) and Iceberg type (picks the Appendix-D binary
@@ -173,6 +178,12 @@ object AvroManifests {
               {"type": "record", "name": "r102", "fields": [$r102Fields]}},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "column_sizes", "type": ["null",
+              {"type": "array", "logicalType": "map", "items":
+                {"type": "record", "name": "k117_v118", "fields": [
+                  {"name": "key", "type": "int", "field-id": 117},
+                  {"name": "value", "type": "long", "field-id": 118}]}}],
+             "default": null, "field-id": 108},
             {"name": "value_counts", "type": ["null",
               {"type": "array", "logicalType": "map", "items":
                 {"type": "record", "name": "k119_v120", "fields": [
@@ -185,6 +196,12 @@ object AvroManifests {
                   {"name": "key", "type": "int", "field-id": 121},
                   {"name": "value", "type": "long", "field-id": 122}]}}],
              "default": null, "field-id": 110},
+            {"name": "nan_value_counts", "type": ["null",
+              {"type": "array", "logicalType": "map", "items":
+                {"type": "record", "name": "k138_v139", "fields": [
+                  {"name": "key", "type": "int", "field-id": 138},
+                  {"name": "value", "type": "long", "field-id": 139}]}}],
+             "default": null, "field-id": 137},
             {"name": "lower_bounds", "type": ["null",
               {"type": "array", "logicalType": "map", "items":
                 {"type": "record", "name": "k126_v127", "fields": [
@@ -207,7 +224,9 @@ object AvroManifests {
   // ---- Appendix-D single-value binary form --------------------------------
 
   /** Serialize one bound value to the spec's single-value binary form.
-    * None for types this layer does not cover (binary, decimal, INT96). */
+    * Decimals (folded as unscaled BigIntegers, see [[footerStats]]) take
+    * Appendix D's minimal two's-complement big-endian form; binary takes
+    * its raw bytes. None only for values no form covers (e.g. INT96). */
   def boundBytes(icebergType: String, v: Any): Option[Array[Byte]] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
@@ -222,16 +241,22 @@ object AvroManifests {
         Some(le(4).putFloat(f).array())
       case ("boolean", b: java.lang.Boolean) =>
         Some(Array[Byte](if (b) 1 else 0))
-      case ("string", b: org.apache.parquet.io.api.Binary) =>
+      case ("string" | "binary", b: org.apache.parquet.io.api.Binary) =>
         Some(b.getBytes)
+      case (t, bi: java.math.BigInteger) if t.startsWith("decimal(") =>
+        // BigInteger.toByteArray IS the spec form: minimal-length
+        // two's-complement big-endian unscaled value
+        Some(bi.toByteArray)
       case _ => None
     }
   }
 
   /** Decode a bound back into the comparable domain [[boundBytes]] wrote:
     * Long for long/timestamps, Int for int/date, Double/Float, the raw
-    * UTF-8 bytes for string (compare unsigned-lexicographically — parquet
-    * UTF8 order), Boolean. */
+    * UTF-8/raw bytes for string/binary (compare
+    * unsigned-lexicographically — parquet UTF8/BINARY order), Boolean,
+    * unscaled BigInteger for decimals (same-scale compare — the scale is
+    * the column type's). */
   def decodeBound(icebergType: String, bytes: Array[Byte]): Option[Any] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -242,7 +267,9 @@ object AvroManifests {
       case "double" if bytes.length == 8       => Some(bb.getDouble)
       case "float" if bytes.length == 4        => Some(bb.getFloat)
       case "boolean" if bytes.length == 1      => Some(bytes(0) != 0)
-      case "string"                            => Some(bytes)
+      case "string" | "binary"                 => Some(bytes)
+      case t if t.startsWith("decimal(") && bytes.nonEmpty =>
+        Some(new java.math.BigInteger(bytes))
       case _                                   => None
     }
   }
@@ -327,35 +354,70 @@ object AvroManifests {
     try r.getRecordCount finally r.close()
   }
 
+  /** Per-file stats bundle [[footerStats]] returns. */
+  private case class FileStats(
+      rows: Long,
+      valueCounts: Seq[(Int, Long)],
+      nullValueCounts: Seq[(Int, Long)],
+      lowerBounds: Seq[(Int, Array[Byte])],
+      upperBounds: Seq[(Int, Array[Byte])],
+      columnSizes: Seq[(Int, Long)],
+      nanValueCounts: Seq[(Int, Long)])
+
   /** One footer read serving the row count AND the per-column stats:
-    * value/null counts summed and min/max folded across row groups, bounds
-    * serialized per Appendix D. A column chunk without usable statistics
-    * (INT96, missing stats) drops that column's bounds for the FILE —
-    * never fabricates. `statFields` empty = row count only (the pre-stats
-    * behavior, one cheap footer read). */
+    * value/null counts and on-disk column sizes summed, min/max folded
+    * across row groups (decimals re-expressed as unscaled BigIntegers —
+    * an unsigned byte compare of two's-complement FLBA values would order
+    * negatives above positives), bounds serialized per Appendix D
+    * (string AND binary bounds truncate(16)). A column chunk without
+    * usable statistics (INT96, missing stats) drops that column's bounds
+    * for the FILE — never fabricates. `statFields` empty = row count
+    * only (the pre-stats behavior, one cheap footer read).
+    *
+    * `nan_value_counts` is the one stat a parquet FOOTER cannot carry
+    * (statistics exclude NaNs entirely), and Iceberg's own writer tallies
+    * it during the write — which this catalog's Spark-side writer cannot
+    * attribute per file. So float/double columns pay one PROJECTED column
+    * scan here (only those columns' chunks are read, at manifest-write
+    * time, once per file ever) for the exact count. */
   private def footerStats(file: Path, statFields: Seq[StatField])
-      : (Long, Seq[(Int, Long)], Seq[(Int, Long)],
-         Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])]) = {
+      : FileStats = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val rows = r.getRecordCount
-      if (statFields.isEmpty) return (rows, Nil, Nil, Nil, Nil)
+      if (statFields.isEmpty)
+        return FileStats(rows, Nil, Nil, Nil, Nil, Nil, Nil)
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val byName = statFields.map(sf => sf.name -> sf).toMap
       // (fieldId -> accumulators) over every row group
       val vc = scala.collection.mutable.LinkedHashMap[Int, Long]()
       val nc = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      val cs = scala.collection.mutable.LinkedHashMap[Int, Long]()
       val lo = scala.collection.mutable.LinkedHashMap[Int, Any]()
       val hi = scala.collection.mutable.LinkedHashMap[Int, Any]()
       val statsBroken = scala.collection.mutable.Set[Int]()
+      // decimal min/max arrive as Integer/Long/Binary depending on the
+      // physical type — normalize to the unscaled BigInteger domain so
+      // folding and Appendix-D serialization are physical-type-agnostic
+      def statValue(sf: StatField, v: Any): Any =
+        if (!sf.icebergType.startsWith("decimal(")) v
+        else v match {
+          case i: java.lang.Integer => java.math.BigInteger.valueOf(i.longValue())
+          case l: java.lang.Long    => java.math.BigInteger.valueOf(l)
+          case b: org.apache.parquet.io.api.Binary =>
+            new java.math.BigInteger(b.getBytes)
+          case other => other
+        }
       for (b <- blocks; c <- b.getColumns.asScala) {
         val path = c.getPath.toArray
         if (path.length == 1) byName.get(path(0)).foreach { sf =>
           vc.updateWith(sf.fieldId)(p =>
             Some(p.getOrElse(0L) + c.getValueCount))
+          cs.updateWith(sf.fieldId)(p =>
+            Some(p.getOrElse(0L) + c.getTotalSize))
           val st = c.getStatistics
           if (st == null || st.isEmpty || !st.isNumNullsSet)
             statsBroken += sf.fieldId
@@ -378,8 +440,10 @@ object AvroManifests {
                   x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
                 case _ => false
               }
-              fold(lo, st.genericGetMin, (p, v) => lt(p, v) || p == v)
-              fold(hi, st.genericGetMax, (p, v) => lt(v, p) || p == v)
+              fold(lo, statValue(sf, st.genericGetMin),
+                (p, v) => lt(p, v) || p == v)
+              fold(hi, statValue(sf, st.genericGetMax),
+                (p, v) => lt(v, p) || p == v)
             }
           }
         }
@@ -391,7 +455,8 @@ object AvroManifests {
           else m.get(sf.fieldId)
             .flatMap(v => boundBytes(sf.icebergType, v))
             .flatMap { raw =>
-              if (sf.icebergType != "string") Some(raw)
+              if (sf.icebergType != "string" && sf.icebergType != "binary")
+                Some(raw)
               else if (isUpper) truncateUpper(raw)
               else Some(truncateLower(raw))
             }
@@ -402,8 +467,66 @@ object AvroManifests {
       val ncs = statFields.flatMap(sf =>
         if (statsBroken.contains(sf.fieldId)) None
         else nc.get(sf.fieldId).map(sf.fieldId -> _))
-      (rows, vcs, ncs, bounds(lo, isUpper = false), bounds(hi, isUpper = true))
+      val css = statFields.flatMap(sf =>
+        cs.get(sf.fieldId).map(sf.fieldId -> _))
+      FileStats(rows, vcs, ncs,
+        bounds(lo, isUpper = false), bounds(hi, isUpper = true), css,
+        nanCounts(r, statFields))
     } finally r.close()
+  }
+
+  /** Exact NaN count per float/double stat column, via a PROJECTED
+    * low-level column read — only those columns' chunks are decoded (see
+    * [[footerStats]]' scaladoc for why the footer cannot supply this).
+    * Columns absent from the file (pre-evolution) simply have no entry. */
+  private def nanCounts(r: org.apache.parquet.hadoop.ParquetFileReader,
+                        statFields: Seq[StatField]): Seq[(Int, Long)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val fileSchema = r.getFooter.getFileMetaData.getSchema
+    // getType disambiguated via field index (String overloads collide)
+    def typeOf(name: String): org.apache.parquet.schema.Type =
+      fileSchema.getType(fileSchema.getFieldIndex(name))
+    val nanFields = statFields.filter(sf =>
+      (sf.icebergType == "float" || sf.icebergType == "double") &&
+        fileSchema.containsField(sf.name) && typeOf(sf.name).isPrimitive)
+    if (nanFields.isEmpty) return Nil
+    val projection = new org.apache.parquet.schema.MessageType(
+      fileSchema.getName, nanFields.map(sf => typeOf(sf.name)): _*)
+    r.setRequestedSchema(projection)
+    val acc = scala.collection.mutable.LinkedHashMap[Int, Long]()
+    nanFields.foreach(sf => acc(sf.fieldId) = 0L)
+    val dummy = new org.apache.parquet.io.api.GroupConverter {
+      override def getConverter(i: Int) =
+        new org.apache.parquet.io.api.PrimitiveConverter {}
+      override def start(): Unit = ()
+      override def end(): Unit = ()
+    }
+    var store = r.readNextRowGroup()
+    while (store != null) {
+      val crs = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
+        store, dummy, projection,
+        r.getFooter.getFileMetaData.getCreatedBy)
+      projection.getColumns.asScala.zip(nanFields).foreach { case (cd, sf) =>
+        val cr = crs.getColumnReader(cd)
+        val isDouble =
+          cd.getPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.DOUBLE
+        val maxDef = cd.getMaxDefinitionLevel
+        var i = 0L
+        val n = cr.getTotalValueCount
+        while (i < n) {
+          if (cr.getCurrentDefinitionLevel == maxDef) {
+            val isNan =
+              if (isDouble) java.lang.Double.isNaN(cr.getDouble)
+              else java.lang.Float.isNaN(cr.getFloat)
+            if (isNan) acc(sf.fieldId) += 1L
+          }
+          cr.consume()
+          i += 1
+        }
+      }
+      store = r.readNextRowGroup()
+    }
+    acc.toSeq
   }
 
   // ---- data-dir scan -----------------------------------------------------
@@ -453,12 +576,13 @@ object AvroManifests {
             .filter(_ != "__HIVE_DEFAULT_PARTITION__")
         })
       }
-      val (rows, vcs, ncs, lows, ups) = footerStats(f, statFields)
+      val fs = footerStats(f, statFields)
       DataFileEntry(status = 1, content = 0, filePath = f.toString,
         fileFormat = "PARQUET", partition = tuple,
-        recordCount = rows, fileSizeInBytes = Files.size(f),
-        valueCounts = vcs, nullValueCounts = ncs,
-        lowerBounds = lows, upperBounds = ups)
+        recordCount = fs.rows, fileSizeInBytes = Files.size(f),
+        valueCounts = fs.valueCounts, nullValueCounts = fs.nullValueCounts,
+        lowerBounds = fs.lowerBounds, upperBounds = fs.upperBounds,
+        columnSizes = fs.columnSizes, nanValueCounts = fs.nanValueCounts)
     }
   }
 
@@ -508,6 +632,12 @@ object AvroManifests {
               kv.put("key", k); kv.put("value", v); kv
             }.asJava
           }
+        df.put("column_sizes", kvArray("column_sizes",
+          e.columnSizes.map { case (k, v) =>
+            k -> (java.lang.Long.valueOf(v): AnyRef) }))
+        df.put("nan_value_counts", kvArray("nan_value_counts",
+          e.nanValueCounts.map { case (k, v) =>
+            k -> (java.lang.Long.valueOf(v): AnyRef) }))
         df.put("value_counts", kvArray("value_counts",
           e.valueCounts.map { case (k, v) =>
             k -> (java.lang.Long.valueOf(v): AnyRef) }))
@@ -575,7 +705,9 @@ object AvroManifests {
           valueCounts = longMap("value_counts"),
           nullValueCounts = longMap("null_value_counts"),
           lowerBounds = bytesMap("lower_bounds"),
-          upperBounds = bytesMap("upper_bounds"))
+          upperBounds = bytesMap("upper_bounds"),
+          columnSizes = longMap("column_sizes"),
+          nanValueCounts = longMap("nan_value_counts"))
       }.toSeq
     } finally r.close()
   }

@@ -182,12 +182,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   //    `operation` field (the richer internal op vocabulary beside the
   //    spec's summary.operation). Extra fields are legal — Iceberg
   //    readers ignore unknown fields.
-  //  - data_file carries the per-column stats quartet (value_counts /
-  //    null_value_counts / lower_bounds / upper_bounds, ids 109/110/125/
-  //    128, string bounds truncate(16)); the still-omitted optional stats
-  //    are column_sizes and nan_value_counts, and no stats are written
-  //    for binary/decimal columns or INT96 timestamps (all optional in
-  //    the spec).
+  //  - data_file carries the full per-column stats set (column_sizes /
+  //    value_counts / null_value_counts / nan_value_counts /
+  //    lower_bounds / upper_bounds, ids 108/109/110/137/125/128; string
+  //    and binary bounds truncate(16), decimal bounds in Appendix-D
+  //    unscaled two's-complement); the one omission left is INT96
+  //    timestamp stats (parquet deprecates them; Spark 4 writes INT64).
 
   /** Spark catalogString → Iceberg primitive type name. Nested types keep
     * the Spark string (documented divergence above). */
@@ -329,17 +329,18 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   /** Top-level columns the manifest stats collector covers, with their
     * Iceberg field ids (= schema position + 1, stable across this
-    * catalog's append-only schema evolution) and Iceberg types. Types
-    * without an Appendix-D form here (binary, decimal) are left out —
-    * their stats maps simply omit the column (legal: all optional). */
+    * catalog's append-only schema evolution) and Iceberg types — every
+    * primitive with an Appendix-D single-value form (incl. binary and
+    * decimal since round 11); only nested types and INT96 are out. */
   private def manifestStatFields(meta: ObjectNode)
       : Seq[AvroManifests.StatField] = {
     val covered = Set("long", "int", "double", "float", "string",
-      "boolean", "date", "timestamp", "timestamptz")
+      "boolean", "date", "timestamp", "timestamptz", "binary")
     currentSchemaNode(meta).get("fields").elements().asScala.toSeq
       .map(f => AvroManifests.StatField(f.get("name").asText(),
         f.get("id").asInt(), f.get("type").asText()))
-      .filter(sf => covered.contains(sf.icebergType))
+      .filter(sf => covered.contains(sf.icebergType) ||
+        sf.icebergType.startsWith("decimal("))
   }
 
   /** Drop a snapshot directory AND its per-dir manifest — the cleanup
@@ -1223,6 +1224,13 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           case "double"       => row.getAs[Number](0).doubleValue()
           case "float"        => row.getAs[Number](0).floatValue()
         })
+      case t if t.startsWith("decimal(") =>
+        // the cast to the column's DecimalType fixes the scale, so the
+        // unscaled BigInteger compares directly against the manifest's
+        // Appendix-D decimal bounds (same-scale by construction)
+        val row = spark.range(1).select(lit(v).cast(srcType)).head()
+        if (row.isNullAt(0)) None
+        else Some(row.getAs[java.math.BigDecimal](0).unscaledValue())
       case _ => None
     }
     def cmp(a: Any, b: Any): Int = (a, b) match {
@@ -1237,6 +1245,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         java.lang.Float.compare(x + 0.0f, y + 0.0f)
       case (x: Array[Byte], y: Array[Byte]) =>
         AvroManifests.compareUnsigned(x, y)
+      case (x: java.math.BigInteger, y: java.math.BigInteger) =>
+        x.compareTo(y)
       case _ => 0 // incomparable: never prune
     }
     val statFilter: Option[AvroManifests.DataFileEntry => Boolean] =

@@ -231,7 +231,8 @@ class IcebergMetadataSpec extends AnyFunSuite {
         assert(fieldIds(dfSchema) == Map("content" -> 134,
           "file_path" -> 100, "file_format" -> 101, "partition" -> 102,
           "record_count" -> 103, "file_size_in_bytes" -> 104,
-          "value_counts" -> 109, "null_value_counts" -> 110,
+          "column_sizes" -> 108, "value_counts" -> 109,
+          "null_value_counts" -> 110, "nan_value_counts" -> 137,
           "lower_bounds" -> 125, "upper_bounds" -> 128,
           "equality_ids" -> 135))
         recs
@@ -617,6 +618,74 @@ class IcebergMetadataSpec extends AnyFunSuite {
       assert(pf.getProp("real-name") == "lang-code")
       // loadSlice's bound check keys on the REAL name — pruning intact
       assert(cat.loadSlice(ns, "p", "lang-code", "a", "a").count() == 2L)
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("data_file entries carry column_sizes, exact nan_value_counts, " +
+    "and decimal/binary Appendix-D bounds — an external reader decodes " +
+    "all of them (the round-10 divergence list, closed)") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icest2_${System.nanoTime()}"
+    try {
+      // one double column with a KNOWN NaN census (2 NaNs, 1 null), a
+      // decimal with negatives (two's-complement bound ordering), binary
+      val df = Seq(
+        (1L, Some(Double.NaN), BigDecimal("-12.34"), Array[Byte](9, 9)),
+        (2L, Some(1.5),        BigDecimal("-0.01"),  Array[Byte](1, 2)),
+        (3L, Some(Double.NaN), BigDecimal("7.50"),   Array[Byte](0)),
+        (4L, None: Option[Double], BigDecimal("99.99"), Array[Byte](5)))
+        .toDF("id", "score", "price", "blob")
+        .select($"id", $"score",
+          $"price".cast("decimal(10,2)").as("price"), $"blob")
+      cat.ensureTable(ns, "t", df.schema)
+      cat.append(ns, "t", df.coalesce(1))
+      val m = rawMeta(cat, ns, "t")
+      val snap = m.get("snapshots").get(0)
+      val files = readAvro(Paths.get(snap.get("manifest-list").asText()))._2
+        .flatMap(mle => readAvro(
+          Paths.get(mle.get("manifest_path").toString))._2)
+        .map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord])
+      assert(files.size == 1)
+      val f = files.head
+      def kvMap(field: String): Map[Int, AnyRef] =
+        Option(f.get(field)).map(_.asInstanceOf[java.util.List[
+            org.apache.avro.generic.GenericRecord]].asScala
+          .map(kv => kv.get("key").asInstanceOf[Int] -> kv.get("value"))
+          .toMap).getOrElse(Map.empty)
+      def bytesOf(field: String, id: Int): Array[Byte] = {
+        val buf = kvMap(field)(id)
+          .asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val a = new Array[Byte](buf.remaining()); buf.get(a); a
+      }
+      // nan_value_counts (spec id 137): exact — 2 NaNs in score (id 2);
+      // the null row is NOT a NaN
+      assert(kvMap("nan_value_counts") == Map(2 -> 2L),
+        s"exact NaN census: ${kvMap("nan_value_counts")}")
+      assert(kvMap("null_value_counts")(2) == 1L)
+      // column_sizes (spec id 108): every covered column priced, positive,
+      // and summing to less than the file itself
+      val sizes = kvMap("column_sizes")
+      assert(Set(1, 2, 3, 4).subsetOf(sizes.keySet), s"sizes: $sizes")
+      assert(sizes.values.forall(_.asInstanceOf[Long] > 0L))
+      assert(sizes.values.map(_.asInstanceOf[Long]).sum <=
+        f.get("file_size_in_bytes").asInstanceOf[Long])
+      // decimal bounds (id 3): minimal two's-complement big-endian
+      // unscaled — the fold must order NEGATIVES below positives
+      assert(new java.math.BigInteger(bytesOf("lower_bounds", 3))
+        .longValueExact() == -1234L)
+      assert(new java.math.BigInteger(bytesOf("upper_bounds", 3))
+        .longValueExact() == 9999L)
+      // binary bounds (id 4): raw bytes, unsigned order
+      assert(bytesOf("lower_bounds", 4).toSeq == Seq[Byte](0))
+      assert(bytesOf("upper_bounds", 4).toSeq == Seq[Byte](9, 9))
+      // and the stats tier actually SKIPS on the decimal column: a slice
+      // below every stored price reads zero rows without error
+      assert(cat.loadSlice(ns, "t", "price", "-100.00", "-50.00")
+        .isEmpty)
+      assert(cat.loadSlice(ns, "t", "price", "-1.00", "8.00")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
     } finally cat.dropNamespace(ns)
   }
 
