@@ -312,6 +312,62 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q51's histogram lower bound and banded DP never change the " +
+    "result: optimized output == unguarded exact filter") {
+    // the two guards (char-histogram L1/2 prefilter, threshold-banded
+    // levenshtein) must only drop pairs the exact edit_dist <= EditDupMax
+    // filter drops anyway — the oracle mirrors ONLY the exact filter
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("substring(text, 1, 60)").as("prefix"))
+    val a = docs.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+    val b = docs.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
+    val unguarded = Dedup.minhashCandidates(spark, sf,
+        Some(Dedup.DefaultMaxBucket))
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= Dedup.EditDupMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val optimized = Dedup.q51DedupEditDistance(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(optimized == unguarded,
+      s"guards changed the result: only-optimized=${optimized -- unguarded}" +
+        s" only-unguarded=${unguarded -- optimized}")
+    assert(optimized.nonEmpty, "fixture must exercise the verifier")
+  }
+
+  test("the char-histogram L1/2 bound is a true Levenshtein lower bound, " +
+    "untracked characters included") {
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val tracked = ('a' to 'z').mkString + " "
+    def l1Half(s: String, t: String): Int = {
+      val l1 = tracked.map(c =>
+        math.abs(s.count(_ == c) - t.count(_ == c))).sum
+      (l1 + 1) / 2
+    }
+    val rnd = new scala.util.Random(7)
+    // alphabet includes UNTRACKED chars (digits, punctuation, unicode) —
+    // the subset histogram must still never overshoot the true distance
+    val alpha = "abcdefgh 0189.,!é漢"
+    for (_ <- 1 to 300) {
+      val s = Seq.fill(rnd.nextInt(30))(alpha(rnd.nextInt(alpha.length)))
+        .mkString
+      val t = Seq.fill(rnd.nextInt(30))(alpha(rnd.nextInt(alpha.length)))
+        .mkString
+      assert(l1Half(s, t) <= lev(s, t),
+        s"bound overshot on '$s' vs '$t': ${l1Half(s, t)} > ${lev(s, t)}")
+    }
+  }
+
   test("minhash signatures are one shuffle-free codegen'd projection") {
     val shPlan = Dedup.shingled(spark, sf).queryExecution.executedPlan.toString
     assert(!shPlan.contains("Exchange"), shPlan.take(1500))
