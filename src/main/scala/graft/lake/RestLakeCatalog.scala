@@ -21,7 +21,12 @@ import java.nio.file.{Files, Path}
   * the role `assert-table-uuid`/`assert-ref-snapshot-id` play in the full
   * spec):
   *   - `POST /v1/namespaces` `{"namespace": ["<ns>"]}` — create (409 = exists, fine)
+  *   - `GET /v1/namespaces[?pageToken=..&pageSize=..]` — list namespaces,
+  *     paginated exactly as the OpenAPI does it: the client follows
+  *     `next-page-token` until the server omits it
   *   - `DELETE /v1/namespaces/<ns>` — drop with tables
+  *   - `GET /v1/namespaces/<ns>/tables[?pageToken=..&pageSize=..]` — list
+  *     tables (`identifiers`), same pagination contract
   *   - `GET /v1/namespaces/<ns>/tables/<t>` —
   *     `{"metadata-version": N, "metadata": {...}}` or 404
   *   - `POST /v1/namespaces/<ns>/tables/<t>` —
@@ -32,14 +37,35 @@ import java.nio.file.{Files, Path}
   *     the commit loop in [[SnapshotLakeCatalog]] retries on it exactly as
   *     it does on a lost link(2) claim.
   *
+  * Production hardening (VERDICT r10 #4):
+  *   - `token` rides every request as `Authorization: Bearer <token>`
+  *     (the OAuth2 bearer shape the REST spec uses); 401/403 fail loudly
+  *     and are NEVER retried — a bad credential does not heal.
+  *   - Transient failures — connect/IO errors and 5xx — retry with
+  *     exponential backoff, bounded by `maxRetries`. Idempotent requests
+  *     (GET/DELETE/namespace-create) simply re-send. The commit POST is
+  *     NOT idempotent, so a transient failure there runs the
+  *     COMMIT-RECOVERY protocol instead of a blind re-send: re-fetch the
+  *     table — if the version is still `base`, the commit provably never
+  *     applied (safe to re-send); if it is `base`+1 and the published
+  *     metadata is byte-identical to ours, OUR commit landed and the
+  *     response was lost (success — a blind re-send would read its own
+  *     409 as a lost race, re-derive on top of itself, and append the
+  *     same snapshot dir twice); anything else means a racing writer won
+  *     (report the lost race, the outer loop re-derives).
+  *
   * The data plane stays on the shared filesystem `warehouse` (a REST
   * catalog points at object storage; snapshot directories are written by
   * the engine and only NAMED in the committed metadata). The in-test
-  * server (`RestCatalogStub`) implements the same routes over a
-  * ConcurrentHashMap, so `LakeCatalogMatrixSpec` runs the full lifecycle —
-  * including the racing-writers case — through real HTTP round-trips. */
+  * server (`RestCatalogStub`) implements the same routes — plus auth
+  * enforcement and fault injection — over a ConcurrentHashMap, so the
+  * matrix and hardening specs run the full lifecycle through real HTTP
+  * round-trips. */
 class RestLakeCatalog(spark: SparkSession, baseUri: String,
-                      val warehouse: Path)
+                      val warehouse: Path,
+                      token: Option[String] = None,
+                      maxRetries: Int = 4,
+                      retryBaseMs: Long = 100L)
     extends SnapshotLakeCatalog(spark) {
 
   private val http = HttpClient.newHttpClient()
@@ -52,16 +78,50 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
 
-  private def send(method: String, path: String, body: String = "")
+  private def sendOnce(method: String, path: String, body: String)
       : HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
       .header("Content-Type", "application/json")
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
     val req = (method match {
       case "GET"    => b.GET()
       case "DELETE" => b.DELETE()
       case "POST"   => b.POST(HttpRequest.BodyPublishers.ofString(body))
     }).build()
-    http.send(req, HttpResponse.BodyHandlers.ofString())
+    val r = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (r.statusCode() == 401 || r.statusCode() == 403)
+      throw new IllegalStateException(
+        s"catalog server rejected credentials (${r.statusCode()}) for " +
+          s"${r.uri()}: ${r.body()} — auth failures are not retried")
+    r
+  }
+
+  private def transient5xx(r: HttpResponse[String]): Boolean =
+    r.statusCode() >= 500
+
+  private def backoff(attempt: Int): Unit =
+    Thread.sleep(retryBaseMs << attempt)
+
+  /** Send with transient-failure retry — ONLY for idempotent requests
+    * (GET/DELETE/create-namespace): a duplicate delivery cannot corrupt
+    * state, so IOException and 5xx simply re-send after backoff. */
+  private def send(method: String, path: String, body: String = "")
+      : HttpResponse[String] = {
+    var attempt = 0
+    while (true) {
+      val r = try Right(sendOnce(method, path, body))
+              catch { case e: java.io.IOException => Left(e) }
+      r match {
+        case Right(resp) if !transient5xx(resp) => return resp
+        case _ if attempt >= maxRetries =>
+          r match {
+            case Right(resp) => return resp // surface the final 5xx
+            case Left(e)     => throw e
+          }
+        case _ => backoff(attempt); attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def expect(r: HttpResponse[String], ok: Int*): HttpResponse[String] = {
@@ -77,7 +137,7 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
   override def ensureNamespace(ns: String): Unit = {
     val body = mapper.createObjectNode()
     body.putArray("namespace").add(ns)
-    // 409 = already exists: ensure semantics
+    // 409 = already exists: ensure semantics (idempotent — retryable)
     expect(send("POST", "/v1/namespaces", body.toString), 200, 409)
     Files.createDirectories(warehouse.resolve(ns))
   }
@@ -86,6 +146,40 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
     expect(send("DELETE", s"/v1/namespaces/${enc(ns)}"), 200, 404)
     deleteTree(warehouse.resolve(ns))
   }
+
+  /** Follow the REST pagination contract: request pages of `pageSize`,
+    * chase `next-page-token` until the server omits it. `extract` pulls
+    * the page's items out of the response document. */
+  private def paged(path: String, pageSize: Int,
+                    extract: ObjectNode => Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var tok: Option[String] = None
+    var more = true
+    while (more) {
+      val q = s"pageSize=$pageSize" +
+        tok.map(t => s"&pageToken=${enc(t)}").getOrElse("")
+      val r = expect(send("GET", s"$path?$q"), 200)
+      val node = mapper.readTree(r.body()).asInstanceOf[ObjectNode]
+      out ++= extract(node)
+      tok = Option(node.get("next-page-token")).map(_.asText())
+      more = tok.isDefined
+    }
+    out.toSeq
+  }
+
+  /** All namespaces, via the paginated list route. */
+  def listNamespaces(pageSize: Int = 100): Seq[String] =
+    paged("/v1/namespaces", pageSize, node =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        node.get("namespaces").elements()).asScala
+        .map(_.get(0).asText()).toSeq)
+
+  /** All tables of a namespace, via the paginated list route. */
+  def listTables(ns: String, pageSize: Int = 100): Seq[String] =
+    paged(s"/v1/namespaces/${enc(ns)}/tables", pageSize, node =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        node.get("identifiers").elements()).asScala
+        .map(_.get("name").asText()).toSeq)
 
   override protected def fetchMeta(ns: String,
                                    table: String): Option[(Int, ObjectNode)] = {
@@ -104,8 +198,41 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
     val body = mapper.createObjectNode()
     body.put("base-version", base)
     body.set[ObjectNode]("metadata", meta)
-    // 409 = stale base: the server-side CAS rejected us — lost race
-    expect(send("POST", s"/v1/namespaces/${enc(ns)}/tables/${enc(table)}",
-      body.toString), 200, 409).statusCode() == 200
+    val path = s"/v1/namespaces/${enc(ns)}/tables/${enc(table)}"
+    val payload = body.toString
+    var attempt = 0
+    while (true) {
+      val outcome = try Right(sendOnce("POST", path, payload))
+                    catch { case e: java.io.IOException => Left(e) }
+      outcome match {
+        // 409 = stale base: the server-side CAS rejected us — lost race
+        case Right(r) if r.statusCode() == 200 => return true
+        case Right(r) if r.statusCode() == 409 => return false
+        case Right(r) if !transient5xx(r) =>
+          expect(r, 200, 409) // loud failure on any other status
+        case _ =>
+          // transient failure on a NON-idempotent request: the commit may
+          // or may not have applied before the failure — run the recovery
+          // protocol (scaladoc above) instead of a blind re-send
+          if (attempt >= maxRetries) outcome match {
+            case Right(r) => expect(r, 200, 409)
+            case Left(e)  => throw e
+          }
+          backoff(attempt); attempt += 1
+          // canonicalize BOTH docs through a serialize-reparse round trip
+          // before comparing: Jackson types integral numbers by magnitude
+          // on parse (IntNode vs LongNode), so the freshly-built document
+          // never equals its own wire round-trip structurally
+          def canon(n: ObjectNode) = mapper.readTree(n.toString)
+          fetchMeta(ns, table) match {
+            case Some((v, cur)) if v == base + 1 && canon(cur) == canon(meta) =>
+              return true // our commit landed; only the response was lost
+            case Some((v, _)) if v != base =>
+              return false // a racing writer advanced the table
+            case _ => () // still at base: provably not applied — re-send
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -11,20 +11,51 @@ import java.nio.charset.StandardCharsets
   * metadata in memory, with the commit route performing the server-side
   * compare-and-swap under one lock — exactly the atomicity the reference's
   * real REST catalog provides and the client's retry loop relies on.
-  * Listens on an ephemeral localhost port. */
+  * Listens on an ephemeral localhost port.
+  *
+  * Hardening-spec extensions: optional bearer-token enforcement (401 on a
+  * missing/wrong Authorization header), paginated list routes
+  * (`next-page-token` contract), and two fault injectors — [[Server.failNext]]
+  * rejects the next N requests with a 5xx BEFORE touching state (the
+  * retryable transient), [[Server.failAfterCommit]] APPLIES the next
+  * commit and then returns 503 (the lost-response ambiguity the client's
+  * commit-recovery protocol must resolve without double-committing). */
 object RestCatalogStub {
   private val mapper = new ObjectMapper()
 
-  final class Server private[RestCatalogStub] (private val hs: HttpServer) {
+  final class Server private[RestCatalogStub] (private val hs: HttpServer,
+                                               requiredToken: Option[String]) {
     private val lock = new Object
     private val namespaces = scala.collection.mutable.Set[String]()
     // (ns, table) -> (version, metadata JSON)
     private val tables =
       scala.collection.mutable.Map[(String, String), (Int, String)]()
+    private var failNextN = 0
+    private var failNextCode = 503
+    private var failNextMethod: Option[String] = None
+    private var failAfterCommitN = 0
+    private var requests = 0
 
     def port: Int = hs.getAddress.getPort
     def uri: String = s"http://127.0.0.1:$port"
     def stop(): Unit = hs.stop(0)
+
+    /** Reject the next `n` requests with `code` before processing —
+      * optionally only requests of one HTTP `method` (so a spec can fault
+      * the commit POST without starving the fetch GETs around it). */
+    def failNext(n: Int, code: Int = 503,
+                 method: Option[String] = None): Unit =
+      lock.synchronized {
+        failNextN = n; failNextCode = code; failNextMethod = method
+      }
+
+    /** APPLY the next `n` commit POSTs, then answer 503 — the
+      * committed-but-response-lost ambiguity. */
+    def failAfterCommit(n: Int): Unit =
+      lock.synchronized { failAfterCommitN = n }
+
+    /** Requests served so far (pagination specs count page fetches). */
+    def requestCount: Int = lock.synchronized(requests)
 
     private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -37,6 +68,27 @@ object RestCatalogStub {
     private def dec(s: String): String =
       java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
+    private def queryParams(ex: HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+        .filter(_.contains("=")).map { kv =>
+          val i = kv.indexOf('=')
+          dec(kv.take(i)) -> dec(kv.drop(i + 1))
+        }.toMap
+
+    /** One page of `items`: the slice at the offset the pageToken encodes,
+      * plus `next-page-token` when more remain — the OpenAPI contract. */
+    private def page(ex: HttpExchange, items: Seq[String],
+                     render: Seq[String] => String): Unit = {
+      val params = queryParams(ex)
+      val size = params.get("pageSize").flatMap(_.toIntOption).getOrElse(100)
+      val off = params.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+      val slice = items.slice(off, off + size)
+      val next =
+        if (off + size < items.size) s""","next-page-token":"${off + size}""""
+        else ""
+      reply(ex, 200, s"{${render(slice)}$next}")
+    }
+
     private[RestCatalogStub] def handle(ex: HttpExchange): Unit = try {
       val method = ex.getRequestMethod
       // RAW path: URI.getPath percent-decodes, and dec() below decodes
@@ -45,6 +97,23 @@ object RestCatalogStub {
       val parts = ex.getRequestURI.getRawPath.split("/").filter(_.nonEmpty)
       val body = new String(ex.getRequestBody.readAllBytes(),
         StandardCharsets.UTF_8)
+      lock.synchronized { requests += 1 }
+      // auth gate first: a real catalog rejects before routing
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (requiredToken.exists(t => !auth.contains(s"Bearer $t"))) {
+        reply(ex, 401, """{"error":"missing or invalid bearer token"}""")
+        return
+      }
+      // transient-fault injector: reject BEFORE touching any state
+      val injected = lock.synchronized {
+        if (failNextN > 0 && failNextMethod.forall(_ == method)) {
+          failNextN -= 1; Some(failNextCode)
+        } else None
+      }
+      if (injected.isDefined) {
+        reply(ex, injected.get, """{"error":"injected transient failure"}""")
+        return
+      }
       (method, parts.toList) match {
         // POST /v1/namespaces {"namespace": ["ns"]}
         case ("POST", "v1" :: "namespaces" :: Nil) =>
@@ -53,6 +122,11 @@ object RestCatalogStub {
             if (namespaces.add(ns)) reply(ex, 200, "{}")
             else reply(ex, 409, """{"error":"namespace exists"}""")
           }
+        // GET /v1/namespaces — paginated list
+        case ("GET", "v1" :: "namespaces" :: Nil) =>
+          val items = lock.synchronized(namespaces.toSeq.sorted)
+          page(ex, items, slice => s""""namespaces":[${slice
+            .map(n => s"""[${quote(n)}]""").mkString(",")}]""")
         // DELETE /v1/namespaces/{ns}
         case ("DELETE", "v1" :: "namespaces" :: ns :: Nil) =>
           lock.synchronized {
@@ -61,6 +135,14 @@ object RestCatalogStub {
             tables.keys.filter(_._1 == n).toSeq.foreach(tables.remove)
             reply(ex, if (had) 200 else 404, "{}")
           }
+        // GET /v1/namespaces/{ns}/tables — paginated list
+        case ("GET", "v1" :: "namespaces" :: ns :: "tables" :: Nil) =>
+          val n = dec(ns)
+          val items = lock.synchronized(
+            tables.keys.filter(_._1 == n).map(_._2).toSeq.sorted)
+          page(ex, items, slice => s""""identifiers":[${slice.map(t =>
+            s"""{"namespace":[${quote(n)}],"name":${quote(t)}}""")
+            .mkString(",")}]""")
         // GET /v1/namespaces/{ns}/tables/{t}
         case ("GET", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
           lock.synchronized {
@@ -83,7 +165,11 @@ object RestCatalogStub {
               reply(ex, 409, s"""{"metadata-version":$cur,"error":"stale base $base"}""")
             else {
               tables.update(key, (cur + 1, meta))
-              reply(ex, 200, s"""{"metadata-version":${cur + 1}}""")
+              if (failAfterCommitN > 0) {
+                // the ambiguity injector: state IS committed, response lost
+                failAfterCommitN -= 1
+                reply(ex, 503, """{"error":"injected post-commit failure"}""")
+              } else reply(ex, 200, s"""{"metadata-version":${cur + 1}}""")
             }
           }
         case _ => reply(ex, 404, """{"error":"no such route"}""")
@@ -92,11 +178,13 @@ object RestCatalogStub {
       case e: Exception =>
         reply(ex, 500, s"""{"error":"${e.getMessage}"}""")
     }
+
+    private def quote(s: String): String = mapper.writeValueAsString(s)
   }
 
-  def start(): Server = {
+  def start(requiredToken: Option[String] = None): Server = {
     val hs = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val server = new Server(hs)
+    val server = new Server(hs, requiredToken)
     hs.createContext("/", (ex: HttpExchange) => server.handle(ex))
     // a small pool so racing clients actually overlap on the server
     hs.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))

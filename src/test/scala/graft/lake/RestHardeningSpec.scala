@@ -1,0 +1,124 @@
+package graft.lake
+
+import graft.TestSpark
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Production hardening of the REST carrier (VERDICT r10 #4): bearer-token
+  * auth, transient-5xx retry with backoff, the commit lost-response
+  * recovery protocol, and the paginated list routes — each driven against
+  * [[RestCatalogStub]]'s auth enforcement and fault injectors over real
+  * HTTP round-trips. */
+class RestHardeningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(StructField("id", LongType)))
+  private def fastCat(server: RestCatalogStub.Server,
+                      token: Option[String] = None): RestLakeCatalog =
+    new RestLakeCatalog(spark, server.uri,
+      Files.createTempDirectory("graft-rest-hard-"), token = token,
+      retryBaseMs = 1L)
+
+  test("auth: the bearer token rides every request; missing credentials " +
+    "fail loudly and are NEVER retried") {
+    val server = RestCatalogStub.start(requiredToken = Some("sekret-tok"))
+    try {
+      val before = server.requestCount
+      val bad = fastCat(server, token = None)
+      val ex = intercept[IllegalStateException](bad.ensureNamespace("authns"))
+      assert(ex.getMessage.contains("401") &&
+        ex.getMessage.contains("not retried"), ex.getMessage)
+      assert(server.requestCount == before + 1,
+        "an auth failure must not burn the retry budget")
+      // wrong token is the same loud failure
+      intercept[IllegalStateException](
+        fastCat(server, token = Some("wrong")).ensureNamespace("authns"))
+      // the right token runs the full lifecycle
+      val good = fastCat(server, token = Some("sekret-tok"))
+      good.ensureTable("authns", "t", schema)
+      good.append("authns", "t", Seq(1L, 2L).toDF("id"))
+      assert(good.load("authns", "t").count() == 2L)
+      good.dropNamespace("authns")
+    } finally server.stop()
+  }
+
+  test("transient 5xx on idempotent routes: retry with backoff, then " +
+    "succeed; a persistent 5xx still fails loudly") {
+    val server = RestCatalogStub.start()
+    try {
+      val cat = fastCat(server)
+      cat.ensureTable("t5", "t", schema)
+      cat.append("t5", "t", Seq(7L).toDF("id"))
+      server.failNext(3, code = 503) // under the 4-retry budget
+      assert(cat.load("t5", "t").collect().map(_.getLong(0)).toSeq ==
+        Seq(7L), "three 503s must be absorbed by the retry loop")
+      server.failNext(20, code = 503) // beyond any budget
+      val ex = intercept[IllegalStateException](cat.load("t5", "t").count())
+      assert(ex.getMessage.contains("503"), ex.getMessage)
+      server.failNext(0)
+      cat.dropNamespace("t5")
+    } finally server.stop()
+  }
+
+  test("commit 5xx BEFORE the server applies: the re-send commits " +
+    "exactly once") {
+    val server = RestCatalogStub.start()
+    try {
+      val cat = fastCat(server)
+      cat.ensureTable("pre", "t", schema)
+      cat.append("pre", "t", Seq(1L).toDF("id"))
+      // fault only the commit POST — the surrounding fetch GETs must flow
+      server.failNext(2, code = 503, method = Some("POST"))
+      cat.append("pre", "t", Seq(2L).toDF("id"))
+      assert(cat.load("pre", "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L), "the re-sent commit must land exactly once")
+      assert(cat.snapshotIds("pre", "t").size == 2)
+      cat.dropNamespace("pre")
+    } finally server.stop()
+  }
+
+  test("commit applied but the response lost: the recovery protocol " +
+    "reports success WITHOUT double-committing") {
+    val server = RestCatalogStub.start()
+    try {
+      val cat = fastCat(server)
+      cat.ensureTable("amb", "t", schema)
+      cat.append("amb", "t", Seq(1L).toDF("id"))
+      // the server APPLIES the next commit, then answers 503: a blind
+      // re-send would read its own 409 as a lost race, re-derive on top
+      // of itself, and append the same snapshot dir twice
+      server.failAfterCommit(1)
+      cat.append("amb", "t", Seq(2L).toDF("id"))
+      assert(cat.load("amb", "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L), "rows must not duplicate on commit recovery")
+      assert(cat.snapshotIds("amb", "t").size == 2,
+        "exactly one snapshot per append, recovery included")
+      // the carrier stays healthy: the NEXT commit proceeds normally
+      cat.append("amb", "t", Seq(3L).toDF("id"))
+      assert(cat.load("amb", "t").count() == 3L)
+      cat.dropNamespace("amb")
+    } finally server.stop()
+  }
+
+  test("paginated list routes: the client follows next-page-token to " +
+    "completion, in |items|/pageSize round-trips") {
+    val server = RestCatalogStub.start()
+    try {
+      val cat = fastCat(server)
+      val nss = (1 to 7).map(i => f"pag_ns$i%02d")
+      nss.foreach(cat.ensureNamespace)
+      (1 to 5).foreach(i => cat.ensureTable("pag_ns01", f"t$i%02d", schema))
+      val before = server.requestCount
+      assert(cat.listNamespaces(pageSize = 3) == nss,
+        "every namespace surfaces across pages, in order")
+      assert(server.requestCount == before + 3,
+        "7 items at pageSize 3 = exactly 3 page fetches")
+      assert(cat.listTables("pag_ns01", pageSize = 2) ==
+        (1 to 5).map(i => f"t$i%02d"))
+      nss.foreach(cat.dropNamespace)
+    } finally server.stop()
+  }
+}
