@@ -856,7 +856,89 @@ object Streaming {
     rows.toDF("source", "n_docs", "n_chars").orderBy("source")
   }
 
+  /** Decimal load census (q214): drive the SINGER LOAD PATH end-to-end
+    * with exact-decimal declarations — the precision-loss gap the
+    * reference shares (`iceberg.py:81` maps every `number` to float64) —
+    * and census the landed table. The feed is synthesized FROM the corpus
+    * as a distributed string build (never a driver collect): one SCHEMA
+    * line declaring `multipleOf: 0.01` (classic singer-python Decimal
+    * scale) and a string-carried `singer.decimal(18,4)`, then one RECORD
+    * per document whose amounts encode doc_id exactly (`amt` = doc_id
+    * cents, `px` = 13·doc_id ten-thousandths). [[graft.lake.BatchLoader]]
+    * loads it into a snapshot-catalog table — which must type the columns
+    * DECIMAL (asserted: a float64 regression would break the cents sums
+    * below for large ids) — and the census re-derives the integers by
+    * exact decimal arithmetic. The oracle states the same set algebra
+    * straight off `documents`; all output columns are integers, so the
+    * hash compare is representation-proof.
+    *
+    * Scale shape: the feed build is one projection + text write; the load
+    * is the loader's own one-commit scale path; the census a
+    * |langs|-bounded partial agg. */
+  def q214DecimalLoad(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "dec"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q214-")
+    val schemaFile = tmp.resolve("0_schema.jsonl")
+    java.nio.file.Files.writeString(schemaFile,
+      """{"type":"SCHEMA","stream":"pay","schema":{"properties":{""" +
+        """"doc_id":{"type":["integer"]},"lang":{"type":["string","null"]},""" +
+        """"amt":{"type":["number","null"],"multipleOf":0.01},""" +
+        """"px":{"type":["string","null"],"format":"singer.decimal","precision":18,"scale":4}}}}""" +
+        "\n")
+    val recDir = tmp.resolve("records").toString
+    documents(s, d).select(concat(
+        lit("""{"type":"RECORD","stream":"pay","record":{"doc_id":"""),
+        col("doc_id"),
+        lit(""","lang":""""), col("lang"),
+        lit("""","amt":"""),
+        // integer `div`, never float division: the feed text must encode
+        // doc_id exactly (positive ids, so div/% compose cleanly)
+        concat(expr("doc_id div 100").cast("string"), lit("."),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")),
+        lit(""","px":""""),
+        concat(expr("(doc_id * 13) div 10000").cast("string"), lit("."),
+          lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0")),
+        lit(""""}}""")).as("line"))
+      .coalesce(4).write.mode("overwrite").text(recDir)
+    // loadPaths' own listing normalizes to Hadoop URI form and sorts —
+    // "0_schema.jsonl" < "records/part-…", so the SCHEMA line leads
+    val loader = new graft.lake.BatchLoader(s, cat, ns)
+    loader.loadPaths(Seq(schemaFile.toString, recDir))
+    val table = cat.load(ns, "pay")
+    require(table.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 2) &&
+      table.schema("px").dataType ==
+        org.apache.spark.sql.types.DecimalType(18, 4),
+      s"decimal load regressed to ${table.schema.catalogString}")
+    val rows = table.groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("amt")) * 100).cast("long").as("sum_amt_cents"),
+        (sum(col("px")) * 10000).cast("long").as("sum_px_e4"))
+      .orderBy("lang")
+      .collect() // |langs|-bounded census — control plane
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    cat.dropNamespace(ns)
+    deleteRecursively(tmp)
+    import s.implicits._
+    rows.toDF("lang", "n_rows", "sum_amt_cents", "sum_px_e4").orderBy("lang")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.iterator().asScala.toSeq).reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q214_decimal_load" -> ((q214DecimalLoad _, """
+      SELECT lang, count(*)::BIGINT AS n_rows,
+             sum(doc_id)::BIGINT AS sum_amt_cents,
+             sum(doc_id * 13)::BIGINT AS sum_px_e4
+      FROM documents GROUP BY 1 ORDER BY 1""")),
     "q212_sorted_ingest" -> ((q212SortedIngest _, """
       WITH b AS (SELECT min(doc_id) AS lo0, max(doc_id) AS hi0
                  FROM documents),

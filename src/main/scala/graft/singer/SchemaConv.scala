@@ -33,17 +33,24 @@ object SchemaConv {
   val FieldIdKey = "PARQUET:field_id"
 
   /** Metadata key recording the Singer `format` that produced a field's
-    * Spark type when the mapping is lossy. Today only `"time"` is recorded
-    * (Spark has no time type, so micros-since-midnight land in LongType —
-    * SURVEY §7.4): the tag lets the Singer sink re-emit
-    * `{"type":"string","format":"time"}` with `HH:mm:ss[.SSSSSS]` values,
-    * closing the round-trip the bare LongType lost. */
+    * Spark type when the mapping is lossy or wire-shape-sensitive:
+    * `"time"` (Spark has no time type, so micros-since-midnight land in
+    * LongType — SURVEY §7.4) and `"singer.decimal"` (the STRING-carried
+    * decimal: values arrive and must re-emit as quoted plain strings,
+    * not JSON numbers). The tag lets the Singer sink re-emit the exact
+    * Singer shape the field came from. */
   val SingerFormatKey = "singer:format"
 
   /** Does this field carry the `format: time` provenance tag? */
   def isTimeField(f: StructField): Boolean =
     f.dataType == LongType && f.metadata.contains(SingerFormatKey) &&
       f.metadata.getString(SingerFormatKey) == "time"
+
+  /** Does this field carry the string-borne `singer.decimal` tag? */
+  def isDecimalStringField(f: StructField): Boolean =
+    f.dataType.isInstanceOf[DecimalType] &&
+      f.metadata.contains(SingerFormatKey) &&
+      f.metadata.getString(SingerFormatKey) == "singer.decimal"
 
   /** `HH:mm:ss[.SSSSSS]` -> micros-since-midnight, or null when the text
     * does not parse — the ONE definition of the Singer time-string value
@@ -140,7 +147,19 @@ object SchemaConv {
     var md = Metadata.empty
     val dt: DataType = primary match {
       case Some("integer") => LongType
-      case Some("number")  => DoubleType
+      case Some("number") =>
+        // DECIMAL extension (beyond the reference, which maps every
+        // `number` to float64 — iceberg.py:81 — silently losing precision
+        // on the first tap that declares exact-decimal semantics):
+        //  - `format: singer.decimal` (the Singer SDK's exact-decimal
+        //    marker) with optional sibling `precision`/`scale` keys;
+        //  - a `multipleOf` that is a power of ten 10^-s (how classic
+        //    singer-python encodes Decimal scale) -> DecimalType(38, s).
+        // Level 0 only, like every other format rule here.
+        if (level == 0 && anyOfFormat.contains("singer.decimal"))
+          declaredDecimal(prop)
+        else if (level == 0) multipleOfDecimal(prop).getOrElse(DoubleType)
+        else DoubleType
       case Some("boolean") => BooleanType
       case Some("string") =>
         anyOfFormat match {
@@ -153,6 +172,12 @@ object SchemaConv {
                 md = new MetadataBuilder()
                   .putString(SingerFormatKey, "time").build()
                 LongType
+              case "singer.decimal" =>
+                // string-carried exact decimal: tag the provenance so the
+                // sink re-emits quoted plain strings, not JSON numbers
+                md = new MetadataBuilder()
+                  .putString(SingerFormatKey, "singer.decimal").build()
+                declaredDecimal(prop)
               case _      => TimestampType // date-time and any other format
             }
           case _ => StringType
@@ -169,6 +194,36 @@ object SchemaConv {
     }
     (dt, nullable, md)
   }
+
+  /** `format: singer.decimal` -> DecimalType from the declared
+    * `precision`/`scale` keys (defaults 38/18 — Spark's max precision and
+    * a balanced scale, matching pyiceberg's own singer.decimal default
+    * shape). Declared-but-invalid values fail LOUDLY: a malformed decimal
+    * declaration silently becoming a string or float is exactly the
+    * precision-loss bug this extension exists to close. */
+  private def declaredDecimal(prop: JsonNode): DecimalType = {
+    val p = if (prop.hasNonNull("precision")) prop.get("precision").asInt()
+            else 38
+    val s = if (prop.hasNonNull("scale")) prop.get("scale").asInt() else 18
+    require(p >= 1 && p <= 38 && s >= 0 && s <= p,
+      s"singer.decimal declares precision=$p scale=$s — need " +
+        "1 <= precision <= 38 and 0 <= scale <= precision")
+    DecimalType(p, s)
+  }
+
+  /** `multipleOf` = 10^-s (after trailing-zero normalization) declares
+    * scale-s decimal semantics; any other step keeps the reference's
+    * float64 mapping (a non-decimal grid like 0.25 has no exact decimal
+    * type). Negative scales (multipleOf 10, 100) round to scale 0. */
+  private def multipleOfDecimal(prop: JsonNode): Option[DecimalType] =
+    if (!prop.hasNonNull("multipleOf")) None
+    else {
+      val bd = prop.get("multipleOf").decimalValue().stripTrailingZeros()
+      val s = bd.scale()
+      if (bd.unscaledValue() == java.math.BigInteger.ONE && s <= 38)
+        Some(DecimalType(38, math.max(0, s)))
+      else None
+    }
 
   private[singer] def convertObject(node: JsonNode, level: Int): StructType = {
     val props = node.get("properties")

@@ -243,6 +243,13 @@ private[sources] object SingerJson {
         if (graft.singer.SchemaConv.isTimeField(f)) {
           val ty = if (f.nullable) """["string","null"]""" else "\"string\""
           s"""{"type":$ty,"format":"time"}"""
+        } else if (graft.singer.SchemaConv.isDecimalStringField(f)) {
+          // string-borne singer.decimal re-emits the string shape it came
+          // from (values as quoted plain strings, see appendRow)
+          val d = f.dataType.asInstanceOf[DecimalType]
+          val ty = if (f.nullable) """["string","null"]""" else "\"string\""
+          s"""{"type":$ty,"format":"singer.decimal",""" +
+            s""""precision":${d.precision},"scale":${d.scale}}"""
         } else fieldSchema(f.dataType, f.nullable)
       str(f.name) + ":" + fs
     }.mkString(",")
@@ -258,6 +265,15 @@ private[sources] object SingerJson {
     dt match {
       case LongType | IntegerType | ShortType | ByteType => typed("integer")
       case DoubleType | FloatType => typed("number")
+      case d: DecimalType =>
+        // number-borne exact decimal: format + precision/scale round-trip
+        // the exact DecimalType through SchemaConv; multipleOf carries the
+        // scale for classic singer-python consumers
+        val ty = if (nullable) """["number","null"]""" else "\"number\""
+        val step = java.math.BigDecimal.valueOf(1L, d.scale).toPlainString
+        s"""{"type":$ty,"format":"singer.decimal",""" +
+          s""""precision":${d.precision},"scale":${d.scale},""" +
+          s""""multipleOf":$step}"""
       case BooleanType            => typed("boolean")
       case StringType             => typed("string")
       case DateType               => typed("string", Some("date"))
@@ -298,7 +314,15 @@ private[sources] object SingerJson {
           sb.append('"')
             .append(graft.singer.SchemaConv.microsToTimeString(row.getLong(i)))
             .append('"')
-        else appendValue(sb, row, i, f.dataType)
+        else if (graft.singer.SchemaConv.isDecimalStringField(f)) {
+          // string-borne decimal: quoted plain string (no exponent — it
+          // must re-parse exactly on any consumer)
+          val d = f.dataType.asInstanceOf[DecimalType]
+          sb.append('"')
+            .append(row.getDecimal(i, d.precision, d.scale)
+              .toJavaBigDecimal.toPlainString)
+            .append('"')
+        } else appendValue(sb, row, i, f.dataType)
       }
       i += 1
     }
@@ -320,6 +344,10 @@ private[sources] object SingerJson {
       val v = get.getFloat(i).toDouble
       if (java.lang.Double.isFinite(v)) sb.append(v) else sb.append("null")
     case BooleanType => sb.append(get.getBoolean(i))
+    case d: DecimalType =>
+      // decimals are always finite; plain string keeps the exact value
+      sb.append(get.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.toPlainString)
     case StringType  => sb.append(str(get.getUTF8String(i).toString))
     case DateType =>
       sb.append('"')

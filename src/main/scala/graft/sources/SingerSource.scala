@@ -461,6 +461,17 @@ private[sources] object JsonRecordConverter {
           n.asInt <= Byte.MaxValue) n.asInt.toByte else null
       case DoubleType  => if (n.isNumber) n.asDouble else null
       case FloatType   => if (n.isNumber) n.asDouble.toFloat else null
+      case d: DecimalType =>
+        // number- or string-carried exact decimal (format singer.decimal /
+        // multipleOf): same acceptance as the load path's from_json —
+        // unparseable text or precision overflow reads null
+        val txt = if (n.isTextual || n.isNumber) n.asText else null
+        if (txt == null) null
+        else try {
+          val dec = org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(txt))
+          if (dec.changePrecision(d.precision, d.scale)) dec else null
+        } catch { case _: NumberFormatException => null }
       case BooleanType => if (n.isBoolean) n.asBoolean else null
       case StringType  =>
         UTF8String.fromString(if (n.isTextual) n.asText else n.toString)

@@ -60,6 +60,43 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("decimal load path: multipleOf/singer.decimal land as exact " +
+    "DecimalType through the table; overflow and junk are B2 rejections") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns)
+    val lines = Seq(
+      """{"type":"SCHEMA","stream":"dx","schema":{"properties":{""" +
+        """"id":{"type":["integer"]},""" +
+        """"amt":{"type":["number","null"],"multipleOf":0.01},""" +
+        """"px":{"type":["string","null"],"format":"singer.decimal","precision":10,"scale":3}}}}""",
+      """{"type":"RECORD","stream":"dx","record":{"id":1,"amt":10.01,"px":"1.500"}}""",
+      """{"type":"RECORD","stream":"dx","record":{"id":2,"amt":-2.50,"px":"-0.125"}}""",
+      // 0.1 + 0.2 style: the wire text "0.30" parses digit-exact
+      """{"type":"RECORD","stream":"dx","record":{"id":3,"amt":0.3,"px":null}}""",
+      // precision overflow (8 integer digits > 10-3) and junk: rejected
+      """{"type":"RECORD","stream":"dx","record":{"id":4,"px":"123456789.000"}}""",
+      """{"type":"RECORD","stream":"dx","record":{"id":5,"px":"not-a-number"}}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("dx") == 3L)
+    assert(report.rejectedPerStream.getOrElse("dx", 0L) == 2L,
+      s"overflow + junk must reject, got ${report.rejectedPerStream}")
+    val back = cat.load(ns, "dx")
+    assert(back.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 2))
+    assert(back.schema("px").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 3))
+    // exact decimal SUM — the float64 mapping this extension replaces
+    // could not produce 7.81 exactly
+    assert(back.agg(org.apache.spark.sql.functions.sum("amt"))
+      .head().getDecimal(0).compareTo(new java.math.BigDecimal("7.81")) == 0)
+    val px = back.orderBy("id").collect().map(r => Option(r.getDecimal(2)))
+    assert(px(0).contains(new java.math.BigDecimal("1.500")) &&
+      px(1).contains(new java.math.BigDecimal("-0.125").setScale(3)) &&
+      px(2).isEmpty)
+    cat.dropNamespace(ns)
+  }
+
   test("invalid records are dropped (SDK validation, SURVEY §2.B2)") {
     val ns = freshNs()
     val cat = new CountingCatalog

@@ -134,6 +134,55 @@ class SchemaConvSpec extends AnyFunSuite {
     assert(ids == ids.distinct)
   }
 
+  test("decimal extension: multipleOf powers of ten declare scale; " +
+    "singer.decimal declares precision/scale; everything else keeps the " +
+    "reference's float64 mapping") {
+    val st = conv("""{"properties": {
+      "cents":   {"type": ["number", "null"], "multipleOf": 0.01},
+      "tenths":  {"type": "number", "multipleOf": 1e-1},
+      "tens":    {"type": ["number"], "multipleOf": 10},
+      "grid":    {"type": ["number", "null"], "multipleOf": 0.25},
+      "plain":   {"type": ["number", "null"]},
+      "decl":    {"type": ["number", "null"], "format": "singer.decimal",
+                  "precision": 12, "scale": 3},
+      "sdec":    {"type": ["string", "null"], "format": "singer.decimal"},
+      "sdecp":   {"type": ["string", "null"], "format": "singer.decimal",
+                  "precision": 9, "scale": 4}}}""")
+    assert(field(st, "cents").dataType == DecimalType(38, 2))
+    assert(field(st, "tenths").dataType == DecimalType(38, 1) &&
+      !field(st, "tenths").nullable)
+    // negative scale (multipleOf 10) floors to 0 — integral decimal
+    assert(field(st, "tens").dataType == DecimalType(38, 0))
+    // a non-power-of-ten step has no exact decimal type: float64 as before
+    assert(field(st, "grid").dataType == DoubleType)
+    assert(field(st, "plain").dataType == DoubleType)
+    assert(field(st, "decl").dataType == DecimalType(12, 3))
+    // string-carried decimals default (38,18) and carry the provenance
+    // tag so the sink re-emits quoted strings
+    assert(field(st, "sdec").dataType == DecimalType(38, 18))
+    assert(SchemaConv.isDecimalStringField(field(st, "sdec")))
+    assert(field(st, "sdecp").dataType == DecimalType(9, 4))
+    assert(SchemaConv.isDecimalStringField(field(st, "sdecp")))
+    assert(!SchemaConv.isDecimalStringField(field(st, "decl")),
+      "number-carried decimals must NOT claim the string wire shape")
+  }
+
+  test("decimal extension: declared-but-invalid precision/scale fails " +
+    "loudly; formats and multipleOf are level-0 only") {
+    intercept[IllegalArgumentException](conv("""{"properties": {
+      "bad": {"type": "number", "format": "singer.decimal",
+              "precision": 40}}}"""))
+    intercept[IllegalArgumentException](conv("""{"properties": {
+      "bad": {"type": "string", "format": "singer.decimal",
+              "precision": 6, "scale": 9}}}"""))
+    // nested: the reference honors formats at level 0 only; the decimal
+    // extension follows the same rule
+    val st = conv("""{"properties": {"o": {"type": "object", "properties": {
+      "inner": {"type": ["number", "null"], "multipleOf": 0.01}}}}}""")
+    assert(field(field(st, "o").dataType.asInstanceOf[StructType], "inner")
+      .dataType == DoubleType)
+  }
+
   test("events fixture schema matches FIXTURES.md §2") {
     val st = conv("""{"properties": {
       "event_id":  {"type": ["integer"]},

@@ -281,6 +281,61 @@ class SingerSourceSpec extends AnyFunSuite {
       read1.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("singer.decimal round-trips: number- and string-carried decimals " +
+    "land exact, re-emit their wire shape, and re-read identically") {
+    val dir = Files.createTempDirectory("singer-dec").toString
+    Files.write(java.nio.file.Paths.get(dir, "feed.jsonl"), java.util.List.of(
+      """{"type":"SCHEMA","stream":"dm","schema":{"properties":{""" +
+        """"id":{"type":["integer"]},""" +
+        """"amt":{"type":["number","null"],"multipleOf":0.01},""" +
+        """"px":{"type":["string","null"],"format":"singer.decimal","precision":12,"scale":4}}}}""",
+      """{"type":"RECORD","stream":"dm","record":{"id":1,"amt":12.34,"px":"0.1234"}}""",
+      """{"type":"RECORD","stream":"dm","record":{"id":2,"amt":-0.05,"px":"-99999999.9999"}}""",
+      // a double that cannot represent 0.1+0.2 exactly DOES have an exact
+      // decimal: the wire text parses digit-exact, never through float64
+      """{"type":"RECORD","stream":"dm","record":{"id":3,"amt":0.3,"px":null}}""",
+      // precision overflow and junk text read null (type-mismatch rule)
+      """{"type":"RECORD","stream":"dm","record":{"id":4,"px":"123456789.0000"}}""",
+      """{"type":"RECORD","stream":"dm","record":{"id":5,"px":"abc"}}"""))
+    val read1 = spark.read.format("singer").option("stream", "dm").load(dir)
+    assert(read1.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 2))
+    assert(read1.schema("px").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 4))
+    assert(graft.singer.SchemaConv.isDecimalStringField(read1.schema("px")))
+    val byId = read1.collect()
+      .map(r => r.getLong(0) -> (Option(r.getDecimal(1)), Option(r.getDecimal(2))))
+      .toMap
+    assert(byId(1) == ((Some(new java.math.BigDecimal("12.34")),
+      Some(new java.math.BigDecimal("0.1234")))))
+    assert(byId(2) == ((Some(new java.math.BigDecimal("-0.05")),
+      Some(new java.math.BigDecimal("-99999999.9999")))))
+    assert(byId(3)._1.contains(new java.math.BigDecimal("0.30")))
+    assert(byId(4)._2.isEmpty, "precision overflow must read null")
+    assert(byId(5)._2.isEmpty, "junk text must read null")
+    // sink re-emits each decimal in its declared wire shape
+    val out = Files.createTempDirectory("singer-dec-out").toString
+    read1.write.format("singer").option("stream", "dm")
+      .mode("append").save(out)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .flatMap(f => Files.readAllLines(f).asScala).toSeq
+    val schemaLine = lines.find(_.contains("\"SCHEMA\"")).get
+    assert(schemaLine.contains("\"multipleOf\":0.01"), schemaLine)
+    assert(schemaLine.contains("\"format\":\"singer.decimal\""), schemaLine)
+    assert(schemaLine.contains("\"precision\":12") &&
+      schemaLine.contains("\"scale\":4"), schemaLine)
+    assert(lines.exists(l => l.contains("\"amt\":12.34") &&
+      l.contains("\"px\":\"0.1234\"")), "number bare, string quoted")
+    // and the written feed reads back value-identical
+    val read2 = spark.read.format("singer").option("stream", "dm").load(out)
+    assert(read2.schema("amt").dataType == read1.schema("amt").dataType &&
+      read2.schema("px").dataType == read1.schema("px").dataType)
+    assert(read2.orderBy("id").collect().map(_.toSeq).toSeq ==
+      read1.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("integration: singer stream -> watermarked dedup -> memory sink") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("singer-e2e")
