@@ -114,6 +114,52 @@ private[graft] object SingerSourceUtil {
   def paths(options: CaseInsensitiveStringMap): Seq[Path] =
     listFiles(options).map(_.getPath)
 
+  /** Capped-admission boundary for a file span `[from, len)`: the largest
+    * LINE-ALIGNED offset admitting at most `rowBudget` lines and (softly,
+    * Spark's file-source convention — the straddling line is admitted) at
+    * most `byteBudget` bytes; always at least one line when the span is
+    * nonempty, so a cap smaller than one line still makes progress.
+    * Returns (boundary, linesCounted). The bytes-only fast path seeks
+    * straight to the cap and scans only to the next newline — it never
+    * reads the admitted span, and reports 0 lines (its callers only
+    * track a row budget when a row cap exists). Driver-side I/O bounded
+    * by the CAP, never the backlog. */
+  def admitSpan(path: String, from: Long, len: Long,
+                rowBudget: Long, byteBudget: Long): (Long, Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf())
+    if (rowBudget == Long.MaxValue) {
+      if (byteBudget >= len - from) return (len, 0L)
+      val in = fs.open(p)
+      try {
+        val target = from + math.max(byteBudget, 1L)
+        in.seek(target)
+        val lr = new org.apache.hadoop.util.LineReader(in)
+        val n = lr.readLine(new Text())
+        (if (n == 0) len else target + n, 0L)
+      } finally in.close()
+    } else {
+      val in = fs.open(p)
+      try {
+        in.seek(from)
+        val lr = new org.apache.hadoop.util.LineReader(in)
+        val t = new Text()
+        var consumed = 0L
+        var count = 0L
+        var done = false
+        while (!done && count < rowBudget && from + consumed < len) {
+          val n = lr.readLine(t)
+          if (n == 0) done = true
+          else {
+            consumed += n; count += 1
+            if (consumed >= byteBudget) done = true
+          }
+        }
+        (from + consumed, count)
+      } finally in.close()
+    }
+  }
+
   /** The stream every reader must bind to: the explicit option, or — so
     * that ALL partitions agree — the stream whose SCHEMA message schema
     * inference would pick (the first one found). Resolved ONCE driver-side;
@@ -290,20 +336,85 @@ private[sources] object SingerStreamOffset {
   * batch scan. Assumes line-atomic appends — the Singer CLI contract
   * (line-buffered stdout); a mid-line snapshot would split a record.
   * At scale each batch's work is proportional to NEW data only, and the
-  * per-file ranges parallelize exactly like batch splits. */
+  * per-file ranges parallelize exactly like batch splits.
+  *
+  * BACKPRESSURE (admission control): without a cap, a huge backlog (the
+  * tap ran for hours before the stream started, or one giant appended
+  * file) lands as ONE micro-batch — a single epoch sized like a batch
+  * job, blowing right past any checkpoint-interval/latency target.
+  * `maxBytesPerTrigger` caps the total bytes admitted per batch;
+  * `maxRecordsPerTrigger` caps admitted Singer MESSAGES (lines — the
+  * unit the wire grows by; SCHEMA/STATE lines count like the SDK's
+  * message counters do). Both split a large file MID-FILE on an exact
+  * line boundary: the capped offset is found by a bounded driver-side
+  * forward scan (bytes: a few bytes past the cap to the next newline;
+  * records: one LineReader pass over the ADMITTED span only — cost
+  * bounded by the cap itself, never the backlog). Files the budget
+  * does not reach carry their start offsets forward, so nothing is
+  * skipped or re-read — exactly-once totals across any split. */
 private[sources] class SingerMicroBatchStream(required: StructType,
                                               stream: Option[String],
                                               optionsMap: Map[String, String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def options = new CaseInsensitiveStringMap(optionsMap.asJava)
 
   override def initialOffset(): Offset = SingerStreamOffset(Map.empty)
 
+  override def getDefaultReadLimit: ReadLimit = {
+    val maxRecs = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    (maxRecs, maxBytes) match {
+      case (Some(r), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxRows(r),
+          ReadLimit.maxBytes(b)))
+      case (Some(r), None) => ReadLimit.maxRows(r)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _               => ReadLimit.allAvailable()
+    }
+  }
+
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+
+  override def reportLatestOffset(): Offset =
     SingerStreamOffset(SingerSourceUtil.listFiles(options)
       .map(st => st.getPath.toString -> st.getLen).toMap)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxBytes, ReadMaxRows}
+    val startFiles = start.asInstanceOf[SingerStreamOffset].files
+    val avail = SingerSourceUtil.listFiles(options)
+      .map(st => st.getPath.toString -> st.getLen).toMap
+    def limits(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(limits)
+      case other                 => Seq(other)
+    }
+    val rowCap = limits(limit).collectFirst {
+      case r: ReadMaxRows => r.maxRows() }
+    val byteCap = limits(limit).collectFirst {
+      case b: ReadMaxBytes => b.maxBytes() }
+    if (rowCap.isEmpty && byteCap.isEmpty)
+      return SingerStreamOffset(avail)
+    var rowBudget = rowCap.getOrElse(Long.MaxValue)
+    var byteBudget = byteCap.getOrElse(Long.MaxValue)
+    val admitted = scala.collection.mutable.Map[String, Long]() ++ startFiles
+    avail.toSeq.sortBy(_._1).foreach { case (f, len) =>
+      val from = startFiles.getOrElse(f, 0L)
+      if (len > from && (rowBudget > 0 && byteBudget > 0)) {
+        val (boundary, lines) = SingerSourceUtil.admitSpan(
+          f, from, len, rowBudget, byteBudget)
+        if (boundary > from) admitted(f) = boundary
+        else admitted.getOrElseUpdate(f, from)
+        rowBudget -= lines
+        byteBudget -= (boundary - from)
+      } else admitted.getOrElseUpdate(f, from)
+    }
+    SingerStreamOffset(admitted.toMap)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SingerStreamOffset].files

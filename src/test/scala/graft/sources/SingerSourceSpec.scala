@@ -336,6 +336,84 @@ class SingerSourceSpec extends AnyFunSuite {
       read1.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("maxRecordsPerTrigger backpressure: a 50k-line append lands as " +
+    ">= 5 micro-batches, each under the cap, with exactly-once totals") {
+    val dir = Files.createTempDirectory("singer-bp")
+    val n = 50000
+    val lines = new java.lang.StringBuilder()
+    lines.append("""{"type":"SCHEMA","stream":"bp","schema":{"properties":{"id":{"type":["integer"]}}}}""")
+      .append('\n')
+    (1 to n).foreach(i => lines
+      .append(s"""{"type":"RECORD","stream":"bp","record":{"id":$i}}""")
+      .append('\n'))
+    Files.writeString(dir.resolve("feed.jsonl"), lines.toString)
+    val batches = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long, Long)]()
+    val q = spark.readStream.format("singer")
+      .option("stream", "bp")
+      .option("maxRecordsPerTrigger", "10000")
+      .load(dir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val agg = df.agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum("id")).head()
+        batches.add((id, agg.getLong(0),
+          if (agg.isNullAt(1)) 0L else agg.getLong(1))): Unit
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("singer-bp-ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val bs = batches.asScala.toSeq.filter(_._2 > 0)
+    assert(bs.size >= 5,
+      s"a 50k-line backlog must split into >= 5 capped batches: ${bs.size}")
+    // the cap counts LINES (Singer messages): no batch admits more than
+    // 10000 of them, so no batch carries more than 10000 records
+    assert(bs.forall(_._2 <= 10000L), s"cap violated: $bs")
+    // exactly-once across every split boundary: total count AND id-sum
+    assert(bs.map(_._2).sum == n.toLong, s"records lost/duplicated: $bs")
+    assert(bs.map(_._3).sum == n.toLong * (n + 1) / 2,
+      "id checksum proves no record crossed a boundary twice or vanished")
+  }
+
+  test("maxBytesPerTrigger backpressure: mid-file splits land on exact " +
+    "line boundaries — totals identical to an uncapped read") {
+    val dir = Files.createTempDirectory("singer-bpb")
+    val n = 400
+    val body = (Seq("""{"type":"SCHEMA","stream":"bb","schema":{"properties":{"id":{"type":["integer"]}}}}""") ++
+      (1 to n).map(i =>
+        s"""{"type":"RECORD","stream":"bb","record":{"id":$i}}"""))
+      .mkString("", "\n", "\n")
+    Files.writeString(dir.resolve("feed.jsonl"), body)
+    val batches = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+    val q = spark.readStream.format("singer")
+      .option("stream", "bb")
+      .option("maxBytesPerTrigger", "2048") // far under the ~20 KB feed
+      .load(dir.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val agg = df.agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum("id")).head()
+        batches.add((agg.getLong(0),
+          if (agg.isNullAt(1)) 0L else agg.getLong(1))): Unit
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("singer-bpb-ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val bs = batches.asScala.toSeq.filter(_._1 > 0)
+    assert(bs.size >= 5, s"~20 KB at a 2 KB cap must split: ${bs.size}")
+    // a split landing MID-LINE would corrupt a record (json parse null or
+    // a mangled id) and break one of these exact totals
+    assert(bs.map(_._1).sum == n.toLong, s"records lost/duplicated: $bs")
+    assert(bs.map(_._2).sum == n.toLong * (n + 1) / 2, s"id checksum: $bs")
+  }
+
   test("integration: singer stream -> watermarked dedup -> memory sink") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("singer-e2e")
