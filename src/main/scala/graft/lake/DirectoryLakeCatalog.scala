@@ -83,7 +83,10 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path)
   }
 
   override protected def casMeta(ns: String, table: String, base: Int,
-                                 meta: ObjectNode): Boolean = {
+                                 meta: ObjectNode,
+                                 freshMark: Option[String]): Boolean = {
+    // freshMark unused: link(2) is atomic — a local claim is never
+    // ambiguous (it either landed under the version name or EEXISTed)
     val md = metaDir(ns, table)
     Files.createDirectories(md)
     // stale base: a writer committed since our fetch — lose without

@@ -7,6 +7,7 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
 
 /** HTTP-carried [[SnapshotLakeCatalog]]: the table metadata lives on a
   * catalog SERVER speaking the Iceberg REST catalog protocol shape — the
@@ -161,7 +162,11 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
       val r = expect(send("GET", s"$path?$q"), 200)
       val node = mapper.readTree(r.body()).asInstanceOf[ObjectNode]
       out ++= extract(node)
-      tok = Option(node.get("next-page-token")).map(_.asText())
+      // explicit JSON null = no more pages (the OpenAPI marks the token
+      // nullable; a NullNode's asText is the STRING "null", which would
+      // loop forever against a server that emits the key on the last page)
+      tok = Option(node.get("next-page-token")).filter(!_.isNull)
+        .map(_.asText())
       more = tok.isDefined
     }
     out.toSeq
@@ -194,7 +199,8 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
   }
 
   override protected def casMeta(ns: String, table: String, base: Int,
-                                 meta: ObjectNode): Boolean = {
+                                 meta: ObjectNode,
+                                 freshMark: Option[String]): Boolean = {
     val body = mapper.createObjectNode()
     body.put("base-version", base)
     body.set[ObjectNode]("metadata", meta)
@@ -224,11 +230,25 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
           // on parse (IntNode vs LongNode), so the freshly-built document
           // never equals its own wire round-trip structurally
           def canon(n: ObjectNode) = mapper.readTree(n.toString)
+          // did OUR snapshot land, at base+1 or under any number of
+          // interleaved later winners? The freshMark (a manifest-list
+          // path unique to this attempt) is carried VERBATIM by every
+          // later snapshot's history, so its presence anywhere in the
+          // winner's document proves our commit applied — answering the
+          // v > base+1 interleaving a bare version compare misreads as a
+          // plain lost race (the outer loop would then re-derive on top
+          // of its own landed commit and append the same dir twice).
+          def landedIn(cur: ObjectNode): Boolean = freshMark.exists(m =>
+            cur.get("snapshots").elements().asScala.exists(s =>
+              Option(s.get("manifest-list")).exists(_.asText() == m)))
           fetchMeta(ns, table) match {
             case Some((v, cur)) if v == base + 1 && canon(cur) == canon(meta) =>
               return true // our commit landed; only the response was lost
-            case Some((v, _)) if v != base =>
-              return false // a racing writer advanced the table
+            case Some((v, cur)) if v != base =>
+              // snapshot-adding commits resolve by the freshMark; a
+              // markless commit (creation/evolution/expiry) resolves to
+              // lost-race, which its re-derivation handles idempotently
+              return landedIn(cur)
             case _ => () // still at base: provably not applied — re-send
           }
       }

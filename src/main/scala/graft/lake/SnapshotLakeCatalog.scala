@@ -52,9 +52,20 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   /** Publish `meta` as version `base`+1 iff the current version is still
     * `base` (0 = table creation). MUST be atomic. True = committed;
-    * false = lost the race (caller re-fetches and re-derives). */
+    * false = lost the race (caller re-fetches and re-derives).
+    *
+    * `freshMark`: a manifest-list path present in `meta` but NOT in the
+    * base document — a fingerprint unique to THIS commit attempt (new
+    * manifest-list names carry a fresh UUID; later snapshots carry
+    * landed commits' entries forward verbatim). A remote carrier whose
+    * publish outcome can be AMBIGUOUS (applied server-side, response
+    * lost) uses it to decide "did MY commit land?" against any number of
+    * interleaved winners; None = the commit adds no snapshot (creation,
+    * evolution, expiry) — those re-derive idempotently, so ambiguity may
+    * safely resolve to lost-race. Local atomic carriers ignore it. */
   protected def casMeta(ns: String, table: String, base: Int,
-                        meta: ObjectNode): Boolean
+                        meta: ObjectNode,
+                        freshMark: Option[String] = None): Boolean
 
   /** Root of the table's snapshot data directories. */
   protected def dataDir(ns: String, table: String): Path
@@ -142,11 +153,22 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     var attempt = 0
     while (true) {
       val cur = fetchMeta(ns, table)
-      update(cur.map(t => migrateLegacy(ns, table, t._2))) match {
+      val baseDoc = cur.map(t => migrateLegacy(ns, table, t._2))
+      // capture the BASE's manifest-list set BEFORE update mutates the
+      // document in place (update returns the same ObjectNode)
+      def mlSet(doc: Option[ObjectNode]): Set[String] = doc
+        .map(_.get("snapshots").elements().asScala
+          .flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
+          .toSet)
+        .getOrElse(Set.empty)
+      val baseMls = mlSet(baseDoc)
+      update(baseDoc) match {
         case None => return
         case Some(meta) =>
           meta.put("last-updated-ms", System.currentTimeMillis())
-          if (casMeta(ns, table, cur.map(_._1).getOrElse(0), meta)) return
+          val freshMark = (mlSet(Some(meta)) -- baseMls).headOption
+          if (casMeta(ns, table, cur.map(_._1).getOrElse(0), meta,
+              freshMark)) return
           attempt += 1
           if (attempt >= MaxCommitRetries)
             throw new IllegalStateException(

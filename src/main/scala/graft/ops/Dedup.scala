@@ -371,19 +371,60 @@ object Dedup {
   // strict val here would capture its pre-init 0 (capacity-0 memo that
   // evicts every insert — observed as q158 re-scoring q148's base)
   private lazy val calibCache = new SessionMemo(MaxCachedCorpora)
+  private lazy val calibPairsCache = new SessionMemo(MaxCachedCorpora)
+
+  /** Pair budget for the CALIBRATION family (q148/q158/q176): reports
+    * whose statistical value saturates long before the pair stream does.
+    * Above this, pairs are DETERMINISTICALLY sampled (fixed arithmetic on
+    * the id pair, mirrored verbatim in the oracles) — the r11 100×
+    * probe's lesson: replication-quadratic duplication grows the
+    * candidate stream ~copies² (25M pairs at 100×, vs 256 at sf0.1), and
+    * carrying shingle+signature ARRAYS per pair through that stream is a
+    * multi-hundred-GB shuffle. Per-pair OUTPUT operators (q23/q51/q101)
+    * keep the full stream — their output IS the pairs; a calibration
+    * report over ≥100k pairs is statistically indistinguishable from the
+    * full census. Gate scales (sf0.01, sf0.1, sf0.01x10: 25 / 256 /
+    * 23.8k pairs) stay UNSAMPLED — step = 1 reproduces the exact
+    * pre-sampling outputs. */
+  val CalibMaxPairs = 100000L
+
+  /** The sampled calibration pair list: the NARROW (id_a, id_b) candidate
+    * stream, thinned to ~[[CalibMaxPairs]] by keeping every step-th pair
+    * under a fixed hash of the id pair (step = n div CalibMaxPairs,
+    * floored at 1). Counting rides the narrow pair list — the shingle /
+    * signature arrays join in AFTER sampling, so the heavy width only
+    * ever multiplies the BOUNDED sample. Memoized + checkpointed: one
+    * derivation serves q148, q158 and q176. `maxPairs` is the spec's
+    * override seam (only the default is memoized). */
+  private[ops] def sampledCalibPairs(s: SparkSession, d: String,
+                                     maxPairs: Long = CalibMaxPairs)
+      : DataFrame = {
+    def build(): DataFrame = {
+      val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
+      val n = pairs.count()
+      val step = math.max(1L, n / maxPairs)
+      (if (step == 1L) pairs
+       else pairs.filter(expr(s"(id_a * 1000003 + id_b) % $step = 0")))
+        .localCheckpoint(true)
+    }
+    if (maxPairs != CalibMaxPairs) build()
+    else calibPairsCache.getOrElseUpdate(s, d)(build())
+  }
 
   /** Scored calibration base shared by q148 and the q158 budget sweep:
-    * per candidate pair, the per-slot signature-match indicators plus the
-    * exact shingle intersection and set sizes — ONE array_intersect pass
-    * over the cap-bounded candidate stream, checkpointed, so the
-    * calibration report and the hash-budget sweep never score the pairs
-    * twice (the truthCache discipline; at 10× this pass is the linear
-    * cost term both consumers would otherwise each pay). */
+    * per SAMPLED candidate pair ([[sampledCalibPairs]]), the per-slot
+    * signature-match indicators plus the exact shingle intersection and
+    * set sizes — ONE array_intersect pass over the bounded sample,
+    * checkpointed, so the calibration report and the hash-budget sweep
+    * never score the pairs twice (the truthCache discipline). */
   private def calibrationBase(s: SparkSession, d: String): DataFrame =
     calibCache.getOrElseUpdate(s, d) {
       calibDerivations.incrementAndGet()
       val mh = minhashes(s, d)
-      candidatesWithShingles(s, d)
+      val sh = shingled(s, d)
+      sampledCalibPairs(s, d)
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .join(mh.select(col("doc_id").as("id_a"), col("mh").as("mh_a")), "id_a")
         .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
         .select(
@@ -419,7 +460,7 @@ object Dedup {
     * NumHashes·|grid| in-row comparisons, and the rollup is |grid| rows. */
   def q176BbitSweep(s: SparkSession, d: String): DataFrame = {
     val mh = minhashes(s, d)
-    minhashCandidates(s, d, Some(DefaultMaxBucket))
+    sampledCalibPairs(s, d) // calibration family: bounded pair sample
       .join(mh.select(col("doc_id").as("id_a"), col("mh").as("mh_a")), "id_a")
       .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
       .select(
@@ -2197,6 +2238,20 @@ object Dedup {
       )"""
   }
 
+  /** Sampled-candidate CTE (`scand`) — the oracle mirror of
+    * [[sampledCalibPairs]]: same step derivation (pair count floor-div
+    * [[CalibMaxPairs]], floored at 1), same keep arithmetic, so the two
+    * engines sample the IDENTICAL pair set at any scale. Requires `cand`
+    * in scope. */
+  private def sampledCandCte: String =
+    s"""scand AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c,
+             (SELECT greatest(1, count(*) // $CalibMaxPairs) AS step
+              FROM cand) st
+        WHERE (c.id_a * 1000003 + c.id_b) % st.step = 0
+      )"""
+
   /** Exact pairwise shingle-intersection CTE over the candidate pairs —
     * shared by the jaccard (q23/q60) and containment (q101) oracles so the
     * overlap definition exists once on the oracle side too. */
@@ -2556,13 +2611,14 @@ object Dedup {
              coalesce(sum(${slotSum(i =>
                s"(CASE WHEN a.mh$i % $m = bb.mh$i % $m THEN 1 ELSE 0 END)")}), 0)::BIGINT
                AS bbit_matches
-           FROM cand c JOIN mh a ON a.doc_id = c.id_a
-                       JOIN mh bb ON bb.doc_id = c.id_b
+           FROM scand c JOIN mh a ON a.doc_id = c.id_a
+                        JOIN mh bb ON bb.doc_id = c.id_b
            CROSS JOIN LATERAL (SELECT ${slotSum(i =>
              s"(CASE WHEN a.mh$i = bb.mh$i THEN 1 ELSE 0 END)")} AS full_m) f"""
       }.mkString("\n        UNION ALL ")
       s"""
       $minhashCandCtes,
+      $sampledCandCte,
       arms AS (
         $arms)
       SELECT b::BIGINT AS b, n_pairs, full_matches, bbit_matches,
@@ -2841,12 +2897,13 @@ object Dedup {
         s"(x.mh$i = y.mh$i)::BIGINT AS s$i").mkString(",\n               ")
       s"""
       $minhashCandCtes,
+      $sampledCandCte,
       $interCte,
       cal AS (
         SELECT $slotBools,
                coalesce(i.ninter, 0) AS ninter,
                sa.n_sh AS n_a, sb.n_sh AS n_b
-        FROM cand c
+        FROM scand c
         JOIN mh x ON x.doc_id = c.id_a
         JOIN mh y ON y.doc_id = c.id_b
         JOIN shs sa ON sa.doc_id = c.id_a
@@ -2869,12 +2926,13 @@ object Dedup {
         s"(x.mh$i = y.mh$i)::INT").mkString(" + ")
       s"""
       $minhashCandCtes,
+      $sampledCandCte,
       $interCte,
       cal AS (
         SELECT c.id_a, c.id_b, ($slotMatches) AS n_match,
                coalesce(i.ninter, 0) AS ninter,
                sa.n_sh AS n_a, sb.n_sh AS n_b
-        FROM cand c
+        FROM scand c
         JOIN mh x ON x.doc_id = c.id_a
         JOIN mh y ON y.doc_id = c.id_b
         JOIN shs sa ON sa.doc_id = c.id_a

@@ -314,6 +314,9 @@ object Streaming {
             org.apache.spark.sql.expressions.Window
               .partitionBy("fp").orderBy("doc_id")))
           .filter(col("__rn") === 1).drop("__rn")
+          // ONE compute of the md5+window epoch transform: the guard's
+          // null pre-scan AND the anti-join both read cached blocks
+          .localCheckpoint(true)
         val survivors =
           catalog.exceptExistingKeys(ns, fpTable, "fp", inBatch)
         val out = survivors.localCheckpoint(true) // two appends, one compute
@@ -362,6 +365,7 @@ object Streaming {
         val s = batch.sparkSession // cloned session per epoch
         val all =
           graft.ops.Dedup.dedupAgainstIndex(s, batch.toDF(), index)
+            .localCheckpoint(true) // guard pre-scan + append, one compute
         val decisions = catalog.exceptExistingKeys(ns, table,
           "incoming_id", all, distinctKeys = true)
         catalog.ensureTable(ns, table, decisions.schema)
@@ -405,6 +409,7 @@ object Streaming {
         // dedupedSinkToLake
         val all = graft.ops.Similarity
           .annIndexRows(batch.dropDuplicates("vec_id").toDF(), coarse, pq)
+          .localCheckpoint(true) // guard pre-scan + append, one compute
         val rows = catalog.exceptExistingKeys(ns, table, "vec_id", all)
         catalog.ensureTable(ns, table, rows.schema)
         catalog.append(ns, table, rows)
@@ -429,6 +434,9 @@ object Streaming {
         sum(length(col("text")).cast("long")).as("n_chars"))
       .withColumn("epoch", lit(epoch))
       .select("epoch", "source", "n_docs", "n_tokens", "n_chars")
+      // |sources|-bounded aggregate: checkpoint so the guard's null
+      // pre-scan and the append don't each re-run the epoch groupBy
+      .localCheckpoint(true)
     val rows = catalog.exceptExistingKeys(ns, table, "epoch", deltas,
       distinctKeys = true)
     catalog.ensureTable(ns, table, rows.schema)

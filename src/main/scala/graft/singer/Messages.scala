@@ -32,7 +32,14 @@ object SingerMessage {
   final case class Batch(stream: String, format: String, compression: String,
                          manifest: Seq[String]) extends SingerMessage
 
+  // USE_BIG_DECIMAL_FOR_FLOATS: decode re-serializes the `record` node
+  // (rec.toString) for downstream typed parsing — a default mapper would
+  // round JSON floats through a double HERE, silently corrupting
+  // number-carried singer.decimal values past ~16 significant digits
+  // before any decimal-aware consumer saw the text
   @transient private lazy val mapper = new ObjectMapper()
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .USE_BIG_DECIMAL_FOR_FLOATS, true)
 
   /** Decode one JSONL line. Unknown/garbled lines return None (the Singer
     * spec requires targets to ignore unrecognized message types). */

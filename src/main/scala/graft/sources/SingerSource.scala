@@ -522,7 +522,14 @@ private[sources] class SingerPartitionReader(part: SingerInputPartition,
   * read as null (the query-surface contract — strict validation lives in
   * the load path). */
 private[sources] object JsonRecordConverter {
+  // USE_BIG_DECIMAL_FOR_FLOATS: JSON floats parse as DecimalNode, so a
+  // number-carried singer.decimal keeps every digit — the default
+  // DoubleNode would round to ~16 significant digits BEFORE the
+  // DecimalType conversion saw the text (silent corruption the load
+  // path's from_json, which reads the token text digit-exact, never had)
   @transient private lazy val mapper = new ObjectMapper()
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .USE_BIG_DECIMAL_FOR_FLOATS, true)
 
   def convert(recordJson: String, schema: StructType): InternalRow = {
     val node = mapper.readTree(recordJson)

@@ -34,6 +34,7 @@ object RestCatalogStub {
     private var failNextCode = 503
     private var failNextMethod: Option[String] = None
     private var failAfterCommitN = 0
+    private var raceAfterCommit = false
     private var requests = 0
 
     def port: Int = hs.getAddress.getPort
@@ -50,9 +51,14 @@ object RestCatalogStub {
       }
 
     /** APPLY the next `n` commit POSTs, then answer 503 — the
-      * committed-but-response-lost ambiguity. */
-    def failAfterCommit(n: Int): Unit =
-      lock.synchronized { failAfterCommitN = n }
+      * committed-but-response-lost ambiguity. With `race = true`, a
+      * RACING WRITER also lands before the client can recover (modeled as
+      * a rebase carrying the committed content forward, what a real
+      * racing append does): the table advances TWO versions past the
+      * client's base, so a bare version compare misreads the client's own
+      * landed commit as a plain lost race. */
+    def failAfterCommit(n: Int, race: Boolean = false): Unit =
+      lock.synchronized { failAfterCommitN = n; raceAfterCommit = race }
 
     /** Requests served so far (pagination specs count page fetches). */
     def requestCount: Int = lock.synchronized(requests)
@@ -83,9 +89,12 @@ object RestCatalogStub {
       val size = params.get("pageSize").flatMap(_.toIntOption).getOrElse(100)
       val off = params.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
       val slice = items.slice(off, off + size)
+      // the last page carries an EXPLICIT null token (the OpenAPI marks it
+      // nullable and real servers emit it) — a client reading NullNode's
+      // asText as the string "null" would loop forever
       val next =
         if (off + size < items.size) s""","next-page-token":"${off + size}""""
-        else ""
+        else ""","next-page-token":null"""
       reply(ex, 200, s"{${render(slice)}$next}")
     }
 
@@ -168,6 +177,8 @@ object RestCatalogStub {
               if (failAfterCommitN > 0) {
                 // the ambiguity injector: state IS committed, response lost
                 failAfterCommitN -= 1
+                if (raceAfterCommit) // a racing rebase lands on top, too
+                  tables.update(key, (cur + 2, meta))
                 reply(ex, 503, """{"error":"injected post-commit failure"}""")
               } else reply(ex, 200, s"""{"metadata-version":${cur + 1}}""")
             }

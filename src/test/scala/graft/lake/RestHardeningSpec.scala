@@ -103,6 +103,27 @@ class RestHardeningSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("commit applied, response lost, AND a racing writer lands before " +
+    "recovery: the freshMark still proves our commit — no double-append") {
+    val server = RestCatalogStub.start()
+    try {
+      val cat = fastCat(server)
+      cat.ensureTable("amb2", "t", schema)
+      cat.append("amb2", "t", Seq(1L).toDF("id"))
+      // the table advances TWO versions past our base (our commit + a
+      // racing rebase): a bare version compare reads this as a plain
+      // lost race, re-derives on top of our own landed commit, and
+      // appends the same snapshot dir twice
+      server.failAfterCommit(1, race = true)
+      cat.append("amb2", "t", Seq(2L).toDF("id"))
+      assert(cat.load("amb2", "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L), "rows must not duplicate under recovery-with-race")
+      assert(cat.snapshotIds("amb2", "t").size == 2,
+        "exactly one snapshot per append, raced recovery included")
+      cat.dropNamespace("amb2")
+    } finally server.stop()
+  }
+
   test("paginated list routes: the client follows next-page-token to " +
     "completion, in |items|/pageSize round-trips") {
     val server = RestCatalogStub.start()

@@ -368,6 +368,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration pair sampling: deterministic arithmetic subset; " +
+    "step=1 (all gate scales) reproduces the full stream exactly") {
+    def pairs(maxPairs: Long): Set[(Long, Long)] =
+      Dedup.sampledCalibPairs(spark, sf, maxPairs).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val full = pairs(Long.MaxValue)
+    assert(full.nonEmpty)
+    // under the budget -> unsampled: the calibration outputs are
+    // byte-identical to the pre-sampling behavior at every gate scale
+    assert(pairs(Dedup.CalibMaxPairs) == full,
+      "sf0.01 is far under CalibMaxPairs — step must be 1")
+    // tiny budget -> the exact arithmetic the oracles mirror
+    val budget = math.max(1L, full.size / 3L)
+    val step = math.max(1L, full.size / budget)
+    val sampled = pairs(budget)
+    assert(sampled == full.filter { case (a, b) =>
+      (a * 1000003L + b) % step == 0 },
+      s"sampling must be the mirrored modulus arithmetic (step $step)")
+    assert(sampled.nonEmpty && sampled.size < full.size)
+    assert(pairs(budget) == sampled, "sampling must be deterministic")
+  }
+
   test("minhash signatures are one shuffle-free codegen'd projection") {
     val shPlan = Dedup.shingled(spark, sf).queryExecution.executedPlan.toString
     assert(!shPlan.contains("Exchange"), shPlan.take(1500))

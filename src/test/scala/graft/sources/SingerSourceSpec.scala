@@ -296,7 +296,10 @@ class SingerSourceSpec extends AnyFunSuite {
       """{"type":"RECORD","stream":"dm","record":{"id":3,"amt":0.3,"px":null}}""",
       // precision overflow and junk text read null (type-mismatch rule)
       """{"type":"RECORD","stream":"dm","record":{"id":4,"px":"123456789.0000"}}""",
-      """{"type":"RECORD","stream":"dm","record":{"id":5,"px":"abc"}}"""))
+      """{"type":"RECORD","stream":"dm","record":{"id":5,"px":"abc"}}""",
+      // >16 significant digits in a NUMBER-carried decimal: a reader that
+      // routes JSON floats through a double loses the trailing .01
+      """{"type":"RECORD","stream":"dm","record":{"id":6,"amt":10000000000000000.01}}"""))
     val read1 = spark.read.format("singer").option("stream", "dm").load(dir)
     assert(read1.schema("amt").dataType ==
       org.apache.spark.sql.types.DecimalType(38, 2))
@@ -313,6 +316,9 @@ class SingerSourceSpec extends AnyFunSuite {
     assert(byId(3)._1.contains(new java.math.BigDecimal("0.30")))
     assert(byId(4)._2.isEmpty, "precision overflow must read null")
     assert(byId(5)._2.isEmpty, "junk text must read null")
+    assert(byId(6)._1.contains(
+      new java.math.BigDecimal("10000000000000000.01")),
+      s"number-carried decimal must keep every digit: ${byId(6)._1}")
     // sink re-emits each decimal in its declared wire shape
     val out = Files.createTempDirectory("singer-dec-out").toString
     read1.write.format("singer").option("stream", "dm")
