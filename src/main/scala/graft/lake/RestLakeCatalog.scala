@@ -162,11 +162,11 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
       val r = expect(send("GET", s"$path?$q"), 200)
       val node = mapper.readTree(r.body()).asInstanceOf[ObjectNode]
       out ++= extract(node)
-      // explicit JSON null = no more pages (the OpenAPI marks the token
-      // nullable; a NullNode's asText is the STRING "null", which would
-      // loop forever against a server that emits the key on the last page)
+      // explicit JSON null OR empty string = no more pages (the OpenAPI
+      // marks the token nullable; some servers emit "" instead — either
+      // way a non-terminal read would loop the list forever)
       tok = Option(node.get("next-page-token")).filter(!_.isNull)
-        .map(_.asText())
+        .map(_.asText()).filter(_.nonEmpty)
       more = tok.isDefined
     }
     out.toSeq
@@ -206,41 +206,56 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
     body.set[ObjectNode]("metadata", meta)
     val path = s"/v1/namespaces/${enc(ns)}/tables/${enc(table)}"
     val payload = body.toString
+    // canonicalize BOTH docs through a serialize-reparse round trip
+    // before comparing: Jackson types integral numbers by magnitude on
+    // parse (IntNode vs LongNode), so the freshly-built document never
+    // equals its own wire round-trip structurally
+    def canon(n: ObjectNode) = mapper.readTree(n.toString)
+    // Did OUR snapshot land, at base+1 or under any number of interleaved
+    // later winners? The freshMark (a manifest-list path unique to this
+    // attempt) is carried VERBATIM by every later snapshot's history, so
+    // its presence anywhere in the winner's document proves our commit
+    // applied — answering the v > base+1 interleaving a bare version
+    // compare misreads as a plain lost race (the outer loop would then
+    // re-derive on top of its own landed commit and append the same dir
+    // twice). Null-guarded: a foreign/minimal document may omit
+    // `snapshots` entirely (the spec marks it optional). Documented
+    // residual: a concurrent expireSnapshots that drops our snapshot
+    // INSIDE the ambiguity window erases the evidence — the same
+    // commit-state-unknown residue Iceberg proper carries; expiry is an
+    // operator action, not a writer race, so the window is theoretical.
+    def landedIn(cur: ObjectNode): Boolean = freshMark.exists(m =>
+      Option(cur.get("snapshots")).exists(_.elements().asScala.exists(s =>
+        Option(s.get("manifest-list")).exists(_.asText() == m))))
+    def landedNow(): Boolean = fetchMeta(ns, table).exists { case (v, cur) =>
+      (v == base + 1 && canon(cur) == canon(meta)) || landedIn(cur)
+    }
     var attempt = 0
+    var ambiguous = false // a prior attempt MAY have applied server-side
     while (true) {
       val outcome = try Right(sendOnce("POST", path, payload))
                     catch { case e: java.io.IOException => Left(e) }
       outcome match {
-        // 409 = stale base: the server-side CAS rejected us — lost race
         case Right(r) if r.statusCode() == 200 => return true
-        case Right(r) if r.statusCode() == 409 => return false
+        // 409 = stale base. On a FIRST attempt that is a plain lost race;
+        // after an ambiguous send it may be our OWN landed commit
+        // rejecting its re-send — consult the recovery evidence before
+        // reporting a loss (a blind false here re-derives on top of our
+        // own commit and appends the same dir twice).
+        case Right(r) if r.statusCode() == 409 =>
+          return ambiguous && landedNow()
         case Right(r) if !transient5xx(r) =>
           expect(r, 200, 409) // loud failure on any other status
         case _ =>
           // transient failure on a NON-idempotent request: the commit may
           // or may not have applied before the failure — run the recovery
           // protocol (scaladoc above) instead of a blind re-send
+          ambiguous = true
           if (attempt >= maxRetries) outcome match {
             case Right(r) => expect(r, 200, 409)
             case Left(e)  => throw e
           }
           backoff(attempt); attempt += 1
-          // canonicalize BOTH docs through a serialize-reparse round trip
-          // before comparing: Jackson types integral numbers by magnitude
-          // on parse (IntNode vs LongNode), so the freshly-built document
-          // never equals its own wire round-trip structurally
-          def canon(n: ObjectNode) = mapper.readTree(n.toString)
-          // did OUR snapshot land, at base+1 or under any number of
-          // interleaved later winners? The freshMark (a manifest-list
-          // path unique to this attempt) is carried VERBATIM by every
-          // later snapshot's history, so its presence anywhere in the
-          // winner's document proves our commit applied — answering the
-          // v > base+1 interleaving a bare version compare misreads as a
-          // plain lost race (the outer loop would then re-derive on top
-          // of its own landed commit and append the same dir twice).
-          def landedIn(cur: ObjectNode): Boolean = freshMark.exists(m =>
-            cur.get("snapshots").elements().asScala.exists(s =>
-              Option(s.get("manifest-list")).exists(_.asText() == m)))
           fetchMeta(ns, table) match {
             case Some((v, cur)) if v == base + 1 && canon(cur) == canon(meta) =>
               return true // our commit landed; only the response was lost

@@ -326,17 +326,24 @@ object Dedup {
           .drop("__n")
     }
 
+  /** Join an (id_a, id_b) pair frame with both docs' shingle arrays — the
+    * ONE definition of the shingle hookup, shared by the full-stream
+    * scaffold below and the calibration family's SAMPLED stream, so no
+    * consumer can diverge on the join shape. */
+  private[ops] def withShingles(s: SparkSession, d: String,
+                                pairs: DataFrame): DataFrame = {
+    val sh = shingled(s, d)
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+  }
+
   /** LSH candidate pairs joined with both docs' shingle arrays — the shared
     * scaffold of every exact-overlap scorer (q23 jaccard, q101 containment):
     * ONE definition of candidate generation + shingle hookup, so the two
     * operators cannot diverge on bucket caps or join shape. */
-  private[ops] def candidatesWithShingles(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    minhashCandidates(s, d, Some(DefaultMaxBucket))
-      .join(a, "id_a").join(b, "id_b")
-  }
+  private[ops] def candidatesWithShingles(s: SparkSession, d: String): DataFrame =
+    withShingles(s, d, minhashCandidates(s, d, Some(DefaultMaxBucket)))
 
   /** THE exact pair-jaccard over the (sh_a, sh_b) shingle arrays — one
     * engine-side definition consumed by q23 and q128 (the oracle side is
@@ -389,9 +396,9 @@ object Dedup {
   val CalibMaxPairs = 100000L
 
   /** The sampled calibration pair list: the NARROW (id_a, id_b) candidate
-    * stream, thinned to ~[[CalibMaxPairs]] by keeping every step-th pair
-    * under a fixed hash of the id pair (step = n div CalibMaxPairs,
-    * floored at 1). Counting rides the narrow pair list — the shingle /
+    * stream, thinned to ≤~[[CalibMaxPairs]] by keeping every step-th pair
+    * under a fixed hash of the id pair (step = ceil(n / CalibMaxPairs)).
+    * Counting rides the narrow pair list — the shingle /
     * signature arrays join in AFTER sampling, so the heavy width only
     * ever multiplies the BOUNDED sample. Memoized + checkpointed: one
     * derivation serves q148, q158 and q176. `maxPairs` is the spec's
@@ -402,7 +409,9 @@ object Dedup {
     def build(): DataFrame = {
       val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
       val n = pairs.count()
-      val step = math.max(1L, n / maxPairs)
+      // CEIL division: floor would score up to 2x the budget (and thin
+      // nothing at all for n in (maxPairs, 2*maxPairs))
+      val step = math.max(1L, (n + maxPairs - 1) / maxPairs)
       (if (step == 1L) pairs
        else pairs.filter(expr(s"(id_a * 1000003 + id_b) % $step = 0")))
         .localCheckpoint(true)
@@ -421,10 +430,7 @@ object Dedup {
     calibCache.getOrElseUpdate(s, d) {
       calibDerivations.incrementAndGet()
       val mh = minhashes(s, d)
-      val sh = shingled(s, d)
-      sampledCalibPairs(s, d)
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      withShingles(s, d, sampledCalibPairs(s, d))
         .join(mh.select(col("doc_id").as("id_a"), col("mh").as("mh_a")), "id_a")
         .join(mh.select(col("doc_id").as("id_b"), col("mh").as("mh_b")), "id_b")
         .select(
@@ -2247,7 +2253,8 @@ object Dedup {
     s"""scand AS (
         SELECT c.id_a, c.id_b
         FROM cand c,
-             (SELECT greatest(1, count(*) // $CalibMaxPairs) AS step
+             (SELECT greatest(1,
+                (count(*) + $CalibMaxPairs - 1) // $CalibMaxPairs) AS step
               FROM cand) st
         WHERE (c.id_a * 1000003 + c.id_b) % st.step = 0
       )"""

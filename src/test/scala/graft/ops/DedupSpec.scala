@@ -379,9 +379,9 @@ class DedupSpec extends AnyFunSuite {
     // byte-identical to the pre-sampling behavior at every gate scale
     assert(pairs(Dedup.CalibMaxPairs) == full,
       "sf0.01 is far under CalibMaxPairs — step must be 1")
-    // tiny budget -> the exact arithmetic the oracles mirror
+    // tiny budget -> the exact arithmetic the oracles mirror (ceil div)
     val budget = math.max(1L, full.size / 3L)
-    val step = math.max(1L, full.size / budget)
+    val step = math.max(1L, (full.size + budget - 1) / budget)
     val sampled = pairs(budget)
     assert(sampled == full.filter { case (a, b) =>
       (a * 1000003L + b) % step == 0 },
