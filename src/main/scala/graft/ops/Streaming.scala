@@ -870,13 +870,16 @@ object Streaming {
     * and census the landed table. The feed is synthesized FROM the corpus
     * as a distributed string build (never a driver collect): one SCHEMA
     * line declaring `multipleOf: 0.01` (classic singer-python Decimal
-    * scale) and a string-carried `singer.decimal(18,4)`, then one RECORD
+    * scale), a string-carried `singer.decimal(18,4)`, and a MAP field
+    * (`additionalProperties` object — the dynamic-keys shape the
+    * reference silently drops as an empty struct), then one RECORD
     * per document whose amounts encode doc_id exactly (`amt` = doc_id
-    * cents, `px` = 13·doc_id ten-thousandths). [[graft.lake.BatchLoader]]
+    * cents, `px` = 13·doc_id ten-thousandths, `tags` = {a: id%5,
+    * b: id%7}). [[graft.lake.BatchLoader]]
     * loads it into a snapshot-catalog table — which must type the columns
-    * DECIMAL (asserted: a float64 regression would break the cents sums
-    * below for large ids) — and the census re-derives the integers by
-    * exact decimal arithmetic. The oracle states the same set algebra
+    * DECIMAL / MAP (asserted: a float64 or empty-struct regression would
+    * break the exact sums below) — and the census re-derives the
+    * integers by exact decimal/map arithmetic. The oracle states the same set algebra
     * straight off `documents`; all output columns are integers, so the
     * hash compare is representation-proof.
     *
@@ -892,7 +895,8 @@ object Streaming {
       """{"type":"SCHEMA","stream":"pay","schema":{"properties":{""" +
         """"doc_id":{"type":["integer"]},"lang":{"type":["string","null"]},""" +
         """"amt":{"type":["number","null"],"multipleOf":0.01},""" +
-        """"px":{"type":["string","null"],"format":"singer.decimal","precision":18,"scale":4}}}}""" +
+        """"px":{"type":["string","null"],"format":"singer.decimal","precision":18,"scale":4},""" +
+        """"tags":{"type":["object","null"],"additionalProperties":{"type":"integer"}}}}}""" +
         "\n")
     val recDir = tmp.resolve("records").toString
     documents(s, d).select(concat(
@@ -907,7 +911,11 @@ object Streaming {
         lit(""","px":""""),
         concat(expr("(doc_id * 13) div 10000").cast("string"), lit("."),
           lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0")),
-        lit(""""}}""")).as("line"))
+        // the MAP extension rides the same feed: dynamic string keys,
+        // integer values derived from doc_id so the census is exact
+        lit("""","tags":{"a":"""), (col("doc_id") % 5).cast("string"),
+        lit(""","b":"""), (col("doc_id") % 7).cast("string"),
+        lit("""}}}""")).as("line"))
       .coalesce(4).write.mode("overwrite").text(recDir)
     // loadPaths' own listing normalizes to Hadoop URI form and sorts —
     // "0_schema.jsonl" < "records/part-…", so the SCHEMA line leads
@@ -917,20 +925,29 @@ object Streaming {
     require(table.schema("amt").dataType ==
       org.apache.spark.sql.types.DecimalType(38, 2) &&
       table.schema("px").dataType ==
-        org.apache.spark.sql.types.DecimalType(18, 4),
-      s"decimal load regressed to ${table.schema.catalogString}")
+        org.apache.spark.sql.types.DecimalType(18, 4) &&
+      table.schema("tags").dataType ==
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType),
+      s"typed load regressed to ${table.schema.catalogString}")
     val rows = table.groupBy("lang")
       .agg(count(lit(1)).as("n_rows"),
         (sum(col("amt")) * 100).cast("long").as("sum_amt_cents"),
-        (sum(col("px")) * 10000).cast("long").as("sum_px_e4"))
+        (sum(col("px")) * 10000).cast("long").as("sum_px_e4"),
+        sum(expr("aggregate(map_values(tags), 0L, (a, x) -> a + x)"))
+          .as("sum_tags"),
+        sum(size(col("tags")).cast("long")).as("n_tag_keys"))
       .orderBy("lang")
       .collect() // |langs|-bounded census — control plane
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
       .toSeq
     cat.dropNamespace(ns)
     deleteRecursively(tmp)
     import s.implicits._
-    rows.toDF("lang", "n_rows", "sum_amt_cents", "sum_px_e4").orderBy("lang")
+    rows.toDF("lang", "n_rows", "sum_amt_cents", "sum_px_e4", "sum_tags",
+      "n_tag_keys").orderBy("lang")
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -945,7 +962,9 @@ object Streaming {
     "q214_decimal_load" -> ((q214DecimalLoad _, """
       SELECT lang, count(*)::BIGINT AS n_rows,
              sum(doc_id)::BIGINT AS sum_amt_cents,
-             sum(doc_id * 13)::BIGINT AS sum_px_e4
+             sum(doc_id * 13)::BIGINT AS sum_px_e4,
+             sum(doc_id % 5 + doc_id % 7)::BIGINT AS sum_tags,
+             (count(*) * 2)::BIGINT AS n_tag_keys
       FROM documents GROUP BY 1 ORDER BY 1""")),
     "q212_sorted_ingest" -> ((q212SortedIngest _, """
       WITH b AS (SELECT min(doc_id) AS lo0, max(doc_id) AS hi0

@@ -189,7 +189,23 @@ object SchemaConv {
           val (et, en, _) = convertField(items, level + 1)
           ArrayType(et, containsNull = en)
         }
-      case Some("object") => convertObject(prop, level + 1)
+      case Some("object") =>
+        // MAP extension (beyond the reference, which converts an object
+        // with no `properties` to an EMPTY struct — iceberg.py:117-127 —
+        // silently dropping every field the first dynamic-keys tap
+        // emits): an object declaring NO fixed properties but a SCHEMA
+        // OBJECT under `additionalProperties` is JSON Schema's map shape
+        // -> MapType(string, <value type>). Declared `properties` still
+        // win (typed struct); a bare `additionalProperties: true` keeps
+        // the reference's empty-struct behavior.
+        val ap = prop.get("additionalProperties")
+        if (prop.get("properties") == null && ap != null && ap.isObject) {
+          val (vt, _, _) = convertField(ap, level + 1)
+          // values ALWAYS nullable: the query surface nulls
+          // type-mismatched values (the reader contract), so even a
+          // non-null value declaration can surface null map entries
+          MapType(StringType, vt, valueContainsNull = true)
+        } else convertObject(prop, level + 1)
       case _              => NullType // unknown type (iceberg.py:57-58)
     }
     (dt, nullable, md)

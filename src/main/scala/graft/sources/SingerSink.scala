@@ -281,6 +281,11 @@ private[sources] object SingerJson {
       case ArrayType(et, en) =>
         val ty = if (nullable) s"""["array","null"]""" else s""""array""""
         s"""{"type":$ty,"items":${fieldSchema(et, en)}}"""
+      case MapType(StringType, vt, vn) =>
+        // JSON Schema's map shape: no fixed properties, a value schema
+        // under additionalProperties (SchemaConv round-trips it)
+        val ty = if (nullable) s"""["object","null"]""" else s""""object""""
+        s"""{"type":$ty,"additionalProperties":${fieldSchema(vt, vn)}}"""
       case st: StructType =>
         val props = st.fields.map(f =>
           str(f.name) + ":" + fieldSchema(f.dataType, f.nullable)).mkString(",")
@@ -368,6 +373,19 @@ private[sources] object SingerJson {
         j += 1
       }
       sb.append(']')
+    case mt @ MapType(StringType, vt, _) =>
+      val m = get.getMap(i)
+      val keys = m.keyArray(); val vals = m.valueArray()
+      sb.append('{')
+      var j = 0
+      while (j < m.numElements()) {
+        if (j > 0) sb.append(',')
+        sb.append(str(keys.getUTF8String(j).toString)).append(':')
+        if (vals.isNullAt(j)) sb.append("null")
+        else appendValue(sb, vals, j, vt)
+        j += 1
+      }
+      sb.append('}')
     case st: StructType =>
       appendRow(sb, get.getStruct(i, st.length), st)
     case other =>

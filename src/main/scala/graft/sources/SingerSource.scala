@@ -604,6 +604,15 @@ private[sources] object JsonRecordConverter {
         if (!n.isArray) null
         else new GenericArrayData(
           n.elements().asScala.map(conv(_, at.elementType)).toArray)
+      case mt: MapType =>
+        // JSON-Schema additionalProperties map shape (string keys)
+        if (!n.isObject) null
+        else {
+          val entries = n.properties().asScala.toSeq
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            entries.map(e => UTF8String.fromString(e.getKey)).toArray,
+            entries.map(e => conv(e.getValue, mt.valueType)).toArray)
+        }
       case st: StructType =>
         if (!n.isObject) null else fromObject(n, st)
       case _ => null // NullType fields carry no data

@@ -183,6 +183,32 @@ class SchemaConvSpec extends AnyFunSuite {
       .dataType == DoubleType)
   }
 
+  test("map extension: additionalProperties schema object -> MapType; " +
+    "declared properties still win; bare true keeps the empty struct") {
+    val st = conv("""{"properties": {
+      "tags":  {"type": ["object", "null"],
+                "additionalProperties": {"type": "integer"}},
+      "attrs": {"type": "object",
+                "additionalProperties": {"type": ["string", "null"]}},
+      "typed": {"type": "object",
+                "properties": {"x": {"type": "integer"}},
+                "additionalProperties": {"type": "integer"}},
+      "bare":  {"type": "object", "additionalProperties": true}}}""")
+    // values always nullable: the reader contract nulls type mismatches
+    assert(field(st, "tags").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    assert(field(st, "tags").nullable)
+    assert(field(st, "attrs").dataType ==
+      MapType(StringType, StringType, valueContainsNull = true))
+    // fixed properties win over additionalProperties (typed struct)
+    assert(field(st, "typed").dataType ==
+      StructType(Seq(StructField("x", LongType, nullable = false,
+        field(st, "typed").dataType.asInstanceOf[StructType]("x").metadata))))
+    // `additionalProperties: true` carries no value schema: the
+    // reference's empty-struct behavior is preserved
+    assert(field(st, "bare").dataType == StructType(Nil))
+  }
+
   test("events fixture schema matches FIXTURES.md §2") {
     val st = conv("""{"properties": {
       "event_id":  {"type": ["integer"]},

@@ -342,6 +342,46 @@ class SingerSourceSpec extends AnyFunSuite {
       read1.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("additionalProperties maps round-trip: dynamic keys land as " +
+    "MapType, re-emit the same wire shape, and re-read identically") {
+    val dir = Files.createTempDirectory("singer-map").toString
+    Files.write(java.nio.file.Paths.get(dir, "feed.jsonl"), java.util.List.of(
+      """{"type":"SCHEMA","stream":"mp","schema":{"properties":{""" +
+        """"id":{"type":["integer"]},""" +
+        """"tags":{"type":["object","null"],"additionalProperties":{"type":"integer"}}}}}""",
+      """{"type":"RECORD","stream":"mp","record":{"id":1,"tags":{"a":3,"b":7}}}""",
+      """{"type":"RECORD","stream":"mp","record":{"id":2,"tags":{}}}""",
+      """{"type":"RECORD","stream":"mp","record":{"id":3,"tags":null}}""",
+      """{"type":"RECORD","stream":"mp","record":{"id":4,"tags":{"zz":0,"q":null}}}"""))
+    val read1 = spark.read.format("singer").option("stream", "mp").load(dir)
+    assert(read1.schema("tags").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType))
+    val byId = read1.collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[Map[String, Any]]("tags"))).toMap
+    assert(byId(1).contains(Map("a" -> 3L, "b" -> 7L)))
+    assert(byId(2).contains(Map.empty[String, Any]))
+    assert(byId(3).isEmpty)
+    assert(byId(4).contains(Map("zz" -> 0L, "q" -> null)))
+    // sink re-emits the additionalProperties shape and the map values
+    val out = Files.createTempDirectory("singer-map-out").toString
+    read1.write.format("singer").option("stream", "mp")
+      .mode("append").save(out)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .flatMap(f => Files.readAllLines(f).asScala).toSeq
+    assert(lines.find(_.contains("\"SCHEMA\"")).get
+      .contains("\"additionalProperties\""), lines.head)
+    assert(lines.exists(l => l.contains("\"a\":3") && l.contains("\"b\":7")))
+    val read2 = spark.read.format("singer").option("stream", "mp").load(out)
+    assert(read2.schema("tags").dataType == read1.schema("tags").dataType)
+    assert(read2.orderBy("id").collect().map(_.toSeq).toSeq ==
+      read1.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("maxRecordsPerTrigger backpressure: a 50k-line append lands as " +
     ">= 5 micro-batches, each under the cap, with exactly-once totals") {
     val dir = Files.createTempDirectory("singer-bp")
