@@ -150,16 +150,24 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
 
   /** Follow the REST pagination contract: request pages of `pageSize`,
     * chase `next-page-token` until the server omits it. `extract` pulls
-    * the page's items out of the response document. */
+    * the page's items out of the response document.
+    *
+    * Progress guard (ADVICE r11): a buggy server that echoes the SAME
+    * token back (or otherwise never terminates) would hang the client
+    * forever on a blind chase — so a repeated token, or a page count
+    * past [[RestLakeCatalog.MaxPages]], aborts loudly instead. */
   private def paged(path: String, pageSize: Int,
                     extract: ObjectNode => Seq[String]): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
+    val seenTokens = scala.collection.mutable.Set[String]()
     var tok: Option[String] = None
     var more = true
+    var pages = 0
     while (more) {
       val q = s"pageSize=$pageSize" +
         tok.map(t => s"&pageToken=${enc(t)}").getOrElse("")
       val r = expect(send("GET", s"$path?$q"), 200)
+      pages += 1
       val node = mapper.readTree(r.body()).asInstanceOf[ObjectNode]
       out ++= extract(node)
       // explicit JSON null OR empty string = no more pages (the OpenAPI
@@ -167,6 +175,16 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
       // way a non-terminal read would loop the list forever)
       tok = Option(node.get("next-page-token")).filter(!_.isNull)
         .map(_.asText()).filter(_.nonEmpty)
+      tok.foreach { t =>
+        if (!seenTokens.add(t))
+          throw new IllegalStateException(
+            s"catalog server echoed pageToken '$t' back on $path — " +
+              "pagination is not progressing; aborting the list")
+        if (pages >= RestLakeCatalog.MaxPages)
+          throw new IllegalStateException(
+            s"catalog list $path exceeded ${RestLakeCatalog.MaxPages} " +
+              "pages without terminating — aborting the list")
+      }
       more = tok.isDefined
     }
     out.toSeq
@@ -270,4 +288,13 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
     }
     throw new IllegalStateException("unreachable")
   }
+}
+
+object RestLakeCatalog {
+  /** Upper bound on pages a single list may chase — a loud-abort backstop
+    * against a server that keeps emitting fresh tokens forever (the
+    * repeated-token guard catches the echo case; this catches the
+    * generator case). 100k pages × default pageSize 100 = 10M names,
+    * far past any real namespace/table listing. */
+  val MaxPages = 100000
 }

@@ -1297,7 +1297,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * (masks recorded), `n_masking` (masks that still suppress a stored
     * row: a position mask whose file is still live, an equality mask
     * whose key matches a row in some lower-sequence live dir that no
-    * position delete already suppresses), and
+    * EARLIER-committed position delete already suppresses —
+    * chronological attribution, so a position delete landing after a
+    * purge never retroactively reclassifies the purge's masks), and
     * `n_dangling` (inert residue — the file was rewritten away, or no
     * applicable row matches). A rising dangling ratio is the
     * [[compact]]-is-overdue signal: inert masks cost an anti-join on
@@ -1349,9 +1351,15 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           // n_dangling) whenever the two kinds overlap. Overlapping
           // EQUALITY groups still each count a shared row (removing
           // either alone keeps it suppressed — a tie, counted for both).
+          // Only position deletes committed BEFORE this equality group
+          // (lower sequence) pre-apply (ADVICE r11): a position delete
+          // landing AFTER the purge must not retroactively reclassify the
+          // purge's masks as dangling — chronological attribution, each
+          // group scored against the state it committed into.
           else spark.read.parquet(path)
             .join(scanWithDeletes(ns, table, metaSchema(meta), sn.get,
-                applicable, delFilter = _.kind == "position")
+                applicable,
+                delFilter = p => p.kind == "position" && p.seq < r.seq)
               .select(r.cols.map(c => col(s"`$c`")): _*),
               r.cols, "left_semi")
             .count()

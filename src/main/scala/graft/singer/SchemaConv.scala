@@ -153,8 +153,9 @@ object SchemaConv {
         // on the first tap that declares exact-decimal semantics):
         //  - `format: singer.decimal` (the Singer SDK's exact-decimal
         //    marker) with optional sibling `precision`/`scale` keys;
-        //  - a `multipleOf` that is a power of ten 10^-s (how classic
-        //    singer-python encodes Decimal scale) -> DecimalType(38, s).
+        //  - a FRACTIONAL `multipleOf` 10^-s, s >= 1 (how classic
+        //    singer-python encodes Decimal scale) -> DecimalType(38, s);
+        //    integral steps (1/10/100) stay float64 — see multipleOfDecimal.
         // Level 0 only, like every other format rule here.
         if (level == 0 && anyOfFormat.contains("singer.decimal"))
           declaredDecimal(prop)
@@ -227,17 +228,24 @@ object SchemaConv {
     DecimalType(p, s)
   }
 
-  /** `multipleOf` = 10^-s (after trailing-zero normalization) declares
-    * scale-s decimal semantics; any other step keeps the reference's
-    * float64 mapping (a non-decimal grid like 0.25 has no exact decimal
-    * type). Negative scales (multipleOf 10, 100) round to scale 0. */
+  /** `multipleOf` = 10^-s with s >= 1 (after trailing-zero normalization)
+    * declares scale-s decimal semantics — the classic singer-python
+    * fractional-Decimal encoding. Any other step keeps the reference's
+    * float64 mapping: a non-decimal grid like 0.25 has no exact decimal
+    * type, and INTEGRAL steps (`multipleOf` 1, 10, 100) are the common
+    * plain grid constraint ("this number is a multiple of N"), not a
+    * scale declaration — inferring DECIMAL(38,0) from them silently
+    * retypes existing float64 feeds (ADVICE r11). A feed wanting an
+    * integral exact decimal declares `format: singer.decimal` with
+    * explicit precision/scale (which is also what [[graft.sources]]'
+    * sink emits, so scale-0 round-trips are unaffected). */
   private def multipleOfDecimal(prop: JsonNode): Option[DecimalType] =
     if (!prop.hasNonNull("multipleOf")) None
     else {
       val bd = prop.get("multipleOf").decimalValue().stripTrailingZeros()
       val s = bd.scale()
-      if (bd.unscaledValue() == java.math.BigInteger.ONE && s <= 38)
-        Some(DecimalType(38, math.max(0, s)))
+      if (bd.unscaledValue() == java.math.BigInteger.ONE && s >= 1 && s <= 38)
+        Some(DecimalType(38, s))
       else None
     }
 

@@ -136,7 +136,16 @@ private[graft] object SingerSourceUtil {
         in.seek(target)
         val lr = new org.apache.hadoop.util.LineReader(in)
         val n = lr.readLine(new Text())
-        (if (n == 0) len else target + n, 0L)
+        // Two documented over-admission edges (ADVICE r11), both benign
+        // under the soft-byte-cap contract: (a) when the cap lands EXACTLY
+        // on a line boundary, the seek sits at the start of the next line
+        // and the readLine consumes that whole line — one full extra line
+        // admitted, not just a straddling remainder; (b) the boundary is
+        // clamped to the LISTED length `len` so a file that grew between
+        // listFiles and this scan never yields an offset past what the
+        // planning pass recorded (bytes appended after listing belong to
+        // the next trigger's listing, keeping offsets ⊆ listings).
+        (if (n == 0) len else math.min(len, target + n), 0L)
       } finally in.close()
     } else {
       val in = fs.open(p)
@@ -155,7 +164,8 @@ private[graft] object SingerSourceUtil {
             if (consumed >= byteBudget) done = true
           }
         }
-        (from + consumed, count)
+        // same listed-length clamp as the fast path (edge (b) above)
+        (math.min(len, from + consumed), count)
       } finally in.close()
     }
   }

