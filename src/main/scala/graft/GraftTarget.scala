@@ -126,15 +126,18 @@ object GraftTarget {
     * config drives a real object-store deployment; harmless locally. */
   private def sparkFor(cfg: TargetConfig): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-target")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.hadoop.fs.s3a.access.key", cfg.awsAccessKeyId)
-      .config("spark.hadoop.fs.s3a.secret.key", cfg.awsSecretAccessKey)
-      .config("spark.hadoop.fs.s3a.endpoint", cfg.s3Endpoint)
+    // config -> fs.s3a.* (TargetConfig.s3aHadoopConf mirrors the
+    // reference's FileIO wiring, sinks.py:55-65), as spark.hadoop.* so
+    // executors inherit it
+    val builder = cfg.s3aHadoopConf.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(s"spark.hadoop.$k", v)
+    }
     // The default in-memory catalog forgets tables when the process exits, so
     // a SECOND CLI run would try CREATE over the existing location and fail.
     // Hive support persists the metastore (derby under cwd) across runs —

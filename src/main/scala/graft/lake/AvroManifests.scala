@@ -263,8 +263,16 @@ object AvroManifests {
     icebergType match {
       case "long" | "timestamp" | "timestamptz" if bytes.length == 8 =>
         Some(bb.getLong)
+      // PROMOTION-AWARE decode: a manifest written before an int->long
+      // (float->double) evolution carries 4-byte bounds under a column
+      // the schema now types long (double) — widen on read, exactly as
+      // the data path does, so file skipping survives the promotion
+      // (decimal bounds need nothing: the unscaled two's-complement form
+      // is precision-independent and promotions never change scale)
+      case "long" if bytes.length == 4   => Some(bb.getInt.toLong)
       case "int" | "date" if bytes.length == 4 => Some(bb.getInt)
       case "double" if bytes.length == 8       => Some(bb.getDouble)
+      case "double" if bytes.length == 4 => Some(bb.getFloat.toDouble)
       case "float" if bytes.length == 4        => Some(bb.getFloat)
       case "boolean" if bytes.length == 1      => Some(bytes(0) != 0)
       case "string" | "binary"                 => Some(bytes)

@@ -444,13 +444,20 @@ final class BatchLoader(
   }
 
   /** Order/column alignment against the live table schema: name-resolved,
-    * missing columns null-filled (rows from before a column was added), the
-    * engine-internal `seq` carried through. */
+    * missing columns null-filled (rows from before a column was added), a
+    * column NARROWER than the table's cast up (a still-int segment of a
+    * feed whose table already promoted to long — ensureTable has validated
+    * the pair is promotion-compatible, so the cast is value-preserving),
+    * the engine-internal `seq` carried through. */
   private def alignTo(df: DataFrame, tableSchema: StructType): DataFrame = {
-    val present = df.columns.toSet
+    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = tableSchema.fields.toSeq.map { f =>
-      if (present(f.name)) col(s"`${f.name}`")
-      else lit(null).cast(f.dataType).as(f.name)
+      present.get(f.name) match {
+        case Some(t) if SchemaShape.normalize(t) ==
+            SchemaShape.normalize(f.dataType) => col(s"`${f.name}`")
+        case Some(_) => col(s"`${f.name}`").cast(f.dataType).as(f.name)
+        case None    => lit(null).cast(f.dataType).as(f.name)
+      }
     } :+ col(SeqCol)
     df.select(cols: _*)
   }

@@ -109,6 +109,20 @@ trait LakeCatalog {
   def merge(ns: String, table: String, keys: Seq[String],
             df: DataFrame): Unit
 
+  /** Rename a column as a SCHEMA EVOLUTION (VERDICT r11 #2): `from`
+    * becomes `to`; data files are untouched. On snapshot catalogs this is
+    * metadata-only — the new schema entry keeps the field's id, and the
+    * read path maps old files' physical `from` column onto `to` (field
+    * ids exist precisely so renames never rewrite data). The session
+    * catalog cannot express a metadata-only rename over path-based
+    * parquet (no schema registry per file), so it rewrites — documented
+    * carrier divergence, same as type promotion there. Fails loudly when
+    * `from` is absent, `to` already exists, or the column is load-bearing
+    * for this carrier's physical layout (partition source, live equality
+    * delete, bucket column). */
+  def renameColumn(ns: String, table: String, from: String,
+                   to: String): Unit
+
   /** Atomically replace `ns.table`'s contents with `fold(current)` — the
     * read-modify-write primitive behind ledger compactions
     * (`Streaming.compactStats`). The fold's READ and the replacing WRITE
@@ -144,7 +158,16 @@ trait LakeCatalog {
     * wrapper blocked filter pushdown on the key.) The pre-scan costs one
     * evaluation of `df`'s lineage projected to the key; streaming epochs
     * and the curation faces feed materialized batches, where that is a
-    * cheap metadata-sized read. */
+    * cheap metadata-sized read.
+    *
+    * PUBLIC CONTRACT (ADVICE r11): `df`'s lineage is evaluated TWICE —
+    * once by this validation pre-scan, once by whatever consumes the
+    * returned frame. A caller holding an EXPENSIVE lineage pays it twice;
+    * a caller holding a NON-DETERMINISTIC lineage (rand(), an
+    * uncheckpointed shuffle-order-dependent derivation) may validate
+    * different rows than it later writes — a null key could slip past the
+    * guard. Such callers must materialize first (`df.localCheckpoint(true)`)
+    * and pass the checkpointed frame; every in-repo caller does. */
   def exceptExistingKeys(ns: String, table: String, key: String,
                          df: DataFrame,
                          distinctKeys: Boolean = false): DataFrame = {
@@ -181,22 +204,83 @@ private[lake] object SchemaShape {
     case other => other
   }
 
-  /** The one drift rule (SURVEY §7.4): additive columns evolve, a type
-    * change on an existing column fails loudly. Returns the columns to
-    * add. */
-  def diffForEvolution(existing: StructType, declared: StructType,
-                       where: String)
-      : Seq[org.apache.spark.sql.types.StructField] = {
-    val byName = existing.fields.map(f => f.name -> f.dataType).toMap
-    declared.fields.foreach { f =>
-      byName.get(f.name).foreach { old =>
-        require(normalize(old) == normalize(f.dataType),
-          s"schema drift on $where.${f.name}: table has " +
-            s"${old.catalogString}, stream declares ${f.dataType.catalogString}" +
-            " — type changes are not auto-evolved (fail loudly, SURVEY §7.4)")
-      }
+  /** What [[diffForEvolution]] found: `added` = new top-level columns,
+    * `promoted` = existing columns whose TABLE type must widen to admit
+    * the declared type (Iceberg-safe promotions only — the widened type
+    * is recorded; old data files keep their narrower physical type and
+    * read-time alignment casts up). */
+  case class EvolutionDiff(
+      added: Seq[org.apache.spark.sql.types.StructField],
+      promoted: Seq[(String, org.apache.spark.sql.types.DataType)]) {
+    def isEmpty: Boolean = added.isEmpty && promoted.isEmpty
+  }
+
+  /** The Iceberg-safe type-promotion lattice (spec §Schema Evolution):
+    * int→long, float→double, decimal(P,S)→decimal(P'≥P,S) — value-
+    * preserving widenings a reader can apply to old files with a plain
+    * cast. Returns the type that represents BOTH sides (recursing
+    * through struct/array/map shapes), or None when the pair is true
+    * drift (string→int, scale changes, field-set changes). Symmetric on
+    * purpose: a DECLARED side narrower than the table is also accepted
+    * (the writer casts up; the table never narrows). Inputs are compared
+    * normalized; the result is normalized. */
+  def widen(a: org.apache.spark.sql.types.DataType,
+            b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    (normalize(a), normalize(b)) match {
+      case (x, y) if x == y => Some(x)
+      case (IntegerType, LongType) | (LongType, IntegerType) =>
+        Some(LongType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case (d1: DecimalType, d2: DecimalType)
+          if d1.scale == d2.scale && math.max(d1.precision, d2.precision) <= 38 =>
+        Some(DecimalType(math.max(d1.precision, d2.precision), d1.scale))
+      case (StructType(fa), StructType(fb))
+          if fa.map(_.name).toSeq == fb.map(_.name).toSeq =>
+        val widened = fa.zip(fb).map { case (x, y) =>
+          widen(x.dataType, y.dataType).map(t =>
+            StructField(x.name, t, nullable = true))
+        }
+        if (widened.forall(_.isDefined))
+          Some(StructType(widened.map(_.get)))
+        else None
+      case (ArrayType(ea, _), ArrayType(eb, _)) =>
+        widen(ea, eb).map(ArrayType(_, containsNull = true))
+      case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+        for { k <- widen(ka, kb); v <- widen(va, vb) }
+          yield MapType(k, v, valueContainsNull = true)
+      case _ => None
     }
-    declared.fields.filterNot(f => byName.contains(f.name)).toSeq
+  }
+
+  /** The drift rule (SURVEY §7.4 + VERDICT r11 #1): additive columns
+    * evolve; an Iceberg-safe promotion ([[widen]]) on an existing column
+    * evolves the TABLE type (metadata-only on snapshot catalogs — old
+    * files read back cast up); any other type change fails loudly —
+    * silent coercion corrupts data at scale. A declared type NARROWER
+    * than the table's (int into a promoted-to-long column) is accepted
+    * with no schema change — the write path casts up. */
+  def diffForEvolution(existing: StructType, declared: StructType,
+                       where: String): EvolutionDiff = {
+    val byName = existing.fields.map(f => f.name -> f.dataType).toMap
+    val promoted = declared.fields.flatMap { f =>
+      byName.get(f.name).flatMap { old =>
+        val w = widen(old, f.dataType).getOrElse(throw
+          new IllegalArgumentException(
+            s"schema drift on $where.${f.name}: table has " +
+              s"${old.catalogString}, stream declares " +
+              s"${f.dataType.catalogString} — not an Iceberg-safe " +
+              "promotion (int->long, float->double, decimal precision " +
+              "widening); other type changes are not auto-evolved " +
+              "(fail loudly, SURVEY §7.4)"))
+        if (w == normalize(old)) None else Some(f.name -> w)
+      }
+    }.toSeq
+    EvolutionDiff(
+      declared.fields.filterNot(f => byName.contains(f.name)).toSeq,
+      promoted)
   }
 }
 
@@ -228,13 +312,64 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
         .saveAsTable(id(ns, table))
     } else {
       val existing = spark.table(id(ns, table)).schema
-      val added =
+      val diff =
         SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
-      if (added.nonEmpty) {
-        val colsDdl = added
+      if (diff.promoted.nonEmpty) {
+        // the session catalog cannot ALTER a column's type on a v1
+        // parquet table (no per-file schema registry), so a promotion is
+        // a locked partition-preserving REWRITE with casts — documented
+        // carrier divergence: the snapshot catalogs do this metadata-only
+        require(!isBucketed(ns, table),
+          s"$ns.$table is bucketed — a promotion rewrite would drop its " +
+            "bucket spec; rewrite via writeBucketed under the widened " +
+            "schema instead")
+        tableLock(ns, table).synchronized {
+          val parts = partitionColsOf(ns, table)
+          val widened = diff.promoted.foldLeft(spark.table(id(ns, table))) {
+            case (df, (name, t)) =>
+              df.withColumn(name, col(s"`$name`").cast(t))
+          }.localCheckpoint(true) // sever lineage before the truncate
+          val w = widened.write.format("parquet").mode("overwrite")
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+            .saveAsTable(id(ns, table))
+          refreshHere(ns, table)
+        }
+      }
+      if (diff.added.nonEmpty) {
+        val colsDdl = diff.added
           .map(f => s"`${f.name}` ${f.dataType.catalogString}").mkString(", ")
         spark.sql(s"ALTER TABLE ${id(ns, table)} ADD COLUMNS ($colsDdl)")
       }
+    }
+  }
+
+  /** Rename by locked partition-preserving rewrite — the session
+    * catalog's carrier divergence ([[LakeCatalog.renameColumn]]): path
+    * parquet tables have no field-id registry, so a metadata-only rename
+    * is not expressible here. Partition and bucket columns are refused
+    * (their names ARE the physical layout). */
+  override def renameColumn(ns: String, table: String, from: String,
+                            to: String): Unit = {
+    require(from != to, s"renameColumn: '$from' -> itself")
+    val schema = spark.table(id(ns, table)).schema
+    require(schema.fieldNames.contains(from),
+      s"$ns.$table has no column '$from'")
+    require(!schema.fieldNames.contains(to),
+      s"$ns.$table already has a column '$to'")
+    require(!partitionColsOf(ns, table).contains(from),
+      s"$ns.$table: '$from' is a partition column — its name is the " +
+        "directory layout; rename is not supported on it")
+    require(!isBucketed(ns, table),
+      s"$ns.$table is bucketed — a rename rewrite would drop its bucket " +
+        "spec; rewrite via writeBucketed under the new name instead")
+    tableLock(ns, table).synchronized {
+      val parts = partitionColsOf(ns, table)
+      val renamed = spark.table(id(ns, table))
+        .withColumnRenamed(from, to).localCheckpoint(true)
+      val w = renamed.write.format("parquet").mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+        .saveAsTable(id(ns, table))
+      refreshHere(ns, table)
     }
   }
 

@@ -66,10 +66,48 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
                       val warehouse: Path,
                       token: Option[String] = None,
                       maxRetries: Int = 4,
-                      retryBaseMs: Long = 100L)
+                      retryBaseMs: Long = 100L,
+                      credential: Option[String] = None)
     extends SnapshotLakeCatalog(spark) {
 
   private val http = HttpClient.newHttpClient()
+
+  /** OAuth2 client-credentials state (VERDICT r11 #6). `credential` is
+    * the REST spec's `client_id:client_secret` pair; when set (and no
+    * static `token` overrides it), a bearer is obtained from the spec's
+    * token endpoint (`POST /v1/oauth/tokens`,
+    * `grant_type=client_credentials`, form-encoded) and cached. A 401/403
+    * mid-run triggers ONE refresh-then-retry per request — the
+    * expired-token path; a second rejection (or a rejected token
+    * exchange) is a real bad credential and fails loudly, never retried. */
+  @volatile private var oauthToken: Option[String] = None
+
+  private def fetchOauthToken(): String = {
+    val cred = credential.get
+    val i = cred.indexOf(':')
+    require(i > 0, "credential must be 'client_id:client_secret'")
+    def form(s: String) =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+    val body = "grant_type=client_credentials" +
+      s"&client_id=${form(cred.take(i))}" +
+      s"&client_secret=${form(cred.drop(i + 1))}&scope=catalog"
+    val req = HttpRequest.newBuilder(URI.create(s"$baseUri/v1/oauth/tokens"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val r = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (r.statusCode() != 200)
+      throw new IllegalStateException(
+        s"token endpoint rejected the client credential " +
+          s"(${r.statusCode()}): ${r.body()} — bad credentials are not " +
+          "retried")
+    val tok = mapper.readTree(r.body()).get("access_token").asText()
+    oauthToken = Some(tok)
+    tok
+  }
+
+  private def bearer(): Option[String] =
+    token.orElse(credential.map(_ =>
+      oauthToken.getOrElse(fetchOauthToken())))
 
   /** Percent-encode a PATH segment. URLEncoder alone form-encodes
     * (space -> '+'), which a path-decoding server reads back as a literal
@@ -79,21 +117,30 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
 
-  private def sendOnce(method: String, path: String, body: String)
-      : HttpResponse[String] = {
+  private def sendOnce(method: String, path: String, body: String,
+                       refreshed: Boolean = false): HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
       .header("Content-Type", "application/json")
-    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    bearer().foreach(t => b.header("Authorization", s"Bearer $t"))
     val req = (method match {
       case "GET"    => b.GET()
       case "DELETE" => b.DELETE()
       case "POST"   => b.POST(HttpRequest.BodyPublishers.ofString(body))
     }).build()
     val r = http.send(req, HttpResponse.BodyHandlers.ofString())
-    if (r.statusCode() == 401 || r.statusCode() == 403)
+    if (r.statusCode() == 401 || r.statusCode() == 403) {
+      // OAuth tokens EXPIRE mid-run: one refresh-then-retry per request
+      // (idempotent — the rejected request was never processed). Static
+      // tokens and a second rejection fail loudly: a bad credential does
+      // not heal, and retrying it would hammer the auth server.
+      if (credential.isDefined && token.isEmpty && !refreshed) {
+        oauthToken = None
+        return sendOnce(method, path, body, refreshed = true)
+      }
       throw new IllegalStateException(
         s"catalog server rejected credentials (${r.statusCode()}) for " +
           s"${r.uri()}: ${r.body()} — auth failures are not retried")
+    }
     r
   }
 

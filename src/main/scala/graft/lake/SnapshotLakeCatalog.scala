@@ -447,6 +447,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     meta.putArray("snapshots")
     meta.putArray("snapshot-log")
     meta.putArray("metadata-log")
+    meta.putObject("refs")
     meta
   }
 
@@ -479,7 +480,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                           deletes: Seq[DeleteRef] = Seq.empty,
                           reuseFrom: Option[JsonNode] = None): ObjectNode = {
     val id = meta.get("last-sequence-number").asLong() + 1
-    val parent = meta.get("current-snapshot-id").asLong()
+    // parent = lineage truth: a rollback's new snapshot DERIVES from the
+    // rollback TARGET (reuseFrom), not from the head it abandons — which
+    // is what makes the history face's is_current_ancestor mark the
+    // abandoned fork false, as Iceberg's history table does
+    val parent = reuseFrom.map(_.get("snapshot-id").asLong())
+      .getOrElse(meta.get("current-snapshot-id").asLong())
     val now = System.currentTimeMillis()
     val pf = manifestPartitionFields(meta)
     val specId = meta.get("default-spec-id").asInt()
@@ -595,8 +601,22 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     logEntry.put("snapshot-id", id)
     meta.put("last-sequence-number", id)
     meta.put("current-snapshot-id", id)
+    // the spec's `refs` map: the `main` BRANCH tracks the current snapshot
+    // on every commit (exactly what Iceberg writers maintain); user tags
+    // ride alongside and are never moved by data commits
+    val refs = refsNode(meta)
+    val main = refs.putObject("main")
+    main.put("snapshot-id", id)
+    main.put("type", "branch")
     meta
   }
+
+  /** The metadata's `refs` object, created empty on documents written
+    * before the refs extension (pre-r12). */
+  private def refsNode(meta: ObjectNode): ObjectNode =
+    Option(meta.get("refs")).filter(_.isObject)
+      .map(_.asInstanceOf[ObjectNode])
+      .getOrElse(meta.putObject("refs"))
 
   // ---- lifecycle -------------------------------------------------------
 
@@ -610,15 +630,31 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         // creation race: the loser lands here against the winner's v1 and
         // re-runs as plain evolution — no second create ever published
         val existing = metaSchema(meta)
-        val added =
+        val diff =
           SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
-        if (added.isEmpty) None
+        if (diff.isEmpty) None
         else {
-          // additive evolution, spec-style: APPEND a new schema object with
-          // the next schema-id and point current-schema-id at it — history
+          // an added column must not resurrect a RETIRED name (a former
+          // name of a renamed field): the read path maps old files'
+          // physical columns by name history, and a live column wearing
+          // a retired name would make that mapping ambiguous
+          val retired = retiredNames(meta)
+          diff.added.foreach(f => require(!retired.contains(f.name),
+            s"$ns.$table: cannot add column '${f.name}' — the name is a " +
+              "retired former name of a renamed column; old data files " +
+              "still carry it physically, so re-using it would make the " +
+              "rename read-mapping ambiguous"))
+          // evolution, spec-style: APPEND a new schema object with the
+          // next schema-id and point current-schema-id at it — history
           // keeps every schema; existing snapshots keep their layout,
-          // load() aligns
-          val widened = StructType(existing.fields ++ added)
+          // load() aligns. Promotions (int->long, float->double, decimal
+          // widening — VERDICT r11 #1) change ONLY the recorded type:
+          // field order (= field ids) is preserved, old data files keep
+          // their narrower physical type, and the read path casts up.
+          val promotedTypes = diff.promoted.toMap
+          val widened = StructType(existing.fields.map(f =>
+            promotedTypes.get(f.name)
+              .map(t => f.copy(dataType = t)).getOrElse(f)) ++ diff.added)
           val nextId = meta.get("schemas").elements().asScala
             .map(_.get("schema-id").asInt()).max + 1
           meta.get("schemas").asInstanceOf[ArrayNode]
@@ -629,6 +665,89 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         }
     }
   }
+
+  /** Rename a column — METADATA-ONLY here ([[LakeCatalog.renameColumn]]):
+    * a new schema object is appended where the field keeps its position
+    * (= its id) under the new name; no data file is touched. Old files'
+    * physical `from` columns map onto `to` at read time via the schema
+    * history ([[aliasesOf]]). Refused (loudly) when the column is
+    * load-bearing for this carrier's PHYSICAL layout, where a pure
+    * metadata rename would break name-carried bindings:
+    * partition-spec sources (identity dirs are `name=value` paths),
+    * live equality-delete groups (their key files bind by column name),
+    * and bucket-spec columns. */
+  def renameColumn(ns: String, table: String, from: String,
+                   to: String): Unit = {
+    require(from != to, s"renameColumn: '$from' -> itself")
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        val existing = metaSchema(meta)
+        require(existing.fieldNames.contains(from),
+          s"$ns.$table has no column '$from'")
+        require(!existing.fieldNames.contains(to),
+          s"$ns.$table already has a column '$to'")
+        require(!retiredNames(meta).contains(to),
+          s"$ns.$table: '$to' is a retired former name of another " +
+            "renamed column — re-using it would make the rename " +
+            "read-mapping ambiguous")
+        val srcId = existing.fieldNames.indexOf(from) + 1
+        val specId = meta.get("default-spec-id").asInt()
+        val isPartitionSrc = meta.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == specId)
+          .exists(_.get("fields").elements().asScala
+            .exists(_.get("source-id").asInt() == srcId))
+        require(!isPartitionSrc,
+          s"$ns.$table: '$from' drives the partition layout — this " +
+            "carrier materializes identity partitions as name=value " +
+            "paths, so a metadata-only rename of a partition source is " +
+            "not supported (compact into a new table instead)")
+        require(!currentDeletes(meta).exists(_.cols.contains(from)),
+          s"$ns.$table: '$from' is referenced by a live equality-delete " +
+            "file — compact() the debt away first, then rename")
+        val bucketed = !meta.get("bucket-spec").isNull &&
+          meta.get("bucket-spec").get("columns").elements().asScala
+            .exists(_.asText() == from)
+        require(!bucketed,
+          s"$ns.$table: '$from' is a bucket column — rewrite via " +
+            "writeBucketed under the new name instead")
+        val renamed = StructType(existing.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        val nextId = meta.get("schemas").elements().asScala
+          .map(_.get("schema-id").asInt()).max + 1
+        meta.get("schemas").asInstanceOf[ArrayNode]
+          .add(schemaNode(renamed, nextId))
+        meta.put("current-schema-id", nextId)
+        Some(meta)
+    }
+  }
+
+  /** Read-time rename mapping, derived from the schema history (no extra
+    * metadata): field ids are positional and stable across this catalog's
+    * evolutions (adds append, renames/promotions preserve order), so
+    * position i's name trail across the schema objects IS field id i+1's
+    * rename history. Returns current name -> former names (oldest
+    * first), only for fields that ever changed name. */
+  private def aliasesOf(meta: ObjectNode): Map[String, Seq[String]] = {
+    val schemas = meta.get("schemas").elements().asScala.toSeq
+      .sortBy(_.get("schema-id").asInt())
+    if (schemas.size <= 1) return Map.empty
+    val curNames = currentSchemaNode(meta).get("fields").elements().asScala
+      .map(_.get("name").asText()).toSeq
+    curNames.zipWithIndex.flatMap { case (n, i) =>
+      val hist = schemas.flatMap(s =>
+        s.get("fields").elements().asScala.toSeq.lift(i)
+          .map(_.get("name").asText()))
+        .filter(_ != n).distinct
+      if (hist.isEmpty) None else Some(n -> hist)
+    }.toMap
+  }
+
+  /** Every former (now unused) column name in the schema history — names
+    * an added column must not resurrect (see [[ensureTable]]). */
+  private def retiredNames(meta: ObjectNode): Set[String] =
+    aliasesOf(meta).values.flatten.toSet
 
   private def writeSnapshot(ns: String, table: String, df: DataFrame,
                             layout: Seq[(String, Option[Column])],
@@ -670,14 +789,44 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     snapName
   }
 
+  /** Write-boundary type alignment: a column NARROWER than the table's
+    * (an int batch into a promoted-to-long column) casts UP before the
+    * write, so new data files carry the current schema's physical types
+    * and their manifest stats encode under the current type. A column
+    * WIDER than the table's fails loudly — evolve first (ensureTable
+    * promotes); silently narrowing would corrupt values. Columns absent
+    * from the table schema pass through untouched (reads project them
+    * away), and table columns absent from `df` null-fill at read time —
+    * both pre-existing behaviors. */
+  private def conformToTable(meta: ObjectNode, df: DataFrame): DataFrame = {
+    val tbl = metaSchema(meta).fields.map(f => f.name -> f.dataType).toMap
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      tbl.get(f.name) match {
+        case Some(t)
+            if SchemaShape.normalize(t) ==
+              SchemaShape.normalize(f.dataType) => acc
+        case Some(t) =>
+          val w = SchemaShape.widen(f.dataType, t)
+          require(w.contains(SchemaShape.normalize(t)),
+            s"column '${f.name}': incoming ${f.dataType.catalogString} " +
+              s"does not fit the table's ${t.catalogString} — run " +
+              "ensureTable with the wider schema first (promotion), or " +
+              "fix the feed; implicit narrowing is never applied")
+          acc.withColumn(f.name, col(s"`${f.name}`").cast(t))
+        case None => acc
+      }
+    }
+  }
+
   override def append(ns: String, table: String, df: DataFrame,
                       options: Map[String, String]): Unit = {
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
     // data first (snapshot dirs are commit-agnostic), then the CAS loop:
     // a loser re-derives live = winner's live + its own dir, so racing
     // appends both land — neither snapshot is lost
-    val snap = writeSnapshot(ns, table, df,
-      partitionLayout(readMeta(ns, table)), options)
+    val meta0 = readMeta(ns, table)
+    val snap = writeSnapshot(ns, table, conformToTable(meta0, df),
+      partitionLayout(meta0), options)
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table vanished mid-append"))
@@ -713,9 +862,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                           sortCols: Seq[String], targetFiles: Option[Int],
                           replace: Boolean): Unit = {
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
+    val meta0 = readMeta(ns, table)
     val snap = writeSnapshot(ns, table,
-      shapeSorted(df, sortCols, targetFiles),
-      partitionLayout(readMeta(ns, table)), Map.empty)
+      shapeSorted(conformToTable(meta0, df), sortCols, targetFiles),
+      partitionLayout(meta0), Map.empty)
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table vanished mid-write"))
@@ -767,8 +917,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   override def overwrite(ns: String, table: String, df: DataFrame,
                          options: Map[String, String]): Unit = {
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
-    val snap = writeSnapshot(ns, table, df,
-      partitionLayout(readMeta(ns, table)), options)
+    val meta0 = readMeta(ns, table)
+    val snap = writeSnapshot(ns, table, conformToTable(meta0, df),
+      partitionLayout(meta0), options)
     commit(ns, table) { base =>
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table vanished mid-overwrite"))
@@ -855,6 +1006,175 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     readMeta(ns, table).get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong()).toSeq
 
+  // ---- snapshot refs (tags/branches — VERDICT r11 #3) --------------------
+
+  /** Pin `name` to `snapshotId` as a TAG in the v2 `refs` map — the
+    * symbolic handle operators use for "the audited snapshot" (time travel
+    * by name, not id). Tags are commits like everything else: the CAS
+    * loop rebases a tag racing a write. Re-tagging an existing tag moves
+    * it (Iceberg's replace-tag); `main` is reserved — the writer-owned
+    * branch every data commit advances. [[expireSnapshots]] PROTECTS
+    * ref'd snapshots: a tagged snapshot and its directories survive any
+    * keepLast horizon until the tag is dropped. */
+  def tag(ns: String, table: String, name: String, snapshotId: Long): Unit =
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        require(name != "main",
+          "'main' is the writer-owned branch — pick another ref name")
+        require(meta.get("snapshots").elements().asScala
+            .exists(_.get("snapshot-id").asLong() == snapshotId),
+          s"no snapshot $snapshotId on $ns.$table " +
+            s"(log has ${snapshotIds(ns, table).mkString(", ")})")
+        val ref = refsNode(meta).putObject(name)
+        ref.put("snapshot-id", snapshotId)
+        ref.put("type", "tag")
+        Some(meta)
+    }
+
+  /** Drop a tag (its snapshot becomes ordinary expiry debt). `main` is
+    * refused; a missing name is a no-op (idempotent cleanup). */
+  def dropRef(ns: String, table: String, name: String): Unit =
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        require(name != "main", "'main' cannot be dropped")
+        if (refsNode(meta).has(name)) {
+          refsNode(meta).remove(name)
+          Some(meta)
+        } else None
+    }
+
+  /** All refs of the table: name -> (type, snapshot id). Always contains
+    * `main` once the table has a snapshot. */
+  def listRefs(ns: String, table: String): Map[String, (String, Long)] = {
+    val meta = readMeta(ns, table)
+    refsNode(meta).properties().asScala.map { e =>
+      e.getKey -> ((e.getValue.get("type").asText(),
+        e.getValue.get("snapshot-id").asLong()))
+    }.toMap
+  }
+
+  // ---- standard metadata tables (VERDICT r11 #4) --------------------------
+
+  /** The standard Iceberg metadata-table read faces — the relations an
+    * external operator's tooling expects beside the richer bespoke
+    * reports ([[maintenanceReport]], [[storageAudit]],
+    * [[deleteDebtReport]]):
+    *
+    *   - `snapshots`: one row per retained snapshot — committed_at (epoch
+    *     ms), snapshot_id, parent_id (null for the root), operation (the
+    *     spec's summary vocabulary), manifest_list path, and the summary
+    *     rollups (total/added records and data files, total delete
+    *     files; null on pre-summary legacy snapshots).
+    *   - `history`: the snapshot-log — made_current_at, snapshot_id,
+    *     parent_id, is_current_ancestor (true iff the snapshot is on the
+    *     current snapshot's parent chain — rollbacks leave abandoned
+    *     log entries with false here, exactly as Iceberg's table does).
+    *   - `files`: one row per data/delete FILE of the current snapshot —
+    *     content (0 data / 1 position deletes / 2 equality deletes),
+    *     file_path, file_format, record_count, file_size_in_bytes.
+    *   - `manifests`: one row per manifest of the current snapshot's
+    *     manifest list — content, path, length, partition_spec_id,
+    *     added_snapshot_id, sequence_number, and the added/existing/
+    *     deleted file and row counts.
+    *   - `refs`: name, type (branch|tag), snapshot_id.
+    *
+    * All five read METADATA only (JSON + Avro manifests — never a data
+    * file), so each face is control-plane-sized: what makes sizing a
+    * 100 TB table a metadata read, not a scan. */
+  def metaTable(ns: String, table: String, kind: String): DataFrame = {
+    val meta = readMeta(ns, table)
+    import spark.implicits._
+    def snaps = meta.get("snapshots").elements().asScala.toSeq
+    def summaryLong(sn: JsonNode, key: String): Option[Long] =
+      Option(sn.get("summary")).flatMap(s => Option(s.get(key)))
+        .map(_.asText().toLong)
+    kind match {
+      case "snapshots" =>
+        snaps.map { sn =>
+          (Option(sn.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+            sn.get("snapshot-id").asLong(),
+            Option(sn.get("parent-snapshot-id")).map(_.asLong()),
+            Option(sn.get("summary")).map(_.get("operation").asText())
+              .getOrElse(sn.get("operation").asText()),
+            Option(sn.get("manifest-list")).map(_.asText()).getOrElse(""),
+            summaryLong(sn, "total-records"),
+            summaryLong(sn, "total-data-files"),
+            summaryLong(sn, "added-records"),
+            summaryLong(sn, "added-data-files"),
+            summaryLong(sn, "total-delete-files"))
+        }.toDF("committed_at", "snapshot_id", "parent_id", "operation",
+          "manifest_list", "total_records", "total_data_files",
+          "added_records", "added_data_files", "total_delete_files")
+      case "history" =>
+        val byId = snaps.map(s => s.get("snapshot-id").asLong() -> s).toMap
+        // the current snapshot's ancestor chain (rollback abandons forks)
+        val ancestors = Iterator
+          .iterate(Option(meta.get("current-snapshot-id").asLong())
+            .filter(_ >= 0L)) {
+            _.flatMap(id => byId.get(id))
+              .flatMap(s => Option(s.get("parent-snapshot-id"))
+                .map(_.asLong()))
+          }
+          .takeWhile(_.isDefined).flatten.toSet
+        meta.get("snapshot-log").elements().asScala.toSeq.map { e =>
+          val id = e.get("snapshot-id").asLong()
+          (e.get("timestamp-ms").asLong(), id,
+            byId.get(id).flatMap(s =>
+              Option(s.get("parent-snapshot-id")).map(_.asLong())),
+            ancestors.contains(id))
+        }.toDF("made_current_at", "snapshot_id", "parent_id",
+          "is_current_ancestor")
+      case "files" =>
+        val entries = currentSnapNode(meta).toSeq
+          .flatMap(sn => Option(sn.get("manifest-list")).map(_.asText()))
+          .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
+          .flatMap(p => AvroManifests.readManifestList(Path.of(p)))
+          .flatMap(m => AvroManifests.readManifest(Path.of(m.manifestPath)))
+        entries.map(e => (e.content, e.filePath, e.fileFormat,
+            e.recordCount, e.fileSizeInBytes))
+          .toDF("content", "file_path", "file_format", "record_count",
+            "file_size_in_bytes")
+      case "manifests" =>
+        currentSnapNode(meta).toSeq
+          .flatMap(sn => Option(sn.get("manifest-list")).map(_.asText()))
+          .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
+          .flatMap(p => AvroManifests.readManifestList(Path.of(p)))
+          .map(m => (m.content, m.manifestPath, m.manifestLength,
+            m.partitionSpecId, m.addedSnapshotId, m.sequenceNumber,
+            m.minSequenceNumber, m.addedFilesCount, m.existingFilesCount,
+            m.deletedFilesCount, m.addedRowsCount, m.existingRowsCount,
+            m.deletedRowsCount))
+          .toDF("content", "path", "length", "partition_spec_id",
+            "added_snapshot_id", "sequence_number", "min_sequence_number",
+            "added_data_files_count", "existing_data_files_count",
+            "deleted_data_files_count", "added_rows_count",
+            "existing_rows_count", "deleted_rows_count")
+      case "refs" =>
+        refsNode(meta).properties().asScala.toSeq.map { e =>
+          (e.getKey, e.getValue.get("type").asText(),
+            e.getValue.get("snapshot-id").asLong())
+        }.toDF("name", "type", "snapshot_id")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' — one of snapshots, history, " +
+          "files, manifests, refs")
+    }
+  }
+
+  /** Read the table as of a NAMED ref — `loadRef(ns, t, "audited") ==
+    * loadAt(ns, t, <the tagged id>)`, resolution included. */
+  def loadRef(ns: String, table: String, name: String): DataFrame = {
+    val meta = readMeta(ns, table)
+    val ref = Option(refsNode(meta).get(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ref '$name' on $ns.$table (refs: " +
+          s"${refsNode(meta).properties().asScala.map(_.getKey).mkString(", ")})"))
+    loadAt(ns, table, ref.get("snapshot-id").asLong())
+  }
+
   // ---- row-level delete (Iceberg v2 copy-on-write) -----------------------
 
   /** Test seam: fired between the delete's rewrite and its commit attempt,
@@ -932,7 +1252,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // their source dir; per-dir match counts are bounded by the dir count
     // (control plane), never row-shaped
     def tagged(dirs: Seq[String]): DataFrame =
-      scanWithDeletes(ns, table, schema, snOpt.get, dirs, Some(tag))
+      scanWithDeletes(ns, table, meta, snOpt.get, dirs, Some(tag))
     val perDir =
       if (baseLive.isEmpty) Map.empty[String, Long]
       else matched(tagged(baseLive))
@@ -1013,10 +1333,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     require(keys.nonEmpty, "merge needs at least one key column")
     keys.foreach(k => require(df.columns.contains(k),
       s"merge key '$k' missing from the incoming frame"))
-    ensureTable(ns, table, df.schema) // create or additive-evolve
+    ensureTable(ns, table, df.schema) // create or additive/promote-evolve
     val meta = readMeta(ns, table)
-    val newDir = writeSnapshot(ns, table, df, partitionLayout(meta),
-      Map.empty)
+    val newDir = writeSnapshot(ns, table, conformToTable(meta, df),
+      partitionLayout(meta), Map.empty)
     // an empty incoming batch (e.g. an upsert feed that filtered to zero
     // rows) is a no-op, not a commit: a PARTITIONED empty write leaves a
     // file-less dir that cannot even be read back for keys
@@ -1070,7 +1390,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val baseLive = liveSnapshots(meta)
     if (baseLive.isEmpty) return 0L
     val sn = currentSnapNode(meta).get
-    val scan = scanWithDeletes(ns, table, schema, sn, baseLive,
+    val scan = scanWithDeletes(ns, table, meta, sn, baseLive,
       withPos = true)
     val matched = scan.filter(coalesce(predicate, lit(false)))
       .select(col(PosFileTag).as("file_path"), col(PosPosTag).as("pos"))
@@ -1105,7 +1425,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val baseLive = liveSnapshots(meta)
     if (baseLive.isEmpty) return 0L
     val sn = currentSnapNode(meta).get
-    val scan = scanWithDeletes(ns, table, schema, sn, baseLive)
+    val scan = scanWithDeletes(ns, table, meta, sn, baseLive)
     val ks = keys.select(col(s"`$keyCol`")).distinct()
     // ONE corpus scan serves both the deleted-row count and the
     // present-key list: the semi-join rolls up per key (≤ |keys| rows),
@@ -1288,7 +1608,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         Some((e: AvroManifests.DataFileEntry) => a(e) && b(e))
       case (a, b) => a.orElse(b)
     }
-    scanWithDeletes(ns, table, schema, sn, liveDirsOf(sn),
+    scanWithDeletes(ns, table, meta, sn, liveDirsOf(sn),
       fileFilter = combined).filter(rowBound)
   }
 
@@ -1357,7 +1677,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           // purge's masks as dangling — chronological attribution, each
           // group scored against the state it committed into.
           else spark.read.parquet(path)
-            .join(scanWithDeletes(ns, table, metaSchema(meta), sn.get,
+            .join(scanWithDeletes(ns, table, meta, sn.get,
                 applicable,
                 delFilter = p => p.kind == "position" && p.seq < r.seq)
               .select(r.cols.map(c => col(s"`$c`")): _*),
@@ -1454,7 +1774,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(sn) =>
-        scanWithDeletes(ns, table, schema, sn, liveDirsOf(sn))
+        scanWithDeletes(ns, table, meta, sn, liveDirsOf(sn))
     }
   }
 
@@ -1510,8 +1830,17 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * per-dir attribution); `withPos`: keep the file/pos columns on the
     * output (the position-delete writer turns them into delete files);
     * `delFilter`: restrict WHICH delete-file groups apply (the debt
-    * report's per-group masking counts need a partial view). */
-  private def scanWithDeletes(ns: String, table: String, schema: StructType,
+    * report's per-group masking counts need a partial view).
+    *
+    * Evolution alignment (read-time, Iceberg semantics): each dir frame
+    * first maps RENAMED columns — a frame missing a current name but
+    * carrying one of its former names ([[aliasesOf]]) reads that physical
+    * column under the current name; then unionByName fills columns a
+    * snapshot predates with NULL; finally any column whose physical type
+    * is NARROWER than the current schema's (pre-promotion files: int
+    * under a long column) casts up — the promotion contract: old files
+    * are never rewritten, readers widen. */
+  private def scanWithDeletes(ns: String, table: String, meta: ObjectNode,
                               sn: JsonNode, dirs: Seq[String],
                               tag: Option[String] = None,
                               withPos: Boolean = false,
@@ -1519,14 +1848,27 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                                 AvroManifests.DataFileEntry => Boolean] = None,
                               delFilter: DeleteRef => Boolean = _ => true)
       : DataFrame = {
+    val schema = metaSchema(meta)
+    val aliases = aliasesOf(meta)
     val dels = deleteFilesOf(sn).filter(delFilter)
     val eqDels = dels.filter(_.kind == "equality")
     val posDels = dels.filter(_.kind == "position")
     val needPos = withPos || posDels.nonEmpty
     val seqs = if (eqDels.isEmpty) Map.empty[String, Long]
                else manifestListSeqs(sn)
+    def aliasFix(df0: DataFrame): DataFrame =
+      aliases.foldLeft(df0) { case (d, (cur, olds)) =>
+        if (d.columns.contains(cur)) d
+        else olds.reverse.find(d.columns.contains) match {
+          // most recent former name wins (a twice-renamed field's files
+          // may carry either generation)
+          case Some(o) => d.withColumnRenamed(o, cur)
+          case None    => d
+        }
+      }
     val frames = dirs.flatMap { d =>
-      rawDirFrame(ns, table, d, fileFilter).map { df0 =>
+      rawDirFrame(ns, table, d, fileFilter).map { dfRaw =>
+        val df0 = aliasFix(dfRaw)
         var df = if (needPos) df0.select(col("*"),
             col("_metadata.file_path").as(PosFileTag),
             col("_metadata.row_index").as(PosPosTag))
@@ -1568,16 +1910,23 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         .reduce(_ && _) && out(SeqTag) < lit(r.seq)
       out = out.join(keys, cond, "left_anti")
     }
-    out.select((schema.fieldNames.toIndexedSeq ++ extraCols)
-      .map(c => col(s"`$c`")): _*)
+    // promotion cast: only where the physical (post-union) type still
+    // differs from the declared one — the common no-evolution scan keeps
+    // its bare column references (no plan pollution, pushdown intact)
+    val outTypes = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aligned = schema.fields.toIndexedSeq.map { f =>
+      val c = col(s"`${f.name}`")
+      if (outTypes.get(f.name).exists(t =>
+          SchemaShape.normalize(t) != SchemaShape.normalize(f.dataType)))
+        c.cast(f.dataType).as(f.name)
+      else c
+    }
+    out.select(aligned ++ extraCols.map(c => col(s"`$c`")): _*)
   }
 
-  /** Read a set of snapshot data dirs, each with ITS layout (basePath
-    * recovers partition columns), aligned to `schema`: unionByName fills
-    * columns a snapshot predates with NULL — Iceberg's read-time
-    * evolution. Shared by [[load]]/[[loadAt]] and the copy-on-write delete
-    * rewrite (which must rewrite old dirs in the CURRENT schema, as an
-    * Iceberg rewrite does).
+  /** Read one snapshot data dir with ITS layout (basePath recovers
+    * partition columns) — the per-directory half of the read-time
+    * evolution [[scanWithDeletes]] performs.
     *
     * Scan planning reads each directory's Avro MANIFEST (the per-file
     * source of truth, as an Iceberg reader would): the exact data-file
@@ -1603,20 +1952,6 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // callers always re-apply the exact row-level bound)
   }
 
-  private def readAligned(ns: String, table: String, schema: StructType,
-                          dirs: Seq[String]): DataFrame = {
-    val frames = dirs.flatMap(s => rawDirFrame(ns, table, s))
-    if (frames.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
-    val withAll = schema.fieldNames.foldLeft(unioned) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(schema(c).dataType))
-    }
-    withAll.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
-  }
-
   protected def deleteTree(dir: Path): Unit =
     if (Files.exists(dir)) {
       // Files.walk returns a Stream holding directory handles — close it
@@ -1627,13 +1962,15 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     }
 
   /** Iceberg `expire_snapshots`: retain the `keepLast` most recent log
-    * entries, then delete every snapshot directory referenced by NO
-    * retained snapshot — the reclamation pass for the orphan debt
-    * [[compact]] and [[overwrite]] accrue. Commit order is crash-safe:
-    * the trimmed metadata publishes FIRST, so an interrupted expiry
-    * leaves only unreferenced directories (orphans, re-collectable), never
-    * a live snapshot with missing files. Time travel to an expired id
-    * fails loudly ([[loadAt]]). */
+    * entries PLUS every snapshot a ref names (a tagged "audited" snapshot
+    * survives any horizon until its tag is dropped — the spec's
+    * ref-protection contract), then delete every snapshot directory
+    * referenced by NO retained snapshot — the reclamation pass for the
+    * orphan debt [[compact]] and [[overwrite]] accrue. Commit order is
+    * crash-safe: the trimmed metadata publishes FIRST, so an interrupted
+    * expiry leaves only unreferenced directories (orphans,
+    * re-collectable), never a live snapshot with missing files. Time
+    * travel to an expired id fails loudly ([[loadAt]]). */
   def expireSnapshots(ns: String, table: String, keepLast: Int = 1): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     var orphaned: Set[String] = Set.empty
@@ -1643,13 +1980,19 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       val meta = base.getOrElse(throw new IllegalStateException(
         s"$ns.$table does not exist"))
       val snaps = meta.get("snapshots").elements().asScala.toSeq
-      if (snaps.size <= keepLast) {
+      val refIds = refsNode(meta).properties().asScala
+        .map(_.getValue.get("snapshot-id").asLong()).toSet
+      val keptIdSet = snaps.takeRight(keepLast)
+        .map(_.get("snapshot-id").asLong()).toSet ++ refIds
+      if (snaps.forall(s => keptIdSet.contains(
+          s.get("snapshot-id").asLong()))) {
         // reset ALL attempt state: a lost race (e.g. vs another expiry)
         // can land a retry here after an earlier attempt populated it
         orphaned = Set.empty; maxDroppedId = -1L; keptManifests = Set.empty
         None
       } else {
-        val (drop, keep) = snaps.splitAt(snaps.size - keepLast)
+        val (keep, drop) = snaps.partition(s =>
+          keptIdSet.contains(s.get("snapshot-id").asLong()))
         maxDroppedId = drop.map(_.get("snapshot-id").asLong()).max
         keptManifests = keep
           .flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSet

@@ -29,7 +29,36 @@ final case class TargetConfig(
     flatteningEnabled: Boolean,
     flatteningMaxDepth: Int,
     partitionBy: Map[String, Seq[String]],
-    sortedBy: Map[String, Seq[String]] = Map.empty)
+    sortedBy: Map[String, Seq[String]] = Map.empty) {
+
+  /** The Hadoop `fs.s3a.*` configuration this config implies — the Spark
+    * half of the reference's catalog wiring, which hands `s3.endpoint` /
+    * `s3.access-key-id` / `s3.secret-access-key` to pyiceberg's FileIO
+    * (`/root/reference/target_iceberg/sinks.py:55-65`; the region probe
+    * at `sinks.py:43` is S3A's own endpoint negotiation here). Credential
+    * keys are emitted only when set; a NON-AWS endpoint (MinIO, on-prem
+    * gateways — anything not `*.amazonaws.com`) additionally forces
+    * path-style access, which such gateways require and AWS itself does
+    * not. Callers set the pairs on
+    * `spark.sparkContext.hadoopConfiguration` or as `spark.hadoop.*`
+    * session conf at build time ([[graft.GraftTarget]] does the latter).
+    * Offline-testable by construction: the mapping is pure config -> conf;
+    * an actual S3 round-trip additionally needs the hadoop-aws jar and
+    * network, neither available in this sandbox (README). */
+  def s3aHadoopConf: Map[String, String] = {
+    val base = Seq(
+      Option(awsAccessKeyId).filter(_.nonEmpty)
+        .map("fs.s3a.access.key" -> _),
+      Option(awsSecretAccessKey).filter(_.nonEmpty)
+        .map("fs.s3a.secret.key" -> _),
+      Option(s3Endpoint).filter(_.nonEmpty)
+        .map("fs.s3a.endpoint" -> _)).flatten.toMap
+    val pathStyle = Option(s3Endpoint).filter(_.nonEmpty)
+      .filterNot(e => e.stripSuffix("/").endsWith(".amazonaws.com"))
+      .map(_ => "fs.s3a.path.style.access" -> "true")
+    base ++ pathStyle
+  }
+}
 
 object TargetConfig {
   /** Required keys, exactly as in target.py (required=True properties). */

@@ -354,11 +354,41 @@ object Dedup {
         expr("size(array_intersect(sh_a, sh_b))")), 4)
 
   /** C2 near-dup via MinHash + banded LSH, with exact shingle-set Jaccard on
-    * the (tiny) candidate set. Output: candidate pairs + jaccard. */
+    * the (tiny) candidate set. Output: candidate pairs + jaccard.
+    *
+    * `maxPairs` (OPT-IN, default off — VERDICT r11 #7): a deterministic
+    * pair budget for callers who want a bounded near-dup REPORT rather
+    * than the full pair list. The default face keeps every pair — its
+    * output IS the pairs; at 100× replication that is 22M pairs in ~654 s,
+    * correct because output-bound. With a budget, the NARROW (id_a, id_b)
+    * stream is thinned FIRST by the calibration family's fixed id-pair
+    * arithmetic ([[thinPairs]] — every step-th pair, reproducible
+    * cross-engine), and the shingle arrays only ever join against the
+    * bounded sample; the capped output is a strict subset of the uncapped
+    * one whenever the cap binds, and identical (step = 1) when it
+    * doesn't. */
   def q23DedupMinhash(s: SparkSession, d: String): DataFrame =
-    candidatesWithShingles(s, d)
+    nearDupPairs(s, d)
+
+  /** [[q23DedupMinhash]] with the optional pair budget surfaced. */
+  def nearDupPairs(s: SparkSession, d: String,
+                   maxPairs: Option[Long] = None): DataFrame =
+    withShingles(s, d, cappedCandidates(s, d, maxPairs))
       .select(col("id_a"), col("id_b"), pairJaccard.as("jaccard"))
       .orderBy("id_a", "id_b")
+
+  /** The standard LSH candidate stream, optionally thinned to a
+    * deterministic ≤~`maxPairs` sample BEFORE any array joins in. */
+  private def cappedCandidates(s: SparkSession, d: String,
+                               maxPairs: Option[Long]): DataFrame = {
+    val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
+    maxPairs match {
+      case Some(m) =>
+        require(m > 0, s"maxPairs must be positive, got $m")
+        thinPairs(pairs, m).localCheckpoint(true)
+      case None => pairs
+    }
+  }
 
   /** C2x MinHash-estimate calibration (q148): per slot-match count, how
     * the [[NumHashes]]-slot MinHash jaccard ESTIMATE tracks the exact
@@ -403,19 +433,28 @@ object Dedup {
     * ever multiplies the BOUNDED sample. Memoized + checkpointed: one
     * derivation serves q148, q158 and q176. `maxPairs` is the spec's
     * override seam (only the default is memoized). */
+  /** The ONE deterministic pair-thinning arithmetic (calibration family +
+    * the opt-in [[nearDupPairs]]/[[q101Containment]] budgets): keep every
+    * step-th pair under a fixed hash of the id pair, step = ceil(n /
+    * maxPairs). Fixed arithmetic — no RNG — so an oracle mirrors it
+    * verbatim and a re-run reproduces the identical sample; step = 1
+    * (cap not binding) keeps the stream untouched. One count() pass over
+    * the NARROW pair list prices the step — callers memoize/checkpoint. */
+  private[ops] def thinPairs(pairs: DataFrame, maxPairs: Long): DataFrame = {
+    val n = pairs.count()
+    // CEIL division: floor would score up to 2x the budget (and thin
+    // nothing at all for n in (maxPairs, 2*maxPairs))
+    val step = math.max(1L, (n + maxPairs - 1) / maxPairs)
+    if (step == 1L) pairs
+    else pairs.filter(expr(s"(id_a * 1000003 + id_b) % $step = 0"))
+  }
+
   private[ops] def sampledCalibPairs(s: SparkSession, d: String,
                                      maxPairs: Long = CalibMaxPairs)
       : DataFrame = {
-    def build(): DataFrame = {
-      val pairs = minhashCandidates(s, d, Some(DefaultMaxBucket))
-      val n = pairs.count()
-      // CEIL division: floor would score up to 2x the budget (and thin
-      // nothing at all for n in (maxPairs, 2*maxPairs))
-      val step = math.max(1L, (n + maxPairs - 1) / maxPairs)
-      (if (step == 1L) pairs
-       else pairs.filter(expr(s"(id_a * 1000003 + id_b) % $step = 0")))
+    def build(): DataFrame =
+      thinPairs(minhashCandidates(s, d, Some(DefaultMaxBucket)), maxPairs)
         .localCheckpoint(true)
-    }
     if (maxPairs != CalibMaxPairs) build()
     else calibPairsCache.getOrElseUpdate(s, d)(build())
   }
@@ -577,7 +616,14 @@ object Dedup {
     * at production scale swap the candidate source for a suffix/anchor
     * index (q98's anchor fingerprints) when subset recall must be total. */
   def q101Containment(s: SparkSession, d: String): DataFrame =
-    candidatesWithShingles(s, d)
+    containmentPairs(s, d)
+
+  /** [[q101Containment]] with the same OPT-IN pair budget as
+    * [[nearDupPairs]] (deterministic [[thinPairs]] sampling on the narrow
+    * stream, default off — the registered face keeps every pair). */
+  def containmentPairs(s: SparkSession, d: String,
+                       maxPairs: Option[Long] = None): DataFrame =
+    withShingles(s, d, cappedCandidates(s, d, maxPairs))
       .select(col("id_a"), col("id_b"),
         round(expr("size(array_intersect(sh_a, sh_b))") / expr("size(sh_a)"),
           4).as("cont_a"),

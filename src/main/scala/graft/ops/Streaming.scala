@@ -950,6 +950,154 @@ object Streaming {
       "n_tag_keys").orderBy("lang")
   }
 
+  /** Standard metadata-table faces (q215): drive a four-commit lifecycle
+    * (append / append / copy-on-write delete / compact) and answer it
+    * ENTIRELY from [[graft.lake.SnapshotLakeCatalog.metaTable]] — the
+    * `snapshots`, `history`, `files` and `manifests` relations an external
+    * operator's tooling reads to size a table without scanning it. The
+    * output is one row per snapshot (id, operation, summary total-records,
+    * history's is_current_ancestor) plus two sentinel rows priced off the
+    * files/manifests faces of the CURRENT snapshot (total data rows via
+    * per-file record counts; the manifest count, exactly 1 after a
+    * compact). The oracle restates every number as set algebra over
+    * `documents` — metadata truth must equal data truth.
+    *
+    * Scale shape: all five faces read metadata only (JSON + Avro
+    * manifests); the one data-shaped operation is the lifecycle itself
+    * (the delete's locate/rewrite and compact's rewrite — the operators
+    * under test). */
+  def q215MetaTables(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "metaq"
+    val docs = documents(s, d).select("doc_id", "source", "lang")
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 0))
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 1))
+    require(cat.deleteWhere(ns, "t", col("doc_id") % 7 === 0) > 0)
+    cat.compact(ns, "t", targetFiles = 2)
+    val perSnap = cat.metaTable(ns, "t", "snapshots")
+      .join(cat.metaTable(ns, "t", "history")
+          .select("snapshot_id", "is_current_ancestor"),
+        Seq("snapshot_id"))
+      .select("snapshot_id", "operation", "total_records",
+        "is_current_ancestor")
+      .collect() // one row per snapshot — control plane
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    val fileRows = cat.metaTable(ns, "t", "files")
+      .filter(col("content") === 0)
+      .agg(sum("record_count")).head().getLong(0)
+    val nManifests = cat.metaTable(ns, "t", "manifests")
+      .filter(col("content") === 0).count()
+    cat.dropNamespace(ns)
+    import s.implicits._
+    (perSnap ++ Seq((100L, "files_current", fileRows, true),
+        (101L, "manifests_current", nManifests, true)))
+      .toDF("snapshot_id", "operation", "total_records",
+        "is_current_ancestor")
+      .orderBy("snapshot_id")
+  }
+
+  /** Tagged time travel (q216): tag a mid-history snapshot, keep
+    * committing (an append + an equality purge), EXPIRE history down to
+    * keepLast=1 — the tag must protect its snapshot — and read BOTH
+    * faces: the tag (exactly the first two appends, by name) and the
+    * current table (everything minus the purge). The oracle restates
+    * both censuses over `documents`.
+    *
+    * Scale shape: tag/expire are metadata commits; loadRef is an ordinary
+    * snapshot scan (pruned to the tagged live set); the censuses are
+    * |langs|-bounded partial aggs. */
+  def q216TaggedTravel(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "tagq"
+    val docs = documents(s, d).select("doc_id", "lang")
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.append(ns, "t", docs.filter(col("doc_id") % 3 === 0))
+    cat.append(ns, "t", docs.filter(col("doc_id") % 3 === 1))
+    val auditedId = cat.snapshotIds(ns, "t").max
+    cat.tag(ns, "t", "audited", auditedId)
+    cat.append(ns, "t", docs.filter(col("doc_id") % 3 === 2))
+    require(cat.purgeKeysMOR(ns, "t", "doc_id",
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id")) > 0)
+    cat.expireSnapshots(ns, "t", keepLast = 1)
+    require(cat.snapshotIds(ns, "t").contains(auditedId),
+      "expiry must protect the tagged snapshot")
+    require(cat.listRefs(ns, "t")("audited") == (("tag", auditedId)))
+    def census(face: String, df: DataFrame) = df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"))
+      .collect() // |langs|-bounded — control plane
+      .map(r => (face, r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = census("audited", cat.loadRef(ns, "t", "audited")) ++
+      census("current", cat.load(ns, "t"))
+    cat.dropNamespace(ns)
+    import s.implicits._
+    rows.toDF("face", "lang", "n_docs", "sum_id").orderBy("face", "lang")
+  }
+
+  /** Promoted-table census (q217): create the table NARROW (int id, float
+    * score, decimal(9,2) amt), load a batch, promote the schema to
+    * long/double/decimal(18,2) — a METADATA-ONLY evolution, old files
+    * untouched — then land values only the wide types admit (ids past
+    * 2^31, amounts past 9 digits) plus one more still-narrow batch (the
+    * drifting-tap shape: segments lag the table's promotion). The census
+    * reads all three file generations under the current schema; every
+    * output is an exact integer (score rides quarters so float->double
+    * widening is value-exact), so the hash compare is representation-
+    * proof. The oracle restates the arithmetic over `documents`.
+    *
+    * Scale shape: the promotion is one metadata commit regardless of
+    * table size (the 100 TB point of VERDICT r11 #1); reads widen
+    * per-column only where the physical type still differs; the census
+    * is a |langs|-bounded partial agg. */
+  def q217PromotedCensus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "promo"
+    val docs = documents(s, d).select("doc_id", "lang")
+    def score(c: org.apache.spark.sql.Column) =
+      (c % 97).cast("double") / lit(4.0) // quarters: exact in float32
+    val narrow = docs.filter(col("doc_id") % 2 === 0).select(
+      col("doc_id").cast(IntegerType).as("id"),
+      score(col("doc_id")).cast(FloatType).as("score"),
+      ((col("doc_id") % 1000).cast("double") / lit(100.0))
+        .cast(DecimalType(9, 2)).as("amt"),
+      col("lang"))
+    cat.ensureTable(ns, "t", narrow.schema)
+    cat.append(ns, "t", narrow)
+    val wide = docs.filter(col("doc_id") % 4 === 1).select(
+      (col("doc_id") + lit(5000000000L)).as("id"),
+      score(col("doc_id")).as("score"),
+      (((col("doc_id") % 1000).cast("double") / lit(100.0)) + lit(1.0e9))
+        .cast(DecimalType(18, 2)).as("amt"),
+      col("lang"))
+    cat.ensureTable(ns, "t", wide.schema) // metadata-only promotion
+    require(cat.load(ns, "t").schema("id").dataType == LongType &&
+      cat.load(ns, "t").schema("amt").dataType == DecimalType(18, 2),
+      "promotion must widen the live schema")
+    cat.append(ns, "t", wide)
+    // a STILL-NARROW late segment: accepted, cast up at the write boundary
+    cat.append(ns, "t", docs.filter(col("doc_id") % 4 === 3).select(
+      col("doc_id").cast(IntegerType).as("id"),
+      score(col("doc_id")).cast(FloatType).as("score"),
+      ((col("doc_id") % 1000).cast("double") / lit(100.0))
+        .cast(DecimalType(9, 2)).as("amt"),
+      col("lang")))
+    val rows = cat.load(ns, "t").groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("id").as("sum_id"),
+        (sum("score") * 4).cast("long").as("sum_score_q"),
+        (sum("amt") * 100).cast("long").as("sum_amt_cents"))
+      .orderBy("lang")
+      .collect() // |langs|-bounded census — control plane
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    cat.dropNamespace(ns)
+    import s.implicits._
+    rows.toDF("lang", "n_rows", "sum_id", "sum_score_q", "sum_amt_cents")
+      .orderBy("lang")
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -959,6 +1107,39 @@ object Streaming {
     }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q215_meta_tables" -> ((q215MetaTables _, """
+      WITH e AS (SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0),
+           n AS (SELECT count(*) AS c FROM documents),
+           k AS (SELECT count(*) AS c FROM documents WHERE doc_id % 7 <> 0)
+      SELECT * FROM (
+        SELECT 1::BIGINT AS snapshot_id, 'append' AS operation,
+               e.c::BIGINT AS total_records,
+               true AS is_current_ancestor FROM e
+        UNION ALL SELECT 2::BIGINT, 'append', n.c::BIGINT, true FROM n
+        UNION ALL SELECT 3::BIGINT, 'delete', k.c::BIGINT, true FROM k
+        UNION ALL SELECT 4::BIGINT, 'replace', k.c::BIGINT, true FROM k
+        UNION ALL SELECT 100::BIGINT, 'files_current', k.c::BIGINT,
+                         true FROM k
+        UNION ALL SELECT 101::BIGINT, 'manifests_current', 1::BIGINT, true)
+      ORDER BY snapshot_id""")),
+    "q216_tagged_travel" -> ((q216TaggedTravel _, """
+      SELECT * FROM (
+        SELECT 'audited' AS face, lang, count(*)::BIGINT AS n_docs,
+               sum(doc_id)::BIGINT AS sum_id
+        FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY 2
+        UNION ALL
+        SELECT 'current' AS face, lang, count(*)::BIGINT,
+               sum(doc_id)::BIGINT
+        FROM documents WHERE doc_id % 5 <> 0 GROUP BY 2)
+      ORDER BY face, lang""")),
+    "q217_promoted_census" -> ((q217PromotedCensus _, """
+      SELECT lang, count(*)::BIGINT AS n_rows,
+             sum(doc_id + CASE WHEN doc_id % 4 = 1
+                               THEN 5000000000 ELSE 0 END)::BIGINT AS sum_id,
+             sum(doc_id % 97)::BIGINT AS sum_score_q,
+             sum(doc_id % 1000 + CASE WHEN doc_id % 4 = 1
+                 THEN 100000000000 ELSE 0 END)::BIGINT AS sum_amt_cents
+      FROM documents GROUP BY 1 ORDER BY 1""")),
     "q214_decimal_load" -> ((q214DecimalLoad _, """
       SELECT lang, count(*)::BIGINT AS n_rows,
              sum(doc_id)::BIGINT AS sum_amt_cents,

@@ -2,6 +2,7 @@ package graft.lake
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.TestSpark
+import org.apache.spark.sql.functions.sum
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Paths}
@@ -99,6 +100,110 @@ class IcebergMetadataSpec extends AnyFunSuite {
         .exists(_.get("order-id").asInt() == orderId))
       assert(m.get("properties").isObject)
       assert(m.has("metadata-log"))
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("snapshot refs: main branch tracks the current snapshot, tags pin " +
+    "by name, expiry protects ref'd snapshots, loadRef == loadAt") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icerefs_${System.nanoTime()}"
+    try {
+      val df = Seq((1L, "a")).toDF("id", "v")
+      cat.ensureTable(ns, "t", df.schema)
+      cat.append(ns, "t", df)                                  // snap 1
+      cat.append(ns, "t", Seq((2L, "b")).toDF("id", "v"))      // snap 2
+      cat.append(ns, "t", Seq((3L, "c")).toDF("id", "v"))      // snap 3
+      cat.tag(ns, "t", "audited", 1L)
+      assert(cat.listRefs(ns, "t") ==
+        Map("main" -> (("branch", 3L)), "audited" -> (("tag", 1L))))
+      // the raw metadata refs map is spec-shaped (external reader's view)
+      val refs = rawMeta(cat, ns, "t").get("refs")
+      assert(refs.get("main").get("type").asText() == "branch" &&
+        refs.get("main").get("snapshot-id").asLong() == 3L)
+      assert(refs.get("audited").get("type").asText() == "tag" &&
+        refs.get("audited").get("snapshot-id").asLong() == 1L)
+      assert(cat.loadRef(ns, "t", "audited").collect().toSeq ==
+        cat.loadAt(ns, "t", 1L).collect().toSeq)
+      // expiry keeps the TAGGED snapshot past the horizon; snap 2 goes
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      assert(cat.snapshotIds(ns, "t") == Seq(1L, 3L))
+      assert(cat.loadRef(ns, "t", "audited").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+      intercept[IllegalArgumentException](cat.loadAt(ns, "t", 2L))
+      // a data commit MOVES main, never the tag
+      cat.append(ns, "t", Seq((4L, "d")).toDF("id", "v"))      // snap 4
+      assert(cat.listRefs(ns, "t") ==
+        Map("main" -> (("branch", 4L)), "audited" -> (("tag", 1L))))
+      // drop the tag -> its snapshot becomes ordinary expiry debt
+      cat.dropRef(ns, "t", "audited")
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      assert(cat.snapshotIds(ns, "t") == Seq(4L))
+      intercept[IllegalArgumentException](cat.loadRef(ns, "t", "audited"))
+      // main is writer-owned: neither taggable-over nor droppable
+      intercept[IllegalArgumentException](cat.tag(ns, "t", "main", 4L))
+      intercept[IllegalArgumentException](cat.dropRef(ns, "t", "main"))
+      // tagging an unknown snapshot fails loudly
+      intercept[IllegalArgumentException](cat.tag(ns, "t", "x", 99L))
+    } finally cat.dropNamespace(ns)
+  }
+
+  test("metaTable: the standard snapshots/history/files/manifests/refs " +
+    "read faces agree with the lifecycle that produced them") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icemt_${System.nanoTime()}"
+    try {
+      val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      cat.ensureTable(ns, "t", df.schema)
+      cat.append(ns, "t", df)                                    // snap 1
+      cat.append(ns, "t", Seq((5L, "e"), (6L, "f")).toDF("id", "v")) // 2
+      assert(cat.deleteWhereMOR(ns, "t", $"id" === 2L) == 1L)    // snap 3
+      // snapshots: ids, operations, summary rollups
+      val snaps = cat.metaTable(ns, "t", "snapshots")
+        .orderBy("snapshot_id").collect()
+        .map(r => (r.getAs[Long]("snapshot_id"),
+          r.getAs[String]("operation"), r.getAs[Long]("total_records"),
+          r.getAs[Long]("total_delete_files")))
+      assert(snaps.toSeq == Seq((1L, "append", 4L, 0L),
+        (2L, "append", 6L, 0L), (3L, "delete", 6L, 1L)), snaps.mkString(","))
+      // parent chain + committed_at monotone
+      val parents = cat.metaTable(ns, "t", "snapshots")
+        .orderBy("snapshot_id").collect()
+        .map(r => Option(r.getAs[java.lang.Long]("parent_id")).map(_.toLong))
+      assert(parents.toSeq == Seq(None, Some(1L), Some(2L)))
+      // history: every entry an ancestor of current (linear chain)
+      val hist = cat.metaTable(ns, "t", "history")
+        .orderBy("snapshot_id").collect()
+        .map(r => (r.getAs[Long]("snapshot_id"),
+          r.getAs[Boolean]("is_current_ancestor")))
+      assert(hist.toSeq == Seq((1L, true), (2L, true), (3L, true)))
+      // a rollback ABANDONS the fork: snapshot 3 leaves the ancestor chain
+      cat.rollbackTo(ns, "t", 2L)                                // snap 4
+      val hist2 = cat.metaTable(ns, "t", "history").collect()
+        .map(r => r.getAs[Long]("snapshot_id") ->
+          r.getAs[Boolean]("is_current_ancestor")).toMap
+      assert(hist2 == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true),
+        hist2.toString)
+      // files: per-file rows of the current snapshot, record counts sum to
+      // the table; the delete FILE from snap 3 is carried (rollback
+      // restores target state = no deletes, so content=1 rows are gone)
+      val files = cat.metaTable(ns, "t", "files")
+      assert(files.filter($"content" === 0).agg(sum("record_count"))
+        .head().getLong(0) == 6L)
+      assert(files.filter($"content" =!= 0).count() == 0L,
+        "rollback to a pre-delete snapshot carries no delete files")
+      assert(files.filter(!$"file_path".endsWith(".parquet")).count() == 0L)
+      // manifests: one content=0 entry per live data dir (2 appends)
+      val mf = cat.metaTable(ns, "t", "manifests")
+      assert(mf.filter($"content" === 0).count() == 2L)
+      assert(mf.agg(sum("added_rows_count")).head().getLong(0) == 6L)
+      // refs: main tracks current
+      val refs = cat.metaTable(ns, "t", "refs").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(refs == Seq(("main", "branch", 4L)), refs.toString)
+      // unknown face fails loudly
+      intercept[IllegalArgumentException](cat.metaTable(ns, "t", "nope"))
     } finally cat.dropNamespace(ns)
   }
 

@@ -291,6 +291,70 @@ class MergeOnReadSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("[directory] rename guards on the snapshot carrier: retired names " +
+    "never resurrect, live equality deletes pin their column, and the " +
+    "alias mapping reads through merge-on-read masks") {
+    val ns = freshNs()
+    val cat = DirectoryLakeCatalog.temp(spark)
+    seed(cat, ns)
+    // an equality delete binds its key FILE by column name: rename refused
+    assert(cat.purgeKeysMOR(ns, "t", "id", Seq(2L).toDF("id")) == 1L)
+    val e = intercept[IllegalArgumentException](
+      cat.renameColumn(ns, "t", "id", "doc_id"))
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // compact folds the debt away; the rename then proceeds metadata-only
+    cat.compact(ns, "t", targetFiles = 1)
+    cat.renameColumn(ns, "t", "id", "doc_id")
+    // ...and a LATER MOR delete + read both run under the new name,
+    // with pre-rename files (none left here) and post-rename files mixed
+    cat.append(ns, "t", Seq((9L, "r", "en")).toDF("doc_id", "v", "lang"))
+    assert(cat.deleteWhereMOR(ns, "t", col("doc_id") === 3L) == 1L)
+    assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L, 5L, 9L))
+    // the retired name can never come back as a NEW column: the read
+    // path maps old physical columns by name history, and a live column
+    // wearing a retired name would make that mapping ambiguous
+    val e2 = intercept[IllegalArgumentException](cat.ensureTable(ns, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType)))))
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      cat.renameColumn(ns, "t", "v", "id"))
+    assert(e3.getMessage.contains("retired"), e3.getMessage)
+    cat.dropNamespace(ns)
+  }
+
+  test("[directory] rename composes with promotion and deletes across " +
+    "generations: old narrow files under the old name read back widened " +
+    "under the new name") {
+    val ns = freshNs()
+    val cat = DirectoryLakeCatalog.temp(spark)
+    import org.apache.spark.sql.types._
+    val gen1 = Seq((1, "a"), (2, "b")).toDF("n0", "v")
+      .select($"n0".cast(IntegerType).as("num"), $"v")
+    cat.ensureTable(ns, "t", gen1.schema)
+    cat.append(ns, "t", gen1)                        // int files, name num
+    cat.ensureTable(ns, "t", StructType(Seq(         // promote num -> long
+      StructField("num", LongType), StructField("v", StringType))))
+    cat.append(ns, "t", Seq((3L, "c")).toDF("num", "v")) // long files
+    cat.renameColumn(ns, "t", "num", "id")           // rename post-promote
+    cat.append(ns, "t", Seq((4L, "d")).toDF("id", "v"))  // new-name files
+    // all three file generations under one read: int-as-num, long-as-num,
+    // long-as-id — aligned to long-as-id
+    val rows = cat.load(ns, "t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")), rows)
+    // row-level delete by the CURRENT name hits the oldest generation
+    assert(cat.deleteWhere(ns, "t", col("id") === 1L) == 1L)
+    assert(cat.load(ns, "t").count() == 3L)
+    // time travel to the pre-rename snapshot still reads that schema's
+    // CURRENT view (metadata carries one current schema; history reads
+    // align to it — Iceberg semantics: schema is table-level, not
+    // per-snapshot, for reads through the current metadata)
+    cat.dropNamespace(ns)
+  }
+
   test("[directory] deleteDebtReport attribution is chronological: a " +
     "position delete committed AFTER an equality purge never " +
     "reclassifies the purge's masks as dangling") {

@@ -24,7 +24,8 @@ object RestCatalogStub {
   private val mapper = new ObjectMapper()
 
   final class Server private[RestCatalogStub] (private val hs: HttpServer,
-                                               requiredToken: Option[String]) {
+                                               requiredToken: Option[String],
+                                               oauthClients: Map[String, String]) {
     private val lock = new Object
     private val namespaces = scala.collection.mutable.Set[String]()
     // (ns, table) -> (version, metadata JSON)
@@ -36,6 +37,9 @@ object RestCatalogStub {
     private var failAfterCommitN = 0
     private var raceAfterCommit = false
     private var requests = 0
+    private val issuedTokens = scala.collection.mutable.Set[String]()
+    private var tokensIssued = 0
+    private var echoPageToken = false
 
     def port: Int = hs.getAddress.getPort
     def uri: String = s"http://127.0.0.1:$port"
@@ -62,6 +66,19 @@ object RestCatalogStub {
 
     /** Requests served so far (pagination specs count page fetches). */
     def requestCount: Int = lock.synchronized(requests)
+
+    /** Invalidate every OAuth token issued so far — the mid-run token
+      * EXPIRY injector: the client's next request gets 401 and must run
+      * its refresh-then-retry path (a fresh exchange issues a new one). */
+    def expireTokens(): Unit = lock.synchronized(issuedTokens.clear())
+
+    /** Token exchanges served so far (the refresh specs count them). */
+    def tokenCount: Int = lock.synchronized(tokensIssued)
+
+    /** Make list routes echo the SAME next-page-token forever — the
+      * non-progressing-server bug the client's pagination guard must
+      * abort on instead of hanging. */
+    def echoPageTokens(): Unit = lock.synchronized { echoPageToken = true }
 
     private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -93,7 +110,10 @@ object RestCatalogStub {
       // nullable and real servers emit it) — a client reading NullNode's
       // asText as the string "null" would loop forever
       val next =
-        if (off + size < items.size) s""","next-page-token":"${off + size}""""
+        if (lock.synchronized(echoPageToken))
+          ""","next-page-token":"0"""" // the non-progressing-server bug
+        else if (off + size < items.size)
+          s""","next-page-token":"${off + size}""""
         else ""","next-page-token":null"""
       reply(ex, 200, s"{${render(slice)}$next}")
     }
@@ -107,9 +127,41 @@ object RestCatalogStub {
       val body = new String(ex.getRequestBody.readAllBytes(),
         StandardCharsets.UTF_8)
       lock.synchronized { requests += 1 }
-      // auth gate first: a real catalog rejects before routing
+      // the token endpoint sits OUTSIDE the auth gate (it is how a client
+      // GETS a token): POST /v1/oauth/tokens, form-encoded
+      // client-credentials grant per the Iceberg REST spec
+      if (method == "POST" &&
+          parts.toList == List("v1", "oauth", "tokens")) {
+        val form = body.split("&").filter(_.contains("=")).map { kv =>
+          val i = kv.indexOf('=')
+          dec(kv.take(i)) -> dec(kv.drop(i + 1))
+        }.toMap
+        val ok = form.get("grant_type").contains("client_credentials") &&
+          form.get("client_id").exists(id =>
+            oauthClients.get(id) == form.get("client_secret"))
+        if (!ok) {
+          reply(ex, 401, """{"error":"invalid_client"}""")
+          return
+        }
+        val tok = lock.synchronized {
+          tokensIssued += 1
+          val t = s"oat-$tokensIssued"
+          issuedTokens += t
+          t
+        }
+        reply(ex, 200,
+          s"""{"access_token":"$tok","token_type":"bearer","expires_in":60}""")
+        return
+      }
+      // auth gate first: a real catalog rejects before routing. Accepted:
+      // the static required token, or any still-valid issued OAuth token.
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
-      if (requiredToken.exists(t => !auth.contains(s"Bearer $t"))) {
+      val authOk = lock.synchronized {
+        val accepted = requiredToken.toSet ++ issuedTokens
+        accepted.isEmpty && oauthClients.isEmpty ||
+          accepted.exists(t => auth.contains(s"Bearer $t"))
+      }
+      if (!authOk) {
         reply(ex, 401, """{"error":"missing or invalid bearer token"}""")
         return
       }
@@ -193,9 +245,10 @@ object RestCatalogStub {
     private def quote(s: String): String = mapper.writeValueAsString(s)
   }
 
-  def start(requiredToken: Option[String] = None): Server = {
+  def start(requiredToken: Option[String] = None,
+            oauthClients: Map[String, String] = Map.empty): Server = {
     val hs = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val server = new Server(hs, requiredToken)
+    val server = new Server(hs, requiredToken, oauthClients)
     hs.createContext("/", (ex: HttpExchange) => server.handle(ex))
     // a small pool so racing clients actually overlap on the server
     hs.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))

@@ -142,4 +142,67 @@ class RestHardeningSpec extends AnyFunSuite {
       nss.foreach(cat.dropNamespace)
     } finally server.stop()
   }
+
+  test("pagination progress guard: a server echoing the same " +
+    "next-page-token aborts loudly instead of hanging") {
+    val server = RestCatalogStub.start()
+    try {
+      val cat = fastCat(server)
+      (1 to 4).foreach(i => cat.ensureNamespace(s"echo_ns$i"))
+      server.echoPageTokens()
+      val ex = intercept[IllegalStateException](
+        cat.listNamespaces(pageSize = 2))
+      assert(ex.getMessage.contains("not progressing"), ex.getMessage)
+    } finally server.stop()
+  }
+
+  test("OAuth2 client-credentials (VERDICT r11 #6): the token exchange " +
+    "gates the lifecycle; a mid-run expiry refreshes ONCE and retries") {
+    val server = RestCatalogStub.start(
+      oauthClients = Map("graft-client" -> "s3cr3t"))
+    try {
+      val cat = new RestLakeCatalog(spark, server.uri,
+        Files.createTempDirectory("graft-rest-oauth-"),
+        retryBaseMs = 1L, credential = Some("graft-client:s3cr3t"))
+      // full lifecycle through the exchanged bearer (no static token)
+      cat.ensureTable("oans", "t", schema)
+      cat.append("oans", "t", Seq(1L, 2L).toDF("id"))
+      assert(cat.load("oans", "t").count() == 2L)
+      assert(server.tokenCount == 1,
+        "one exchange serves the whole session — the token is cached")
+      // EXPIRY mid-run: the next request 401s, the client refreshes once
+      // and retries — the lifecycle continues seamlessly
+      server.expireTokens()
+      cat.append("oans", "t", Seq(3L).toDF("id"))
+      assert(cat.load("oans", "t").count() == 3L)
+      assert(server.tokenCount == 2,
+        "the 401 must trigger exactly one re-exchange")
+      cat.dropNamespace("oans")
+    } finally server.stop()
+  }
+
+  test("OAuth2 bad credential: the token endpoint's rejection is loud " +
+    "and never retried; a wrong mid-run refresh fails loudly too") {
+    val server = RestCatalogStub.start(
+      oauthClients = Map("graft-client" -> "s3cr3t"))
+    try {
+      val before = server.requestCount
+      val bad = new RestLakeCatalog(spark, server.uri,
+        Files.createTempDirectory("graft-rest-oauth-bad-"),
+        retryBaseMs = 1L, credential = Some("graft-client:WRONG"))
+      val ex = intercept[IllegalStateException](bad.ensureNamespace("oa2"))
+      assert(ex.getMessage.contains("401") &&
+        ex.getMessage.contains("not retried"), ex.getMessage)
+      assert(server.requestCount == before + 1,
+        "a rejected exchange must not burn the retry budget")
+      // a STATIC token is never refreshed: 401 stays fatal even when a
+      // credential could have been exchanged
+      val staticCat = new RestLakeCatalog(spark, server.uri,
+        Files.createTempDirectory("graft-rest-oauth-static-"),
+        token = Some("stale"), retryBaseMs = 1L,
+        credential = Some("graft-client:s3cr3t"))
+      intercept[IllegalStateException](staticCat.ensureNamespace("oa3"))
+      assert(server.tokenCount == 0, "static token must shadow the flow")
+    } finally server.stop()
+  }
 }

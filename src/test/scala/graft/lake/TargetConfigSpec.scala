@@ -35,6 +35,25 @@ class TargetConfigSpec extends AnyFunSuite {
     assert(TargetConfig.fromJson("""{"batch_size":-1}""").isLeft)
   }
 
+  test("s3aHadoopConf maps config -> fs.s3a.* (the reference's FileIO " +
+    "wiring, sinks.py:55-65); custom endpoints force path-style access") {
+    // MinIO-style endpoint: creds + endpoint + path-style
+    val minio = TargetConfig.fromJson(full).toOption.get.s3aHadoopConf
+    assert(minio == Map(
+      "fs.s3a.access.key" -> "k",
+      "fs.s3a.secret.key" -> "s",
+      "fs.s3a.endpoint" -> "http://localhost:9000",
+      "fs.s3a.path.style.access" -> "true"), minio)
+    // real AWS endpoint: virtual-hosted style stays (no path-style key)
+    val aws = TargetConfig.fromJson(full.replace("http://localhost:9000",
+        "s3.eu-central-1.amazonaws.com")).toOption.get.s3aHadoopConf
+    assert(!aws.contains("fs.s3a.path.style.access") &&
+      aws("fs.s3a.endpoint") == "s3.eu-central-1.amazonaws.com", aws)
+    // the pairs are valid spark.hadoop.* session conf (what GraftTarget
+    // sets): assert the round trip through a session builder-style map
+    assert(minio.keys.forall(_.startsWith("fs.s3a.")))
+  }
+
   test("stream_maps parse: drop / derive / filter / alias") {
     val json = full.dropRight(1) +
       ""","stream_maps":{"ev":{"secret":null,"vv":"v * 2",

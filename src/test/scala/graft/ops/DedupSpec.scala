@@ -32,6 +32,35 @@ class DedupSpec extends AnyFunSuite {
     body(dir)
   }
 
+  test("opt-in pair budget (VERDICT r11 #7): capped output is a strict " +
+    "deterministic subset of the uncapped; a non-binding cap is a no-op") {
+    def key(df: DataFrame): Set[(Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sf0.001 yields a small but nonempty candidate stream
+    val full = key(Dedup.nearDupPairs(spark, sf))
+    assert(full.nonEmpty, "need candidates to exercise the cap")
+    // default face == q23 face (cap off by default)
+    assert(key(Dedup.q23DedupMinhash(spark, sf)) == full)
+    // a non-binding cap reproduces the full stream exactly (step = 1)
+    assert(key(Dedup.nearDupPairs(spark, sf,
+      maxPairs = Some(full.size + 10L))) == full)
+    // a binding cap yields a nonempty strict subset, and re-running it
+    // reproduces the SAME subset (fixed arithmetic, no RNG)
+    val cap = math.max(1L, full.size / 2L)
+    val thin = key(Dedup.nearDupPairs(spark, sf, maxPairs = Some(cap)))
+    assert(thin.nonEmpty && thin.subsetOf(full) && thin.size < full.size,
+      s"capped ${thin.size} of ${full.size}")
+    assert(key(Dedup.nearDupPairs(spark, sf, maxPairs = Some(cap))) == thin,
+      "deterministic: the same cap re-samples the same pairs")
+    // the containment face shares the budget seam
+    val fullC = key(Dedup.containmentPairs(spark, sf))
+    val thinC = key(Dedup.containmentPairs(spark, sf, Some(cap)))
+    assert(fullC == full, "same candidate stream under both scorers")
+    assert(thinC == thin, "same thinning arithmetic under both scorers")
+    intercept[IllegalArgumentException](
+      Dedup.nearDupPairs(spark, sf, maxPairs = Some(0L)))
+  }
+
   test("funnel: per-source monotone raw -> exact -> cluster survivors") {
     import spark.implicits._
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

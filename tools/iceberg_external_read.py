@@ -141,6 +141,40 @@ ICEBERG_TO_DUCK = {
 }
 
 
+def duck_type(iceberg_type):
+    """DuckDB SQL type for an Iceberg primitive, or None (pass-through).
+    decimal(P,S) maps structurally — the cast is what widens PRE-PROMOTION
+    files (int under a long column, decimal(8,2) under (16,2)) to the
+    current schema, the reader-side half of Iceberg type promotion."""
+    if iceberg_type in ICEBERG_TO_DUCK:
+        return ICEBERG_TO_DUCK[iceberg_type]
+    if iceberg_type.startswith("decimal("):
+        return "DECIMAL" + iceberg_type[len("decimal"):]
+    return None
+
+
+def rename_history(meta):
+    """current column name -> its FORMER names (oldest first), from the
+    metadata's schemas list: field ids are positional in this layout, so
+    position i's name trail across schema objects is field i+1's rename
+    history — exactly how an Iceberg reader maps an old file's physical
+    column onto the current schema without rewriting data."""
+    schemas = sorted(meta["schemas"], key=lambda s: s["schema-id"])
+    cur = next(s for s in schemas
+               if s["schema-id"] == meta["current-schema-id"])
+    hist = {}
+    for i, f in enumerate(cur["fields"]):
+        olds = []
+        for s in schemas:
+            if i < len(s["fields"]):
+                n = s["fields"][i]["name"]
+                if n != f["name"] and n not in olds:
+                    olds.append(n)
+        if olds:
+            hist[f["name"]] = olds
+    return hist
+
+
 def current_metadata(table_dir):
     """Latest vN.metadata.json, by the HadoopCatalog upward probe."""
     md = os.path.join(table_dir, "metadata")
@@ -154,12 +188,13 @@ def current_metadata(table_dir):
         return json.load(fh)
 
 
-def plan_scan(meta):
-    """Iceberg scan planning from the spec files: walk the current
-    snapshot's manifest list, apply v2 inheritance, and split entries into
-    data files, position-delete files and equality-delete files (each with
-    its data sequence number)."""
-    cur = meta["current-snapshot-id"]
+def plan_scan(meta, snapshot_id=None):
+    """Iceberg scan planning from the spec files: walk the chosen (default
+    current) snapshot's manifest list, apply v2 inheritance, and split
+    entries into data files, position-delete files and equality-delete
+    files (each with its data sequence number)."""
+    cur = snapshot_id if snapshot_id is not None \
+        else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
     _, ml = read_avro(snap["manifest-list"])
     data_files, pos_files, eq_files = [], [], []
@@ -190,15 +225,16 @@ def table_columns(meta):
 # ------------------------------------------------------------ read table ----
 
 
-def read_table(con, table_dir):
-    """The table's current rows as a DuckDB relation SQL string, deletes
-    applied — the external reader's equivalent of load()."""
+def read_table(con, table_dir, snapshot_id=None):
+    """The table's rows (current, or as of `snapshot_id`) as a DuckDB
+    relation SQL string, deletes applied — the external reader's
+    equivalent of load() / loadAt()."""
     meta = current_metadata(table_dir)
     cols = table_columns(meta)
-    data_files, pos_files, eq_files = plan_scan(meta)
+    data_files, pos_files, eq_files = plan_scan(meta, snapshot_id)
     if not data_files:
         empty = ", ".join(
-            f'NULL::{ICEBERG_TO_DUCK.get(t, "VARCHAR")} AS "{n}"'
+            f'NULL::{duck_type(t) or "VARCHAR"} AS "{n}"'
             for n, t, _ in cols)
         return f"SELECT {empty} WHERE false"
 
@@ -210,12 +246,35 @@ def read_table(con, table_dir):
     # union_by_name null-fills columns older files predate (read-time
     # schema evolution); filename + file_row_number feed position deletes
     con.execute(f"""
-        CREATE OR REPLACE TEMP VIEW _scan AS
+        CREATE OR REPLACE TEMP VIEW _scan0 AS
         SELECT d.*, s.seq AS _seq
         FROM read_parquet({paths}, union_by_name=true,
                           hive_partitioning=true, filename=true,
                           file_row_number=true) d
         JOIN _seq s ON d.filename = s.path""")
+    # RENAME mapping (schema history): a pre-rename file's physical column
+    # appears under its old name with NULLs from newer files — fold each
+    # current column with its former names (most recent first), so every
+    # row reads under the current name
+    present = {r[0] for r in con.execute("DESCRIBE _scan0").fetchall()}
+    hist = rename_history(meta)
+    folded = []
+    for n, t, _ in cols:
+        sources = [c for c in [n] + list(reversed(hist.get(n, [])))
+                   if c in present]
+        if not sources:
+            continue  # absent everywhere: the null-fill below covers it
+        if len(sources) == 1 and sources[0] == n:
+            folded.append(f'"{n}"')
+        else:
+            folded.append("COALESCE(" +
+                          ", ".join(f'"{c}"' for c in sources) +
+                          f') AS "{n}"')
+    extra = [c for c in ("filename", "file_row_number", "_seq")
+             if c in present]
+    con.execute("CREATE OR REPLACE TEMP VIEW _scan AS SELECT " +
+                ", ".join(folded + [f'"{c}"' for c in extra]) +
+                " FROM _scan0")
 
     masks = []
     if pos_files:
@@ -236,24 +295,32 @@ def read_table(con, table_dir):
             WHERE {on} AND _scan._seq < {seq})""")
     where = ("WHERE " + " AND ".join(masks)) if masks else ""
     sel = ", ".join(
-        f'"{n}"::{ICEBERG_TO_DUCK[t]} AS "{n}"' if t in ICEBERG_TO_DUCK
-        else f'"{n}"' for n, t, _ in cols)
+        f'"{n}"::{duck_type(t)} AS "{n}"' if duck_type(t)
+        else f'"{n}"' for n, t, _ in cols
+        if n in present or n in hist)
+    # columns absent from EVERY file (added after all writes): null-fill
+    missing = ", ".join(
+        f'NULL::{duck_type(t) or "VARCHAR"} AS "{n}"'
+        for n, t, _ in cols
+        if n not in present and n not in hist)
+    sel = ", ".join(x for x in (sel, missing) if x)
     return f"SELECT {sel} FROM _scan {where}"
 
 
-def compare(con, table_dir, expected_dir):
+def compare(con, table_dir, expected_dir, ref=None):
     meta = current_metadata(table_dir)
     cols = table_columns(meta)
-    ext_sql = read_table(con, table_dir)
+    snapshot_id = meta["refs"][ref]["snapshot-id"] if ref else None
+    ext_sql = read_table(con, table_dir, snapshot_id)
     sel = ", ".join(
-        f'"{n}"::{ICEBERG_TO_DUCK[t]} AS "{n}"' if t in ICEBERG_TO_DUCK
+        f'"{n}"::{duck_type(t)} AS "{n}"' if duck_type(t)
         else f'"{n}"' for n, t, _ in cols)
     ext = con.execute(
         f"SELECT * FROM ({ext_sql}) ORDER BY ALL").fetchall()
     exp = con.execute(
         f"""SELECT {sel} FROM read_parquet('{expected_dir}/*.parquet')
             ORDER BY ALL""").fetchall()
-    name = os.path.basename(table_dir)
+    name = os.path.basename(table_dir) + (f"@{ref}" if ref else "")
     if len(ext) != len(exp):
         print(f"FAIL {name}: external {len(ext)} rows, load() {len(exp)}")
         return False
@@ -274,7 +341,16 @@ def main():
     for t in tables:
         ok &= compare(duckdb.connect(), os.path.join(wh, t),
                       os.path.join(out_root, "expected", t))
-    print(f"\n{'ALL PASS' if ok else 'FAILURES'} ({len(tables)} tables)")
+    # <table>@<ref> expected dirs: resolve the named ref from the metadata
+    # `refs` map and read the table AS OF that snapshot (tag time travel)
+    refs = [d for d in sorted(os.listdir(os.path.join(out_root, "expected")))
+            if "@" in d]
+    for d in refs:
+        tbl, ref = d.split("@", 1)
+        ok &= compare(duckdb.connect(), os.path.join(wh, tbl),
+                      os.path.join(out_root, "expected", d), ref=ref)
+    print(f"\n{'ALL PASS' if ok else 'FAILURES'} "
+          f"({len(tables)} tables + {len(refs)} ref reads)")
     sys.exit(0 if ok else 1)
 
 
