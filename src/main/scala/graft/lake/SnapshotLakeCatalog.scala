@@ -620,6 +620,13 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   // ---- lifecycle -------------------------------------------------------
 
+  /** Create-if-absent + evolve ([[LakeCatalog.ensureTable]]). On an
+    * EXISTING table, a NON-EMPTY `partitionBy` differing from the current
+    * default spec additionally evolves the spec ([[updatePartitionSpec]])
+    * — the CLI path where a config's `partition_by` changes between runs;
+    * an empty `partitionBy` means "no layout opinion" and never evolves
+    * (evolving TO unpartitioned is the explicit
+    * `updatePartitionSpec(ns, t, Nil)` call). */
   override def ensureTable(ns: String, table: String, schema: StructType,
                            partitionBy: Seq[String]): Unit = {
     ensureNamespace(ns)
@@ -664,7 +671,89 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           Some(meta)
         }
     }
+    // layout evolution rides a SEPARATE commit (updatePartitionSpec
+    // no-ops when the declared layout already IS the default spec, incl.
+    // the just-created case)
+    if (partitionBy.nonEmpty) updatePartitionSpec(ns, table, partitionBy)
   }
+
+  /** PARTITION SPEC EVOLUTION (Iceberg spec §Partition Evolution): declare
+    * a NEW default partition layout for FUTURE writes — existing data
+    * directories keep the layout they were written under (specs are
+    * per-manifest metadata; the reader scans each directory with ITS OWN
+    * layout and aligns, so mixed-layout tables read correctly by
+    * construction). This is the 100 TB re-layout move: when a feed
+    * outgrows its original partitioning (or starts unpartitioned and
+    * needs `days(ts)` once scans hurt), the switch is ONE metadata
+    * commit — no data rewrite; old dirs stop benefiting from the new
+    * pruning until a [[compact]] rewrites them under the current spec
+    * (exactly Iceberg's contract). `partitionBy` takes the same
+    * identity/`days(ts)`/`truncate(W, c)` syntax as [[ensureTable]];
+    * passing Nil evolves to UNPARTITIONED. A genuinely NEW field gets a
+    * fresh id past `last-partition-id`; a (source, transform) seen in any
+    * earlier spec keeps its original id (Iceberg v2's identity rule — a
+    * re-adopted layout is the same field, ids are never repurposed).
+    * Re-declaring the current layout is a no-op; bucketed tables are
+    * refused (the bucket spec is a whole-table clustering contract —
+    * rewrite via writeBucketed). */
+  def updatePartitionSpec(ns: String, table: String,
+                          partitionBy: Seq[String]): Unit =
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        require(meta.get("bucket-spec").isNull,
+          s"$ns.$table is bucketed — the bucket layout is declared at " +
+            "writeBucketed time, not spec-evolved")
+        val schema = metaSchema(meta)
+        val fieldId = schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> (i + 1) }.toMap
+        val wanted = partitionBy.map { p =>
+          val (name, transform, src) = SnapshotLakeCatalog.parseTransform(p)
+          require(fieldId.contains(src),
+            s"partition transform '$p' names unknown column '$src'")
+          (name, transform, fieldId(src))
+        }
+        val specs = meta.get("partition-specs").asInstanceOf[ArrayNode]
+        val curId = meta.get("default-spec-id").asInt()
+        val cur = specs.elements().asScala
+          .find(_.get("spec-id").asInt() == curId).get
+        val curFields = cur.get("fields").elements().asScala
+          .map(f => (f.get("name").asText(), f.get("transform").asText(),
+            f.get("source-id").asInt())).toSeq
+        if (curFields == wanted) None // re-declaration: no-op
+        else {
+          val nextSpecId = specs.elements().asScala
+            .map(_.get("spec-id").asInt()).max + 1
+          var lastPid = meta.get("last-partition-id").asInt()
+          val spec = mapper.createObjectNode()
+          spec.put("spec-id", nextSpecId)
+          val sf = spec.putArray("fields")
+          wanted.foreach { case (name, transform, srcId) =>
+            // a (source, transform) that appeared in ANY earlier spec
+            // KEEPS its field id (Iceberg v2 keys partition field ids by
+            // source+transform across the table's spec history — a
+            // re-adopted layout is the same field, and never-reuse means
+            // fresh ids only for genuinely NEW fields)
+            val existingId = specs.elements().asScala
+              .flatMap(_.get("fields").elements().asScala)
+              .find(f => f.get("name").asText() == name &&
+                f.get("transform").asText() == transform &&
+                f.get("source-id").asInt() == srcId)
+              .map(_.get("field-id").asInt())
+            val fid = existingId.getOrElse { lastPid += 1; lastPid }
+            val f = sf.addObject()
+            f.put("name", name)
+            f.put("transform", transform)
+            f.put("source-id", srcId)
+            f.put("field-id", fid)
+          }
+          specs.add(spec)
+          meta.put("default-spec-id", nextSpecId)
+          meta.put("last-partition-id", lastPid)
+          Some(meta)
+        }
+    }
 
   /** Rename a column — METADATA-ONLY here ([[LakeCatalog.renameColumn]]):
     * a new schema object is appended where the field keeps its position
@@ -1081,8 +1170,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     *     added_snapshot_id, sequence_number, and the added/existing/
     *     deleted file and row counts.
     *   - `refs`: name, type (branch|tag), snapshot_id.
+    *   - `partitions`: per-partition file/record/byte rollups off the
+    *     manifests' partition tuples (the skew-hunting face; mixed-layout
+    *     spec-evolved tables report each generation's partitions).
     *
-    * All five read METADATA only (JSON + Avro manifests — never a data
+    * All six read METADATA only (JSON + Avro manifests — never a data
     * file), so each face is control-plane-sized: what makes sizing a
     * 100 TB table a metadata read, not a scan. */
   def metaTable(ns: String, table: String, kind: String): DataFrame = {
@@ -1158,9 +1250,31 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           (e.getKey, e.getValue.get("type").asText(),
             e.getValue.get("snapshot-id").asLong())
         }.toDF("name", "type", "snapshot_id")
+      case "partitions" =>
+        // per-partition sizing off the manifests' partition tuples — the
+        // face an operator reads to find skewed/oversized partitions
+        // without scanning a byte of data. The tuple renders as
+        // `name=value` pairs (empty string = the unpartitioned slice of a
+        // spec-evolved table); a table mixing layouts reports each
+        // generation's partitions side by side.
+        currentSnapNode(meta).toSeq
+          .flatMap(sn => Option(sn.get("manifest-list")).map(_.asText()))
+          .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
+          .flatMap(p => AvroManifests.readManifestList(Path.of(p)))
+          .filter(_.content == 0)
+          .flatMap(m => AvroManifests.readManifest(Path.of(m.manifestPath)))
+          .filter(_.content == 0)
+          .groupBy(_.partition.collect { case (k, Some(v)) => s"$k=$v" }
+            .mkString("/"))
+          .toSeq.map { case (part, es) =>
+            (part, es.size.toLong, es.map(_.recordCount).sum,
+              es.map(_.fileSizeInBytes).sum)
+          }
+          .toDF("partition", "file_count", "record_count",
+            "total_size_in_bytes")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' — one of snapshots, history, " +
-          "files, manifests, refs")
+          "files, manifests, partitions, refs")
     }
   }
 

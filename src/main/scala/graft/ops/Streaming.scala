@@ -1098,6 +1098,41 @@ object Streaming {
       .orderBy("lang")
   }
 
+  /** Partition spec evolution (q218): start a table UNPARTITIONED, land
+    * half the corpus, evolve the default spec to `identity(lang)` — ONE
+    * metadata commit, no data rewrite ([[graft.lake.SnapshotLakeCatalog
+    * .updatePartitionSpec]]) — and land the rest under the new layout.
+    * The output reads BOTH faces: the full-table lang census (a
+    * mixed-layout scan: per-dir layouts recovered and aligned) and the
+    * `partitions` metadata table (per-partition record counts straight
+    * off the manifests — the unpartitioned generation reports as one ''
+    * slice beside the lang= partitions, ZERO data bytes read). The
+    * oracle restates both as set algebra over `documents`.
+    *
+    * Scale shape: this is the 100 TB re-layout move — when a feed
+    * outgrows its layout, the switch is one commit; old dirs keep
+    * reading (and stop pruning) until compaction folds them in. */
+  def q218SpecEvolution(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "specq"
+    val docs = documents(s, d).select("doc_id", "lang")
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 0))
+    cat.updatePartitionSpec(ns, "t", Seq("lang"))
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 1))
+    val census = cat.load(ns, "t").groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .collect() // |langs|-bounded — control plane
+      .map(r => ("census", r.getString(0), r.getLong(1))).toSeq
+    val parts = cat.metaTable(ns, "t", "partitions")
+      .select("partition", "record_count")
+      .collect() // |partitions|-bounded — control plane
+      .map(r => ("partition", r.getString(0), r.getLong(1))).toSeq
+    cat.dropNamespace(ns)
+    import s.implicits._
+    (census ++ parts).toDF("face", "key", "n").orderBy("face", "key")
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -1132,6 +1167,17 @@ object Streaming {
                sum(doc_id)::BIGINT
         FROM documents WHERE doc_id % 5 <> 0 GROUP BY 2)
       ORDER BY face, lang""")),
+    "q218_spec_evolution" -> ((q218SpecEvolution _, """
+      SELECT * FROM (
+        SELECT 'census' AS face, lang AS key, count(*)::BIGINT AS n
+        FROM documents GROUP BY 2
+        UNION ALL
+        SELECT 'partition', '', count(*)::BIGINT
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'partition', 'lang=' || lang, count(*)::BIGINT
+        FROM documents WHERE doc_id % 2 = 1 GROUP BY 2)
+      ORDER BY face, key""")),
     "q217_promoted_census" -> ((q217PromotedCensus _, """
       SELECT lang, count(*)::BIGINT AS n_rows,
              sum(doc_id + CASE WHEN doc_id % 4 = 1

@@ -97,6 +97,46 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("type promotion through the load path: a later SCHEMA widening a " +
+    "decimal's precision evolves the table; earlier segments' rows read " +
+    "back widened, a still-narrow trailing segment casts up") {
+    val ns = freshNs()
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns, strictBatches = true)
+    def schemaD(p: Int) =
+      s"""{"type":"SCHEMA","stream":"pm","schema":{"properties":{""" +
+        s""""id":{"type":["integer"]},"amt":{"type":["string","null"],""" +
+        s""""format":"singer.decimal","precision":$p,"scale":2}}}}"""
+    val lines = Seq(
+      schemaD(9),
+      """{"type":"RECORD","stream":"pm","record":{"id":1,"amt":"12.25"}}""",
+      schemaD(18), // the drifting tap outgrew 9 digits: PROMOTION
+      """{"type":"RECORD","stream":"pm","record":{"id":2,"amt":"123456789012345.50"}}""",
+      schemaD(9),  // ...and a lagging producer re-declares the OLD schema
+      """{"type":"RECORD","stream":"pm","record":{"id":3,"amt":"0.25"}}""")
+    val report = loader.load(spark.createDataset(lines))
+    assert(report.rowsPerStream("pm") == 3L &&
+      report.rejectedPerStream.getOrElse("pm", 0L) == 0L, report.toString)
+    val back = cat.load(ns, "pm")
+    assert(back.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2),
+      s"the widest declared precision wins: ${back.schema.catalogString}")
+    assert(back.agg(org.apache.spark.sql.functions.sum("amt"))
+      .head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("123456789012358.00")) == 0)
+    // an UNSAFE change (scale drift) still fails the whole load loudly
+    val bad = Seq(schemaD(18),
+      """{"type":"RECORD","stream":"pm","record":{"id":9,"amt":"1.00"}}""",
+      s"""{"type":"SCHEMA","stream":"pm","schema":{"properties":{""" +
+        s""""id":{"type":["integer"]},"amt":{"type":["string","null"],""" +
+        s""""format":"singer.decimal","precision":18,"scale":4}}}}""",
+      """{"type":"RECORD","stream":"pm","record":{"id":10,"amt":"2.0000"}}""")
+    val e = intercept[IllegalArgumentException](
+      loader.load(spark.createDataset(bad)))
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    cat.dropNamespace(ns)
+  }
+
   test("invalid records are dropped (SDK validation, SURVEY §2.B2)") {
     val ns = freshNs()
     val cat = new CountingCatalog

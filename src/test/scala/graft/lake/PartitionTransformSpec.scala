@@ -19,6 +19,20 @@ class PartitionTransformSpec extends AnyFunSuite {
 
   private def freshNs(): String = s"pt_${System.nanoTime()}"
 
+  /** Latest metadata JSON straight off the directory carrier — an
+    * external reader's view (same helper as IcebergMetadataSpec). */
+  private def rawMeta(cat: DirectoryLakeCatalog, ns: String,
+                      table: String): com.fasterxml.jackson.databind.JsonNode = {
+    val md = cat.root.resolve(ns).resolve(table).resolve("metadata")
+    val versions = Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
+        s.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+      .toSeq
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(md.resolve(s"v${versions.max}.metadata.json")))
+  }
+
   /** 6 rows across 3 UTC days, 2 per day. */
   private def tsData = Seq(
     ("2024-01-01 05:00:00", 1L), ("2024-01-01 23:30:00", 2L),
@@ -104,6 +118,140 @@ class PartitionTransformSpec extends AnyFunSuite {
     // or empties them; rows are the contract)
     val none = cat.loadSlice(ns, "t", "id", "500", "600")
     assert(none.count() == 0L)
+    cat.dropNamespace(ns)
+  }
+
+  test("partition spec evolution: a new default layout applies to FUTURE " +
+    "writes only, mixed-layout tables read correctly, field-ids never " +
+    "reuse, and compact folds everything into the current spec") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    val docs = (1L to 300L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de",
+        java.sql.Timestamp.valueOf(s"2024-01-${i % 9 + 1} 00:00:00")))
+      .toDF("id", "lang", "ts")
+    // generation 1: UNPARTITIONED
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.append(ns, "t", docs.filter($"id" <= 100))
+    // generation 2: identity(lang)
+    cat.updatePartitionSpec(ns, "t", Seq("lang"))
+    cat.append(ns, "t", docs.filter($"id" > 100 && $"id" <= 200))
+    // generation 3: days(ts)
+    cat.updatePartitionSpec(ns, "t", Seq("days(ts)"))
+    cat.append(ns, "t", docs.filter($"id" > 200))
+    // every generation reads back under one scan, values exact
+    assert(cat.load(ns, "t").count() == 300L)
+    assert(cat.load(ns, "t").agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0) == (1L to 300L).sum)
+    assert(cat.load(ns, "t").filter($"lang" === "en").count() == 150L)
+    // directory layouts are per-generation (the spec's own contract)
+    val root = cat.root.resolve(ns).resolve("t").resolve("data")
+    val dirNames = Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .flatMap(d => Files.list(d).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString))
+      .toSet
+    assert(dirNames.exists(_.startsWith("lang=")) &&
+      dirNames.exists(_.startsWith("ts_day=")), dirNames.mkString(","))
+    // metadata: three specs, default points at the newest, partition
+    // field-ids CONTINUE (1000 for lang, 1001 for ts_day — never reused)
+    val meta = rawMeta(cat, ns, "t")
+    val specs = meta.get("partition-specs").elements().asScala.toSeq
+    assert(specs.map(_.get("spec-id").asInt()) == Seq(0, 1, 2))
+    assert(meta.get("default-spec-id").asInt() == 2)
+    def fids(i: Int) = specs(i).get("fields").elements().asScala
+      .map(f => (f.get("name").asText(), f.get("field-id").asInt())).toSeq
+    assert(fids(0) == Nil && fids(1) == Seq(("lang", 1000)) &&
+      fids(2) == Seq(("ts_day", 1001)), specs.mkString(","))
+    assert(meta.get("last-partition-id").asInt() == 1001)
+    // re-declaring the current layout publishes nothing (no 4th spec)
+    cat.updatePartitionSpec(ns, "t", Seq("days(ts)"))
+    assert(rawMeta(cat, ns, "t").get("partition-specs").size() == 3)
+    // manifests face: new-generation manifests carry the new spec id
+    assert(cat.metaTable(ns, "t", "manifests")
+      .select("partition_spec_id").collect().map(_.getInt(0)).toSet ==
+      Set(0, 1, 2))
+    // the partitions face sizes every generation from manifests alone:
+    // the unpartitioned gen-1 slice, gen-2's lang dirs, gen-3's day dirs
+    val parts = cat.metaTable(ns, "t", "partitions").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(parts("") == 100L && parts("lang=en") == 50L &&
+      parts("lang=de") == 50L, parts.toString)
+    assert(parts.keys.count(_.startsWith("ts_day=")) > 1 &&
+      parts.filter(_._1.startsWith("ts_day=")).values.sum == 100L,
+      parts.toString)
+    // a row-level delete spans all three layouts (rewrite emits the
+    // CURRENT spec, untouched dirs carry)
+    assert(cat.deleteWhere(ns, "t", $"id" % 100 === 7L) == 3L)
+    assert(cat.load(ns, "t").count() == 297L)
+    // compact folds every generation into the current (days) layout
+    cat.compact(ns, "t", targetFiles = 2)
+    assert(cat.load(ns, "t").count() == 297L)
+    val liveDir = cat.metaTable(ns, "t", "files")
+      .select("file_path").head().getString(0)
+    assert(liveDir.contains("ts_day="),
+      s"compaction must rewrite under the current spec: $liveDir")
+    // ensureTable with a DIFFERING non-empty partition_by evolves the
+    // spec too (the CLI config-change path); an EMPTY partition_by is
+    // "no layout opinion" — never an implicit evolution to unpartitioned
+    cat.ensureTable(ns, "t", docs.schema, Seq("lang"))
+    val m3 = rawMeta(cat, ns, "t")
+    assert(m3.get("default-spec-id").asInt() == 3)
+    // the re-adopted lang layout is the SAME field: id 1000 reused
+    val spec3 = m3.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == 3).get
+    assert(spec3.get("fields").elements().asScala
+      .map(f => (f.get("name").asText(), f.get("field-id").asInt()))
+      .toSeq == Seq(("lang", 1000)))
+    cat.ensureTable(ns, "t", docs.schema) // Nil: keeps the lang spec
+    assert(rawMeta(cat, ns, "t").get("default-spec-id").asInt() == 3)
+    // evolving back to UNPARTITIONED is the EXPLICIT call only
+    cat.updatePartitionSpec(ns, "t", Nil)
+    cat.append(ns, "t", Seq((900L, "fr",
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))).toDF(
+      "id", "lang", "ts"))
+    assert(cat.load(ns, "t").count() == 298L)
+    cat.dropNamespace(ns)
+  }
+
+  test("loadSlice bound-pruning SURVIVES type promotion and rename: " +
+    "4-byte int bounds decode under the promoted long column, and the " +
+    "slice keys by the CURRENT name over pre-rename files") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+      StructField, StructType}
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    // three disjoint-range appends written while the column was INT (the
+    // manifests carry 4-byte bounds) under the OLD name
+    def intBatch(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, f"k$i%04d")).toDF("num0", "k")
+      .select($"num0".cast(IntegerType).as("num"), $"k")
+    cat.ensureTable(ns, "t", intBatch(1, 1).schema)
+    cat.append(ns, "t", intBatch(1L, 100L))
+    cat.append(ns, "t", intBatch(101L, 200L))
+    cat.append(ns, "t", intBatch(201L, 300L))
+    // promote num -> long, then rename num -> id: both metadata-only
+    cat.ensureTable(ns, "t", StructType(Seq(StructField("num", LongType),
+      StructField("k", StringType))))
+    cat.renameColumn(ns, "t", "num", "id")
+    // ...and one post-evolution append with LONG values + 8-byte bounds
+    cat.append(ns, "t", (301L to 400L).map(i => (i, f"k$i%04d"))
+      .toDF("id", "k"))
+    val allFiles = cat.load(ns, "t").inputFiles
+    // the slice keys by the CURRENT name; its window sits entirely in the
+    // PRE-promotion files — pruning must decode their 4-byte bounds under
+    // the long-typed current schema (promotion-aware decodeBound) and
+    // skip the other dirs
+    val slice = cat.loadSlice(ns, "t", "id", "120", "180")
+    assert(slice.collect().map(_.getLong(0)).sorted.toSeq ==
+      (120L to 180L))
+    assert(slice.inputFiles.nonEmpty &&
+      slice.inputFiles.length < allFiles.length,
+      s"promotion broke stats pruning: read all ${allFiles.length} files")
+    // a slice in the post-promotion range prunes the int-era files
+    val hi = cat.loadSlice(ns, "t", "id", "350", "360")
+    assert(hi.collect().map(_.getLong(0)).sorted.toSeq == (350L to 360L))
+    assert(hi.inputFiles.length < allFiles.length)
     cat.dropNamespace(ns)
   }
 
