@@ -150,6 +150,20 @@ object InteropDump {
     cat.loadRef(ns, "tagged", "audited").coalesce(1).write
       .mode("overwrite").parquet(s"$outRoot/expected/tagged@audited")
 
+    // (h) WRITE-AUDIT-PUBLISH staging: a branch holds two staged commits
+    // main has never seen — the external reader must resolve the BRANCH
+    // ref by name to the staged head (same refs mechanism as the tag),
+    // while the table's current read stays pre-stage
+    cat.ensureTable(ns, "staged", docs.schema)
+    cat.append(ns, "staged", docs.filter(col("doc_id") % 2 === 0))
+    cat.stageAppend(ns, "staged", "wap",
+      docs.filter(col("doc_id") % 4 === 1))
+    cat.stageAppend(ns, "staged", "wap",
+      docs.filter(col("doc_id") % 4 === 3))
+    dump("staged") // current = the published half only
+    cat.loadRef(ns, "staged", "wap").coalesce(1).write
+      .mode("overwrite").parquet(s"$outRoot/expected/staged@wap")
+
     // (d) partition TRANSFORM (days(ts)) + a MOR delete on top: derived
     // path segments (ts_day=...) are spec metadata the reader must DROP,
     // while position deletes bind to files inside those partition dirs

@@ -475,16 +475,26 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * tiny orphan debt that [[expireSnapshots]]' manifest GC reclaims (any
     * unreferenced manifest-list whose sequence id is at or below the
     * newest expired snapshot's). */
+  /** `tipRef`: when set, this snapshot advances ONLY that named BRANCH
+    * (the write-audit-publish staging path, [[stageAppend]]) — its parent
+    * is the branch's current head (or main's head for a fresh branch),
+    * `current-snapshot-id`/`main`/`snapshot-log` stay untouched, and the
+    * ref map points the branch at the new id. None = the normal path:
+    * the snapshot becomes current and `main` advances. */
   private def addSnapshot(ns: String, table: String, meta: ObjectNode,
                           operation: String, live: Seq[String],
                           deletes: Seq[DeleteRef] = Seq.empty,
-                          reuseFrom: Option[JsonNode] = None): ObjectNode = {
+                          reuseFrom: Option[JsonNode] = None,
+                          tipRef: Option[String] = None): ObjectNode = {
     val id = meta.get("last-sequence-number").asLong() + 1
     // parent = lineage truth: a rollback's new snapshot DERIVES from the
     // rollback TARGET (reuseFrom), not from the head it abandons — which
     // is what makes the history face's is_current_ancestor mark the
-    // abandoned fork false, as Iceberg's history table does
+    // abandoned fork false, as Iceberg's history table does; a staged
+    // branch commit derives from the BRANCH head
     val parent = reuseFrom.map(_.get("snapshot-id").asLong())
+      .orElse(tipRef.flatMap(b => Option(refsNode(meta).get(b))
+        .map(_.get("snapshot-id").asLong())))
       .getOrElse(meta.get("current-snapshot-id").asLong())
     val now = System.currentTimeMillis()
     val pf = manifestPartitionFields(meta)
@@ -596,18 +606,27 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         val ca = o.putArray("cols"); r.cols.foreach(ca.add)
       }
     }
-    val logEntry = meta.get("snapshot-log").asInstanceOf[ArrayNode].addObject()
-    logEntry.put("timestamp-ms", now)
-    logEntry.put("snapshot-id", id)
     meta.put("last-sequence-number", id)
-    meta.put("current-snapshot-id", id)
-    // the spec's `refs` map: the `main` BRANCH tracks the current snapshot
-    // on every commit (exactly what Iceberg writers maintain); user tags
-    // ride alongside and are never moved by data commits
-    val refs = refsNode(meta)
-    val main = refs.putObject("main")
-    main.put("snapshot-id", id)
-    main.put("type", "branch")
+    tipRef match {
+      case Some(branch) =>
+        // staged: only the branch ref moves; main history untouched
+        val ref = refsNode(meta).putObject(branch)
+        ref.put("snapshot-id", id)
+        ref.put("type", "branch")
+      case None =>
+        val logEntry =
+          meta.get("snapshot-log").asInstanceOf[ArrayNode].addObject()
+        logEntry.put("timestamp-ms", now)
+        logEntry.put("snapshot-id", id)
+        meta.put("current-snapshot-id", id)
+        // the spec's `refs` map: the `main` BRANCH tracks the current
+        // snapshot on every commit (exactly what Iceberg writers
+        // maintain); user tags/branches ride alongside and are never
+        // moved by data commits
+        val main = refsNode(meta).putObject("main")
+        main.put("snapshot-id", id)
+        main.put("type", "branch")
+    }
     meta
   }
 
@@ -1277,6 +1296,99 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           "files, manifests, partitions, refs")
     }
   }
+
+  // ---- write-audit-publish (staged branches) -----------------------------
+
+  /** WRITE-AUDIT-PUBLISH, the staging half: append `df` to the named
+    * BRANCH — a snapshot whose parent is the branch's head (main's head
+    * for a fresh branch) that advances ONLY `refs[branch]`. Readers of
+    * the table ([[load]]) see NOTHING until [[fastForward]] publishes;
+    * auditors read the staged state by name ([[loadRef]]). This is the
+    * Iceberg WAP pattern a production ingest runs daily: stage the day's
+    * batches on a branch, run quality gates against the staged read,
+    * then publish atomically — or [[dropRef]] to abandon, leaving main
+    * untouched and the staged dirs as ordinary expiry debt. Staged
+    * commits carry the parent's MOR delete files (the staged read masks
+    * exactly like the base), CAS-rebase like every commit (two writers
+    * staging the same branch serialize), and stack: a second stageAppend
+    * parents on the first. */
+  def stageAppend(ns: String, table: String, branch: String, df: DataFrame,
+                  options: Map[String, String] = Map.empty): Unit = {
+    require(branch != "main",
+      "main is the published history — stage on a named branch")
+    if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
+    val meta0 = readMeta(ns, table)
+    val snap = writeSnapshot(ns, table, conformToTable(meta0, df),
+      partitionLayout(meta0), options)
+    commit(ns, table) { base =>
+      val meta = base.getOrElse(throw new IllegalStateException(
+        s"$ns.$table vanished mid-stage"))
+      Option(refsNode(meta).get(branch)).foreach(r =>
+        require(r.get("type").asText() == "branch",
+          s"'$branch' is a ${r.get("type").asText()} — cannot stage onto it"))
+      // parent = branch head (fresh branch: main's current); live/deletes
+      // derive from THAT snapshot, not from current
+      val headId = Option(refsNode(meta).get(branch))
+        .map(_.get("snapshot-id").asLong())
+        .getOrElse(meta.get("current-snapshot-id").asLong())
+      val headSnap = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == headId)
+      val live = headSnap.map(s => s.get("live").elements().asScala
+        .map(_.asText()).toSeq).getOrElse(Seq.empty) :+ snap
+      Some(addSnapshot(ns, table, meta, "append", live,
+        headSnap.map(deleteFilesOf).getOrElse(Seq.empty),
+        tipRef = Some(branch)))
+    }
+  }
+
+  /** WRITE-AUDIT-PUBLISH, the publish half: make the branch's head the
+    * table's current snapshot — atomically, FAST-FORWARD ONLY. The old
+    * current must be an ancestor of the branch head (nothing published
+    * since staging began); a DIVERGED main — any commit landed directly
+    * on the table after the branch forked — fails loudly instead of
+    * silently discarding it (re-stage against the new head, or merge by
+    * hand). Publishing an already-published branch is a no-op. The
+    * branch ref stays (drop it separately when the pipeline retires). */
+  def fastForward(ns: String, table: String, branch: String): Unit =
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        val ref = Option(refsNode(meta).get(branch)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no branch '$branch' on $ns.$table"))
+        require(ref.get("type").asText() == "branch",
+          s"'$branch' is a ${ref.get("type").asText()}, not a branch")
+        val head = ref.get("snapshot-id").asLong()
+        val cur = meta.get("current-snapshot-id").asLong()
+        if (head == cur) None // already published
+        else {
+          val byId = meta.get("snapshots").elements().asScala
+            .map(s => s.get("snapshot-id").asLong() -> s).toMap
+          var walk = Option(head)
+          var reached = cur < 0 // an empty table is everyone's ancestor
+          while (!reached && walk.isDefined) {
+            walk = byId.get(walk.get).flatMap(s =>
+              Option(s.get("parent-snapshot-id")).map(_.asLong()))
+            if (walk.contains(cur)) reached = true
+          }
+          require(reached,
+            s"fastForward($branch) on $ns.$table: current snapshot $cur " +
+              s"is not an ancestor of the branch head $head — main " +
+              "diverged while the branch was staged; re-stage against " +
+              "the new head (a fast-forward would discard the " +
+              "divergent commits)")
+          meta.put("current-snapshot-id", head)
+          val main = refsNode(meta).putObject("main")
+          main.put("snapshot-id", head)
+          main.put("type", "branch")
+          val logEntry =
+            meta.get("snapshot-log").asInstanceOf[ArrayNode].addObject()
+          logEntry.put("timestamp-ms", System.currentTimeMillis())
+          logEntry.put("snapshot-id", head)
+          Some(meta)
+        }
+    }
 
   /** Read the table as of a NAMED ref — `loadRef(ns, t, "audited") ==
     * loadAt(ns, t, <the tagged id>)`, resolution included. */
@@ -2096,8 +2208,35 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       val snaps = meta.get("snapshots").elements().asScala.toSeq
       val refIds = refsNode(meta).properties().asScala
         .map(_.getValue.get("snapshot-id").asLong()).toSet
-      val keptIdSet = snaps.takeRight(keepLast)
+      var keptIdSet = snaps.takeRight(keepLast)
         .map(_.get("snapshot-id").asLong()).toSet ++ refIds
+      // a STAGED branch's intermediate snapshots (its chain down to where
+      // it forked off main) stay too — dropping one mid-audit would break
+      // fastForward's ancestor validation and staged-lineage time travel.
+      // Tags protect only THEMSELVES, and main's own history is exactly
+      // what keepLast trims — so the walk runs only for non-main branches
+      // and stops at anything on main's ancestry (the fork point).
+      val byId = snaps.map(s => s.get("snapshot-id").asLong() -> s).toMap
+      def parentOf(id: Long): Option[Long] = byId.get(id).flatMap(s =>
+        Option(s.get("parent-snapshot-id")).map(_.asLong()))
+      val mainAncestors = {
+        var out = Set.empty[Long]
+        var walk = Option(meta.get("current-snapshot-id").asLong())
+          .filter(_ >= 0)
+        while (walk.isDefined) { out += walk.get; walk = parentOf(walk.get) }
+        out
+      }
+      refsNode(meta).properties().asScala
+        .filter(e => e.getKey != "main" &&
+          e.getValue.get("type").asText() == "branch")
+        .foreach { e =>
+          var walk = parentOf(e.getValue.get("snapshot-id").asLong())
+          while (walk.isDefined && !mainAncestors.contains(walk.get) &&
+              !keptIdSet.contains(walk.get)) {
+            keptIdSet += walk.get
+            walk = parentOf(walk.get)
+          }
+        }
       if (snaps.forall(s => keptIdSet.contains(
           s.get("snapshot-id").asLong()))) {
         // reset ALL attempt state: a lost race (e.g. vs another expiry)

@@ -1133,6 +1133,42 @@ object Streaming {
     (census ++ parts).toDF("face", "key", "n").orderBy("face", "key")
   }
 
+  /** Write-audit-publish (q219): stage two corpus batches on a branch
+    * ([[graft.lake.SnapshotLakeCatalog.stageAppend]]), census THREE
+    * faces — the reader-visible table pre-publish (must still be the
+    * first batch only: staging is invisible), the staged state by name
+    * (the audit read), and the table after [[graft.lake
+    * .SnapshotLakeCatalog.fastForward]] publishes atomically. The oracle
+    * restates all three as set algebra over `documents`. This is the
+    * Iceberg WAP pattern a production ingest runs daily: quality gates
+    * run against the staged read; a failed audit drops the branch and
+    * main never saw a row.
+    *
+    * Scale shape: staging costs exactly what the appends cost; audit
+    * reads are ordinary snapshot scans; publish is ONE metadata commit
+    * regardless of staged volume. Censuses are |langs|-bounded. */
+  def q219WapPublish(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "wapq"
+    val docs = documents(s, d).select("doc_id", "lang")
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 0))
+    cat.stageAppend(ns, "t", "wap", docs.filter(col("doc_id") % 4 === 1))
+    cat.stageAppend(ns, "t", "wap", docs.filter(col("doc_id") % 4 === 3))
+    def census(face: String, df: DataFrame) = df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"))
+      .collect() // |langs|-bounded — control plane
+      .map(r => (face, r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val pre = census("pre_publish", cat.load(ns, "t"))
+    val staged = census("staged", cat.loadRef(ns, "t", "wap"))
+    cat.fastForward(ns, "t", "wap")
+    val post = census("published", cat.load(ns, "t"))
+    cat.dropNamespace(ns)
+    import s.implicits._
+    (pre ++ staged ++ post).toDF("face", "lang", "n_docs", "sum_id")
+      .orderBy("face", "lang")
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -1166,6 +1202,18 @@ object Streaming {
         SELECT 'current' AS face, lang, count(*)::BIGINT,
                sum(doc_id)::BIGINT
         FROM documents WHERE doc_id % 5 <> 0 GROUP BY 2)
+      ORDER BY face, lang""")),
+    "q219_wap_publish" -> ((q219WapPublish _, """
+      SELECT * FROM (
+        SELECT 'pre_publish' AS face, lang, count(*)::BIGINT AS n_docs,
+               sum(doc_id)::BIGINT AS sum_id
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 2
+        UNION ALL
+        SELECT 'published', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+        FROM documents GROUP BY 2
+        UNION ALL
+        SELECT 'staged', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+        FROM documents GROUP BY 2)
       ORDER BY face, lang""")),
     "q218_spec_evolution" -> ((q218SpecEvolution _, """
       SELECT * FROM (

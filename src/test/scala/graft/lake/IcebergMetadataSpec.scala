@@ -148,6 +148,57 @@ class IcebergMetadataSpec extends AnyFunSuite {
     } finally cat.dropNamespace(ns)
   }
 
+  test("write-audit-publish: staged branch appends are invisible to " +
+    "load(), auditable by name, published atomically by fastForward; " +
+    "divergence fails loudly; expiry keeps the staged lineage") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icewap_${System.nanoTime()}"
+    try {
+      val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      cat.ensureTable(ns, "t", base.schema)
+      cat.append(ns, "t", base)                                 // snap 1
+      // STAGE two batches on a branch: main must not move
+      cat.stageAppend(ns, "t", "wap", Seq((3L, "c")).toDF("id", "v")) // 2
+      cat.stageAppend(ns, "t", "wap", Seq((4L, "d")).toDF("id", "v")) // 3
+      assert(cat.load(ns, "t").count() == 2L,
+        "staged rows must be invisible to readers")
+      assert(cat.listRefs(ns, "t") ==
+        Map("main" -> (("branch", 1L)), "wap" -> (("branch", 3L))))
+      // the AUDIT read: the staged state by name, stacked commits visible
+      assert(cat.loadRef(ns, "t", "wap").collect().map(_.getLong(0))
+        .sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+      // expiry mid-audit keeps the whole staged lineage (snap 2 is not
+      // ref'd directly, but it is the branch head's parent)
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      assert(cat.snapshotIds(ns, "t") == Seq(1L, 2L, 3L))
+      // PUBLISH: one atomic fast-forward; history logs the publish
+      cat.fastForward(ns, "t", "wap")
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+      assert(cat.listRefs(ns, "t")("main") == (("branch", 3L)))
+      // idempotent: publishing the published branch is a no-op
+      cat.fastForward(ns, "t", "wap")
+      // DIVERGENCE: stage again, land a direct commit, publish must fail
+      cat.stageAppend(ns, "t", "wap2", Seq((5L, "e")).toDF("id", "v"))
+      cat.append(ns, "t", Seq((9L, "z")).toDF("id", "v")) // main advances
+      val e = intercept[IllegalArgumentException](
+        cat.fastForward(ns, "t", "wap2"))
+      assert(e.getMessage.contains("diverged"), e.getMessage)
+      // abandoning the stage leaves main exactly as committed
+      cat.dropRef(ns, "t", "wap2")
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 9L))
+      // guards: cannot stage onto main or a tag, cannot publish a tag
+      intercept[IllegalArgumentException](
+        cat.stageAppend(ns, "t", "main", base))
+      cat.tag(ns, "t", "pin", 1L)
+      intercept[IllegalArgumentException](
+        cat.stageAppend(ns, "t", "pin", base))
+      intercept[IllegalArgumentException](cat.fastForward(ns, "t", "pin"))
+    } finally cat.dropNamespace(ns)
+  }
+
   test("metaTable: the standard snapshots/history/files/manifests/refs " +
     "read faces agree with the lifecycle that produced them") {
     import spark.implicits._
