@@ -1612,7 +1612,6 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * deletes name files, and files it adds are never named. */
   def deleteWhereMOR(ns: String, table: String, predicate: Column): Long = {
     val meta = readMeta(ns, table)
-    val schema = metaSchema(meta)
     val baseLive = liveSnapshots(meta)
     if (baseLive.isEmpty) return 0L
     val sn = currentSnapNode(meta).get
@@ -1647,7 +1646,6 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   def purgeKeysMOR(ns: String, table: String, keyCol: String,
                    keys: DataFrame): Long = {
     val meta = readMeta(ns, table)
-    val schema = metaSchema(meta)
     val baseLive = liveSnapshots(meta)
     if (baseLive.isEmpty) return 0L
     val sn = currentSnapNode(meta).get
