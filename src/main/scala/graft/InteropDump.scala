@@ -123,8 +123,16 @@ object InteropDump {
     // the external reader recovers the mapping from the schema history
     cat.ensureTable(ns, "renamed", docs.schema)
     cat.append(ns, "renamed", docs.filter(col("doc_id") % 2 === 0))
+    // an equality purge keyed on the SOON-TO-BE-RENAMED column: its
+    // equality_ids (field ids) and its old-name key file must keep
+    // masking across the rename — the id-resolution path of the reader
+    val nRenEq = cat.purgeKeysMOR(ns, "renamed", "doc_id",
+      docs.filter(col("doc_id") % 10 === 2).select("doc_id"))
+    require(nRenEq > 0, "renamed scenario: the purge must match rows")
+    cat.renameColumn(ns, "renamed", "doc_id", "document_id")
     cat.renameColumn(ns, "renamed", "lang", "language")
     cat.append(ns, "renamed", docs.filter(col("doc_id") % 2 === 1)
+      .withColumnRenamed("doc_id", "document_id")
       .withColumnRenamed("lang", "language"))
     val nRen = cat.deleteWhereMOR(ns, "renamed", col("language") === "de")
     require(nRen > 0, "renamed scenario: the delete must match rows")

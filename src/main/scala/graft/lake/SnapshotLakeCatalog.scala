@@ -550,8 +550,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         if (Files.exists(mp)) None
         else {
           val contentCode = if (r.kind == "position") 1 else 2
-          val eqIds = r.cols.map(c =>
-            metaSchema(meta).fieldNames.indexOf(c) + 1)
+          // spec equality_ids: prefer the recorded FIELD IDS (rename-proof);
+          // legacy name-only groups fall back to current-schema positions
+          val eqIds =
+            if (r.colIds.nonEmpty) r.colIds
+            else r.cols.map(c => metaSchema(meta).fieldNames.indexOf(c) + 1)
           val es = AvroManifests.scanDataDir(
               dataDir(ns, table).resolve(r.dir), pf,
               manifestStatFields(meta))
@@ -604,6 +607,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         o.put("kind", r.kind)
         o.put("seq", r.seq)
         val ca = o.putArray("cols"); r.cols.foreach(ca.add)
+        if (r.colIds.nonEmpty) {
+          val ia = o.putArray("col-ids"); r.colIds.foreach(ia.add)
+        }
       }
     }
     meta.put("last-sequence-number", id)
@@ -811,9 +817,14 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
             "carrier materializes identity partitions as name=value " +
             "paths, so a metadata-only rename of a partition source is " +
             "not supported (compact into a new table instead)")
-        require(!currentDeletes(meta).exists(_.cols.contains(from)),
-          s"$ns.$table: '$from' is referenced by a live equality-delete " +
-            "file — compact() the debt away first, then rename")
+        // id-carrying equality groups (r12+) are rename-proof: their
+        // equality_ids resolve and their key files alias like data files.
+        // Only a LEGACY name-only group pins its column.
+        require(!currentDeletes(meta).exists(r =>
+            r.colIds.isEmpty && r.cols.contains(from)),
+          s"$ns.$table: '$from' is referenced by a LEGACY (name-bound) " +
+            "equality-delete file — compact() the debt away first, then " +
+            "rename")
         val bucketed = !meta.get("bucket-spec").isNull &&
           meta.get("bucket-spec").get("columns").elements().asScala
             .exists(_.asText() == from)
@@ -1669,8 +1680,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val path = dataDir(ns, table).resolve(dirName)
     matched.select(col(s"`$keyCol`")).sort(keyCol)
       .write.parquet(path.toString)
+    // the key's FIELD ID rides the commit (spec equality_ids): ids are
+    // rename-proof, so this group keeps masking if keyCol is renamed
     commitDeleteFile(ns, table, dirName, "equality", Seq(keyCol),
-      baseLive, n)
+      baseLive, n,
+      colIds = Seq(metaSchema(meta).fieldNames.indexOf(keyCol) + 1))
   }
 
   /** Partition-pruned range scan — Iceberg SCAN PLANNING over the Avro
@@ -1900,13 +1914,31 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           // landing AFTER the purge must not retroactively reclassify the
           // purge's masks as dangling — chronological attribution, each
           // group scored against the state it committed into.
-          else spark.read.parquet(path)
-            .join(scanWithDeletes(ns, table, meta, sn.get,
+          else {
+            // same id-first key resolution + purge-time-name aliasing as
+            // the scan's equality application (scanWithDeletes)
+            val aliases = aliasesOf(meta)
+            val fieldNames = metaSchema(meta).fieldNames
+            val names = if (r.colIds.nonEmpty)
+              r.colIds.map(i => fieldNames(i - 1))
+            else r.cols.map(c =>
+              if (fieldNames.contains(c)) c
+              else aliases.collectFirst {
+                case (cur, olds) if olds.contains(c) => cur
+              }.getOrElse(c))
+            val keysRaw = spark.read.parquet(path)
+            val keys = aliases.foldLeft(keysRaw) { case (d, (cur, olds)) =>
+              if (d.columns.contains(cur)) d
+              else olds.reverse.find(d.columns.contains)
+                .map(o => d.withColumnRenamed(o, cur)).getOrElse(d)
+            }
+            keys.join(scanWithDeletes(ns, table, meta, sn.get,
                 applicable,
                 delFilter = p => p.kind == "position" && p.seq < r.seq)
-              .select(r.cols.map(c => col(s"`$c`")): _*),
-              r.cols, "left_semi")
+              .select(names.map(c => col(s"`$c`")): _*),
+              names, "left_semi")
             .count()
+          }
       }
       (r.kind, r.seq, n, masking, n - masking)
     }
@@ -1919,7 +1951,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * the carried set, cleans up the written delete dir on any failure. */
   private def commitDeleteFile(ns: String, table: String, dirName: String,
                                kind: String, cols: Seq[String],
-                               readLive: Seq[String], n: Long): Long = {
+                               readLive: Seq[String], n: Long,
+                               colIds: Seq[Int] = Nil): Long = {
     beforeDeleteCommit(ns, table)
     try {
       commit(ns, table) { base =>
@@ -1933,7 +1966,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
               s"${gone.mkString(", ")} but a concurrent commit rewrote or " +
               "removed them — retry the delete against the new snapshot")
         Some(addSnapshot(ns, table, cur, "delete", curLive,
-          currentDeletes(cur) :+ DeleteRef(dirName, kind, cols, -1L)))
+          currentDeletes(cur) :+ DeleteRef(dirName, kind, cols, -1L,
+            colIds)))
       }
     } catch {
       case e: Throwable =>
@@ -2006,10 +2040,16 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   /** One delete file group of a snapshot (the internal digest of a
     * content=1 manifest): its directory, kind ("position" | "equality"),
-    * the equality columns (empty for position), and the sequence number it
-    * was committed at (the spec's scoping input). */
+    * the equality columns (empty for position), the sequence number it
+    * was committed at (the spec's scoping input), and `colIds` — the
+    * FIELD IDS of the equality columns (what the spec's `equality_ids`
+    * carry; ids are rename-proof, so a group carrying them keeps masking
+    * after the key column is renamed). `cols` records the names AT PURGE
+    * TIME — which is also what the delete KEY FILE's parquet columns are
+    * named, so the read side aliases them to current names exactly like
+    * data files. Legacy groups (pre-r12) carry names only. */
   case class DeleteRef(dir: String, kind: String, cols: Seq[String],
-                       seq: Long)
+                       seq: Long, colIds: Seq[Int] = Nil)
 
   /** The snapshot's `delete-files` extension array (absent on append-only
     * and pre-MOR snapshots). */
@@ -2017,7 +2057,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     Option(sn.get("delete-files")).map(_.elements().asScala.map { d =>
       DeleteRef(d.get("dir").asText(), d.get("kind").asText(),
         d.get("cols").elements().asScala.map(_.asText()).toSeq,
-        d.get("seq").asLong())
+        d.get("seq").asLong(),
+        Option(d.get("col-ids")).map(_.elements().asScala
+          .map(_.asInt()).toSeq).getOrElse(Nil))
     }.toSeq).getOrElse(Seq.empty)
 
   /** Per-data-dir sequence numbers from the snapshot's Avro manifest list
@@ -2128,9 +2170,22 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         "left_anti")
     }
     eqDels.foreach { r =>
-      val keys = spark.read.parquet(
-        dataDir(ns, table).resolve(r.dir).toString)
-      val cond = r.cols.map(c => out(c) === keys(c))
+      // current key names resolve from the recorded FIELD IDS when the
+      // group carries them (rename-proof); legacy groups bind by their
+      // purge-time name, mapped through the rename history so even a
+      // pre-col-ids group survives a rename at read time. The key FILE's
+      // physical columns are the purge-time names — the same aliasFix
+      // that maps renamed data files maps them to current.
+      val names =
+        if (r.colIds.nonEmpty) r.colIds.map(i => schema.fieldNames(i - 1))
+        else r.cols.map(c =>
+          if (schema.fieldNames.contains(c)) c
+          else aliases.collectFirst {
+            case (cur, olds) if olds.contains(c) => cur
+          }.getOrElse(c))
+      val keys = aliasFix(spark.read.parquet(
+        dataDir(ns, table).resolve(r.dir).toString))
+      val cond = names.map(c => out(c) === keys(c))
         .reduce(_ && _) && out(SeqTag) < lit(r.seq)
       out = out.join(keys, cond, "left_anti")
     }

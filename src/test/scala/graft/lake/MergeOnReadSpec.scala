@@ -292,25 +292,53 @@ class MergeOnReadSpec extends AnyFunSuite {
   }
 
   test("[directory] rename guards on the snapshot carrier: retired names " +
-    "never resurrect, live equality deletes pin their column, and the " +
-    "alias mapping reads through merge-on-read masks") {
+    "never resurrect, id-carrying equality deletes survive a rename of " +
+    "their key column, legacy name-bound groups still pin it") {
     val ns = freshNs()
     val cat = DirectoryLakeCatalog.temp(spark)
     seed(cat, ns)
-    // an equality delete binds its key FILE by column name: rename refused
+    // an r12+ equality delete carries the key's FIELD ID: renaming the
+    // key column is legal and the mask keeps applying — the key FILE's
+    // old-name column aliases to the current name like any data file
     assert(cat.purgeKeysMOR(ns, "t", "id", Seq(2L).toDF("id")) == 1L)
-    val e = intercept[IllegalArgumentException](
-      cat.renameColumn(ns, "t", "id", "doc_id"))
-    assert(e.getMessage.contains("equality-delete"), e.getMessage)
-    // compact folds the debt away; the rename then proceeds metadata-only
-    cat.compact(ns, "t", targetFiles = 1)
     cat.renameColumn(ns, "t", "id", "doc_id")
-    // ...and a LATER MOR delete + read both run under the new name,
-    // with pre-rename files (none left here) and post-rename files mixed
-    cat.append(ns, "t", Seq((9L, "r", "en")).toDF("doc_id", "v", "lang"))
-    assert(cat.deleteWhereMOR(ns, "t", col("doc_id") === 3L) == 1L)
     assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
-      Seq(1L, 4L, 5L, 9L))
+      Seq(1L, 3L, 4L, 5L), "the purge must keep masking post-rename")
+    // sequence scoping is id-based too: the purged key RE-APPENDED under
+    // the new name survives the old purge
+    cat.append(ns, "t", Seq((2L, "y2", "en")).toDF("doc_id", "v", "lang"))
+    assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // a LEGACY (name-bound, pre-col-ids) group still refuses the rename:
+    // simulate one by stripping col-ids from the live metadata document
+    assert(cat.purgeKeysMOR(ns, "t", "doc_id", Seq(4L).toDF("doc_id")) == 1L)
+    val md = cat.root.resolve(ns).resolve("t").resolve("metadata")
+    val vmax = scala.util.Using.resource(Files.list(md))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") &&
+          s.endsWith(".metadata.json") =>
+          s.stripPrefix("v").stripSuffix(".metadata.json").toInt }.toSeq).max
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = mapper.readTree(
+      Files.readString(md.resolve(s"v$vmax.metadata.json")))
+    doc.get("snapshots").elements().asScala.foreach { sn =>
+      Option(sn.get("delete-files")).foreach(_.elements().asScala.foreach(
+        d => d.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .remove("col-ids")))
+    }
+    Files.writeString(md.resolve(s"v${vmax + 1}.metadata.json"),
+      doc.toString)
+    val e = intercept[IllegalArgumentException](
+      cat.renameColumn(ns, "t", "doc_id", "docid2"))
+    assert(e.getMessage.contains("LEGACY"), e.getMessage)
+    // compact folds the legacy debt away; the rename then proceeds
+    cat.compact(ns, "t", targetFiles = 1)
+    cat.renameColumn(ns, "t", "doc_id", "docid2")
+    // ...and a LATER MOR delete + read both run under the new name
+    cat.append(ns, "t", Seq((9L, "r", "en")).toDF("docid2", "v", "lang"))
+    assert(cat.deleteWhereMOR(ns, "t", col("docid2") === 3L) == 1L)
+    assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 5L, 9L))
     // the retired name can never come back as a NEW column: the read
     // path maps old physical columns by name history, and a live column
     // wearing a retired name would make that mapping ambiguous

@@ -286,8 +286,19 @@ def read_table(con, table_dir, snapshot_id=None):
                   _scan.filename AND p.pos = _scan.file_row_number)""")
     by_id = {fid: name for name, _, fid in cols}
     for path, seq, eq_ids in eq_files:
+        # equality_ids are FIELD IDS (rename-proof): they resolve to the
+        # CURRENT column names; the delete FILE's physical columns are the
+        # purge-time names, so map each key through the rename history to
+        # whatever name the file actually carries
         keys = [by_id[i] for i in eq_ids]
-        on = " AND ".join(f'e."{k}" = _scan."{k}"' for k in keys)
+        efile_cols = {r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{path}')").fetchall()}
+        def src_of(k):
+            for c in [k] + list(reversed(hist.get(k, []))):
+                if c in efile_cols:
+                    return c
+            return k
+        on = " AND ".join(f'e."{src_of(k)}" = _scan."{k}"' for k in keys)
         # the spec's scoping rule: an equality delete masks only data files
         # with a STRICTLY LOWER data sequence number — a key re-appended
         # after the purge survives it
