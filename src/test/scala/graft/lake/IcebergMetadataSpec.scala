@@ -199,6 +199,44 @@ class IcebergMetadataSpec extends AnyFunSuite {
     } finally cat.dropNamespace(ns)
   }
 
+  test("racing stageAppend commits on one branch both land via CAS " +
+    "rebase; staging never disturbs a concurrent main writer") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icewaprace_${System.nanoTime()}"
+    try {
+      cat.ensureTable(ns, "t", Seq((0L, "x")).toDF("id", "v").schema)
+      cat.append(ns, "t", Seq((0L, "base")).toDF("id", "v"))
+      // two stagers on the SAME branch + one direct main writer, all
+      // racing: the stagers must stack (neither staged batch lost), the
+      // main append must land, and neither side may see the other's rows
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val fs = Seq(
+        Future(cat.stageAppend(ns, "t", "wap",
+          (1L to 50L).map((_, "s1")).toDF("id", "v"))),
+        Future(cat.stageAppend(ns, "t", "wap",
+          (51L to 100L).map((_, "s2")).toDF("id", "v"))),
+        Future(cat.append(ns, "t",
+          (201L to 210L).map((_, "m")).toDF("id", "v"))))
+      Await.result(Future.sequence(fs), 120.seconds)
+      pool.shutdown()
+      // main: base + the direct append, NO staged rows
+      assert(cat.load(ns, "t").count() == 11L)
+      // branch: base + BOTH staged batches (stacked via rebase), plus
+      // possibly the main append depending on fork timing — pin the
+      // invariant that holds under every interleaving: all 101 staged-
+      // lineage rows present, main rows a subset question
+      val staged = cat.loadRef(ns, "t", "wap")
+        .collect().map(_.getLong(0)).toSet
+      assert((1L to 100L).forall(staged.contains) && staged.contains(0L),
+        s"lost a staged batch: ${staged.size} rows")
+    } finally cat.dropNamespace(ns)
+  }
+
   test("metaTable: the standard snapshots/history/files/manifests/refs " +
     "read faces agree with the lifecycle that produced them") {
     import spark.implicits._
