@@ -40,6 +40,29 @@ class MergeOnReadSpec extends AnyFunSuite {
     cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq
 
   for (impl <- impls) {
+    test(s"[${impl.name}] refs + write-audit-publish round-trip the " +
+      "carrier: tag survives expiry, staged branch publishes atomically") {
+      // the refs map and branch-tip commits live in the shared
+      // SnapshotLakeCatalog core, but THIS test proves they survive each
+      // carrier's metadata round-trip (the REST row = real HTTP + the
+      // server-side CAS + Jackson canonicalization on recovery paths)
+      val cat = impl.make(); val ns = freshNs()
+      seed(cat, ns) // snapshots 1, 2
+      cat.tag(ns, "t", "audited", 1L)
+      cat.stageAppend(ns, "t", "wap",
+        Seq((9L, "r", "en")).toDF("id", "v", "lang"))
+      assert(cat.load(ns, "t").count() == 5L, "staging must be invisible")
+      assert(cat.loadRef(ns, "t", "wap").count() == 6L)
+      cat.expireSnapshots(ns, "t", keepLast = 1)
+      assert(cat.loadRef(ns, "t", "audited").count() == 3L,
+        "the tagged snapshot must survive expiry through this carrier")
+      cat.fastForward(ns, "t", "wap")
+      assert(cat.load(ns, "t").count() == 6L)
+      assert(cat.listRefs(ns, "t")("main")._2 ==
+        cat.listRefs(ns, "t")("wap")._2)
+      cat.dropNamespace(ns)
+    }
+
     test(s"[${impl.name}] deleteWhereMOR reads back identically to " +
       "copy-on-write deleteWhere, without rewriting any data dir") {
       // separate namespaces: the rest impls share one stub server, so a
