@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AnchorFingerprints, BinaryVecExpr, BpeCount, CharBigrams, DHash64, IntVecDot, IntVecExprs, IntVecNearest, IntVecNorm2, IntVecQuant, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles, ZOrder2}
+import graft.functions.{AnchorFingerprints, BinaryVecExpr, BpeCount, CharBigrams, DHash64, IcebergBucket, IntVecDot, IntVecExprs, IntVecNearest, IntVecNorm2, IntVecQuant, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles, ZOrder2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -46,5 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("ivec_norm2", args => IntVecNorm2(args(0))))
     ext.injectFunction(fn("ivec_nearest", args => IntVecNearest(args(0),
       IntVecExprs.foldableLongMatrix(args(1), "ivec_nearest"))))
+    ext.injectFunction(fn("iceberg_bucket", args => IcebergBucket(args(0),
+      BinaryVecExpr.foldableInt(args(1), "iceberg_bucket"))))
   }
 }

@@ -172,6 +172,18 @@ object InteropDump {
     cat.loadRef(ns, "staged", "wap").coalesce(1).write
       .mode("overwrite").parquet(s"$outRoot/expected/staged@wap")
 
+    // (i) bucket(N, key) partition transform (VERDICT r12 #1): hash-
+    // derived directory layout + a MOR equality purge on top — the
+    // external reader must drop the doc_id_bucket path column (spec
+    // metadata, not a table column) and apply the sequence-scoped purge
+    cat.ensureTable(ns, "bucketed", docs.schema, Seq("bucket(8, doc_id)"))
+    cat.append(ns, "bucketed", docs.filter(col("doc_id") % 2 === 0))
+    cat.append(ns, "bucketed", docs.filter(col("doc_id") % 2 === 1))
+    val nBkt = cat.purgeKeysMOR(ns, "bucketed", "doc_id",
+      docs.filter(col("doc_id") % 9 === 4).select("doc_id"))
+    require(nBkt > 0, "bucketed scenario: the purge must match rows")
+    dump("bucketed")
+
     // (d) partition TRANSFORM (days(ts)) + a MOR delete on top: derived
     // path segments (ts_day=...) are spec metadata the reader must DROP,
     // while position deletes bind to files inside those partition dirs

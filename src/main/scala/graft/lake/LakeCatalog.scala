@@ -324,15 +324,11 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
             "bucket spec; rewrite via writeBucketed under the widened " +
             "schema instead")
         tableLock(ns, table).synchronized {
-          val parts = partitionColsOf(ns, table)
           val widened = diff.promoted.foldLeft(spark.table(id(ns, table))) {
             case (df, (name, t)) =>
               df.withColumn(name, col(s"`$name`").cast(t))
-          }.localCheckpoint(true) // sever lineage before the truncate
-          val w = widened.write.format("parquet").mode("overwrite")
-          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-            .saveAsTable(id(ns, table))
-          refreshHere(ns, table)
+          }
+          stagedRewrite(ns, table, widened)
         }
       }
       if (diff.added.nonEmpty) {
@@ -363,14 +359,35 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
       s"$ns.$table is bucketed — a rename rewrite would drop its bucket " +
         "spec; rewrite via writeBucketed under the new name instead")
     tableLock(ns, table).synchronized {
-      val parts = partitionColsOf(ns, table)
-      val renamed = spark.table(id(ns, table))
-        .withColumnRenamed(from, to).localCheckpoint(true)
-      val w = renamed.write.format("parquet").mode("overwrite")
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-        .saveAsTable(id(ns, table))
-      refreshHere(ns, table)
+      stagedRewrite(ns, table,
+        spark.table(id(ns, table)).withColumnRenamed(from, to))
     }
+  }
+
+  /** Rewrite-and-swap for the session carrier's rename/promotion paths
+    * (which here are data REWRITES — the documented carrier divergence
+    * from the snapshot catalogs' metadata-only evolution; the rewrite
+    * cost is one full read + write of the table, the price a v1
+    * path-parquet table pays for lacking a field-id registry). The
+    * rewrite lands in a STAGING table first (`<table>__graft_stage`, a
+    * reserved suffix), then the original is dropped and the staging
+    * table renamed into place — so no crash window loses DATA: an
+    * interruption between the drop and the rename leaves the full
+    * rewritten table under the staging name (re-runnable recovery),
+    * where the previous in-place overwrite could crash after its
+    * truncate with the rows gone (ADVICE r12). Writing to a separate
+    * location also means the rewrite reads its source directly — no
+    * checkpoint materialization. Caller holds the table lock. */
+  private def stagedRewrite(ns: String, table: String,
+                            rewritten: DataFrame): Unit = {
+    val parts = partitionColsOf(ns, table)
+    val stage = s"${table}__graft_stage"
+    val w = rewritten.write.format("parquet").mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .saveAsTable(id(ns, stage))
+    spark.sql(s"DROP TABLE ${id(ns, table)}")
+    spark.sql(s"ALTER TABLE ${id(ns, stage)} RENAME TO ${id(ns, table)}")
+    refreshHere(ns, table)
   }
 
   override def writeBucketed(ns: String, table: String, df: DataFrame,

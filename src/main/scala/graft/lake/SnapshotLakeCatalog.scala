@@ -284,27 +284,41 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           case _ =>
             Some(c - org.apache.spark.sql.functions.pmod(c, lit(w)))
         }
+      case t if t.startsWith("bucket[") =>
+        // the spec's hash transform, as the codegen'd native expression
+        // (registered idempotently on this session for the loadSlice
+        // bound evaluation; writeSnapshot registers on the frame's own
+        // session before applying the layout)
+        val nb = t.stripPrefix("bucket[").stripSuffix("]").toInt
+        graft.functions.IcebergBucket.ensureRegistered(spark)
+        Some(org.apache.spark.sql.functions
+          .call_function("iceberg_bucket", c, lit(nb)))
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform: $other")
     }
   }
 
   /** The physical directory layout of the default spec: one
-    * (name, derive) per non-bucket partition field — identity fields
-    * partition by the data column itself (derive = None); transform
-    * fields (day/month/hour/year/truncate[W]) by a derived column
+    * (name, derive) per partition field — identity fields partition by
+    * the data column itself (derive = None); transform fields
+    * (day/month/hour/year/truncate[W]/bucket[N]) by a derived column
     * computed at write time, recovered from the Hive path at read time,
     * and DROPPED from query output (it is spec metadata, not a table
-    * column). bucket[N] fields describe row clustering, not
-    * directories. */
+    * column). EXCEPTION: on a legacy writeBucketed table (non-null
+    * `bucket-spec`) the bucket[N] spec fields describe whole-table row
+    * CLUSTERING, not directories, and are skipped here — the spec-driven
+    * `bucket(N, col)` partition transform (bucket-spec null) is a real
+    * directory layout. */
   private def partitionLayout(meta: ObjectNode)
       : Seq[(String, Option[Column])] = {
     val schema = metaSchema(meta)
     val specId = meta.get("default-spec-id").asInt()
+    val clusterOnlyBuckets = !meta.get("bucket-spec").isNull
     meta.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == specId)
       .map(_.get("fields").elements().asScala
-        .filter(f => !f.get("transform").asText().startsWith("bucket["))
+        .filter(f => !(clusterOnlyBuckets &&
+          f.get("transform").asText().startsWith("bucket[")))
         .map { f =>
           val src = schema.fields(f.get("source-id").asInt() - 1)
           f.get("name").asText() -> transformColumn(
@@ -315,20 +329,23 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   /** Partition fields of the default spec as the manifest layer needs
     * them: spec field name + the Avro type its path-parsed tuple values
-    * carry (None = not path-derivable, e.g. bucket[N]). Identity
-    * transforms on long/int sources type natively; everything else rides
+    * carry (None = not path-derivable: the legacy writeBucketed
+    * clustering fields). Identity transforms on long/int sources and
+    * spec-driven bucket[N] fields type natively; everything else rides
     * the Hive path string ([[AvroManifests]]' documented divergence). */
   private def manifestPartitionFields(meta: ObjectNode)
       : Seq[AvroManifests.PartitionField] = {
     val schema = metaSchema(meta)
     val specId = meta.get("default-spec-id").asInt()
+    val clusterOnlyBuckets = !meta.get("bucket-spec").isNull
     meta.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == specId)
       .map(_.get("fields").elements().asScala.map { f =>
         val transform = f.get("transform").asText()
         val srcIdx = f.get("source-id").asInt() - 1
         val avroType =
-          if (transform.startsWith("bucket[")) None
+          if (transform.startsWith("bucket["))
+            (if (clusterOnlyBuckets) None else Some("int"))
           else if (transform == "identity")
             schema.fields.lift(srcIdx).map(_.dataType) match {
               case Some(org.apache.spark.sql.types.LongType)    => Some("long")
@@ -698,8 +715,14 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     }
     // layout evolution rides a SEPARATE commit (updatePartitionSpec
     // no-ops when the declared layout already IS the default spec, incl.
-    // the just-created case)
-    if (partitionBy.nonEmpty) updatePartitionSpec(ns, table, partitionBy)
+    // the just-created case). BUCKETED tables skip it (ADVICE r12): their
+    // layout is a whole-table clustering contract declared at
+    // writeBucketed time, and a config that still carries partition_by
+    // for a since-bucketed table must keep loading (the hint was ignored
+    // before spec evolution existed; aborting would be a behavior change)
+    if (partitionBy.nonEmpty &&
+        readMeta(ns, table).get("bucket-spec").isNull)
+      updatePartitionSpec(ns, table, partitionBy)
   }
 
   /** PARTITION SPEC EVOLUTION (Iceberg spec §Partition Evolution): declare
@@ -756,14 +779,14 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           val sf = spec.putArray("fields")
           wanted.foreach { case (name, transform, srcId) =>
             // a (source, transform) that appeared in ANY earlier spec
-            // KEEPS its field id (Iceberg v2 keys partition field ids by
-            // source+transform across the table's spec history — a
-            // re-adopted layout is the same field, and never-reuse means
-            // fresh ids only for genuinely NEW fields)
+            // KEEPS its field id — Iceberg v2's identity rule keys
+            // partition fields by (source-id, transform) ONLY (ADVICE
+            // r12: the display name is presentation, so re-adopting the
+            // same derivation under a different name is still the same
+            // field); fresh ids only for genuinely NEW derivations
             val existingId = specs.elements().asScala
               .flatMap(_.get("fields").elements().asScala)
-              .find(f => f.get("name").asText() == name &&
-                f.get("transform").asText() == transform &&
+              .find(f => f.get("transform").asText() == transform &&
                 f.get("source-id").asInt() == srcId)
               .map(_.get("field-id").asInt())
             val fid = existingId.getOrElse { lastPid += 1; lastPid }
@@ -876,6 +899,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // nanoTime alone can collide across racing writers (same tick → same
     // directory → one writer's files silently replaced); the UUID makes
     // every snapshot directory unique regardless of timing
+    // bucket[N] derives resolve against the FRAME's session registry (a
+    // foreachBatch epoch's frame lives in a cloned session)
+    if (layout.exists(_._2.isDefined))
+      graft.functions.IcebergBucket.ensureRegistered(df.sparkSession)
     val snapName = s"snap-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
     val dir = dataDir(ns, table).resolve(snapName)
     val withDerived = layout.foldLeft(df) {
@@ -1142,6 +1169,15 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       case Some(meta) =>
         require(name != "main",
           "'main' is the writer-owned branch — pick another ref name")
+        // a name currently held by a BRANCH is refused (ADVICE r12):
+        // silently replacing a branch with a tag would strip the staged
+        // chain's expiry protection (the keep-walk follows only
+        // type=='branch') and break fastForward mid-audit — converting a
+        // branch to a tag must go through dropRef explicitly
+        Option(refsNode(meta).get(name)).foreach(r =>
+          require(r.get("type").asText() == "tag",
+            s"'$name' is a ${r.get("type").asText()} ref on $ns.$table — " +
+              "dropRef it explicitly before tagging the name"))
         require(meta.get("snapshots").elements().asScala
             .exists(_.get("snapshot-id").asLong() == snapshotId),
           s"no snapshot $snapshotId on $ns.$table " +
@@ -1718,19 +1754,26 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       case Some(s0) => s0
     }
     val specId = meta.get("default-spec-id").asInt()
+    // bucket[N] fields prune POINT LOOKUPS only (from == to): the hash
+    // destroys ordering, so a genuine range can never prune by bucket —
+    // and only when the field is a spec-driven directory layout, never a
+    // legacy writeBucketed clustering field (no path tuple to prune on)
+    val clusterOnlyBuckets = !meta.get("bucket-spec").isNull
     val fieldOpt = meta.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == specId)
       .flatMap(_.get("fields").elements().asScala.find { f =>
         schema.fields(f.get("source-id").asInt() - 1).name == column &&
-          !f.get("transform").asText().startsWith("bucket[")
+          (!f.get("transform").asText().startsWith("bucket[") ||
+            (!clusterOnlyBuckets && from == to))
       })
     val fileFilter = fieldOpt.map { f =>
       val fname = f.get("name").asText()
       val transform = f.get("transform").asText()
-      val numeric = transform != "day" && transform != "month" &&
-        transform != "hour" && transform != "year" &&
-        (srcType == org.apache.spark.sql.types.LongType ||
-          srcType == org.apache.spark.sql.types.IntegerType)
+      val numeric = transform.startsWith("bucket[") ||
+        (transform != "day" && transform != "month" &&
+          transform != "hour" && transform != "year" &&
+          (srcType == org.apache.spark.sql.types.LongType ||
+            srcType == org.apache.spark.sql.types.IntegerType))
       // evaluate the WRITE-SIDE derivation on the two literals (a local
       // 1-row job — control plane), so pruning can never disagree with
       // the directory layout
@@ -2599,11 +2642,14 @@ object SnapshotLakeCatalog {
     """(days?|months?|hours?|years?)\s*\(\s*`?([^`()\s]+)`?\s*\)""".r
   private val TruncRx =
     """truncate\s*\(\s*(\d+)\s*,\s*`?([^`()\s]+)`?\s*\)""".r
+  private val BucketRx =
+    """bucket\s*\(\s*(\d+)\s*,\s*`?([^`()\s]+)`?\s*\)""".r
 
   /** Iceberg partition-transform syntax → (spec field name, spec
     * transform name, source column). `"days(ts)"` → `("ts_day", "day",
     * "ts")`, `"truncate(4, name)"` → `("name_trunc", "truncate[4]",
-    * "name")`; a plain column name is identity. Singular and plural
+    * "name")`, `"bucket(16, doc_id)"` → `("doc_id_bucket", "bucket[16]",
+    * "doc_id")`; a plain column name is identity. Singular and plural
     * function names both accepted (the spec metadata name is singular,
     * Iceberg SQL writes plural). */
   private[lake] def parseTransform(p: String): (String, String, String) =
@@ -2611,7 +2657,10 @@ object SnapshotLakeCatalog {
       case FnRx(fn, src) =>
         val t = fn.stripSuffix("s")
         (s"${src}_$t", t, src)
-      case TruncRx(w, src) => (s"${src}_trunc", s"truncate[$w]", src)
+      case TruncRx(w, src)  => (s"${src}_trunc", s"truncate[$w]", src)
+      case BucketRx(n, src) =>
+        require(n.toInt > 0, s"bucket($n, $src): bucket count must be >= 1")
+        (s"${src}_bucket", s"bucket[$n]", src)
       case name => (name, "identity", name)
     }
 }

@@ -29,7 +29,9 @@ final case class TargetConfig(
     flatteningEnabled: Boolean,
     flatteningMaxDepth: Int,
     partitionBy: Map[String, Seq[String]],
-    sortedBy: Map[String, Seq[String]] = Map.empty) {
+    sortedBy: Map[String, Seq[String]] = Map.empty,
+    s3PathStyle: Option[Boolean] = None,
+    upsertStreams: Set[String] = Set.empty) {
 
   /** The Hadoop `fs.s3a.*` configuration this config implies — the Spark
     * half of the reference's catalog wiring, which hands `s3.endpoint` /
@@ -37,9 +39,13 @@ final case class TargetConfig(
     * (`/root/reference/target_iceberg/sinks.py:55-65`; the region probe
     * at `sinks.py:43` is S3A's own endpoint negotiation here). Credential
     * keys are emitted only when set; a NON-AWS endpoint (MinIO, on-prem
-    * gateways — anything not `*.amazonaws.com`) additionally forces
-    * path-style access, which such gateways require and AWS itself does
-    * not. Callers set the pairs on
+    * gateways) additionally defaults to path-style access, which such
+    * gateways require and AWS itself does not. "AWS" is recognized by the
+    * `.amazonaws.com` label anywhere in the host (covers partition
+    * suffixes like `*.amazonaws.com.cn` — ADVICE r12); the heuristic is
+    * overridable either way via the explicit `s3_path_style` config key
+    * (a virtual-host-only non-AWS gateway sets it false, an AWS-suffixed
+    * proxy that still needs path-style sets it true). Callers set the pairs on
     * `spark.sparkContext.hadoopConfiguration` or as `spark.hadoop.*`
     * session conf at build time ([[graft.GraftTarget]] does the latter).
     * Offline-testable by construction: the mapping is pure config -> conf;
@@ -53,9 +59,17 @@ final case class TargetConfig(
         .map("fs.s3a.secret.key" -> _),
       Option(s3Endpoint).filter(_.nonEmpty)
         .map("fs.s3a.endpoint" -> _)).flatten.toMap
-    val pathStyle = Option(s3Endpoint).filter(_.nonEmpty)
-      .filterNot(e => e.stripSuffix("/").endsWith(".amazonaws.com"))
-      .map(_ => "fs.s3a.path.style.access" -> "true")
+    def looksAws(e: String): Boolean = {
+      val host = e.stripPrefix("https://").stripPrefix("http://")
+        .takeWhile(c => c != '/' && c != ':').stripSuffix(".")
+      host.endsWith(".amazonaws.com") || host.contains(".amazonaws.com.")
+    }
+    val pathStyle = s3PathStyle match {
+      case Some(v) => Some("fs.s3a.path.style.access" -> v.toString)
+      case None => Option(s3Endpoint).filter(_.nonEmpty)
+        .filterNot(looksAws)
+        .map(_ => "fs.s3a.path.style.access" -> "true")
+    }
     base ++ pathStyle
   }
 }
@@ -94,7 +108,9 @@ object TargetConfig {
     Setting("flattening_enabled", "boolean", Some("false")),
     Setting("flattening_max_depth", "integer", Some("1")),
     Setting("partition_by", "object"),
-    Setting("sorted_by", "object"))
+    Setting("sorted_by", "object"),
+    Setting("s3_path_style", "boolean"),
+    Setting("upsert_streams", "array"))
 
   val Capabilities: Seq[String] = Seq("about", "stream-maps", "schema-flattening")
 
@@ -188,7 +204,17 @@ object TargetConfig {
       flatteningEnabled = bool("flattening_enabled", default = false),
       flatteningMaxDepth = int("flattening_max_depth", 1),
       partitionBy = parsePartitionBy(node.get("partition_by")),
-      sortedBy = parsePartitionBy(node.get("sorted_by"))))
+      sortedBy = parsePartitionBy(node.get("sorted_by")),
+      s3PathStyle =
+        if (node.hasNonNull("s3_path_style"))
+          Some(node.get("s3_path_style").asBoolean())
+        else None,
+      upsertStreams =
+        if (node.hasNonNull("upsert_streams") &&
+            node.get("upsert_streams").isArray)
+          node.get("upsert_streams").elements().asScala
+            .map(_.asText()).toSet
+        else Set.empty))
   }
 
   /** `partition_by` / `sorted_by`: `{"stream": ["col", ...]}` — opt-in

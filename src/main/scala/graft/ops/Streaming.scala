@@ -1169,6 +1169,59 @@ object Streaming {
       .orderBy("face", "lang")
   }
 
+  /** Bucket-layout lifecycle (q220): ingest the corpus into a
+    * `bucket(16, doc_id)` table ([[graft.lake.SnapshotLakeCatalog]]'s
+    * spec-conformant hash transform, VERDICT r12 #1) across two appends,
+    * then exercise the three faces the layout exists for — the lang
+    * census over the hash-clustered read, the `partitions` metadata
+    * rollup (per-bucket sizing off manifests alone, zero data bytes),
+    * and POINT LOOKUPS through [[graft.lake.SnapshotLakeCatalog
+    * .loadSlice]], which must prune to the key's single bucket
+    * (`inputFiles`-verified in-query; the `pruned` sentinel row flips to
+    * 0 on any unpruned probe, failing the hash compare). The oracle
+    * restates census/probes/totals over `documents`.
+    *
+    * Scale shape: THE layout for a high-cardinality key at 100 TB —
+    * bounded partition counts regardless of cardinality, per-probe cost
+    * O(bucket), and both sides of a recurring join sharing the transform
+    * co-locate. Probe keys derive from min(doc_id) so the query is
+    * scale-invariant. */
+  def q220BucketLayout(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "bktq"
+    val docs = documents(s, d).select("doc_id", "lang")
+    cat.ensureTable(ns, "t", docs.schema, Seq("bucket(16, doc_id)"))
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 0))
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 1))
+    val census = cat.load(ns, "t").groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .collect() // |langs|-bounded — control plane
+      .map(r => (s"census_${r.getString(0)}", 0L, r.getLong(1))).toSeq
+    // per-bucket sizing straight off the manifests: |buckets| <= 16 rows
+    val parts = cat.metaTable(ns, "t", "partitions")
+      .agg(count(lit(1)).as("nb"), sum("record_count").as("rows"))
+      .head()
+    require(parts.getLong(0) <= 16L,
+      s"bucket(16) produced ${parts.getLong(0)} partitions")
+    val metaRows = Seq(("meta_rows", 0L, parts.getLong(1)))
+    val lo = docs.agg(org.apache.spark.sql.functions.min("doc_id"))
+      .head().getLong(0)
+    val allFiles = cat.load(ns, "t").inputFiles.length
+    var allPruned = true
+    val probes = Seq(lo, lo + 97L, lo + 211L).flatMap { k =>
+      val slice = cat.loadSlice(ns, "t", "doc_id", k.toString, k.toString)
+      allPruned &= slice.inputFiles.nonEmpty &&
+        slice.inputFiles.length < allFiles
+      slice.collect() // <= replication-factor rows per probed key
+        .map(r => ("probe", r.getLong(0), 1L))
+    }
+    val pruned = Seq(("pruned", 0L, if (allPruned) 1L else 0L))
+    cat.dropNamespace(ns)
+    import s.implicits._
+    (census ++ metaRows ++ probes ++ pruned)
+      .toDF("face", "k", "n").orderBy("face", "k")
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -1178,6 +1231,21 @@ object Streaming {
     }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q220_bucket_layout" -> ((q220BucketLayout _, """
+      WITH b AS (SELECT min(doc_id) AS lo FROM documents)
+      SELECT * FROM (
+        SELECT 'census_' || lang AS face, 0::BIGINT AS k,
+               count(*)::BIGINT AS n
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'meta_rows', 0::BIGINT, count(*)::BIGINT FROM documents
+        UNION ALL
+        SELECT 'probe', doc_id::BIGINT, 1::BIGINT
+        FROM documents, b
+        WHERE doc_id IN (b.lo, b.lo + 97, b.lo + 211)
+        UNION ALL
+        SELECT 'pruned', 0::BIGINT, 1::BIGINT)
+      ORDER BY face, k""")),
     "q215_meta_tables" -> ((q215MetaTables _, """
       WITH e AS (SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0),
            n AS (SELECT count(*) AS c FROM documents),

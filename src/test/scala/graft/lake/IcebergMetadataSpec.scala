@@ -196,6 +196,14 @@ class IcebergMetadataSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](
         cat.stageAppend(ns, "t", "pin", base))
       intercept[IllegalArgumentException](cat.fastForward(ns, "t", "pin"))
+      // ... and cannot TAG a name an active BRANCH holds (ADVICE r12:
+      // silently converting would orphan the staged chain mid-audit)
+      val eTag = intercept[IllegalArgumentException](
+        cat.tag(ns, "t", "wap", 1L))
+      assert(eTag.getMessage.contains("branch"), eTag.getMessage)
+      // re-pointing an existing TAG stays allowed (Iceberg replace-tag)
+      cat.tag(ns, "t", "pin", 3L)
+      assert(cat.listRefs(ns, "t")("pin") == (("tag", 3L)))
     } finally cat.dropNamespace(ns)
   }
 

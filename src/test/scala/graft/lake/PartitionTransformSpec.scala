@@ -121,6 +121,79 @@ class PartitionTransformSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("bucket(N, col) partition transform: spec metadata, hash-derived " +
+    "dir layout, typed manifest tuples, point-lookup pruning, derived " +
+    "column dropped (VERDICT r12 #1)") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    val docs = (1L to 400L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    cat.ensureTable(ns, "t", docs.schema, Seq("bucket(8, doc_id)"))
+    // spec metadata: transform bucket[8], name doc_id_bucket, source doc_id
+    val pf = rawMeta(cat, ns, "t").get("partition-specs").get(0)
+      .get("fields").get(0)
+    assert(pf.get("name").asText() == "doc_id_bucket" &&
+      pf.get("transform").asText() == "bucket[8]" &&
+      pf.get("source-id").asInt() == 1)
+    cat.append(ns, "t", docs.filter($"doc_id" <= 200))
+    cat.append(ns, "t", docs.filter($"doc_id" > 200))
+    // directory layout: hash buckets, values = the SPEC transform (the
+    // cross-engine agreement the conformance vectors pin)
+    val dataRoot = cat.root.resolve(ns).resolve("t").resolve("data")
+    val bucketDirs = scala.util.Using.resource(Files.walk(dataRoot))(
+      _.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("doc_id_bucket=")).toSet)
+    assert(bucketDirs.size > 1 && bucketDirs.forall { d =>
+      val b = d.stripPrefix("doc_id_bucket=").toInt; b >= 0 && b < 8
+    }, bucketDirs.mkString(","))
+    // reads: table schema only (derived column dropped), values intact
+    val out = cat.load(ns, "t")
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.agg(org.apache.spark.sql.functions.sum("doc_id"))
+      .head().getLong(0) == (1L to 400L).sum)
+    // manifests carry TYPED int tuples matching the spec hash
+    val manifests = cat.metaTable(ns, "t", "manifests")
+      .select("path").collect().map(_.getString(0))
+    val entries = manifests.map(java.nio.file.Paths.get(_))
+      .flatMap(AvroManifests.readManifest)
+    entries.foreach { e =>
+      val tup = e.partition.collectFirst {
+        case ("doc_id_bucket", Some(v)) => v.toInt }
+      assert(tup.exists(b => b >= 0 && b < 8), e.partition.toString)
+    }
+    // POINT LOOKUP pruning: loadSlice(k, k) reads only the key's bucket
+    val allFiles = out.inputFiles
+    val hit = cat.loadSlice(ns, "t", "doc_id", "137", "137")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(137L))
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.length < allFiles.length,
+      s"bucket pruning read all ${allFiles.length} files")
+    // every kept file's tuple IS the key's bucket
+    val wantBucket = graft.functions.IcebergBucket.bucketLong(137L, 8)
+    hit.inputFiles.foreach(f =>
+      assert(f.contains(s"doc_id_bucket=$wantBucket"), f))
+    // a RANGE on a bucketed column cannot prune by bucket (hash destroys
+    // order) — correctness first: all rows come back
+    assert(cat.loadSlice(ns, "t", "doc_id", "100", "110")
+      .collect().map(_.getLong(0)).sorted.toSeq == (100L to 110L))
+    // deletes + compact preserve the bucket layout
+    assert(cat.deleteWhere(ns, "t", $"doc_id" % 50 === 3L) == 8L)
+    cat.compact(ns, "t", targetFiles = 2)
+    assert(cat.load(ns, "t").count() == 392L)
+    val live = cat.metaTable(ns, "t", "files")
+      .select("file_path").head().getString(0)
+    assert(live.contains("doc_id_bucket="),
+      s"compaction must rewrite under the bucket spec: $live")
+    // string-keyed buckets work too (UTF-8 byte hashing)
+    val byStr = (1L to 50L).map(i => (s"k$i", i)).toDF("k", "v")
+    cat.ensureTable(ns, "s", byStr.schema, Seq("bucket(4, k)"))
+    cat.append(ns, "s", byStr)
+    val sHit = cat.loadSlice(ns, "s", "k", "k17", "k17")
+    assert(sHit.collect().map(_.getLong(1)).toSeq == Seq(17L))
+    assert(sHit.inputFiles.length < cat.load(ns, "s").inputFiles.length)
+    cat.dropNamespace(ns)
+  }
+
   test("partition spec evolution: a new default layout applies to FUTURE " +
     "writes only, mixed-layout tables read correctly, field-ids never " +
     "reuse, and compact folds everything into the current spec") {

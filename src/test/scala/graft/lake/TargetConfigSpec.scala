@@ -54,6 +54,27 @@ class TargetConfigSpec extends AnyFunSuite {
     assert(minio.keys.forall(_.startsWith("fs.s3a.")))
   }
 
+  test("path-style heuristic recognizes AWS partition suffixes and the " +
+    "s3_path_style key overrides it both ways (ADVICE r12)") {
+    // *.amazonaws.com.cn is an AWS partition: no forced path-style
+    val cn = TargetConfig.fromJson(full.replace("http://localhost:9000",
+        "https://s3.cn-north-1.amazonaws.com.cn")).toOption.get.s3aHadoopConf
+    assert(!cn.contains("fs.s3a.path.style.access"), cn)
+    // port/scheme don't confuse the host check
+    val port = TargetConfig.fromJson(full.replace("http://localhost:9000",
+        "https://s3.us-east-1.amazonaws.com:443/")).toOption.get.s3aHadoopConf
+    assert(!port.contains("fs.s3a.path.style.access"), port)
+    // explicit override: a virtual-host-only non-AWS gateway opts OUT
+    val vhost = TargetConfig.fromJson(full.dropRight(1) +
+      ""","s3_path_style":false}""").toOption.get.s3aHadoopConf
+    assert(vhost("fs.s3a.path.style.access") == "false", vhost)
+    // ... and an AWS-suffixed proxy can opt IN
+    val proxied = TargetConfig.fromJson(full
+      .replace("http://localhost:9000", "s3.eu-west-1.amazonaws.com")
+      .dropRight(1) + ""","s3_path_style":true}""").toOption.get.s3aHadoopConf
+    assert(proxied("fs.s3a.path.style.access") == "true", proxied)
+  }
+
   test("stream_maps parse: drop / derive / filter / alias") {
     val json = full.dropRight(1) +
       ""","stream_maps":{"ev":{"secret":null,"vv":"v * 2",
