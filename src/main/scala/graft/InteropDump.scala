@@ -168,7 +168,14 @@ object InteropDump {
       docs.filter(col("doc_id") % 4 === 1))
     cat.stageAppend(ns, "staged", "wap",
       docs.filter(col("doc_id") % 4 === 3))
-    dump("staged") // current = the published half only
+    // branch-scoped AUDIT DELETE (VERDICT r12 #2): masks rows across the
+    // shared published dir AND the staged ones, carried ONLY by the
+    // branch snapshot — the external reader applies it on the branch
+    // read while the table's current read stays pre-stage and unmasked
+    val nWap = cat.deleteWhereMOR(ns, "staged", col("source") === "src3",
+      branch = "wap")
+    require(nWap > 0, "staged scenario: the audit delete must match rows")
+    dump("staged") // current = the published half only, no masks
     cat.loadRef(ns, "staged", "wap").coalesce(1).write
       .mode("overwrite").parquet(s"$outRoot/expected/staged@wap")
 
@@ -190,7 +197,14 @@ object InteropDump {
     val ev = graft.ops.Tables.events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "value", "ts")
     cat.ensureTable(ns, "events_day", ev.schema, Seq("days(ts)"))
-    cat.append(ns, "events_day", ev)
+    cat.append(ns, "events_day", ev.filter(col("event_id") % 2 === 0))
+    // rename the TRANSFORM partition SOURCE mid-history (VERDICT r12 #5):
+    // the spec field keeps its ts_day name, old files carry physical
+    // `ts`, new files `event_ts` — the reader folds both via the schema
+    // history while still dropping the derived ts_day path column
+    cat.renameColumn(ns, "events_day", "ts", "event_ts")
+    cat.append(ns, "events_day", ev.filter(col("event_id") % 2 === 1)
+      .withColumnRenamed("ts", "event_ts"))
     cat.deleteWhereMOR(ns, "events_day", col("event_type") === "click")
     dump("events_day")
 

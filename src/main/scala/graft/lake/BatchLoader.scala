@@ -55,7 +55,8 @@ final class BatchLoader(
     flatteningEnabled: Boolean = false,
     flatteningMaxDepth: Int = 1,
     partitionBy: Map[String, Seq[String]] = Map.empty,
-    sortedBy: Map[String, Seq[String]] = Map.empty) extends Serializable {
+    sortedBy: Map[String, Seq[String]] = Map.empty,
+    upsertStreams: Set[String] = Set.empty) extends Serializable {
 
   import BatchLoader._
 
@@ -164,9 +165,9 @@ final class BatchLoader(
         (s, SchemaConv.toStructType(js), kp, seq)
       }.groupBy(_._1).map { case (stream, decls) =>
         val ordered = decls.sortBy(_._4)
-        stream -> ordered.zipWithIndex.map { case ((_, st, _, seq), i) =>
+        stream -> ordered.zipWithIndex.map { case ((_, st, kp, seq), i) =>
           val hi = if (i + 1 < ordered.length) ordered(i + 1)._4 else Long.MaxValue
-          SchemaSegment(st, seq, hi)
+          SchemaSegment(st, kp, seq, hi)
         }.toSeq
       }
     val activatedVersions: Map[String, Long] =
@@ -213,11 +214,30 @@ final class BatchLoader(
           // ACTIVATE_VERSION swaps the table on the FIRST write, appends after
           val overwrite = version.isDefined && i == 0
           val sortCols = sortedBy.getOrElse(stream, Nil)
+          // UPSERT face (VERDICT r12 #6): a stream opted into
+          // `upsert_streams` replaces-by-key using the SCHEMA message's
+          // key_properties — absent keys reject LOUDLY (an upsert without
+          // keys would silently degrade to append), and sorted_by is
+          // mutually exclusive (the MOR delete file, not file order, is
+          // the replace mechanism — pick one layout contract)
+          val upsertKeys: Option[Seq[String]] =
+            if (!upsertStreams.contains(stream)) None
+            else {
+              require(seg.keyProps.nonEmpty,
+                s"upsert_streams names '$stream' but its SCHEMA message " +
+                  "declares no key_properties — upsert needs key columns; " +
+                  "fix the tap or drop the stream from upsert_streams")
+              require(sortCols.isEmpty,
+                s"'$stream' is configured both sorted_by and upsert — " +
+                  "the two write contracts are mutually exclusive")
+              Some(seg.keyProps)
+            }
           val (n, rejected) =
             if (strictBatches)
-              (appendStrict(target, aligned, overwrite, sortCols),
-                typed.rejectedExact())
-            else appendScale(target, aligned, overwrite, typed, sortCols)
+              (appendStrict(target, aligned, overwrite, sortCols,
+                upsertKeys), typed.rejectedExact())
+            else appendScale(target, aligned, overwrite, typed, sortCols,
+              upsertKeys)
           total += n
           totalRejected += rejected
         }
@@ -479,7 +499,9 @@ final class BatchLoader(
     * scan (at 100 TB a second scan doubles ingest cost). */
   private def appendScale(stream: String, rows: DataFrame,
                           overwrite: Boolean, typed: Typed,
-                          sortCols: Seq[String] = Nil): (Long, Long) = {
+                          sortCols: Seq[String] = Nil,
+                          upsertKeys: Option[Seq[String]] = None)
+      : (Long, Long) = {
     val data = rows.drop(SeqCol)
     // sorted_by path: range partitioning SAMPLES its child before the
     // real pass, so observe metrics riding the WRITE job would tally
@@ -568,9 +590,14 @@ final class BatchLoader(
     spark.conf.set(confKey, batchSize.toString)
     try {
       val opts = Map("maxRecordsPerFile" -> batchSize.toString)
-      // (sortCols.nonEmpty returned above — this is the unsorted path)
+      // (sortCols.nonEmpty returned above — this is the unsorted path).
+      // ACTIVATE_VERSION's first write REPLACES the table — replace-by-key
+      // is moot there; appends after it (and every non-swap load) upsert.
       if (overwrite) catalog.overwrite(namespace, stream, observed, opts)
-      else catalog.append(namespace, stream, observed, opts)
+      else upsertKeys match {
+        case Some(keys) => upsertInto(stream, keys, observed)
+        case None => catalog.append(namespace, stream, observed, opts)
+      }
       // listener fires async after commit; fall back to counts only if the
       // metrics never arrive (defensive — should not happen)
       if (latch.await(30, java.util.concurrent.TimeUnit.SECONDS) && counted >= 0)
@@ -585,12 +612,25 @@ final class BatchLoader(
     }
   }
 
+  /** Replace-by-key through whichever catalog is wired: snapshot
+    * carriers take the MOR one-commit path (equality delete + append,
+    * [[SnapshotLakeCatalog.upsertMOR]] — no data rewrite); the session
+    * carrier falls back to its locked copy-on-write [[LakeCatalog
+    * .merge]]. Same replace-by-key semantics either way — the carrier
+    * picks its cheapest mechanism. */
+  private def upsertInto(stream: String, keys: Seq[String],
+                         df: DataFrame): Unit = catalog match {
+    case sc: SnapshotLakeCatalog => sc.upsertMOR(namespace, stream, keys, df)
+    case c                       => c.merge(namespace, stream, keys, df)
+  }
+
   /** Per-slice commit cadence; with `overwrite` (ACTIVATE_VERSION) the FIRST
     * slice replaces the table contents and later slices append — same final
     * table as scale mode's single overwrite commit, per-batch cadence kept. */
   private def appendStrict(stream: String, rows: DataFrame,
                            overwrite: Boolean = false,
-                           sortCols: Seq[String] = Nil): Long = {
+                           sortCols: Seq[String] = Nil,
+                           upsertKeys: Option[Seq[String]] = None): Long = {
     // row_number over global input order: single-partition window — strict
     // mode is protocol-fidelity testing only (see class doc).
     val w = Window.orderBy(SeqCol)
@@ -612,7 +652,10 @@ final class BatchLoader(
         } else if (sortCols.nonEmpty)
           catalog.appendSorted(namespace, stream, slice, sortCols,
             targetFiles = Some(1))
-        else catalog.append(namespace, stream, slice)
+        else upsertKeys match {
+          case Some(keys) => upsertInto(stream, keys, slice)
+          case None       => catalog.append(namespace, stream, slice)
+        }
         total += slice.count()
       }
       // an ACTIVATE_VERSION with zero records still truncates (full swap)
@@ -673,15 +716,19 @@ object BatchLoader {
       flatteningEnabled = cfg.flatteningEnabled,
       flatteningMaxDepth = cfg.flatteningMaxDepth,
       partitionBy = cfg.partitionBy,
-      sortedBy = cfg.sortedBy)
+      sortedBy = cfg.sortedBy,
+      upsertStreams = cfg.upsertStreams)
 
   private[lake] final case class RawMsg(
       mtype: String, stream: String, payload: String,
       keyProps: Seq[String], seq: Long)
 
-  /** One per-stream SCHEMA declaration and the half-open seq interval of the
-    * records it governs (drain-then-switch, SURVEY §3.1). */
+  /** One per-stream SCHEMA declaration — its struct type, the SCHEMA
+    * message's `key_properties` (the upsert keys when the stream is in
+    * `upsert_streams`) — and the half-open seq interval of the records it
+    * governs (drain-then-switch, SURVEY §3.1). */
   private[lake] final case class SchemaSegment(schema: StructType,
+                                               keyProps: Seq[String],
                                                fromSeq: Long, untilSeq: Long)
 
   /** A stream's validated rows plus the two ways to learn how many records

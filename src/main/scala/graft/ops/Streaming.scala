@@ -1169,6 +1169,125 @@ object Streaming {
       .orderBy("face", "lang")
   }
 
+  /** `key_properties` upsert lifecycle (q222): drive the SINGER LOAD
+    * PATH end-to-end with `upsert_streams` opt-in (VERDICT r12 #6 — the
+    * face the reference's config accepts but never implements,
+    * `sinks.py:25,31`). Feed 1 lands every document (ver 1, keyed by
+    * the SCHEMA message's key_properties); feed 2 re-sends a third of
+    * the keys with changed values (ver 2, lang 'xx') plus genuinely new
+    * keys (ver 3) — [[graft.lake.SnapshotLakeCatalog.upsertMOR]] lands
+    * it as ONE commit: an equality-delete file over the re-sent keys +
+    * the new data dir, NO data rewrite (asserted in-query: the current
+    * snapshot carries content=2 delete files and every feed-1 dir
+    * still live). The census over the final table — old versions
+    * replaced, new keys inserted, untouched keys intact — is restated
+    * by the oracle as set algebra over `documents`.
+    *
+    * Scale shape: the cheap upsert path for frequent small batches at
+    * 100 TB — cost is one key-projected presence scan + the batch
+    * write; the masking debt is priced by q209's report and folded by
+    * compaction. */
+  def q222UpsertLoad(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "upq"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q222-")
+    val schemaLine =
+      """{"type":"SCHEMA","stream":"up","key_properties":["doc_id"],""" +
+        """"schema":{"properties":{"doc_id":{"type":["integer"]},""" +
+        """"lang":{"type":["string","null"]},""" +
+        """"ver":{"type":["integer","null"]}}}}""" + "\n"
+    def rec(idCol: org.apache.spark.sql.Column,
+            langCol: org.apache.spark.sql.Column, ver: Int) = concat(
+      lit("""{"type":"RECORD","stream":"up","record":{"doc_id":"""),
+      idCol, lit(""","lang":""""), langCol, lit("""","ver":"""),
+      lit(ver), lit("}}"))
+    val docs = documents(s, d).select("doc_id", "lang")
+    // feed 1: the full corpus at ver 1
+    java.nio.file.Files.writeString(tmp.resolve("f1_0schema.jsonl"),
+      schemaLine)
+    docs.select(rec(col("doc_id"), col("lang"), 1).as("line"))
+      .coalesce(4).write.mode("overwrite")
+      .text(tmp.resolve("f1_records").toString)
+    // feed 2: a third of the keys re-sent changed + genuinely new keys
+    java.nio.file.Files.writeString(tmp.resolve("f2_0schema.jsonl"),
+      schemaLine)
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(rec(col("doc_id"), lit("xx"), 2).as("line"))
+      .unionAll(docs.filter(col("doc_id") % 11 === 5)
+        .select(rec(col("doc_id") + lit(10000000L), col("lang"), 3)
+          .as("line")))
+      .coalesce(4).write.mode("overwrite")
+      .text(tmp.resolve("f2_records").toString)
+    val loader = new graft.lake.BatchLoader(s, cat, ns,
+      upsertStreams = Set("up"))
+    loader.loadPaths(Seq(tmp.resolve("f1_0schema.jsonl").toString,
+      tmp.resolve("f1_records").toString))
+    val dirsAfterF1 = cat.metaTable(ns, "up", "files")
+      .filter(col("content") === 0).count()
+    loader.loadPaths(Seq(tmp.resolve("f2_0schema.jsonl").toString,
+      tmp.resolve("f2_records").toString))
+    // MOR proof: the replace published equality-delete files and
+    // carried every feed-1 data file untouched (no rewrite)
+    val files = cat.metaTable(ns, "up", "files")
+    require(files.filter(col("content") === 2).count() > 0,
+      "q222: the upsert must land as equality-delete files")
+    require(files.filter(col("content") === 0).count() > dirsAfterF1,
+      "q222: feed-2's data files must ADD to feed-1's, never rewrite")
+    val rows = cat.load(ns, "up").groupBy("ver", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"))
+      .collect() // |vers x langs|-bounded — control plane
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    cat.dropNamespace(ns)
+    deleteRecursively(tmp)
+    import s.implicits._
+    rows.toDF("ver", "lang", "n_docs", "sum_id").orderBy("ver", "lang")
+  }
+
+  /** WAP with a branch-scoped AUDIT DELETE (q221): the canonical
+    * write → audit → '''purge bad rows on the branch''' → publish flow
+    * whose third step VERDICT r12 #2 asked for. Half the corpus is
+    * published, the rest staged on a branch; the audit then runs
+    * [[graft.lake.SnapshotLakeCatalog.deleteWhereMOR]] AGAINST THE
+    * BRANCH — the delete file binds to branch-head files (including the
+    * dir shared with main!) yet only the branch snapshot carries it —
+    * and [[graft.lake.SnapshotLakeCatalog.fastForward]] publishes the
+    * audited state atomically. Three faces are censused: pre-publish
+    * main (every published row still visible — the audit delete is
+    * branch-local), the audited staged read (bad rows masked across
+    * BOTH generations), and post-publish main (== the audited state).
+    * The oracle restates all three as set algebra over `documents`.
+    *
+    * Scale shape: the audit delete costs one branch scan + a write
+    * proportional to the match count (no rewrite); publish stays ONE
+    * metadata commit regardless of staged volume; censuses are
+    * |langs|-bounded. */
+  def q221WapAuditDelete(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "wapd"
+    val docs = documents(s, d).select("doc_id", "lang")
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.append(ns, "t", docs.filter(col("doc_id") % 2 === 0))
+    cat.stageAppend(ns, "t", "wap", docs.filter(col("doc_id") % 2 === 1))
+    // the audit: purge bad rows ON THE BRANCH (they span the published
+    // dir AND the staged one — main must not see the masks yet)
+    val n = cat.deleteWhereMOR(ns, "t", col("doc_id") % 7 === 3,
+      branch = "wap")
+    require(n > 0, "q221: the audit delete must match rows")
+    def census(face: String, df: DataFrame) = df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"))
+      .collect() // |langs|-bounded — control plane
+      .map(r => (face, r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val pre = census("pre_publish", cat.load(ns, "t"))
+    val audited = census("audited", cat.loadRef(ns, "t", "wap"))
+    cat.fastForward(ns, "t", "wap")
+    val post = census("published", cat.load(ns, "t"))
+    cat.dropNamespace(ns)
+    import s.implicits._
+    (pre ++ audited ++ post).toDF("face", "lang", "n_docs", "sum_id")
+      .orderBy("face", "lang")
+  }
+
   /** Bucket-layout lifecycle (q220): ingest the corpus into a
     * `bucket(16, doc_id)` table ([[graft.lake.SnapshotLakeCatalog]]'s
     * spec-conformant hash transform, VERDICT r12 #1) across two appends,
@@ -1231,6 +1350,29 @@ object Streaming {
     }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q222_upsert_load" -> ((q222UpsertLoad _, """
+      WITH final AS (
+        SELECT doc_id, lang, 1 AS ver FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id, 'xx', 2 FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 10000000, lang, 3 FROM documents
+        WHERE doc_id % 11 = 5)
+      SELECT ver::BIGINT AS ver, lang, count(*)::BIGINT AS n_docs,
+             sum(doc_id)::BIGINT AS sum_id
+      FROM final GROUP BY 1, 2 ORDER BY ver, lang""")),
+    "q221_wap_audit_delete" -> ((q221WapAuditDelete _, """
+      SELECT * FROM (
+        SELECT 'pre_publish' AS face, lang, count(*)::BIGINT AS n_docs,
+               sum(doc_id)::BIGINT AS sum_id
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 2
+        UNION ALL
+        SELECT 'audited', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+        FROM documents WHERE doc_id % 7 <> 3 GROUP BY 2
+        UNION ALL
+        SELECT 'published', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+        FROM documents WHERE doc_id % 7 <> 3 GROUP BY 2)
+      ORDER BY face, lang""")),
     "q220_bucket_layout" -> ((q220BucketLayout _, """
       WITH b AS (SELECT min(doc_id) AS lo FROM documents)
       SELECT * FROM (

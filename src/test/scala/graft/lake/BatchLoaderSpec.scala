@@ -423,6 +423,57 @@ class BatchLoaderSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("upsert_streams: a keyed stream replaces-by-key across loads " +
+    "(session carrier = merge; snapshot carrier = upsertMOR); a stream " +
+    "without key_properties rejects LOUDLY (VERDICT r12 #6)") {
+    val ns = freshNs()
+    // session carrier: replace-by-key via merge
+    val cat = new CountingCatalog
+    val loader = new BatchLoader(spark, cat, ns, upsertStreams = Set("ev"))
+    loader.load(spark.createDataset(
+      Seq(schemaLine) ++ (1 to 5).map(recordLine)))
+    // re-send ids 2 and 4 with changed v, plus the new id 9
+    loader.load(spark.createDataset(Seq(schemaLine,
+      """{"type":"RECORD","stream":"ev","record":{"id":2,"v":100.0}}""",
+      """{"type":"RECORD","stream":"ev","record":{"id":4,"v":200.0}}""",
+      """{"type":"RECORD","stream":"ev","record":{"id":9,"v":9.0}}""")))
+    val back = cat.load(ns, "ev").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(back == Seq((1L, 1.5), (2L, 100.0), (3L, 4.5), (4L, 200.0),
+      (5L, 7.5), (9L, 9.0)), back)
+    cat.dropNamespace(ns)
+    // snapshot carrier: the MOR one-commit path (no data rewrite)
+    val ns2 = freshNs()
+    val dcat = DirectoryLakeCatalog.temp(spark)
+    val dloader = new BatchLoader(spark, dcat, ns2,
+      upsertStreams = Set("ev"))
+    dloader.load(spark.createDataset(
+      Seq(schemaLine) ++ (1 to 5).map(recordLine)))
+    dloader.load(spark.createDataset(Seq(schemaLine,
+      """{"type":"RECORD","stream":"ev","record":{"id":3,"v":30.0}}""")))
+    assert(dcat.load(ns2, "ev").filter($"id" === 3L).collect()
+      .map(_.getDouble(1)).toSeq == Seq(30.0))
+    assert(dcat.load(ns2, "ev").count() == 5L)
+    assert(dcat.metaTable(ns2, "ev", "files")
+      .filter($"content" === 2).count() == 1L,
+      "the snapshot carrier must upsert as an equality-delete file")
+    dcat.dropNamespace(ns2)
+    // keyless stream in upsert_streams: loud, listing the fix
+    val ns3 = freshNs()
+    val keyless = schemaLine.replace(""","key_properties":["id"]""", "")
+    val badLoader = new BatchLoader(spark, new CountingCatalog, ns3,
+      upsertStreams = Set("ev"))
+    val e = intercept[IllegalArgumentException](badLoader.load(
+      spark.createDataset(Seq(keyless, recordLine(1)))))
+    assert(e.getMessage.contains("key_properties"), e.getMessage)
+    // sorted_by + upsert on one stream: mutually exclusive, loud
+    val e2 = intercept[IllegalArgumentException](
+      new BatchLoader(spark, new CountingCatalog, ns3,
+        upsertStreams = Set("ev"), sortedBy = Map("ev" -> Seq("id")))
+        .load(spark.createDataset(Seq(schemaLine, recordLine(1)))))
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+  }
+
   test("multi-stream feed routes records per stream") {
     val ns = freshNs()
     val cat = new CountingCatalog

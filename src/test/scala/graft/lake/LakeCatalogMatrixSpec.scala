@@ -797,6 +797,55 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name != "session") test(s"[${impl.name}] upsertMOR: ONE " +
+      "commit = equality delete + append, no data rewrite; re-appended " +
+      "keys postdate the mask; pure inserts skip the delete file") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      val v1 = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+        .toDF("id", "v", "ver")
+      cat.upsertMOR(ns, "t", Seq("id"), v1) // missing table = plain insert
+      val filesAfterV1 = parquetFiles(impl.dir(cat, ns, "t"))
+        .map(_.toString).toSet
+      assert(cat.load(ns, "t").count() == 3L)
+      // replace 2, insert 4 — one commit; feed-1 files untouched on disk
+      cat.upsertMOR(ns, "t", Seq("id"),
+        Seq((2L, "B", 2L), (4L, "d", 2L)).toDF("id", "v", "ver"))
+      assert(filesAfterV1.subsetOf(
+        parquetFiles(impl.dir(cat, ns, "t")).map(_.toString).toSet),
+        "upsertMOR must never rewrite an existing data file")
+      assert(cat.load(ns, "t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L), (4L, "d", 2L)))
+      // ONE snapshot for the replace (atomicity), carrying the eq group
+      val snaps = cat.metaTable(ns, "t", "snapshots").collect()
+      assert(snaps.length == 2, snaps.mkString(","))
+      assert(cat.metaTable(ns, "t", "files")
+        .filter($"content" === 2).count() == 1L)
+      // pure-insert batch: appends, NO new delete group (no mask debt)
+      cat.upsertMOR(ns, "t", Seq("id"),
+        Seq((9L, "z", 3L)).toDF("id", "v", "ver"))
+      assert(cat.metaTable(ns, "t", "files")
+        .filter($"content" === 2).count() == 1L,
+        "a no-overlap upsert must not mint a dangling delete file")
+      assert(cat.load(ns, "t").count() == 5L)
+      // multi-key tuples replace by the FULL tuple
+      val mk = Seq((1L, "x", 10L), (1L, "y", 10L)).toDF("k1", "k2", "n")
+        .toDF("id2", "part", "n")
+      cat.upsertMOR(ns, "m", Seq("id2", "part"), mk)
+      cat.upsertMOR(ns, "m", Seq("id2", "part"),
+        Seq((1L, "x", 20L)).toDF("id2", "part", "n"))
+      assert(cat.load(ns, "m").orderBy("part").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSeq ==
+        Seq(("x", 20L), ("y", 10L)))
+      // compact folds the upsert debt away: same rows, zero delete files
+      cat.compact(ns, "t", targetFiles = 1)
+      assert(cat.metaTable(ns, "t", "files")
+        .filter($"content" === 2).count() == 0L)
+      assert(cat.load(ns, "t").count() == 5L)
+      cat.dropNamespace(ns)
+    }
+
     if (impl.name != "session") test(s"[${impl.name}] racing merges on disjoint keys both land (CAS rebase)") {
       val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
       val ns = freshNs()

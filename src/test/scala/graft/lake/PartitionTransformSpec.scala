@@ -121,6 +121,64 @@ class PartitionTransformSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("renaming a TRANSFORM partition source (days(ts) -> days(event_ts))" +
+    " is metadata-only: old dirs keep reading, new writes keep the " +
+    "ts_day layout, pruning intact on the new name (VERDICT r12 #5)") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    cat.ensureTable(ns, "ev", tsData.schema, Seq("days(ts)"))
+    cat.append(ns, "ev", tsData.filter($"id" <= 3))
+    cat.renameColumn(ns, "ev", "ts", "event_ts")
+    assert(cat.load(ns, "ev").columns.toSeq == Seq("event_ts", "id"))
+    // post-rename writes land under the SAME ts_day=... layout (the spec
+    // field keeps its own name; only the source's display name changed)
+    cat.append(ns, "ev", tsData.filter($"id" > 3)
+      .withColumnRenamed("ts", "event_ts"))
+    val dataRoot = cat.root.resolve(ns).resolve("ev").resolve("data")
+    val dayDirs = scala.util.Using.resource(Files.walk(dataRoot))(
+      _.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).filter(_.startsWith("ts_day=")).toSet)
+    assert(dayDirs == Set("ts_day=2024-01-01", "ts_day=2024-01-02",
+      "ts_day=2024-01-03"), dayDirs.mkString(","))
+    // both generations read under the new name
+    assert(cat.load(ns, "ev").collect().map(_.getLong(1)).sorted.toSeq ==
+      (1L to 6L))
+    // pruning by the NEW name still hits only the matching day's files
+    val slice = cat.loadSlice(ns, "ev", "event_ts",
+      "2024-01-02 00:00:00", "2024-01-02 23:59:59")
+    assert(slice.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 4L))
+    assert(slice.inputFiles.nonEmpty &&
+      slice.inputFiles.forall(_.contains("ts_day=2024-01-02")),
+      slice.inputFiles.mkString(","))
+    // an IDENTITY source in the default spec stays refused: its name IS
+    // the future-write directory layout
+    val idDf = Seq((1L, "x")).toDF("id", "cat")
+    cat.ensureTable(ns, "p", idDf.schema, Seq("cat"))
+    cat.append(ns, "p", idDf)
+    val e = intercept[IllegalArgumentException](
+      cat.renameColumn(ns, "p", "cat", "category"))
+    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+    // ... but evolving the spec away frees the rename (the escape hatch
+    // the refusal message names), and the retired identity dirs still read
+    cat.updatePartitionSpec(ns, "p", Nil)
+    cat.renameColumn(ns, "p", "cat", "category")
+    cat.append(ns, "p", Seq((2L, "y")).toDF("id", "category"))
+    assert(cat.load(ns, "p").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+    // bucket(N) sources rename freely too — pruning keyed by source-id
+    val bk = (1L to 60L).map(i => (i, i * 2)).toDF("k", "v")
+    cat.ensureTable(ns, "b", bk.schema, Seq("bucket(4, k)"))
+    cat.append(ns, "b", bk)
+    cat.renameColumn(ns, "b", "k", "key")
+    val bHit = cat.loadSlice(ns, "b", "key", "17", "17")
+    assert(bHit.collect().map(_.getLong(1)).toSeq == Seq(34L))
+    assert(bHit.inputFiles.forall(_.contains(
+      s"k_bucket=${graft.functions.IcebergBucket.bucketLong(17L, 4)}")),
+      bHit.inputFiles.mkString(","))
+    cat.dropNamespace(ns)
+  }
+
   test("bucket(N, col) partition transform: spec metadata, hash-derived " +
     "dir layout, typed manifest tuples, point-lookup pruning, derived " +
     "column dropped (VERDICT r12 #1)") {

@@ -25,7 +25,8 @@ object RestCatalogStub {
 
   final class Server private[RestCatalogStub] (private val hs: HttpServer,
                                                requiredToken: Option[String],
-                                               oauthClients: Map[String, String]) {
+                                               oauthClients: Map[String, String],
+                                               tokenTtlMs: Long) {
     private val lock = new Object
     private val namespaces = scala.collection.mutable.Set[String]()
     // (ns, table) -> (version, metadata JSON)
@@ -37,8 +38,12 @@ object RestCatalogStub {
     private var failAfterCommitN = 0
     private var raceAfterCommit = false
     private var requests = 0
-    private val issuedTokens = scala.collection.mutable.Set[String]()
+    // token -> server-side expiry (epoch ms): the stub REJECTS an expired
+    // token like a real auth gate, so the proactive-refresh spec can
+    // prove "zero 401s served" rather than just "client refreshed"
+    private val issuedTokens = scala.collection.mutable.Map[String, Long]()
     private var tokensIssued = 0
+    private var unauthorized = 0
     private var echoPageToken = false
 
     def port: Int = hs.getAddress.getPort
@@ -74,6 +79,11 @@ object RestCatalogStub {
 
     /** Token exchanges served so far (the refresh specs count them). */
     def tokenCount: Int = lock.synchronized(tokensIssued)
+
+    /** 401s served by the AUTH GATE so far (not the token endpoint's own
+      * invalid-credential rejections) — the proactive-refresh spec pins
+      * this to zero across a run spanning several token lifetimes. */
+    def unauthorizedCount: Int = lock.synchronized(unauthorized)
 
     /** Make list routes echo the SAME next-page-token forever — the
       * non-progressing-server bug the client's pagination guard must
@@ -146,22 +156,25 @@ object RestCatalogStub {
         val tok = lock.synchronized {
           tokensIssued += 1
           val t = s"oat-$tokensIssued"
-          issuedTokens += t
+          issuedTokens(t) = System.currentTimeMillis() + tokenTtlMs
           t
         }
-        reply(ex, 200,
-          s"""{"access_token":"$tok","token_type":"bearer","expires_in":60}""")
+        reply(ex, 200, s"""{"access_token":"$tok","token_type":"bearer",""" +
+          s""""expires_in":${math.max(1L, tokenTtlMs / 1000)}}""")
         return
       }
       // auth gate first: a real catalog rejects before routing. Accepted:
-      // the static required token, or any still-valid issued OAuth token.
+      // the static required token, or any UNEXPIRED issued OAuth token.
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
       val authOk = lock.synchronized {
-        val accepted = requiredToken.toSet ++ issuedTokens
+        val now = System.currentTimeMillis()
+        val accepted = requiredToken.toSet ++
+          issuedTokens.collect { case (t, exp) if exp > now => t }
         accepted.isEmpty && oauthClients.isEmpty ||
           accepted.exists(t => auth.contains(s"Bearer $t"))
       }
       if (!authOk) {
+        lock.synchronized { unauthorized += 1 }
         reply(ex, 401, """{"error":"missing or invalid bearer token"}""")
         return
       }
@@ -246,9 +259,10 @@ object RestCatalogStub {
   }
 
   def start(requiredToken: Option[String] = None,
-            oauthClients: Map[String, String] = Map.empty): Server = {
+            oauthClients: Map[String, String] = Map.empty,
+            tokenTtlMs: Long = 60000L): Server = {
     val hs = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val server = new Server(hs, requiredToken, oauthClients)
+    val server = new Server(hs, requiredToken, oauthClients, tokenTtlMs)
     hs.createContext("/", (ex: HttpExchange) => server.handle(ex))
     // a small pool so racing clients actually overlap on the server
     hs.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
