@@ -1825,12 +1825,20 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * would not mask, silently resurrecting them — so a changed live set
     * conflicts loudly; racing appends rebase cleanly (their new dirs
     * genuinely postdate the purge). */
+  /** `branch`: scope the purge to a named branch's head — the key-list
+    * face of the WAP audit step, same contract as [[deleteWhereMOR]]'s
+    * branch parameter (main untouched until publish; sequence scoping is
+    * branch-relative by construction, since every branch dir predates
+    * the purge commit's sequence). */
   def purgeKeysMOR(ns: String, table: String, keyCol: String,
-                   keys: DataFrame): Long = {
+                   keys: DataFrame, branch: String = "main"): Long = {
     val meta = readMeta(ns, table)
-    val baseLive = liveSnapshots(meta)
+    val sn = branchHead(meta, ns, table, branch) match {
+      case None     => return 0L
+      case Some(s0) => s0
+    }
+    val baseLive = liveDirsOf(sn)
     if (baseLive.isEmpty) return 0L
-    val sn = currentSnapNode(meta).get
     val scan = scanWithDeletes(ns, table, meta, sn, baseLive)
     val ks = keys.select(col(s"`$keyCol`")).distinct()
     // ONE corpus scan serves both the deleted-row count and the
@@ -1855,7 +1863,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // rename-proof, so this group keeps masking if keyCol is renamed
     commitDeleteFile(ns, table, dirName, "equality", Seq(keyCol),
       baseLive, n,
-      colIds = Seq(metaSchema(meta).fieldNames.indexOf(keyCol) + 1))
+      colIds = Seq(metaSchema(meta).fieldNames.indexOf(keyCol) + 1),
+      tipRef = if (branch == "main") None else Some(branch))
   }
 
   /** Partition-pruned range scan — Iceberg SCAN PLANNING over the Avro

@@ -244,6 +244,21 @@ class IcebergMetadataSpec extends AnyFunSuite {
         cat.deleteWhereMOR(ns, "t", $"id" === 1L, branch = "pin"))
       intercept[IllegalArgumentException](
         cat.deleteWhereMOR(ns, "t", $"id" === 1L, branch = "nope"))
+      // the key-list audit face scopes to a branch identically: purge on
+      // a fresh branch, main untouched, branch masked, and a key
+      // re-staged AFTER the purge survives it (sequence scoping)
+      cat.stageAppend(ns, "t", "wap3",
+        Seq((300L, "p"), (301L, "p")).toDF("id", "v"))
+      assert(cat.purgeKeysMOR(ns, "t", "id",
+        Seq(300L, 2L).toDF("id"), branch = "wap3") == 2L)
+      assert(cat.load(ns, "t").filter($"id".isin(2L, 300L)).count() == 1L,
+        "main must not see the branch purge (id 2 still published)")
+      val w3 = cat.loadRef(ns, "t", "wap3").collect()
+        .map(_.getLong(0)).toSet
+      assert(!w3.contains(300L) && !w3.contains(2L) && w3.contains(301L))
+      cat.stageAppend(ns, "t", "wap3", Seq((300L, "re")).toDF("id", "v"))
+      assert(cat.loadRef(ns, "t", "wap3").filter($"id" === 300L).count()
+        == 1L, "a key re-staged after the branch purge must survive it")
       // CAS race: a concurrent stageAppend and a branch delete both land
       // (the stager only ADDS a dir; position deletes bind to files)
       cat.stageAppend(ns, "t", "wap2",
