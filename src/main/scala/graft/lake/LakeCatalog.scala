@@ -440,11 +440,20 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
     }
 
   override def overwrite(ns: String, table: String, df: DataFrame,
-                         options: Map[String, String]): Unit =
+                         options: Map[String, String]): Unit = {
+    // saveAsTable-overwrite REPLACES the table definition: on a bucketed
+    // table that silently drops the bucket spec (and with it the
+    // shuffle-free join property) — fail loudly like compact does.
+    // (Appends are already safe: Spark itself rejects a bucketing
+    // mismatch on insert.)
+    require(!(tableExists(ns, table) && isBucketed(ns, table)),
+      s"$ns.$table is bucketed — overwrite would silently drop its " +
+        "bucket spec; rewrite via writeBucketed instead")
     tableLock(ns, table).synchronized {
       writer(df, ns, table, options, "overwrite").saveAsTable(id(ns, table))
       refreshHere(ns, table)
     }
+  }
 
   /** Replace-by-key under the table lock (the session catalog's one-JVM
     * isolation): materialize the incoming rows FIRST (the overwrite
@@ -454,6 +463,11 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
   override def merge(ns: String, table: String, keys: Seq[String],
                      df: DataFrame): Unit = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    // fail BEFORE the checkpoint work: merge rewrites via overwrite,
+    // which refuses bucketed tables (silent bucket-spec drop)
+    require(!(tableExists(ns, table) && isBucketed(ns, table)),
+      s"$ns.$table is bucketed — merge's rewrite would silently drop " +
+        "its bucket spec; rewrite via writeBucketed instead")
     tableLock(ns, table).synchronized {
       ensureTable(ns, table, df.schema)
       val incoming = df.localCheckpoint(true)

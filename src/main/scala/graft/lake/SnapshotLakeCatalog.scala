@@ -1022,6 +1022,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                           replace: Boolean): Unit = {
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
     val meta0 = readMeta(ns, table)
+    // same full-replacement guard as overwrite (sorted appends stay
+    // legal, like plain appends)
+    require(!replace || meta0.get("bucket-spec").isNull,
+      s"$ns.$table is bucketed — overwriteSorted would orphan its " +
+        "bucket spec; rewrite via writeBucketed instead")
     val snap = writeSnapshot(ns, table,
       shapeSorted(conformToTable(meta0, df), sortCols, targetFiles),
       partitionLayout(meta0), Map.empty)
@@ -1077,6 +1082,14 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                          options: Map[String, String]): Unit = {
     if (!tableExists(ns, table)) ensureTable(ns, table, df.schema)
     val meta0 = readMeta(ns, table)
+    // a full replacement of a bucketed table would leave the bucket spec
+    // claiming a clustering the new data does not have — like compact,
+    // fail loudly; writeBucketed IS the bucketed rewrite. (Appends stay
+    // legal: the spec describes the writeBucketed-written dirs, and the
+    // documented caveat covers unclustered later dirs.)
+    require(meta0.get("bucket-spec").isNull,
+      s"$ns.$table is bucketed — overwrite would orphan its bucket " +
+        "spec; rewrite via writeBucketed instead")
     val snap = writeSnapshot(ns, table, conformToTable(meta0, df),
       partitionLayout(meta0), options)
     commit(ns, table) { base =>
@@ -1621,6 +1634,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       s"merge key '$k' missing from the incoming frame"))
     ensureTable(ns, table, df.schema) // create or additive/promote-evolve
     val meta = readMeta(ns, table)
+    // merge REWRITES every key-matching dir — on a bucketed table that
+    // silently de-clusters them under a spec still claiming clustering
+    require(meta.get("bucket-spec").isNull,
+      s"$ns.$table is bucketed — merge's rewrite would de-cluster it " +
+        "under a live bucket spec; rewrite via writeBucketed instead")
     val newDir = writeSnapshot(ns, table, conformToTable(meta, df),
       partitionLayout(meta), Map.empty)
     // an empty incoming batch (e.g. an upsert feed that filtered to zero
@@ -1886,17 +1904,50 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * literals — one local 1-row job): date formats compare
     * lexicographically, numeric identity/truncate compare numerically. */
   def loadSlice(ns: String, table: String, column: String,
-                from: String, to: String): DataFrame = {
+                from: String, to: String): DataFrame =
+    loadSlice(ns, table, Seq((column, from, to)))
+
+  /** COMPOUND scan planning: the conjunction of several [[loadSlice]]
+    * bounds in ONE plan — `Seq(("ts", d0, d1), ("user_id", k, k))` prunes
+    * by the day partition AND the user's manifest bounds/bucket before a
+    * byte is read, which is how a real 100 TB query filters (time range
+    * AND key, not one or the other). Each column contributes its own
+    * partition-tier + stats-tier file filter; a file survives only if
+    * EVERY bound admits it; the exact row predicate (AND of all bounds)
+    * re-applies on the survivors, so unprunable columns degrade to
+    * row-filtering, never to wrong results. */
+  def loadSlice(ns: String, table: String,
+                bounds: Seq[(String, String, String)]): DataFrame = {
+    require(bounds.nonEmpty, "loadSlice needs at least one column bound")
     val meta = readMeta(ns, table)
     val schema = metaSchema(meta)
-    val srcType = schema(column).dataType
-    val rowBound = col(s"`$column`") >= lit(from).cast(srcType) &&
-      col(s"`$column`") <= lit(to).cast(srcType)
+    val perCol = bounds.map { case (column, from, to) =>
+      columnSliceFilters(meta, schema, column, from, to)
+    }
+    val rowBound = perCol.map(_._1).reduce(_ && _)
     val sn = currentSnapNode(meta) match {
       case None => return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(s0) => s0
     }
+    val filters = perCol.flatMap(_._2)
+    val combined: Option[AvroManifests.DataFileEntry => Boolean] =
+      if (filters.isEmpty) None
+      else Some(e => filters.forall(_(e)))
+    scanWithDeletes(ns, table, meta, sn, liveDirsOf(sn),
+      fileFilter = combined).filter(rowBound)
+  }
+
+  /** One column's slice machinery: the exact row predicate plus (when
+    * derivable) the manifest-level file filter combining the partition
+    * tier and the stats tier — shared by the single- and compound-bound
+    * [[loadSlice]] faces. */
+  private def columnSliceFilters(meta: ObjectNode, schema: StructType,
+                                 column: String, from: String, to: String)
+      : (Column, Option[AvroManifests.DataFileEntry => Boolean]) = {
+    val srcType = schema(column).dataType
+    val rowBound = col(s"`$column`") >= lit(from).cast(srcType) &&
+      col(s"`$column`") <= lit(to).cast(srcType)
     val specId = meta.get("default-spec-id").asInt()
     // bucket[N] fields prune POINT LOOKUPS only (from == to): the hash
     // destroys ordering, so a genuine range can never prune by bucket —
@@ -2033,8 +2084,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         Some((e: AvroManifests.DataFileEntry) => a(e) && b(e))
       case (a, b) => a.orElse(b)
     }
-    scanWithDeletes(ns, table, meta, sn, liveDirsOf(sn),
-      fileFilter = combined).filter(rowBound)
+    (rowBound, combined)
   }
 
   /** Delete-file DEBT report — one row per delete-file group of the
@@ -2447,7 +2497,24 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * expiry leaves only unreferenced directories (orphans,
     * re-collectable), never a live snapshot with missing files. Time
     * travel to an expired id fails loudly ([[loadAt]]). */
-  def expireSnapshots(ns: String, table: String, keepLast: Int = 1): Unit = {
+  def expireSnapshots(ns: String, table: String, keepLast: Int = 1): Unit =
+    expireCore(ns, table, keepLast, None)
+
+  /** Iceberg `expire_snapshots(older_than => ts)` parity: AGE-based
+    * retention — every snapshot whose commit timestamp is at or after
+    * `olderThanMs` is retained regardless of count, ON TOP of the
+    * `keepLast` / ref / staged-chain protections (the operator contract:
+    * "keep a week of history" composes with "never break a tag or a
+    * mid-audit branch"). Legacy snapshots with no recorded timestamp
+    * (migrated pre-v2 documents read 0) count as old — exactly the
+    * history an age policy exists to trim. */
+  def expireSnapshotsOlderThan(ns: String, table: String,
+                               olderThanMs: Long,
+                               keepLast: Int = 1): Unit =
+    expireCore(ns, table, keepLast, Some(olderThanMs))
+
+  private def expireCore(ns: String, table: String, keepLast: Int,
+                         olderThan: Option[Long]): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     var orphaned: Set[String] = Set.empty
     var maxDroppedId = -1L
@@ -2459,7 +2526,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       val refIds = refsNode(meta).properties().asScala
         .map(_.getValue.get("snapshot-id").asLong()).toSet
       var keptIdSet = snaps.takeRight(keepLast)
-        .map(_.get("snapshot-id").asLong()).toSet ++ refIds
+        .map(_.get("snapshot-id").asLong()).toSet ++ refIds ++
+        olderThan.toSeq.flatMap(cut => snaps
+          .filter(s => Option(s.get("timestamp-ms"))
+            .exists(_.asLong() >= cut))
+          .map(_.get("snapshot-id").asLong()))
       // a STAGED branch's intermediate snapshots (its chain down to where
       // it forked off main) stay too — dropping one mid-audit would break
       // fastForward's ancestor validation and staged-lineage time travel.

@@ -259,6 +259,26 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    test(s"[${impl.name}] full replacements refuse bucketed tables " +
+      "(overwrite / overwriteSorted / merge would silently drop or " +
+      "orphan the bucket spec)") {
+      val cat = impl.make(); val ns = freshNs()
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      cat.writeBucketed(ns, "t", df, Seq("id"), numBuckets = 2)
+      val e1 = intercept[IllegalArgumentException](
+        cat.overwrite(ns, "t", df))
+      assert(e1.getMessage.contains("writeBucketed"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        cat.merge(ns, "t", Seq("id"), Seq((1L, "x")).toDF("id", "v")))
+      assert(e2.getMessage.contains("writeBucketed"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException](
+        cat.overwriteSorted(ns, "t", df, Seq("id")))
+      assert(e3.getMessage.contains("writeBucketed"), e3.getMessage)
+      // the table is untouched by the refusals
+      assert(cat.load(ns, "t").count() == 2L)
+      cat.dropNamespace(ns)
+    }
+
     test(s"[${impl.name}] compact refuses bucketed tables and bad targets") {
       val cat = impl.make(); val ns = freshNs()
       cat.writeBucketed(ns, "t", (1L to 100L).toDF("id"), Seq("id"), 4)
@@ -298,6 +318,31 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
         e.getMessage.contains("unknown"))
       intercept[IllegalArgumentException](
         cat.expireSnapshots(ns, "t", keepLast = 0))
+      cat.dropNamespace(ns)
+    }
+
+    if (impl.name != "session") test(s"[${impl.name}] expireSnapshotsOlderThan: age-based retention keeps " +
+      "young snapshots and composes with ref protection") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t", Seq((1L, "a")).toDF("id", "v").schema)
+      cat.append(ns, "t", Seq((1L, "a")).toDF("id", "v"))   // snap 1
+      cat.append(ns, "t", Seq((2L, "b")).toDF("id", "v"))   // snap 2
+      cat.tag(ns, "t", "pin", 1L)
+      val cut = System.currentTimeMillis()
+      Thread.sleep(5)
+      cat.append(ns, "t", Seq((3L, "c")).toDF("id", "v"))   // snap 3 (young)
+      // cutoff between 2 and 3: snap 2 is old and unprotected -> expired;
+      // snap 1 is old but TAGGED -> kept; snap 3 is young -> kept
+      cat.expireSnapshotsOlderThan(ns, "t", olderThanMs = cut)
+      assert(cat.snapshotIds(ns, "t") == Seq(1L, 3L),
+        cat.snapshotIds(ns, "t").mkString(","))
+      assert(cat.load(ns, "t").count() == 3L) // current state untouched
+      assert(cat.loadRef(ns, "t", "pin").count() == 1L)
+      // a cutoff in the future = everything old: degrades to keepLast+refs
+      cat.expireSnapshotsOlderThan(ns, "t",
+        olderThanMs = System.currentTimeMillis() + 3600000L)
+      assert(cat.snapshotIds(ns, "t") == Seq(1L, 3L)) // keepLast=1 + tag
       cat.dropNamespace(ns)
     }
 

@@ -121,6 +121,52 @@ class PartitionTransformSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("compound loadSlice: per-column filters AND — the day partition " +
+    "tier and the id stats tier prune together, strictly tighter than " +
+    "either alone; unprunable columns degrade to row filtering") {
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = freshNs()
+    // 3 days x 3 disjoint id-range appends per day -> the day tier keeps
+    // a third of files, the id tier another third: compound keeps ~1/9
+    val rows = (for {
+      d <- 1 to 3
+      b <- 0 to 2
+      i <- 1 to 20
+    } yield (s"2024-01-0$d 0$b:00:00", (b * 100 + i).toLong, d.toLong))
+      .toDF("ts_s", "id", "day")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("id"),
+        col("day"))
+    cat.ensureTable(ns, "ev", rows.schema, Seq("days(ts)"))
+    // per-day sorted appends give the id column disjoint per-file bounds
+    (1 to 3).foreach(d => (0 to 2).foreach(b =>
+      cat.append(ns, "ev", rows.filter(col("day") === d.toLong &&
+        col("id") >= b * 100 && col("id") < (b + 1) * 100))))
+    val all = cat.load(ns, "ev").inputFiles.length
+    val dayOnly = cat.loadSlice(ns, "ev", "ts",
+      "2024-01-02 00:00:00", "2024-01-02 23:59:59").inputFiles.length
+    val idOnly = cat.loadSlice(ns, "ev", "id", "105", "115")
+      .inputFiles.length
+    val both = cat.loadSlice(ns, "ev", Seq(
+      ("ts", "2024-01-02 00:00:00", "2024-01-02 23:59:59"),
+      ("id", "105", "115")))
+    assert(both.inputFiles.length < dayOnly &&
+      both.inputFiles.length < idOnly &&
+      dayOnly < all && idOnly < all,
+      s"all=$all day=$dayOnly id=$idOnly both=${both.inputFiles.length}")
+    // exactness: the compound result is the intersection
+    assert(both.collect().map(_.getLong(1)).sorted.toSeq ==
+      (105L to 115L))
+    // a non-derivable third bound degrades to row filtering, same files
+    val three = cat.loadSlice(ns, "ev", Seq(
+      ("ts", "2024-01-02 00:00:00", "2024-01-02 23:59:59"),
+      ("id", "105", "115"), ("day", "2", "2")))
+    assert(three.collect().map(_.getLong(1)).sorted.toSeq ==
+      (105L to 115L))
+    intercept[IllegalArgumentException](
+      cat.loadSlice(ns, "ev", Seq.empty))
+    cat.dropNamespace(ns)
+  }
+
   test("renaming a TRANSFORM partition source (days(ts) -> days(event_ts))" +
     " is metadata-only: old dirs keep reading, new writes keep the " +
     "ts_day layout, pruning intact on the new name (VERDICT r12 #5)") {
