@@ -1133,6 +1133,86 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   def loadAt(ns: String, table: String, snapshotId: Long): DataFrame =
     loadSnapshot(ns, table, Some(snapshotId))
 
+  /** Time travel by WALL-CLOCK TIME (Iceberg `TIMESTAMP AS OF`): read the
+    * table as of the snapshot that was CURRENT at `tsMs` — the latest
+    * snapshot-log entry made current at or before it. This is the face
+    * operators actually use ("the table as of last midnight"); ids and
+    * refs are the machine handles. Fails loudly when `tsMs` predates the
+    * table's first commit or the matching snapshot has been expired. */
+  def loadAsOf(ns: String, table: String, tsMs: Long): DataFrame = {
+    val meta = readMeta(ns, table)
+    val entries = meta.get("snapshot-log").elements().asScala.toSeq
+    val id = entries
+      .filter(_.get("timestamp-ms").asLong() <= tsMs)
+      .sortBy(_.get("timestamp-ms").asLong())
+      .lastOption
+      .map(_.get("snapshot-id").asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ns.$table has no snapshot at or before $tsMs " +
+          s"(first commit: ${entries.headOption
+            .map(_.get("timestamp-ms").asLong()).getOrElse("none")})"))
+    loadAt(ns, table, id)
+  }
+
+  /** Iceberg INCREMENTAL APPEND SCAN: read ONLY the rows appended by the
+    * snapshots in (`fromId`, `toId`] — planned from the manifests (each
+    * snapshot's live set minus its parent's), ZERO diff computation. This
+    * is the CDC/downstream-sync primitive at 100 TB: shipping a day of
+    * appends costs the day's files, where [[snapshotDiff]]'s exceptAll
+    * costs two full-table scans (that face remains for ranges with
+    * rewrites). Exactness: the range must be APPEND-ONLY — a snapshot
+    * with any other operation (overwrite, delete, replace, rollback)
+    * removes or rewrites rows, which a files-only scan cannot represent,
+    * so the call fails loudly and names snapshotDiff. Delete files
+    * carried from BEFORE `fromId` never mask the appended rows (their
+    * sequence numbers are lower — the spec's scoping rule), so the scan
+    * applies no delete at all. `toId` defaults to the current snapshot. */
+  def loadAppendsSince(ns: String, table: String, fromId: Long,
+                       toId: Option[Long] = None): DataFrame = {
+    val meta = readMeta(ns, table)
+    val byId = meta.get("snapshots").elements().asScala
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val to = toId.getOrElse(meta.get("current-snapshot-id").asLong())
+    require(byId.contains(fromId),
+      s"unknown or expired snapshot $fromId on $ns.$table")
+    val toSnap = byId.getOrElse(to, throw new IllegalArgumentException(
+      s"unknown or expired snapshot $to on $ns.$table"))
+    // walk to -> from along parent links, collecting the range
+    var chain = List.empty[JsonNode]
+    var walk = Option(to)
+    while (walk.isDefined && walk.get != fromId) {
+      val sn = byId.getOrElse(walk.get,
+        throw new IllegalArgumentException(
+          s"snapshot ${walk.get} on the $to->$fromId chain of " +
+            s"$ns.$table is expired — the range is not reconstructible"))
+      chain ::= sn
+      walk = Option(sn.get("parent-snapshot-id")).map(_.asLong())
+    }
+    require(walk.contains(fromId),
+      s"snapshot $fromId is not an ancestor of $to on $ns.$table " +
+        "(a rollback abandoned it, or the ids are reversed)")
+    chain.foreach { sn =>
+      val op = sn.get("operation").asText()
+      require(op == "append",
+        s"loadAppendsSince($fromId, $to) on $ns.$table: snapshot " +
+          s"${sn.get("snapshot-id").asLong()} is a '$op' — the range is " +
+          "not append-only, so a files-only incremental scan would be " +
+          "wrong; use snapshotDiff for ranges with rewrites")
+    }
+    val newDirs = chain.flatMap { sn =>
+      val parentLive = Option(sn.get("parent-snapshot-id"))
+        .map(_.asLong()).flatMap(byId.get)
+        .map(liveDirsOf).getOrElse(Seq.empty).toSet
+      liveDirsOf(sn).filterNot(parentLive.contains)
+    }
+    if (newDirs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        metaSchema(meta))
+    scanWithDeletes(ns, table, meta, toSnap, newDirs,
+      delFilter = _ => false)
+  }
+
   /** Snapshot ids still present in the metadata log, oldest first. */
   /** Roll the table back to the state of `snapshotId` — as a NEW commit
     * (Iceberg rollback semantics: history is never rewritten; a fresh

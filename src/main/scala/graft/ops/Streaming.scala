@@ -1169,6 +1169,44 @@ object Streaming {
       .orderBy("face", "lang")
   }
 
+  /** Incremental append sync (q224): the CDC/downstream-sync face —
+    * after a baseline load, two more corpus batches land; the downstream
+    * reads ONLY what changed via [[graft.lake.SnapshotLakeCatalog
+    * .loadAppendsSince]], an incremental append scan planned from the
+    * MANIFESTS (each snapshot's live set minus its parent's — zero diff
+    * computation, strictly fewer files than a full scan; the `pruned`
+    * sentinel flips to 0 otherwise). Output: the baseline census (time
+    * travel to the sync mark) beside the increment census; the oracle
+    * restates both as set algebra over `documents`.
+    *
+    * Scale shape: shipping a day of appends costs the day's FILES — the
+    * exceptAll-based [[graft.lake.SnapshotLakeCatalog.snapshotDiff]]
+    * (two full scans) remains only for ranges containing rewrites,
+    * which this face refuses loudly. */
+  def q224IncrementalSync(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.lake.DirectoryLakeCatalog.temp(s)
+    val ns = "incq"
+    val docs = documents(s, d).select("doc_id", "lang")
+    cat.ensureTable(ns, "t", docs.schema)
+    cat.append(ns, "t", docs.filter(col("doc_id") % 3 === 0))
+    val mark = cat.snapshotIds(ns, "t").max // the downstream's sync point
+    cat.append(ns, "t", docs.filter(col("doc_id") % 3 === 1))
+    cat.append(ns, "t", docs.filter(col("doc_id") % 3 === 2))
+    val inc = cat.loadAppendsSince(ns, "t", mark)
+    val prunedOk = inc.inputFiles.nonEmpty &&
+      inc.inputFiles.length < cat.load(ns, "t").inputFiles.length
+    def census(face: String, df: DataFrame) = df.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"))
+      .collect() // |langs|-bounded — control plane
+      .map(r => (face, r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = census("baseline", cat.loadAt(ns, "t", mark)) ++
+      census("increment", inc) :+
+      (("pruned", "", if (prunedOk) 1L else 0L, 0L))
+    cat.dropNamespace(ns)
+    import s.implicits._
+    rows.toDF("face", "lang", "n_docs", "sum_id").orderBy("face", "lang")
+  }
+
   /** Compound scan planning (q223): ingest events under `days(ts)` in
     * event_id-range batches (so BOTH pruning tiers have something to
     * bite: the day partition tuples AND per-file event_id manifest
@@ -1408,6 +1446,17 @@ object Streaming {
     }
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q224_incremental_sync" -> ((q224IncrementalSync _, """
+      SELECT * FROM (
+        SELECT 'baseline' AS face, lang, count(*)::BIGINT AS n_docs,
+               sum(doc_id)::BIGINT AS sum_id
+        FROM documents WHERE doc_id % 3 = 0 GROUP BY 2
+        UNION ALL
+        SELECT 'increment', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+        FROM documents WHERE doc_id % 3 <> 0 GROUP BY 2
+        UNION ALL
+        SELECT 'pruned', '', 1::BIGINT, 0::BIGINT)
+      ORDER BY face, lang""")),
     "q223_compound_slice" -> ((q223CompoundSlice _, """
       WITH md AS (SELECT min(ts::DATE) AS d0 FROM events),
            b AS (SELECT min(user_id) AS lo, max(user_id) AS hi

@@ -323,6 +323,59 @@ class IcebergMetadataSpec extends AnyFunSuite {
     } finally cat.dropNamespace(ns)
   }
 
+  test("loadAsOf: wall-clock time travel picks the snapshot current at " +
+    "the timestamp; loadAppendsSince plans an incremental append scan " +
+    "from manifests and refuses non-append ranges") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"iceinc_${System.nanoTime()}"
+    try {
+      cat.ensureTable(ns, "t", Seq((1L, "a")).toDF("id", "v").schema)
+      cat.append(ns, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // s1
+      Thread.sleep(5)
+      val between = System.currentTimeMillis()
+      Thread.sleep(5)
+      cat.append(ns, "t", Seq((3L, "c")).toDF("id", "v"))            // s2
+      cat.append(ns, "t", Seq((4L, "d")).toDF("id", "v"))            // s3
+      // AS OF a time between s1 and s2 reads exactly s1's state
+      assert(cat.loadAsOf(ns, "t", between).collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      assert(cat.loadAsOf(ns, "t", System.currentTimeMillis())
+        .count() == 4L)
+      intercept[IllegalArgumentException](cat.loadAsOf(ns, "t", 1000L))
+      // incremental: (s1, current] = the two appended batches, planned
+      // from manifests — inputFiles stay inside the two new dirs
+      val inc = cat.loadAppendsSince(ns, "t", 1L)
+      assert(inc.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+      // planned from the NEW dirs only: strictly fewer files than a full
+      // scan, and no planned file holds a pre-range row
+      assert(inc.inputFiles.nonEmpty &&
+        inc.inputFiles.length < cat.load(ns, "t").inputFiles.length)
+      inc.inputFiles.foreach(f => assert(
+        spark.read.parquet(f).filter($"id" <= 2L).isEmpty, f))
+      // explicit toId bounds the range; an empty range reads nothing
+      assert(cat.loadAppendsSince(ns, "t", 1L, Some(2L)).collect()
+        .map(_.getLong(0)).toSeq == Seq(3L))
+      assert(cat.loadAppendsSince(ns, "t", 3L).count() == 0L)
+      // ids reversed / unknown fail loudly
+      intercept[IllegalArgumentException](
+        cat.loadAppendsSince(ns, "t", 3L, Some(1L)))
+      intercept[IllegalArgumentException](
+        cat.loadAppendsSince(ns, "t", 99L))
+      // a delete in the range makes a files-only scan WRONG: refused,
+      // pointing at snapshotDiff
+      assert(cat.deleteWhereMOR(ns, "t", $"id" === 2L) == 1L)     // s4
+      cat.append(ns, "t", Seq((5L, "e")).toDF("id", "v"))         // s5
+      val e = intercept[IllegalArgumentException](
+        cat.loadAppendsSince(ns, "t", 1L))
+      assert(e.getMessage.contains("snapshotDiff"), e.getMessage)
+      // ... but the still-append-only subrange after the delete works,
+      // and carried delete files never mask the new rows
+      assert(cat.loadAppendsSince(ns, "t", 4L).collect()
+        .map(_.getLong(0)).toSeq == Seq(5L))
+    } finally cat.dropNamespace(ns)
+  }
+
   test("metaTable: the standard snapshots/history/files/manifests/refs " +
     "read faces agree with the lifecycle that produced them") {
     import spark.implicits._
