@@ -1229,15 +1229,23 @@ object Streaming {
     // (event_id is sequential-in-time in this corpus, so a day x id-range
     // conjunction would be degenerate — correctly pruning to ZERO files)
     val b = ev.agg(org.apache.spark.sql.functions.min("user_id"),
-      org.apache.spark.sql.functions.max("user_id")).head()
+      org.apache.spark.sql.functions.max("user_id"),
+      org.apache.spark.sql.functions.min(to_date(col("ts")))).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val q = (hi - lo) / 4 + 1
-    cat.ensureTable(ns, "ev", ev.schema, Seq("days(ts)"))
-    (0L to 3L).foreach(k => cat.append(ns, "ev",
-      ev.filter(col("user_id") >= lo + k * q &&
+    val d0 = b.getDate(2).toString
+    val q = (hi - lo) / 2 + 1
+    // the census reads only day d0; later days and the second user batch
+    // are pruning FODDER — 7 days x 2 batches prove both tiers without
+    // paying a dir-per-day write for the corpus's whole span or a
+    // commit per quartile (each append is ~1.5 s of fixed commit cost;
+    // the tiers' strictness is what the sentinel checks, not the
+    // fan-out)
+    val evB = ev.filter(to_date(col("ts")) <
+      org.apache.spark.sql.functions.date_add(lit(d0).cast("date"), 7))
+    cat.ensureTable(ns, "ev", evB.schema, Seq("days(ts)"))
+    (0L to 1L).foreach(k => cat.append(ns, "ev",
+      evB.filter(col("user_id") >= lo + k * q &&
         col("user_id") < lo + (k + 1) * q)))
-    val d0 = ev.agg(org.apache.spark.sql.functions
-      .min(to_date(col("ts")))).head().getDate(0).toString
     val (rlo, rhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
     val tsB = ("ts", s"$d0 00:00:00", s"$d0 23:59:59")
     val idB = ("user_id", rlo.toString, rhi.toString)
