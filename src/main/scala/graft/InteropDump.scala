@@ -76,8 +76,15 @@ object InteropDump {
     val nEq = cat.purgeKeysMOR(ns, "mor", "doc_id",
       docs.filter(col("doc_id") % 5 === 3).select("doc_id"))
     require(nEq > 0, "mor scenario: the equality purge must match rows")
+    // rename the IDENTITY PARTITION SOURCE mid-history (round 13): one
+    // commit = rename + a spec generation under the new name — old
+    // `lang=` dirs keep their layout (the reader recovers the path
+    // column under the OLD name and folds it through the schema
+    // history), the post-rename append lays `language=` dirs
+    cat.renameColumn(ns, "mor", "lang", "language")
     cat.append(ns, "mor",
-      docs.filter(col("doc_id") % 10 === 3).withColumn("source", lit("re")))
+      docs.filter(col("doc_id") % 10 === 3).withColumn("source", lit("re"))
+        .withColumnRenamed("lang", "language"))
     dump("mor")
 
     // (c) sorted appends + sorted compaction: compact folds nothing here

@@ -770,38 +770,43 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           .map(f => (f.get("name").asText(), f.get("transform").asText(),
             f.get("source-id").asInt())).toSeq
         if (curFields == wanted) None // re-declaration: no-op
-        else {
-          val nextSpecId = specs.elements().asScala
-            .map(_.get("spec-id").asInt()).max + 1
-          var lastPid = meta.get("last-partition-id").asInt()
-          val spec = mapper.createObjectNode()
-          spec.put("spec-id", nextSpecId)
-          val sf = spec.putArray("fields")
-          wanted.foreach { case (name, transform, srcId) =>
-            // a (source, transform) that appeared in ANY earlier spec
-            // KEEPS its field id — Iceberg v2's identity rule keys
-            // partition fields by (source-id, transform) ONLY (ADVICE
-            // r12: the display name is presentation, so re-adopting the
-            // same derivation under a different name is still the same
-            // field); fresh ids only for genuinely NEW derivations
-            val existingId = specs.elements().asScala
-              .flatMap(_.get("fields").elements().asScala)
-              .find(f => f.get("transform").asText() == transform &&
-                f.get("source-id").asInt() == srcId)
-              .map(_.get("field-id").asInt())
-            val fid = existingId.getOrElse { lastPid += 1; lastPid }
-            val f = sf.addObject()
-            f.put("name", name)
-            f.put("transform", transform)
-            f.put("source-id", srcId)
-            f.put("field-id", fid)
-          }
-          specs.add(spec)
-          meta.put("default-spec-id", nextSpecId)
-          meta.put("last-partition-id", lastPid)
-          Some(meta)
-        }
+        else { appendSpec(meta, wanted); Some(meta) }
     }
+
+  /** Append a new partition-spec generation with `wanted` fields and make
+    * it the default — the shared core of [[updatePartitionSpec]] and the
+    * identity-source rename in [[renameColumn]]. A (source, transform)
+    * that appeared in ANY earlier spec KEEPS its field id — Iceberg v2's
+    * identity rule keys partition fields by (source-id, transform) ONLY
+    * (the display name is presentation, so re-adopting or RENAMING the
+    * same derivation is still the same field); fresh ids only for
+    * genuinely NEW derivations. */
+  private def appendSpec(meta: ObjectNode,
+                         wanted: Seq[(String, String, Int)]): Unit = {
+    val specs = meta.get("partition-specs").asInstanceOf[ArrayNode]
+    val nextSpecId = specs.elements().asScala
+      .map(_.get("spec-id").asInt()).max + 1
+    var lastPid = meta.get("last-partition-id").asInt()
+    val spec = mapper.createObjectNode()
+    spec.put("spec-id", nextSpecId)
+    val sf = spec.putArray("fields")
+    wanted.foreach { case (name, transform, srcId) =>
+      val existingId = specs.elements().asScala
+        .flatMap(_.get("fields").elements().asScala)
+        .find(f => f.get("transform").asText() == transform &&
+          f.get("source-id").asInt() == srcId)
+        .map(_.get("field-id").asInt())
+      val fid = existingId.getOrElse { lastPid += 1; lastPid }
+      val f = sf.addObject()
+      f.put("name", name)
+      f.put("transform", transform)
+      f.put("source-id", srcId)
+      f.put("field-id", fid)
+    }
+    specs.add(spec)
+    meta.put("default-spec-id", nextSpecId)
+    meta.put("last-partition-id", lastPid)
+  }
 
   /** Rename a column — METADATA-ONLY here ([[LakeCatalog.renameColumn]]):
     * a new schema object is appended where the field keeps its position
@@ -831,28 +836,26 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
             "read-mapping ambiguous")
         val srcId = existing.fieldNames.indexOf(from) + 1
         val specId = meta.get("default-spec-id").asInt()
-        // TRANSFORM partition sources (days/months/hours/years/truncate/
-        // bucket) rename freely (VERDICT r12 #5): the spec field keeps
-        // its own derived name (`ts_day`, `k_bucket`), so existing dirs,
-        // future writes and loadSlice pruning all bind by spec-field
-        // name and source-ID — the source's display name carries nothing
-        // physical. Only an IDENTITY source in the CURRENT DEFAULT spec
-        // is refused: its spec-field name IS the data column's name, and
-        // future writes would have to lay `old_name=value` dirs out of a
-        // column that no longer exists. (Identity dirs under RETIRED
-        // specs are fine — the read path aliases their path columns like
-        // any pre-rename physical column.)
-        val isIdentityPartitionSrc =
-          meta.get("partition-specs").elements().asScala
-            .find(_.get("spec-id").asInt() == specId)
-            .exists(_.get("fields").elements().asScala
-              .exists(f => f.get("source-id").asInt() == srcId &&
-                f.get("transform").asText() == "identity"))
-        require(!isIdentityPartitionSrc,
-          s"$ns.$table: '$from' drives the default spec's IDENTITY " +
-            "partition layout — its name is the directory layout for " +
-            "future writes; evolve the spec (updatePartitionSpec) away " +
-            "from it first, or rename after re-layout")
+        // Partition sources rename freely (VERDICT r12 #5) — specs bind
+        // by source-id. TRANSFORM fields (days/truncate/bucket) keep
+        // their own derived spec-field name (`ts_day`, `k_bucket`), so
+        // nothing else moves. An IDENTITY field's spec name IS the data
+        // column's name (it names the `name=value` dirs future writes
+        // lay), so the SAME commit also appends a partition-spec
+        // generation carrying the NEW display name — the field keeps its
+        // id under [[appendSpec]]'s (source-id, transform) identity rule,
+        // old dirs keep their `old=value` layout and read via the alias
+        // history (and stop partition-pruning until compact folds them,
+        // the standard spec-evolution contract q218 pins), and new
+        // writes lay `new=value` dirs that prune by the new name.
+        val defaultFields = meta.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == specId)
+          .map(_.get("fields").elements().asScala
+            .map(f => (f.get("name").asText(), f.get("transform").asText(),
+              f.get("source-id").asInt())).toSeq)
+          .getOrElse(Seq.empty)
+        val renamesIdentitySrc = defaultFields.exists { case (_, t, s) =>
+          s == srcId && t == "identity" }
         // id-carrying equality groups (r12+) are rename-proof: their
         // equality_ids resolve and their key files alias like data files.
         // Only a LEGACY name-only group pins its column.
@@ -874,6 +877,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         meta.get("schemas").asInstanceOf[ArrayNode]
           .add(schemaNode(renamed, nextId))
         meta.put("current-schema-id", nextId)
+        if (renamesIdentitySrc)
+          appendSpec(meta, defaultFields.map { case (n, t, s) =>
+            if (s == srcId && t == "identity") (to, t, s) else (n, t, s)
+          })
         Some(meta)
     }
   }

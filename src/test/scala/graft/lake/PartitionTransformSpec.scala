@@ -196,22 +196,50 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(slice.inputFiles.nonEmpty &&
       slice.inputFiles.forall(_.contains("ts_day=2024-01-02")),
       slice.inputFiles.mkString(","))
-    // an IDENTITY source in the default spec stays refused: its name IS
-    // the future-write directory layout
-    val idDf = Seq((1L, "x")).toDF("id", "cat")
+    // an IDENTITY source renames as ONE commit = rename + spec
+    // generation: the field keeps its id under the (source-id,
+    // transform) identity rule, old `cat=` dirs keep reading via the
+    // alias history, new writes lay `category=` dirs that PRUNE by the
+    // new name
+    val idDf = Seq((1L, "x"), (2L, "y")).toDF("id", "cat")
     cat.ensureTable(ns, "p", idDf.schema, Seq("cat"))
     cat.append(ns, "p", idDf)
-    val e = intercept[IllegalArgumentException](
-      cat.renameColumn(ns, "p", "cat", "category"))
-    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
-    // ... but evolving the spec away frees the rename (the escape hatch
-    // the refusal message names), and the retired identity dirs still read
-    cat.updatePartitionSpec(ns, "p", Nil)
     cat.renameColumn(ns, "p", "cat", "category")
-    cat.append(ns, "p", Seq((2L, "y")).toDF("id", "category"))
+    cat.append(ns, "p", Seq((3L, "x"), (4L, "z")).toDF("id", "category"))
+    val pMeta = rawMeta(cat, ns, "p")
+    val pSpecs = pMeta.get("partition-specs").elements().asScala.toSeq
+    assert(pSpecs.size == 2 && pMeta.get("default-spec-id").asInt() == 1)
+    // same field-id across the rename (the identity rule), new name
+    def pf(i: Int) = pSpecs(i).get("fields").get(0)
+    assert(pf(0).get("name").asText() == "cat" &&
+      pf(1).get("name").asText() == "category" &&
+      pf(0).get("field-id").asInt() == pf(1).get("field-id").asInt())
+    // both generations' dirs coexist and read under the new name
+    val pRoot = cat.root.resolve(ns).resolve("p").resolve("data")
+    val pDirs = scala.util.Using.resource(Files.walk(pRoot))(
+      _.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(d => d.startsWith("cat=") || d.startsWith("category="))
+        .toSet)
+    assert(pDirs.exists(_.startsWith("cat=")) &&
+      pDirs.exists(_.startsWith("category=")), pDirs.mkString(","))
     assert(cat.load(ns, "p").orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq ==
-      Seq((1L, "x"), (2L, "y")))
+      Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "z")))
+    // pruning by the NEW name: new-generation files prune to their dir,
+    // old-generation files are kept (correct, unpruned — the q218
+    // contract) so the row bound still filters them
+    val pSlice = cat.loadSlice(ns, "p", "category", "z", "z")
+    assert(pSlice.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(pSlice.inputFiles.exists(_.contains("category=z")) &&
+      !pSlice.inputFiles.exists(_.contains("category=x")),
+      pSlice.inputFiles.mkString(","))
+    // compact folds every generation into the new-name layout
+    cat.compact(ns, "p", targetFiles = 1)
+    val folded = cat.metaTable(ns, "p", "files")
+      .select("file_path").collect().map(_.getString(0))
+    assert(folded.forall(_.contains("category=")), folded.mkString(","))
+    assert(cat.load(ns, "p").count() == 4L)
     // bucket(N) sources rename freely too — pruning keyed by source-id
     val bk = (1L to 60L).map(i => (i, i * 2)).toDF("k", "v")
     cat.ensureTable(ns, "b", bk.schema, Seq("bucket(4, k)"))

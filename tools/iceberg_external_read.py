@@ -241,16 +241,32 @@ def read_table(con, table_dir, snapshot_id=None):
     files_sql = ", ".join(f"('{p}', {s})" for p, s in data_files)
     con.execute(f"""CREATE OR REPLACE TEMP TABLE _seq(path VARCHAR,
                     seq BIGINT); INSERT INTO _seq VALUES {files_sql}""")
-    paths = "[" + ", ".join(f"'{p}'" for p, _ in data_files) + "]"
     # hive_partitioning recovers identity-partition columns from the path;
     # union_by_name null-fills columns older files predate (read-time
-    # schema evolution); filename + file_row_number feed position deletes
+    # schema evolution); filename + file_row_number feed position deletes.
+    # Files are grouped by their PARTITION-KEY SET first: a spec-evolved
+    # or partition-source-renamed table mixes directory layouts
+    # (`lang=..` dirs beside `language=..` dirs beside unpartitioned),
+    # and DuckDB's hive inference requires consistent keys per scan — so
+    # each layout generation scans separately and the generations UNION
+    # BY NAME, exactly how an Iceberg reader plans per-spec manifests.
+    def hive_keys(path):
+        return tuple(sorted(seg.split("=", 1)[0]
+                            for seg in path.split("/") if "=" in seg))
+    groups = {}
+    for p, _ in data_files:
+        groups.setdefault(hive_keys(p), []).append(p)
+    selects = []
+    for paths in groups.values():
+        plist = "[" + ", ".join(f"'{p}'" for p in paths) + "]"
+        selects.append(f"""SELECT * FROM read_parquet({plist},
+            union_by_name=true, hive_partitioning=true, filename=true,
+            file_row_number=true)""")
+    union = " UNION ALL BY NAME ".join(f"({s})" for s in selects)
     con.execute(f"""
         CREATE OR REPLACE TEMP VIEW _scan0 AS
         SELECT d.*, s.seq AS _seq
-        FROM read_parquet({paths}, union_by_name=true,
-                          hive_partitioning=true, filename=true,
-                          file_row_number=true) d
+        FROM ({union}) d
         JOIN _seq s ON d.filename = s.path""")
     # RENAME mapping (schema history): a pre-rename file's physical column
     # appears under its old name with NULLs from newer files — fold each
