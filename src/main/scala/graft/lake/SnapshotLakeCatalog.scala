@@ -1622,6 +1622,15 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                              extraDirs: Seq[String] = Nil,
                              operation: String = "delete"): Long = {
     val meta = readMeta(ns, table)
+    // a COW rewrite de-clusters every touched file group under a live
+    // bucket spec (the rewrite path has no bucket shuffle) — on bucketed
+    // tables the MERGE-ON-READ faces delete WITHOUT rewriting, so point
+    // there; fold the accumulated debt by rewriting via writeBucketed
+    require(meta.get("bucket-spec").isNull,
+      s"$ns.$table is bucketed — a copy-on-write delete would " +
+        "de-cluster the rewritten file groups under a live bucket " +
+        "spec; use deleteWhereMOR/purgeKeysMOR (no rewrite), and fold " +
+        "delete debt by rewriting via writeBucketed")
     val schema = metaSchema(meta)
     val tag = "_graft_src_dir"
     require(!schema.fieldNames.contains(tag),

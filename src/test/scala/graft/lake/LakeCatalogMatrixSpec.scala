@@ -285,7 +285,18 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       val e3 = intercept[IllegalArgumentException](
         cat.overwriteSorted(ns, "t", df, Seq("id")))
       assert(e3.getMessage.contains("writeBucketed"), e3.getMessage)
-      // the table is untouched by the refusals
+      if (impl.name != "session") {
+        val cc = cat.asInstanceOf[SnapshotLakeCatalog]
+        // COW deletes would de-cluster rewritten groups: refused,
+        // pointing at the MOR faces — which work (no rewrite)
+        val e4 = intercept[IllegalArgumentException](
+          cc.deleteWhere(ns, "t", $"id" === 1L))
+        assert(e4.getMessage.contains("MOR"), e4.getMessage)
+        assert(cc.deleteWhereMOR(ns, "t", $"id" === 1L) == 1L)
+        assert(cat.load(ns, "t").count() == 1L)
+        cat.append(ns, "t", Seq((1L, "re")).toDF("id", "v"))
+      }
+      // the table is intact after every refusal
       assert(cat.load(ns, "t").count() == 2L)
       cat.dropNamespace(ns)
     }
