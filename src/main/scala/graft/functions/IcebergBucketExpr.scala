@@ -70,6 +70,11 @@ case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
+    // a typed-null (NullType) child can reach codegen un-folded (e.g.
+    // through a column built from lit(null)); it always evaluates to
+    // null, so emit the constant-null result instead of computing a
+    // call mapping that has no NullType case
+    if (child.dataType == NullType) return ExprCode.forNullValue(dataType)
     val call: String => String = child.dataType match {
       case IntegerType | DateType =>
         c => s"graft.functions.IcebergBucket.bucketLong((long) $c, $n)"

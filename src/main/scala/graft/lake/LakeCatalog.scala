@@ -306,6 +306,12 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
     partitionBy.foreach(p => require(!p.contains("("),
       s"partition transforms ('$p') need a SnapshotLakeCatalog; the " +
         "session catalog supports identity partition columns only"))
+    // `__graft_stage` is the rewrite-staging suffix (stagedRewrite) —
+    // a user table under the reserved name would be mistaken for a
+    // crashed rewrite's remnant
+    require(!table.endsWith("__graft_stage"),
+      s"'$table': the '__graft_stage' suffix is reserved for rename/" +
+        "promotion rewrite staging")
     ensureNamespace(ns)
     if (!tableExists(ns, table)) {
       val empty = spark.createDataFrame(
@@ -385,6 +391,17 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
                             rewritten: DataFrame): Unit = {
     val parts = partitionColsOf(ns, table)
     val stage = s"${table}__graft_stage"
+    // the staging name is RESERVED (user tables refuse it at create,
+    // see ensureTable): if it exists anyway, this is either a crashed
+    // prior rewrite (recover by `ALTER TABLE <stage> RENAME TO <table>`
+    // if the primary is unbound, else drop the stage) — never clobber
+    if (tableExists(ns, stage))
+      throw new IllegalStateException(
+        s"staging table ${id(ns, stage)} already exists — likely a " +
+          "crashed prior rewrite. Recover manually: if " +
+          s"${id(ns, table)} is missing, the stage holds the full " +
+          "rewritten data (RENAME it into place); otherwise DROP the " +
+          "stage and re-run.")
     val w = rewritten.write.format("parquet").mode("overwrite")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .saveAsTable(id(ns, stage))

