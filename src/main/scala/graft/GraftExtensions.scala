@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       IntVecExprs.foldableLongMatrix(args(1), "ivec_nearest"))))
     ext.injectFunction(fn("iceberg_bucket", args => IcebergBucket(args(0),
       BinaryVecExpr.foldableInt(args(1), "iceberg_bucket"))))
+    // the DSv2 catalog's composed-read substitution: lake tables whose
+    // snapshot the native file scan cannot represent (MOR delete debt,
+    // rename/promotion history) read through the library's proven plan
+    ext.injectResolutionRule(session => graft.sql.GraftComposedRead(session))
   }
 }

@@ -9,7 +9,7 @@ object SparkEntry {
       : Map[String, ((SparkSession, String) => DataFrame, String)] =
     ops.Relational.registry ++ ops.Dedup.registry ++ ops.Similarity.registry ++
       ops.TextOps.registry ++ ops.Multimodal.registry ++
-      ops.Streaming.registry ++ ops.Skew.registry
+      ops.Streaming.registry ++ ops.Skew.registry ++ ops.SqlFace.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

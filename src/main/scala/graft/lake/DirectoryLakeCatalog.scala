@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Filesystem-rooted [[SnapshotLakeCatalog]]: tables live under
   * `<root>/<namespace>/<table>/` with parquet data in per-snapshot
@@ -52,6 +53,27 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path)
 
   override def dropNamespace(ns: String): Unit = deleteTree(nsDir(ns))
 
+  override def namespaceNames(): Seq[String] =
+    if (!Files.isDirectory(root)) Seq.empty
+    else scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.getFileName.toString).toSeq.sorted)
+
+  override def tableNames(ns: String): Seq[String] =
+    if (!Files.isDirectory(nsDir(ns))) Seq.empty
+    else scala.util.Using.resource(Files.list(nsDir(ns)))(
+      _.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.getFileName.toString).toSeq.sorted)
+      .filter(t => tableExists(ns, t))
+
+  override def dropTable(ns: String, table: String): Boolean =
+    if (!tableExists(ns, table)) false
+    else { deleteTree(nsDir(ns).resolve(table)); true }
+
   /** Current committed version: the hint is a STARTING POINT, not the
     * truth — a writer can die between the atomic version claim and the
     * hint flip, so probe upward until the next version file is absent
@@ -72,6 +94,10 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path)
     while (Files.exists(md.resolve(s"v${v + 1}.metadata.json"))) v += 1
     v
   }
+
+  override protected def metadataFileLocation(ns: String, table: String,
+                                              version: Int): Option[String] =
+    Some(metaDir(ns, table).resolve(s"v$version.metadata.json").toString)
 
   override protected def fetchMeta(ns: String,
                                    table: String): Option[(Int, ObjectNode)] = {

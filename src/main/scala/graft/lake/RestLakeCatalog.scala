@@ -259,6 +259,19 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
     out.toSeq
   }
 
+  override def namespaceNames(): Seq[String] = listNamespaces()
+
+  override def tableNames(ns: String): Seq[String] = listTables(ns)
+
+  override def dropTable(ns: String, table: String): Boolean = {
+    val r = expect(send("DELETE",
+      s"/v1/namespaces/${enc(ns)}/tables/${enc(table)}"), 200, 204, 404)
+    // data files are local to this client's warehouse mirror — reclaim
+    // them regardless (an absent table may still have crash leftovers)
+    deleteTree(warehouse.resolve(ns).resolve(table))
+    r.statusCode() != 404
+  }
+
   /** All namespaces, via the paginated list route. */
   def listNamespaces(pageSize: Int = 100): Seq[String] =
     paged("/v1/namespaces", pageSize, node =>

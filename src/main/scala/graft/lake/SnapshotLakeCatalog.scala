@@ -70,6 +70,15 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   /** Root of the table's snapshot data directories. */
   protected def dataDir(ns: String, table: String): Path
 
+  /** Where version `v`'s metadata DOCUMENT lives, for carriers that
+    * materialize one file per version (the directory carrier's
+    * `v<N>.metadata.json`) — what the spec's `metadata-log` entries
+    * record. None (REST carrier: the server owns document storage and
+    * its own metadata-log) skips log population — documented divergence,
+    * same class as the server-side fields this client never writes. */
+  protected def metadataFileLocation(ns: String, table: String,
+                                     version: Int): Option[String] = None
+
   /** Where snapshot manifest-list files live — the table's `metadata/`
     * directory, as in Iceberg proper. Keeping them OUT of `data/` keeps the
     * storage audit's data-byte math exact (expiry's reclaimable-bytes
@@ -165,6 +174,27 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       update(baseDoc) match {
         case None => return
         case Some(meta) =>
+          // metadata-log (Iceberg spec; VERDICT r13 #4): record the
+          // PREVIOUS version's metadata file — the external handle for
+          // metadata time travel and disaster recovery — bounded by the
+          // spec's write.metadata.previous-versions-max property
+          // (default 100, Iceberg's own default)
+          for (v <- cur.map(_._1);
+               loc <- metadataFileLocation(ns, table, v)) {
+            val log = Option(meta.get("metadata-log"))
+              .collect { case a: ArrayNode => a }
+              .getOrElse(meta.putArray("metadata-log"))
+            val prevTs = Option(meta.get("last-updated-ms"))
+              .map(_.asLong()).getOrElse(0L)
+            val e = log.addObject()
+            e.put("timestamp-ms", prevTs)
+            e.put("metadata-file", loc)
+            val keep = Option(meta.get("properties"))
+              .flatMap(p => Option(p.get(
+                "write.metadata.previous-versions-max")))
+              .flatMap(_.asText().toIntOption).getOrElse(100)
+            while (log.size() > math.max(1, keep)) log.remove(0)
+          }
           meta.put("last-updated-ms", System.currentTimeMillis())
           val freshMark = (mlSet(Some(meta)) -- baseMls).headOption
           if (casMeta(ns, table, cur.map(_._1).getOrElse(0), meta,
@@ -1146,20 +1176,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * operators actually use ("the table as of last midnight"); ids and
     * refs are the machine handles. Fails loudly when `tsMs` predates the
     * table's first commit or the matching snapshot has been expired. */
-  def loadAsOf(ns: String, table: String, tsMs: Long): DataFrame = {
-    val meta = readMeta(ns, table)
-    val entries = meta.get("snapshot-log").elements().asScala.toSeq
-    val id = entries
-      .filter(_.get("timestamp-ms").asLong() <= tsMs)
-      .sortBy(_.get("timestamp-ms").asLong())
-      .lastOption
-      .map(_.get("snapshot-id").asLong())
-      .getOrElse(throw new IllegalArgumentException(
-        s"$ns.$table has no snapshot at or before $tsMs " +
-          s"(first commit: ${entries.headOption
-            .map(_.get("timestamp-ms").asLong()).getOrElse("none")})"))
-    loadAt(ns, table, id)
-  }
+  def loadAsOf(ns: String, table: String, tsMs: Long): DataFrame =
+    loadAt(ns, table, snapshotIdAsOf(ns, table, tsMs))
 
   /** Iceberg INCREMENTAL APPEND SCAN: read ONLY the rows appended by the
     * snapshots in (`fromId`, `toId`] — planned from the manifests (each
@@ -1547,6 +1565,64 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           logEntry.put("timestamp-ms", System.currentTimeMillis())
           logEntry.put("snapshot-id", head)
           Some(meta)
+        }
+    }
+
+  /** Iceberg `cherrypick_snapshot` (VERDICT r13 #5): publish ONE staged
+    * APPEND snapshot onto the CURRENT main even when main advanced past
+    * the fork — exactly the case [[fastForward]] refuses. The snapshot's
+    * ADDED directories (its live set minus its parent's) re-parent onto
+    * main's head as a fresh append commit; the dirs re-sequence at the
+    * new commit id, so equality deletes that landed on main in between
+    * never mask the cherry-picked rows (they postdate every mask — the
+    * spec's strictly-lower scoping, the same rule that makes this
+    * publish-as-new semantically sound).
+    *
+    * Only pure appends re-parent: a snapshot that removed or rewrote
+    * dirs, or added delete files, encodes REPLACEMENT of state that has
+    * since changed — publishing it blind would resurrect or re-mask rows
+    * against a base it never saw, so the call fails loudly and names
+    * re-staging. Publishing the already-current snapshot, or one whose
+    * added dirs main already carries (e.g. a raced double cherry-pick),
+    * is a no-op — idempotent under the CAS rebase. */
+  def cherrypickSnapshot(ns: String, table: String, snapshotId: Long): Unit =
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        val byId = meta.get("snapshots").elements().asScala
+          .map(s => s.get("snapshot-id").asLong() -> s).toMap
+        val sn = byId.getOrElse(snapshotId,
+          throw new IllegalArgumentException(
+            s"unknown or expired snapshot $snapshotId on $ns.$table"))
+        val parent = Option(sn.get("parent-snapshot-id")).map(_.asLong())
+          .flatMap(byId.get)
+        val parentLive = parent.map(liveDirsOf).getOrElse(Seq.empty)
+        val snLive = liveDirsOf(sn)
+        val op = sn.get("operation").asText()
+        val parentDels = parent.map(deleteFilesOf(_).map(_.dir).toSet)
+          .getOrElse(Set.empty)
+        val pureAppend = op == "append" &&
+          parentLive.forall(snLive.contains) &&
+          deleteFilesOf(sn).map(_.dir).toSet == parentDels
+        require(pureAppend,
+          s"cherrypickSnapshot($snapshotId) on $ns.$table: only a pure " +
+            s"APPEND snapshot re-parents (this one is '$op'" +
+            (if (op == "append") " but removes dirs or adds delete files"
+             else "") +
+            ") — its state binds to the base it was staged on; re-stage " +
+            "against the current head instead")
+        val added = snLive.filterNot(parentLive.contains)
+        val curId = meta.get("current-snapshot-id").asLong()
+        if (curId == snapshotId) None // already published
+        else {
+          val cur = byId.get(curId)
+          val curLive = cur.map(liveDirsOf).getOrElse(Seq.empty)
+          val fresh = added.filterNot(curLive.contains)
+          if (fresh.isEmpty) None // rows already on main — idempotent
+          else Some(addSnapshot(ns, table, meta, "append",
+            curLive ++ fresh,
+            cur.map(deleteFilesOf).getOrElse(Seq.empty)))
         }
     }
 
@@ -2931,6 +3007,207 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       .getOrElse(Seq.empty)
   }
 
+  // ---- SQL face (DSv2 plugin support, VERDICT r13 #1/#8) -----------------
+
+  /** All namespaces this catalog holds (the DSv2 plugin's SHOW NAMESPACES
+    * face). Carrier-specific: the directory carrier lists the warehouse,
+    * the REST carrier pages the catalog's list route. */
+  def namespaceNames(): Seq[String]
+
+  /** All tables of `ns` (SHOW TABLES). Empty for an absent namespace. */
+  def tableNames(ns: String): Seq[String]
+
+  /** DROP TABLE: remove the metadata AND the data (purge-on-drop — every
+    * snapshot dir lives under the table path and nothing else references
+    * it). Returns false (no-op) when the table does not exist. */
+  def dropTable(ns: String, table: String): Boolean
+
+  /** Current user table properties — the metadata document's `properties`
+    * object (Iceberg v2 field; the reference's pyiceberg writes the same
+    * node, `/root/reference/target_iceberg/sinks.py:96-100`). */
+  def tableProperties(ns: String, table: String): Map[String, String] =
+    readMeta(ns, table).get("properties").asInstanceOf[ObjectNode]
+      .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  /** Set/overwrite table properties as ONE CAS commit (VERDICT r13 #8 —
+    * `properties` was write-once before this). Racing property commits
+    * rebase like any other commit; re-declaring the current values
+    * publishes nothing. */
+  def setProperties(ns: String, table: String,
+                    props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    commit(ns, table) {
+      case None => throw new IllegalArgumentException(
+        s"no such table: $ns.$table")
+      case Some(meta) =>
+        val node = meta.get("properties").asInstanceOf[ObjectNode]
+        val changed = props.exists { case (k, v) =>
+          Option(node.get(k)).forall(_.asText() != v) }
+        if (!changed) None
+        else { props.foreach { case (k, v) => node.put(k, v) }; Some(meta) }
+    }
+  }
+
+  /** Remove table properties (UNSET TBLPROPERTIES); absent keys are a
+    * no-op, not an error (ALTER TABLE ... UNSET IF EXISTS semantics —
+    * the strict face can check [[tableProperties]] first). */
+  def removeProperties(ns: String, table: String,
+                       keys: Seq[String]): Unit = {
+    if (keys.isEmpty) return
+    commit(ns, table) {
+      case None => throw new IllegalArgumentException(
+        s"no such table: $ns.$table")
+      case Some(meta) =>
+        val node = meta.get("properties").asInstanceOf[ObjectNode]
+        val present = keys.filter(k => node.has(k))
+        if (present.isEmpty) None
+        else { present.foreach(node.remove); Some(meta) }
+    }
+  }
+
+  /** Resolve a SQL `VERSION AS OF` string: a decimal string is a snapshot
+    * id (validated against the log), anything else a ref (branch/tag)
+    * name. Fails loudly on both misses. */
+  private[graft] def resolveSqlVersion(ns: String, table: String,
+                                       version: String): Long = {
+    val meta = readMeta(ns, table)
+    version.toLongOption match {
+      case Some(id) =>
+        require(meta.get("snapshots").elements().asScala
+            .exists(_.get("snapshot-id").asLong() == id),
+          s"unknown or expired snapshot $id of $ns.$table")
+        id
+      case None =>
+        Option(refsNode(meta).get(version))
+          .map(_.get("snapshot-id").asLong())
+          .getOrElse(throw new IllegalArgumentException(
+            s"$ns.$table has no branch/tag '$version' and it is not a " +
+              "snapshot id"))
+    }
+  }
+
+  /** The snapshot id that was current at `tsMs` ([[loadAsOf]]'s
+    * resolution step, exposed for the SQL `TIMESTAMP AS OF` face). */
+  private[graft] def snapshotIdAsOf(ns: String, table: String,
+                                    tsMs: Long): Long = {
+    val meta = readMeta(ns, table)
+    val entries = meta.get("snapshot-log").elements().asScala.toSeq
+    entries
+      .filter(_.get("timestamp-ms").asLong() <= tsMs)
+      .sortBy(_.get("timestamp-ms").asLong())
+      .lastOption
+      .map(_.get("snapshot-id").asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ns.$table has no snapshot at or before $tsMs " +
+          s"(first commit: ${entries.headOption
+            .map(_.get("timestamp-ms").asLong()).getOrElse("none")})"))
+  }
+
+  /** The COMPOSED read plan for the SQL face — exactly [[load]] /
+    * [[loadAt]] (delete-file anti-joins, rename aliases, promotion casts,
+    * per-generation layouts). The DSv2 plugin's substitution rule swaps
+    * this in when the native file scan cannot represent the table. */
+  private[graft] def composedFrame(ns: String, table: String,
+                                   at: Option[Long]): DataFrame =
+    loadSnapshot(ns, table, at)
+
+  /** Everything the DSv2 plugin needs to plan a NATIVE file scan of one
+    * snapshot — or the reason it must compose instead
+    * ([[SnapshotLakeCatalog.SqlScanState.composed]]). The native scan is
+    * exact only when every live file carries the CURRENT schema minus
+    * identity partition columns and no row is masked, i.e.: no delete
+    * files on the snapshot, a single schema generation, a single
+    * partition-spec generation, and per-dir manifests present. Delete
+    * debt pausing the native scan (and with it storage-partitioned
+    * joins) until [[compact]] folds it is the same debt contract the
+    * library read faces price. */
+  private[graft] def sqlScanState(ns: String, table: String,
+      at: Option[Long]): SnapshotLakeCatalog.SqlScanState = {
+    import SnapshotLakeCatalog.{SqlDataFile, SqlPartField, SqlScanState}
+    val meta = readMeta(ns, table)
+    val schema = metaSchema(meta)
+    val specId = meta.get("default-spec-id").asInt()
+    val clusterOnlyBuckets = !meta.get("bucket-spec").isNull
+    val specFields: Seq[SqlPartField] =
+      meta.get("partition-specs").elements().asScala
+        .find(_.get("spec-id").asInt() == specId)
+        .map(_.get("fields").elements().asScala
+          .filter(f => !(clusterOnlyBuckets &&
+            f.get("transform").asText().startsWith("bucket[")))
+          .map { f =>
+            val src = schema.fields(f.get("source-id").asInt() - 1)
+            SqlPartField(f.get("name").asText(),
+              f.get("transform").asText(), src.name, src.dataType)
+          }.toSeq)
+        .getOrElse(Seq.empty)
+    val partitionStrings = specFields.map { f =>
+      f.transform match {
+        case "identity" => f.srcName
+        case "day"      => s"days(${f.srcName})"
+        case "month"    => s"months(${f.srcName})"
+        case "hour"     => s"hours(${f.srcName})"
+        case "year"     => s"years(${f.srcName})"
+        case t if t.startsWith("truncate[") =>
+          s"truncate(${t.stripPrefix("truncate[").stripSuffix("]")}, " +
+            s"${f.srcName})"
+        case t if t.startsWith("bucket[") =>
+          s"bucket(${t.stripPrefix("bucket[").stripSuffix("]")}, " +
+            s"${f.srcName})"
+        case other => other
+      }
+    }
+    val snOpt = at match {
+      case None => currentSnapNode(meta)
+      case Some(id) =>
+        Some(meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown or expired snapshot $id of $ns.$table")))
+    }
+    val snapshotId = snOpt.map(_.get("snapshot-id").asLong()).getOrElse(-1L)
+    val dirs = snOpt.map(liveDirsOf).getOrElse(Seq.empty)
+    val nativeIdentityTypes: Set[DataType] = Set(
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.DateType)
+    val reasons = Seq(
+      snOpt.exists(deleteFilesOf(_).nonEmpty) ->
+        "merge-on-read delete debt (compact() folds it away)",
+      (meta.get("schemas").size() > 1) ->
+        "schema evolution history (read-time rename/promotion alignment)",
+      (meta.get("partition-specs").size() > 1) ->
+        "partition-spec evolution (per-generation directory layouts)",
+      dirs.exists(d => !Files.exists(manifestPathFor(ns, table, d))) ->
+        "pre-manifest legacy data directory",
+      specFields.exists(f => f.transform == "identity" &&
+        !nativeIdentityTypes.contains(f.srcType)) ->
+        "identity partition source type outside long/int/string/date"
+    ).collect { case (true, r) => r }
+    val composed = if (reasons.isEmpty) None else Some(reasons.mkString("; "))
+    val files =
+      if (composed.isDefined) Seq.empty[SqlDataFile]
+      else dirs.flatMap { d =>
+        val base = dataDir(ns, table).resolve(d)
+        AvroManifests.readManifest(manifestPathFor(ns, table, d))
+          .filter(_.content == 0)
+          .map(e => SqlDataFile(
+            if (e.filePath.startsWith("/")) e.filePath
+            else base.resolve(e.filePath).toString,
+            e.fileSizeInBytes, e.recordCount, e.partition.toMap))
+      }
+    val bucket = specFields.filter(_.transform.startsWith("bucket[")) match {
+      case Seq(f) => Some((f.srcName,
+        f.transform.stripPrefix("bucket[").stripSuffix("]").toInt))
+      case _ => None
+    }
+    SqlScanState(schema, snapshotId, composed, specFields, bucket, files,
+      partitionStrings, Option(meta.get("properties"))
+        .map(_.asInstanceOf[ObjectNode].properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty))
+  }
+
   /** Test seam: fired between compact's rewrite and its commit attempt,
     * so the stale-base retry path (a commit landing mid-compact) is
     * deterministically exercisable. No-op in production. */
@@ -2994,6 +3271,34 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 }
 
 object SnapshotLakeCatalog {
+  /** One partition field of the default spec, as the SQL face plans with
+    * it: the spec field name (= the Hive dir key), the spec transform
+    * (`identity`/`day`/`bucket[N]`/...), and the SOURCE column. */
+  case class SqlPartField(specName: String, transform: String,
+                          srcName: String,
+                          srcType: org.apache.spark.sql.types.DataType)
+
+  /** One live data file of a snapshot (manifest-sourced — no directory
+    * listing): absolute path, size, row count, and the partition tuple
+    * (spec field name → path value, None = null/not derivable). */
+  case class SqlDataFile(path: String, sizeBytes: Long, rows: Long,
+                         partition: Map[String, Option[String]])
+
+  /** The DSv2 plugin's planning snapshot of one table
+    * ([[SnapshotLakeCatalog.sqlScanState]]): `composed` = Some(reason)
+    * when only the composed [[SnapshotLakeCatalog.composedFrame]] plan
+    * reads the table exactly; `bucket` = the (source column, N) of the
+    * spec's single bucket field, the storage-partitioned-join handle. */
+  case class SqlScanState(
+      schema: org.apache.spark.sql.types.StructType,
+      snapshotId: Long,
+      composed: Option[String],
+      partFields: Seq[SqlPartField],
+      bucket: Option[(String, Int)],
+      files: Seq[SqlDataFile],
+      partitionStrings: Seq[String],
+      properties: Map[String, String])
+
   private val FnRx =
     """(days?|months?|hours?|years?)\s*\(\s*`?([^`()\s]+)`?\s*\)""".r
   private val TruncRx =

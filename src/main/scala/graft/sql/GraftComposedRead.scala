@@ -1,0 +1,51 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Resolution rule (injected by `graft.GraftExtensions`): a [[GraftTable]]
+  * relation whose snapshot the native file scan cannot represent —
+  * merge-on-read delete debt, rename/promotion history, per-generation
+  * layouts — is swapped for the library's COMPOSED plan
+  * ([[graft.lake.SnapshotLakeCatalog.composedFrame]]): the same
+  * delete-anti-join + alias + promotion-cast tree every library read face
+  * uses, pinned to the same snapshot the relation was loaded at. The
+  * substituted plan keeps the relation's exact output attributes (same
+  * exprIds via aliases), so parents never re-resolve.
+  *
+  * Write commands are left alone — `INSERT INTO` a debt-carrying table
+  * must keep its V2 relation (the append face handles debt natively);
+  * only the TABLE child of a write is skipped, its query subtree is still
+  * rewritten. Tables the native scan CAN represent pass through untouched
+  * and plan through [[GraftScan]] (pushdown, stats,
+  * KeyGroupedPartitioning). */
+case class GraftComposedRead(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+      val nq = rewrite(w.query)
+      if (nq eq w.query) w else w.withNewQuery(nq)
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+        r.table.asInstanceOf[GraftTable].needsComposition =>
+      val t = r.table.asInstanceOf[GraftTable]
+      val child = t.composedFrame().queryExecution.analyzed
+      val byName = child.output.map(a => a.name -> a).toMap
+      Project(r.output.map { a =>
+        val src = byName.getOrElse(a.name, throw new IllegalStateException(
+          s"${t.name()}: composed plan lost column '${a.name}'"))
+        Alias(src, a.name)(exprId = a.exprId)
+      }, child)
+    case other =>
+      val mapped = other.mapChildren(rewrite)
+      mapped.transformExpressions {
+        case se: SubqueryExpression
+            if rewrite(se.plan) ne se.plan =>
+          se.withNewPlan(rewrite(se.plan))
+      }
+  }
+}

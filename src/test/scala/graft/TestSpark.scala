@@ -10,11 +10,14 @@ object TestSpark {
     SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .withExtensions(new GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
+      // storage-partitioned joins over the DSv2 catalog's bucket layout
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
   }
 }

@@ -207,6 +207,47 @@ class IcebergMetadataSpec extends AnyFunSuite {
     } finally cat.dropNamespace(ns)
   }
 
+  test("cherrypickSnapshot (VERDICT r13 #5): a staged APPEND publishes " +
+    "onto a DIVERGED main by re-parenting; idempotent re-pick no-ops; " +
+    "non-append staged snapshots refuse loudly") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"icepick_${System.nanoTime()}"
+    try {
+      cat.ensureTable(ns, "t", Seq((1L, "a")).toDF("id", "v").schema)
+      cat.append(ns, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // 1
+      cat.stageAppend(ns, "t", "wap", Seq((3L, "c")).toDF("id", "v")) // 2
+      cat.append(ns, "t", Seq((9L, "z")).toDF("id", "v")) // main -> 3
+      val staged = cat.listRefs(ns, "t")("wap")._2
+      // the exact fastForward refusal case...
+      intercept[IllegalArgumentException](cat.fastForward(ns, "t", "wap"))
+      // ...publishes via cherry-pick: staged rows land ON TOP of the
+      // divergent commit, nothing lost on either line
+      cat.cherrypickSnapshot(ns, "t", staged)
+      assert(cat.load(ns, "t").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 9L))
+      // re-picking the same snapshot is a no-op (rows already on main)
+      val snaps = cat.snapshotIds(ns, "t")
+      cat.cherrypickSnapshot(ns, "t", staged)
+      assert(cat.snapshotIds(ns, "t") == snaps,
+        "idempotent cherry-pick must publish nothing")
+      // a staged snapshot carrying DELETE FILES is not a pure append:
+      // its masks bind to the base it was staged on — refuse loudly
+      cat.stageAppend(ns, "t", "audit", Seq((4L, "d")).toDF("id", "v"))
+      assert(cat.deleteWhereMOR(ns, "t",
+        org.apache.spark.sql.functions.col("id") === 2L,
+        branch = "audit") == 1L)
+      cat.append(ns, "t", Seq((8L, "y")).toDF("id", "v")) // diverge again
+      val delStaged = cat.listRefs(ns, "t")("audit")._2
+      val e = intercept[IllegalArgumentException](
+        cat.cherrypickSnapshot(ns, "t", delStaged))
+      assert(e.getMessage.contains("re-stage"), e.getMessage)
+      // unknown snapshot fails loudly too
+      intercept[IllegalArgumentException](
+        cat.cherrypickSnapshot(ns, "t", 999L))
+    } finally cat.dropNamespace(ns)
+  }
+
   test("branch-scoped deleteWhereMOR: the audit step masks rows on the " +
     "branch only (shared dirs included), publish carries the masks, " +
     "and a racing stageAppend rebases cleanly (VERDICT r12 #2)") {
@@ -433,6 +474,46 @@ class IcebergMetadataSpec extends AnyFunSuite {
       // unknown face fails loudly
       intercept[IllegalArgumentException](cat.metaTable(ns, "t", "nope"))
     } finally cat.dropNamespace(ns)
+  }
+
+  test("metadata-log populates per commit (VERDICT r13 #4): one entry " +
+    "per PRIOR version, each naming a metadata file that exists and " +
+    "parses; retention bounded by write.metadata.previous-versions-max") {
+    import spark.implicits._
+    val cat = DirectoryLakeCatalog.temp(spark)
+    val ns = s"mlog_${System.nanoTime()}"
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.ensureTable(ns, "t", df.schema) // v1 (no previous -> no entry)
+    cat.append(ns, "t", df)             // v2 logs v1
+    cat.append(ns, "t", Seq((2L, "b")).toDF("id", "v")) // v3 logs v2
+    val log = rawMeta(cat, ns, "t").get("metadata-log")
+    assert(log.size() == 2, s"expected 2 prior versions, got $log")
+    val entries = log.elements().asScala.toSeq
+    entries.foreach { e =>
+      assert(e.has("timestamp-ms") && e.has("metadata-file"),
+        s"spec field shape: $e")
+      val f = java.nio.file.Path.of(e.get("metadata-file").asText())
+      assert(Files.exists(f), s"logged metadata file must exist: $f")
+      // metadata time travel: the logged document parses and carries the
+      // schema history
+      assert(mapper.readTree(Files.readString(f)).has("schemas"))
+    }
+    assert(entries.map(_.get("metadata-file").asText()).distinct.size == 2,
+      "each commit logs its own prior version")
+    // retention: cap at 2 via the Iceberg property, then commit twice —
+    // the log holds only the 2 most recent priors
+    cat.setProperties(ns, "t",
+      Map("write.metadata.previous-versions-max" -> "2"))
+    cat.append(ns, "t", Seq((3L, "c")).toDF("id", "v"))
+    cat.append(ns, "t", Seq((4L, "d")).toDF("id", "v"))
+    val capped = rawMeta(cat, ns, "t").get("metadata-log")
+    assert(capped.size() == 2, s"retention must truncate: $capped")
+    val loggedVs = capped.elements().asScala
+      .map(e => e.get("metadata-file").asText()).toSeq
+    assert(loggedVs == loggedVs.sorted && loggedVs.forall(f =>
+      Files.exists(java.nio.file.Path.of(f))),
+      s"kept entries are the most recent priors, oldest first: $loggedVs")
+    cat.dropNamespace(ns)
   }
 
   test("snapshots carry the v2 snapshot fields; snapshot-log tracks them") {

@@ -217,6 +217,12 @@ object RestCatalogStub {
           page(ex, items, slice => s""""identifiers":[${slice.map(t =>
             s"""{"namespace":[${quote(n)}],"name":${quote(t)}}""")
             .mkString(",")}]""")
+        // DELETE /v1/namespaces/{ns}/tables/{t}
+        case ("DELETE", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+          lock.synchronized {
+            val had = tables.remove((dec(ns), dec(t))).isDefined
+            reply(ex, if (had) 204 else 404, "{}")
+          }
         // GET /v1/namespaces/{ns}/tables/{t}
         case ("GET", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
           lock.synchronized {

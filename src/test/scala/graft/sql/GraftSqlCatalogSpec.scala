@@ -1,0 +1,217 @@
+package graft.sql
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The DSv2 catalog plugin end-to-end (VERDICT r13 #1/#2): SQL DDL/DML/
+  * queries/time travel against the snapshot lake, native manifest-planned
+  * scans with partition+bucket pruning, the composed-read substitution
+  * for debt/evolution tables, and the storage-partitioned join
+  * (zero-Exchange co-bucketed equi-join). */
+class GraftSqlCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** One catalog mounted for the whole suite (catalog instances are
+    * cached per name by Spark's CatalogManager). */
+  private lazy val cat: String = {
+    val wh = Files.createTempDirectory("graft-sqlcat-").toString
+    spark.conf.set("spark.sql.catalog.gsql", "graft.sql.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    "gsql"
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def collectPlan[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++ p.children.flatMap(collectPlan(_)(pf)) match {
+      case s => s.distinct
+    }
+
+  test("DDL + INSERT + SELECT round-trip: create partitioned table via " +
+    "SQL, insert, read back, SHOW faces, DROP") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ddl")
+    spark.sql(s"CREATE TABLE $cat.ddl.t (id BIGINT, lang STRING, " +
+      s"v DOUBLE) PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.ddl.t VALUES " +
+      "(1, 'en', 1.5), (2, 'de', 2.5), (3, 'en', 3.5)")
+    val rows = spark.sql(s"SELECT id, lang, v FROM $cat.ddl.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "en", 1.5), (2L, "de", 2.5),
+      (3L, "en", 3.5)))
+    // SHOW faces
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("ddl"))
+    assert(spark.sql(s"SHOW TABLES IN $cat.ddl").collect()
+      .map(_.getString(1)).contains("t"))
+    // INSERT OVERWRITE replaces the contents in one commit
+    spark.sql(s"INSERT OVERWRITE $cat.ddl.t VALUES (9, 'fr', 9.0)")
+    assert(spark.sql(s"SELECT * FROM $cat.ddl.t").collect().length == 1)
+    spark.sql(s"DROP TABLE $cat.ddl.t")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ddl").collect().isEmpty)
+    spark.sql(s"DROP NAMESPACE $cat.ddl")
+  }
+
+  test("identity partition pruning: an equality filter plans only the " +
+    "matching partition's files; pushed filters reach the scan") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.prune")
+    spark.sql(s"CREATE TABLE $cat.prune.t (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.prune.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END FROM range(100)")
+    val all = finalPlan(spark.sql(s"SELECT * FROM $cat.prune.t"))
+    val filtered = finalPlan(
+      spark.sql(s"SELECT id FROM $cat.prune.t WHERE lang = 'en'"))
+    def scanParts(p: SparkPlan): Int =
+      collectPlan(p) { case b: BatchScanExec => b }.head
+        .inputPartitions.length
+    assert(scanParts(filtered) < scanParts(all),
+      s"lang='en' must prune files: ${scanParts(filtered)} vs " +
+        s"${scanParts(all)}")
+    // the rows are right (both partition-restored and data columns)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.prune.t WHERE lang = 'en'")
+      .head().getLong(0) == 50L)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.prune.t").head()
+      .getLong(0) == (0L until 100L).sum)
+    spark.sql(s"DROP NAMESPACE $cat.prune CASCADE")
+  }
+
+  test("time travel: VERSION AS OF (id and ref) and TIMESTAMP AS OF " +
+    "through SQL") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tt")
+    spark.sql(s"CREATE TABLE $cat.tt.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.tt.t VALUES (1), (2)")
+    val sqlCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftSqlCatalog]
+    val v1 = sqlCat.lake.snapshotIds("tt", "t").head
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.tt.t VALUES (3)")
+    sqlCat.lake.tag("tt", "t", "audited", v1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt.t").head()
+      .getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt.t VERSION AS OF $v1")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.tt.t VERSION AS OF 'audited'")
+      .head().getLong(0) == 2L)
+    val ts = new java.sql.Timestamp(tsAfterV1)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.tt.t TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) == 2L)
+    // writes to a time-travel relation refuse
+    intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.tt.t VERSION AS OF $v1 VALUES (9)"))
+    spark.sql(s"DROP NAMESPACE $cat.tt CASCADE")
+  }
+
+  test("composed read substitution: MOR delete debt and a renamed " +
+    "column read EXACTLY through spark.sql (the extensions rule), and " +
+    "compact() restores the native scan") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mor")
+    spark.sql(s"CREATE TABLE $cat.mor.t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.mor.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    val sqlCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftSqlCatalog]
+    import org.apache.spark.sql.functions.col
+    assert(sqlCat.lake.deleteWhereMOR("mor", "t", col("id") === 2L) == 1L)
+    // debt present: the native scan must NOT serve this (masked row)
+    val rows = spark.sql(s"SELECT id FROM $cat.mor.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 3L), s"MOR mask must apply through SQL: $rows")
+    // rename on top: still exact through the composed plan
+    spark.sql(s"ALTER TABLE $cat.mor.t RENAME COLUMN v TO title")
+    assert(spark.sql(s"SELECT title FROM $cat.mor.t WHERE id = 3")
+      .head().getString(0) == "c")
+    // appends to a debt-carrying table still go through SQL
+    spark.sql(s"INSERT INTO $cat.mor.t VALUES (4, 'd')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.mor.t").head()
+      .getLong(0) == 3L)
+    // compact folds the debt; evolution history keeps it composed but
+    // the result stays exact
+    sqlCat.lake.compact("mor", "t", targetFiles = 1)
+    assert(spark.sql(s"SELECT id, title FROM $cat.mor.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c"), (4L, "d")))
+    spark.sql(s"DROP NAMESPACE $cat.mor CASCADE")
+  }
+
+  test("ALTER TABLE: SET/UNSET TBLPROPERTIES (CAS commits), ADD COLUMN " +
+    "evolution") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.alter")
+    spark.sql(s"CREATE TABLE $cat.alter.t (id BIGINT)")
+    spark.sql(s"ALTER TABLE $cat.alter.t SET TBLPROPERTIES " +
+      "('write.target-size'='134217728', 'owner.team'='data')")
+    val sqlCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftSqlCatalog]
+    assert(sqlCat.lake.tableProperties("alter", "t") ==
+      Map("write.target-size" -> "134217728", "owner.team" -> "data"))
+    spark.sql(s"ALTER TABLE $cat.alter.t UNSET TBLPROPERTIES " +
+      "('owner.team')")
+    assert(sqlCat.lake.tableProperties("alter", "t") ==
+      Map("write.target-size" -> "134217728"))
+    spark.sql(s"INSERT INTO $cat.alter.t VALUES (1)")
+    spark.sql(s"ALTER TABLE $cat.alter.t ADD COLUMNS (tag STRING)")
+    spark.sql(s"INSERT INTO $cat.alter.t VALUES (2, 'x')")
+    assert(spark.sql(s"SELECT id, tag FROM $cat.alter.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, None), (2L, Some("x"))))
+    spark.sql(s"DROP NAMESPACE $cat.alter CASCADE")
+  }
+
+  test("storage-partitioned join: two tables bucketed bucket(8, id) " +
+    "equi-join with ZERO shuffle exchanges; bucket point lookup prunes " +
+    "to one bucket's files") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.spj")
+    spark.sql(s"CREATE TABLE $cat.spj.a (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"CREATE TABLE $cat.spj.b (id BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"INSERT INTO $cat.spj.a SELECT id, concat('v', id) " +
+      "FROM range(1000)")
+    spark.sql(s"INSERT INTO $cat.spj.b SELECT id, id * 0.5 " +
+      "FROM range(500)")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        s"SELECT a.id, a.v, b.w FROM $cat.spj.a a " +
+          s"JOIN $cat.spj.b b ON a.id = b.id")
+      val plan = finalPlan(joined)
+      val shuffles = collectPlan(plan) { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty,
+        s"co-bucketed equi-join must be storage-partitioned " +
+          s"(zero Exchange), got:\n$plan")
+      // and it is RIGHT: every b row matched its a row
+      assert(joined.count() == 500L)
+      assert(joined.filter($"id" === 42L).head().getDouble(2) == 21.0)
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    // bucket point lookup: id = 42 plans only bucket(42)'s files
+    val all = finalPlan(spark.sql(s"SELECT * FROM $cat.spj.a"))
+    val pt = finalPlan(
+      spark.sql(s"SELECT * FROM $cat.spj.a WHERE id = 42"))
+    def parts(p: SparkPlan): Int =
+      collectPlan(p) { case b: BatchScanExec => b }.head
+        .inputPartitions.length
+    assert(parts(pt) < parts(all),
+      s"bucket pruning must drop non-matching buckets: ${parts(pt)} " +
+        s"vs ${parts(all)}")
+    assert(spark.sql(s"SELECT v FROM $cat.spj.a WHERE id = 42").head()
+      .getString(0) == "v42")
+    spark.sql(s"DROP NAMESPACE $cat.spj CASCADE")
+  }
+}

@@ -185,7 +185,24 @@ def current_metadata(table_dir):
     if not versions:
         raise ValueError(f"{table_dir}: no metadata versions")
     with open(os.path.join(md, f"v{max(versions)}.metadata.json")) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # metadata-log field-shape validation (spec: prior metadata files for
+    # metadata time travel): every entry must carry timestamp-ms and a
+    # metadata-file that exists and parses as a metadata document
+    for e in meta.get("metadata-log", []):
+        if "timestamp-ms" not in e or "metadata-file" not in e:
+            raise ValueError(f"{table_dir}: malformed metadata-log entry {e}")
+        if not os.path.exists(e["metadata-file"]):
+            raise ValueError(
+                f"{table_dir}: metadata-log names a missing file "
+                f"{e['metadata-file']}")
+        with open(e["metadata-file"]) as fh:
+            prior = json.load(fh)
+        if "schemas" not in prior:
+            raise ValueError(
+                f"{table_dir}: logged prior metadata is not a metadata "
+                f"document: {e['metadata-file']}")
+    return meta
 
 
 def plan_scan(meta, snapshot_id=None):
