@@ -118,13 +118,20 @@ trait LakeCatalog {
     * parquet (no schema registry per file), so it rewrites — documented
     * carrier divergence, same as type promotion there. Fails loudly when
     * `from` is absent, `to` already exists, or the column is load-bearing
-    * for this carrier's physical layout (on snapshot carriers: an
-    * IDENTITY partition source in the default spec, a legacy name-bound
-    * equality delete, a bucket-spec column; TRANSFORM partition sources
-    * — days/truncate/bucket(N) — rename freely, their spec fields bind
-    * by source-id). */
+    * for this carrier's physical layout (on snapshot carriers: a legacy
+    * name-bound equality delete, a bucket-spec column; partition sources
+    * — identity AND days/truncate/bucket(N) — rename freely, the spec
+    * binding by source-id, identity additionally minting a spec
+    * generation under the new name).
+    *
+    * Returns the number of live data directories whose PARTITION PRUNING
+    * pauses until [[compact]] rewrites them (an identity-source rename
+    * leaves pre-rename `old=value` dirs readable via the alias history
+    * but invisible to the new spec's pruning — VERDICT r13 #7); 0 when
+    * the rename has no pruning impact. A non-zero count is also logged
+    * loudly, naming compact. */
   def renameColumn(ns: String, table: String, from: String,
-                   to: String): Unit
+                   to: String): Int
 
   /** Atomically replace `ns.table`'s contents with `fold(current)` — the
     * read-modify-write primitive behind ledger compactions
@@ -354,7 +361,7 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * is not expressible here. Partition and bucket columns are refused
     * (their names ARE the physical layout). */
   override def renameColumn(ns: String, table: String, from: String,
-                            to: String): Unit = {
+                            to: String): Int = {
     require(from != to, s"renameColumn: '$from' -> itself")
     val schema = spark.table(id(ns, table)).schema
     require(schema.fieldNames.contains(from),
@@ -371,6 +378,7 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
       stagedRewrite(ns, table,
         spark.table(id(ns, table)).withColumnRenamed(from, to))
     }
+    0 // the rewrite lands under the new name — no pruning pause
   }
 
   /** Rewrite-and-swap for the session carrier's rename/promotion paths

@@ -849,8 +849,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * live equality-delete groups (their key files bind by column name),
     * and bucket-spec columns. */
   def renameColumn(ns: String, table: String, from: String,
-                   to: String): Unit = {
+                   to: String): Int = {
     require(from != to, s"renameColumn: '$from' -> itself")
+    var pausedDirs = 0
     commit(ns, table) {
       case None =>
         throw new IllegalArgumentException(s"no such table: $ns.$table")
@@ -907,12 +908,28 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         meta.get("schemas").asInstanceOf[ArrayNode]
           .add(schemaNode(renamed, nextId))
         meta.put("current-schema-id", nextId)
-        if (renamesIdentitySrc)
+        if (renamesIdentitySrc) {
           appendSpec(meta, defaultFields.map { case (n, t, s) =>
             if (s == srcId && t == "identity") (to, t, s) else (n, t, s)
           })
+          // every CURRENTLY-live dir predates the new spec generation:
+          // its `old=value` layout keeps reading (alias history) but
+          // stops PRUNING until compact rewrites it (VERDICT r13 #7) —
+          // count it so the caller sees the scan-cost regression
+          pausedDirs = currentSnapNode(meta).map(liveDirsOf(_).size)
+            .getOrElse(0)
+        }
         Some(meta)
     }
+    if (pausedDirs > 0)
+      System.err.println(s"[graft-lake] renameColumn($ns.$table, " +
+        s"$from -> $to): '$from' was an identity partition source — " +
+        s"$pausedDirs pre-rename data director" +
+        (if (pausedDirs == 1) "y keeps" else "ies keep") +
+        " reading via the alias history but STOP partition-pruning " +
+        "until compact() rewrites them under the new spec " +
+        "(maintenanceReport's pruning_paused_dirs tracks this)")
+    pausedDirs
   }
 
   /** Read-time rename mapping, derived from the schema history (no extra
@@ -1691,6 +1708,31 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       df => df.join(ks, Seq(keyCol), "left_anti"))
   }
 
+  /** The BUCKET-AWARE rewrite shaping (VERDICT r13 #3, replacing the
+    * former refusal): on a legacy writeBucketed table (non-null
+    * `bucket-spec` = whole-table row clustering), any copy-on-write
+    * rewrite re-clusters its output through the SAME repartition the
+    * original layout used (+ the declared sort order within clusters),
+    * so deleteWhere/purgeKeys/merge preserve the clustering contract the
+    * spec claims instead of silently de-clustering touched file groups.
+    * Spec-driven `bucket(N, col)` transform tables need no shaping here:
+    * their bucket field rides [[partitionLayout]] into per-bucket
+    * DIRECTORIES on every rewrite path already. Identity on
+    * unbucketed tables. */
+  private def bucketShaper(meta: ObjectNode): DataFrame => DataFrame =
+    if (meta.get("bucket-spec").isNull) identity
+    else {
+      val b = meta.get("bucket-spec")
+      val cols = b.get("columns").elements().asScala
+        .map(c => col(s"`${c.asText()}`")).toSeq
+      val n = b.get("num-buckets").asInt()
+      val sc = defaultSortCols(meta).map(c => col(s"`$c`"))
+      df => {
+        val clustered = df.repartition(n, cols: _*)
+        if (sc.isEmpty) clustered else clustered.sortWithinPartitions(sc: _*)
+      }
+    }
+
   /** Shared copy-on-write core. `matched` selects the rows to delete,
     * `kept` their complement — the two faces above keep the pair
     * consistent (null-predicate rows fall on the KEPT side). [[merge]]
@@ -1704,15 +1746,6 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
                              extraDirs: Seq[String] = Nil,
                              operation: String = "delete"): Long = {
     val meta = readMeta(ns, table)
-    // a COW rewrite de-clusters every touched file group under a live
-    // bucket spec (the rewrite path has no bucket shuffle) — on bucketed
-    // tables the MERGE-ON-READ faces delete WITHOUT rewriting, so point
-    // there; fold the accumulated debt by rewriting via writeBucketed
-    require(meta.get("bucket-spec").isNull,
-      s"$ns.$table is bucketed — a copy-on-write delete would " +
-        "de-cluster the rewritten file groups under a live bucket " +
-        "spec; use deleteWhereMOR/purgeKeysMOR (no rewrite), and fold " +
-        "delete debt by rewriting via writeBucketed")
     val schema = metaSchema(meta)
     val tag = "_graft_src_dir"
     require(!schema.fieldNames.contains(tag),
@@ -1749,7 +1782,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       else {
         val remainder = kept(tagged(touched)).drop(tag)
         if (remainder.isEmpty) None
-        else Some(writeSnapshot(ns, table, remainder,
+        else Some(writeSnapshot(ns, table, bucketShaper(meta)(remainder),
           partitionLayout(meta), Map.empty))
       }
     beforeDeleteCommit(ns, table)
@@ -1812,12 +1845,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       s"merge key '$k' missing from the incoming frame"))
     ensureTable(ns, table, df.schema) // create or additive/promote-evolve
     val meta = readMeta(ns, table)
-    // merge REWRITES every key-matching dir — on a bucketed table that
-    // silently de-clusters them under a spec still claiming clustering
-    require(meta.get("bucket-spec").isNull,
-      s"$ns.$table is bucketed — merge's rewrite would de-cluster it " +
-        "under a live bucket spec; rewrite via writeBucketed instead")
-    val newDir = writeSnapshot(ns, table, conformToTable(meta, df),
+    // bucketed tables (VERDICT r13 #3): the incoming dir clusters through
+    // the same bucket shaping the rewrite side uses, so a merge preserves
+    // the whole-table clustering contract end to end
+    val newDir = writeSnapshot(ns, table,
+      bucketShaper(meta)(conformToTable(meta, df)),
       partitionLayout(meta), Map.empty)
     // an empty incoming batch (e.g. an upsert feed that filtered to zero
     // rows) is a no-op, not a commit: a PARTITIONED empty write leaves a
@@ -2945,6 +2977,18 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // heavily (every append references all its predecessors' dirs)
     val stats = snaps.flatMap(referencedDirsOf).distinct
       .map(dn => dn -> dirStats(ns, table, dn)).toMap
+    // dirs written under a SUPERSEDED spec generation read correctly but
+    // no longer partition-prune (the identity-rename / spec-evolution
+    // contract, VERDICT r13 #7) — surfaced per snapshot so an operator
+    // sees the scan-cost debt compact() would fold
+    val defaultSpecId = meta.get("default-spec-id").asInt()
+    def pausedOf(sn: JsonNode): Long =
+      Option(sn.get("manifest-list")).map(_.asText())
+        .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
+        .map(p => AvroManifests.readManifestList(Path.of(p))
+          .count(e => e.content == 0 &&
+            e.partitionSpecId != defaultSpecId).toLong)
+        .getOrElse(0L)
     val rows = snaps.zipWithIndex.map { case (sn, i) =>
       val dirs = referencedDirsOf(sn)
       val (nf, bytes) = dirs.map(stats)
@@ -2952,10 +2996,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       (sn.get("snapshot-id").asLong(), sn.get("operation").asText(),
         dirs.size.toLong, nf, bytes,
         sn.get("snapshot-id").asLong() == cur,
-        i < snaps.size - keepLast)
+        i < snaps.size - keepLast, pausedOf(sn))
     }
     spark.createDataFrame(rows).toDF("snapshot_id", "operation", "n_dirs",
-      "n_files", "bytes", "is_current", "expirable")
+      "n_files", "bytes", "is_current", "expirable", "pruning_paused_dirs")
   }
 
   /** One-row storage audit: snapshot count, bytes serving current reads,

@@ -297,33 +297,101 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
     }
 
     test(s"[${impl.name}] full replacements refuse bucketed tables " +
-      "(overwrite / overwriteSorted / merge would silently drop or " +
-      "orphan the bucket spec)") {
+      "(overwrite / overwriteSorted would silently drop or orphan the " +
+      "bucket spec); COW delete and merge are BUCKET-AWARE rewrites " +
+      "(VERDICT r13 #3)") {
       val cat = impl.make(); val ns = freshNs()
       val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
       cat.writeBucketed(ns, "t", df, Seq("id"), numBuckets = 2)
       val e1 = intercept[IllegalArgumentException](
         cat.overwrite(ns, "t", df))
       assert(e1.getMessage.contains("writeBucketed"), e1.getMessage)
-      val e2 = intercept[IllegalArgumentException](
-        cat.merge(ns, "t", Seq("id"), Seq((1L, "x")).toDF("id", "v")))
-      assert(e2.getMessage.contains("writeBucketed"), e2.getMessage)
       val e3 = intercept[IllegalArgumentException](
         cat.overwriteSorted(ns, "t", df, Seq("id")))
       assert(e3.getMessage.contains("writeBucketed"), e3.getMessage)
-      if (impl.name != "session") {
+      if (impl.name == "session") {
+        // the session carrier's merge rewrite cannot re-declare bucketBy
+        // mid-write: still refused there (documented carrier divergence)
+        val e2 = intercept[IllegalArgumentException](
+          cat.merge(ns, "t", Seq("id"), Seq((1L, "x")).toDF("id", "v")))
+        assert(e2.getMessage.contains("writeBucketed"), e2.getMessage)
+        assert(cat.load(ns, "t").count() == 2L)
+      } else {
         val cc = cat.asInstanceOf[SnapshotLakeCatalog]
-        // COW deletes would de-cluster rewritten groups: refused,
-        // pointing at the MOR faces — which work (no rewrite)
-        val e4 = intercept[IllegalArgumentException](
-          cc.deleteWhere(ns, "t", $"id" === 1L))
-        assert(e4.getMessage.contains("MOR"), e4.getMessage)
-        assert(cc.deleteWhereMOR(ns, "t", $"id" === 1L) == 1L)
-        assert(cat.load(ns, "t").count() == 1L)
+        // merge on a bucketed table re-clusters the rewrite AND the
+        // incoming dir through the spec's repartition — replace-by-key
+        // lands, clustering contract intact
+        cc.merge(ns, "t", Seq("id"), Seq((1L, "x")).toDF("id", "v"))
+        assert(cat.load(ns, "t").orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+          Seq((1L, "x"), (2L, "b")))
+        // COW delete: rewrites the touched group bucket-clustered (live
+        // file count stays within the bucket budget) and the rows are
+        // exactly the remainder
+        assert(cc.deleteWhere(ns, "t", $"id" === 1L) == 1L)
+        assert(cat.load(ns, "t").collect().map(_.getLong(0)).toSeq ==
+          Seq(2L))
+        assert(cat.load(ns, "t").inputFiles.length <= 2,
+          "bucket-aware rewrite must keep the live set within the " +
+            "bucket count")
         cat.append(ns, "t", Seq((1L, "re")).toDF("id", "v"))
+        assert(cat.load(ns, "t").count() == 2L)
       }
-      // the table is intact after every refusal
-      assert(cat.load(ns, "t").count() == 2L)
+      cat.dropNamespace(ns)
+    }
+
+    if (impl.name != "session")
+      test(s"[${impl.name}] COW delete on a bucket(N, col) TRANSFORM " +
+        "table keeps per-bucket directories: the partitions face still " +
+        "reports bucket dirs and point-lookup pruning holds after the " +
+        "delete (VERDICT r13 #3)") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      val df = (0L until 64L).map(i => (i, s"v$i")).toDF("id", "v")
+      cat.ensureTable(ns, "t", df.schema, Seq("bucket(4, id)"))
+      cat.append(ns, "t", df)
+      def bucketDirs(): Set[String] = cat.metaTable(ns, "t", "partitions")
+        .collect().map(_.getString(0)).toSet
+      val before = bucketDirs()
+      assert(before.nonEmpty && before.forall(_.startsWith("id_bucket=")),
+        s"bucket transform dirs expected: $before")
+      assert(cat.deleteWhere(ns, "t", $"id" % 2L === 0L) == 32L)
+      val after = bucketDirs()
+      assert(after == before,
+        s"the rewrite must keep every bucket directory: $before -> $after")
+      assert(cat.load(ns, "t").count() == 32L)
+      // point-lookup pruning still bites: a single-id slice reads
+      // strictly fewer files than the table holds
+      val all = cat.load(ns, "t").inputFiles.length
+      val one = cat.loadSlice(ns, "t", "id", "33", "33").inputFiles.length
+      assert(one < all, s"bucket pruning after COW delete: $one vs $all")
+      assert(cat.loadSlice(ns, "t", "id", "33", "33")
+        .collect().map(_.getLong(0)).toSeq == Seq(33L))
+      cat.dropNamespace(ns)
+    }
+
+    if (impl.name != "session")
+      test(s"[${impl.name}] table properties mutate as CAS commits " +
+        "(VERDICT r13 #8): set overwrites, remove drops, re-declaring " +
+        "publishes nothing, absent table fails loudly") {
+      val cat = impl.make().asInstanceOf[SnapshotLakeCatalog]
+      val ns = freshNs()
+      cat.ensureTable(ns, "t",
+        StructType(Seq(StructField("id", LongType))))
+      assert(cat.tableProperties(ns, "t").isEmpty)
+      cat.setProperties(ns, "t", Map("a" -> "1", "b" -> "2"))
+      cat.setProperties(ns, "t", Map("b" -> "3")) // overwrite
+      assert(cat.tableProperties(ns, "t") == Map("a" -> "1", "b" -> "3"))
+      // a no-change set publishes no new version: the next data commit
+      // still lands (the CAS base did not move underneath it)
+      cat.setProperties(ns, "t", Map("a" -> "1"))
+      cat.removeProperties(ns, "t", Seq("a", "missing"))
+      assert(cat.tableProperties(ns, "t") == Map("b" -> "3"))
+      // properties survive data commits and carrier round trips
+      cat.append(ns, "t", Seq(1L).toDF("id"))
+      assert(cat.tableProperties(ns, "t") == Map("b" -> "3"))
+      intercept[IllegalArgumentException](
+        cat.setProperties(ns, "nope", Map("x" -> "y")))
       cat.dropNamespace(ns)
     }
 

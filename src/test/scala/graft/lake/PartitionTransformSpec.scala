@@ -204,8 +204,19 @@ class PartitionTransformSpec extends AnyFunSuite {
     val idDf = Seq((1L, "x"), (2L, "y")).toDF("id", "cat")
     cat.ensureTable(ns, "p", idDf.schema, Seq("cat"))
     cat.append(ns, "p", idDf)
-    cat.renameColumn(ns, "p", "cat", "category")
+    // the rename RETURNS the pruning-pause count (VERDICT r13 #7): one
+    // live pre-rename dir stops pruning until compact folds it
+    assert(cat.renameColumn(ns, "p", "cat", "category") == 1,
+      "identity-source rename must report the paused-dir count")
     cat.append(ns, "p", Seq((3L, "x"), (4L, "z")).toDF("id", "category"))
+    // ...and maintenanceReport prices the same debt per snapshot: the
+    // current snapshot carries 1 stale-spec dir (pre-rename) alongside
+    // the new-generation one
+    val mrep = cat.maintenanceReport(ns, "p").collect()
+      .map(r => r.getAs[Boolean]("is_current") ->
+        r.getAs[Long]("pruning_paused_dirs")).toMap
+    assert(mrep(true) == 1L,
+      s"current snapshot must report the paused pre-rename dir: $mrep")
     val pMeta = rawMeta(cat, ns, "p")
     val pSpecs = pMeta.get("partition-specs").elements().asScala.toSeq
     assert(pSpecs.size == 2 && pMeta.get("default-spec-id").asInt() == 1)
@@ -240,6 +251,11 @@ class PartitionTransformSpec extends AnyFunSuite {
       .select("file_path").collect().map(_.getString(0))
     assert(folded.forall(_.contains("category=")), folded.mkString(","))
     assert(cat.load(ns, "p").count() == 4L)
+    // ...and the fold clears the priced debt
+    assert(cat.maintenanceReport(ns, "p").collect()
+      .find(_.getAs[Boolean]("is_current"))
+      .exists(_.getAs[Long]("pruning_paused_dirs") == 0L),
+      "compact must clear pruning_paused_dirs on the current snapshot")
     // bucket(N) sources rename freely too — pruning keyed by source-id
     val bk = (1L to 60L).map(i => (i, i * 2)).toDF("k", "v")
     cat.ensureTable(ns, "b", bk.schema, Seq("bucket(4, k)"))
