@@ -45,10 +45,16 @@ object SqlFace {
         case _ => Seq.empty
       })
 
-  private def scanPartitions(df: DataFrame): Int = {
+  /** Distinct parquet files the scan PLANNED (bin-packing folds many
+    * files into one input partition, so partition counts can't see
+    * pruning — file identity can). */
+  private def scanFiles(df: DataFrame): Int = {
     df.collect()
     deepCollect(finalPlan(df)) { case b: BatchScanExec => b }
-      .map(_.inputPartitions.length).sum
+      .flatMap(_.inputPartitions)
+      .flatMap(_.asInstanceOf[graft.sql.GraftInputPartition]
+        .files.map(_.path))
+      .distinct.size
   }
 
   /** q225: the SQL-catalog round trip the judge's r13 #1 "done" names —
@@ -84,9 +90,9 @@ object SqlFace {
     val rows = census("v1", s"$t VERSION AS OF $v1") ++ census("cur", t)
     // pruning sentinel: the lexicographically-first lang (deterministic)
     val lang0 = s.sql(s"SELECT min(lang) FROM $t").head().getString(0)
-    val pruned = scanPartitions(
+    val pruned = scanFiles(
       s.sql(s"SELECT doc_id FROM $t WHERE lang = '$lang0'")) <
-      scanPartitions(s.sql(s"SELECT doc_id FROM $t"))
+      scanFiles(s.sql(s"SELECT doc_id FROM $t"))
     val out = rows :+ (("__pruned", "", if (pruned) 1L else 0L, 0L))
     s.sql(s"DROP NAMESPACE $CatName.$ns CASCADE")
     import s.implicits._
@@ -142,9 +148,9 @@ object SqlFace {
       "spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
     // bucket point lookup prunes to ~1/16 of the planned partitions
     val someId = s.sql(s"SELECT max(doc_id) FROM $tb").head().getLong(0)
-    val prunedOk = scanPartitions(
+    val prunedOk = scanFiles(
       s.sql(s"SELECT lang FROM $ta WHERE doc_id = $someId")) <
-      scanPartitions(s.sql(s"SELECT lang FROM $ta"))
+      scanFiles(s.sql(s"SELECT lang FROM $ta"))
     s.sql(s"DROP NAMESPACE $CatName.$ns CASCADE")
     import s.implicits._
     (rows.map { case (l, n, sc) => (l, n, sc) } :+

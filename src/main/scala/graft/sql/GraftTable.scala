@@ -47,7 +47,8 @@ import scala.jdk.CollectionConverters._
 class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
                  val ns: String, val tableName: String,
                  val pinnedSnapshot: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private[sql] lazy val state: SqlScanState =
     lake.sqlScanState(ns, tableName, pinnedSnapshot)
@@ -107,6 +108,61 @@ class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
       s"${name()}: cannot write to a time-travel (VERSION/TIMESTAMP AS " +
         "OF) relation")
     new GraftWriteBuilder(lake, ns, tableName)
+  }
+
+  // ---- DELETE FROM (row-level, merge-on-read) ----------------------------
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinnedSnapshot.isEmpty &&
+      filters.forall(GraftFilterColumns.toColumn(_).isDefined)
+
+  /** `DELETE FROM graft.ns.t WHERE ...` lands as ONE merge-on-read
+    * snapshot commit ([[SnapshotLakeCatalog.deleteWhereMOR]]): a position
+    * delete file over the matched rows, NO data rewrite — the cheap v2
+    * delete path whose read-time debt [[SnapshotLakeCatalog.compact]]
+    * folds away (until then the SQL scan serves the table through the
+    * composed plan). Untranslatable predicates are refused at
+    * [[canDeleteWhere]], so Spark fails the statement loudly instead of
+    * deleting the wrong rows. */
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond = filters.flatMap(GraftFilterColumns.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    lake.deleteWhereMOR(ns, tableName, cond)
+  }
+}
+
+/** v1 source Filter → Column translation for the DELETE face — exact or
+  * nothing (None = not translatable; the statement is refused, never
+  * approximated). */
+object GraftFilterColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col => c, lit}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case AlwaysTrue()  => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case EqualTo(a, v)            => Some(c(s"`$a`") === lit(v))
+    case EqualNullSafe(a, v)      => Some(c(s"`$a`") <=> lit(v))
+    case GreaterThan(a, v)        => Some(c(s"`$a`") > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(c(s"`$a`") >= lit(v))
+    case LessThan(a, v)           => Some(c(s"`$a`") < lit(v))
+    case LessThanOrEqual(a, v)    => Some(c(s"`$a`") <= lit(v))
+    case In(a, vs)                => Some(c(s"`$a`").isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(c(s"`$a`").isNull)
+    case IsNotNull(a)             => Some(c(s"`$a`").isNotNull)
+    case StringStartsWith(a, v)   => Some(c(s"`$a`").startsWith(v))
+    case StringEndsWith(a, v)     => Some(c(s"`$a`").endsWith(v))
+    case StringContains(a, v)     => Some(c(s"`$a`").contains(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r))
+      yield lc && rc
+    case Or(l, r)  => for (lc <- toColumn(l); rc <- toColumn(r))
+      yield lc || rc
+    case Not(x)    => toColumn(x).map(!_)
+    case _ => None
   }
 }
 
@@ -216,18 +272,50 @@ class GraftScan(spark: SparkSession, table: GraftTable,
         GraftPartitionPruning.catalystValue(
           f.partition.get(pf.name).flatten, pf.dataType)
       }
-      GraftFileSlice(f.path, f.sizeBytes, values)
+      GraftFileSlice(f.path, 0L, f.sizeBytes, f.sizeBytes, values)
     }.toArray
 
+  /** Spark's file-source sizing discipline, applied to the manifest list:
+    * files larger than `spark.sql.files.maxPartitionBytes` SPLIT into
+    * byte ranges (parquet row groups align to whichever range holds their
+    * midpoint — the same contract FileSourceScanExec relies on), then
+    * ranges GREEDY-PACK largest-first so many small files share one task
+    * (`openCostInBytes` padding). Without this, one task per file means a
+    * 2 GB file serializes on one core and 10k tiny files cost 10k task
+    * launches — both scale killers at 100 TB. */
   override def planInputPartitions(): Array[InputPartition] =
     bucketGroups match {
       case Some((_, _, groups)) =>
+        // KeyGrouped partitions bind to bucket ids — files stay whole and
+        // grouped (the SPJ contract); size skew inside a bucket is the
+        // layout's own N-vs-data choice
         groups.map { case (bucketId, fs) =>
           new KeyedGraftInputPartition(slices(fs), bucketId): InputPartition
         }.toArray
       case None =>
-        files.map(f =>
-          new GraftInputPartition(slices(Seq(f))): InputPartition).toArray
+        val conf = spark.sessionState.conf
+        val maxBytes = conf.filesMaxPartitionBytes
+        val openCost = conf.filesOpenCostInBytes
+        val split = slices(files).flatMap { s =>
+          (0L until math.max(1L, s.fileSize) by maxBytes).map(off =>
+            s.copy(start = off,
+              length = math.min(maxBytes, s.fileSize - off)))
+        }
+        val packed = Seq.newBuilder[Array[GraftFileSlice]]
+        val cur = Seq.newBuilder[GraftFileSlice]
+        var curBytes = 0L
+        var curN = 0
+        split.sortBy(-_.length).foreach { s =>
+          val cost = s.length + openCost
+          if (curN > 0 && curBytes + cost > maxBytes) {
+            packed += cur.result().toArray
+            cur.clear(); curBytes = 0L; curN = 0
+          }
+          cur += s; curBytes += cost; curN += 1
+        }
+        if (curN > 0) packed += cur.result().toArray
+        packed.result()
+          .map(fs => new GraftInputPartition(fs): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -251,9 +339,12 @@ class GraftScan(spark: SparkSession, table: GraftTable,
   }
 }
 
-/** One parquet file + the identity-partition values its rows carry (in
-  * the scan's required-partition-column order). */
-case class GraftFileSlice(path: String, length: Long,
+/** One parquet byte range + the identity-partition values its rows carry
+  * (in the scan's required-partition-column order). `start`/`length`
+  * bound the range (row groups align by midpoint), `fileSize` is the
+  * whole file's. */
+case class GraftFileSlice(path: String, start: Long, length: Long,
+                          fileSize: Long,
                           partValues: Array[Any]) extends Serializable
 
 class GraftInputPartition(val files: Array[GraftFileSlice])
@@ -280,7 +371,8 @@ case class GraftReaderFactory(
     p.asInstanceOf[GraftInputPartition].files.iterator.flatMap { f =>
       readFunc(PartitionedFile(
         new GenericInternalRow(f.partValues),
-        SparkPath.fromPathString(f.path), 0L, f.length))
+        SparkPath.fromPathString(f.path), f.start, f.length,
+        Array.empty[String], 0L, f.fileSize))
     }
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnar

@@ -74,9 +74,13 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     val all = finalPlan(spark.sql(s"SELECT * FROM $cat.prune.t"))
     val filtered = finalPlan(
       spark.sql(s"SELECT id FROM $cat.prune.t WHERE lang = 'en'"))
+    // distinct planned FILES, not partitions — bin-packing folds many
+    // files into one input partition
     def scanParts(p: SparkPlan): Int =
       collectPlan(p) { case b: BatchScanExec => b }.head
-        .inputPartitions.length
+        .inputPartitions
+        .flatMap(_.asInstanceOf[GraftInputPartition].files.map(_.path))
+        .distinct.length
     assert(scanParts(filtered) < scanParts(all),
       s"lang='en' must prune files: ${scanParts(filtered)} vs " +
         s"${scanParts(all)}")
@@ -170,6 +174,43 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
       Seq((1L, None), (2L, Some("x"))))
     spark.sql(s"DROP NAMESPACE $cat.alter CASCADE")
+  }
+
+  test("DELETE FROM through SQL lands as ONE merge-on-read commit; " +
+    "CTAS creates and loads; small files PACK into fewer input " +
+    "partitions than files") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.del")
+    spark.sql(s"CREATE TABLE $cat.del.t (id BIGINT, v STRING)")
+    // several commits -> several files (the packing input)
+    (0 until 4).foreach(k => spark.sql(
+      s"INSERT INTO $cat.del.t SELECT id, concat('v', id) FROM " +
+        s"range(${k * 25}, ${(k + 1) * 25})"))
+    val sqlCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftSqlCatalog]
+    val nFiles = sqlCat.lake.metaTable("del", "t", "files")
+      .filter($"content" === 0).count()
+    assert(nFiles >= 4, s"expected multiple files, got $nFiles")
+    val scan = spark.sql(s"SELECT id FROM $cat.del.t")
+    scan.collect()
+    val parts = collectPlan(finalPlan(scan)) {
+      case b: BatchScanExec => b }.head.inputPartitions.length
+    assert(parts < nFiles,
+      s"small files must bin-pack: $parts partitions for $nFiles files")
+    // DELETE FROM: translatable predicate -> one MOR commit, masked rows
+    // gone through SQL (the composed-read rule serves the debt table)
+    spark.sql(s"DELETE FROM $cat.del.t WHERE id < 10 OR id = 50")
+    assert(spark.sql(s"SELECT count(*), min(id) FROM $cat.del.t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head ==
+      ((89L, 10L)))
+    assert(sqlCat.lake.metaTable("del", "t", "files")
+      .filter($"content" > 0).count() > 0,
+      "DELETE FROM must land as delete FILES, not a rewrite")
+    // CTAS through the catalog (non-atomic create + insert)
+    spark.sql(s"CREATE TABLE $cat.del.recent AS " +
+      s"SELECT id, v FROM $cat.del.t WHERE id >= 90")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.del.recent").head()
+      .getLong(0) == 10L)
+    spark.sql(s"DROP NAMESPACE $cat.del CASCADE")
   }
 
   test("storage-partitioned join: two tables bucketed bucket(8, id) " +
