@@ -215,6 +215,28 @@ object InteropDump {
     cat.deleteWhereMOR(ns, "events_day", col("event_type") === "click")
     dump("events_day")
 
+    // (j) the DSv2 SQL FACE writes spec-conformant tables too (round 14):
+    // CREATE TABLE PARTITIONED BY + two INSERT INTO + SET TBLPROPERTIES +
+    // DELETE FROM — all through spark.sql against a GraftSqlCatalog
+    // mounted on the SAME warehouse — then read externally like every
+    // other fixture. Proves the SQL write path (V1 fallback onto append,
+    // SupportsDelete onto deleteWhereMOR, ALTER onto the CAS properties
+    // commit) leaves nothing behind only this library can read.
+    spark.conf.set("spark.sql.catalog.isql", "graft.sql.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.isql.warehouse",
+      Paths.get(outRoot, "warehouse").toString)
+    docs.createOrReplaceTempView("interop_docs")
+    spark.sql("CREATE TABLE isql.interop.sqlface " +
+      "(doc_id BIGINT, source STRING, lang STRING) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO isql.interop.sqlface " +
+      "SELECT doc_id, source, lang FROM interop_docs WHERE doc_id % 2 = 0")
+    spark.sql("INSERT INTO isql.interop.sqlface " +
+      "SELECT doc_id, source, lang FROM interop_docs WHERE doc_id % 2 = 1")
+    spark.sql("ALTER TABLE isql.interop.sqlface SET TBLPROPERTIES " +
+      "('written-by'='spark.sql')")
+    spark.sql("DELETE FROM isql.interop.sqlface WHERE source = 'src3'")
+    dump("sqlface")
+
     spark.stop()
   }
 }
