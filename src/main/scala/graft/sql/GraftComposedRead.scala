@@ -30,14 +30,14 @@ case class GraftComposedRead(spark: SparkSession) extends Rule[LogicalPlan] {
     case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
       val nq = rewrite(w.query)
       if (nq eq w.query) w else w.withNewQuery(nq)
-    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
-        r.table.asInstanceOf[GraftTable].needsComposition =>
-      val t = r.table.asInstanceOf[GraftTable]
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftComposable] &&
+        r.table.asInstanceOf[GraftComposable].needsComposition =>
+      val t = r.table.asInstanceOf[GraftComposable]
       val child = t.composedFrame().queryExecution.analyzed
       val byName = child.output.map(a => a.name -> a).toMap
       Project(r.output.map { a =>
         val src = byName.getOrElse(a.name, throw new IllegalStateException(
-          s"${t.name()}: composed plan lost column '${a.name}'"))
+          s"${r.table.name()}: composed plan lost column '${a.name}'"))
         Alias(src, a.name)(exprId = a.exprId)
       }, child)
     case other =>

@@ -64,9 +64,10 @@ class GraftSqlCatalog extends TableCatalog
   }
 
   private def split(ident: Identifier): (String, String) = {
-    require(ident.namespace().length == 1,
-      s"graft tables live under exactly one namespace level, got " +
-        s"'${ident.namespace().mkString(".")}.${ident.name()}'")
+    // tables live under exactly one namespace level; any other depth is
+    // "no such table" (NOT an error type the analyzer cannot recover
+    // from — it probes identifier splits during multi-part resolution)
+    if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     (ident.namespace()(0), ident.name())
   }
 
@@ -81,12 +82,21 @@ class GraftSqlCatalog extends TableCatalog
       .map(t => Identifier.of(namespace, t)).toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean = {
-    val (ns, t) = split(ident)
-    lake.tableExists(ns, t)
-  }
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 &&
+      lake.tableExists(ident.namespace()(0), ident.name())
+
+  private val MetaKinds = Set("snapshots", "history", "files",
+    "manifests", "partitions", "refs")
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: graft.ns.t.files parses as
+    // namespace [ns, t] + name "files" — a depth this catalog's real
+    // namespaces never have, so there is no ambiguity
+    if (ident.namespace().length == 2 && MetaKinds.contains(ident.name()) &&
+        lake.tableExists(ident.namespace()(0), ident.namespace()(1)))
+      return new GraftMetaTable(lake, catalogName,
+        ident.namespace()(0), ident.namespace()(1), ident.name())
     val (ns, t) = split(ident)
     if (!lake.tableExists(ns, t)) throw new NoSuchTableException(ident)
     new GraftTable(lake, catalogName, ns, t, None)

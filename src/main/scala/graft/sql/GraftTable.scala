@@ -44,20 +44,27 @@ import scala.jdk.CollectionConverters._
   * `pinnedSnapshot`: Some(id) for `VERSION AS OF`/`TIMESTAMP AS OF` reads
   * (writes refuse); None reads pin the CURRENT snapshot at load time, so
   * one query never sees two commits. */
+/** A DSv2 table whose read can (or must) be served by a library-composed
+  * DataFrame plan — the contract [[GraftComposedRead]] substitutes on. */
+trait GraftComposable {
+  def needsComposition: Boolean
+  def composedFrame(): DataFrame
+}
+
 class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
                  val ns: String, val tableName: String,
                  val pinnedSnapshot: Option[Long])
-    extends Table with SupportsRead with SupportsWrite
+    extends Table with SupportsRead with SupportsWrite with GraftComposable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private[sql] lazy val state: SqlScanState =
     lake.sqlScanState(ns, tableName, pinnedSnapshot)
 
-  private[sql] def needsComposition: Boolean = state.composed.isDefined
+  override def needsComposition: Boolean = state.composed.isDefined
 
   /** The composed read plan (library load/loadAt), pinned to the SAME
     * snapshot [[state]] planned against. */
-  private[sql] def composedFrame(): DataFrame =
+  override def composedFrame(): DataFrame =
     if (state.snapshotId >= 0)
       lake.composedFrame(ns, tableName, Some(state.snapshotId))
     else lake.composedFrame(ns, tableName, None)
@@ -132,6 +139,30 @@ class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     lake.deleteWhereMOR(ns, tableName, cond)
   }
+}
+
+/** Iceberg-style METADATA TABLES through SQL: `SELECT * FROM
+  * graft.ns.t.snapshots|history|files|manifests|partitions|refs` resolves
+  * here ([[GraftSqlCatalog.loadTable]] recognizes the 4-part identifier)
+  * and reads through [[graft.lake.SnapshotLakeCatalog.metaTable]] via the
+  * composed-read substitution — always composed (the faces are computed
+  * frames, not parquet), so the extensions are required, same as any
+  * debt-carrying table. */
+class GraftMetaTable(lake: SnapshotLakeCatalog, catalogName: String,
+                     ns: String, tableName: String, kind: String)
+    extends Table with SupportsRead with GraftComposable {
+  override def needsComposition: Boolean = true
+  override def composedFrame(): DataFrame =
+    lake.metaTable(ns, tableName, kind)
+  override def name(): String = s"$catalogName.$ns.$tableName.$kind"
+  override def schema(): StructType = composedFrame().schema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"${name()}: metadata tables read through the composed plan — " +
+        "install graft.GraftExtensions (spark.sql.extensions)")
 }
 
 /** v1 source Filter → Column translation for the DELETE face — exact or

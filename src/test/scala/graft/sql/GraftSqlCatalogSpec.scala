@@ -176,6 +176,55 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP NAMESPACE $cat.alter CASCADE")
   }
 
+  test("metadata tables through SQL: graft.ns.t.snapshots/files/" +
+    "history/partitions/refs resolve and agree with the lifecycle; " +
+    "days(ts) partition pruning bites through pushed timestamp filters") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.meta")
+    spark.sql(s"CREATE TABLE $cat.meta.t (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $cat.meta.t SELECT id, " +
+      "timestamp'2024-03-01 06:00:00' + make_interval(0,0,0,0,0,0,id*7200) " +
+      "FROM range(48)") // 4 days of events
+    spark.sql(s"INSERT INTO $cat.meta.t VALUES " +
+      "(99, timestamp'2024-03-09 12:00:00')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.meta.t.snapshots")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT operation FROM $cat.meta.t.snapshots " +
+      "ORDER BY snapshot_id").collect().map(_.getString(0)).toSeq ==
+      Seq("append", "append"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.meta.t.files WHERE content = 0")
+      .head().getLong(0) >= 5L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.meta.t.history")
+      .head().getLong(0) == 2L)
+    val parts = spark.sql(
+      s"SELECT partition FROM $cat.meta.t.partitions").collect()
+      .map(_.getString(0))
+    assert(parts.forall(_.startsWith("ts_day=")) &&
+      parts.exists(_.contains("2024-03-09")), parts.mkString(","))
+    assert(spark.sql(s"SELECT name, type FROM $cat.meta.t.refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("main", "branch")))
+    // days() pruning through the SQL scan: a one-day window plans fewer
+    // files than the whole table (the dir-string bound evaluation)
+    def files(q: String): Int = {
+      val df = spark.sql(q); df.collect()
+      collectPlan(finalPlan(df)) { case b: BatchScanExec => b }
+        .flatMap(_.inputPartitions)
+        .flatMap(_.asInstanceOf[GraftInputPartition].files.map(_.path))
+        .distinct.length
+    }
+    val all = files(s"SELECT id FROM $cat.meta.t")
+    val day = files(s"SELECT id FROM $cat.meta.t WHERE " +
+      "ts >= timestamp'2024-03-09 00:00:00' AND " +
+      "ts < timestamp'2024-03-10 00:00:00'")
+    assert(day < all, s"days(ts) pruning through SQL: $day vs $all")
+    assert(spark.sql(s"SELECT id FROM $cat.meta.t WHERE " +
+      "ts >= timestamp'2024-03-09 00:00:00'").collect()
+      .map(_.getLong(0)).toSeq == Seq(99L))
+    spark.sql(s"DROP NAMESPACE $cat.meta CASCADE")
+  }
+
   test("DELETE FROM through SQL lands as ONE merge-on-read commit; " +
     "CTAS creates and loads; small files PACK into fewer input " +
     "partitions than files") {
