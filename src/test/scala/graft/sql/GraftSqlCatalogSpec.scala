@@ -262,6 +262,53 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP NAMESPACE $cat.del CASCADE")
   }
 
+  test("runtime filtering (DPP analog): a runtime IN predicate on the " +
+    "identity partition source drops files before planning; bucket " +
+    "scans refuse runtime filtering to keep KeyGrouped stable") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import org.apache.spark.sql.connector.expressions.{Expressions, LiteralValue}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.unsafe.types.UTF8String
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rt")
+    spark.sql(s"CREATE TABLE $cat.rt.t (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.rt.t SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' " +
+      "ELSE 'fr' END FROM range(90)")
+    val tc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+    def newScan(table: String): GraftScan =
+      tc.loadTable(Identifier.of(Array("rt"), table))
+        .asInstanceOf[GraftTable]
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+        .asInstanceOf[GraftScan]
+    def fileCount(s: GraftScan): Int = s.toBatch.planInputPartitions()
+      .flatMap(_.asInstanceOf[GraftInputPartition].files.map(_.path))
+      .distinct.length
+    val scan = newScan("t")
+    assert(scan.filterAttributes().map(_.fieldNames().mkString("."))
+      .toSeq == Seq("lang"),
+      "identity partition sources must be runtime-filterable")
+    val before = fileCount(scan)
+    // the runtime literal arrives as a CATALYST value (UTF8String), the
+    // way Spark's DPP subquery materializes them
+    scan.filter(Array(new Predicate("IN",
+      Array(Expressions.column("lang"),
+        Expressions.literal(UTF8String.fromString("en"))))))
+    val after = fileCount(scan)
+    assert(after < before, s"runtime IN must drop files: $after/$before")
+    assert(scan.estimateStatistics().numRows().getAsLong == 30L,
+      "post-filter statistics must reflect the pruned set")
+    // bucket scans opt out (shrinking the set would destabilize the
+    // reported KeyGroupedPartitioning mid-plan)
+    spark.sql(s"CREATE TABLE $cat.rt.b (id BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $cat.rt.b SELECT id FROM range(100)")
+    assert(newScan("b").filterAttributes().isEmpty)
+    spark.sql(s"DROP NAMESPACE $cat.rt CASCADE")
+  }
+
   test("storage-partitioned join: two tables bucketed bucket(8, id) " +
     "equi-join with ZERO shuffle exchanges; bucket point lookup prunes " +
     "to one bucket's files") {
