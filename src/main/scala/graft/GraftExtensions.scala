@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AnchorFingerprints, BinaryVecExpr, BpeCount, CharBigrams, DHash64, IcebergBucket, IntVecDot, IntVecExprs, IntVecNearest, IntVecNorm2, IntVecQuant, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles, ZOrder2}
+import graft.functions.{AnchorFingerprints, BinaryVecExpr, BpeCount, CharBigrams, CharClassEntropy, DHash64, IcebergBucket, IntVecDot, IntVecExprs, IntVecNearest, IntVecNorm2, IntVecQuant, NormMd5, RhpBucket, RollingFingerprint, ShingleMinHash, TokenSimHash, VecCosine, VecDot, WordShingles, ZOrder2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("rolling_fingerprint", args => RollingFingerprint(args.head)))
     ext.injectFunction(fn("norm_md5", args => NormMd5(args.head)))
     ext.injectFunction(fn("bpe_count", args => BpeCount(args.head)))
+    // keep this list a SUPERSET of TextHashExprs.register's:
+    // Tables.prepareSession skips the imperative registration when the
+    // probe function exists, so a name present there but missing here
+    // would be unresolvable in extension-built sessions (bit q113 once)
+    ext.injectFunction(fn("char_class_entropy",
+      args => CharClassEntropy(args.head)))
     ext.injectFunction(fn("vec_dot", args => VecDot(args(0), args(1))))
     ext.injectFunction(fn("vec_cosine", args => VecCosine(args(0), args(1))))
     ext.injectFunction(fn("rhp_bucket", args =>
