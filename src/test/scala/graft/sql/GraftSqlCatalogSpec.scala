@@ -306,6 +306,18 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
       "PARTITIONED BY (bucket(4, id))")
     spark.sql(s"INSERT INTO $cat.rt.b SELECT id FROM range(100)")
     assert(newScan("b").filterAttributes().isEmpty)
+    // ...and Spark's planner WIRES the loop end-to-end: a join keyed on
+    // the partition source with a selective dim side plants a
+    // dynamic-pruning subquery on OUR scan
+    spark.sql(s"CREATE TABLE $cat.rt.dim (lang STRING, region STRING)")
+    spark.sql(s"INSERT INTO $cat.rt.dim VALUES " +
+      "('en','us'),('de','eu'),('fr','eu')")
+    val j = spark.sql(s"SELECT count(*) FROM $cat.rt.t f " +
+      s"JOIN $cat.rt.dim d ON f.lang = d.lang WHERE d.region = 'us'")
+    assert(j.head().getLong(0) == 30L)
+    val planStr = j.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruningexpression"),
+      s"the fact scan must carry a runtime pruning filter:\n$planStr")
     spark.sql(s"DROP NAMESPACE $cat.rt CASCADE")
   }
 
