@@ -3247,7 +3247,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           .map(e => SqlDataFile(
             if (e.filePath.startsWith("/")) e.filePath
             else base.resolve(e.filePath).toString,
-            e.fileSizeInBytes, e.recordCount, e.partition.toMap))
+            e.fileSizeInBytes, e.recordCount, e.partition.toMap,
+            e.lowerBounds, e.upperBounds))
       }
     val bucket = specFields.filter(_.transform.startsWith("bucket[")) match {
       case Seq(f) => Some((f.srcName,
@@ -3332,10 +3333,14 @@ object SnapshotLakeCatalog {
                           srcType: org.apache.spark.sql.types.DataType)
 
   /** One live data file of a snapshot (manifest-sourced — no directory
-    * listing): absolute path, size, row count, and the partition tuple
-    * (spec field name → path value, None = null/not derivable). */
+    * listing): absolute path, size, row count, the partition tuple
+    * (spec field name → path value, None = null/not derivable), and the
+    * manifest's per-column Appendix-D bounds (field id → encoded
+    * lower/upper, the stats-tier file-skipping input). */
   case class SqlDataFile(path: String, sizeBytes: Long, rows: Long,
-                         partition: Map[String, Option[String]])
+                         partition: Map[String, Option[String]],
+                         lower: Seq[(Int, Array[Byte])] = Nil,
+                         upper: Seq[(Int, Array[Byte])] = Nil)
 
   /** The DSv2 plugin's planning snapshot of one table
     * ([[SnapshotLakeCatalog.sqlScanState]]): `composed` = Some(reason)

@@ -279,7 +279,8 @@ class GraftScanBuilder(spark: SparkSession, table: GraftTable)
     val reqPart = StructType(required.fields.filter(f =>
       identityNames.contains(f.name)))
     val files = st.files.filter(f => pushed.forall(flt =>
-      GraftPartitionPruning.mayMatch(f, st.partFields, flt)))
+      GraftPartitionPruning.mayMatch(f, st.partFields, flt) &&
+        GraftPartitionPruning.statsMayMatch(f, st.schema, flt)))
     new GraftScan(spark, table, reqData, reqPart, pushed, files)
   }
 }
@@ -545,6 +546,77 @@ object GraftPartitionPruning {
       case other => throw new IllegalStateException(
         s"non-native identity partition type ${other.catalogString} " +
           "(sqlScanState should have composed)")
+    }
+  }
+
+  /** STATS TIER (the loadSlice bounds discipline, through SQL): prune a
+    * file when its manifest column bounds PROVE the pushed filter cannot
+    * match — narrowly, for the types whose v1 literal domain is
+    * unambiguous (long/int/string/date; timestamps ride the partition
+    * tier and parquet row-group stats instead). Truncated string bounds
+    * stay VALID bounds (lower = prefix, upper = incremented prefix —
+    * spec-pinned), so comparing against them never wrong-prunes. A file
+    * without bounds for the column is kept; the engine re-applies every
+    * filter exactly. */
+  def statsMayMatch(file: SqlDataFile, schema: StructType,
+                    filter: Filter): Boolean = filter match {
+    case FAnd(l, r) =>
+      statsMayMatch(file, schema, l) && statsMayMatch(file, schema, r)
+    case FOr(l, r) =>
+      statsMayMatch(file, schema, l) || statsMayMatch(file, schema, r)
+    case FNot(_) => true
+    case EqualTo(a, v)            => boundStat(file, schema, a, v, 0)
+    case GreaterThan(a, v)        => boundStat(file, schema, a, v, 1)
+    case GreaterThanOrEqual(a, v) => boundStat(file, schema, a, v, 1)
+    case LessThan(a, v)           => boundStat(file, schema, a, v, -1)
+    case LessThanOrEqual(a, v)    => boundStat(file, schema, a, v, -1)
+    case In(a, vs) => vs.exists(v => boundStat(file, schema, a, v, 0))
+    case _ => true
+  }
+
+  /** op: 0 = equality (v must sit inside [lower, upper]), 1 = lower
+    * bound (file survives iff upper >= v), -1 = upper bound (iff
+    * lower <= v). Normalized domains: Long for long/int/date, UTF-8
+    * bytes for string. Anything unprovable keeps the file. */
+  private def boundStat(file: SqlDataFile, schema: StructType,
+                        attr: String, v: Any, op: Int): Boolean = {
+    if (v == null) return true
+    val idx = schema.fieldNames.indexOf(attr)
+    if (idx < 0) return true
+    val ic = schema.fields(idx).dataType match {
+      case LongType    => "long"
+      case IntegerType => "int"
+      case StringType  => "string"
+      case DateType    => "date"
+      case _           => return true
+    }
+    val statId = idx + 1
+    def decoded(side: Seq[(Int, Array[Byte])]): Option[Any] =
+      side.find(_._1 == statId).map(_._2)
+        .flatMap(graft.lake.AvroManifests.decodeBound(ic, _))
+    val lit: Any = (ic, v) match {
+      case ("long" | "int", n: Number) => n.longValue()
+      case ("date", d: java.sql.Date) => d.toLocalDate.toEpochDay
+      case ("date", d: java.time.LocalDate) => d.toEpochDay
+      case ("string", s: String) =>
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case ("string", u: UTF8String) => u.getBytes
+      case _ => return true
+    }
+    def cmp(bound: Any): Option[Int] = (bound, lit) match {
+      case (b: Long, l: Long) => Some(java.lang.Long.compare(b, l))
+      case (b: Int, l: Long)  => Some(java.lang.Long.compare(b.toLong, l))
+      case (b: Array[Byte], l: Array[Byte]) =>
+        Some(graft.lake.AvroManifests.compareUnsigned(b, l))
+      case _ => None
+    }
+    val lowerOk = decoded(file.lower).flatMap(cmp) // lower vs lit
+    val upperOk = decoded(file.upper).flatMap(cmp) // upper vs lit
+    op match {
+      case 0  => lowerOk.forall(_ <= 0) && upperOk.forall(_ >= 0)
+      case 1  => upperOk.forall(_ >= 0)
+      case -1 => lowerOk.forall(_ <= 0)
+      case _  => true
     }
   }
 

@@ -262,6 +262,46 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP NAMESPACE $cat.del CASCADE")
   }
 
+  test("stats-tier file skipping through SQL: range/equality filters on " +
+    "a SORTED column plan only the bound-overlapping files (manifest " +
+    "Appendix-D bounds, long and string)") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.stats")
+    val sqlCat = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftSqlCatalog]
+    val df = spark.range(0, 8000).selectExpr("id",
+      "concat('v', lpad(cast(id as string), 6, '0')) AS v")
+    sqlCat.lake.ensureTable("stats", "t", df.schema)
+    sqlCat.lake.appendSorted("stats", "t", df, Seq("id"),
+      targetFiles = Some(8))
+    def files(q: String): Int = {
+      val d = spark.sql(q); d.collect()
+      collectPlan(finalPlan(d)) { case b: BatchScanExec => b }
+        .flatMap(_.inputPartitions)
+        .flatMap(_.asInstanceOf[GraftInputPartition].files.map(_.path))
+        .distinct.length
+    }
+    val all = files(s"SELECT id FROM $cat.stats.t")
+    assert(all >= 8, s"sorted write should land ~8 files, got $all")
+    val window = files(
+      s"SELECT id FROM $cat.stats.t WHERE id BETWEEN 100 AND 300")
+    assert(window < all && window >= 1,
+      s"long-bounds skipping: $window of $all files")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.stats.t " +
+      "WHERE id BETWEEN 100 AND 300").head().getLong(0) == 201L)
+    // string bounds (truncated prefixes stay valid bounds): the sorted
+    // id order IS the v order by construction
+    val point = files(
+      s"SELECT v FROM $cat.stats.t WHERE v = 'v004242'")
+    assert(point < all, s"string-bounds skipping: $point of $all")
+    assert(spark.sql(s"SELECT id FROM $cat.stats.t WHERE v = 'v004242'")
+      .head().getLong(0) == 4242L)
+    // a filter on an unbounded/uncovered shape keeps everything (never
+    // wrong-prunes): inequality via NOT is conservative
+    assert(spark.sql(s"SELECT count(*) FROM $cat.stats.t " +
+      "WHERE NOT (id < 4000)").head().getLong(0) == 4000L)
+    spark.sql(s"DROP NAMESPACE $cat.stats CASCADE")
+  }
+
   test("runtime filtering (DPP analog): a runtime IN predicate on the " +
     "identity partition source drops files before planning; bucket " +
     "scans refuse runtime filtering to keep KeyGrouped stable") {
