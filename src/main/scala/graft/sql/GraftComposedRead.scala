@@ -30,6 +30,20 @@ case class GraftComposedRead(spark: SparkSession) extends Rule[LogicalPlan] {
     case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
       val nq = rewrite(w.query)
       if (nq eq w.query) w else w.withNewQuery(nq)
+    // row-level commands bind to the RELATION itself (DeleteFromTableExec
+    // resolves the SupportsDelete table off it) — substituting the table
+    // child would break `DELETE FROM` on a debt-carrying table; only the
+    // condition's subqueries read-compose
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+      val nc = d.condition.transformUp {
+        case se: SubqueryExpression if rewrite(se.plan) ne se.plan =>
+          se.withNewPlan(rewrite(se.plan))
+      }
+      if (nc eq d.condition) d else d.copy(condition = nc)
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      val ns = rewrite(m.sourceTable)
+      if (ns eq m.sourceTable) m else m.copy(sourceTable = ns)
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftComposable] &&
         r.table.asInstanceOf[GraftComposable].needsComposition =>
       val t = r.table.asInstanceOf[GraftComposable]

@@ -101,13 +101,19 @@ class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
     (state.properties + ("provider" -> "graft")).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a composed table still hands out a ScanBuilder — planners build
+    // scans they never execute (e.g. the pushdown pass under a
+    // DeleteFromTable that the metadata-only conversion then replaces);
+    // the loud failure moves to EXECUTION (GraftUnreadableScan), so a
+    // debt-table DELETE works while an actual extension-less read still
+    // fails instead of reading wrong
     if (needsComposition)
-      throw new UnsupportedOperationException(
+      new GraftUnreadableScanBuilder(state.schema,
         s"${name()}: the native SQL scan cannot represent this table — " +
           s"${state.composed.get}. Install graft.GraftExtensions " +
           "(spark.sql.extensions) for the composed read, or fold the " +
           "state away (compact()).")
-    new GraftScanBuilder(SparkSession.active, this)
+    else new GraftScanBuilder(SparkSession.active, this)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -160,9 +166,27 @@ class GraftMetaTable(lake: SnapshotLakeCatalog, catalogName: String,
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new UnsupportedOperationException(
+    new GraftUnreadableScanBuilder(schema(),
       s"${name()}: metadata tables read through the composed plan — " +
         "install graft.GraftExtensions (spark.sql.extensions)")
+}
+
+/** The deferred-failure scan for tables only the composed plan can read:
+  * building succeeds (planner passes probe scans they never run),
+  * EXECUTING throws the actionable message. */
+class GraftUnreadableScanBuilder(full: StructType, msg: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      throw new UnsupportedOperationException(msg)
+    override def createReaderFactory(): PartitionReaderFactory =
+      throw new UnsupportedOperationException(msg)
+  }
 }
 
 /** v1 source Filter → Column translation for the DELETE face — exact or

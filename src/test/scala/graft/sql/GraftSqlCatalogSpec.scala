@@ -251,6 +251,12 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*), min(id) FROM $cat.del.t")
       .collect().map(r => (r.getLong(0), r.getLong(1))).head ==
       ((89L, 10L)))
+    // a SECOND delete targets a table that now CARRIES debt: the
+    // substitution rule must leave DeleteFromTable's relation alone
+    // (it broke once — 'Unexpected table relation: Project')
+    spark.sql(s"DELETE FROM $cat.del.t WHERE id = 60")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.del.t").head()
+      .getLong(0) == 88L)
     assert(sqlCat.lake.metaTable("del", "t", "files")
       .filter($"content" > 0).count() > 0,
       "DELETE FROM must land as delete FILES, not a rewrite")
@@ -259,6 +265,13 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
       s"SELECT id, v FROM $cat.del.t WHERE id >= 90")
     assert(spark.sql(s"SELECT count(*) FROM $cat.del.recent").head()
       .getLong(0) == 10L)
+    // TRUNCATE TABLE rides the SupportsDelete default (delete-all as one
+    // MOR commit); DESCRIBE surfaces the partitioning
+    spark.sql(s"TRUNCATE TABLE $cat.del.recent")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.del.recent").head()
+      .getLong(0) == 0L)
+    assert(spark.sql(s"DESCRIBE TABLE $cat.del.t").collect()
+      .map(_.getString(0)).contains("id"))
     spark.sql(s"DROP NAMESPACE $cat.del CASCADE")
   }
 
