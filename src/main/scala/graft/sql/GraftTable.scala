@@ -161,7 +161,10 @@ class GraftMetaTable(lake: SnapshotLakeCatalog, catalogName: String,
   override def composedFrame(): DataFrame =
     lake.metaTable(ns, tableName, kind)
   override def name(): String = s"$catalogName.$ns.$tableName.$kind"
-  override def schema(): StructType = composedFrame().schema
+  // analysis probes schema() repeatedly; building the face once per
+  // table instance keeps the manifest reads off that path
+  private lazy val cachedSchema: StructType = composedFrame().schema
+  override def schema(): StructType = cachedSchema
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(
