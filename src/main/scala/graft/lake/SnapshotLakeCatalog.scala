@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
@@ -708,40 +708,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       case Some(meta) =>
         // creation race: the loser lands here against the winner's v1 and
         // re-runs as plain evolution — no second create ever published
-        val existing = metaSchema(meta)
-        val diff =
-          SchemaShape.diffForEvolution(existing, schema, s"$ns.$table")
-        if (diff.isEmpty) None
-        else {
-          // an added column must not resurrect a RETIRED name (a former
-          // name of a renamed field): the read path maps old files'
-          // physical columns by name history, and a live column wearing
-          // a retired name would make that mapping ambiguous
-          val retired = retiredNames(meta)
-          diff.added.foreach(f => require(!retired.contains(f.name),
-            s"$ns.$table: cannot add column '${f.name}' — the name is a " +
-              "retired former name of a renamed column; old data files " +
-              "still carry it physically, so re-using it would make the " +
-              "rename read-mapping ambiguous"))
-          // evolution, spec-style: APPEND a new schema object with the
-          // next schema-id and point current-schema-id at it — history
-          // keeps every schema; existing snapshots keep their layout,
-          // load() aligns. Promotions (int->long, float->double, decimal
-          // widening — VERDICT r11 #1) change ONLY the recorded type:
-          // field order (= field ids) is preserved, old data files keep
-          // their narrower physical type, and the read path casts up.
-          val promotedTypes = diff.promoted.toMap
-          val widened = StructType(existing.fields.map(f =>
-            promotedTypes.get(f.name)
-              .map(t => f.copy(dataType = t)).getOrElse(f)) ++ diff.added)
-          val nextId = meta.get("schemas").elements().asScala
-            .map(_.get("schema-id").asInt()).max + 1
-          meta.get("schemas").asInstanceOf[ArrayNode]
-            .add(schemaNode(widened, nextId))
-          meta.put("current-schema-id", nextId)
-          meta.put("last-column-id", widened.fields.length)
-          Some(meta)
-        }
+        evolveSchemaInCommit(ns, table, meta, schema)
     }
     // layout evolution rides a SEPARATE commit (updatePartitionSpec
     // no-ops when the declared layout already IS the default spec, incl.
@@ -754,6 +721,86 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         readMeta(ns, table).get("bucket-spec").isNull)
       updatePartitionSpec(ns, table, partitionBy)
   }
+
+
+  /** The schema-evolution step, run INSIDE a [[commit]] closure against
+    * the CAS-fresh metadata (ADVICE r14: computing the target schema from
+    * a schema read OUTSIDE the commit lets two racing ALTERs silently
+    * base on stale state). Appends a new schema object with the next
+    * schema-id when `declared` adds columns or widens types; no-op when
+    * `declared` is already covered. Field order (= positional field ids)
+    * is preserved; promotions change only the recorded type. */
+  private def evolveSchemaInCommit(ns: String, table: String,
+                                   meta: ObjectNode,
+                                   declared: StructType): Option[ObjectNode] = {
+    val existing = metaSchema(meta)
+    val diff =
+      SchemaShape.diffForEvolution(existing, declared, s"$ns.$table")
+    if (diff.isEmpty) None
+    else {
+      // an added column must not resurrect a RETIRED name (a former
+      // name of a renamed field): the read path maps old files'
+      // physical columns by name history, and a live column wearing
+      // a retired name would make that mapping ambiguous
+      val retired = retiredNames(meta)
+      diff.added.foreach(f => require(!retired.contains(f.name),
+        s"$ns.$table: cannot add column '${f.name}' — the name is a " +
+          "retired former name of a renamed column; old data files " +
+          "still carry it physically, so re-using it would make the " +
+          "rename read-mapping ambiguous"))
+      // evolution, spec-style: APPEND a new schema object with the
+      // next schema-id and point current-schema-id at it — history
+      // keeps every schema; existing snapshots keep their layout,
+      // load() aligns. Promotions (int->long, float->double, decimal
+      // widening — VERDICT r11 #1) change ONLY the recorded type:
+      // field order (= field ids) is preserved, old data files keep
+      // their narrower physical type, and the read path casts up.
+      val promotedTypes = diff.promoted.toMap
+      val widened = StructType(existing.fields.map(f =>
+        promotedTypes.get(f.name)
+          .map(t => f.copy(dataType = t)).getOrElse(f)) ++ diff.added)
+      val nextId = meta.get("schemas").elements().asScala
+        .map(_.get("schema-id").asInt()).max + 1
+      meta.get("schemas").asInstanceOf[ArrayNode]
+        .add(schemaNode(widened, nextId))
+      meta.put("current-schema-id", nextId)
+      meta.put("last-column-id", widened.fields.length)
+      Some(meta)
+    }
+  }
+
+  /** `ALTER TABLE ADD COLUMNS` face: the read-modify-write (current
+    * schema + new columns) happens INSIDE one CAS commit, so a racing
+    * ALTER or schema-evolving write can never be silently rebased away
+    * (ADVICE r14). Fails on an existing or retired name. */
+  def addColumns(ns: String, table: String,
+                 cols: Seq[StructField]): Unit =
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        val cur = metaSchema(meta)
+        cols.foreach(c => require(!cur.fieldNames.contains(c.name),
+          s"$ns.$table: column '${c.name}' already exists"))
+        evolveSchemaInCommit(ns, table, meta,
+          StructType(cur.fields ++ cols))
+    }
+
+  /** `ALTER COLUMN TYPE` face — same single-CAS discipline as
+    * [[addColumns]]; only Iceberg-safe promotions pass (the shared
+    * [[SchemaShape.diffForEvolution]] widening rule). */
+  def updateColumnType(ns: String, table: String, column: String,
+                       newType: DataType): Unit =
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        val cur = metaSchema(meta)
+        require(cur.fieldNames.contains(column),
+          s"$ns.$table: no such column '$column'")
+        evolveSchemaInCommit(ns, table, meta, StructType(cur.fields.map(
+          f => if (f.name == column) f.copy(dataType = newType) else f)))
+    }
 
   /** PARTITION SPEC EVOLUTION (Iceberg spec §Partition Evolution): declare
     * a NEW default partition layout for FUTURE writes — existing data
@@ -1615,8 +1662,20 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         val sn = byId.getOrElse(snapshotId,
           throw new IllegalArgumentException(
             s"unknown or expired snapshot $snapshotId on $ns.$table"))
-        val parent = Option(sn.get("parent-snapshot-id")).map(_.asLong())
-          .flatMap(byId.get)
+        // "no parent recorded" (root snapshot) and "parent recorded but
+        // expired" are NOT the same: an empty parentLive would make
+        // `added` the staged snapshot's ENTIRE live set, and if main has
+        // since compacted those inherited dirs the publish would silently
+        // duplicate rows. Expired parent → fail loudly, name re-staging.
+        val parentId = Option(sn.get("parent-snapshot-id"))
+          .filterNot(_.isNull).map(_.asLong())
+        val parent = parentId.map { pid =>
+          byId.getOrElse(pid, throw new IllegalStateException(
+            s"cherrypickSnapshot($snapshotId) on $ns.$table: parent " +
+              s"snapshot $pid has been expired — the staged snapshot's " +
+              "base is gone, so its pure-append delta cannot be " +
+              "reconstructed; re-stage against the current head"))
+        }
         val parentLive = parent.map(liveDirsOf).getOrElse(Seq.empty)
         val snLive = liveDirsOf(sn)
         val op = sn.get("operation").asText()

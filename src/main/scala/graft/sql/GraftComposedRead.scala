@@ -36,8 +36,9 @@ case class GraftComposedRead(spark: SparkSession) extends Rule[LogicalPlan] {
     // condition's subqueries read-compose
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
       val nc = d.condition.transformUp {
-        case se: SubqueryExpression if rewrite(se.plan) ne se.plan =>
-          se.withNewPlan(rewrite(se.plan))
+        case se: SubqueryExpression =>
+          val np = rewrite(se.plan)
+          if (np eq se.plan) se else se.withNewPlan(np)
       }
       if (nc eq d.condition) d else d.copy(condition = nc)
     case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
@@ -57,9 +58,9 @@ case class GraftComposedRead(spark: SparkSession) extends Rule[LogicalPlan] {
     case other =>
       val mapped = other.mapChildren(rewrite)
       mapped.transformExpressions {
-        case se: SubqueryExpression
-            if rewrite(se.plan) ne se.plan =>
-          se.withNewPlan(rewrite(se.plan))
+        case se: SubqueryExpression =>
+          val np = rewrite(se.plan)
+          if (np eq se.plan) se else se.withNewPlan(np)
       }
   }
 }

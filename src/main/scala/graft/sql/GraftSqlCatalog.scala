@@ -179,8 +179,9 @@ class GraftSqlCatalog extends TableCatalog
         require(a.fieldNames().length == 1,
           s"only top-level ADD COLUMN is supported, got " +
             a.fieldNames().mkString("."))
-        val cur = lake.sqlScanState(ns, t, None).schema
-        lake.ensureTable(ns, t, StructType(cur.fields :+
+        // read-modify-write runs INSIDE the lake's CAS commit (ADVICE
+        // r14: a schema read out here can race another ALTER)
+        lake.addColumns(ns, t, Seq(
           StructField(a.fieldNames()(0), a.dataType(), a.isNullable)))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
@@ -191,10 +192,7 @@ class GraftSqlCatalog extends TableCatalog
         require(u.fieldNames().length == 1,
           s"only top-level ALTER COLUMN TYPE is supported, got " +
             u.fieldNames().mkString("."))
-        val cur = lake.sqlScanState(ns, t, None).schema
-        lake.ensureTable(ns, t, StructType(cur.fields.map(f =>
-          if (f.name == u.fieldNames()(0)) f.copy(dataType = u.newDataType())
-          else f)))
+        lake.updateColumnType(ns, t, u.fieldNames()(0), u.newDataType())
       case s: TableChange.SetProperty =>
         lake.setProperties(ns, t, Map(s.property() -> s.value()))
       case rp: TableChange.RemoveProperty =>

@@ -365,8 +365,20 @@ class GraftScan(spark: SparkSession, table: GraftTable,
       s"files=${files.length} pushed=${pushed.mkString(",")}"
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(liveFiles.map(_.sizeBytes).sum)
+    // The broadcast-threshold comparison is against IN-MEMORY size, so
+    // raw compressed parquet bytes understate the side by the compression
+    // ratio (OOM risk on a "small" broadcast). Report the larger of the
+    // conf-scaled file bytes (spark.sql.sources.fileCompressionFactor,
+    // same knob Spark's file sources honor) and rows × decompressed row
+    // width of the schema actually read.
+    override def sizeInBytes(): OptionalLong = {
+      val factor = org.apache.spark.sql.internal.SQLConf.get
+        .fileCompressionFactor
+      val scaled = (liveFiles.map(_.sizeBytes).sum * factor).toLong
+      val rowEst = liveFiles.map(_.rows).sum * math.max(
+        readSchema().defaultSize.toLong, 1L)
+      OptionalLong.of(math.max(scaled, rowEst))
+    }
     override def numRows(): OptionalLong =
       OptionalLong.of(liveFiles.map(_.rows).sum)
   }
@@ -726,11 +738,18 @@ object GraftPartitionPruning {
           case _         => return None
         }
         Some(java.lang.Long.compare(dir.toLong, lit))
-      case StringType => v match {
-        case s: String => Some(dir.compareTo(s))
-        case u: UTF8String => Some(dir.compareTo(u.toString))
-        case _ => None
-      }
+      case StringType =>
+        // Spark orders strings by UTF-8 BYTES (UTF8String.binaryCompare),
+        // not UTF-16 code units — the orders diverge for supplementary
+        // code points vs U+E000–U+FFFF, and a code-unit compare here
+        // would WRONGLY prune a matching file (not merely keep extra).
+        val litBytes: Array[Byte] = v match {
+          case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case u: UTF8String => u.getBytes
+          case _ => return None
+        }
+        Some(graft.lake.AvroManifests.compareUnsigned(
+          dir.getBytes(java.nio.charset.StandardCharsets.UTF_8), litBytes))
       case DateType =>
         val lit = v match {
           case d: java.sql.Date => d.toLocalDate.toEpochDay
