@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // snapshot the native file scan cannot represent (MOR delete debt,
     // rename/promotion history) read through the library's proven plan
     ext.injectResolutionRule(session => graft.sql.GraftComposedRead(session))
+    // SQL UPDATE / MERGE INTO on graft tables: lowered onto the lake's
+    // atomic merge-on-read commit (position mask + new-version append)
+    ext.injectPlannerStrategy(session =>
+      graft.sql.GraftRowLevelStrategy(session))
   }
 }

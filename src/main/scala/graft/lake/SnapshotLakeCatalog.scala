@@ -2484,6 +2484,122 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       .toDF("kind", "seq", "n_rows", "n_masking", "n_dangling")
   }
 
+  // ---- SQL row-level commands (UPDATE / MERGE INTO) ----------------------
+
+  /** Hook for specs to inject a racing commit between the row-level
+    * command's scan and its commit (same role as [[beforeDeleteCommit]]/
+    * [[beforeUpsertCommit]] for the other MOR faces). */
+  protected def beforeRowLevelCommit(ns: String, table: String): Unit = ()
+
+  /** The position-tagged scan a SQL `UPDATE`/`MERGE INTO` computes its
+    * delta against: the CURRENT snapshot with all delete debt applied,
+    * plus the `(_graft_file, _graft_pos)` columns a position delete
+    * binds to ([[rowLevelPosCols]]). Returns the frame and the live dirs
+    * it read — the commit-time validation set ([[commitRowLevel]]). An
+    * empty/unborn table yields a zero-row frame with the table schema
+    * (a MERGE whose only work is WHEN NOT MATCHED INSERT still runs). */
+  private[graft] def rowLevelScan(ns: String, table: String)
+      : (DataFrame, Seq[String]) = {
+    val meta = readMeta(ns, table)
+    currentSnapNode(meta).map(sn => (sn, liveDirsOf(sn))) match {
+      case Some((sn, live)) if live.nonEmpty =>
+        (scanWithDeletes(ns, table, meta, sn, live, withPos = true), live)
+      case _ =>
+        val schema = metaSchema(meta)
+        val tagged = StructType(schema.fields ++ Seq(
+          StructField(PosFileTag, org.apache.spark.sql.types.StringType),
+          StructField(PosPosTag, org.apache.spark.sql.types.LongType)))
+        (spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tagged),
+          Seq.empty)
+    }
+  }
+
+  /** The `(file, pos)` tag column names [[rowLevelScan]] attaches. */
+  private[graft] def rowLevelPosCols: (String, String) =
+    (PosFileTag, PosPosTag)
+
+  /** The commit half of SQL `UPDATE`/`MERGE INTO` (VERDICT r14 #1):
+    * ONE atomic merge-on-read snapshot that masks `positions`
+    * (`file_path`, `pos` — the spec's position-delete parquet, sorted)
+    * and lands `rows` (updated versions + inserts) as a new data dir —
+    * removal and insertion are never separately visible, exactly like
+    * [[upsertMOR]]'s key face. Either side may be empty: inserts-only
+    * commits as a plain append, deletes-only as a delete; both empty is
+    * a no-op (no commit published).
+    *
+    * Cost shape at 100 TB: writes proportional to the DELTA (matched +
+    * inserted rows), zero data rewrite — the cheap path for selective
+    * updates; read-time debt accrues one (file, pos) anti-join and
+    * [[compact]] folds it away. A whole-table UPDATE pays ~2x the table
+    * in writes (mask everything + rewrite everything) — at that shape
+    * [[foldReplace]]/[[overwrite]] is the right face instead.
+    *
+    * Isolation: identical to [[deleteWhereMOR]] — positions bind to
+    * files, so the commit validates every dir the scan read is still
+    * live (a concurrent compact/overwrite conflicts loudly); racing
+    * appends rebase cleanly (their dirs are never named by the mask). */
+  private[graft] def commitRowLevel(ns: String, table: String,
+                                    positions: DataFrame,
+                                    rows: DataFrame,
+                                    readLive: Seq[String]): (Long, Long) = {
+    val meta = readMeta(ns, table)
+
+    var posDir: Option[String] = None
+    var nDel = 0L
+    var newDir: Option[String] = None
+    var nIns = 0L
+    def cleanup(): Unit = {
+      posDir.foreach(dropDirArtifacts(ns, table, _))
+      newDir.foreach(dropDirArtifacts(ns, table, _))
+    }
+    try {
+      val d = s"del-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
+      val dPath = dataDir(ns, table).resolve(d)
+      positions.select(col("file_path"), col("pos"))
+        .sort("file_path", "pos").write.parquet(dPath.toString)
+      // row counts off the just-written footers — no second evaluation
+      nDel = AvroManifests.scanDataDir(dPath, Seq.empty)
+        .map(_.recordCount).sum
+      if (nDel == 0L) deleteTree(dPath) else posDir = Some(d)
+
+      val written = writeSnapshot(ns, table,
+        bucketShaper(meta)(conformToTable(meta, rows)),
+        partitionLayout(meta), Map.empty)
+      nIns = AvroManifests.scanDataDir(dataDir(ns, table).resolve(written),
+        Seq.empty).map(_.recordCount).sum
+      // a partitioned empty write leaves a file-less dir that cannot be
+      // read back (same guard as merge/upsertMOR)
+      if (nIns == 0L) dropDirArtifacts(ns, table, written)
+      else newDir = Some(written)
+
+      if (posDir.isEmpty && newDir.isEmpty) return (0L, 0L)
+
+      beforeRowLevelCommit(ns, table)
+      commit(ns, table) { base =>
+        val cur = base.getOrElse(throw new IllegalStateException(
+          s"$ns.$table vanished mid-row-level-commit"))
+        val curLive = liveSnapshots(cur)
+        val gone = readLive.filterNot(curLive.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"row-level command on $ns.$table read ${gone.mkString(", ")} " +
+              "but a concurrent commit rewrote or removed them — retry " +
+              "against the new snapshot")
+        val op =
+          if (posDir.isDefined && newDir.isDefined) "overwrite"
+          else if (posDir.isDefined) "delete"
+          else "append"
+        Some(addSnapshot(ns, table, cur, op, curLive ++ newDir.toSeq,
+          currentDeletes(cur) ++
+            posDir.map(DeleteRef(_, "position", Nil, -1L))))
+      }
+      (nDel, nIns)
+    } catch {
+      case e: Throwable => cleanup(); throw e
+    }
+  }
+
   /** Shared MOR commit: validates the read live set is intact (see the
     * two faces' isolation notes), appends the new delete-file group to
     * the carried set, cleans up the written delete dir on any failure.

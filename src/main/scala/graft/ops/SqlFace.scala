@@ -227,6 +227,67 @@ object SqlFace {
       .toDF("lang", "n_docs").orderBy("lang")
   }
 
+  /** q228: SQL `MERGE INTO` + `UPDATE` on a graft table (VERDICT r14 #1)
+    * — the planner strategy lowers both row-level commands onto ONE
+    * atomic merge-on-read commit each (position-delete mask + new-version
+    * append, zero data rewrite). The statement exercises the full action
+    * matrix: a conditional matched DELETE shadowing a matched UPDATE
+    * (first-match-wins), NOT MATCHED INSERT, and NOT MATCHED BY SOURCE
+    * UPDATE; a follow-up `UPDATE` statement then touches the inserted
+    * slice. Sentinels: `__commits` (exactly three snapshots — seed
+    * INSERT, MERGE, UPDATE — proving each command is one commit) and
+    * `__mor` (delete FILES present in the files metadata table — the
+    * commands masked rows rather than rewriting dirs).
+    *
+    * Scale shape: each command writes O(delta) bytes (the MERGE delta is
+    * matched + inserted rows, localCheckpointed once so the mask, the
+    * new versions, and the cardinality check share one join pass);
+    * untouched dirs carry by reference; the census is
+    * |status x langs|-bounded. */
+  def q228SqlMerge(s: SparkSession, d: String): DataFrame = {
+    mount(s)
+    val ns = s"mrgq_${System.nanoTime()}"
+    val t = s"$CatName.$ns.docs"
+    s.sql(s"CREATE NAMESPACE $CatName.$ns")
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q228_docs")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT, status STRING)")
+    s.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars, 'base' " +
+      "FROM q228_docs WHERE doc_id % 3 <> 2")                     // seed
+    s.sql(
+      s"""MERGE INTO $t t USING (
+         |  SELECT doc_id, lang, n_chars FROM q228_docs
+         |  WHERE doc_id % 2 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.n_chars % 5 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET
+         |  n_chars = t.n_chars + s.n_chars, status = 'upd'
+         |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars, status)
+         |  VALUES (s.doc_id, s.lang, s.n_chars, 'ins')
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 7 = 0 THEN
+         |  UPDATE SET status = 'stale'
+         |""".stripMargin)
+    s.sql(s"UPDATE $t SET n_chars = n_chars + 1 WHERE status = 'ins'")
+    val lake = s.sessionState.catalogManager.catalog(CatName)
+      .asInstanceOf[graft.sql.GraftSqlCatalog].lake
+    val commitsOk = lake.snapshotIds(ns, "docs").length == 3
+    val morOk = lake.metaTable(ns, "docs", "files")
+      .filter(org.apache.spark.sql.functions.col("content") > 0)
+      .count() > 0
+    val rows = s.sql(s"SELECT status, lang, count(*) AS n, " +
+      s"sum(n_chars) AS sc FROM $t GROUP BY status, lang")
+      .collect() // |status x langs|-bounded — control plane
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    s.sql(s"DROP NAMESPACE $CatName.$ns CASCADE")
+    import s.implicits._
+    (rows :+ (("__commits", "", if (commitsOk) 1L else 0L, 0L)) :+
+      (("__mor", "", if (morOk) 1L else 0L, 0L)))
+      .toDF("status", "lang", "n_docs", "sum_chars")
+      .orderBy("status", "lang")
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
       "q225_sql_catalog" -> ((q225SqlCatalog _, """
@@ -259,5 +320,26 @@ object SqlFace {
           UNION ALL SELECT '__mor', 1::BIGINT
           UNION ALL SELECT '__pick', 1::BIGINT
           UNION ALL SELECT '__mlog', 1::BIGINT)
-        ORDER BY lang""")))
+        ORDER BY lang""")),
+      "q228_sql_merge" -> ((q228SqlMerge _, """
+        WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        final AS (
+          SELECT doc_id, lang, n_chars,
+                 CASE WHEN doc_id % 7 = 0 THEN 'stale' ELSE 'base' END
+                   AS status
+          FROM d WHERE doc_id % 3 <> 2 AND doc_id % 2 <> 0
+          UNION ALL
+          SELECT doc_id, lang, 2 * n_chars, 'upd'
+          FROM d WHERE doc_id % 3 <> 2 AND doc_id % 2 = 0
+                   AND n_chars % 5 <> 0
+          UNION ALL
+          SELECT doc_id, lang, n_chars + 1, 'ins'
+          FROM d WHERE doc_id % 3 = 2 AND doc_id % 2 = 0)
+        SELECT * FROM (
+          SELECT status, lang, count(*)::BIGINT AS n_docs,
+                 sum(n_chars)::BIGINT AS sum_chars
+          FROM final GROUP BY 1, 2
+          UNION ALL SELECT '__commits', '', 1::BIGINT, 0::BIGINT
+          UNION ALL SELECT '__mor', '', 1::BIGINT, 0::BIGINT)
+        ORDER BY status, lang""")))
 }
