@@ -96,7 +96,20 @@ object AvroManifests {
       deletedFilesCount: Int,
       addedRowsCount: Long,
       existingRowsCount: Long,
-      deletedRowsCount: Long)
+      deletedRowsCount: Long,
+      partitions: Option[Seq[FieldSummary]] = None)
+
+  /** Spec `field_summary` (manifest_file field 507): per partition-spec
+    * field, whether any file in the manifest carries a null value and
+    * the Appendix-D-encoded lower/upper bounds of the tuple values —
+    * the DIR-level pruning input that lets scan planning drop a whole
+    * manifest (and skip READING it) when a pushed filter provably
+    * misses its range (VERDICT r14 #2). Bounds are typed per the
+    * manifest partition field's Avro carrier (long/int LE, string
+    * UTF-8); None = not provable (reader keeps the manifest). */
+  case class FieldSummary(containsNull: Boolean,
+                          lowerBound: Option[Array[Byte]],
+                          upperBound: Option[Array[Byte]])
 
   /** A partition field of the table's default spec, as the manifest layer
     * needs it: the spec field name (= the Hive path segment name), and the
@@ -121,8 +134,24 @@ object AvroManifests {
       {"name": "deleted_files_count", "type": "int", "field-id": 506},
       {"name": "added_rows_count", "type": "long", "field-id": 512},
       {"name": "existing_rows_count", "type": "long", "field-id": 513},
-      {"name": "deleted_rows_count", "type": "long", "field-id": 514}
+      {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+      {"name": "partitions", "type": ["null", {"type": "array",
+        "items": {"type": "record", "name": "r507", "fields": [
+          {"name": "contains_null", "type": "boolean", "field-id": 509},
+          {"name": "contains_nan", "type": ["null", "boolean"],
+           "default": null, "field-id": 518},
+          {"name": "lower_bound", "type": ["null", "bytes"],
+           "default": null, "field-id": 510},
+          {"name": "upper_bound", "type": ["null", "bytes"],
+           "default": null, "field-id": 511}
+        ]}}], "default": null, "field-id": 507}
     ]}""")
+
+  private lazy val fieldSummarySchema: Schema = {
+    val arr = manifestListSchema.getField("partitions").schema()
+      .getTypes.get(1)
+    arr.getElementType
+  }
 
   private val AvroNameRx = "[A-Za-z_][A-Za-z0-9_]*".r
 
@@ -672,7 +701,13 @@ object AvroManifests {
     } finally w.close()
   }
 
+  /** Count of per-dir manifest OPENS since JVM start — the test seam the
+    * dir-pruning spec asserts on (a day-filtered scan of a many-day
+    * table must open only the surviving dirs' manifests). */
+  val manifestReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def readManifest(path: Path): Seq[DataFileEntry] = {
+    manifestReadCount.incrementAndGet()
     val r = new DataFileReader[GenericRecord](path.toFile,
       new GenericDatumReader[GenericRecord]())
     try {
@@ -720,6 +755,52 @@ object AvroManifests {
     } finally r.close()
   }
 
+  /** Per-partition-field [[FieldSummary]] of a manifest's DATA entries —
+    * computed at manifest-list write so scan planning can range-prune a
+    * whole dir without opening its manifest. Typed ordering per the
+    * field's Avro carrier: long/int numeric, string UTF-8 bytes (ISO
+    * date/time path values order correctly under bytes by format
+    * choice). A value that fails to parse drops that field's bounds
+    * (None = keep) — superset-safe, never wrong-prunes. */
+  def summarize(entries: Seq[DataFileEntry],
+                pf: Seq[PartitionField]): Option[Seq[FieldSummary]] = {
+    val data = entries.filter(_.content == 0)
+    if (pf.isEmpty || data.isEmpty) return None
+    Some(pf.map { f =>
+      val vals = data.map(_.partition.collectFirst {
+        case (n, v) if n == f.name => v
+      }.flatten)
+      val containsNull = vals.exists(_.isEmpty)
+      val present = vals.flatten
+      def enc(ic: String, minMax: Option[(Any, Any)])
+          : (Option[Array[Byte]], Option[Array[Byte]]) = minMax match {
+        case None => (None, None)
+        case Some((lo, hi)) => (boundBytes(ic, lo), boundBytes(ic, hi))
+      }
+      val (lo, hi) = f.avroType match {
+        case Some("long") =>
+          val ls = present.map(v => v -> v.toLongOption)
+          if (ls.isEmpty || ls.exists(_._2.isEmpty)) (None, None)
+          else enc("long", Some((java.lang.Long.valueOf(ls.map(_._2.get).min),
+            java.lang.Long.valueOf(ls.map(_._2.get).max))))
+        case Some("int") =>
+          val is = present.map(_.toIntOption)
+          if (is.isEmpty || is.exists(_.isEmpty)) (None, None)
+          else enc("int", Some((java.lang.Integer.valueOf(is.map(_.get).min),
+            java.lang.Integer.valueOf(is.map(_.get).max))))
+        case Some("string") if present.nonEmpty =>
+          val bs = present.map(_.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          (Some(bs.min(byteOrdering)), Some(bs.max(byteOrdering)))
+        case _ => (None, None)
+      }
+      FieldSummary(containsNull, lo, hi)
+    })
+  }
+
+  private val byteOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => compareUnsigned(a, b)
+
   def writeManifestList(path: Path, entries: Seq[ManifestListEntry]): Unit = {
     Files.createDirectories(path.getParent)
     val w = new DataFileWriter[GenericRecord](
@@ -741,6 +822,20 @@ object AvroManifests {
         rec.put("added_rows_count", e.addedRowsCount)
         rec.put("existing_rows_count", e.existingRowsCount)
         rec.put("deleted_rows_count", e.deletedRowsCount)
+        e.partitions.foreach { fs =>
+          val arr = new java.util.ArrayList[GenericRecord](fs.size)
+          fs.foreach { f =>
+            val fr = new GenericData.Record(fieldSummarySchema)
+            fr.put("contains_null", f.containsNull)
+            fr.put("contains_nan", null)
+            fr.put("lower_bound",
+              f.lowerBound.map(java.nio.ByteBuffer.wrap).orNull)
+            fr.put("upper_bound",
+              f.upperBound.map(java.nio.ByteBuffer.wrap).orNull)
+            arr.add(fr)
+          }
+          rec.put("partitions", arr)
+        }
         w.append(rec)
       }
     } finally w.close()
@@ -769,7 +864,23 @@ object AvroManifests {
           existingRowsCount =
             rec.get("existing_rows_count").asInstanceOf[Long],
           deletedRowsCount =
-            rec.get("deleted_rows_count").asInstanceOf[Long])
+            rec.get("deleted_rows_count").asInstanceOf[Long],
+          // absent on pre-summary writers (GenericRecord.get of a field
+          // the writer schema lacks is null) — readers keep the manifest
+          partitions = Option(rec.get("partitions")).map {
+            _.asInstanceOf[java.util.Collection[GenericRecord]]
+              .asScala.map { fr =>
+                def bytes(n: String): Option[Array[Byte]] =
+                  Option(fr.get(n)).map { b =>
+                    val bb = b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+                    val out = new Array[Byte](bb.remaining()); bb.get(out)
+                    out
+                  }
+                FieldSummary(
+                  fr.get("contains_null").asInstanceOf[Boolean],
+                  bytes("lower_bound"), bytes("upper_bound"))
+              }.toSeq
+          })
       }.toSeq
     } finally r.close()
   }

@@ -585,7 +585,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           addedSnapshotId = id, addedFilesCount = es.size,
           existingFilesCount = 0, deletedFilesCount = 0,
           addedRowsCount = es.map(_.recordCount).sum,
-          existingRowsCount = 0L, deletedRowsCount = 0L)
+          existingRowsCount = 0L, deletedRowsCount = 0L,
+          // spec field_summary: the dir-level pruning bounds scan
+          // planning reads off the LIST, so a provably-missing dir's
+          // manifest is never opened (reused parent entries carry theirs
+          // forward by reference)
+          partitions = AvroManifests.summarize(es, pf))
       })
     }
     // delete-file manifests: content=1 list entries wrapping content=1/2
@@ -3413,24 +3418,44 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         "identity partition source type outside long/int/string/date"
     ).collect { case (true, r) => r }
     val composed = if (reasons.isEmpty) None else Some(reasons.mkString("; "))
-    val files =
-      if (composed.isDefined) Seq.empty[SqlDataFile]
-      else dirs.flatMap { d =>
-        val base = dataDir(ns, table).resolve(d)
-        AvroManifests.readManifest(manifestPathFor(ns, table, d))
+    // dir-level pruning bounds off the manifest LIST (one read), keyed
+    // by manifest path; per-dir manifests stay CLOSED until a scan
+    // build proves the dir can match (or no filter prunes it)
+    val pfNames = manifestPartitionFields(meta).map(_.name)
+    val mlSummaries: Map[String, Seq[AvroManifests.FieldSummary]] =
+      if (composed.isDefined || pfNames.isEmpty) Map.empty
+      else snOpt.flatMap(sn0 => Option(sn0.get("manifest-list"))
+          .map(_.asText()))
+        .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
+        .map(p => AvroManifests.readManifestList(Path.of(p))
           .filter(_.content == 0)
-          .map(e => SqlDataFile(
-            if (e.filePath.startsWith("/")) e.filePath
-            else base.resolve(e.filePath).toString,
-            e.fileSizeInBytes, e.recordCount, e.partition.toMap,
-            e.lowerBounds, e.upperBounds))
+          .flatMap(e => e.partitions.map(e.manifestPath -> _)).toMap)
+        .getOrElse(Map.empty)
+    val dirEntries =
+      if (composed.isDefined) Seq.empty[SnapshotLakeCatalog.SqlDirEntry]
+      else dirs.map { d =>
+        val mp = manifestPathFor(ns, table, d).toString
+        SnapshotLakeCatalog.SqlDirEntry(d,
+          mlSummaries.get(mp).filter(_.size == pfNames.size)
+            .map(ss => pfNames.zip(ss).toMap))
       }
+    val loadDir: String => Seq[SqlDataFile] = d => {
+      val base = dataDir(ns, table).resolve(d)
+      AvroManifests.readManifest(manifestPathFor(ns, table, d))
+        .filter(_.content == 0)
+        .map(e => SqlDataFile(
+          if (e.filePath.startsWith("/")) e.filePath
+          else base.resolve(e.filePath).toString,
+          e.fileSizeInBytes, e.recordCount, e.partition.toMap,
+          e.lowerBounds, e.upperBounds))
+    }
     val bucket = specFields.filter(_.transform.startsWith("bucket[")) match {
       case Seq(f) => Some((f.srcName,
         f.transform.stripPrefix("bucket[").stripSuffix("]").toInt))
       case _ => None
     }
-    SqlScanState(schema, snapshotId, composed, specFields, bucket, files,
+    SqlScanState(schema, snapshotId, composed, specFields, bucket,
+      dirEntries, loadDir,
       partitionStrings, Option(meta.get("properties"))
         .map(_.asInstanceOf[ObjectNode].properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap)
@@ -3517,20 +3542,40 @@ object SnapshotLakeCatalog {
                          lower: Seq[(Int, Array[Byte])] = Nil,
                          upper: Seq[(Int, Array[Byte])] = Nil)
 
+  /** One live data DIRECTORY of a snapshot, as scan planning first sees
+    * it: just the name and the manifest-list `field_summary` bounds
+    * (spec field name -> summary; None = written pre-summaries or under
+    * a different field shape). The per-file list is loaded ON DEMAND —
+    * a dir whose summary provably misses every pushed filter never has
+    * its manifest opened (VERDICT r14 #2: planning cost scales with
+    * SURVIVING dirs, not table size). */
+  case class SqlDirEntry(dir: String,
+      summaries: Option[Map[String, AvroManifests.FieldSummary]])
+
   /** The DSv2 plugin's planning snapshot of one table
     * ([[SnapshotLakeCatalog.sqlScanState]]): `composed` = Some(reason)
     * when only the composed [[SnapshotLakeCatalog.composedFrame]] plan
     * reads the table exactly; `bucket` = the (source column, N) of the
-    * spec's single bucket field, the storage-partitioned-join handle. */
+    * spec's single bucket field, the storage-partitioned-join handle.
+    * Per-dir manifests load lazily through [[filesOf]] (memoized — many
+    * scans of one table instance share the reads); [[files]] is the
+    * everything view for consumers that genuinely need the full list. */
   case class SqlScanState(
       schema: org.apache.spark.sql.types.StructType,
       snapshotId: Long,
       composed: Option[String],
       partFields: Seq[SqlPartField],
       bucket: Option[(String, Int)],
-      files: Seq[SqlDataFile],
+      dirEntries: Seq[SqlDirEntry],
+      loadDir: String => Seq[SqlDataFile],
       partitionStrings: Seq[String],
-      properties: Map[String, String])
+      properties: Map[String, String]) {
+    @transient private lazy val dirCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[SqlDataFile]]()
+    def filesOf(d: SqlDirEntry): Seq[SqlDataFile] =
+      dirCache.computeIfAbsent(d.dir, dir => loadDir(dir))
+    lazy val files: Seq[SqlDataFile] = dirEntries.flatMap(filesOf)
+  }
 
   private val FnRx =
     """(days?|months?|hours?|years?)\s*\(\s*`?([^`()\s]+)`?\s*\)""".r

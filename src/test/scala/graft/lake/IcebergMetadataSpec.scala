@@ -600,7 +600,7 @@ class IcebergMetadataSpec extends AnyFunSuite {
         "added_snapshot_id" -> 503, "added_files_count" -> 504,
         "existing_files_count" -> 505, "deleted_files_count" -> 506,
         "added_rows_count" -> 512, "existing_rows_count" -> 513,
-        "deleted_rows_count" -> 514))
+        "deleted_rows_count" -> 514, "partitions" -> 507))
       assert(entries.size == 2, "second append references both manifests")
       entries.foreach { e =>
         val mp = Paths.get(e.get("manifest_path").toString)
