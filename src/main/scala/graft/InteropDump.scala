@@ -37,6 +37,7 @@ object InteropDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -236,6 +237,29 @@ object InteropDump {
       "('written-by'='spark.sql')")
     spark.sql("DELETE FROM isql.interop.sqlface WHERE source = 'src3'")
     dump("sqlface")
+
+    // (k) row-level SQL + RENAME TABLE (round 15): MERGE and UPDATE land
+    // as position-delete commits, then the table RENAMES — every stored
+    // absolute path (metadata JSON, manifest lists, manifests, and the
+    // position-delete parquet's file_path rows) rewrites under the new
+    // root, and the external reader must reproduce load() at the NEW
+    // identity. lang sits MID-SCHEMA on purpose: that is the column
+    // order whose reorder-Project broke the stock DELETE planning.
+    spark.sql("CREATE TABLE isql.interop.rlpre (doc_id BIGINT, " +
+      "lang STRING, source STRING, score BIGINT) PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO isql.interop.rlpre SELECT doc_id, lang, " +
+      "source, doc_id % 10 FROM interop_docs WHERE doc_id % 3 <> 0")
+    spark.sql("MERGE INTO isql.interop.rlpre t USING (SELECT doc_id, " +
+      "lang, source, doc_id % 7 AS score FROM interop_docs " +
+      "WHERE doc_id % 2 = 0) s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED AND s.score = 0 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET score = t.score + s.score " +
+      "WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, score) " +
+      "VALUES (s.doc_id, s.lang, s.source, -1)")
+    spark.sql("UPDATE isql.interop.rlpre SET score = score + 100 " +
+      "WHERE lang = 'en'")
+    spark.sql("ALTER TABLE isql.interop.rlpre RENAME TO interop.rowlevel")
+    dump("rowlevel")
 
     spark.stop()
   }

@@ -801,6 +801,42 @@ object AvroManifests {
   private val byteOrdering: Ordering[Array[Byte]] =
     (a: Array[Byte], b: Array[Byte]) => compareUnsigned(a, b)
 
+  /** Rewrite the absolute-path fields of one metadata Avro file in place
+    * (RENAME TABLE support): `manifest_path` on manifest-list records,
+    * `data_file.file_path` on manifest entries — schema-preserving (the
+    * file is re-written under its OWN embedded schema, every other field
+    * byte-carried), so old- and new-generation files both survive. */
+  def rewritePathPrefix(path: Path, oldPrefix: String,
+                        newPrefix: String): Unit = {
+    val reader = new DataFileReader[GenericRecord](path.toFile,
+      new GenericDatumReader[GenericRecord]())
+    val schema = reader.getSchema
+    val tmp = path.resolveSibling(s".${path.getFileName}.rename.tmp")
+    try {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      try {
+        w.create(schema, tmp.toFile)
+        reader.iterator().asScala.foreach { rec =>
+          def fix(r: GenericRecord, field: String): Unit =
+            Option(r.get(field)).map(_.toString)
+              .filter(_.startsWith(oldPrefix))
+              .foreach(v => r.put(field,
+                newPrefix + v.stripPrefix(oldPrefix)))
+          if (schema.getField("manifest_path") != null)
+            fix(rec, "manifest_path")
+          if (schema.getField("data_file") != null)
+            Option(rec.get("data_file"))
+              .map(_.asInstanceOf[GenericRecord])
+              .foreach(fix(_, "file_path"))
+          w.append(rec)
+        }
+      } finally w.close()
+    } finally reader.close()
+    Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def writeManifestList(path: Path, entries: Seq[ManifestListEntry]): Unit = {
     Files.createDirectories(path.getParent)
     val w = new DataFileWriter[GenericRecord](

@@ -74,6 +74,96 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path)
     if (!tableExists(ns, table)) false
     else { deleteTree(nsDir(ns).resolve(table)); true }
 
+  /** RENAME TABLE (VERDICT r14 #4) — the HadoopCatalog-layout rename:
+    * MOVE the table directory (one rename(2) on a posix filesystem),
+    * then rewrite every stored absolute path under the new root — the
+    * metadata JSON versions (location, manifest-list, metadata-log), the
+    * metadata Avro files (manifest_path / data_file.file_path, rewritten
+    * under each file's own embedded schema), and the POSITION-DELETE
+    * parquet files (their `file_path` column binds rows to data files by
+    * absolute path). Equality deletes carry no paths. Data parquet is
+    * never rewritten — cost is metadata size + delete debt, not table
+    * size.
+    *
+    * NOT concurrent-safe: a reader or writer racing the rename fails
+    * LOUDLY on vanished paths (never reads wrong); coordinate renames
+    * like any other DDL. The REST carrier refuses (rename is the
+    * server's operation). */
+  def renameTable(ns: String, table: String,
+                  toNs: String, toTable: String): Unit = {
+    require(tableExists(ns, table), s"no such table: $ns.$table")
+    require(!(ns == toNs && table == toTable),
+      s"RENAME $ns.$table to itself")
+    ensureNamespace(toNs)
+    val newRoot = nsDir(toNs).resolve(toTable)
+    require(!Files.exists(newRoot),
+      s"rename target $toNs.$toTable already exists")
+    val oldRoot = nsDir(ns).resolve(table)
+    val oldPrefix = oldRoot.toString
+    // position-delete dirs, collected BEFORE the move (reading the old
+    // metadata), deduped across every snapshot (time travel keeps them)
+    val preMeta = readMeta(ns, table)
+    val posDirs = preMeta.get("snapshots").elements().asScala
+      .flatMap(deleteFilesOf).filter(_.kind == "position")
+      .map(_.dir).toSeq.distinct
+
+    Files.move(oldRoot, newRoot)
+    val newPrefix = newRoot.toString
+    val md = newRoot.resolve("metadata")
+
+    // metadata JSON versions: every stored path shares the table-root
+    // prefix; a textual prefix swap covers location, manifest-list and
+    // metadata-log entries across ALL versions (time travel included)
+    scala.util.Using.resource(Files.list(md))(_.iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+      .toSeq).foreach { f =>
+      val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      Files.write(f,
+        txt.replace(oldPrefix, newPrefix).getBytes(StandardCharsets.UTF_8))
+    }
+    // metadata Avro: manifest lists (manifest_path) + per-dir manifests
+    // (data_file.file_path), schema-preserving in-place rewrites
+    scala.util.Using.resource(Files.list(md))(_.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".avro")).toSeq)
+      .foreach(AvroManifests.rewritePathPrefix(_, oldPrefix, newPrefix))
+    // position-delete parquet: rows bind to data files by absolute
+    // _metadata.file_path URI ("file:/..."), so the old root appears
+    // INSIDE the value — literal substring replace. Each part file is
+    // rewritten IN PLACE under its OWN NAME (the dir's manifest lists
+    // the part files by path; renaming them would orphan the manifest).
+    // Only byte SIZE drifts from the manifest's advisory
+    // file_size_in_bytes — a planning hint, not a read binding.
+    posDirs.foreach { d =>
+      val dir = newRoot.resolve("data").resolve(d)
+      if (Files.isDirectory(dir)) {
+        import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+        val parts = scala.util.Using.resource(Files.list(dir))(
+          _.iterator().asScala.filter(
+            _.getFileName.toString.endsWith(".parquet")).toSeq)
+        parts.foreach { f =>
+          val tmp = Files.createTempDirectory(newRoot, ".rename-del-")
+          spark.read.parquet(f.toString)
+            .withColumn("file_path", regexp_replace(col("file_path"),
+              lit(java.util.regex.Pattern.quote(oldPrefix)),
+              lit(java.util.regex.Matcher.quoteReplacement(newPrefix))))
+            .coalesce(1).sortWithinPartitions("file_path", "pos")
+            .write.parquet(tmp.resolve("out").toString)
+          val out = scala.util.Using.resource(
+            Files.walk(tmp))(_.iterator().asScala.filter(p =>
+              Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet")).toSeq).head
+          Files.move(out, f,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // drop the ChecksumFileSystem sidecar — it hashes the OLD
+          // bytes and would fail every subsequent read of the new ones
+          Files.deleteIfExists(
+            f.resolveSibling(s".${f.getFileName.toString}.crc"))
+          deleteTree(tmp)
+        }
+      }
+    }
+  }
+
   /** Current committed version: the hint is a STARTING POINT, not the
     * truth — a writer can die between the atomic version claim and the
     * hint flip, so probe upward until the next version file is absent

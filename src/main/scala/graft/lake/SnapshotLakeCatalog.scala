@@ -2722,7 +2722,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 
   /** The snapshot's `delete-files` extension array (absent on append-only
     * and pre-MOR snapshots). */
-  private def deleteFilesOf(sn: JsonNode): Seq[DeleteRef] =
+  protected def deleteFilesOf(sn: JsonNode): Seq[DeleteRef] =
     Option(sn.get("delete-files")).map(_.elements().asScala.map { d =>
       DeleteRef(d.get("dir").asText(), d.get("kind").asText(),
         d.get("cols").elements().asScala.map(_.asText()).toSeq,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExprId, PlanExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{col, lit, when}
@@ -41,6 +41,17 @@ case class GraftRowLevelStrategy(spark: SparkSession) extends SparkStrategy {
       graftTarget(m.targetTable).map { case (t, out) =>
         GraftRowLevelExec("MERGE INTO", t.name(),
           () => GraftRowLevel.runMerge(spark, t, out, m)) :: Nil
+      }.getOrElse(Nil)
+    // DELETE also routes here (not through SupportsDelete): on a
+    // partitioned table the pushdown pass wraps the relation in a
+    // column-reordering Project that Spark's own DeleteFromTable
+    // planning refuses as "unexpected table relation", and the Column
+    // conversion below accepts every deterministic condition, not just
+    // the v1-Filter-translatable subset
+    case d: DeleteFromTable =>
+      graftTarget(d.table).map { case (t, out) =>
+        GraftRowLevelExec("DELETE", t.name(),
+          () => GraftRowLevel.runDelete(spark, t, out, d)) :: Nil
       }.getOrElse(Nil)
     case _ => Nil
   }
@@ -128,8 +139,19 @@ private[sql] object GraftRowLevel {
       }
     }.toMap
 
+  def runDelete(spark: SparkSession, table: GraftTable,
+                targetOut: Seq[Attribute], d: DeleteFromTable): Unit = {
+    require(table.pinnedSnapshot.isEmpty,
+      s"${table.name()}: cannot DELETE from a time-travel relation")
+    val tmap = targetOut.map(a => a.exprId -> a.name).toMap
+    table.lake.deleteWhereMOR(table.ns, table.tableName,
+      rebind(d.condition, tmap))
+  }
+
   def runUpdate(spark: SparkSession, table: GraftTable,
                 targetOut: Seq[Attribute], u: UpdateTable): Unit = {
+    require(table.pinnedSnapshot.isEmpty,
+      s"${table.name()}: cannot UPDATE a time-travel relation")
     val lake = table.lake
     val (ns, tn) = (table.ns, table.tableName)
     val (scan, readLive) = lake.rowLevelScan(ns, tn)
@@ -164,6 +186,8 @@ private[sql] object GraftRowLevel {
       throw new UnsupportedOperationException(
         "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables — " +
           "ALTER TABLE ADD COLUMNS first, then MERGE")
+    require(table.pinnedSnapshot.isEmpty,
+      s"${table.name()}: cannot MERGE INTO a time-travel relation")
     val lake = table.lake
     val (ns, tn) = (table.ns, table.tableName)
     val (scan, readLive) = lake.rowLevelScan(ns, tn)

@@ -209,11 +209,19 @@ class GraftSqlCatalog extends TableCatalog
   }
 
   override def renameTable(oldIdent: Identifier,
-                           newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft table metadata carries absolute manifest paths — RENAME " +
-        "TABLE is a metadata rewrite this catalog does not implement; " +
-        "CREATE TABLE AS SELECT into the new name instead")
+                           newIdent: Identifier): Unit = {
+    val (ns, t) = split(oldIdent)
+    val (ns2, t2) = newIdent match {
+      case i if i.namespace().length == 1 => (i.namespace()(0), i.name())
+      case i => throw new NoSuchTableException(i)
+    }
+    lake match {
+      case d: DirectoryLakeCatalog => d.renameTable(ns, t, ns2, t2)
+      case _ => throw new UnsupportedOperationException(
+        "RENAME TABLE on the REST carrier is the catalog server's " +
+          "operation — this client does not rewrite server-owned metadata")
+    }
+  }
 
   // ---- namespaces ----------------------------------------------------------
 

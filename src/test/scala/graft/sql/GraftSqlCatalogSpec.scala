@@ -374,6 +374,109 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP NAMESPACE $cat.rt CASCADE")
   }
 
+  test("runtime filtering on a (days(ts), bucket(8, id)) table: the ts " +
+    "source runtime-filters (files drop WITHIN bucket groups, group " +
+    "count stable), the bucket source stays excluded, and SPJ survives") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rtb")
+    spark.sql(s"CREATE TABLE $cat.rtb.f (id BIGINT, ts TIMESTAMP, " +
+      "v DOUBLE) PARTITIONED BY (days(ts), bucket(8, id))")
+    (1 to 3).foreach { d =>
+      spark.sql(s"INSERT INTO $cat.rtb.f SELECT id, " +
+        s"timestamp'2024-05-0$d 06:00:00', id * 1.0 FROM range(200)")
+    }
+    val tc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+    val scan = tc.loadTable(Identifier.of(Array("rtb"), "f"))
+      .asInstanceOf[GraftTable]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      .asInstanceOf[GraftScan]
+    // only the NON-bucket source is runtime-filterable
+    assert(scan.filterAttributes().map(_.fieldNames().mkString("."))
+      .toSeq == Seq("ts"))
+    assert(scan.outputPartitioning().isInstanceOf[KeyGroupedPartitioning])
+    def parts = scan.toBatch.planInputPartitions()
+    def fileCount = parts
+      .flatMap(_.asInstanceOf[GraftInputPartition].files.map(_.path))
+      .distinct.length
+    val (groupsBefore, filesBefore) = (parts.length, fileCount)
+    // runtime ts range (catalyst micros literal, the DPP delivery form)
+    val micros = java.time.Instant.parse("2024-05-03T00:00:00Z")
+      .getEpochSecond * 1000000L
+    scan.filter(Array(new Predicate(">=",
+      Array(Expressions.column("ts"), Expressions.literal(micros)))))
+    assert(fileCount < filesBefore,
+      s"runtime ts filter must drop files: $fileCount/$filesBefore")
+    assert(parts.length == groupsBefore,
+      "bucket GROUP COUNT must stay stable under runtime filtering " +
+        "(the reported KeyGroupedPartitioning contract)")
+    // SPJ still plans shuffle-free against a same-bucketed dim
+    spark.sql(s"CREATE TABLE $cat.rtb.d (id BIGINT, w DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"INSERT INTO $cat.rtb.d SELECT id, id * 2.0 FROM range(100)")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.sql(s"SELECT f.id, f.v, d.w FROM $cat.rtb.f f " +
+        s"JOIN $cat.rtb.d d ON f.id = d.id " +
+        "WHERE f.ts >= timestamp'2024-05-03 00:00:00'")
+      assert(j.count() == 100L)
+      val shuffles = collectPlan(finalPlan(j)) {
+        case x: ShuffleExchangeLike => x }
+      assert(shuffles.isEmpty,
+        "day-filtered co-bucketed join must stay zero-Exchange (SPJ)")
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    spark.sql(s"DROP NAMESPACE $cat.rtb CASCADE")
+  }
+
+  test("RENAME TABLE: full round-trip across namespaces — data, time " +
+    "travel, partition pruning, and MOR delete debt all survive the " +
+    "path rewrite; old name gone") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rn1")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rn2")
+    val t = s"$cat.rn1.src"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, lang STRING, v DOUBLE) " +
+      "PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END, id * 1.0 " +
+      "FROM range(100)")
+    val v1 = spark.sql(s"SELECT snapshot_id FROM $t.snapshots " +
+      "ORDER BY snapshot_id LIMIT 1").head().getLong(0)
+    spark.sql(s"INSERT INTO $t SELECT id, 'fr', id * 2.0 " +
+      "FROM range(100, 150)")
+    // MOR position-delete debt: its parquet binds rows by ABSOLUTE file
+    // path — the rename must rewrite it or masked rows resurrect
+    spark.sql(s"DELETE FROM $t WHERE id >= 140")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 140)
+
+    spark.sql(s"ALTER TABLE $t RENAME TO rn2.dst")
+    val r = s"$cat.rn2.dst"
+    // old name gone, new name serves everything
+    assert(!spark.catalog.tableExists(t))
+    assert(spark.sql(s"SELECT count(*) FROM $r").head().getLong(0) == 140,
+      "row count after rename (delete debt must still mask)")
+    assert(spark.sql(s"SELECT sum(v) FROM $r WHERE lang = 'fr'")
+      .head().getDouble(0) == (100 until 140).map(_ * 2.0).sum)
+    // time travel across the rename (older metadata versions rewritten)
+    assert(spark.sql(s"SELECT count(*) FROM $r VERSION AS OF $v1")
+      .head().getLong(0) == 100)
+    // writes keep working at the new identity
+    spark.sql(s"INSERT INTO $r VALUES (999, 'zz', 9.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $r").head().getLong(0) == 141)
+    // and the rename target refuses to clobber
+    spark.sql(s"CREATE TABLE $cat.rn1.src (id BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.rn1.src RENAME TO rn2.dst")
+    }
+    spark.sql(s"DROP NAMESPACE $cat.rn1 CASCADE")
+    spark.sql(s"DROP NAMESPACE $cat.rn2 CASCADE")
+  }
+
   test("storage-partitioned join: two tables bucketed bucket(8, id) " +
     "equi-join with ZERO shuffle exchanges; bucket point lookup prunes " +
     "to one bucket's files") {
