@@ -186,7 +186,8 @@ class DirectoryLakeCatalog(spark: SparkSession, val root: Path)
   }
 
   override protected def metadataFileLocation(ns: String, table: String,
-                                              version: Int): Option[String] =
+                                              version: Int,
+                                              docJson: String): Option[String] =
     Some(metaDir(ns, table).resolve(s"v$version.metadata.json").toString)
 
   override protected def fetchMeta(ns: String,

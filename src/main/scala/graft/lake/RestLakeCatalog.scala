@@ -204,6 +204,37 @@ class RestLakeCatalog(spark: SparkSession, baseUri: String,
   override protected def dataDir(ns: String, table: String): Path =
     warehouse.resolve(ns).resolve(table).resolve("data")
 
+  /** Metadata-log parity with the directory carrier (VERDICT r14 #8):
+    * the SERVER owns the live document, but the client mirrors each
+    * PRIOR version into its local warehouse
+    * (`<wh>/<ns>/<table>/metadata/v<N>.metadata.json`) at commit time
+    * and logs the mirror's path — so `metadata-log` entries name real,
+    * parseable files here too (metadata time travel / disaster
+    * recovery), capped by `write.metadata.previous-versions-max` exactly
+    * like the directory carrier. Idempotent under racing writers: a
+    * version's mirror content is identical whoever writes it. */
+  override protected def mirrorsMetadata: Boolean = true
+
+  override protected def metadataFileLocation(ns: String, table: String,
+                                              version: Int,
+                                              docJson: String): Option[String] = {
+    if (docJson.isEmpty) return None
+    val md = warehouse.resolve(ns).resolve(table).resolve("metadata")
+    Files.createDirectories(md)
+    val f = md.resolve(s"v$version.metadata.json")
+    if (!Files.exists(f)) {
+      val tmp = md.resolve(s".v$version-${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, docJson.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // racer mirrored the same version
+      }
+    }
+    Some(f.toString)
+  }
+
   override def ensureNamespace(ns: String): Unit = {
     val body = mapper.createObjectNode()
     body.putArray("namespace").add(ns)

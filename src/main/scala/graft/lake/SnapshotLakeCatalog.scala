@@ -42,6 +42,17 @@ import scala.jdk.CollectionConverters._
 abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   protected val mapper = new ObjectMapper()
 
+  // The Iceberg spec types timestamps as int64 MICROS; Spark's INT96
+  // default is both non-conformant and STAT-LESS (parquet deprecates
+  // INT96 statistics), which would leave every timestamp column without
+  // manifest bounds (no stats-tier file skipping, VERDICT r14 #5). An
+  // explicit user setting wins (contains() checks for an EXPLICIT set,
+  // the Tables.prepareSession discipline).
+  if (!spark.sessionState.conf.contains(
+      "spark.sql.parquet.outputTimestampType"))
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+
   val MaxCommitRetries = 10
 
   // ---- carrier contract ------------------------------------------------
@@ -73,11 +84,19 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   /** Where version `v`'s metadata DOCUMENT lives, for carriers that
     * materialize one file per version (the directory carrier's
     * `v<N>.metadata.json`) — what the spec's `metadata-log` entries
-    * record. None (REST carrier: the server owns document storage and
-    * its own metadata-log) skips log population — documented divergence,
-    * same class as the server-side fields this client never writes. */
+    * record. `docJson` is the PRISTINE serialized document of that
+    * version (captured before the commit mutates it, only when
+    * [[mirrorsMetadata]] opts in): a carrier without server files of its
+    * own (REST, VERDICT r14 #8) mirrors it client-side and logs the
+    * mirror's path. None skips log population. */
   protected def metadataFileLocation(ns: String, table: String,
-                                     version: Int): Option[String] = None
+                                     version: Int,
+                                     docJson: String): Option[String] = None
+
+  /** True when this carrier needs the base document serialized before
+    * each commit for [[metadataFileLocation]] mirroring (the commit loop
+    * mutates the document in place, so the copy must be taken first). */
+  protected def mirrorsMetadata: Boolean = false
 
   /** Where snapshot manifest-list files live — the table's `metadata/`
     * directory, as in Iceberg proper. Keeping them OUT of `data/` keeps the
@@ -171,6 +190,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           .toSet)
         .getOrElse(Set.empty)
       val baseMls = mlSet(baseDoc)
+      // pristine copy for carriers that mirror prior versions client-
+      // side — update() mutates the document in place
+      val baseJson =
+        if (mirrorsMetadata) baseDoc.map(_.toString).getOrElse("") else ""
       update(baseDoc) match {
         case None => return
         case Some(meta) =>
@@ -180,7 +203,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           // spec's write.metadata.previous-versions-max property
           // (default 100, Iceberg's own default)
           for (v <- cur.map(_._1);
-               loc <- metadataFileLocation(ns, table, v)) {
+               loc <- metadataFileLocation(ns, table, v, baseJson)) {
             val log = Option(meta.get("metadata-log"))
               .collect { case a: ArrayNode => a }
               .getOrElse(meta.putArray("metadata-log"))
@@ -706,6 +729,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * `updatePartitionSpec(ns, t, Nil)` call). */
   override def ensureTable(ns: String, table: String, schema: StructType,
                            partitionBy: Seq[String]): Unit = {
+    schema.fieldNames.foreach(n =>
+      require(!SnapshotLakeCatalog.isTombstone(n),
+        s"'$n': the '${SnapshotLakeCatalog.DroppedPrefix}' prefix is " +
+          "reserved for dropped-column tombstones"))
     ensureNamespace(ns)
     commit(ns, table) {
       case None => Some(newMeta(dataDir(ns, table).getParent.toString,
@@ -805,6 +832,64 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           s"$ns.$table: no such column '$column'")
         evolveSchemaInCommit(ns, table, meta, StructType(cur.fields.map(
           f => if (f.name == column) f.copy(dataType = newType) else f)))
+    }
+
+  /** `ALTER TABLE DROP COLUMN` (VERDICT r14 #7) — implemented as a
+    * RENAME TO A TOMBSTONE inside one CAS commit: the field keeps its
+    * position (= its field id — every positional invariant in this
+    * catalog survives: partition source-ids, stat ids, the rename
+    * history alignment) under a reserved `__graft_dropped_*` name, and
+    * every READ boundary projects tombstones away
+    * ([[scanWithDeletes]]'s final select, [[sqlScanState]]'s schema).
+    * Old data files keep the physical column (never rewritten — the
+    * rename history maps it onto the tombstone, which the projection
+    * then hides); new writes simply stop carrying it. Re-adding the
+    * dropped name is refused (the retired-name rule): old files still
+    * carry it physically, and a live column wearing it would make the
+    * name-history read mapping ambiguous.
+    *
+    * Refused for columns the table's PHYSICAL contracts bind by
+    * position/name: partition-spec sources (any generation), bucket-spec
+    * clustering columns, and default-sort-order columns. */
+  def dropColumn(ns: String, table: String, column: String): Unit =
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        val cur = metaSchema(meta)
+        val idx = cur.fieldNames.indexOf(column)
+        require(idx >= 0 && !SnapshotLakeCatalog.isTombstone(column),
+          s"$ns.$table: no such column '$column'")
+        val srcId = idx + 1
+        val partSources = meta.get("partition-specs").elements().asScala
+          .flatMap(_.get("fields").elements().asScala)
+          .map(_.get("source-id").asInt()).toSet
+        require(!partSources.contains(srcId),
+          s"$ns.$table: cannot drop '$column' — it is a partition " +
+            "source (directory layouts bind to it); evolve the " +
+            "partition spec away from it first")
+        if (!meta.get("bucket-spec").isNull)
+          require(!meta.get("bucket-spec").get("columns").elements()
+              .asScala.map(_.asText()).contains(column),
+            s"$ns.$table: cannot drop '$column' — it is the table's " +
+              "bucket clustering column")
+        require(!defaultSortCols(meta).contains(column),
+          s"$ns.$table: cannot drop '$column' — the default sort order " +
+            "binds to it; declare a new sort order first")
+        val nextId = meta.get("schemas").elements().asScala
+          .map(_.get("schema-id").asInt()).max + 1
+        val tomb = s"${SnapshotLakeCatalog.DroppedPrefix}${nextId}__$column"
+        // nullable forced: writes stop carrying the column, so reads
+        // null-fill it under the tombstone name
+        val renamed = StructType(cur.fields.zipWithIndex.map {
+          case (f, i) if i == idx =>
+            f.copy(name = tomb, nullable = true)
+          case (f, _) => f
+        })
+        meta.get("schemas").asInstanceOf[ArrayNode]
+          .add(schemaNode(renamed, nextId))
+        meta.put("current-schema-id", nextId)
+        Some(meta)
     }
 
   /** PARTITION SPEC EVOLUTION (Iceberg spec §Partition Evolution): declare
@@ -2511,7 +2596,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         (scanWithDeletes(ns, table, meta, sn, live, withPos = true), live)
       case _ =>
         val schema = metaSchema(meta)
-        val tagged = StructType(schema.fields ++ Seq(
+        val tagged = StructType(schema.fields.filterNot(f =>
+          SnapshotLakeCatalog.isTombstone(f.name)) ++ Seq(
           StructField(PosFileTag, org.apache.spark.sql.types.StringType),
           StructField(PosPosTag, org.apache.spark.sql.types.LongType)))
         (spark.createDataFrame(
@@ -2699,7 +2785,9 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     }
     snapOpt match {
       case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields.filterNot(f =>
+          SnapshotLakeCatalog.isTombstone(f.name))))
       case Some(sn) =>
         scanWithDeletes(ns, table, meta, sn, liveDirsOf(sn))
     }
@@ -2817,8 +2905,13 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     }
     val extraCols = tag.toSeq ++ (if (withPos) Seq(PosFileTag, PosPosTag)
                                   else Seq.empty)
+    // DROPPED columns (tombstone fields) exist internally — old files
+    // still carry them physically and equality deletes may key on them —
+    // but every read face hides them here, the one projection boundary
+    val visible = schema.fields
+      .filterNot(f => SnapshotLakeCatalog.isTombstone(f.name))
     if (frames.isEmpty) {
-      val outSchema = StructType(schema.fields ++ extraCols.map(c =>
+      val outSchema = StructType(visible ++ extraCols.map(c =>
         org.apache.spark.sql.types.StructField(c,
           if (c == PosPosTag) org.apache.spark.sql.types.LongType
           else org.apache.spark.sql.types.StringType)))
@@ -2862,7 +2955,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     // differs from the declared one — the common no-evolution scan keeps
     // its bare column references (no plan pollution, pushdown intact)
     val outTypes = out.schema.fields.map(f => f.name -> f.dataType).toMap
-    val aligned = schema.fields.toIndexedSeq.map { f =>
+    val aligned = visible.toIndexedSeq.map { f =>
       val c = col(s"`${f.name}`")
       if (outTypes.get(f.name).exists(t =>
           SchemaShape.normalize(t) != SchemaShape.normalize(f.dataType)))
@@ -3298,6 +3391,13 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
   def metadataLogSize(ns: String, table: String): Int =
     Option(readMeta(ns, table).get("metadata-log")).map(_.size()).getOrElse(0)
 
+  /** The metadata files the log currently names, oldest first. */
+  def metadataLogFiles(ns: String, table: String): Seq[String] =
+    Option(readMeta(ns, table).get("metadata-log"))
+      .map(_.elements().asScala
+        .map(_.get("metadata-file").asText()).toSeq)
+      .getOrElse(Seq.empty)
+
   /** Resolve a SQL `VERSION AS OF` string: a decimal string is a snapshot
     * id (validated against the log), anything else a ref (branch/tag)
     * name. Fails loudly on both misses. */
@@ -3454,7 +3554,10 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         f.transform.stripPrefix("bucket[").stripSuffix("]").toInt))
       case _ => None
     }
-    SqlScanState(schema, snapshotId, composed, specFields, bucket,
+    SqlScanState(
+      StructType(schema.fields.filterNot(f =>
+        SnapshotLakeCatalog.isTombstone(f.name))),
+      snapshotId, composed, specFields, bucket,
       dirEntries, loadDir,
       partitionStrings, Option(meta.get("properties"))
         .map(_.asInstanceOf[ObjectNode].properties().asScala
@@ -3525,6 +3628,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
 }
 
 object SnapshotLakeCatalog {
+  /** Reserved name prefix a DROPPED column's tombstone field wears in the
+    * internal schema history ([[SnapshotLakeCatalog.dropColumn]]); read
+    * boundaries hide fields carrying it. */
+  val DroppedPrefix = "__graft_dropped_"
+  def isTombstone(name: String): Boolean = name.startsWith(DroppedPrefix)
+
   /** One partition field of the default spec, as the SQL face plans with
     * it: the spec field name (= the Hive dir key), the spec transform
     * (`identity`/`day`/`bucket[N]`/...), and the SOURCE column. */

@@ -193,6 +193,11 @@ class GraftSqlCatalog extends TableCatalog
           s"only top-level ALTER COLUMN TYPE is supported, got " +
             u.fieldNames().mkString("."))
         lake.updateColumnType(ns, t, u.fieldNames()(0), u.newDataType())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"only top-level DROP COLUMN is supported, got " +
+            d.fieldNames().mkString("."))
+        lake.dropColumn(ns, t, d.fieldNames()(0))
       case s: TableChange.SetProperty =>
         lake.setProperties(ns, t, Map(s.property() -> s.value()))
       case rp: TableChange.RemoveProperty =>

@@ -656,16 +656,20 @@ object GraftPartitionPruning {
     val idx = schema.fieldNames.indexOf(attr)
     if (idx < 0) return true
     val ic = schema.fields(idx).dataType match {
-      case LongType    => "long"
-      case IntegerType => "int"
-      case StringType  => "string"
-      case DateType    => "date"
-      case _           => return true
+      case LongType         => "long"
+      case IntegerType      => "int"
+      case StringType       => "string"
+      case DateType         => "date"
+      case TimestampType    => "timestamp"
+      case TimestampNTZType => "timestamp"
+      case _                => return true
     }
     val statId = idx + 1
     def decoded(side: Seq[(Int, Array[Byte])]): Option[Any] =
       side.find(_._1 == statId).map(_._2)
         .flatMap(graft.lake.AvroManifests.decodeBound(ic, _))
+    def micros(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
     val lit: Any = (ic, v) match {
       case ("long" | "int", n: Number) => n.longValue()
       case ("date", d: java.sql.Date) => d.toLocalDate.toEpochDay
@@ -673,6 +677,14 @@ object GraftPartitionPruning {
       case ("string", s: String) =>
         s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       case ("string", u: UTF8String) => u.getBytes
+      // timestamp bounds (VERDICT r14 #5): the manifest carries epoch
+      // micros; every literal form Spark pushes normalizes to the same
+      // domain (UTC session mandated, so NTZ LocalDateTime is unambiguous)
+      case ("timestamp", t: java.sql.Timestamp) => micros(t.toInstant)
+      case ("timestamp", i: java.time.Instant) => micros(i)
+      case ("timestamp", l: java.time.LocalDateTime) =>
+        micros(l.toInstant(java.time.ZoneOffset.UTC))
+      case ("timestamp", m: java.lang.Long) => m.longValue()
       case _ => return true
     }
     def cmp(bound: Any): Option[Int] = (bound, lit) match {

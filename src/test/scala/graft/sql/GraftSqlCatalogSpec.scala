@@ -312,6 +312,23 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     // wrong-prunes): inequality via NOT is conservative
     assert(spark.sql(s"SELECT count(*) FROM $cat.stats.t " +
       "WHERE NOT (id < 4000)").head().getLong(0) == 4000L)
+    // TIMESTAMP bounds (VERDICT r14 #5): a pushed ts range prunes FILES
+    // on an UNPARTITIONED table — micros bounds ride the manifest like
+    // any long, the literal normalizes from java.sql.Timestamp
+    val ts = spark.range(0, 6000).selectExpr("id",
+      "timestamp_micros(cast(1700000000000000 + id * 60000000 as long)) AS ts")
+    sqlCat.lake.ensureTable("stats", "ts", ts.schema)
+    sqlCat.lake.appendSorted("stats", "ts", ts, Seq("ts"),
+      targetFiles = Some(8))
+    val allTs = files(s"SELECT id FROM $cat.stats.ts")
+    assert(allTs >= 8)
+    val hi = files(s"SELECT id FROM $cat.stats.ts WHERE ts >= " +
+      "timestamp_micros(cast(1700000000000000 + 5500L * 60000000 as long))")
+    assert(hi < allTs && hi >= 1,
+      s"timestamp-bounds skipping: $hi of $allTs files")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.stats.ts WHERE ts >= " +
+      "timestamp_micros(cast(1700000000000000 + 5500L * 60000000 as long))")
+      .head().getLong(0) == 500L)
     spark.sql(s"DROP NAMESPACE $cat.stats CASCADE")
   }
 
@@ -475,6 +492,49 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     }
     spark.sql(s"DROP NAMESPACE $cat.rn1 CASCADE")
     spark.sql(s"DROP NAMESPACE $cat.rn2 CASCADE")
+  }
+
+  test("ALTER TABLE DROP COLUMN: mid-schema drop serves old files " +
+    "through the composed read, new writes omit the column, re-adding " +
+    "the name is refused, physical-contract columns refuse to drop") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dc")
+    val t = s"$cat.dc.t"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, junk STRING, v DOUBLE, " +
+      "lang STRING) PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('j', id), id * 1.0, " +
+      "'en' FROM range(50)")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('j', id), id * 1.0, " +
+      "'de' FROM range(50, 80)")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN junk")
+    // schema no longer carries the column; SELECT * serves OLD files
+    val df = spark.sql(s"SELECT * FROM $t")
+    assert(df.columns.toSeq == Seq("id", "v", "lang"))
+    assert(df.count() == 80)
+    assert(spark.sql(s"SELECT sum(v) FROM $t WHERE lang = 'de'")
+      .head().getDouble(0) == (50 until 80).map(_ * 1.0).sum)
+    // new writes omit the column and read back merged with old files
+    spark.sql(s"INSERT INTO $t VALUES (100, 9.0, 'fr')")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 81)
+    // UPDATE still works across old + new files (composed read path)
+    spark.sql(s"UPDATE $t SET v = -1.0 WHERE id = 100")
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 100")
+      .head().getDouble(0) == -1.0)
+    // re-adding the dropped name is refused — old files still carry it
+    // physically; a live column wearing it would be ambiguous
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (junk STRING)")
+    }
+    assert(e.getMessage.contains("retired"))
+    // a DIFFERENT new column is fine and null-fills everywhere
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra BIGINT)")
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE extra IS NULL")
+      .head().getLong(0) == 81)
+    // partition sources refuse to drop
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN lang")
+    }
+    assert(e2.getMessage.contains("partition source"))
+    spark.sql(s"DROP NAMESPACE $cat.dc CASCADE")
   }
 
   test("storage-partitioned join: two tables bucketed bucket(8, id) " +
