@@ -2325,7 +2325,20 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val combined: Option[AvroManifests.DataFileEntry => Boolean] =
       if (filters.isEmpty) None
       else Some(e => filters.forall(_(e)))
-    scanWithDeletes(ns, table, meta, sn, liveDirsOf(sn),
+    // DIR TIER: drop whole dirs off the manifest-list field_summary
+    // bounds BEFORE any per-dir manifest is read — planning cost scales
+    // with surviving dirs on the library face too (dirs without
+    // summaries are kept; every surviving file still passes the exact
+    // per-file tiers and the row bound)
+    val dirFilters = perCol.flatMap(_._3)
+    val live = liveDirsOf(sn)
+    val dirs =
+      if (dirFilters.isEmpty) live
+      else {
+        val sums = manifestListSummaries(meta, sn)
+        live.filter(d => sums.get(d).forall(sm => dirFilters.forall(_(sm))))
+      }
+    scanWithDeletes(ns, table, meta, sn, dirs,
       fileFilter = combined).filter(rowBound)
   }
 
@@ -2335,7 +2348,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * [[loadSlice]] faces. */
   private def columnSliceFilters(meta: ObjectNode, schema: StructType,
                                  column: String, from: String, to: String)
-      : (Column, Option[AvroManifests.DataFileEntry => Boolean]) = {
+      : (Column, Option[AvroManifests.DataFileEntry => Boolean],
+         Option[Map[String, AvroManifests.FieldSummary] => Boolean]) = {
     val srcType = schema(column).dataType
     val rowBound = col(s"`$column`") >= lit(from).cast(srcType) &&
       col(s"`$column`") <= lit(to).cast(srcType)
@@ -2352,7 +2366,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           (!f.get("transform").asText().startsWith("bucket[") ||
             (!clusterOnlyBuckets && from == to))
       })
-    val fileFilter = fieldOpt.map { f =>
+    val partFilters = fieldOpt.map { f =>
       val fname = f.get("name").asText()
       val transform = f.get("transform").asText()
       val numeric = transform.startsWith("bucket[") ||
@@ -2372,13 +2386,49 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         }
       }
       val (lo, hi) = (bound(from), bound(to))
-      (e: AvroManifests.DataFileEntry) =>
+      val fileF = (e: AvroManifests.DataFileEntry) =>
         e.partition.find(_._1 == fname).flatMap(_._2) match {
           case None => true // not derivable from this file: cannot prune
           case Some(v) =>
             if (numeric) v.toLong >= lo.toLong && v.toLong <= hi.toLong
             else v >= lo && v <= hi
         }
+      // DIR TIER: the same [lo, hi] window against the manifest-list
+      // field_summary range — a dir whose whole tuple range misses the
+      // window is dropped BEFORE its manifest is opened (missing or
+      // undecodable bounds keep it; superset-safe like every tier)
+      val carrier = if (numeric)
+        (if (!transform.startsWith("bucket[") &&
+             srcType == org.apache.spark.sql.types.LongType) "long"
+         else "int")
+      else "string"
+      val (loB, hiB) = (lo.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        hi.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val dirF = (sm: Map[String, AvroManifests.FieldSummary]) =>
+        sm.get(fname) match {
+          case None => true
+          case Some(fs) =>
+            def dec(b: Option[Array[Byte]]): Option[Any] =
+              b.flatMap(AvroManifests.decodeBound(carrier, _))
+            def n(x: Any): Option[Long] = x match {
+              case i: Int  => Some(i.toLong)
+              case j: Long => Some(j)
+              case _       => None
+            }
+            (dec(fs.lowerBound), dec(fs.upperBound)) match {
+              case (Some(l), Some(u)) if numeric =>
+                (n(l), n(u)) match {
+                  case (Some(ll), Some(uu)) =>
+                    uu >= lo.toLong && ll <= hi.toLong
+                  case _ => true
+                }
+              case (Some(l: Array[Byte]), Some(u: Array[Byte])) =>
+                AvroManifests.compareUnsigned(u, loB) >= 0 &&
+                  AvroManifests.compareUnsigned(l, hiB) <= 0
+              case _ => true
+            }
+        }
+      (fileF, dirF)
     }
     // STATS TIER: manifest lower/upper bounds prune on ANY covered column
     // — the partition tier above only fires when `column` drives the
@@ -2470,12 +2520,13 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         }
         case _ => None
       }
+    val fileFilter = partFilters.map(_._1)
     val combined = (fileFilter, statFilter) match {
       case (Some(a), Some(b)) =>
         Some((e: AvroManifests.DataFileEntry) => a(e) && b(e))
       case (a, b) => a.orElse(b)
     }
-    (rowBound, combined)
+    (rowBound, combined, partFilters.map(_._2))
   }
 
   /** Delete-file DEBT report — one row per delete-file group of the
@@ -2831,6 +2882,28 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           .stripPrefix("manifest-").stripSuffix(".avro") -> e.sequenceNumber
       }.toMap)
       .getOrElse(Map.empty)
+
+  /** Per-DIR `field_summary` maps off a snapshot's manifest list (one
+    * Avro read), keyed by dir name and spec-field name — the dir-tier
+    * pruning input shared by [[loadSlice]] and the SQL scan. Entries
+    * written before summaries existed are simply absent (callers keep
+    * those dirs). */
+  private def manifestListSummaries(meta: ObjectNode, sn: JsonNode)
+      : Map[String, Map[String, AvroManifests.FieldSummary]] = {
+    val pfNames = manifestPartitionFields(meta).map(_.name)
+    if (pfNames.isEmpty) return Map.empty
+    Option(sn.get("manifest-list")).map(_.asText())
+      .filter(p => p.endsWith(".avro") && Files.exists(Path.of(p)))
+      .map(p => AvroManifests.readManifestList(Path.of(p))
+        .filter(_.content == 0)
+        .flatMap(e => e.partitions
+          .filter(_.size == pfNames.size)
+          .map(ss => Path.of(e.manifestPath).getFileName.toString
+            .stripPrefix("manifest-").stripSuffix(".avro") ->
+            pfNames.zip(ss).toMap))
+        .toMap)
+      .getOrElse(Map.empty)
+  }
 
   private val PosFileTag = "_graft_file"
   private val PosPosTag = "_graft_pos"

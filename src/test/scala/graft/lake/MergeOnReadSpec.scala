@@ -231,6 +231,60 @@ class MergeOnReadSpec extends AnyFunSuite {
     cat.dropNamespace(ns)
   }
 
+  test("[directory] row-level (SQL UPDATE/MERGE) commit races: a compact " +
+    "between scan and commit conflicts loudly and cleans up; a racing " +
+    "append rebases cleanly — both commits land") {
+    val ns = freshNs()
+    var inject: Option[() => Unit] = None
+    val cat = new DirectoryLakeCatalog(spark,
+        Files.createTempDirectory("graft-rowlevel-race-")) {
+      override protected def beforeRowLevelCommit(n: String, t: String): Unit = {
+        val f = inject; inject = None; f.foreach(_.apply())
+      }
+    }
+    seed(cat, ns) // ids 1..5
+    def runUpdate(): Unit = {
+      val (scan, live) = cat.rowLevelScan(ns, "t")
+      val (fTag, pTag) = cat.rowLevelPosCols
+      val delta = scan.filter(col("id") === 2L)
+        .withColumn("v", org.apache.spark.sql.functions.lit("upd"))
+        .localCheckpoint(true)
+      cat.commitRowLevel(ns, "t",
+        delta.select(col(fTag).as("file_path"), col(pTag).as("pos")),
+        delta.select("id", "v", "lang"), live)
+    }
+    // compact rewrites the scanned dirs: the position mask would bind to
+    // vanished files — a blind commit would silently lose the update
+    inject = Some(() => cat.compact(ns, "t", targetFiles = 1))
+    intercept[java.util.ConcurrentModificationException](runUpdate())
+    assert(cat.storageAudit(ns, "t").collect()(0)
+      .getAs[Long]("n_orphan_dirs") == 0L,
+      "aborted row-level commit cleaned up its data and delete dirs")
+    assert(cat.load(ns, "t").filter(col("id") === 2L)
+      .head().getString(1) != "upd", "nothing committed")
+    // retry against the compacted snapshot lands
+    runUpdate()
+    assert(cat.load(ns, "t").filter(col("id") === 2L)
+      .head().getString(1) == "upd")
+    // racing APPEND rebases cleanly: position masks bind to files the
+    // racer never touches, its new dir is never named
+    inject = Some(() => cat.append(ns, "t",
+      Seq((50L, "racer", "de")).toDF("id", "v", "lang")))
+    val (scan2, live2) = cat.rowLevelScan(ns, "t")
+    val (fTag2, pTag2) = cat.rowLevelPosCols
+    val delta2 = scan2.filter(col("id") === 3L)
+      .withColumn("v", org.apache.spark.sql.functions.lit("upd3"))
+      .localCheckpoint(true)
+    cat.commitRowLevel(ns, "t",
+      delta2.select(col(fTag2).as("file_path"), col(pTag2).as("pos")),
+      delta2.select("id", "v", "lang"), live2)
+    val after = cat.load(ns, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(3L) == "upd3" && after(50L) == "racer" &&
+      after.size == 6, s"append race must rebase, both visible: $after")
+    cat.dropNamespace(ns)
+  }
+
   test("[directory] MOR delete conflict: a concurrent compact between the " +
     "delete-file write and its commit fails loudly, cleans up, and the " +
     "retry lands") {

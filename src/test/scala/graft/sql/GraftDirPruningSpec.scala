@@ -77,6 +77,32 @@ class GraftDirPruningSpec extends AnyFunSuite {
       s"ts-range scan opened $prunedOpens manifests (full: $fullOpens)")
   }
 
+  test("library loadSlice prunes DIRS off the manifest-list summaries " +
+    "too: a day-bounded slice of a daily-append table opens only the " +
+    "matching dirs' manifests (identity string + bucket point lookup)") {
+    import spark.implicits._
+    val cat = graft.lake.DirectoryLakeCatalog.temp(spark)
+    val ns = s"dslice_${System.nanoTime()}"
+    cat.ensureTable(ns, "t",
+      Seq((1L, "d1", 1.0)).toDF("id", "day", "v").schema, Seq("day"))
+    (1 to 5).foreach { d =>
+      cat.append(ns, "t", (1 to d * 10).map(i =>
+        (i.toLong, s"d$d", i * 1.0)).toDF("id", "day", "v"))
+    }
+    val (_, fullOpens) = manifestOpens(cat.load(ns, "t").count())
+    assert(fullOpens >= 5)
+    val (n, oneOpens) = manifestOpens(
+      cat.loadSlice(ns, "t", "day", "d3", "d3").count())
+    assert(n == 30)
+    assert(oneOpens < fullOpens && oneOpens <= 2,
+      s"loadSlice opened $oneOpens manifests (full: $fullOpens) — the " +
+        "dir tier must skip non-matching dirs")
+    val (rng, rngOpens) = manifestOpens(
+      cat.loadSlice(ns, "t", "day", "d4", "d5").count())
+    assert(rng == 90 && rngOpens < fullOpens)
+    cat.dropNamespace(ns)
+  }
+
   test("pre-summary manifest lists (older tables) read as null and keep " +
     "every dir — superset-safe, results exact") {
     // simulate: entries round-trip through write/read WITHOUT summaries

@@ -203,6 +203,34 @@ class GraftRowLevelSpec extends AnyFunSuite {
       (4L, "seen", 40.0)))
   }
 
+  test("MERGE INTO + UPDATE through a REST-carrier SQL catalog: the " +
+    "row-level commit path is carrier-generic (server-side CAS, local " +
+    "data root)") {
+    val server = graft.lake.RestCatalogStub.start()
+    try {
+      val wh = Files.createTempDirectory("graft-rl-rest-").toString
+      spark.conf.set("spark.sql.catalog.grlrest", "graft.sql.GraftSqlCatalog")
+      spark.conf.set("spark.sql.catalog.grlrest.uri", server.uri)
+      spark.conf.set("spark.sql.catalog.grlrest.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS grlrest.rl")
+      spark.sql("CREATE TABLE grlrest.rl.t (id BIGINT, v STRING)")
+      spark.sql("INSERT INTO grlrest.rl.t VALUES (1,'a'),(2,'b')")
+      spark.sql(
+        """MERGE INTO grlrest.rl.t t USING (
+          |  SELECT CAST(2 AS BIGINT) AS id, 'B' AS v
+          |  UNION ALL SELECT CAST(3 AS BIGINT), 'c') s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+          |""".stripMargin)
+      spark.sql("UPDATE grlrest.rl.t SET v = upper(v) WHERE id = 1")
+      val got = spark.sql("SELECT id, v FROM grlrest.rl.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "A"), (2L, "B"), (3L, "c")))
+      spark.sql("DROP NAMESPACE grlrest.rl CASCADE")
+    } finally server.stop()
+  }
+
   test("library read faces and time travel see the merged state " +
     "consistently") {
     val t = mk("mrgtravel")
