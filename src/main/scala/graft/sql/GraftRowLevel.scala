@@ -182,10 +182,10 @@ private[sql] object GraftRowLevel {
 
   def runMerge(spark: SparkSession, table: GraftTable,
                targetOut: Seq[Attribute], m: MergeIntoTable): Unit = {
-    if (m.withSchemaEvolution)
-      throw new UnsupportedOperationException(
-        "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables — " +
-          "ALTER TABLE ADD COLUMNS first, then MERGE")
+    // MERGE WITH SCHEMA EVOLUTION needs no work here: the analyzer's
+    // ResolveMergeIntoSchemaEvolution already ALTERed the table through
+    // the catalog (AUTOMATIC_SCHEMA_EVOLUTION capability) and re-keyed
+    // the star actions against the evolved, reloaded relation
     require(table.pinnedSnapshot.isEmpty,
       s"${table.name()}: cannot MERGE INTO a time-travel relation")
     val lake = table.lake

@@ -73,8 +73,14 @@ class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
   override def schema(): StructType = state.schema
 
   override def capabilities(): JSet[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION: the analyzer's MERGE WITH SCHEMA
+    // EVOLUTION rule alters the table through THIS catalog (our CAS
+    // addColumns/promotion faces), reloads it, and expands star actions
+    // against the evolved schema — the lake's additive-evolution
+    // contract, surfaced through SQL
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def partitioning(): Array[Transform] =
     state.partFields.map { f =>

@@ -203,6 +203,29 @@ class GraftRowLevelSpec extends AnyFunSuite {
       (4L, "seen", 40.0)))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns evolve the " +
+    "table through the catalog (one ALTER + one MERGE commit), star " +
+    "actions fill them, pre-evolution rows read NULL") {
+    val t = mk("mrgevo")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t t USING (
+         |  SELECT CAST(1 AS BIGINT) AS id, 'z' AS v,
+         |         CAST(10.5 AS DOUBLE) AS amt, CAST(7 AS BIGINT) AS score
+         |  UNION ALL SELECT CAST(9 AS BIGINT), 'new',
+         |         CAST(90.0 AS DOUBLE), CAST(9 AS BIGINT)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq ==
+      Seq("id", "v", "amt", "score"))
+    val got = spark.sql(s"SELECT id, v, amt, score FROM $t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq((1L, "z", 10.5, 7L), (2L, "b", 20.0, -1L),
+      (3L, "c", 30.0, -1L), (4L, "d", 40.0, -1L), (9L, "new", 90.0, 9L)))
+  }
+
   test("MERGE INTO + UPDATE through a REST-carrier SQL catalog: the " +
     "row-level commit path is carrier-generic (server-side CAS, local " +
     "data root)") {
