@@ -288,6 +288,59 @@ object SqlFace {
       .orderBy("status", "lang")
   }
 
+  /** q229: the MAINTENANCE lifecycle through SQL `CALL` (round 15) —
+    * the statement face operators actually run: seed three append
+    * commits, `CALL compact` (one rewrite commit, exact file target),
+    * poison the table with a fourth insert, `CALL rollback_to_snapshot`
+    * back to the compacted state, `CALL expire_snapshots(keep_last=1)`.
+    * Sentinels: `__compacted` (compact reported <= the requested file
+    * count and the table still censuses exactly), `__rolledback` (the
+    * poison slice is gone), `__expired` (exactly one snapshot retained
+    * and the data still reads). Each procedure is a thin CALL face over
+    * the proven lake op — this query pins the SQL wiring end to end.
+    *
+    * Scale shape: compact is the one data-sized op (a full rewrite by
+    * design); rollback and expire are metadata commits; the census is
+    * |langs|-bounded. */
+  def q229SqlMaintenance(s: SparkSession, d: String): DataFrame = {
+    mount(s)
+    val ns = s"mntq_${System.nanoTime()}"
+    val t = s"$CatName.$ns.docs"
+    s.sql(s"CREATE NAMESPACE $CatName.$ns")
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q229_docs")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    (0 to 2).foreach(i =>
+      s.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars " +
+        s"FROM q229_docs WHERE doc_id % 3 = $i"))
+    val liveFiles = s.sql(
+      s"CALL $CatName.system.compact(table => '$ns.docs', " +
+        "target_files => 4)").collect()(0).getInt(1)
+    val base = s.sql(s"SELECT count(*) FROM q229_docs").head().getLong(0)
+    val compactedOk = liveFiles <= 4 &&
+      s.sql(s"SELECT count(*) FROM $t").head().getLong(0) == base
+    val sid = s.sql(s"SELECT snapshot_id FROM $t.snapshots " +
+      "ORDER BY snapshot_id DESC LIMIT 1").head().getLong(0)
+    s.sql(s"INSERT INTO $t VALUES (-1, 'zz', 0)") // poison
+    s.sql(s"CALL $CatName.system.rollback_to_snapshot('$ns.docs', $sid)")
+    val rolledOk = s.sql(
+      s"SELECT count(*) FROM $t WHERE doc_id < 0").head().getLong(0) == 0
+    val retained = s.sql(
+      s"CALL $CatName.system.expire_snapshots('$ns.docs', 1)")
+      .collect()(0).getInt(1)
+    val expiredOk = retained == 1 &&
+      s.sql(s"SELECT count(*) FROM $t").head().getLong(0) == base
+    val rows = s.sql(s"SELECT lang, count(*) AS n, sum(n_chars) AS sc " +
+      s"FROM $t GROUP BY lang").collect() // |langs|-bounded
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    s.sql(s"DROP NAMESPACE $CatName.$ns CASCADE")
+    import s.implicits._
+    (rows :+ (("__compacted", if (compactedOk) 1L else 0L, 0L)) :+
+      (("__rolledback", if (rolledOk) 1L else 0L, 0L)) :+
+      (("__expired", if (expiredOk) 1L else 0L, 0L)))
+      .toDF("lang", "n_docs", "sum_chars").orderBy("lang")
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
       "q225_sql_catalog" -> ((q225SqlCatalog _, """
@@ -320,6 +373,15 @@ object SqlFace {
           UNION ALL SELECT '__mor', 1::BIGINT
           UNION ALL SELECT '__pick', 1::BIGINT
           UNION ALL SELECT '__mlog', 1::BIGINT)
+        ORDER BY lang""")),
+      "q229_sql_maintenance" -> ((q229SqlMaintenance _, """
+        SELECT * FROM (
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 sum(n_chars)::BIGINT AS sum_chars
+          FROM documents GROUP BY 1
+          UNION ALL SELECT '__compacted', 1::BIGINT, 0::BIGINT
+          UNION ALL SELECT '__expired', 1::BIGINT, 0::BIGINT
+          UNION ALL SELECT '__rolledback', 1::BIGINT, 0::BIGINT)
         ORDER BY lang""")),
       "q228_sql_merge" -> ((q228SqlMerge _, """
         WITH d AS (SELECT doc_id, lang, n_chars FROM documents),

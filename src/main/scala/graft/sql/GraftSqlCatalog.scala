@@ -38,7 +38,8 @@ import scala.jdk.CollectionConverters._
   * compatibility handle Spark's storage-partitioned join resolves against
   * (VERDICT r13 #2; enable `spark.sql.sources.v2.bucketing.enabled`). */
 class GraftSqlCatalog extends TableCatalog
-    with SupportsNamespaces with FunctionCatalog {
+    with SupportsNamespaces with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private[graft] var lake: SnapshotLakeCatalog = _
@@ -227,6 +228,18 @@ class GraftSqlCatalog extends TableCatalog
           "operation — this client does not rewrite server-owned metadata")
     }
   }
+
+  // ---- procedures (SQL CALL) ----------------------------------------------
+
+  /** `CALL <cat>.system.<proc>(...)` — the maintenance lifecycle through
+    * SQL ([[GraftProcedures]]): expire/rollback/cherry-pick/fast-forward/
+    * compact/remove-orphans, each a thin face over the proven lake op. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(lake, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(lake, namespace)
 
   // ---- namespaces ----------------------------------------------------------
 
