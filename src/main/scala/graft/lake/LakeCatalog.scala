@@ -368,15 +368,20 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
       s"$ns.$table has no column '$from'")
     require(!schema.fieldNames.contains(to),
       s"$ns.$table already has a column '$to'")
-    require(!partitionColsOf(ns, table).contains(from),
-      s"$ns.$table: '$from' is a partition column — its name is the " +
-        "directory layout; rename is not supported on it")
     require(!isBucketed(ns, table),
       s"$ns.$table is bucketed — a rename rewrite would drop its bucket " +
         "spec; rewrite via writeBucketed under the new name instead")
+    // a PARTITION-column rename is natural on this carrier: the rename
+    // is a full staged rewrite anyway, so the new name simply becomes
+    // the new directory layout (`to=value` dirs) — no pruning pause, no
+    // mixed-generation dirs (contrast the snapshot carriers' metadata-
+    // only rename, which pauses pruning on old dirs until compact)
+    val parts = partitionColsOf(ns, table)
+      .map(p => if (p == from) to else p)
     tableLock(ns, table).synchronized {
       stagedRewrite(ns, table,
-        spark.table(id(ns, table)).withColumnRenamed(from, to))
+        spark.table(id(ns, table)).withColumnRenamed(from, to),
+        Some(parts))
     }
     0 // the rewrite lands under the new name — no pruning pause
   }
@@ -396,8 +401,9 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * location also means the rewrite reads its source directly — no
     * checkpoint materialization. Caller holds the table lock. */
   private def stagedRewrite(ns: String, table: String,
-                            rewritten: DataFrame): Unit = {
-    val parts = partitionColsOf(ns, table)
+                            rewritten: DataFrame,
+                            partsOverride: Option[Seq[String]] = None): Unit = {
+    val parts = partsOverride.getOrElse(partitionColsOf(ns, table))
     val stage = s"${table}__graft_stage"
     // the staging name is RESERVED (user tables refuse it at create,
     // see ensureTable): if it exists anyway, this is either a crashed
@@ -415,6 +421,11 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
       .saveAsTable(id(ns, stage))
     spark.sql(s"DROP TABLE ${id(ns, table)}")
     spark.sql(s"ALTER TABLE ${id(ns, stage)} RENAME TO ${id(ns, table)}")
+    // renaming a PARTITIONED managed table moves its directory but the
+    // metastore's per-partition locations still point at the old path
+    // (the classic Hive rename quirk) — recover them from the layout
+    if (parts.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE ${id(ns, table)}")
     refreshHere(ns, table)
   }
 

@@ -208,24 +208,19 @@ class LakeCatalogMatrixSpec extends AnyFunSuite {
       val e2 = intercept[IllegalArgumentException](
         cat.renameColumn(ns, "t", "id", "title"))
       assert(e2.getMessage.contains("already has"), e2.getMessage)
-      // identity partition source: the session carrier refuses (the
-      // name IS its directory layout, no spec registry to evolve); the
-      // snapshot carriers rename it as an atomic rename + spec
-      // generation (round 13 — the PartitionTransformSpec case)
+      // identity partition source renames on EVERY carrier (round 15
+      // closes the last session-carrier divergence): the session
+      // carrier's rename is a staged rewrite anyway, so the new name
+      // simply becomes the new directory layout; the snapshot carriers
+      // rename it metadata-only as rename + spec generation (round 13)
       val df = Seq((1L, "x")).toDF("id", "cat")
       cat.ensureTable(ns, "p", df.schema, partitionBy = Seq("cat"))
       cat.append(ns, "p", df)
-      if (impl.name == "session") {
-        val e3 = intercept[IllegalArgumentException](
-          cat.renameColumn(ns, "p", "cat", "category"))
-        assert(e3.getMessage.contains("partition"), e3.getMessage)
-      } else {
-        cat.renameColumn(ns, "p", "cat", "category")
-        cat.append(ns, "p", Seq((2L, "y")).toDF("id", "category"))
-        assert(cat.load(ns, "p").orderBy("id").collect()
-          .map(r => (r.getLong(0), r.getString(1))).toSeq ==
-          Seq((1L, "x"), (2L, "y")))
-      }
+      cat.renameColumn(ns, "p", "cat", "category")
+      cat.append(ns, "p", Seq((2L, "y")).toDF("id", "category"))
+      assert(cat.load(ns, "p").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "x"), (2L, "y")))
       cat.dropNamespace(ns)
     }
 
