@@ -1185,6 +1185,49 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     }
   }
 
+  /** EXACTLY-ONCE commit of one streaming epoch's files — the native
+    * `writeStream.toTable("graft.ns.t")` sink's commit half
+    * ([[graft.sql.GraftStreamingWrite]]). Executors have already written
+    * `dirName`'s parquet files (one per task, commit-coordinated); this
+    * publishes the dir as ONE snapshot and records
+    * `graft.stream.epoch.<queryId> = epochId` in the table properties
+    * INSIDE the same CAS commit — so a replayed epoch (a restarted query
+    * re-running its last uncommitted-or-committed batch, Spark's
+    * at-least-once re-delivery) finds the marker, deletes its re-written
+    * dir, and commits NOTHING. Idempotence and the snapshot are one
+    * atomic metadata swap; there is no window where the rows are visible
+    * without the marker. `replaceEach` = the streaming `complete`/
+    * truncate mode: each epoch's snapshot REPLACES the live set.
+    * Returns true when the epoch committed, false on a replay skip. */
+  private[graft] def commitStreamingEpoch(ns: String, table: String,
+      queryId: String, epochId: Long, dirName: String,
+      replaceEach: Boolean): Boolean = {
+    val propKey = s"graft.stream.epoch.$queryId"
+    var committed = false
+    commit(ns, table) {
+      case None => throw new IllegalArgumentException(
+        s"no such table: $ns.$table (dropped mid-stream?)")
+      case Some(meta) =>
+        val node = meta.get("properties").asInstanceOf[ObjectNode]
+        val last = Option(node.get(propKey)).map(_.asText().toLong)
+        if (last.exists(_ >= epochId)) { committed = false; None }
+        else {
+          val live =
+            if (replaceEach) Seq(dirName)
+            else liveSnapshots(meta) :+ dirName
+          val m = addSnapshot(ns, table, meta,
+            if (replaceEach) "overwrite" else "append", live,
+            if (replaceEach) Seq.empty else currentDeletes(meta))
+          m.get("properties").asInstanceOf[ObjectNode]
+            .put(propKey, epochId.toString)
+          committed = true
+          Some(m)
+        }
+    }
+    if (!committed) deleteTree(dataDir(ns, table).resolve(dirName))
+    committed
+  }
+
   /** Sorted append — the WRITE-side half of bounds-based file skipping:
     * rows are RANGE-partitioned on `sortCols` and sorted within each
     * file, so per-file [lower, upper] windows are disjoint and a bounded
@@ -1393,6 +1436,140 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         metaSchema(meta))
     scanWithDeletes(ns, table, meta, toSnap, newDirs,
       delFilter = _ => false)
+  }
+
+  /** The snapshot chain AFTER `fromId` up to the current snapshot, oldest
+    * first, as the streaming micro-batch read's admission control sees it
+    * ([[graft.sql.GraftMicroBatchStream]]): id, operation, and the
+    * summary's added-data-files / added-records rollups — everything a
+    * rate limit needs WITHOUT opening a manifest. `fromId == -1` walks to
+    * the root (stream the whole history); an expired chain link fails
+    * loudly (the offset range is no longer reconstructible). */
+  private[graft] def streamSnapshots(ns: String, table: String,
+      fromId: Long): Seq[SnapshotLakeCatalog.StreamSnap] = {
+    val meta = readMeta(ns, table)
+    val cur = currentSnapNode(meta) match {
+      case None => return Seq.empty // unborn table: nothing after any offset
+      case Some(sn) => sn.get("snapshot-id").asLong()
+    }
+    if (cur == fromId) return Seq.empty
+    snapshotChain(ns, table, meta, fromId, cur).map { sn =>
+      def rollup(key: String): Long =
+        Option(sn.get("summary")).flatMap(s => Option(s.get(key)))
+          .map(_.asText().toLong).getOrElse(0L)
+      SnapshotLakeCatalog.StreamSnap(sn.get("snapshot-id").asLong(),
+        sn.get("operation").asText(),
+        rollup("added-data-files"), rollup("added-records"))
+    }
+  }
+
+  /** Scan-planning face of [[loadAppendsSince]] for the SQL streaming
+    * micro-batch read: the data FILES appended by the snapshots in
+    * (`fromId`, `toId`], straight off their manifests — each batch of a
+    * `spark.readStream.table("graft.ns.t")` plans exactly these, so a
+    * day of appends costs the day's files at 100 TB, never a table scan.
+    * `fromId == -1` = from before the first snapshot (full history).
+    *
+    * Exactness contract (Iceberg's streaming-read semantics): only
+    * APPEND snapshots stream. A `delete` snapshot in the range fails
+    * loudly unless `skipDeletes` (option
+    * `streaming-skip-delete-snapshots`) — rows already emitted cannot be
+    * retracted from a stream, so skipping is an explicit user choice. Any
+    * other operation (overwrite, replace, rollback) rewrites or re-adds
+    * directories a files-only stream cannot represent without
+    * duplicating rows; it fails loudly unless `skipOverwrites`
+    * (`streaming-skip-overwrite-snapshots`), which skips the snapshot's
+    * added directories entirely. Delete files never mask the streamed
+    * rows (sequence-number scoping, as in [[loadAppendsSince]]).
+    *
+    * The native-read discipline applies per batch, not just at stream
+    * start: schema or partition-spec EVOLUTION anywhere in the table's
+    * history fails loudly (old files would need rename/promotion/layout
+    * alignment only the composed batch read performs) — same reasons the
+    * batch scan's [[sqlScanState]] flips to composed. */
+  private[graft] def sqlAppendSlice(ns: String, table: String,
+      fromId: Long, toId: Long, skipDeletes: Boolean,
+      skipOverwrites: Boolean): Seq[SnapshotLakeCatalog.SqlDataFile] = {
+    import SnapshotLakeCatalog.SqlDataFile
+    val meta = readMeta(ns, table)
+    require(meta.get("schemas").size() <= 1,
+      s"$ns.$table carries schema evolution history — the streaming " +
+        "micro-batch read plans raw files and cannot align " +
+        "rename/promotion generations; compact() the table into one " +
+        "schema generation and restart the stream")
+    require(meta.get("partition-specs").size() <= 1,
+      s"$ns.$table carries partition-spec evolution — per-generation " +
+        "directory layouts need the composed batch read; compact() and " +
+        "restart the stream")
+    val byId = meta.get("snapshots").elements().asScala
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    snapshotChain(ns, table, meta, fromId, toId).flatMap { sn =>
+      val op = sn.get("operation").asText()
+      val stream = op match {
+        case "append" => true
+        case "delete" =>
+          require(skipDeletes,
+            s"streaming read of $ns.$table: snapshot " +
+              s"${sn.get("snapshot-id").asLong()} is a '$op' — emitted " +
+              "rows cannot be retracted from an append stream. Set " +
+              "option streaming-skip-delete-snapshots=true to stream " +
+              "appends only, or use snapshotDiff for a changelog.")
+          false
+        case other =>
+          require(skipOverwrites,
+            s"streaming read of $ns.$table: snapshot " +
+              s"${sn.get("snapshot-id").asLong()} is a '$other' — its " +
+              "rewritten/re-added directories would duplicate rows in a " +
+              "files-only stream. Set option " +
+              "streaming-skip-overwrite-snapshots=true to skip it, or " +
+              "use snapshotDiff for a changelog.")
+          false
+      }
+      if (!stream) Seq.empty
+      else {
+        val parentLive = Option(sn.get("parent-snapshot-id"))
+          .map(_.asLong()).flatMap(byId.get)
+          .map(liveDirsOf).getOrElse(Seq.empty).toSet
+        liveDirsOf(sn).filterNot(parentLive.contains).flatMap { d =>
+          val mp = manifestPathFor(ns, table, d)
+          require(Files.exists(mp),
+            s"streaming read of $ns.$table: directory $d predates " +
+              "manifests — rewrite the table (compact()) and restart " +
+              "the stream")
+          val base = dataDir(ns, table).resolve(d)
+          AvroManifests.readManifest(mp).filter(_.content == 0)
+            .map(e => SqlDataFile(
+              if (e.filePath.startsWith("/")) e.filePath
+              else base.resolve(e.filePath).toString,
+              e.fileSizeInBytes, e.recordCount, e.partition.toMap,
+              e.lowerBounds, e.upperBounds))
+        }
+      }
+    }
+  }
+
+  /** The snapshots in (`fromId`, `toId`], oldest first, walked along
+    * parent links from `toId`. `fromId == -1` walks to the root. Fails
+    * loudly on an expired link or when `fromId` is not an ancestor of
+    * `toId` (a rollback abandoned it, or the ids are reversed). */
+  private def snapshotChain(ns: String, table: String, meta: ObjectNode,
+      fromId: Long, toId: Long): List[JsonNode] = {
+    val byId = meta.get("snapshots").elements().asScala
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    var chain = List.empty[JsonNode]
+    var walk: Option[Long] = Some(toId)
+    while (walk.isDefined && !walk.contains(fromId)) {
+      val sn = byId.getOrElse(walk.get,
+        throw new IllegalArgumentException(
+          s"snapshot ${walk.get} on the $toId->$fromId chain of " +
+            s"$ns.$table is expired — the range is not reconstructible"))
+      chain ::= sn
+      walk = Option(sn.get("parent-snapshot-id")).map(_.asLong())
+    }
+    require(fromId == -1L || walk.contains(fromId),
+      s"snapshot $fromId is not an ancestor of $toId on $ns.$table " +
+        "(a rollback abandoned it, or the ids are reversed)")
+    chain
   }
 
   /** Snapshot ids still present in the metadata log, oldest first. */
@@ -3579,7 +3756,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       org.apache.spark.sql.types.DateType)
     val reasons = Seq(
       snOpt.exists(deleteFilesOf(_).nonEmpty) ->
-        "merge-on-read delete debt (compact() folds it away)",
+        SnapshotLakeCatalog.DeleteDebtReason,
       (meta.get("schemas").size() > 1) ->
         "schema evolution history (read-time rename/promotion alignment)",
       (meta.get("partition-specs").size() > 1) ->
@@ -3713,6 +3890,19 @@ object SnapshotLakeCatalog {
   case class SqlPartField(specName: String, transform: String,
                           srcName: String,
                           srcType: org.apache.spark.sql.types.DataType)
+
+  /** The composed-read reason a MOR-debt snapshot carries — named so the
+    * SQL face can recognize DEBT-ONLY composition: append streaming stays
+    * native on such a table (appended rows are never masked by deletes —
+    * sequence scoping), while its batch face still requires the composed
+    * plan. */
+  val DeleteDebtReason = "merge-on-read delete debt (compact() folds it away)"
+
+  /** One snapshot of the post-offset chain, as streaming admission
+    * control paces it ([[SnapshotLakeCatalog.streamSnapshots]]): the
+    * summary rollups bound a micro-batch WITHOUT opening manifests. */
+  case class StreamSnap(id: Long, operation: String,
+                        addedFiles: Long, addedRecords: Long)
 
   /** One live data file of a snapshot (manifest-sourced — no directory
     * listing): absolute path, size, row count, the partition tuple

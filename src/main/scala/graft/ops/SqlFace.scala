@@ -341,8 +341,90 @@ object SqlFace {
       .toDF("lang", "n_docs", "sum_chars").orderBy("lang")
   }
 
+  /** q230: the STREAMING micro-batch read of the lake through SQL
+    * (`spark.readStream.table("graft.ns.t")`, round 15) — snapshot-id
+    * offsets over a real multi-commit table. Three append commits slice
+    * `documents` by `doc_id % 3`; a paced stream
+    * (`maxFilesPerTrigger=1`, Trigger.AvailableNow) drains them — one
+    * micro-batch per snapshot (sentinel `__paced`), each batch planned
+    * manifest-exact off the snapshot chain
+    * ([[graft.sql.GraftMicroBatchStream]]), so the streamed census must
+    * equal the full table's. A fourth commit then lands and the SAME
+    * checkpoint drains again: exactly the new slice, in one batch
+    * (sentinel `__restart` — offsets survive restart; nothing re-reads).
+    *
+    * Scale shape: each batch costs its snapshot's appended files (never
+    * a table scan), the per-batch census is |langs|-bounded, and pacing
+    * reads only summary rollups. This is the 100 TB CDC fan-out path:
+    * downstream keeps up with commits, not with table size. */
+  def q230StreamRead(s: SparkSession, d: String): DataFrame = {
+    mount(s)
+    val ns = s"strq_${System.nanoTime()}"
+    val t = s"$CatName.$ns.docs"
+    s.sql(s"CREATE NAMESPACE $CatName.$ns")
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q230_docs")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    (0 to 2).foreach(i =>
+      s.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars " +
+        s"FROM q230_docs WHERE doc_id % 3 = $i"))
+    val ckpt = java.nio.file.Files.createTempDirectory("q230-ckpt-")
+      .toString
+    val agg = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drain(): Unit = {
+      val q = s.readStream.option("maxFilesPerTrigger", "1").table(t)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          import org.apache.spark.sql.functions.{count, sum}
+          val rows = b.groupBy("lang")
+            .agg(count("*").as("n"), sum("n_chars").as("sc"))
+            .collect() // |langs|-bounded per batch — control plane
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          if (rows.nonEmpty) {
+            agg.synchronized { agg ++= rows }
+            batches.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val pacedOk = batches.get() == 3 // one micro-batch per snapshot
+    val census = agg.synchronized(agg.groupBy(_._1).map { case (l, xs) =>
+      (l, xs.map(_._2).sum, xs.map(_._3).sum)
+    }.toSeq)
+    agg.synchronized(agg.clear()); batches.set(0)
+    // restart: a 4th commit in a disjoint id space, SAME checkpoint
+    s.sql(s"INSERT INTO $t SELECT doc_id + 1000000000, lang, n_chars " +
+      "FROM q230_docs WHERE doc_id % 5 = 0")
+    drain()
+    val expectRestart = s.sql(
+      "SELECT count(*) FROM q230_docs WHERE doc_id % 5 = 0")
+      .head().getLong(0)
+    val restartOk = batches.get() == 1 &&
+      agg.synchronized(agg.map(_._2).sum) == expectRestart
+    s.sql(s"DROP NAMESPACE $CatName.$ns CASCADE")
+    import s.implicits._
+    (census.toSeq :+ (("__paced", if (pacedOk) 1L else 0L, 0L)) :+
+      (("__restart", if (restartOk) 1L else 0L, 0L)))
+      .toDF("lang", "n_docs", "sum_chars").orderBy("lang")
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
+      "q230_stream_read" -> ((q230StreamRead _, """
+        SELECT * FROM (
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 sum(n_chars)::BIGINT AS sum_chars
+          FROM documents GROUP BY 1
+          UNION ALL SELECT '__paced', 1::BIGINT, 0::BIGINT
+          UNION ALL SELECT '__restart', 1::BIGINT, 0::BIGINT)
+        ORDER BY lang""")),
       "q225_sql_catalog" -> ((q225SqlCatalog _, """
         WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
         SELECT * FROM (

@@ -80,6 +80,7 @@ class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
     // contract, surfaced through SQL
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def partitioning(): Array[Transform] =
@@ -113,13 +114,21 @@ class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
     // the loud failure moves to EXECUTION (GraftUnreadableScan), so a
     // debt-table DELETE works while an actual extension-less read still
     // fails instead of reading wrong
-    if (needsComposition)
-      new GraftUnreadableScanBuilder(state.schema,
+    if (needsComposition) {
+      val msg =
         s"${name()}: the native SQL scan cannot represent this table — " +
           s"${state.composed.get}. Install graft.GraftExtensions " +
           "(spark.sql.extensions) for the composed read, or fold the " +
-          "state away (compact()).")
-    else new GraftScanBuilder(SparkSession.active, this)
+          "state away (compact())."
+      // DEBT-ONLY composition keeps the native builder with its batch
+      // face deferred-unreadable: delete files never mask APPENDED rows
+      // (sequence scoping), so the micro-batch STREAM of such a table
+      // stays native-exact while batch still requires the composed plan
+      if (state.composed.contains(SnapshotLakeCatalog.DeleteDebtReason))
+        new GraftScanBuilder(SparkSession.active, this, options,
+          batchUnreadable = Some(msg))
+      else new GraftUnreadableScanBuilder(state.schema, msg)
+    } else new GraftScanBuilder(SparkSession.active, this, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -194,6 +203,11 @@ class GraftUnreadableScanBuilder(full: StructType, msg: String)
     override def planInputPartitions(): Array[InputPartition] =
       throw new UnsupportedOperationException(msg)
     override def createReaderFactory(): PartitionReaderFactory =
+      throw new UnsupportedOperationException(msg)
+    // streaming has no composed-plan substitution: fail at plan time
+    // with the actionable reason, not the generic default
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       throw new UnsupportedOperationException(msg)
   }
 }
@@ -294,7 +308,10 @@ object GraftFilterColumns {
   * files via partition-tuple evaluation here ([[GraftPartitionPruning]]),
   * then row groups/pages via the parquet reader they are handed to. All
   * filters stay residual (Spark re-evaluates exactly). */
-class GraftScanBuilder(spark: SparkSession, table: GraftTable)
+class GraftScanBuilder(spark: SparkSession, table: GraftTable,
+                       options: CaseInsensitiveStringMap =
+                         CaseInsensitiveStringMap.empty(),
+                       batchUnreadable: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -335,7 +352,8 @@ class GraftScanBuilder(spark: SparkSession, table: GraftTable)
       .filter(f => pushed.forall(flt =>
         GraftPartitionPruning.mayMatch(f, st.partFields, flt) &&
           GraftPartitionPruning.statsMayMatch(f, st.schema, flt)))
-    new GraftScan(spark, table, reqData, reqPart, pushed, files)
+    new GraftScan(spark, table, reqData, reqPart, pushed, files, options,
+      batchUnreadable)
   }
 }
 
@@ -351,7 +369,10 @@ class GraftScanBuilder(spark: SparkSession, table: GraftTable)
   * broadcast a small side without listing a single directory. */
 class GraftScan(spark: SparkSession, table: GraftTable,
                 reqData: StructType, reqPart: StructType,
-                pushed: Array[Filter], files: Seq[SqlDataFile])
+                pushed: Array[Filter], files: Seq[SqlDataFile],
+                options: CaseInsensitiveStringMap =
+                  CaseInsensitiveStringMap.empty(),
+                batchUnreadable: Option[String] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -394,6 +415,14 @@ class GraftScan(spark: SparkSession, table: GraftTable,
     StructType(reqData.fields ++ reqPart.fields)
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table("graft.ns.t")` — incremental snapshot-chain
+    * streaming ([[GraftMicroBatchStream]]); the scan's pushed filters and
+    * column pruning carry over to every micro-batch. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, table, reqData, reqPart, pushed,
+      options)
 
   override def description(): String =
     s"graft native scan ${table.name()} snapshot=${st.snapshotId} " +
@@ -445,23 +474,16 @@ class GraftScan(spark: SparkSession, table: GraftTable,
   }
 
   private def slices(fs: Seq[SqlDataFile]): Array[GraftFileSlice] =
-    fs.map { f =>
-      val values: Array[Any] = reqPart.fields.map { pf =>
-        GraftPartitionPruning.catalystValue(
-          f.partition.get(pf.name).flatten, pf.dataType)
-      }
-      GraftFileSlice(f.path, 0L, f.sizeBytes, f.sizeBytes, values)
-    }.toArray
+    GraftParquetRead.slices(fs, reqPart)
 
-  /** Spark's file-source sizing discipline, applied to the manifest list:
-    * files larger than `spark.sql.files.maxPartitionBytes` SPLIT into
-    * byte ranges (parquet row groups align to whichever range holds their
-    * midpoint — the same contract FileSourceScanExec relies on), then
-    * ranges GREEDY-PACK largest-first so many small files share one task
-    * (`openCostInBytes` padding). Without this, one task per file means a
-    * 2 GB file serializes on one core and 10k tiny files cost 10k task
-    * launches — both scale killers at 100 TB. */
-  override def planInputPartitions(): Array[InputPartition] =
+  /** Spark's file-source sizing discipline
+    * ([[GraftParquetRead.pack]] — shared with the micro-batch stream):
+    * oversized files split, small files greedy-pack. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    // the debt-only BATCH face fails deferred (planners probe scans they
+    // never run; the extensions substitute the composed read before any
+    // batch execution reaches here) — the STREAM face stays native
+    batchUnreadable.foreach(m => throw new UnsupportedOperationException(m))
     bucketGroups match {
       case Some((_, _, groups)) =>
         // KeyGrouped partitions bind to bucket ids — files stay whole and
@@ -475,49 +497,14 @@ class GraftScan(spark: SparkSession, table: GraftTable,
             slices(fs.filter(f => live(f.path))), bucketId): InputPartition
         }.toArray
       case None =>
-        val conf = spark.sessionState.conf
-        val maxBytes = conf.filesMaxPartitionBytes
-        val openCost = conf.filesOpenCostInBytes
-        val split = slices(liveFiles).flatMap { s =>
-          (0L until math.max(1L, s.fileSize) by maxBytes).map(off =>
-            s.copy(start = off,
-              length = math.min(maxBytes, s.fileSize - off)))
-        }
-        val packed = Seq.newBuilder[Array[GraftFileSlice]]
-        val cur = Seq.newBuilder[GraftFileSlice]
-        var curBytes = 0L
-        var curN = 0
-        split.sortBy(-_.length).foreach { s =>
-          val cost = s.length + openCost
-          if (curN > 0 && curBytes + cost > maxBytes) {
-            packed += cur.result().toArray
-            cur.clear(); curBytes = 0L; curN = 0
-          }
-          cur += s; curBytes += cost; curN += 1
-        }
-        if (curN > 0) packed += cur.result().toArray
-        packed.result()
-          .map(fs => new GraftInputPartition(fs): InputPartition).toArray
+        GraftParquetRead.pack(spark, slices(liveFiles))
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val identityNames = st.partFields
-      .filter(_.transform == "identity").map(_.srcName).toSet
-    val dataSchema = StructType(
-      st.schema.fields.filterNot(f => identityNames.contains(f.name)))
-    val dataCols = dataSchema.fieldNames.toSet
-    val parquetFilters = pushed
-      .filter(_.references.forall(dataCols.contains)).toSeq
-    val fmt = new ParquetFileFormat()
-    val columnar = fmt.supportBatch(spark, readSchema())
-    val readFunc = fmt.buildReaderWithPartitionValues(
-      spark, dataSchema, reqPart, reqData, parquetFilters,
-      // the format requires the caller to declare the batch contract
-      // explicitly (it must agree with supportBatch on the same schema)
-      Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> columnar.toString),
-      spark.sessionState.newHadoopConfWithOptions(Map.empty))
-    GraftReaderFactory(readFunc, columnar)
+    batchUnreadable.foreach(m => throw new UnsupportedOperationException(m))
+    GraftParquetRead.readerFactory(spark, st.schema, st.partFields,
+      reqData, reqPart, pushed)
   }
 }
 
