@@ -1199,9 +1199,27 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * without the marker. `replaceEach` = the streaming `complete`/
     * truncate mode: each epoch's snapshot REPLACES the live set.
     * Returns true when the epoch committed, false on a replay skip. */
+  /** Where one streaming epoch's writers land their files — a
+    * snapshot-dir-to-be under the table's data root
+    * ([[graft.sql.GraftStreamingWrite]] names it, executors write into
+    * it, [[commitStreamingEpoch]] publishes or reclaims it). */
+  private[graft] def streamingDir(ns: String, table: String,
+                                  dirName: String): Path =
+    dataDir(ns, table).resolve(dirName)
+
   private[graft] def commitStreamingEpoch(ns: String, table: String,
       queryId: String, epochId: Long, dirName: String,
-      replaceEach: Boolean): Boolean = {
+      committedFiles: Set[String], replaceEach: Boolean): Boolean = {
+    // committedFiles are the task-commit-coordinated winners: any other
+    // parquet in the dir is a crashed attempt's stray whose abort()
+    // never ran — delete it BEFORE the manifest scan, so duplicate rows
+    // cannot enter the snapshot
+    val dir = streamingDir(ns, table, dirName)
+    scala.util.Using.resource(Files.walk(dir))(_.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq).filterNot(p => committedFiles.contains(p.toString))
+      .foreach(Files.delete)
     val propKey = s"graft.stream.epoch.$queryId"
     var committed = false
     commit(ns, table) {

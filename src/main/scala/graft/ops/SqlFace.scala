@@ -415,8 +415,80 @@ object SqlFace {
       .toDF("lang", "n_docs", "sum_chars").orderBy("lang")
   }
 
+  /** q231: the full lake-to-lake STREAMING PIPELINE through plain SQL
+    * surfaces (round 15) — `readStream.table(src)` →
+    * `writeStream.toTable(dst)`: the micro-batch source
+    * ([[graft.sql.GraftMicroBatchStream]]) feeding the exactly-once
+    * native sink ([[graft.sql.GraftStreamingWrite]]), no foreachBatch
+    * glue. Three append commits seed `src`; a paced AvailableNow run
+    * pipes them — one sink SNAPSHOT per source snapshot (sentinel
+    * `__epochs`: dst's commit count equals src's). A fourth commit lands
+    * and the SAME checkpoint pipes again: dst grows by exactly the new
+    * slice (sentinel `__restart` — the epoch marker makes replays no-ops
+    * and offsets make restarts incremental).
+    *
+    * Scale shape: each epoch moves its own files (source side
+    * manifest-sliced, sink side executor-parallel parquet + one CAS
+    * commit); neither side's cost grows with table size — the 100 TB
+    * replication-pipeline shape. */
+  def q231StreamPipe(s: SparkSession, d: String): DataFrame = {
+    mount(s)
+    val ns = s"strp_${System.nanoTime()}"
+    val src = s"$CatName.$ns.src"; val dst = s"$CatName.$ns.dst"
+    s.sql(s"CREATE NAMESPACE $CatName.$ns")
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q231_docs")
+    s.sql(s"CREATE TABLE $src (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    s.sql(s"CREATE TABLE $dst (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    (0 to 2).foreach(i =>
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars " +
+        s"FROM q231_docs WHERE doc_id % 3 = $i"))
+    val ckpt = java.nio.file.Files.createTempDirectory("q231-ckpt-")
+      .toString
+    def pipe(): Unit =
+      s.readStream.option("maxFilesPerTrigger", "1").table(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst).awaitTermination()
+    pipe()
+    val lake = s.sessionState.catalogManager.catalog(CatName)
+      .asInstanceOf[graft.sql.GraftSqlCatalog].lake
+    val epochsOk = lake.snapshotIds(ns, "dst").length == 3 &&
+      lake.snapshotIds(ns, "src").length == 3
+    val mid = s.sql(s"SELECT count(*) FROM $dst").head().getLong(0)
+    s.sql(s"INSERT INTO $src SELECT doc_id + 1000000000, lang, n_chars " +
+      "FROM q231_docs WHERE doc_id % 5 = 0")
+    pipe()
+    val extra = s.sql(
+      "SELECT count(*) FROM q231_docs WHERE doc_id % 5 = 0")
+      .head().getLong(0)
+    val restartOk =
+      s.sql(s"SELECT count(*) FROM $dst").head().getLong(0) == mid + extra
+    val rows = s.sql(s"SELECT lang, count(*) AS n, sum(n_chars) AS sc " +
+      s"FROM $dst GROUP BY lang").collect() // |langs|-bounded
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    s.sql(s"DROP NAMESPACE $CatName.$ns CASCADE")
+    import s.implicits._
+    (rows :+ (("__epochs", if (epochsOk) 1L else 0L, 0L)) :+
+      (("__restart", if (restartOk) 1L else 0L, 0L)))
+      .toDF("lang", "n_docs", "sum_chars").orderBy("lang")
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
+      "q231_stream_pipe" -> ((q231StreamPipe _, """
+        WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        final AS (
+          SELECT lang, n_chars FROM d
+          UNION ALL
+          SELECT lang, n_chars FROM d WHERE doc_id % 5 = 0)
+        SELECT * FROM (
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 sum(n_chars)::BIGINT AS sum_chars
+          FROM final GROUP BY 1
+          UNION ALL SELECT '__epochs', 1::BIGINT, 0::BIGINT
+          UNION ALL SELECT '__restart', 1::BIGINT, 0::BIGINT)
+        ORDER BY lang""")),
       "q230_stream_read" -> ((q230StreamRead _, """
         SELECT * FROM (
           SELECT lang, count(*)::BIGINT AS n_docs,

@@ -81,6 +81,7 @@ class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def partitioning(): Array[Transform] =
@@ -135,7 +136,7 @@ class GraftTable(val lake: SnapshotLakeCatalog, catalogName: String,
     require(pinnedSnapshot.isEmpty,
       s"${name()}: cannot write to a time-travel (VERSION/TIMESTAMP AS " +
         "OF) relation")
-    new GraftWriteBuilder(lake, ns, tableName)
+    new GraftWriteBuilder(lake, ns, tableName, info, this)
   }
 
   // ---- DELETE FROM (row-level, merge-on-read) ----------------------------
@@ -575,7 +576,9 @@ case class GraftReaderFactory(
   * (the incoming DataFrame is already resolved against the table schema;
   * partition layout, manifests, and commit rebase all happen in
   * [[SnapshotLakeCatalog]]). */
-class GraftWriteBuilder(lake: SnapshotLakeCatalog, ns: String, table: String)
+class GraftWriteBuilder(lake: SnapshotLakeCatalog, ns: String,
+                        table: String, info: LogicalWriteInfo,
+                        graftTable: GraftTable)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
 
@@ -588,6 +591,23 @@ class GraftWriteBuilder(lake: SnapshotLakeCatalog, ns: String, table: String)
           if (truncateFirst || overwrite) lake.overwrite(ns, table, data)
           else lake.append(ns, table, data)
       }
+
+    /** `df.writeStream.toTable("graft.ns.t")` — the exactly-once
+      * streaming sink ([[GraftStreamingWrite]]). Partitioned/bucketed
+      * targets are refused (their snapshot dirs carry a Hive layout the
+      * per-task writers don't produce): route those through
+      * `foreachBatch` + `lake.append`. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(graftTable.state.partFields.isEmpty &&
+          graftTable.state.bucket.isEmpty,
+        s"${graftTable.name()}: the native streaming sink writes " +
+          "UNPARTITIONED tables (a partitioned snapshot dir needs the " +
+          "batch writer's layout pass) — stream into it with " +
+          "foreachBatch { (b, _) => lake.append(ns, t, b) } instead")
+      new GraftStreamingWrite(lake, ns, table, info.queryId(),
+        info.schema(), truncateFirst)
+    }
   }
 }
 

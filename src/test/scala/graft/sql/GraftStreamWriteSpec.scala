@@ -1,0 +1,137 @@
+package graft.sql
+
+import graft.TestSpark
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** `df.writeStream.toTable("graft.ns.t")` — the native exactly-once
+  * streaming sink ([[GraftStreamingWrite]]): lake-to-lake streaming
+  * pipelines through plain SQL surfaces, epoch-marker idempotence,
+  * complete-mode overwrites, and the partitioned-target refusal. */
+class GraftStreamWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val cat: String = {
+    val wh = Files.createTempDirectory("graft-swrite-").toString
+    spark.conf.set("spark.sql.catalog.gsink", "graft.sql.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gsink.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsink.s")
+    "gsink"
+  }
+
+  private def lake = spark.sessionState.catalogManager.catalog("gsink")
+    .asInstanceOf[GraftSqlCatalog].lake
+
+  private def rows(t: String): Seq[(Long, String)] =
+    spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("lake-to-lake streaming pipe: readStream.table -> " +
+    "writeStream.toTable, checkpoint restart appends only the new rows") {
+    val src = s"$cat.s.psrc"; val dst = s"$cat.s.pdst"
+    spark.sql(s"CREATE TABLE $src (id BIGINT, v STRING)")
+    spark.sql(s"CREATE TABLE $dst (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $src VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $src VALUES (3, 'c')")
+    val ckpt = Files.createTempDirectory("ckpt-pipe-").toString
+    def pipe(): Unit = {
+      val q = spark.readStream.option("maxFilesPerTrigger", "1")
+        .table(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable(dst)
+      q.awaitTermination()
+    }
+    pipe()
+    assert(rows(dst) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // paced source -> one sink snapshot per epoch (2 source snapshots)
+    assert(lake.snapshotIds("s", "pdst").length == 2)
+    spark.sql(s"INSERT INTO $src VALUES (4, 'd')")
+    pipe()
+    assert(rows(dst) == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "restart duplicated or dropped rows")
+    assert(lake.snapshotIds("s", "pdst").length == 3)
+  }
+
+  test("epoch replay publishes nothing: the marker and the snapshot are " +
+    "one atomic swap") {
+    val t = s"$cat.s.replay"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    import spark.implicits._
+    def writeEpochDir(): (String, Set[String]) = {
+      val dir = s"stream-test-${System.nanoTime()}"
+      val p = lake.streamingDir("s", "replay", dir)
+      Seq((1L, "x")).toDF("id", "v").coalesce(1).write
+        .mode("overwrite").parquet(p.toString)
+      val fs = scala.util.Using.resource(Files.walk(p))(s =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.filter(_.toString.endsWith(".parquet"))
+          .map(_.toString).toSet)
+      (dir, fs)
+    }
+    val (d1, f1) = writeEpochDir()
+    assert(lake.commitStreamingEpoch("s", "replay", "q-42", 7L, d1, f1,
+      replaceEach = false))
+    assert(rows(t) == Seq((1L, "x")))
+    // replay of epoch 7 (and anything older) is a no-op and reclaims
+    // its re-written directory
+    val (d2, f2) = writeEpochDir()
+    assert(!lake.commitStreamingEpoch("s", "replay", "q-42", 7L, d2, f2,
+      replaceEach = false))
+    assert(rows(t) == Seq((1L, "x")), "replayed epoch duplicated rows")
+    assert(!Files.exists(lake.streamingDir("s", "replay", d2)))
+    // a DIFFERENT query's epoch 7 is independent
+    val (d3, f3) = writeEpochDir()
+    assert(lake.commitStreamingEpoch("s", "replay", "q-43", 7L, d3, f3,
+      replaceEach = false))
+    assert(rows(t) == Seq((1L, "x"), (1L, "x")))
+  }
+
+  test("complete mode overwrites per epoch (aggregate stream into a " +
+    "lake table)") {
+    val src = s"$cat.s.csrc"; val dst = s"$cat.s.cdst"
+    spark.sql(s"CREATE TABLE $src (id BIGINT, v STRING)")
+    spark.sql(s"CREATE TABLE $dst (v STRING, n BIGINT)")
+    spark.sql(s"INSERT INTO $src VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    val ckpt = Files.createTempDirectory("ckpt-complete-").toString
+    def agg(): Unit = {
+      val q = spark.readStream.table(src)
+        .groupBy("v").count().toDF("v", "n")
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable(dst)
+      q.awaitTermination()
+    }
+    agg()
+    val first = spark.sql(s"SELECT v, n FROM $dst ORDER BY v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(first == Seq(("a", 2L), ("b", 1L)))
+    spark.sql(s"INSERT INTO $src VALUES (4, 'b'), (5, 'b')")
+    agg()
+    val second = spark.sql(s"SELECT v, n FROM $dst ORDER BY v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(second == Seq(("a", 2L), ("b", 3L)),
+      s"complete mode must replace, got $second")
+  }
+
+  test("partitioned / bucketed targets are refused with the foreachBatch " +
+    "route named") {
+    val src = s"$cat.s.rsrc"; val dst = s"$cat.s.rdst"
+    spark.sql(s"CREATE TABLE $src (id BIGINT, v STRING)")
+    spark.sql(s"CREATE TABLE $dst (id BIGINT, v STRING) " +
+      "PARTITIONED BY (v)")
+    spark.sql(s"INSERT INTO $src VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      spark.readStream.table(src)
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory("ckpt-ref-").toString)
+        .trigger(Trigger.AvailableNow()).toTable(dst)
+        .awaitTermination()
+    }
+    def mentions(t0: Throwable): Boolean = t0 != null &&
+      (Option(t0.getMessage).exists(_.contains("foreachBatch")) ||
+        mentions(t0.getCause))
+    assert(mentions(e), e.toString)
+  }
+}
