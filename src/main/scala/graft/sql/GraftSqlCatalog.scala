@@ -39,6 +39,7 @@ import scala.jdk.CollectionConverters._
   * (VERDICT r13 #2; enable `spark.sql.sources.v2.bucketing.enabled`). */
 class GraftSqlCatalog extends TableCatalog
     with SupportsNamespaces with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
@@ -212,6 +213,151 @@ class GraftSqlCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val (ns, t) = split(ident)
     lake.dropTable(ns, t)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ---------------------------
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (ns, t) = split(ident)
+    if (lake.tableExists(ns, t)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(ident, schema, partitions, properties,
+      replace = false, orCreate = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (ns, t) = split(ident)
+    if (!lake.tableExists(ns, t)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(ident, schema, partitions, properties,
+      replace = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    new GraftStagedTable(ident, schema, partitions, properties,
+      replace = true, orCreate = true)
+
+  /** The staged side of atomic `CREATE/REPLACE TABLE ... AS SELECT`:
+    * NOTHING touches the catalog until [[commitStagedChanges]] — the
+    * select's frame is captured by the V1 write callback and every
+    * visible effect happens at commit, so a failed select leaves no
+    * half-created table and (for RTAS) the old table intact. The commit
+    * itself:
+    *
+    *   - CREATE: ensureTable + one append commit; a failure inside the
+    *     data write drops the just-created shell, restoring "nothing".
+    *   - REPLACE with the SAME shape (schema + partitioning): ONE atomic
+    *     `overwrite` snapshot commit — the old contents stay
+    *     time-travelable, concurrent readers pin their snapshot, and
+    *     there is no moment without a table. This is the path plain
+    *     `INSERT OVERWRITE` semantics cannot reach when RTAS also needs
+    *     properties applied.
+    *   - REPLACE with a DIFFERENT shape: the select is MATERIALIZED
+    *     first (`localCheckpoint` — a self-referential `REPLACE t AS
+    *     SELECT ... FROM t` must finish reading before the drop), then
+    *     drop + recreate + append. Not a single metadata swap (the
+    *     schema-history model pins field ids per table generation), but
+    *     the failure mode that matters — the select failing — can no
+    *     longer lose the target.
+    *
+    * [[abortStagedChanges]] is a no-op by construction: nothing staged
+    * ever reached disk or catalog. */
+  private class GraftStagedTable(ident: Identifier, stagedSchema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String],
+      replace: Boolean, orCreate: Boolean)
+      extends org.apache.spark.sql.connector.catalog.StagedTable
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+
+    @volatile private var pending: Option[org.apache.spark.sql.DataFrame] =
+      None
+
+    override def name(): String = ident.toString
+    override def schema(): StructType = stagedSchema
+    override def partitioning(): Array[Transform] = partitions
+    override def properties(): java.util.Map[String, String] = properties
+    override def capabilities()
+        : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+      Set(org.apache.spark.sql.connector.catalog.TableCapability
+            .V1_BATCH_WRITE,
+          org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
+        .asJava
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+        // RTAS plans OverwriteByExpression(true) on the staged side; the
+        // truncate IS the replace semantics commitStagedChanges applies,
+        // so the builder just accepts it
+        override def truncate(): WriteBuilder = this
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                pending = Some(data)
+              }
+            }
+        }
+      }
+
+    override def commitStagedChanges(): Unit = {
+      val (ns, t) = split(ident)
+      val parts = partitions.map(transformString).toSeq
+      val props = properties.asScala.toMap -
+        TableCatalog.PROP_PROVIDER - TableCatalog.PROP_LOCATION -
+        TableCatalog.PROP_OWNER - TableCatalog.PROP_COMMENT - "option.path"
+      def emptyFrame = SparkSession.active.createDataFrame(
+        SparkSession.active.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], stagedSchema)
+      def createFresh(): Unit = {
+        lake.ensureTable(ns, t, stagedSchema, parts)
+        if (props.nonEmpty) lake.setProperties(ns, t, props)
+        pending.foreach { df =>
+          try lake.append(ns, t, df)
+          catch {
+            case e: Throwable =>
+              // restore "nothing": the shell without its select is not a
+              // state CTAS may leave behind
+              try lake.dropTable(ns, t) catch { case _: Throwable => () }
+              throw e
+          }
+        }
+      }
+      if (!lake.tableExists(ns, t)) {
+        if (replace && !orCreate) throw new NoSuchTableException(ident)
+        createFresh()
+        return
+      }
+      if (!replace) throw new TableAlreadyExistsException(ident)
+      val st = lake.sqlScanState(ns, t, None)
+      val sameShape =
+        st.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          stagedSchema.fields.map(f => (f.name, f.dataType)).toSeq &&
+          st.partitionStrings == parts
+      if (sameShape) {
+        lake.overwrite(ns, t, pending.getOrElse(emptyFrame))
+        if (props.nonEmpty) lake.setProperties(ns, t, props)
+      } else {
+        // materialize BEFORE the drop: the select may read the target
+        val data = pending.map(_.localCheckpoint(true))
+        lake.dropTable(ns, t)
+        lake.ensureTable(ns, t, stagedSchema, parts)
+        if (props.nonEmpty) lake.setProperties(ns, t, props)
+        data.foreach(lake.append(ns, t, _))
+      }
+    }
+
+    override def abortStagedChanges(): Unit = { pending = None }
   }
 
   override def renameTable(oldIdent: Identifier,
