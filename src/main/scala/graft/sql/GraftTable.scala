@@ -593,20 +593,24 @@ class GraftWriteBuilder(lake: SnapshotLakeCatalog, ns: String,
       }
 
     /** `df.writeStream.toTable("graft.ns.t")` — the exactly-once
-      * streaming sink ([[GraftStreamingWrite]]). Partitioned/bucketed
-      * targets are refused (their snapshot dirs carry a Hive layout the
-      * per-task writers don't produce): route those through
-      * `foreachBatch` + `lake.append`. */
+      * streaming sink ([[GraftStreamingWrite]]). Unpartitioned and
+      * IDENTITY-partitioned targets write natively (the fanout writer
+      * reproduces the batch layout); transform (`days`/`bucket`/
+      * `truncate`) specs are refused — route those through
+      * `foreachBatch` + `lake.append`, which derives transform columns
+      * per batch. */
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(graftTable.state.partFields.isEmpty &&
-          graftTable.state.bucket.isEmpty,
+      val st = graftTable.state
+      require(st.bucket.isEmpty &&
+          st.partFields.forall(_.transform == "identity"),
         s"${graftTable.name()}: the native streaming sink writes " +
-          "UNPARTITIONED tables (a partitioned snapshot dir needs the " +
-          "batch writer's layout pass) — stream into it with " +
-          "foreachBatch { (b, _) => lake.append(ns, t, b) } instead")
+          "unpartitioned or identity-partitioned tables (transform " +
+          "specs need the batch writer's derive pass) — stream into " +
+          "this table with foreachBatch { (b, _) => lake.append(ns, t, " +
+          "b) } instead")
       new GraftStreamingWrite(lake, ns, table, info.queryId(),
-        info.schema(), truncateFirst)
+        info.schema(), st.partFields.map(_.srcName), truncateFirst)
     }
   }
 }

@@ -115,13 +115,43 @@ class GraftStreamWriteSpec extends AnyFunSuite {
       s"complete mode must replace, got $second")
   }
 
-  test("partitioned / bucketed targets are refused with the foreachBatch " +
-    "route named") {
-    val src = s"$cat.s.rsrc"; val dst = s"$cat.s.rdst"
+  test("identity-partitioned target: the fanout writer reproduces the " +
+    "batch layout — partition values restore and files prune") {
+    val src = s"$cat.s.fsrc"; val dst = s"$cat.s.fdst"
     spark.sql(s"CREATE TABLE $src (id BIGINT, v STRING)")
     spark.sql(s"CREATE TABLE $dst (id BIGINT, v STRING) " +
       "PARTITIONED BY (v)")
-    spark.sql(s"INSERT INTO $src VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $src VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    spark.readStream.table(src)
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("ckpt-fan-").toString)
+      .trigger(Trigger.AvailableNow()).toTable(dst)
+      .awaitTermination()
+    assert(spark.sql(s"SELECT id, v FROM $dst ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    // the layout is the batch writer's: every data file sits under its
+    // `v=...` Hive dir (what the manifest scan derives tuples from)
+    val files = lake.metaTable("s", "fdst", "files")
+      .filter("content = 0")
+      .select("file_path").collect().map(_.getString(0)).toSeq
+    assert(files.nonEmpty && files.forall(p => p.contains("v=")),
+      s"files carry no partition layout: $files")
+    assert(files.exists(_.contains("v=a")) &&
+      files.exists(_.contains("v=b")))
+    // mixed batch + streaming writes interleave on one table
+    spark.sql(s"INSERT INTO $dst VALUES (4, 'c')")
+    assert(spark.sql(s"SELECT count(*) FROM $dst WHERE v = 'a'")
+      .head().getLong(0) == 2L)
+  }
+
+  test("transform-partitioned targets are refused with the foreachBatch " +
+    "route named") {
+    val src = s"$cat.s.rsrc"; val dst = s"$cat.s.rdst"
+    spark.sql(s"CREATE TABLE $src (id BIGINT, ts TIMESTAMP)")
+    spark.sql(s"CREATE TABLE $dst (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $src VALUES (1, TIMESTAMP'2026-01-01 00:00:00')")
     val e = intercept[Exception] {
       spark.readStream.table(src)
         .writeStream.option("checkpointLocation",
