@@ -3827,7 +3827,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         SnapshotLakeCatalog.isTombstone(f.name))),
       snapshotId, composed, specFields, bucket,
       dirEntries, loadDir,
-      partitionStrings, Option(meta.get("properties"))
+      partitionStrings, clusterBucketed = clusterOnlyBuckets,
+      properties = Option(meta.get("properties"))
         .map(_.asInstanceOf[ObjectNode].properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty))
@@ -3959,6 +3960,10 @@ object SnapshotLakeCatalog {
       dirEntries: Seq[SqlDirEntry],
       loadDir: String => Seq[SqlDataFile],
       partitionStrings: Seq[String],
+      // legacy writeBucketed whole-table clustering (`bucket-spec`):
+      // rewrites must re-cluster through bucketShaper, which per-row
+      // writers (the streaming fanout) cannot do — they refuse on this
+      clusterBucketed: Boolean,
       properties: Map[String, String]) {
     @transient private lazy val dirCache =
       new java.util.concurrent.ConcurrentHashMap[String, Seq[SqlDataFile]]()

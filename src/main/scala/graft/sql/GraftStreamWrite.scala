@@ -1,6 +1,7 @@
 package graft.sql
 
 import graft.lake.SnapshotLakeCatalog
+import graft.lake.SnapshotLakeCatalog.SqlPartField
 import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
@@ -11,7 +12,8 @@ import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, Writ
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, DateType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 /** One committed task's output: the files it wrote and their row
@@ -37,27 +39,31 @@ case class GraftFilesMessage(files: Seq[(String, Long)])
   * scan. Output mode `append` commits append snapshots; `complete`
   * (truncate) makes each epoch an overwrite snapshot.
   *
-  * IDENTITY-partitioned targets write through a FANOUT writer: each task
-  * routes rows into one file per partition value under the snapshot
-  * dir's Hive `k=v` layout (the same layout the batch writer produces,
-  * so manifests, pruning, and partition-value restore work unchanged);
-  * partition columns stay OUT of the data files, exactly as the batch
-  * path writes them. Transform (`days`/`bucket`/`truncate`) specs are
-  * refused loudly — route those through `foreachBatch` + `lake.append`,
-  * which derives transform columns per batch.
+  * Partitioned targets write through a FANOUT writer: each task routes
+  * rows into one file per partition TUPLE under the snapshot dir's Hive
+  * `k=v` layout — the same strings the batch writer's derive pass
+  * produces (identity values; `date_format` patterns for
+  * day/month/hour/year in the session timezone; `substring`/`v - pmod`
+  * for truncate; the spec murmur3 hash for bucket via
+  * [[graft.functions.IcebergBucket]]) — so manifests, pruning,
+  * partition-value restore, and bucket-grouped (SPJ) reads work
+  * unchanged. Identity partition columns stay OUT of the data files,
+  * exactly as the batch path writes them; transform sources stay in.
+  * Only legacy writeBucketed whole-table clustering refuses (a
+  * frame-level repartition, not a per-row derive).
   *
   * Scale shape: the write path is executor-parallel parquet (the same
   * `ParquetFileFormat` write support Spark's own file sink uses,
   * vectorizable downstream); the driver handles only the commit —
   * manifest from footer stats, one CAS swap per epoch. An epoch's cost
   * is its own rows; table size never enters. Fanout holds one open
-  * writer per live partition value per task — pre-shuffle the stream by
-  * the partition column (`df.repartition(col)`) if values per task grow
+  * writer per live partition tuple per task — pre-shuffle the stream by
+  * the partition source (`df.repartition(col)`) if tuples per task grow
   * large, the same discipline Iceberg's fanout writers document. */
 class GraftStreamingWrite(lake: SnapshotLakeCatalog, ns: String,
                           table: String, queryId: String,
                           schema: StructType,
-                          partCols: Seq[String],
+                          partFields: Seq[SqlPartField],
                           replaceEach: Boolean)
     extends StreamingWrite {
 
@@ -74,10 +80,12 @@ class GraftStreamingWrite(lake: SnapshotLakeCatalog, ns: String,
       s"stream-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val partIdx = partCols.map(c => schema.fieldIndex(c))
+    // only IDENTITY sources leave the data files (their values restore
+    // from the dir tuple at read time); transform sources stay in
+    val identityCols = partFields.filter(_.transform == "identity")
+      .map(_.srcName).toSet
     val dataSchema = StructType(
-      schema.fields.zipWithIndex
-        .filterNot { case (_, i) => partIdx.contains(i) }.map(_._1))
+      schema.fields.filterNot(f => identityCols.contains(f.name)))
     // the same write support Spark's file sink ships — carries the
     // session's parquet conf (compression, TIMESTAMP_MICROS output type
     // = the lake's stats-bearing default) into the serialized job conf
@@ -85,7 +93,9 @@ class GraftStreamingWrite(lake: SnapshotLakeCatalog, ns: String,
       .prepareWrite(spark, job, Map.empty, dataSchema)
     new GraftStreamingDataWriterFactory(
       lake.streamingDir(ns, table, epochDir).toString, schema,
-      partCols.zip(partIdx), factory,
+      partFields.map(f => GraftFanoutField(f.specName, f.transform,
+        schema.fieldIndex(f.srcName), f.srcType)),
+      spark.sessionState.conf.sessionLocalTimeZone, factory,
       new SerializableConfiguration(job.getConfiguration))
   }
 
@@ -116,16 +126,22 @@ class GraftStreamingWrite(lake: SnapshotLakeCatalog, ns: String,
   }
 }
 
+/** One partition field as the fanout writer derives it: the spec field
+  * name (= the Hive dir key), the spec transform, and the SOURCE
+  * column's ordinal + type in the write schema. */
+case class GraftFanoutField(specName: String, transform: String,
+                            srcIdx: Int, srcType: DataType)
+
 /** Executor side: parquet through Spark's own [[OutputWriterFactory]].
-  * Unpartitioned targets write one file per task; identity-partitioned
-  * targets FAN OUT — one file per partition value the task sees, under
-  * the `k=v` dir the manifest scan derives partition tuples from, with
-  * the partition columns projected OUT of the data file (the batch
-  * writer's layout, byte for byte). Task abort deletes every file the
+  * Unpartitioned targets write one file per task; partitioned targets
+  * FAN OUT — one file per partition tuple the task sees, each dir value
+  * derived per row to match the batch writer's strings byte for byte
+  * (see [[GraftStreamingWrite]]). Task abort deletes every file the
   * task opened, so only commit-coordinated winners survive for the
   * driver's manifest. */
 class GraftStreamingDataWriterFactory(dir: String, schema: StructType,
-                                      parts: Seq[(String, Int)],
+                                      parts: Seq[GraftFanoutField],
+                                      zoneId: String,
                                       factory: OutputWriterFactory,
                                       conf: SerializableConfiguration)
     extends StreamingDataWriterFactory {
@@ -135,21 +151,94 @@ class GraftStreamingDataWriterFactory(dir: String, schema: StructType,
     val tac = new TaskAttemptContextImpl(conf.value,
       new TaskAttemptID(new TaskID(new JobID("graft-stream", 0),
         TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
+    val identityIdx = parts.filter(_.transform == "identity")
+      .map(_.srcIdx).toSet
     val dataFields = schema.fields.zipWithIndex
-      .filterNot { case (_, i) => parts.exists(_._2 == i) }
+      .filterNot { case (_, i) => identityIdx.contains(i) }
     val dataSchema = StructType(dataFields.map(_._1))
     val project = UnsafeProjection.create(dataFields.map { case (f, i) =>
       BoundReference(i, f.dataType, f.nullable)
     })
+    val zone = java.time.ZoneId.of(zoneId)
 
-    def dirValue(raw: Any, dt: DataType): String = raw match {
-      case null => "__HIVE_DEFAULT_PARTITION__"
-      case v => dt match {
-        case DateType => java.time.LocalDate
-          .ofEpochDay(v.asInstanceOf[Int].toLong).toString
-        case _ => ExternalCatalogUtils.escapePathName(v.toString)
-      }
+    // the batch writer's dir strings, derived per row: date_format
+    // patterns in the session timezone for time transforms, substring /
+    // v - pmod(v, w) for truncate, the spec murmur3 for bucket
+    def timePattern(t: String): String = t match {
+      case "day"   => "yyyy-MM-dd"
+      case "month" => "yyyy-MM"
+      case "hour"  => "yyyy-MM-dd-HH"
+      case "year"  => "yyyy"
     }
+    def localTime(raw: Any, dt: DataType): java.time.LocalDateTime =
+      dt match {
+        case TimestampType => java.time.Instant
+          .ofEpochSecond(
+            Math.floorDiv(raw.asInstanceOf[Long], 1000000L),
+            Math.floorMod(raw.asInstanceOf[Long], 1000000L) * 1000L)
+          .atZone(zone).toLocalDateTime
+        case TimestampNTZType =>
+          val us = raw.asInstanceOf[Long]
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        case DateType => java.time.LocalDate
+          .ofEpochDay(raw.asInstanceOf[Int].toLong).atStartOfDay()
+        case other => throw new IllegalArgumentException(
+          s"time transform on ${other.catalogString}")
+      }
+    // one derive closure per field, built ONCE — the per-row path is a
+    // closure call, no expression or formatter allocation
+    def deriverOf(f: GraftFanoutField): Any => String = f.transform match {
+      case "identity" => f.srcType match {
+        case DateType => raw => java.time.LocalDate
+          .ofEpochDay(raw.asInstanceOf[Int].toLong).toString
+        case _ =>
+          raw => ExternalCatalogUtils.escapePathName(raw.toString)
+      }
+      case t @ ("day" | "month" | "hour" | "year") =>
+        val fmt =
+          java.time.format.DateTimeFormatter.ofPattern(timePattern(t))
+        raw => localTime(raw, f.srcType).format(fmt)
+      case t if t.startsWith("truncate[") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        f.srcType match {
+          case StringType => raw => ExternalCatalogUtils.escapePathName(
+            raw.asInstanceOf[UTF8String].substringSQL(1, w).toString)
+          case LongType => raw => {
+            val v = raw.asInstanceOf[Long]
+            (v - Math.floorMod(v, w.toLong)).toString
+          }
+          case IntegerType => raw => {
+            val v = raw.asInstanceOf[Int]
+            (v - Math.floorMod(v, w)).toString
+          }
+          case other => throw new IllegalArgumentException(
+            s"truncate on ${other.catalogString}")
+        }
+      case t if t.startsWith("bucket[") =>
+        val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+        import graft.functions.IcebergBucket
+        f.srcType match {
+          case IntegerType | DateType =>
+            raw => IcebergBucket
+              .bucketLong(raw.asInstanceOf[Int].toLong, n).toString
+          case LongType | TimestampType | TimestampNTZType =>
+            raw => IcebergBucket
+              .bucketLong(raw.asInstanceOf[Long], n).toString
+          case StringType => raw => IcebergBucket
+            .bucketBytes(raw.asInstanceOf[UTF8String].getBytes, n)
+            .toString
+          case other => throw new IllegalArgumentException(
+            s"bucket on ${other.catalogString} (int/long/date/" +
+              "timestamp/string sources stream; others via foreachBatch)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform: $other")
+    }
+    val derivers: Seq[(GraftFanoutField, Any => String)] =
+      parts.map(f => f -> deriverOf(f))
 
     new DataWriter[InternalRow] {
       private val open =
@@ -157,11 +246,11 @@ class GraftStreamingDataWriterFactory(dir: String, schema: StructType,
           .empty[String, (OutputWriter, Array[Long])]
 
       private def writerFor(row: InternalRow): (OutputWriter, Array[Long]) = {
-        val segs = parts.map { case (name, i) =>
-          val dt = schema.fields(i).dataType
-          val raw = if (row.isNullAt(i)) null else row.get(i, dt)
-          s"${ExternalCatalogUtils.escapePathName(name)}=" +
-            dirValue(raw, dt)
+        val segs = derivers.map { case (f, derive) =>
+          val v =
+            if (row.isNullAt(f.srcIdx)) "__HIVE_DEFAULT_PARTITION__"
+            else derive(row.get(f.srcIdx, schema.fields(f.srcIdx).dataType))
+          s"${ExternalCatalogUtils.escapePathName(f.specName)}=$v"
         }
         val sub = if (segs.isEmpty) "" else segs.mkString("", "/", "/")
         open.getOrElseUpdate(sub, {

