@@ -474,8 +474,68 @@ object SqlFace {
       .toDF("lang", "n_docs", "sum_chars").orderBy("lang")
   }
 
+  /** q232: WRITE-AUDIT-PUBLISH in PURE SQL (round 15) — the branch/tag
+    * identifier tables ([[graft.sql.GraftBranchTable]]) + ref
+    * procedures close the WAP loop without a single library call:
+    * `INSERT INTO t.branch_audit ... SELECT` stages (readers of `t` see
+    * nothing — sentinel `__staged` pins both sides of that isolation),
+    * the audit reads the branch table, `CALL create_tag` pins the
+    * pre-publish state by name, `CALL fast_forward` publishes
+    * atomically (sentinel `__published`), and the tag still reads the
+    * pre-publish rows afterwards (sentinel `__tag` — expire-protected
+    * time travel by name). Scale shape: staging cost is the staged
+    * slice's files; publish and tag are metadata commits; the census is
+    * |langs|-bounded. */
+  def q232SqlWap(s: SparkSession, d: String): DataFrame = {
+    mount(s)
+    val ns = s"wapq_${System.nanoTime()}"
+    val t = s"$CatName.$ns.docs"
+    s.sql(s"CREATE NAMESPACE $CatName.$ns")
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q232_docs")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    s.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars " +
+      "FROM q232_docs WHERE doc_id % 2 = 0")
+    val base = s.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+    // main's head BEFORE staging (staged commits enter `snapshots` but
+    // never the snapshot-log, so capture the publish point here)
+    val preId = s.sql(s"SELECT max(snapshot_id) FROM $t.snapshots")
+      .head().getLong(0)
+    s.sql(s"INSERT INTO $t.branch_audit SELECT doc_id, lang, n_chars " +
+      "FROM q232_docs WHERE doc_id % 2 = 1")
+    val total = s.sql("SELECT count(*) FROM q232_docs").head().getLong(0)
+    val stagedOk =
+      s.sql(s"SELECT count(*) FROM $t").head().getLong(0) == base &&
+        s.sql(s"SELECT count(*) FROM $t.branch_audit").head()
+          .getLong(0) == total
+    s.sql(s"CALL $CatName.system.create_tag('$ns.docs', 'pre', $preId)")
+    s.sql(s"CALL $CatName.system.fast_forward('$ns.docs', 'audit')")
+    val publishedOk =
+      s.sql(s"SELECT count(*) FROM $t").head().getLong(0) == total
+    val tagOk =
+      s.sql(s"SELECT count(*) FROM $t.tag_pre").head().getLong(0) == base
+    val rows = s.sql(s"SELECT lang, count(*) AS n, sum(n_chars) AS sc " +
+      s"FROM $t GROUP BY lang").collect() // |langs|-bounded
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    s.sql(s"DROP NAMESPACE $CatName.$ns CASCADE")
+    import s.implicits._
+    (rows :+ (("__staged", if (stagedOk) 1L else 0L, 0L)) :+
+      (("__published", if (publishedOk) 1L else 0L, 0L)) :+
+      (("__tag", if (tagOk) 1L else 0L, 0L)))
+      .toDF("lang", "n_docs", "sum_chars").orderBy("lang")
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
+      "q232_sql_wap" -> ((q232SqlWap _, """
+        SELECT * FROM (
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 sum(n_chars)::BIGINT AS sum_chars
+          FROM documents GROUP BY 1
+          UNION ALL SELECT '__published', 1::BIGINT, 0::BIGINT
+          UNION ALL SELECT '__staged', 1::BIGINT, 0::BIGINT
+          UNION ALL SELECT '__tag', 1::BIGINT, 0::BIGINT)
+        ORDER BY lang""")),
       "q231_stream_pipe" -> ((q231StreamPipe _, """
         WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
         final AS (

@@ -122,6 +122,21 @@ object GraftProcedures {
           val rep = lake.removeOrphans(ns, t, in.getLong(1)).collect()(0)
           Seq(rep.getAs[Long]("n_removed_dirs"),
             rep.getAs[Long]("bytes_freed"))
+      },
+      // ref management — with the branch_/tag_ identifier tables these
+      // close the WAP loop in pure SQL: INSERT INTO t.branch_x stages,
+      // create_tag pins an audited snapshot, fast_forward publishes,
+      // drop_ref abandons
+      one("create_tag", Seq("name" -> StringType,
+          "snapshot_id" -> LongType),
+        Seq("snapshot_id" -> LongType)) { (ns, t, in) =>
+        lake.tag(ns, t, in.getUTF8String(1).toString, in.getLong(2))
+        Seq(in.getLong(2))
+      },
+      one("drop_ref", Seq("name" -> StringType),
+        Seq("remaining_refs" -> IntegerType)) { (ns, t, in) =>
+        lake.dropRef(ns, t, in.getUTF8String(1).toString)
+        Seq(lake.listRefs(ns, t).size)
       })
   }
 

@@ -99,6 +99,17 @@ class GraftSqlCatalog extends TableCatalog
         lake.tableExists(ident.namespace()(0), ident.namespace()(1)))
       return new GraftMetaTable(lake, catalogName,
         ident.namespace()(0), ident.namespace()(1), ident.name())
+    // branch_/tag_ suffix tables (Iceberg's ref identifier convention):
+    // graft.ns.t.branch_audit stages/reads a branch, .tag_v1 reads a tag
+    if (ident.namespace().length == 2 &&
+        (ident.name().startsWith("branch_") ||
+          ident.name().startsWith("tag_")) &&
+        lake.tableExists(ident.namespace()(0), ident.namespace()(1))) {
+      val isTag = ident.name().startsWith("tag_")
+      return new GraftBranchTable(lake, catalogName,
+        ident.namespace()(0), ident.namespace()(1),
+        ident.name().stripPrefix(if (isTag) "tag_" else "branch_"), isTag)
+    }
     val (ns, t) = split(ident)
     if (!lake.tableExists(ns, t)) throw new NoSuchTableException(ident)
     new GraftTable(lake, catalogName, ns, t, None)

@@ -190,6 +190,61 @@ class GraftMetaTable(lake: SnapshotLakeCatalog, catalogName: String,
         "install graft.GraftExtensions (spark.sql.extensions)")
 }
 
+/** Branch/tag tables through SQL — Iceberg's identifier convention:
+  * `SELECT ... FROM graft.ns.t.branch_audit` reads the branch head (and
+  * `.tag_v1` a tag) through the composed read — ref resolution at READ
+  * time, so each query sees the ref's current target; `INSERT INTO
+  * graft.ns.t.branch_audit ...` STAGES onto the branch
+  * ([[graft.lake.SnapshotLakeCatalog.stageAppend]]: advances only
+  * `refs[branch]`, readers of the table see nothing until `CALL
+  * fast_forward` publishes — the WRITE-AUDIT-PUBLISH loop in pure SQL,
+  * with `CALL cherrypick_snapshot`/`dropRef` as the audit verdicts).
+  * A fresh branch is born by its first staged INSERT (parent = main's
+  * head, Iceberg's implicit branch creation); tags refuse writes. */
+class GraftBranchTable(lake: SnapshotLakeCatalog, catalogName: String,
+                       ns: String, tableName: String, ref: String,
+                       isTag: Boolean)
+    extends Table with SupportsRead with SupportsWrite with GraftComposable {
+  override def needsComposition: Boolean = true
+  override def composedFrame(): DataFrame =
+    lake.loadRef(ns, tableName, ref)
+  override def name(): String =
+    s"$catalogName.$ns.$tableName.${if (isTag) "tag_" else "branch_"}$ref"
+  // schema follows the TABLE (additive evolution; a ref pins data, not
+  // the schema face) — and stays answerable for an unborn branch whose
+  // first INSERT creates it
+  private lazy val cachedSchema: StructType =
+    lake.sqlScanState(ns, tableName, None).schema
+  override def schema(): StructType = cachedSchema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE).asJava
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftUnreadableScanBuilder(schema(),
+      s"${name()}: ref reads go through the composed plan — install " +
+        "graft.GraftExtensions (spark.sql.extensions)")
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!isTag,
+      s"${name()}: tags are immutable — stage onto a branch_* instead")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                                overwrite: Boolean): Unit = {
+              require(!overwrite,
+                s"$ns.$tableName.branch_$ref: INSERT OVERWRITE on a " +
+                  "staged branch is not a WAP shape — stage appends, " +
+                  "audit, then publish or drop the branch")
+              lake.stageAppend(ns, tableName, ref, data)
+            }
+          }
+      }
+    }
+  }
+}
+
 /** The deferred-failure scan for tables only the composed plan can read:
   * building succeeds (planner passes probe scans they never run),
   * EXECUTING throws the actionable message. */
