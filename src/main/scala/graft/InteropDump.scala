@@ -261,6 +261,30 @@ object InteropDump {
     spark.sql("ALTER TABLE isql.interop.rlpre RENAME TO interop.rowlevel")
     dump("rowlevel")
 
+    // (l) the STREAMING LOOP writes spec-conformant tables too (round
+    // 15): a paced readStream off a lake source feeds the exactly-once
+    // native sink into a lang-partitioned target (the FANOUT writer's
+    // Hive layout), one sink snapshot per source snapshot — and the
+    // external reader must reproduce load() on the streamed table.
+    // Streaming is a first-class writer, not a side door.
+    spark.sql("CREATE TABLE isql.interop.streamsrc " +
+      "(doc_id BIGINT, source STRING, lang STRING)")
+    spark.sql("INSERT INTO isql.interop.streamsrc " +
+      "SELECT doc_id, source, lang FROM interop_docs WHERE doc_id % 2 = 0")
+    spark.sql("INSERT INTO isql.interop.streamsrc " +
+      "SELECT doc_id, source, lang FROM interop_docs WHERE doc_id % 2 = 1")
+    spark.sql("CREATE TABLE isql.interop.streamed " +
+      "(doc_id BIGINT, source STRING, lang STRING) PARTITIONED BY (lang)")
+    spark.readStream.option("maxFilesPerTrigger", "1")
+      .table("isql.interop.streamsrc")
+      .writeStream.option("checkpointLocation",
+        Paths.get(outRoot, "ckpt-streamed").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("isql.interop.streamed")
+      .awaitTermination()
+    dump("streamsrc") // the reader walks EVERY warehouse table
+    dump("streamed")
+
     spark.stop()
   }
 }
