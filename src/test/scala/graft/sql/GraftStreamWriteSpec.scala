@@ -224,6 +224,25 @@ class GraftStreamWriteSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("crashed-attempt streaming debris is ordinary orphan debt: " +
+    "remove_orphan_files reclaims an unpublished epoch dir") {
+    val t = s"$cat.s.orphan"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    // simulate an attempt that wrote files but died before its commit:
+    // the dir exists, no snapshot references it
+    import spark.implicits._
+    val dead = s"stream-dead-${System.nanoTime()}"
+    Seq((9L, "zombie")).toDF("id", "v").coalesce(1).write
+      .parquet(lake.streamingDir("s", "orphan", dead).toString)
+    assert(Files.exists(lake.streamingDir("s", "orphan", dead)))
+    spark.sql(s"CALL $cat.system.remove_orphan_files('s.orphan', 0)")
+    assert(!Files.exists(lake.streamingDir("s", "orphan", dead)),
+      "the unpublished epoch dir must be reclaimed as orphan debt")
+    // and the published data is untouched
+    assert(rows(t) == Seq((1L, "a")))
+  }
+
   test("legacy writeBucketed whole-table clustering refuses with the " +
     "rewrite route named") {
     import spark.implicits._
