@@ -3,7 +3,7 @@ package graft.lake
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not, struct, when}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import java.nio.file.{Files, Path}
@@ -791,13 +791,77 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       val widened = StructType(existing.fields.map(f =>
         promotedTypes.get(f.name)
           .map(t => f.copy(dataType = t)).getOrElse(f)) ++ diff.added)
-      val nextId = meta.get("schemas").elements().asScala
-        .map(_.get("schema-id").asInt()).max + 1
-      meta.get("schemas").asInstanceOf[ArrayNode]
-        .add(schemaNode(widened, nextId))
-      meta.put("current-schema-id", nextId)
-      meta.put("last-column-id", widened.fields.length)
-      Some(meta)
+      appendSchemaGeneration(meta, widened)
+    }
+  }
+
+  /** Append `widened` as the next schema generation and make it current
+    * — the commit-side tail every evolution face shares (top-level adds
+    * and promotions, nested adds). History keeps every schema object;
+    * existing snapshots keep their layout; the read path aligns. */
+  private def appendSchemaGeneration(meta: ObjectNode,
+                                     widened: StructType): Option[ObjectNode] = {
+    val nextId = meta.get("schemas").elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    meta.get("schemas").asInstanceOf[ArrayNode]
+      .add(schemaNode(widened, nextId))
+    meta.put("current-schema-id", nextId)
+    meta.put("last-column-id", widened.fields.length)
+    Some(meta)
+  }
+
+  /** `ALTER TABLE t ADD COLUMNS (s.x TYPE)` — NESTED additive evolution
+    * (the last fragment of VERDICT r14 #5): the parent STRUCT widens by
+    * appending `field` at its END, as one new schema generation inside
+    * one CAS commit. Old data files are never rewritten; their rows
+    * read the new field as NULL ([[scanWithDeletes]]'s by-name struct
+    * alignment — a struct CAST is positional and field-count-strict, so
+    * alignment REBUILDS evolved structs by name, preserving struct
+    * nullity).
+    *
+    * Append-at-the-end is load-bearing: every generation's physical
+    * nested order stays a PREFIX of the declared order, so no read path
+    * can positionally mis-map. Top-level field ids (= positions) are
+    * untouched — nested fields carry no ids in this catalog's
+    * positional model, which is exactly why nested ADDs are safe while
+    * nested RENAME/DROP (which would need a nested name history) are
+    * refused at the SQL face. The new field must be nullable (old rows
+    * have no value to give it). */
+  def addNestedColumn(ns: String, table: String, path: Seq[String],
+                      field: StructField): Unit = {
+    require(path.nonEmpty, "addNestedColumn needs a parent path")
+    require(field.nullable,
+      s"$ns.$table: nested column '${(path :+ field.name).mkString(".")}' " +
+        "must be nullable — rows in pre-evolution files read it as NULL")
+    commit(ns, table) {
+      case None =>
+        throw new IllegalArgumentException(s"no such table: $ns.$table")
+      case Some(meta) =>
+        val cur = metaSchema(meta)
+        def widen(st: StructType, at: Seq[String],
+                  crumbs: String): StructType = {
+          val head = at.head
+          val idx = st.fieldNames.indexOf(head)
+          require(idx >= 0,
+            s"$ns.$table: no column '$crumbs$head' to evolve under")
+          val f = st.fields(idx)
+          val newType = f.dataType match {
+            case inner: StructType =>
+              if (at.tail.nonEmpty)
+                widen(inner, at.tail, s"$crumbs$head.")
+              else {
+                require(!inner.fieldNames.contains(field.name),
+                  s"$ns.$table: '$crumbs$head.${field.name}' already " +
+                    "exists")
+                StructType(inner.fields :+ field)
+              }
+            case other => throw new IllegalArgumentException(
+              s"$ns.$table: '$crumbs$head' is ${other.catalogString}, " +
+                "not a struct — nested ADD needs a struct parent")
+          }
+          StructType(st.fields.updated(idx, f.copy(dataType = newType)))
+        }
+        appendSchemaGeneration(meta, widen(cur, path, ""))
     }
   }
 
@@ -3219,19 +3283,49 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         .reduce(_ && _) && out(SeqTag) < lit(r.seq)
       out = out.join(keys, cond, "left_anti")
     }
-    // promotion cast: only where the physical (post-union) type still
-    // differs from the declared one — the common no-evolution scan keeps
-    // its bare column references (no plan pollution, pushdown intact)
+    // promotion/evolution alignment: only where the physical
+    // (post-union) type still differs from the declared one — the
+    // common no-evolution scan keeps its bare column references (no
+    // plan pollution, pushdown intact). Atomic promotions CAST up;
+    // evolved STRUCTS rebuild BY NAME ([[alignColumn]] — a struct cast
+    // is positional and field-count-strict, so a dir predating a
+    // nested ADD could not cast to the widened struct at all).
     val outTypes = out.schema.fields.map(f => f.name -> f.dataType).toMap
     val aligned = visible.toIndexedSeq.map { f =>
       val c = col(s"`${f.name}`")
-      if (outTypes.get(f.name).exists(t =>
-          SchemaShape.normalize(t) != SchemaShape.normalize(f.dataType)))
-        c.cast(f.dataType).as(f.name)
-      else c
+      outTypes.get(f.name) match {
+        case Some(t) if SchemaShape.normalize(t) !=
+            SchemaShape.normalize(f.dataType) =>
+          alignColumn(c, t, f.dataType).as(f.name)
+        case _ => c
+      }
     }
     out.select(aligned ++ extraCols.map(c => col(s"`$c`")): _*)
   }
+
+  /** Align one physical column onto its declared type, recursively and
+    * BY NAME for structs: declared fields missing from the physical
+    * struct null-fill (rows predating a nested ADD), present fields
+    * recurse, and a NULL struct stays NULL (a bare `struct(...)`
+    * rebuild would resurrect it as a row of nulls). Non-struct
+    * mismatches keep the promotion cast. */
+  private def alignColumn(c: Column, phys: DataType,
+                          declared: DataType): Column =
+    (phys, declared) match {
+      case (p, d)
+          if SchemaShape.normalize(p) == SchemaShape.normalize(d) => c
+      case (p: StructType, d: StructType) =>
+        val physByName = p.fields.map(f => f.name -> f.dataType).toMap
+        val rebuilt = struct(d.fields.toIndexedSeq.map { df =>
+          (physByName.get(df.name) match {
+            case Some(pt) => alignColumn(c.getField(df.name), pt,
+              df.dataType)
+            case None => lit(null).cast(df.dataType)
+          }).as(df.name)
+        }: _*)
+        when(c.isNull, lit(null).cast(d)).otherwise(rebuilt)
+      case (_, d) => c.cast(d)
+    }
 
   /** Read one snapshot data dir with ITS layout (basePath recovers
     * partition columns) — the per-directory half of the read-time

@@ -525,8 +525,52 @@ object SqlFace {
       .toDF("lang", "n_docs", "sum_chars").orderBy("lang")
   }
 
+  /** q233: NESTED additive schema evolution through SQL (round 15 —
+    * the last fragment of VERDICT r14 #5): a struct column's table
+    * takes `ALTER TABLE ... ADD COLUMNS (m.n_chars BIGINT)` mid-life;
+    * pre-evolution files never rewrite and their rows read the new
+    * nested field as NULL (the by-name struct alignment in
+    * [[graft.lake.SnapshotLakeCatalog]]'s read path — struct casts are
+    * positional, so alignment rebuilds evolved structs by name). The
+    * census splits per lang into total docs, docs CARRYING the nested
+    * field (exactly the post-evolution slice), and their char mass —
+    * the NULL boundary is the result, not a sentinel. Scale shape: the
+    * ALTER is one metadata commit; the aligned read costs one
+    * projection on evolved structs only. */
+  def q233NestedEvolution(s: SparkSession, d: String): DataFrame = {
+    mount(s)
+    val ns = s"nevq_${System.nanoTime()}"
+    val t = s"$CatName.$ns.docs"
+    s.sql(s"CREATE NAMESPACE $CatName.$ns")
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("q233_docs")
+    s.sql(s"CREATE TABLE $t (doc_id BIGINT, m STRUCT<lang: STRING>)")
+    s.sql(s"INSERT INTO $t SELECT doc_id, named_struct('lang', lang) " +
+      "FROM q233_docs WHERE doc_id % 2 = 0")
+    s.sql(s"ALTER TABLE $t ADD COLUMNS (m.n_chars BIGINT)")
+    s.sql(s"INSERT INTO $t SELECT doc_id, named_struct('lang', lang, " +
+      "'n_chars', n_chars) FROM q233_docs WHERE doc_id % 2 = 1")
+    val out = s.sql(s"SELECT m.lang AS lang, count(*) AS n_docs, " +
+      "count(m.n_chars) AS with_chars, " +
+      "sum(coalesce(m.n_chars, 0)) AS sum_chars " +
+      s"FROM $t GROUP BY m.lang ORDER BY lang")
+      .collect() // |langs|-bounded
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    s.sql(s"DROP NAMESPACE $CatName.$ns CASCADE")
+    import s.implicits._
+    out.toDF("lang", "n_docs", "with_chars", "sum_chars").orderBy("lang")
+  }
+
   def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
+      "q233_nested_evolution" -> ((q233NestedEvolution _, """
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               count(CASE WHEN doc_id % 2 = 1 THEN 1 END)::BIGINT
+                 AS with_chars,
+               sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+                 ::BIGINT AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY lang""")),
       "q232_sql_wap" -> ((q232SqlWap _, """
         SELECT * FROM (
           SELECT lang, count(*)::BIGINT AS n_docs,

@@ -189,13 +189,16 @@ class GraftSqlCatalog extends TableCatalog
     if (!lake.tableExists(ns, t)) throw new NoSuchTableException(ident)
     changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"only top-level ADD COLUMN is supported, got " +
-            a.fieldNames().mkString("."))
         // read-modify-write runs INSIDE the lake's CAS commit (ADVICE
-        // r14: a schema read out here can race another ALTER)
-        lake.addColumns(ns, t, Seq(
-          StructField(a.fieldNames()(0), a.dataType(), a.isNullable)))
+        // r14: a schema read out here can race another ALTER); a dotted
+        // path adds a NESTED field (appended at its struct's end — the
+        // round-15 nested-evolution face)
+        if (a.fieldNames().length == 1)
+          lake.addColumns(ns, t, Seq(
+            StructField(a.fieldNames()(0), a.dataType(), a.isNullable)))
+        else
+          lake.addNestedColumn(ns, t, a.fieldNames().init.toSeq,
+            StructField(a.fieldNames().last, a.dataType(), a.isNullable))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           s"only top-level RENAME COLUMN is supported, got " +
