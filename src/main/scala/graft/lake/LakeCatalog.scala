@@ -234,6 +234,37 @@ private[lake] object SchemaShape {
     * purpose: a DECLARED side narrower than the table is also accepted
     * (the writer casts up; the table never narrows). Inputs are compared
     * normalized; the result is normalized. */
+  /** Align one physical column onto its declared type, recursively and
+    * BY NAME for structs: declared fields missing from the physical
+    * struct null-fill (rows/frames predating a nested ADD), present
+    * fields recurse, and a NULL struct stays NULL (a bare `struct(...)`
+    * rebuild would resurrect it as a row of nulls). Non-struct
+    * mismatches keep the plain promotion cast — a struct CAST is
+    * positional and field-count-strict, which is why every evolved-
+    * struct boundary (read alignment, write conform, the session
+    * carrier's promotion rewrite) routes through here instead. */
+  def alignColumn(c: org.apache.spark.sql.Column,
+                  phys: org.apache.spark.sql.types.DataType,
+                  declared: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, struct, when}
+    import org.apache.spark.sql.types.StructType
+    (phys, declared) match {
+      case (p, d) if normalize(p) == normalize(d) => c
+      case (p: StructType, d: StructType) =>
+        val physByName = p.fields.map(f => f.name -> f.dataType).toMap
+        val rebuilt = struct(d.fields.toIndexedSeq.map { df =>
+          (physByName.get(df.name) match {
+            case Some(pt) => alignColumn(c.getField(df.name), pt,
+              df.dataType)
+            case None => lit(null).cast(df.dataType)
+          }).as(df.name)
+        }: _*)
+        when(c.isNull, lit(null).cast(d)).otherwise(rebuilt)
+      case (_, d) => c.cast(d)
+    }
+  }
+
   def widen(a: org.apache.spark.sql.types.DataType,
             b: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.types.DataType] = {
@@ -248,13 +279,23 @@ private[lake] object SchemaShape {
           if d1.scale == d2.scale && math.max(d1.precision, d2.precision) <= 38 =>
         Some(DecimalType(math.max(d1.precision, d2.precision), d1.scale))
       case (StructType(fa), StructType(fb))
-          if fa.map(_.name).toSeq == fb.map(_.name).toSeq =>
-        val widened = fa.zip(fb).map { case (x, y) =>
+          // append-only nested evolution (round 15): one side's field
+          // NAMES may be a PREFIX of the other's — the tail is the
+          // nested ADD, and old rows read it as NULL (by-name struct
+          // alignment, [[alignColumn]]). Any other field-set difference
+          // (reorder, removal, insertion mid-struct) stays true drift.
+          if fa.map(_.name).toSeq.startsWith(fb.map(_.name).toSeq) ||
+            fb.map(_.name).toSeq.startsWith(fa.map(_.name).toSeq) =>
+        val (shorter, longer) =
+          if (fa.length <= fb.length) (fa, fb) else (fb, fa)
+        val shared = shorter.zip(longer).map { case (x, y) =>
           widen(x.dataType, y.dataType).map(t =>
             StructField(x.name, t, nullable = true))
         }
-        if (widened.forall(_.isDefined))
-          Some(StructType(widened.map(_.get)))
+        if (shared.forall(_.isDefined))
+          Some(StructType(shared.map(_.get) ++
+            longer.drop(shorter.length).map(f =>
+              StructField(f.name, normalize(f.dataType), nullable = true))))
         else None
       case (ArrayType(ea, _), ArrayType(eb, _)) =>
         widen(ea, eb).map(ArrayType(_, containsNull = true))
@@ -340,9 +381,15 @@ class SessionLakeCatalog(spark: SparkSession) extends LakeCatalog {
             "bucket spec; rewrite via writeBucketed under the widened " +
             "schema instead")
         tableLock(ns, table).synchronized {
-          val widened = diff.promoted.foldLeft(spark.table(id(ns, table))) {
+          val cur = spark.table(id(ns, table))
+          val physTypes = cur.schema.fields
+            .map(f => f.name -> f.dataType).toMap
+          val widened = diff.promoted.foldLeft(cur) {
             case (df, (name, t)) =>
-              df.withColumn(name, col(s"`$name`").cast(t))
+              // by-name alignment: a nested ADD widens a struct column,
+              // which a positional cast cannot express
+              df.withColumn(name, SchemaShape.alignColumn(
+                col(s"`$name`"), physTypes(name), t))
           }
           stagedRewrite(ns, table, widened)
         }

@@ -1226,7 +1226,11 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
               s"does not fit the table's ${t.catalogString} — run " +
               "ensureTable with the wider schema first (promotion), or " +
               "fix the feed; implicit narrowing is never applied")
-          acc.withColumn(f.name, col(s"`${f.name}`").cast(t))
+          // by-name alignment, not a bare cast: a frame predating a
+          // NESTED add (struct missing the appended field) null-fills,
+          // where a positional struct cast could not even analyze
+          acc.withColumn(f.name,
+            SchemaShape.alignColumn(col(s"`${f.name}`"), f.dataType, t))
         case None => acc
       }
     }
@@ -3303,29 +3307,12 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     out.select(aligned ++ extraCols.map(c => col(s"`$c`")): _*)
   }
 
-  /** Align one physical column onto its declared type, recursively and
-    * BY NAME for structs: declared fields missing from the physical
-    * struct null-fill (rows predating a nested ADD), present fields
-    * recurse, and a NULL struct stays NULL (a bare `struct(...)`
-    * rebuild would resurrect it as a row of nulls). Non-struct
-    * mismatches keep the promotion cast. */
+  /** [[SchemaShape.alignColumn]], the shared by-name evolution
+    * alignment — one definition serves the read path here, the write
+    * conform, and the session carrier's promotion rewrite. */
   private def alignColumn(c: Column, phys: DataType,
                           declared: DataType): Column =
-    (phys, declared) match {
-      case (p, d)
-          if SchemaShape.normalize(p) == SchemaShape.normalize(d) => c
-      case (p: StructType, d: StructType) =>
-        val physByName = p.fields.map(f => f.name -> f.dataType).toMap
-        val rebuilt = struct(d.fields.toIndexedSeq.map { df =>
-          (physByName.get(df.name) match {
-            case Some(pt) => alignColumn(c.getField(df.name), pt,
-              df.dataType)
-            case None => lit(null).cast(df.dataType)
-          }).as(df.name)
-        }: _*)
-        when(c.isNull, lit(null).cast(d)).otherwise(rebuilt)
-      case (_, d) => c.cast(d)
-    }
+    SchemaShape.alignColumn(c, phys, declared)
 
   /** Read one snapshot data dir with ITS layout (basePath recovers
     * partition columns) — the per-directory half of the read-time

@@ -99,6 +99,87 @@ class NestedEvolutionSpec extends AnyFunSuite {
     fails(s"ALTER TABLE $t DROP COLUMN s.a", "top-level")
   }
 
+  test("nested evolution through the DECLARED-SCHEMA path (A12): " +
+    "ensureTable widens the struct, and an OLD-shape append null-fills") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val narrow = StructType(Seq(StructField("id", LongType),
+      StructField("s", StructType(Seq(StructField("a", LongType))))))
+    val wide = StructType(Seq(StructField("id", LongType),
+      StructField("s", StructType(Seq(StructField("a", LongType),
+        StructField("x", StringType))))))
+    lake.ensureTable("s", "decl", narrow)
+    val r1 = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L,
+        org.apache.spark.sql.Row(10L))), narrow)
+    lake.append("s", "decl", r1)
+    // a stream now DECLARES the nested add: one metadata commit
+    lake.ensureTable("s", "decl", wide)
+    assert(spark.table(s"$cat.s.decl").schema("s").dataType
+      .simpleString == "struct<a:bigint,x:string>")
+    // an old-shape frame still appends (conform null-fills by name)
+    val r2 = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(2L,
+        org.apache.spark.sql.Row(20L))), narrow)
+    lake.append("s", "decl", r2)
+    val r3 = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(3L,
+        org.apache.spark.sql.Row(30L, "new"))), wide)
+    lake.append("s", "decl", r3)
+    val got = spark.sql(s"SELECT id, s.a, s.x FROM $cat.s.decl " +
+      "ORDER BY id").collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "-" else r.getString(2))).toSeq
+    assert(got == Seq((1L, 10L, "-"), (2L, 20L, "-"), (3L, 30L, "new")),
+      got.toString)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION carries a nested source field " +
+    "through the evolution rule") {
+    val t = s"$cat.s.mev"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, s STRUCT<a: BIGINT>)")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, named_struct('a', CAST(1 AS BIGINT)))")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t t USING (
+         |  SELECT CAST(2 AS BIGINT) AS id,
+         |         named_struct('a', CAST(2 AS BIGINT), 'x', 'nested') AS s
+         |) s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT id, s.a, s.x FROM $t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "-" else r.getString(2))).toSeq
+    assert(got == Seq((1L, 1L, "-"), (2L, 2L, "nested")), got.toString)
+  }
+
+  test("the SESSION carrier evolves nested declares too (promotion " +
+    "rewrite with by-name alignment)") {
+    import org.apache.spark.sql.types._
+    val sess = new graft.lake.SessionLakeCatalog(spark)
+    val ns = s"nest_sess_${System.nanoTime()}"
+    val narrow = StructType(Seq(StructField("id", LongType),
+      StructField("s", StructType(Seq(StructField("a", LongType))))))
+    val wide = StructType(Seq(StructField("id", LongType),
+      StructField("s", StructType(Seq(StructField("a", LongType),
+        StructField("x", DoubleType))))))
+    sess.ensureTable(ns, "t", narrow)
+    sess.append(ns, "t", spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L,
+        org.apache.spark.sql.Row(10L))), narrow))
+    sess.ensureTable(ns, "t", wide) // the locked rewrite path
+    sess.append(ns, "t", spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(2L,
+        org.apache.spark.sql.Row(20L, 2.5))), wide))
+    val got = sess.load(ns, "t").orderBy("id").collect()
+      .map { r =>
+        val s = r.getStruct(1)
+        (r.getLong(0), s.getLong(0),
+          if (s.isNullAt(1)) -1.0 else s.getDouble(1))
+      }.toSeq
+    assert(got == Seq((1L, 10L, -1.0), (2L, 20L, 2.5)), got.toString)
+    sess.dropNamespace(ns)
+  }
+
   test("the evolved table stays fully operational: UPDATE, DELETE, " +
     "time travel, and compact fold the evolution away") {
     val t = s"$cat.s.ops"
