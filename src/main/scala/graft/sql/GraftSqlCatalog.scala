@@ -205,10 +205,11 @@ class GraftSqlCatalog extends TableCatalog
             r.fieldNames().mkString("."))
         lake.renameColumn(ns, t, r.fieldNames()(0), r.newName())
       case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames().length == 1,
-          s"only top-level ALTER COLUMN TYPE is supported, got " +
-            u.fieldNames().mkString("."))
-        lake.updateColumnType(ns, t, u.fieldNames()(0), u.newDataType())
+        if (u.fieldNames().length == 1)
+          lake.updateColumnType(ns, t, u.fieldNames()(0), u.newDataType())
+        else // nested promotion (round 15, the addNestedColumn companion)
+          lake.updateNestedColumnType(ns, t, u.fieldNames().toSeq,
+            u.newDataType())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           s"only top-level DROP COLUMN is supported, got " +

@@ -180,6 +180,36 @@ class NestedEvolutionSpec extends AnyFunSuite {
     sess.dropNamespace(ns)
   }
 
+  test("nested TYPE promotion (ALTER COLUMN s.a TYPE BIGINT): old " +
+    "files keep the narrow physical type, reads cast up by name") {
+    val t = s"$cat.s.promo"
+    spark.sql(s"CREATE TABLE $t (id BIGINT, s STRUCT<a: INT, b: STRING>)")
+    spark.sql(s"INSERT INTO $t VALUES (1, named_struct('a', 7, 'b', 'x'))")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN s.a TYPE BIGINT")
+    assert(spark.table(t).schema("s").dataType.simpleString ==
+      "struct<a:bigint,b:string>")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(2, named_struct('a', CAST(4000000000 AS BIGINT), 'b', 'y'))")
+    val got = spark.sql(s"SELECT id, s.a, s.b FROM $t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    assert(got == Seq((1L, 7L, "x"), (2L, 4000000000L, "y")),
+      got.toString)
+    // narrowing refuses loudly — Spark's own analyzer rejects it
+    // before our face; a drift-class change (string) reaches the face's
+    // promotion-lattice refusal instead
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN s.a TYPE INT"))
+    def walk(t0: Throwable, needle: String): Boolean = t0 != null &&
+      (Option(t0.getMessage).exists(_.contains(needle)) ||
+        walk(t0.getCause, needle))
+    assert(walk(e, "NOT_SUPPORTED_CHANGE_COLUMN"), e.toString)
+    val e2 = intercept[Exception](lake.updateNestedColumnType(
+      "s", "promo", Seq("s", "b"),
+      org.apache.spark.sql.types.LongType))
+    assert(walk(e2, "promotion"), e2.toString)
+  }
+
   test("the evolved table stays fully operational: UPDATE, DELETE, " +
     "time travel, and compact fold the evolution away") {
     val t = s"$cat.s.ops"
