@@ -40,9 +40,13 @@ object GraftStreamOffset {
   * ([[SnapshotLakeCatalog.sqlAppendSlice]]) — manifest-exact, no
   * directory listing, no table scan, so a 100 TB table streams at the
   * cost of its new data. Reads ride the same vectorized parquet closure
-  * and file packing as the batch scan ([[GraftParquetRead]]), with the
-  * scan's pushed filters pruning each batch's files (partition-tuple +
-  * column-bounds tiers).
+  * and file packing as the batch scan ([[GraftParquetRead]]). Per-batch
+  * FILE pruning (partition-tuple + column-bounds tiers over `pushed`)
+  * is plumbed and shared with the batch scan, but Spark's planner
+  * builds streaming scans WITHOUT invoking pushFilters (parity with
+  * Iceberg's and Kafka's streaming reads — query filters apply above
+  * the scan), so today every appended file is read; the spec pins that
+  * and flips the day Spark starts pushing.
   *
   * Semantics are Iceberg's streaming read: appends only. Non-append
   * snapshots fail the stream loudly unless skipped by option

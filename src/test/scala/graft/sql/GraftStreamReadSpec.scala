@@ -135,8 +135,31 @@ class GraftStreamReadSpec extends AnyFunSuite {
       "PARTITIONED BY (lang)")
     spark.sql(s"INSERT INTO $t VALUES (1, 'en'), (2, 'de')")
     spark.sql(s"INSERT INTO $t VALUES (3, 'en'), (4, 'fr')")
+    // pins CURRENT Spark behavior: the planner builds streaming scans
+    // WITHOUT pushFilters (parity with Iceberg's/Kafka's streaming
+    // reads), so the source ingests every appended file (4 rows) and
+    // the filter applies above the scan. The per-batch pruning plumbing
+    // (partition tuple + column bounds over `pushed`) is shared with
+    // the batch scan and lights up the release Spark starts pushing —
+    // this assertion flipping to 2 is that release's tell.
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.table(t).filter("lang = 'en'")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect(); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-part-").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.recentProgress.foreach(p => read.addAndGet(p.numInputRows))
+    assert(read.get() == 4L,
+      s"streaming scan read ${read.get()} rows — if this is 2, Spark " +
+        "now pushes filters into streaming scans: move this pin to " +
+        "assert the pruned count and update the scaladoc")
+    // the filtered results are exact regardless
     val (rows, _) = drain(t,
-      Files.createTempDirectory("ckpt-part-").toString,
+      Files.createTempDirectory("ckpt-part2-").toString,
       filter = Some("lang = 'en'"))
     assert(rows == Seq((1L, "en"), (3L, "en")))
   }
