@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would be unresolvable in extension-built sessions (bit q113 once)
     ext.injectFunction(fn("char_class_entropy",
       args => CharClassEntropy(args.head)))
+    ext.injectFunction(fn("topgram_profile",
+      args => graft.functions.TopGramProfile(args.head)))
     ext.injectFunction(fn("vec_dot", args => VecDot(args(0), args(1))))
     ext.injectFunction(fn("vec_cosine", args => VecCosine(args(0), args(1))))
     ext.injectFunction(fn("rhp_bucket", args =>

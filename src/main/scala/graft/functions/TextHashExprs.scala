@@ -42,6 +42,8 @@ object TextHashExprs {
       (args: Seq[Expression]) => CharClassEntropy(args.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       (args: Seq[Expression]) => WordShingles(args.head), "built-in")
+    reg.createOrReplaceTempFunction("topgram_profile",
+      (args: Seq[Expression]) => TopGramProfile(args.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       (args: Seq[Expression]) => VecDot(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
@@ -532,4 +534,94 @@ object AnchorFingerprints {
     * can never produce one. */
   val WindowLen = 12
   val AnchorMod = 16
+}
+
+/** `topgram_profile(text)` -> array<struct<n, top_gram, top_count, n_grams,
+  * n_unique>> — the q199 within-document repetition profile computed
+  * IN-ROW: for every n in [[graft.ops.TextOps.TopGramNs]] with at least
+  * one n-gram in the doc, the most frequent space-joined word n-gram
+  * (ties to the binary-smallest gram, Spark's string order), its count,
+  * and the total/distinct gram counts.
+  *
+  * Why native (optimization r15): the declarative q199 exploded EVERY
+  * gram occurrence into a (doc, n, gram)-keyed exchange — ~3 string rows
+  * per token through a shuffle plus two document-keyed window passes —
+  * for a computation that never leaves the row. One compiled pass per
+  * document replaces all of it (plan: 4 Exchanges -> 1 output sort);
+  * semantics are bit-identical, tie-break included: gram candidates
+  * compare as UTF8 BYTES (UTF8String.binaryCompare), matching the window
+  * `orderBy(desc(cnt), col("g"))` the declarative form used.
+  *
+  * Tokens are the space-split non-empty words — `filter(split(text, ' '),
+  * x -> x <> '')` exactly (consecutive spaces collapse; other whitespace
+  * is data). Null for null text; an empty array when no n fits (the
+  * caller's explode then drops the doc, like the old `size(t) >= n`
+  * filter). */
+case class TopGramProfile(child: Expression) extends SingleArgHashExpr {
+  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.sql.types.StructField
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_unique", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): TopGramProfile =
+    copy(child = c)
+
+  override def compute(s: UTF8String): Any = {
+    val raw = s.toString.split(" ", -1)
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { // in-place filter of empty tokens
+      if (!raw(i).isEmpty) { raw(nTok) = raw(i); nTok += 1 }
+      i += 1
+    }
+    val ns = graft.ops.TextOps.TopGramNs
+    val rows = new scala.collection.mutable.ArrayBuffer[Any](ns.size)
+    val counts = new java.util.HashMap[String, Int]()
+    val sb = new java.lang.StringBuilder(64)
+    ns.foreach { n =>
+      if (nTok >= n) {
+        counts.clear()
+        val g = nTok - n + 1
+        var j = 0
+        while (j < g) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(raw(j + k))
+            k += 1
+          }
+          counts.merge(sb.toString, 1, Integer.sum)
+          j += 1
+        }
+        // top-1 by (count desc, gram asc in UTF-8 byte order) — the same
+        // total order the old window's (desc(cnt), col("g")) sort used
+        var bestG: String = null
+        var bestU: UTF8String = null
+        var bestC = 0
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.intValue()
+          if (c > bestC) {
+            bestG = e.getKey; bestU = null; bestC = c
+          } else if (c == bestC) {
+            if (bestU == null) bestU = UTF8String.fromString(bestG)
+            val u = UTF8String.fromString(e.getKey)
+            if (u.binaryCompare(bestU) < 0) { bestG = e.getKey; bestU = u }
+          }
+        }
+        rows += org.apache.spark.sql.catalyst.InternalRow(
+          n.toLong, UTF8String.fromString(bestG), bestC.toLong,
+          g.toLong, counts.size.toLong)
+      }
+    }
+    new GenericArrayData(rows.toArray)
+  }
 }

@@ -425,35 +425,32 @@ object TextOps {
 
   /** The ONE definition of the top-n-gram repetition profile over any
     * `(doc_id, text)` frame — q199 applies it to the corpus; the value
-    * spec replays it on a crafted document with hand-computed counts. */
+    * spec replays it on a crafted document with hand-computed counts.
+    *
+    * Optimization r15: the profile is computed IN-ROW by the native
+    * [[graft.functions.TopGramProfile]] expression (one compiled pass per
+    * document), replacing the gram explosion (one string row per gram
+    * OCCURRENCE) through a (doc, n, g)-keyed exchange plus two
+    * document-keyed window passes. The old plan shuffled ~|Ns| gram
+    * strings per token (corpus-text-sized bytes); the new plan's only
+    * exchange is the output sort — the guide §2.3/§2.4 "shuffle nothing
+    * the row already knows" move. Semantics (tie-break included) are
+    * bit-identical; the value spec and the q199 oracle hash pin that. */
   private[ops] def topGramProfileOf(docs: DataFrame): DataFrame = {
-    val grams = docs
+    graft.functions.TextHashExprs.register(docs.sparkSession)
+    docs
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
-      .select(col("doc_id"), col("n_chars"), col("t"),
-        explode(lit(TopGramNs.toArray)).as("n"))
-      .filter(size(col("t")) >= col("n"))
-      .select(col("doc_id"), col("n_chars"), col("n"),
-        explode(expr(
-          "transform(sequence(1, size(t) - n + 1)," +
-            " i -> array_join(slice(t, i, n), ' '))")).as("g"))
-    // one (doc, n)-keyed exchange serves BOTH the top-1 rank and the
-    // whole-partition gram totals: the ordered and unordered windows share
-    // the partitioning, so Spark plans one shuffle, and partition sizes
-    // are bounded by document length — never corpus-shaped
-    val w = Window.partitionBy("doc_id", "n")
-    grams
-      .groupBy("doc_id", "n_chars", "n", "g").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w.orderBy(desc("cnt"), col("g"))))
-      .withColumn("n_grams", sum("cnt").over(w))
-      .withColumn("n_unique", count(lit(1)).over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("n").cast("long").as("n"),
-        col("g").as("top_gram"), col("cnt").as("top_count"),
-        expr("cnt * length(g) * 1000000 div n_chars").as("mass_ppm"),
-        col("n_grams"), col("n_unique"),
-        expr("(n_grams - n_unique) * 1000000 div n_grams").as("dup_ppm"))
+        explode(expr("topgram_profile(text)")).as("p"))
+      .select(col("doc_id"), col("p.n").as("n"),
+        col("p.top_gram").as("top_gram"),
+        col("p.top_count").as("top_count"),
+        expr("p.top_count * length(p.top_gram) * 1000000 div n_chars")
+          .as("mass_ppm"),
+        col("p.n_grams").as("n_grams"),
+        col("p.n_unique").as("n_unique"),
+        expr("(p.n_grams - p.n_unique) * 1000000 div p.n_grams")
+          .as("dup_ppm"))
       .orderBy("doc_id", "n")
   }
 
@@ -471,12 +468,14 @@ object TextOps {
     * dominance score, not a coverage fraction (span-union coverage would
     * need per-position interval merging for no extra filtering power).
     *
-    * Scale shape: gram explosion is a per-row projection (|Ns| token-array
-    * copies per doc, columnar); ONE (doc, n, gram)-keyed partial-agg
-    * shuffle; then ONE (doc, n)-keyed exchange where the ordered top-1
-    * window and the unordered total/distinct windows share the partition —
-    * every partition is document-bounded, so the shape is flat in corpus
-    * size and skew-free at 100 TB. */
+    * Scale shape (optimization r15): the whole profile is ONE compiled
+    * in-row pass ([[graft.functions.TopGramProfile]]) — the computation
+    * never leaves the document, so nothing shuffles but the final output
+    * sort; per-row cost is linear in document tokens and the shape is
+    * flat in corpus size and trivially skew-free at 100 TB (the previous
+    * declarative form shuffled one string per gram OCCURRENCE — corpus-
+    * text-sized exchange bytes — through a (doc, n, g) aggregation plus
+    * two (doc, n)-keyed window passes). */
   def q199TopGramProfile(s: SparkSession, d: String): DataFrame =
     topGramProfileOf(documents(s, d))
 

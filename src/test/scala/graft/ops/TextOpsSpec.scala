@@ -534,17 +534,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(folded == q31)
   }
 
-  test("q199 plan: one exchange serves the top-1 and total windows") {
+  test("q199 plan: in-row profile — no exchange before the output sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = TextOps.q199TopGramProfile(spark, sf)
       .queryExecution.executedPlan
-    // (doc,n,gram) partial-agg shuffle + the shared (doc,n) window
-    // exchange + the output sort: a third corpus-keyed exchange would mean
-    // the ordered and unordered windows stopped sharing their partitioning
+    // optimization r15: the native topgram_profile expression computes
+    // the whole per-(doc, n) profile in-row, so the ONLY shuffle left is
+    // the output range sort — a second exchange would mean the gram
+    // explosion / window formulation crept back in
     val shuffles = plan.collect {
       case e: ShuffleExchangeExec => e.outputPartitioning
     }
-    assert(shuffles.size <= 3, plan.toString.take(2000))
+    assert(shuffles.size <= 1, plan.toString.take(2000))
   }
 
   test("q134 packed sequences: shard totals reconcile with q91's assignment") {
