@@ -967,18 +967,36 @@ object Dedup {
   def q153ThresholdSweep(s: SparkSession, d: String): DataFrame = {
     val truth = q108NgramJaccard(s, d)
     val chars = documents(s, d).select(col("doc_id"), col("n_chars"))
-    val perT = JaccardSweep.map { t =>
-      val pairs = truth.filter(col("jaccard") >= t)
-      val dropped = propagateMinLabels(s, pairs)
-        .filter(col("id") =!= col("label"))
-        .select(col("id").as("doc_id"))
-      pairs.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(dropped.join(chars, "doc_id")
-          .agg(count(lit(1)).as("n_docs_dropped"),
-            coalesce(sum("n_chars"), lit(0L)).as("chars_removed")))
-        .select(lit(t).as("threshold"), col("n_pairs"),
-          col("n_docs_dropped"), col("chars_removed"))
-    }.reduce(_ unionByName _)
+    // optimization r15 (guide §2.6, overlap independent jobs): each grid
+    // point's propagation is a serial chain of small convergence rounds
+    // that leaves most cores idle; the five chains share nothing (each
+    // filters the memoized truth independently), so they run concurrently
+    // from a driver-side pool and back-fill each other's stage tails.
+    // Results are per-chain deterministic, and the sweep rows are
+    // reassembled in grid order, so the output is byte-identical to the
+    // serial form. Wall: ~Σ(chains) -> ~max(chain).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      JaccardSweep.size)
+    val perT = try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = JaccardSweep.map { t =>
+        scala.concurrent.Future {
+          val pairs = truth.filter(col("jaccard") >= t)
+          val dropped = propagateMinLabels(s, pairs) // eager rounds
+            .filter(col("id") =!= col("label"))
+            .select(col("id").as("doc_id"))
+          pairs.agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(dropped.join(chars, "doc_id")
+              .agg(count(lit(1)).as("n_docs_dropped"),
+                coalesce(sum("n_chars"), lit(0L)).as("chars_removed")))
+            .select(lit(t).as("threshold"), col("n_pairs"),
+              col("n_docs_dropped"), col("chars_removed"))
+        }(ec)
+      }
+      futures.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+        .reduce(_ unionByName _)
+    } finally pool.shutdown()
     perT
       .crossJoin(documents(s, d).agg(count(lit(1)).as("n_docs_total"),
         sum("n_chars").as("chars_total")))
