@@ -91,6 +91,20 @@ object Similarity {
     * against a different truth than q25 serves). round(sim, 6) before
     * ranking makes the order robust to last-ulp differences between
     * engines; ties break on neighbor id. */
+  /** The matched-k ([[LshK]]) brute truth pair list, memoized per
+    * (session, corpus) — optimization r15: q105 checkpointed its own copy
+    * but q152 re-derived the identical truth and q174 embedded the
+    * derivation TWICE (once per probeStats chain in its union plan), so a
+    * full run paid the corpus×queries exact-cosine pass four times. One
+    * [[Dedup.SessionMemo]]-cached localCheckpoint (queries × k rows —
+    * bounded control plane) serves all four consumers; at 100 TB this is
+    * three saved corpus scans per session. */
+  private val bruteTruthCache = new Dedup.SessionMemo(Dedup.MaxCachedCorpora)
+  private[ops] def bruteTruthAtLshK(s: SparkSession, d: String): DataFrame =
+    bruteTruthCache.getOrElseUpdate(s, s"brute$LshK:$d")(
+      bruteTopK(s, d, LshK).select("q_id", "neighbor_id")
+        .localCheckpoint(true))
+
   private[ops] def bruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val corpus = emb(s, d)
     val queries = emb(s, d).filter(col("vec_id") < NumQueries)
@@ -172,11 +186,11 @@ object Similarity {
     * both top-k relations are queries×k rows, so the compare joins are
     * trivially small. */
   def q105AnnRecall(s: SparkSession, d: String): DataFrame = {
-    // checkpointed: queries x k rows, consumed by BOTH tier compares — the
-    // exact brute pass is the expensive half of the monitor and must not
-    // run once per tier
-    val truth = bruteTopK(s, d, LshK).select("q_id", "neighbor_id")
-      .localCheckpoint(true)
+    // memoized + checkpointed: queries x k rows, consumed by BOTH tier
+    // compares here AND by q152/q174's probe measurements — the exact
+    // brute pass is the expensive half of every recall monitor and must
+    // run once per (session, corpus), not once per consumer
+    val truth = bruteTruthAtLshK(s, d)
     def tier(name: String, approx: DataFrame): DataFrame = {
       val hits = truth
         .join(approx.select("q_id", "neighbor_id"),
@@ -272,15 +286,34 @@ object Similarity {
       .orderBy(desc("sim"), col("neighbor_id"))
     val w2 = Window.partitionBy("np", "q_id")
       .orderBy(desc("sim"), col("neighbor_id"))
-    val top = cand
+    // optimization r15: `cand` (the probed-cell equi-join + cosine, the
+    // expensive corpus-shaped stream) used to be consumed TWICE — once by
+    // the top-k path and once by a separate n_cand rollup, re-running the
+    // whole probe join. The per-salt candidate count now rides the salted
+    // window's own exchange (an unordered count over w1's partition keys),
+    // so the salted-phase survivors — ≤ |npGrid|·queries·salts·k rows,
+    // bounded control plane — carry everything both consumers need; a
+    // LAZY localCheckpoint severs them so top-k and n_cand share ONE
+    // derivation materialized inside the one output action. n_cand is
+    // exact: salts partition a (np, q)'s candidates, and every non-empty
+    // salt keeps ≥ 1 survivor (its rank-1 row), so summing one salt_cnt
+    // per surviving salt counts every probed candidate.
+    val salted = cand
       .withColumn("salt", pmod(col("neighbor_id"), lit(AdcSalts.toLong)))
+      .withColumn("salt_cnt", count(lit(1)).over(
+        Window.partitionBy("np", "q_id", "salt")))
       .withColumn("r1", row_number().over(w1)).filter(col("r1") <= LshK)
+      .select("np", "q_id", "neighbor_id", "sim", "salt", "salt_cnt")
+      .localCheckpoint(false)
+    val top = salted
       .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= LshK)
       .select("np", "q_id", "neighbor_id")
-    val truth = bruteTopK(s, d, LshK).select("q_id", "neighbor_id")
+    val truth = bruteTruthAtLshK(s, d)
     val hits = top.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy("np", "q_id").agg(count(lit(1)).as("n_hit"))
-    val ncand = cand.groupBy("np", "q_id").agg(count(lit(1)).as("n_cand"))
+    val ncand = salted.groupBy("np", "q_id", "salt")
+      .agg(max("salt_cnt").as("salt_cnt"))
+      .groupBy("np", "q_id").agg(sum("salt_cnt").as("n_cand"))
     emb(s, d).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id")).crossJoin(broadcast(grid))
       .join(ncand, Seq("np", "q_id"), "left")
