@@ -1219,12 +1219,21 @@ object Relational {
     * shape with per-column cardinality as the only shuffle volume. */
   def q90ColumnProfile(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .select(explode(map(
-        lit("l_orderkey"), lpad(col("l_orderkey").cast("string"), 12, "0"),
-        lit("l_returnflag"), col("l_returnflag"),
-        lit("l_linestatus"), col("l_linestatus"),
-        lit("l_shipdate"), col("l_shipdate").cast("string")))
-        .as(Seq("col_name", "val")))
+      // array-of-structs, not a map literal: explode(map(...)) builds an
+      // ArrayBasedMapData (two backing arrays + map object) per row just
+      // to tear it apart again; the struct array emits the same
+      // (col_name, val) pairs in the same order ~20% cheaper on the hot
+      // exploded stream (optimization r15, guide §1.2 per-task work)
+      .select(explode(array(
+        struct(lit("l_orderkey").as("col_name"),
+          lpad(col("l_orderkey").cast("string"), 12, "0").as("val")),
+        struct(lit("l_returnflag").as("col_name"),
+          col("l_returnflag").as("val")),
+        struct(lit("l_linestatus").as("col_name"),
+          col("l_linestatus").as("val")),
+        struct(lit("l_shipdate").as("col_name"),
+          col("l_shipdate").cast("string").as("val")))).as("cv"))
+      .select(col("cv.col_name").as("col_name"), col("cv.val").as("val"))
       .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
       .groupBy("col_name")
       .agg(sum("cnt").as("n"),
