@@ -1147,13 +1147,18 @@ object TextOps {
       .localCheckpoint(true)
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     val c1 = c12.groupBy("w1").agg(sum("n12").as("n1"))
-    // c12 is BIGRAM-vocabulary-sized (vocab², the largest relation after the
-    // corpus itself) and c1 is vocabulary-sized — no broadcast hints: AQE
-    // broadcasts both at test scale; at web scale the joins co-partition on
-    // (w1, w2)/(w1), which is the only plan that fits executor memory
-    bg.join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .withColumn("nll", -log(col("n12") / col("n1")))
+    // optimization r15 (guide §2.3): fold the model INTO the vocab-sized
+    // relation first — c12 ⋈ c1 is a bigram-vocab-sized join producing
+    // one per-bigram nll, so the CORPUS stream joins once on (w1, w2)
+    // instead of twice ((w1, w2) then again re-shuffled on w1): one fewer
+    // corpus-sized exchange at any scale. The per-(doc, bigram) nll
+    // multiset is unchanged (same n12/n1 per bigram) and orderedSum is
+    // order-independent, so results are byte-identical. No broadcast
+    // hints: AQE broadcasts both at test scale; at web scale the joins
+    // co-partition on (w1, w2)/(w1), the only plan that fits memory.
+    val probs = c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), (-log(col("n12") / col("n1"))).as("nll"))
+    bg.join(probs, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(orderedSum("nll") / count(lit(1)), 6).as("mean_nll"))
