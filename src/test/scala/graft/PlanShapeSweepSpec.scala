@@ -61,8 +61,11 @@ class PlanShapeSweepSpec extends AnyFunSuite {
     "q25_knn_brute" -> "broadcasts the <=10-row probe set (vec_id < 10 pushed to the scan)",
     "q49_knn_agg" -> "broadcasts the <=10-row probe set (vec_id < 10 pushed to the scan)",
     "q132_hard_negatives" -> "broadcasts the <=10-row labeled probe set (vec_id < 10 pushed)",
-    "q152_nprobe_sweep" -> "broadcasts the <=10-row probe set per sweep arm (vec_id < 10 pushed)",
-    "q174_stale_recall" -> "broadcasts the <=10-row probe set per codebook arm (vec_id < 10 pushed)",
+    // optimization r15: q152/q174's BNLJ (the <=10-row probe-grid
+    // broadcast) moved behind probeMeasure's bounded salted-survivor
+    // checkpoint — the final inspected plan no longer contains it, so
+    // the entries left the whitelist (the sweep's staleness check is
+    // exactly what flagged this)
     "q142_sketch_overlap" -> "broadcasts per-source sketch/count marginals (<=|sources| rows)",
     "q162_cluster_histogram" -> "broadcasts the checkpointed 1-row corpus-totals frame"
   )
