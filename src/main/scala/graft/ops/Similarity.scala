@@ -189,8 +189,18 @@ object Similarity {
     // memoized + checkpointed: queries x k rows, consumed by BOTH tier
     // compares here AND by q152/q174's probe measurements — the exact
     // brute pass is the expensive half of every recall monitor and must
-    // run once per (session, corpus), not once per consumer
-    val truth = bruteTruthAtLshK(s, d)
+    // run once per (session, corpus), not once per consumer.
+    // optimization r15 (guide §2.6): the truth checkpoint and the joint
+    // k-means/PQ fit (triggered below when the ivf/ivfadc tiers build
+    // their codebook literals) are INDEPENDENT serial job chains — the
+    // truth derives from a worker thread so its jobs back-fill the fit's
+    // driver-side Lloyd's collects instead of queueing after them.
+    val truthPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val truthF = scala.concurrent.Future(bruteTruthAtLshK(s, d))(
+      scala.concurrent.ExecutionContext.fromExecutor(truthPool))
+    truthPool.shutdown() // runs the one queued task, then the thread exits
+    lazy val truth = scala.concurrent.Await.result(
+      truthF, scala.concurrent.duration.Duration.Inf)
     def tier(name: String, approx: DataFrame): DataFrame = {
       val hits = truth
         .join(approx.select("q_id", "neighbor_id"),
