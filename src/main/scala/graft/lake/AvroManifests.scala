@@ -598,7 +598,7 @@ object AvroManifests {
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
         .toSeq).sortBy(_.toString)
-    files.map { f =>
+    def entryOf(f: Path): DataFileEntry = {
       val segs = dir.relativize(f).iterator().asScala
         .map(_.toString).toSeq.dropRight(1)
       val pathVals = segs.collect {
@@ -620,6 +620,24 @@ object AvroManifests {
         valueCounts = fs.valueCounts, nullValueCounts = fs.nullValueCounts,
         lowerBounds = fs.lowerBounds, upperBounds = fs.upperBounds,
         columnSizes = fs.columnSizes, nanValueCounts = fs.nanValueCounts)
+    }
+    // optimization r15 (guide §5/§7.3 driver work): the per-file footer
+    // reads were serial on the committing thread — the visible floor of
+    // every snapshot commit, and at scale a commit adding thousands of
+    // files would read thousands of footers one by one. Each footerStats
+    // call is self-contained (own Configuration + reader), so a bounded
+    // pool reads them concurrently; results keep the sorted file order
+    // (futures joined in order), so manifests are byte-identical.
+    if (files.lengthCompare(2) < 0) files.map(entryOf)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, files.size))
+      try {
+        files.map(f => pool.submit(
+          new java.util.concurrent.Callable[DataFileEntry] {
+            override def call(): DataFileEntry = entryOf(f)
+          })).map(_.get())
+      } finally pool.shutdown()
     }
   }
 
