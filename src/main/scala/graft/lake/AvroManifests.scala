@@ -626,20 +626,38 @@ object AvroManifests {
     // every snapshot commit, and at scale a commit adding thousands of
     // files would read thousands of footers one by one. Each footerStats
     // call is self-contained (own Configuration + reader), so a bounded
-    // pool reads them concurrently; results keep the sorted file order
-    // (futures joined in order), so manifests are byte-identical.
+    // SHARED pool reads them concurrently (r16: hoisted out of the call —
+    // the old per-call pool churned 8 threads on every commit); results
+    // keep the sorted file order (futures joined in order), so manifests
+    // are byte-identical. Failures rethrow their ORIGINAL cause, matching
+    // the serial path's exception surface, and cancel the queued reads.
     if (files.lengthCompare(2) < 0) files.map(entryOf)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, files.size))
-      try {
-        files.map(f => pool.submit(
-          new java.util.concurrent.Callable[DataFileEntry] {
-            override def call(): DataFileEntry = entryOf(f)
-          })).map(_.get())
-      } finally pool.shutdown()
+      val futures = files.map(f => footerPool.submit(
+        new java.util.concurrent.Callable[DataFileEntry] {
+          override def call(): DataFileEntry = entryOf(f)
+        }))
+      try futures.map(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          futures.foreach(_.cancel(false))
+          throw e.getCause
+      }
     }
   }
+
+  /** Shared bounded executor for commit-time footer reads (daemon threads
+    * — never pins the JVM). One pool per JVM instead of one per commit. */
+  private lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-footer-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 
   // ---- manifest write / read --------------------------------------------
 

@@ -1247,6 +1247,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     val w = shaped.write.options(options).format("parquet").mode("overwrite")
     (if (partNames.nonEmpty) w.partitionBy(partNames: _*) else w)
       .save(dir.toString)
+    if (partNames.isEmpty) seedDirSchema(dir, shaped.schema)
     snapName
   }
 
@@ -2883,7 +2884,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         case "position" =>
           // delete rows carry the scan URI (file:///...), manifests the
           // plain path — normalize the scheme before the semi-join
-          spark.read.parquet(path)
+          readFlatDir(Path.of(path))
             .select(org.apache.spark.sql.functions.expr(
               "regexp_replace(file_path, '^file:/+', '/')").as("lf"))
             .join(liveFilesDf, Seq("lf"), "left_semi").count()
@@ -2915,7 +2916,7 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
               else aliases.collectFirst {
                 case (cur, olds) if olds.contains(c) => cur
               }.getOrElse(c))
-            val keysRaw = spark.read.parquet(path)
+            val keysRaw = readFlatDir(Path.of(path))
             val keys = aliases.foldLeft(keysRaw) { case (d, (cur, olds)) =>
               if (d.columns.contains(cur)) d
               else olds.reverse.find(d.columns.contains)
@@ -3307,8 +3308,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       else df.withColumn(c, lit(null).cast(schema(c).dataType))
     }
     if (posDels.nonEmpty) {
-      val pd = posDels.map(r => spark.read.parquet(
-          dataDir(ns, table).resolve(r.dir).toString))
+      val pd = posDels.map(r => readFlatDir(
+          dataDir(ns, table).resolve(r.dir)))
         .reduce(_.unionByName(_))
       out = out.join(pd,
         out(PosFileTag) === pd("file_path") && out(PosPosTag) === pd("pos"),
@@ -3328,8 +3329,8 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
           else aliases.collectFirst {
             case (cur, olds) if olds.contains(c) => cur
           }.getOrElse(c))
-      val keys = aliasFix(spark.read.parquet(
-        dataDir(ns, table).resolve(r.dir).toString))
+      val keys = aliasFix(readFlatDir(
+        dataDir(ns, table).resolve(r.dir)))
       val cond = names.map(c => out(c) === keys(c))
         .reduce(_ && _) && out(SeqTag) < lit(r.seq)
       out = out.join(keys, cond, "left_anti")
@@ -3372,6 +3373,76 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
     * possible without touching storage. A directory written before the
     * manifest layer (no manifest yet — one materializes on the table's
     * next write commit) falls back to directory listing. */
+  /** Physical Spark schema of a catalog-written parquet file, read driver-
+    * side off the footer's `org.apache.spark.sql.parquet.row.metadata` key
+    * — the exact schema Spark's own inference returns for Spark-written
+    * files (inference prefers that key), WITHOUT the per-read one-task
+    * inference job (`ParquetFileFormat.mergeSchemasInParallel` →
+    * RDD.collect) whose closure-cleaning additionally gzips the full
+    * Hadoop Configuration on the driver — profiled at ~a third of q209's
+    * active driver samples. `asNullable` matches inference (file sources
+    * report every column nullable). Memoized per DIRECTORY — snapshot data
+    * dirs are write-once and homogeneous, so a dir's physical schema never
+    * changes; [[writeSnapshot]] seeds the memo for the flat dirs it writes,
+    * so their first read needs no footer open at all. Absent key
+    * (non-Spark writer) → None → callers fall back to the inference
+    * read. */
+  private val fileSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[StructType]]
+
+  /** `DataType.asNullable` (private[sql]) replicated: file sources report
+    * every column — and every nested field/element/value — nullable. */
+  private def deepNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = deepNullable(at.elementType), containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = deepNullable(mt.keyType),
+        valueType = deepNullable(mt.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def footerSparkSchema(firstFile: String): Option[StructType] =
+    fileSchemaMemo.computeIfAbsent(
+      Option(Path.of(firstFile).getParent).map(_.toString)
+        .getOrElse(firstFile), _ => scala.util.Try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(Path.of(firstFile).toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Option(r.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata"))
+        .map(j => deepNullable(DataType.fromJson(j))
+          .asInstanceOf[StructType])
+      finally r.close()
+    }.toOption.flatten)
+
+  /** [[writeSnapshot]]'s memo seed: the physical schema of a freshly
+    * written FLAT dir is exactly the written frame's schema (the footer's
+    * spark-schema key records it verbatim), nullable like every file-
+    * source read. */
+  private def seedDirSchema(dir: Path, written: StructType): Unit = {
+    fileSchemaMemo.put(dir.toString,
+      Some(deepNullable(written).asInstanceOf[StructType]))
+    ()
+  }
+
+  /** Read a catalog-written FLAT parquet directory (no partition subdirs —
+    * every delete-file dir and every unpartitioned data dir) with its
+    * physical schema supplied off one footer, skipping the per-read
+    * schema-inference job. Nested layouts or a missing Spark footer key
+    * fall back to the plain inference read unchanged. */
+  private def readFlatDir(path: Path): DataFrame = {
+    val first = scala.util.Try(scala.util.Using.resource(Files.list(path))(
+      _.iterator().asScala.find(
+        _.getFileName.toString.endsWith(".parquet")).map(_.toString)))
+      .toOption.flatten
+    first.flatMap(footerSparkSchema)
+      .map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(path.toString)
+  }
+
   private def rawDirFrame(ns: String, table: String, s: String,
       fileFilter: Option[AvroManifests.DataFileEntry => Boolean] = None)
       : Option[DataFrame] = {
@@ -3383,7 +3454,19 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
         .map(_.filePath)
       // a zero-file snapshot dir (empty partitioned write) scans nothing
       if (files.isEmpty) None
-      else Some(spark.read.option("basePath", dir).parquet(files: _*))
+      else {
+        // flat dir: physical schema off the footer key — no inference job.
+        // Partitioned dirs (files under key=value subdirs) keep inference:
+        // partition-column TYPES come from Spark's path inference, which an
+        // explicit schema would have to replicate bit-for-bit.
+        val flat = files.forall(f =>
+          Option(Path.of(f).getParent).exists(_.toString == dir))
+        val rd = spark.read.option("basePath", dir)
+        val rd2 =
+          if (flat) footerSparkSchema(files.head).map(rd.schema).getOrElse(rd)
+          else rd
+        Some(rd2.parquet(files: _*))
+      }
     } else Some(spark.read.option("basePath", dir).parquet(dir))
     // a pre-manifest legacy dir cannot prune (full read stays CORRECT:
     // callers always re-apply the exact row-level bound)

@@ -993,10 +993,16 @@ object Dedup {
               col("n_docs_dropped"), col("chars_removed"))
         }(ec)
       }
-      futures.map(f => scala.concurrent.Await.result(
-        f, scala.concurrent.duration.Duration.Inf))
+      // Future.sequence fails FAST (ADVICE r15): a crashed chain surfaces
+      // as soon as it fails instead of after every earlier chain completes;
+      // grid order is preserved by the sequenced list, not by await order
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures)(
+          scala.collection.BuildFrom.buildFromIterableOps,
+          scala.concurrent.ExecutionContext.parasitic),
+        scala.concurrent.duration.Duration.Inf)
         .reduce(_ unionByName _)
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
     perT
       .crossJoin(documents(s, d).agg(count(lit(1)).as("n_docs_total"),
         sum("n_chars").as("chars_total")))
@@ -1743,6 +1749,9 @@ object Dedup {
     srcShingleCache.invalidate()
     calibCache.invalidate()
     ledgerCache.invalidate()
+    // the similarity-side corpus memos (brute truth, query anchor,
+    // k-means/PQ fits) honor the same refresh hook (ADVICE r15)
+    Similarity.invalidateCorpusCaches()
   }
 
   /** Test hook: how many label propagations have actually run. */

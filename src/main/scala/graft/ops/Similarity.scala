@@ -66,6 +66,21 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
 
+  /** The bounded query-side sample ([[NumQueries]] rows of the corpus
+    * projection), memoized + localCheckpointed per (session, corpus) —
+    * optimization r16 (guide §6/§1.2-1): every ANN tier re-derived this
+    * sample with its OWN parquet scan of the embeddings table (q105's
+    * three-tier union planned NINE query-side scans; q141's per-subspace
+    * distance table [[PqM]] more), so the registry's most scan-heavy
+    * plans re-read the corpus file once per anchor. One queries×dim
+    * checkpoint — control-plane sized — serves every consumer; the
+    * CORPUS side keeps streaming from parquet unchanged (at 100 TB the
+    * corpus cannot checkpoint; the query sample always could). */
+  private val queryAnchorCache = new Dedup.SessionMemo(Dedup.MaxCachedCorpora)
+  private def queryAnchor(s: SparkSession, d: String): DataFrame =
+    queryAnchorCache.getOrElseUpdate(s, s"qanchor:$d")(
+      emb(s, d).filter(col("vec_id") < NumQueries).localCheckpoint(true))
+
   /** Native one-pass cosine (see class doc for why not aggregate/zip_with). */
   private def cosine(a: String, b: String) = expr(s"vec_cosine($a, $b)")
 
@@ -107,7 +122,7 @@ object Similarity {
 
   private[ops] def bruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val corpus = emb(s, d)
-    val queries = emb(s, d).filter(col("vec_id") < NumQueries)
+    val queries = queryAnchor(s, d)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     rankTopK(
       corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -157,7 +172,7 @@ object Similarity {
     * bucket, window per query) is unchanged. */
   def knnLsh(s: SparkSession, d: String, planes: Int): DataFrame = {
     val corpus = withBucket(emb(s, d), planes)
-    val queries = withBucket(emb(s, d).filter(col("vec_id") < NumQueries), planes)
+    val queries = withBucket(queryAnchor(s, d), planes)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(expr(
           s"transform(sequence(0, $planes), p -> CASE WHEN p = $planes THEN bucket ELSE cast(bucket ^ shiftleft(1, p) as bigint) END)"))
@@ -209,7 +224,7 @@ object Similarity {
       // the query SET comes from the sampled queries themselves, not from
       // truth rows — a query with zero hits (or even zero candidates) still
       // reports its row
-      emb(s, d).filter(col("vec_id") < NumQueries)
+      queryAnchor(s, d)
         .select(col("vec_id").as("q_id"))
         .join(hits, Seq("q_id"), "left")
         .select(lit(name).as("tier"), col("q_id"),
@@ -277,7 +292,7 @@ object Similarity {
       cents: Array[(Long, Array[Double])], npGrid: Seq[Int]): DataFrame = {
     val assigned = emb(s, d).select(col("vec_id"), col("v"),
       (-array_max(cellScoresArr(cents, "v")).getField("ci")).as("cell"))
-    val qcells = emb(s, d).filter(col("vec_id") < NumQueries)
+    val qcells = queryAnchor(s, d)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(cellScoresArr(cents, "v")).as("sc"))
       .select(col("q_id"), col("qv"),
@@ -324,7 +339,7 @@ object Similarity {
     val ncand = salted.groupBy("np", "q_id", "salt")
       .agg(max("salt_cnt").as("salt_cnt"))
       .groupBy("np", "q_id").agg(sum("salt_cnt").as("n_cand"))
-    emb(s, d).filter(col("vec_id") < NumQueries)
+    queryAnchor(s, d)
       .select(col("vec_id").as("q_id")).crossJoin(broadcast(grid))
       .join(ncand, Seq("np", "q_id"), "left")
       .join(hits, Seq("np", "q_id"), "left")
@@ -398,7 +413,7 @@ object Similarity {
     def cellScores(v: String): Column = cellScoresArr(cents, v)
     val assigned = emb(s, d).select(col("vec_id"), col("v"),
       (-array_max(cellScores("v")).getField("ci")).as("cell"))
-    val queries = emb(s, d).filter(col("vec_id") < NumQueries)
+    val queries = queryAnchor(s, d)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(transform(
           slice(sort_array(cellScores("v"), asc = false), 1, NumProbes),
@@ -524,7 +539,7 @@ object Similarity {
   def q49KnnAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val corpus = emb(s, d)
-    val queries = emb(s, d).filter(col("vec_id") < NumQueries)
+    val queries = queryAnchor(s, d)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -1013,6 +1028,20 @@ object Similarity {
     new scala.collection.mutable.WeakHashMap[
       SparkSession,
       scala.collection.mutable.Map[String, (Array[Long], Array[Array[Long]])]]
+
+  /** Drop every corpus-derived memo on this side — brute truth, the query
+    * anchor, and the k-means/PQ fits — for an in-place corpus refresh
+    * within a live session (ADVICE r15: the truth/anchor memos must honor
+    * the same refresh hook [[graft.ops.Dedup.invalidateClusterCache]]
+    * documents for the dedup-side caches; it now calls through here). */
+  def invalidateCorpusCaches(): Unit = {
+    bruteTruthCache.invalidate()
+    queryAnchorCache.invalidate()
+    mapLock.synchronized {
+      kmeansCache.values.foreach(_.clear())
+      pqCache.values.foreach(_.clear())
+    }
+  }
 
   /** Test hook: how many Lloyd's loops have actually run. */
   private[ops] val kmeansFits = new java.util.concurrent.atomic.AtomicLong
@@ -1627,7 +1656,9 @@ object Similarity {
                           fits: Array[(Array[Long], Array[Array[Long]])])
       : DataFrame =
     (0 until PqM).map { m =>
-      quantized(s, d, QuantOffset).filter(col("vec_id") < NumQueries)
+      queryAnchor(s, d)
+        .select(col("vec_id"), call_function("ivec_quant", col("v"),
+          lit(QuantScale), lit(QuantOffset)).as("q"))
         .select(col("vec_id").as("q_id"), subVec(m).as("qs"))
         .select(col("q_id"), col("qs"),
           posexplode(centLit(fits(m)._2)).as(Seq("pos", "cv")))
@@ -1712,8 +1743,8 @@ object Similarity {
     * truth stays monitorable through the q105 pattern. */
   def q141Ivfadc(s: SparkSession, d: String): DataFrame =
     ivfadcSearch(s, d,
-      Tables.embeddings(s, d).filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("embedding")),
+      queryAnchor(s, d)
+        .select(col("vec_id").as("q_id"), col("v").as("embedding")),
       PqAdcK, excludeSelf = true)
 
   /** The PUBLIC IVFADC serving face: approximate top-k neighbors for ANY

@@ -47,9 +47,12 @@ object SqlFace {
 
   /** Distinct parquet files the scan PLANNED (bin-packing folds many
     * files into one input partition, so partition counts can't see
-    * pruning — file identity can). */
+    * pruning — file identity can). Planning-time file identity needs no
+    * execution: `BatchScanExec.inputPartitions` is fixed when the scan
+    * plans (manifest pruning is driver-side), so the old `df.collect()`
+    * here — a full execution of the probe query per sentinel — bought
+    * nothing the initial physical plan doesn't already hold. */
   private def scanFiles(df: DataFrame): Int = {
-    df.collect()
     deepCollect(finalPlan(df)) { case b: BatchScanExec => b }
       .flatMap(_.inputPartitions)
       .flatMap(_.asInstanceOf[graft.sql.GraftInputPartition]

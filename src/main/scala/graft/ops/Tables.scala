@@ -37,9 +37,36 @@ object Tables {
       graft.functions.TextHashExprs.register(spark)
   }
 
+  /** Per-session schema memo for the star-schema parquet reads. A bare
+    * `spark.read.parquet(path)` runs a ONE-TASK schema-inference Spark job
+    * per call (`ParquetFileFormat.mergeSchemasInParallel` → RDD.collect),
+    * and every job submission additionally gzips the full Hadoop
+    * Configuration on the driver during closure cleaning — a fixed
+    * multi-ms driver cost paid on every table access in every query. The
+    * first read of each path per session still infers (so the schema is
+    * derived from the parquet input, never assumed); subsequent reads pass
+    * that schema explicitly and skip the job. Session-keyed (WeakHashMap)
+    * like the ops-layer SessionMemo: nothing survives the session. */
+  private val schemaMemo =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.HashMap[String, org.apache.spark.sql.types.StructType]]
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     prepareSession(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val memoed = schemaMemo.synchronized {
+      schemaMemo.getOrElseUpdate(spark,
+        scala.collection.mutable.HashMap.empty).get(path)
+    }
+    val schema = memoed.getOrElse {
+      val inferred = spark.read.parquet(path).schema
+      schemaMemo.synchronized {
+        schemaMemo.getOrElseUpdate(spark,
+          scala.collection.mutable.HashMap.empty).update(path, inferred)
+      }
+      inferred
+    }
+    spark.read.schema(schema).parquet(path)
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
