@@ -2754,54 +2754,57 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       .map(_.get("type").asText()).getOrElse("")
     // the two literals land in the SAME comparable domain decodeBound
     // reads back (micros for timestamps, epoch days for dates, UTF-8
-    // bytes for strings) — evaluated through Spark casts so literal
-    // parsing can never disagree with the engine's
-    def litPrim(v: String): Option[Any] = icType match {
-      case "string" =>
-        Some(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      case "timestamp" =>
-        // NTZ: parquet stores WALL-CLOCK micros (isAdjustedToUTC=false),
-        // so the literal must become micros WITHOUT a timezone hop — a
-        // cast through TimestampType would shift by the session zone and
-        // a non-UTC session would silently wrong-prune
-        val row = spark.range(1).select(lit(v).cast(srcType)).head()
-        if (row.isNullAt(0)) None
-        else {
-          val ldt = row.getAs[java.time.LocalDateTime](0)
-          Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-            ldt.getNano / 1000L)
-        }
-      case "long" | "int" | "double" | "float" | "date" | "timestamptz" =>
-        val c = icType match {
-          case "timestamptz" =>
-            // tz-adjusted micros: an instant, zone-independent
-            org.apache.spark.sql.functions.unix_micros(
-              lit(v).cast(srcType).cast(
-                org.apache.spark.sql.types.TimestampType))
-          case "date" => org.apache.spark.sql.functions.datediff(
-            lit(v).cast(srcType), lit("1970-01-01").cast(
-              org.apache.spark.sql.types.DateType))
-          case _ => lit(v).cast(srcType)
-        }
-        val row = spark.range(1).select(c).head()
-        if (row.isNullAt(0)) None
-        else Some(icType match {
-          // getAs[Number]: smallint/tinyint sources cast to Short/Byte,
-          // a bare getInt would ClassCastException on the boxed value
-          case "long" | "timestamptz" =>
-            row.getAs[Number](0).longValue()
-          case "int" | "date" => row.getAs[Number](0).intValue()
-          case "double"       => row.getAs[Number](0).doubleValue()
-          case "float"        => row.getAs[Number](0).floatValue()
-        })
-      case t if t.startsWith("decimal(") =>
-        // the cast to the column's DecimalType fixes the scale, so the
-        // unscaled BigInteger compares directly against the manifest's
-        // Appendix-D decimal bounds (same-scale by construction)
-        val row = spark.range(1).select(lit(v).cast(srcType)).head()
-        if (row.isNullAt(0)) None
-        else Some(row.getAs[java.math.BigDecimal](0).unscaledValue())
-      case _ => None
+    // bytes for strings) — evaluated through Spark's own Cast expression
+    // so literal parsing can never disagree with the engine's.
+    // optimization r16: evaluated DRIVER-SIDE (Catalyst Cast.eval on a
+    // literal) instead of `spark.range(1).select(...).head()`, which ran a
+    // one-task Spark JOB — plan + codegen + scheduling — per pruning bound
+    // (several per sliced query). The Cast expression, session timezone,
+    // and ANSI eval mode are identical, and the INTERNAL values it yields
+    // (micros for timestamps, epoch days for dates) are exactly what the
+    // old external-row round trip reconstructed.
+    def litPrim(v: String): Option[Any] = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      def castTo(t: DataType): Option[Any] =
+        Option(Cast(Literal(v), t, zone).eval())
+      icType match {
+        case "string" =>
+          Some(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case "timestamp" =>
+          // NTZ: parquet stores WALL-CLOCK micros (isAdjustedToUTC=false)
+          // and the internal NTZ value IS wall-clock micros — no timezone
+          // hop, so a non-UTC session cannot wrong-prune
+          castTo(srcType).map(_.asInstanceOf[Long])
+        case "timestamptz" =>
+          // tz-adjusted micros: an instant, zone-independent (the internal
+          // TimestampType value is exactly unix_micros)
+          castTo(org.apache.spark.sql.types.TimestampType)
+            .map(_.asInstanceOf[Long])
+        case "date" =>
+          // internal DateType value is epoch days — the old datediff
+          castTo(org.apache.spark.sql.types.DateType)
+            .map(d => d.asInstanceOf[Int])
+        case "long" | "int" | "double" | "float" =>
+          castTo(srcType).map { r =>
+            icType match {
+              // Number: smallint/tinyint sources cast to Short/Byte, a
+              // bare Int unbox would ClassCastException on the boxed value
+              case "long"   => r.asInstanceOf[Number].longValue()
+              case "int"    => r.asInstanceOf[Number].intValue()
+              case "double" => r.asInstanceOf[Number].doubleValue()
+              case "float"  => r.asInstanceOf[Number].floatValue()
+            }
+          }
+        case t if t.startsWith("decimal(") =>
+          // the cast to the column's DecimalType fixes the scale, so the
+          // unscaled BigInteger compares directly against the manifest's
+          // Appendix-D decimal bounds (same-scale by construction)
+          castTo(srcType).map(
+            _.asInstanceOf[org.apache.spark.sql.types.Decimal]
+              .toJavaBigDecimal.unscaledValue())
+        case _ => None
+      }
     }
     def cmp(a: Any, b: Any): Int = (a, b) match {
       case (x: Long, y: Long) => java.lang.Long.compare(x, y)
@@ -3456,16 +3459,28 @@ abstract class SnapshotLakeCatalog(spark: SparkSession) extends LakeCatalog {
       if (files.isEmpty) None
       else {
         // flat dir: physical schema off the footer key — no inference job.
-        // Partitioned dirs (files under key=value subdirs) keep inference:
-        // partition-column TYPES come from Spark's path inference, which an
-        // explicit schema would have to replicate bit-for-bit.
+        // Partitioned dirs (files under key=value subdirs) keep inference
+        // on their FIRST read — partition-column TYPES come from Spark's
+        // per-value path inference, which an explicit schema would have to
+        // replicate bit-for-bit — but the resolved schema is memoized per
+        // exact FILE SET (dirs are write-once, inference is deterministic),
+        // so the repeat reads every lifecycle query issues skip the job.
         val flat = files.forall(f =>
           Option(Path.of(f).getParent).exists(_.toString == dir))
         val rd = spark.read.option("basePath", dir)
-        val rd2 =
-          if (flat) footerSparkSchema(files.head).map(rd.schema).getOrElse(rd)
-          else rd
-        Some(rd2.parquet(files: _*))
+        if (flat)
+          Some(footerSparkSchema(files.head).map(rd.schema).getOrElse(rd)
+            .parquet(files: _*))
+        else {
+          val key = dir + "::" + files.mkString(" ")
+          Option(fileSchemaMemo.get(key)).flatten match {
+            case Some(st) => Some(rd.schema(st).parquet(files: _*))
+            case None =>
+              val df = rd.parquet(files: _*) // resolves (one inference job)
+              fileSchemaMemo.put(key, Some(df.schema))
+              Some(df)
+          }
+        }
       }
     } else Some(spark.read.option("basePath", dir).parquet(dir))
     // a pre-manifest legacy dir cannot prune (full read stays CORRECT:
